@@ -1,0 +1,25 @@
+"""reden_spark — a from-scratch PySpark-native knowledge-graph construction
+engine with the query/data-processing capabilities of JianhuanZhuo/REDEN.
+
+REDEN (reference at /root/reference, Java, single-JVM) performs graph-based
+named-entity linking over TEI texts: mention detection, dictionary candidate
+generation, owl:sameAs expansion, per-context RDF-neighborhood graph fusion,
+centrality scoring, and per-mention URI selection.  This package re-expresses
+those semantics Spark-first: declarative DataFrame plans (Catalyst/Tungsten
+pick the physical strategy), broadcast hash joins instead of a Lucene index,
+connected-components over sameAs instead of a 1-hop crawl, and
+checkpoint-resumable stages instead of skip-if-file-exists memoization.
+
+Layout:
+  session     SparkSession factory with scale-oriented conf (AQE, Arrow).
+  schemas     explicit StructTypes for every table in the pipeline.
+  corpus      deterministic synthetic TEI corpus / dictionary / triples / gold.
+  functions/  scalar kernels (normalization, aliases, text analysis).
+  operators/  the pipeline operators (mentions, candidates, sameas CC,
+              fuse, centrality, select, dedup, similarity, eval).
+  plans/      the assembled S0→S10 pipeline + resumable stage runner.
+  sources/    table loading / TSV dictionary io / TEI helpers.
+  streaming/  optional structured-streaming wrappers (reference has none).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,271 @@
+"""Deterministic synthetic REDEN-shaped corpus.
+
+Generates, from a seed and a size knob, the five tables the pipeline needs
+(FIXTURES.md):
+
+  documents(repo, path, commit, lang, content)     — input_hint shape; content
+      is TEI-like: ``<div>`` contexts (xpathExpresion=//body/div,
+      reference config/config-authors-bnf.properties:62) holding
+      ``<persName>``/``<placeName>`` mentions, some ``type="character"``
+      to exercise the tag predicate (MainNELApp.java:233-242, config:4).
+  dictionary(alias, alias_norm, normalized_name, uris)
+      — columnar form of the TSV `alias \\t name \\t uri...`
+      (DicoProcessingNEL.java:277-290); ambiguous aliases appear in several
+      rows (= several candidate groups).
+  triples(subj, pred, obj)                          — authority dump replacing
+      the per-URI .n3 cache (GraphHandlerNEL.java:78-103); contains
+      owl:sameAs chains (length >= 2 → exercises connected components) and
+      content predicates shaped so that the *correct* candidate of
+      co-occurring mentions shares a neighborhood (degree centrality wins,
+      CentralityHandler.java:100-152).
+  rels(pred, weight)                                — optional edge weights
+      (-relsFile, GraphHandlerNEL.java:237-249).
+  gold(repo, path, context_id, mention_idx, mention, ref)
+      — positional gold annotations (ResultsAndEvaluationNEL.java:240-331).
+
+Everything is pure-Python + numpy, seeded, no wall clock, no network.
+The same structures drive the in-process Python oracle (tests/oracle.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+PRED_SUBJECT = "http://purl.org/dc/terms/subject"
+PRED_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+PRED_NAME = "http://xmlns.com/foaf/0.1/name"
+PRED_BIRTH = "http://vocab.org/bio/0.1/birth"
+MENTION_PRED = "http://reden.example.org/ontology#mentions"
+
+_FIRST = [
+    "Jean", "Marie", "Pierre", "Claire", "Louis", "Anne", "Paul", "Julie",
+    "Marc", "Sophie", "Henri", "Alice", "Victor", "Emma", "Jules", "Lea",
+]
+_LAST = [
+    "Dupont", "Martin", "Bernard", "Durand", "Moreau", "Laurent", "Simon",
+    "Michel", "Leroy", "Roux", "David", "Bertrand", "Morel", "Fournier",
+    "Girard", "Bonnet", "Lambert", "Fontaine", "Rousseau", "Vincent",
+]
+_PLACES = [
+    "Paris", "Lyon", "Rouen", "Nantes", "Lille", "Reims", "Dijon", "Tours",
+    "Brest", "Nancy", "Metz", "Arles", "Albi", "Sedan", "Vichy", "Cognac",
+]
+_FILLER = (
+    "le la les un une et dans sur avec pour selon apres avant ouvrage "
+    "chapitre roman critique litterature auteur siecle pensee oeuvre texte"
+).split()
+
+
+@dataclass
+class Corpus:
+    """All generated tables as plain Python lists of tuples."""
+
+    documents: list[tuple] = field(default_factory=list)
+    dictionary: list[tuple] = field(default_factory=list)
+    triples: list[tuple] = field(default_factory=list)
+    rels: list[tuple] = field(default_factory=list)
+    gold: list[tuple] = field(default_factory=list)
+    # surface -> list of (entity_id, uri_group) for the oracle
+    n_entities: int = 0
+
+
+def _commit_of(repo: str, path: str) -> str:
+    return hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+
+
+def _norm(s: str) -> str:
+    """Name normalization — the join key of the whole pipeline.
+
+    Reference: DicoProcessingNEL.replaceNonAlphabeticCharacters
+    (DicoProcessingNEL.java:410-415): strip whitespace, ', -, lowercase.
+    """
+    out = []
+    for ch in s:
+        if ch.isspace() or ch in "'-":
+            continue
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def make_corpus(
+    n_docs: int = 20,
+    contexts_per_doc: int = 3,
+    n_entities: int = 120,
+    n_themes: int = 12,
+    mentions_per_context: tuple[int, int] = (2, 5),
+    seed: int = 42,
+    nil_rate: float = 0.08,
+    character_rate: float = 0.06,
+    hot_place_rate: float = 0.35,
+) -> Corpus:
+    rng = np.random.default_rng(seed)
+    c = Corpus(n_entities=n_entities)
+
+    # --- entity universe -------------------------------------------------
+    # entity i: person with first/last name; every last name is shared by
+    # len(_LAST) strides → family-only surface is ambiguous (2+ groups).
+    ent_first = [_FIRST[i % len(_FIRST)] for i in range(n_entities)]
+    ent_last = [_LAST[i % len(_LAST)] for i in range(n_entities)]
+    ent_theme = [i % n_themes for i in range(n_entities)]
+    ent_base = [f"http://kb.example.org/ent/{i:05d}" for i in range(n_entities)]
+    ent_equiv: list[list[str]] = []
+    for i in range(n_entities):
+        if i % 3 == 0:  # sameAs chain of length 2 (CC must close it)
+            ent_equiv.append(
+                [
+                    f"http://alt.example.org/res/{i:05d}",
+                    f"http://idref.example.org/{i:05d}",
+                ]
+            )
+        elif i % 3 == 1:
+            ent_equiv.append([f"http://alt.example.org/res/{i:05d}"])
+        else:
+            ent_equiv.append([])
+
+    # places: hot aliases — "Paris"-style Zipf head exercising salting.
+    place_base = [f"http://kb.example.org/place/{i:03d}" for i in range(len(_PLACES))]
+
+    # --- dictionary -------------------------------------------------------
+    # per-entity alias rules after AuthorBNF.makeAliases (AuthorBNF.java:138-192):
+    # full name, family-only, "M. Last", initials.
+    for i in range(n_entities):
+        group = [ent_base[i], *ent_equiv[i]]
+        nn = f"{ent_last[i]}, {ent_first[i]}"
+        aliases = {
+            f"{ent_first[i]} {ent_last[i]}",
+            ent_last[i],
+            f"M. {ent_last[i]}",
+            f"{ent_first[i][0]}. {ent_last[i]}",
+        }
+        for al in sorted(aliases):
+            c.dictionary.append(("persName", al, _norm(al), nn, group))
+    for j, pl in enumerate(_PLACES):
+        c.dictionary.append(("placeName", pl, _norm(pl), pl, [place_base[j]]))
+        # second candidate group for hot places (ambiguity on the hot key)
+        if j < 4:
+            c.dictionary.append(
+                (
+                    "placeName",
+                    pl,
+                    _norm(pl),
+                    f"{pl} (homonyme)",
+                    [f"http://kb.example.org/place-alt/{j:03d}"],
+                )
+            )
+
+    # --- triples ----------------------------------------------------------
+    for i in range(n_entities):
+        base = ent_base[i]
+        theme = f"http://kb.example.org/theme/{ent_theme[i]:02d}"
+        prev = base
+        for eq in ent_equiv[i]:
+            c.triples.append((prev, SAMEAS, eq))
+            prev = eq  # chain, not star → forces CC, not 1-hop
+        # content triples: subject-theme on the *alias* URI when one exists
+        # (exercises graph fusion: alias statements attach to the base vertex,
+        # GraphHandlerNEL.java:266-292); else on the base URI.
+        attach = ent_equiv[i][0] if ent_equiv[i] else base
+        c.triples.append((attach, PRED_SUBJECT, theme))
+        c.triples.append((base, PRED_TYPE, "http://xmlns.com/foaf/0.1/Person"))
+        c.triples.append((base, PRED_NAME, f"{ent_first[i]} {ent_last[i]}"))
+        c.triples.append((base, PRED_BIRTH, f"{1700 + (i * 7) % 250:04d}"))
+    for j, pl in enumerate(_PLACES):
+        c.triples.append((place_base[j], PRED_TYPE, "http://schema.org/Place"))
+        c.triples.append((place_base[j], PRED_NAME, pl))
+        # hot place shares the theme of entities that co-occur with it
+        c.triples.append(
+            (place_base[j], PRED_SUBJECT, f"http://kb.example.org/theme/{j % n_themes:02d}")
+        )
+
+    c.rels = [(PRED_SUBJECT, 1.0), (PRED_TYPE, 1.0)]
+
+    # --- documents + gold ---------------------------------------------------
+    lo, hi = mentions_per_context
+    theme_members: list[list[int]] = [[] for _ in range(n_themes)]
+    for i in range(n_entities):
+        theme_members[ent_theme[i]].append(i)
+
+    for d in range(n_docs):
+        repo = f"repo-{d % 17:04d}"
+        path = f"texts/doc-{d:06d}.xml"
+        commit = _commit_of(repo, path)
+        divs = []
+        for ctx in range(contexts_per_doc):
+            theme = int(rng.integers(0, n_themes))
+            members = theme_members[theme]
+            k = int(rng.integers(lo, hi + 1))
+            chosen = rng.choice(members, size=min(k, len(members)), replace=False)
+            parts, midx = [], 0
+            for ent in chosen:
+                ent = int(ent)
+                filler = " ".join(rng.choice(_FILLER, size=4))
+                r = rng.random()
+                if r < nil_rate:
+                    surface = f"Zz{int(rng.integers(0, 999)):03d} Inconnu"
+                    ref = None
+                elif r < nil_rate + 0.45:
+                    surface = ent_last[ent]  # ambiguous family-only form
+                    ref = ent_base[ent]
+                else:
+                    surface = f"{ent_first[ent]} {ent_last[ent]}"
+                    ref = ent_base[ent]
+                if rng.random() < character_rate:
+                    # filtered out by persName[not(@type='character')]
+                    parts.append(
+                        f"{filler} <persName type=\"character\">{surface}</persName>"
+                    )
+                    continue
+                parts.append(f"{filler} <persName>{surface}</persName>")
+                c.gold.append((repo, path, ctx, midx, surface, ref))
+                midx += 1
+            if rng.random() < hot_place_rate:
+                # Zipf-ish: place 0 ("Paris") dominates
+                j = int(min(rng.zipf(2.0) - 1, len(_PLACES) - 1))
+                parts.append(f"pres de <placeName>{_PLACES[j]}</placeName>")
+                c.gold.append((repo, path, ctx, midx, _PLACES[j], place_base[j]))
+                midx += 1
+            divs.append("<div><p>" + " ".join(parts) + "</p></div>")
+        content = (
+            "<TEI><teiHeader><title>doc-%d</title></teiHeader><text><body>%s</body></text></TEI>"
+            % (d, "".join(divs))
+        )
+        c.documents.append((repo, path, commit, "fr", content))
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Spark loading helpers
+
+
+def corpus_to_spark(spark, corpus: Corpus):
+    """Materialize the corpus as DataFrames with the canonical schemas."""
+    from reden_spark import schemas
+
+    docs = spark.createDataFrame(corpus.documents, schemas.DOCUMENTS)
+    dico = spark.createDataFrame(corpus.dictionary, schemas.DICTIONARY)
+    triples = spark.createDataFrame(corpus.triples, schemas.TRIPLES)
+    rels = spark.createDataFrame(corpus.rels, schemas.RELS)
+    gold = spark.createDataFrame(corpus.gold, schemas.GOLD)
+    return docs, dico, triples, rels, gold
+
+
+def documents_from_testdata(spark, sf_dir: str):
+    """Adapt the driver's documents.parquet (doc_id, text, lang, source,
+    n_chars) to the Iceberg input shape (repo, path, commit, lang, content).
+
+    Used by queries()/bench paths that must run on the shared test tables.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return raw.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.concat_ws("/", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

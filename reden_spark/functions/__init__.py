@@ -1,0 +1,18 @@
+"""Scalar kernels. Native pyspark.sql.functions wherever possible (JVM-side,
+whole-stage codegen); pandas/Arrow UDFs only for the alias-generation kernel
+(pure-Python string cross-product that SQL cannot express compactly)."""
+
+from reden_spark.functions.normalize import (  # noqa: F401
+    date_overlap,
+    first_letter,
+    norm_key,
+    sanitize_year,
+    uri_decode,
+)
+from reden_spark.functions.aliases import make_aliases_udf  # noqa: F401
+from reden_spark.functions.text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)

@@ -1,0 +1,74 @@
+"""Alias generation — the one rich scalar kernel of the dictionary build.
+
+Reference: AuthorBNF.makeAliases (AuthorBNF.java:138-192): from
+(first, last, gender, honorific in {de, d', von, da}) produce ~15 alias
+forms — full name, family-only, M/Mme (+dot variants), honorific variants,
+initials (+dot) crossed with honorifics.
+
+This is a pure-Python string cross-product; it runs as an Arrow-batched
+pandas UDF returning ``array<string>`` that the caller ``explode``s — the
+UDTF shape (1 row in, ~15 rows out) from SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+HONORIFICS = ("de", "d'", "von", "da")  # AuthorBNF.java:22
+
+
+def _aliases_one(first: str | None, last: str | None, gender: str | None) -> list[str]:
+    first = (first or "").strip()
+    last = (last or "").strip()
+    if not last:
+        return []
+    title = "Mme" if (gender or "").lower().startswith("f") else "M"
+    out: list[str] = []
+
+    def add(a: str) -> None:
+        a = " ".join(a.split())
+        if a and a not in out:
+            out.append(a)
+
+    if first:
+        add(f"{first} {last}")
+    add(last)
+    add(f"{title} {last}")
+    add(f"{title}. {last}")
+    for hon in HONORIFICS:
+        sep = "" if hon.endswith("'") else " "
+        add(f"{hon}{sep}{last}")
+        add(f"{hon.capitalize()}{sep}{last}")
+        if first:
+            add(f"{first} {hon}{sep}{last}")
+    if first:
+        ini = first[0]
+        add(f"{ini} {last}")
+        add(f"{ini}. {last}")
+        for hon in HONORIFICS:
+            sep = "" if hon.endswith("'") else " "
+            add(f"{ini}. {hon}{sep}{last}")
+    return out
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def make_aliases_udf(first: pd.Series, last: pd.Series, gender: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_aliases_one(f, l, g) for f, l, g in zip(first, last, gender)]
+    )
+
+
+def normalized_name(first, last, birth=None, death=None):
+    """``"Last, First (birth-death)"`` — AuthorBNF.getNormalisedName
+    (AuthorBNF.java:93-105).  Native expression."""
+    f = F.col(first) if isinstance(first, str) else first
+    l = F.col(last) if isinstance(last, str) else last
+    base = F.concat_ws(", ", l, f)
+    if birth is None:
+        return base
+    b = F.col(birth) if isinstance(birth, str) else birth
+    d = F.col(death) if isinstance(death, str) else death
+    return F.concat(base, F.lit(" ("), F.coalesce(b.cast("string"), F.lit("")), F.lit("-"),
+                    F.coalesce(d.cast("string"), F.lit("")), F.lit(")"))

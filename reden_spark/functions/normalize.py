@@ -1,0 +1,67 @@
+"""Normalization / cleanup kernels — all native Spark SQL expressions, so
+they stay inside whole-stage codegen (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_key(col: Column | str) -> Column:
+    """The join key of the whole pipeline: lowercase, strip whitespace,
+    apostrophes and hyphens.
+
+    Reference: DicoProcessingNEL.replaceNonAlphabeticCharacters
+    (DicoProcessingNEL.java:410-415) — applied to both the dictionary alias
+    and the mention surface before the candidate lookup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(c, r"[\s'\-]+", ""))
+
+
+def uri_decode(col: Column | str) -> Column:
+    """URL-decode iff the value starts with ``http:`` — reference
+    Util.decompose (Util.java:88-99).  Native ``url_decode`` (Spark 3.4+).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.startswith("http:"), F.url_decode(c)).otherwise(c)
+
+
+def sanitize_year(col: Column | str) -> Column:
+    """Year sanitation: accept ``\\d{4}``, ``\\d{2}..``/``\\d{1}..`` wildcard
+    forms (take the leading digits, zero-fill), or an ISO date → its year.
+
+    Reference: QueryAuthorBNF.java:201-221 and
+    DateSpecificProcessingNEL.java:39-63.  Returns int year or null.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    iso = F.regexp_extract(c, r"^(\d{4})-\d{2}-\d{2}", 1)
+    four = F.regexp_extract(c, r"^(\d{4})", 1)
+    two_dots = F.regexp_extract(c, r"^(\d{2})\.\.", 1)
+    one_dots = F.regexp_extract(c, r"^(\d{1})\.\.\.", 1)
+    return (
+        F.when(iso != "", iso.cast("int"))
+        .when(four != "", four.cast("int"))
+        .when(two_dots != "", (two_dots.cast("int") * 100))
+        .when(one_dots != "", (one_dots.cast("int") * 1000))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def date_overlap(birth1, death1, birth2, death2) -> Column:
+    """Lifespan-overlap score ``max(0, min(d1,d2) - max(b1,b2))`` —
+    reference DateSpecificProcessingNEL.java:15-28."""
+    cols = [F.col(x) if isinstance(x, str) else x for x in (birth1, death1, birth2, death2)]
+    b1, d1, b2, d2 = cols
+    return F.greatest(F.lit(0.0), F.least(d1, d2) - F.greatest(b1, b2))
+
+
+def first_letter(col: Column | str) -> Column:
+    """Partition key replacing the reference's manual a-z+'other' sharding of
+    the dictionary build (AppAdhoc.java:70-71; QueryAuthorBNF.java:86-91).
+    At scale this is the dictionary table's partition column.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    fl = F.lower(F.substring(F.trim(c), 1, 1))
+    return F.when(fl.rlike("^[a-z]$"), fl).otherwise(F.lit("other"))

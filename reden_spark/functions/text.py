@@ -1,0 +1,111 @@
+"""Text-analysis kernels for the training-data pipeline over ``documents``:
+language-ID (stopword-ratio heuristic), quality scoring, token counting,
+and document fingerprinting (polynomial rolling hash).
+
+All native Spark SQL expressions (higher-order functions, not Python UDFs):
+they run JVM-side under whole-stage codegen and are exactly reproducible in
+the DuckDB oracle (portable arithmetic — no engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "with", "for", "on")
+FR_STOPWORDS = ("le", "la", "les", "un", "une", "et", "de", "dans", "sur", "pour")
+
+# polynomial-hash parameters — shared verbatim with the DuckDB oracle SQL
+HASH_P = 1_000_000_007
+CHAR_MULT = 31
+TOK_MULT = 1_000_003
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (the reference normalizes on whitespace too).
+    Empty strings filtered so ``'a  b'`` → 2 tokens."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count, as BIGINT."""
+    return F.size(tokens(col)).cast("long")
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish regex token count: words, numbers, and single punctuation
+    marks each count as one token (approximates subword pre-tokenization)."""
+    arr = F.split(_c(col), r"(?=[^\w])|(?<=[^\w])")
+    return F.size(F.filter(arr, lambda t: (t != "") & (t != " "))).cast("long")
+
+
+def stopword_ratio(col, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(_c(col)))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_id(col) -> Column:
+    """Heuristic language ID: argmax of stopword-hit ratio between EN and FR,
+    'und' when neither scores > 0.  (The image/audio-free analogue of a
+    fastText-style classifier; deterministic and oracle-checkable.)"""
+    en = stopword_ratio(col, EN_STOPWORDS)
+    fr = stopword_ratio(col, FR_STOPWORDS)
+    return (
+        F.when((en == 0) & (fr == 0), F.lit("und"))
+        .when(en >= fr, F.lit("en"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(col) -> Column:
+    """Document quality in [0,1]: mean of three bounded signals —
+    length band (50..2000 chars), alphabetic-char ratio, stopword presence.
+    Mirrors C4/Gopher-style rule filters in spirit."""
+    c = _c(col)
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.greatest(n, F.lit(1))
+    sw = F.least(
+        stopword_ratio(c, EN_STOPWORDS) * 5 + stopword_ratio(c, FR_STOPWORDS) * 5,
+        F.lit(1.0),
+    )
+    return (len_ok + alpha + sw) / F.lit(3.0)
+
+
+def char_hash(col) -> Column:
+    """Portable polynomial hash of a string:
+    ``fold(chars, 7, (acc, ch) -> (acc*31 + ascii(ch)) % 1000000007)``.
+    Reproducible bit-for-bit in DuckDB (list_reduce + ascii)."""
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: ch != ""),
+        F.lit(7).cast("long"),
+        lambda acc, ch: (acc * CHAR_MULT + F.ascii(ch)) % HASH_P,
+    )
+
+
+def doc_fingerprint(col) -> Column:
+    """Document fingerprint: token-level rolling hash over token hashes —
+    ``fold(tokens, 7, (acc, t) -> (acc*1000003 + char_hash(t)) % P)``.
+    Whitespace-normalization-invariant (built on `tokens`)."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(7).cast("long"),
+        lambda acc, t: (acc * TOK_MULT + char_hash_inner(t)) % HASH_P,
+    )
+
+
+def char_hash_inner(tok: Column) -> Column:
+    chars = F.filter(F.split(tok, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(7).cast("long"),
+        lambda acc, ch: (acc * CHAR_MULT + F.ascii(ch)) % HASH_P,
+    )

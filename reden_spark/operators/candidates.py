@@ -1,0 +1,126 @@
+"""S4 candidate generation + S5 routing.
+
+Reference: Lucene exact keyword lookup of the normalized mention against the
+dictionary index, ≤100 hits, one hit = one candidate URI group
+(DicoProcessingNEL.java:144-183, search cap :319); identical URI lists for a
+mention are deduped (:162-175); when the same surface is tagged under
+several NE types in one context, the LAST configured tag type wins
+(MainNELApp.java:233-257, overwrite :255-256 — the "France" TODO).
+
+Spark-first: the Lucene index is replaced by a **broadcast hash join** on
+``norm_key(surface) == alias_norm`` — the dictionary (even a full authority
+dump's alias table) is a few GB, map-side joinable; there is no shuffle and
+therefore no skew on the join itself.  For dictionaries above the broadcast
+threshold, pass ``use_broadcast=False`` to get the salted shuffle join
+(operators/skew.py).  The ≤100-group cap is kept as a guardrail: it bounds
+the fan-out of hot aliases exactly like the reference's Lucene cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reden_spark.functions.normalize import norm_key
+from reden_spark.operators import skew
+
+MAX_GROUPS = 100  # DicoProcessingNEL.java:319 — search(query, 100)
+
+
+def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Dedup identical URI groups per (tag, alias) and assign a deterministic
+    ``group_id`` (ordered by the group's first URI).  Runs once on the small
+    side; the window shuffles only the dictionary."""
+    w = Window.partitionBy("tag", "alias_norm").orderBy(F.col("uris")[0].asc())
+    return (
+        dictionary.withColumn("alias_norm", F.coalesce("alias_norm", norm_key("alias")))
+        .dropDuplicates(["tag", "alias_norm", "uris"])
+        .withColumn("group_id", F.row_number().over(w) - 1)
+        .filter(F.col("group_id") < MAX_GROUPS)
+        .select("tag", "alias_norm", "normalized_name", "uris", "group_id")
+    )
+
+
+def resolve_tag_collisions(mentions: DataFrame, tag_order: list[str]) -> DataFrame:
+    """Last-tag-wins: if one normalized surface occurs under several tag
+    types within a context, every occurrence looks up the dictionary of the
+    LAST tag (config order) — reference MainNELApp.java:255-256."""
+    order_map = F.create_map(
+        *[x for i, t in enumerate(tag_order) for x in (F.lit(t), F.lit(i))]
+    )
+    m = mentions.withColumn("surface_norm", norm_key("surface")).withColumn(
+        "tag_order", F.coalesce(order_map[F.col("tag")], F.lit(-1))
+    )
+    w = Window.partitionBy("repo", "path", "context_id", "surface_norm")
+    return (
+        m.withColumn(
+            "lookup_tag",
+            F.max(F.struct("tag_order", "tag")).over(w).getField("tag"),
+        )
+        .drop("tag_order")
+    )
+
+
+def generate_candidates(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    tag_order: list[str] = ("persName", "placeName"),
+    use_broadcast: bool = True,
+    dictionary_prepared: bool = False,
+) -> DataFrame:
+    """S2→S4: left join mentions to candidate groups.
+
+    Output grain: one row per (mention occurrence, candidate group); NIL
+    mentions (no dictionary hit) keep one row with null group.
+    """
+    dico = dictionary if dictionary_prepared else prepare_dictionary(dictionary)
+    m = resolve_tag_collisions(mentions, list(tag_order))
+    d = dico.withColumnRenamed("tag", "lookup_tag")
+    if use_broadcast:
+        joined = m.join(
+            F.broadcast(d.withColumnRenamed("alias_norm", "surface_norm")),
+            on=["lookup_tag", "surface_norm"],
+            how="left",
+        )
+    else:
+        big = m.withColumn("__jk", F.concat_ws("\x00", "lookup_tag", "surface_norm"))
+        small = d.withColumn(
+            "__jk", F.concat_ws("\x00", "lookup_tag", "alias_norm")
+        ).drop("lookup_tag", "alias_norm")
+        joined = skew.salted_join(big, small, "__jk", how="left").drop("__jk")
+    return joined.select(
+        "repo",
+        "path",
+        "commit",
+        "content_sha256",
+        "context_id",
+        "mention_idx",
+        "tag",
+        "surface",
+        "surface_norm",
+        "lookup_tag",
+        "normalized_name",
+        "group_id",
+        "uris",
+    )
+
+
+def route_contexts(candidates: DataFrame) -> DataFrame:
+    """S5 — the NEL precondition (checkConditionsToNEL,
+    MainNELApp.java:418-442): a context runs graph NEL iff it has ≥1 mention
+    and ≥1 mention with >1 candidate group.  Adds a per-context ``route``
+    column: 'nel' | 'no_ambiguity' | 'no_mentions' (the last only appears
+    for contexts whose every mention is NIL)."""
+    w = Window.partitionBy("repo", "path", "context_id")
+    n_groups = F.count("group_id").over(
+        Window.partitionBy("repo", "path", "context_id", "mention_idx")
+    )
+    c = candidates.withColumn("n_groups", n_groups)
+    max_groups = F.max("n_groups").over(w)
+    any_candidate = F.max((F.col("n_groups") > 0).cast("int")).over(w)
+    return c.withColumn(
+        "route",
+        F.when(max_groups > 1, F.lit("nel"))
+        .when(any_candidate == 1, F.lit("no_ambiguity"))
+        .otherwise(F.lit("no_mentions")),
+    )

@@ -1,0 +1,98 @@
+"""S8 — graph simplification (vertex pruning) + centrality scoring.
+
+Reference: CentralityHandler.java:
+  * inverted index uri → mention (DicoProcessingNEL.java:387-401;
+    last-writer-wins on shared URIs — made deterministic here: min surface).
+  * pruning (:100-122): delete every NON-candidate vertex unless its edges
+    touch candidates of ≥2 DISTINCT mentions.  Candidate vertices survive.
+    (Order-independent: only candidate neighbors count, and candidates are
+    never deleted — so the sequential delete loop equals this set-parallel
+    formulation.)
+  * degree centrality (:137-141, the published default): number of incident
+    edges in the pruned graph.  Betweenness/closeness/eigenvector are config
+    alternatives (:141-152) — degree ≈ eigenvector empirically per the
+    reference's own SignificanceTesting.java:27-33.
+
+Everything is hash aggregations + semi-joins on (context, vertex) — fully
+partition-parallel, no driver iteration, map-side partial aggregation free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CTX = ["repo", "path", "context_id"]
+
+
+def inverted_index(candidates: DataFrame) -> DataFrame:
+    """(ctx, uri, mention): every URI of every candidate group, mapped to a
+    single mention per context (deterministic min-surface tie-break —
+    documented divergence from the reference's HashMap overwrite)."""
+    return (
+        candidates.filter(F.col("group_id").isNotNull())
+        .select(*CTX, "surface_norm", F.explode("uris").alias("uri"))
+        .groupBy(*CTX, "uri")
+        .agg(F.min("surface_norm").alias("mention"))
+    )
+
+
+def prune_edges(edges: DataFrame, inv: DataFrame) -> DataFrame:
+    """Keep edges whose both endpoints survive pruning."""
+    src_m = inv.select(*CTX, F.col("uri").alias("src"), F.col("mention").alias("src_mention"))
+    dst_m = inv.select(*CTX, F.col("uri").alias("dst"), F.col("mention").alias("dst_mention"))
+    e = edges.join(src_m, [*CTX, "src"], "left").join(dst_m, [*CTX, "dst"], "left")
+
+    # distinct candidate-mention touch count for non-candidate endpoints
+    touch_src = e.filter(F.col("src_mention").isNull() & F.col("dst_mention").isNotNull()).select(
+        *CTX, F.col("src").alias("vertex"), F.col("dst_mention").alias("m")
+    )
+    touch_dst = e.filter(F.col("dst_mention").isNull() & F.col("src_mention").isNotNull()).select(
+        *CTX, F.col("dst").alias("vertex"), F.col("src_mention").alias("m")
+    )
+    kept_shared = (
+        touch_src.unionByName(touch_dst)
+        .groupBy(*CTX, "vertex")
+        .agg(F.countDistinct("m").alias("nm"))
+        .filter(F.col("nm") >= 2)
+        .select(*CTX, "vertex")
+    )
+    kept = kept_shared.unionByName(inv.select(*CTX, F.col("uri").alias("vertex"))).dropDuplicates(
+        [*CTX, "vertex"]
+    )
+
+    k_src = kept.select(*CTX, F.col("vertex").alias("src"))
+    k_dst = kept.select(*CTX, F.col("vertex").alias("dst"))
+    return (
+        edges.join(k_src, [*CTX, "src"], "left_semi")
+        .join(k_dst, [*CTX, "dst"], "left_semi")
+    )
+
+
+def degree(edges: DataFrame) -> DataFrame:
+    """(ctx, vertex, degree): incident-edge count (in + out) per context —
+    one hash aggregation with map-side combine."""
+    ends = edges.select(*CTX, F.col("src").alias("vertex")).unionByName(
+        edges.select(*CTX, F.col("dst").alias("vertex"))
+    )
+    return ends.groupBy(*CTX, "vertex").agg(F.count("*").cast("double").alias("degree"))
+
+
+def edge_label_frequency(edges: DataFrame) -> DataFrame:
+    """Global label histogram (reference `*-relFrequency.txt`,
+    ResultsAndEvaluationNEL.java:371-387), ascending by count like
+    Util.sortByValue."""
+    return edges.groupBy("label").agg(F.count("*").alias("freq")).orderBy("freq", "label")
+
+
+def score_candidates(bases: DataFrame, pruned: DataFrame) -> DataFrame:
+    """(ctx, mention_idx, surface_norm, group_id, base, uris, score):
+    degree of the group's base vertex in the pruned context graph; 0.0 when
+    the vertex was pruned away or edge-less.  Computed ONCE per context —
+    the reference recomputes centrality per candidate
+    (CentralityHandler.java:161-163, O(candidates × graph)); the hash-agg
+    formulation removes that quadratic factor for free."""
+    d = degree(pruned).withColumnRenamed("vertex", "base")
+    return bases.join(d, [*CTX, "base"], "left").withColumn(
+        "score", F.coalesce("degree", F.lit(0.0))
+    ).drop("degree")

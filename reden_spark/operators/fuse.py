@@ -1,0 +1,103 @@
+"""S7 — per-context RDF-neighborhood graph fusion.
+
+Reference: GraphHandlerNEL.fuseRDFGraphsIntoJGTGraph
+(GraphHandlerNEL.java:211-343): for every candidate base URI and each of its
+equivalents (sameAs closure + co-listed dictionary URIs), every statement
+``(alias, p, o)`` with ``p != owl:sameAs`` becomes a directed edge
+``decode(base) -> decode(o)`` labeled ``p``, weighted from the rels file
+(default 1.0, :277-287); self-loops are skipped; JGraphT's
+``SimpleDirectedWeightedGraph`` keeps ONE edge per (src, dst) pair — we
+reproduce that as a deterministic dedup keeping the min label.
+
+Spark plan (one logical DataFrame, no driver loop):
+
+  candidate groups ──explode──► (ctx, mention, group, base, member)   [S6 map]
+        │                                   │
+        └── alias side ⋈ triples ON member == subj   ← the skew-prone join
+                                            │
+          filter pred != sameAs, src != dst; dedup (ctx, src, dst)
+
+The triples join shuffles on ``subj``; hot authority subjects are handled
+by AQE skew-split plus optional explicit salting (use_salting=True routes
+through operators/skew.salted_join).  Weights come from a broadcast join
+against the tiny rels table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reden_spark.functions.normalize import uri_decode
+from reden_spark.operators import skew
+from reden_spark.operators.sameas import SAMEAS
+
+CTX = ["repo", "path", "context_id"]
+
+
+def candidate_bases(candidates: DataFrame, base_marker: str = "://kb.example.org") -> DataFrame:
+    """One row per (context, mention, group) with its base-KB URI: the first
+    URI of the group containing the configured base marker
+    (GraphHandlerNEL.java:60, 89 — ``uri.contains(baseURIs)``), falling back
+    to the group's first URI."""
+    with_base = candidates.filter(F.col("group_id").isNotNull()).withColumn(
+        "base",
+        F.coalesce(
+            F.element_at(F.filter("uris", lambda u: u.contains(base_marker)), 1),
+            F.col("uris")[0],
+        ),
+    )
+    return with_base.select(
+        *CTX, "mention_idx", "surface_norm", "group_id", "base", "uris"
+    )
+
+
+def fuse_edges(
+    candidates: DataFrame,
+    triples: DataFrame,
+    equivalents: DataFrame,
+    rels: DataFrame | None = None,
+    base_marker: str = "://kb.example.org",
+    use_salting: bool = False,
+) -> DataFrame:
+    """→ edges(repo, path, context_id, src, dst, label, weight): the fused
+    per-context graph.  ``equivalents`` is (base, member) from
+    sameas.expand_equivalents; every group URI is also its own member (the
+    co-listed URIs are equivalents even without sameAs triples)."""
+    bases = candidate_bases(candidates, base_marker)
+
+    # alias set per (ctx, base): sameAs-component members ∪ co-listed URIs
+    co_listed = bases.select(*CTX, "base", F.explode("uris").alias("member"))
+    cc_members = bases.select(*CTX, "base").join(equivalents, "base", "left").select(
+        *CTX, "base", F.coalesce("member", F.col("base")).alias("member")
+    )
+    aliases = co_listed.unionByName(cc_members).dropDuplicates([*CTX, "base", "member"])
+
+    stmts = triples.filter(F.col("pred") != SAMEAS)
+    if use_salting:
+        joined = skew.salted_join(
+            aliases.withColumnRenamed("member", "subj"), stmts, "subj", how="inner"
+        )
+    else:
+        joined = aliases.join(stmts, aliases.member == stmts.subj).drop("member")
+
+    edges = (
+        joined.select(
+            *CTX,
+            uri_decode(F.col("base")).alias("src"),
+            uri_decode(F.col("obj")).alias("dst"),
+            F.col("pred").alias("label"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # SimpleDirectedWeightedGraph: one edge per (src, dst); deterministic
+    # representative = min label (the reference keeps the first inserted —
+    # HashMap-order nondeterministic; documented divergence, SURVEY.md §7).
+    edges = edges.groupBy(*CTX, "src", "dst").agg(F.min("label").alias("label"))
+    if rels is not None:
+        w = rels.select(F.col("pred").alias("label"), "weight")
+        edges = edges.join(F.broadcast(w), "label", "left")
+        edges = edges.withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+    else:
+        edges = edges.withColumn("weight", F.lit(1.0))
+    return edges.select(*CTX, "src", "dst", "label", "weight")

@@ -1,0 +1,119 @@
+"""S1 contexts + S2 mention extraction.
+
+Reference lifecycle: DOM-parse the TEI file, select context nodes with the
+configured XPath (``//body/div``), then per context collect the text of the
+configured NE tags, honoring negated type predicates like
+``persName[not(@type='character')]`` (MainNELApp.java:184-257,
+config/config-authors-bnf.properties:4, 62).
+
+Spark-first design: NO XML DOM and NO Python in the hot path.  Context
+splitting and tag extraction are native ``regexp_extract_all`` over the
+``content`` column — they run JVM-side inside whole-stage codegen, scale
+linearly with input bytes, and need no shuffle at all:
+
+  * contexts: ``posexplode(regexp_extract_all(content, <div…>, 1))``
+  * mentions: the per-context element array is *filtered before* the
+    posexplode (higher-order ``filter``), so ``mention_idx`` is the index
+    among KEPT mentions in document order without a window/shuffle.
+
+The equivalent pandas-UDF path exists in sources/tei.py for messy real-TEI
+input; this native path is the scale path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CONTEXT_PATTERN = r"(?s)<div(?:\s[^>]*)?>(.*?)</div>"
+DEFAULT_TAG_SPECS = ("persName[not(@type='character')]", "placeName")
+
+_SPEC_RE = re.compile(r"^(\w+)(?:\[not\(@type='([^']*)'\)\])?$")
+
+
+def parse_tag_specs(tag_specs) -> list[tuple[str, str | None]]:
+    """``persName[not(@type='x')]`` → (``persName``, excluded-type ``x``)."""
+    out = []
+    for spec in tag_specs:
+        m = _SPEC_RE.match(spec.strip())
+        if not m:
+            raise ValueError(f"unsupported tag spec: {spec!r}")
+        out.append((m.group(1), m.group(2)))
+    return out
+
+
+def extract_contexts(
+    documents: DataFrame, context_pattern: str = DEFAULT_CONTEXT_PATTERN
+) -> DataFrame:
+    """S0→S1: one row per context node; carries the per-row lineage columns
+    (repo, path, commit) and the sha256(content) invariant from day one."""
+    return documents.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("content"), F.lit(context_pattern), F.lit(1))
+        ).alias("context_id", "context_text"),
+    )
+
+
+def extract_mentions(
+    contexts: DataFrame, tag_specs=DEFAULT_TAG_SPECS
+) -> DataFrame:
+    """S1→S2: one row per kept tagged mention, positional ``mention_idx``.
+
+    The type-predicate filter runs on the *array* (before explode) so kept
+    mentions are contiguously indexed — reproducing the reference's
+    positional eval identity (ResultsAndEvaluationNEL.java:255-257) without
+    a window function.
+    """
+    specs = parse_tag_specs(tag_specs)
+    names = sorted({n for n, _ in specs})
+    alt = "|".join(names)
+    elem_pattern = rf"<(?:{alt})(?:\s[^>]*)?>(?s:.*?)</(?:{alt})>"
+
+    def keep(elem):
+        cond = F.lit(True)
+        for name, excl in specs:
+            if excl is None:
+                continue
+            is_tag = elem.rlike(rf"^<{name}[\s>]")
+            has_type = elem.rlike(rf'type="{re.escape(excl)}"')
+            cond = cond & ~(is_tag & has_type)
+        return cond
+
+    arr = F.regexp_extract_all(F.col("context_text"), F.lit(elem_pattern), F.lit(0))
+    kept = F.filter(arr, keep)
+
+    exploded = contexts.select(
+        "repo",
+        "path",
+        "commit",
+        "content_sha256",
+        "context_id",
+        F.posexplode(kept).alias("mention_idx", "elem"),
+    )
+    return exploded.select(
+        "repo",
+        "path",
+        "commit",
+        "content_sha256",
+        "context_id",
+        "mention_idx",
+        F.regexp_extract("elem", r"^<([A-Za-z]+)", 1).alias("tag"),
+        F.trim(F.regexp_extract("elem", r"^<[^>]*>((?s).*)</[A-Za-z]+>$", 1)).alias(
+            "surface"
+        ),
+    )
+
+
+def mentions_from_documents(
+    documents: DataFrame,
+    context_pattern: str = DEFAULT_CONTEXT_PATTERN,
+    tag_specs=DEFAULT_TAG_SPECS,
+) -> DataFrame:
+    """Convenience S0→S2."""
+    return extract_mentions(extract_contexts(documents, context_pattern), tag_specs)

@@ -1,0 +1,93 @@
+"""S9 — per-mention argmax + preferred-URI projection; S10 annotation
+assembly for all three routes.
+
+Reference: CentralityHandler.java:154-216 — candidate scores sorted
+ascending (stable), max taken last; ties are HashMap-order arbitrary.  We
+impose the deterministic total order (score DESC, base URI ASC) — SURVEY.md
+§7; the ≥0.95 P/R tolerance absorbs tie divergence.
+
+Preferred-URI projection (:190-215, config preferedURIOrder): 'ALL' → every
+URI of the winning group; a prefix (e.g. 'dbpedia') → the first URI
+containing it, falling back to the winning base vertex.
+
+The unambiguous route writes the FIRST candidate group's URIs
+(produceResultsSimple, ResultsAndEvaluationNEL.java:138-190); NIL mentions
+get a null annotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CTX = ["repo", "path", "context_id"]
+
+
+def choose_uris(scored: DataFrame, preferred: str = "ALL") -> DataFrame:
+    """(ctx, mention key, chosen group + score): window argmax over groups."""
+    w = Window.partitionBy(*CTX, "mention_idx").orderBy(
+        F.desc("score"), F.asc("base")
+    )
+    winners = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if preferred == "ALL":
+        chosen = F.col("uris")
+    else:
+        chosen = F.coalesce(
+            F.filter("uris", lambda u: u.contains(preferred)),
+            F.array(F.col("base")),
+        )
+        chosen = F.when(F.size(chosen) > 0, chosen).otherwise(F.array(F.col("base")))
+    return winners.select(
+        *CTX, "mention_idx", chosen.alias("chosen_uris"), "score"
+    )
+
+
+def assemble_annotations(
+    routed: DataFrame, chosen: DataFrame, preferred: str = "ALL"
+) -> DataFrame:
+    """One output row per mention occurrence across all routes.
+
+    routed: candidates + route column (operators/candidates.route_contexts);
+    chosen: output of choose_uris for the 'nel' route.
+    """
+    key = [*CTX, "mention_idx"]
+    base_cols = [
+        "repo", "path", "commit", "content_sha256", "context_id",
+        "mention_idx", "tag", "surface",
+    ]
+    occurrences = routed.dropDuplicates(key).select(*base_cols, "route")
+
+    # no-ambiguity route: first candidate group's URIs (group_id 0)
+    first_group = (
+        routed.filter(F.col("group_id") == 0)
+        .select(*key, F.col("uris").alias("simple_uris"))
+        .dropDuplicates(key)
+    )
+
+    out = (
+        occurrences.join(chosen, key, "left")
+        .join(first_group, key, "left")
+        .withColumn(
+            "decision",
+            F.when(F.col("route") == "nel",
+                   F.when(F.col("chosen_uris").isNotNull(), F.lit("nel")).otherwise(F.lit("nil")))
+            .when(F.col("route") == "no_ambiguity",
+                  F.when(F.col("simple_uris").isNotNull(), F.lit("no_ambiguity")).otherwise(F.lit("nil")))
+            .otherwise(F.lit("nil")),
+        )
+        .withColumn(
+            "chosen_uris",
+            F.when(F.col("decision") == "nel", F.col("chosen_uris"))
+            .when(F.col("decision") == "no_ambiguity", F.col("simple_uris"))
+            .otherwise(F.lit(None).cast("array<string>")),
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("decision") == "nel", F.col("score")).otherwise(F.lit(None).cast("double")),
+        )
+    )
+    return out.select(*base_cols, "chosen_uris", "score", "decision")

@@ -1,0 +1,79 @@
+"""Skew handling for hot join keys.
+
+The two skew-prone joins at 10^12-file scale (north_rule: explicit salting):
+
+  * mentions ⋈ dictionary on alias_norm — hot aliases ("Paris", "France")
+    appear in a huge fraction of contexts.  Default plan: broadcast hash
+    join (dictionary ≤ a few GB) — broadcast joins have NO shuffle to skew.
+  * fused-graph ⋈ triples on subj — hot authority subjects.  Triples are
+    too big to broadcast; we salt explicitly and let AQE skew-split the rest.
+
+``salted_join`` replicates the *small-ish* side's hot-key rows over K salt
+values and assigns the big side a deterministic salt, so one hot key spreads
+over K reducers instead of one.  Hot keys are detected with a bounded
+aggregation (top-N by count), collected to the driver (N is small), and
+broadcast back inside an IN-set — no full shuffle added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__reden_salt"
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int = 100_000, top_n: int = 1000) -> list:
+    """Detect heavy-hitter join keys: top-N keys with count >= min_count.
+    One hash aggregation (map-side partial) + a tiny driver collect."""
+    rows = (
+        df.groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"))
+        .limit(top_n)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salt: int = 16,
+    hot: list | None = None,
+    min_count: int = 100_000,
+) -> DataFrame:
+    """Shuffle join ``probe ⋈ build ON key`` with hot keys of ``probe``
+    salted across ``n_salt`` partitions.
+
+    ``build`` rows for hot keys are replicated n_salt times (explode), so
+    every (key, salt) bucket of the probe side finds its match.  Non-hot
+    keys take salt 0 on both sides — zero replication cost.
+    """
+    if hot is None:
+        hot = hot_keys(probe, key, min_count=min_count)
+    if not hot:
+        return probe.join(build, on=key, how=how)
+
+    hot_arr = F.array(*[F.lit(k) for k in hot])
+    is_hot_p = F.array_contains(hot_arr, F.col(key))
+    # deterministic spread: hash whatever else is on the row
+    other = [c for c in probe.columns if c != key]
+    p = probe.withColumn(
+        SALT_COL,
+        F.when(is_hot_p, F.pmod(F.xxhash64(*other), F.lit(n_salt)).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    is_hot_b = F.array_contains(hot_arr, F.col(key))
+    b = build.withColumn(
+        SALT_COL,
+        F.when(is_hot_b, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+            F.array(F.lit(0))
+        ),
+    ).withColumn(SALT_COL, F.explode(F.col(SALT_COL)))
+    return p.join(b, on=[key, SALT_COL], how=how).drop(SALT_COL)

@@ -1,0 +1,1 @@
+"""Assembled logical plans + resumable stage runner."""

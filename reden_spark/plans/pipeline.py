@@ -1,0 +1,127 @@
+"""The assembled S0→S10 KG-construction pipeline (SURVEY.md §7 stage DAG).
+
+One declarative DataFrame composition — Catalyst sees the whole plan and
+prunes/pushes/broadcasts; only the sameAs connected-components loop
+iterates (operators/sameas.py).
+
+Lineage invariants (north_rule): every output row carries
+(repo, path, commit, content_sha256) from S0 and a ``partition_id`` stamped
+at write; ``sha2(content, 256)`` equality between input and output is
+asserted in tests per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reden_spark.operators import candidates as cand_ops
+from reden_spark.operators import centrality as cent_ops
+from reden_spark.operators import fuse as fuse_ops
+from reden_spark.operators import select as select_ops
+from reden_spark.operators.mentions import (
+    DEFAULT_CONTEXT_PATTERN,
+    DEFAULT_TAG_SPECS,
+    extract_contexts,
+    extract_mentions,
+    parse_tag_specs,
+)
+from reden_spark.operators.sameas import canonical_map, expand_equivalents
+
+MENTION_PRED = "http://reden.example.org/ontology#mentions"
+
+
+@dataclass
+class PipelineResult:
+    contexts: DataFrame
+    mentions: DataFrame
+    candidates: DataFrame
+    routed: DataFrame
+    canon: DataFrame
+    edges: DataFrame
+    pruned: DataFrame
+    scored: DataFrame
+    annotations: DataFrame
+    kg_triples: DataFrame
+
+
+def emit_triples(
+    annotations: DataFrame, canon: DataFrame, base_marker: str = "://kb.example.org"
+) -> DataFrame:
+    """S10: one canonicalized (subj, pred, obj) triple per linked mention —
+    the P/R comparison set — with full lineage columns."""
+    linked = annotations.filter(F.col("chosen_uris").isNotNull())
+    with_base = linked.withColumn(
+        "subj",
+        F.coalesce(
+            F.element_at(F.filter("chosen_uris", lambda u: u.contains(base_marker)), 1),
+            F.col("chosen_uris")[0],
+        ),
+    )
+    c = canon.withColumnRenamed("uri", "subj")
+    return (
+        with_base.join(c, "subj", "left")
+        .select(
+            "subj",
+            F.lit(MENTION_PRED).alias("pred"),
+            F.col("surface").alias("obj"),
+            F.coalesce("canon", F.col("subj")).alias("canon_subj"),
+            "repo",
+            "path",
+            "commit",
+            "content_sha256",
+            F.spark_partition_id().alias("partition_id"),
+        )
+    )
+
+
+def run_pipeline(
+    documents: DataFrame,
+    dictionary: DataFrame,
+    triples: DataFrame,
+    rels: DataFrame | None = None,
+    context_pattern: str = DEFAULT_CONTEXT_PATTERN,
+    tag_specs=DEFAULT_TAG_SPECS,
+    base_marker: str = "://kb.example.org",
+    preferred: str = "ALL",
+    use_salting: bool = False,
+) -> PipelineResult:
+    tag_order = [name for name, _ in parse_tag_specs(tag_specs)]
+
+    contexts = extract_contexts(documents, context_pattern)          # S1
+    mentions = extract_mentions(contexts, tag_specs)                 # S2
+    dico = cand_ops.prepare_dictionary(dictionary)                   # S3
+    cands = cand_ops.generate_candidates(                            # S4
+        mentions, dico, tag_order=tag_order, dictionary_prepared=True
+    )
+    routed = cand_ops.route_contexts(cands)                          # S5
+
+    canon = canonical_map(triples, dictionary)                       # S6
+    equivalents = expand_equivalents(canon)
+
+    nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
+    bases = fuse_ops.candidate_bases(nel, base_marker)
+    edges = fuse_ops.fuse_edges(                                     # S7
+        nel, triples, equivalents, rels, base_marker, use_salting=use_salting
+    )
+    inv = cent_ops.inverted_index(nel)
+    pruned = cent_ops.prune_edges(edges, inv)                        # S8
+    scored = cent_ops.score_candidates(bases, pruned)
+    chosen = select_ops.choose_uris(scored, preferred)               # S9
+    annotations = select_ops.assemble_annotations(routed, chosen, preferred)
+    kg = emit_triples(annotations, canon, base_marker)               # S10
+
+    return PipelineResult(
+        contexts=contexts,
+        mentions=mentions,
+        candidates=cands,
+        routed=routed,
+        canon=canon,
+        edges=edges,
+        pruned=pruned,
+        scored=scored,
+        annotations=annotations,
+        kg_triples=kg,
+    )

@@ -1,0 +1,134 @@
+"""Explicit StructTypes for every table in the pipeline.
+
+The reference is schemaless (stringly-typed Java collections, SURVEY.md §1);
+this engine uses fixed explicit schemas so Catalyst can prune columns and
+push filters to the parquet/Iceberg scan.
+
+Input shape is fixed by BASELINE.json input_hint:
+  documents(repo string, path string, commit string, lang string, content string)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _st(*fields: StructField) -> StructType:
+    return StructType(list(fields))
+
+
+def _f(name: str, dtype, nullable: bool = True) -> StructField:
+    return StructField(name, dtype, nullable)
+
+
+# S0 — the Iceberg-shaped input table (input_hint).
+DOCUMENTS = _st(
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("commit", StringType(), False),
+    _f("lang", StringType()),
+    _f("content", StringType()),
+)
+
+# S1 — one row per XPath-selected context node.
+# Reference: MainNELApp.java:220-237 (xpathExpresion=//body/div).
+CONTEXTS = _st(
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("commit", StringType(), False),
+    _f("content_sha256", StringType(), False),
+    _f("context_id", IntegerType(), False),
+    _f("context_text", StringType()),
+)
+
+# S2 — one row per tagged mention occurrence.
+# Reference: MainNELApp.java:233-242 (tag extraction per XPath context).
+MENTIONS = _st(
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("commit", StringType(), False),
+    _f("content_sha256", StringType(), False),
+    _f("context_id", IntegerType(), False),
+    _f("mention_idx", IntegerType(), False),
+    _f("tag", StringType(), False),
+    _f("surface", StringType(), False),
+)
+
+# S3 — dictionary (TSV `alias \t normalizedName \t uri...` re-expressed
+# columnar; DicoProcessingNEL.java:277-290).  One row per (alias, uri group).
+# `tag` routes each NE tag type to its own dictionary, as the reference's
+# per-tag dicoFiles do (MainNELApp.java:233-257).
+DICTIONARY = _st(
+    _f("tag", StringType(), False),
+    _f("alias", StringType(), False),
+    _f("alias_norm", StringType(), False),
+    _f("normalized_name", StringType()),
+    _f("uris", ArrayType(StringType()), False),
+)
+
+# S6 input — authority RDF dump (replaces the per-URI .n3 file cache,
+# GraphHandlerNEL.java:78-103, 351-384).
+TRIPLES = _st(
+    _f("subj", StringType(), False),
+    _f("pred", StringType(), False),
+    _f("obj", StringType(), False),
+)
+
+# Optional predicate weights (-relsFile, GraphHandlerNEL.java:237-249).
+RELS = _st(
+    _f("pred", StringType(), False),
+    _f("weight", DoubleType(), False),
+)
+
+# Gold annotations for evaluation (positional, README.md:24 naming rule).
+GOLD = _st(
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("context_id", IntegerType(), False),
+    _f("mention_idx", IntegerType(), False),
+    _f("mention", StringType()),
+    _f("ref", StringType()),  # null => NIL
+)
+
+# S10 — chosen annotation per mention occurrence.
+ANNOTATIONS = _st(
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("commit", StringType(), False),
+    _f("content_sha256", StringType(), False),
+    _f("context_id", IntegerType(), False),
+    _f("mention_idx", IntegerType(), False),
+    _f("tag", StringType()),
+    _f("surface", StringType()),
+    _f("chosen_uris", ArrayType(StringType())),
+    _f("score", DoubleType()),
+    _f("decision", StringType()),  # 'nel' | 'no_ambiguity' | 'nil'
+)
+
+# S10 — canonicalized KG triples with lineage columns (north_rule:
+# per-partition lineage + per-row sha256 invariant).
+KG_TRIPLES = _st(
+    _f("subj", StringType(), False),
+    _f("pred", StringType(), False),
+    _f("obj", StringType(), False),
+    _f("canon_subj", StringType(), False),
+    _f("repo", StringType(), False),
+    _f("path", StringType(), False),
+    _f("commit", StringType(), False),
+    _f("content_sha256", StringType(), False),
+    _f("partition_id", IntegerType()),
+)
+
+STAGE_METRICS = _st(
+    _f("stage", StringType(), False),
+    _f("metric", StringType(), False),
+    _f("value", LongType(), False),
+)

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Scale stance: the pipeline is designed for a multi-executor cluster reading
+~100 TB of an Iceberg `(repo, path, commit, lang, content)` table.  In this
+sandbox we run local[N]; the conf below is the same set we would submit with
+`spark-submit --py-files` on a real cluster:
+
+  * AQE on (coalesce post-shuffle partitions, skew-join splitting) — the
+    candidate join and the triples join are skew-prone (hot aliases like
+    "Paris", hot authority subjects).
+  * Arrow on for the (few) pandas UDF kernels — no per-row Python anywhere.
+  * shuffle partitions sized to cores locally; on a cluster this would be
+    2-3x total executor cores (AQE coalesces the tail).
+  * broadcast threshold raised: the alias dictionary (a few hundred MB at
+    authority-dump scale) must hash-join map-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # at 100 TB the skew factor matters more than the absolute threshold;
+    # 5x/256MB splits hot partitions of the triples join.
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.shuffle.partitions": "32",
+    # parquet scans: 128MB splits keep partitions memory-safe at any SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "reden_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``).
+    Shuffle partitions follow the core count so the local[8] vs local[32]
+    scaling benchmark gives each level a fair plan.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    conf = dict(DEFAULT_CONF)
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner.isdigit():
+            conf["spark.sql.shuffle.partitions"] = str(max(int(inner), 4))
+    if extra_conf:
+        conf.update(extra_conf)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from reden_spark.session import get_spark
+
+    s = get_spark("reden_spark_tests", master="local[4]", extra_conf={
+        "spark.sql.shuffle.partitions": "8",
+    })
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    from reden_spark.corpus import make_corpus
+
+    return make_corpus(n_docs=25, contexts_per_doc=3, n_entities=120, seed=42)

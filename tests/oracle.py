@@ -1,0 +1,209 @@
+"""In-process pure-Python oracle for REDEN's NEL semantics.
+
+A deliberately independent (single-threaded, dict/set-based) implementation
+of the same pipeline the Spark engine runs — mention extraction → candidate
+lookup → routing → sameAs connected components → per-context graph fusion →
+pruning → degree → deterministic argmax.  Used to assert triple P/R ≥ 0.95
+(BASELINE.md) on the deterministic fixture corpus.
+
+Semantics follow the reference (file:line cites in the operator modules);
+where the reference is HashMap-nondeterministic, this oracle uses the same
+deterministic total orders as the engine (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+MENTION_PRED = "http://reden.example.org/ontology#mentions"
+
+CONTEXT_RE = re.compile(r"<div(?:\s[^>]*)?>(.*?)</div>", re.S)
+ELEM_RE = re.compile(r"<(persName|placeName)(\s[^>]*)?>(.*?)</(?:persName|placeName)>", re.S)
+
+
+def norm(s: str) -> str:
+    return re.sub(r"[\s'\-]+", "", s).lower()
+
+
+def extract_mentions(content: str):
+    """[(context_id, mention_idx, tag, surface)] — kept mentions only."""
+    out = []
+    for ci, ctx in enumerate(CONTEXT_RE.findall(content)):
+        mi = 0
+        for m in ELEM_RE.finditer(ctx):
+            tag, attrs, surface = m.group(1), m.group(2) or "", m.group(3)
+            if tag == "persName" and 'type="character"' in attrs:
+                continue
+            out.append((ci, mi, tag, surface.strip()))
+            mi += 1
+    return out
+
+
+def build_dictionary(dico_rows):
+    """(tag, alias_norm) -> ordered list of uri-groups (dedup, sort by
+    uris[0], cap 100)."""
+    by_key = defaultdict(list)
+    for tag, alias, alias_norm, _nn, uris in dico_rows:
+        g = list(uris)
+        if g not in by_key[(tag, alias_norm)]:
+            by_key[(tag, alias_norm)].append(g)
+    return {
+        k: sorted(v, key=lambda g: g[0])[:100] for k, v in by_key.items()
+    }
+
+
+class DSU:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def canonical_components(triples, dico_rows):
+    dsu = DSU()
+    for s, p, o in triples:
+        if p == SAMEAS and s != o:
+            dsu.union(s, o)
+    for _tag, _a, _an, _nn, uris in dico_rows:
+        for u in uris[1:]:
+            if u != uris[0]:
+                dsu.union(uris[0], u)
+    # canon = min of component
+    comp_min = {}
+    for node in list(dsu.p):
+        r = dsu.find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    return {n: comp_min[dsu.find(n)] for n in dsu.p}, dsu
+
+
+def run_oracle(corpus, base_marker="://kb.example.org", tag_order=("persName", "placeName")):
+    """Returns (annotations, kg_triples):
+    annotations: {(repo, path, ctx, midx): (surface, chosen_uris | None, decision)}
+    kg_triples: set of (subj, pred, obj, canon_subj)
+    """
+    dico = build_dictionary(corpus.dictionary)
+    canon, dsu = canonical_components(corpus.triples, corpus.dictionary)
+    members = defaultdict(set)
+    for n in dsu.p:
+        members[dsu.find(n)].add(n)
+
+    stmts_by_subj = defaultdict(list)
+    for s, p, o in corpus.triples:
+        if p != SAMEAS:
+            stmts_by_subj[s].append((p, o))
+
+    annotations = {}
+    kg = set()
+    order_of = {t: i for i, t in enumerate(tag_order)}
+
+    for repo, path, _commit, _lang, content in corpus.documents:
+        per_ctx = defaultdict(list)
+        for ci, mi, tag, surface in extract_mentions(content):
+            per_ctx[ci].append((mi, tag, surface))
+        for ci, ms in per_ctx.items():
+            # last-tag-wins lookup tag per normalized surface
+            lookup_tag = {}
+            for _mi, tag, surface in ms:
+                sn = norm(surface)
+                cur = lookup_tag.get(sn)
+                if cur is None or order_of.get(tag, -1) >= order_of.get(cur, -1):
+                    lookup_tag[sn] = tag
+            cands = {}  # surface_norm -> list of groups
+            for _mi, _tag, surface in ms:
+                sn = norm(surface)
+                cands[sn] = dico.get((lookup_tag[sn], sn), [])
+            has_mention = any(cands[norm(s)] for _mi, _t, s in ms)
+            ambiguous = any(len(cands[norm(s)]) > 1 for _mi, _t, s in ms)
+
+            if not has_mention:
+                for mi, _t, surface in ms:
+                    annotations[(repo, path, ci, mi)] = (surface, None, "nil")
+                continue
+            if not ambiguous:
+                for mi, _t, surface in ms:
+                    groups = cands[norm(surface)]
+                    if groups:
+                        annotations[(repo, path, ci, mi)] = (
+                            surface, list(groups[0]), "no_ambiguity"
+                        )
+                    else:
+                        annotations[(repo, path, ci, mi)] = (surface, None, "nil")
+                for mi, _t, surface in ms:
+                    ann = annotations[(repo, path, ci, mi)]
+                    if ann[1]:
+                        base = _base_of(ann[1], base_marker)
+                        kg.add((base, MENTION_PRED, surface, canon.get(base, base)))
+                continue
+
+            # --- NEL route: fuse → prune → degree → argmax -----------------
+            # inverted index uri -> mention (min surface_norm, deterministic)
+            inv = {}
+            group_base = {}  # (sn, gid) -> base
+            for sn, groups in cands.items():
+                for gi, g in enumerate(groups):
+                    for u in g:
+                        inv[u] = min(inv.get(u, sn), sn)
+                    group_base[(sn, gi)] = _base_of(g, base_marker)
+            # fuse
+            edge_label = {}
+            for sn, groups in cands.items():
+                for gi, g in enumerate(groups):
+                    base = group_base[(sn, gi)]
+                    mem = set(g)
+                    if base in dsu.p:
+                        mem |= members[dsu.find(base)]
+                    for alias in mem:
+                        for p, o in stmts_by_subj.get(alias, []):
+                            if base != o:
+                                k = (base, o)
+                                if k not in edge_label or p < edge_label[k]:
+                                    edge_label[k] = p
+            # prune: non-candidate vertices need >=2 distinct candidate-mentions
+            touch = defaultdict(set)
+            for (src, dst) in edge_label:
+                if src not in inv and dst in inv:
+                    touch[src].add(inv[dst])
+                if dst not in inv and src in inv:
+                    touch[dst].add(inv[src])
+            kept = set(inv)
+            kept |= {v for v, t in touch.items() if len(t) >= 2}
+            pruned = [(s, d) for (s, d) in edge_label if s in kept and d in kept]
+            deg = defaultdict(int)
+            for s, d in pruned:
+                deg[s] += 1
+                deg[d] += 1
+            # choose per mention
+            for mi, _t, surface in ms:
+                sn = norm(surface)
+                groups = cands[sn]
+                if not groups:
+                    annotations[(repo, path, ci, mi)] = (surface, None, "nil")
+                    continue
+                best = min(
+                    ((-(deg.get(group_base[(sn, gi)], 0)), group_base[(sn, gi)], gi)
+                     for gi in range(len(groups))),
+                )
+                gi = best[2]
+                annotations[(repo, path, ci, mi)] = (surface, list(groups[gi]), "nel")
+                base = group_base[(sn, gi)]
+                kg.add((base, MENTION_PRED, surface, canon.get(base, base)))
+    return annotations, kg
+
+
+def _base_of(group, base_marker):
+    for u in group:
+        if base_marker in u:
+            return u
+    return group[0]

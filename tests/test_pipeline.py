@@ -1,0 +1,77 @@
+"""End-to-end REDEN-semantic test: Spark pipeline vs the pure-Python oracle
+on the deterministic fixture corpus — triple P/R ≥ 0.95 (BASELINE.md), plus
+the per-row sha256(content) lineage invariant."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from reden_spark.corpus import corpus_to_spark
+from reden_spark.plans.pipeline import run_pipeline
+from tests import oracle
+
+
+def test_pipeline_matches_oracle(spark, tiny_corpus):
+    docs, dico, triples, rels, gold = corpus_to_spark(spark, tiny_corpus)
+    result = run_pipeline(docs, dico, triples, rels)
+
+    got = {
+        (r.subj, r.pred, r.obj, r.canon_subj)
+        for r in result.kg_triples.select("subj", "pred", "obj", "canon_subj").collect()
+    }
+    _, want = oracle.run_oracle(tiny_corpus)
+
+    assert want, "oracle produced no triples — fixture broken"
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision:.3f} (got={len(got)}, tp={tp})"
+    assert recall >= 0.95, f"recall {recall:.3f} (want={len(want)}, tp={tp})"
+
+
+def test_annotation_decisions_match_oracle(spark, tiny_corpus):
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    result = run_pipeline(docs, dico, triples, rels)
+    ann_rows = result.annotations.collect()
+    want_ann, _ = oracle.run_oracle(tiny_corpus)
+
+    got_ann = {
+        (r.repo, r.path, r.context_id, r.mention_idx): (
+            r.surface,
+            list(r.chosen_uris) if r.chosen_uris is not None else None,
+            r.decision,
+        )
+        for r in ann_rows
+    }
+    assert set(got_ann) == set(want_ann), (
+        f"mention occurrence sets differ: only-spark="
+        f"{list(set(got_ann) - set(want_ann))[:5]} only-oracle="
+        f"{list(set(want_ann) - set(got_ann))[:5]}"
+    )
+    mismatches = [
+        (k, got_ann[k], want_ann[k]) for k in want_ann if got_ann[k] != want_ann[k]
+    ]
+    frac = 1 - len(mismatches) / len(want_ann)
+    assert frac >= 0.95, f"annotation agreement {frac:.3f}; first: {mismatches[:3]}"
+
+
+def test_sha256_lineage_invariant(spark, tiny_corpus):
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    result = run_pipeline(docs, dico, triples, rels)
+    expected = {
+        (repo, path): hashlib.sha256(content.encode()).hexdigest()
+        for repo, path, _c, _l, content in tiny_corpus.documents
+    }
+    rows = result.kg_triples.select("repo", "path", "content_sha256").distinct().collect()
+    assert rows
+    for r in rows:
+        assert r.content_sha256 == expected[(r.repo, r.path)]
+
+
+def test_partition_lineage_present(spark, tiny_corpus):
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    result = run_pipeline(docs, dico, triples, rels)
+    row = result.kg_triples.select("partition_id", "commit").first()
+    assert row.partition_id is not None and len(row.commit) == 40
