@@ -1,0 +1,554 @@
+"""Driver-contract queries: one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB-runnable ANSI-SQL oracle.
+
+Every query reads ONLY the driver's parquet tables (region nation customer
+supplier part orders lineitem events documents embeddings) and derives any
+auxiliary structures (dictionaries, edges, scores) deterministically from
+them with engine-portable expressions — so the Spark DataFrame plan and the
+DuckDB SQL compute the identical result set (row count + schema + values).
+
+Portability rules used throughout:
+  * only exact integer/string derivations feed double divisions (identical
+    IEEE results in both engines);
+  * hash functions are explicit polynomial folds (no engine hash builtins);
+  * regexes are RE2-compatible (no lookarounds);
+  * DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok) — whitespace tokens of documents.text, 0-based."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+_TOKENS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# §2.2 — normalization / predicates
+
+
+@query(
+    "norm_mentions",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    bi AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, pos, bigram,
+           lower(regexp_replace(bigram, '[\\s''\\-]+', '', 'g')) AS norm
+    FROM bi WHERE bigram IS NOT NULL
+    """,
+)
+def q_norm_mentions(spark, sf_dir):
+    """Name normalization (DicoProcessingNEL.java:410-415) over sliding
+    bigram mentions — the pipeline's join key, computed natively."""
+    from reden_spark.functions.normalize import norm_key
+
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("nxt", F.lead("tok").over(w)).filter(F.col("nxt").isNotNull())
+    bi = bi.withColumn("bigram", F.concat_ws(" ", "tok", "nxt"))
+    return bi.select("doc_id", "pos", "bigram", norm_key("bigram").alias("norm"))
+
+
+_DICT_SQL = """
+    SELECT DISTINCT tok AS alias_norm,
+           'http://kb.example.org/tok/' || tok AS uri, 0 AS group_id
+    FROM ({toks}) WHERE length(tok) >= 4
+    UNION ALL
+    SELECT DISTINCT tok, 'http://alt.example.org/tok/' || tok, 1
+    FROM ({toks}) WHERE length(tok) >= 4 AND tok LIKE 's%'
+""".format(toks=_TOKENS_SQL)
+
+
+def _dictionary(spark, sf_dir):
+    """Deterministic dictionary derived from the document vocabulary:
+    every token of length >= 4 is an alias with base-KB URI; tokens starting
+    with 's' get a second (ambiguous) candidate group."""
+    toks = _tokens(spark, sf_dir).select("tok").distinct().filter(F.length("tok") >= 4)
+    g0 = toks.select(
+        F.col("tok").alias("alias_norm"),
+        F.concat(F.lit("http://kb.example.org/tok/"), "tok").alias("uri"),
+        F.lit(0).alias("group_id"),
+    )
+    g1 = toks.filter(F.col("tok").startswith("s")).select(
+        F.col("tok").alias("alias_norm"),
+        F.concat(F.lit("http://alt.example.org/tok/"), "tok").alias("uri"),
+        F.lit(1).alias("group_id"),
+    )
+    return g0.unionByName(g1)
+
+
+@query(
+    "candidate_join",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), dict AS ({_DICT_SQL})
+    SELECT t.doc_id, t.pos, t.tok, d.uri, d.group_id
+    FROM toks t JOIN dict d ON t.tok = d.alias_norm
+    """,
+)
+def q_candidate_join(spark, sf_dir):
+    """Mention↔dictionary candidate generation as a broadcast hash join
+    (replaces the reference's Lucene keyword index,
+    DicoProcessingNEL.java:144-183)."""
+    toks = _tokens(spark, sf_dir)
+    dic = _dictionary(spark, sf_dir)
+    return toks.join(F.broadcast(dic), toks.tok == dic.alias_norm).select(
+        "doc_id", "pos", "tok", "uri", "group_id"
+    )
+
+
+@query(
+    "candidate_counts",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), dict AS ({_DICT_SQL})
+    SELECT t.doc_id, t.pos, t.tok, count(d.uri) AS n_groups
+    FROM toks t LEFT JOIN dict d ON t.tok = d.alias_norm
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_candidate_counts(spark, sf_dir):
+    """Per-mention candidate-group cardinality incl. NIL mentions (left
+    join) — drives the NEL-precondition routing (MainNELApp.java:418-442)."""
+    toks = _tokens(spark, sf_dir)
+    dic = _dictionary(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(dic), toks.tok == dic.alias_norm, "left")
+        .groupBy("doc_id", "pos", "tok")
+        .agg(F.count("uri").alias("n_groups"))
+    )
+
+
+@query(
+    "first_letter_partition",
+    """
+    SELECT CASE WHEN lower(substr(trim(p_name), 1, 1)) BETWEEN 'a' AND 'z'
+                THEN lower(substr(trim(p_name), 1, 1)) ELSE 'other' END AS first_letter,
+           count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q_first_letter_partition(spark, sf_dir):
+    """The reference's manual a-z+'other' sharding of the dictionary build
+    (AppAdhoc.java:70-71) re-expressed as a partition-key derivation."""
+    from reden_spark.functions.normalize import first_letter
+
+    return (
+        _read(spark, sf_dir, "part")
+        .select(first_letter("p_name").alias("first_letter"))
+        .groupBy("first_letter")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "year_sanitize",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN substr(strftime(o_orderdate, '%Y'), 1, 2) || '..'
+               WHEN 2 THEN substr(strftime(o_orderdate, '%Y'), 1, 1) || '...'
+               ELSE strftime(o_orderdate, '%Y')
+             END AS ystr
+      FROM orders)
+    SELECT o_orderkey, ystr,
+           CASE
+             WHEN regexp_extract(ystr, '^(\\d{4})-\\d{2}-\\d{2}', 1) <> ''
+               THEN CAST(regexp_extract(ystr, '^(\\d{4})-\\d{2}-\\d{2}', 1) AS INTEGER)
+             WHEN regexp_extract(ystr, '^(\\d{4})', 1) <> ''
+               THEN CAST(regexp_extract(ystr, '^(\\d{4})', 1) AS INTEGER)
+             WHEN regexp_extract(ystr, '^(\\d{2})\\.\\.', 1) <> ''
+               THEN CAST(regexp_extract(ystr, '^(\\d{2})\\.\\.', 1) AS INTEGER) * 100
+             WHEN regexp_extract(ystr, '^(\\d{1})\\.\\.\\.', 1) <> ''
+               THEN CAST(regexp_extract(ystr, '^(\\d{1})\\.\\.\\.', 1) AS INTEGER) * 1000
+             ELSE NULL END AS year
+    FROM src
+    """,
+)
+def q_year_sanitize(spark, sf_dir):
+    """Year sanitation (QueryAuthorBNF.java:201-221,
+    DateSpecificProcessingNEL.java:39-63): 4-digit, '18..', '1...' wildcard
+    and ISO-date forms."""
+    from reden_spark.functions.normalize import sanitize_year
+
+    o = _read(spark, sf_dir, "orders")
+    y4 = F.date_format("o_orderdate", "yyyy")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.concat(F.substring(y4, 1, 2), F.lit("..")))
+        .when(F.col("o_orderkey") % 4 == 2, F.concat(F.substring(y4, 1, 1), F.lit("...")))
+        .otherwise(y4)
+        .alias("ystr"),
+    )
+    return src.withColumn("year", sanitize_year("ystr"))
+
+
+@query(
+    "date_overlap",
+    """
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS ship
+      FROM lineitem WHERE l_orderkey < 500)
+    SELECT l_orderkey, l_linenumber,
+           greatest(0, least(ship + l_orderkey % 40, ship + 21)
+                       - greatest(ship, ship + 7)) AS overlap_days
+    FROM (SELECT l_orderkey, l_linenumber, ship FROM d)
+    """,
+)
+def q_date_overlap(spark, sf_dir):
+    """Lifespan-overlap score max(0, min(d1,d2)-max(b1,b2))
+    (DateSpecificProcessingNEL.java:15-28) — computed on epoch-day numbers
+    so interval arithmetic is identical in both engines."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    ship = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    d = li.select("l_orderkey", "l_linenumber", ship.alias("ship"))
+    b1, d1 = F.col("ship"), F.col("ship") + F.col("l_orderkey") % 40
+    b2, d2 = F.col("ship") + 7, F.col("ship") + 21
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.lit(0).cast("long"), F.least(d1, d2) - F.greatest(b1, b2)).alias(
+            "overlap_days"
+        ),
+    )
+
+
+@query(
+    "uri_decode",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 2 = 0
+                THEN replace('http://kb.example.org/' || replace(p_name, ' ', '%20'), '%20', ' ')
+                ELSE 'raw:' || p_name END AS decoded
+    FROM part
+    """,
+)
+def q_uri_decode(spark, sf_dir):
+    """URL-decode iff http: (Util.decompose, Util.java:88-99) — native
+    url_decode guarded by startswith."""
+    from reden_spark.functions.normalize import uri_decode
+
+    p = _read(spark, sf_dir, "part")
+    enc = p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(
+                F.lit("http://kb.example.org/"),
+                F.regexp_replace("p_name", " ", "%20"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("raw:"), F.col("p_name")))
+        .alias("u"),
+    )
+    return enc.select("p_partkey", uri_decode("u").alias("decoded"))
+
+# ---------------------------------------------------------------------------
+# §2.3 / §2.4 — graph family: sameAs CC, fusion, pruning, degree, argmax
+
+
+@query(
+    "sameas_cc",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT 'u' || CAST(n_nationkey AS VARCHAR) AS src,
+             'u' || CAST(n_nationkey % 7 AS VARCHAR) AS dst
+      FROM nation WHERE n_nationkey >= 7
+      UNION ALL
+      SELECT 'u' || CAST(r_regionkey AS VARCHAR),
+             'u' || CAST(r_regionkey + 1 AS VARCHAR) FROM region
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src
+    """,
+)
+def q_sameas_cc(spark, sf_dir):
+    """owl:sameAs connected components (operators/sameas.py min-label
+    propagation) vs a recursive-CTE reachability oracle."""
+    from reden_spark.operators.sameas import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    e = (
+        nation.filter(F.col("n_nationkey") >= 7)
+        .select(u(F.col("n_nationkey")).alias("src"), u(F.col("n_nationkey") % 7).alias("dst"))
+        .unionByName(
+            region.select(
+                u(F.col("r_regionkey")).alias("src"), u(F.col("r_regionkey") + 1).alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return connected_components(e)
+
+
+@query(
+    "fuse_dedup",
+    """
+    WITH aliases AS (
+      SELECT DISTINCT 'b' || CAST(s_suppkey % 20 AS VARCHAR) AS base,
+             's' || CAST(s_suppkey AS VARCHAR) AS member FROM supplier),
+    stmts AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS subj,
+             'p' || CAST(l_linenumber AS VARCHAR) AS pred,
+             'o' || CAST(l_partkey % 50 AS VARCHAR) AS obj
+      FROM lineitem WHERE l_orderkey % 10 = 0)
+    SELECT a.base AS src, s.obj AS dst, min(s.pred) AS label
+    FROM aliases a JOIN stmts s ON a.member = s.subj GROUP BY 1, 2
+    """,
+)
+def q_fuse_dedup(spark, sf_dir):
+    """Graph-fusion join shape (GraphHandlerNEL.java:211-343): alias
+    statements attach to the base vertex; one edge per (src,dst) with a
+    deterministic min-label representative (operators/fuse.py)."""
+    sup = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    aliases = sup.select(
+        F.concat(F.lit("b"), (F.col("s_suppkey") % 20).cast("string")).alias("base"),
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("member"),
+    ).dropDuplicates()
+    stmts = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("subj"),
+        F.concat(F.lit("p"), F.col("l_linenumber").cast("string")).alias("pred"),
+        F.concat(F.lit("o"), (F.col("l_partkey") % 50).cast("string")).alias("obj"),
+    ).dropDuplicates()
+    return (
+        aliases.join(stmts, aliases.member == stmts.subj)
+        .groupBy(F.col("base").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.min("pred").alias("label"))
+    )
+
+
+@query(
+    "prune_degree",
+    """
+    WITH cand AS (
+      SELECT DISTINCT o_orderkey % 50 AS ctx,
+             'm' || CAST(o_custkey % 10 AS VARCHAR) AS mention,
+             'u' || CAST(o_custkey % 8 AS VARCHAR) AS uri FROM orders),
+    inv AS (SELECT ctx, uri, min(mention) AS mention FROM cand GROUP BY 1, 2),
+    e0 AS (
+      SELECT DISTINCT l_orderkey % 50 AS ctx,
+             'u' || CAST(l_partkey % 8 AS VARCHAR) AS src,
+             'w' || CAST(l_suppkey % 30 AS VARCHAR) AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT l_orderkey % 50,
+             'u' || CAST(l_partkey % 8 AS VARCHAR),
+             'u' || CAST(l_suppkey % 8 AS VARCHAR) FROM lineitem WHERE l_linenumber = 1
+    ),
+    edges AS (SELECT DISTINCT ctx, src, dst FROM e0 WHERE src <> dst),
+    e AS (SELECT edges.ctx, edges.src, edges.dst, si.mention AS src_m, di.mention AS dst_m
+          FROM edges
+          LEFT JOIN inv si ON edges.ctx = si.ctx AND edges.src = si.uri
+          LEFT JOIN inv di ON edges.ctx = di.ctx AND edges.dst = di.uri),
+    touch AS (
+      SELECT ctx, src AS vertex, dst_m AS m FROM e WHERE src_m IS NULL AND dst_m IS NOT NULL
+      UNION ALL
+      SELECT ctx, dst, src_m FROM e WHERE dst_m IS NULL AND src_m IS NOT NULL),
+    kept AS (
+      SELECT ctx, vertex FROM touch GROUP BY ctx, vertex HAVING count(DISTINCT m) >= 2
+      UNION SELECT ctx, uri FROM inv),
+    pruned AS (SELECT e2.ctx, e2.src, e2.dst FROM edges e2
+               JOIN kept k1 ON e2.ctx = k1.ctx AND e2.src = k1.vertex
+               JOIN kept k2 ON e2.ctx = k2.ctx AND e2.dst = k2.vertex),
+    ends AS (SELECT ctx, src AS vertex FROM pruned
+             UNION ALL SELECT ctx, dst FROM pruned)
+    SELECT ctx, vertex, count(*) AS degree FROM ends GROUP BY 1, 2
+    """,
+)
+def q_prune_degree(spark, sf_dir):
+    """Vertex pruning (>=2-distinct-mention rule,
+    CentralityHandler.java:100-122) + degree centrality (:137-141), running
+    the REAL operators (centrality.prune_edges / degree) on a derived
+    per-context graph."""
+    from reden_spark.operators.centrality import degree, prune_edges
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    lin = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
+    rp = [F.lit("r").alias("repo"), F.lit("p").alias("path")]
+    cand = orders.select(
+        *rp,
+        (F.col("o_orderkey") % 50).alias("context_id"),
+        lin("m", F.col("o_custkey") % 10).alias("mention"),
+        lin("u", F.col("o_custkey") % 8).alias("uri"),
+    ).dropDuplicates()
+    inv = cand.groupBy("repo", "path", "context_id", "uri").agg(
+        F.min("mention").alias("mention")
+    )
+    e0 = li.select(
+        *rp,
+        (F.col("l_orderkey") % 50).alias("context_id"),
+        lin("u", F.col("l_partkey") % 8).alias("src"),
+        lin("w", F.col("l_suppkey") % 30).alias("dst"),
+    ).unionByName(
+        li.filter(F.col("l_linenumber") == 1).select(
+            *rp,
+            (F.col("l_orderkey") % 50).alias("context_id"),
+            lin("u", F.col("l_partkey") % 8).alias("src"),
+            lin("u", F.col("l_suppkey") % 8).alias("dst"),
+        )
+    )
+    edges = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(
+        ["context_id", "src", "dst"]
+    )
+    pruned = prune_edges(edges, inv)
+    return degree(pruned).select(
+        F.col("context_id").alias("ctx"), "vertex", F.col("degree").cast("long").alias("degree")
+    )
+
+
+@query(
+    "argmax_select",
+    """
+    SELECT ctx, mention, uri, score FROM (
+      SELECT o_orderkey % 100 AS ctx,
+             'm' || CAST(o_custkey % 20 AS VARCHAR) AS mention,
+             'u' || CAST(o_orderkey AS VARCHAR) AS uri,
+             o_totalprice AS score,
+             row_number() OVER (PARTITION BY o_orderkey % 100, o_custkey % 20
+                                ORDER BY o_totalprice DESC, 'u' || CAST(o_orderkey AS VARCHAR) ASC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def q_argmax_select(spark, sf_dir):
+    """Per-mention argmax with the deterministic (score DESC, uri ASC)
+    total order (CentralityHandler.java:154-216; SURVEY.md §7)."""
+    orders = _read(spark, sf_dir, "orders")
+    scores = orders.select(
+        (F.col("o_orderkey") % 100).alias("ctx"),
+        F.concat(F.lit("m"), (F.col("o_custkey") % 20).cast("string")).alias("mention"),
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("uri"),
+        F.col("o_totalprice").alias("score"),
+    )
+    w = Window.partitionBy("ctx", "mention").orderBy(F.desc("score"), F.asc("uri"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@query(
+    "edge_label_freq",
+    "SELECT event_type AS label, count(*) AS freq FROM events GROUP BY 1",
+)
+def q_edge_label_freq(spark, sf_dir):
+    """Edge-label frequency report (ResultsAndEvaluationNEL.java:371-387)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("label"))
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@query(
+    "topk_cap",
+    """
+    SELECT mention, uri, rn FROM (
+      SELECT l_partkey % 20 AS mention,
+             'u' || CAST(l_suppkey AS VARCHAR) || '_' || CAST(l_orderkey AS VARCHAR)
+                 || '_' || CAST(l_linenumber AS VARCHAR) AS uri,
+             row_number() OVER (PARTITION BY l_partkey % 20
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 100
+    """,
+)
+def q_topk_cap(spark, sf_dir):
+    """The <=100-candidate cap (Lucene search(query, 100),
+    DicoProcessingNEL.java:319) as a bounded window top-k."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_partkey") % 20).alias("mention"),
+        F.concat_ws(
+            "_",
+            F.concat(F.lit("u"), F.col("l_suppkey").cast("string")),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("uri"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("mention").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 100)
+        .select("mention", "uri", "rn")
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT o_orderkey FROM orders WHERE o_custkey % 2 = 0
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    """Run-diffing intersection (CompareResults.java:43-53)."""
+    o = _read(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") % 2 == 0).select("o_orderkey")
+    b = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    """
+    SELECT o_orderkey FROM orders WHERE o_custkey % 2 = 0
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def q_set_except(spark, sf_dir):
+    """Run-diffing difference (CompareResults.java:43-53)."""
+    o = _read(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") % 2 == 0).select("o_orderkey")
+    b = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderkey")
+    return a.exceptAll(b).distinct()

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() twin on DuckDB
+over the same parquet tables, compare row count + column names + sorted
+values. Usage: python tools/check_oracles.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append("|".join(canon_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main():
+    import duckdb
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from reden_spark.session import get_spark
+
+    spark = get_spark("check_oracles", master="local[8]",
+                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args or sorted(qs)
+    failures = []
+    for name in names:
+        if name not in qs:
+            print(f"[{name}] NOT REGISTERED"); failures.append(name); continue
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"[{name}] SPARK ERROR: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[{name}] rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            dcols = [c.lower() for c in ddf.columns]
+            drows = ddf.fetchall()
+        except Exception as e:
+            print(f"[{name}] DUCKDB ERROR: {e}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            print(f"[{name}] SCHEMA MISMATCH spark={scols} duck={dcols}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"[{name}] ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            a = canon_rows(srows, [c.lower() for c in scols])
+            b = canon_rows(drows, dcols)
+            if a != b:
+                ok = False
+                diff_a = [x for x in a if x not in set(b)][:3]
+                diff_b = [x for x in b if x not in set(a)][:3]
+                print(f"[{name}] VALUE MISMATCH only-spark={diff_a} only-duck={diff_b}")
+        if ok:
+            print(f"[{name}] OK rows={len(srows)}")
+        else:
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
