@@ -552,3 +552,556 @@ def q_set_except(spark, sf_dir):
     a = o.filter(F.col("o_custkey") % 2 == 0).select("o_orderkey")
     b = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderkey")
     return a.exceptAll(b).distinct()
+
+# ---------------------------------------------------------------------------
+# §2.4 eval metrics / §2.5 scalar kernels
+
+
+@query(
+    "eval_metrics",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE 'u' || CAST(o_custkey % 100 AS VARCHAR) END AS gold,
+             o_orderkey % 4 AS n_cands,
+             CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 5 = 0 THEN NULL
+                  ELSE 'u' || CAST((o_custkey + CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END) % 100 AS VARCHAR)
+             END AS chosen,
+             (o_orderkey % 4 > 0 AND o_orderkey % 3 = 0) AS gold_in_cands
+      FROM orders)
+    SELECT
+      CAST(sum(n_cands) AS DOUBLE) / count(*) AS cand_cardinality_mean,
+      CAST(sum(CASE WHEN n_cands > 0 AND gold IS NOT NULL AND gold_in_cands THEN 1 ELSE 0 END) AS DOUBLE)
+        / sum(CASE WHEN n_cands > 0 THEN 1 ELSE 0 END) AS cand_precision,
+      CAST(sum(CASE WHEN gold IS NOT NULL AND gold_in_cands THEN 1 ELSE 0 END) AS DOUBLE)
+        / sum(CASE WHEN gold IS NOT NULL THEN 1 ELSE 0 END) AS cand_recall,
+      CAST(sum(CASE WHEN chosen IS NULL AND gold IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / sum(CASE WHEN chosen IS NULL THEN 1 ELSE 0 END) AS nil_precision,
+      CAST(sum(CASE WHEN chosen IS NULL AND gold IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / sum(CASE WHEN gold IS NULL THEN 1 ELSE 0 END) AS nil_recall,
+      CAST(sum(CASE WHEN n_cands >= 2 AND gold_in_cands AND chosen IS NOT NULL AND chosen = gold THEN 1 ELSE 0 END) AS DOUBLE)
+        / sum(CASE WHEN n_cands >= 2 AND gold_in_cands THEN 1 ELSE 0 END) AS disamb_accuracy,
+      CAST(sum(CASE WHEN (chosen IS NULL AND gold IS NULL)
+                      OR (chosen IS NOT NULL AND gold IS NOT NULL AND chosen = gold)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS overall_accuracy
+    FROM ev
+    """,
+)
+def q_eval_metrics(spark, sf_dir):
+    """The six Hachey-et-al. evaluation metrics
+    (ResultsAndEvaluationNEL.computeFinalResults,
+    ResultsAndEvaluationNEL.java:393-557) as ONE hash aggregation of
+    conditional counts over a derived eval table."""
+    o = _read(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    ev = o.select(
+        F.when(k % 7 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("u"), (c % 100).cast("string"))
+        ).alias("gold"),
+        (k % 4).alias("n_cands"),
+        F.when((k % 4 == 0) | (k % 5 == 0), F.lit(None)).otherwise(
+            F.concat(
+                F.lit("u"),
+                ((c + F.when(k % 3 == 0, 0).otherwise(1)) % 100).cast("string"),
+            )
+        ).alias("chosen"),
+        ((k % 4 > 0) & (k % 3 == 0)).alias("gold_in_cands"),
+    )
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+    g, ch, n_, gic = F.col("gold"), F.col("chosen"), F.col("n_cands"), F.col("gold_in_cands")
+    return ev.agg(
+        (F.sum("n_cands").cast("double") / F.count("*")).alias("cand_cardinality_mean"),
+        (cnt((n_ > 0) & g.isNotNull() & gic).cast("double") / cnt(n_ > 0)).alias("cand_precision"),
+        (cnt(g.isNotNull() & gic).cast("double") / cnt(g.isNotNull())).alias("cand_recall"),
+        (cnt(ch.isNull() & g.isNull()).cast("double") / cnt(ch.isNull())).alias("nil_precision"),
+        (cnt(ch.isNull() & g.isNull()).cast("double") / cnt(g.isNull())).alias("nil_recall"),
+        (cnt((n_ >= 2) & gic & ch.isNotNull() & (ch == g)).cast("double")
+         / cnt((n_ >= 2) & gic)).alias("disamb_accuracy"),
+        (cnt((ch.isNull() & g.isNull()) | (ch.isNotNull() & g.isNotNull() & (ch == g)))
+         .cast("double") / F.count("*")).alias("overall_accuracy"),
+    )
+
+
+_ALIAS_FORMS_SQL = """
+    list_value(
+      first_ || ' ' || last_, last_, title_ || ' ' || last_, title_ || '. ' || last_,
+      'de ' || last_, 'De ' || last_, first_ || ' de ' || last_,
+      'd''' || last_, 'D''' || last_, first_ || ' d''' || last_,
+      'von ' || last_, 'Von ' || last_, first_ || ' von ' || last_,
+      'da ' || last_, 'Da ' || last_, first_ || ' da ' || last_,
+      ini_ || ' ' || last_, ini_ || '. ' || last_,
+      ini_ || '. de ' || last_, ini_ || '. d''' || last_,
+      ini_ || '. von ' || last_, ini_ || '. da ' || last_)
+"""
+
+
+@query(
+    "alias_gen",
+    f"""
+    WITH names AS (
+      SELECT c_custkey,
+             'Cust' || CAST(c_custkey % 7 AS VARCHAR) AS first_,
+             'L' || CAST(c_custkey % 13 AS VARCHAR) AS last_,
+             CASE WHEN c_custkey % 2 = 0 THEN 'Mme' ELSE 'M' END AS title_,
+             'C' AS ini_
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, unnest({_ALIAS_FORMS_SQL}) AS alias
+    FROM names
+    """,
+)
+def q_alias_gen(spark, sf_dir):
+    """makeAliases (AuthorBNF.java:138-192) via the Arrow-batched pandas
+    UDF (functions/aliases.py) — ~22 alias forms per name, vs an unnest
+    oracle enumerating the same rules."""
+    from reden_spark.functions.aliases import make_aliases_udf
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    names = cust.select(
+        "c_custkey",
+        F.concat(F.lit("Cust"), (F.col("c_custkey") % 7).cast("string")).alias("first"),
+        F.concat(F.lit("L"), (F.col("c_custkey") % 13).cast("string")).alias("last"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("female")).otherwise(F.lit("male")).alias(
+            "gender"
+        ),
+    )
+    return names.select(
+        "c_custkey",
+        F.explode(make_aliases_udf("first", "last", "gender")).alias("alias"),
+    )
+
+
+@query(
+    "normalized_name",
+    """
+    SELECT c_custkey,
+           'L' || CAST(c_custkey % 13 AS VARCHAR) || ', Cust' || CAST(c_custkey % 7 AS VARCHAR)
+             || ' (' || CAST(1900 + c_custkey % 80 AS VARCHAR) || '-'
+             || CAST(1960 + c_custkey % 80 AS VARCHAR) || ')' AS normalized_name
+    FROM customer
+    """,
+)
+def q_normalized_name(spark, sf_dir):
+    """getNormalisedName "Last, First (birth-death)"
+    (AuthorBNF.java:93-105)."""
+    from reden_spark.functions.aliases import normalized_name
+
+    cust = _read(spark, sf_dir, "customer")
+    n = cust.select(
+        "c_custkey",
+        F.concat(F.lit("Cust"), (F.col("c_custkey") % 7).cast("string")).alias("first"),
+        F.concat(F.lit("L"), (F.col("c_custkey") % 13).cast("string")).alias("last"),
+        (1900 + F.col("c_custkey") % 80).alias("birth"),
+        (1960 + F.col("c_custkey") % 80).alias("death"),
+    )
+    return n.select(
+        "c_custkey",
+        normalized_name("first", "last", "birth", "death").alias("normalized_name"),
+    )
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over `documents` — text analysis
+
+
+_TOK_HASH_SQL = """
+    list_reduce(
+      list_prepend(CAST(7 AS BIGINT),
+        list_transform(range(1, length({t}) + 1),
+                       i -> CAST(ascii(substr({t}, i, 1)) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007)
+"""
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_word_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (functions/text.py) — native higher-order functions, no UDF."""
+    from reden_spark.functions.text import token_count, word_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        word_token_count("text").alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_SW_EN = "['the','a','and','of','to','in','is','with','for','on']"
+_SW_FR = "['le','la','les','un','une','et','de','dans','sur','pour']"
+
+
+@query(
+    "lang_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks,
+             length(text) AS n
+      FROM documents),
+    r AS (
+      SELECT doc_id, n,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_EN}, x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS en_ratio,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_FR}, x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS fr_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(n, 1) AS alpha_ratio
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN en_ratio = 0 AND fr_ratio = 0 THEN 'und'
+                WHEN en_ratio >= fr_ratio THEN 'en' ELSE 'fr' END AS lang_id,
+           (CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 ELSE 0.0 END
+            + alpha_ratio
+            + least(en_ratio * 5 + fr_ratio * 5, 1.0)) / 3.0 AS quality
+    FROM r
+    """,
+)
+def q_lang_quality(spark, sf_dir):
+    """Language-ID (stopword heuristic) + quality scoring
+    (functions/text.py) — the C4/Gopher-style rule-filter family."""
+    from reden_spark.functions.text import language_id, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        language_id("text").alias("lang_id"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(toks, t -> {_TOK_HASH_SQL.format(t='t')})),
+             (a, h) -> (a * 1000003 + h) % 1000000007) AS fingerprint
+    FROM t
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: token-level polynomial rolling hash
+    (functions/text.py doc_fingerprint) — bit-identical across engines."""
+    from reden_spark.functions.text import doc_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (operators/dedup.py)
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT sha256(substr(text, 1, 40)) AS content_key,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content sha256 (prefix used to induce
+    collisions in the synthetic corpus), keep min doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_key")
+    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL}) WHERE doc_id < 80),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.a, i.b,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: token-set Jaccard with shared-token blocking
+    (the n-gram Jaccard family; exact integer counts → exact double)."""
+    toks = (
+        _tokens(spark, sf_dir).filter(F.col("doc_id") < 80).select("doc_id", "tok").distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    j = (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return j.select("a", "b", "jaccard")
+
+
+_MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL})),
+    h AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
+      FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_'
+               || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band, 0 AS band_id
+      FROM sig
+      UNION ALL
+      SELECT doc_id,
+             CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_'
+               || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR), 1
+      FROM sig)
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: token shingles → 8 portable minhash
+    values → 2 bands of 4 rows → bucket self-join (a < b)."""
+    from reden_spark.functions.text import char_hash_inner
+
+    toks = _tokens(spark, sf_dir).select("doc_id", "tok").distinct()
+    h = toks.select("doc_id", char_hash_inner(F.col("tok")).alias("th"))
+    aggs = [
+        F.min((F.col("th") * a + b) % 1000000007).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    sig = h.groupBy("doc_id").agg(*aggs)
+    band0 = sig.select(
+        "doc_id",
+        F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(4)]).alias("band"),
+        F.lit(0).alias("band_id"),
+    )
+    band1 = sig.select(
+        "doc_id",
+        F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(4, 8)]).alias("band"),
+        F.lit(1).alias("band_id"),
+    )
+    bands = band0.unionByName(band1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (operators/similarity.py)
+
+_DOT_SQL = """
+    list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(range(1, 65), i -> {a}[i] * {b}[i])),
+                (x, y) -> x + y)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 100),
+    norms AS (SELECT vec_id, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm, v FROM e),
+    qn AS (SELECT vec_id, nrm, v FROM norms WHERE vec_id < 100),
+    sims AS (
+      SELECT q.vec_id AS vec_id, n.vec_id AS neighbor,
+             {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cos
+      FROM qn q JOIN norms n ON q.vec_id <> n.vec_id)
+    SELECT vec_id, neighbor, rank FROM (
+      SELECT vec_id, neighbor,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+      FROM sims) WHERE rank <= 3
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: sequential-fold dot products
+    (bit-identical in both engines), rank by (cos DESC, neighbor ASC)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norms = emb.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    q = norms.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sims = q.join(norms, q.qid != norms.vec_id).select(
+        F.col("qid").alias("vec_id"),
+        F.col("vec_id").alias("neighbor"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor", "rank")
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    """
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+    SELECT bucket, count(*) AS n_vectors FROM (
+      SELECT vec_id,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+      FROM e) GROUP BY 1
+    """,
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing (the scale path for ANN): 6 sign bits → bucket id;
+    at 100 TB the self-join runs within buckets only."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("v"))
+    bucket = sum(
+        F.when(F.col("v")[i] >= 0, 1 << i).otherwise(0) for i in range(6)
+    )
+    return (
+        emb.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL}) WHERE doc_id < 200),
+    h AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (th // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 16)) AS bit) b
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN s >= 0 THEN (1 << bit) ELSE 0 END) AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash document signatures: sign of per-bit sums of token-hash bits
+    (16-bit, portable integer arithmetic)."""
+    from reden_spark.functions.text import char_hash_inner
+
+    toks = (
+        _tokens(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "tok").distinct()
+    )
+    h = toks.select("doc_id", char_hash_inner(F.col("tok")).alias("th"))
+    bits = h.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "th"
+    ).groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when((F.col("th").cast("long") / F.pow(F.lit(2), F.col("bit")).cast("long")).cast("long") % 2 == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(0)
+        ).cast("long").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events table: windows + JSON + classic agg
+
+
+@query(
+    "events_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation over the events stream table —
+    the batch shape of the Structured-Streaming path (streaming/events.py
+    runs the same plan with readStream + watermark)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "events_json",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+    """,
+)
+def q_events_json(spark, sf_dir):
+    """Semi-structured property extraction (reference property-map lookups,
+    EnrichmentHandler.java:162-187 family)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """Classic hash aggregation with exact decimal sums (map-side partial
+    agg; deterministic across engines unlike double sums)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )

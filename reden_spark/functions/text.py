@@ -38,10 +38,11 @@ def token_count(col) -> Column:
 
 
 def word_token_count(col) -> Column:
-    """BPE-ish regex token count: words, numbers, and single punctuation
-    marks each count as one token (approximates subword pre-tokenization)."""
-    arr = F.split(_c(col), r"(?=[^\w])|(?<=[^\w])")
-    return F.size(F.filter(arr, lambda t: (t != "") & (t != " "))).cast("long")
+    """BPE-ish regex token count: alphanumeric runs and single non-space
+    punctuation marks each count as one token (approximates subword
+    pre-tokenization).  RE2-compatible pattern (portable to the oracle)."""
+    arr = F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    return F.size(arr).cast("long")
 
 
 def stopword_ratio(col, stopwords: tuple[str, ...]) -> Column:
