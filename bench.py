@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-sink write (full pipeline
+execution, no driver collect).  The flagship `nel_pipeline` is the S0→S10
+KG construction; the rest are the heavy training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "nel_pipeline",
+    "candidate_join",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "pricing_summary",
+]
+
+
+def run_bench(sf_dir: str, cpus: str, queries: list[str] | None = None) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reden_spark.contract import QUERIES
+    from reden_spark.flagship import flagship_kg_triples
+    from reden_spark.session import get_spark
+
+    spark = get_spark("reden_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    names = queries or HEADLINE
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        if name == "nel_pipeline":
+            materialize(flagship_kg_triples(spark, sf_dir))
+        else:
+            materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))

@@ -1,0 +1,114 @@
+"""Flagship query: the full S0→S10 KG-construction pipeline over the
+driver's ``documents`` parquet adapted to the Iceberg input shape, with a
+deterministic vocabulary-derived dictionary + authority triples.
+
+This is what ``__spark_entry__.entry(spark)`` runs (sf0.001) and what
+``bench.py`` times (sf0.1): TEI-ification tags known vocabulary words as
+``<persName>`` mentions, the dictionary gives ambiguous words two candidate
+groups, and the synthetic authority triples give the correct (base-KB)
+candidate a shared neighborhood per co-occurrence theme — so the graph
+fusion → pruning → degree → argmax path does real disambiguation work end
+to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reden_spark import schemas
+from reden_spark.corpus import documents_from_testdata
+from reden_spark.plans.pipeline import PipelineResult, run_pipeline
+
+SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+PRED_SUBJECT = "http://purl.org/dc/terms/subject"
+
+# words tagged as mentions: vocabulary tokens of length >= 6 (subset keeps
+# the mention density realistic); 's…' words are ambiguous (2 groups).
+MIN_MENTION_LEN = 6
+
+
+def _vocab(docs: DataFrame) -> DataFrame:
+    toks = docs.select(F.explode(F.split("content", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return toks.filter(F.length("tok") >= MIN_MENTION_LEN).distinct()
+
+
+def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Wrap every vocabulary-word occurrence in <persName> and the document
+    in a single <div> context.  The tagging regex is built from the
+    (collected, tiny) vocabulary — at scale this list is a broadcast value,
+    the transform itself is one native regexp_replace over content."""
+    words = sorted(r[0] for r in vocab.collect())
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return docs.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.concat(
+            F.lit("<TEI><text><body><div><p>"),
+            F.regexp_replace("content", pat, "<persName>$1</persName>"),
+            F.lit("</p></div></body></text></TEI>"),
+        ).alias("content"),
+    )
+
+
+def synthetic_kb(spark: SparkSession, vocab: DataFrame):
+    """dictionary + triples derived from the vocabulary, fully
+    deterministic:
+      * base group  [http://kb.example.org/tok/<t>] for every word
+      * words starting 's' get a second group [http://alt.example.org/...]
+      * base URIs: sameAs chain to a mirror URI (exercises CC), plus a
+        dcterms:subject edge to a per-first-letter theme node (so correct
+        candidates of co-occurring words share neighbors → degree wins)
+      * alt URIs: isolated (pruned away → degree 0)
+    """
+    kb = F.concat(F.lit("http://kb.example.org/tok/"), "tok")
+    alt = F.concat(F.lit("http://alt.example.org/tok/"), "tok")
+    mirror = F.concat(F.lit("http://mirror.example.org/tok/"), "tok")
+    theme = F.concat(F.lit("http://kb.example.org/theme/"), F.substring("tok", 1, 1))
+
+    d0 = vocab.select(
+        F.lit("persName").alias("tag"),
+        F.col("tok").alias("alias"),
+        F.col("tok").alias("alias_norm"),
+        F.col("tok").alias("normalized_name"),
+        F.array(kb).alias("uris"),
+    )
+    d1 = vocab.filter(F.col("tok").startswith("s")).select(
+        F.lit("persName").alias("tag"),
+        F.col("tok").alias("alias"),
+        F.col("tok").alias("alias_norm"),
+        F.concat(F.col("tok"), F.lit(" (alt)")).alias("normalized_name"),
+        F.array(alt).alias("uris"),
+    )
+    dictionary = d0.unionByName(d1)
+
+    t_same = vocab.select(kb.alias("subj"), F.lit(SAMEAS).alias("pred"), mirror.alias("obj"))
+    # content statements attach to the MIRROR uri → only reachable through
+    # the sameAs component (exercises fusion via equivalents)
+    t_theme = vocab.select(
+        mirror.alias("subj"), F.lit(PRED_SUBJECT).alias("pred"), theme.alias("obj")
+    )
+    t_alt = vocab.filter(F.col("tok").startswith("s")).select(
+        alt.alias("subj"),
+        F.lit(PRED_SUBJECT).alias("pred"),
+        F.concat(F.lit("http://kb.example.org/offtheme/"), "tok").alias("obj"),
+    )
+    triples = t_same.unionByName(t_theme).unionByName(t_alt)
+    rels = spark.createDataFrame([(PRED_SUBJECT, 1.0)], schemas.RELS)
+    return dictionary, triples, rels
+
+
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
+    raw = documents_from_testdata(spark, sf_dir)
+    vocab = _vocab(raw)
+    docs = teiify(raw, vocab)
+    dictionary, triples, rels = synthetic_kb(spark, vocab)
+    return run_pipeline(docs, dictionary, triples, rels, tag_specs=("persName",))
+
+
+def flagship_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_pipeline(spark, sf_dir).kg_triples

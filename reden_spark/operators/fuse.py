@@ -43,7 +43,7 @@ def candidate_bases(candidates: DataFrame, base_marker: str = "://kb.example.org
     with_base = candidates.filter(F.col("group_id").isNotNull()).withColumn(
         "base",
         F.coalesce(
-            F.element_at(F.filter("uris", lambda u: u.contains(base_marker)), 1),
+            F.try_element_at(F.filter("uris", lambda u: u.contains(base_marker)), F.lit(1)),
             F.col("uris")[0],
         ),
     )

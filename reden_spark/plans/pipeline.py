@@ -56,7 +56,9 @@ def emit_triples(
     with_base = linked.withColumn(
         "subj",
         F.coalesce(
-            F.element_at(F.filter("chosen_uris", lambda u: u.contains(base_marker)), 1),
+            F.try_element_at(
+                F.filter("chosen_uris", lambda u: u.contains(base_marker)), F.lit(1)
+            ),
             F.col("chosen_uris")[0],
         ),
     )
