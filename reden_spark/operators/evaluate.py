@@ -1,0 +1,125 @@
+"""Evaluation: gold comparison + the six Hachey-et-al. metrics.
+
+Reference: ``compareResultsWithGold`` walks output and gold DOMs in
+lockstep and matches the k-th tagged element of the i-th context
+positionally; "Good choice" iff the chosen URI list *contains* the gold
+ref as a (case-sensitive) substring; candidate-set membership is the
+lowercased-contains check (ResultsAndEvaluationNEL.java:240-331, verdict
+:291-296, cand-set :279-287).  ``computeFinalResults`` derives six metrics
+(Hachey et al. 2011; ResultsAndEvaluationNEL.java:393-557).
+
+Spark-first: the positional walk is an equi-join on
+``(repo, path, context_id, mention_idx)`` — the extraction operators
+already index kept mentions contiguously per context, so positional
+identity is the join key, no zip/DOM needed.  Metrics are ONE hash
+aggregation of conditional counts (map-side partial agg; a single reduce
+of ~10 numbers regardless of corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY = ["repo", "path", "context_id", "mention_idx"]
+
+
+def compare_with_gold(annotations: DataFrame, gold: DataFrame) -> DataFrame:
+    """Annotations ⋈ gold → one eval row per mention.
+
+    ``annotations``: KEY + (surface, chosen_uris array<string>|null,
+    cand_groups array<array<string>>|null).
+    ``gold``: KEY + (gold_ref string|null)  — null/'' = no manual
+    annotation.
+
+    Output adds: ``chosen`` (space-joined, as serialized into ref_auto),
+    ``has_gold``, ``gold_in_cands``, ``choice_correct``, ``n_cands`` and the
+    reference's verdict string.
+    """
+    ev = annotations.join(gold.select(*KEY, "gold_ref"), KEY, "left")
+    chosen = F.when(
+        F.col("chosen_uris").isNotNull() & (F.size("chosen_uris") > 0),
+        F.concat_ws(" ", "chosen_uris"),
+    )
+    has_gold = F.col("gold_ref").isNotNull() & (F.col("gold_ref") != "")
+    gold_lc = F.lower("gold_ref")
+    gold_in_cands = has_gold & F.coalesce(
+        F.exists(
+            F.flatten(F.coalesce(F.col("cand_groups"), F.array())),
+            lambda u: F.lower(u).contains(gold_lc),
+        ),
+        F.lit(False),
+    )
+    ev = ev.select(
+        *KEY,
+        "surface",
+        "cand_groups",
+        "gold_ref",
+        chosen.alias("chosen"),
+        has_gold.alias("has_gold"),
+        gold_in_cands.alias("gold_in_cands"),
+        F.size(F.coalesce(F.col("cand_groups"), F.array())).alias("n_cands"),
+    )
+    choice_correct = (
+        F.col("has_gold")
+        & F.col("chosen").isNotNull()
+        & F.col("chosen").contains(F.col("gold_ref"))
+    )
+    verdict = (
+        F.when(~F.col("has_gold"), F.lit("No manual annotation"))
+        .when(F.col("chosen").isNull(), F.lit("Empty choice"))
+        .when(choice_correct, F.lit("Good choice"))
+        .otherwise(F.lit("Wrong choice"))
+    )
+    return ev.withColumn("choice_correct", choice_correct).withColumn(
+        "verdict", verdict
+    )
+
+
+def hachey_metrics(ev: DataFrame) -> DataFrame:
+    """The six metrics of ``computeFinalResults``
+    (ResultsAndEvaluationNEL.java: cardinality :418-424, cand-P :431-444,
+    cand-R :452-465, NIL-P :473-486, NIL-R :495-508, disambiguation
+    accuracy :514-528, overall :533-555) as one aggregation."""
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    g = F.col("has_gold")
+    gic = F.col("gold_in_cands")
+    ch = F.col("chosen")
+    n = F.col("n_cands")
+    ok = F.col("choice_correct")
+    return ev.agg(
+        (F.sum("n_cands").cast("double") / F.count("*")).alias(
+            "cand_cardinality_mean"
+        ),
+        (cnt((n > 0) & g & gic).cast("double") / cnt(n > 0)).alias("cand_precision"),
+        (cnt(g & gic).cast("double") / cnt(g)).alias("cand_recall"),
+        (cnt(ch.isNull() & ~g).cast("double") / cnt(ch.isNull())).alias(
+            "nil_precision"
+        ),
+        (cnt(ch.isNull() & ~g).cast("double") / cnt(~g)).alias("nil_recall"),
+        (cnt((n >= 2) & gic & ok).cast("double") / cnt((n >= 2) & gic)).alias(
+            "disamb_accuracy"
+        ),
+        (cnt((ch.isNull() & ~g) | ok).cast("double") / F.count("*")).alias(
+            "overall_accuracy"
+        ),
+    )
+
+
+def verdict_counts(ev: DataFrame) -> DataFrame:
+    """Per-verdict tally — the headline numbers of the resEval report
+    ('Good choice' / 'Wrong choice' / 'No manual annotation' counts)."""
+    return ev.groupBy("verdict").agg(F.count("*").alias("n"))
+
+
+def correct_mention_counts(ev: DataFrame) -> DataFrame:
+    """``*-resCorrectMentionsV3.txt``: per-surface count of correct choices
+    (ResultsAndEvaluationNEL.java:294-303, 336-341)."""
+    return (
+        ev.filter(F.col("choice_correct"))
+        .groupBy(F.col("surface").alias("mention"))
+        .agg(F.count("*").alias("count"))
+    )

@@ -1,0 +1,2 @@
+"""Sources & sinks: TEI-XML corpus scan, dictionary TSV scan/sink,
+N-Triples scan, report/GeoJSON sinks (SURVEY.md §2.1)."""

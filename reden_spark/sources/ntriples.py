@@ -1,0 +1,47 @@
+"""N-Triples / N3 triples source.
+
+Reference: Jena ``model.read(file)`` over per-URI ``.n3`` cache files
+(GraphHandlerNEL.java:78-103, 351-384).  Spark-first: the whole authority
+dump is ONE line-oriented text scan parsed with native regexp — no Jena,
+no per-row Python; at 100 TB this is a partitioned Iceberg ``triples``
+table and this reader is only the bootstrap that materializes it.
+
+Line grammar handled (the subset emitted by the reference's sources):
+  <subj> <pred> <obj> .          # IRI object
+  <subj> <pred> "literal"@lang .  # literal object (lang/datatype tail kept)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LINE = (
+    r"^\s*<([^>]+)>\s+<([^>]+)>\s+"  # subj, pred
+    r"(?:<([^>]+)>|\"((?:[^\"\\]|\\.)*)\"(?:@[A-Za-z\-]+|\^\^<[^>]+>)?)\s*\.\s*$"
+)
+
+
+def parse_ntriples(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """``(value)`` text lines → ``(subj, pred, obj)``; comments/blank or
+    unparseable lines are dropped (Jena would raise; a 10^12-row scan wants
+    salvage + a counted reject side-channel instead — callers can diff
+    counts).  Literal objects keep their unescaped lexical form."""
+    v = F.col(value_col)
+    parsed = lines.select(
+        F.regexp_extract(v, _LINE, 1).alias("subj"),
+        F.regexp_extract(v, _LINE, 2).alias("pred"),
+        F.regexp_extract(v, _LINE, 3).alias("iri_obj"),
+        F.regexp_extract(v, _LINE, 4).alias("lit_obj"),
+    ).filter(F.col("subj") != "")
+    obj = F.when(F.col("iri_obj") != "", F.col("iri_obj")).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(F.col("lit_obj"), r'\\"', '"'), r"\\\\", r"\\"
+        )
+    )
+    return parsed.select("subj", "pred", obj.alias("obj"))
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``.n3``/``.nt`` file(s)/folder into the ``triples`` shape."""
+    return parse_ntriples(spark.read.text(path))

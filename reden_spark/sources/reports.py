@@ -1,0 +1,125 @@
+"""Report sinks + reference-report parser.
+
+Sinks re-express the reference's bookkeeping files as DataFrame writes
+(ResultsAndEvaluationNEL.java:201-363, 371-387; Util.printGraph
+Util.java:32-44; EnrichmentHandler.toJson:122-153): metrics and reports
+are *tables* (parquet/JSON), not println streams — at scale they are tiny
+aggregates, written once per run with full lineage.
+
+``parse_eval_report`` reads a shipped ``*-resEvalV3.txt`` back into rows —
+used by the golden-parity tests to replay the reference's own artifacts
+through our evaluation operator (driver-side: the reports are KBs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edge_label_frequencies(edges: DataFrame) -> DataFrame:
+    """``*-relFrequency.txt``: global per-label edge counts, ascending
+    (CentralityHandler.java:126-134; ResultsAndEvaluationNEL.java:371-387)."""
+    return edges.groupBy("label").agg(F.count("*").alias("freq")).orderBy("freq")
+
+
+def graph_dump(edges: DataFrame) -> DataFrame:
+    """``*-resFinalGraphsV3.txt`` (Util.printGraph): one formatted line per
+    retained edge."""
+    return edges.select(
+        F.concat_ws(
+            " ", F.col("src"), F.lit("->"), F.col("dst"), F.lit("["), F.col("label"), F.lit("]")
+        ).alias("value")
+    )
+
+
+def ambiguous_mentions(candidates: DataFrame) -> DataFrame:
+    """``*-ambigousMentions.txt``: surfaces with >1 candidate group and
+    their ambiguity degree (MainNELApp.java:259-276)."""
+    return (
+        candidates.groupBy("repo", "path", "context_id", "surface")
+        .agg(F.count_distinct("group_id").alias("n_groups"))
+        .filter(F.col("n_groups") > 1)
+    )
+
+
+def geojson_features(entities: DataFrame) -> DataFrame:
+    """GeoJSON FeatureCollection rows (EnrichmentHandler.toJson:122-153):
+    entities ``(uri, name, occurrences, lat, lon, …)`` → one JSON Feature
+    string per entity (native to_json, no UDF)."""
+    props = [c for c in entities.columns if c not in ("lat", "lon")]
+    return entities.filter(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    ).select(
+        F.to_json(
+            F.struct(
+                F.lit("Feature").alias("type"),
+                F.struct(
+                    F.lit("Point").alias("type"),
+                    F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+                ).alias("geometry"),
+                F.struct(*[F.col(c) for c in props]).alias("properties"),
+            )
+        ).alias("feature")
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference-report parser (test-side utility)
+
+_FIELD = re.compile(
+    r"^(Mention|Manual was|REDEN chose|The candidate set is): ?(.*)$"
+)
+
+
+def parse_eval_report(path: str):
+    """Parse a reference ``*-resEvalV3.txt`` into dict rows:
+    (context_id, mention_idx, mention, gold_ref | None, chosen | None,
+    cand_groups, verdict).  Follows the exact print order of
+    compareResultsWithGold (ResultsAndEvaluationNEL.java:240-331)."""
+    rows = []
+    ctx = -1
+    midx = 0
+    cur = None
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            tp = re.match(r"^Text portion#\s*(\d+)", line)
+            if tp:
+                ctx = int(tp.group(1))
+                midx = 0
+                continue
+            m = _FIELD.match(line)
+            if m:
+                key, val = m.group(1), m.group(2)
+                if key == "Mention":
+                    if cur is not None:
+                        rows.append(cur)
+                    cur = {
+                        "context_id": ctx,
+                        "mention_idx": midx,
+                        "mention": val,
+                        "gold_ref": None,
+                        "chosen": None,
+                        "cand_groups": [],
+                        "verdict": None,
+                    }
+                    midx += 1
+                elif key == "Manual was" and cur is not None:
+                    cur["gold_ref"] = val or None
+                elif key == "REDEN chose" and cur is not None:
+                    cur["chosen"] = val or None
+                continue
+            if cur is None:
+                continue
+            if line in ("Good choice", "Wrong choice", "No manual annotation"):
+                cur["verdict"] = line
+            elif line.startswith("[") and line.endswith("]"):
+                cur["cand_groups"].append(
+                    [u.strip() for u in line[1:-1].split(",") if u.strip()]
+                )
+    if cur is not None:
+        rows.append(cur)
+    return rows

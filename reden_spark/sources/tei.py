@@ -1,0 +1,271 @@
+"""TEI-XML source & annotated-TEI sink.
+
+Reference behavior: DOM-parse one TEI file (or every file of a folder),
+select context nodes by XPath, read tagged mentions, and re-serialize the
+DOM with the chosen URIs in attribute ``ref_auto``
+(MainNELApp.java:184-226; ResultsAndEvaluationNEL.java:67-128).
+
+Spark-first design: a TEI corpus is a *table*, not a folder walk — we scan
+whole files with ``spark.read.text(wholetext)`` (at 100 TB this would be
+the Iceberg ``(repo, path, commit, lang, content)`` table directly), and
+all per-document XML work is vectorized:
+
+  * the scale path for context/mention extraction is **native regexp**
+    (operators/mentions.py — JVM-side, whole-stage codegen);
+  * this module adds the **pandas-UDF path** for messy real-world TEI
+    (entity refs, nested inline markup) and the annotated-TEI writeback —
+    Arrow-batched, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+CONTEXT_RE = re.compile(r"<div(?:\s[^>]*)?>(.*?)</div>", re.S)
+BODY_RE = re.compile(r"<body(?:\s[^>]*)?>(.*?)</body>", re.S)
+_ELEM_TMPL = r"<({tags})(\s[^>]*)?>(.*?)</(?:{tags})>"
+
+MENTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("context_id", T.IntegerType()),
+            T.StructField("mention_idx", T.IntegerType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("ref", T.StringType()),
+        ]
+    )
+)
+
+
+def _body_span(content: str):
+    """(offset, body_text): the reference's contexts are ``//body/div`` —
+    scope the div scan to <body> when present (MainNELApp.java:220-226)."""
+    m = BODY_RE.search(content)
+    if m:
+        return m.start(1), m.group(1)
+    return 0, content
+
+
+def read_tei_corpus(spark: SparkSession, path: str, lang: str = "fr") -> DataFrame:
+    """Scan a TEI file / folder into the engine's document shape
+    ``(repo, path, commit, lang, content)``.
+
+    ``commit`` is the content-derived 40-hex version id (the corpus on disk
+    has no VCS metadata; in production the Iceberg table carries the real
+    commit).  One row per file — file-vs-dir expansion
+    (MainNELApp.java:189-199) is just the glob of the text scan.
+    """
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("uri"),
+            F.col("value").alias("content"),
+        )
+    )
+    return raw.select(
+        F.regexp_extract("uri", r"^(?:file:/*)?(.*)/[^/]+$", 1).alias("repo"),
+        F.regexp_extract("uri", r"([^/]+)$", 1).alias("path"),
+        F.substring(F.sha2(F.col("content"), 256), 1, 40).alias("commit"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("content", r'xml:lang="([^"]+)"', 1), F.lit("")),
+            F.lit(lang),
+        ).alias("lang"),
+        "content",
+    )
+
+
+def _strip_inline_markup(text: str) -> str:
+    """textContent of a DOM element: drop nested tags, collapse whitespace."""
+    return re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", text)).strip()
+
+
+def _unescape_attr(value: str) -> str:
+    """DOM getAttribute unescapes the XML entities; mirror the common five."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        value = value.replace(ent, ch)
+    return value
+
+
+def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas_udf":
+    """Vectorized TEI mention extractor: content → array<struct(context_id,
+    mention_idx, tag, surface)>.
+
+    Handles what the native-regexp path (operators/mentions.py) does, plus
+    nested inline markup inside mentions (DOM textContent semantics,
+    MainNELApp.java:233-242).  Type-predicate exclusions
+    (``persName[not(@type='character')]``) are honored; kept mentions are
+    contiguously indexed per context in document order — the positional
+    identity the evaluation join relies on
+    (ResultsAndEvaluationNEL.java:255-257).
+
+    ``ref_attr`` additionally captures that attribute's value per mention
+    (``ref`` when reading a gold file, ``ref_auto`` when replaying an
+    annotated output) — DOM ``getAttribute`` semantics: missing → null.
+    """
+    from reden_spark.operators.mentions import parse_tag_specs
+
+    specs = parse_tag_specs(tag_specs)
+    excl = {name: typ for name, typ in specs if typ is not None}
+    tags = "|".join(sorted({n for n, _ in specs}))
+    elem_re = re.compile(_ELEM_TMPL.format(tags=tags), re.S)
+
+    attr_re = (
+        re.compile(r'\s%s="([^"]*)"' % re.escape(ref_attr)) if ref_attr else None
+    )
+
+    def extract_one(content: str):
+        out = []
+        if not content:
+            return out
+        _, body = _body_span(content)
+        for ci, ctx in enumerate(CONTEXT_RE.findall(body)):
+            mi = 0
+            for m in elem_re.finditer(ctx):
+                tag, attrs, inner = m.group(1), m.group(2) or "", m.group(3)
+                banned = excl.get(tag)
+                if banned is not None and f'type="{banned}"' in attrs:
+                    continue
+                ref = None
+                if attr_re is not None:
+                    am = attr_re.search(attrs)
+                    if am:
+                        ref = _unescape_attr(am.group(1))
+                out.append((ci, mi, tag, _strip_inline_markup(inner), ref))
+                mi += 1
+        return out
+
+    @pandas_udf(MENTION_SCHEMA)
+    def extract(content: pd.Series) -> pd.Series:
+        return content.map(extract_one)
+
+    return extract
+
+
+def mentions_from_tei(
+    documents: DataFrame, tag_specs, ref_attr: str | None = None
+) -> DataFrame:
+    """S0→S2 over real TEI via the pandas-UDF path; same output schema as
+    operators.mentions.mentions_from_documents (+ ``ref`` when
+    ``ref_attr`` is given)."""
+    extract = make_extract_mentions_udf(tag_specs, ref_attr)
+    cols = [
+        "repo",
+        "path",
+        "commit",
+        "content_sha256",
+        F.col("m.context_id").alias("context_id"),
+        F.col("m.mention_idx").alias("mention_idx"),
+        F.col("m.tag").alias("tag"),
+        F.col("m.surface").alias("surface"),
+    ]
+    if ref_attr is not None:
+        cols.append(F.col("m.ref").alias("ref"))
+    return documents.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.explode(extract(F.col("content"))).alias("m"),
+    ).select(*cols)
+
+
+ANNOTATION_ITEM = T.StructType(
+    [
+        T.StructField("context_id", T.IntegerType()),
+        T.StructField("mention_idx", T.IntegerType()),
+        T.StructField("chosen", T.StringType()),
+    ]
+)
+
+
+def make_annotate_udf(tag_specs, ref_attr: str = "ref_auto") -> "pandas_udf":
+    """Annotated-TEI writeback (ResultsAndEvaluationNEL.java:67-128):
+    splice ``ref_auto="<uris>"`` into the k-th *kept* tagged element of the
+    i-th context.  (content, array<struct(context_id, mention_idx, chosen)>)
+    → annotated content.  Vectorized over Arrow batches."""
+    from reden_spark.operators.mentions import parse_tag_specs
+
+    specs = parse_tag_specs(tag_specs)
+    excl = {name: typ for name, typ in specs if typ is not None}
+    tags = "|".join(sorted({n for n, _ in specs}))
+    elem_re = re.compile(_ELEM_TMPL.format(tags=tags), re.S)
+
+    def annotate_one(content: str, anns) -> str:
+        if not content or anns is None or len(anns) == 0:
+            return content
+        chosen = {(a["context_id"], a["mention_idx"]): a["chosen"] for a in anns}
+
+        body_off, body = _body_span(content)
+        parts = []
+        last = 0
+        for ci, ctx_m in enumerate(CONTEXT_RE.finditer(body)):
+            ctx = ctx_m.group(1)
+            ctx_start = body_off + ctx_m.start(1)
+            mi = 0
+            for m in elem_re.finditer(ctx):
+                tag, attrs = m.group(1), m.group(2) or ""
+                banned = excl.get(tag)
+                if banned is not None and f'type="{banned}"' in attrs:
+                    continue
+                uris = chosen.get((ci, mi))
+                mi += 1
+                if uris is None:
+                    continue
+                # insert the attribute right after "<tag<attrs>"
+                insert_at = ctx_start + m.start() + 1 + len(tag) + len(attrs)
+                parts.append(content[last:insert_at])
+                parts.append(f' {ref_attr}="{uris}"')
+                last = insert_at
+        parts.append(content[last:])
+        return "".join(parts)
+
+    @pandas_udf(T.StringType())
+    def annotate(content: pd.Series, anns: pd.Series) -> pd.Series:
+        return pd.Series(
+            [annotate_one(c, a) for c, a in zip(content, anns)], dtype=object
+        )
+
+    return annotate
+
+
+def annotated_tei(
+    documents: DataFrame,
+    annotations: DataFrame,
+    tag_specs,
+    ref_attr: str = "ref_auto",
+) -> DataFrame:
+    """Join the annotations table back onto documents and produce the
+    annotated XML column — the Spark shape of the ``*-outV3.xml`` sink.
+    The per-document annotation list is built with collect_list (grouped by
+    the document key — no driver collect)."""
+    ann = (
+        annotations.filter(F.col("chosen_uris").isNotNull())
+        .select(
+            "repo",
+            "path",
+            F.struct(
+                F.col("context_id").cast("int").alias("context_id"),
+                F.col("mention_idx").cast("int").alias("mention_idx"),
+                F.concat_ws(" ", "chosen_uris").alias("chosen"),
+            ).alias("a"),
+        )
+        .groupBy("repo", "path")
+        .agg(F.collect_list("a").alias("anns"))
+    )
+    annotate = make_annotate_udf(tag_specs, ref_attr)
+    return documents.join(ann, ["repo", "path"], "left").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        annotate(F.col("content"), F.col("anns")).alias("content"),
+    )

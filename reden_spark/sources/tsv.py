@@ -1,0 +1,107 @@
+"""Dictionary TSV source/sink + Geonames dump converter.
+
+Reference: tab-separated dictionary files, no quoting, positional layout
+``alias \\t normalizedName \\t uri1[\\t uri2…]`` — columns >= 2 are ONE
+candidate URI group (DicoProcessingNEL.java:82-121, 277-290;
+QueryAuthorBNF.java:254-266).  The Geonames converter re-expresses
+scripts/genGeonamesDico.py:24-40.
+
+Spark-first: plain csv scans with ``sep='\\t'`` and quoting disabled; the
+variable-width URI tail folds into an ``array<string>`` natively
+(array + filter, no UDF).  Written once as parquet/Iceberg, the dictionary
+is the broadcast side of the candidate join — the Lucene index
+(DicoProcessingNEL.java:192-339) has no Spark analogue because a broadcast
+hash join *is* the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reden_spark.functions.normalize import first_letter, norm_key
+
+
+def read_dictionary_tsv(
+    spark: SparkSession, path: str, tag: str = "persName", max_uri_cols: int = 24
+) -> DataFrame:
+    """Scan dictionary TSV shard(s) into
+    ``(tag, alias, alias_norm, normalized_name, uris array<string>)``.
+
+    ``max_uri_cols`` bounds the positional URI tail (the reference's widest
+    shipped rows have ~6; headroom is cheap).  Rows with fewer columns give
+    nulls which the array filter drops.
+    """
+    df = (
+        spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    ncols = len(df.columns)
+    uri_cols = [F.col(f"_c{i}") for i in range(2, min(ncols, 2 + max_uri_cols))]
+    uris = (
+        F.filter(F.array(*uri_cols), lambda u: u.isNotNull() & (u != ""))
+        if uri_cols
+        else F.array().cast("array<string>")
+    )
+    return df.select(
+        F.lit(tag).alias("tag"),
+        F.col("_c0").alias("alias"),
+        norm_key("_c0").alias("alias_norm"),
+        F.col("_c1").alias("normalized_name"),
+        uris.alias("uris"),
+    ).filter(F.col("alias").isNotNull())
+
+
+def write_dictionary_tsv(dictionary: DataFrame, path: str, mode: str = "overwrite"):
+    """TSV sink with the reference's positional layout, partitioned by
+    first letter — the reference's manual a-z+'other' sharding
+    (AppAdhoc.java:70-71) becomes the partition spec."""
+    out = dictionary.select(
+        first_letter("alias").alias("first_letter"),
+        F.concat_ws(
+            "\t", "alias", "normalized_name", F.concat_ws("\t", "uris")
+        ).alias("value"),
+    )
+    (
+        out.repartition("first_letter")
+        .write.partitionBy("first_letter")
+        .mode(mode)
+        .text(path)
+    )
+
+
+def geonames_to_dictionary(raw: DataFrame) -> DataFrame:
+    """Geonames ``allCountries.txt`` dump → dictionary rows
+    (scripts/genGeonamesDico.py:24-40): column 1 = main name, column 2 =
+    ascii name (normalized form), column 3 = comma-separated alternate
+    names; URI ``http://sws.geonames.org/<id>/``.  Main + every alternate
+    become one alias row each (split + explode, no UDF)."""
+    uri = F.concat(F.lit("http://sws.geonames.org/"), F.col("_c0"), F.lit("/"))
+    base = raw.select(
+        F.col("_c1").alias("alias"),
+        F.col("_c2").alias("normalized_name"),
+        F.array(uri).alias("uris"),
+        F.col("_c3").alias("alts"),
+    )
+    main = base.select("alias", "normalized_name", "uris")
+    alts = (
+        base.filter(F.col("alts").isNotNull() & (F.col("alts") != ""))
+        .select(
+            F.explode(F.split("alts", ",")).alias("alias"),
+            "normalized_name",
+            "uris",
+        )
+        .filter(F.col("alias") != "")
+    )
+    return (
+        main.unionByName(alts)
+        .select(
+            F.lit("placeName").alias("tag"),
+            "alias",
+            norm_key("alias").alias("alias_norm"),
+            "normalized_name",
+            "uris",
+        )
+    )

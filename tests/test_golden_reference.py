@@ -1,0 +1,207 @@
+"""Golden-file parity vs the reference's OWN shipped artifacts
+(/root/reference/output/thibaudet_reflexions-*): no network, no rerun of
+the reference — we replay its annotated output + gold input through our
+TEI source and evaluation operator and must reproduce its eval report
+verbatim (BASELINE.md reference-artifact table).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reden_spark.operators.evaluate import (
+    compare_with_gold,
+    hachey_metrics,
+    verdict_counts,
+)
+from reden_spark.sources.reports import parse_eval_report
+from reden_spark.sources.tei import mentions_from_tei, read_tei_corpus
+
+REF_IN = "/root/reference/input/thibaudet/thibaudet_reflexions.xml"
+REF_OUT = "/root/reference/output/thibaudet_reflexions-outV3.xml"
+# the shipped artifact run predates the current -gold.xml; its "Manual was"
+# refs match the -gold-orig-bnf variant exactly.
+REF_GOLD = "/root/reference/input/thibaudet/thibaudet_reflexions-gold-orig-bnf.xml"
+REF_EVAL = "/root/reference/output/thibaudet_reflexions-resEvalV3.txt"
+TAGS = ("persName[not(@type='character')]",)
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(REF_EVAL), reason="reference artifacts not present"
+)
+
+KEY = ["repo", "path", "context_id", "mention_idx"]
+
+
+def _keyed(df):
+    """Collapse file identity so output and gold files join positionally."""
+    return df.withColumn("repo", F.lit("ref")).withColumn(
+        "path", F.lit("thibaudet")
+    )
+
+
+@pytest.fixture(scope="module")
+def report_rows():
+    return parse_eval_report(REF_EVAL)
+
+
+@needs_ref
+def test_mention_universe_matches_report(spark, report_rows):
+    """TEI scan + pandas-UDF extraction on the reference's ORIGINAL input
+    reproduce its mention universe: 2,980 kept mentions, identical surfaces
+    in identical positional order (context_id, mention_idx).  The annotated
+    output was re-indented by the reference's serializer, so it is checked
+    whitespace-insensitively."""
+    squish = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    nosp = lambda s: re.sub(r"\s+", "", s)  # noqa: E731
+
+    m_in = mentions_from_tei(read_tei_corpus(spark, REF_IN), TAGS)
+    got = {
+        (r.context_id, r.mention_idx): r.surface
+        for r in m_in.select("context_id", "mention_idx", "surface").collect()
+    }
+    assert len(got) == 2980 == len(report_rows)
+    for row in report_rows:
+        k = (row["context_id"], row["mention_idx"])
+        assert squish(got[k]) == squish(row["mention"]), (k, got[k], row["mention"])
+
+    m_out = mentions_from_tei(read_tei_corpus(spark, REF_OUT), TAGS)
+    got_out = {
+        (r.context_id, r.mention_idx): r.surface
+        for r in m_out.select("context_id", "mention_idx", "surface").collect()
+    }
+    assert len(got_out) == 2980
+    for row in report_rows:
+        k = (row["context_id"], row["mention_idx"])
+        assert nosp(got_out[k]) == nosp(row["mention"]), (k, got_out[k])
+
+
+@needs_ref
+def test_eval_verdicts_match_reference(spark, report_rows):
+    """Full replay: chosen URIs + candidate sets from the reference's eval
+    report (the shipped outV3.xml only persisted the final context's
+    ref_auto attributes — the report is the complete record), gold refs
+    extracted from the gold TEI by OUR source reader and joined
+    positionally → compare_with_gold must emit the reference's verdict for
+    every one of the 2,980 mentions, including the headline 906/961/1065
+    split (BASELINE.md)."""
+    gold_m = _keyed(
+        mentions_from_tei(read_tei_corpus(spark, REF_GOLD), TAGS, ref_attr="ref")
+    )
+
+    ann_schema = T.StructType(
+        [
+            T.StructField("context_id", T.IntegerType()),
+            T.StructField("mention_idx", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("chosen_uris", T.ArrayType(T.StringType())),
+            T.StructField("cand_groups", T.ArrayType(T.ArrayType(T.StringType()))),
+        ]
+    )
+    ann = _keyed(
+        spark.createDataFrame(
+            [
+                (
+                    r["context_id"],
+                    r["mention_idx"],
+                    r["mention"],
+                    r["chosen"].split(" ") if r["chosen"] else None,
+                    r["cand_groups"] or None,
+                )
+                for r in report_rows
+            ],
+            ann_schema,
+        )
+    ).select(*KEY, "surface", "chosen_uris", "cand_groups")
+    gold = gold_m.select(*KEY, F.col("ref").alias("gold_ref"))
+
+    ev = compare_with_gold(ann, gold)
+    got = {
+        (r.context_id, r.mention_idx): (r.verdict, r.chosen, r.gold_ref)
+        for r in ev.collect()
+    }
+    assert len(got) == 2980
+
+    mismatches = []
+    for row in report_rows:
+        k = (row["context_id"], row["mention_idx"])
+        verdict, chosen, gold_ref = got[k]
+        want = row["verdict"] or "Empty choice"
+        if verdict != want or chosen != row["chosen"]:
+            mismatches.append((k, (verdict, chosen), (want, row["chosen"])))
+    assert not mismatches, f"{len(mismatches)} verdict mismatches; first 5: {mismatches[:5]}"
+
+    counts = {r.verdict: r.n for r in verdict_counts(ev).collect()}
+    assert counts["Good choice"] == 906
+    assert counts["Wrong choice"] == 961
+    assert counts["No manual annotation"] == 1065
+
+
+@needs_ref
+def test_hachey_metrics_on_reference_artifact(spark, report_rows):
+    """The six metrics computed over the replayed reference run are
+    internally consistent with the artifact's verdict tallies."""
+    schema = T.StructType(
+        [
+            T.StructField("context_id", T.IntegerType()),
+            T.StructField("mention_idx", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("chosen_uris", T.ArrayType(T.StringType())),
+            T.StructField("cand_groups", T.ArrayType(T.ArrayType(T.StringType()))),
+            T.StructField("gold_ref", T.StringType()),
+        ]
+    )
+    rows = [
+        (
+            r["context_id"],
+            r["mention_idx"],
+            r["mention"],
+            r["chosen"].split(" ") if r["chosen"] else None,
+            r["cand_groups"] or None,
+            r["gold_ref"],
+        )
+        for r in report_rows
+    ]
+    df = _keyed(spark.createDataFrame(rows, schema))
+    ev = compare_with_gold(
+        df.select(*KEY, "surface", "chosen_uris", "cand_groups"),
+        df.select(*KEY, "gold_ref"),
+    )
+    m = hachey_metrics(ev).collect()[0]
+    # overall = (correct choices + correct NILs) / all; NIL rows where the
+    # reference chose nothing are counted from the artifact directly.
+    n_nil_correct = sum(
+        1 for r in report_rows if not r["gold_ref"] and not r["chosen"]
+    )
+    assert abs(m.overall_accuracy - (906 + n_nil_correct) / 2980) < 1e-12
+    assert 0.0 <= m.cand_precision <= 1.0 and 0.0 <= m.nil_recall <= 1.0
+    # disambiguation accuracy denominator: >=2 groups and gold in cand set
+    denom = sum(
+        1
+        for r in report_rows
+        if len(r["cand_groups"]) >= 2
+        and r["gold_ref"]
+        and any(
+            r["gold_ref"].lower() in u.lower()
+            for g in r["cand_groups"]
+            for u in g
+        )
+    )
+    num = sum(
+        1
+        for r in report_rows
+        if len(r["cand_groups"]) >= 2
+        and r["gold_ref"]
+        and r["chosen"]
+        and r["gold_ref"] in r["chosen"]
+        and any(
+            r["gold_ref"].lower() in u.lower()
+            for g in r["cand_groups"]
+            for u in g
+        )
+    )
+    assert abs(m.disamb_accuracy - num / denom) < 1e-12
