@@ -1,0 +1,7 @@
+"""Structured Streaming surface (events table).
+
+The reference is batch-only (SURVEY.md §2.6) and the KG pipeline stays
+batch+resume; this package covers the stream-shaped ``events`` table:
+the SAME declarative plan runs as a batch query (contract `events_window`)
+and as an incremental stream with watermarked late-data handling.
+"""

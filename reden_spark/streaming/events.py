@@ -1,0 +1,197 @@
+"""Streaming analytics over the events table.
+
+Design: one *plan function* (``windowed_counts``) shared by the batch
+contract query and the streaming job — Structured Streaming's contract is
+exactly that the incremental execution converges to the batch answer, so
+the test asserts it.  Late data is bounded with a watermark; the custom
+stateful operator (per-user gap sessionization) uses
+``applyInPandasWithState`` — the Spark-native replacement for hand-rolled
+per-key state machines, Arrow-batched per group.
+
+At scale: the parquet/file source here stands in for Kafka/Iceberg CDC;
+state is partitioned by user_id across executors, watermark bounds the
+state store, and ``availableNow`` gives batched catch-up runs the same
+code path as the 24/7 stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type counts + value sum — identical plan for
+    batch and stream inputs."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over the events parquet (stands in for Kafka)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_windowed_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked incremental version of ``windowed_counts``: state for
+    windows older than the watermark is evicted; with ``availableNow`` the
+    final answer equals the batch plan on the same input."""
+    return windowed_counts(events_stream.withWatermark("ts", watermark), window)
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# state carries integer MICROSECONDS (exact, Arrow-safe; float seconds
+# reintroduce sub-us noise the Arrow safe-cast rejects)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch oracle for gap sessionization: a session breaks when the gap
+    to the previous event of the same user exceeds ``gap_minutes`` — pure
+    window functions, no state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps (parquet default) can't cast to double directly
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return marked.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).drop("session_id")
+
+
+def make_sessionizer(gap_minutes: int = 30):
+    """The stateful kernel for ``applyInPandasWithState``: per user_id,
+    emit a session row whenever the gap closes one; keep the open session
+    in state (with processing-time timeout flushing idle users).
+
+    Ordering contract: events may arrive unordered WITHIN a microbatch
+    (sorted here), but batches must be non-decreasing in event time per
+    key — what a Kafka partition keyed by user gives.  Arbitrarily late
+    events would need interval-merge state + watermark eviction instead.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s[0] * 1000) for s in sessions],
+                "session_end": [pd.Timestamp(s[1] * 1000) for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, end_us, n = state.get
+                state.remove()
+                yield emit(user_id, [(start_us, end_us, n)])
+            return
+
+        ts = (
+            pd.concat([pdf["ts"] for pdf in pdfs])
+            .sort_values()
+            .astype("int64")
+            .floordiv(1000)  # ns → us, exact
+            .tolist()
+        )
+        out = []
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = None
+            n = 0
+        for t in ts:
+            if start_us is None:
+                start_us = end_us = t
+                n = 1
+            elif t - end_us > gap_us:
+                out.append((start_us, end_us, n))
+                start_us = end_us = t
+                n = 1
+            else:
+                end_us = t
+                n += 1
+        state.update((int(start_us), int(end_us), int(n)))
+        state.setTimeoutDuration(60 * 1000)
+        if out:
+            yield emit(user_id, out)
+
+    return fn
+
+
+def stream_sessions(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessions via
+    applyInPandasWithState (closed sessions are emitted; the open tail
+    stays in state until its timeout)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_minutes),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,68 @@
+"""Checkpoint-resume: second run recomputes nothing, forced stages
+recompute selectively, results identical (north_rule resumability)."""
+
+from __future__ import annotations
+
+from reden_spark.corpus import corpus_to_spark
+from reden_spark.plans.resume import StageRunner, run_pipeline_resumable
+
+
+def _triples_set(df):
+    return {
+        (r.subj, r.pred, r.obj, r.canon_subj)
+        for r in df.select("subj", "pred", "obj", "canon_subj").collect()
+    }
+
+
+def test_resume_skips_completed_stages(spark, tiny_corpus, tmp_path):
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    root = str(tmp_path / "ckpt")
+
+    r1 = StageRunner(spark, root)
+    kg1 = run_pipeline_resumable(r1, docs, dico, triples, rels)
+    want = _triples_set(kg1)
+    assert want
+    assert r1.computed and not r1.resumed
+
+    r2 = StageRunner(spark, root)
+    kg2 = run_pipeline_resumable(r2, docs, dico, triples, rels)
+    assert _triples_set(kg2) == want
+    assert not r2.computed, f"recomputed: {r2.computed}"
+    assert set(r2.resumed) == set(r1.computed)
+
+    # metrics manifest: per-stage row counts + per-partition breakdown
+    m = r2.metrics()
+    n_rows = kg2.count()  # one row per mention occurrence (lineage kept)
+    assert m["s10_kg"]["rows"] == n_rows
+    assert sum(p["rows"] for p in m["s10_kg"]["partitions"]) == n_rows
+
+    # forcing one mid-pipeline stage recomputes only it (downstream stages
+    # read their own checkpoints)
+    r3 = StageRunner(spark, root, force=("s7_edges",))
+    kg3 = run_pipeline_resumable(r3, docs, dico, triples, rels)
+    assert _triples_set(kg3) == want
+    assert r3.computed == ["s7_edges"]
+
+
+def test_resume_recomputes_on_missing_or_bad_manifest(spark, tiny_corpus, tmp_path):
+    import os
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    root = str(tmp_path / "ckpt2")
+
+    r1 = StageRunner(spark, root)
+    r1.stage("s", lambda: docs.select("repo", "path"))
+    assert r1.computed == ["s"]
+
+    # interrupted write (manifest missing) → stage recomputes
+    os.remove(os.path.join(root, "s", "_reden_manifest.json"))
+    r2 = StageRunner(spark, root)
+    r2.stage("s", lambda: docs.select("repo", "path"))
+    assert r2.computed == ["s"] and not r2.resumed
+
+    # corrupt manifest → stage recomputes (no crash)
+    with open(os.path.join(root, "s", "_reden_manifest.json"), "w") as fh:
+        fh.write("{not json")
+    r3 = StageRunner(spark, root)
+    r3.stage("s", lambda: docs.select("repo", "path"))
+    assert r3.computed == ["s"]

@@ -1,0 +1,111 @@
+"""Streaming vs batch convergence on the events table: the watermarked
+incremental plan (availableNow) must produce the batch answer; the
+stateful sessionizer must emit exactly the batch-window sessions (open
+tails excluded)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reden_spark.streaming.events import (
+    read_events_stream,
+    sessionize_batch,
+    stream_sessions,
+    stream_windowed_counts,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    # several time-range files → >1 microbatch, arriving in event-time
+    # order (the per-partition ordering a Kafka source provides; the
+    # sessionizer documents this contract)
+    p = str(tmp_path_factory.mktemp("events_stream") / "events")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def _run_stream(df, name, timeout_s=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def test_stream_matches_batch_windowed_counts(spark, events_path):
+    import datetime
+
+    events = spark.read.parquet(events_path)
+    batch = windowed_counts(events)
+    all_rows = {
+        (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in batch.collect()
+    }
+    # append mode finalizes a window only once the watermark (max event
+    # time - 2h) passes its END; the tail windows legitimately stay open
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    want = {
+        k: v
+        for k, v in all_rows.items()
+        if k[0] + datetime.timedelta(hours=1) <= horizon
+    }
+
+    stream = stream_windowed_counts(read_events_stream(spark, events_path))
+    _run_stream(stream, "wc_sink")
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in spark.sql("select * from wc_sink").collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_stateful_sessionizer_matches_batch(spark, events_path):
+    events = spark.read.parquet(events_path)
+    batch = sessionize_batch(events, gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    # streaming emits only CLOSED sessions; the per-user last session stays
+    # in state at end-of-input
+    open_tail = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.desc("session_end"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+
+    sessions = stream_sessions(read_events_stream(spark, events_path), gap_minutes=30)
+    _run_stream(sessions, "sess_sink")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_sink").collect()
+    }
+    assert got <= want, f"unexpected sessions: {list(got - want)[:3]}"
+    assert want - open_tail <= got, (
+        f"missing closed sessions: {list(want - open_tail - got)[:3]}"
+    )
