@@ -819,12 +819,15 @@ def q_doc_fingerprint(spark, sf_dir):
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content sha256 (prefix used to induce
-    collisions in the synthetic corpus), keep min doc_id."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.groupBy(
-        F.sha2(F.substring("text", 1, 40), 256).alias("content_key")
-    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    """Exact dedup via operators/dedup.exact_dedup: hash-groupBy on
+    content sha256 (prefix used to induce collisions in the synthetic
+    corpus), keep min doc_id."""
+    from reden_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return exact_dedup(docs)
 
 
 @query(
@@ -843,27 +846,13 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: token-set Jaccard with shared-token blocking
-    (the n-gram Jaccard family; exact integer counts → exact double)."""
-    toks = (
-        _tokens(spark, sf_dir).filter(F.col("doc_id") < 80).select("doc_id", "tok").distinct()
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
-    j = (
-        inter.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return j.select("a", "b", "jaccard")
+    """Near-dup detection via operators/dedup.jaccard_pairs: token-set
+    Jaccard with shared-token blocking (exact integer counts → exact
+    double)."""
+    from reden_spark.operators.dedup import jaccard_pairs, token_set
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return jaccard_pairs(token_set(docs), threshold=0.5)
 
 
 _MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
@@ -894,40 +883,12 @@ _MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
     """,
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: token shingles → 8 portable minhash
-    values → 2 bands of 4 rows → bucket self-join (a < b)."""
-    from reden_spark.functions.text import char_hash_inner
+    """MinHash+LSH near-dup candidates via operators/dedup: token shingles
+    → 8 portable minhash values → 2 bands of 4 rows → bucket self-join."""
+    from reden_spark.operators.dedup import minhash_lsh_pairs
 
-    toks = _tokens(spark, sf_dir).select("doc_id", "tok").distinct()
-    h = toks.select("doc_id", char_hash_inner(F.col("tok")).alias("th"))
-    aggs = [
-        F.min((F.col("th") * a + b) % 1000000007).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MINHASH_PARAMS)
-    ]
-    sig = h.groupBy("doc_id").agg(*aggs)
-    band0 = sig.select(
-        "doc_id",
-        F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(4)]).alias("band"),
-        F.lit(0).alias("band_id"),
-    )
-    band1 = sig.select(
-        "doc_id",
-        F.concat_ws("_", *[F.col(f"mh{i}").cast("string") for i in range(4, 8)]).alias("band"),
-        F.lit(1).alias("band_id"),
-    )
-    bands = band0.unionByName(band1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
 
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (operators/similarity.py)
@@ -957,28 +918,15 @@ _DOT_SQL = """
     """,
 )
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k ANN baseline: sequential-fold dot products
-    (bit-identical in both engines), rank by (cos DESC, neighbor ASC)."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norms = emb.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    q = norms.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    sims = q.join(norms, q.qid != norms.vec_id).select(
-        F.col("qid").alias("vec_id"),
-        F.col("vec_id").alias("neighbor"),
-        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
-        .select("vec_id", "neighbor", "rank")
+    """Brute-force cosine top-k via operators/similarity.cosine_topk:
+    sequential-fold dot products (bit-identical in both engines), rank by
+    (cos DESC, neighbor ASC)."""
+    from reden_spark.operators.similarity import cosine_topk, with_norms
+
+    emb = with_norms(_read(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("id") < 100)
+    return cosine_topk(q, emb, k=3).select(
+        F.col("id").alias("vec_id"), "neighbor", "rank"
     )
 
 
@@ -998,17 +946,12 @@ def q_ann_cosine_topk(spark, sf_dir):
     """,
 )
 def q_ann_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing (the scale path for ANN): 6 sign bits → bucket id;
-    at 100 TB the self-join runs within buckets only."""
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("v"))
-    bucket = sum(
-        F.when(F.col("v")[i] >= 0, 1 << i).otherwise(0) for i in range(6)
-    )
-    return (
-        emb.select(bucket.cast("long").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vectors"))
-    )
+    """Sign-LSH bucketing via operators/similarity (the scale path for
+    ANN): 6 sign bits → bucket id; at 100 TB the self-join runs within
+    buckets only."""
+    from reden_spark.operators.similarity import lsh_bucket_counts
+
+    return lsh_bucket_counts(_read(spark, sf_dir, "embeddings"))
 
 
 @query(
@@ -1027,25 +970,14 @@ def q_ann_lsh_buckets(spark, sf_dir):
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash document signatures: sign of per-bit sums of token-hash bits
-    (16-bit, portable integer arithmetic)."""
-    from reden_spark.functions.text import char_hash_inner
+    """SimHash document signatures via operators/dedup.simhash_signatures:
+    sign of per-bit sums of token-hash bits (16-bit, portable integer
+    arithmetic)."""
+    from reden_spark.operators.dedup import simhash_signatures, token_set
 
-    toks = (
-        _tokens(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "tok").distinct()
-    )
-    h = toks.select("doc_id", char_hash_inner(F.col("tok")).alias("th"))
-    bits = h.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "th"
-    ).groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when((F.col("th").cast("long") / F.pow(F.lit(2), F.col("bit")).cast("long")).cast("long") % 2 == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(0)
-        ).cast("long").alias("simhash")
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_signatures(token_set(docs)).select(
+        F.col("id").alias("doc_id"), "simhash"
     )
 
 
@@ -1083,6 +1015,220 @@ def q_events_json(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "enrich_props",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(s_suppkey % 40 AS VARCHAR) AS subj,
+             CASE s_suppkey % 4
+               WHEN 0 THEN 'http://www.w3.org/2003/01/geo/wgs84_pos#lat'
+               WHEN 1 THEN 'http://dbpedia.org/ontology/lat'
+               WHEN 2 THEN 'http://xmlns.com/foaf/0.1/name'
+               ELSE 'http://other/p' END AS pred,
+             CASE WHEN s_suppkey % 4 IN (0, 1)
+                  THEN CAST(CAST(s_suppkey % 90 AS DOUBLE) AS VARCHAR)
+                  ELSE 'name' || CAST(s_suppkey AS VARCHAR) END AS obj
+      FROM supplier),
+    ann AS (
+      SELECT 'u' || CAST(o_custkey % 40 AS VARCHAR) AS subj FROM orders
+      WHERE o_orderkey % 3 = 0),
+    ent AS (SELECT subj AS uri, count(*) AS occurrences FROM ann GROUP BY 1),
+    best_name AS (
+      SELECT uri, obj AS name FROM (
+        SELECT subj AS uri, obj,
+               row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+        FROM tr WHERE pred = 'http://xmlns.com/foaf/0.1/name') WHERE rn = 1),
+    best_lat AS (
+      SELECT uri, obj AS lat_raw FROM (
+        SELECT subj AS uri, obj,
+               row_number() OVER (
+                 PARTITION BY subj
+                 ORDER BY CASE pred
+                   WHEN 'http://www.w3.org/2003/01/geo/wgs84_pos#lat' THEN 1
+                   ELSE 2 END, obj) AS rn
+        FROM tr WHERE pred IN ('http://www.w3.org/2003/01/geo/wgs84_pos#lat',
+                               'http://dbpedia.org/ontology/lat')) WHERE rn = 1)
+    SELECT e.uri, e.occurrences, n.name, CAST(l.lat_raw AS DOUBLE) AS lat
+    FROM ent e LEFT JOIN best_name n ON e.uri = n.uri
+               LEFT JOIN best_lat l ON e.uri = l.uri
+    """,
+)
+def q_enrich_props(spark, sf_dir):
+    """Enrichment property-priority lookup
+    (operators/enrich.property_by_priority — getValFromProperty,
+    EnrichmentHandler.java:162-187) + occurrence counts over a derived
+    annotations/triples pair.
+
+    NOTE on determinism: multiple triples can share (uri, rank); both
+    engines pick min(obj) within the best rank because the min-struct
+    includes obj."""
+    from reden_spark.operators.enrich import occurrence_counts, property_by_priority
+
+    sup = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    tr = sup.select(
+        F.concat(F.lit("u"), (k % 40).cast("string")).alias("subj"),
+        F.when(k % 4 == 0, F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#lat"))
+        .when(k % 4 == 1, F.lit("http://dbpedia.org/ontology/lat"))
+        .when(k % 4 == 2, F.lit("http://xmlns.com/foaf/0.1/name"))
+        .otherwise(F.lit("http://other/p"))
+        .alias("pred"),
+        F.when(k % 4 <= 1, (k % 90).cast("double").cast("string"))
+        .otherwise(F.concat(F.lit("name"), k.cast("string")))
+        .alias("obj"),
+    )
+    ann = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.concat(F.lit("u"), (F.col("o_custkey") % 40).cast("string")).alias("subj"))
+    )
+    ent = occurrence_counts(ann)
+    ent = property_by_priority(tr, ent, ["http://xmlns.com/foaf/0.1/name"], "name")
+    ent = property_by_priority(
+        tr,
+        ent,
+        [
+            "http://www.w3.org/2003/01/geo/wgs84_pos#lat",
+            "http://dbpedia.org/ontology/lat",
+        ],
+        "lat_raw",
+    )
+    return ent.select(
+        "uri", "occurrences", "name", F.col("lat_raw").cast("double").alias("lat")
+    )
+
+
+@query(
+    "dico_build",
+    f"""
+    WITH dump AS (
+      SELECT 'http://kb/auth/' || CAST(c_custkey % 200 AS VARCHAR) AS uri,
+             'Cust' || CAST(c_custkey % 7 AS VARCHAR) AS first_,
+             'L' || CAST(c_custkey % 13 AS VARCHAR) AS last_,
+             CASE WHEN c_custkey % 2 = 0 THEN 'Mme' ELSE 'M' END AS title_,
+             'C' AS ini_,
+             1850 + c_custkey % 100 AS birth,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN 'Alt ' || CAST(c_custkey % 11 AS VARCHAR) || ' (writer)'
+                  ELSE NULL END AS alt_raw
+      FROM customer),
+    authors AS (
+      SELECT uri, min(first_) AS first_, min(last_) AS last_, min(title_) AS title_,
+             min(ini_) AS ini_, min(birth) AS birth,
+             list_sort(list_distinct(list_filter(list(trim(regexp_replace(alt_raw, '\\(.*$', '', 'g'))), x -> x IS NOT NULL))) AS alts
+      FROM dump GROUP BY uri),
+    filtered AS (SELECT * FROM authors WHERE birth > 1860 AND birth < 1940),
+    aliases AS (
+      SELECT uri, unnest(list_distinct(list_concat({_ALIAS_FORMS_SQL}, alts))) AS alias
+      FROM filtered)
+    SELECT DISTINCT
+      lower(regexp_replace(alias, '[\\s''\\-]+', '', 'g')) AS alias_norm, uri
+    FROM aliases WHERE alias <> ''
+    """,
+)
+def q_dico_build(spark, sf_dir):
+    """Mode-2 dictionary construction end-to-end
+    (operators/dict_build: merge author records → date window → alias
+    cross-product + alt labels → normalized alias keys), checked on its
+    (alias_norm, uri) projection."""
+    from reden_spark.operators.dict_build import (
+        build_dictionary,
+        date_window,
+        merge_author_records,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dump = cust.select(
+        F.concat(F.lit("http://kb/auth/"), (k % 200).cast("string")).alias("uri"),
+        F.concat(F.lit("Cust"), (k % 7).cast("string")).alias("first"),
+        F.concat(F.lit("L"), (k % 13).cast("string")).alias("last"),
+        F.when(k % 2 == 0, F.lit("female")).otherwise(F.lit("male")).alias("gender"),
+        (1850 + k % 100).cast("string").alias("birth_raw"),
+        F.lit(None).cast("string").alias("death_raw"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("Alt "), (k % 11).cast("string"), F.lit(" (writer)")),
+        ).alias("alt_label"),
+        F.lit(None).cast("string").alias("sameas_uri"),
+    )
+    authors = merge_author_records(dump)
+    authors = date_window(authors, greater_than=1860, lesser_than=1940)
+    d = build_dictionary(authors)
+    return d.select("alias_norm", F.col("uris")[0].alias("uri")).distinct()
+
+
+@query(
+    "sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (streaming/events.sessionize_batch — the batch
+    oracle of the applyInPandasWithState stateful operator) vs a DuckDB
+    window-function oracle."""
+    from reden_spark.streaming.events import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "ann_lsh_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, bucket, v,
+             sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(1, 65), i -> v[i] * v[i])),
+                  (x, y) -> x + y)) AS nrm
+      FROM e),
+    sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+               (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+      FROM norms a JOIN norms b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor, rank FROM (
+      SELECT vec_id, neighbor,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor ASC) AS rank
+      FROM sims) WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN (operators/similarity.lsh_cosine_topk): cosine top-k
+    restricted to sign-LSH buckets — the join that scales."""
+    from reden_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, k=3, n_bits=4).select(
+        F.col("id").alias("vec_id"), "neighbor", "rank"
     )
 
 

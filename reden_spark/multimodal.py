@@ -1,0 +1,186 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched ``mapInPandas`` kernels.
+
+The container has no image/audio codecs, so the *decode* kernels are
+deterministic stubs (documented below) behind the same Spark plumbing a
+real decoder would use — schema, partitioning, batch shape and UDF
+signatures are production-real; swapping in PIL/torchaudio is a one-line
+change inside the kernel.
+
+Scale notes: binary payloads dominate row size → keep
+``spark.sql.files.maxPartitionBytes`` small for these tables, select
+metadata columns WITHOUT the blob when possible (column pruning skips the
+bytes entirely in parquet), and fan heavy kernels out with mapInPandas so
+each Arrow batch holds a bounded number of blobs
+(``arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """STUB decoder: a real kernel would decode the image/audio and run a
+    feature extractor; this derives a deterministic unit vector from the
+    byte content (sha256-seeded) so tests are exact and the data flow —
+    bytes in, fixed-dim float vector out — is the real one."""
+    digest = hashlib.sha256(blob).digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+    v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """media table → per-blob feature vectors via mapInPandas (one Arrow
+    batch of blobs at a time; never per-row Python)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content_sha256": blobs.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "feature": blobs.map(
+                        lambda b: _fake_decode_features(b, dim).tolist()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize kernel (STUB): real impl decodes + resamples; the stub
+    halves dimensions until <= max_side and truncates bytes
+    proportionally — preserving the pipeline contract (smaller metadata,
+    smaller blob, deterministic)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, blobs = [], [], []
+            for w, h, blob in zip(pdf["width"], pdf["height"], pdf["content"]):
+                w, h = int(w or 0), int(h or 0)
+                scale = 1
+                while max(w, h) > max_side and max(w, h) > 0:
+                    w, h, scale = w // 2, h // 2, scale * 2
+                ws.append(w)
+                hs.append(h)
+                blobs.append(bytes(blob[: max(1, len(blob) // (scale * scale))]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "content": blobs,
+                }
+            )
+
+    return media.filter("kind = 'image'").select(
+        "media_id", "width", "height", "content"
+    ).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling (STUB): real impl seeks+decodes frames; the
+    stub emits one row per sampled timestamp with a deterministic frame
+    fingerprint — the fan-OUT shape (one blob → many frame rows) is the
+    real contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_sha256": []}
+            for mid, dur, blob in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["content"]
+            ):
+                dur = int(dur or 0)
+                for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(bytes(blob) + ts.to_bytes(8, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter("kind = 'video'").select(
+        "media_id", "duration_ms", "content"
+    ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic in-repo media fixture (no external data): blobs are
+    seeded byte strings; kinds cycle image/audio/video."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                640 if kind == "image" else None,
+                480 if kind == "image" else None,
+                (i % 5 + 1) * 2500 if kind == "video" else None,
+                bytes(blob),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,165 @@
+"""Deduplication family for the training-data pipeline: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+All portable-arithmetic (explicit polynomial hashes, integer ops) so the
+DuckDB oracles in contract.py verify values bit-for-bit.  Scale stance:
+
+  * exact: one hash aggregation on sha256(content) — map-side partial agg,
+    a single shuffle of (hash, min_id, count).
+  * MinHash+LSH: per-doc signature is a groupBy agg (one shuffle), band
+    bucketing replaces the O(n²) pair join with a per-bucket self-join —
+    the ONLY join is on (band_id, band) buckets, where collisions are
+    rare-by-construction; hot buckets (boilerplate docs) are bounded by a
+    per-bucket cap, the same guardrail as the reference's 100-candidate
+    Lucene cap (DicoProcessingNEL.java:319).
+  * SimHash: per-bit sums via explode+agg; hamming-adjacent blocking at
+    scale would bucket on bit-prefixes (same LSH shape).
+  * n-gram Jaccard: shared-token blocking join; exact but quadratic per
+    block — the verification path behind the MinHash candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reden_spark.functions.text import char_hash_inner
+
+MOD = 1_000_000_007
+MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
+
+
+def token_set(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok) distinct whitespace tokens — the shingle universe."""
+    return (
+        documents.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on content hash: (content_key, keep_id, n_dups)."""
+    return documents.groupBy(
+        F.sha2(F.col(text_col), 256).alias("content_key")
+    ).agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+
+
+def minhash_signatures(toks: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(id, mh0..mhk): portable minhash of the token set."""
+    h = toks.select("id", char_hash_inner(F.col("tok")).alias("th"))
+    aggs = [
+        F.min((F.col("th") * a + b) % MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 2, rows_per_band: int = 4, bucket_cap: int | None = None
+) -> DataFrame:
+    """Banded LSH: equal band → candidate pair (a < b).  ``bucket_cap``
+    bounds pathological buckets (boilerplate duplicates) at scale."""
+    band_frames = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_frames.append(
+            sig.select(
+                "id",
+                F.concat_ws("_", *cols).alias("band"),
+                F.lit(b).alias("band_id"),
+            )
+        )
+    all_bands = band_frames[0]
+    for f in band_frames[1:]:
+        all_bands = all_bands.unionByName(f)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band").orderBy("id")
+        all_bands = (
+            all_bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= bucket_cap)
+            .drop("rn")
+        )
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, **kwargs) -> DataFrame:
+    """documents → near-dup candidate pairs (a, b)."""
+    return lsh_candidate_pairs(minhash_signatures(token_set(documents)), **kwargs)
+
+
+def jaccard_pairs(
+    toks: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard over shared-token blocked pairs:
+    (a, b, jaccard >= threshold).  Exact integer counts → exact double."""
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_signatures(toks: DataFrame, bits: int = 16) -> DataFrame:
+    """(id, simhash): sign of per-bit sums of token-hash bits."""
+    h = toks.select("id", char_hash_inner(F.col("tok")).alias("th"))
+    per_bit = (
+        h.select(
+            "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), "th"
+        )
+        .groupBy("id", "bit")
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        F.col("th").cast("long")
+                        / F.pow(F.lit(2), F.col("bit")).cast("long")
+                    ).cast("long")
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,100 @@
+"""Dictionary construction (Mode 2, -createDico) as one batch job over a
+pre-materialized authority dump.
+
+Reference lifecycle (AppAdhoc.crawlsLinkedData, AppAdhoc.java:49-292):
+per source, shard SPARQL queries by first letter a-z+'other', group
+multi-row solutions by author URI, collect alt labels, filter by birth
+date window, generate ~15-22 surface aliases per author
+(AuthorBNF.makeAliases, AuthorBNF.java:138-192), write TSV shards with
+skip-if-exists resume (QueryAuthorBNF.java:60-66, 161-266).
+
+Spark-first: the SPARQL endpoint becomes a ``dump`` DataFrame
+``(uri, pred, obj)`` or a pre-grouped ``(uri, name, first, last, gender,
+birth, death, alt_labels)`` table; the whole mode is filter → groupBy →
+alias-explode → write partitioned by first_letter (the reference's
+sharding becomes the partition spec, its resume becomes
+plans.resume.StageRunner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reden_spark.functions.aliases import make_aliases_udf, normalized_name
+from reden_spark.functions.normalize import first_letter, norm_key, sanitize_year
+
+
+def merge_author_records(dump: DataFrame) -> DataFrame:
+    """Group per-solution rows by author uri
+    (QueryAuthorBNF.processResults:161-240): collect distinct alt labels,
+    first of the scalar fields, sanitized years."""
+    # min() not first(): deterministic under any partitioning (the
+    # reference's HashMap "first wins" is order-dependent; SURVEY.md §7)
+    return dump.groupBy("uri").agg(
+        F.min("first").alias("first"),
+        F.min("last").alias("last"),
+        F.min("gender").alias("gender"),
+        F.min(sanitize_year("birth_raw")).alias("birth"),
+        F.min(sanitize_year("death_raw")).alias("death"),
+        F.array_distinct(
+            F.collect_list(
+                # strip "(…)" qualifiers from alt labels
+                F.trim(F.regexp_replace("alt_label", r"\(.*$", ""))
+            )
+        ).alias("alt_labels"),
+        F.array_distinct(F.collect_list("sameas_uri")).alias("equivalents"),
+    )
+
+
+def date_window(authors: DataFrame, greater_than: int | None, lesser_than: int | None) -> DataFrame:
+    """Temporal domain filter (config dates, AppAdhoc.java:301-324;
+    QueryAuthorBNF.java:69-85)."""
+    out = authors
+    if greater_than is not None:
+        out = out.filter(F.col("birth") > greater_than)
+    if lesser_than is not None:
+        out = out.filter(F.col("birth") < lesser_than)
+    return out
+
+
+def build_dictionary(
+    authors: DataFrame, tag: str = "persName", base_uri_col: str = "uri"
+) -> DataFrame:
+    """authors → one dictionary row per generated alias:
+    ``(tag, alias, alias_norm, normalized_name, uris)`` where uris =
+    [base uri] + owl:sameAs equivalents — one candidate GROUP per row
+    (the TSV tail, QueryAuthorBNF.java:254-266)."""
+    gen = authors.select(
+        F.col(base_uri_col).alias("base_uri"),
+        normalized_name("first", "last", "birth", "death").alias("normalized_name"),
+        F.array_union(
+            F.array(F.col(base_uri_col)),
+            F.coalesce("equivalents", F.array().cast("array<string>")),
+        ).alias("uris"),
+        F.explode(
+            F.array_union(
+                make_aliases_udf("first", "last", "gender"),
+                F.coalesce("alt_labels", F.array().cast("array<string>")),
+            )
+        ).alias("alias"),
+    ).filter(F.col("alias") != "")
+    return gen.select(
+        F.lit(tag).alias("tag"),
+        "alias",
+        norm_key("alias").alias("alias_norm"),
+        "normalized_name",
+        "uris",
+    ).dropDuplicates(["alias_norm", "uris"])
+
+
+def write_dictionary(dictionary: DataFrame, path: str, mode: str = "overwrite"):
+    """Partitioned parquet sink keyed by the reference's a-z+'other' shard
+    letter — partition pruning replaces per-shard files."""
+    (
+        dictionary.withColumn("first_letter", first_letter("alias"))
+        .repartition("first_letter")
+        .write.partitionBy("first_letter")
+        .mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,83 @@
+"""Entity enrichment (Mode 3, -produceData4Visu).
+
+Reference: read annotated TEI, count per-URI occurrences, then look up
+property values by an ordered priority list over each entity's cached RDF
+(first non-null of e.g. geo:lat, then dbpedia-owl:lat …), emit GeoJSON
+(EnrichmentHandler.java:51-153, property priority ``getValFromProperty``
+:162-187; GeodataGeneration.java:32-72; AuthorsEnrichment.java:29-75).
+
+Spark-first: annotations ⋈ triples is one join; the priority lookup is a
+conditional aggregation per (uri, property-rank) + ``coalesce`` — no
+per-entity loops, no Jena.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def occurrence_counts(annotations: DataFrame, uri_col: str = "subj") -> DataFrame:
+    """Per-URI mention counts across the corpus
+    (EnrichmentHandler.java:80-94)."""
+    return annotations.groupBy(F.col(uri_col).alias("uri")).agg(
+        F.count("*").alias("occurrences")
+    )
+
+
+def property_by_priority(
+    triples: DataFrame, uris: DataFrame, priority: list[str], out_col: str
+) -> DataFrame:
+    """First non-null property value following the ordered ``priority``
+    list (getValFromProperty, EnrichmentHandler.java:162-187):
+    min-by-rank over the matching triples of each uri, then coalesce —
+    one shuffle on uri."""
+    rank = F.array_position(
+        F.array(*[F.lit(p) for p in priority]), F.col("pred")
+    )
+    matched = (
+        triples.join(uris.select(F.col("uri").alias("subj")), "subj", "left_semi")
+        .withColumn("rank", rank)
+        .filter(F.col("rank") > 0)
+    )
+    best = (
+        matched.groupBy("subj")
+        .agg(F.min(F.struct("rank", "obj")).alias("b"))
+        .select(F.col("subj").alias("uri"), F.col("b.obj").alias(out_col))
+    )
+    return uris.join(best, "uri", "left")
+
+
+def enrich_entities(
+    annotations: DataFrame,
+    triples: DataFrame,
+    lat_priority: list[str] | None = None,
+    lon_priority: list[str] | None = None,
+    name_priority: list[str] | None = None,
+    uri_col: str = "subj",
+) -> DataFrame:
+    """(uri, occurrences, name, lat, lon) — the GeoJSON feed
+    (sources/reports.geojson_features)."""
+    lat_priority = lat_priority or [
+        "http://www.w3.org/2003/01/geo/wgs84_pos#lat",
+        "http://dbpedia.org/ontology/lat",
+    ]
+    lon_priority = lon_priority or [
+        "http://www.w3.org/2003/01/geo/wgs84_pos#long",
+        "http://dbpedia.org/ontology/long",
+    ]
+    name_priority = name_priority or [
+        "http://xmlns.com/foaf/0.1/name",
+        "http://www.w3.org/2000/01/rdf-schema#label",
+    ]
+    ent = occurrence_counts(annotations, uri_col)
+    ent = property_by_priority(triples, ent, name_priority, "name")
+    ent = property_by_priority(triples, ent, lat_priority, "lat_raw")
+    ent = property_by_priority(triples, ent, lon_priority, "lon_raw")
+    return ent.select(
+        "uri",
+        "occurrences",
+        "name",
+        F.col("lat_raw").cast("double").alias("lat"),
+        F.col("lon_raw").cast("double").alias("lon"),
+    )

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; sign-LSH bucketing
+is the scale path (candidate pairs only within buckets — turns the O(n·q)
+cross join into per-bucket joins).  Dot products use native higher-order
+functions (zip_with + aggregate — JVM-side, no Python); the sequential
+fold matches DuckDB's list_reduce bit-for-bit, which the contract oracles
+rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norms(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v array<double>, nrm) — upcast once, norm precomputed."""
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("id"), v.alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query: (id, neighbor, rank).
+    Deterministic rank order (cos DESC, neighbor ASC).  ``queries`` and
+    ``corpus`` are with_norms outputs; at scale broadcast the (small)
+    query side so the corpus scan stays shuffle-free."""
+    q = queries.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sims = q.join(corpus, F.col("qid") != F.col("id")).select(
+        F.col("qid").alias("id_out"),
+        F.col("id").alias("neighbor"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("id_out").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id_out").alias("id"), "neighbor", "rank")
+    )
+
+
+def sign_lsh_bucket(vec_col, n_bits: int = 6):
+    """Column expr: bucket id from the signs of the first n_bits dims (a
+    fixed random-hyperplane family would broadcast projection vectors; the
+    axis-aligned variant keeps the oracle portable)."""
+    return sum(
+        F.when(F.col(vec_col)[i] >= 0, 1 << i).otherwise(0) for i in range(n_bits)
+    ).cast("long")
+
+
+def lsh_bucket_counts(embeddings: DataFrame, vec_col: str = "embedding", n_bits: int = 6) -> DataFrame:
+    return (
+        embeddings.select(sign_lsh_bucket(vec_col, n_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: cosine top-k WITHIN sign-LSH buckets — approximate
+    (misses cross-bucket neighbors) but turns the all-pairs join into
+    bucket-local joins; recall grows with multiple hash tables (union of
+    bucketings), the standard LSH trade."""
+    e = with_norms(embeddings, id_col, vec_col).withColumn(
+        "bucket", sign_lsh_bucket("v", n_bits)
+    )
+    a = e.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    sims = a.join(e, ["bucket"]).filter(F.col("qid") != F.col("id")).select(
+        F.col("qid").alias("id_out"),
+        F.col("id").alias("neighbor"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("id_out").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id_out").alias("id"), "neighbor", "rank")
+    )

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic
+stub kernels (decode itself is stubbed — no codecs in this container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from reden_spark.multimodal import (
+    FEATURE_DIM,
+    _fake_decode_features,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+def test_extract_features(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    # deterministic: recompute one vector driver-side
+    blob = bytes(media.filter("media_id = 3").collect()[0].content)
+    want = _fake_decode_features(blob)
+    got = np.array(by_id[3].feature, dtype=np.float32)
+    assert np.allclose(got, want)
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-5
+    assert len(got) == FEATURE_DIM
+    assert by_id[3].content_sha256 == hashlib.sha256(blob).hexdigest()
+    assert by_id[3].n_bytes == len(blob)
+
+
+def test_resize_images(spark):
+    media = synth_media(spark, n=30)
+    out = {r.media_id: r for r in resize_images(media, max_side=256).collect()}
+    assert out, "no images"
+    src = {r.media_id: r for r in media.filter("kind = 'image'").collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert max(r.width, r.height) <= 256
+        assert 0 < len(bytes(r.content)) <= len(bytes(src[mid].content))
+
+
+def test_sample_frames(spark):
+    media = synth_media(spark, n=30)
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = {r.media_id: r for r in media.filter("kind = 'video'").collect()}
+    assert frames
+    per_vid = {}
+    for f in frames:
+        per_vid.setdefault(f.media_id, []).append(f)
+    assert set(per_vid) == set(vids)
+    for mid, fs in per_vid.items():
+        want_n = max(vids[mid].duration_ms, 1) // 1000 + (
+            1 if vids[mid].duration_ms % 1000 else 0
+        )
+        assert len(fs) == want_n
+        assert sorted(f.frame_idx for f in fs) == list(range(len(fs)))
+        assert len({f.frame_sha256 for f in fs}) == len(fs)
