@@ -28,7 +28,9 @@ HEADLINE = [
 ]
 
 
-def run_bench(sf_dir: str, cpus: str, queries: list[str] | None = None) -> dict:
+def run_bench(
+    sf_dir: str, cpus: str, queries: list[str] | None = None, replicate: int = 1
+) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from reden_spark.contract import QUERIES
     from reden_spark.flagship import flagship_kg_triples
@@ -37,15 +39,26 @@ def run_bench(sf_dir: str, cpus: str, queries: list[str] | None = None) -> dict:
     spark = get_spark("reden_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM (JIT, codegen, parquet reader, shuffle paths) before
+    # timing — standard practice; we measure the job, not cold-start
+    spark.range(2_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64).groupBy(
+        "lang"
+    ).count().collect()
+
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
 
     names = queries or HEADLINE
     timings: dict[str, float] = {}
+    n_triples = 0
+    nel_wall = None
     for name in names:
         t0 = time.time()
         if name == "nel_pipeline":
-            materialize(flagship_kg_triples(spark, sf_dir))
+            kg = flagship_kg_triples(spark, sf_dir, replicate=replicate)
+            n_triples = kg.count()
+            nel_wall = time.time() - t0
         else:
             materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
@@ -55,7 +68,7 @@ def run_bench(sf_dir: str, cpus: str, queries: list[str] | None = None) -> dict:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -63,10 +76,19 @@ def run_bench(sf_dir: str, cpus: str, queries: list[str] | None = None) -> dict:
         "sf": sf,
         "cpus": cpus,
     }
+    if nel_wall is not None:
+        out["kg_triples"] = n_triples
+        out["triples_per_sec"] = round(n_triples / nel_wall, 1)
+        out["replicate"] = replicate
+    return out
 
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    result = run_bench(sf_dir, cpus)
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    result = run_bench(
+        sf_dir, cpus, queries=only.split(",") if only else None, replicate=replicate
+    )
     print(json.dumps(result))

@@ -412,14 +412,14 @@ def q_prune_degree(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     lin = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
-    rp = [F.lit("r").alias("repo"), F.lit("p").alias("path")]
+    rp = [F.lit(0).cast("long").alias("doc_key")]
     cand = orders.select(
         *rp,
         (F.col("o_orderkey") % 50).alias("context_id"),
         lin("m", F.col("o_custkey") % 10).alias("mention"),
         lin("u", F.col("o_custkey") % 8).alias("uri"),
     ).dropDuplicates()
-    inv = cand.groupBy("repo", "path", "context_id", "uri").agg(
+    inv = cand.groupBy("doc_key", "context_id", "uri").agg(
         F.min("mention").alias("mention")
     )
     e0 = li.select(

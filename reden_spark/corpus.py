@@ -253,19 +253,44 @@ def corpus_to_spark(spark, corpus: Corpus):
     return docs, dico, triples, rels, gold
 
 
-def documents_from_testdata(spark, sf_dir: str):
+def documents_from_testdata(spark, sf_dir: str, replicate: int = 1):
     """Adapt the driver's documents.parquet (doc_id, text, lang, source,
     n_chars) to the Iceberg input shape (repo, path, commit, lang, content).
 
     Used by queries()/bench paths that must run on the shared test tables.
+    ``replicate`` unions K distinct-path copies — the scaling benchmark
+    uses it to get a compute-dominated run at both parallelism levels
+    (the driver tables are small; the 100 TB target is not).
     """
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return raw.select(
+    # repartition the SMALL pre-replicate frame (one parquet file = one
+    # input split): the broadcast-NLJ crossJoin preserves left
+    # partitioning, so the K-fold expansion runs on all cores instead of
+    # writing K x corpus through a single task
+    par = spark.sparkContext.defaultParallelism * 2
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    if replicate > 1:
+        copies = raw.crossJoin(
+            F.broadcast(spark.range(replicate).select(F.col("id").alias("copy")))
+        )
+    else:
+        copies = raw.withColumn("copy", F.lit(0))
+    return copies.select(
         F.col("source").alias("repo"),
-        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
-        F.sha2(F.concat_ws("/", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
+        F.concat(
+            F.lit("docs/"),
+            F.col("copy").cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.sha2(
+            F.concat_ws(
+                "/", "source", F.col("copy").cast("string"), F.col("doc_id").cast("string")
+            ),
+            256,
+        ).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )

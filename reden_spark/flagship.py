@@ -102,13 +102,20 @@ def synthetic_kb(spark: SparkSession, vocab: DataFrame):
     return dictionary, triples, rels
 
 
-def flagship_pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
-    raw = documents_from_testdata(spark, sf_dir)
-    vocab = _vocab(raw)
+def flagship_pipeline(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> PipelineResult:
+    raw = documents_from_testdata(spark, sf_dir, replicate=replicate)
+    # vocab is ~dozens of rows but its lineage scans every document —
+    # materialize once or every consumer (teiify pattern, dictionary,
+    # triples, CC) re-runs the full-corpus distinct
+    vocab = _vocab(raw).localCheckpoint(eager=True)
     docs = teiify(raw, vocab)
     dictionary, triples, rels = synthetic_kb(spark, vocab)
     return run_pipeline(docs, dictionary, triples, rels, tag_specs=("persName",))
 
 
-def flagship_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return flagship_pipeline(spark, sf_dir).kg_triples
+def flagship_kg_triples(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    return flagship_pipeline(spark, sf_dir, replicate=replicate).kg_triples

@@ -30,14 +30,20 @@ MAX_GROUPS = 100  # DicoProcessingNEL.java:319 — search(query, 100)
 def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
     """Dedup identical URI groups per (tag, alias) and assign a deterministic
     ``group_id`` (ordered by the group's first URI).  Runs once on the small
-    side; the window shuffles only the dictionary."""
+    side; the window shuffles only the dictionary.
+
+    ``n_groups`` (candidate-group count per alias, capped) rides along so
+    the big side never needs a per-mention window to learn its own
+    ambiguity — the broadcast join delivers it for free."""
     w = Window.partitionBy("tag", "alias_norm").orderBy(F.col("uris")[0].asc())
+    wc = Window.partitionBy("tag", "alias_norm")
     return (
         dictionary.withColumn("alias_norm", F.coalesce("alias_norm", norm_key("alias")))
         .dropDuplicates(["tag", "alias_norm", "uris"])
         .withColumn("group_id", F.row_number().over(w) - 1)
         .filter(F.col("group_id") < MAX_GROUPS)
-        .select("tag", "alias_norm", "normalized_name", "uris", "group_id")
+        .withColumn("n_groups", F.count("*").over(wc))
+        .select("tag", "alias_norm", "normalized_name", "uris", "group_id", "n_groups")
     )
 
 
@@ -51,7 +57,7 @@ def resolve_tag_collisions(mentions: DataFrame, tag_order: list[str]) -> DataFra
     m = mentions.withColumn("surface_norm", norm_key("surface")).withColumn(
         "tag_order", F.coalesce(order_map[F.col("tag")], F.lit(-1))
     )
-    w = Window.partitionBy("repo", "path", "context_id", "surface_norm")
+    w = Window.partitionBy("doc_key", "context_id", "surface_norm")
     return (
         m.withColumn(
             "lookup_tag",
@@ -89,10 +95,7 @@ def generate_candidates(
         ).drop("lookup_tag", "alias_norm")
         joined = skew.salted_join(big, small, "__jk", how="left").drop("__jk")
     return joined.select(
-        "repo",
-        "path",
-        "commit",
-        "content_sha256",
+        "doc_key",
         "context_id",
         "mention_idx",
         "tag",
@@ -102,6 +105,7 @@ def generate_candidates(
         "normalized_name",
         "group_id",
         "uris",
+        F.coalesce("n_groups", F.lit(0)).alias("n_groups"),
     )
 
 
@@ -110,15 +114,15 @@ def route_contexts(candidates: DataFrame) -> DataFrame:
     MainNELApp.java:418-442): a context runs graph NEL iff it has ≥1 mention
     and ≥1 mention with >1 candidate group.  Adds a per-context ``route``
     column: 'nel' | 'no_ambiguity' | 'no_mentions' (the last only appears
-    for contexts whose every mention is NIL)."""
-    w = Window.partitionBy("repo", "path", "context_id")
-    n_groups = F.count("group_id").over(
-        Window.partitionBy("repo", "path", "context_id", "mention_idx")
-    )
-    c = candidates.withColumn("n_groups", n_groups)
+    for contexts whose every mention is NIL).
+
+    The per-mention group count comes from the dictionary (broadcast),
+    so this is ONE window over (doc_key, context_id) — which reuses the
+    pipeline's single (doc_key, context_id) exchange, adding only a sort."""
+    w = Window.partitionBy("doc_key", "context_id")
     max_groups = F.max("n_groups").over(w)
     any_candidate = F.max((F.col("n_groups") > 0).cast("int")).over(w)
-    return c.withColumn(
+    return candidates.withColumn(
         "route",
         F.when(max_groups > 1, F.lit("nel"))
         .when(any_candidate == 1, F.lit("no_ambiguity"))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CTX = ["repo", "path", "context_id"]
+CTX = ["doc_key", "context_id"]
 
 
 def inverted_index(candidates: DataFrame) -> DataFrame:

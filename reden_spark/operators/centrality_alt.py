@@ -1,0 +1,122 @@
+"""Alternative centrality measures (config-switchable in the reference:
+``DegreeCentrality`` | ``BrandesBetweennessCentrality`` |
+``FreemanClosenessCentrality`` | ``EigenvectorCentrality``,
+CentralityHandler.java:137-152; config:22-23).
+
+Degree is the published default (operators/centrality.py) and the
+reference's own significance analysis found degree ≈ eigenvector
+(SignificanceTesting.java:27-33).  This module adds **eigenvector
+centrality** as a per-context power iteration — a pure DataFrame loop
+with the same join primitives as the sameAs CC — and **closeness** via
+iterative frontier BFS.  Brandes betweenness is intentionally NOT
+implemented: the reference's own config comment says "avoid it, too
+long", and an all-pairs computation per context is the wrong tool at
+10^12-document scale (documented divergence).
+
+Scale shape: iterations are bounded (``n_iter``); each round is one
+shuffle join on (ctx, vertex) — the same single pipeline partitioning —
+and per-context graphs are tiny (dozens of vertices), so rounds dominate,
+not data.  Like the CC operator, callers with small inputs should prefer
+degree; these exist for semantic parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CTX = ["doc_key", "context_id"]
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(*CTX, "src", "dst")
+        .unionByName(
+            edges.select(*CTX, F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates([*CTX, "src", "dst"])
+    )
+
+
+def eigenvector_scores(
+    edges: DataFrame, n_iter: int = 10, checkpoint_every: int = 3
+) -> DataFrame:
+    """(ctx, vertex, score): power iteration of the (undirected) adjacency
+    matrix per context, L2-normalized per round.  JGraphT-SNA semantics:
+    incident-edge walk, uniform start."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    verts = (
+        und.select(*CTX, F.col("src").alias("vertex"))
+        .dropDuplicates([*CTX, "vertex"])
+    )
+    x = verts.withColumn("score", F.lit(1.0))
+    for i in range(n_iter):
+        contrib = (
+            und.join(
+                x.select(*CTX, F.col("vertex").alias("dst"), "score"),
+                [*CTX, "dst"],
+            )
+            .groupBy(*CTX, "src")
+            .agg(F.sum("score").alias("raw"))
+            .select(*CTX, F.col("src").alias("vertex"), "raw")
+        )
+        norm = contrib.groupBy(*CTX).agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("l2")
+        )
+        x = (
+            verts.join(contrib, [*CTX, "vertex"], "left")
+            .join(norm, CTX, "left")
+            .select(
+                *CTX,
+                "vertex",
+                F.coalesce(F.col("raw") / F.col("l2"), F.lit(0.0)).alias("score"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+    return x
+
+
+def closeness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
+    """(ctx, vertex, score): Freeman closeness = (n-1) / Σ d(v, u) over
+    vertices reachable within ``max_hops`` (per-context graphs have tiny
+    diameters; unreachable pairs are excluded, JGraphT-SNA behavior).
+
+    Frontier BFS as a DataFrame loop: round k adds (source, vertex) pairs
+    first reached at distance k."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    verts = und.select(*CTX, F.col("src").alias("vertex")).dropDuplicates(
+        [*CTX, "vertex"]
+    )
+    # reached(ctx, source, vertex, dist): grows one hop per round
+    reached = verts.select(
+        *CTX, F.col("vertex").alias("source"), "vertex", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                und.select(*CTX, F.col("src").alias("vertex"), "dst"),
+                [*CTX, "vertex"],
+            )
+            .select(*CTX, "source", F.col("dst").alias("vertex"), F.lit(hop).alias("dist"))
+            .dropDuplicates([*CTX, "source", "vertex"])
+        )
+        frontier = nxt.join(
+            reached.select(*CTX, "source", "vertex"),
+            [*CTX, "source", "vertex"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    sums = (
+        reached.filter(F.col("dist") > 0)
+        .groupBy(*CTX, "source")
+        .agg(F.sum("dist").alias("total_dist"), F.count("*").alias("n_reached"))
+    )
+    return sums.select(
+        *CTX,
+        F.col("source").alias("vertex"),
+        (F.col("n_reached") / F.col("total_dist")).alias("score"),
+    )

@@ -32,7 +32,7 @@ from reden_spark.functions.normalize import uri_decode
 from reden_spark.operators import skew
 from reden_spark.operators.sameas import SAMEAS
 
-CTX = ["repo", "path", "context_id"]
+CTX = ["doc_key", "context_id"]
 
 
 def candidate_bases(candidates: DataFrame, base_marker: str = "://kb.example.org") -> DataFrame:

@@ -44,16 +44,28 @@ def parse_tag_specs(tag_specs) -> list[tuple[str, str | None]]:
     return out
 
 
-def extract_contexts(
-    documents: DataFrame, context_pattern: str = DEFAULT_CONTEXT_PATTERN
-) -> DataFrame:
-    """S0→S1: one row per context node; carries the per-row lineage columns
-    (repo, path, commit) and the sha256(content) invariant from day one."""
+def doc_map(documents: DataFrame) -> DataFrame:
+    """(doc_key, repo, path, commit, content_sha256): the lineage side
+    table.  The hot path shuffles only the 8-byte ``doc_key``
+    (xxhash64 of the identity columns) instead of ~170 B of strings per
+    row; lineage re-joins once at annotation assembly — at 100 TB this
+    halves-or-better every shuffle in S2-S9."""
     return documents.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_key"),
         "repo",
         "path",
         "commit",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def extract_contexts(
+    documents: DataFrame, context_pattern: str = DEFAULT_CONTEXT_PATTERN
+) -> DataFrame:
+    """S0→S1: one row per context node, keyed by the compact ``doc_key``
+    (see doc_map; the sha256(content) invariant rides the side table)."""
+    return documents.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_key"),
         F.posexplode(
             F.regexp_extract_all(F.col("content"), F.lit(context_pattern), F.lit(1))
         ).alias("context_id", "context_text"),
@@ -89,18 +101,12 @@ def extract_mentions(
     kept = F.filter(arr, keep)
 
     exploded = contexts.select(
-        "repo",
-        "path",
-        "commit",
-        "content_sha256",
+        "doc_key",
         "context_id",
         F.posexplode(kept).alias("mention_idx", "elem"),
     )
     return exploded.select(
-        "repo",
-        "path",
-        "commit",
-        "content_sha256",
+        "doc_key",
         "context_id",
         "mention_idx",
         F.regexp_extract("elem", r"^<([A-Za-z]+)", 1).alias("tag"),

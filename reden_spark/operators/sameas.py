@@ -51,29 +51,75 @@ def sameas_edges(triples: DataFrame, dictionary: DataFrame | None = None) -> Dat
     return e.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
 
 
+def _driver_union_find(pairs) -> list[tuple[str, str]]:
+    """Exact union-find over collected edges (path-halving, min-root)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs
+    comp_min: dict[str, str] = {}
+    for node in list(parent):
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
 ) -> DataFrame:
-    """Min-label propagation → ``(node string, comp string)`` where ``comp``
-    is the lexicographic min URI of the component (the canonical id)."""
+    """→ ``(node string, comp string)`` where ``comp`` is the lexicographic
+    min URI of the component (the canonical id).
+
+    Two physical strategies, same semantics:
+
+    * **small graphs** (< driver_threshold edges): collect + union-find on
+      the driver.  The sameAs graph is authority cross-links — tiny
+      relative to the corpus (millions of edges ≪ 10^12 documents), and
+      the distributed loop's per-round latency (join+agg+checkpoint+probe
+      × diameter) costs more than one collect.  The result returns as a
+      broadcast-sized DataFrame.
+    * **big graphs**: distributed min-label propagation below.
+    """
     und = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    n_edges = und.count()
+    if n_edges < driver_threshold:
+        rows = _driver_union_find(
+            [(r.src, r.dst) for r in und.collect()]
+        )
+        return und.sparkSession.createDataFrame(rows, "node string, comp string")
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
+    for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        # checkpoint FIRST, then both the convergence probe and the next
+        # round read the materialized result — one execution per round,
+        # not one per downstream action
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -81,13 +127,10 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("new_comp"),
                 "comp",
             )
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
-        labels = new_labels.select(
-            "node", F.col("new_comp").alias("comp")
-        )
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+        labels = new_labels.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     return labels

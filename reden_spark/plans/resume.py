@@ -137,6 +137,7 @@ def run_pipeline_resumable(
     from reden_spark.operators.mentions import (
         DEFAULT_CONTEXT_PATTERN,
         DEFAULT_TAG_SPECS,
+        doc_map,
         mentions_from_documents,
         parse_tag_specs,
     )
@@ -149,6 +150,7 @@ def run_pipeline_resumable(
     preferred = kwargs.get("preferred", "ALL")
     tag_order = [n for n, _ in parse_tag_specs(tag_specs)]
 
+    dmap = runner.stage("s0_doc_map", lambda: doc_map(documents))
     mentions = runner.stage(
         "s2_mentions",
         lambda: mentions_from_documents(documents, context_pattern, tag_specs),
@@ -183,7 +185,7 @@ def run_pipeline_resumable(
         pruned = cent_ops.prune_edges(edges, inv)
         scored = cent_ops.score_candidates(bases, pruned)
         chosen = select_ops.choose_uris(scored, preferred)
-        return select_ops.assemble_annotations(routed, chosen, preferred)
+        return select_ops.assemble_annotations(routed, chosen, preferred, doc_map=dmap)
 
     annotations = runner.stage("s9_annotations", build_annotations)
     kg = runner.stage("s10_kg", lambda: emit_triples(annotations, canon, base_marker))

@@ -1,0 +1,47 @@
+"""Both physical CC strategies (driver union-find / distributed min-label
+propagation) must produce identical components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.sameas import connected_components
+
+
+def _edges(spark):
+    # chains, a star, a cycle, an isolated pair
+    pairs = (
+        [(f"u{i}", f"u{i+1}") for i in range(0, 8)]          # chain 0-8
+        + [("s0", f"s{i}") for i in range(1, 6)]             # star
+        + [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]         # cycle
+        + [("x1", "x0")]
+    )
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_driver_and_distributed_cc_agree(spark):
+    e = _edges(spark)
+    small = {(r.node, r.comp) for r in connected_components(e).collect()}
+    big = {
+        (r.node, r.comp)
+        for r in connected_components(e, driver_threshold=0).collect()
+    }
+    assert small == big
+    comp = dict(small)
+    assert comp["u8"] == "u0" and comp["s5"] == "s0"
+    assert comp["c0"] == comp["c1"] == comp["c2"] == "c0"
+    assert comp["x1"] == "x0"
+    # every node of a component maps to the lexicographic min member
+    assert {c for _, c in small} == {"u0", "s0", "c0", "x0"}
+
+
+def test_distributed_cc_long_chain_converges(spark):
+    n = 40  # diameter >> typical sameAs components
+    e = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)], "src string, dst string"
+    )
+    out = {
+        (r.node, r.comp)
+        for r in connected_components(e, driver_threshold=0, max_iter=50).collect()
+    }
+    assert out == {(f"n{i:03d}", "n000") for i in range(n + 1)}

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the
+IDENTICAL flagship KG job on the IDENTICAL input at two parallelism
+levels — N and 4N cores in separate JVMs — and report throughput at both
+plus efficiency = (thr_4N / thr_N) / 4.
+
+Default pair: local[2] vs local[8].  This sandbox advertises 32 CPUs but
+delivers ~11-19 cores of real throughput (measured: 8 fixed-work procs
+finish in 2.6 s, 16 in 3.5 s, 32 in 5.1 s), so levels above ~8 threads
+measure host oversubscription, not the job's scaling.  2 → 8 threads are
+fully hardware-backed; override with SPARK_GRAFT_SCALE_LOW/HIGH.
+
+The input is the sf0.1 documents table replicated K× (default 32) so the
+run is compute-dominated, as the 100 TB target is; fixed costs (session
+startup excluded; driver-side plan/CC latency included) are reported
+as-is.  Writes BENCH_SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, sf_dir: str, replicate: int) -> dict:
+    shm = "/dev/shm/spark-local"
+    os.makedirs(shm, exist_ok=True)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_QUERIES="nel_pipeline",
+        SPARK_GRAFT_REPLICATE=str(replicate),
+        # shuffle scratch on tmpfs: this sandbox has ONE shared disk, so
+        # /tmp shuffle I/O is a constant-bandwidth resource that punishes
+        # the higher level (measured: string-shuffle scales 1.35x on disk,
+        # 1.97x on tmpfs).  A real cluster has per-node NVMe that scales
+        # WITH the node count — tmpfs models that.
+        SPARK_LOCAL_DIRS=shm,
+    )
+    # pin the whole process tree to exactly `cpus` CPUs: local[N] caps TASK
+    # slots but GC/shuffle-IO/Python-worker threads spill onto extra cores
+    # (measured: local[2] burns ~3.4 cores unpinned), which would inflate
+    # the low level and understate scaling.  Pinning emulates a real N-core
+    # executor host.
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, check=True, cwd=ROOT
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # interleave levels: the host carries ~3 cores of background VM noise
+    # with large drift, so paired/interleaved runs + median per level
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_hi.append(run_at(hi, sf_dir, replicate))
+        runs_lo.append(run_at(lo, sf_dir, replicate))
+    thr_lo = _median([r["triples_per_sec"] for r in runs_lo])
+    thr_hi = _median([r["triples_per_sec"] for r in runs_hi])
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "cores_low": lo,
+        "cores_high": hi,
+        "repeats": repeats,
+        "triples": runs_hi[0]["kg_triples"],
+        "throughput_low_tps": thr_lo,
+        "throughput_high_tps": thr_hi,
+        "wall_low_s_all": [r["queries"]["nel_pipeline"] for r in runs_lo],
+        "wall_high_s_all": [r["queries"]["nel_pipeline"] for r in runs_hi],
+        "sf": runs_hi[0]["sf"],
+        "replicate": replicate,
+    }
+    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
