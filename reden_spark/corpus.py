@@ -39,6 +39,7 @@ PRED_SUBJECT = "http://purl.org/dc/terms/subject"
 PRED_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 PRED_NAME = "http://xmlns.com/foaf/0.1/name"
 PRED_BIRTH = "http://vocab.org/bio/0.1/birth"
+PRED_KNOWS = "http://xmlns.com/foaf/0.1/knows"
 MENTION_PRED = "http://reden.example.org/ontology#mentions"
 
 _FIRST = [
@@ -110,7 +111,12 @@ def make_corpus(
     # len(_LAST) strides → family-only surface is ambiguous (2+ groups).
     ent_first = [_FIRST[i % len(_FIRST)] for i in range(n_entities)]
     ent_last = [_LAST[i % len(_LAST)] for i in range(n_entities)]
-    ent_theme = [i % n_themes for i in range(n_entities)]
+    # themes RANDOM per entity (seeded): with `i % n_themes` the homonym
+    # stride (20) and theme stride share a factor, so every mention's
+    # wrong candidates land in the same few themes and form distractor
+    # communities exactly as dense as the correct one — degree then
+    # cannot discriminate (observed: disamb accuracy ≈ tie-break rate)
+    ent_theme = [int(rng.integers(0, n_themes)) for _ in range(n_entities)]
     ent_base = [f"http://kb.example.org/ent/{i:05d}" for i in range(n_entities)]
     ent_equiv: list[list[str]] = []
     for i in range(n_entities):
@@ -173,6 +179,17 @@ def make_corpus(
         c.triples.append((base, PRED_TYPE, "http://xmlns.com/foaf/0.1/Person"))
         c.triples.append((base, PRED_NAME, f"{ent_first[i]} {ent_last[i]}"))
         c.triples.append((base, PRED_BIRTH, f"{1700 + (i * 7) % 250:04d}"))
+    # colleague clique inside each theme: co-occurring CORRECT candidates
+    # then share direct candidate↔candidate edges (which always survive
+    # pruning), so degree separates them from wrong-theme homonyms — the
+    # discriminative structure REDEN relies on in real authority data
+    for t in range(n_themes):
+        members = [i for i in range(n_entities) if ent_theme[i] == t]
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                c.triples.append(
+                    (ent_base[members[a]], PRED_KNOWS, ent_base[members[b]])
+                )
     for j, pl in enumerate(_PLACES):
         c.triples.append((place_base[j], PRED_TYPE, "http://schema.org/Place"))
         c.triples.append((place_base[j], PRED_NAME, pl))

@@ -1,0 +1,115 @@
+"""Mode-1 evaluation wired end-to-end on the fixture corpus (annotations ⋈
+gold → verdicts → Hachey metrics), the preferred-URI projection, and the
+Mode-3 enrichment → GeoJSON path."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from reden_spark.corpus import corpus_to_spark
+from reden_spark.operators.evaluate import compare_with_gold, hachey_metrics
+from reden_spark.plans.pipeline import run_pipeline
+
+
+def _eval_frames(spark, tiny_corpus):
+    docs, dico, triples, rels, gold = corpus_to_spark(spark, tiny_corpus)
+    res = run_pipeline(docs, dico, triples, rels)
+    cand_groups = (
+        res.candidates.filter(F.col("group_id").isNotNull())
+        .groupBy("doc_key", "context_id", "mention_idx")
+        .agg(F.collect_list(F.struct("group_id", "uris")).alias("gs"))
+        .select(
+            "doc_key",
+            "context_id",
+            "mention_idx",
+            F.expr("transform(array_sort(gs), g -> g.uris)").alias("cand_groups"),
+        )
+    )
+    # annotations carry repo/path; re-derive doc_key to join cand groups
+    ann = res.annotations.withColumn(
+        "doc_key", F.xxhash64("repo", "path", "commit")
+    ).join(cand_groups, ["doc_key", "context_id", "mention_idx"], "left")
+    ann = ann.select(
+        "repo", "path", "context_id", "mention_idx", "surface",
+        "chosen_uris", "cand_groups",
+    )
+    gold_df = gold.select(
+        "repo", "path", "context_id", "mention_idx", F.col("ref").alias("gold_ref")
+    )
+    return res, ann, gold_df, triples
+
+
+def test_pipeline_eval_metrics_on_fixture(spark, tiny_corpus):
+    _, ann, gold_df, _ = _eval_frames(spark, tiny_corpus)
+    ev = compare_with_gold(ann, gold_df)
+    n = ev.count()
+    assert n == gold_df.count()
+    m = hachey_metrics(ev).collect()[0]
+    # dictionary coverage is complete by construction
+    assert m.cand_precision == 1.0 and m.cand_recall == 1.0
+    assert m.nil_precision == 1.0 and m.nil_recall == 1.0
+    # graph disambiguation must beat the uniform tie-break baseline
+    # (1 / mean ambiguity ≈ 0.3); for calibration, the reference's own
+    # real-world decided-mention accuracy is 0.485 (BASELINE.md)
+    baseline = 1.0 / m.cand_cardinality_mean
+    assert m.disamb_accuracy > baseline + 0.1, (m.disamb_accuracy, baseline)
+    assert m.overall_accuracy > 0.55
+    counts = {r.verdict: r.n for r in ev.groupBy("verdict").count().withColumnRenamed("count", "n").collect()}
+    assert counts.get("Good choice", 0) > counts.get("Wrong choice", 1) * 0.8
+
+
+def test_preferred_uri_projection(spark, tiny_corpus):
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    res_all = run_pipeline(docs, dico, triples, rels, preferred="ALL")
+    res_kb = run_pipeline(docs, dico, triples, rels, preferred="kb.example.org")
+    all_rows = {
+        (r.repo, r.path, r.context_id, r.mention_idx): r.chosen_uris
+        for r in res_all.annotations.filter(F.col("decision") == "nel").collect()
+    }
+    kb_rows = {
+        (r.repo, r.path, r.context_id, r.mention_idx): r.chosen_uris
+        for r in res_kb.annotations.filter(F.col("decision") == "nel").collect()
+    }
+    assert set(all_rows) == set(kb_rows) and kb_rows
+    for k, uris in kb_rows.items():
+        # preferred projection keeps only URIs containing the prefix (or
+        # falls back to the base vertex) — always a subset of ALL
+        assert set(uris) <= set(all_rows[k])
+        assert all("kb.example.org" in u for u in uris) or len(uris) == 1
+
+
+def test_enrich_to_geojson(spark, tiny_corpus):
+    from reden_spark.operators.enrich import enrich_entities
+    from reden_spark.sources.reports import geojson_features
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    res = run_pipeline(docs, dico, triples, rels)
+    # give every canon entity synthetic coordinates + a name triple
+    ents = res.kg_triples.select(F.col("subj")).distinct()
+    geo = ents.select(
+        F.col("subj"),
+        F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#lat").alias("pred"),
+        (F.abs(F.xxhash64("subj")) % 90).cast("string").alias("obj"),
+    ).unionByName(
+        ents.select(
+            "subj",
+            F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#long").alias("pred"),
+            (F.abs(F.xxhash64("subj")) % 180).cast("string").alias("obj"),
+        )
+    ).unionByName(
+        ents.select(
+            "subj",
+            F.lit("http://xmlns.com/foaf/0.1/name").alias("pred"),
+            F.concat(F.lit("Name of "), "subj").alias("obj"),
+        )
+    )
+    enriched = enrich_entities(res.kg_triples, triples.unionByName(geo))
+    feats = geojson_features(enriched).collect()
+    assert feats
+    f = json.loads(feats[0].feature)
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+    assert len(f["geometry"]["coordinates"]) == 2
+    assert f["properties"]["occurrences"] >= 1
+    assert f["properties"]["name"].startswith("Name of ")

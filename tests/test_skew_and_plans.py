@@ -1,0 +1,146 @@
+"""Skew salting correctness + physical-plan shape assertions.
+
+The plan tests pin the properties the 100 TB design depends on: the
+candidate join broadcasts, the mid-pipeline reuses ONE big-side exchange,
+parquet scans prune columns and push filters.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from reden_spark.operators.skew import salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------- skew
+
+
+@pytest.fixture()
+def skewed(spark):
+    # probe: one hot key (90%) + uniform tail; build: one row per key
+    probe = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = (
+        probe.select("k")
+        .distinct()
+        .withColumn("payload", F.concat(F.lit("p_"), F.col("k")))
+    )
+    return probe, build
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    probe, build = skewed
+    plain = probe.join(build, "k").groupBy("k").count()
+    salted = (
+        salted_join(probe, build, "k", n_salt=8, min_count=1000)
+        .groupBy("k")
+        .count()
+    )
+    assert {(r.k, r["count"]) for r in salted.collect()} == {
+        (r.k, r["count"]) for r in plain.collect()
+    }
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed):
+    probe, build = skewed
+    b2 = build.filter(F.col("k") != "HOT")  # drop the hot key's build row
+    out = salted_join(probe, b2, "k", how="left", n_salt=8, min_count=1000)
+    rows = out.filter(F.col("k") == "HOT")
+    n = rows.count()
+    assert n == probe.filter(F.col("k") == "HOT").count()
+    assert rows.filter(F.col("payload").isNull()).count() == n
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    probe, build = skewed
+    from reden_spark.operators.skew import SALT_COL, hot_keys
+
+    hot = hot_keys(probe, "k", min_count=1000)
+    assert hot == ["HOT"]
+    p = probe.withColumn(
+        SALT_COL, F.pmod(F.xxhash64("v"), F.lit(8)).cast("int")
+    )
+    n_buckets = (
+        p.filter(F.col("k") == "HOT").select(SALT_COL).distinct().count()
+    )
+    assert n_buckets == 8
+
+
+# --------------------------------------------------------------------- plans
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candidate_join_is_broadcast(spark):
+    from reden_spark.corpus import documents_from_testdata
+    from reden_spark.flagship import _vocab, synthetic_kb, teiify
+    from reden_spark.operators import candidates as cand_ops
+    from reden_spark.operators.mentions import extract_contexts, extract_mentions
+
+    raw = documents_from_testdata(spark, SF)
+    vocab = _vocab(raw).localCheckpoint(eager=True)
+    docs = teiify(raw, vocab)
+    dictionary, _, _ = synthetic_kb(spark, vocab)
+    m = extract_mentions(extract_contexts(docs), ("persName",))
+    cands = cand_ops.generate_candidates(
+        m, cand_ops.prepare_dictionary(dictionary), tag_order=["persName"],
+        dictionary_prepared=True,
+    )
+    plan = _executed(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routed_has_single_bigside_exchange(spark):
+    from reden_spark.corpus import documents_from_testdata
+    from reden_spark.flagship import _vocab, synthetic_kb, teiify
+    from reden_spark.operators import candidates as cand_ops
+    from reden_spark.operators.mentions import extract_contexts, extract_mentions
+
+    raw = documents_from_testdata(spark, SF)
+    vocab = _vocab(raw).localCheckpoint(eager=True)
+    docs = teiify(raw, vocab)
+    dictionary, _, _ = synthetic_kb(spark, vocab)
+    m = extract_mentions(extract_contexts(docs), ("persName",)).repartition(
+        "doc_key", "context_id"
+    )
+    routed = cand_ops.route_contexts(
+        cand_ops.generate_candidates(
+            m, cand_ops.prepare_dictionary(dictionary), tag_order=["persName"],
+            dictionary_prepared=True,
+        )
+    )
+    plan = _executed(routed)
+    # exactly one REPARTITION exchange feeds the window cascade; every
+    # other Exchange is on the (tiny) dictionary side or broadcast
+    assert plan.count("REPARTITION_BY_COL") == 1
+    windows = plan.count("Window [")
+    exchanges_bigside = plan.count("REPARTITION_BY_COL")
+    assert windows >= 2 and exchanges_bigside == 1
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 1)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _executed(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan
+    # column pruning: the scan reads only the two selected columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_orderkey:bigint",
+        "l_quantity:double",
+    }
