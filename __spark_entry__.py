@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
-``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 with DuckDB oracles (reden_spark/contract.py).
+``queries()``/``oracle_sql()`` expose the implemented operators from
+SURVEY.md §2 (reden_spark/contract.py): 37 queries, 35 with DuckDB
+oracles; the two iterative centralities are rows-only (numpy/BFS oracles
+live in tests/test_centrality_alt.py).
 """
 
 from __future__ import annotations

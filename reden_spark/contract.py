@@ -867,7 +867,7 @@ _MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
       SELECT doc_id,
              {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
       FROM h GROUP BY doc_id),
-    bands AS (
+    bands0 AS (
       SELECT doc_id,
              CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_'
                || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band, 0 AS band_id
@@ -876,7 +876,12 @@ _MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
       SELECT doc_id,
              CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_'
                || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR), 1
-      FROM sig)
+      FROM sig),
+    bands AS (
+      SELECT doc_id, band, band_id FROM (
+        SELECT doc_id, band, band_id,
+               row_number() OVER (PARTITION BY band_id, band ORDER BY doc_id) AS rn
+        FROM bands0) WHERE rn <= 200)
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
@@ -884,11 +889,13 @@ _MINHASH_PARAMS = [(37 + 101 * i, 17 + 29 * i) for i in range(8)]
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates via operators/dedup: token shingles
-    → 8 portable minhash values → 2 bands of 4 rows → bucket self-join."""
+    → 8 portable minhash values → 2 bands of 4 rows → bucket self-join,
+    buckets capped at 200 (boilerplate-duplicate buckets go quadratic
+    otherwise — same guardrail as the reference's 100-hit Lucene cap)."""
     from reden_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs)
+    return minhash_lsh_pairs(docs, bucket_cap=200)
 
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (operators/similarity.py)
@@ -1229,6 +1236,69 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, k=3, n_bits=4).select(
         F.col("id").alias("vec_id"), "neighbor", "rank"
+    )
+
+
+@query(
+    "dict_regex_scan",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), dict AS ({_DICT_SQL})
+    SELECT alias_norm, uri FROM dict
+    WHERE regexp_matches(uri, '^http://kb\\.example\\.org/tok/s[a-z]*t$')
+    """,
+)
+def q_dict_regex_scan(spark, sf_dir):
+    """The Lucene RegexpQuery scan over dictionary URIs
+    (DicoProcessingNEL.searchIndexWithRegexp, DicoProcessingNEL.java:
+    349-378) as a native rlike filter — predicate-pushed into the scan at
+    scale instead of an index walk."""
+    dic = _dictionary(spark, sf_dir)
+    return dic.filter(
+        F.col("uri").rlike(r"^http://kb\.example\.org/tok/s[a-z]*t$")
+    ).select("alias_norm", "uri")
+
+
+def _ctx_edges(spark, sf_dir):
+    """Small deterministic per-context graph reused by the centrality
+    queries (same derivation family as prune_degree)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    lin = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
+    return (
+        li.select(
+            F.lit(0).cast("long").alias("doc_key"),
+            (F.col("l_orderkey") % 20).cast("int").alias("context_id"),
+            lin("u", F.col("l_partkey") % 12).alias("src"),
+            lin("u", F.col("l_suppkey") % 12).alias("dst"),
+            F.lit("p").alias("label"),
+            F.lit(1.0).alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["context_id", "src", "dst"])
+    )
+
+
+@query("eigenvector_centrality")
+def q_eigenvector_centrality(spark, sf_dir):
+    """Eigenvector centrality (reference config alternative,
+    CentralityHandler.java:141-152) — iterative power method; not
+    SQL-expressible (rows-only driver check; exact values asserted vs a
+    numpy oracle in tests/test_centrality_alt.py)."""
+    from reden_spark.operators.centrality_alt import eigenvector_scores
+
+    return eigenvector_scores(_ctx_edges(spark, sf_dir), n_iter=6).select(
+        "context_id", "vertex", "score"
+    )
+
+
+@query("closeness_centrality")
+def q_closeness_centrality(spark, sf_dir):
+    """Freeman closeness (reference config alternative) — iterative
+    frontier BFS; not SQL-expressible (rows-only driver check; exact
+    values asserted vs a BFS oracle in tests/test_centrality_alt.py)."""
+    from reden_spark.operators.centrality_alt import closeness_scores
+
+    return closeness_scores(_ctx_edges(spark, sf_dir)).select(
+        "context_id", "vertex", "score"
     )
 
 
