@@ -144,3 +144,19 @@ def test_parquet_scan_prunes_and_pushes(spark):
         "l_orderkey:bigint",
         "l_quantity:double",
     }
+
+
+def test_pipeline_with_salting_matches_default(spark, tiny_corpus):
+    """use_salting=True routes the fusion join through salted_join —
+    results must be identical to the broadcast/plain path."""
+    from reden_spark.corpus import corpus_to_spark
+    from reden_spark.plans.pipeline import run_pipeline
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    plain = run_pipeline(docs, dico, triples, rels, use_salting=False)
+    salted = run_pipeline(docs, dico, triples, rels, use_salting=True)
+    key = lambda df: {  # noqa: E731
+        (r.subj, r.pred, r.obj, r.canon_subj, r.repo, r.path)
+        for r in df.select("subj", "pred", "obj", "canon_subj", "repo", "path").collect()
+    }
+    assert key(salted.kg_triples) == key(plain.kg_triples)
