@@ -66,6 +66,46 @@ def geojson_features(entities: DataFrame) -> DataFrame:
     )
 
 
+def eval_report_lines(ev: DataFrame) -> DataFrame:
+    """The ``*-resEvalV3.txt`` block per mention (compareResultsWithGold
+    print order, ResultsAndEvaluationNEL.java:262-320) as one text row per
+    mention — a distributed text sink instead of a driver println loop."""
+    cand_lines = F.array_join(
+        F.transform(
+            F.coalesce(F.col("cand_groups"), F.array()),
+            lambda g: F.concat(F.lit("["), F.array_join(g, ", "), F.lit("]")),
+        ),
+        "\n",
+    )
+    return ev.select(
+        F.col("context_id"),
+        F.col("mention_idx"),
+        F.concat(
+            F.lit("Mention: "), F.col("surface"), F.lit("\n"),
+            F.lit("Manual was: "), F.coalesce("gold_ref", F.lit("")), F.lit("\n"),
+            F.lit("REDEN chose: "), F.coalesce("chosen", F.lit("")), F.lit("\n"),
+            F.when(F.col("verdict") != "Empty choice", F.concat(F.col("verdict"), F.lit("\n"))).otherwise(F.lit("")),
+            F.when(
+                F.col("gold_in_cands") & ~F.col("choice_correct") & F.col("chosen").isNotNull(),
+                F.lit("Right referent in candidate set but REDEN choose the wrong one\n"),
+            ).otherwise(F.lit("")),
+            F.lit("The candidate set is: \n"),
+            cand_lines,
+        ).alias("value"),
+    )
+
+
+def write_geojson(features: DataFrame, path: str):
+    """GeoJSON FeatureCollection file (EnrichmentHandler.toJson:122-153).
+    Feature rows stream from executors; only the envelope is driver-side
+    (the collection syntax requires a single document)."""
+    rows = [r.feature for r in features.collect()]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write('{"type": "FeatureCollection", "features": [\n')
+        fh.write(",\n".join(rows))
+        fh.write("\n]}\n")
+
+
 # --------------------------------------------------------------------------
 # Reference-report parser (test-side utility)
 

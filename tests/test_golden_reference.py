@@ -205,3 +205,68 @@ def test_hachey_metrics_on_reference_artifact(spark, report_rows):
         )
     )
     assert abs(m.disamb_accuracy - num / denom) < 1e-12
+
+
+@needs_ref
+def test_eval_report_rendering_roundtrip(spark, report_rows):
+    """Render our eval rows with the reference's report format and parse
+    them back: mention/gold/chosen/verdict/candidate-set survive the
+    round-trip for all 2,980 mentions."""
+    from reden_spark.sources.reports import eval_report_lines
+
+    gold_m = _keyed(
+        mentions_from_tei(read_tei_corpus(spark, REF_GOLD), TAGS, ref_attr="ref")
+    )
+    ann_schema = T.StructType(
+        [
+            T.StructField("context_id", T.IntegerType()),
+            T.StructField("mention_idx", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("chosen_uris", T.ArrayType(T.StringType())),
+            T.StructField("cand_groups", T.ArrayType(T.ArrayType(T.StringType()))),
+        ]
+    )
+    ann = _keyed(
+        spark.createDataFrame(
+            [
+                (
+                    r["context_id"],
+                    r["mention_idx"],
+                    r["mention"],
+                    r["chosen"].split(" ") if r["chosen"] else None,
+                    r["cand_groups"] or None,
+                )
+                for r in report_rows
+            ],
+            ann_schema,
+        )
+    ).select(*KEY, "surface", "chosen_uris", "cand_groups")
+    ev = compare_with_gold(
+        ann, gold_m.select(*KEY, F.col("ref").alias("gold_ref"))
+    )
+    lines = {
+        (r.context_id, r.mention_idx): r.value
+        for r in __import__("reden_spark.sources.reports", fromlist=["eval_report_lines"]).eval_report_lines(ev).collect()
+    }
+    assert len(lines) == 2980
+    import tempfile
+
+    # serialize in report order with Text portion headers, re-parse
+    by_ctx = {}
+    for (ctx, mi), v in lines.items():
+        by_ctx.setdefault(ctx, []).append((mi, v))
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False, encoding="utf-8") as fh:
+        for ctx in sorted(by_ctx):
+            fh.write(f"Text portion# {ctx}\n\n")
+            for _, v in sorted(by_ctx[ctx]):
+                fh.write(v + "\n\n")
+        tmp = fh.name
+    back = parse_eval_report(tmp)
+    assert len(back) == 2980
+    want = {(r["context_id"], r["mention_idx"]): r for r in report_rows}
+    for r in back:
+        w = want[(r["context_id"], r["mention_idx"])]
+        assert r["gold_ref"] == w["gold_ref"]
+        assert r["chosen"] == w["chosen"]
+        assert r["verdict"] == w["verdict"]
+        assert r["cand_groups"] == w["cand_groups"]
