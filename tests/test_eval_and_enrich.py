@@ -113,3 +113,30 @@ def test_enrich_to_geojson(spark, tiny_corpus):
     assert len(f["geometry"]["coordinates"]) == 2
     assert f["properties"]["occurrences"] >= 1
     assert f["properties"]["name"].startswith("Name of ")
+
+
+def test_write_geojson_collection(spark, tiny_corpus, tmp_path):
+    from reden_spark.operators.enrich import enrich_entities
+    from reden_spark.sources.reports import geojson_features, write_geojson
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    res = run_pipeline(docs, dico, triples, rels)
+    ents = res.kg_triples.select("subj").distinct()
+    geo = ents.select(
+        "subj",
+        F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#lat").alias("pred"),
+        F.lit("48.85").alias("obj"),
+    ).unionByName(
+        ents.select(
+            "subj",
+            F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#long").alias("pred"),
+            F.lit("2.35").alias("obj"),
+        )
+    )
+    enriched = enrich_entities(res.kg_triples, triples.unionByName(geo))
+    out = str(tmp_path / "entities.geojson")
+    write_geojson(geojson_features(enriched), out)
+    fc = json.loads(open(out).read())
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == ents.count()
+    assert all(f["geometry"]["coordinates"] == [2.35, 48.85] for f in fc["features"])
