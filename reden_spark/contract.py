@@ -962,6 +962,88 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    norms AS (SELECT vec_id, bucket, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+    FROM norms a JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within sign-LSH buckets
+    (operators/similarity.cosine_near_dup_pairs) — the embedding-space
+    member of the dedup family."""
+    from reden_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.3, n_bits=4).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "cos"
+    )
+
+
+_CENTROID_SQL = """
+    SELECT (vec_id / 17)::BIGINT AS centroid_id, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 8 * 17
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norms AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e),
+    cent AS (
+      SELECT centroid_id, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cn
+      FROM ({_CENTROID_SQL})),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DOT_SQL.format(a='n.v', b='c.cv')} / (n.nrm * c.cn) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM norms n CROSS JOIN cent c) WHERE rn = 1),
+    cells AS (SELECT n.*, a.centroid_id FROM norms n JOIN assign a USING (vec_id)),
+    sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+             {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+      FROM cells a JOIN cells b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor, rank FROM (
+      SELECT vec_id, neighbor,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor ASC) AS rank
+      FROM sims) WHERE rank <= 3
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (operators/similarity.ivf_assign/ivf_topk):
+    deterministic coarse centroids (every 17th vector), nearest-centroid
+    cells, cosine top-k within the cell."""
+    from reden_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter((F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 8 * 17))
+        .select(
+            (F.col("vec_id") / 17).cast("long").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    return ivf_topk(emb, cent, k=3).select(
+        F.col("id").alias("vec_id"), "neighbor", "rank"
+    )
+
+
+@query(
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL}) WHERE doc_id < 200),

@@ -70,6 +70,93 @@ def lsh_bucket_counts(embeddings: DataFrame, vec_col: str = "embedding", n_bits:
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with
+    cos >= threshold, candidate generation restricted to sign-LSH buckets
+    (near-identical vectors share all sign bits, so recall at high
+    thresholds is near-1 while the join is bucket-local)."""
+    e = with_norms(embeddings, id_col, vec_col).withColumn(
+        "bucket", sign_lsh_bucket("v", n_bits)
+    )
+    a = e.select(
+        F.col("id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"), "bucket"
+    )
+    b = e.select(
+        F.col("id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (deterministic ties → min centroid id).
+    ``centroids`` is (centroid_id, cv array<double>) — tiny, broadcast;
+    at scale the inverted lists partition the corpus so queries probe only
+    their cell(s)."""
+    e = with_norms(embeddings, id_col, vec_col)
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.col("cv"),
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "id",
+        "centroid_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nid"))).alias("b")
+    )
+    return best.select(
+        "id", (-F.col("b.nid")).cast("long").alias("centroid_id"), F.col("b.cos").alias("cos")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: brute-force cosine top-k WITHIN each vector's cell
+    (single-probe; recall grows with multi-probe — union over the next
+    nearest centroids)."""
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    e = with_norms(embeddings, id_col, vec_col).join(assign.select("id", "centroid_id"), "id")
+    a = e.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "centroid_id"
+    )
+    sims = a.join(e, ["centroid_id"]).filter(F.col("qid") != F.col("id")).select(
+        F.col("qid").alias("id_out"),
+        F.col("id").alias("neighbor"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("id_out").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id_out").alias("id"), "neighbor", "rank")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     k: int = 3,
