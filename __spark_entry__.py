@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 37 queries, 35 with DuckDB
+SURVEY.md §2 (reden_spark/contract.py): 39 queries, 37 with DuckDB
 oracles; the two iterative centralities are rows-only (numpy/BFS oracles
 live in tests/test_centrality_alt.py).
 """
