@@ -38,34 +38,49 @@ def inverted_index(candidates: DataFrame) -> DataFrame:
 
 
 def prune_edges(edges: DataFrame, inv: DataFrame) -> DataFrame:
-    """Keep edges whose both endpoints survive pruning."""
-    src_m = inv.select(*CTX, F.col("uri").alias("src"), F.col("mention").alias("src_mention"))
-    dst_m = inv.select(*CTX, F.col("uri").alias("dst"), F.col("mention").alias("dst_mention"))
-    e = edges.join(src_m, [*CTX, "src"], "left").join(dst_m, [*CTX, "dst"], "left")
+    """Keep edges whose both endpoints survive pruning.
+
+    Internally all joins/aggregations run on 8-byte ``xxhash64`` vertex
+    keys — the pruning cascade is 5 shuffles over the edge set, and URI
+    strings (~40-60 B) through each of them are pure bandwidth waste; the
+    string columns ride only the final semi-joined output.  (64-bit
+    collisions: ~n²/2⁶⁵ — irrelevant below trillions of vertices per
+    context.)"""
+    h = F.xxhash64
+    e = edges.withColumn("src_h", h("src")).withColumn("dst_h", h("dst"))
+    invh = inv.select(*CTX, h("uri").alias("uri_h"), "mention")
+    src_m = invh.select(*CTX, F.col("uri_h").alias("src_h"), F.col("mention").alias("src_mention"))
+    dst_m = invh.select(*CTX, F.col("uri_h").alias("dst_h"), F.col("mention").alias("dst_mention"))
+    ej = (
+        e.select(*CTX, "src_h", "dst_h")
+        .join(src_m, [*CTX, "src_h"], "left")
+        .join(dst_m, [*CTX, "dst_h"], "left")
+    )
 
     # distinct candidate-mention touch count for non-candidate endpoints
-    touch_src = e.filter(F.col("src_mention").isNull() & F.col("dst_mention").isNotNull()).select(
-        *CTX, F.col("src").alias("vertex"), F.col("dst_mention").alias("m")
+    touch_src = ej.filter(F.col("src_mention").isNull() & F.col("dst_mention").isNotNull()).select(
+        *CTX, F.col("src_h").alias("vertex_h"), F.col("dst_mention").alias("m")
     )
-    touch_dst = e.filter(F.col("dst_mention").isNull() & F.col("src_mention").isNotNull()).select(
-        *CTX, F.col("dst").alias("vertex"), F.col("src_mention").alias("m")
+    touch_dst = ej.filter(F.col("dst_mention").isNull() & F.col("src_mention").isNotNull()).select(
+        *CTX, F.col("dst_h").alias("vertex_h"), F.col("src_mention").alias("m")
     )
     kept_shared = (
         touch_src.unionByName(touch_dst)
-        .groupBy(*CTX, "vertex")
+        .groupBy(*CTX, "vertex_h")
         .agg(F.countDistinct("m").alias("nm"))
         .filter(F.col("nm") >= 2)
-        .select(*CTX, "vertex")
+        .select(*CTX, "vertex_h")
     )
-    kept = kept_shared.unionByName(inv.select(*CTX, F.col("uri").alias("vertex"))).dropDuplicates(
-        [*CTX, "vertex"]
-    )
+    kept = kept_shared.unionByName(
+        invh.select(*CTX, F.col("uri_h").alias("vertex_h"))
+    ).dropDuplicates([*CTX, "vertex_h"])
 
-    k_src = kept.select(*CTX, F.col("vertex").alias("src"))
-    k_dst = kept.select(*CTX, F.col("vertex").alias("dst"))
+    k_src = kept.select(*CTX, F.col("vertex_h").alias("src_h"))
+    k_dst = kept.select(*CTX, F.col("vertex_h").alias("dst_h"))
     return (
-        edges.join(k_src, [*CTX, "src"], "left_semi")
-        .join(k_dst, [*CTX, "dst"], "left_semi")
+        e.join(k_src, [*CTX, "src_h"], "left_semi")
+        .join(k_dst, [*CTX, "dst_h"], "left_semi")
+        .drop("src_h", "dst_h")
     )
 
 
