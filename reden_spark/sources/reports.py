@@ -125,8 +125,9 @@ def parse_eval_report(path: str):
     cur = None
     with open(path, encoding="utf-8") as fh:
         for line in fh:
-            line = line.rstrip("\n")
-            tp = re.match(r"^Text portion#\s*(\d+)", line)
+            line = line.rstrip("\r\n")
+            # newer runs print "Text portion#<nbsp>N", older "Paragraph#<nbsp>N"
+            tp = re.match(r"^(?:Text portion|Paragraph)#\s*(\d+)", line)
             if tp:
                 ctx = int(tp.group(1))
                 midx = 0

@@ -270,3 +270,26 @@ def test_eval_report_rendering_roundtrip(spark, report_rows):
         assert r["chosen"] == w["chosen"]
         assert r["verdict"] == w["verdict"]
         assert r["cand_groups"] == w["cand_groups"]
+
+
+GIR_REPORTS = [
+    ("/root/reference/output/dbpedia-results-gir2015/apollinaire_heresiarque-et-cie-resEvalV3.txt", 94),
+    ("/root/reference/output/geonames-results-gir2015/apollinaire_heresiarque-et-cie-resEvalV3.txt", 159),
+    ("/root/reference/output/dbpedia-results-gir2015/renan_nation_only_placeNameTag-resEvalV3.txt", 50),
+    ("/root/reference/output/geonames-results-gir2015/renan_nation_only_placeNameTag-resEvalV3.txt", 50),
+]
+
+
+@needs_ref
+@pytest.mark.parametrize("path,n_mentions", GIR_REPORTS)
+def test_gir2015_report_counts(path, n_mentions):
+    """The GIR-2015 place-name artifacts use an OLDER eval format
+    ("Paragraph#" headers, CRLF, "Algorithm choice was EMPTY", no verdict
+    or candidate-set lines) — verdict parity is not recoverable from
+    them.  The parser handles the format; the documented mention counts
+    (BASELINE.md) are asserted as artifact bookkeeping."""
+    rows = parse_eval_report(path)
+    assert len(rows) == n_mentions
+    # every row positionally anchored (old format emits one mention per
+    # paragraph block)
+    assert all(r["context_id"] >= 0 for r in rows)
