@@ -1054,7 +1054,7 @@ def q_ann_ivf_topk(spark, sf_dir):
       FROM h, (SELECT unnest(range(0, 16)) AS bit) b
       GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN s >= 0 THEN (1 << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s >= 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY 1
     """,
 )
@@ -1359,28 +1359,97 @@ def _ctx_edges(spark, sf_dir):
     )
 
 
-@query("eigenvector_centrality")
+# DuckDB mirror of _ctx_edges + its undirected/vertex views (shared by the
+# two iterative-centrality oracles below).
+_CTX_GRAPH_SQL = """
+    edges AS (
+      SELECT DISTINCT CAST(l_orderkey % 20 AS INTEGER) AS context_id,
+             'u' || CAST(l_partkey % 12 AS VARCHAR) AS src,
+             'u' || CAST(l_suppkey % 12 AS VARCHAR) AS dst
+      FROM lineitem
+      WHERE l_orderkey < 2000 AND (l_partkey % 12) <> (l_suppkey % 12)),
+    und AS (
+      SELECT DISTINCT context_id, src, dst FROM (
+        SELECT context_id, src, dst FROM edges
+        UNION ALL
+        SELECT context_id, dst AS src, src AS dst FROM edges)),
+    verts AS (SELECT DISTINCT context_id, src AS vertex FROM und)
+"""
+
+
+def _eigenvector_oracle_sql(n_iter: int = 6) -> str:
+    """Unrolled fixed-iteration power method: one (contrib, l2-norm,
+    rescore) CTE triple per round — the SQL twin of
+    operators/centrality_alt.eigenvector_scores."""
+    parts = [
+        "WITH", _CTX_GRAPH_SQL, ",",
+        "x0 AS (SELECT context_id, vertex, 1.0 AS score FROM verts)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT u.context_id, u.src AS vertex, sum(x.score) AS raw
+        FROM und u JOIN x{i - 1} x
+          ON u.context_id = x.context_id AND u.dst = x.vertex
+        GROUP BY 1, 2)
+    , n{i} AS (SELECT context_id, sqrt(sum(raw * raw)) AS l2
+               FROM c{i} GROUP BY 1)
+    , x{i} AS (
+        SELECT v.context_id, v.vertex,
+               coalesce(c.raw / n.l2, 0.0) AS score
+        FROM verts v
+        LEFT JOIN c{i} c ON v.context_id = c.context_id AND v.vertex = c.vertex
+        LEFT JOIN n{i} n ON v.context_id = n.context_id)""")
+    parts.append(
+        f"SELECT context_id, vertex, round(score, 9) AS score FROM x{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+@query("eigenvector_centrality", _eigenvector_oracle_sql(6))
 def q_eigenvector_centrality(spark, sf_dir):
     """Eigenvector centrality (reference config alternative,
-    CentralityHandler.java:141-152) — iterative power method; not
-    SQL-expressible (rows-only driver check; exact values asserted vs a
-    numpy oracle in tests/test_centrality_alt.py)."""
+    CentralityHandler.java:141-152) — iterative power method; driver
+    oracle = unrolled fixed-iteration SQL, scores rounded to 1e-9 on both
+    sides; exact values also asserted vs a numpy oracle in
+    tests/test_centrality_alt.py."""
     from reden_spark.operators.centrality_alt import eigenvector_scores
 
     return eigenvector_scores(_ctx_edges(spark, sf_dir), n_iter=6).select(
-        "context_id", "vertex", "score"
+        "context_id", "vertex", F.round(F.col("score"), 9).alias("score")
     )
 
 
-@query("closeness_centrality")
+@query(
+    "closeness_centrality",
+    f"""
+    WITH RECURSIVE {_CTX_GRAPH_SQL},
+    reach AS (
+      SELECT context_id, vertex AS source, vertex, 0 AS dist FROM verts
+      UNION
+      SELECT r.context_id, r.source, u.dst AS vertex, r.dist + 1 AS dist
+      FROM reach r JOIN und u
+        ON r.context_id = u.context_id AND r.vertex = u.src
+      WHERE r.dist < 10),
+    d AS (SELECT context_id, source, vertex, min(dist) AS dist
+          FROM reach GROUP BY 1, 2, 3),
+    s AS (SELECT context_id, source,
+                 sum(dist) AS total_dist, count(*) AS n_reached
+          FROM d WHERE dist > 0 GROUP BY 1, 2)
+    SELECT context_id, source AS vertex,
+           round(CAST(n_reached AS DOUBLE) / total_dist, 9) AS score
+    FROM s
+    """,
+)
 def q_closeness_centrality(spark, sf_dir):
     """Freeman closeness (reference config alternative) — iterative
-    frontier BFS; not SQL-expressible (rows-only driver check; exact
-    values asserted vs a BFS oracle in tests/test_centrality_alt.py)."""
+    frontier BFS; driver oracle = bounded-hop recursive CTE (min-dist per
+    pair), scores rounded to 1e-9 on both sides; exact values also
+    asserted vs a BFS oracle in tests/test_centrality_alt.py."""
     from reden_spark.operators.centrality_alt import closeness_scores
 
     return closeness_scores(_ctx_edges(spark, sf_dir)).select(
-        "context_id", "vertex", "score"
+        "context_id", "vertex", F.round(F.col("score"), 9).alias("score")
     )
 
 
@@ -1388,8 +1457,8 @@ def q_closeness_centrality(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
            count(*) AS n_rows
     FROM lineitem GROUP BY 1, 2
     """,
@@ -1399,7 +1468,11 @@ def q_pricing_summary(spark, sf_dir):
     agg; deterministic across engines unlike double sums)."""
     li = _read(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_price"),
         F.count("*").alias("n_rows"),
     )

@@ -143,12 +143,7 @@ def simhash_signatures(toks: DataFrame, bits: int = 16) -> DataFrame:
         .agg(
             F.sum(
                 F.when(
-                    (
-                        F.col("th").cast("long")
-                        / F.pow(F.lit(2), F.col("bit")).cast("long")
-                    ).cast("long")
-                    % 2
-                    == 1,
+                    F.expr("shiftright(th, bit)") % 2 == 1,
                     1,
                 ).otherwise(-1)
             ).alias("s")
@@ -156,9 +151,7 @@ def simhash_signatures(toks: DataFrame, bits: int = 16) -> DataFrame:
     )
     return per_bit.groupBy("id").agg(
         F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                0
-            )
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
         )
         .cast("long")
         .alias("simhash")
