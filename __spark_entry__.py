@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 39 queries, 37 with DuckDB
-oracles; the two iterative centralities are rows-only (numpy/BFS oracles
-live in tests/test_centrality_alt.py).
+SURVEY.md §2 (reden_spark/contract.py): 39 queries, all 39 with DuckDB
+oracles (the two iterative centralities use unrolled/recursive SQL with
+1e-9-rounded scores; exact-value numpy/BFS oracles additionally live in
+tests/test_centrality_alt.py).
 """
 
 from __future__ import annotations

@@ -56,11 +56,17 @@ def run_bench(
     for name in names:
         t0 = time.time()
         if name == "nel_pipeline":
+            # same noop-sink materialization as every other query (a bare
+            # count() would let Catalyst prune the final projection and
+            # flatter the number); the triple count is derived by a
+            # separate UNTIMED action
             kg = flagship_kg_triples(spark, sf_dir, replicate=replicate)
-            n_triples = kg.count()
+            materialize(kg)
             nel_wall = time.time() - t0
-        else:
-            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(nel_wall, 3)
+            n_triples = kg.count()
+            continue
+        materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -37,19 +37,44 @@ def _vocab(docs: DataFrame) -> DataFrame:
 
 def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     """Wrap every vocabulary-word occurrence in <persName> and the document
-    in a single <div> context.  The tagging regex is built from the
-    (collected, tiny) vocabulary — at scale this list is a broadcast value,
-    the transform itself is one native regexp_replace over content."""
-    words = sorted(r[0] for r in vocab.collect())
-    pat = r"\b(" + "|".join(words) + r")\b"
-    return docs.select(
-        "repo",
-        "path",
-        "commit",
-        "lang",
+    in a single <div> context.
+
+    Fully distributed: tokens are exploded with their position, matched
+    against the vocabulary by a **broadcast join** (the vocabulary never
+    touches the driver — at real scale it is millions of terms), and the
+    document is reassembled by position with one per-doc aggregation.
+    Content is space-tokenized, matching the vocabulary's own derivation
+    (_vocab splits on single spaces), so token-equality tagging is exactly
+    the word-boundary-regex semantics on this corpus shape."""
+    keys = ["repo", "path", "commit", "lang"]
+    toks = docs.select(
+        *keys, F.posexplode(F.split("content", " ")).alias("pos", "tok")
+    )
+    hit = vocab.select(F.col("tok"), F.lit(True).alias("is_mention"))
+    tagged = toks.join(F.broadcast(hit), "tok", "left").select(
+        *keys,
+        "pos",
+        F.when(
+            F.col("is_mention"),
+            F.concat(F.lit("<persName>"), F.col("tok"), F.lit("</persName>")),
+        )
+        .otherwise(F.col("tok"))
+        .alias("out"),
+    )
+    body = tagged.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda x: x["out"],
+            ),
+            " ",
+        ).alias("body")
+    )
+    return body.select(
+        *keys,
         F.concat(
             F.lit("<TEI><text><body><div><p>"),
-            F.regexp_replace("content", pat, "<persName>$1</persName>"),
+            F.col("body"),
             F.lit("</p></div></body></text></TEI>"),
         ).alias("content"),
     )

@@ -9,18 +9,23 @@ equivalents (sameAs closure + co-listed dictionary URIs), every statement
 ``SimpleDirectedWeightedGraph`` keeps ONE edge per (src, dst) pair — we
 reproduce that as a deterministic dedup keeping the min label.
 
-Spark plan (one logical DataFrame, no driver loop):
+Spark plan (one logical DataFrame, no driver loop).  The equivalence set
+is joined **by component id (canon)**, never materialized as (base,
+member) all-pairs — one adversarial mega-component (a celebrity URI
+sameAs-linked across authorities) would make the pair expansion O(k²);
+keying both sides on canon keeps every intermediate proportional to its
+input:
 
-  candidate groups ──explode──► (ctx, mention, group, base, member)   [S6 map]
-        │                                   │
-        └── alias side ⋈ triples ON member == subj   ← the skew-prone join
-                                            │
+  candidates ──explode──► (ctx, base, ckey=canon(co-listed URI))  [≤ group size rows]
+  triples    ──⋈ canon──► (subj, pred, obj, ckey=canon(subj))      [1 row per stmt]
+        └──────── join ON ckey ───────┘   ← the skew-prone join
           filter pred != sameAs, src != dst; dedup (ctx, src, dst)
 
-The triples join shuffles on ``subj``; hot authority subjects are handled
-by AQE skew-split plus optional explicit salting (use_salting=True routes
-through operators/skew.salted_join).  Weights come from a broadcast join
-against the tiny rels table.
+The canon re-key of triples is one extra shuffle on ``subj``; at cluster
+scale it is computed once as a durable stage (plans/resume.py), not per
+run.  Hot components are handled by AQE skew-split plus optional explicit
+salting (use_salting=True routes through operators/skew.salted_join).
+Weights come from a broadcast join against the tiny rels table.
 """
 
 from __future__ import annotations
@@ -55,31 +60,47 @@ def candidate_bases(candidates: DataFrame, base_marker: str = "://kb.example.org
 def fuse_edges(
     candidates: DataFrame,
     triples: DataFrame,
-    equivalents: DataFrame,
+    canon: DataFrame,
     rels: DataFrame | None = None,
     base_marker: str = "://kb.example.org",
     use_salting: bool = False,
 ) -> DataFrame:
     """→ edges(repo, path, context_id, src, dst, label, weight): the fused
-    per-context graph.  ``equivalents`` is (base, member) from
-    sameas.expand_equivalents; every group URI is also its own member (the
-    co-listed URIs are equivalents even without sameAs triples)."""
+    per-context graph.  ``canon`` is (uri, canon) from sameas.canonical_map
+    built WITH the dictionary (co-listed URIs share a component); URIs
+    absent from the map are their own component.
+
+    Equivalent to joining statements of every component member to the base
+    (the reference's ``Map<base, Set<equivalents>>``,
+    GraphHandlerNEL.java:114-197) but expressed as a component-id equi-join:
+    the member list is never materialized, so a mega-component costs its
+    statement count, not its membership squared."""
     bases = candidate_bases(candidates, base_marker)
 
-    # alias set per (ctx, base): sameAs-component members ∪ co-listed URIs
-    co_listed = bases.select(*CTX, "base", F.explode("uris").alias("member"))
-    cc_members = bases.select(*CTX, "base").join(equivalents, "base", "left").select(
-        *CTX, "base", F.coalesce("member", F.col("base")).alias("member")
+    # component keys touched per (ctx, base): the component of the base and
+    # of each co-listed URI — one row per distinct component (≤ group size),
+    # NOT one per member
+    members = bases.select(
+        *CTX, "base", F.explode(F.array_union("uris", F.array("base"))).alias("member")
     )
-    aliases = co_listed.unionByName(cc_members).dropDuplicates([*CTX, "base", "member"])
+    cmap = canon.select(F.col("uri").alias("member"), F.col("canon").alias("mcanon"))
+    mem_ckeys = (
+        members.join(cmap, "member", "left")
+        .select(*CTX, "base", F.coalesce("mcanon", F.col("member")).alias("ckey"))
+        .dropDuplicates([*CTX, "base", "ckey"])
+    )
 
     stmts = triples.filter(F.col("pred") != SAMEAS)
+    smap = canon.select(F.col("uri").alias("subj"), F.col("canon").alias("scanon"))
+    stmts_keyed = (
+        stmts.join(smap, "subj", "left")
+        .withColumn("ckey", F.coalesce("scanon", F.col("subj")))
+        .drop("scanon")
+    )
     if use_salting:
-        joined = skew.salted_join(
-            aliases.withColumnRenamed("member", "subj"), stmts, "subj", how="inner"
-        )
+        joined = skew.salted_join(mem_ckeys, stmts_keyed, "ckey", how="inner")
     else:
-        joined = aliases.join(stmts, aliases.member == stmts.subj).drop("member")
+        joined = mem_ckeys.join(stmts_keyed, "ckey")
 
     edges = (
         joined.select(

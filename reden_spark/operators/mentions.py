@@ -44,14 +44,31 @@ def parse_tag_specs(tag_specs) -> list[tuple[str, str | None]]:
     return out
 
 
+def doc_key_col():
+    """128-bit document key ``struct<h1: long, h2: long>``: two
+    independently-seeded xxhash64 halves of (repo, path, commit) — the
+    second half prepends a domain-separation literal.
+
+    Why 128 and not 64: at the targeted 10^12-document scale, 64-bit
+    birthday collisions are *expected* (~50% odds of a first collision by
+    ~5e9 docs), and a collision silently merges two documents' contexts.
+    At 128 bits the budget is ~(10^12)²/2^129 ≈ 1.5e-15 expected colliding
+    pairs — negligible.  The key is still 16 fixed bytes through every
+    S2-S9 shuffle vs ~170 B of lineage strings per row."""
+    return F.struct(
+        F.xxhash64("repo", "path", "commit").alias("h1"),
+        F.xxhash64(F.lit("reden:dk2"), "repo", "path", "commit").alias("h2"),
+    )
+
+
 def doc_map(documents: DataFrame) -> DataFrame:
     """(doc_key, repo, path, commit, content_sha256): the lineage side
-    table.  The hot path shuffles only the 8-byte ``doc_key``
-    (xxhash64 of the identity columns) instead of ~170 B of strings per
-    row; lineage re-joins once at annotation assembly — at 100 TB this
-    halves-or-better every shuffle in S2-S9."""
+    table.  The hot path shuffles only the 16-byte ``doc_key`` (see
+    doc_key_col) instead of ~170 B of strings per row; lineage re-joins
+    once at annotation assembly — at 100 TB this halves-or-better every
+    shuffle in S2-S9."""
     return documents.select(
-        F.xxhash64("repo", "path", "commit").alias("doc_key"),
+        doc_key_col().alias("doc_key"),
         "repo",
         "path",
         "commit",
@@ -65,7 +82,7 @@ def extract_contexts(
     """S0→S1: one row per context node, keyed by the compact ``doc_key``
     (see doc_map; the sha256(content) invariant rides the side table)."""
     return documents.select(
-        F.xxhash64("repo", "path", "commit").alias("doc_key"),
+        doc_key_col().alias("doc_key"),
         F.posexplode(
             F.regexp_extract_all(F.col("content"), F.lit(context_pattern), F.lit(1))
         ).alias("context_id", "context_text"),

@@ -145,10 +145,41 @@ def canonical_map(triples: DataFrame, dictionary: DataFrame | None = None) -> Da
     )
 
 
-def expand_equivalents(canon: DataFrame) -> DataFrame:
+def expand_equivalents(
+    canon: DataFrame, max_component_size: int | None = 1000
+) -> DataFrame:
     """comp → member list join shape: (uri, member) pairs — every URI of a
     component maps to every member (the reference's
-    ``Map<base, Set<equivalents>>``, GraphHandlerNEL.java:114-197)."""
+    ``Map<base, Set<equivalents>>``, GraphHandlerNEL.java:114-197).
+
+    WARNING — this materialization is O(k²) per component; the pipeline
+    itself no longer uses it (operators/fuse.fuse_edges joins statements by
+    component id instead).  It remains for callers that genuinely need the
+    pair list; ``max_component_size`` caps each component to its
+    lexicographically-first k members (deterministic) so one adversarial
+    mega-component (a celebrity URI sameAs-linked across authorities)
+    cannot explode the output.  Pass ``None`` for the exact all-pairs set.
+    Truncated components are detectable via ``truncated_components(canon,
+    max_component_size)``."""
+    if max_component_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("canon").orderBy("uri")
+        canon = (
+            canon.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_component_size)
+            .drop("_rn")
+        )
     a = canon.select(F.col("uri").alias("base"), "canon")
     b = canon.select(F.col("uri").alias("member"), "canon")
     return a.join(b, "canon").select("base", "member")
+
+
+def truncated_components(canon: DataFrame, max_component_size: int) -> DataFrame:
+    """(canon, size) of components larger than the expansion cap — callers
+    of expand_equivalents log/route these instead of silently dropping."""
+    return (
+        canon.groupBy("canon")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_component_size)
+    )

@@ -29,7 +29,7 @@ from reden_spark.operators.mentions import (
     extract_mentions,
     parse_tag_specs,
 )
-from reden_spark.operators.sameas import canonical_map, expand_equivalents
+from reden_spark.operators.sameas import canonical_map
 
 MENTION_PRED = "http://reden.example.org/ontology#mentions"
 
@@ -124,12 +124,11 @@ def run_pipeline(
     canon = canonical_map(triples, dictionary)                       # S6
     if persist:
         canon = canon.localCheckpoint(eager=True)
-    equivalents = expand_equivalents(canon)
 
     nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
     bases = fuse_ops.candidate_bases(nel, base_marker)
     edges = fuse_ops.fuse_edges(                                     # S7
-        nel, triples, equivalents, rels, base_marker, use_salting=use_salting
+        nel, triples, canon, rels, base_marker, use_salting=use_salting
     )
     inv = cent_ops.inverted_index(nel)
     pruned = cent_ops.prune_edges(edges, inv)                        # S8

@@ -35,6 +35,13 @@ def _schema_fingerprint(df: DataFrame) -> str:
     return ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
 
 
+def _manifest_fingerprint(m: dict) -> str:
+    """Identity of a stage's materialized output as seen by consumers:
+    row count + schema (+ partition layout).  Recorded into downstream
+    manifests so a changed upstream invalidates its consumers."""
+    return f"{m.get('rows')}:{m.get('schema')}:{','.join(m.get('partition_by', []))}"
+
+
 @dataclass
 class StageRunner:
     """Materialize-or-resume executor for a named stage DAG.
@@ -43,15 +50,26 @@ class StageRunner:
     >>> ctx = runner.stage("contexts", lambda: extract_contexts(docs))
     ...
     Re-running the same script skips every stage whose manifest is intact
-    (``runner.resumed`` lists them); ``force=["contexts"]`` invalidates one
-    stage (and, because downstream stages read materialized inputs, ONLY
-    recomputed stages re-execute — the reference's skip-if-exists, made
-    transactional).
+    (``runner.resumed`` lists them); ``force=["contexts"]`` invalidates
+    that stage AND cascades to every transitive downstream consumer —
+    a stage never resumes from a checkpoint computed against inputs that
+    no longer exist (the reference's skip-if-exists, made transactional).
+
+    Input identity is tracked two ways:
+
+    * per-stage: each manifest records the ``_manifest_fingerprint`` of
+      every declared upstream stage; at resume time those must match the
+      upstreams' CURRENT manifests (stale-downstream detection across
+      runs), and any upstream recomputed in THIS run invalidates its
+      consumers even if its output happens to be identical.
+    * per-run: ``input_token`` names the external input (e.g. the source
+      table snapshot id); a token change invalidates every stage.
     """
 
     spark: SparkSession
     root: str
     force: tuple = ()
+    input_token: str = ""
     resumed: list = field(default_factory=list)
     computed: list = field(default_factory=list)
 
@@ -71,12 +89,32 @@ class StageRunner:
         except (OSError, json.JSONDecodeError):
             return None
 
-    def stage(self, name: str, build, partition_by: tuple = ()) -> DataFrame:
+    def _is_valid(self, name: str, m: dict | None, inputs: tuple) -> bool:
+        if m is None or name in self.force:
+            return False
+        # in-run cascade: an upstream rebuilt (or forced) this run poisons
+        # every transitive consumer
+        if any(i in self.computed or i in self.force for i in inputs):
+            return False
+        # cross-run input identity: recorded upstream fingerprints must
+        # match the upstreams' current manifests
+        recorded = m.get("inputs", {})
+        for i in inputs:
+            um = self.manifest(i)
+            if um is None or recorded.get(i) != _manifest_fingerprint(um):
+                return False
+        return m.get("input_token", "") == self.input_token
+
+    def stage(
+        self, name: str, build, partition_by: tuple = (), inputs: tuple = ()
+    ) -> DataFrame:
         """Return the stage's DataFrame, resuming from the checkpoint when
-        its manifest is valid, else computing + materializing it."""
+        its manifest is valid, else computing + materializing it.
+        ``inputs`` declares the upstream stage names this stage reads —
+        the dependency edges of the resume DAG."""
         out = self._dir(name)
         m = self.manifest(name)
-        if m is not None and name not in self.force:
+        if self._is_valid(name, m, inputs):
             df = self.spark.read.parquet(out)
             if _schema_fingerprint(df) == m["schema"]:
                 self.resumed.append(name)
@@ -103,6 +141,12 @@ class StageRunner:
             "schema": _schema_fingerprint(back),
             "wall_s": round(time.time() - t0, 3),
             "partition_by": list(partition_by),
+            "input_token": self.input_token,
+            "inputs": {
+                i: _manifest_fingerprint(um)
+                for i in inputs
+                if (um := self.manifest(i)) is not None
+            },
         }
         with open(self._manifest_path(name), "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
@@ -141,7 +185,7 @@ def run_pipeline_resumable(
         mentions_from_documents,
         parse_tag_specs,
     )
-    from reden_spark.operators.sameas import canonical_map, expand_equivalents
+    from reden_spark.operators.sameas import canonical_map
     from reden_spark.plans.pipeline import emit_triples
 
     context_pattern = kwargs.get("context_pattern", DEFAULT_CONTEXT_PATTERN)
@@ -163,18 +207,20 @@ def run_pipeline_resumable(
         lambda: cand_ops.generate_candidates(
             mentions, dico, tag_order=tag_order, dictionary_prepared=True
         ),
+        inputs=("s2_mentions", "s3_dictionary"),
     )
-    routed = runner.stage("s5_routed", lambda: cand_ops.route_contexts(cands))
+    routed = runner.stage(
+        "s5_routed", lambda: cand_ops.route_contexts(cands), inputs=("s4_candidates",)
+    )
     canon = runner.stage("s6_canon", lambda: canonical_map(triples, dictionary))
-    equivalents = expand_equivalents(canon)
 
     def build_edges():
         nel = routed.filter(
             (F.col("route") == "nel") & F.col("group_id").isNotNull()
         )
-        return fuse_ops.fuse_edges(nel, triples, equivalents, rels, base_marker)
+        return fuse_ops.fuse_edges(nel, triples, canon, rels, base_marker)
 
-    edges = runner.stage("s7_edges", build_edges)
+    edges = runner.stage("s7_edges", build_edges, inputs=("s5_routed", "s6_canon"))
 
     def build_annotations():
         nel = routed.filter(
@@ -187,6 +233,14 @@ def run_pipeline_resumable(
         chosen = select_ops.choose_uris(scored, preferred)
         return select_ops.assemble_annotations(routed, chosen, preferred, doc_map=dmap)
 
-    annotations = runner.stage("s9_annotations", build_annotations)
-    kg = runner.stage("s10_kg", lambda: emit_triples(annotations, canon, base_marker))
+    annotations = runner.stage(
+        "s9_annotations",
+        build_annotations,
+        inputs=("s0_doc_map", "s5_routed", "s7_edges"),
+    )
+    kg = runner.stage(
+        "s10_kg",
+        lambda: emit_triples(annotations, canon, base_marker),
+        inputs=("s9_annotations", "s6_canon"),
+    )
     return kg

@@ -28,9 +28,11 @@ def _eval_frames(spark, tiny_corpus):
         )
     )
     # annotations carry repo/path; re-derive doc_key to join cand groups
-    ann = res.annotations.withColumn(
-        "doc_key", F.xxhash64("repo", "path", "commit")
-    ).join(cand_groups, ["doc_key", "context_id", "mention_idx"], "left")
+    from reden_spark.operators.mentions import doc_key_col
+
+    ann = res.annotations.withColumn("doc_key", doc_key_col()).join(
+        cand_groups, ["doc_key", "context_id", "mention_idx"], "left"
+    )
     ann = ann.select(
         "repo", "path", "context_id", "mention_idx", "surface",
         "chosen_uris", "cand_groups",

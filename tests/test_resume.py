@@ -36,12 +36,21 @@ def test_resume_skips_completed_stages(spark, tiny_corpus, tmp_path):
     assert m["s10_kg"]["rows"] == n_rows
     assert sum(p["rows"] for p in m["s10_kg"]["partitions"]) == n_rows
 
-    # forcing one mid-pipeline stage recomputes only it (downstream stages
-    # read their own checkpoints)
+    # forcing one mid-pipeline stage recomputes it AND cascades to its
+    # transitive downstream consumers — never resume a stage from a
+    # checkpoint computed against stale inputs (ADVICE r1); upstream and
+    # sibling stages still resume
     r3 = StageRunner(spark, root, force=("s7_edges",))
     kg3 = run_pipeline_resumable(r3, docs, dico, triples, rels)
     assert _triples_set(kg3) == want
-    assert r3.computed == ["s7_edges"]
+    assert r3.computed == ["s7_edges", "s9_annotations", "s10_kg"]
+    assert "s5_routed" in r3.resumed and "s6_canon" in r3.resumed
+
+    # a changed external-input token invalidates everything
+    r4 = StageRunner(spark, root, input_token="snapshot-2")
+    kg4 = run_pipeline_resumable(r4, docs, dico, triples, rels)
+    assert _triples_set(kg4) == want
+    assert not r4.resumed and set(r4.computed) == set(r1.computed)
 
 
 def test_resume_recomputes_on_missing_or_bad_manifest(spark, tiny_corpus, tmp_path):

@@ -45,3 +45,60 @@ def test_distributed_cc_long_chain_converges(spark):
         for r in connected_components(e, driver_threshold=0, max_iter=50).collect()
     }
     assert out == {(f"n{i:03d}", "n000") for i in range(n + 1)}
+
+
+def test_expand_equivalents_cap_and_truncation_report(spark):
+    from reden_spark.operators.sameas import expand_equivalents, truncated_components
+
+    canon = spark.createDataFrame(
+        [(f"m{i:03d}", "m000") for i in range(50)] + [("z0", "z0"), ("z1", "z0")],
+        "uri string, canon string",
+    )
+    capped = expand_equivalents(canon, max_component_size=10)
+    # big component truncated to its 10 lexicographically-first members
+    # (10x10 pairs); small component intact (2x2)
+    assert capped.count() == 104
+    exact = expand_equivalents(canon, max_component_size=None)
+    assert exact.count() == 50 * 50 + 4
+    trunc = {(r.canon, r.size) for r in truncated_components(canon, 10).collect()}
+    assert trunc == {("m000", 50)}
+
+
+def test_fuse_mega_component_no_quadratic_blowup(spark):
+    """One candidate whose base sits in a k-member sameAs component must
+    cost O(statements), not O(k^2): the canon-keyed fuse never materializes
+    member pairs (VERDICT r1 #4)."""
+    from reden_spark.operators.fuse import fuse_edges
+
+    k = 400
+    base = "http://kb.example.org/ent/celebrity"
+    members = [base] + [f"http://auth{i:03d}.example.org/celebrity" for i in range(k)]
+    canon = spark.createDataFrame(
+        [(m, base) for m in members], "uri string, canon string"
+    )
+    # statements live on 3 arbitrary members; the rest of the component is
+    # silent — output must still be just these 3 edges, attached to base
+    triples = spark.createDataFrame(
+        [
+            (members[7], "http://p.example.org/a", "http://o.example.org/1"),
+            (members[123], "http://p.example.org/b", "http://o.example.org/2"),
+            (members[399], "http://p.example.org/c", "http://o.example.org/3"),
+            ("http://unrelated.example.org/x", "http://p.example.org/d", "http://o.example.org/4"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 0, 0, "celebrity", 0, [base])],
+        "doc_key long, context_id int, mention_idx int, surface_norm string, "
+        "group_id int, uris array<string>",
+    )
+    edges = fuse_edges(cands, triples, canon)
+    got = {(r.src, r.dst, r.label) for r in edges.collect()}
+    assert got == {
+        (base, "http://o.example.org/1", "http://p.example.org/a"),
+        (base, "http://o.example.org/2", "http://p.example.org/b"),
+        (base, "http://o.example.org/3", "http://p.example.org/c"),
+    }
+    # the component-key side is one row per (ctx, base, component), not per member
+    plan = edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # sanity: it is a join plan, not a collected loop

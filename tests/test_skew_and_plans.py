@@ -160,3 +160,54 @@ def test_pipeline_with_salting_matches_default(spark, tiny_corpus):
         for r in df.select("subj", "pred", "obj", "canon_subj", "repo", "path").collect()
     }
     assert key(salted.kg_triples) == key(plain.kg_triples)
+
+
+def test_jaccard_prefix_filter_excludes_hot_tokens(spark):
+    """Stopword-hot tokens must never enter the blocking join: 100 docs all
+    share 'the', but only the one genuinely-similar pair may surface as a
+    candidate — and the result set equals the brute-force all-pairs answer
+    (prefix filtering is exact, VERDICT r1 #5)."""
+    from itertools import combinations
+
+    from reden_spark.operators.dedup import jaccard_candidates, jaccard_pairs
+
+    docs = [(i, ["the"] + [f"w{i}_{j}" for j in range(6)]) for i in range(100)]
+    # docs 7 and 8 share 6 of 8 union tokens (5 w7_* + "the") -> J = 0.75
+    docs[8] = (8, ["the"] + [f"w7_{j}" for j in range(5)] + ["w8_only"])
+    toks = spark.createDataFrame(
+        [(i, t) for i, ts in docs for t in ts], "id long, tok string"
+    )
+    cand = {(r.a, r.b) for r in jaccard_candidates(toks, 0.5).collect()}
+    assert cand == {(7, 8)}  # 4950 'the'-only pairs never become candidates
+
+    got = {(r.a, r.b, round(r.jaccard, 9)) for r in jaccard_pairs(toks, 0.5).collect()}
+    # brute force over the python sets
+    sets = {i: set(ts) for i, ts in docs}
+    want = set()
+    for i, j in combinations(range(100), 2):
+        inter = len(sets[i] & sets[j])
+        jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+        if jac >= 0.5:
+            want.add((i, j, round(jac, 9)))
+    assert got == want == {(7, 8, 0.75)}
+
+
+def test_teiify_is_distributed_broadcast_tagger(spark):
+    """The flagship tagger must be a broadcast-join plan over exploded
+    tokens — no driver-collected vocabulary regex (VERDICT r1 #6)."""
+    from reden_spark.flagship import teiify
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "fr", "alpha stream beta")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    vocab = spark.createDataFrame([("stream",)], "tok string")
+    out = teiify(docs, vocab)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    row = out.collect()[0]
+    assert (
+        row.content
+        == "<TEI><text><body><div><p>alpha <persName>stream</persName> beta"
+        "</p></div></body></text></TEI>"
+    )

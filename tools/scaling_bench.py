@@ -4,11 +4,13 @@ IDENTICAL flagship KG job on the IDENTICAL input at two parallelism
 levels — N and 4N cores in separate JVMs — and report throughput at both
 plus efficiency = (thr_4N / thr_N) / 4.
 
-Default pair: local[2] vs local[8].  This sandbox advertises 32 CPUs but
+Default pair: local[1] vs local[4], pinned — the methodology behind the
+recorded BENCH_SCALING.json.  This sandbox advertises 32 CPUs but
 delivers ~11-19 cores of real throughput (measured: 8 fixed-work procs
-finish in 2.6 s, 16 in 3.5 s, 32 in 5.1 s), so levels above ~8 threads
-measure host oversubscription, not the job's scaling.  2 → 8 threads are
-fully hardware-backed; override with SPARK_GRAFT_SCALE_LOW/HIGH.
+finish in 2.6 s, 16 in 3.5 s, 32 in 5.1 s) behind a ~2-4.5 GB/s memory
+bus that saturates between 4 and 8 procs, so levels above 4 threads
+increasingly measure the host, not the job's scaling.  Override with
+SPARK_GRAFT_SCALE_LOW/HIGH.
 
 The input is the sf0.1 documents table replicated K× (default 32) so the
 run is compute-dominated, as the 100 TB target is; fixed costs (session
@@ -64,8 +66,8 @@ def _median(xs):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
-    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     # interleave levels: the host carries ~3 cores of background VM noise
     # with large drift, so paired/interleaved runs + median per level
