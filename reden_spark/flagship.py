@@ -45,14 +45,21 @@ def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     document is reassembled by position with one per-doc aggregation.
     Content is space-tokenized, matching the vocabulary's own derivation
     (_vocab splits on single spaces), so token-equality tagging is exactly
-    the word-boundary-regex semantics on this corpus shape."""
+    the word-boundary-regex semantics on this corpus shape.
+
+    The token-level reassembly shuffle is keyed by an 8-byte doc hash —
+    carrying the (repo, path, commit, lang) strings on every TOKEN row
+    would multiply the exchange width ~5x; identity re-joins once per
+    document after reassembly (same trick as the pipeline's doc_key)."""
     keys = ["repo", "path", "commit", "lang"]
+    dk = F.xxhash64(*keys).alias("dk")
+    ident = docs.select(dk, *keys)
     toks = docs.select(
-        *keys, F.posexplode(F.split("content", " ")).alias("pos", "tok")
+        dk, F.posexplode(F.split("content", " ")).alias("pos", "tok")
     )
     hit = vocab.select(F.col("tok"), F.lit(True).alias("is_mention"))
     tagged = toks.join(F.broadcast(hit), "tok", "left").select(
-        *keys,
+        "dk",
         "pos",
         F.when(
             F.col("is_mention"),
@@ -61,7 +68,7 @@ def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         .otherwise(F.col("tok"))
         .alias("out"),
     )
-    body = tagged.groupBy(*keys).agg(
+    body = tagged.groupBy("dk").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "out"))),
@@ -70,7 +77,7 @@ def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             " ",
         ).alias("body")
     )
-    return body.select(
+    return body.join(ident, "dk").select(
         *keys,
         F.concat(
             F.lit("<TEI><text><body><div><p>"),

@@ -37,6 +37,63 @@ def inverted_index(candidates: DataFrame) -> DataFrame:
     )
 
 
+def inverted_index_hashed(candidates: DataFrame) -> DataFrame:
+    """(ctx, uri_h, mention_h): inverted index built directly on 8-byte
+    keys — the explode + agg shuffles hashes, not URI/surface strings; the
+    min-surface tie-break stays string-deterministic (min runs on the
+    string, the hash is applied after)."""
+    h = F.xxhash64
+    return (
+        candidates.filter(F.col("group_id").isNotNull())
+        .select(*CTX, "surface_norm", F.explode("uris").alias("uri"))
+        .select(*CTX, h("uri").alias("uri_h"), "surface_norm")
+        .groupBy(*CTX, "uri_h")
+        .agg(h(F.min("surface_norm")).alias("mention_h"))
+    )
+
+
+def _hashed_inv(inv: DataFrame) -> DataFrame:
+    """(ctx, uri_h, mention_h): the inverted index on 8-byte keys — mention
+    identity only feeds a countDistinct, so its string never needs to ride
+    the cascade either."""
+    h = F.xxhash64
+    return inv.select(*CTX, h("uri").alias("uri_h"), h("mention").alias("mention_h"))
+
+
+def _kept_vertices(e_h: DataFrame, invh: DataFrame) -> DataFrame:
+    """(ctx, vertex_h) surviving pruning: all candidate vertices, plus
+    non-candidates touching candidates of >=2 distinct mentions."""
+    src_m = invh.select(
+        *CTX, F.col("uri_h").alias("src_h"), F.col("mention_h").alias("src_mention")
+    )
+    dst_m = invh.select(
+        *CTX, F.col("uri_h").alias("dst_h"), F.col("mention_h").alias("dst_mention")
+    )
+    ej = (
+        e_h.select(*CTX, "src_h", "dst_h")
+        .join(src_m, [*CTX, "src_h"], "left")
+        .join(dst_m, [*CTX, "dst_h"], "left")
+    )
+
+    # distinct candidate-mention touch count for non-candidate endpoints
+    touch_src = ej.filter(
+        F.col("src_mention").isNull() & F.col("dst_mention").isNotNull()
+    ).select(*CTX, F.col("src_h").alias("vertex_h"), F.col("dst_mention").alias("m"))
+    touch_dst = ej.filter(
+        F.col("dst_mention").isNull() & F.col("src_mention").isNotNull()
+    ).select(*CTX, F.col("dst_h").alias("vertex_h"), F.col("src_mention").alias("m"))
+    kept_shared = (
+        touch_src.unionByName(touch_dst)
+        .groupBy(*CTX, "vertex_h")
+        .agg(F.countDistinct("m").alias("nm"))
+        .filter(F.col("nm") >= 2)
+        .select(*CTX, "vertex_h")
+    )
+    return kept_shared.unionByName(
+        invh.select(*CTX, F.col("uri_h").alias("vertex_h"))
+    ).dropDuplicates([*CTX, "vertex_h"])
+
+
 def prune_edges(edges: DataFrame, inv: DataFrame) -> DataFrame:
     """Keep edges whose both endpoints survive pruning.
 
@@ -48,39 +105,26 @@ def prune_edges(edges: DataFrame, inv: DataFrame) -> DataFrame:
     context.)"""
     h = F.xxhash64
     e = edges.withColumn("src_h", h("src")).withColumn("dst_h", h("dst"))
-    invh = inv.select(*CTX, h("uri").alias("uri_h"), "mention")
-    src_m = invh.select(*CTX, F.col("uri_h").alias("src_h"), F.col("mention").alias("src_mention"))
-    dst_m = invh.select(*CTX, F.col("uri_h").alias("dst_h"), F.col("mention").alias("dst_mention"))
-    ej = (
-        e.select(*CTX, "src_h", "dst_h")
-        .join(src_m, [*CTX, "src_h"], "left")
-        .join(dst_m, [*CTX, "dst_h"], "left")
-    )
-
-    # distinct candidate-mention touch count for non-candidate endpoints
-    touch_src = ej.filter(F.col("src_mention").isNull() & F.col("dst_mention").isNotNull()).select(
-        *CTX, F.col("src_h").alias("vertex_h"), F.col("dst_mention").alias("m")
-    )
-    touch_dst = ej.filter(F.col("dst_mention").isNull() & F.col("src_mention").isNotNull()).select(
-        *CTX, F.col("dst_h").alias("vertex_h"), F.col("src_mention").alias("m")
-    )
-    kept_shared = (
-        touch_src.unionByName(touch_dst)
-        .groupBy(*CTX, "vertex_h")
-        .agg(F.countDistinct("m").alias("nm"))
-        .filter(F.col("nm") >= 2)
-        .select(*CTX, "vertex_h")
-    )
-    kept = kept_shared.unionByName(
-        invh.select(*CTX, F.col("uri_h").alias("vertex_h"))
-    ).dropDuplicates([*CTX, "vertex_h"])
-
+    kept = _kept_vertices(e, _hashed_inv(inv))
     k_src = kept.select(*CTX, F.col("vertex_h").alias("src_h"))
     k_dst = kept.select(*CTX, F.col("vertex_h").alias("dst_h"))
     return (
         e.join(k_src, [*CTX, "src_h"], "left_semi")
         .join(k_dst, [*CTX, "dst_h"], "left_semi")
         .drop("src_h", "dst_h")
+    )
+
+
+def prune_edges_hashed(edges_h: DataFrame, invh: DataFrame) -> DataFrame:
+    """Hash-only pruning for the scoring path: input (ctx, src_h, dst_h)
+    from fuse_edges_hashed and (ctx, uri_h, mention_h) from
+    inverted_index_hashed, output the edge shape filtered — URI strings
+    never exist on this path at all."""
+    kept = _kept_vertices(edges_h, invh)
+    k_src = kept.select(*CTX, F.col("vertex_h").alias("src_h"))
+    k_dst = kept.select(*CTX, F.col("vertex_h").alias("dst_h"))
+    return edges_h.join(k_src, [*CTX, "src_h"], "left_semi").join(
+        k_dst, [*CTX, "dst_h"], "left_semi"
     )
 
 
@@ -98,6 +142,32 @@ def edge_label_frequency(edges: DataFrame) -> DataFrame:
     ResultsAndEvaluationNEL.java:371-387), ascending by count like
     Util.sortByValue."""
     return edges.groupBy("label").agg(F.count("*").alias("freq")).orderBy("freq", "label")
+
+
+def degree_hashed(edges_h: DataFrame) -> DataFrame:
+    """(ctx, vertex_h, degree): incident-edge count over hashed edges."""
+    ends = edges_h.select(*CTX, F.col("src_h").alias("vertex_h")).unionByName(
+        edges_h.select(*CTX, F.col("dst_h").alias("vertex_h"))
+    )
+    return ends.groupBy(*CTX, "vertex_h").agg(
+        F.count("*").cast("double").alias("degree")
+    )
+
+
+def score_candidates_hashed(bases: DataFrame, pruned_h: DataFrame) -> DataFrame:
+    """score_candidates over the hash-only scoring path: degree is computed
+    on 8-byte vertex keys; the base URI string re-attaches here (the tiny
+    candidate side), keeping the argmax tie-break (score desc, base asc)
+    string-deterministic."""
+    from reden_spark.functions.normalize import uri_decode
+
+    d = degree_hashed(pruned_h).withColumnRenamed("vertex_h", "base_h")
+    b = bases.withColumn("base_h", F.xxhash64(uri_decode(F.col("base"))))
+    return (
+        b.join(d, [*CTX, "base_h"], "left")
+        .withColumn("score", F.coalesce("degree", F.lit(0.0)))
+        .drop("degree", "base_h")
+    )
 
 
 def score_candidates(bases: DataFrame, pruned: DataFrame) -> DataFrame:

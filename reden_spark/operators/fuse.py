@@ -57,24 +57,17 @@ def candidate_bases(candidates: DataFrame, base_marker: str = "://kb.example.org
     )
 
 
-def fuse_edges(
+def _fused_statements(
     candidates: DataFrame,
     triples: DataFrame,
     canon: DataFrame,
-    rels: DataFrame | None = None,
-    base_marker: str = "://kb.example.org",
-    use_salting: bool = False,
+    base_marker: str,
+    use_salting: bool,
 ) -> DataFrame:
-    """→ edges(repo, path, context_id, src, dst, label, weight): the fused
-    per-context graph.  ``canon`` is (uri, canon) from sameas.canonical_map
-    built WITH the dictionary (co-listed URIs share a component); URIs
-    absent from the map are their own component.
-
-    Equivalent to joining statements of every component member to the base
-    (the reference's ``Map<base, Set<equivalents>>``,
-    GraphHandlerNEL.java:114-197) but expressed as a component-id equi-join:
-    the member list is never materialized, so a mega-component costs its
-    statement count, not its membership squared."""
+    """(ctx, base, pred, obj): every non-sameAs statement of every
+    equivalence component touched by a candidate group, attached to the
+    group's base URI — the shared core of the string and hashed edge
+    builders."""
     bases = candidate_bases(candidates, base_marker)
 
     # component keys touched per (ctx, base): the component of the base and
@@ -98,9 +91,86 @@ def fuse_edges(
         .drop("scanon")
     )
     if use_salting:
-        joined = skew.salted_join(mem_ckeys, stmts_keyed, "ckey", how="inner")
+        return skew.salted_join(mem_ckeys, stmts_keyed, "ckey", how="inner")
+    return mem_ckeys.join(stmts_keyed, "ckey")
+
+
+def fuse_edges_hashed(
+    candidates: DataFrame,
+    triples: DataFrame,
+    canon: DataFrame,
+    base_marker: str = "://kb.example.org",
+    use_salting: bool = False,
+) -> DataFrame:
+    """→ (ctx, src_h, dst_h): the fused graph on 8-byte vertex hashes only
+    — the scoring path's input (prune → degree needs vertex IDENTITY, never
+    vertex strings).  Every shuffle from here to the argmax carries fixed
+    16-24 B rows instead of 2×~60 B URI strings; on a 2-4.5 GB/s-bus host
+    (and on any real cluster's shuffle fabric) that width is the cost.
+
+    Hashing happens BEFORE the component join: both join sides are
+    projected to hashes first, so even the skew-prone ckey shuffle moves 8 B
+    keys.  Collision budget: per-context graphs (n²/2⁶⁵, like prune_edges)
+    plus the global component-key space — negligible below ~10⁹ distinct
+    URIs per context.  Labels/weights don't ride this path (degree ignores
+    them); use fuse_edges for the report-grade string edges."""
+    h = F.xxhash64
+    bases = candidate_bases(candidates, base_marker)
+    members = bases.select(
+        *CTX,
+        h(uri_decode(F.col("base"))).alias("src_h"),
+        F.explode(F.array_union("uris", F.array("base"))).alias("member"),
+    )
+    cmap = canon.select(
+        h("uri").alias("member_h"), h("canon").alias("ckey_h")
+    )
+    mem_ckeys = (
+        members.withColumn("member_h", h("member"))
+        .drop("member")
+        .join(cmap, "member_h", "left")
+        .select(
+            *CTX, "src_h", F.coalesce("ckey_h", F.col("member_h")).alias("ckey_h")
+        )
+        .dropDuplicates([*CTX, "src_h", "ckey_h"])
+    )
+    stmts = triples.filter(F.col("pred") != SAMEAS).select(
+        h("subj").alias("subj_h"), h(uri_decode(F.col("obj"))).alias("dst_h")
+    )
+    smap = canon.select(h("uri").alias("subj_h"), h("canon").alias("scanon_h"))
+    stmts_keyed = (
+        stmts.join(smap, "subj_h", "left")
+        .select(F.coalesce("scanon_h", F.col("subj_h")).alias("ckey_h"), "dst_h")
+    )
+    if use_salting:
+        joined = skew.salted_join(mem_ckeys, stmts_keyed, "ckey_h", how="inner")
     else:
-        joined = mem_ckeys.join(stmts_keyed, "ckey")
+        joined = mem_ckeys.join(stmts_keyed, "ckey_h")
+    return (
+        joined.filter(F.col("src_h") != F.col("dst_h"))
+        .dropDuplicates([*CTX, "src_h", "dst_h"])
+        .select(*CTX, "src_h", "dst_h")
+    )
+
+
+def fuse_edges(
+    candidates: DataFrame,
+    triples: DataFrame,
+    canon: DataFrame,
+    rels: DataFrame | None = None,
+    base_marker: str = "://kb.example.org",
+    use_salting: bool = False,
+) -> DataFrame:
+    """→ edges(repo, path, context_id, src, dst, label, weight): the fused
+    per-context graph.  ``canon`` is (uri, canon) from sameas.canonical_map
+    built WITH the dictionary (co-listed URIs share a component); URIs
+    absent from the map are their own component.
+
+    Equivalent to joining statements of every component member to the base
+    (the reference's ``Map<base, Set<equivalents>>``,
+    GraphHandlerNEL.java:114-197) but expressed as a component-id equi-join:
+    the member list is never materialized, so a mega-component costs its
+    statement count, not its membership squared."""
+    joined = _fused_statements(candidates, triples, canon, base_marker, use_salting)
 
     edges = (
         joined.select(

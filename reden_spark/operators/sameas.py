@@ -97,14 +97,14 @@ def connected_components(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
     )
-    n_edges = und.count()
-    if n_edges < driver_threshold:
-        rows = _driver_union_find(
-            [(r.src, r.dst) for r in und.collect()]
-        )
+    # size probe and edge fetch in ONE job: limit(threshold+1) returns the
+    # whole graph iff it is under the threshold (order irrelevant for CC)
+    probe = und.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        rows = _driver_union_find([(r.src, r.dst) for r in probe])
         return und.sparkSession.createDataFrame(rows, "node string, comp string")
+    und = und.localCheckpoint(eager=True)  # reused every loop round below
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

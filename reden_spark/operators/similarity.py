@@ -129,19 +129,54 @@ def ivf_assign(
     )
 
 
+def ivf_assign_probes(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, probe_rank): each vector's ``n_probe`` nearest
+    centroids by cosine (deterministic ties → min centroid id).  probe_rank
+    1 is the home cell (== ivf_assign); ranks 2..n are the multi-probe
+    cells a QUERY additionally searches."""
+    e = with_norms(embeddings, id_col, vec_col)
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.col("cv"),
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "id",
+        "centroid_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("id", "centroid_id", "probe_rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,
     k: int = 3,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: brute-force cosine top-k WITHIN each vector's cell
-    (single-probe; recall grows with multi-probe — union over the next
-    nearest centroids)."""
-    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
-    e = with_norms(embeddings, id_col, vec_col).join(assign.select("id", "centroid_id"), "id")
-    a = e.select(
+    """IVF search: brute-force cosine top-k within each query's
+    ``n_probe`` nearest cells.  Corpus vectors live in exactly their home
+    cell (rank-1 assignment); raising n_probe widens only the query side,
+    so the join stays cell-local and cost grows linearly with n_probe —
+    the standard IVF recall knob (measure with ann_recall)."""
+    probes = ivf_assign_probes(embeddings, centroids, n_probe, id_col, vec_col)
+    home = probes.filter(F.col("probe_rank") == 1).select("id", "centroid_id")
+    corpus = with_norms(embeddings, id_col, vec_col)
+    e = corpus.join(home, "id")
+    a = corpus.join(probes.select("id", "centroid_id"), "id").select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "centroid_id"
     )
     sims = a.join(e, ["centroid_id"]).filter(F.col("qid") != F.col("id")).select(
@@ -161,30 +196,66 @@ def lsh_cosine_topk(
     embeddings: DataFrame,
     k: int = 3,
     n_bits: int = 4,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale path: cosine top-k WITHIN sign-LSH buckets — approximate
-    (misses cross-bucket neighbors) but turns the all-pairs join into
-    bucket-local joins; recall grows with multiple hash tables (union of
-    bucketings), the standard LSH trade."""
-    e = with_norms(embeddings, id_col, vec_col).withColumn(
-        "bucket", sign_lsh_bucket("v", n_bits)
-    )
-    a = e.select(
-        F.col("id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "bucket",
-    )
-    sims = a.join(e, ["bucket"]).filter(F.col("qid") != F.col("id")).select(
-        F.col("qid").alias("id_out"),
-        F.col("id").alias("neighbor"),
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
+    (misses cross-bucket neighbors); ``n_tables`` independent bucketings
+    (disjoint sign-bit slices: table t reads dims [t*n_bits, (t+1)*n_bits))
+    are unioned before the per-query top-k, the standard LSH recall knob
+    (measure with ann_recall).  Each table's join stays bucket-local; cost
+    grows linearly with n_tables."""
+    base = with_norms(embeddings, id_col, vec_col)
+
+    def _bucket(t: int):
+        return sum(
+            F.when(F.element_at(F.col("v"), t * n_bits + i + 1) >= 0, 1 << i).otherwise(0)
+            for i in range(n_bits)
+        ).cast("long")
+
+    sims = None
+    for t in range(n_tables):
+        e = base.withColumn("bucket", _bucket(t))
+        a = e.select(
+            F.col("id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+        s = a.join(e, ["bucket"]).filter(F.col("qid") != F.col("id")).select(
+            F.col("qid").alias("id_out"),
+            F.col("id").alias("neighbor"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+        sims = s if sims is None else sims.unionByName(s)
+    if n_tables > 1:
+        sims = sims.dropDuplicates(["id_out", "neighbor"])
     w = Window.partitionBy("id_out").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("id_out").alias("id"), "neighbor", "rank")
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """One row (n_queries, n_exact, n_hit, recall): fraction of the exact
+    top-k (id, neighbor) pairs the approximate index returned — the
+    measurement behind every probe/table knob above."""
+    hit = approx.select("id", "neighbor").join(
+        exact.select("id", "neighbor"), ["id", "neighbor"], "left_semi"
+    )
+    return (
+        exact.agg(
+            F.countDistinct("id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
     )

@@ -118,6 +118,13 @@ def run_pipeline(
         mentions, dico, tag_order=tag_order, dictionary_prepared=True
     )
     routed = cand_ops.route_contexts(cands)                          # S5
+    # slim the materialized cut: normalized_name/lookup_tag are join
+    # byproducts no downstream stage reads — dropping them narrows every
+    # row the checkpoint writes AND every downstream shuffle that rereads it
+    routed = routed.select(
+        "doc_key", "context_id", "mention_idx", "tag", "surface",
+        "surface_norm", "group_id", "uris", "n_groups", "route",
+    )
     if persist:
         routed = routed.localCheckpoint(eager=True)
 
@@ -127,12 +134,21 @@ def run_pipeline(
 
     nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
     bases = fuse_ops.candidate_bases(nel, base_marker)
-    edges = fuse_ops.fuse_edges(                                     # S7
+    # scoring path (S7-S8) runs entirely on 8-byte vertex hashes — fuse
+    # join, dedup, pruning cascade and degree never shuffle a URI string;
+    # strings re-attach at the tiny bases side in score_candidates_hashed
+    edges_h = fuse_ops.fuse_edges_hashed(                            # S7
+        nel, triples, canon, base_marker, use_salting=use_salting
+    )
+    invh = cent_ops.inverted_index_hashed(nel)
+    pruned_h = cent_ops.prune_edges_hashed(edges_h, invh)            # S8
+    scored = cent_ops.score_candidates_hashed(bases, pruned_h)
+    # report-grade string edges (labels/weights for relFrequency &
+    # graph-dump parity) — lazy; only consumers that materialize them pay
+    edges = fuse_ops.fuse_edges(
         nel, triples, canon, rels, base_marker, use_salting=use_salting
     )
-    inv = cent_ops.inverted_index(nel)
-    pruned = cent_ops.prune_edges(edges, inv)                        # S8
-    scored = cent_ops.score_candidates(bases, pruned)
+    pruned = cent_ops.prune_edges(edges, cent_ops.inverted_index(nel))
     chosen = select_ops.choose_uris(scored, preferred)               # S9
     annotations = select_ops.assemble_annotations(
         routed, chosen, preferred, doc_map=dmap

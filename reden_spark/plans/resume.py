@@ -31,6 +31,47 @@ from pyspark.sql import functions as F
 MANIFEST = "_reden_manifest.json"
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath (the
+    north_star's stage-output format).  This sandbox ships no Iceberg jars,
+    so the default stage format falls back to parquet — same DataFrame
+    write API, same resume semantics."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — classpath probe needs the gateway
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_stage_output(
+    df: DataFrame, path: str, partition_by: tuple = (), fmt: str | None = None
+) -> str:
+    """Write one stage's table in ``fmt`` ('iceberg' | 'parquet' | None =
+    auto-detect), returning the format used.  Iceberg writes use the
+    identical writer surface (``format("iceberg")`` path-based table);
+    everything else in StageRunner — manifests, fingerprints, resume —
+    is format-agnostic."""
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(df.sparkSession) else "parquet"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "iceberg":
+        writer.format("iceberg").save(path)
+    else:
+        writer.parquet(path)
+    return fmt
+
+
+def read_stage_output(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
 def _schema_fingerprint(df: DataFrame) -> str:
     return ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
 
@@ -70,6 +111,7 @@ class StageRunner:
     root: str
     force: tuple = ()
     input_token: str = ""
+    fmt: str | None = None  # 'iceberg' | 'parquet' | None = auto-detect
     resumed: list = field(default_factory=list)
     computed: list = field(default_factory=list)
 
@@ -115,17 +157,14 @@ class StageRunner:
         out = self._dir(name)
         m = self.manifest(name)
         if self._is_valid(name, m, inputs):
-            df = self.spark.read.parquet(out)
+            df = read_stage_output(self.spark, out, m.get("format", "parquet"))
             if _schema_fingerprint(df) == m["schema"]:
                 self.resumed.append(name)
                 return df
         t0 = time.time()
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out)
-        back = self.spark.read.parquet(out)
+        fmt = write_stage_output(df, out, partition_by, self.fmt)
+        back = read_stage_output(self.spark, out, fmt)
         per_part = [
             {"partition_id": r.partition_id, "rows": r.rows}
             for r in back.groupBy(
@@ -141,6 +180,7 @@ class StageRunner:
             "schema": _schema_fingerprint(back),
             "wall_s": round(time.time() - t0, 3),
             "partition_by": list(partition_by),
+            "format": fmt,
             "input_token": self.input_token,
             "inputs": {
                 i: _manifest_fingerprint(um)

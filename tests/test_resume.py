@@ -75,3 +75,31 @@ def test_resume_recomputes_on_missing_or_bad_manifest(spark, tiny_corpus, tmp_pa
     r3 = StageRunner(spark, root)
     r3.stage("s", lambda: docs.select("repo", "path"))
     assert r3.computed == ["s"]
+
+
+def test_iceberg_guard_and_parquet_fallback(spark, tiny_corpus, tmp_path):
+    """north_star names Iceberg stage outputs; this sandbox has no Iceberg
+    jars, so the guard must (a) detect that, (b) fall back to parquet with
+    the format recorded in the manifest, (c) really attempt the Iceberg
+    source when forced (proving the branch is live, not dead code)."""
+    import pytest
+
+    from reden_spark.corpus import corpus_to_spark
+    from reden_spark.plans.resume import iceberg_available, write_stage_output
+
+    docs, *_ = corpus_to_spark(spark, tiny_corpus)
+    assert iceberg_available(spark) is False  # sandbox: no Iceberg runtime
+
+    root = str(tmp_path / "ice")
+    r = StageRunner(spark, root)  # fmt=None -> auto-detect -> parquet
+    r.stage("s", lambda: docs.select("repo", "path"))
+    assert r.manifest("s")["format"] == "parquet"
+
+    r2 = StageRunner(spark, root)
+    r2.stage("s", lambda: docs.select("repo", "path"))
+    assert r2.resumed == ["s"]
+
+    with pytest.raises(Exception, match="(?i)iceberg|DATA_SOURCE|ClassNotFound"):
+        write_stage_output(
+            docs.select("repo"), str(tmp_path / "forced"), fmt="iceberg"
+        )
