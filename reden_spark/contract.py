@@ -1560,6 +1560,100 @@ def q_closeness_centrality(spark, sf_dir):
 
 
 @query(
+    "significance_paired_t",
+    """
+    WITH a AS (SELECT o_custkey % 500 AS k,
+                      CAST(sum(o_totalprice) AS DOUBLE) / 1000 AS score
+               FROM orders GROUP BY 1),
+    b AS (SELECT o_custkey % 500 AS k, count(*) * 3.0 AS score
+          FROM orders GROUP BY 1),
+    p AS (SELECT coalesce(a.score, 0.0) AS sa, coalesce(b.score, 0.0) AS sb
+          FROM a FULL JOIN b USING (k)),
+    d AS (SELECT sa - sb AS d FROM p)
+    SELECT count(*) AS n,
+           round(avg(d), 9) AS mean_diff,
+           round(stddev_samp(d), 9) AS sd_diff,
+           round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 9) AS t_stat
+    FROM d
+    """,
+)
+def q_significance_paired_t(spark, sf_dir):
+    """Paired significance-test prep + the paired t statistic itself
+    (SignificanceTesting.java:55-112 pairs two runs' per-mention scores
+    for R's t.test(paired=TRUE); here the join AND the statistic are one
+    Spark plan).  Fixture: two deterministic per-key score runs."""
+    from reden_spark.operators.analytics import paired_scores, paired_t_test
+
+    o = _read(spark, sf_dir, "orders")
+    run_a = o.groupBy((F.col("o_custkey") % 500).alias("k")).agg(
+        (F.sum("o_totalprice").cast("double") / 1000).alias("score")
+    )
+    run_b = o.groupBy((F.col("o_custkey") % 500).alias("k")).agg(
+        (F.count("*") * 3.0).alias("score")
+    )
+    return paired_t_test(paired_scores(run_a, run_b, ["k"]))
+
+
+@query(
+    "population_completeness",
+    """
+    WITH gold AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE 'http://kb.example.org/ent/' || CAST(c_custkey % 700 AS VARCHAR)
+             END AS ref
+      FROM customer WHERE c_custkey < 1200),
+    kb AS (
+      SELECT DISTINCT uri FROM (
+        SELECT 'http://kb.example.org/ent/' || CAST((s_suppkey * 3) % 700 AS VARCHAR) AS uri
+        FROM supplier
+        UNION ALL
+        SELECT 'http://kb.example.org/ent/' || CAST((n_nationkey * 29) % 700 AS VARCHAR)
+        FROM nation)),
+    linked AS (SELECT ref FROM gold WHERE ref IS NOT NULL AND ref <> '')
+    SELECT (SELECT count(*) FROM linked) AS n_gold_linked,
+           (SELECT count(*) FROM kb) AS n_kb_uris,
+           (SELECT count(*) FROM linked WHERE ref IN (SELECT uri FROM kb)) AS n_in_kb,
+           round((SELECT count(*) FROM linked WHERE ref IN (SELECT uri FROM kb))::DOUBLE
+                 / (SELECT count(*) FROM linked), 9) AS completeness
+    """,
+)
+def q_population_completeness(spark, sf_dir):
+    """KB population-completeness report
+    (CalculatePopulationCompletenessLD.java:44-96): gold mention URIs ∩
+    domain-scoped KB universe (main + sameAs URIs) as a semi-join count."""
+    from reden_spark.operators.analytics import population_completeness
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1200)
+    gold = cust.select(
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.concat(
+                F.lit("http://kb.example.org/ent/"),
+                (F.col("c_custkey") % 700).cast("string"),
+            ),
+        ).alias("ref")
+    )
+    kb = (
+        _read(spark, sf_dir, "supplier")
+        .select(
+            F.concat(
+                F.lit("http://kb.example.org/ent/"),
+                ((F.col("s_suppkey") * 3) % 700).cast("string"),
+            ).alias("uri")
+        )
+        .unionByName(
+            _read(spark, sf_dir, "nation").select(
+                F.concat(
+                    F.lit("http://kb.example.org/ent/"),
+                    ((F.col("n_nationkey") * 29) % 700).cast("string"),
+                ).alias("uri")
+            )
+        )
+    )
+    return population_completeness(gold, kb)
+
+
+@query(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

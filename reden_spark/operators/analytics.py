@@ -1,0 +1,79 @@
+"""Auxiliary analyses shipped with the reference: paired significance-test
+preparation and KB population-completeness.
+
+* SignificanceTesting.java:55-112 — extracts the per-mention centrality
+  score from each of two annotated runs (degree vs eigenvector), pairs
+  them positionally and writes a two-column table for a paired t-test in
+  R.  Spark-first: the pairing is one equi-join on the mention key, and
+  the paired t statistic itself is a single aggregation
+  (t = mean(d) / (stddev_samp(d)/sqrt(n))) — no R round-trip needed.
+
+* CalculatePopulationCompletenessLD.java:44-96 — counts how many gold-
+  annotated mention URIs fall inside a domain-scoped KB URI universe
+  (authors + their owl:sameAs refs).  Spark-first: a semi-join membership
+  count over the distinct gold refs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def paired_scores(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    key_cols: list[str],
+    score_col: str = "score",
+) -> DataFrame:
+    """(key..., score_a, score_b): positional pairing of two runs' scores
+    (SignificanceTesting.prepareData's aligned rows; missing scores are
+    0.0 there — mirrored via the inner join's completeness being the
+    caller's responsibility plus coalesce here)."""
+    a = run_a.select(*key_cols, F.col(score_col).alias("score_a"))
+    b = run_b.select(*key_cols, F.col(score_col).alias("score_b"))
+    return a.join(b, key_cols, "full").select(
+        *key_cols,
+        F.coalesce("score_a", F.lit(0.0)).alias("score_a"),
+        F.coalesce("score_b", F.lit(0.0)).alias("score_b"),
+    )
+
+
+def paired_t_test(paired: DataFrame) -> DataFrame:
+    """One row (n, mean_diff, sd_diff, t_stat): the paired t-test the
+    reference runs in R (`t.test(..., paired=TRUE)`) as one aggregation.
+    d = score_a - score_b; t = mean(d) / (sd(d) / sqrt(n))."""
+    d = paired.select((F.col("score_a") - F.col("score_b")).alias("d"))
+    return d.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("d"), 9).alias("mean_diff"),
+        F.round(F.stddev_samp("d"), 9).alias("sd_diff"),
+        F.round(
+            F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))), 9
+        ).alias("t_stat"),
+    )
+
+
+def population_completeness(
+    gold_refs: DataFrame, kb_uris: DataFrame
+) -> DataFrame:
+    """One row (n_gold_linked, n_kb_uris, n_in_kb, completeness): of the
+    gold mentions that carry a manual URI, how many fall inside the
+    domain-scoped KB universe (main URIs + sameAs refs).  ``gold_refs`` is
+    (ref string, may repeat per occurrence); ``kb_uris`` is (uri string)."""
+    linked = gold_refs.filter(F.col("ref").isNotNull() & (F.col("ref") != ""))
+    uris = kb_uris.select("uri").distinct()
+    hits = linked.join(uris, linked.ref == uris.uri, "left_semi")
+    return (
+        linked.agg(F.count("*").alias("n_gold_linked"))
+        .crossJoin(uris.agg(F.count("*").alias("n_kb_uris")))
+        .crossJoin(hits.agg(F.count("*").alias("n_in_kb")))
+        .select(
+            "n_gold_linked",
+            "n_kb_uris",
+            "n_in_kb",
+            F.round(F.col("n_in_kb") / F.col("n_gold_linked"), 9).alias(
+                "completeness"
+            ),
+        )
+    )

@@ -59,7 +59,14 @@ def get_spark(
     if master.startswith("local["):
         inner = master[len("local[") : -1]
         if inner.isdigit():
-            conf["spark.sql.shuffle.partitions"] = str(max(int(inner), 4))
+            # 2x task slots per shuffle: straggler tolerance without
+            # meaningful per-task overhead (a real cluster submits 2-3x
+            # total executor cores for the same reason); AQE coalesces the
+            # tail.  Override with SPARK_GRAFT_SHUFFLE_PARTITIONS.
+            conf["spark.sql.shuffle.partitions"] = str(max(2 * int(inner), 4))
+    env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_parts:
+        conf["spark.sql.shuffle.partitions"] = env_parts
     if extra_conf:
         conf.update(extra_conf)
     builder = SparkSession.builder.appName(app_name).master(master)

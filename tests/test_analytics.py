@@ -1,0 +1,86 @@
+"""Auxiliary analyses (SignificanceTesting / population completeness):
+semantics vs hand-computed oracles, including the reference's actual
+degree-vs-eigenvector pairing use case."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.analytics import (
+    paired_scores,
+    paired_t_test,
+    population_completeness,
+)
+
+
+def test_paired_t_matches_hand_computation(spark):
+    rows = [(i, float(i % 7), float((i * 3) % 5)) for i in range(40)]
+    a = spark.createDataFrame(
+        [(k, sa) for k, sa, _ in rows], "k long, score double"
+    )
+    b = spark.createDataFrame(
+        [(k, sb) for k, _, sb in rows], "k long, score double"
+    )
+    got = paired_t_test(paired_scores(a, b, ["k"])).collect()[0]
+
+    d = [sa - sb for _, sa, sb in rows]
+    n = len(d)
+    mean = sum(d) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in d) / (n - 1))
+    t = mean / (sd / math.sqrt(n))
+    assert got.n == n
+    assert abs(got.mean_diff - mean) < 1e-9
+    assert abs(got.sd_diff - sd) < 1e-9
+    assert abs(got.t_stat - t) < 1e-6
+
+
+def test_paired_scores_zero_fills_missing_run(spark):
+    """SignificanceTesting writes 0.0 where a run has no score for a
+    mention slot — the full join + coalesce mirrors that."""
+    a = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, score double")
+    b = spark.createDataFrame([(2, 5.0), (3, 7.0)], "k long, score double")
+    got = {
+        r.k: (r.score_a, r.score_b)
+        for r in paired_scores(a, b, ["k"]).collect()
+    }
+    assert got == {1: (2.0, 0.0), 2: (3.0, 5.0), 3: (0.0, 7.0)}
+
+
+def test_paired_degree_vs_eigenvector(spark):
+    """The reference's actual comparison (degree vs eigenvector over the
+    same graphs, SignificanceTesting.java header comment: 'c pareil que
+    degree') — both runs through OUR centrality operators, paired on the
+    vertex key, t-test finite."""
+    from reden_spark.operators.centrality import degree
+    from reden_spark.operators.centrality_alt import eigenvector_scores
+
+    edges = spark.createDataFrame(
+        [
+            (0, c, f"u{i % 6}", f"u{(i * 2 + 1) % 6}", "p", 1.0)
+            for c in range(4)
+            for i in range(9)
+        ],
+        "doc_key long, context_id int, src string, dst string, label string, weight double",
+    ).filter(F.col("src") != F.col("dst"))
+    deg = degree(edges).select(
+        "context_id", "vertex", F.col("degree").alias("score")
+    )
+    eig = eigenvector_scores(edges, n_iter=6).select(
+        "context_id", "vertex", "score"
+    )
+    out = paired_t_test(paired_scores(deg, eig, ["context_id", "vertex"]))
+    row = out.collect()[0]
+    assert row.n > 0 and row.t_stat is not None and math.isfinite(row.t_stat)
+
+
+def test_population_completeness_counts(spark):
+    gold = spark.createDataFrame(
+        [("u1",), ("u1",), ("u2",), (None,), ("",), ("u9",)], "ref string"
+    )
+    kb = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "uri string")
+    row = population_completeness(gold, kb).collect()[0]
+    # 4 linked gold occurrences (u1,u1,u2,u9); 3 in-KB (u1,u1,u2)
+    assert (row.n_gold_linked, row.n_kb_uris, row.n_in_kb) == (4, 3, 3)
+    assert abs(row.completeness - 0.75) < 1e-12
