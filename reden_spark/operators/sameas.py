@@ -78,7 +78,10 @@ def _driver_union_find(pairs) -> list[tuple[str, str]]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+    edges: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
+    strategy: str = "minlabel",
 ) -> DataFrame:
     """→ ``(node string, comp string)`` where ``comp`` is the lexicographic
     min URI of the component (the canonical id).
@@ -91,7 +94,11 @@ def connected_components(
       the distributed loop's per-round latency (join+agg+checkpoint+probe
       × diameter) costs more than one collect.  The result returns as a
       broadcast-sized DataFrame.
-    * **big graphs**: distributed min-label propagation below.
+    * **big graphs**: distributed min-label propagation below
+      (O(diameter) rounds — sameAs components are shallow authority
+      cross-links), or ``strategy="star"`` for the O(log n)
+      large-star/small-star variant (connected_components_star) when
+      adversarially long chains are possible.
     """
     und = (
         edges.select("src", "dst")
@@ -104,6 +111,8 @@ def connected_components(
     if len(probe) <= driver_threshold:
         rows = _driver_union_find([(r.src, r.dst) for r in probe])
         return und.sparkSession.createDataFrame(rows, "node string, comp string")
+    if strategy == "star":
+        return connected_components_star(und, max_iter=max_iter)
     und = und.localCheckpoint(eager=True)  # reused every loop round below
     labels = (
         und.select(F.col("src").alias("node"))
@@ -134,6 +143,76 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """→ ``(node, comp)`` via alternating large-star/small-star joins
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    **O(log n) rounds** instead of min-label propagation's O(diameter),
+    the scale path for adversarially long sameAs chains.
+
+    Each round is two (join + agg) passes over the edge set:
+
+      * large-star: every neighbor LARGER than a node links to that
+        node's minimum (own id ∧ min neighbor);
+      * small-star: every neighbor ≤ the node (plus the node) links to
+        the minimum of that closed neighborhood.
+
+    At the fixed point the edge set is exactly {(member, component-min)};
+    convergence is detected by an empty symmetric difference.  Same
+    output contract as connected_components (comp = lexicographic min of
+    the component)."""
+
+    def _bidir(e: DataFrame) -> DataFrame:
+        return (
+            e.select("src", "dst")
+            .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    cur = _bidir(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star over the UNDIRECTED view of the current edge set
+        # (cur is the directed small-star output after round 0):
+        # m(u) = min(u, min N(u)); emit (v, m) for v in N(u), v > u
+        b = _bidir(cur)
+        m_large = b.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("m")
+        )
+        large = (
+            b.join(m_large, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # small-star over edges v <= u: m = min({u} ∪ {v <= u});
+        # emit (u, m) and (v, m) for each such neighbor
+        small_in = _bidir(large).filter(F.col("dst") < F.col("src"))
+        m_small = small_in.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            small_in.join(m_small, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m_small.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: edge sets equal (star edges are (member, root))
+        changed = (
+            small.join(cur, ["src", "dst"], "left_anti")
+            .unionByName(cur.join(small, ["src", "dst"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        cur = small
+        if changed == 0:
+            break
+    roots = cur.select(F.col("dst").alias("node")).subtract(
+        cur.select(F.col("src").alias("node"))
+    )
+    return cur.select(F.col("src").alias("node"), F.col("dst").alias("comp")).unionByName(
+        roots.select("node", F.col("node").alias("comp"))
+    ).dropDuplicates(["node"])
 
 
 def canonical_map(triples: DataFrame, dictionary: DataFrame | None = None) -> DataFrame:

@@ -102,3 +102,55 @@ def test_fuse_mega_component_no_quadratic_blowup(spark):
     # the component-key side is one row per (ctx, base, component), not per member
     plan = edges._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" in plan  # sanity: it is a join plan, not a collected loop
+
+
+def test_star_cc_matches_union_find(spark):
+    """Large-star/small-star (O(log n) rounds) must equal the exact
+    driver union-find on every fixture: mixed shapes, a long chain, and a
+    deterministic pseudo-random graph."""
+    from reden_spark.operators.sameas import connected_components_star
+
+    fixtures = {
+        "mixed": _edges(spark),
+        "chain": spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)],
+            "src string, dst string",
+        ),
+        "random": spark.createDataFrame(
+            [
+                (f"v{(i * 7919) % 97:02d}", f"v{(i * 104729 + 13) % 97:02d}")
+                for i in range(60)
+            ],
+            "src string, dst string",
+        ).filter("src != dst"),
+    }
+    for name, e in fixtures.items():
+        exact = {(r.node, r.comp) for r in connected_components(e).collect()}
+        star = {(r.node, r.comp) for r in connected_components_star(e).collect()}
+        assert star == exact, f"{name}: star CC diverged"
+
+
+def test_star_cc_logarithmic_rounds_on_long_chain(spark):
+    """A 64-node chain has diameter 63: min-label needs ~63 rounds, the
+    star variant must finish well within 20 (O(log n))."""
+    from reden_spark.operators.sameas import connected_components_star
+
+    e = spark.createDataFrame(
+        [(f"c{i:03d}", f"c{i+1:03d}") for i in range(63)],
+        "src string, dst string",
+    )
+    out = {
+        (r.node, r.comp)
+        for r in connected_components_star(e, max_iter=20).collect()
+    }
+    assert out == {(f"c{i:03d}", "c000") for i in range(64)}
+
+
+def test_cc_strategy_knob_routes_to_star(spark):
+    e = _edges(spark)
+    via_knob = {
+        (r.node, r.comp)
+        for r in connected_components(e, driver_threshold=0, strategy="star").collect()
+    }
+    exact = {(r.node, r.comp) for r in connected_components(e).collect()}
+    assert via_knob == exact
