@@ -211,3 +211,36 @@ def test_teiify_is_distributed_broadcast_tagger(spark):
         == "<TEI><text><body><div><p>alpha <persName>stream</persName> beta"
         "</p></div></body></text></TEI>"
     )
+
+
+def test_jaccard_prefix_filter_exact_on_random_corpora(spark):
+    """Property sweep for the prefix-filter completeness lemma: across
+    seeded random corpora and thresholds, jaccard_pairs must equal the
+    brute-force all-pairs answer exactly (pairs AND values)."""
+    import random
+    from itertools import combinations
+
+    from reden_spark.operators.dedup import jaccard_pairs
+
+    for seed, threshold in [(1, 0.3), (2, 0.5), (3, 0.7), (4, 0.9)]:
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(25)]
+        docs = {
+            i: set(rng.sample(vocab, rng.randint(3, 12))) for i in range(30)
+        }
+        toks = spark.createDataFrame(
+            [(i, t) for i, ts in docs.items() for t in ts], "id long, tok string"
+        )
+        got = {
+            (r.a, r.b, round(r.jaccard, 9))
+            for r in jaccard_pairs(toks, threshold).collect()
+        }
+        want = set()
+        for i, j in combinations(sorted(docs), 2):
+            inter = len(docs[i] & docs[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(docs[i]) + len(docs[j]) - inter)
+            if jac >= threshold:
+                want.add((i, j, round(jac, 9)))
+        assert got == want, (seed, threshold, got ^ want)
