@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock breakdown of the flagship pipeline — the evidence
+behind BASELINE.md's per-stage scaling table.
+
+Each stage cut is materialized with an eager localCheckpoint and timed;
+NOTE this changes the physical plan (extra barriers), so these walls are
+for RELATIVE stage comparison across core counts, not absolute headline
+numbers (bench.py measures those, barrier-free).
+
+Usage:
+  taskset -c 0       python tools/stage_walls.py 1
+  taskset -c 0-3     python tools/stage_walls.py 4
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_REPLICATE (default 8), SPARK_LOCAL_DIRS (tmpfs advised).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    cores = sys.argv[1] if len(sys.argv) > 1 else "4"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.corpus import documents_from_testdata
+    from reden_spark.flagship import _vocab, synthetic_kb, teiify
+    from reden_spark.operators import candidates as cand_ops
+    from reden_spark.operators import centrality as cent_ops
+    from reden_spark.operators import fuse as fuse_ops
+    from reden_spark.operators import select as select_ops
+    from reden_spark.operators.mentions import (
+        doc_map,
+        extract_contexts,
+        extract_mentions,
+        parse_tag_specs,
+    )
+    from reden_spark.operators.sameas import canonical_map
+    from reden_spark.plans.pipeline import emit_triples
+    from reden_spark.session import get_spark
+
+    spark = get_spark(f"stage_walls_{cores}", master=f"local[{cores}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    walls: dict[str, float] = {}
+
+    def step(name, df):
+        t0 = time.time()
+        out = df.localCheckpoint(eager=True)
+        walls[name] = round(time.time() - t0, 2)
+        return out
+
+    raw = documents_from_testdata(spark, sf_dir, replicate=replicate)
+    vocab = step("vocab", _vocab(raw))
+    docs = teiify(raw, vocab)
+    dictionary, triples, rels = synthetic_kb(spark, vocab)
+    tag_order = [n for n, _ in parse_tag_specs(("persName",))]
+
+    dmap = step("doc_map", doc_map(docs))
+    mentions = extract_mentions(extract_contexts(docs), ("persName",)).repartition(
+        "doc_key", "context_id"
+    )
+    dico = cand_ops.prepare_dictionary(dictionary)
+    cands = cand_ops.generate_candidates(
+        mentions, dico, tag_order=tag_order, dictionary_prepared=True
+    )
+    routed = cand_ops.route_contexts(cands).select(
+        "doc_key", "context_id", "mention_idx", "tag", "surface",
+        "surface_norm", "group_id", "uris", "n_groups", "route",
+    )
+    routed = step("routed", routed)
+    canon = step("canon", canonical_map(triples, dictionary))
+    nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
+    bases = fuse_ops.candidate_bases(nel)
+    edges_h = step("edges_h", fuse_ops.fuse_edges_hashed(nel, triples, canon))
+    invh = cent_ops.inverted_index_hashed(nel)
+    pruned_h = step("pruned_h", cent_ops.prune_edges_hashed(edges_h, invh))
+    scored = step("scored", cent_ops.score_candidates_hashed(bases, pruned_h))
+    chosen = select_ops.choose_uris(scored, "ALL")
+    ann = step(
+        "annotations",
+        select_ops.assemble_annotations(routed, chosen, "ALL", doc_map=dmap),
+    )
+    t0 = time.time()
+    emit_triples(ann, canon).write.format("noop").mode("overwrite").save()
+    walls["kg_emit"] = round(time.time() - t0, 2)
+    walls["TOTAL"] = round(sum(walls.values()), 2)
+    print(json.dumps({"cores": cores, "replicate": replicate, "sf_dir": sf_dir,
+                      "stage_walls_s": walls}))
+
+
+if __name__ == "__main__":
+    main()
