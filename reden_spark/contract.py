@@ -1570,10 +1570,13 @@ def q_closeness_centrality(spark, sf_dir):
     p AS (SELECT coalesce(a.score, 0.0) AS sa, coalesce(b.score, 0.0) AS sb
           FROM a FULL JOIN b USING (k)),
     d AS (SELECT sa - sb AS d FROM p)
+    -- round to 4 decimals: the paired sums reach ~1e6, where engine
+    -- summation-order differences are ~1e-7 — far below this grid but
+    -- above a 1e-9 one
     SELECT count(*) AS n,
-           round(avg(d), 9) AS mean_diff,
-           round(stddev_samp(d), 9) AS sd_diff,
-           round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 9) AS t_stat
+           round(avg(d), 4) AS mean_diff,
+           round(stddev_samp(d), 4) AS sd_diff,
+           round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 4) AS t_stat
     FROM d
     """,
 )

@@ -44,12 +44,15 @@ def paired_t_test(paired: DataFrame) -> DataFrame:
     reference runs in R (`t.test(..., paired=TRUE)`) as one aggregation.
     d = score_a - score_b; t = mean(d) / (sd(d) / sqrt(n))."""
     d = paired.select((F.col("score_a") - F.col("score_b")).alias("d"))
+    # 4-decimal rounding: summation order across engines/partitions moves
+    # these aggregates by ~1e-7 at realistic magnitudes; the grid must sit
+    # well above that (1e-9 would not) and a t statistic needs no more.
     return d.agg(
         F.count("*").alias("n"),
-        F.round(F.avg("d"), 9).alias("mean_diff"),
-        F.round(F.stddev_samp("d"), 9).alias("sd_diff"),
+        F.round(F.avg("d"), 4).alias("mean_diff"),
+        F.round(F.stddev_samp("d"), 4).alias("sd_diff"),
         F.round(
-            F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))), 9
+            F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))), 4
         ).alias("t_stat"),
     )
 

@@ -31,9 +31,10 @@ def test_paired_t_matches_hand_computation(spark):
     sd = math.sqrt(sum((x - mean) ** 2 for x in d) / (n - 1))
     t = mean / (sd / math.sqrt(n))
     assert got.n == n
-    assert abs(got.mean_diff - mean) < 1e-9
-    assert abs(got.sd_diff - sd) < 1e-9
-    assert abs(got.t_stat - t) < 1e-6
+    # operator rounds to 4 decimals (cross-engine summation-order margin)
+    assert abs(got.mean_diff - mean) <= 5e-5
+    assert abs(got.sd_diff - sd) <= 5e-5
+    assert abs(got.t_stat - t) <= 5e-5
 
 
 def test_paired_scores_zero_fills_missing_run(spark):
