@@ -1657,6 +1657,34 @@ def q_population_completeness(spark, sf_dir):
 
 
 @query(
+    "compare_runs",
+    """
+    WITH a AS (SELECT DISTINCT 'm' || CAST(c_custkey % 150 AS VARCHAR) AS mention
+               FROM customer WHERE c_custkey % 3 = 0),
+    b AS (SELECT DISTINCT 'm' || CAST(c_custkey % 150 AS VARCHAR) AS mention
+          FROM customer WHERE c_custkey % 5 = 0)
+    SELECT coalesce(a.mention, b.mention) AS mention,
+           CASE WHEN a.mention IS NOT NULL AND b.mention IS NOT NULL THEN 'both'
+                WHEN a.mention IS NOT NULL THEN 'only_a'
+                ELSE 'only_b' END AS status
+    FROM a FULL JOIN b ON a.mention = b.mention
+    """,
+)
+def q_compare_runs(spark, sf_dir):
+    """Run diffing (CompareResults.java:43-96): which correct mentions two
+    NEL runs share / miss — full outer join over distinct surfaces."""
+    from reden_spark.operators.analytics import compare_runs
+
+    cust = _read(spark, sf_dir, "customer")
+    mk = F.concat(F.lit("m"), (F.col("c_custkey") % 150).cast("string")).alias(
+        "mention"
+    )
+    a = cust.filter(F.col("c_custkey") % 3 == 0).select(mk)
+    b = cust.filter(F.col("c_custkey") % 5 == 0).select(mk)
+    return compare_runs(a, b)
+
+
+@query(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

@@ -80,3 +80,22 @@ def population_completeness(
             ),
         )
     )
+
+
+def compare_runs(
+    run_a: DataFrame, run_b: DataFrame, col: str = "mention"
+) -> DataFrame:
+    """(mention, status ∈ {'both','only_a','only_b'}): which correctly-
+    linked mentions two NEL runs share (CompareResults.java:43-96 —
+    intersection and both set differences of the per-run correct-mention
+    sets, e.g. DBpedia vs Geonames referents).  One full outer join over
+    the distinct surfaces; counts are a groupBy away."""
+    aa = run_a.select(col).distinct().withColumn("_a", F.lit(True))
+    bb = run_b.select(col).distinct().withColumn("_b", F.lit(True))
+    return aa.join(bb, col, "full").select(
+        col,
+        F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), F.lit("both"))
+        .when(F.col("_a").isNotNull(), F.lit("only_a"))
+        .otherwise(F.lit("only_b"))
+        .alias("status"),
+    )

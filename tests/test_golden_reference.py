@@ -383,3 +383,38 @@ def test_gir2015_good_choice_parity(spark, out_xml, gold_xml, correct_file):
         f"extra={set(got) - set(want)} "
         f"diff={ {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)} }"
     )
+
+
+@needs_ref
+def test_compare_runs_on_gir_artifacts(spark):
+    """CompareResults.java's actual use case: diff the DBpedia vs Geonames
+    correct-mention sets of the apollinaire GIR-2015 runs.  Our operator's
+    three-way partition must equal the python set algebra over the same
+    artifacts (parsed with the reference's own line rule)."""
+    from reden_spark.operators.analytics import compare_runs
+
+    def ref_read(path):
+        # CompareResults.read: split(':')[1], drop 'count', trim
+        out = set()
+        with open(path, encoding="utf-8") as fh:
+            for line in fh.read().splitlines():
+                if ":" in line:
+                    out.add(line.split(":")[1].replace("count", "").strip())
+        return out
+
+    fa = f"{GIR_DIR}/output/dbpedia-results-gir2015/apollinaire_heresiarque-et-cie-resCorrectMentionsV3.txt"
+    fb = f"{GIR_DIR}/output/geonames-results-gir2015/apollinaire_heresiarque-et-cie-resCorrectMentionsV3.txt"
+    sa, sb = ref_read(fa), ref_read(fb)
+
+    a = spark.createDataFrame([(m,) for m in sa], "mention string")
+    b = spark.createDataFrame([(m,) for m in sb], "mention string")
+    got = {(r.mention, r.status) for r in compare_runs(a, b).collect()}
+    want = (
+        {(m, "both") for m in sa & sb}
+        | {(m, "only_a") for m in sa - sb}
+        | {(m, "only_b") for m in sb - sa}
+    )
+    assert got == want
+    # artifact-level sanity: the runs found 136 and 83 distinct correct
+    # mentions respectively (BASELINE.md reference table)
+    assert len(sa) == 136 and len(sb) == 83
