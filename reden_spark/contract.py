@@ -971,23 +971,29 @@ def q_ann_lsh_buckets(spark, sf_dir):
            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
       FROM embeddings),
-    norms AS (SELECT vec_id, bucket, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e)
+    norms AS (SELECT vec_id, bucket, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM norms) WHERE rn <= 30)
     SELECT a.vec_id AS a, b.vec_id AS b,
            {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
-    FROM norms a JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= 0.3
     """,
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs within sign-LSH buckets
     (operators/similarity.cosine_near_dup_pairs) — the embedding-space
-    member of the dedup family."""
+    member of the dedup family.  bucket_cap=30 exercises the hot-bucket
+    guardrail (deterministic id-order truncation, mirrored in the oracle;
+    the largest sf0.01 bucket holds 42 vectors so the cap actually fires)."""
     from reden_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.3, n_bits=4).select(
-        F.col("a").cast("long"), F.col("b").cast("long"), "cos"
-    )
+    return cosine_near_dup_pairs(
+        emb, threshold=0.3, n_bits=4, bucket_cap=30
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"), "cos")
 
 
 _CENTROID_SQL = """
@@ -1402,12 +1408,16 @@ def q_sessionize(spark, sf_dir):
                     list_transform(range(1, 65), i -> v[i] * v[i])),
                   (x, y) -> x + y)) AS nrm
       FROM e),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM norms) WHERE rn <= 30),
     sims AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
              list_reduce(list_prepend(0.0::DOUBLE,
                list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
-      FROM norms a JOIN norms b
+      FROM capped a JOIN capped b
         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
     SELECT vec_id, neighbor, rank FROM (
       SELECT vec_id, neighbor,
@@ -1418,11 +1428,12 @@ def q_sessionize(spark, sf_dir):
 )
 def q_ann_lsh_topk(spark, sf_dir):
     """Bucketed ANN (operators/similarity.lsh_cosine_topk): cosine top-k
-    restricted to sign-LSH buckets — the join that scales."""
+    restricted to sign-LSH buckets — the join that scales.  bucket_cap=30
+    (mirrored in the oracle) exercises the hot-bucket guardrail."""
     from reden_spark.operators.similarity import lsh_cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb, k=3, n_bits=4).select(
+    return lsh_cosine_topk(emb, k=3, n_bits=4, bucket_cap=30).select(
         F.col("id").alias("vec_id"), "neighbor", "rank"
     )
 
@@ -1688,22 +1699,28 @@ def q_compare_runs(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
            count(*) AS n_rows
     FROM lineitem GROUP BY 1, 2
     """,
 )
 def q_pricing_summary(spark, sf_dir):
-    """Classic hash aggregation with exact decimal sums (map-side partial
-    agg; deterministic across engines unlike double sums)."""
+    """Classic hash aggregation with exact integer-cent sums (map-side
+    partial agg).  The source doubles carry <=2 decimal places, so
+    round(x*100) is exact and identical in both engines; emitting plain
+    BIGINT (no DECIMAL in the result schema) sidesteps engine- and
+    driver-level decimal canonicalization divergences entirely
+    (DuckDB's sum(BIGINT) returns HUGEINT, hence the outer CAST)."""
     li = _read(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("sum_price"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+            "sum_qty_cents"
+        ),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
         F.count("*").alias("n_rows"),
     )

@@ -70,20 +70,58 @@ def lsh_bucket_counts(embeddings: DataFrame, vec_col: str = "embedding", n_bits:
     )
 
 
+def _cap_buckets(df: DataFrame, cap: int | None, *bucket_cols: str) -> DataFrame:
+    """Deterministic per-bucket truncation (row_number by id ASC <= cap) —
+    the same guardrail as dedup.lsh_candidate_pairs' ``bucket_cap``: with
+    only 2**n_bits buckets globally, one boilerplate-heavy bucket makes the
+    self-join O(k²) at 100 TB; the cap bounds it.  Use
+    ``lsh_bucket_overflow`` to observe what a given cap would drop."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def lsh_bucket_overflow(
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    bucket_cap: int = 1000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(bucket, n_vectors, n_dropped): how many vectors a given
+    ``bucket_cap`` would truncate per sign-LSH bucket — run this (cheap,
+    one agg) to size the cap / report dropped rows before a capped join."""
+    counts = lsh_bucket_counts(embeddings, vec_col, n_bits)
+    return counts.select(
+        "bucket",
+        "n_vectors",
+        F.greatest(F.col("n_vectors") - bucket_cap, F.lit(0)).alias("n_dropped"),
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos) with
     cos >= threshold, candidate generation restricted to sign-LSH buckets
     (near-identical vectors share all sign bits, so recall at high
-    thresholds is near-1 while the join is bucket-local)."""
+    thresholds is near-1 while the join is bucket-local).  ``bucket_cap``
+    bounds pathological buckets (deterministic id-order truncation of
+    bucket membership before the self-join) — at scale one hot bucket is
+    otherwise O(k²); see ``lsh_bucket_overflow`` for what a cap drops."""
     e = with_norms(embeddings, id_col, vec_col).withColumn(
         "bucket", sign_lsh_bucket("v", n_bits)
     )
+    e = _cap_buckets(e, bucket_cap, "bucket")
     a = e.select(
         F.col("id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"), "bucket"
     )
@@ -199,13 +237,17 @@ def lsh_cosine_topk(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Scale path: cosine top-k WITHIN sign-LSH buckets — approximate
     (misses cross-bucket neighbors); ``n_tables`` independent bucketings
     (disjoint sign-bit slices: table t reads dims [t*n_bits, (t+1)*n_bits))
     are unioned before the per-query top-k, the standard LSH recall knob
     (measure with ann_recall).  Each table's join stays bucket-local; cost
-    grows linearly with n_tables."""
+    grows linearly with n_tables.  ``bucket_cap`` truncates each table's
+    bucket membership (deterministic id order) before the self-join —
+    the O(k²) hot-bucket guardrail; capped-out vectors neither query nor
+    serve in that table (raise n_tables to recover recall)."""
     base = with_norms(embeddings, id_col, vec_col)
 
     def _bucket(t: int):
@@ -216,7 +258,7 @@ def lsh_cosine_topk(
 
     sims = None
     for t in range(n_tables):
-        e = base.withColumn("bucket", _bucket(t))
+        e = _cap_buckets(base.withColumn("bucket", _bucket(t)), bucket_cap, "bucket")
         a = e.select(
             F.col("id").alias("qid"),
             F.col("v").alias("qv"),

@@ -244,3 +244,58 @@ def test_jaccard_prefix_filter_exact_on_random_corpora(spark):
             if jac >= threshold:
                 want.add((i, j, round(jac, 9)))
         assert got == want, (seed, threshold, got ^ want)
+
+
+def test_sign_lsh_bucket_cap_bounds_hot_bucket(spark):
+    """VERDICT r2 #2: one boilerplate-heavy sign-LSH bucket must not go
+    O(k²).  200 near-identical positive vectors land in one bucket; with
+    bucket_cap=20 the pair count is bounded by C(20,2) (not C(200,2)),
+    truncation keeps the lowest ids (deterministic), capped output is a
+    subset of the uncapped one, and lsh_bucket_overflow reports exactly
+    what the cap dropped."""
+    from reden_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_bucket_overflow,
+        lsh_cosine_topk,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [1.0 + rng.random() * 0.01 for _ in range(8)]) for i in range(200)
+    ]
+    # a few vectors in other buckets so capping is per-bucket, not global
+    rows += [(200 + i, [-1.0] * 4 + [1.0] * 4) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = cosine_near_dup_pairs(emb, threshold=0.0, n_bits=4, bucket_cap=20)
+    pairs = {(r.a, r.b) for r in capped.collect()}
+    hot = {(a, b) for (a, b) in pairs if a < 200 and b < 200}
+    assert len(hot) == 20 * 19 // 2  # C(cap,2), threshold 0 keeps all
+    assert max(b for _, b in hot) == 19  # lowest-id survivors kept
+    # cold bucket (5 rows) unaffected by the cap
+    assert {(a, b) for (a, b) in pairs if a >= 200} == {
+        (a, b)
+        for a in range(200, 205)
+        for b in range(a + 1, 205)
+    }
+    uncapped = {
+        (r.a, r.b)
+        for r in cosine_near_dup_pairs(emb, threshold=0.0, n_bits=4).collect()
+    }
+    assert pairs < uncapped
+
+    over = {
+        r.bucket: (r.n_vectors, r.n_dropped)
+        for r in lsh_bucket_overflow(emb, n_bits=4, bucket_cap=20).collect()
+    }
+    assert over[15] == (200, 180)  # all-positive signs bucket
+    assert over[0] == (5, 0)  # cold bucket (first 4 dims negative)
+
+    # topk: capped-out vectors neither query nor serve in the hot bucket
+    topk = lsh_cosine_topk(emb, k=2, n_bits=4, bucket_cap=20)
+    got = topk.collect()
+    qids = {r.id for r in got}
+    assert qids == set(range(20)) | set(range(200, 205))
+    assert all(r.neighbor < 20 for r in got if r.id < 20)
