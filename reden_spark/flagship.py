@@ -47,12 +47,23 @@ def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     (_vocab splits on single spaces), so token-equality tagging is exactly
     the word-boundary-regex semantics on this corpus shape.
 
-    The token-level reassembly shuffle is keyed by an 8-byte doc hash —
+    The token-level reassembly shuffle is keyed by a 16-byte doc key —
     carrying the (repo, path, commit, lang) strings on every TOKEN row
     would multiply the exchange width ~5x; identity re-joins once per
-    document after reassembly (same trick as the pipeline's doc_key)."""
+    document after reassembly (same trick as the pipeline's doc_key).
+    128 bits, not 64 (ADVICE r2): at the 10^12-doc target a 64-bit
+    birthday collision is expected by ~5e9 docs and would interleave two
+    documents' tokens — same budget analysis as mentions.doc_key_col.
+    ``content`` is part of the key and reassembly uses collect_set, so
+    identity-duplicate input rows behave exactly as row-independent
+    tagging: same-identity same-content rows merge into one body then fan
+    back out through the identity join; same-identity different-content
+    rows key separately."""
     keys = ["repo", "path", "commit", "lang"]
-    dk = F.xxhash64(*keys).alias("dk")
+    dk = F.struct(
+        F.xxhash64(*keys, "content").alias("h1"),
+        F.xxhash64(F.lit("reden:tei2"), *keys, "content").alias("h2"),
+    ).alias("dk")
     ident = docs.select(dk, *keys)
     toks = docs.select(
         dk, F.posexplode(F.split("content", " ")).alias("pos", "tok")
@@ -68,10 +79,12 @@ def teiify(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         .otherwise(F.col("tok"))
         .alias("out"),
     )
+    # collect_set: (pos, out) is unique within one document, and for
+    # merged identity-duplicate rows the set dedups the doubled tokens
     body = tagged.groupBy("dk").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                F.array_sort(F.collect_set(F.struct("pos", "out"))),
                 lambda x: x["out"],
             ),
             " ",

@@ -28,10 +28,19 @@ CTX = ["doc_key", "context_id"]
 def inverted_index(candidates: DataFrame) -> DataFrame:
     """(ctx, uri, mention): every URI of every candidate group, mapped to a
     single mention per context (deterministic min-surface tie-break —
-    documented divergence from the reference's HashMap overwrite)."""
+    documented divergence from the reference's HashMap overwrite).
+
+    ``uri`` is uri_decoded: the graph's vertex space is decoded
+    (fuse_edges decodes base/obj), so the index must key the decoded form
+    or percent-encoded candidates are never recognized as candidate
+    vertices and pruning deletes their whole neighborhood (ADVICE r2,
+    generalized; parity pinned in tests/test_pipeline.py)."""
+    from reden_spark.functions.normalize import uri_decode
+
     return (
         candidates.filter(F.col("group_id").isNotNull())
-        .select(*CTX, "surface_norm", F.explode("uris").alias("uri"))
+        .select(*CTX, "surface_norm", F.explode("uris").alias("uri_raw"))
+        .select(*CTX, uri_decode(F.col("uri_raw")).alias("uri"), "surface_norm")
         .groupBy(*CTX, "uri")
         .agg(F.min("surface_norm").alias("mention"))
     )
@@ -41,12 +50,15 @@ def inverted_index_hashed(candidates: DataFrame) -> DataFrame:
     """(ctx, uri_h, mention_h): inverted index built directly on 8-byte
     keys — the explode + agg shuffles hashes, not URI/surface strings; the
     min-surface tie-break stays string-deterministic (min runs on the
-    string, the hash is applied after)."""
+    string, the hash is applied after).  Hashes the DECODED uri — same
+    vertex space as fuse_edges_hashed (see inverted_index)."""
+    from reden_spark.functions.normalize import uri_decode
+
     h = F.xxhash64
     return (
         candidates.filter(F.col("group_id").isNotNull())
         .select(*CTX, "surface_norm", F.explode("uris").alias("uri"))
-        .select(*CTX, h("uri").alias("uri_h"), "surface_norm")
+        .select(*CTX, h(uri_decode(F.col("uri"))).alias("uri_h"), "surface_norm")
         .groupBy(*CTX, "uri_h")
         .agg(h(F.min("surface_norm")).alias("mention_h"))
     )
@@ -176,8 +188,19 @@ def score_candidates(bases: DataFrame, pruned: DataFrame) -> DataFrame:
     the vertex was pruned away or edge-less.  Computed ONCE per context —
     the reference recomputes centrality per candidate
     (CentralityHandler.java:161-163, O(candidates × graph)); the hash-agg
-    formulation removes that quadratic factor for free."""
-    d = degree(pruned).withColumnRenamed("vertex", "base")
-    return bases.join(d, [*CTX, "base"], "left").withColumn(
-        "score", F.coalesce("degree", F.lit(0.0))
-    ).drop("degree")
+    formulation removes that quadratic factor for free.
+
+    The pruned graph's vertices are uri_decoded (fuse_edges decodes
+    base/obj), so the join key must be the DECODED base — otherwise a
+    percent-encoded candidate URI silently scores 0.0 here while the
+    hashed path (which always hashed the decoded form) finds its degree
+    (ADVICE r2; parity pinned in tests/test_pipeline.py)."""
+    from reden_spark.functions.normalize import uri_decode
+
+    d = degree(pruned).withColumnRenamed("vertex", "base_dec")
+    return (
+        bases.withColumn("base_dec", uri_decode(F.col("base")))
+        .join(d, [*CTX, "base_dec"], "left")
+        .withColumn("score", F.coalesce("degree", F.lit(0.0)))
+        .drop("degree", "base_dec")
+    )

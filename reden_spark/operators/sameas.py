@@ -105,15 +105,27 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
     )
-    # size probe and edge fetch in ONE job: limit(threshold+1) returns the
-    # whole graph iff it is under the threshold (order irrelevant for CC)
-    probe = und.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # Size probe WITHOUT a driver fetch (ADVICE r2: a collect-probe pulled
+    # up to ~2M URI-string rows into the driver even for graphs that then
+    # take the distributed path).  limit(t+1).count() ships one long; the
+    # lazy persist means the partitions the probe computes are cached, so
+    # the small-graph collect below reads the cache instead of re-running
+    # the dedup shuffle — small graphs still pay ~one execution total.
+    und = und.persist()
+    n = und.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        probe = und.collect()
+        und.unpersist()
         rows = _driver_union_find([(r.src, r.dst) for r in probe])
         return und.sparkSession.createDataFrame(rows, "node string, comp string")
     if strategy == "star":
+        und = und.unpersist()
         return connected_components_star(und, max_iter=max_iter)
-    und = und.localCheckpoint(eager=True)  # reused every loop round below
+    # reused every loop round below (localCheckpoint, not the cache: AQE
+    # re-optimizes across checkpoint cuts but not InMemoryRelation)
+    checkpointed = und.localCheckpoint(eager=True)
+    und.unpersist()
+    und = checkpointed
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

@@ -20,9 +20,13 @@ the result.
 
 At 100 TB scale: the file/Iceberg streaming source discovers only NEW
 files/snapshots per trigger, the canon map is computed once per reference-
-data version (plans/resume.py stage), and the sink appends partitioned
-parquet/Iceberg — exactly-once via the streaming checkpoint +
-idempotent-by-batch-id file sink.
+data version (plans/resume.py stage), and the sink writes each micro-batch
+to its own ``batch_id=N`` hive partition with OVERWRITE — ``foreachBatch``
+bypasses the built-in idempotent file sink, so a blind append would
+duplicate rows when a batch fails after a partial write and is retried
+from the checkpoint (ADVICE r2).  Overwriting the batch's own partition
+makes the retry idempotent: effectively-once per batch id, and the
+``batch_id`` column doubles as per-increment lineage for readers.
 """
 
 from __future__ import annotations
@@ -67,9 +71,19 @@ def stream_kg_increments(
         res = run_pipeline(
             batch_docs, dictionary, triples, rels, **pipeline_kwargs
         )
-        res.kg_triples.write.mode("append").parquet(kg_out_dir)
-        if annotations_out_dir is not None:
-            res.annotations.write.mode("append").parquet(annotations_out_dir)
+        # Idempotent-by-batch-id sink: each batch owns the deterministic
+        # partition batch_id=N and a retried batch overwrites ONLY that
+        # partition (including any partial files the failed attempt left),
+        # never a neighbour's — effectively-once without the built-in sink.
+        for df, out_dir in (
+            (res.kg_triples, kg_out_dir),
+            (res.annotations, annotations_out_dir),
+        ):
+            if out_dir is None:
+                continue
+            df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -75,3 +75,78 @@ def test_partition_lineage_present(spark, tiny_corpus):
     result = run_pipeline(docs, dico, triples, rels)
     row = result.kg_triples.select("partition_id", "commit").first()
     assert row.partition_id is not None and len(row.commit) == 40
+
+
+def test_score_candidates_string_hashed_parity_on_encoded_uris(spark):
+    """ADVICE r2: the pruned graph's vertices are uri_decoded, so the
+    string scoring path (plans/resume.py) must join on the DECODED base —
+    a percent-encoded candidate URI must get the same degree from
+    score_candidates as from score_candidates_hashed."""
+    from reden_spark.operators.centrality import (
+        score_candidates,
+        score_candidates_hashed,
+    )
+
+    enc = "http://kb.example.org/ent/a%20b"  # decodes to .../ent/a b
+    plain = "http://kb.example.org/ent/c"
+    bases = spark.createDataFrame(
+        [(1, 0, enc), (1, 0, plain), (1, 0, "http://kb.example.org/ent/zz")],
+        "doc_key long, context_id int, base string",
+    )
+    pruned = spark.createDataFrame(
+        [
+            (1, 0, "http://kb.example.org/ent/a b", "http://x.org/t1"),
+            (1, 0, "http://kb.example.org/ent/a b", "http://x.org/t2"),
+            (1, 0, plain, "http://x.org/t1"),
+        ],
+        "doc_key long, context_id int, src string, dst string",
+    )
+    pruned_h = pruned.select(
+        "doc_key",
+        "context_id",
+        F.xxhash64("src").alias("src_h"),
+        F.xxhash64("dst").alias("dst_h"),
+    )
+    s = {
+        (r.base, r.score)
+        for r in score_candidates(bases, pruned).collect()
+    }
+    h = {
+        (r.base, r.score)
+        for r in score_candidates_hashed(bases, pruned_h).collect()
+    }
+    want = {(enc, 2.0), (plain, 1.0), ("http://kb.example.org/ent/zz", 0.0)}
+    assert s == want and h == want
+
+
+def test_pipeline_paths_agree_on_encoded_uris(spark, tmp_path):
+    """E2E hashed-vs-string parity with percent-encoded candidate URIs:
+    run_pipeline (hashed scoring) and run_pipeline_resumable (string
+    scoring) must emit identical kg triples when the authority data uses
+    percent-encoded entity URIs throughout."""
+    from reden_spark.corpus import make_corpus
+    from reden_spark.plans.resume import StageRunner, run_pipeline_resumable
+
+    docs, dico, triples, rels, _ = corpus_to_spark(
+        spark, make_corpus(n_docs=6, seed=11)
+    )
+    enc = lambda c: F.regexp_replace(c, "/ent/", "/ent%2F")  # noqa: E731
+    dico2 = dico.withColumn(
+        "uris", F.transform("uris", lambda u: F.regexp_replace(u, "/ent/", "/ent%2F"))
+    )
+    triples2 = triples.withColumn("subj", enc(F.col("subj"))).withColumn(
+        "obj", enc(F.col("obj"))
+    )
+
+    res = run_pipeline(docs, dico2, triples2, rels)
+    # the degree join must actually fire on encoded bases
+    assert res.annotations.filter(F.col("score") > 0).count() > 0
+
+    kg_str = run_pipeline_resumable(
+        StageRunner(spark, str(tmp_path / "ckpt")), docs, dico2, triples2, rels
+    )
+    key = lambda df: {  # noqa: E731
+        (r.subj, r.pred, r.obj, r.canon_subj)
+        for r in df.select("subj", "pred", "obj", "canon_subj").collect()
+    }
+    assert key(res.kg_triples) == key(kg_str) and len(key(kg_str)) > 0

@@ -299,3 +299,32 @@ def test_sign_lsh_bucket_cap_bounds_hot_bucket(spark):
     qids = {r.id for r in got}
     assert qids == set(range(20)) | set(range(200, 205))
     assert all(r.neighbor < 20 for r in got if r.id < 20)
+
+
+def test_teiify_duplicate_identity_rows_tagged_independently(spark):
+    """ADVICE r2: identity-duplicate input rows must come out exactly as
+    row-independent tagging would produce — same-identity same-content
+    rows yield two identical tagged rows (no merged/garbled body);
+    same-identity different-content rows keep their own bodies."""
+    from reden_spark.flagship import teiify
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "p", "c", "fr", "alpha stream beta"),
+            ("r", "p", "c", "fr", "alpha stream beta"),  # exact dup row
+            ("r", "p", "c", "fr", "stream gamma"),  # same identity, new body
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    vocab = spark.createDataFrame([("stream",)], "tok string")
+    out = sorted(r.content for r in teiify(docs, vocab).collect())
+    tei = lambda b: (  # noqa: E731
+        f"<TEI><text><body><div><p>{b}</p></div></body></text></TEI>"
+    )
+    assert out == sorted(
+        [
+            tei("alpha <persName>stream</persName> beta"),
+            tei("alpha <persName>stream</persName> beta"),
+            tei("<persName>stream</persName> gamma"),
+        ]
+    )

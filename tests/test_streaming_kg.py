@@ -63,3 +63,41 @@ def test_streamed_increments_equal_batch(spark, tmp_path):
         run_pipeline(docs.unionByName(newdoc), dico, triples, rels).kg_triples
     )
     assert _triples_set(spark.read.parquet(kg_dir)) == want_all
+
+
+def test_retried_batch_overwrites_partial_write(spark, tmp_path):
+    """ADVICE r2: a batch retried from the checkpoint after a partial
+    write must not duplicate rows.  Simulate the crashed first attempt by
+    pre-seeding the batch's own deterministic partition (batch_id=0) with
+    partial/garbage rows, then run the stream from a fresh checkpoint —
+    the retry overwrites exactly that partition, so the final output
+    equals the batch pipeline's with no dup and no leftover garbage."""
+    from reden_spark.plans.pipeline import run_pipeline
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, make_corpus(n_docs=4, seed=5))
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(in_dir)  # single file -> single batch 0
+
+    kg_dir = str(tmp_path / "kg")
+    batch = run_pipeline(docs, dico, triples, rels).kg_triples
+    # "partial write from the failed first attempt of batch 0": a strict
+    # subset of the real rows plus a marker row that must disappear
+    partial = batch.limit(3).unionByName(
+        batch.limit(1).withColumn("subj", F.lit("GARBAGE-FROM-FAILED-ATTEMPT"))
+    )
+    partial.write.parquet(f"{kg_dir}/batch_id=0")
+
+    q = stream_kg_increments(
+        spark, in_dir, dico, triples, rels,
+        checkpoint_dir=str(tmp_path / "ckpt"), kg_out_dir=kg_dir,
+        annotations_out_dir=str(tmp_path / "ann"),
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(kg_dir)
+    assert _triples_set(out) == _triples_set(batch)
+    assert out.count() == batch.count()  # exact multiset, no dups
+    assert out.filter(F.col("subj").startswith("GARBAGE")).count() == 0
+    # batch_id partition doubles as per-increment lineage
+    assert out.select("batch_id").distinct().collect()[0][0] == 0
+    assert spark.read.parquet(str(tmp_path / "ann")).count() > 0
