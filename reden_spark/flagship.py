@@ -155,7 +155,13 @@ def flagship_pipeline(
     # materialize once or every consumer (teiify pattern, dictionary,
     # triples, CC) re-runs the full-corpus distinct
     vocab = _vocab(raw).localCheckpoint(eager=True)
-    docs = teiify(raw, vocab)
+    # materialize the tagger output: run_pipeline consumes `documents`
+    # through two independent subtrees (S0 doc_map and the S1 contexts
+    # path), and without this cut each ran the full teiify token shuffle
+    # from scratch — the single biggest per-stage wall (ROADMAP r2 lever:
+    # fold the doc_map cut).  One corpus-sized checkpoint write+read is
+    # far cheaper than a second explode + broadcast join + reassembly agg.
+    docs = teiify(raw, vocab).localCheckpoint(eager=True)
     dictionary, triples, rels = synthetic_kb(spark, vocab)
     return run_pipeline(docs, dictionary, triples, rels, tag_specs=("persName",))
 

@@ -34,7 +34,13 @@ def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
 
     ``n_groups`` (candidate-group count per alias, capped) rides along so
     the big side never needs a per-mention window to learn its own
-    ambiguity — the broadcast join delivers it for free."""
+    ambiguity — the broadcast join delivers it for free.
+
+    ``gkey`` is an 8-byte dictionary-encoding key for the group's URI list:
+    the hot path can checkpoint/shuffle gkey instead of the array<string>
+    and re-attach the strings via a broadcast ``group_map`` join
+    (ROADMAP r2 lever).  Collision budget: 64-bit over the DICTIONARY's
+    group count (millions, not trillions) — ~n²/2⁶⁵, negligible."""
     w = Window.partitionBy("tag", "alias_norm").orderBy(F.col("uris")[0].asc())
     wc = Window.partitionBy("tag", "alias_norm")
     return (
@@ -43,8 +49,20 @@ def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
         .withColumn("group_id", F.row_number().over(w) - 1)
         .filter(F.col("group_id") < MAX_GROUPS)
         .withColumn("n_groups", F.count("*").over(wc))
-        .select("tag", "alias_norm", "normalized_name", "uris", "group_id", "n_groups")
+        .withColumn("gkey", F.xxhash64(F.concat_ws("\x00", "uris")))
+        .select(
+            "tag", "alias_norm", "normalized_name", "uris", "group_id",
+            "n_groups", "gkey",
+        )
     )
+
+
+def group_map(dico_prepared: DataFrame) -> DataFrame:
+    """(gkey, uris): the broadcast decode table for ``gkey``-slimmed
+    candidate rows — dictionary-sized, joined back wherever the URI
+    strings are actually consumed (graph fusion, inverted index, final
+    chosen_uris)."""
+    return dico_prepared.select("gkey", "uris").dropDuplicates(["gkey"])
 
 
 def resolve_tag_collisions(mentions: DataFrame, tag_order: list[str]) -> DataFrame:
@@ -105,6 +123,7 @@ def generate_candidates(
         "normalized_name",
         "group_id",
         "uris",
+        "gkey",
         F.coalesce("n_groups", F.lit(0)).alias("n_groups"),
     )
 

@@ -51,6 +51,7 @@ def assemble_annotations(
     chosen: DataFrame,
     preferred: str = "ALL",
     doc_map: DataFrame | None = None,
+    group_map: DataFrame | None = None,
 ) -> DataFrame:
     """One output row per mention occurrence across all routes.
 
@@ -58,18 +59,30 @@ def assemble_annotations(
     chosen: output of choose_uris for the 'nel' route; ``doc_map``
     (operators/mentions.doc_map) re-attaches the lineage columns the slim
     hot path dropped — ONE join at the end instead of 170 B of strings
-    through every shuffle.
+    through every shuffle.  ``group_map`` (operators/candidates.group_map)
+    means ``routed`` carries the 8-byte ``gkey`` instead of the ``uris``
+    array; the no-ambiguity URIs decode via a broadcast join AFTER the
+    per-mention dedup, so the arrays never ride that shuffle either.
     """
     key = [*CTX, "mention_idx"]
     base_cols = ["doc_key", "context_id", "mention_idx", "tag", "surface"]
     occurrences = routed.dropDuplicates(key).select(*base_cols, "route")
 
     # no-ambiguity route: first candidate group's URIs (group_id 0)
-    first_group = (
-        routed.filter(F.col("group_id") == 0)
-        .select(*key, F.col("uris").alias("simple_uris"))
-        .dropDuplicates(key)
-    )
+    if group_map is not None:
+        first_group = (
+            routed.filter(F.col("group_id") == 0)
+            .select(*key, "gkey")
+            .dropDuplicates(key)
+            .join(F.broadcast(group_map), "gkey", "left")
+            .select(*key, F.col("uris").alias("simple_uris"))
+        )
+    else:
+        first_group = (
+            routed.filter(F.col("group_id") == 0)
+            .select(*key, F.col("uris").alias("simple_uris"))
+            .dropDuplicates(key)
+        )
 
     out = (
         occurrences.join(chosen, key, "left")

@@ -119,20 +119,32 @@ def run_pipeline(
     )
     routed = cand_ops.route_contexts(cands)                          # S5
     # slim the materialized cut: normalized_name/lookup_tag are join
-    # byproducts no downstream stage reads — dropping them narrows every
-    # row the checkpoint writes AND every downstream shuffle that rereads it
+    # byproducts no downstream stage reads, and the uris array<string>
+    # (the widest column, ~35-140 B/row) is dictionary-encoded down to the
+    # 8-byte gkey — the checkpoint and every downstream reread carry the
+    # key; the strings re-attach via ONE broadcast group_map join exactly
+    # where they are consumed (ROADMAP r2 lever)
     routed = routed.select(
         "doc_key", "context_id", "mention_idx", "tag", "surface",
-        "surface_norm", "group_id", "uris", "n_groups", "route",
+        "surface_norm", "group_id", "gkey", "n_groups", "route",
     )
     if persist:
         routed = routed.localCheckpoint(eager=True)
+    gmap = cand_ops.group_map(dico)
+    if persist:
+        # dictionary-sized, but EVERY job that references the decode join
+        # rebuilds its broadcast from scratch — without this cut each
+        # build re-runs the whole dictionary-prep subtree (dedup + window
+        # + two exchanges) per action
+        gmap = gmap.localCheckpoint(eager=True)
 
     canon = canonical_map(triples, dictionary)                       # S6
     if persist:
         canon = canon.localCheckpoint(eager=True)
 
-    nel = routed.filter((F.col("route") == "nel") & F.col("group_id").isNotNull())
+    nel = routed.filter(
+        (F.col("route") == "nel") & F.col("group_id").isNotNull()
+    ).join(F.broadcast(gmap), "gkey")  # broadcast decode: gkey -> uris
     bases = fuse_ops.candidate_bases(nel, base_marker)
     # scoring path (S7-S8) runs entirely on 8-byte vertex hashes — fuse
     # join, dedup, pruning cascade and degree never shuffle a URI string;
@@ -151,7 +163,7 @@ def run_pipeline(
     pruned = cent_ops.prune_edges(edges, cent_ops.inverted_index(nel))
     chosen = select_ops.choose_uris(scored, preferred)               # S9
     annotations = select_ops.assemble_annotations(
-        routed, chosen, preferred, doc_map=dmap
+        routed, chosen, preferred, doc_map=dmap, group_map=gmap
     )
     kg = emit_triples(annotations, canon, base_marker)               # S10
 

@@ -60,7 +60,7 @@ def main() -> None:
 
     raw = documents_from_testdata(spark, sf_dir, replicate=replicate)
     vocab = step("vocab", _vocab(raw))
-    docs = teiify(raw, vocab)
+    docs = step("teiify", teiify(raw, vocab))  # r3: materialized in flagship too
     dictionary, triples, rels = synthetic_kb(spark, vocab)
     tag_order = [n for n, _ in parse_tag_specs(("persName",))]
 
