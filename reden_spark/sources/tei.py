@@ -95,7 +95,9 @@ def _unescape_attr(value: str) -> str:
     return value
 
 
-def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas_udf":
+def make_extract_mentions_udf(
+    tag_specs, ref_attr: str | None = None, context_elem: str = "div"
+) -> "pandas_udf":
     """Vectorized TEI mention extractor: content → array<struct(context_id,
     mention_idx, tag, surface)>.
 
@@ -110,6 +112,11 @@ def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas
     ``ref_attr`` additionally captures that attribute's value per mention
     (``ref`` when reading a gold file, ``ref_auto`` when replaying an
     annotated output) — DOM ``getAttribute`` semantics: missing → null.
+
+    ``context_elem`` is the context node's element name — the reference's
+    configurable ``xpathExpresion`` (MainNELApp.java:220-226; default
+    ``//body/div``, but e.g. the peurChampagne validation corpus has no
+    body/div and uses ``//text/p`` → pass ``"p"``).
     """
     from reden_spark.operators.mentions import parse_tag_specs
 
@@ -117,6 +124,13 @@ def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas
     excl = {name: typ for name, typ in specs if typ is not None}
     tags = "|".join(sorted({n for n, _ in specs}))
     elem_re = re.compile(_ELEM_TMPL.format(tags=tags), re.S)
+    ctx_re = (
+        CONTEXT_RE
+        if context_elem == "div"
+        else re.compile(
+            r"<%s(?:\s[^>]*)?>(.*?)</%s>" % (context_elem, context_elem), re.S
+        )
+    )
 
     attr_re = (
         re.compile(r'\s%s="([^"]*)"' % re.escape(ref_attr)) if ref_attr else None
@@ -127,7 +141,7 @@ def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas
         if not content:
             return out
         _, body = _body_span(content)
-        for ci, ctx in enumerate(CONTEXT_RE.findall(body)):
+        for ci, ctx in enumerate(ctx_re.findall(body)):
             mi = 0
             for m in elem_re.finditer(ctx):
                 tag, attrs, inner = m.group(1), m.group(2) or "", m.group(3)
@@ -151,12 +165,16 @@ def make_extract_mentions_udf(tag_specs, ref_attr: str | None = None) -> "pandas
 
 
 def mentions_from_tei(
-    documents: DataFrame, tag_specs, ref_attr: str | None = None
+    documents: DataFrame,
+    tag_specs,
+    ref_attr: str | None = None,
+    context_elem: str = "div",
 ) -> DataFrame:
     """S0→S2 over real TEI via the pandas-UDF path; same output schema as
     operators.mentions.mentions_from_documents (+ ``ref`` when
-    ``ref_attr`` is given)."""
-    extract = make_extract_mentions_udf(tag_specs, ref_attr)
+    ``ref_attr`` is given).  ``context_elem`` selects the context node
+    (the reference's configurable xpathExpresion)."""
+    extract = make_extract_mentions_udf(tag_specs, ref_attr, context_elem)
     cols = [
         "repo",
         "path",

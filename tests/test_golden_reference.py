@@ -418,3 +418,104 @@ def test_compare_runs_on_gir_artifacts(spark):
     # artifact-level sanity: the runs found 136 and 83 distinct correct
     # mentions respectively (BASELINE.md reference table)
     assert len(sa) == 136 and len(sb) == 83
+
+
+# ---------------------------------------------------------------------------
+# BnF corpora (VERDICT r2 #4: widen golden coverage beyond thibaudet +
+# GIR-2015).  Each bnf corpus ships the annotated run output
+# (*-outV3.xml, ref_auto attributes) AND its GeoJSON export
+# (*-outV3.json) — the enrichment sink's per-URI occurrence counts are
+# recoverable exactly: every GeoJSON feature's (theuri -> occurrences)
+# must equal our TEI reader + occurrence_counts over the annotated XML
+# (a multi-URI ref_auto counts once per URI, matching
+# EnrichmentHandler.java:80-94).  Feature NAMES are grouped
+# case-insensitively by the reference, and coordinates come from a
+# network lookup — both out of scope; URI-keyed counts are exact.
+#
+# bergson_evolutionV2 / peurChampagneAnnote6_validation / cold-iswc2016
+# ship input+gold only (NO reference run output), so verdict parity for
+# them is unrecoverable from the artifacts — documented divergence; the
+# reader-level universe checks below cover their TEI shape instead.
+
+BNF_DIR = "/root/reference/input/bnf"
+BNF_RUNS = [
+    ("name_hugo_miserables", 140),
+    ("name_maupassant_bel-ami", 26),
+    ("name_proust_recherche4", 42),
+    ("name_sade_justine-1799", 30),
+    ("name_stendhal_la-chartreuse-de-parme", 19),
+]
+
+
+@needs_ref
+@pytest.mark.parametrize("corpus,n_features", BNF_RUNS)
+def test_bnf_geojson_occurrence_parity(spark, corpus, n_features):
+    import json
+
+    from reden_spark.operators.enrich import occurrence_counts
+
+    feats = json.load(open(f"{BNF_DIR}/{corpus}-outV3.json", encoding="utf-8"))[
+        "features"
+    ]
+    assert len(feats) == n_features
+    want: dict[str, int] = {}
+    for f in feats:
+        p = f["properties"]
+        want[p["theuri"]] = want.get(p["theuri"], 0) + int(p["occurrences"])
+
+    mentions = mentions_from_tei(
+        read_tei_corpus(spark, f"{BNF_DIR}/{corpus}-outV3.xml"),
+        ("persName", "placeName"),
+        ref_attr="ref_auto",
+    )
+    ann = mentions.filter(
+        F.col("ref").isNotNull() & (F.col("ref") != "")
+    ).select(F.explode(F.split("ref", " ")).alias("subj"))
+    got = {
+        r.uri: r.occurrences for r in occurrence_counts(ann).collect()
+    }
+    # every geo-resolved feature must match our count exactly; URIs
+    # without geodata legitimately have no feature
+    mismatches = {
+        u: (want[u], got.get(u)) for u in want if got.get(u) != want[u]
+    }
+    assert not mismatches, mismatches
+    assert set(want) <= set(got)
+
+
+UNRUN_CORPORA = [
+    ("/root/reference/input/bergson/bergson_evolutionV2.xml",
+     "/root/reference/input/bergson/bergson_evolutionV2-gold.xml", "div"),
+    # peurChampagne has no <body>/<div>; its contexts are //text/p (the
+    # reference's configurable xpathExpresion), and the shipped
+    # "validation" and "-gold" files are byte-identical (same md5) — the
+    # corpus ships only the manual annotation, no separate input or run.
+    ("/root/reference/input/peurChampagneAnnote6_validation.xml",
+     "/root/reference/input/peurChampagneAnnote6_validation-gold.xml", "p"),
+]
+
+
+@needs_ref
+@pytest.mark.parametrize("in_xml,gold_xml,ctx_elem", UNRUN_CORPORA)
+def test_unrun_corpora_reader_universe(spark, in_xml, gold_xml, ctx_elem):
+    """bergson / peurChampagne have no reference run output, so the only
+    recoverable invariant is reader-level: our TEI source must extract a
+    positionally-aligned mention universe from input and gold (same
+    contexts, same per-context mention counts, nonempty), and the gold
+    must carry refs our eval operator can consume."""
+    tags = ("persName", "placeName")
+    inp = mentions_from_tei(
+        read_tei_corpus(spark, in_xml), tags, context_elem=ctx_elem
+    )
+    gold = mentions_from_tei(
+        read_tei_corpus(spark, gold_xml), tags, ref_attr="ref",
+        context_elem=ctx_elem,
+    )
+    n_in, n_gold = inp.count(), gold.count()
+    assert n_in == n_gold > 0
+    per_ctx = lambda df: {  # noqa: E731
+        (r.context_id, r["count"])
+        for r in df.groupBy("context_id").count().collect()
+    }
+    assert per_ctx(inp) == per_ctx(gold)
+    assert gold.filter(F.col("ref").isNotNull() & (F.col("ref") != "")).count() > 0

@@ -37,6 +37,9 @@ def run_at(cpus: int, sf_dir: str, replicate: int) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_QUERIES="nel_pipeline",
         SPARK_GRAFT_REPLICATE=str(replicate),
+        # this harness interleaves its own replicates across levels;
+        # bench.py's internal median-of-3 would cube the wall time
+        SPARK_GRAFT_BENCH_REPEATS="1",
         # shuffle scratch on tmpfs: this sandbox has ONE shared disk, so
         # /tmp shuffle I/O is a constant-bandwidth resource that punishes
         # the higher level (measured: string-shuffle scales 1.35x on disk,
