@@ -6,6 +6,12 @@ SURVEY.md §2 (reden_spark/contract.py): 44 queries, all 44 with DuckDB
 oracles (the two iterative centralities use unrolled/recursive SQL with
 1e-9-rounded scores; exact-value numpy/BFS oracles additionally live in
 tests/test_centrality_alt.py).
+
+Round-2 driver record: 43/44 fully green + 1 hash divergence
+(pricing_summary; values matched under string canonicalization but the
+driver's DECIMAL hashing differed).  Round 3 removed DECIMAL from that
+query's result schema entirely (both engines emit BIGINT integer
+cents), which sidesteps the divergence class.
 """
 
 from __future__ import annotations
