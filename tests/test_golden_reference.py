@@ -519,3 +519,81 @@ def test_unrun_corpora_reader_universe(spark, in_xml, gold_xml, ctx_elem):
     }
     assert per_ctx(inp) == per_ctx(gold)
     assert gold.filter(F.col("ref").isNotNull() & (F.col("ref") != "")).count() > 0
+
+
+@needs_ref
+def test_bnf_verne_ordre_parity(spark):
+    """name_verne's GeoJSON features carry ``ordre`` instead of
+    occurrences: the LAST-occurrence positional index of the URI over the
+    document-order sequence of tagged-mention URIs (multi-URI refs
+    explode in attribute order).  One window + max agg must reproduce all
+    32 features exactly."""
+    import json
+
+    feats = json.load(
+        open(f"{BNF_DIR}/name_verne_tour-du-monde-outV3.json", encoding="utf-8")
+    )["features"]
+    want = {f["properties"]["theuri"]: int(f["properties"]["ordre"]) for f in feats}
+    assert len(want) == 32
+
+    mentions = mentions_from_tei(
+        read_tei_corpus(spark, f"{BNF_DIR}/name_verne_tour-du-monde-outV3.xml"),
+        ("persName", "placeName"),
+        ref_attr="ref_auto",
+    )
+    from pyspark.sql import Window
+
+    uris = (
+        mentions.filter(F.col("ref").isNotNull() & (F.col("ref") != ""))
+        .select(
+            "context_id",
+            "mention_idx",
+            F.posexplode(F.split("ref", " ")).alias("upos", "uri"),
+        )
+    )
+    w = Window.orderBy("context_id", "mention_idx", "upos")
+    got = {
+        r.uri: r.ordre
+        for r in uris.withColumn("seq", F.row_number().over(w) - 1)
+        .groupBy("uri")
+        .agg(F.max("seq").alias("ordre"))
+        .collect()
+    }
+    assert {u: got.get(u) for u in want} == want
+
+
+@needs_ref
+def test_bnf_nisard_authors_enrichment_parity(spark):
+    """corresp-nisard's outV3.json is the AUTHORS enrichment export
+    (AuthorsEnrichment.java:29-75): one person entry per (surface name,
+    URL set) with its occurrence count.  Our TEI reader + one groupBy
+    must reproduce every (name, url) -> occ exactly (139 persons)."""
+    import json
+
+    d = json.load(
+        open(f"{BNF_DIR}/corresp-nisard-corr2-outV3.json", encoding="utf-8")
+    )
+    persons = d["persons"]
+    assert len(persons) == 139
+
+    # nisard is a correspondence INDEX: no <body>/<div>; contexts are
+    # the <item> entries (reference xpathExpresion config)
+    mentions = mentions_from_tei(
+        read_tei_corpus(spark, f"{BNF_DIR}/corresp-nisard-corr2-outV3.xml"),
+        ("persName",),
+        ref_attr="ref_auto",
+        context_elem="item",
+    )
+    pairs = (
+        mentions.filter(F.col("ref").isNotNull() & (F.col("ref") != ""))
+        .select(
+            F.regexp_replace(F.trim("surface"), r"\s+", " ").alias("name"),
+            F.explode(F.split("ref", " ")).alias("uri"),
+        )
+        .groupBy("name", "uri")
+        .count()
+    )
+    got = {(r.name, r.uri): r["count"] for r in pairs.collect()}
+    for p in persons:
+        occ = sum(got.get((p["name"], u), 0) for u in p["urls"])
+        assert occ == int(p["occ"]), (p["name"], p["urls"], occ, p["occ"])
