@@ -1156,6 +1156,98 @@ def q_ann_recall_ivf(spark, sf_dir):
 
 
 @query(
+    "ann_lsh_overflow",
+    """
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (
+      SELECT (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e)
+    SELECT bucket, count(*) AS n_vectors,
+           greatest(count(*) - 30, 0) AS n_dropped
+    FROM b GROUP BY 1
+    """,
+)
+def q_ann_lsh_overflow(spark, sf_dir):
+    """Cap observability (no silent truncation): per-bucket vector counts
+    and how many rows a bucket_cap=30 would drop — the report a capped
+    sign-LSH join publishes alongside its output
+    (operators/similarity.lsh_bucket_overflow)."""
+    from reden_spark.operators.similarity import lsh_bucket_overflow
+
+    return lsh_bucket_overflow(
+        _read(spark, sf_dir, "embeddings"), n_bits=4, bucket_cap=30
+    )
+
+
+@query(
+    "ann_recall_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, bucket, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+      FROM e),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM norms) WHERE rn <= 30),
+    approx AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) DESC,
+                          b.vec_id ASC) AS rank
+        FROM capped a JOIN capped b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      WHERE rank <= 3 AND vec_id < 100),
+    exact AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT q.vec_id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM (SELECT * FROM norms WHERE vec_id < 100) q
+        JOIN norms n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    hit AS (
+      SELECT a.vec_id, a.neighbor FROM approx a
+      JOIN exact x ON a.vec_id = x.vec_id AND a.neighbor = x.neighbor)
+    SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM exact), 9) AS recall
+    """,
+)
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall gate for the sign-LSH family (mirrors ann_recall_ivf):
+    fraction of the brute-force top-3 pairs (queries vec_id < 100) that
+    the CAPPED bucket-local join returns — capped-out queries honestly
+    count as misses, so this number prices the bucket_cap too."""
+    from reden_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_cosine_topk,
+        with_norms,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    en = with_norms(emb)
+    exact = cosine_topk(en.filter(F.col("id") < 100), en, k=3)
+    approx = lsh_cosine_topk(emb, k=3, n_bits=4, bucket_cap=30).filter(
+        F.col("id") < 100
+    )
+    return ann_recall(approx, exact)
+
+
+@query(
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL}) WHERE doc_id < 200),
