@@ -249,29 +249,41 @@ def run_pipeline_resumable(
         ),
         inputs=("s2_mentions", "s3_dictionary"),
     )
+    # the DURABLE routed stage stores the 8-byte gkey, not the uris
+    # array<string> — same dictionary-encoding as plans/pipeline.py; the
+    # decode map derives from the (durable) s3_dictionary stage, so a
+    # resumed run rebuilds only a dictionary-sized broadcast
     routed = runner.stage(
-        "s5_routed", lambda: cand_ops.route_contexts(cands), inputs=("s4_candidates",)
+        "s5_routed",
+        lambda: cand_ops.route_contexts(cands).select(
+            "doc_key", "context_id", "mention_idx", "tag", "surface",
+            "surface_norm", "group_id", "gkey", "n_groups", "route",
+        ),
+        inputs=("s4_candidates",),
     )
     canon = runner.stage("s6_canon", lambda: canonical_map(triples, dictionary))
+    gmap = cand_ops.group_map(dico)
+
+    def _nel():
+        return routed.filter(
+            (F.col("route") == "nel") & F.col("group_id").isNotNull()
+        ).join(F.broadcast(gmap), "gkey")
 
     def build_edges():
-        nel = routed.filter(
-            (F.col("route") == "nel") & F.col("group_id").isNotNull()
-        )
-        return fuse_ops.fuse_edges(nel, triples, canon, rels, base_marker)
+        return fuse_ops.fuse_edges(_nel(), triples, canon, rels, base_marker)
 
     edges = runner.stage("s7_edges", build_edges, inputs=("s5_routed", "s6_canon"))
 
     def build_annotations():
-        nel = routed.filter(
-            (F.col("route") == "nel") & F.col("group_id").isNotNull()
-        )
+        nel = _nel()
         bases = fuse_ops.candidate_bases(nel, base_marker)
         inv = cent_ops.inverted_index(nel)
         pruned = cent_ops.prune_edges(edges, inv)
         scored = cent_ops.score_candidates(bases, pruned)
         chosen = select_ops.choose_uris(scored, preferred)
-        return select_ops.assemble_annotations(routed, chosen, preferred, doc_map=dmap)
+        return select_ops.assemble_annotations(
+            routed, chosen, preferred, doc_map=dmap, group_map=gmap
+        )
 
     annotations = runner.stage(
         "s9_annotations",

@@ -597,3 +597,39 @@ def test_bnf_nisard_authors_enrichment_parity(spark):
     for p in persons:
         occ = sum(got.get((p["name"], u), 0) for u in p["urls"])
         assert occ == int(p["occ"]), (p["name"], p["urls"], occ, p["occ"])
+
+
+COLD_DIR = "/root/reference/input/cold-iswc2016"
+COLD_GOLDS = [
+    (REF_IN, f"{COLD_DIR}/thibaudet/thibaudet_reflexions-gold-bne.xml"),
+    (REF_IN, f"{COLD_DIR}/thibaudet/thibaudet_reflexions-gold-bnf.xml"),
+    (REF_IN, f"{COLD_DIR}/thibaudet/thibaudet_reflexions-gold-dbpediafr.xml"),
+    ("/root/reference/input/apollinaire-médtations-esthétiques.xml",
+     f"{COLD_DIR}/apollinaire/apollinaire-médtations-esthétiques-gold-dbpediafr.xml"),
+    ("/root/reference/input/apollinaire-médtations-esthétiques.xml",
+     f"{COLD_DIR}/apollinaire/apollinaire-médtations-esthétiques-gold-getty.xml"),
+]
+
+
+@needs_ref
+@pytest.mark.parametrize("in_xml,gold_xml", COLD_GOLDS)
+def test_cold_iswc2016_gold_universe(spark, in_xml, gold_xml):
+    """cold-iswc2016 ships per-KB gold variants (bne/bnf/dbpediafr/getty)
+    with NO run outputs — verdict parity is unrecoverable, but each gold
+    must align positionally with its input through our reader (same
+    contexts, same per-context mention counts) and carry consumable refs.
+    (The -yago-TO-CORRECT variants are excluded: the reference marks them
+    as known-broken.)"""
+    tags = ("persName", "placeName")
+    inp = mentions_from_tei(read_tei_corpus(spark, in_xml), tags)
+    gold = mentions_from_tei(
+        read_tei_corpus(spark, gold_xml), tags, ref_attr="ref"
+    )
+    n_in, n_gold = inp.count(), gold.count()
+    assert n_in == n_gold > 0
+    per_ctx = lambda df: {  # noqa: E731
+        (r.context_id, r["count"])
+        for r in df.groupBy("context_id").count().collect()
+    }
+    assert per_ctx(inp) == per_ctx(gold)
+    assert gold.filter(F.col("ref").isNotNull() & (F.col("ref") != "")).count() > 0
