@@ -1662,6 +1662,105 @@ def q_closeness_centrality(spark, sf_dir):
     )
 
 
+def _sparse_edges(spark, sf_dir):
+    """Sparser deterministic per-context graph (ring + per-context chord
+    drops) for betweenness: the shared _ctx_edges graph is near-complete
+    (diameter ~1), where betweenness is trivially zero everywhere.  Here
+    diameters reach ~8 so geodesics actually route through cut vertices."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    keep = (
+        (F.col("l_partkey") % 24)
+        + (F.col("l_suppkey") % 2)
+        + (F.col("l_orderkey") % 8)
+    ) % 5 != 0
+    lin = lambda c: F.concat(F.lit("v"), c.cast("string"))  # noqa: E731
+    return (
+        li.filter(keep)
+        .select(
+            F.lit(0).cast("long").alias("doc_key"),
+            (F.col("l_orderkey") % 8).cast("int").alias("context_id"),
+            lin(F.col("l_partkey") % 24).alias("src"),
+            lin(
+                (F.col("l_partkey") + 1 + (F.col("l_suppkey") % 2)) % 24
+            ).alias("dst"),
+            F.lit("p").alias("label"),
+            F.lit(1.0).alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["context_id", "src", "dst"])
+    )
+
+
+# Walks of length exactly d(s,v) are necessarily simple shortest paths, so
+# a bounded UNION ALL walk enumeration counted at min-dist gives exact
+# sigma (shortest-path counts); the hop bound (8) matches the Spark side's
+# max_hops, so even if some pair's geodesic exceeds it, BOTH engines
+# truncate identically.
+_BETWEENNESS_SQL = """
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT CAST(l_orderkey % 8 AS INTEGER) AS context_id,
+             'v' || CAST(l_partkey % 24 AS VARCHAR) AS src,
+             'v' || CAST((l_partkey + 1 + (l_suppkey % 2)) % 24 AS VARCHAR) AS dst
+      FROM lineitem
+      WHERE l_orderkey < 3000
+        AND (l_partkey % 24 + l_suppkey % 2 + l_orderkey % 8) % 5 <> 0),
+    und AS (
+      SELECT DISTINCT context_id, src, dst FROM (
+        SELECT context_id, src, dst FROM edges
+        UNION ALL
+        SELECT context_id, dst AS src, src AS dst FROM edges)
+      WHERE src <> dst),
+    verts AS (SELECT DISTINCT context_id, src AS vertex FROM und),
+    walks AS (
+      SELECT context_id, vertex AS source, vertex, 0 AS dist FROM verts
+      UNION ALL
+      SELECT w.context_id, w.source, u.dst AS vertex, w.dist + 1 AS dist
+      FROM walks w JOIN und u
+        ON w.context_id = u.context_id AND w.vertex = u.src
+      WHERE w.dist < 8),
+    cnt AS (SELECT context_id, source, vertex, dist, count(*) AS n
+            FROM walks GROUP BY 1, 2, 3, 4),
+    mind AS (SELECT context_id, source, vertex, min(dist) AS d
+             FROM cnt GROUP BY 1, 2, 3),
+    sigma AS (SELECT c.context_id, c.source, c.vertex, m.d, c.n AS sigma
+              FROM cnt c JOIN mind m USING (context_id, source, vertex)
+              WHERE c.dist = m.d AND m.d > 0),
+    bc AS (
+      SELECT sv.context_id, sv.vertex AS v,
+             sum(CAST(sv.sigma * vt.sigma AS DOUBLE) / st.sigma) / 2.0
+               AS score
+      FROM sigma sv
+      JOIN sigma vt ON sv.context_id = vt.context_id
+                   AND vt.source = sv.vertex
+      JOIN sigma st ON st.context_id = sv.context_id
+                   AND st.source = sv.source AND st.vertex = vt.vertex
+      WHERE st.d = sv.d + vt.d
+      GROUP BY 1, 2)
+    SELECT v.context_id, v.vertex,
+           round(coalesce(b.score, 0.0), 6) AS score
+    FROM verts v
+    LEFT JOIN bc b ON v.context_id = b.context_id AND v.vertex = b.v
+"""
+
+
+@query("betweenness_centrality", _BETWEENNESS_SQL)
+def q_betweenness_centrality(spark, sf_dir):
+    """Brandes betweenness (the last CentralityHandler.java:141-146 config
+    alternative) — sigma-carrying BFS + pair-dependency join; driver
+    oracle = bounded walk-enumeration recursive CTE (walks at min-dist =
+    shortest paths).  Rounded to 1e-6: scores are sums of hundreds of
+    small rationals, where engine summation order costs ~1e-10 — far
+    below this grid (a 1e-9 grid would sit inside the noise).  Exact
+    values also asserted vs a pure-Python Brandes in
+    tests/test_centrality_alt.py."""
+    from reden_spark.operators.centrality_alt import betweenness_scores
+
+    return betweenness_scores(_sparse_edges(spark, sf_dir), max_hops=8).select(
+        "context_id", "vertex", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 @query(
     "significance_paired_t",
     """

@@ -7,11 +7,15 @@ Degree is the published default (operators/centrality.py) and the
 reference's own significance analysis found degree ≈ eigenvector
 (SignificanceTesting.java:27-33).  This module adds **eigenvector
 centrality** as a per-context power iteration — a pure DataFrame loop
-with the same join primitives as the sameAs CC — and **closeness** via
-iterative frontier BFS.  Brandes betweenness is intentionally NOT
-implemented: the reference's own config comment says "avoid it, too
-long", and an all-pairs computation per context is the wrong tool at
-10^12-document scale (documented divergence).
+with the same join primitives as the sameAs CC — **closeness** via
+iterative frontier BFS, and **Brandes betweenness** via the same BFS
+carrying shortest-path counts (sigma) plus the pair-dependency identity
+``bc(v) = Σ_{s,t} σ_sv·σ_vt/σ_st  [d(s,v)+d(v,t)=d(s,t)] / 2`` — an
+exact reformulation of Brandes' accumulation that needs no sequential
+dependency pass, so it stays a pure DataFrame program.  The reference's
+own config comment says "avoid [betweenness], too long"; it remains an
+opt-in alternative here too (degree is the default scorer), but the
+operator exists for full config parity with CentralityHandler.java:141-146.
 
 Scale shape: iterations are bounded (``n_iter``); each round is one
 shuffle join on (ctx, vertex) — the same single pipeline partitioning —
@@ -82,34 +86,10 @@ def closeness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     vertices reachable within ``max_hops`` (per-context graphs have tiny
     diameters; unreachable pairs are excluded, JGraphT-SNA behavior).
 
-    Frontier BFS as a DataFrame loop: round k adds (source, vertex) pairs
-    first reached at distance k."""
-    und = _undirected(edges).localCheckpoint(eager=True)
-    verts = und.select(*CTX, F.col("src").alias("vertex")).dropDuplicates(
-        [*CTX, "vertex"]
-    )
-    # reached(ctx, source, vertex, dist): grows one hop per round
-    reached = verts.select(
-        *CTX, F.col("vertex").alias("source"), "vertex", F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
-    frontier = reached
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(
-                und.select(*CTX, F.col("src").alias("vertex"), "dst"),
-                [*CTX, "vertex"],
-            )
-            .select(*CTX, "source", F.col("dst").alias("vertex"), F.lit(hop).alias("dist"))
-            .dropDuplicates([*CTX, "source", "vertex"])
-        )
-        frontier = nxt.join(
-            reached.select(*CTX, "source", "vertex"),
-            [*CTX, "source", "vertex"],
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
-        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    Frontier BFS as a DataFrame loop (shared with betweenness via
+    ``_sigma_bfs``; the path counts it also carries are free here — one
+    extra long per row in an already-shuffling agg)."""
+    reached = _sigma_bfs(edges, max_hops)
     sums = (
         reached.filter(F.col("dist") > 0)
         .groupBy(*CTX, "source")
@@ -119,4 +99,102 @@ def closeness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
         *CTX,
         F.col("source").alias("vertex"),
         (F.col("n_reached") / F.col("total_dist")).alias("score"),
+    )
+
+
+def _sigma_bfs(edges: DataFrame, max_hops: int) -> DataFrame:
+    """(ctx, source, vertex, dist, sigma): per-context geodesic distances
+    AND shortest-path counts, by level-synchronous BFS — at hop k a newly
+    reached vertex's sigma is the sum of its hop-(k-1) predecessors'
+    sigmas, which are final by synchrony.  Every join/agg is keyed on
+    (ctx, vertex): one partitioning reused across rounds."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    verts = und.select(*CTX, F.col("src").alias("vertex")).dropDuplicates(
+        [*CTX, "vertex"]
+    )
+    reached = verts.select(
+        *CTX,
+        F.col("vertex").alias("source"),
+        "vertex",
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                und.select(*CTX, F.col("src").alias("vertex"), "dst"),
+                [*CTX, "vertex"],
+            )
+            .groupBy(*CTX, "source", F.col("dst").alias("vertex"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(hop))
+        )
+        frontier = nxt.join(
+            reached.select(*CTX, "source", "vertex"),
+            [*CTX, "source", "vertex"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return reached
+
+
+def betweenness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
+    """(ctx, vertex, score): Brandes betweenness
+    (BrandesBetweennessCentrality config alternative,
+    CentralityHandler.java:141-146) for undirected unweighted per-context
+    graphs, unordered-pair convention (each ordered (s,t) pair counted
+    once, i.e. the raw double-count halved — JGraphT-SNA behavior).
+
+    Instead of Brandes' sequential dependency accumulation, uses the
+    equivalent closed form over the sigma table: v lies on a shortest
+    s→t path iff d(s,v)+d(v,t)=d(s,t), contributing σ_sv·σ_vt/σ_st.
+    That is a self-join of the BFS output on (ctx, vertex) — all-pairs
+    per context, which is exactly Brandes' O(n·m) cost shape; contexts
+    are tiny (dozens of vertices) and independent, so the work
+    partitions perfectly by ctx at scale."""
+    sig = _sigma_bfs(edges, max_hops).filter(F.col("dist") > 0)
+    sv = sig.select(
+        *CTX,
+        F.col("source").alias("s"),
+        F.col("vertex").alias("v"),
+        F.col("dist").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    vt = sig.select(
+        *CTX,
+        F.col("source").alias("v"),
+        F.col("vertex").alias("t"),
+        F.col("dist").alias("d_vt"),
+        F.col("sigma").alias("sig_vt"),
+    )
+    st = sig.select(
+        *CTX,
+        F.col("source").alias("s"),
+        F.col("vertex").alias("t"),
+        F.col("dist").alias("d_st"),
+        F.col("sigma").alias("sig_st"),
+    )
+    bc = (
+        sv.join(vt, [*CTX, "v"])
+        .join(st, [*CTX, "s", "t"])
+        .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        .groupBy(*CTX, F.col("v").alias("vertex"))
+        .agg(
+            (
+                F.sum(
+                    (F.col("sig_sv") * F.col("sig_vt")).cast("double")
+                    / F.col("sig_st")
+                )
+                / 2.0
+            ).alias("score")
+        )
+    )
+    verts = _undirected(edges).select(
+        *CTX, F.col("src").alias("vertex")
+    ).dropDuplicates([*CTX, "vertex"])
+    return verts.join(bc, [*CTX, "vertex"], "left").select(
+        *CTX, "vertex", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
     )

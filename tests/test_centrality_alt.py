@@ -1,18 +1,26 @@
-"""Eigenvector / closeness centrality vs numpy/BFS oracles on a small
-two-context graph."""
+"""Eigenvector / closeness / betweenness centrality vs numpy/BFS/Brandes
+oracles on a small two-context graph."""
 
 from __future__ import annotations
+
+from collections import defaultdict, deque
 
 import numpy as np
 import pytest
 
-from reden_spark.operators.centrality_alt import closeness_scores, eigenvector_scores
+from reden_spark.operators.centrality_alt import (
+    betweenness_scores,
+    closeness_scores,
+    eigenvector_scores,
+)
 
 EDGES = {
     # ctx 0: path a-b-c-d plus hub b-e  → eigenvector favors b
     0: [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")],
     # ctx 1: triangle + pendant
     1: [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")],
+    # ctx 2: diamond + tail — m→p has TWO geodesics (exercises sigma > 1)
+    2: [("m", "n"), ("m", "o"), ("n", "p"), ("o", "p"), ("p", "q")],
 }
 
 
@@ -88,3 +96,54 @@ def test_closeness_matches_bfs(spark, edges_df):
         want = _bfs_closeness(pairs)
         for v, s in want.items():
             assert got[(ctx, v)] == pytest.approx(s, abs=1e-9), (ctx, v)
+
+
+def _brandes(pairs):
+    """Textbook Brandes (sequential dependency accumulation), halved for
+    the undirected unordered-pair convention."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    bc = dict.fromkeys(adj, 0.0)
+    for s in adj:
+        stack, preds = [], defaultdict(list)
+        sigma = dict.fromkeys(adj, 0)
+        sigma[s] = 1
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = dict.fromkeys(adj, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: b / 2.0 for v, b in bc.items()}
+
+
+def test_betweenness_matches_brandes(spark, edges_df):
+    got = {
+        (r.context_id, r.vertex): r.score
+        for r in betweenness_scores(edges_df).collect()
+    }
+    for ctx, pairs in EDGES.items():
+        want = _brandes(pairs)
+        for v, s in want.items():
+            assert got[(ctx, v)] == pytest.approx(s, abs=1e-9), (ctx, v)
+    # cut vertices dominate: b tops ctx 0; diamond sides n,o split the
+    # m→p load equally in ctx 2
+    c0 = {v: s for (c, v), s in got.items() if c == 0}
+    assert max(c0, key=c0.get) == "b"
+    assert got[(2, "n")] == pytest.approx(got[(2, "o")], abs=1e-12)
+    assert got[(2, "n")] > 0.0
