@@ -198,3 +198,43 @@ def betweenness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     return verts.join(bc, [*CTX, "vertex"], "left").select(
         *CTX, "vertex", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
     )
+
+
+MEASURES = {
+    "eigenvector": eigenvector_scores,
+    "closeness": closeness_scores,
+    "betweenness": betweenness_scores,
+}
+
+
+def score_candidates_alt(
+    bases: DataFrame, pruned: DataFrame, measure: str
+) -> DataFrame:
+    """Drop-in replacement for centrality.score_candidates scoring the
+    candidate base vertices with an alternative measure (the reference's
+    ``nameCentralityMeasure`` config switch, CentralityHandler.java:137-152)
+    instead of degree.  Same output schema/null semantics: a base vertex
+    absent from the pruned graph scores 0.0; the join key is the DECODED
+    base, matching the pruned graph's decoded vertex space (ADVICE r2).
+
+    Scale note: the measure runs once per context graph and the result
+    joins on (ctx, vertex) — the pipeline partitioning — so switching
+    measures changes per-context compute, not the shuffle structure."""
+    from reden_spark.functions.normalize import uri_decode
+
+    if measure not in MEASURES:
+        raise ValueError(
+            f"unknown centrality measure {measure!r}; "
+            f"expected one of {['degree', *MEASURES]}"
+        )
+    scores = MEASURES[measure](pruned).withColumnRenamed("vertex", "base_dec")
+    return (
+        bases.withColumn("base_dec", uri_decode(F.col("base")))
+        .join(
+            scores.withColumnRenamed("score", "alt_score"),
+            [*CTX, "base_dec"],
+            "left",
+        )
+        .withColumn("score", F.coalesce("alt_score", F.lit(0.0)))
+        .drop("alt_score", "base_dec")
+    )

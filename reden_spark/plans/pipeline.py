@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from reden_spark.operators import candidates as cand_ops
 from reden_spark.operators import centrality as cent_ops
+from reden_spark.operators import centrality_alt as alt_ops
 from reden_spark.operators import fuse as fuse_ops
 from reden_spark.operators import select as select_ops
 from reden_spark.operators.mentions import (
@@ -91,6 +92,7 @@ def run_pipeline(
     preferred: str = "ALL",
     use_salting: bool = False,
     persist: bool = True,
+    centrality: str = "degree",
 ) -> PipelineResult:
     """``persist=True`` materializes (eager localCheckpoint) the two
     subtrees consumed by several downstream branches (``routed`` feeds the
@@ -100,7 +102,13 @@ def run_pipeline(
     Checkpoint, not .cache(): measured 2.6x faster end-to-end here (the
     cached plan loses AQE re-optimization across the InMemoryRelation
     boundary).  At cluster scale the same cut points are durable
-    materialized stages instead (plans/resume.py)."""
+    materialized stages instead (plans/resume.py).
+
+    ``centrality`` mirrors the reference's ``nameCentralityMeasure``
+    config switch (CentralityHandler.java:137-152): ``degree`` (default —
+    the hash-only fast path) or ``eigenvector`` | ``closeness`` |
+    ``betweenness`` (operators/centrality_alt), which score the pruned
+    string-edge graph per context."""
     tag_order = [name for name, _ in parse_tag_specs(tag_specs)]
 
     dmap = doc_map(documents)                                        # S0
@@ -154,13 +162,16 @@ def run_pipeline(
     )
     invh = cent_ops.inverted_index_hashed(nel)
     pruned_h = cent_ops.prune_edges_hashed(edges_h, invh)            # S8
-    scored = cent_ops.score_candidates_hashed(bases, pruned_h)
     # report-grade string edges (labels/weights for relFrequency &
     # graph-dump parity) — lazy; only consumers that materialize them pay
     edges = fuse_ops.fuse_edges(
         nel, triples, canon, rels, base_marker, use_salting=use_salting
     )
     pruned = cent_ops.prune_edges(edges, cent_ops.inverted_index(nel))
+    if centrality == "degree":
+        scored = cent_ops.score_candidates_hashed(bases, pruned_h)
+    else:
+        scored = alt_ops.score_candidates_alt(bases, pruned, centrality)
     chosen = select_ops.choose_uris(scored, preferred)               # S9
     annotations = select_ops.assemble_annotations(
         routed, chosen, preferred, doc_map=dmap, group_map=gmap

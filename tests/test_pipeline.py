@@ -150,3 +150,52 @@ def test_pipeline_paths_agree_on_encoded_uris(spark, tmp_path):
         for r in df.select("subj", "pred", "obj", "canon_subj").collect()
     }
     assert key(res.kg_triples) == key(kg_str) and len(key(kg_str)) > 0
+
+
+def test_centrality_measure_knob(spark, tiny_corpus):
+    """run_pipeline(centrality=...) mirrors the reference's
+    nameCentralityMeasure config switch (CentralityHandler.java:137-152):
+    every measure yields the same annotation keys/routes as the degree
+    default (the graph scorer only changes WHICH candidate wins), each
+    chosen URI under an alt measure carries that measure's own max score
+    within its mention group, and an unknown measure raises."""
+    import pytest
+
+    from reden_spark.plans.pipeline import run_pipeline as rp
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    base = rp(docs, dico, triples, rels, persist=False)
+    base_keys = {
+        (r.path, r.context_id, r.mention_idx, r.decision)
+        for r in base.annotations.collect()
+    }
+    for measure in ("eigenvector", "betweenness"):
+        alt = rp(docs, dico, triples, rels, persist=False, centrality=measure)
+        keys = {
+            (r.path, r.context_id, r.mention_idx, r.decision)
+            for r in alt.annotations.collect()
+        }
+        assert keys == base_keys, measure
+        # the winner is an argmax of the alt scores: the chosen score the
+        # annotation carries must equal the max over its mention group
+        # (annotations are keyed by path after the doc_map lineage join,
+        # so map scored's doc_key back through doc_map)
+        from reden_spark.operators.mentions import doc_map as doc_map_fn
+
+        dmap = doc_map_fn(docs).select("doc_key", "path")
+        best = {
+            (r.path, r.context_id, r.mention_idx): r.mx
+            for r in alt.scored.join(dmap, "doc_key")
+            .groupBy("path", "context_id", "mention_idx")
+            .agg(F.max("score").alias("mx"))
+            .collect()
+        }
+        chosen = {
+            (r.path, r.context_id, r.mention_idx): r.score
+            for r in alt.annotations.filter(F.col("decision") == "nel").collect()
+        }
+        assert chosen, measure
+        for k, s in chosen.items():
+            assert abs(best[k] - s) < 1e-12, (measure, k, best[k], s)
+    with pytest.raises(ValueError, match="unknown centrality measure"):
+        rp(docs, dico, triples, rels, persist=False, centrality="pagerank").scored.count()

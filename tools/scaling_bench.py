@@ -16,6 +16,22 @@ The input is the sf0.1 documents table replicated K× (default 32) so the
 run is compute-dominated, as the 100 TB target is; fixed costs (session
 startup excluded; driver-side plan/CC latency included) are reported
 as-is.  Writes BENCH_SCALING.json at the repo root.
+
+Round 3 adds two HOST-CONTROL probes, interleaved with the pipeline
+runs under the identical pinning/tmpfs/JVM-per-run methodology, so the
+artifact itself quantifies the ceiling this host imposes on ANY Spark
+job (disable with SPARK_GRAFT_SCALE_CONTROLS=0):
+
+* ``control_cpu`` — chained xxhash64 over ``spark.range`` (no input, no
+  Python, one 8-row final agg): pure whole-stage-codegen ALU.  Its
+  efficiency is the best any compute-bound job can do under this
+  hypervisor's scheduling.
+* ``control_membus`` — repeated sum(xxhash64(str)) scans of a cached
+  ~2 GB string table: bytes/op high, zero shuffle.  Its efficiency is
+  the shared-memory-bus ceiling, the resource profile the string-heavy
+  pipeline stages (teiify/annotations) actually have.  On a real N vs
+  4N EXECUTOR cluster each node brings its own bus, so this ceiling is
+  a single-box artifact, not a property of the plan.
 """
 
 from __future__ import annotations
@@ -61,6 +77,59 @@ def run_at(cpus: int, sf_dir: str, replicate: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+_CONTROL_CPU = """
+import sys, time
+from pyspark.sql import SparkSession, functions as F
+cpus = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(2 * cpus))
+         .config("spark.sql.ansi.enabled", "false")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.range(1000).count()  # warm codegen/JIT outside the timed window
+expr = F.col("id")
+for _ in range(8):
+    expr = F.xxhash64(expr)
+t = time.time()
+spark.range(0, 600_000_000, 1, 8 * cpus).select(F.sum(expr)).collect()
+print("CONTROL_WALL", time.time() - t)
+"""
+
+_CONTROL_MEMBUS = """
+import sys, time
+from pyspark.sql import SparkSession, functions as F
+cpus = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(2 * cpus))
+         .config("spark.sql.ansi.enabled", "false")
+         .config("spark.driver.memory", "6g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+# ~2 GB cached string table: 4M rows x 4x sha2-512 hex = ~512 B/row
+df = (spark.range(0, 4_000_000, 1, 8 * cpus)
+      .select(F.concat(*[F.sha2((F.col("id") + i).cast("string"), 512)
+                         for i in range(4)]).alias("s"))
+      .persist())
+assert df.count() == 4_000_000  # build the cache outside the timed window
+t = time.time()
+for _ in range(12):
+    df.select(F.sum(F.xxhash64("s"))).collect()
+print("CONTROL_WALL", time.time() - t)
+"""
+
+
+def control_at(cpus: int, script: str) -> float:
+    cmd = [sys.executable, "-c", script, str(cpus)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ, SPARK_LOCAL_DIRS="/dev/shm/spark-local")
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, check=True, cwd=ROOT
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CONTROL_WALL"):
+            return float(line.split()[1])
+    raise RuntimeError(f"control probe printed no wall: {out.stdout[-500:]}")
+
+
 def _median(xs):
     xs = sorted(xs)
     return xs[len(xs) // 2]
@@ -72,12 +141,22 @@ def main():
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    controls = os.environ.get("SPARK_GRAFT_SCALE_CONTROLS", "1") != "0"
     # interleave levels: the host carries ~3 cores of background VM noise
-    # with large drift, so paired/interleaved runs + median per level
+    # with large drift, so paired/interleaved runs + median per level —
+    # and the control probes run INSIDE the same interleave so they
+    # sample the same hypervisor phases as the pipeline walls they
+    # contextualize
     runs_lo, runs_hi = [], []
+    ctl = {k: {"lo": [], "hi": []} for k in ("cpu", "membus")}
     for _ in range(repeats):
         runs_hi.append(run_at(hi, sf_dir, replicate))
         runs_lo.append(run_at(lo, sf_dir, replicate))
+        if controls:
+            ctl["cpu"]["hi"].append(control_at(hi, _CONTROL_CPU))
+            ctl["cpu"]["lo"].append(control_at(lo, _CONTROL_CPU))
+            ctl["membus"]["hi"].append(control_at(hi, _CONTROL_MEMBUS))
+            ctl["membus"]["lo"].append(control_at(lo, _CONTROL_MEMBUS))
     thr_lo = _median([r["triples_per_sec"] for r in runs_lo])
     thr_hi = _median([r["triples_per_sec"] for r in runs_hi])
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -96,6 +175,24 @@ def main():
         "sf": runs_hi[0]["sf"],
         "replicate": replicate,
     }
+    if controls:
+        for name in ("cpu", "membus"):
+            lo_w = _median(ctl[name]["lo"])
+            hi_w = _median(ctl[name]["hi"])
+            ceff = (lo_w / hi_w) / (hi / lo)
+            result[f"host_control_{name}_efficiency"] = round(ceff, 3)
+            result[f"host_control_{name}_wall_low_s_all"] = [
+                round(w, 3) for w in ctl[name]["lo"]
+            ]
+            result[f"host_control_{name}_wall_high_s_all"] = [
+                round(w, 3) for w in ctl[name]["hi"]
+            ]
+        # the pipeline's efficiency normalized by what a zero-shuffle
+        # memory-bus-bound job achieves on this host in the same phases:
+        # >= 1.0 means the plan adds no sub-linearity beyond the host's
+        mb = result["host_control_membus_efficiency"]
+        if mb:
+            result["efficiency_vs_membus_ceiling"] = round(eff / mb, 3)
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result))
