@@ -1395,6 +1395,78 @@ def q_enrich_props(spark, sf_dir):
 
 
 @query(
+    "semi_auto_refs",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'http://alt.org/s' || CAST(s_suppkey AS VARCHAR) AS src,
+             'http://kb.example.org/s,' || CAST(s_suppkey % 40 AS VARCHAR) AS dst
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    cc AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+    targets AS (
+      SELECT comp, min(node) AS target FROM cc
+      WHERE node LIKE '%kb.example.org%' GROUP BY comp
+    ),
+    refs AS (
+      SELECT c_custkey AS ref_id,
+        CASE WHEN c_custkey % 3 = 0
+               THEN 'http://alt.org/s' || CAST((c_custkey % 100) * 2 AS VARCHAR)
+             WHEN c_custkey % 3 = 1
+               THEN 'http://kb.example.org/self' || CAST(c_custkey AS VARCHAR)
+             ELSE 'http://nowhere.org/x' || CAST(c_custkey AS VARCHAR) END AS ref
+      FROM customer
+    )
+    SELECT r.ref_id, r.ref,
+      replace(replace(coalesce(t.target,
+        CASE WHEN r.ref LIKE '%kb.example.org%' THEN r.ref END), ',', ''), '"', '')
+        AS ref_new
+    FROM refs r
+    LEFT JOIN cc ON cc.node = r.ref
+    LEFT JOIN targets t ON t.comp = cc.comp
+    """,
+)
+def q_semi_auto_refs(spark, sf_dir):
+    """Semi-automatic pre-annotation resolution
+    (operators/enrich.semi_auto_refs — SemiAutomaticTEIAnnotation.java:
+    54-140): sameAs-closure lookup of the base-matching equivalent per
+    existing ref, min-URI deterministic pick, comma/quote cleanup, with a
+    self-match fallback for refs outside the closure that already contain
+    the base.  The comma baked into the kb dst exercises the cleanup."""
+    from reden_spark.operators.enrich import semi_auto_refs
+
+    sup = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    edges = sup.select(
+        F.concat(F.lit("http://alt.org/s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("http://kb.example.org/s,"), (F.col("s_suppkey") % 40).cast("string")
+        ).alias("dst"),
+    ).dropDuplicates()
+    ck = F.col("c_custkey")
+    refs = _read(spark, sf_dir, "customer").select(
+        ck.alias("ref_id"),
+        F.when(
+            ck % 3 == 0,
+            F.concat(F.lit("http://alt.org/s"), ((ck % 100) * 2).cast("string")),
+        )
+        .when(
+            ck % 3 == 1,
+            F.concat(F.lit("http://kb.example.org/self"), ck.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("http://nowhere.org/x"), ck.cast("string")))
+        .alias("ref"),
+    )
+    return semi_auto_refs(refs, edges, "kb.example.org").select(
+        "ref_id", "ref", "ref_new"
+    )
+
+
+@query(
     "dico_build",
     f"""
     WITH dump AS (

@@ -17,6 +17,84 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def semi_auto_refs(
+    mentions: DataFrame, sameas_edges: DataFrame, base: str
+) -> DataFrame:
+    """Semi-automatic pre-annotation (SemiAutomaticTEIAnnotation.java:54-140):
+    for each mention row carrying an existing ``ref`` URI, attach
+    ``ref_new`` = an equivalent URI containing ``base`` (e.g.
+    ``yago-knowledge.org``), with commas and double quotes stripped
+    (``.replaceAll(",","").replaceAll("\\"","")``, :75); mentions with no
+    base-matching equivalent keep ``ref_new`` null (:76-77).
+
+    The reference resolves equivalents through the sameAs.org HTTP API
+    per mention (:115-135) — network-bound and out of scope at runtime,
+    so exactly like the SPARQL sources (SURVEY.md §2.1) the bundle
+    becomes a pre-materialized ``sameas_edges (src, dst)`` table and the
+    lookup becomes the owl:sameAs connected-components closure + one
+    join.  The API returns the FIRST matching line of a
+    non-deterministically ordered bundle; we take ``min(uri)`` — the
+    same deterministic-total-order divergence class as the argmax
+    tie-break (SURVEY.md §4.5).  A ``ref`` absent from the closure still
+    matches itself when it already contains ``base`` (the API bundle
+    always includes the queried URI).
+
+    Scale: the closure is the existing distributed CC; ``targets`` is one
+    comp-keyed agg over only base-matching nodes; both joins are plain
+    equi-joins on ref/comp — no per-mention lookups, no driver loops.
+    """
+    from reden_spark.operators.sameas import connected_components
+
+    cc = connected_components(sameas_edges)
+    targets = (
+        cc.filter(F.col("node").contains(base))
+        .groupBy("comp")
+        .agg(F.min("node").alias("target"))
+    )
+    clean = lambda c: F.regexp_replace(c, '[,"]', "")  # noqa: E731
+    return (
+        mentions.join(cc.withColumnRenamed("node", "ref"), "ref", "left")
+        .join(targets, "comp", "left")
+        .withColumn(
+            "ref_new",
+            clean(
+                F.coalesce(
+                    "target",
+                    F.when(F.col("ref").contains(base), F.col("ref")),
+                )
+            ),
+        )
+        .drop("comp", "target")
+    )
+
+
+def semi_auto_annotate_tei(
+    documents: DataFrame,
+    sameas_edges: DataFrame,
+    base: str,
+    tag_specs,
+    ref_attr_in: str = "ref",
+    ref_attr_out: str = "ref_new",
+) -> DataFrame:
+    """End-to-end TEI shape of the semi-automatic annotator: read mentions
+    (with their ``ref``) from TEI content, resolve ``ref_new`` through the
+    sameAs closure, splice ``ref_new="…"`` back into the XML — the
+    reference's ``*-yago.xml`` sink (SemiAutomaticTEIAnnotation.java:82-93)
+    as a DataFrame-in, DataFrame-out transform."""
+    from reden_spark.sources.tei import annotated_tei, mentions_from_tei
+
+    mentions = mentions_from_tei(documents, tag_specs, ref_attr=ref_attr_in)
+    resolved = semi_auto_refs(mentions.filter(F.col("ref").isNotNull()), sameas_edges, base)
+    anns = resolved.filter(F.col("ref_new").isNotNull()).select(
+        "repo",
+        "path",
+        "context_id",
+        "mention_idx",
+        F.array("ref_new").alias("chosen_uris"),
+    )
+    return annotated_tei(documents, anns, tag_specs, ref_attr=ref_attr_out)
+
+
 def occurrence_counts(annotations: DataFrame, uri_col: str = "subj") -> DataFrame:
     """Per-URI mention counts across the corpus
     (EnrichmentHandler.java:80-94)."""

@@ -34,7 +34,14 @@ _SPEC_RE = re.compile(r"^(\w+)(?:\[not\(@type='([^']*)'\)\])?$")
 
 
 def parse_tag_specs(tag_specs) -> list[tuple[str, str | None]]:
-    """``persName[not(@type='x')]`` → (``persName``, excluded-type ``x``)."""
+    """``persName[not(@type='x')]`` → (``persName``, excluded-type ``x``).
+
+    Accepts a list of specs or a single comma-separated string (the
+    reference's config form, MainNELApp.java:233 — a bare string would
+    otherwise silently iterate char-by-char, and single letters are
+    valid tag names)."""
+    if isinstance(tag_specs, str):
+        tag_specs = tag_specs.split(",")
     out = []
     for spec in tag_specs:
         m = _SPEC_RE.match(spec.strip())

@@ -93,6 +93,7 @@ def run_pipeline(
     use_salting: bool = False,
     persist: bool = True,
     centrality: str = "degree",
+    precomputed_canon: DataFrame | None = None,
 ) -> PipelineResult:
     """``persist=True`` materializes (eager localCheckpoint) the two
     subtrees consumed by several downstream branches (``routed`` feeds the
@@ -108,7 +109,15 @@ def run_pipeline(
     config switch (CentralityHandler.java:137-152): ``degree`` (default —
     the hash-only fast path) or ``eigenvector`` | ``closeness`` |
     ``betweenness`` (operators/centrality_alt), which score the pruned
-    string-edge graph per context."""
+    string-edge graph per context.
+
+    ``precomputed_canon``: the sameAs canonical map (uri, canon) depends
+    only on the authority ``triples`` + ``dictionary`` — it is
+    corpus-independent, so at cluster scale it is computed ONCE per
+    authority-dump version and read back as a durable table
+    (plans/resume.py stage ``s6_canon``) rather than per corpus run.
+    Pass it here to skip S6 entirely (the CC loop plus its driver-side
+    probe are the pipeline's only fixed serial latency)."""
     tag_order = [name for name, _ in parse_tag_specs(tag_specs)]
 
     dmap = doc_map(documents)                                        # S0
@@ -146,9 +155,12 @@ def run_pipeline(
         # + two exchanges) per action
         gmap = gmap.localCheckpoint(eager=True)
 
-    canon = canonical_map(triples, dictionary)                       # S6
-    if persist:
-        canon = canon.localCheckpoint(eager=True)
+    if precomputed_canon is not None:                                # S6
+        canon = precomputed_canon
+    else:
+        canon = canonical_map(triples, dictionary)
+        if persist:
+            canon = canon.localCheckpoint(eager=True)
 
     nel = routed.filter(
         (F.col("route") == "nel") & F.col("group_id").isNotNull()

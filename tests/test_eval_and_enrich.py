@@ -142,3 +142,73 @@ def test_write_geojson_collection(spark, tiny_corpus, tmp_path):
     assert fc["type"] == "FeatureCollection"
     assert len(fc["features"]) == ents.count()
     assert all(f["geometry"]["coordinates"] == [2.35, 48.85] for f in fc["features"])
+
+
+def test_semi_auto_refs_semantics(spark):
+    """operators/enrich.semi_auto_refs vs the reference's
+    SemiAutomaticTEIAnnotation.java:54-140: base-matching equivalent via
+    the sameAs closure (deterministic min), comma/quote cleanup, self-match
+    for out-of-closure refs that contain the base, null otherwise."""
+    from reden_spark.operators.enrich import semi_auto_refs
+
+    edges = spark.createDataFrame(
+        [
+            ("http://alt.org/a", "http://kb.example.org/x,1"),
+            ("http://alt.org/b", "http://alt.org/a"),          # 2-hop chain
+            ("http://alt.org/c", "http://other.org/c"),        # no kb member
+            ("http://kb.example.org/z2", "http://kb.example.org/z1"),
+        ],
+        ["src", "dst"],
+    )
+    refs = spark.createDataFrame(
+        [
+            (1, "http://alt.org/b"),              # closure → kb/x,1 cleaned
+            (2, "http://alt.org/c"),              # closure, no kb → null
+            (3, "http://kb.example.org/self"),    # not in graph, has base → itself
+            (4, "http://nowhere.org/q"),          # not in graph, no base → null
+            (5, "http://kb.example.org/z2"),      # in graph → min(z1, z2) = z1
+        ],
+        ["ref_id", "ref"],
+    )
+    got = {
+        r.ref_id: r.ref_new
+        for r in semi_auto_refs(refs, edges, "kb.example.org").collect()
+    }
+    assert got == {
+        1: "http://kb.example.org/x1",  # comma stripped (.replaceAll(",",""))
+        2: None,
+        3: "http://kb.example.org/self",
+        4: None,
+        5: "http://kb.example.org/z1",
+    }
+
+
+def test_semi_auto_annotate_tei_roundtrip(spark):
+    """End-to-end TEI shape: ref_new spliced into the XML for resolvable
+    refs only (the reference's *-yago.xml sink), original content otherwise
+    untouched."""
+    from reden_spark.operators.enrich import semi_auto_annotate_tei
+    from reden_spark.sources.tei import mentions_from_tei
+
+    content = (
+        "<TEI><text><body>"
+        '<div><p><persName ref="http://alt.org/a">Anna</persName> and '
+        '<persName ref="http://nowhere.org/q">Quentin</persName></p></div>'
+        "</body></text></TEI>"
+    )
+    docs = spark.createDataFrame(
+        [("r", "p.xml", "c0", "fr", content)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    edges = spark.createDataFrame(
+        [("http://alt.org/a", "http://kb.example.org/x1")], ["src", "dst"]
+    )
+    out = semi_auto_annotate_tei(docs, edges, "kb.example.org", "persName")
+    annotated = out.collect()[0].content
+    assert 'ref_new="http://kb.example.org/x1"' in annotated
+    assert annotated.count("ref_new=") == 1  # the unresolvable ref got none
+    assert 'ref="http://alt.org/a"' in annotated  # original ref preserved
+    # and the annotated output is re-readable with both attributes
+    back = mentions_from_tei(out, "persName", ref_attr="ref_new")
+    refs_new = {r.mention_idx: r.ref for r in back.collect()}
+    assert refs_new == {0: "http://kb.example.org/x1", 1: None}

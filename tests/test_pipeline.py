@@ -195,7 +195,41 @@ def test_centrality_measure_knob(spark, tiny_corpus):
             for r in alt.annotations.filter(F.col("decision") == "nel").collect()
         }
         assert chosen, measure
+        # relative tolerance: with persist=False the two collects are
+        # separate jobs re-running the iterative scorer, and Spark's
+        # double-sum order is partition-dependent — bit-equality is not
+        # guaranteed across jobs, argmax-up-to-jitter is
         for k, s in chosen.items():
-            assert abs(best[k] - s) < 1e-12, (measure, k, best[k], s)
+            assert abs(best[k] - s) <= 1e-6 * max(1.0, abs(best[k])), (
+                measure, k, best[k], s,
+            )
     with pytest.raises(ValueError, match="unknown centrality measure"):
         rp(docs, dico, triples, rels, persist=False, centrality="pagerank").scored.count()
+
+
+def test_precomputed_canon_parity(spark, tiny_corpus):
+    """The sameAs canonical map depends only on the authority triples +
+    dictionary (corpus-independent), so a canon computed once and passed
+    back via precomputed_canon — the durable s6_canon stage at cluster
+    scale — must leave every output identical to the inline S6 path."""
+    from reden_spark.operators.sameas import canonical_map
+    from reden_spark.plans.pipeline import run_pipeline as rp
+
+    docs, dico, triples, rels, _ = corpus_to_spark(spark, tiny_corpus)
+    pre = canonical_map(triples, dico).localCheckpoint(eager=True)
+    inline = rp(docs, dico, triples, rels, persist=False)
+    reused = rp(docs, dico, triples, rels, persist=False, precomputed_canon=pre)
+
+    def kg_key(df):
+        return {
+            (r.subj, r.pred, r.obj, r.canon_subj, r.path)
+            for r in df.select("subj", "pred", "obj", "canon_subj", "path").collect()
+        }
+
+    assert kg_key(inline.kg_triples) == kg_key(reused.kg_triples)
+    assert len(kg_key(reused.kg_triples)) > 0
+    ann_key = lambda df: {  # noqa: E731
+        (r.path, r.context_id, r.mention_idx, r.decision, tuple(r.chosen_uris or []))
+        for r in df.collect()
+    }
+    assert ann_key(inline.annotations) == ann_key(reused.annotations)
