@@ -1987,3 +1987,198 @@ def q_pricing_summary(spark, sf_dir):
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality family (operators/quality.py): Gopher repetition
+# filter, keep-first-occurrence shingle dedup, PII scrub — plus PageRank as
+# the fourth alt-centrality.
+
+_QTOKS_SQL = f"SELECT * FROM ({_TOKENS_SQL}) WHERE tok <> ''"
+
+
+@query(
+    "gopher_repetition",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    g AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1,
+             lead(tok, 2) OVER w AS t2
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+    b AS (SELECT doc_id, max(c) AS top2_cnt FROM (
+            SELECT doc_id, tok || ' ' || t1 AS g2, count(*) AS c
+            FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+    t AS (SELECT doc_id, sum(c) AS dup3_occ FROM (
+            SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g3, count(*) AS c
+            FROM g WHERE t2 IS NOT NULL GROUP BY 1, 2) WHERE c > 1 GROUP BY 1),
+    s AS (
+      SELECT n.doc_id, n.n_tokens,
+             CAST(coalesce(b.top2_cnt, 0) * 2 AS DOUBLE) / n.n_tokens AS top2_frac,
+             least(CAST(coalesce(t.dup3_occ, 0) * 3 AS DOUBLE) / n.n_tokens, 1.0)
+               AS dup3_frac
+      FROM n LEFT JOIN b ON n.doc_id = b.doc_id
+             LEFT JOIN t ON n.doc_id = t.doc_id)
+    SELECT doc_id, n_tokens, top2_frac, dup3_frac,
+           CASE WHEN n_tokens BETWEEN 10 AND 1000
+                 AND top2_frac <= 0.20 AND dup3_frac <= 0.30
+                THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition signals + rule filter (Rae et al. 2021
+    §A.1.1 analogues over whitespace tokens): top-bigram coverage and
+    duplicated-trigram fraction, thresholded into a keep flag.  Pure
+    window + groupBy — one exchange on doc_id."""
+    from reden_spark.operators.quality import gopher_keep, repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_keep(repetition_signals(docs))
+
+
+@query(
+    "shingle_dedup",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    g AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1,
+             lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS shingle
+      FROM g WHERE t3 IS NOT NULL),
+    own AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN s.doc_id > o.first_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_seen
+      FROM sh s JOIN own o ON s.shingle = o.shingle GROUP BY 1),
+    r AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(coalesce(p.n_seen, 0) AS BIGINT) AS n_seen,
+             CASE WHEN p.n_shingles IS NULL OR p.n_shingles = 0 THEN 1.0
+                  ELSE 1.0 - CAST(p.n_seen AS DOUBLE) / p.n_shingles
+             END AS novel_frac
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+    SELECT doc_id, n_shingles, n_seen, novel_frac,
+           CASE WHEN novel_frac >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM r
+    """,
+)
+def q_shingle_dedup(spark, sf_dir):
+    """Keep-first-occurrence exact-substring dedup at 4-token-shingle
+    granularity (Lee et al. 2021 ExactSubstr): shingle ownership by min
+    doc_id, per-doc novelty fraction + keep flag.  Same scale shape as
+    exact hash dedup — one groupBy on the shingle key, equi-join back."""
+    from reden_spark.operators.quality import shingle_dedup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return shingle_dedup_stats(docs, n=4)
+
+
+@query(
+    "pii_scrub",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.1 tel 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text2
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text2,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text2,
+             '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (C4-style cleanup): email / IPv4 / phone-shaped
+    patterns replaced with typed placeholders + per-class counts.  The
+    synthetic PII is derived deterministically from doc_id in BOTH
+    engines (the corpus text itself is digit-free), so the scrub is
+    exercised on every row.  Native regexp_replace — codegen, no UDF."""
+    from reden_spark.operators import quality as Q
+
+    docs = _read(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 tel 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text2"),
+    )
+    return Q.pii_scrub(synth, text_col="text2", out_col="scrubbed").select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed"
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank — the SQL twin of
+    operators/centrality_alt.pagerank_scores.  The teleport term is
+    written as (1.0 - 0.85) so both engines compute the same
+    floating subtraction (the literal 0.15 is a DIFFERENT double)."""
+    parts = [
+        "WITH", _CTX_GRAPH_SQL, ",",
+        """deg AS (SELECT context_id, src AS vertex, count(*) AS deg
+               FROM und GROUP BY 1, 2),
+    nn AS (SELECT context_id, count(*) AS n FROM deg GROUP BY 1),
+    v AS (SELECT d.context_id, d.vertex, d.deg, nn.n
+          FROM deg d JOIN nn ON d.context_id = nn.context_id),
+    x0 AS (SELECT context_id, vertex, 1.0 / n AS score FROM v)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT u.context_id, u.src AS vertex, sum(x.score / d.deg) AS inflow
+        FROM und u
+        JOIN x{i - 1} x ON u.context_id = x.context_id AND u.dst = x.vertex
+        JOIN deg d ON d.context_id = x.context_id AND d.vertex = x.vertex
+        GROUP BY 1, 2)
+    , x{i} AS (
+        SELECT v.context_id, v.vertex,
+               (1.0 - {damping}) / v.n
+                 + {damping} * coalesce(c.inflow, 0.0) AS score
+        FROM v LEFT JOIN c{i} c
+          ON v.context_id = c.context_id AND v.vertex = c.vertex)""")
+    parts.append(
+        f"SELECT context_id, vertex, round(score, 9) AS score FROM x{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+@query("pagerank_centrality", _pagerank_oracle_sql(6))
+def q_pagerank_centrality(spark, sf_dir):
+    """PageRank on the shared per-context graph (fourth
+    nameCentralityMeasure entry; see centrality_alt.pagerank_scores) —
+    driver oracle = unrolled fixed-iteration SQL, scores rounded to 1e-9
+    on both sides; exact values also asserted vs a numpy oracle in
+    tests/test_centrality_alt.py."""
+    from reden_spark.operators.centrality_alt import pagerank_scores
+
+    return pagerank_scores(_ctx_edges(spark, sf_dir), n_iter=6).select(
+        "context_id", "vertex", F.round(F.col("score"), 9).alias("score")
+    )

@@ -200,10 +200,62 @@ def betweenness_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     )
 
 
+def pagerank_scores(
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(ctx, vertex, score): PageRank on the undirected per-context graph
+    (each edge contributes both directions, so out-degree = degree and no
+    vertex dangles).  Uniform 1/n start per context; per round
+
+        pr(v) = (1-d)/n + d · Σ_{u∈N(v)} pr(u)/deg(u)
+
+    The natural fourth entry in the reference's ``nameCentralityMeasure``
+    config family (CentralityHandler.java:137-152 covers degree /
+    betweenness / closeness / eigenvector; PageRank is the standard next
+    measure in the same JGraphT-SNA lineage).  Same loop shape as
+    `eigenvector_scores`: every join/agg keyed on (ctx, vertex), one
+    reused partitioning, bounded rounds."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy(*CTX, F.col("src").alias("vertex")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    n_ctx = deg.groupBy(*CTX).agg(F.count("*").cast("long").alias("n"))
+    verts = deg.join(n_ctx, CTX).localCheckpoint(eager=True)
+    x = verts.select(*CTX, "vertex", (F.lit(1.0) / F.col("n")).alias("score"))
+    for i in range(n_iter):
+        contrib = (
+            und.join(
+                x.join(deg, [*CTX, "vertex"]).select(
+                    *CTX,
+                    F.col("vertex").alias("dst"),
+                    (F.col("score") / F.col("deg")).alias("share"),
+                ),
+                [*CTX, "dst"],
+            )
+            .groupBy(*CTX, F.col("src").alias("vertex"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        x = verts.join(contrib, [*CTX, "vertex"], "left").select(
+            *CTX,
+            "vertex",
+            (
+                (1.0 - damping) / F.col("n")
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+    return x
+
+
 MEASURES = {
     "eigenvector": eigenvector_scores,
     "closeness": closeness_scores,
     "betweenness": betweenness_scores,
+    "pagerank": pagerank_scores,
 }
 
 

@@ -1,0 +1,207 @@
+"""Training-data quality operators over the ``documents`` table:
+Gopher-style repetition signals + rule filter, corpus-level duplicate-
+shingle detection (keep-first-occurrence exact substring dedup), and PII
+scrubbing — the rule-filter family published in C4 (Raffel et al. 2020),
+Gopher (Rae et al. 2021 §A.1.1) and "Deduplicating Training Data Makes
+Language Models Better" (Lee et al. 2021, ExactSubstr).
+
+All pure DataFrame programs — explode/window/groupBy, no Python UDFs —
+so they run JVM-side and reproduce bit-for-bit in the DuckDB oracles
+(integer-derived doubles only; see contract.py portability rules).
+
+Scale shape (100 TB): everything is keyed on (doc_id) or (shingle) —
+one hash-partitioned exchange each, map-side combinable aggregations,
+no self-joins and no driver-side state.  The global shingle table is the
+same shape as the exact-dedup hash table (operators/dedup.py) and
+shards on the shingle key; hot shingles (boilerplate) cost one skewed
+reduce group of counters, never a quadratic pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared verbatim with the contract oracles.
+TOP2_MAX = 0.20       # Gopher: top-2-gram fraction ≤ 0.20
+DUP3_MAX = 0.30       # Gopher: duplicated-3-gram fraction ≤ 0.30 (chars→tokens)
+MIN_TOKENS, MAX_TOKENS = 10, 1000
+NOVEL_MIN = 0.5       # shingle dedup: keep docs with ≥ 50% first-seen shingles
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, tok): single-space tokenization, empties dropped
+    (positions keep their original index so window leads stay aligned
+    with the oracle's generate_subscripts)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A.1.1 analogues over
+    whitespace tokens):
+
+      * ``n_tokens``
+      * ``top2_frac`` — fraction of tokens covered by the single most
+        frequent bigram (count × 2 / n_tokens); ties don't matter
+        because only the max count is used.
+      * ``dup3_frac`` — fraction of tokens inside trigrams that occur
+        more than once in the document (occurrences × 3 / n_tokens,
+        capped at 1.0).
+
+    One exchange on doc_id (the window leads), then map-side-combinable
+    groupBys on (doc_id, gram) — no joins, no collect.
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("g2"),
+        F.concat_ws(
+            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("g3"),
+        F.lead("tok", 1).over(w).isNotNull().alias("has2"),
+        F.lead("tok", 2).over(w).isNotNull().alias("has3"),
+    )
+    n_tok = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    top2 = (
+        grams.filter("has2")
+        .groupBy("doc_id", "g2")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2_cnt"))
+    )
+    dup3 = (
+        grams.filter("has3")
+        .groupBy("doc_id", "g3")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup3_occ"))
+    )
+    out = (
+        n_tok.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2 / F.col("n_tokens")).alias(
+                "top2_frac"
+            ),
+            F.least(
+                F.coalesce(F.col("dup3_occ"), F.lit(0)) * 3 / F.col("n_tokens"),
+                F.lit(1.0),
+            ).alias("dup3_frac"),
+        )
+    )
+    return out
+
+
+def gopher_keep(signals: DataFrame) -> DataFrame:
+    """Rule filter over `repetition_signals` output: token-count band +
+    both repetition caps.  ``keep`` emitted as INT (0/1) for
+    engine-portable hashing."""
+    return signals.withColumn(
+        "keep",
+        (
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("top2_frac") <= TOP2_MAX)
+            & (F.col("dup3_frac") <= DUP3_MAX)
+        ).cast("int"),
+    )
+
+
+def shingle_dedup_stats(
+    docs: DataFrame, n: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first-occurrence exact-substring dedup (Lee et al. 2021
+    ExactSubstr, token-shingle granularity): for every distinct n-token
+    shingle, the document with the smallest doc_id owns it; later
+    documents count it as ``seen``.  Per doc:
+
+      (doc_id, n_shingles, n_seen, novel_frac, keep)
+
+    with ``novel_frac = 1 − n_seen/n_shingles`` and
+    ``keep = novel_frac ≥ NOVEL_MIN`` (as INT).  Docs shorter than n
+    tokens have no shingles and are kept (vacuously novel).
+
+    Scale: distinct (doc, shingle) pairs → one groupBy on the shingle key
+    (min doc_id; map-side combinable) → broadcast-free equi-join back on
+    the same key.  Identical shape to exact hash-dedup; a boilerplate
+    shingle shared by millions of docs is one reduce group, not a pair
+    explosion.
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("doc_id") > F.col("first_doc")).cast("long")).alias("n_seen"),
+        )
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    out = (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(F.col("n_shingles").isNull() | (F.col("n_shingles") == 0), F.lit(1.0))
+            .otherwise(1.0 - F.col("n_seen") / F.col("n_shingles"))
+            .alias("novel_frac"),
+        )
+        .withColumn("keep", (F.col("novel_frac") >= NOVEL_MIN).cast("int"))
+    )
+    return out
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers with typed
+    placeholders and count each class (C4-style cleanup).  Pure
+    regexp_replace / regexp_extract_all — whole-stage codegen, and the
+    patterns are RE2-compatible so the oracle reproduces them.
+    Replacement order (email → ip → phone) matters only if a pattern
+    could match inside another's replacement; the placeholders contain
+    no digits or '@', so the passes commute-safely."""
+    c = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))  # noqa: E731
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_email": n(EMAIL_RE).cast("long"),
+            "n_ip": n(IPV4_RE).cast("long"),
+            "n_phone": n(PHONE_RE).cast("long"),
+            out_col: scrubbed,
+        }
+    )

@@ -108,8 +108,8 @@ def run_pipeline(
     ``centrality`` mirrors the reference's ``nameCentralityMeasure``
     config switch (CentralityHandler.java:137-152): ``degree`` (default —
     the hash-only fast path) or ``eigenvector`` | ``closeness`` |
-    ``betweenness`` (operators/centrality_alt), which score the pruned
-    string-edge graph per context.
+    ``betweenness`` | ``pagerank`` (operators/centrality_alt), which
+    score the pruned string-edge graph per context.
 
     ``precomputed_canon``: the sameAs canonical map (uri, canon) depends
     only on the authority ``triples`` + ``dictionary`` — it is

@@ -169,7 +169,7 @@ def test_centrality_measure_knob(spark, tiny_corpus):
         (r.path, r.context_id, r.mention_idx, r.decision)
         for r in base.annotations.collect()
     }
-    for measure in ("eigenvector", "betweenness"):
+    for measure in ("eigenvector", "betweenness", "pagerank"):
         alt = rp(docs, dico, triples, rels, persist=False, centrality=measure)
         keys = {
             (r.path, r.context_id, r.mention_idx, r.decision)
@@ -204,7 +204,7 @@ def test_centrality_measure_knob(spark, tiny_corpus):
                 measure, k, best[k], s,
             )
     with pytest.raises(ValueError, match="unknown centrality measure"):
-        rp(docs, dico, triples, rels, persist=False, centrality="pagerank").scored.count()
+        rp(docs, dico, triples, rels, persist=False, centrality="katz").scored.count()
 
 
 def test_precomputed_canon_parity(spark, tiny_corpus):

@@ -1,0 +1,167 @@
+"""Training-data quality operators (operators/quality.py) vs brute-force
+Python oracles on hand-built documents, plus PageRank vs a numpy oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from reden_spark.operators.quality import (
+    DUP3_MAX,
+    NOVEL_MIN,
+    TOP2_MAX,
+    gopher_keep,
+    pii_scrub,
+    repetition_signals,
+    shingle_dedup_stats,
+)
+
+DOCS = [
+    # (doc_id, text)
+    (0, "a b c d e f g h i j k l"),                      # clean, 12 tokens: keep
+    (1, "spam ham " * 20 + "spam ham"),                  # one bigram dominates
+    (2, "x y z " * 10 + "x y z"),                        # duplicated trigram soup
+    (3, "one two three four five six seven eight nine"), # 9 tokens: too short
+    (4, ""),                                             # empty
+    (5, "a b c d e f g h i j k l"),                      # exact dup of doc 0
+    (6, "a b c d e f z z2 z3 z4 z5 z6"),                 # half-shares doc 0's prefix
+]
+
+
+def _toks(text):
+    return [t for t in text.split(" ") if t]
+
+
+def _py_signals(text):
+    toks = _toks(text)
+    n = len(toks)
+    if n == 0:
+        return None
+    bi = Counter(zip(toks, toks[1:]))
+    tri = Counter(zip(toks, toks[1:], toks[2:]))
+    top2 = (max(bi.values()) * 2 / n) if bi else 0.0
+    dup3 = min(sum(c for c in tri.values() if c > 1) * 3 / n, 1.0) if tri else 0.0
+    return n, top2, dup3
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_repetition_signals_match_bruteforce(spark, docs_df):
+    got = {r.doc_id: r for r in gopher_keep(repetition_signals(docs_df)).collect()}
+    for doc_id, text in DOCS:
+        want = _py_signals(text)
+        if want is None:
+            assert doc_id not in got  # token-less docs have no signals
+            continue
+        n, top2, dup3 = want
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.top2_frac == pytest.approx(top2, abs=1e-12)
+        assert r.dup3_frac == pytest.approx(dup3, abs=1e-12)
+        want_keep = int(10 <= n <= 1000 and top2 <= TOP2_MAX and dup3 <= DUP3_MAX)
+        assert r.keep == want_keep, (doc_id, r)
+    # the designed outcomes actually exercise both branches
+    assert got[0].keep == 1
+    assert got[1].keep == 0 and got[1].top2_frac > TOP2_MAX
+    assert got[2].keep == 0 and got[2].dup3_frac > DUP3_MAX
+    assert got[3].keep == 0  # length band
+
+
+def test_shingle_dedup_keep_first(spark, docs_df):
+    got = {r.doc_id: r for r in shingle_dedup_stats(docs_df, n=4).collect()}
+    # brute-force ownership: min doc_id per distinct 4-shingle
+    shingles = {}
+    per_doc = {}
+    for doc_id, text in DOCS:
+        toks = _toks(text)
+        ss = {tuple(toks[i : i + 4]) for i in range(len(toks) - 3)}
+        per_doc[doc_id] = ss
+        for s in ss:
+            shingles[s] = min(shingles.get(s, doc_id), doc_id)
+    for doc_id, ss in per_doc.items():
+        r = got[doc_id]
+        n_seen = sum(1 for s in ss if shingles[s] < doc_id)
+        assert r.n_shingles == len(ss)
+        assert r.n_seen == n_seen
+        novel = 1.0 if not ss else 1.0 - n_seen / len(ss)
+        assert r.novel_frac == pytest.approx(novel, abs=1e-12)
+        assert r.keep == int(novel >= NOVEL_MIN)
+    # designed outcomes: original kept, exact dup dropped, empty kept,
+    # half-overlap doc sits at the boundary (9 shingles, 3 seen -> keep)
+    assert got[0].keep == 1 and got[5].keep == 0
+    assert got[4].keep == 1 and got[4].n_shingles == 0
+    assert got[6].n_seen > 0 and got[6].keep == 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "reach me at jo.doe+x@corp.example.org or 192.168.10.1 tel 555-0199"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.co c@d.info one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[0].n_email == 1 and got[0].n_ip == 1 and got[0].n_phone == 1
+    assert got[0].scrubbed == "reach me at <EMAIL> or <IP> tel <PHONE>"
+    assert got[1].n_email == got[1].n_ip == got[1].n_phone == 0
+    assert got[1].scrubbed == "no pii here at all"
+    assert got[2].n_email == 2 and got[2].n_ip == 1
+    assert got[2].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+# --- PageRank vs numpy ------------------------------------------------------
+
+PR_EDGES = {
+    0: [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")],
+    1: [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")],
+}
+
+
+def _numpy_pagerank(pairs, n_iter=20, d=0.85):
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = np.zeros((n, n))
+    for s, t in pairs:
+        adj[idx[s], idx[t]] = adj[idx[t], idx[s]] = 1.0
+    deg = adj.sum(axis=1)
+    x = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        x = (1.0 - d) / n + d * (adj @ (x / deg))
+    return {v: x[idx[v]] for v in verts}
+
+
+def test_pagerank_matches_numpy(spark):
+    from reden_spark.operators.centrality_alt import pagerank_scores
+
+    rows = [
+        (7, ctx, s, t, "p", 1.0)
+        for ctx, es in PR_EDGES.items()
+        for s, t in es
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "doc_key long, context_id int, src string, dst string,"
+        " label string, weight double",
+    )
+    got = {
+        (r.context_id, r.vertex): r.score
+        for r in pagerank_scores(edges, n_iter=20).collect()
+    }
+    for ctx, pairs in PR_EDGES.items():
+        want = _numpy_pagerank(pairs)
+        total = 0.0
+        for v, s in want.items():
+            assert got[(ctx, v)] == pytest.approx(s, abs=1e-9), (ctx, v)
+            total += got[(ctx, v)]
+        assert total == pytest.approx(1.0, abs=1e-6)  # PR is a distribution
+    # hub b dominates ctx 0; triangle-center z dominates ctx 1
+    c0 = {v: s for (c, v), s in got.items() if c == 0}
+    c1 = {v: s for (c, v), s in got.items() if c == 1}
+    assert max(c0, key=c0.get) == "b"
+    assert max(c1, key=c1.get) == "z"
