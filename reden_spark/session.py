@@ -51,6 +51,10 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``).
     Shuffle partitions follow the core count so the local[8] vs local[32]
     scaling benchmark gives each level a fair plan.
+
+    ``master="submit"`` sets NO master at all: the session inherits
+    whatever ``spark-submit --master`` (and its executor/deploy-mode
+    flags) provided — the cluster runline (tools/submit_nel.py).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -69,7 +73,9 @@ def get_spark(
         conf["spark.sql.shuffle.partitions"] = env_parts
     if extra_conf:
         conf.update(extra_conf)
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        builder = builder.master(master)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
