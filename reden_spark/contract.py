@@ -2182,3 +2182,60 @@ def q_pagerank_centrality(spark, sf_dir):
     return pagerank_scores(_ctx_edges(spark, sf_dir), n_iter=6).select(
         "context_id", "vertex", F.round(F.col("score"), 9).alias("score")
     )
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+    tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+    cand AS (
+      SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS rn
+      FROM tdf, st WHERE df >= 2),
+    q AS (SELECT CAST(rn // 2 AS BIGINT) AS query_id, term
+          FROM cand WHERE rn < 10),
+    s AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / st.avgdl))) AS s
+      FROM q JOIN post p ON q.term = p.term
+             JOIN tdf t ON p.term = t.term, st),
+    agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+            FROM s GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+    WHERE rank <= 5
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25-ranked keyword search (the scored half of the reference's
+    Lucene surface, indexing/Indexing.java + the NEL candidate lookup):
+    5 deterministic two-term queries over the 10 rarest df>=2 terms,
+    top-5 docs each, Lucene-classic BM25 (k1=1.2, b=0.75).
+    Scores rounded to 1e-6 on both sides (ln() last-ulp portability);
+    exact values also asserted vs a pure-Python oracle in
+    tests/test_search.py."""
+    from reden_spark.operators.search import bm25_index, bm25_search
+
+    docs = _read(spark, sf_dir, "documents")
+    index = bm25_index(docs)
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    queries = (
+        index.term_df.filter(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 10)
+        .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
+    )
+    return bm25_search(index, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

@@ -1,0 +1,99 @@
+"""BM25-ranked keyword search over a document table — the scored half of
+the reference's Lucene surface (the exact-match half is the broadcast
+candidate join, operators/candidates.py; the reference builds a Lucene
+index in indexing/Indexing.java and queries it with ranked keyword
+searches in the NEL candidate lookup).
+
+Spark-first design: the "index" is three tiny derived tables (term
+frequencies, document frequencies, corpus stats) built with plain
+groupBys — at 100 TB each is one map-side-combinable exchange keyed on
+(doc, term) / (term).  Search is an equi-join of the query terms against
+the postings on the term key (broadcastable: query sets are small), a
+per-(query, doc) sum, and a bounded top-k window.  No UDFs, no driver
+state; scoring runs under whole-stage codegen.
+
+Scoring (Lucene classic BM25, k1=1.2, b=0.75):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+All inputs to the floating expression are exact integer-derived values,
+so the DuckDB oracle reproduces the arithmetic; final scores are rounded
+(1e-6) on both sides to absorb libm ln() last-ulp differences.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+class BM25Index(NamedTuple):
+    postings: DataFrame   # (doc_id, term, tf, dl)
+    term_df: DataFrame    # (term, df)
+    stats: DataFrame      # (n_docs, avgdl) — single row
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> BM25Index:
+    """Build the three index tables.  ``dl`` is the whitespace token
+    count; docs with zero tokens contribute to N but have no postings."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    postings = postings.join(dl, "doc_id")
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).crossJoin(dl.agg((F.sum("dl") / F.count("*")).alias("avgdl")))
+    return BM25Index(postings, term_df, stats)
+
+
+def bm25_search(index: BM25Index, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k documents per query.  ``queries`` is (query_id, term) —
+    multi-term queries appear as several rows and their per-term scores
+    sum.  Deterministic total order: score desc, doc_id asc.
+
+    The query side is tiny by construction (a keyword search), so Spark
+    broadcasts it into the postings join; the only exchange is the
+    per-(query_id, doc_id) sum, keyed exactly like the candidate join."""
+    p = (
+        F.broadcast(queries)
+        .join(index.postings, "term")
+        .join(F.broadcast(index.term_df), "term")
+        .crossJoin(F.broadcast(index.stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf") * (K1 + 1)
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        p.select("query_id", "doc_id", (idf * tf_norm).alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1,0 +1,91 @@
+"""BM25 keyword search (operators/search.py) vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from reden_spark.operators.search import B, K1, bm25_index, bm25_search
+
+DOCS = [
+    (0, "spark shuffle join spark spark"),
+    (1, "join join window agg"),
+    (2, "spark window"),
+    (3, "vector stream stream"),
+    (4, ""),  # counts toward N, no postings
+]
+
+
+def _py_bm25(queries):
+    """queries: {query_id: [terms]} → {(query_id, doc_id): score}"""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in DOCS}
+    n = len(DOCS)
+    dls = {d: len(ts) for d, ts in toks.items() if ts}
+    avgdl = sum(dls.values()) / len(dls)
+    tfs = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter(t for d in tfs for t in tfs[d])
+    out = {}
+    for qid, terms in queries.items():
+        for d, tf in tfs.items():
+            s = 0.0
+            for t in terms:
+                if tf[t] == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf[t] * (K1 + 1)) / (
+                    tf[t] + K1 * (1 - B + B * dls[d] / avgdl)
+                )
+            if s > 0:
+                out[(qid, d)] = round(s, 6)
+    return out
+
+
+@pytest.fixture()
+def index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return bm25_index(docs)
+
+
+def test_bm25_matches_python_oracle(spark, index):
+    queries = {0: ["spark"], 1: ["join", "window"], 2: ["stream", "agg"]}
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_search(index, qdf, k=5).collect()
+    }
+    want = _py_bm25(queries)
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert got[key][0] == pytest.approx(s, abs=1e-9), key
+    # ranking: score desc, doc_id asc.  q0: doc 0 has tf=3 of 'spark'
+    assert got[(0, 0)][1] == 1
+    # q1 'join'+'window': doc 1 matches both terms with tf(join)=2 → top
+    assert got[(1, 1)][1] == 1
+    # deterministic tie-break is by doc_id within equal scores
+    ranks = sorted((r, d) for (q, d), (_, r) in got.items() if q == 1)
+    assert [d for _, d in ranks] == sorted(
+        {d for (q, d) in want if q == 1},
+        key=lambda d: (-want[(1, d)], d),
+    )
+
+
+def test_bm25_topk_cap(spark, index):
+    # a term matching 3 docs, k=2 → exactly 2 rows
+    qdf = spark.createDataFrame([(0, "spark")], "query_id long, term string")
+    rows = bm25_search(index, qdf, k=2).collect()
+    assert len(rows) == 2
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_bm25_plan_broadcasts_queries(spark, index):
+    qdf = spark.createDataFrame([(0, "spark")], "query_id long, term string")
+    explained = (
+        bm25_search(index, qdf)._jdf.queryExecution().executedPlan().toString()
+    )  # noqa: SLF001 — plan-shape assertion
+    assert "BroadcastHashJoin" in explained
+    assert "CartesianProduct" not in explained
