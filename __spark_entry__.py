@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 53 queries, all 53 with DuckDB
+SURVEY.md §2 (reden_spark/contract.py): 57 queries, all 57 with DuckDB
 oracles (the two iterative centralities use unrolled/recursive SQL with
 1e-9-rounded scores; exact-value numpy/BFS oracles additionally live in
 tests/test_centrality_alt.py).

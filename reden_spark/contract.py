@@ -2239,3 +2239,144 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(index, queries, k=5).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+# ---------------------------------------------------------------------------
+# Corpus preparation (operators/corpus_prep.py, operators/dedup.dedup_clusters)
+
+# The dedup_minhash_lsh pair set, as a reusable CTE body (identical text to
+# that query's oracle — the cluster oracle builds its reachability on it).
+_LSH_PAIRS_SQL = f"""
+    toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL})),
+    h AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
+      FROM h GROUP BY doc_id),
+    bands0 AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_'
+               || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band, 0 AS band_id
+      FROM sig
+      UNION ALL
+      SELECT doc_id,
+             CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_'
+               || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR), 1
+      FROM sig),
+    bands AS (
+      SELECT doc_id, band, band_id FROM (
+        SELECT doc_id, band, band_id,
+               row_number() OVER (PARTITION BY band_id, band ORDER BY doc_id) AS rn
+        FROM bands0) WHERE rn <= 200),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id)
+"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    e AS (SELECT printf('d%09d', a) AS src, printf('d%09d', b) AS dst FROM pairs),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+    docs AS (SELECT printf('d%09d', doc_id) AS node FROM documents)
+    SELECT d.node, coalesce(c.comp, d.node) AS cluster,
+           CAST(coalesce(c.comp, d.node) = d.node AS INTEGER) AS keep
+    FROM docs d LEFT JOIN comp c ON d.node = c.node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (operators/dedup.dedup_clusters): the LSH pair
+    set collapsed to transitive groups by the engine's own connected-
+    components operator, keep = lexicographic-min member — pairs alone
+    leave A~B~C as two survivors; real dedup needs one.  Oracle: the
+    identical pair SQL + recursive-CTE reachability."""
+    from reden_spark.operators.dedup import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clusters(docs, bucket_cap=200)
+
+
+@query(
+    "train_split",
+    """
+    SELECT doc_id, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'validation'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (operators/corpus_prep.train_split): md5-prefix bucketing — stable
+    under re-runs and corpus growth, zero shuffles."""
+    from reden_spark.operators.corpus_prep import train_split
+
+    return train_split(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM d)
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           CAST(tok_offset // 256 AS BIGINT) AS bin FROM o
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/corpus_prep.pack_sequences): docs laid
+    out in id order within a hash shard, cut into 256-token bins by the
+    exclusive running token count — per-shard windows, no global sort."""
+    from reden_spark.operators.corpus_prep import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    led AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS shingle
+      FROM led WHERE t4 IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS contamination
+    FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus_prep.contamination_check):
+    per-document fraction of distinct word 5-grams found in the benchmark
+    set (here: every 97th document) — broadcast benchmark shingles, one
+    corpus-side exchange."""
+    from reden_spark.operators.corpus_prep import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, bench)

@@ -147,8 +147,27 @@ def synthetic_kb(spark: SparkSession, vocab: DataFrame):
     return dictionary, triples, rels
 
 
+def flagship_canon(spark: SparkSession, sf_dir: str):
+    """The durable S6 input: the sameAs canonical map of the synthetic
+    authority KB (stand-in for an external authority dump).  It depends
+    only on the dump — not on `replicate` or any per-corpus stage — so a
+    deployment computes it once per dump version (plans/resume.py stage
+    ``s6_canon``) and every corpus run reads it back.  Materialized here
+    so benchmark runs that pass it via ``precomputed_canon`` time the
+    corpus-dependent pipeline the way that deployment would."""
+    from reden_spark.operators.sameas import canonical_map
+
+    raw = documents_from_testdata(spark, sf_dir, replicate=1)
+    vocab = _vocab(raw).localCheckpoint(eager=True)
+    dictionary, triples, _rels = synthetic_kb(spark, vocab)
+    return canonical_map(triples, dictionary).localCheckpoint(eager=True)
+
+
 def flagship_pipeline(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    precomputed_canon=None,
 ) -> PipelineResult:
     raw = documents_from_testdata(spark, sf_dir, replicate=replicate)
     # vocab is ~dozens of rows but its lineage scans every document —
@@ -163,10 +182,22 @@ def flagship_pipeline(
     # far cheaper than a second explode + broadcast join + reassembly agg.
     docs = teiify(raw, vocab).localCheckpoint(eager=True)
     dictionary, triples, rels = synthetic_kb(spark, vocab)
-    return run_pipeline(docs, dictionary, triples, rels, tag_specs=("persName",))
+    return run_pipeline(
+        docs,
+        dictionary,
+        triples,
+        rels,
+        tag_specs=("persName",),
+        precomputed_canon=precomputed_canon,
+    )
 
 
 def flagship_kg_triples(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    precomputed_canon=None,
 ) -> DataFrame:
-    return flagship_pipeline(spark, sf_dir, replicate=replicate).kg_triples
+    return flagship_pipeline(
+        spark, sf_dir, replicate=replicate, precomputed_canon=precomputed_canon
+    ).kg_triples

@@ -1,0 +1,150 @@
+"""Training-corpus preparation operators: deterministic train/val/test
+splitting, sequence packing, and benchmark-contamination checks — the
+assembly half of an LLM training-data pipeline (the filtering half lives
+in operators/quality.py and operators/dedup.py).
+
+All pure DataFrame programs with engine-portable arithmetic (md5 hex,
+integer window sums, exact int→double divisions) so the DuckDB oracles
+in contract.py verify values bit-for-bit.
+
+Scale shape (100 TB):
+
+  * ``train_split`` is a pure per-row projection — zero shuffles, and
+    the assignment is a content-independent hash of the document id, so
+    it is stable under re-runs, resumes, and corpus growth (a new doc
+    never moves an old doc between splits — the property random splits
+    lack).
+  * ``pack_sequences`` windows WITHIN a shard (`id % n_shards`), never
+    globally: one hash exchange on the shard key, each shard's running
+    sum is a linear scan.  A global-order cumulative sum would serialize
+    on a single partition; sharded packing is what production pipelines
+    do (each shard becomes one output file sequence).
+  * ``contamination_check`` broadcasts the benchmark shingle set (the
+    eval suites are tiny vs the corpus) — the corpus side pays one
+    exchange on doc_id for the shingle window and aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared verbatim with the contract oracles.
+TEST_HEX = "0d"   # md5-prefix < 0x0d → test  (13/256 ≈ 5.1%)
+VAL_HEX = "1a"    # md5-prefix < 0x1a → validation (next 13/256)
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+SHINGLE_N = 5
+
+
+def train_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    test_hex: str = TEST_HEX,
+    val_hex: str = VAL_HEX,
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic hash split on
+    md5('split:' || id).  The first two hex chars give 256 buckets;
+    lexicographic comparison of hex strings is a total order, so the
+    fractions are exact and identical in every engine.  No shuffle."""
+    h = F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string")))
+    b = F.substring(h, 1, 2)
+    split = (
+        F.when(b < F.lit(test_hex), F.lit("test"))
+        .when(b < F.lit(val_hex), F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"), b.alias("bucket"), split.alias("split")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, tok_offset, bin): greedy sequence
+    packing — documents are laid out in id order within a hash shard and
+    cut into ``budget``-token bins by the exclusive running token count.
+    Each shard's packing is independent (one exchange on the shard key);
+    there is no global order, so the job scales with shard count."""
+    from reden_spark.functions.text import token_count
+
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+        )
+        .withColumn("bin", F.expr(f"tok_offset div {int(budget)}"))
+        .select("doc_id", "shard", "n_tokens", "tok_offset", "bin")
+    )
+
+
+def word_shingles(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — the contamination unit."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = []
+    for i in range(1, n):
+        toks = toks.withColumn(f"t{i}", F.lead("tok", i).over(w))
+        lead_cols.append(f"t{i}")
+    return (
+        toks.filter(F.col(lead_cols[-1]).isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", *lead_cols).alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_check(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_contaminated, contamination): per-document
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark set — the decontamination test run before training on any
+    corpus that might contain eval data.  The benchmark shingle universe
+    is broadcast (eval suites are MBs against a 100 TB corpus); corpus
+    docs that share no shingle never shuffle a join row (left-join miss
+    stays local to the broadcast probe)."""
+    doc_sh = word_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    bench_sh = (
+        word_shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hit = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("contaminated", F.lit(1))),
+        "shingle",
+        "left",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("contaminated"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("contamination"),
+    )

@@ -107,6 +107,35 @@ def minhash_lsh_pairs(documents: DataFrame, **kwargs) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(token_set(documents)), **kwargs)
 
 
+def dedup_clusters(documents: DataFrame, id_col: str = "doc_id", **lsh_kwargs) -> DataFrame:
+    """(node, cluster, keep): near-duplicate CLUSTERS — the step real
+    dedup pipelines run after pair generation, because transitive dups
+    (A~B, B~C) must collapse to ONE representative, not two.
+
+    Composes the engine's own operators: MinHash+LSH candidate pairs →
+    connected components (operators/sameas.py — the same CC that powers
+    owl:sameAs canonicalization) → keep = lexicographic-min member.
+    Doc ids are zero-padded so the CC's lexicographic min is the numeric
+    min.  Singletons (never in any pair) keep themselves via the left
+    join.  Scale: the CC runs on the PAIR graph (near-dup docs only,
+    ≪ corpus); the final join is a plain hash join on the node key."""
+    from reden_spark.operators.sameas import connected_components
+
+    pad = lambda c: F.format_string("d%09d", c)  # noqa: E731
+    pairs = minhash_lsh_pairs(documents, **lsh_kwargs)
+    edges = pairs.select(pad(F.col("a")).alias("src"), pad(F.col("b")).alias("dst"))
+    comp = connected_components(edges)
+    return (
+        documents.select(pad(F.col(id_col)).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("comp", "node").alias("cluster"),
+            (F.coalesce("comp", "node") == F.col("node")).cast("int").alias("keep"),
+        )
+    )
+
+
 def jaccard_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filter candidate pairs (a < b): blocking join restricted to
     each doc's ``n - ceil(t*n) + 1`` rarest tokens under the global

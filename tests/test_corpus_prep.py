@@ -1,0 +1,105 @@
+"""Corpus-preparation operators (operators/corpus_prep.py,
+operators/dedup.dedup_clusters) vs brute-force Python oracles on
+hand-built documents."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from reden_spark.operators.corpus_prep import (
+    contamination_check,
+    pack_sequences,
+    train_split,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 0
+    (2, "alpha beta gamma delta epsilon XXX YYY ZZZ"),      # shares 0's 5-prefix
+    (3, "one two three four five six seven"),
+    (4, "one two three four"),                              # < 5 tokens: no shingle
+    (5, "lone wolf document with completely different words here"),
+    (97, "alpha beta gamma delta epsilon zeta eta theta"),  # benchmark twin of 0
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_train_split_matches_md5_and_is_stable(spark, docs_df):
+    rows = {r.doc_id: (r.bucket, r.split) for r in train_split(docs_df).collect()}
+    assert len(rows) == len(DOCS)
+    for doc_id, _ in DOCS:
+        b = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:2]
+        want = "test" if b < "0d" else "validation" if b < "1a" else "train"
+        assert rows[doc_id] == (b, want)
+    # growing the corpus must not move existing docs between splits
+    grown = spark.createDataFrame(
+        DOCS + [(1000 + i, "x") for i in range(10)], "doc_id long, text string"
+    )
+    rows2 = {r.doc_id: (r.bucket, r.split) for r in train_split(grown).collect()}
+    assert all(rows2[d] == rows[d] for d, _ in DOCS)
+
+
+def test_pack_sequences_exclusive_cumsum_per_shard(spark, docs_df):
+    got = {r.doc_id: r for r in pack_sequences(docs_df, budget=10, n_shards=2).collect()}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in DOCS:
+        by_shard.setdefault(doc_id % 2, []).append(
+            (doc_id, len([t for t in text.split(" ") if t]))
+        )
+    for shard, items in by_shard.items():
+        run = 0
+        for doc_id, n in sorted(items):
+            r = got[doc_id]
+            assert (r.shard, r.n_tokens, r.tok_offset, r.bin) == (
+                shard, n, run, run // 10
+            )
+            run += n
+
+
+def test_word_shingles_and_contamination(spark, docs_df):
+    sh = word_shingles(docs_df, n=5).collect()
+    # doc 4 has 4 tokens -> zero shingles; doc 0 has 8 tokens -> 4 shingles
+    per_doc = {}
+    for r in sh:
+        per_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 4 not in per_doc
+    assert len(per_doc[0]) == 4
+    assert per_doc[0] == per_doc[1] == per_doc[97]
+
+    bench = docs_df.filter("doc_id % 97 = 0")  # docs 0 and 97
+    got = {r.doc_id: r for r in contamination_check(docs_df, bench).collect()}
+    # docs 0/1/97 fully contaminated; doc 2 shares exactly 1 of its 4
+    # shingles (the alpha..epsilon prefix); docs 3/5 clean; doc 4 absent
+    assert got[0].contamination == 1.0 and got[1].contamination == 1.0
+    assert (got[2].n_shingles, got[2].n_contaminated) == (4, 1)
+    assert got[3].n_contaminated == 0 and got[5].n_contaminated == 0
+    assert 4 not in got
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    from reden_spark.operators.dedup import dedup_clusters
+
+    # A~B and B~C by construction (near-identical token sets); D unique.
+    docs = spark.createDataFrame(
+        [
+            (10, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (11, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (12, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (13, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.node: r for r in dedup_clusters(docs).collect()}
+    assert len(rows) == 4
+    assert rows["d000000010"].cluster == "d000000010"
+    assert rows["d000000011"].cluster == "d000000010"
+    assert rows["d000000012"].cluster == "d000000010"
+    assert rows["d000000013"].cluster == "d000000013"  # singleton keeps itself
+    assert [rows[k].keep for k in sorted(rows)] == [1, 0, 0, 1]

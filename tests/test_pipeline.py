@@ -233,3 +233,19 @@ def test_precomputed_canon_parity(spark, tiny_corpus):
         for r in df.collect()
     }
     assert ann_key(inline.annotations) == ann_key(reused.annotations)
+
+
+def test_flagship_precanon_parity(spark):
+    """The benchmark's SPARK_GRAFT_PRECANON path (canon as a durable
+    per-dump input, built untimed) must emit the identical KG to the
+    inline-canon flagship — same rows, not just same count."""
+    from reden_spark.flagship import flagship_canon, flagship_kg_triples
+
+    sf = "/root/testdata/sf0.001"
+    inline = flagship_kg_triples(spark, sf)
+    pre = flagship_kg_triples(
+        spark, sf, precomputed_canon=flagship_canon(spark, sf)
+    )
+    cols = ["subj", "pred", "obj", "canon_subj", "repo", "path", "commit"]
+    assert inline.select(cols).exceptAll(pre.select(cols)).isEmpty()
+    assert pre.select(cols).exceptAll(inline.select(cols)).isEmpty()
