@@ -136,6 +136,48 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+def proc_replica_at(n_procs: int, sf_dir: str, replicate: int) -> list[float]:
+    """The most cluster-faithful single-box proxy for N vs 4N EXECUTORS:
+    ``n_procs`` INDEPENDENT 1-core pinned bench processes (an executor IS
+    a process — own JVM, own shuffle dirs, no shared runtime locks), each
+    running the identical job concurrently.  The per-process wall vs a
+    solo 1-core wall measures exactly the HOST's per-process resource
+    rationing (memory bus, hypervisor scheduling) with the engine's plan
+    held constant — if this replica and the in-JVM local[4] run show the
+    same sub-linearity, the plan contributes none of it.  Returns the
+    n_procs walls (seconds)."""
+    procs = []
+    for k in range(n_procs):
+        shm = f"/dev/shm/spark-local-p{k}"
+        os.makedirs(shm, exist_ok=True)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_PRECANON="0",
+            SPARK_GRAFT_CPUS="1",
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_QUERIES="nel_pipeline",
+            SPARK_GRAFT_REPLICATE=str(replicate),
+            SPARK_GRAFT_BENCH_REPEATS="1",
+            SPARK_LOCAL_DIRS=shm,
+        )
+        cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", str(k)] + cmd
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, cwd=ROOT,
+            )
+        )
+    walls = []
+    for p in procs:
+        out, _ = p.communicate()
+        walls.append(
+            json.loads(out.strip().splitlines()[-1])["queries"]["nel_pipeline"]
+        )
+    return walls
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
@@ -151,10 +193,17 @@ def main():
     runs_lo, runs_hi = [], []
     runs_lo_pre, runs_hi_pre = [], []
     precanon = os.environ.get("SPARK_GRAFT_SCALE_PRECANON", "1") != "0"
+    proc_reps = os.environ.get("SPARK_GRAFT_SCALE_PROCS", "1") != "0"
+    proc_walls_all = []
     ctl = {k: {"lo": [], "hi": []} for k in ("cpu", "membus")}
     for _ in range(repeats):
         runs_hi.append(run_at(hi, sf_dir, replicate))
         runs_lo.append(run_at(lo, sf_dir, replicate))
+        if proc_reps:
+            # executor-process replica: hi (=4) independent pinned 1-core
+            # JVMs run the identical job concurrently — same interleave,
+            # same phases; isolates host rationing from plan scaling
+            proc_walls_all.append(proc_replica_at(hi, sf_dir, replicate))
         if precanon:
             # deployment variant: the corpus-independent canon is the
             # durable per-dump table it is at cluster scale (s6_canon),
@@ -187,6 +236,26 @@ def main():
         "sf": runs_hi[0]["sf"],
         "replicate": replicate,
     }
+    # Paired efficiencies: each repeat's hi and lo runs are ADJACENT in
+    # time, so their ratio is the drift-robust per-phase sample; the
+    # medians above can straddle phases.  Best-of-N: throttle noise is
+    # strictly one-sided (the hypervisor only ever slows a run), so the
+    # MIN wall at each level is the least-contaminated estimate.
+    wl = result["wall_low_s_all"]
+    wh = result["wall_high_s_all"]
+    result["pair_efficiencies"] = [
+        round((l / h) / (hi / lo), 3) for l, h in zip(wl, wh)
+    ]
+    result["efficiency_best_walls"] = round((min(wl) / min(wh)) / (hi / lo), 3)
+    if proc_walls_all:
+        # per-repeat: slowest of the `hi` concurrent 1-core processes vs
+        # the SAME repeat's solo 1-core wall.  1.0 = the host gives 4
+        # processes 4 full cores' resources; the pipeline's in-JVM
+        # efficiency can't exceed this no matter the plan.
+        result["proc_replica_walls_all"] = proc_walls_all
+        result["proc_replica_efficiency"] = _median(
+            [round(l / max(ws), 3) for l, ws in zip(wl, proc_walls_all)]
+        )
     if precanon:
         thr_lo_p = _median([r["triples_per_sec"] for r in runs_lo_pre])
         thr_hi_p = _median([r["triples_per_sec"] for r in runs_hi_pre])
@@ -217,6 +286,12 @@ def main():
         mb = result["host_control_membus_efficiency"]
         if mb:
             result["efficiency_vs_membus_ceiling"] = round(eff / mb, 3)
+    if proc_walls_all and result["proc_replica_efficiency"]:
+        # in-JVM scaling normalized by the executor-process ceiling:
+        # >= 1.0 means local[4] loses nothing vs 4 independent executors
+        result["efficiency_vs_proc_ceiling"] = round(
+            eff / result["proc_replica_efficiency"], 3
+        )
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result))
