@@ -1,0 +1,87 @@
+"""Streaming deduplication — the ingest-time half of the dedup family
+(operators/dedup.py is the batch half): new documents are deduplicated
+as they land, before any downstream compute is spent on them.
+
+Three shapes, all native Structured Streaming (no foreachBatch, no
+Python state):
+
+* ``exact_dedup_stream`` — keep-first exact dedup over an UNBOUNDED
+  stream: ``dropDuplicates`` on the 32-byte content hash.  The state
+  required is inherent to the semantics (the set of every content key
+  ever seen); it is stored key-only (no payload) in the state store —
+  at 100 TB that is the RocksDB state backend sharded by the key, the
+  same shape as the batch hash-agg shuffle.  Which duplicate survives
+  is arrival order (per Spark semantics), so parity with batch is on
+  the KEY SET; use ``dedup_counts_stream`` when the representative
+  must be deterministic.
+* ``dedup_counts_stream`` — the batch ``exact_dedup`` contract
+  (content_key, keep_id = min id, n_dups) as a streaming aggregate:
+  min/count are order-insensitive, so the drained stream equals the
+  batch answer ROW FOR ROW (asserted in tests/test_streaming_dedup.py).
+  Complete/update output; state is one (hash, min, count) row per key.
+* ``dedup_within_watermark`` — bounded-state variant for time-stamped
+  streams: ``dropDuplicatesWithinWatermark`` evicts keys older than
+  the delay, the right trade when duplicates cluster in time (retries,
+  crawler revisits) and the corpus is too large to hold every key.
+
+Reference: the reference engine processes one TEI file at a time with
+no streaming surface (MainNELApp.java:205-342); this is an additive
+engine capability alongside streaming/kg_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, content_key): the batch family's sha256 content key
+    (operators/dedup.exact_dedup) on a static OR streaming frame."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_key")
+    )
+
+
+def exact_dedup_stream(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep-first exact dedup over an unbounded document stream —
+    append-mode, one output row per never-before-seen content key."""
+    return content_keys(docs_stream, id_col, text_col).dropDuplicates(
+        ["content_key"]
+    )
+
+
+def dedup_counts_stream(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming twin of operators/dedup.exact_dedup: (content_key,
+    keep_id, n_dups) with min/count aggregates, so the drained stream is
+    deterministic and equals the batch result exactly."""
+    return (
+        content_keys(docs_stream, id_col, text_col)
+        .groupBy("content_key")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "24 hours",
+) -> DataFrame:
+    """Bounded-state dedup: duplicates arriving within ``delay`` of the
+    first occurrence are dropped; state for older keys is evicted with
+    the watermark, so state size tracks the duplicate horizon instead of
+    the corpus.
+
+    The event-time column is cast to (zoned) TIMESTAMP first: parquet
+    sources surface TIMESTAMP_NTZ, which watermarks reject."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

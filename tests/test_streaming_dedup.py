@@ -1,0 +1,96 @@
+"""Streaming dedup vs the batch operators: the drained availableNow
+stream must reproduce the batch answer (key set for keep-first; row-for-
+row for the min/count aggregate; distinct-within-horizon for the
+watermarked variant)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reden_spark.streaming.dedup_stream import (
+    dedup_counts_stream,
+    dedup_within_watermark,
+    exact_dedup_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    # multiple files -> multiple microbatches; duplicates span batches
+    p = str(tmp_path_factory.mktemp("docs_stream") / "documents")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartitionByRange(6, "doc_id")
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def _drain(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_exact_dedup_stream_key_set(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    batch_keys = {
+        r.content_key
+        for r in docs.select(F.sha2("text", 256).alias("content_key")).distinct().collect()
+    }
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(docs_path)
+    _drain(exact_dedup_stream(stream), "dedup_keys_sink", "append")
+    got = spark.sql("SELECT content_key FROM dedup_keys_sink").collect()
+    assert len(got) == len(batch_keys)  # exactly one survivor per key
+    assert {r.content_key for r in got} == batch_keys
+
+
+def test_dedup_counts_stream_equals_batch(spark, docs_path):
+    from reden_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(docs_path)
+    batch = {
+        r.content_key: (r.keep_id, r.n_dups) for r in exact_dedup(docs).collect()
+    }
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(docs_path)
+    _drain(dedup_counts_stream(stream), "dedup_counts_sink", "complete")
+    got = {
+        r.content_key: (r.keep_id, r.n_dups)
+        for r in spark.sql("SELECT * FROM dedup_counts_sink").collect()
+    }
+    assert got == batch  # row-for-row: min/count are order-insensitive
+
+
+def test_dedup_within_watermark_drops_in_horizon_dups(spark, tmp_path):
+    # events duplicated file-to-file: every (user_id, event_type, ts)
+    # appears twice, the second arrival within any sane watermark
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(2000)
+    p = str(tmp_path / "events_dup")
+    src.coalesce(1).write.mode("overwrite").parquet(p)
+    src.coalesce(1).write.mode("append").parquet(p)
+    keys = ["user_id", "event_type", "ts"]
+    n_distinct = spark.read.parquet(p).select(*keys).distinct().count()
+
+    stream = spark.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    deduped = dedup_within_watermark(stream, keys, ts_col="ts", delay="48 hours")
+    _drain(deduped.select(*keys), "dedup_wm_sink", "append")
+    out = spark.sql("SELECT * FROM dedup_wm_sink")
+    assert out.count() == n_distinct
+    assert out.distinct().count() == n_distinct
