@@ -2,16 +2,19 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 57 queries, all 57 with DuckDB
-oracles (the two iterative centralities use unrolled/recursive SQL with
+SURVEY.md §2 (reden_spark/contract.py): 61 queries, all 61 with DuckDB
+oracles (the iterative centralities use unrolled/recursive SQL with
 1e-9-rounded scores; exact-value numpy/BFS oracles additionally live in
 tests/test_centrality_alt.py).
 
-Round-2 driver record: 43/44 fully green + 1 hash divergence
-(pricing_summary; values matched under string canonicalization but the
-driver's DECIMAL hashing differed).  Round 3 removed DECIMAL from that
-query's result schema entirely (both engines emit BIGINT integer
-cents), which sidesteps the divergence class.
+Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
+passes rows + schema + hash).  11 registered queries await their first
+driver rows — 7 added after the r3 driver run (bm25_search,
+pagerank_centrality, pii_scrub, train_split, pack_sequences,
+contamination_check, dedup_clusters) and 4 new in r4 (gopher_quality,
+bm25_search_analyzed, ann_lsh_hyperplane_topk,
+ann_recall_lsh_hyperplane); all 11 pass the local replica of the gate
+(tools/check_oracles.py).
 """
 
 from __future__ import annotations

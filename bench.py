@@ -72,9 +72,52 @@ def run_bench(
 
     names = queries or HEADLINE
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    # Host-phase calibration (VERDICT r3 #6): this box rations memory
+    # bandwidth in phases that drift 2-3x within hours, and the headline
+    # walls ride those phases.  A ~10 s memory-bus-bound probe (cached
+    # string table, sum(xxhash64) scans — the same kernel as
+    # tools/scaling_bench.py's membus control) runs INTERLEAVED with the
+    # replicates and its throughput is stamped into the output, so
+    # round-over-round comparisons carry an explicit same-phase
+    # calibration instead of guessing which phase a round landed in.
+    # Default: on for the full headline run, off when a caller pins
+    # SPARK_GRAFT_QUERIES (tools/scaling_bench.py interleaves its own).
+    membus = os.environ.get(
+        "SPARK_GRAFT_BENCH_MEMBUS", "0" if queries else "1"
+    ) != "0"
+    membus_df = None
+    if membus:
+        from pyspark.sql import functions as F
+
+        membus_df = (
+            spark.range(0, 2_000_000, 1, 64)
+            .select(
+                F.concat(
+                    *[F.sha2((F.col("id") + i).cast("string"), 512)
+                      for i in range(4)]
+                ).alias("s")
+            )
+            .persist()
+        )
+        assert membus_df.count() == 2_000_000  # build the cache untimed
+
+    def membus_probe() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        for _ in range(12):
+            # % keeps the ANSI-mode sum from overflowing long; the scan
+            # stays bytes-bound (the hash dominates, the mod is free)
+            membus_df.select(F.sum(F.xxhash64("s") % 1_048_576)).collect()
+        return round(time.time() - t0, 3)
+
     walls: dict[str, list[float]] = {n: [] for n in names}
+    membus_walls: list[float] = []
     n_triples = 0
     for _rep in range(repeats):
+        if membus_df is not None:
+            membus_walls.append(membus_probe())
         for name in names:
             t0 = time.time()
             if name == "nel_pipeline":
@@ -114,6 +157,13 @@ def run_bench(
         "sf": sf,
         "cpus": cpus,
     }
+    if membus_walls:
+        scanned_rows = 12 * 2_000_000
+        out["membus_control"] = {
+            "walls_s": membus_walls,
+            "median_wall_s": median(membus_walls),
+            "rows_per_sec": round(scanned_rows / median(membus_walls), 1),
+        }
     if "nel_pipeline" in timings:
         out["kg_triples"] = n_triples
         out["precanon"] = precanon is not None

@@ -2278,14 +2278,14 @@ _LSH_PAIRS_SQL = f"""
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_LSH_PAIRS_SQL},
-    e AS (SELECT printf('d%09d', a) AS src, printf('d%09d', b) AS dst FROM pairs),
+    e AS (SELECT printf('d%013d', a) AS src, printf('d%013d', b) AS dst FROM pairs),
     und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
     reach(src, dst) AS (
       SELECT src, dst FROM und
       UNION
       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
     comp AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
-    docs AS (SELECT printf('d%09d', doc_id) AS node FROM documents)
+    docs AS (SELECT printf('d%013d', doc_id) AS node FROM documents)
     SELECT d.node, coalesce(c.comp, d.node) AS cluster,
            CAST(coalesce(c.comp, d.node) = d.node AS INTEGER) AS keep
     FROM docs d LEFT JOIN comp c ON d.node = c.node
@@ -2351,7 +2351,7 @@ def q_pack_sequences(spark, sf_dir):
 @query(
     "contamination_check",
     f"""
-    WITH toks AS ({_TOKENS_SQL}),
+    WITH toks AS ({_QTOKS_SQL}),
     led AS (
       SELECT doc_id, tok,
              lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
@@ -2380,3 +2380,276 @@ def q_contamination_check(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_check(docs, bench)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — VERDICT r3 items: full Gopher rule conjunction, BM25 under the
+# StandardAnalyzer, random-hyperplane sign-LSH.
+
+
+@query(
+    "gopher_quality",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    g AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1,
+             lead(tok, 2) OVER w AS t2
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+    b AS (SELECT doc_id, max(c) AS top2_cnt FROM (
+            SELECT doc_id, tok || ' ' || t1 AS g2, count(*) AS c
+            FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+    t AS (SELECT doc_id, sum(c) AS dup3_occ FROM (
+            SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g3, count(*) AS c
+            FROM g WHERE t2 IS NOT NULL GROUP BY 1, 2) WHERE c > 1 GROUP BY 1),
+    ws AS (
+      SELECT doc_id,
+             CAST(sum(length(tok)) AS DOUBLE) / count(*) AS mean_word_len,
+             CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1
+                           ELSE 0 END) AS DOUBLE) / count(*) AS alpha_frac,
+             count(DISTINCT CASE WHEN tok IN ('the','be','to','of','and',
+                                              'that','have','with')
+                                 THEN tok END) AS stop_hits
+      FROM toks GROUP BY 1),
+    sym AS (
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, '#', ''))
+                + length(text) - length(replace(text, '…', '')) AS BIGINT)
+               AS n_symbols
+      FROM documents),
+    s AS (
+      SELECT n.doc_id, n.n_tokens,
+             CAST(coalesce(b.top2_cnt, 0) * 2 AS DOUBLE) / n.n_tokens AS top2_frac,
+             least(CAST(coalesce(t.dup3_occ, 0) * 3 AS DOUBLE) / n.n_tokens, 1.0)
+               AS dup3_frac,
+             ws.mean_word_len,
+             CAST(sym.n_symbols AS DOUBLE) / n.n_tokens AS symbol_ratio,
+             ws.alpha_frac, ws.stop_hits
+      FROM n LEFT JOIN b ON n.doc_id = b.doc_id
+             LEFT JOIN t ON n.doc_id = t.doc_id
+             JOIN ws ON n.doc_id = ws.doc_id
+             JOIN sym ON n.doc_id = sym.doc_id)
+    SELECT doc_id, n_tokens, top2_frac, dup3_frac, mean_word_len,
+           symbol_ratio, alpha_frac, stop_hits,
+           CASE WHEN n_tokens BETWEEN 10 AND 1000
+                 AND top2_frac <= 0.20 AND dup3_frac <= 0.30
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_ratio <= 0.1
+                 AND alpha_frac >= 0.8
+                 AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """The FULL Gopher §A.1.1 rule conjunction (VERDICT r3 #5): the
+    round-3 repetition caps PLUS mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, and the required-stop-words rule
+    (Rae et al. 2021) — one keep flag per document."""
+    from reden_spark.operators.quality import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+# Analyzed tokens: lowercase + alphanumeric-run tokenization — the
+# StandardAnalyzer approximation (reference DicoProcessingNEL.java:204-212).
+# text2 synthesizes case + punctuation deterministically from doc_id so the
+# analyzer actually has work to do on this corpus (the raw text is already
+# lowercase single-spaced).
+_SYNTH_CASE_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END || '.' AS text2
+    FROM documents
+"""
+_ATOKS_SQL = f"""
+    SELECT doc_id, unnest(string_split_regex(lower(text2), '[^a-z0-9]+')) AS tok
+    FROM ({_SYNTH_CASE_SQL})
+"""
+
+
+@query(
+    "bm25_search_analyzed",
+    f"""
+    WITH toks AS (SELECT * FROM ({_ATOKS_SQL}) WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+    tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+    cand AS (
+      SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS rn
+      FROM tdf, st WHERE df >= 2),
+    q AS (SELECT CAST(rn // 2 AS BIGINT) AS query_id, term
+          FROM cand WHERE rn < 10),
+    s AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / st.avgdl))) AS s
+      FROM q JOIN post p ON q.term = p.term
+             JOIN tdf t ON p.term = t.term, st),
+    agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+            FROM s GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+    WHERE rank <= 5
+    """,
+)
+def q_bm25_search_analyzed(spark, sf_dir):
+    """BM25 through the StandardAnalyzer approximation (VERDICT r3 #3;
+    reference DicoProcessingNEL.java:204-212 indexes and queries via
+    Lucene's StandardAnalyzer): lowercase + alphanumeric-run
+    tokenization, so "Paris," and "paris" are the same term.  The input
+    deterministically uppercases every even doc and appends punctuation —
+    the whitespace analyzer would fracture that vocabulary; this one
+    folds it back (unit-pinned in tests/test_search.py)."""
+    from reden_spark.operators.search import bm25_index, bm25_search
+
+    docs = _read(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+            F.lit("."),
+        ).alias("text2"),
+    )
+    index = bm25_index(synth, text_col="text2", analyzer="standard")
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    queries = (
+        index.term_df.filter(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 10)
+        .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
+    )
+    return bm25_search(index, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _hyperplane_bucket_sql(planes_t, vec: str = "v") -> str:
+    """SQL twin of operators/similarity.hyperplane_bucket: same plane
+    literals (integer-valued doubles), same sequential-fold projection —
+    bit-identical signs in both engines."""
+    bits = []
+    for i, row in enumerate(planes_t):
+        arr = "[" + ", ".join(str(c) for c in row) + "]::DOUBLE[]"
+        proj = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, 65), j -> {vec}[j] * ({arr})[j])), "
+            f"(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _hyperplane_lsh_sql() -> tuple[str, str]:
+    """Oracles for (ann_lsh_hyperplane_topk, ann_recall_lsh_hyperplane):
+    2 hyperplane tables, 4 bits, bucket_cap 30, top-3 — mirrors
+    lsh_cosine_topk(family='hyperplane').  Both share the candidate CTEs
+    and diverge at the final select (top-k rows vs the recall scalar)."""
+    from reden_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(2, 4, 64)
+    tables = []
+    for t in range(2):
+        tables.append(f"""
+    e{t} AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b{t} AS (
+      SELECT vec_id, v, {_hyperplane_bucket_sql(planes[t])} AS bucket,
+             sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+      FROM e{t}),
+    capped{t} AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM b{t}) WHERE rn <= 30),
+    sims{t} AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+             {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+      FROM capped{t} a JOIN capped{t} b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)""")
+    body = f"""
+    WITH {','.join(tables)},
+    sims AS (SELECT DISTINCT vec_id, neighbor, cos FROM
+             (SELECT * FROM sims0 UNION ALL SELECT * FROM sims1))"""
+    topk = """
+    SELECT vec_id, neighbor, rank FROM (
+      SELECT vec_id, neighbor,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor ASC) AS rank
+      FROM sims) WHERE rank <= 3
+    """
+    recall = f""",
+    norms AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+              FROM e0),
+    exact AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT q.vec_id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm)
+                   DESC, n.vec_id ASC) AS rank
+        FROM (SELECT * FROM norms WHERE vec_id < 100) q
+        JOIN norms n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    approx AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT vec_id, neighbor,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor ASC) AS rank
+        FROM sims) WHERE rank <= 3 AND vec_id < 100),
+    hit AS (
+      SELECT a.vec_id, a.neighbor FROM approx a
+      JOIN exact x ON a.vec_id = x.vec_id AND a.neighbor = x.neighbor)
+    SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM exact), 9) AS recall
+    """
+    return body + topk, body + recall
+
+
+_HP_TOPK_SQL, _HP_RECALL_SQL = _hyperplane_lsh_sql()
+
+
+@query("ann_lsh_hyperplane_topk", _HP_TOPK_SQL)
+def q_ann_lsh_hyperplane_topk(spark, sf_dir):
+    """Random-hyperplane sign-LSH top-k (VERDICT r3 #4): 2 decorrelated
+    tables × 4 hyperplanes over the FULL 64-dim vector (Charikar 2002
+    sign-random-projection), bucket_cap=30 — unlike the axis-aligned
+    family, tables keep adding recall past dim/n_bits (monotonicity
+    pinned in tests/test_similarity_hyperplane.py)."""
+    from reden_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb, k=3, n_bits=4, n_tables=2, bucket_cap=30, family="hyperplane"
+    ).select(F.col("id").alias("vec_id"), "neighbor", "rank")
+
+
+@query("ann_recall_lsh_hyperplane", _HP_RECALL_SQL)
+def q_ann_recall_lsh_hyperplane(spark, sf_dir):
+    """Recall gate for the hyperplane family (mirrors ann_recall_lsh):
+    fraction of the brute-force top-3 pairs (queries vec_id < 100) the
+    2-table capped hyperplane join returns."""
+    from reden_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_cosine_topk,
+        with_norms,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    en = with_norms(emb)
+    exact = cosine_topk(en.filter(F.col("id") < 100), en, k=3)
+    approx = lsh_cosine_topk(
+        emb, k=3, n_bits=4, n_tables=2, bucket_cap=30, family="hyperplane"
+    ).filter(F.col("id") < 100)
+    return ann_recall(approx, exact)

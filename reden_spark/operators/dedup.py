@@ -115,13 +115,15 @@ def dedup_clusters(documents: DataFrame, id_col: str = "doc_id", **lsh_kwargs) -
     Composes the engine's own operators: MinHash+LSH candidate pairs →
     connected components (operators/sameas.py — the same CC that powers
     owl:sameAs canonicalization) → keep = lexicographic-min member.
-    Doc ids are zero-padded so the CC's lexicographic min is the numeric
-    min.  Singletons (never in any pair) keep themselves via the left
-    join.  Scale: the CC runs on the PAIR graph (near-dup docs only,
-    ≪ corpus); the final join is a plain hash join on the node key."""
+    Doc ids are zero-padded to 13 digits — wider than the 10^12-doc
+    target id space — so the CC's lexicographic min stays the numeric
+    min for every representable id.  Singletons (never in any pair) keep
+    themselves via the left join.  Scale: the CC runs on the PAIR graph
+    (near-dup docs only, ≪ corpus); the final join is a plain hash join
+    on the node key."""
     from reden_spark.operators.sameas import connected_components
 
-    pad = lambda c: F.format_string("d%09d", c)  # noqa: E731
+    pad = lambda c: F.format_string("d%013d", c)  # noqa: E731
     pairs = minhash_lsh_pairs(documents, **lsh_kwargs)
     edges = pairs.select(pad(F.col("a")).alias("src"), pad(F.col("b")).alias("dst"))
     comp = connected_components(edges)

@@ -28,6 +28,13 @@ DUP3_MAX = 0.30       # Gopher: duplicated-3-gram fraction ≤ 0.30 (chars→tok
 MIN_TOKENS, MAX_TOKENS = 10, 1000
 NOVEL_MIN = 0.5       # shingle dedup: keep docs with ≥ 50% first-seen shingles
 
+# Gopher §A.1.1 rule constants (Rae et al. 2021), token-granularity:
+MWL_MIN, MWL_MAX = 3.0, 10.0   # mean word length band
+SYMBOL_MAX = 0.1               # ('#' + '…') occurrences per word
+ALPHA_MIN = 0.8                # fraction of words with an alphabetic char
+STOP_HITS_MIN = 2              # distinct required stop words present
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
@@ -117,6 +124,79 @@ def gopher_keep(signals: DataFrame) -> DataFrame:
             & (F.col("top2_frac") <= TOP2_MAX)
             & (F.col("dup3_frac") <= DUP3_MAX)
         ).cast("int"),
+    )
+
+
+def quality_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher §A.1.1 word-statistics signals (the rules the
+    round-3 filter didn't yet cover):
+
+      * ``mean_word_len`` — mean token character length
+      * ``symbol_ratio`` — ('#' + '…') occurrences per token
+      * ``alpha_frac`` — fraction of tokens containing [a-zA-Z]
+      * ``stop_hits`` — how many of Gopher's 8 required English stop
+        words appear at least once
+
+    One map-side-combinable groupBy on doc_id over the token explode;
+    symbol counts are length-diff folds on the raw text (no second
+    explode).  All doubles derive from exact integer counts, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum(F.length("tok")) / F.count("*")).alias("mean_word_len"),
+        (
+            F.sum(F.col("tok").rlike("[a-zA-Z]").cast("long")) / F.count("*")
+        ).alias("alpha_frac"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(*STOP_WORDS), F.col("tok"))
+        ).alias("stop_hits"),
+    )
+    t = F.col(text_col)
+    n_sym = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    ).cast("long")
+    sym = docs.select(F.col(id_col).alias("doc_id"), n_sym.alias("n_symbols"))
+    return stats.join(sym, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        (F.col("n_symbols") / F.col("n_tokens")).alias("symbol_ratio"),
+        "alpha_frac",
+        "stop_hits",
+    )
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FULL Gopher rule conjunction: repetition caps
+    (`repetition_signals`) AND the word-statistics rules
+    (`quality_signals`) — token band, mean-word-length band, symbol
+    ratio, alphabetic-word fraction, required stop words.  Docs with zero
+    tokens have no signals row and are dropped (Gopher drops them via the
+    token band anyway).  ``keep`` as INT for engine-portable hashing."""
+    rep = repetition_signals(docs, text_col, id_col)
+    qs = quality_signals(docs, text_col, id_col).drop("n_tokens")
+    return (
+        rep.join(qs, "doc_id")
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (F.col("n_tokens") <= MAX_TOKENS)
+                & (F.col("top2_frac") <= TOP2_MAX)
+                & (F.col("dup3_frac") <= DUP3_MAX)
+                & (F.col("mean_word_len") >= MWL_MIN)
+                & (F.col("mean_word_len") <= MWL_MAX)
+                & (F.col("symbol_ratio") <= SYMBOL_MAX)
+                & (F.col("alpha_frac") >= ALPHA_MIN)
+                & (F.col("stop_hits") >= STOP_HITS_MIN)
+            ).cast("int"),
+        )
     )
 
 

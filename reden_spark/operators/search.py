@@ -39,14 +39,32 @@ class BM25Index(NamedTuple):
     stats: DataFrame      # (n_docs, avgdl) — single row
 
 
+def analyze_terms(col, analyzer: str = "whitespace"):
+    """Array-of-terms column under the named analyzer.
+
+    ``"whitespace"`` splits on single spaces (Lucene WhitespaceAnalyzer);
+    ``"standard"`` approximates Lucene's StandardAnalyzer — the analyzer
+    the reference indexes its dictionary and queries through
+    (DicoProcessingNEL.java:204-212): lowercase + alphanumeric-run
+    tokenization, so "Paris," and "paris" produce the same term.  The
+    split pattern is RE2-compatible (a plain negated class, no
+    lookarounds) so the DuckDB oracle reproduces it."""
+    if analyzer == "standard":
+        return F.split(F.lower(col), "[^a-z0-9]+")
+    return F.split(col, " ")
+
+
 def bm25_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "whitespace",
 ) -> BM25Index:
-    """Build the three index tables.  ``dl`` is the whitespace token
+    """Build the three index tables.  ``dl`` is the analyzed token
     count; docs with zero tokens contribute to N but have no postings."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.explode(analyze_terms(F.col(text_col), analyzer)).alias("term"),
     ).filter(F.col("term") != "")
     postings = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")

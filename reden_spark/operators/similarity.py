@@ -62,6 +62,47 @@ def sign_lsh_bucket(vec_col, n_bits: int = 6):
     ).cast("long")
 
 
+def hyperplane_planes(
+    n_tables: int, n_bits: int, dim: int = 64
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplane family (Charikar 2002
+    sign-random-projection): plane (t, i) is ``dim`` integer-valued
+    coefficients in [-1000, 1000] from a multiplicative integer hash of
+    (t, i, d).  Unlike the axis-aligned bucketer (which reads only dims
+    [t*n_bits, (t+1)*n_bits) — correlated tables once n_tables*n_bits
+    nears dim), every table projects the FULL vector, so tables are
+    decorrelated and recall grows with n_tables at the same join cost.
+
+    Integer coefficients (scale doesn't change a sign) emitted as exact
+    double literals → the Spark plan and the SQL oracle fold identical
+    IEEE values.  The whole family is n_tables*n_bits*dim doubles — a few
+    KB baked into the plan as literals, no broadcast needed."""
+    planes = []
+    for t in range(n_tables):
+        rows = []
+        for i in range(n_bits):
+            row = []
+            for d in range(dim):
+                x = ((t * 1_000_003 + i * 10_007 + d * 101 + 12_345)
+                     * 2_654_435_761) % 2_147_483_647
+                row.append(float((x % 2001) - 1000))
+            rows.append(row)
+        planes.append(rows)
+    return planes
+
+
+def hyperplane_bucket(vec_col, planes_t: list[list[float]]):
+    """Column expr: sign-LSH bucket of one table under the hyperplane
+    family — bit i is the sign of <v, plane_i> (sequential-fold dot, same
+    kernel as ``_dot`` so the oracle reproduces it bit-for-bit)."""
+    bits = []
+    for i, row in enumerate(planes_t):
+        coeffs = F.array(*[F.lit(c) for c in row])
+        proj = _dot(vec_col if not isinstance(vec_col, str) else F.col(vec_col), coeffs)
+        bits.append(F.when(proj >= 0, 1 << i).otherwise(0))
+    return sum(bits).cast("long")
+
+
 def lsh_bucket_counts(embeddings: DataFrame, vec_col: str = "embedding", n_bits: int = 6) -> DataFrame:
     return (
         embeddings.select(sign_lsh_bucket(vec_col, n_bits).alias("bucket"))
@@ -238,19 +279,33 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    family: str = "axis",
+    dim: int = 64,
 ) -> DataFrame:
     """Scale path: cosine top-k WITHIN sign-LSH buckets — approximate
     (misses cross-bucket neighbors); ``n_tables`` independent bucketings
-    (disjoint sign-bit slices: table t reads dims [t*n_bits, (t+1)*n_bits))
     are unioned before the per-query top-k, the standard LSH recall knob
     (measure with ann_recall).  Each table's join stays bucket-local; cost
     grows linearly with n_tables.  ``bucket_cap`` truncates each table's
     bucket membership (deterministic id order) before the self-join —
     the O(k²) hot-bucket guardrail; capped-out vectors neither query nor
-    serve in that table (raise n_tables to recover recall)."""
+    serve in that table (raise n_tables to recover recall).
+
+    ``family`` picks the bucketing: ``"axis"`` (table t reads the sign
+    bits of dims [t*n_bits, (t+1)*n_bits) — cheapest, but tables share no
+    information beyond their dim slice and run out at dim/n_bits tables)
+    or ``"hyperplane"`` (true sign-random-projection: every table
+    projects the full vector onto n_bits deterministic pseudo-random
+    hyperplanes — decorrelated tables, recall keeps climbing with
+    n_tables; see ``hyperplane_planes``)."""
     base = with_norms(embeddings, id_col, vec_col)
+    planes = (
+        hyperplane_planes(n_tables, n_bits, dim) if family == "hyperplane" else None
+    )
 
     def _bucket(t: int):
+        if planes is not None:
+            return hyperplane_bucket(F.col("v"), planes[t])
         return sum(
             F.when(F.element_at(F.col("v"), t * n_bits + i + 1) >= 0, 1 << i).otherwise(0)
             for i in range(n_bits)

@@ -54,7 +54,15 @@ def get_spark(
 
     ``master="submit"`` sets NO master at all: the session inherits
     whatever ``spark-submit --master`` (and its executor/deploy-mode
-    flags) provided — the cluster runline (tools/submit_nel.py).
+    flags) provided — the cluster runline (tools/submit_nel.py).  In
+    that mode DEFAULT_CONF entries are pure FALLBACKS: any key already
+    present in the inherited SparkConf (spark-defaults.conf or a
+    ``--conf`` flag — spark-submit surfaces both as ``spark.*`` system
+    properties) wins, ``spark.driver.memory`` is never touched (the
+    driver JVM already exists), and shuffle partitions are derived from
+    ``sc.defaultParallelism`` (2x total executor cores) instead of the
+    local-mode constant — unless the user set them via ``--conf`` /
+    SPARK_GRAFT_SHUFFLE_PARTITIONS.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -74,8 +82,31 @@ def get_spark(
     if extra_conf:
         conf.update(extra_conf)
     builder = SparkSession.builder.appName(app_name)
-    if master != "submit":
-        builder = builder.master(master)
+    if master == "submit":
+        from pyspark import SparkConf
+
+        inherited = SparkConf()  # spark-submit's --conf / spark-defaults
+        # sizing the driver after it launched is a no-op at best and a
+        # silent clobber at worst — spark-submit owns it
+        conf.pop("spark.driver.memory", None)
+        # local-mode constant; re-derived from the cluster below unless
+        # the user pinned it
+        user_parts = env_parts or inherited.contains(
+            "spark.sql.shuffle.partitions"
+        )
+        if not env_parts:
+            conf.pop("spark.sql.shuffle.partitions", None)
+        conf = {k: v for k, v in conf.items() if not inherited.contains(k)}
+        for k, v in conf.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        if not user_parts:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(2 * spark.sparkContext.defaultParallelism, 4)),
+            )
+        return spark
+    builder = builder.master(master)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -98,8 +98,27 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     )
     rows = {r.node: r for r in dedup_clusters(docs).collect()}
     assert len(rows) == 4
-    assert rows["d000000010"].cluster == "d000000010"
-    assert rows["d000000011"].cluster == "d000000010"
-    assert rows["d000000012"].cluster == "d000000010"
-    assert rows["d000000013"].cluster == "d000000013"  # singleton keeps itself
+    assert rows["d0000000000010"].cluster == "d0000000000010"
+    assert rows["d0000000000011"].cluster == "d0000000000010"
+    assert rows["d0000000000012"].cluster == "d0000000000010"
+    # singleton keeps itself
+    assert rows["d0000000000013"].cluster == "d0000000000013"
     assert [rows[k].keep for k in sorted(rows)] == [1, 0, 0, 1]
+
+
+def test_dedup_clusters_pad_survives_1e9_ids(spark):
+    """ADVICE r3: the pad must be wider than the 10^12-doc id space so
+    lexicographic min == numeric min across the 1e9 digit boundary."""
+    from reden_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (999_999_999, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (1_000_000_000, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.node: r for r in dedup_clusters(docs).collect()}
+    assert rows["d0000999999999"].keep == 1
+    assert rows["d0001000000000"].keep == 0
+    assert rows["d0001000000000"].cluster == "d0000999999999"

@@ -98,6 +98,46 @@ def test_shingle_dedup_keep_first(spark, docs_df):
     assert got[6].n_seen > 0 and got[6].keep == 1
 
 
+def test_gopher_quality_full_rule_set(spark):
+    """VERDICT r3 #5: the widened Gopher §A.1.1 conjunction — each new
+    rule (mean word length, symbol ratio, alpha fraction, stop words)
+    must fire on a doc designed to trip exactly it."""
+    from reden_spark.operators.quality import gopher_quality
+
+    good = "the quick brown fox and the lazy dog have jumped with vigor over fences"
+    rows = [
+        (0, good),                                           # passes everything
+        (1, "the of a b c d e f g h i j"),                   # mean word len < 3
+        (2, "the disproportionately extraordinarily of "
+            "incomprehensibilities internationalization "
+            "counterrevolutionaries institutionalization "
+            "misunderstandings characteristically "
+            "overgeneralization compartmentalization"),      # mean word len > 10
+        (3, good + " " + "#" * 20),                          # symbol ratio > 0.1
+        (4, "the of 11 22 33 44 55 66 77 88 99 101"),        # alpha frac < 0.8
+        (5, "alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa lambda mu"),                   # zero stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert got[0].keep == 1, got[0]
+    assert got[1].keep == 0 and got[1].mean_word_len < 3.0
+    assert got[2].keep == 0 and got[2].mean_word_len > 10.0
+    assert got[3].keep == 0 and got[3].symbol_ratio > 0.1
+    assert got[4].keep == 0 and got[4].alpha_frac < 0.8
+    assert got[5].keep == 0 and got[5].stop_hits == 0
+    # signals are exact integer-derived values
+    toks = [t for t in good.split(" ") if t]
+    assert got[0].n_tokens == len(toks)
+    assert got[0].mean_word_len == pytest.approx(
+        sum(len(t) for t in toks) / len(toks), abs=1e-12
+    )
+    assert got[0].stop_hits == len(
+        {t for t in toks if t in ("the", "be", "to", "of", "and",
+                                  "that", "have", "with")}
+    )
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     rows = [
         (0, "reach me at jo.doe+x@corp.example.org or 192.168.10.1 tel 555-0199"),

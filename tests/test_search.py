@@ -82,6 +82,28 @@ def test_bm25_topk_cap(spark, index):
     assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
 
 
+def test_standard_analyzer_folds_case_and_punctuation(spark):
+    """VERDICT r3 #3: the reference indexes through StandardAnalyzer
+    (DicoProcessingNEL.java:204-212) — "Paris," must match "paris"."""
+    docs = spark.createDataFrame(
+        [(0, "We visited Paris, then Lyon."), (1, "paris is large"),
+         (2, "lyon only")],
+        "doc_id long, text string",
+    )
+    idx = bm25_index(docs, analyzer="standard")
+    terms = {r.term for r in idx.term_df.collect()}
+    assert "paris" in terms and "Paris," not in terms and "Paris" not in terms
+    # df counts both the "Paris," doc and the "paris" doc
+    assert {r.term: r.df for r in idx.term_df.collect()}["paris"] == 2
+    qdf = spark.createDataFrame([(0, "paris")], "query_id long, term string")
+    hits = {r.doc_id for r in bm25_search(idx, qdf, k=5).collect()}
+    assert hits == {0, 1}
+    # the whitespace analyzer fractures the same vocabulary
+    idx_ws = bm25_index(docs)
+    hits_ws = {r.doc_id for r in bm25_search(idx_ws, qdf, k=5).collect()}
+    assert hits_ws == {1}
+
+
 def test_bm25_plan_broadcasts_queries(spark, index):
     qdf = spark.createDataFrame([(0, "spark")], "query_id long, term string")
     explained = (

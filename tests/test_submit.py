@@ -51,6 +51,11 @@ def test_spark_submit_runs_and_resumes(tmp_path):
 
     first = run()
     assert first["kg_rows"] > 0
+    # --conf wins over the library fallback (ADVICE r3: submit mode must
+    # not clobber user conf with DEFAULT_CONF's local-mode constants)...
+    assert first["shuffle_partitions"] == "4"
+    # ...while unset keys still get the tuned fallback
+    assert first["aqe"] == "true"
     assert first["resumed"] == [] and len(first["computed"]) == 9
     # per-partition lineage rows present in every stage manifest
     for stage, m in first["stages"].items():

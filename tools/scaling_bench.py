@@ -165,13 +165,18 @@ def proc_replica_at(n_procs: int, sf_dir: str, replicate: int) -> list[float]:
             cmd = ["/usr/bin/taskset", "-c", str(k)] + cmd
         procs.append(
             subprocess.Popen(
-                cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, cwd=ROOT,
             )
         )
     walls = []
-    for p in procs:
-        out, _ = p.communicate()
+    for k, p in enumerate(procs):
+        out, err = p.communicate()
+        if p.returncode != 0 or not out.strip():
+            raise RuntimeError(
+                f"proc replica {k} failed (rc={p.returncode}); "
+                f"stderr tail: {err[-2000:]}"
+            )
         walls.append(
             json.loads(out.strip().splitlines()[-1])["queries"]["nel_pipeline"]
         )
@@ -193,7 +198,13 @@ def main():
     runs_lo, runs_hi = [], []
     runs_lo_pre, runs_hi_pre = [], []
     precanon = os.environ.get("SPARK_GRAFT_SCALE_PRECANON", "1") != "0"
-    proc_reps = os.environ.get("SPARK_GRAFT_SCALE_PROCS", "1") != "0"
+    # the replica divides the SOLO lo-core wall by the slowest of `hi`
+    # concurrent 1-core processes — that quotient measures per-process
+    # host rationing only when lo == 1; with overridden levels it would
+    # silently compare a local[lo] wall to 1-core processes, so skip it
+    # (and omit the proc_replica_* keys) rather than publish a ratio that
+    # no longer means what its name says (ADVICE r3).
+    proc_reps = os.environ.get("SPARK_GRAFT_SCALE_PROCS", "1") != "0" and lo == 1
     proc_walls_all = []
     ctl = {k: {"lo": [], "hi": []} for k in ("cpu", "membus")}
     for _ in range(repeats):

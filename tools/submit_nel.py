@@ -121,6 +121,11 @@ def main(argv=None) -> int:
         "kg_rows": n,
         "output": args.output,
         "format": fmt,
+        # effective session conf, for auditing that spark-submit --conf /
+        # spark-defaults win over the library fallbacks (session.py
+        # submit-mode contract)
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         "resumed": runner.resumed,
         "computed": runner.computed,
         "stages": runner.metrics(),
