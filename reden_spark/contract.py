@@ -2653,3 +2653,324 @@ def q_ann_recall_lsh_hyperplane(spark, sf_dir):
         emb, k=3, n_bits=4, n_tables=2, bucket_cap=30, family="hyperplane"
     ).filter(F.col("id") < 100)
     return ann_recall(approx, exact)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2) — line filter + span dedup.
+# text2 synthesizes newline-delimited "lines" deterministically from the
+# single-spaced corpus: 8-token lines, terminal '.' on two of every three
+# lines (by doc_id+line parity), plus targeted trailer lines that trip the
+# javascript / curly-bracket / lorem-ipsum page rules on a doc_id lattice.
+
+_C4_SYNTH_SQL = """
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(1, len(arr) + 1), i ->
+               arr[i] ||
+               CASE WHEN ((i - 1) % 8) = 7
+                 THEN (CASE WHEN (doc_id + (i - 1) // 8) % 3 = 0
+                            THEN '' ELSE '.' END) || chr(10)
+                 ELSE ' ' END),
+             '')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN 'uses javascript everywhere here now.' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN 'config { block } here too now.' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN 'lorem ipsum dolor sit amet okay.' || chr(10)
+                   ELSE '' END
+           AS text2
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+"""
+
+_C4_LINES_SQL = f"""
+    WITH synth AS ({_C4_SYNTH_SQL}),
+    rawlines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text2, chr(10)), 1) - 1 AS line_no,
+             unnest(string_split(text2, chr(10))) AS line
+      FROM synth),
+    nl AS (SELECT * FROM rawlines WHERE line <> '')
+"""
+
+
+def _c4_text2(docs):
+    """Spark twin of _C4_SYNTH_SQL (same 8-token lines, same doc_id
+    lattice of rule-tripping trailer lines)."""
+    arr = F.split(F.col("text"), " ")
+    body = F.array_join(
+        F.transform(
+            arr,
+            lambda t, i: F.concat(
+                t,
+                F.when(
+                    (i % 8) == 7,
+                    F.concat(
+                        F.when(
+                            (
+                                (
+                                    F.col("doc_id")
+                                    + ((i - (i % 8)) / F.lit(8)).cast("long")
+                                )
+                                % 3
+                            )
+                            == 0,
+                            F.lit(""),
+                        ).otherwise(F.lit(".")),
+                        F.lit("\n"),
+                    ),
+                ).otherwise(F.lit(" ")),
+            ),
+        ),
+        "",
+    )
+    trailer = lambda m, s: F.when(  # noqa: E731
+        F.col("doc_id") % m == 0, F.lit(s + "\n")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            body,
+            trailer(7, "uses javascript everywhere here now."),
+            trailer(11, "config { block } here too now."),
+            trailer(13, "lorem ipsum dolor sit amet okay."),
+        ).alias("text2"),
+    )
+
+
+@query(
+    "c4_line_filter",
+    f"""
+    {_C4_LINES_SQL},
+    pl AS (
+      SELECT doc_id,
+             len(list_filter(string_split(line, ' '), t -> t <> '')) AS w,
+             CASE WHEN regexp_matches(line, '[.!?"]$')
+                   AND len(list_filter(string_split(line, ' '), t -> t <> '')) >= 5
+                   AND NOT contains(lower(line), 'javascript')
+                  THEN 1 ELSE 0 END AS kept
+      FROM nl),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(kept) AS BIGINT) AS n_kept_lines,
+             CAST(sum(CASE WHEN kept = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS kept_words
+      FROM pl GROUP BY 1),
+    flags AS (
+      SELECT doc_id,
+             contains(lower(text2), 'lorem ipsum') AS lorem,
+             contains(text2, '{{') AS brace
+      FROM synth)
+    SELECT f.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(a.kept_words, 0) AS BIGINT) AS kept_words,
+           CASE WHEN coalesce(a.n_kept_lines, 0) >= 3
+                     AND NOT f.lorem AND NOT f.brace
+                THEN 1 ELSE 0 END AS keep
+    FROM flags f LEFT JOIN agg a ON f.doc_id = a.doc_id
+    """,
+)
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line + page cleaning rules (Raffel et al. 2020 §2.2: terminal
+    punctuation, ≥5 words, no "javascript" per line; ≥3 kept lines, no
+    curly bracket, no "lorem ipsum" per page) over deterministically
+    synthesized multi-line text — every rule trips on its own doc_id
+    lattice (see _C4_SYNTH_SQL)."""
+    from reden_spark.operators.quality import c4_line_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return c4_line_stats(_c4_text2(docs), text_col="text2")
+
+
+@query(
+    "c4_span_dedup",
+    f"""
+    WITH synth0 AS ({_C4_SYNTH_SQL}),
+    synth AS (
+      SELECT doc_id,
+             text2 || CASE WHEN doc_id % 5 = 0
+               THEN 'subscribe to our newsletter today.' || chr(10)
+                    || 'follow us on social media.' || chr(10)
+                    || 'all rights reserved by site.' || chr(10)
+               ELSE '' END AS text2
+      FROM synth0),
+    rawlines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text2, chr(10)), 1) - 1 AS line_no,
+             unnest(string_split(text2, chr(10))) AS line
+      FROM synth),
+    nl AS (SELECT * FROM rawlines WHERE line <> ''),
+    sp AS (
+      SELECT doc_id, line_no,
+             line || chr(10) || lead(line, 1) OVER w
+                  || chr(10) || lead(line, 2) OVER w AS span,
+             lead(line, 2) OVER w IS NOT NULL AS isfull,
+             doc_id * 1000000 + line_no AS pos_key
+      FROM nl WINDOW w AS (PARTITION BY doc_id ORDER BY line_no)),
+    spf AS (SELECT doc_id, span, pos_key FROM sp WHERE isfull),
+    fst AS (SELECT span, min(pos_key) AS first_key FROM spf GROUP BY 1),
+    pd AS (
+      SELECT s.doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN s.pos_key > f.first_key THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM spf s JOIN fst f ON s.span = f.span GROUP BY 1),
+    r AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             CASE WHEN p.n_spans IS NULL OR p.n_spans = 0 THEN 1.0
+                  ELSE 1.0 - CAST(p.n_dup_spans AS DOUBLE) / p.n_spans
+             END AS novel_frac
+      FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans, novel_frac,
+           CASE WHEN novel_frac >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM r
+    """,
+)
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 corpus-level three-sentence-span dedup (Raffel et al. 2020
+    §2.2): global first occurrence owns a span; per-doc duplicate-span
+    stats.  Docs on the %5 lattice share an injected 3-line boilerplate
+    block, so cross-document duplication is exercised, and the lattice
+    trailers give same-position spans across docs.  Same scale shape as
+    shingle_dedup (one groupBy on the span key)."""
+    from reden_spark.operators.quality import c4_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    synth = _c4_text2(docs).select(
+        "doc_id",
+        F.concat(
+            F.col("text2"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(
+                    "subscribe to our newsletter today.\n"
+                    "follow us on social media.\n"
+                    "all rights reserved by site.\n"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    return c4_span_stats(synth, n=3, text_col="text2")
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank + incremental KG upsert.
+
+
+def _ppr_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration personalized PageRank — the SQL twin of
+    operators/centrality_alt.personalized_pagerank_scores with the
+    per-context seed = min graph vertex (restart mass 1.0 on it).  The
+    teleport term is written as (1.0 - 0.85)·restart so both engines
+    compute the identical doubles."""
+    parts = [
+        "WITH", _CTX_GRAPH_SQL, ",",
+        f"""deg AS (SELECT context_id, src AS vertex, count(*) AS deg
+               FROM und GROUP BY 1, 2),
+    sd AS (SELECT context_id, min(vertex) AS svx FROM verts GROUP BY 1),
+    v AS (SELECT d.context_id, d.vertex, d.deg,
+                 CASE WHEN d.vertex = sd.svx THEN 1.0 ELSE 0.0 END AS restart
+          FROM deg d JOIN sd ON d.context_id = sd.context_id),
+    x0 AS (SELECT context_id, vertex, restart AS score FROM v)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT u.context_id, u.src AS vertex, sum(x.score / d.deg) AS inflow
+        FROM und u
+        JOIN x{i - 1} x ON u.context_id = x.context_id AND u.dst = x.vertex
+        JOIN deg d ON d.context_id = x.context_id AND d.vertex = x.vertex
+        GROUP BY 1, 2)
+    , x{i} AS (
+        SELECT v.context_id, v.vertex,
+               (1.0 - {damping}) * v.restart
+                 + {damping} * coalesce(c.inflow, 0.0) AS score
+        FROM v LEFT JOIN c{i} c
+          ON v.context_id = c.context_id AND v.vertex = c.vertex)""")
+    parts.append(
+        f"SELECT context_id, vertex, round(score, 9) AS score FROM x{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+@query("ppr_centrality", _ppr_oracle_sql(6))
+def q_ppr_centrality(spark, sf_dir):
+    """Personalized PageRank on the shared per-context graph: teleport
+    mass restarts at the per-context seed (here the min vertex — the
+    stand-in for a mention's candidate set; see
+    centrality_alt.personalized_pagerank_scores).  Driver oracle =
+    unrolled fixed-iteration SQL, scores rounded to 1e-9 on both sides;
+    exact values also asserted vs a numpy oracle in
+    tests/test_centrality_alt.py."""
+    from reden_spark.operators.centrality_alt import (
+        personalized_pagerank_scores,
+    )
+
+    edges = _ctx_edges(spark, sf_dir)
+    seeds = (
+        edges.select("doc_key", "context_id", F.col("src").alias("vertex"))
+        .unionByName(
+            edges.select("doc_key", "context_id", F.col("dst").alias("vertex"))
+        )
+        .groupBy("doc_key", "context_id")
+        .agg(F.min("vertex").alias("vertex"))
+    )
+    return personalized_pagerank_scores(edges, seeds, n_iter=6).select(
+        "context_id", "vertex", F.round(F.col("score"), 9).alias("score")
+    )
+
+
+@query(
+    "kg_upsert",
+    """
+    WITH t AS (
+      SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+             'lastStatus' AS pred,
+             o_orderstatus AS obj,
+             CAST(o_orderkey AS BIGINT) AS version,
+             CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS src
+      FROM orders),
+    merged AS (
+      SELECT subj, pred, obj, version FROM (
+        SELECT subj, pred, obj, version,
+               row_number() OVER (PARTITION BY subj, pred
+                                  ORDER BY version DESC, src DESC, obj)
+                 AS rn
+        FROM t) WHERE rn = 1),
+    bl AS (
+      SELECT subj, pred, obj AS base_obj FROM (
+        SELECT subj, pred, obj,
+               row_number() OVER (PARTITION BY subj, pred
+                                  ORDER BY version DESC, obj) AS rn
+        FROM t WHERE src = 0) WHERE rn = 1)
+    SELECT m.subj, m.pred, m.obj, m.version,
+           CASE WHEN b.base_obj IS NULL THEN 'insert'
+                WHEN b.base_obj <> m.obj THEN 'update'
+                ELSE 'noop' END AS op
+    FROM merged m LEFT JOIN bl b ON m.subj = b.subj AND m.pred = b.pred
+    """,
+)
+def q_kg_upsert(spark, sf_dir):
+    """Latest-wins incremental KG merge (operators/kg_maintain.kg_upsert):
+    versioned (subj, pred, obj) triples derived from orders — base = the
+    non-%3 orderkeys, delta = the %3 lattice — merged per (subj, pred)
+    with insert/update/noop change classes.  The batch twin of the
+    kg_stream idempotent sink."""
+    from reden_spark.operators.kg_maintain import kg_upsert
+
+    orders = _read(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("lastStatus").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderkey").cast("long").alias("version"),
+    )
+    base = triples.filter(F.col("version") % 3 != 0)
+    delta = triples.filter(F.col("version") % 3 == 0)
+    return kg_upsert(base, delta)

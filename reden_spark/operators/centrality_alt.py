@@ -251,6 +251,76 @@ def pagerank_scores(
     return x
 
 
+def personalized_pagerank_scores(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 6,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(ctx, vertex, score): PageRank with the teleport mass restarting at
+    a per-context seed set instead of uniformly — the random surfer jumps
+    back to the mention's own candidate URIs, so proximity TO THE SEEDS is
+    what scores high.  This is the graph-proximity reading of REDEN's
+    disambiguation step (the reference scores candidates by centrality of
+    the fused neighborhood around the document's mentions,
+    CentralityHandler.java:137-152); personalization makes that
+    "around the mentions" explicit.
+
+        pr(v) = (1-d)·seed(v)/|seeds_ctx| + d · Σ_{u∈N(v)} pr(u)/deg(u)
+
+    ``seeds``: (ctx, vertex) rows; weights are uniform over each
+    context's seed set (rows deduped defensively).  Start distribution =
+    the normalized seed vector.  Seed vertices absent from the graph get
+    teleport mass but no inflow (kept in the output, like dangling
+    restarts).  Same loop shape and partitioning as `pagerank_scores`:
+    every join/agg keyed on (ctx, vertex), bounded rounds, localCheckpoint
+    every ``checkpoint_every`` rounds to cut the lineage."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy(*CTX, F.col("src").alias("vertex")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    sd = seeds.select(*CTX, "vertex").dropDuplicates([*CTX, "vertex"])
+    n_seed = sd.groupBy(*CTX).agg(F.count("*").cast("long").alias("ns"))
+    seed_w = sd.join(n_seed, CTX).select(
+        *CTX, "vertex", (F.lit(1.0) / F.col("ns")).alias("restart")
+    )
+    verts = (
+        und.select(*CTX, F.col("src").alias("vertex"))
+        .dropDuplicates([*CTX, "vertex"])
+        .unionByName(sd)
+        .dropDuplicates([*CTX, "vertex"])
+        .join(seed_w, [*CTX, "vertex"], "left")
+        .select(*CTX, "vertex", F.coalesce("restart", F.lit(0.0)).alias("restart"))
+        .localCheckpoint(eager=True)
+    )
+    x = verts.select(*CTX, "vertex", F.col("restart").alias("score"))
+    for i in range(n_iter):
+        contrib = (
+            und.join(
+                x.join(deg, [*CTX, "vertex"]).select(
+                    *CTX,
+                    F.col("vertex").alias("dst"),
+                    (F.col("score") / F.col("deg")).alias("share"),
+                ),
+                [*CTX, "dst"],
+            )
+            .groupBy(*CTX, F.col("src").alias("vertex"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        x = verts.join(contrib, [*CTX, "vertex"], "left").select(
+            *CTX,
+            "vertex",
+            (
+                (1.0 - damping) * F.col("restart")
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+    return x
+
+
 MEASURES = {
     "eigenvector": eigenvector_scores,
     "closeness": closeness_scores,

@@ -39,6 +39,20 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 
+# C4 cleaning constants (Raffel et al. 2020 §2.2) — shared verbatim with
+# the contract oracles.
+C4_TERMINAL_RE = r'[.!?"]$'   # "only retained lines that ended in a terminal
+#                               punctuation mark" (RE2-safe anchor)
+C4_MIN_LINE_WORDS = 5         # "only retained lines that contained at least
+#                               5 words"
+C4_MIN_KEPT_LINES = 3         # "discarded any page with fewer than 3
+#                               sentences"
+C4_SPAN_N = 3                 # "discarded all but one of any three-sentence
+#                               span occurring more than once"
+_LINE_NO_SPAN = 1_000_000     # pos_key = doc_id·1e6 + line_no (docs are far
+#                               below 1e6 lines; asserted nowhere hot — the
+#                               key only orders first-occurrence ownership)
+
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, tok): single-space tokenization, empties dropped
@@ -256,6 +270,139 @@ def shingle_dedup_stats(
         .withColumn("keep", (F.col("novel_frac") >= NOVEL_MIN).cast("int"))
     )
     return out
+
+
+def _doc_lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, line_no, line): newline split, empty lines dropped
+    (line_no keeps the original index, like `_doc_tokens` positions)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).filter(F.col("line") != "")
+
+
+def c4_line_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020 §2.2)
+    as per-document statistics:
+
+      * a line is KEPT iff it ends in terminal punctuation (. ! ? "),
+        contains ≥ 5 words, and does not mention "javascript";
+      * the page is KEPT iff ≥ 3 lines survive, it contains no curly
+        bracket, and "lorem ipsum" does not appear.
+
+    Output: (doc_id, n_lines, n_kept_lines, kept_words, keep INT).
+    Documents with no newline are one line; documents whose every line is
+    empty keep zero lines.
+
+    Scale: one explode + one map-side-combinable groupBy on doc_id; the
+    page-level flags are scalar column expressions on the raw text — no
+    joins other than the doc_id equi-join of the two aggregates, no
+    windows, no Python."""
+    lines = _doc_lines(docs, text_col, id_col)
+    words = F.size(F.filter(F.split(F.col("line"), " "), lambda t: t != ""))
+    kept = (
+        F.col("line").rlike(C4_TERMINAL_RE)
+        & (words >= C4_MIN_LINE_WORDS)
+        & ~F.lower(F.col("line")).like("%javascript%")
+    )
+    per_line = lines.select(
+        "doc_id", words.alias("w"), kept.cast("int").alias("kept")
+    )
+    agg = per_line.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("kept").alias("n_kept_lines"),
+        F.sum(F.when(F.col("kept") == 1, F.col("w")).otherwise(0)).alias(
+            "kept_words"
+        ),
+    )
+    t = F.col(text_col)
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(t).like("%lorem ipsum%").alias("lorem"),
+        t.like("%{%").alias("brace"),
+    )
+    return (
+        flags.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+            F.coalesce("kept_words", F.lit(0)).alias("kept_words"),
+            (
+                (F.coalesce("n_kept_lines", F.lit(0)) >= C4_MIN_KEPT_LINES)
+                & ~F.col("lorem")
+                & ~F.col("brace")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def c4_span_stats(
+    docs: DataFrame,
+    n: int = C4_SPAN_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's corpus-level three-sentence-span deduplication (Raffel et al.
+    2020 §2.2: "discarded all but one of any three-sentence span occurring
+    more than once") as per-document statistics.  Spans are n consecutive
+    non-empty lines; the global FIRST occurrence (smallest (doc_id,
+    line_no)) owns a span, every later occurrence — in other documents OR
+    later in the same document — counts as a duplicate.
+
+    Output: (doc_id, n_spans, n_dup_spans, novel_frac, keep INT) with
+    keep = novel_frac ≥ NOVEL_MIN; span-less docs are vacuously novel.
+
+    Scale: identical shape to `shingle_dedup_stats` — window leads inside
+    each doc, then ONE groupBy on the span key (min pos_key, map-side
+    combinable) and an equi-join back on that key.  A boilerplate span
+    shared by millions of pages is one reduce group, never a pair list.
+    """
+    lines = _doc_lines(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    parts = [F.col("line")] + [F.lead("line", i).over(w) for i in range(1, n)]
+    spans = (
+        lines.select(
+            "doc_id",
+            "line_no",
+            F.concat_ws("\n", *parts).alias("span"),
+            parts[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select(
+            "doc_id",
+            "span",
+            (F.col("doc_id") * _LINE_NO_SPAN + F.col("line_no")).alias("pos_key"),
+        )
+    )
+    first = spans.groupBy("span").agg(F.min("pos_key").alias("first_key"))
+    per_doc = (
+        spans.join(first, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("pos_key") > F.col("first_key")).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(F.col("n_spans").isNull() | (F.col("n_spans") == 0), F.lit(1.0))
+            .otherwise(1.0 - F.col("n_dup_spans") / F.col("n_spans"))
+            .alias("novel_frac"),
+        )
+        .withColumn("keep", (F.col("novel_frac") >= NOVEL_MIN).cast("int"))
+    )
 
 
 def pii_scrub(

@@ -1,0 +1,55 @@
+"""kg_upsert: latest-wins incremental merge semantics (insert / update /
+noop change classes, version + delta-preference + min-obj tie-breaks)."""
+
+from reden_spark.operators.kg_maintain import kg_upsert
+
+SCHEMA = "subj string, pred string, obj string, version long"
+
+
+def _run(spark, base_rows, delta_rows):
+    base = spark.createDataFrame(base_rows, SCHEMA)
+    delta = spark.createDataFrame(delta_rows, SCHEMA)
+    return {
+        (r.subj, r.pred): (r.obj, r.version, r.op)
+        for r in kg_upsert(base, delta).collect()
+    }
+
+
+def test_insert_update_noop_classes(spark):
+    got = _run(
+        spark,
+        [
+            ("s1", "p", "old", 1),   # delta outversions → update
+            ("s2", "p", "keep", 5),  # delta is older → noop
+            ("s4", "p", "same", 1),  # delta repeats the object → noop
+        ],
+        [
+            ("s1", "p", "new", 2),
+            ("s2", "p", "stale", 3),
+            ("s3", "p", "fresh", 1),  # key only in delta → insert
+            ("s4", "p", "same", 2),
+        ],
+    )
+    assert got[("s1", "p")] == ("new", 2, "update")
+    assert got[("s2", "p")] == ("keep", 5, "noop")
+    assert got[("s3", "p")] == ("fresh", 1, "insert")
+    assert got[("s4", "p")] == ("same", 2, "noop")
+    assert len(got) == 4  # one row per (subj, pred)
+
+
+def test_version_tie_prefers_delta_then_min_obj(spark):
+    got = _run(
+        spark,
+        [("s", "p", "base_obj", 7)],
+        # same version as base, two delta candidates: delta wins the
+        # source tie, then the smallest object wins within delta
+        [("s", "p", "zzz", 7), ("s", "p", "aaa", 7)],
+    )
+    assert got[("s", "p")] == ("aaa", 7, "update")
+
+
+def test_empty_base_and_empty_delta(spark):
+    got = _run(spark, [], [("s", "p", "o", 1)])
+    assert got[("s", "p")] == ("o", 1, "insert")
+    got = _run(spark, [("s", "p", "o", 1)], [])
+    assert got[("s", "p")] == ("o", 1, "noop")

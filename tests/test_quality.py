@@ -205,3 +205,171 @@ def test_pagerank_matches_numpy(spark):
     c1 = {v: s for (c, v), s in got.items() if c == 1}
     assert max(c0, key=c0.get) == "b"
     assert max(c1, key=c1.get) == "z"
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank vs numpy
+
+
+def _numpy_ppr(pairs, seed, n_iter=20, d=0.85):
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = np.zeros((n, n))
+    for s, t in pairs:
+        adj[idx[s], idx[t]] = adj[idx[t], idx[s]] = 1.0
+    deg = adj.sum(axis=1)
+    restart = np.zeros(n)
+    restart[idx[seed]] = 1.0
+    x = restart.copy()
+    for _ in range(n_iter):
+        x = (1.0 - d) * restart + d * (adj @ (x / deg))
+    return {v: x[idx[v]] for v in verts}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from reden_spark.operators.centrality_alt import (
+        personalized_pagerank_scores,
+    )
+
+    rows = [
+        (7, ctx, s, t, "p", 1.0)
+        for ctx, es in PR_EDGES.items()
+        for s, t in es
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "doc_key long, context_id int, src string, dst string,"
+        " label string, weight double",
+    )
+    seed_of = {0: "d", 1: "w"}  # peripheral seeds — proximity must show
+    seeds = spark.createDataFrame(
+        [(7, ctx, v) for ctx, v in seed_of.items()],
+        "doc_key long, context_id int, vertex string",
+    )
+    got = {
+        (r.context_id, r.vertex): r.score
+        for r in personalized_pagerank_scores(edges, seeds, n_iter=20).collect()
+    }
+    for ctx, pairs in PR_EDGES.items():
+        want = _numpy_ppr(pairs, seed_of[ctx])
+        for v, s in want.items():
+            assert got[(ctx, v)] == pytest.approx(s, abs=1e-9), (ctx, v)
+    # teleportation pulls mass toward the seed's neighborhood: in ctx 0
+    # (path a-b-c-d + hub b-e) seeding at d must rank d above the hub b's
+    # far side (a, e); global PageRank would not.
+    c0 = {v: s for (c, v), s in got.items() if c == 0}
+    assert c0["d"] > c0["a"] and c0["d"] > c0["e"]
+    assert c0["c"] > c0["a"]  # one hop from seed beats three hops
+
+
+def test_ppr_seed_outside_graph_keeps_teleport_mass(spark):
+    from reden_spark.operators.centrality_alt import (
+        personalized_pagerank_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 0, "a", "b", "p", 1.0)],
+        "doc_key long, context_id int, src string, dst string,"
+        " label string, weight double",
+    )
+    seeds = spark.createDataFrame(
+        [(7, 0, "ghost")], "doc_key long, context_id int, vertex string"
+    )
+    got = {
+        r.vertex: r.score
+        for r in personalized_pagerank_scores(edges, seeds, n_iter=5).collect()
+    }
+    # dangling seed: keeps (1-d)·1.0 every round, feeds nothing
+    assert got["ghost"] == pytest.approx(0.15, abs=1e-12)
+    assert got["a"] == got["b"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2)
+
+C4_DOCS = [
+    # doc 0: three good lines → page kept
+    (0, "alpha beta gamma delta epsilon one.\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 1: good lines but only two → page dropped (<3 sentences)
+    (1, "alpha beta gamma delta epsilon one.\n"
+        "zeta eta theta iota kappa two."),
+    # doc 2: line without terminal punctuation is dropped
+    (2, "alpha beta gamma delta epsilon one.\n"
+        "no terminal punctuation in this line\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 3: short line (<5 words) dropped
+    (3, "tiny line here.\n"
+        "alpha beta gamma delta epsilon one.\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 4: javascript line dropped
+    (4, "enable JavaScript to view this page.\n"
+        "alpha beta gamma delta epsilon one.\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 5: curly bracket anywhere kills the page
+    (5, "alpha beta gamma delta epsilon one.\n"
+        "var config = { a: 1 } set here.\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 6: lorem ipsum kills the page
+    (6, "alpha beta gamma delta epsilon one.\n"
+        "Lorem Ipsum dolor sit amet filler.\n"
+        "zeta eta theta iota kappa two.\n"
+        "lam mu nu xi omicron three."),
+    # doc 7: quote terminal counts; question/exclamation too
+    (7, 'he said "this is a fine quote."\n'
+        "is this a real question now?\n"
+        "what a fine exclamation this is!"),
+]
+
+
+def test_c4_line_rules_trip_individually(spark):
+    from reden_spark.operators.quality import c4_line_stats
+
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_stats(docs).collect()}
+    assert got[0].keep == 1 and got[0].n_kept_lines == 3
+    assert got[1].keep == 0 and got[1].n_kept_lines == 2
+    # rule-specific drops keep exactly the three good lines
+    for d in (2, 3, 4):
+        assert got[d].n_lines == 4 and got[d].n_kept_lines == 3, d
+        assert got[d].keep == 1, d
+    assert got[5].keep == 0  # brace page rule (its 4 lines still counted)
+    assert got[6].keep == 0  # lorem ipsum page rule
+    assert got[7].keep == 1 and got[7].n_kept_lines == 3
+    # kept_words counts only surviving lines' words
+    assert got[2].kept_words == 18
+
+
+def test_c4_span_dedup_keeps_first_occurrence(spark):
+    from reden_spark.operators.quality import c4_span_stats
+
+    block = "one two.\nthree four.\nfive six."
+    docs = spark.createDataFrame(
+        [
+            (0, block),                       # owner of the span
+            (1, block),                       # exact dup → 1 dup span
+            (2, "zz yy.\n" + block),          # same span later in the doc
+            (3, "a b.\nc d.\ne f."),          # unique span
+            (4, "solo line."),                # too short for any span
+            # within-doc duplicate: the same 3-line block three times
+            (5, "p q.\nr s.\nt u.\np q.\nr s.\nt u.\np q.\nr s.\nt u."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_span_stats(docs, n=3).collect()}
+    assert got[0].n_spans == 1 and got[0].n_dup_spans == 0
+    assert got[1].n_spans == 1 and got[1].n_dup_spans == 1
+    assert got[2].n_spans == 2 and got[2].n_dup_spans == 1
+    assert got[3].n_spans == 1 and got[3].n_dup_spans == 0
+    assert got[4].n_spans == 0 and got[4].novel_frac == 1.0 and got[4].keep == 1
+    # doc 5: 9 lines → 7 spans; every span is one of the 3 rotations of
+    # the repeated block, so offsets 0-2 own them and offsets 3-6 are dups
+    assert got[5].n_spans == 7 and got[5].n_dup_spans == 4
+    assert got[5].keep == 0  # novel_frac 3/7 < NOVEL_MIN
+    assert got[1].keep == 0 and got[2].keep == 1  # NOVEL_MIN = 0.5 boundary
