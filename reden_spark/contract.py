@@ -2974,3 +2974,105 @@ def q_kg_upsert(spark, sf_dir):
     base = triples.filter(F.col("version") % 3 != 0)
     delta = triples.filter(F.col("version") % 3 == 0)
     return kg_upsert(base, delta)
+
+
+# ---------------------------------------------------------------------------
+# KG maintenance (incremental CC) + ontology closure.
+
+
+@query(
+    "cc_incremental",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT 'u' || CAST(n_nationkey AS VARCHAR) AS src,
+             'u' || CAST(n_nationkey % 7 AS VARCHAR) AS dst
+      FROM nation WHERE n_nationkey >= 7
+      UNION ALL
+      SELECT 'u' || CAST(r_regionkey AS VARCHAR),
+             'u' || CAST(r_regionkey + 1 AS VARCHAR) FROM region
+      UNION ALL
+      SELECT 'a' || CAST(r_regionkey AS VARCHAR),
+             'u' || CAST(r_regionkey AS VARCHAR) FROM region
+      UNION ALL
+      SELECT 'x' || CAST(r_regionkey AS VARCHAR),
+             'u' || CAST(r_regionkey + 20 AS VARCHAR) FROM region
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src
+    """,
+)
+def q_cc_incremental(spark, sf_dir):
+    """Incremental canon maintenance (kg_maintain.cc_merge_delta): CC of
+    the base sameAs graph (the nation %7 star forest, as in sameas_cc)
+    is computed first, then a delta batch — the region chain edges that
+    MERGE existing components, 'a…' nodes smaller than every existing
+    label (stressing the min-member invariant across a merge), and 'x…'
+    nodes attaching to untouched components — is folded in WITHOUT
+    re-reading base edges.  Oracle = full-recompute reachability CC over
+    base ∪ delta: the merge must be hash-identical, not just
+    isomorphic."""
+    from reden_spark.operators.kg_maintain import cc_merge_delta
+    from reden_spark.operators.sameas import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    u = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
+    base = (
+        nation.filter(F.col("n_nationkey") >= 7)
+        .select(
+            u("u", F.col("n_nationkey")).alias("src"),
+            u("u", F.col("n_nationkey") % 7).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    rk = F.col("r_regionkey")
+    delta = (
+        region.select(u("u", rk).alias("src"), u("u", rk + 1).alias("dst"))
+        .unionByName(
+            region.select(u("a", rk).alias("src"), u("u", rk).alias("dst"))
+        )
+        .unionByName(
+            region.select(
+                u("x", rk).alias("src"), u("u", rk + 20).alias("dst")
+            )
+        )
+    )
+    return cc_merge_delta(connected_components(base), delta)
+
+
+@query(
+    "subclass_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+      FROM documents WHERE doc_id >= 1),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+    SELECT src AS node, dst AS ancestor FROM reach
+    """,
+)
+def q_subclass_closure(spark, sf_dir):
+    """Transitive closure of a subclass/broader hierarchy
+    (operators/ontology.transitive_closure, iterative doubling —
+    ⌈log2 depth⌉ self-join rounds).  The hierarchy is the binary tree
+    doc_id → doc_id // 2 over documents (depth ~9 at sf0.01 → 4
+    doubling rounds); oracle = recursive-CTE reachability."""
+    from reden_spark.operators.ontology import transitive_closure
+
+    docs = _read(spark, sf_dir, "documents")
+    e = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    return transitive_closure(e).select(
+        F.col("src").alias("node"), F.col("dst").alias("ancestor")
+    )

@@ -64,3 +64,80 @@ def kg_upsert(base: DataFrame, delta: DataFrame) -> DataFrame:
         .otherwise(F.lit("noop"))
         .alias("op"),
     )
+
+
+def cc_merge_delta(
+    canon: DataFrame,
+    delta_edges: DataFrame,
+    driver_threshold: int = 100_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Merge a batch of NEW owl:sameAs edges into an existing canonical
+    map without re-running connected components over the base edge set.
+
+    ``canon``: (node, comp) — a correct CC labeling of the base graph
+    with comp = the component's minimum member (exactly what
+    `operators/sameas.connected_components` emits and what the flagship
+    persists as its durable s6_canon table).  ``delta_edges``:
+    (src, dst) new equivalence links, possibly mentioning brand-new
+    nodes.  Output: an updated (node, comp) covering every base node
+    plus every delta endpoint, IDENTICAL to recomputing CC over
+    base ∪ delta from scratch (asserted by the `cc_incremental`
+    contract oracle and tests/test_kg_maintain.py).
+
+    Why it is equivalent: components behave as single vertices under
+    edge addition, so contracting each delta endpoint to its current
+    representative (new nodes represent themselves) and running CC on
+    that contracted graph merges exactly the component sets a full
+    recompute would merge; and because every old rep is its component's
+    minimum member, the min-label of a merged group of reps equals the
+    min over the union of their members — the comp = min-member
+    invariant survives, which is what makes the output hash-identical
+    to the recompute, not merely isomorphic.
+
+    Scale shape (the point at 10^12 files): the base edge set is never
+    read.  Cost = two hash joins of |delta| rows against the canon
+    table, CC on a graph of ≤ 2·|delta| vertices (tiny → the driver
+    union-find branch of `connected_components` almost always), one
+    broadcast of the rep remap (≤ 2·|delta| rows), and one map over
+    canon.  Per-dump maintenance is O(|delta| + |canon|) with a single
+    full-canon pass, vs O(|base edges| × diameter) for the rebuild.
+    """
+    from reden_spark.operators.sameas import connected_components
+
+    e = delta_edges.select("src", "dst")
+    src_rep = canon.select(
+        F.col("node").alias("src"), F.col("comp").alias("src_rep")
+    )
+    dst_rep = canon.select(
+        F.col("node").alias("dst"), F.col("comp").alias("dst_rep")
+    )
+    contracted = (
+        e.join(src_rep, "src", "left")
+        .join(dst_rep, "dst", "left")
+        .select(
+            F.coalesce("src_rep", F.col("src")).alias("src"),
+            F.coalesce("dst_rep", F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    reps_cc = connected_components(
+        contracted, driver_threshold=driver_threshold, max_iter=max_iter
+    )
+    rep_map = reps_cc.select(
+        F.col("node").alias("comp"), F.col("comp").alias("new_comp")
+    )
+    updated = canon.join(F.broadcast(rep_map), "comp", "left").select(
+        "node", F.coalesce("new_comp", F.col("comp")).alias("comp")
+    )
+    new_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .join(canon.select("node"), "node", "left_anti")
+    )
+    new_rows = new_nodes.join(F.broadcast(reps_cc), "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+    return updated.unionByName(new_rows)

@@ -1,0 +1,56 @@
+"""Ontology-style inference over KG edges: transitive closure
+(rdfs:subClassOf / skos:broader reachability).
+
+The reference materializes authority hierarchies into its per-run Jena
+models and lets Jena answer reachability (GraphFusion.java builds the
+merged model; centrality walks it); a Spark-first engine instead
+materializes the closure ONCE as a table and answers every downstream
+"is-a / broader-than" probe with an equi-join against it.
+
+Scale shape: iterative DOUBLING — after round k the pair set contains
+every path of length ≤ 2^k, so a hierarchy of depth d needs ⌈log2 d⌉
+self-join rounds, not d frontier rounds.  Each round is one shuffle on
+the join key plus a dedup on the (src, dst) pair; `localCheckpoint`
+cuts the lineage so round k+1 replans against a materialized input
+instead of a 2^k-deep DAG.  Cycles terminate naturally: the pair set
+is monotone and bounded, and the src != dst filter drops self-loops.
+At 10^12-file scale a subclass/broader hierarchy is millions of edges
+with depth < 30 — five-ish bounded rounds, every one of them a plain
+hash join Catalyst/AQE can size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """All reachability pairs (src, dst) of the directed edge set —
+    dst reachable from src by ≥ 1 hop, self-pairs excluded.  Converges
+    when a doubling round adds no pair (checked with a post-checkpoint
+    count, which reads the materialized result — no recompute)."""
+    reach = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_rounds):
+        hops = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        merged = (
+            reach.unionByName(hops)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        m = merged.count()
+        if m == n:
+            break
+        reach, n = merged, m
+    return reach

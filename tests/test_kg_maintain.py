@@ -53,3 +53,81 @@ def test_empty_base_and_empty_delta(spark):
     assert got[("s", "p")] == ("o", 1, "insert")
     got = _run(spark, [("s", "p", "o", 1)], [])
     assert got[("s", "p")] == ("o", 1, "noop")
+
+
+# ---------------------------------------------------------------------------
+# cc_merge_delta: incremental CC must equal full recompute exactly
+
+
+def _cc_rows(df):
+    return {(r.node, r.comp) for r in df.collect()}
+
+
+def test_cc_merge_equals_full_recompute(spark):
+    import random
+
+    from reden_spark.operators.kg_maintain import cc_merge_delta
+    from reden_spark.operators.sameas import connected_components
+
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    base = sorted(
+        {
+            (a, b)
+            for a, b in (
+                rng.sample(nodes, 2) for _ in range(50)
+            )
+        }
+    )
+    delta = sorted(
+        {
+            (a, b)
+            for a, b in (rng.sample(nodes + ["m1", "m2", "a00"], 2) for _ in range(25))
+            if a != b
+        }
+    )
+    eschema = "src string, dst string"
+    base_df = spark.createDataFrame(base, eschema)
+    delta_df = spark.createDataFrame(delta, eschema)
+    canon = connected_components(base_df)
+    got = cc_merge_delta(canon, delta_df)
+    want = connected_components(base_df.unionByName(delta_df))
+    assert _cc_rows(got) == _cc_rows(want)
+
+
+def test_cc_merge_new_label_can_win_and_isolated_delta_component(spark):
+    from reden_spark.operators.kg_maintain import cc_merge_delta
+    from reden_spark.operators.sameas import connected_components
+
+    base = spark.createDataFrame(
+        [("u5", "u6"), ("u8", "u9")], "src string, dst string"
+    )
+    canon = connected_components(base)
+    delta = spark.createDataFrame(
+        [
+            ("a1", "u6"),   # new node with a SMALLER label joins u5-u6
+            ("w1", "w2"),   # delta-only component, untouched by base
+            ("u8", "u9"),   # repeat of a base edge → no change
+        ],
+        "src string, dst string",
+    )
+    got = {r.node: r.comp for r in cc_merge_delta(canon, delta).collect()}
+    assert got["u5"] == got["u6"] == got["a1"] == "a1"
+    assert got["u8"] == got["u9"] == "u8"
+    assert got["w1"] == got["w2"] == "w1"
+    assert len(got) == 7
+
+
+def test_cc_merge_bridges_two_base_components(spark):
+    from reden_spark.operators.kg_maintain import cc_merge_delta
+    from reden_spark.operators.sameas import connected_components
+
+    base = spark.createDataFrame(
+        [("b1", "b2"), ("c1", "c2")], "src string, dst string"
+    )
+    delta = spark.createDataFrame([("b2", "c1")], "src string, dst string")
+    got = {
+        r.node: r.comp
+        for r in cc_merge_delta(connected_components(base), delta).collect()
+    }
+    assert set(got.values()) == {"b1"}

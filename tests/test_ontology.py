@@ -1,0 +1,43 @@
+"""transitive_closure: reachability pairs via iterative doubling."""
+
+from reden_spark.operators.ontology import transitive_closure
+
+SCHEMA = "src string, dst string"
+
+
+def _pairs(spark, edges):
+    df = spark.createDataFrame(edges, SCHEMA)
+    return {(r.src, r.dst) for r in transitive_closure(df).collect()}
+
+
+def test_chain_closure_is_all_ancestor_pairs(spark):
+    # a -> b -> c -> d -> e: closure has n·(n-1)/2 pairs
+    chain = ["a", "b", "c", "d", "e"]
+    got = _pairs(spark, list(zip(chain, chain[1:])))
+    want = {
+        (chain[i], chain[j])
+        for i in range(5)
+        for j in range(i + 1, 5)
+    }
+    assert got == want
+
+
+def test_diamond_deduplicates_paths(spark):
+    # two paths a->d: the pair appears once
+    got = _pairs(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "d"), ("c", "d")
+    }
+
+
+def test_cycle_terminates_without_self_pairs(spark):
+    got = _pairs(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    # every ordered pair of distinct cycle members, no (x, x)
+    assert got == {
+        (x, y) for x in "abc" for y in "abc" if x != y
+    }
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _pairs(spark, [("a", "a"), ("a", "b"), ("a", "b")])
+    assert got == {("a", "b")}
