@@ -3076,3 +3076,60 @@ def q_subclass_closure(spark, sf_dir):
     return transitive_closure(e).select(
         F.col("src").alias("node"), F.col("dst").alias("ancestor")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023) — data selection for LM
+# training: score every raw document by target-domain likeness.
+
+
+@query(
+    "dsir_weights",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    led AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+      FROM toks),
+    feats AS (
+      SELECT doc_id, 'u:' || tok AS feature FROM toks
+      UNION ALL
+      SELECT doc_id, 'b:' || tok || ' ' || t1 AS feature
+      FROM led WHERE t1 IS NOT NULL),
+    cr AS (SELECT feature, count(*) AS c_raw FROM feats GROUP BY 1),
+    ct AS (SELECT feature, count(*) AS c_tgt FROM feats
+           WHERE doc_id % 7 = 3 GROUP BY 1),
+    counts AS (
+      SELECT cr.feature, cr.c_raw, coalesce(ct.c_tgt, 0) AS c_tgt
+      FROM cr LEFT JOIN ct USING (feature)),
+    tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                   CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+                   count(*) AS v
+            FROM counts),
+    lam AS (
+      SELECT feature,
+             CAST(round(ln(((c_tgt + 1) * (n_raw + v))
+                           / ((c_raw + 1) * (n_tgt + v))) * 1000000)
+                  AS BIGINT) AS lam_e6
+      FROM counts, tot),
+    per AS (
+      SELECT f.doc_id, CAST(sum(l.lam_e6) AS BIGINT) AS log_weight_e6,
+             count(*) AS n_feats
+      FROM feats f JOIN lam l USING (feature) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.log_weight_e6, 0) AS log_weight_e6,
+           coalesce(p.n_feats, 0) AS n_feats
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/importance.dsir_log_weights):
+    target = every doc_id % 7 == 3 document, raw = the whole corpus; the
+    per-feature log-ratio is quantized to integer micro-log units before
+    the per-document sum, so the aggregate is exact integer arithmetic in
+    both engines.  Target docs are a subset of raw, so the engine's
+    full-outer feature join degenerates to the oracle's left join."""
+    from reden_spark.operators.importance import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, docs.filter(F.col("doc_id") % 7 == 3))

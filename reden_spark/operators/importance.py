@@ -1,0 +1,154 @@
+"""DSIR-style importance weighting: score every document in a raw crawl
+by how target-domain-like it is, under hashed bag-of-ngrams language
+models (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling").
+
+    log w(d) = log p_target(d) − log p_raw(d)
+             = Σ_f c_d(f) · [ log θ_target(f) − log θ_raw(f) ]
+
+with f ranging over word unigrams + bigrams and θ the add-one-smoothed
+multinomial fit on each corpus.  Documents that look like the target
+domain get positive weights; resampling the raw pool ∝ w is the DSIR
+selection step.
+
+Determinism contract: the per-feature log-ratio λ(f) is quantized to
+integer micro-units (round(λ·1e6) as BIGINT) BEFORE the per-document
+sum, so the aggregate is exact integer arithmetic — independent of
+partitioning and summation order, and bit-identical in the DuckDB
+oracle (the float part is one ln() of one exact-integer ratio per
+feature; every other step is integer).  Micro- not nano-units on
+purpose: JVM ``Math.log`` and libm ``log`` may disagree in the last
+ulp (~1e-16 relative), and the quantization step must dwarf that gap
+so both engines round every feature identically — at 1e6 the flip
+window per feature is ~1e-9, negligible over any vocabulary.  Output
+is therefore ``log_weight_e6`` (BIGINT micro-log-units), the same
+fixed-point trick as the pricing summary's integer cents.
+
+Scale shape (100 TB raw pool): feature counting is two map-side-
+combinable groupBys; the λ table has one row per feature — with
+``n_buckets`` set the features are hashed to a fixed-width vector
+(2^20 buckets ≈ 24 MB of longs) that BROADCASTS, so scoring the raw
+pool is a broadcast hash join + one groupBy on doc_id: a single
+exchange over the corpus, no shuffle on the feature key at all.  The
+exact-string variant (n_buckets=None) shuffles on the feature key and
+exists as the oracle-expressible twin; the hashed variant is the
+deployment path (collisions merge feature counts, which is the DSIR
+paper's own design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reden_spark.operators.quality import _doc_tokens
+
+LAM_SCALE = 1_000_000  # λ fixed-point: micro-log units
+
+
+def doc_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, feature): word unigrams ('u:tok') and bigrams
+    ('b:tok1 tok2', via lead over token positions — gap-safe when empty
+    tokens were dropped), one row per instance."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = toks.select(
+        "doc_id", F.concat(F.lit("u:"), F.col("tok")).alias("feature")
+    )
+    bi = (
+        toks.select(
+            "doc_id",
+            F.concat(
+                F.lit("b:"), F.col("tok"), F.lit(" "), F.lead("tok").over(w)
+            ).alias("feature"),
+        )
+        .filter(F.col("feature").isNotNull())
+    )
+    return uni.unionByName(bi)
+
+
+def _bucketed(feats: DataFrame, n_buckets: int | None) -> DataFrame:
+    if n_buckets is None:
+        return feats
+    return feats.select(
+        "doc_id",
+        F.pmod(F.xxhash64("feature"), F.lit(n_buckets))
+        .cast("string")
+        .alias("feature"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, log_weight_e6, n_feats) for every document of ``raw``:
+    the DSIR importance weight in integer micro-log units plus the
+    document's feature-instance count.  Empty documents score 0.
+
+    λ(f) is computed as ONE natural log of one exact ratio,
+    ln( (c_t(f)+1)·(N_r+V) / ((c_r(f)+1)·(N_t+V)) ), all factors exact
+    integers, so both engines divide and log the identical doubles;
+    V counts distinct features over raw ∪ target."""
+    f_raw = _bucketed(doc_features(raw, text_col, id_col), n_buckets)
+    f_tgt = _bucketed(doc_features(target, text_col, id_col), n_buckets)
+    c_raw = f_raw.groupBy("feature").agg(
+        F.count("*").cast("long").alias("c_raw")
+    )
+    c_tgt = f_tgt.groupBy("feature").agg(
+        F.count("*").cast("long").alias("c_tgt")
+    )
+    counts = (
+        c_raw.join(c_tgt, "feature", "full_outer")
+        .select(
+            "feature",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            F.round(
+                F.log(
+                    ((F.col("c_tgt") + 1) * (F.col("n_raw") + F.col("v")))
+                    / ((F.col("c_raw") + 1) * (F.col("n_tgt") + F.col("v")))
+                )
+                * LAM_SCALE
+            )
+            .cast("long")
+            .alias("lam_e6"),
+        )
+    )
+    if n_buckets is not None:
+        lam = F.broadcast(lam)
+    per_doc = (
+        f_raw.join(lam, "feature")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lam_e6").alias("log_weight_e6"),
+            F.count("*").cast("long").alias("n_feats"),
+        )
+    )
+    out = (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("log_weight_e6", F.lit(0)).alias("log_weight_e6"),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        )
+    )
+    return out
