@@ -3133,3 +3133,146 @@ def q_dsir_weights(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return dsir_log_weights(docs, docs.filter(F.col("doc_id") % 7 == 3))
+
+
+# ---------------------------------------------------------------------------
+# Code-KG front end (north rule: KG construction over source-code repos) —
+# triple extraction from (repo, path, commit, lang, content) rows, plus the
+# dependency-hotness degree table.  The code corpus is derived
+# deterministically from `documents` in BOTH engines (same concat program),
+# so the extraction itself is what the oracle verifies.
+
+from reden_spark.operators.code_extract import (  # noqa: E402
+    _P_CALL,
+    _P_CLASS,
+    _P_DEF,
+    _P_FROM,
+    _P_IMPORT,
+)
+
+_CODE_FILES_SQL = """
+  SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+         'src/m_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         md5(CAST(doc_id AS VARCHAR)) AS cmt,
+         'py' AS lang,
+         'import mod_' || CAST(doc_id % 13 AS VARCHAR) || chr(10)
+           || 'from pkg_' || CAST(doc_id % 5 AS VARCHAR) || ' import thing'
+           || chr(10) || 'def fn_' || CAST(doc_id AS VARCHAR) || '(x):'
+           || chr(10) || '    return helper_' || CAST(doc_id % 3 AS VARCHAR)
+           || '(x) + fn_' || CAST(doc_id AS VARCHAR) || '(0)' || chr(10)
+           || 'class C_' || CAST(doc_id % 11 AS VARCHAR) || ':' || chr(10)
+           || '    pass' AS content
+  FROM documents
+"""
+
+_CODE_TRIPLES_SQL = f"""
+    WITH files AS ({_CODE_FILES_SQL}),
+    f AS (SELECT 'repo://' || repo || '/' || path AS subj, * FROM files),
+    tri AS (
+      SELECT subj, 'atCommit' AS pred, cmt AS obj FROM f
+      UNION ALL SELECT subj, 'inLang', lang FROM f
+      UNION ALL SELECT subj, 'imports',
+        unnest(regexp_extract_all(content, '{_P_IMPORT}', 2)) FROM f
+      UNION ALL SELECT subj, 'imports',
+        unnest(regexp_extract_all(content, '{_P_FROM}', 2)) FROM f
+      UNION ALL SELECT subj, 'defines',
+        'fn:' || unnest(regexp_extract_all(content, '{_P_DEF}', 2)) FROM f
+      UNION ALL SELECT subj, 'defines',
+        'class:' || unnest(regexp_extract_all(content, '{_P_CLASS}', 2)) FROM f
+    ),
+    callsraw AS (
+      SELECT subj,
+             unnest(regexp_extract_all(content, '{_P_CALL}', 1)) AS obj
+      FROM f),
+    defined AS (
+      SELECT DISTINCT subj, regexp_replace(obj, '^(fn|class):', '') AS obj
+      FROM tri WHERE pred = 'defines'),
+    calls AS (
+      SELECT c.subj, 'calls' AS pred, c.obj FROM callsraw c
+      WHERE c.obj NOT IN
+            ('def', 'class', 'if', 'while', 'for', 'return', 'lambda')
+        AND NOT EXISTS (SELECT 1 FROM defined d
+                        WHERE d.subj = c.subj AND d.obj = c.obj))
+    SELECT DISTINCT subj, pred, obj
+    FROM (SELECT * FROM tri UNION ALL SELECT * FROM calls)
+"""
+
+
+def _code_files(spark, sf_dir):
+    """Deterministic code-shaped corpus in the input_hint schema,
+    derived from documents — mirrors _CODE_FILES_SQL token for token."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    content = F.concat(
+        F.lit("import mod_"), s(d % 13),
+        F.lit("\nfrom pkg_"), s(d % 5), F.lit(" import thing"),
+        F.lit("\ndef fn_"), s(d), F.lit("(x):\n    return helper_"),
+        s(d % 3), F.lit("(x) + fn_"), s(d), F.lit("(0)"),
+        F.lit("\nclass C_"), s(d % 11), F.lit(":\n    pass"),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        F.md5(s(d)).alias("commit"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+
+
+@query("code_triples", _CODE_TRIPLES_SQL)
+def q_code_triples(spark, sf_dir):
+    """Source-code triple extraction (operators/code_extract.code_triples):
+    atCommit / inLang / imports / defines / out-of-file calls as distinct
+    (subj, pred, obj) rows — all JVM-side regexp_extract_all, zero
+    shuffles before the final triple dedup."""
+    from reden_spark.operators.code_extract import code_triples
+
+    return code_triples(_code_files(spark, sf_dir))
+
+
+@query(
+    "code_import_hotness",
+    f"""
+    WITH tri AS ({_CODE_TRIPLES_SQL})
+    SELECT obj AS module,
+           count(*) AS n_files,
+           CAST(count(DISTINCT regexp_extract(subj, '^repo://([^/]+)/', 1))
+                AS BIGINT) AS n_repos
+    FROM tri WHERE pred = 'imports'
+    GROUP BY 1
+    """,
+)
+def q_code_import_hotness(spark, sf_dir):
+    """Dependency hotness over the extracted code KG
+    (operators/code_extract.import_hotness): per-module import fan-in
+    (n_files) and repo spread (n_repos) — one groupBy on the module key;
+    a crawl-dominating module is a single reduce-group counter."""
+    from reden_spark.operators.code_extract import code_triples, import_hotness
+
+    return import_hotness(code_triples(_code_files(spark, sf_dir)))
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 17
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling
+    (operators/corpus_prep.stratified_sample): the 17 smallest docs per
+    language under the md5('sample:' || id) order — reproducible,
+    append-stable, rank computed as a per-group top-k (Spark's
+    WindowGroupLimit), never a global sort."""
+    from reden_spark.operators.corpus_prep import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], 17)

@@ -1,0 +1,120 @@
+"""Triple extraction from source-code files: the KG-construction front
+end for the brief's Iceberg input shape (repo, path, commit, lang,
+content).
+
+The reference extracts mentions from TEI prose (MainNELApp.java:
+218-266); over a source-code corpus the analogous extraction is
+structural: which modules a file imports, which functions/classes it
+defines, which out-of-file names it calls.  Those become canonical
+(subj, pred, obj) triples with subj = the file URI, feeding the same
+downstream KG machinery (sameAs canon, fusion, centrality,
+materialize) as the prose path.
+
+Everything is JVM-side `regexp_extract_all` + explode — no Python in
+the hot path, one narrow map over the corpus followed by one distinct.
+The patterns are RE2-safe (no lookarounds; line starts are matched as
+``(^|\n)`` so no multiline flags are needed) and therefore port
+verbatim to the DuckDB oracle.
+
+Scale shape (10^12 files): extraction is embarrassingly parallel —
+zero shuffles until the final `dropDuplicates` on the triple key, and
+that dedup is map-side-combinable.  `import_hotness` is one further
+groupBy on the object key; a hot module (imported by every file) is a
+single reduce group counter, never a pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns; group 2 is the captured name in each.
+_P_IMPORT = r"(^|\n)[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"
+_P_FROM = r"(^|\n)[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import"
+_P_DEF = r"(^|\n)[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+_P_CLASS = r"(^|\n)[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+_P_CALL = r"([A-Za-z_][A-Za-z0-9_]*)\("
+
+# identifier( sites that are syntax, not calls
+_CALL_STOPWORDS = ("def", "class", "if", "while", "for", "return", "lambda")
+
+
+def file_uri(df: DataFrame) -> DataFrame:
+    """Add ``subj`` = repo://<repo>/<path> — the file's KG node.  The
+    commit travels as its own triple (pred `atCommit`), keeping the
+    node stable across commits so cross-version edges land on one
+    vertex (the canon step can still split per-commit if asked)."""
+    return df.withColumn(
+        "subj", F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"))
+    )
+
+
+def _extracted(df: DataFrame, pred: str, pattern: str, group: int = 2) -> DataFrame:
+    return df.select(
+        "subj",
+        F.lit(pred).alias("pred"),
+        F.explode(F.regexp_extract_all(F.col("content"), F.lit(pattern), F.lit(group))).alias("obj"),
+    )
+
+
+def code_triples(files: DataFrame) -> DataFrame:
+    """(subj, pred, obj), distinct, from a (repo, path, commit, lang,
+    content) table:
+
+      atCommit   — the row's commit hash
+      inLang     — the row's language tag
+      imports    — `import X` / `from X import` module names
+      defines    — `fn:<name>` for defs, `class:<name>` for classes
+      calls      — out-of-file call targets: every `name(` site whose
+                   name is neither defined in the same file nor a
+                   keyword (cross-file edges are what the KG wants;
+                   in-file recursion is not an edge)
+    """
+    f = file_uri(files)
+    meta = f.select(
+        "subj", F.lit("atCommit").alias("pred"), F.col("commit").alias("obj")
+    ).unionByName(
+        f.select("subj", F.lit("inLang").alias("pred"), F.col("lang").alias("obj"))
+    )
+    imports = _extracted(f, "imports", _P_IMPORT).unionByName(
+        _extracted(f, "imports", _P_FROM)
+    )
+    defines = _extracted(f, "defines", _P_DEF).withColumn(
+        "obj", F.concat(F.lit("fn:"), F.col("obj"))
+    ).unionByName(
+        _extracted(f, "defines", _P_CLASS).withColumn(
+            "obj", F.concat(F.lit("class:"), F.col("obj"))
+        )
+    )
+    defined_names = (
+        defines.select(
+            "subj", F.regexp_replace("obj", r"^(fn|class):", "").alias("obj")
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+    calls = (
+        _extracted(f, "calls", _P_CALL, group=1)
+        .filter(~F.col("obj").isin(*_CALL_STOPWORDS))
+        .join(defined_names, ["subj", "obj"], "left_anti")
+    )
+    return (
+        meta.unionByName(imports)
+        .unionByName(defines)
+        .unionByName(calls)
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def import_hotness(triples: DataFrame) -> DataFrame:
+    """Dependency hotness: per imported module, how many files import
+    it and from how many distinct repos — the degree table that seeds
+    centrality over the code KG.  (module, n_files, n_repos)."""
+    imp = triples.filter(F.col("pred") == "imports")
+    return imp.select(
+        "subj",
+        F.col("obj").alias("module"),
+        F.regexp_extract("subj", r"^repo://([^/]+)/", 1).alias("repo"),
+    ).groupBy("module").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+    )

@@ -148,3 +148,32 @@ def contamination_check(
             / F.count("*")
         ).alias("contamination"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the k smallest documents of
+    each stratum under the md5('sample:' || id) order — a uniform,
+    content-independent pseudo-random order that is identical on every
+    engine and every run, with ties broken by the id itself.
+
+    Training pipelines use this shape for per-language / per-source
+    quota sampling and for eval-set carving; determinism (not
+    ``rand()``) is what makes the sample reproducible and append-stable
+    enough to cache downstream.
+
+    Scale shape: one hash exchange on the strata key; the per-stratum
+    rank is a bounded heap (k rows) per reduce group, so a hot stratum
+    (one language dominating the crawl) is a single group's top-k,
+    never a global sort."""
+    h = F.md5(F.concat(F.lit("sample:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )

@@ -1,0 +1,79 @@
+"""Code-KG triple extraction (operators/code_extract.py): hand-checked
+triples on a tiny file set, call anti-join semantics, hotness table, and
+the zero-shuffle-before-dedup plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.code_extract import code_triples, import_hotness
+
+FILES = [
+    (
+        "acme/web", "src/app.py", "c0ffee", "py",
+        "import os\nfrom util.text import clean\n"
+        "def handle(req):\n    return clean(req) + os.stat(req)\n"
+        "class App:\n    pass",
+    ),
+    (
+        "acme/lib", "util/text.py", "deadbf", "py",
+        "import re\ndef clean(s):\n    return re.sub(s)\n"
+        "def helper():\n    return clean(1)",
+    ),
+    ("acme/lib", "empty.py", "00", "py", ""),
+]
+
+
+def _triples(spark):
+    df = spark.createDataFrame(
+        FILES, ["repo", "path", "commit", "lang", "content"]
+    )
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in code_triples(df).collect()
+    }
+
+
+def test_hand_checked_triples(spark):
+    got = _triples(spark)
+    app = "repo://acme/web/src/app.py"
+    lib = "repo://acme/lib/util/text.py"
+    empty = "repo://acme/lib/empty.py"
+    assert (app, "imports", "os") in got
+    assert (app, "imports", "util.text") in got
+    assert (app, "defines", "fn:handle") in got
+    assert (app, "defines", "class:App") in got
+    # out-of-file calls kept; `handle` is defined in-file so its def-site
+    # `handle(` match must be anti-joined away
+    assert (app, "calls", "clean") in got
+    assert (app, "calls", "os.stat") not in got  # dots break the ident
+    assert (app, "calls", "stat") in got
+    assert (app, "calls", "handle") not in got
+    # in-file recursion is not an edge
+    assert (lib, "calls", "clean") not in got
+    assert (lib, "calls", "sub") in got  # re.sub → out-of-file name
+    # empty file still carries its metadata triples
+    assert (empty, "atCommit", "00") in got
+    assert (empty, "inLang", "py") in got
+    assert not [t for t in got if t[0] == empty and t[1] == "imports"]
+
+
+def test_import_hotness(spark):
+    df = spark.createDataFrame(
+        FILES, ["repo", "path", "commit", "lang", "content"]
+    )
+    hot = {
+        r["module"]: (r["n_files"], r["n_repos"])
+        for r in import_hotness(code_triples(df)).collect()
+    }
+    assert hot == {"os": (1, 1), "util.text": (1, 1), "re": (1, 1)}
+
+
+def test_calls_edge_is_anti_join_in_plan(spark):
+    # the in-file-name subtraction must be a distributed anti-join, not
+    # a collected set
+    df = spark.createDataFrame(
+        FILES, ["repo", "path", "commit", "lang", "content"]
+    )
+    plan = code_triples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan

@@ -1,0 +1,61 @@
+"""Deterministic stratified sampling (corpus_prep.stratified_sample):
+python-oracle parity, per-stratum caps, append-stability, and the
+WindowGroupLimit (top-k, not full-sort) plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.corpus_prep import stratified_sample
+
+ROWS = [(i, ["fr", "en", "de"][i % 3]) for i in range(60)]
+
+
+def _oracle(rows, k):
+    out = {}
+    bystr: dict[str, list] = {}
+    for i, lang in rows:
+        bystr.setdefault(lang, []).append(
+            (hashlib.md5(f"sample:{i}".encode()).hexdigest(), i, lang)
+        )
+    for lang, items in bystr.items():
+        for rank, (_, i, lg) in enumerate(sorted(items)[:k], start=1):
+            out[i] = (lg, rank)
+    return out
+
+
+def test_matches_python_oracle(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "lang"])
+    got = {
+        r["doc_id"]: (r["lang"], r["sample_rank"])
+        for r in stratified_sample(df, ["lang"], 5).collect()
+    }
+    assert got == _oracle(ROWS, 5)
+    assert len(got) == 15  # 5 per stratum, 3 strata
+
+
+def test_append_stable(spark):
+    # adding new docs must never evict-and-replace arbitrarily: the kept
+    # set only changes where a new doc hashes below the old boundary
+    small = spark.createDataFrame(ROWS[:30], ["doc_id", "lang"])
+    big = spark.createDataFrame(ROWS, ["doc_id", "lang"])
+    kept_small = {
+        r["doc_id"] for r in stratified_sample(small, ["lang"], 5).collect()
+    }
+    kept_big = {
+        r["doc_id"] for r in stratified_sample(big, ["lang"], 5).collect()
+    }
+    o_small, o_big = _oracle(ROWS[:30], 5), _oracle(ROWS, 5)
+    assert kept_small == set(o_small)
+    assert kept_big == set(o_big)
+
+
+def test_plan_uses_window_group_limit(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "lang"])
+    plan = (
+        stratified_sample(df, ["lang"], 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
