@@ -3276,3 +3276,128 @@ def q_stratified_sample(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(docs, ["lang"], 17)
+
+
+# ---------------------------------------------------------------------------
+# Temporal KG lookup (as-of join) + commit co-change graph.
+
+
+@query(
+    "asof_lookup",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    dims AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS ts, 1 AS version,
+             'base' AS label FROM u
+      UNION ALL SELECT user_id, user_id * 50, 2, 'mid' FROM u
+      UNION ALL SELECT user_id, user_id * 100, 3, 'late' FROM u),
+    f AS (SELECT user_id, event_id AS ts, event_type FROM events)
+    SELECT f.user_id, f.ts, f.event_type,
+           (SELECT d.label FROM dims d
+            WHERE d.user_id = f.user_id AND d.ts <= f.ts
+            ORDER BY d.ts DESC, d.version DESC LIMIT 1) AS label
+    FROM f
+    """,
+)
+def q_asof_lookup(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): every event picks up
+    the latest user-tier version at or before its position — the
+    union-and-carry formulation (ONE hash exchange on the key, no range
+    join, plan pinned join-free in tests/test_temporal.py).  The oracle
+    states the same semantics declaratively as an argmax subquery."""
+    from reden_spark.operators.temporal import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    uid = F.col("user_id")
+    dims = (
+        users.select(
+            "user_id", F.lit(0).cast("long").alias("ts"),
+            F.lit(1).alias("version"), F.lit("base").alias("label"),
+        )
+        .unionByName(users.select(
+            "user_id", (uid * 50).cast("long").alias("ts"),
+            F.lit(2).alias("version"), F.lit("mid").alias("label"),
+        ))
+        .unionByName(users.select(
+            "user_id", (uid * 100).cast("long").alias("ts"),
+            F.lit(3).alias("version"), F.lit("late").alias("label"),
+        ))
+    )
+    facts = events.select(
+        "user_id", F.col("event_id").alias("ts"), "event_type"
+    )
+    return asof_join(
+        facts, dims, key="user_id", ts="ts", value_cols=["label"],
+        dim_order="version",
+    )
+
+
+_CHANGES_SQL = """
+  SELECT DISTINCT 'c' || CAST(o_orderkey % 131 AS VARCHAR) AS cmt,
+         'f' || CAST(o_custkey % 59 AS VARCHAR) AS path
+  FROM orders
+"""
+
+
+def _changes(spark, sf_dir):
+    """Deterministic (commit, path) change log derived from orders —
+    mirrors _CHANGES_SQL."""
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 131).cast("string"))
+        .alias("commit"),
+        F.concat(F.lit("f"), (F.col("o_custkey") % 59).cast("string"))
+        .alias("path"),
+    ).dropDuplicates(["commit", "path"])
+
+
+@query(
+    "cochange_edges",
+    f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    sz AS (SELECT cmt, count(*) AS n_files FROM ch GROUP BY 1),
+    ok AS (SELECT ch.cmt, ch.path FROM ch JOIN sz USING (cmt)
+           WHERE n_files <= 48),
+    pairs AS (SELECT a.path AS src, b.path AS dst
+              FROM ok a JOIN ok b ON a.cmt = b.cmt AND a.path < b.path)
+    SELECT src, dst, count(*) AS n_commits FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_cochange_edges(spark, sf_dir):
+    """Commit co-change edges (operators/cochange.cochange_edges): the
+    code-KG co-occurrence graph, capped at 48 files per commit (the
+    hot-commit quadratic guard; dropped commits observable via
+    commit_sizes)."""
+    from reden_spark.operators.cochange import cochange_edges
+
+    return cochange_edges(_changes(spark, sf_dir), max_files=48)
+
+
+@query(
+    "cochange_coupling",
+    f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    sz AS (SELECT cmt, count(*) AS n_files FROM ch GROUP BY 1),
+    ok AS (SELECT ch.cmt, ch.path FROM ch JOIN sz USING (cmt)
+           WHERE n_files <= 48),
+    pairs AS (SELECT a.path AS src, b.path AS dst
+              FROM ok a JOIN ok b ON a.cmt = b.cmt AND a.path < b.path),
+    edges AS (SELECT src, dst, count(*) AS n_commits FROM pairs
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+    bidi AS (SELECT src, dst, n_commits FROM edges
+             UNION ALL SELECT dst, src, n_commits FROM edges),
+    support AS (SELECT path, count(*) AS support_src FROM ok GROUP BY 1)
+    SELECT b.src, b.dst, b.n_commits, s.support_src,
+           (b.n_commits * 1000000) // s.support_src AS confidence_e6
+    FROM bidi b JOIN support s ON s.path = b.src
+    """,
+)
+def q_cochange_coupling(spark, sf_dir):
+    """Logical-coupling scores (operators/cochange.coupling_scores):
+    per directed edge, the exact integer-division confidence in
+    micro-units — of the sub-cap commits touching src, the fraction
+    that also touched dst."""
+    from reden_spark.operators.cochange import coupling_scores
+
+    return coupling_scores(_changes(spark, sf_dir), max_files=48, min_support=3)

@@ -1,0 +1,105 @@
+"""Commit co-change graph: files that change together form an edge —
+the code-KG analogue of the reference's per-document entity
+co-occurrence graph (GraphHandlerNEL.java builds mention co-occurrence
+edges per TEI context; here the "context" is a commit and the
+"mentions" are the files it touched).
+
+Co-change strength is the classic logical-coupling signal: modules
+that keep changing in the same commits are architecturally coupled
+even when no import edge connects them, so these edges enrich the
+code KG built by operators/code_extract.py.
+
+Scale shape (10^9 commits): edges come from a self-join *within* a
+commit group, which is quadratic in the commit's file count — exactly
+the hot-bucket hazard the LSH dedup family already guards.  Same cure:
+``max_files`` caps the group (a 10^4-file vendor-drop commit says
+nothing about coupling anyway — standard practice in the mining-
+software-repositories literature), with the dropped commits observable
+via `cochange_overflow`-style reporting from ``commit_sizes``.  Inside
+the cap the pair list is emitted once per commit (src < dst, so each
+unordered pair once) and the groupBy on the pair key is map-side
+combinable; a hot PAIR is a single reduce-group counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def commit_sizes(changes: DataFrame) -> DataFrame:
+    """(commit, n_files) — the cap-observability table: which commits
+    exceed ``max_files`` (and so contribute no edges) is a query, not a
+    silent drop."""
+    return changes.groupBy("commit").agg(
+        F.countDistinct("path").cast("long").alias("n_files")
+    )
+
+
+def cochange_edges(changes: DataFrame, max_files: int = 64) -> DataFrame:
+    """(src, dst, n_commits) undirected co-change edges (src < dst)
+    from a (commit, path) change log, counting how many sub-cap commits
+    touched both files."""
+    files = changes.select("commit", "path").dropDuplicates(
+        ["commit", "path"]
+    )
+    sized = files.join(
+        commit_sizes(changes).filter(F.col("n_files") <= max_files),
+        "commit",
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.commit") == F.col("b.commit"))
+        & (F.col("a.path") < F.col("b.path")),
+    ).select(
+        F.col("a.path").alias("src"),
+        F.col("b.path").alias("dst"),
+        F.col("a.commit").alias("commit"),
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_commits")
+    )
+
+
+def coupling_scores(
+    changes: DataFrame, max_files: int = 64, min_support: int = 2
+) -> DataFrame:
+    """(src, dst, n_commits, support_src, confidence_e6) — logical
+    coupling: of the commits touching ``src``, the fraction that also
+    touched ``dst`` (and symmetrically, since every edge is emitted in
+    both directions here).  Confidence is fixed-point micro-units
+    (BIGINT) so the DuckDB oracle is hash-exact."""
+    edges = cochange_edges(changes, max_files).filter(
+        F.col("n_commits") >= min_support
+    )
+    both = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "n_commits",
+        )
+    )
+    per_file = (
+        changes.select("commit", "path")
+        .dropDuplicates(["commit", "path"])
+        .join(
+            commit_sizes(changes).filter(F.col("n_files") <= max_files),
+            "commit",
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("support_src"))
+    )
+    return both.join(
+        per_file.withColumnRenamed("path", "src"), "src"
+    ).select(
+        "src",
+        "dst",
+        "n_commits",
+        "support_src",
+        # integer division (`div` / DuckDB `//`), never a double floor:
+        # exact in both engines at any magnitude
+        F.expr("(n_commits * 1000000L) div support_src")
+        .cast("long")
+        .alias("confidence_e6"),
+    )

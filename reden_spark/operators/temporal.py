@@ -1,0 +1,77 @@
+"""As-of join: attach to every fact row the latest dimension version at
+or before the fact's timestamp — the temporal-KG lookup (which label /
+owner / schema did entity X have when event Y happened?).
+
+Spark has no ASOF JOIN operator; the classic distributed formulation is
+the union-and-carry trick: tag dimension rows and fact rows, union them
+on the entity key, sort within the key by (ts, dimension-first), and
+carry the last non-null dimension value forward with
+``last(col, ignoreNulls=True)`` over an unbounded-preceding window.
+
+Scale shape (10^12 facts): ONE hash exchange on the entity key for the
+union, then a per-key sort — no range-join explosion, no broadcast of
+the fact side, and a hot entity is a single partition's linear scan.
+Contrast a naive ``fact JOIN dim ON key AND dim.ts <= fact.ts`` +
+argmax: that builds |facts| × |versions-per-key| intermediate rows;
+the carry formulation never materializes more than facts + dims.
+
+Determinism: ties (dim.ts == fact.ts) take the dimension row first —
+"at or before" — and among equal-ts dimension versions the LAST one in
+(ts, version) order wins, mirroring kg_upsert's latest-wins rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    dim_order: str | None = None,
+) -> DataFrame:
+    """facts columns + ``value_cols`` from the latest ``dims`` row per
+    ``key`` with dim.ts <= fact.ts (null when no version precedes the
+    fact).  Both inputs need (key, ts); extra fact columns pass
+    through.  ``dim_order`` breaks ties among equal-ts dimension
+    versions deterministically (largest wins); without it, equal-ts
+    versions must not disagree on ``value_cols``."""
+    fact_cols = facts.columns
+    dim_ord = F.col(dim_order) if dim_order else F.lit(0)
+    tagged_dims = dims.select(
+        key,
+        F.col(ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        dim_ord.cast("long").alias("_asof_ord"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).alias(f"_f_{c}") for c in fact_cols if c not in (key,)],
+    )
+    tagged_facts = facts.select(
+        key,
+        F.col(ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(0).cast("long").alias("_asof_ord"),
+        *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"_f_{c}") for c in fact_cols if c not in (key,)],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_asof_ts", "_asof_side", "_asof_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_dims.unionByName(tagged_facts).select(
+        key,
+        "_asof_ts",
+        "_asof_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[F.col(f"_f_{c}") for c in fact_cols if c not in (key,)],
+    )
+    return carried.filter(F.col("_asof_side") == 1).select(
+        key,
+        *[F.col(f"_f_{c}").alias(c) for c in fact_cols if c not in (key,)],
+        *value_cols,
+    )

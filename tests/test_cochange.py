@@ -1,0 +1,59 @@
+"""Commit co-change graph (operators/cochange.py): hand-checked edges,
+the max_files cap, and exact fixed-point coupling confidences."""
+
+from __future__ import annotations
+
+from reden_spark.operators.cochange import (
+    cochange_edges,
+    commit_sizes,
+    coupling_scores,
+)
+
+CHANGES = [  # (commit, path)
+    ("c1", "a.py"), ("c1", "b.py"),
+    ("c2", "a.py"), ("c2", "b.py"),
+    ("c3", "a.py"), ("c3", "b.py"), ("c3", "c.py"),
+    ("c4", "a.py"),
+    # a vendor-drop commit over the cap: contributes NO edges
+    ("big", "a.py"), ("big", "b.py"), ("big", "c.py"), ("big", "d.py"),
+    # duplicate rows must not double-count
+    ("c2", "a.py"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CHANGES, ["commit", "path"])
+
+
+def test_edges_and_cap(spark):
+    edges = {
+        (r["src"], r["dst"]): r["n_commits"]
+        for r in cochange_edges(_df(spark), max_files=3).collect()
+    }
+    assert edges == {
+        ("a.py", "b.py"): 3,
+        ("a.py", "c.py"): 1,
+        ("b.py", "c.py"): 1,
+    }
+    sizes = {
+        r["commit"]: r["n_files"]
+        for r in commit_sizes(_df(spark)).collect()
+    }
+    assert sizes == {"c1": 2, "c2": 2, "c3": 3, "c4": 1, "big": 4}
+
+
+def test_coupling_confidence_exact(spark):
+    rows = {
+        (r["src"], r["dst"]): (
+            r["n_commits"], r["support_src"], r["confidence_e6"]
+        )
+        for r in coupling_scores(
+            _df(spark), max_files=3, min_support=2
+        ).collect()
+    }
+    # only the a-b edge clears min_support=2; support counts sub-cap
+    # commits touching the file (a: c1 c2 c3 c4 = 4, b: c1 c2 c3 = 3)
+    assert rows == {
+        ("a.py", "b.py"): (3, 4, 750000),
+        ("b.py", "a.py"): (3, 3, 1000000),
+    }

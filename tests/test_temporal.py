@@ -1,0 +1,61 @@
+"""As-of join (operators/temporal.asof_join): hand-checked lookups,
+at-or-before tie semantics, deterministic version tie-break, and the
+single-exchange plan shape."""
+
+from __future__ import annotations
+
+from reden_spark.operators.temporal import asof_join
+
+DIMS = [  # (entity, ts, label, version)
+    ("e1", 10, "alpha", 1),
+    ("e1", 20, "beta", 2),
+    ("e1", 20, "beta2", 3),  # same ts — higher version must win
+    ("e2", 15, "gamma", 1),
+]
+FACTS = [  # (entity, ts, event)
+    ("e1", 5, "before-any"),
+    ("e1", 10, "at-first"),
+    ("e1", 19, "mid"),
+    ("e1", 20, "at-tie"),
+    ("e1", 99, "late"),
+    ("e2", 14, "before"),
+    ("e3", 50, "no-dim"),
+]
+
+
+def _run(spark):
+    dims = spark.createDataFrame(DIMS, ["entity", "ts", "label", "version"])
+    facts = spark.createDataFrame(FACTS, ["entity", "ts", "event"])
+    out = asof_join(
+        facts, dims, key="entity", ts="ts", value_cols=["label"],
+        dim_order="version",
+    )
+    return {r["event"]: r["label"] for r in out.collect()}, out
+
+
+def test_asof_semantics(spark):
+    got, out = _run(spark)
+    assert got == {
+        "before-any": None,   # no version at or before ts=5
+        "at-first": "alpha",  # dim.ts == fact.ts counts ("at or before")
+        "mid": "alpha",
+        "at-tie": "beta2",    # equal-ts versions: highest version wins
+        "late": "beta2",
+        "before": None,
+        "no-dim": None,       # entity with no dimension rows at all
+    }
+    assert set(out.columns) == {"entity", "ts", "event", "label"}
+    assert out.count() == len(FACTS)  # every fact survives
+
+
+def test_single_exchange_plan(spark):
+    dims = spark.createDataFrame(DIMS, ["entity", "ts", "label", "version"])
+    facts = spark.createDataFrame(FACTS, ["entity", "ts", "event"])
+    plan = (
+        asof_join(facts, dims, "entity", "ts", ["label"], "version")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the carry formulation is union + ONE hash exchange on the key +
+    # per-key sort — no join operator anywhere in the plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
