@@ -3401,3 +3401,116 @@ def q_cochange_coupling(spark, sf_dir):
     from reden_spark.operators.cochange import coupling_scores
 
     return coupling_scores(_changes(spark, sf_dir), max_files=48, min_support=3)
+
+
+# ---------------------------------------------------------------------------
+# KG quality gates: predicate schema induction + SHACL-lite validation.
+
+_KG_TRIPLES_SQL = """
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+           'status' AS pred, o_orderstatus AS obj FROM orders
+    UNION ALL
+    SELECT 'c' || CAST(o_custkey AS VARCHAR), 'homepage',
+           'http://ex.org/c/' || CAST(o_custkey AS VARCHAR)
+    FROM orders WHERE o_custkey % 5 <> 0
+    UNION ALL
+    SELECT 'c' || CAST(o_custkey AS VARCHAR), 'prio',
+           CASE WHEN o_orderkey % 11 = 0 THEN lower(o_orderpriority)
+                ELSE o_orderpriority END
+    FROM orders
+"""
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (subj, pred, obj) triples from orders: a functional
+    IRI-valued 'homepage' (absent for the %5 custkeys), a multi-valued
+    'status', and a 'prio' whose %11 orderkeys carry lowercased (regex-
+    violating) objects."""
+    orders = _read(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    status = orders.select(
+        subj.alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+    )
+    homepage = orders.filter(F.col("o_custkey") % 5 != 0).select(
+        subj.alias("subj"),
+        F.lit("homepage").alias("pred"),
+        F.concat(
+            F.lit("http://ex.org/c/"), F.col("o_custkey").cast("string")
+        ).alias("obj"),
+    )
+    prio = orders.select(
+        subj.alias("subj"),
+        F.lit("prio").alias("pred"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.lower(F.col("o_orderpriority"))
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("obj"),
+    )
+    return status.unionByName(homepage).unionByName(prio)
+
+
+@query(
+    "kg_pred_profile",
+    f"""
+    WITH t AS ({_KG_TRIPLES_SQL}),
+    per_sp AS (
+      SELECT pred, subj, count(DISTINCT obj) AS n_obj,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN regexp_matches(obj, '^[a-z][a-z0-9+.-]*://')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_iri
+      FROM t GROUP BY 1, 2)
+    SELECT pred,
+           CAST(sum(n_rows) AS BIGINT) AS n_triples,
+           CAST(count(*) AS BIGINT) AS n_subj,
+           max(n_obj) <= 1 AS functional,
+           CAST((sum(n_iri) * 1000000) // sum(n_rows) AS BIGINT)
+             AS obj_iri_frac_e6
+    FROM per_sp GROUP BY pred
+    """,
+)
+def q_kg_pred_profile(spark, sf_dir):
+    """Predicate schema induction (operators/kg_quality.pred_profile):
+    per-predicate triple/subject counts, the owl:FunctionalProperty test,
+    and the IRI-shaped-object fraction in exact integer micro-units."""
+    from reden_spark.operators.kg_quality import pred_profile
+
+    return pred_profile(_kg_triples(spark, sf_dir))
+
+
+@query(
+    "kg_validate",
+    f"""
+    WITH t AS ({_KG_TRIPLES_SQL}),
+    subs AS (SELECT DISTINCT subj FROM t),
+    has AS (SELECT DISTINCT subj FROM t WHERE pred = 'homepage'),
+    missing AS (
+      SELECT s.subj, 'homepage' AS pred, 'missing_required' AS violation
+      FROM subs s LEFT JOIN has h ON s.subj = h.subj WHERE h.subj IS NULL),
+    nonfunc AS (
+      SELECT subj, pred, 'not_functional' AS violation
+      FROM t WHERE pred IN ('status', 'homepage')
+      GROUP BY subj, pred HAVING count(DISTINCT obj) > 1),
+    bad AS (
+      SELECT DISTINCT subj, 'prio' AS pred, 'bad_object' AS violation
+      FROM t WHERE pred = 'prio'
+        AND NOT regexp_matches(obj, '^[0-9]-[A-Z ]+$'))
+    SELECT * FROM missing
+    UNION ALL SELECT * FROM nonfunc
+    UNION ALL SELECT * FROM bad
+    """,
+)
+def q_kg_validate(spark, sf_dir):
+    """SHACL-lite shape gate (operators/kg_quality.kg_validate): required-
+    predicate, functional-cardinality, and object-datatype-regex shapes;
+    violations emitted as a triage table, never an exception."""
+    from reden_spark.operators.kg_quality import kg_validate
+
+    return kg_validate(
+        _kg_triples(spark, sf_dir),
+        required_preds=["homepage"],
+        functional_preds=["status", "homepage"],
+        obj_patterns={"prio": "^[0-9]-[A-Z ]+$"},
+    )

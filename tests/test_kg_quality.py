@@ -1,0 +1,86 @@
+"""KG quality gates: predicate profiling + SHACL-lite validation
+(operators/kg_quality).  The reference loads its authority dumps
+unvalidated (GraphHandlerNEL.java:60-96); these are the constraint
+surface a 10^12-triple construction pipeline adds on top.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.kg_quality import kg_validate, pred_profile
+
+TRIPLES = [
+    # name: functional, plain literals
+    ("e1", "name", "Alice"),
+    ("e2", "name", "Bob"),
+    ("e2", "name", "Bob"),  # duplicate row, still functional (1 distinct obj)
+    # link: non-functional (e1 has two objects), IRI-shaped objects
+    ("e1", "link", "http://a.example/x"),
+    ("e1", "link", "https://a.example/y"),
+    ("e2", "link", "http://a.example/x"),
+    # year: one bad object
+    ("e1", "year", "1871"),
+    ("e3", "year", "18 71"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def test_pred_profile(spark):
+    rows = {r["pred"]: r for r in pred_profile(_df(spark)).collect()}
+    assert set(rows) == {"name", "link", "year"}
+    name = rows["name"]
+    assert (name["n_triples"], name["n_subj"], name["functional"]) == (3, 2, True)
+    assert name["obj_iri_frac_e6"] == 0
+    link = rows["link"]
+    assert (link["n_triples"], link["n_subj"], link["functional"]) == (3, 2, False)
+    assert link["obj_iri_frac_e6"] == 1_000_000
+    year = rows["year"]
+    assert year["functional"] is True
+    assert year["obj_iri_frac_e6"] == 0
+
+
+def test_kg_validate_all_shapes(spark):
+    out = kg_validate(
+        _df(spark),
+        required_preds=["name", "year"],
+        functional_preds=["name", "link"],
+        obj_patterns={"year": "^[0-9]{4}$"},
+    )
+    got = {(r["subj"], r["pred"], r["violation"]) for r in out.collect()}
+    assert got == {
+        ("e3", "name", "missing_required"),  # e3 only has year
+        ("e2", "year", "missing_required"),  # e1 has year=1871; e2 has none
+        ("e1", "link", "not_functional"),
+        ("e3", "year", "bad_object"),
+    }
+
+
+def test_kg_validate_clean_graph_is_empty(spark):
+    clean = _df(spark).filter("subj = 'e2' and pred in ('name', 'link')")
+    out = kg_validate(
+        clean,
+        required_preds=["name"],
+        functional_preds=["name", "link"],
+        obj_patterns={"link": "^https?://"},
+    )
+    assert out.count() == 0
+
+
+def test_kg_validate_violations_are_anti_joinable(spark):
+    """The documented triage pattern: clean subset = triples anti-joined
+    on violating subjects."""
+    df = _df(spark)
+    bad_subjects = (
+        kg_validate(
+            df,
+            required_preds=["name"],
+            functional_preds=["link"],
+            obj_patterns={"year": "^[0-9]{4}$"},
+        )
+        .select("subj")
+        .distinct()
+    )
+    clean = df.join(bad_subjects, "subj", "left_anti")
+    assert {r["subj"] for r in clean.select("subj").distinct().collect()} == {"e2"}
