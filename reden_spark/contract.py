@@ -3514,3 +3514,151 @@ def q_kg_validate(spark, sf_dir):
         functional_preds=["status", "homepage"],
         obj_patterns={"prio": "^[0-9]-[A-Z ]+$"},
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style URL canonicalization + URL-key dedup.
+
+_URLS_SQL = """
+    SELECT c_custkey * 3 AS rid,
+           'HTTP://WWW.Shop' || CAST(c_custkey % 7 AS VARCHAR) ||
+           '.COM:80/item/' || CAST(c_custkey % 300 AS VARCHAR) ||
+           '/?utm_source=mail&ref=abc&id=' ||
+           CAST(c_custkey % 300 AS VARCHAR) || '#frag' AS url
+    FROM customer
+    UNION ALL
+    SELECT c_custkey * 3 + 1,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'HTTPS://Shop' || CAST(c_custkey % 7 AS VARCHAR) ||
+                     '.com:443/item/' || CAST(c_custkey % 300 AS VARCHAR) ||
+                     '?id=' || CAST(c_custkey % 300 AS VARCHAR)
+                ELSE 'http://shop' || CAST(c_custkey % 7 AS VARCHAR) ||
+                     '.com/item/' || CAST(c_custkey % 300 AS VARCHAR) ||
+                     '?id=' || CAST(c_custkey % 300 AS VARCHAR)
+           END
+    FROM customer
+    UNION ALL
+    SELECT c_custkey * 3 + 2, 'not a url ' || CAST(c_custkey AS VARCHAR)
+    FROM customer WHERE c_custkey % 50 = 0
+"""
+
+# DuckDB twin of functions/text.url_canonicalize, component by component.
+_URL_CANON_SQL = """
+    p AS (
+      SELECT rid, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+          AS rest
+      FROM u),
+    q AS (
+      SELECT rid, scheme,
+        regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                       '^www\\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+          AS path,
+        array_to_string(list_filter(
+          string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+          t -> t <> '' AND NOT regexp_matches(
+                 t, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') AS cq
+      FROM p),
+    canon AS (
+      SELECT rid,
+        CASE WHEN scheme = '' THEN NULL
+             ELSE scheme || '://' || host ||
+                  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                       THEN '' ELSE ':' || port END ||
+                  path ||
+                  CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        END AS url_canon,
+        host
+      FROM q)
+"""
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL corpus from customer: per key a messy variant
+    (uppercase scheme/host, www., default port, tracking params,
+    fragment, trailing slash), a clean variant (https:443 for the %3
+    keys), and a non-URL row for the %50 keys."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c")
+    )
+    s = (F.col("c") % 7).cast("string")
+    i = (F.col("c") % 300).cast("string")
+    messy = cust.select(
+        (F.col("c") * 3).alias("rid"),
+        F.concat(
+            F.lit("HTTP://WWW.Shop"), s, F.lit(".COM:80/item/"), i,
+            F.lit("/?utm_source=mail&ref=abc&id="), i, F.lit("#frag"),
+        ).alias("url"),
+    )
+    clean = cust.select(
+        (F.col("c") * 3 + 1).alias("rid"),
+        F.when(
+            F.col("c") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Shop"), s, F.lit(".com:443/item/"), i,
+                F.lit("?id="), i,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://shop"), s, F.lit(".com/item/"), i,
+                F.lit("?id="), i,
+            )
+        )
+        .alias("url"),
+    )
+    bad = cust.filter(F.col("c") % 50 == 0).select(
+        (F.col("c") * 3 + 2).alias("rid"),
+        F.concat(F.lit("not a url "), F.col("c").cast("string")).alias("url"),
+    )
+    return messy.unionByName(clean).unionByName(bad)
+
+
+@query(
+    "url_canon",
+    f"""
+    WITH u AS ({_URLS_SQL}),
+    {_URL_CANON_SQL}
+    SELECT rid, url_canon, host FROM canon
+    """,
+)
+def q_url_canon(spark, sf_dir):
+    """C4-style URL canonicalization (functions/text.url_canonicalize):
+    scheme/host lowercasing, www. and default-port stripping, fragment
+    and tracking-param removal, trailing-slash cleanup; NULL for
+    non-URLs.  Pure per-row regex columns — no shuffle, no UDF."""
+    from reden_spark.functions.text import url_canonicalize, url_host
+
+    return _urls(spark, sf_dir).select(
+        "rid",
+        url_canonicalize(F.col("url")).alias("url_canon"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+@query(
+    "url_dedup",
+    f"""
+    WITH u AS ({_URLS_SQL}),
+    {_URL_CANON_SQL}
+    SELECT url_canon, host, CAST(count(*) AS BIGINT) AS n_dupes,
+           min(rid) AS keep_id
+    FROM canon WHERE url_canon IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    """URL-key dedup (operators/corpus_prep.url_dedup): one hash
+    aggregation on the canonical URL, keep-min-id representative —
+    the C4 §2.2 dedup granularity."""
+    from reden_spark.operators.corpus_prep import url_dedup
+
+    return url_dedup(_urls(spark, sf_dir), url_col="url", id_col="rid").select(
+        "url_canon", "host", "n_dupes", F.col("keep_id")
+    )

@@ -110,3 +110,77 @@ def char_hash_inner(tok: Column) -> Column:
         F.lit(7).cast("long"),
         lambda acc, ch: (acc * CHAR_MULT + F.ascii(ch)) % HASH_P,
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style URL canonicalization.  C4/CCNet deduplicate web documents on a
+# normalized URL key (Raffel et al. 2020 §2.2 dedups at URL granularity);
+# the reference has no web front end, so this is the added training-data
+# surface.  Pure JVM-side regex/column expressions — no UDFs — and every
+# regex is RE2-safe and anchored (at most one match), so the DuckDB oracle
+# ports with default (non-'g') regexp_replace.
+
+_SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+TRACKING_PARAM_RX = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def url_scheme(col) -> Column:
+    """Lowercased scheme of an absolute URL ('' when not an absolute URL)."""
+    return F.lower(F.regexp_extract(_c(col), _SCHEME_RX, 1))
+
+
+def url_host(col) -> Column:
+    """Canonical host: lowercased, port and leading 'www.' stripped."""
+    hostport = F.regexp_extract(_c(col), _HOSTPORT_RX, 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"^www\.", ""
+    )
+
+
+def url_canonicalize(col) -> Column:
+    """Canonical form of an absolute http(s)/ftp URL, NULL for non-URLs:
+
+      * scheme and host lowercased, leading ``www.`` stripped;
+      * default ports dropped (http:80, https:443), others kept;
+      * fragment dropped;
+      * tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+        ``ref``), remaining params kept IN ORDER (C4 dedups on the URL as
+        seen; param reordering would merge genuinely distinct keys);
+      * trailing slashes stripped from the path.
+
+    Scale shape: per-row column expressions only — no shuffle, no UDF,
+    whole-stage-codegen friendly; the dedup over the canon key is one
+    hash aggregation (operators/corpus_prep.url_dedup)."""
+    c = _c(col)
+    scheme = url_scheme(c)
+    hostport = F.regexp_extract(c, _HOSTPORT_RX, 1)
+    host = url_host(c)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rest = F.regexp_extract(c, _REST_RX, 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    clean_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RX),
+        ),
+        "&",
+    )
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(clean_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), clean_q)
+        ),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canon)

@@ -1,0 +1,101 @@
+"""Entity co-occurrence PMI: score candidate relation edges by pointwise
+mutual information over per-document entity co-mentions.
+
+The reference builds its disambiguation graph from per-context mention
+co-occurrence (GraphHandlerNEL.java's per-TEI-context edges) but never
+WEIGHTS the edges by association strength; PMI is the standard signal
+for promoting a co-occurrence into a candidate KG relation (Church &
+Hanks 1990), so this is the scoring layer a construction pipeline adds
+between mention extraction and triple emission.
+
+    pmi(a, b) = ln( P(a,b) / (P(a)·P(b)) )
+              = ln( n_ab · N / (df_a · df_b) )
+
+Determinism contract (same as operators/importance.py's micro-log λ):
+n_ab, N, df_a, df_b are exact BIGINTs; one IEEE division of two exact
+integer products, ONE ln(), then quantization to integer micro-units
+(pmi_e6) — the 1e6 step dwarfs any last-ulp JVM-vs-libm ln()
+disagreement, so the DuckDB oracle is hash-exact.
+
+Scale shape (10^12 mention rows): pair construction is delegated to
+operators/cochange.cochange_edges — a within-document self-join capped
+at ``max_ents`` entities per document (the hot-document quadratic
+guard, dropped docs observable via cochange.commit_sizes); document
+frequencies and the doc count are map-side-combinable aggregates; the
+doc-count scalar joins in as a broadcast 1-row frame, never a
+``.collect()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reden_spark.operators.cochange import cochange_edges, commit_sizes
+
+PMI_SCALE = 1_000_000
+
+
+def cooccur_pmi(
+    mentions: DataFrame,
+    id_col: str = "doc_id",
+    ent_col: str = "entity",
+    max_ents: int = 64,
+    min_pair: int = 1,
+) -> DataFrame:
+    """(src, dst, n_pair, df_src, df_dst, pmi_e6) for every unordered
+    entity pair (src < dst) co-mentioned in at least ``min_pair``
+    sub-cap documents.
+
+    The universe N and the document frequencies count ONLY sub-cap
+    documents — the same population the pairs are drawn from, so the
+    probabilities are consistent (a capped mega-document neither
+    contributes pairs nor inflates the marginals)."""
+    ctx = mentions.select(
+        F.col(id_col).alias("commit"), F.col(ent_col).alias("path")
+    )
+    pairs = (
+        cochange_edges(ctx, max_files=max_ents)
+        .filter(F.col("n_commits") >= min_pair)
+        .select(
+            F.col("src"), F.col("dst"), F.col("n_commits").alias("n_pair")
+        )
+    )
+    sub = (
+        ctx.dropDuplicates(["commit", "path"])
+        .join(
+            commit_sizes(ctx).filter(F.col("n_files") <= max_ents), "commit"
+        )
+        .select("commit", "path")
+    )
+    df_e = sub.groupBy("path").agg(F.count("*").cast("long").alias("df"))
+    n_docs = sub.select("commit").distinct().agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scored = (
+        pairs.join(
+            df_e.select(F.col("path").alias("src"), F.col("df").alias("df_src")),
+            "src",
+        )
+        .join(
+            df_e.select(F.col("path").alias("dst"), F.col("df").alias("df_dst")),
+            "dst",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return scored.select(
+        "src",
+        "dst",
+        "n_pair",
+        "df_src",
+        "df_dst",
+        F.round(
+            F.log(
+                (F.col("n_pair") * F.col("n_docs")).cast("double")
+                / (F.col("df_src") * F.col("df_dst")).cast("double")
+            )
+            * PMI_SCALE
+        )
+        .cast("long")
+        .alias("pmi_e6"),
+    )

@@ -177,3 +177,37 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-key deduplication, C4-style (Raffel et al. 2020 §2.2): group
+    rows by their canonical URL (functions/text.url_canonicalize) and
+    keep the smallest id as representative.
+
+    (url_canon, host, n_dupes, keep_id) — one row per surviving URL;
+    rows whose url fails to parse (canon NULL) are dropped, observable
+    as ``count(input) - sum(n_dupes)``.
+
+    Scale shape: per-row canonicalization (no shuffle) + ONE hash
+    aggregation on the canon key — map-side combinable, no pair lists,
+    no windows.  At 10^12 URLs the canon key is the natural partition
+    key for the downstream fetch/dedup pipeline."""
+    from reden_spark.functions.text import url_canonicalize, url_host
+
+    return (
+        df.select(
+            url_canonicalize(F.col(url_col)).alias("url_canon"),
+            url_host(F.col(url_col)).alias("host"),
+            F.col(id_col),
+        )
+        .filter(F.col("url_canon").isNotNull())
+        .groupBy("url_canon", "host")
+        .agg(
+            F.count("*").cast("long").alias("n_dupes"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

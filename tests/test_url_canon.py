@@ -1,0 +1,78 @@
+"""C4-style URL canonicalization (functions/text.url_canonicalize) and
+URL-key dedup (operators/corpus_prep.url_dedup).  C4 deduplicates web
+documents at URL granularity (Raffel et al. 2020 §2.2); the canon key
+is what makes that granularity stable across crawls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.functions.text import url_canonicalize, url_host
+from reden_spark.operators.corpus_prep import url_dedup
+
+CASES = [
+    # (raw, canon)
+    (
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=3&gclid=z#frag",
+        "http://example.com/a/b?id=3",
+    ),
+    ("https://example.com:443/", "https://example.com"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+    ("http://example.com/a?utm_campaign=only", "http://example.com/a"),
+    ("http://example.com/a?b=1&a=2", "http://example.com/a?b=1&a=2"),  # order kept
+    ("ftp://Files.Example.com/pub//", "ftp://files.example.com/pub"),
+    ("not a url at all", None),
+    ("relative/path?x=1", None),
+]
+
+
+def test_url_canonicalize_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", url_canonicalize("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Sub.Example.COM:8443/x?y#z",)], "url string"
+    )
+    assert df.select(url_host("url").alias("h")).first()["h"] == "sub.example.com"
+
+
+def test_url_dedup_merges_variants(spark):
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/?utm_source=x&id=3#f"),
+        (2, "http://example.com/a?id=3"),
+        (3, "http://example.com/a?id=4"),
+        (4, "garbage"),
+    ]
+    out = url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    by_canon = {r["url_canon"]: r for r in out}
+    assert set(by_canon) == {
+        "http://example.com/a?id=3",
+        "http://example.com/a?id=4",
+    }
+    merged = by_canon["http://example.com/a?id=3"]
+    assert (merged["n_dupes"], merged["keep_id"]) == (2, 1)
+    assert merged["host"] == "example.com"
+
+
+def test_url_canon_plan_has_no_shuffle(spark):
+    """Per-row canonicalization must stay a projection — no exchange."""
+    df = spark.createDataFrame([(1, "http://a.example/x")], "i long, url string")
+    plan = (
+        df.select(url_canonicalize("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
