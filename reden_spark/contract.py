@@ -3662,3 +3662,116 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(_urls(spark, sf_dir), url_col="url", id_col="rid").select(
         "url_canon", "host", "n_dupes", F.col("keep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity co-occurrence PMI (relation-candidate scoring).
+
+_MENTION_ENTS_SQL = """
+    SELECT l_orderkey AS doc_id,
+           'e' || CAST(l_partkey % 120 AS VARCHAR) AS entity
+    FROM lineitem
+"""
+
+
+@query(
+    "cooccur_pmi",
+    f"""
+    WITH m AS ({_MENTION_ENTS_SQL}),
+    d AS (SELECT DISTINCT doc_id, entity FROM m),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    sub AS (SELECT d.doc_id, d.entity FROM d JOIN sz USING (doc_id)
+            WHERE n <= 64),
+    pairs AS (
+      SELECT a.entity AS src, b.entity AS dst,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM sub a JOIN sub b
+        ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2),
+    dfreq AS (SELECT entity, CAST(count(*) AS BIGINT) AS df FROM sub
+              GROUP BY 1),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sub)
+    SELECT p.src, p.dst, p.n_pair, a.df AS df_src, b.df AS df_dst,
+           CAST(round(ln(CAST(p.n_pair * n_docs AS DOUBLE)
+                         / CAST(a.df * b.df AS DOUBLE)) * 1000000)
+                AS BIGINT) AS pmi_e6
+    FROM pairs p
+    JOIN dfreq a ON p.src = a.entity
+    JOIN dfreq b ON p.dst = b.entity
+    CROSS JOIN nd
+    """,
+)
+def q_cooccur_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI (operators/cooccur.cooccur_pmi): pair
+    counts from the capped within-document self-join, marginals over the
+    same sub-cap universe, one ln() of one exact integer ratio quantized
+    to micro-units (the DSIR determinism contract)."""
+    from reden_spark.operators.cooccur import cooccur_pmi
+
+    mentions = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.concat(F.lit("e"), (F.col("l_partkey") % 120).cast("string")).alias(
+            "entity"
+        ),
+    )
+    return cooccur_pmi(mentions, max_ents=64, min_pair=1)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterated degree peeling).
+
+_KCORE_EDGES_SQL = """
+    SELECT DISTINCT least(o_orderkey % 1200, o_custkey % 1200) AS src,
+           greatest(o_orderkey % 1200, o_custkey % 1200) AS dst
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 1200 <> o_custkey % 1200
+"""
+_KCORE_K = 6
+_KCORE_ROUNDS = 6  # peel depth at sf0.01 is 4; fixpoint rounds are no-ops
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling: r{i} = edges of r{i-1} whose endpoints both
+    keep degree >= k.  Rounds past the fixpoint are identity, so any
+    rounds >= the graph's peel depth yields the exact k-core."""
+    # every r{i} is referenced three times by round i+1; MATERIALIZED
+    # stops DuckDB re-inlining them (3^rounds scan explosion otherwise)
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        "r0 AS MATERIALIZED (SELECT src, dst FROM base"
+        " UNION ALL SELECT dst, src FROM base)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS (SELECT src, count(*) AS deg FROM r{i - 1} GROUP BY 1),
+    k{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+    r{i} AS MATERIALIZED (SELECT e.src, e.dst FROM r{i - 1} e
+             JOIN k{i} a ON e.src = a.src
+             JOIN k{i} b ON e.dst = b.src)"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM r{rounds} GROUP BY 1 HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_nodes", _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
+def q_kcore_nodes(spark, sf_dir):
+    """k-core decomposition (operators/kcore.kcore): the iterated
+    closure of the reference's single-pass degree prune
+    (CentralityHandler minimum-degree filter) — peel nodes of degree
+    < k until the fixpoint; oracle unrolls the same peeling."""
+    from reden_spark.operators.kcore import kcore
+
+    orders = _read(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 1200).cast("long")
+    b = (F.col("o_custkey") % 1200).cast("long")
+    edges = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)

@@ -1,0 +1,66 @@
+"""k-core decomposition: iteratively peel nodes of degree < k until a
+fixpoint — the standard dense-subgraph extraction over a constructed KG.
+
+The reference prunes its disambiguation graph by a SINGLE degree pass
+(CentralityHandler.java's minimum-degree vertex filter, mirrored in
+operators/centrality.prune_degree); the k-core is the iterated closure
+of that rule — after removing a weak node its neighbors may fall below
+k too, so one pass under-prunes.  Peeling to the fixpoint yields the
+maximal subgraph where EVERY node keeps degree ≥ k, the usual
+"trusted dense neighborhood" gate before expensive per-node scoring
+(centrality, embedding) on a web-scale graph.
+
+Scale shape (10^12 edges): each round is one groupBy on the node key +
+two semi-joins back to the edge list — all hash exchanges on the same
+key, re-used across rounds; rounds are bounded by the peel depth
+(typically < 20 even on web graphs), and the loop's only driver-side
+value is the per-round edge COUNT (a scalar, the same convergence probe
+pattern as operators/sameas.py's CC).  Each round's edge list shrinks
+monotonically, so AQE re-plans the joins as the frontier collapses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Nodes of the k-core of an undirected graph, with their in-core
+    degree: (node, deg), deg ≥ k.
+
+    ``edges`` is an undirected edge list (src, dst) with each edge
+    listed once and src ≠ dst; duplicates are collapsed.  Peeling runs
+    until the edge count is stable or ``max_rounds`` is hit (a fixed
+    ``max_rounds`` with convergence before it yields the exact k-core;
+    the contract oracle unrolls the same rounds)."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    cur = sym.persist()
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        n = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    out = (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+    return out

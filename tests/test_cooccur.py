@@ -1,0 +1,51 @@
+"""Entity co-occurrence PMI (operators/cooccur.cooccur_pmi) — hand-built
+documents with hand-computed PMI in micro-units.
+"""
+
+from __future__ import annotations
+
+import math
+
+from reden_spark.operators.cooccur import cooccur_pmi
+
+MENTIONS = [
+    (1, "A"), (1, "B"),
+    (2, "A"), (2, "B"), (2, "B"),  # duplicate mention, counted once
+    (3, "A"), (3, "C"),
+    (4, "B"),
+]
+
+
+def _df(spark, rows=MENTIONS):
+    return spark.createDataFrame(rows, "doc_id long, entity string")
+
+
+def test_cooccur_pmi_hand_values(spark):
+    out = {
+        (r["src"], r["dst"]): r for r in cooccur_pmi(_df(spark)).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C")}
+    ab = out[("A", "B")]
+    # N=4, df_A=3, df_B=3, n_AB=2 → pmi = ln(2·4 / 9)
+    assert (ab["n_pair"], ab["df_src"], ab["df_dst"]) == (2, 3, 3)
+    assert ab["pmi_e6"] == round(math.log(8 / 9) * 1e6) == -117783
+    ac = out[("A", "C")]
+    assert ac["pmi_e6"] == round(math.log(4 / 3) * 1e6) == 287682
+
+
+def test_cooccur_pmi_cap_excludes_doc_from_universe(spark):
+    """A document over max_ents contributes no pairs AND no marginals —
+    the probabilities stay consistent."""
+    rows = MENTIONS + [(5, f"Z{i}") for i in range(10)] + [(5, "A")]
+    out = {
+        (r["src"], r["dst"]): r
+        for r in cooccur_pmi(_df(spark, rows), max_ents=4).collect()
+    }
+    # doc 5 (11 entities) is capped away: identical to the base corpus
+    assert set(out) == {("A", "B"), ("A", "C")}
+    assert out[("A", "B")]["df_src"] == 3  # not 4
+
+
+def test_cooccur_pmi_min_pair(spark):
+    out = cooccur_pmi(_df(spark), min_pair=2).collect()
+    assert {(r["src"], r["dst"]) for r in out} == {("A", "B")}

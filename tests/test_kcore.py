@@ -1,0 +1,39 @@
+"""k-core peeling (operators/kcore.kcore) — hand-built graphs where the
+cascade matters (a single degree pass would under-prune).
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.kcore import kcore
+
+# K4 clique {1,2,3,4} with a tail 4-5-6 hanging off it.
+EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5), (5, 6),
+]
+
+
+def _df(spark, rows=EDGES):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_kcore_cascade(spark):
+    """k=2: node 6 (deg 1) peels first, THEN 5 drops to deg 1 and peels —
+    the two-round cascade a one-pass degree filter misses."""
+    got = {r["node"]: r["deg"] for r in kcore(_df(spark), k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_k3_keeps_clique(spark):
+    got = {r["node"]: r["deg"] for r in kcore(_df(spark), k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_too_large_k_is_empty(spark):
+    assert kcore(_df(spark), k=4).count() == 0
+
+
+def test_kcore_duplicate_edges_collapse(spark):
+    rows = EDGES + [(2, 1), (1, 2)]  # reversed + repeated
+    got = {r["node"]: r["deg"] for r in kcore(_df(spark, rows), k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
