@@ -3758,6 +3758,17 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 1200).cast("long")
+    b = (F.col("o_custkey") % 1200).cast("long")
+    return (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .distinct()
+    )
+
+
 @query("kcore_nodes", _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
 def q_kcore_nodes(spark, sf_dir):
     """k-core decomposition (operators/kcore.kcore): the iterated
@@ -3766,12 +3777,102 @@ def q_kcore_nodes(spark, sf_dir):
     < k until the fixpoint; oracle unrolls the same peeling."""
     from reden_spark.operators.kcore import kcore
 
+    return kcore(_kcore_edges(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts / clustering coefficient + SCD2 triple history.
+
+
+@query(
+    "triangle_stats",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM base
+        UNION ALL SELECT dst AS node FROM base) GROUP BY 1),
+    wd AS (
+      SELECT e.src AS a, e.dst AS b, x.deg AS dega, y.deg AS degb
+      FROM base e JOIN deg x ON e.src = x.node
+                  JOIN deg y ON e.dst = y.node),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN b ELSE a END AS v,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN degb ELSE dega END AS dv
+      FROM wd),
+    w AS (
+      SELECT x.u AS w0, x.v AS w1, y.v AS w2
+      FROM o x JOIN o y ON x.u = y.u
+        AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+    tri AS MATERIALIZED (
+      SELECT w0, w1, w2 FROM w JOIN o z ON w.w1 = z.u AND w.w2 = z.v),
+    pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT w0 AS node FROM tri
+        UNION ALL SELECT w1 FROM tri
+        UNION ALL SELECT w2 FROM tri) GROUP BY 1)
+    SELECT d.node, d.deg,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * coalesce(p.n_tri, 0) * 1000000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_e6
+    FROM deg d LEFT JOIN pn p ON d.node = p.node
+    """,
+)
+def q_triangle_stats(spark, sf_dir):
+    """Triangle counts + local clustering coefficient
+    (operators/graphstats.triangle_stats): degree-ordered edge
+    orientation (compact-forward), wedges closed once per triangle,
+    coefficient in exact integer micro-units."""
+    from reden_spark.operators.graphstats import triangle_stats
+
+    return triangle_stats(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "scd2_history",
+    """
+    WITH t AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+             'status' AS pred, o_orderstatus AS obj,
+             CAST(o_orderkey AS BIGINT) AS version
+      FROM orders),
+    f AS (
+      SELECT subj, pred, obj, version,
+             CASE WHEN lag(obj) OVER w IS NULL
+                    OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+      FROM t WINDOW w AS (PARTITION BY subj, pred ORDER BY version)),
+    g AS (
+      SELECT subj, pred, obj, version,
+             sum(chg) OVER (PARTITION BY subj, pred ORDER BY version
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM f),
+    i AS (
+      SELECT subj, pred, grp, obj,
+             CAST(min(version) AS BIGINT) AS v_from
+      FROM g GROUP BY 1, 2, 3, 4)
+    SELECT subj, pred, obj, v_from,
+           lead(v_from) OVER w2 AS v_to,
+           lead(v_from) OVER w2 IS NULL AS is_current
+    FROM i WINDOW w2 AS (PARTITION BY subj, pred ORDER BY v_from)
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals (operators/kg_maintain.scd2_history):
+    gaps-and-islands over versioned triples — object CHANGES open
+    intervals, re-assertions do not; v_to exclusive, NULL = current."""
+    from reden_spark.operators.kg_maintain import scd2_history
+
     orders = _read(spark, sf_dir, "orders")
-    a = (F.col("o_orderkey") % 1200).cast("long")
-    b = (F.col("o_custkey") % 1200).cast("long")
-    edges = (
-        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
-        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
-        .distinct()
+    triples = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderkey").cast("long").alias("version"),
     )
-    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return scd2_history(triples)

@@ -1,0 +1,110 @@
+"""Graph statistics over a constructed KG: triangle counts and local
+clustering coefficients.
+
+The reference's disambiguation scores are pure degree/centrality
+(CentralityHandler.java); triangle density is the complementary local
+signal — an entity whose neighbors also know EACH OTHER sits in a
+coherent community, a standard feature for KG edge validation and
+entity-resolution confidence.
+
+Scale shape (10^12 edges): the naive wedge join is quadratic in hub
+degree, so edges are first ORIENTED from lower to higher (degree, id)
+rank — the classic compact-forward scheme: every node's out-degree is
+then bounded by O(sqrt(m)) on skewed graphs, wedges are generated at
+the low-rank corner only, and each triangle is produced exactly once.
+Three hash joins on node keys, one explode, one groupBy — no driver
+state.  The coefficient is exact integer micro-units
+((2·tri·1e6) div (deg·(deg−1))), hash-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → canonical (a < b) distinct edges."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_tri, clustering_e6) for every node of an
+    undirected graph: degree, number of triangles through the node,
+    and the local clustering coefficient 2·tri/(deg·(deg−1)) in exact
+    integer micro-units (0 when deg < 2)."""
+    norm = _normalized(edges)
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient each edge from lower to higher (deg, id) rank; carry the
+    # head's rank key so wedge pairs can be rank-ordered without a
+    # further join
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    withdeg = norm.join(da, "a").join(db, "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            (F.col("x.dv") < F.col("y.dv"))
+            | (
+                (F.col("x.dv") == F.col("y.dv"))
+                & (F.col("x.v") < F.col("y.v"))
+            )
+        ),
+    ).select(
+        F.col("x.u").alias("w0"),
+        F.col("x.v").alias("w1"),
+        F.col("y.v").alias("w2"),
+    )
+    # the closing edge w1→w2 is oriented low→high rank, matching the
+    # wedge's rank ordering — each triangle closes exactly once
+    closer = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closer, ["w1", "w2"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("w0", "w1", "w2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_tri, 0) * 1000000L)"
+                    " div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_e6"),
+        )
+    )

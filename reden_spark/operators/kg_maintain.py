@@ -141,3 +141,47 @@ def cc_merge_delta(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
     return updated.unionByName(new_rows)
+
+
+def scd2_history(triples: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of a versioned triple
+    stream: per (subj, pred), collapse consecutive same-object versions
+    into validity intervals.
+
+    Input (subj, pred, obj, version), versions unique per (subj, pred).
+    Output (subj, pred, obj, v_from, v_to, is_current): the object held
+    from version ``v_from`` (inclusive) until ``v_to`` (exclusive, NULL
+    for the open current interval).  No-op re-assertions of the same
+    object do NOT open a new interval — the islands are object CHANGES,
+    which is what makes the history table a fraction of the raw
+    versioned log.
+
+    This is the time-travel complement of ``kg_upsert``: upsert answers
+    "what does the KG say now", scd2_history answers "what did it say
+    at version v" (``WHERE v_from <= v AND (v_to IS NULL OR v < v_to)``).
+
+    Scale shape: three window passes ALL partitioned on the same
+    (subj, pred) key — one exchange, reused; gaps-and-islands via a
+    running change-flag sum, never a self-join."""
+    w = Window.partitionBy("subj", "pred").orderBy("version")
+    flagged = triples.withColumn(
+        "chg",
+        F.when(
+            F.lag("obj").over(w).isNull()
+            | (F.lag("obj").over(w) != F.col("obj")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "grp", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("subj", "pred", "grp", "obj").agg(
+        F.min("version").cast("long").alias("v_from")
+    )
+    w2 = Window.partitionBy("subj", "pred").orderBy("v_from")
+    return islands.select(
+        "subj",
+        "pred",
+        "obj",
+        "v_from",
+        F.lead("v_from").over(w2).alias("v_to"),
+    ).withColumn("is_current", F.col("v_to").isNull())

@@ -1,0 +1,71 @@
+"""Triangle/clustering stats (operators/graphstats) and SCD2 triple
+history (operators/kg_maintain.scd2_history) — hand-computed oracles.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.graphstats import triangle_stats
+from reden_spark.operators.kg_maintain import scd2_history
+
+# K4 clique {1,2,3,4} with a tail 4-5-6 (same graph as test_kcore).
+EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5), (5, 6),
+]
+
+
+def test_triangle_stats_hand_values(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["clustering_e6"])
+        for r in triangle_stats(df).collect()
+    }
+    # K4: 4 triangles total, 3 through each clique node
+    assert got[1] == (3, 3, 1_000_000)  # 2·3/(3·2) = 1.0
+    assert got[2] == (3, 3, 1_000_000)
+    assert got[3] == (3, 3, 1_000_000)
+    assert got[4] == (4, 3, 500_000)    # 2·3/(4·3) = 0.5
+    assert got[5] == (2, 0, 0)
+    assert got[6] == (1, 0, 0)          # deg < 2 → defined as 0
+
+
+def test_triangle_stats_reversed_dup_edges(spark):
+    rows = EDGES + [(2, 1), (4, 3)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_stats(df).collect()}
+    assert got[1] == 3 and got[4] == 3
+
+
+def test_scd2_history_islands(spark):
+    rows = [
+        ("s", "p", "A", 1),
+        ("s", "p", "A", 2),  # re-assertion: no new interval
+        ("s", "p", "B", 3),
+        ("s", "p", "A", 5),  # back to A: NEW interval (not merged)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, version long"
+    )
+    got = sorted(
+        (r["obj"], r["v_from"], r["v_to"], r["is_current"])
+        for r in scd2_history(df).collect()
+    )
+    assert got == [
+        ("A", 1, 3, False),
+        ("A", 5, None, True),
+        ("B", 3, 5, False),
+    ]
+
+
+def test_scd2_as_of_lookup(spark):
+    """The documented time-travel read: value at version v."""
+    rows = [("s", "p", "A", 1), ("s", "p", "B", 4)]
+    hist = scd2_history(
+        spark.createDataFrame(
+            rows, "subj string, pred string, obj string, version long"
+        )
+    )
+    at2 = hist.filter("v_from <= 2 AND (v_to IS NULL OR 2 < v_to)")
+    assert at2.first()["obj"] == "A"
+    at9 = hist.filter("v_from <= 9 AND (v_to IS NULL OR 9 < v_to)")
+    assert at9.first()["obj"] == "B"
