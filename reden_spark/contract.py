@@ -3876,3 +3876,108 @@ def q_scd2_history(spark, sf_dir):
         F.col("o_orderkey").cast("long").alias("version"),
     )
     return scd2_history(triples)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (neighborhood Jaccard) + ER blocking (sorted neighborhood).
+
+
+@query(
+    "jaccard_link_candidates",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    adj AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src AS node, dst AS nbr FROM base
+        UNION ALL SELECT dst, src FROM base)),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj
+            GROUP BY 1),
+    ok AS (SELECT node AS nbr FROM deg WHERE deg <= 16),
+    adjf AS MATERIALIZED (
+      SELECT a.node, a.nbr FROM adj a JOIN ok USING (nbr)),
+    degf AS (SELECT node, CAST(count(*) AS BIGINT) AS degf FROM adjf
+             GROUP BY 1),
+    pairs AS (
+      SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS common
+      FROM adjf x JOIN adjf y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT p.a, p.b, p.common, da.degf AS deg_a, db.degf AS deg_b,
+           CAST((p.common * 1000000)
+                // (da.degf + db.degf - p.common) AS BIGINT) AS jaccard_e6
+    FROM pairs p JOIN degf da ON p.a = da.node
+                 JOIN degf db ON p.b = db.node
+    """,
+)
+def q_jaccard_link_candidates(spark, sf_dir):
+    """sameAs candidate generation by neighborhood Jaccard
+    (operators/linkpred.jaccard_candidates): exact Jaccard over the
+    hub-filtered graph (hub_cap=16 — the C(cap,2) quadratic guard with
+    stop-word semantics), micro-unit integer scores."""
+    from reden_spark.operators.linkpred import jaccard_candidates
+
+    return jaccard_candidates(
+        _kcore_edges(spark, sf_dir), hub_cap=16, min_common=2
+    )
+
+
+_ER_NAMES_SQL = """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 3 = 0
+                THEN upper(c_mktsegment) || '-'
+                     || CAST(c_custkey % 97 AS VARCHAR)
+                WHEN c_custkey % 3 = 1
+                THEN lower(c_mktsegment) || ' '
+                     || CAST(c_custkey % 97 AS VARCHAR)
+                ELSE c_mktsegment || '_' || CAST(c_custkey % 97 AS VARCHAR)
+           END AS name
+    FROM customer
+"""
+
+
+@query(
+    "er_blocking_pairs",
+    f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    k AS (
+      SELECT id AS id_a,
+             regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key_a
+      FROM names),
+    kb AS (SELECT id_a, key_a, substr(key_a, 1, 2) AS block FROM k),
+    led AS (
+      SELECT id_a, key_a, block,
+             lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS key1,
+             lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS key2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a))
+    SELECT id_a, id1 AS id_b, key_a, key1 AS key_b, block,
+           CAST(1 AS BIGINT) AS dist
+    FROM led WHERE id1 IS NOT NULL
+    UNION ALL
+    SELECT id_a, id2, key_a, key2, block, CAST(2 AS BIGINT)
+    FROM led WHERE id2 IS NOT NULL
+    """,
+)
+def q_er_blocking_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking
+    (operators/blocking.sorted_neighborhood_pairs): block-local sorted
+    window (w=3) over a normalized key — O(n·w) candidate pairs, no
+    global sort, deterministic id tie-break."""
+    from reden_spark.operators.blocking import sorted_neighborhood_pairs
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    return sorted_neighborhood_pairs(
+        names, name_col="name", id_col="id", window=3, block_len=2
+    )

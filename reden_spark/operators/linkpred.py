@@ -1,0 +1,98 @@
+"""Link prediction over a constructed KG: neighborhood-Jaccard scoring
+of node pairs — the candidate generator for NEW owl:sameAs / relatedTo
+edges.
+
+The reference consumes sameAs links as given (SameAsHandler.java reads
+the dumps); a construction pipeline also needs to PROPOSE links, and
+shared-neighborhood Jaccard is the standard first-pass signal (two
+entities whose KG neighborhoods largely coincide are candidates for
+fusion review).
+
+Hub semantics: pairs are generated through shared neighbors, which is
+quadratic in the intermediate's degree — the same hot-bucket hazard as
+the LSH families.  Intermediates with degree > ``hub_cap`` are excluded
+from the graph BEFORE anything else (a hub everyone touches carries no
+co-citation signal — the stop-word of graphs), so the scores are EXACT
+Jaccard over the sub-cap graph, not an approximation with silent drops;
+the excluded hubs are themselves a query (``hub_nodes``).
+
+Scale shape (10^12 edges): degree filter is one groupBy; the pair
+generator is a self-join on the intermediate key where every group is
+≤ hub_cap wide (C(cap,2) bound per intermediate); the final scoring
+join is keyed on the pair's endpoints.  All integer arithmetic —
+jaccard_e6 is exact micro-units via BIGINT div.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _adj(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → symmetric distinct (node, nbr)."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+    )
+
+
+def hub_nodes(edges: DataFrame, hub_cap: int = 64) -> DataFrame:
+    """(node, deg) for the nodes excluded by ``hub_cap`` — the
+    observability twin of the cap (no silent drops)."""
+    adj = _adj(edges)
+    return (
+        adj.groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .filter(F.col("deg") > hub_cap)
+    )
+
+
+def jaccard_candidates(
+    edges: DataFrame, hub_cap: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(a, b, common, deg_a, deg_b, jaccard_e6) for every node pair
+    (a < b) sharing ≥ ``min_common`` sub-cap neighbors: exact Jaccard
+    of the two neighborhoods in the hub-filtered graph, in integer
+    micro-units."""
+    adj = _adj(edges)
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    ok = deg.filter(F.col("deg") <= hub_cap).select(
+        F.col("node").alias("nbr")
+    )
+    adjf = adj.join(ok, "nbr")
+    degf = adjf.groupBy("node").agg(
+        F.count("*").cast("long").alias("degf")
+    )
+    x, y = adjf.alias("x"), adjf.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .select(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(degf.select(F.col("node").alias("a"),
+                               F.col("degf").alias("deg_a")), "a")
+        .join(degf.select(F.col("node").alias("b"),
+                          F.col("degf").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr("(common * 1000000L) div (deg_a + deg_b - common)")
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Neighborhood-Jaccard link prediction (operators/linkpred) and
+sorted-neighborhood ER blocking (operators/blocking) — hand oracles.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.blocking import sorted_neighborhood_pairs
+from reden_spark.operators.linkpred import hub_nodes, jaccard_candidates
+
+# a and b share neighbors {x, y}; a also has z, b only {x, y}.
+EDGES = [
+    ("a", "x"), ("a", "y"), ("a", "z"),
+    ("b", "x"), ("b", "y"),
+]
+
+
+def test_jaccard_hand_values(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {(r["a"], r["b"]): r for r in jaccard_candidates(df).collect()}
+    ab = got[("a", "b")]
+    # N(a)={x,y,z}, N(b)={x,y} → J = 2/3
+    assert (ab["common"], ab["deg_a"], ab["deg_b"]) == (2, 3, 2)
+    assert ab["jaccard_e6"] == 666_666  # (2·1e6) div 3
+    # x and y share {a, b} → J = 2/2 = 1 (both have deg 2)
+    assert got[("x", "y")]["jaccard_e6"] == 1_000_000
+
+
+def test_jaccard_hub_cap_excludes_hub(spark):
+    """A hub neighbor above the cap generates no pairs and leaves the
+    filtered degrees — and is reported by hub_nodes."""
+    rows = EDGES + [("h", n) for n in ("a", "b", "x", "y", "z")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    hubs = {r["node"]: r["deg"] for r in hub_nodes(df, hub_cap=4).collect()}
+    assert hubs == {"h": 5}
+    got = {
+        (r["a"], r["b"]): r
+        for r in jaccard_candidates(df, hub_cap=4).collect()
+    }
+    ab = got[("a", "b")]
+    # hub h excluded: same neighborhoods as the base graph
+    assert (ab["common"], ab["deg_a"], ab["deg_b"]) == (2, 3, 2)
+
+
+def test_sorted_neighborhood_pairs(spark):
+    rows = [
+        (1, "Smith, John"),
+        (2, "SMITH JOHN"),      # same key 'smithjohn'
+        (3, "smithson"),        # nearby in the same 'sm' block
+        (4, "Adams"),           # different block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = sorted_neighborhood_pairs(df, window=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # sm block sorted: smithjohn(1), smithjohn(2), smithson(3)
+    assert pairs == {(1, 2), (2, 3)}
+    row = {r["id_a"]: r for r in out.collect()}[1]
+    assert row["key_a"] == row["key_b"] == "smithjohn"
+    assert row["block"] == "sm" and row["dist"] == 1
+
+
+def test_sorted_neighborhood_window_3(spark):
+    rows = [(i, f"name{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = sorted_neighborhood_pairs(df, window=3)
+    pairs = {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
+    # all in block 'na', sorted by key: pairs at dist 1 and 2
+    assert pairs == {
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1),
+        (0, 2, 2), (1, 3, 2), (2, 4, 2),
+    }
