@@ -3981,3 +3981,48 @@ def q_er_blocking_pairs(spark, sf_dir):
     return sorted_neighborhood_pairs(
         names, name_col="name", id_col="id", window=3, block_len=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (fixed synchronous rounds).
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    lab0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM sym)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    v{i} AS (
+      SELECT e.src AS node, l.label
+      FROM sym e JOIN lab{i - 1} l ON e.dst = l.node
+      UNION ALL SELECT node, label FROM lab{i - 1}),
+    c{i} AS (SELECT node, label, count(*) AS votes FROM v{i}
+             GROUP BY 1, 2),
+    lab{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+        FROM c{i}) WHERE rn = 1)"""
+        )
+    parts.append(f"\n    SELECT node, label FROM lab{rounds}")
+    return "".join(parts)
+
+
+@query("lpa_communities", _lpa_oracle_sql(_LPA_ROUNDS))
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label propagation (operators/communities.
+    lpa_communities): fixed {_LPA_ROUNDS} rounds, (count DESC, label
+    ASC) tie-break — a pure function of the previous labeling, so the
+    unrolled oracle reproduces it exactly."""
+    from reden_spark.operators.communities import lpa_communities
+
+    return lpa_communities(_kcore_edges(spark, sf_dir), rounds=_LPA_ROUNDS)

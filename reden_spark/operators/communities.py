@@ -1,0 +1,69 @@
+"""Community detection over the constructed KG: synchronous label
+propagation (LPA, Raghavan et al. 2007) with fully deterministic
+semantics.
+
+Connected components (operators/sameas.py) give the COARSEST grouping —
+everything reachable fuses; communities are the finer structure inside
+a component (densely linked entity clusters), the standard signal for
+KG partitioning and for flagging over-merged sameAs clusters (a canon
+cluster spanning two well-separated communities is a fusion bug).
+
+Determinism contract: plain LPA is order-dependent (ties broken by
+visit order); here every round is SYNCHRONOUS and ties break by
+(count DESC, label ASC) — a pure function of the previous labeling, so
+the result is independent of partitioning and reproducible in the
+unrolled DuckDB oracle.  The round count is FIXED (a parameter, like
+the unrolled PageRank/eigenvector oracles) rather than run-to-
+convergence: synchronous LPA can 2-cycle on bipartite structure, so a
+fixed horizon is the honest contract.
+
+Scale shape (10^12 edges): each round is one join of the edge list
+against the (node, label) table + one count groupBy + one argmax
+window, all hash-partitioned on the node key; labels are the node ids
+(longs/strings), never driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """(node, label) after ``rounds`` synchronous LPA rounds over an
+    undirected edge list (src, dst); initial label = the node itself.
+    Each node adopts the most frequent label among its neighbors PLUS
+    its own current label (one self-vote — keeps isolated-ish nodes
+    stable), ties to the smallest label."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr_votes = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        self_votes = labels.select("node", "label")
+        counts = (
+            nbr_votes.unionByName(self_votes)
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("votes").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        # cut the lineage each round: an N-round loop otherwise builds an
+        # exponentially re-analyzed plan
+        labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -1,0 +1,38 @@
+"""Synchronous LPA communities (operators/communities.lpa_communities)
+— hand-traced rounds on two triangles joined by one bridge.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.communities import lpa_communities
+
+# Triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}.
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+
+
+def _df(spark, rows=EDGES):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_lpa_two_triangles_split(spark):
+    """Hand trace: round 1 all-ties resolve to min neighbor; by round 3
+    the labeling is stable at {1,2,3}→1 and {4,5,6}→4 — CC would merge
+    them, LPA keeps the bridge communities apart."""
+    got = {r["node"]: r["label"] for r in lpa_communities(_df(spark), rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_round1_matches_hand_trace(spark):
+    got = {r["node"]: r["label"] for r in lpa_communities(_df(spark), rounds=1).collect()}
+    # every vote count is 1 in round 1 → min(nbrs ∪ self) everywhere
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+
+
+def test_lpa_isolated_clique_keeps_min_label(spark):
+    got = {
+        r["node"]: r["label"]
+        for r in lpa_communities(
+            _df(spark, [(10, 11), (10, 12), (11, 12)]), rounds=3
+        ).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10}
