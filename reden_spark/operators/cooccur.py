@@ -17,13 +17,13 @@ integer products, ONE ln(), then quantization to integer micro-units
 (pmi_e6) — the 1e6 step dwarfs any last-ulp JVM-vs-libm ln()
 disagreement, so the DuckDB oracle is hash-exact.
 
-Scale shape (10^12 mention rows): pair construction is delegated to
-operators/cochange.cochange_edges — a within-document self-join capped
-at ``max_ents`` entities per document (the hot-document quadratic
-guard, dropped docs observable via cochange.commit_sizes); document
-frequencies and the doc count are map-side-combinable aggregates; the
-doc-count scalar joins in as a broadcast 1-row frame, never a
-``.collect()``.
+Scale shape (10^12 mention rows): pairs come from a within-document
+self-join over the persisted sub-cap (doc, entity) table — the same
+``max_ents``-capped construction as operators/cochange.cochange_edges
+(hot-document quadratic guard, dropped docs observable via
+cochange.commit_sizes) but built ONCE and reused by the pair join,
+the document frequencies, and the universe count; the doc-count
+scalar joins in as a broadcast 1-row frame, never a ``.collect()``.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reden_spark.operators.cochange import cochange_edges, commit_sizes
+from reden_spark.operators.cochange import commit_sizes
 
 PMI_SCALE = 1_000_000
 
@@ -54,19 +54,28 @@ def cooccur_pmi(
     ctx = mentions.select(
         F.col(id_col).alias("commit"), F.col(ent_col).alias("path")
     )
-    pairs = (
-        cochange_edges(ctx, max_files=max_ents)
-        .filter(F.col("n_commits") >= min_pair)
-        .select(
-            F.col("src"), F.col("dst"), F.col("n_commits").alias("n_pair")
-        )
-    )
+    # the sub-cap (doc, entity) table feeds the pair self-join (twice),
+    # the document frequencies, and the universe count — persist it
+    # once instead of replaying the cap join per reference (the same
+    # construction as cochange_edges' sized table, shared semantics)
     sub = (
         ctx.dropDuplicates(["commit", "path"])
         .join(
             commit_sizes(ctx).filter(F.col("n_files") <= max_ents), "commit"
         )
         .select("commit", "path")
+        .persist()
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.commit") == F.col("b.commit"))
+            & (F.col("a.path") < F.col("b.path")),
+        )
+        .groupBy(F.col("a.path").alias("src"), F.col("b.path").alias("dst"))
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
     )
     df_e = sub.groupBy("path").agg(F.count("*").cast("long").alias("df"))
     n_docs = sub.select("commit").distinct().agg(

@@ -40,12 +40,19 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     undirected graph: degree, number of triangles through the node,
     and the local clustering coefficient 2·tri/(deg·(deg−1)) in exact
     integer micro-units (0 when deg < 2)."""
-    norm = _normalized(edges)
+    # norm feeds the degree count AND the orientation join; deg feeds
+    # both endpoint joins and the final output; oriented is referenced
+    # three times (both wedge legs + the closing edge).  Persist each —
+    # Spark's exchange reuse does not fire across differently-aliased
+    # branches, so without these the edge scan replays per reference
+    # (17 scans measured at sf0.1).
+    norm = _normalized(edges).persist()
     deg = (
         norm.select(F.col("a").alias("node"))
         .unionByName(norm.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
     )
     # orient each edge from lower to higher (deg, id) rank; carry the
     # head's rank key so wedge pairs can be rank-ordered without a
@@ -60,7 +67,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
-    )
+    ).persist()
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
         y,

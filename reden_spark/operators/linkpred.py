@@ -59,15 +59,20 @@ def jaccard_candidates(
     (a < b) sharing ≥ ``min_common`` sub-cap neighbors: exact Jaccard
     of the two neighborhoods in the hub-filtered graph, in integer
     micro-units."""
-    adj = _adj(edges)
+    # adj feeds the degree count and the filtered adjacency; adjf feeds
+    # the filtered degrees and BOTH legs of the pair join; degf joins
+    # twice.  Persist each — exchange reuse does not fire across
+    # aliased branches, so the edge scan would otherwise replay per
+    # reference (16 scans measured at sf0.1 before these).
+    adj = _adj(edges).persist()
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
     ok = deg.filter(F.col("deg") <= hub_cap).select(
         F.col("node").alias("nbr")
     )
-    adjf = adj.join(ok, "nbr")
+    adjf = adj.join(ok, "nbr").persist()
     degf = adjf.groupBy("node").agg(
         F.count("*").cast("long").alias("degf")
-    )
+    ).persist()
     x, y = adjf.alias("x"), adjf.alias("y")
     pairs = (
         x.join(
