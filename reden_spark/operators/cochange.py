@@ -36,17 +36,29 @@ def commit_sizes(changes: DataFrame) -> DataFrame:
     )
 
 
+def subcap_files(changes: DataFrame, max_files: int = 64) -> DataFrame:
+    """Distinct (commit, path) rows of the sub-cap commits — the shared
+    input of the edge self-join and the per-file support counts.
+    Persisted: it is referenced two to three times downstream and
+    Spark's exchange reuse does not fire across aliased branches (the
+    change log would otherwise re-scan per reference)."""
+    files = changes.select("commit", "path").dropDuplicates(
+        ["commit", "path"]
+    )
+    return files.join(
+        commit_sizes(changes).filter(F.col("n_files") <= max_files),
+        "commit",
+    ).select("commit", "path").persist()
+
+
 def cochange_edges(changes: DataFrame, max_files: int = 64) -> DataFrame:
     """(src, dst, n_commits) undirected co-change edges (src < dst)
     from a (commit, path) change log, counting how many sub-cap commits
     touched both files."""
-    files = changes.select("commit", "path").dropDuplicates(
-        ["commit", "path"]
-    )
-    sized = files.join(
-        commit_sizes(changes).filter(F.col("n_files") <= max_files),
-        "commit",
-    )
+    return _edges_from(subcap_files(changes, max_files))
+
+
+def _edges_from(sized: DataFrame) -> DataFrame:
     a, b = sized.alias("a"), sized.alias("b")
     pairs = a.join(
         b,
@@ -70,9 +82,8 @@ def coupling_scores(
     touched ``dst`` (and symmetrically, since every edge is emitted in
     both directions here).  Confidence is fixed-point micro-units
     (BIGINT) so the DuckDB oracle is hash-exact."""
-    edges = cochange_edges(changes, max_files).filter(
-        F.col("n_commits") >= min_support
-    )
+    sized = subcap_files(changes, max_files)
+    edges = _edges_from(sized).filter(F.col("n_commits") >= min_support)
     both = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"),
@@ -80,15 +91,8 @@ def coupling_scores(
             "n_commits",
         )
     )
-    per_file = (
-        changes.select("commit", "path")
-        .dropDuplicates(["commit", "path"])
-        .join(
-            commit_sizes(changes).filter(F.col("n_files") <= max_files),
-            "commit",
-        )
-        .groupBy("path")
-        .agg(F.count("*").cast("long").alias("support_src"))
+    per_file = sized.groupBy("path").agg(
+        F.count("*").cast("long").alias("support_src")
     )
     return both.join(
         per_file.withColumnRenamed("path", "src"), "src"

@@ -71,19 +71,29 @@ def kg_validate(
     Violations are data, not exceptions: the gate's output joins back
     to provenance for triage and the clean subset is an anti-join away.
 
-    Scale shape: one exchange on subj for the required/functional
-    shapes (same key, reused); the regex shape is a pure per-row
-    filter with no shuffle at all."""
-    subs = triples.select("subj").distinct()
+    Scale shape: ONE scan + one subj exchange covers ALL required
+    predicates (collect-set + array_except, not an anti-join per
+    predicate); one (subj, pred) exchange covers all functional
+    shapes; all regex shapes fold into a single per-row OR filter —
+    the triple table is read three times total, independent of how
+    many shapes are declared."""
     missing = None
-    for p in required_preds:
-        has = triples.filter(F.col("pred") == p).select("subj").distinct()
-        m = subs.join(has, "subj", "left_anti").select(
+    if required_preds:
+        req = F.array(*[F.lit(p) for p in required_preds])
+        have = triples.groupBy("subj").agg(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col("pred").isin(*required_preds), F.col("pred")
+                    )
+                )
+            ).alias("have")
+        )
+        missing = have.select(
             "subj",
-            F.lit(p).alias("pred"),
+            F.explode(F.array_except(req, F.col("have"))).alias("pred"),
             F.lit("missing_required").alias("violation"),
         )
-        missing = m if missing is None else missing.unionByName(m)
     nonfunc = (
         triples.filter(F.col("pred").isin(*functional_preds))
         .groupBy("subj", "pred")
@@ -94,18 +104,18 @@ def kg_validate(
         else None
     )
     bad = None
-    for p, rx in obj_patterns.items():
-        b = (
-            triples.filter(
-                (F.col("pred") == p) & ~F.col("obj").rlike(rx)
-            )
+    if obj_patterns:
+        cond = None
+        for p, rx in obj_patterns.items():
+            c = (F.col("pred") == p) & ~F.col("obj").rlike(rx)
+            cond = c if cond is None else cond | c
+        bad = (
+            triples.filter(cond)
             .select(
-                "subj", F.lit(p).alias("pred"),
-                F.lit("bad_object").alias("violation"),
+                "subj", "pred", F.lit("bad_object").alias("violation")
             )
             .dropDuplicates(["subj", "pred", "violation"])
         )
-        bad = b if bad is None else bad.unionByName(b)
     out = None
     for part in (missing, nonfunc, bad):
         if part is not None:
