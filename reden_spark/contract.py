@@ -4026,3 +4026,67 @@ def q_lpa_communities(spark, sf_dir):
     from reden_spark.operators.communities import lpa_communities
 
     return lpa_communities(_kcore_edges(spark, sf_dir), rounds=_LPA_ROUNDS)
+
+
+@query(
+    "er_pair_scores",
+    f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    k AS (
+      SELECT id AS id_a,
+             regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key_a
+      FROM names),
+    kb AS (SELECT id_a, key_a, substr(key_a, 1, 2) AS block FROM k),
+    led AS (
+      SELECT id_a, key_a, block,
+             lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS key1,
+             lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS key2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)),
+    pairs AS (
+      SELECT id_a, id1 AS id_b, key_a, key1 AS key_b, block,
+             CAST(1 AS BIGINT) AS dist
+      FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, id2, key_a, key2, block, CAST(2 AS BIGINT)
+      FROM led WHERE id2 IS NOT NULL)
+    SELECT id_a, id_b, key_a, key_b, block, dist,
+           CAST(levenshtein(key_a, key_b) AS BIGINT) AS edit_dist,
+           CAST(CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                     THEN 1000000
+                     ELSE ((greatest(length(key_a), length(key_b))
+                            - levenshtein(key_a, key_b)) * 1000000)
+                          // greatest(length(key_a), length(key_b))
+                END AS BIGINT) AS sim_e6
+    FROM pairs
+    """,
+)
+def q_er_pair_scores(spark, sf_dir):
+    """ER candidate scoring (operators/blocking.er_scores): Levenshtein
+    edit distance + length-normalized similarity in exact micro-units
+    over the sorted-neighborhood pairs — per-row JVM expressions, no
+    extra shuffle."""
+    from reden_spark.operators.blocking import (
+        er_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    return er_scores(
+        sorted_neighborhood_pairs(
+            names, name_col="name", id_col="id", window=3, block_len=2
+        )
+    )

@@ -76,3 +76,36 @@ def sorted_neighborhood_pairs(
         "block",
         (F.col("pos") + 1).cast("long").alias("dist"),
     )
+
+
+def er_scores(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+) -> DataFrame:
+    """Score blocking candidate pairs: Levenshtein edit distance on the
+    normalized keys plus a length-normalized similarity in exact
+    integer micro-units —
+
+        sim_e6 = (1 − dist / max(len_a, len_b)) · 1e6, integer div
+
+    (1e6 exactly when the keys are equal; 0 when nothing matches).
+    Pure per-row JVM expressions appended to the pair stream — no
+    shuffle of its own; the match DECISION (threshold + clustering via
+    the engine's connected components) is downstream policy."""
+    d = F.levenshtein(F.col(key_a), F.col(key_b))
+    mx = F.greatest(F.length(key_a), F.length(key_b))
+    return pairs.select(
+        "*",
+        d.cast("long").alias("edit_dist"),
+        F.when(mx == 0, F.lit(1_000_000))
+        .otherwise(
+            F.expr(
+                f"((greatest(length({key_a}), length({key_b}))"
+                f" - levenshtein({key_a}, {key_b})) * 1000000L)"
+                f" div greatest(length({key_a}), length({key_b}))"
+            )
+        )
+        .cast("long")
+        .alias("sim_e6"),
+    )

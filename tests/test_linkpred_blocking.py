@@ -68,3 +68,18 @@ def test_sorted_neighborhood_window_3(spark):
         (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1),
         (0, 2, 2), (1, 3, 2), (2, 4, 2),
     }
+
+
+def test_er_scores_hand_values(spark):
+    from reden_spark.operators.blocking import er_scores
+
+    rows = [
+        (1, 2, "smithjohn", "smithjohn"),
+        (3, 4, "smithjohn", "smithjon"),   # one deletion
+        (5, 6, "abc", "xyz"),              # nothing shared
+    ]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, key_a string, key_b string")
+    got = {r["id_a"]: (r["edit_dist"], r["sim_e6"]) for r in er_scores(df).collect()}
+    assert got[1] == (0, 1_000_000)
+    assert got[3] == (1, 888_888)  # (9-1)·1e6 div 9
+    assert got[5] == (3, 0)
