@@ -4090,3 +4090,55 @@ def q_er_pair_scores(spark, sf_dir):
             names, name_col="name", id_col="id", window=3, block_len=2
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distances (path queries).
+
+_BFS_HOPS = 6
+
+
+def _bfs_oracle_sql(hops: int) -> str:
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM sym WHERE src % 50 = 0)""",
+    ]
+    for h in range(1, hops + 1):
+        prev = f"d{h - 1}" if h == 1 else f"v{h - 1}"
+        parts.append(
+            f""",
+    f{h} AS (
+      SELECT DISTINCT e.dst AS node FROM sym e
+      JOIN {prev} p ON e.src = p.node
+      {"WHERE p.dist = " + str(h - 1) if h > 1 else ""}),
+    n{h} AS (
+      SELECT f.node, CAST({h} AS BIGINT) AS dist FROM f{h} f
+      LEFT JOIN {prev} v ON f.node = v.node WHERE v.node IS NULL),
+    v{h} AS MATERIALIZED (
+      SELECT node, dist FROM {prev} UNION ALL SELECT node, dist FROM n{h})"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM v{hops}")
+    return "".join(parts)
+
+
+@query("bfs_distances", _bfs_oracle_sql(_BFS_HOPS))
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (operators/paths.bfs_distances): hop distance
+    to the nearest seed (the %50 nodes), frontier-join per hop with a
+    visited anti-join — the seed-distance feature that approximates
+    closeness at scale."""
+    from reden_spark.operators.paths import bfs_distances
+
+    edges = _kcore_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS)

@@ -1,0 +1,64 @@
+"""Path queries over the constructed KG: multi-source BFS shortest-hop
+distances.
+
+The reference computes closeness via per-context BFS inside JGraphT
+(CentralityHandler.java) but exposes no standalone distance query; a
+construction pipeline needs one constantly — "how far is this entity
+from the nearest AUTHORITY-anchored node" is the usual trust/locality
+feature, and seed-distance is also the cheap approximation that makes
+closeness affordable at scale (distance to a seed SAMPLE instead of
+all-pairs).
+
+Scale shape (10^12 edges): classic frontier BFS — each hop is one join
+of the CURRENT frontier (shrinking) against the edge list plus one
+anti-join against the visited set, both hash-partitioned on the node
+key; hops are bounded by ``max_hops`` and stop early on an empty
+frontier (the only driver-side value is the frontier COUNT scalar).
+Visited/frontier persist per hop, lineage cut like the CC loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """(node, dist) — minimum hop count from any seed over the
+    undirected graph ``edges`` (src, dst), for every node within
+    ``max_hops`` of a seed.  ``seeds`` is a (node) frame; seeds are at
+    distance 0.  Unreached nodes are absent (policy, not NULL-filled:
+    the caller left-joins and fills if it wants sentinels)."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select("node").distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("dist"))
+            .persist()
+        )
+        if new.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return visited

@@ -1,0 +1,48 @@
+"""Multi-source BFS distances (operators/paths.bfs_distances)."""
+
+from __future__ import annotations
+
+from reden_spark.operators.paths import bfs_distances
+
+CHAIN = [(1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def _g(spark, rows=CHAIN):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _seeds(spark, *nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_chain_from_one_seed(spark):
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_g(spark), _seeds(spark, 1)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_min_over_two_seeds(spark):
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_g(spark), _seeds(spark, 1, 5)).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_max_hops_truncates(spark):
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_g(spark), _seeds(spark, 1), max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 and 5 beyond the horizon
+
+
+def test_bfs_unreachable_absent(spark):
+    rows = CHAIN + [(10, 11)]  # disconnected island
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_g(spark, rows), _seeds(spark, 1)).collect()
+    }
+    assert 10 not in got and 11 not in got and got[5] == 4
