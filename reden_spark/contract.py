@@ -3989,7 +3989,7 @@ def q_er_blocking_pairs(spark, sf_dir):
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle_sql(rounds: int) -> str:
+def _lpa_oracle_sql(rounds: int, final: str | None = None) -> str:
     parts = [
         f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
         """
@@ -4013,7 +4013,7 @@ def _lpa_oracle_sql(rounds: int) -> str:
           PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
         FROM c{i}) WHERE rn = 1)"""
         )
-    parts.append(f"\n    SELECT node, label FROM lab{rounds}")
+    parts.append(final or f"\n    SELECT node, label FROM lab{rounds}")
     return "".join(parts)
 
 
@@ -4142,3 +4142,88 @@ def q_bfs_distances(spark, sf_dir):
         .distinct()
     )
     return bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# KG snapshot diff + community summary (quotient graph).
+
+_KG_OLD_SQL = """
+    SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS subj, 'prio' AS pred,
+           o_orderpriority AS obj
+    FROM orders WHERE o_orderkey % 7 <> 0
+"""
+_KG_NEW_SQL = """
+    SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS subj, 'prio' AS pred,
+           CASE WHEN o_orderkey % 3 = 0 THEN lower(o_orderpriority)
+                ELSE o_orderpriority END AS obj
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+@query(
+    "kg_snapshot_diff",
+    f"""
+    WITH o AS ({_KG_OLD_SQL}), n AS ({_KG_NEW_SQL}),
+    a AS (
+      SELECT n.subj, n.pred, n.obj FROM n
+      LEFT JOIN o ON n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj
+      WHERE o.subj IS NULL),
+    r AS (
+      SELECT o.subj, o.pred, o.obj FROM o
+      LEFT JOIN n ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+      WHERE n.subj IS NULL)
+    SELECT subj, pred, obj, 'added' AS op FROM a
+    UNION ALL SELECT subj, pred, obj, 'removed' FROM r
+    """,
+)
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/kg_maintain.kg_diff): triple-level
+    added/removed audit between two dump versions — two anti-joins on
+    the full triple key."""
+    from reden_spark.operators.kg_maintain import kg_diff
+
+    orders = _read(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        subj.alias("subj"),
+        F.lit("prio").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        subj.alias("subj"),
+        F.lit("prio").alias("pred"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.lower(F.col("o_orderpriority"))
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("obj"),
+    )
+    return kg_diff(old, new)
+
+
+_COMMUNITY_SUMMARY_FINAL = f""",
+    lab AS (SELECT node, label FROM lab{_LPA_ROUNDS})
+    SELECT least(la.label, lb.label) AS ca,
+           greatest(la.label, lb.label) AS cb,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM base e JOIN lab la ON e.src = la.node
+                JOIN lab lb ON e.dst = lb.node
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "community_summary",
+    _lpa_oracle_sql(_LPA_ROUNDS, final=_COMMUNITY_SUMMARY_FINAL),
+)
+def q_community_summary(spark, sf_dir):
+    """Quotient graph (operators/communities.community_summary): the
+    LPA labeling collapsed to community-pair edge counts — the
+    materialization a 10^12-edge KG gets for interactive use."""
+    from reden_spark.operators.communities import (
+        community_summary,
+        lpa_communities,
+    )
+
+    edges = _kcore_edges(spark, sf_dir)
+    return community_summary(edges, lpa_communities(edges, rounds=_LPA_ROUNDS))

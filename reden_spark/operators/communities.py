@@ -67,3 +67,31 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
         # exponentially re-analyzed plan
         labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def community_summary(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Quotient (super-) graph of a labeling: one row per unordered
+    community pair (ca <= cb) with the number of distinct underlying
+    edges between them — ca = cb rows are the intra-community edge
+    counts.  ``labels`` is (node, label), e.g. ``lpa_communities``
+    output; the summary is the graph a 10^12-edge KG gets MATERIALIZED
+    as for interactive exploration (communities, not nodes, as
+    vertices).
+
+    Scale shape: two keyed joins to translate endpoints + one groupBy
+    on the community pair — no self-joins, no windows."""
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    return (
+        e.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("la", "lb").alias("ca"),
+            F.greatest("la", "lb").alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )

@@ -185,3 +185,26 @@ def scd2_history(triples: DataFrame) -> DataFrame:
         "v_from",
         F.lead("v_from").over(w2).alias("v_to"),
     ).withColumn("is_current", F.col("v_to").isNull())
+
+
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Triple-level diff of two KG snapshots: (subj, pred, obj, op)
+    with op = 'added' (in ``new`` only) or 'removed' (in ``old``
+    only); unchanged triples are absent — the diff IS the changes,
+    which keeps it a fraction of either snapshot.
+
+    The run-level complement of ``kg_upsert`` (which merges and
+    classifies per (subj, pred)); this one answers "what exactly did
+    this dump version change", the audit table for authority-dump
+    refreshes (the reference re-derefs its dumps blind,
+    QuerySource.java — diffing the materialized snapshots is how a
+    pipeline notices upstream drift).
+
+    Scale shape: two anti-joins on the full (subj, pred, obj) key —
+    one exchange each, map-side combinable, no windows."""
+    cols = ["subj", "pred", "obj"]
+    added = new.select(cols).join(old.select(cols), cols, "left_anti")
+    removed = old.select(cols).join(new.select(cols), cols, "left_anti")
+    return added.select(*cols, F.lit("added").alias("op")).unionByName(
+        removed.select(*cols, F.lit("removed").alias("op"))
+    )

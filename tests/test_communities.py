@@ -36,3 +36,18 @@ def test_lpa_isolated_clique_keeps_min_label(spark):
         ).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_community_summary_quotient(spark):
+    from reden_spark.operators.communities import (
+        community_summary,
+        lpa_communities,
+    )
+
+    df = _df(spark)  # two triangles + bridge
+    labels = lpa_communities(df, rounds=4)  # {1,2,3}→1, {4,5,6}→4
+    got = {
+        (r["ca"], r["cb"]): r["n_edges"]
+        for r in community_summary(df, labels).collect()
+    }
+    assert got == {(1, 1): 3, (4, 4): 3, (1, 4): 1}

@@ -131,3 +131,23 @@ def test_cc_merge_bridges_two_base_components(spark):
         for r in cc_merge_delta(connected_components(base), delta).collect()
     }
     assert set(got.values()) == {"b1"}
+
+
+def test_kg_diff_added_removed_changed(spark):
+    from reden_spark.operators.kg_maintain import kg_diff
+
+    old = spark.createDataFrame(
+        [("s1", "p", "A"), ("s2", "p", "B"), ("s3", "p", "C")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("s1", "p", "A"), ("s2", "p", "B2"), ("s4", "p", "D")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["subj"], r["obj"], r["op"]) for r in kg_diff(old, new).collect()}
+    assert got == {
+        ("s2", "B2", "added"),   # value change = remove + add at triple grain
+        ("s2", "B", "removed"),
+        ("s4", "D", "added"),
+        ("s3", "C", "removed"),
+    }  # s1 unchanged → absent
