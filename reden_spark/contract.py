@@ -4227,3 +4227,58 @@ def q_community_summary(spark, sf_dir):
 
     edges = _kcore_edges(spark, sf_dir)
     return community_summary(edges, lpa_communities(edges, rounds=_LPA_ROUNDS))
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram + exact token deciles (profiling surfaces).
+
+
+@query(
+    "degree_histogram",
+    f"""
+    WITH base AS ({_KCORE_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM base
+        UNION ALL SELECT dst AS node FROM base) GROUP BY 1)
+    SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(deg) AS min_deg, max(deg) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution
+    (operators/graphstats.degree_histogram): binary-digit-count
+    buckets — integer-exact, no floating log."""
+    from reden_spark.operators.graphstats import degree_histogram
+
+    return degree_histogram(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "token_deciles",
+    """
+    WITH t AS (
+      SELECT doc_id AS id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    d AS (
+      SELECT id, n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, id) AS decile
+      FROM t)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM d GROUP BY 1
+    """,
+)
+def q_token_deciles(spark, sf_dir):
+    """Exact token-count deciles (operators/corpus_prep.token_deciles):
+    deterministic NTILE over (n_tokens, id) — the one order-dependent
+    statistic, sorting two longs per doc, never the text."""
+    from reden_spark.operators.corpus_prep import token_deciles
+
+    return token_deciles(_read(spark, sf_dir, "documents"))

@@ -211,3 +211,46 @@ def url_dedup(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def token_deciles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-count deciles of a corpus: (decile, n_docs,
+    min_tokens, max_tokens, sum_tokens), decile = NTILE(10) over the
+    (n_tokens, id) order — the id tie-break makes the assignment
+    deterministic under any partitioning.
+
+    Scale shape: NTILE needs a total order, which Spark executes as ONE
+    range-partitioned sort of (n_tokens, id) pairs — two longs per
+    document, NOT the text (projected away first), so even a 10^12-doc
+    corpus sorts ~16 TB of keys, the one genuinely order-dependent
+    statistic this engine ships.  For approximate profiling at higher
+    scale, bucket on n_tokens directly (degree_histogram-style)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = W.orderBy("n_tokens", "id")
+    return (
+        toks.select("id", "n_tokens", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs", "min_tokens", "max_tokens", "sum_tokens",
+        )
+    )

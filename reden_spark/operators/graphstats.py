@@ -115,3 +115,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering_e6"),
         )
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution: (bucket, n_nodes, min_deg,
+    max_deg) with bucket = ⌊log2(deg)⌋ + 1, computed as the BINARY
+    DIGIT COUNT (length(bin(deg))) — pure integer arithmetic, no
+    floating log whose last-ulp could flip the floor at exact powers
+    of two.  The first look at any new edge dump: a power-law tail
+    says "salt these keys before joining".
+
+    Scale shape: one degree groupBy + one bucket groupBy."""
+    norm = _normalized(edges)
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return (
+        deg.select("deg", F.length(F.bin("deg")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+    )

@@ -122,3 +122,17 @@ def test_dedup_clusters_pad_survives_1e9_ids(spark):
     assert rows["d0000999999999"].keep == 1
     assert rows["d0001000000000"].keep == 0
     assert rows["d0001000000000"].cluster == "d0000999999999"
+
+
+def test_token_deciles_exact(spark):
+    from reden_spark.operators.corpus_prep import token_deciles
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    got = {r["decile"]: r for r in token_deciles(docs).collect()}
+    assert set(got) == set(range(1, 11))
+    # 20 docs → 2 per decile, sorted by n_tokens: decile 1 = {1,2} tokens
+    assert (got[1]["n_docs"], got[1]["min_tokens"], got[1]["max_tokens"]) == (2, 1, 2)
+    assert (got[10]["min_tokens"], got[10]["max_tokens"], got[10]["sum_tokens"]) == (19, 20, 39)

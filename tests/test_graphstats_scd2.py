@@ -69,3 +69,14 @@ def test_scd2_as_of_lookup(spark):
     assert at2.first()["obj"] == "A"
     at9 = hist.filter("v_from <= 9 AND (v_to IS NULL OR 9 < v_to)")
     assert at9.first()["obj"] == "B"
+
+
+def test_degree_histogram_buckets(spark):
+    from reden_spark.operators.graphstats import degree_histogram
+
+    # star: hub 0 with 5 leaves → hub deg 5 (bucket 3: 101), leaves deg 1
+    rows = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["bucket"]: (r["n_nodes"], r["min_deg"], r["max_deg"])
+           for r in degree_histogram(df).collect()}
+    assert got == {1: (5, 1, 1), 3: (1, 5, 5)}
