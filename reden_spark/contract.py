@@ -3555,8 +3555,9 @@ _URL_CANON_SQL = """
       FROM u),
     q AS (
       SELECT rid, scheme,
-        regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
-                       '^www\\.', '') AS host,
+        regexp_replace(lower(regexp_replace(
+          regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]+$', '')),
+          '^www\\.', '') AS host,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
           AS path,

@@ -132,8 +132,11 @@ def url_scheme(col) -> Column:
 
 
 def url_host(col) -> Column:
-    """Canonical host: lowercased, port and leading 'www.' stripped."""
-    hostport = F.regexp_extract(_c(col), _HOSTPORT_RX, 1)
+    """Canonical host: lowercased, userinfo ('user:pass@'), port and
+    leading 'www.' stripped."""
+    hostport = F.regexp_replace(
+        F.regexp_extract(_c(col), _HOSTPORT_RX, 1), r"^[^@]*@", ""
+    )
     return F.regexp_replace(
         F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"^www\.", ""
     )
