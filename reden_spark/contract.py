@@ -2534,6 +2534,31 @@ def q_bm25_search_analyzed(spark, sf_dir):
     )
 
 
+@query(
+    "phrase_search",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    g AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS gram
+      FROM toks)
+    SELECT doc_id, count(*) AS n_hits
+    FROM g WHERE gram = 'table part' GROUP BY 1
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase matching (operators/search.phrase_search) — the
+    PhraseQuery half of the reference's Lucene surface (its candidate
+    lookup issues quoted exact-name queries; Indexing.java builds the
+    index).  Per-document occurrence counts of the consecutive bigram
+    'table part' over the documents table; sliding lead() window, so
+    overlapping occurrences count like Lucene's."""
+    from reden_spark.operators.search import phrase_search
+
+    return phrase_search(_read(spark, sf_dir, "documents"), "table part")
+
+
 def _hyperplane_bucket_sql(planes_t, vec: str = "v") -> str:
     """SQL twin of operators/similarity.hyperplane_bucket: same plane
     literals (integer-valued doubles), same sequential-fold projection —

@@ -115,3 +115,55 @@ def bm25_search(index: BM25Index, queries: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "whitespace",
+) -> DataFrame:
+    """Exact phrase matching — the PhraseQuery half of the Lucene
+    surface (the reference's candidate lookup issues quoted exact-name
+    queries against its Lucene index; keyword/BM25 ranking above covers
+    the unquoted form).
+
+    (doc_id, n_hits): documents containing the analyzed ``phrase`` as a
+    CONSECUTIVE token run, with the occurrence count.
+
+    Spark-first: no positional index — tokenize, slide a lead() window
+    of the phrase length, compare the joined n-gram to the analyzed
+    phrase.  One (doc) exchange for the window; the phrase constant is
+    a plan literal.  Matching the reference's index-time analyzer is a
+    parameter, like bm25_index."""
+    terms = [t for t in _analyze_py(phrase, analyzer) if t]
+    assert terms, "phrase must contain at least one token"
+    n = len(terms)
+    target = " ".join(terms)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(analyze_terms(F.col(text_col), analyzer)).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", d).over(w) for d in range(1, n)]
+    )
+    last = F.lead("tok", n - 1).over(w) if n > 1 else F.col("tok")
+    return (
+        toks.select("doc_id", gram.alias("gram"), last.alias("last"))
+        .filter(F.col("last").isNotNull() & (F.col("gram") == target))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def _analyze_py(text: str, analyzer: str) -> list[str]:
+    """Driver-side twin of analyze_terms for the query constant."""
+    if analyzer == "standard":
+        import re
+
+        return re.split(r"[^a-z0-9]+", text.lower())
+    return text.split(" ")

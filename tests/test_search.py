@@ -111,3 +111,56 @@ def test_bm25_plan_broadcasts_queries(spark, index):
     )  # noqa: SLF001 — plan-shape assertion
     assert "BroadcastHashJoin" in explained
     assert "CartesianProduct" not in explained
+
+
+def test_phrase_search_consecutive_runs(spark):
+    """PhraseQuery semantics: tokens must be CONSECUTIVE, occurrences
+    counted per document (Lucene PhraseQuery with slop 0 — the quoted
+    exact-name form the reference's candidate lookup issues)."""
+    from reden_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "big table part scan"),          # one hit
+            (1, "table part table part value"),  # two hits
+            (2, "table big part"),               # non-consecutive → no hit
+            (3, "part table"),                   # wrong order → no hit
+            (4, "table part"),                   # exact doc == phrase
+            (5, ""),                             # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in phrase_search(docs, "table part").collect()}
+    assert got == {0: 1, 1: 2, 4: 1}
+
+
+def test_phrase_search_overlapping_occurrences(spark):
+    from reden_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_hits for r in phrase_search(docs, "a a").collect()}
+    assert got == {0: 3}  # sliding window counts overlaps, like Lucene
+
+
+def test_phrase_search_single_term_and_analyzer(spark):
+    from reden_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "We visited Paris, then Grand Paris."), (1, "grand paris only"),
+         (2, "paris grand")],
+        "doc_id long, text string",
+    )
+    # standard analyzer folds case + punctuation: "Grand Paris." == "grand paris"
+    got = {
+        r.doc_id: r.n_hits
+        for r in phrase_search(docs, "Grand Paris", analyzer="standard").collect()
+    }
+    assert got == {0: 1, 1: 1}
+    # single-term phrase degenerates to term-occurrence counting
+    one = {
+        r.doc_id: r.n_hits
+        for r in phrase_search(docs, "paris", analyzer="standard").collect()
+    }
+    assert one == {0: 2, 1: 1, 2: 1}
