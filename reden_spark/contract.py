@@ -3277,6 +3277,82 @@ def q_code_import_hotness(spark, sf_dir):
     return import_hotness(code_triples(_code_files(spark, sf_dir)))
 
 
+_IMPORT_EDGES_SQL = f"""
+    imp AS (
+      SELECT regexp_extract(path, 'src/(m_[0-9]+)[.]py$', 1) AS src,
+             unnest(regexp_extract_all(content, '{_P_IMPORT}', 2)) AS dst
+      FROM files
+      UNION
+      SELECT regexp_extract(path, 'src/(m_[0-9]+)[.]py$', 1) AS src,
+             unnest(regexp_extract_all(content, '{_P_FROM}', 2)) AS dst
+      FROM files),
+    e AS (SELECT DISTINCT src, dst FROM imp)
+"""
+
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled fixed-iteration HITS over the code import graph — the SQL
+    twin of operators/centrality_alt.hits_scores.  L1 normalization keeps
+    every step a sum/divide, so 1e-9 rounding absorbs summation order."""
+    parts = [
+        "WITH files AS (", _CODE_FILES_SQL, "),", _IMPORT_EDGES_SQL, ",",
+        """v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT vertex, 1.0 AS hub FROM v)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , a{i}r AS (SELECT e.dst AS vertex, sum(h.hub) AS raw
+                FROM e JOIN h{i - 1} h ON e.src = h.vertex GROUP BY 1)
+    , a{i} AS (SELECT v.vertex,
+                      coalesce(r.raw, 0.0) / sum(coalesce(r.raw, 0.0)) OVER ()
+                        AS auth
+               FROM v LEFT JOIN a{i}r r USING (vertex))
+    , h{i}r AS (SELECT e.src AS vertex, sum(a.auth) AS raw
+                FROM e JOIN a{i} a ON e.dst = a.vertex GROUP BY 1)
+    , h{i} AS (SELECT v.vertex,
+                      coalesce(r.raw, 0.0) / sum(coalesce(r.raw, 0.0)) OVER ()
+                        AS hub
+               FROM v LEFT JOIN h{i}r r USING (vertex))""")
+    parts.append(
+        f"""SELECT h.vertex, round(h.hub, 9) AS hub, round(a.auth, 9) AS auth
+    FROM h{n_iter} h JOIN a{n_iter} a USING (vertex)"""
+    )
+    return "\n".join(parts)
+
+
+@query("hits_imports", _hits_oracle_sql(4))
+def q_hits_imports(spark, sf_dir):
+    """HITS hubs/authorities on the DIRECTED code import graph
+    (operators/centrality_alt.hits_scores): src = the file's own module
+    (from its path), dst = each imported module.  Authorities are the
+    heavily-imported modules, hubs the files importing good authorities —
+    the directed complement to pagerank_centrality's undirected walk.
+    Oracle = unrolled 4-iteration SQL, scores rounded 1e-9 on both sides;
+    exact values vs a numpy oracle in tests/test_centrality_alt.py."""
+    from reden_spark.operators.centrality_alt import hits_scores
+
+    f = _code_files(spark, sf_dir)
+    src = F.regexp_extract("path", r"src/(m_[0-9]+)[.]py$", 1).alias("src")
+    edges = f.select(
+        src,
+        F.explode(
+            F.regexp_extract_all("content", F.lit(_P_IMPORT), F.lit(2))
+        ).alias("dst"),
+    ).unionByName(
+        f.select(
+            src,
+            F.explode(
+                F.regexp_extract_all("content", F.lit(_P_FROM), F.lit(2))
+            ).alias("dst"),
+        )
+    )
+    return hits_scores(edges, n_iter=4).select(
+        "vertex",
+        F.round(F.col("hub"), 9).alias("hub"),
+        F.round(F.col("auth"), 9).alias("auth"),
+    )
+
+
 @query(
     "stratified_sample",
     """

@@ -321,6 +321,75 @@ def personalized_pagerank_scores(
     return x
 
 
+def hits_scores(
+    edges: DataFrame, n_iter: int = 4, checkpoint_every: int = 2
+) -> DataFrame:
+    """(vertex, hub, auth): Kleinberg's HITS on a GLOBAL directed graph —
+    the directed complement to the per-context measures above, built for
+    the code-KG import graph (file/module → imported module) where edge
+    direction carries meaning the undirected measures discard.  Per round
+
+        auth(v) = Σ_{u→v} hub(u)   then L1-normalize auth
+        hub(v)  = Σ_{v→u} auth(v→u's auth)   then L1-normalize hub
+
+    L1 (sum) normalization instead of the textbook L2 keeps every
+    arithmetic step a plain sum/divide, so the unrolled-SQL oracle
+    reproduces it to the last ulp modulo summation order (scores are
+    rounded 1e-9 on both sides, like pagerank).
+
+    Scale shape: each round is two (vertex)-keyed exchanges plus a
+    broadcast one-row normalizer — no driver fetch, bounded rounds,
+    hot authorities (a module imported by every file) are single reduce
+    groups.  Iterations checkpoint like the other loops."""
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .dropDuplicates(["vertex"])
+        .localCheckpoint(eager=True)
+    )
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_s"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "vertex", (F.col(col) / F.col("_s")).alias(col)
+        )
+
+    hub = verts.withColumn("hub", F.lit(1.0))
+    auth = None
+    for i in range(n_iter):
+        a_raw = (
+            e.join(hub.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _l1(
+            verts.join(a_raw, "vertex", "left").select(
+                "vertex", F.coalesce("auth", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("vertex", "dst"), "dst")
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _l1(
+            verts.join(h_raw, "vertex", "left").select(
+                "vertex", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return hub.join(auth, "vertex").select("vertex", "hub", "auth")
+
+
 MEASURES = {
     "eigenvector": eigenvector_scores,
     "closeness": closeness_scores,

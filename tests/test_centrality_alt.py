@@ -147,3 +147,39 @@ def test_betweenness_matches_brandes(spark, edges_df):
     assert max(c0, key=c0.get) == "b"
     assert got[(2, "n")] == pytest.approx(got[(2, "o")], abs=1e-12)
     assert got[(2, "n")] > 0.0
+
+
+def _numpy_hits(pairs, n_iter=4):
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    a = np.zeros((len(verts), len(verts)))
+    for s, d in pairs:
+        a[idx[s], idx[d]] = 1.0
+    hub = np.ones(len(verts))
+    for _ in range(n_iter):
+        auth = a.T @ hub
+        auth = auth / auth.sum()
+        hub = a @ auth
+        hub = hub / hub.sum()
+    return {v: (hub[i], auth[i]) for v, i in idx.items()}
+
+
+def test_hits_matches_numpy(spark):
+    from reden_spark.operators.centrality_alt import hits_scores
+
+    # directed: two "files" importing overlapping modules + a chain,
+    # so hubs and authorities separate (f1/f2 hubs; m1/m2 authorities)
+    pairs = [
+        ("f1", "m1"), ("f1", "m2"), ("f2", "m1"),
+        ("f3", "m2"), ("m2", "m1"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.vertex: (r.hub, r.auth) for r in hits_scores(df, n_iter=4).collect()}
+    want = _numpy_hits(pairs, n_iter=4)
+    assert set(got) == set(want)
+    for v, (h, a) in want.items():
+        assert got[v][0] == pytest.approx(h, abs=1e-12), ("hub", v)
+        assert got[v][1] == pytest.approx(a, abs=1e-12), ("auth", v)
+    # m1 is the top authority, f1 the top hub
+    assert max(want, key=lambda v: want[v][1]) == "m1"
+    assert max(want, key=lambda v: want[v][0]) == "f1"
