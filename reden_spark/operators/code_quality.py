@@ -1,0 +1,160 @@
+"""Hygiene gates over the source-code corpus (repo, path, commit, lang,
+content) — the code-side analogues of the prose quality family
+(operators/quality.py): leaked-credential detection/redaction, license
+classification, and cross-repo fork/clone detection.
+
+A training-data pipeline over 10^12 files must (a) drop or redact files
+carrying secrets before they reach a model, (b) know each file's license
+class to honor it, and (c) collapse forks — the same repo vendored or
+forked thousands of times otherwise dominates the corpus.  All three are
+defensive, deterministic, and JVM-side:
+
+* ``secrets_scan`` / ``redact_secrets`` — RE2-safe pattern classes
+  (AWS-style key ids, PEM private-key headers, quoted credential
+  assignments); counts per (file, class), redaction via one
+  ``regexp_replace`` chain.  No Python in the hot path; patterns port
+  verbatim to the DuckDB oracle.
+* ``license_detect`` — marker-phrase classification (SPDX-style
+  families: MIT / Apache-2.0 / GPL / BSD) as a first-match ``when``
+  chain over ``contains``; unknown otherwise.
+* ``repo_overlap`` — fork detection: distinct (repo, content-hash)
+  pairs, boilerplate hashes capped (a hash present in more than
+  ``max_repos`` repos is dropped from pairing and REPORTED, never
+  silently — the LSH bucket-cap principle, operators/similarity.py),
+  then a self-join on the hash key → per-repo-pair shared-file counts
+  and Jaccard.  Scale shape: the join is keyed on the content hash, a
+  capped key, so a vendored README shared by a million repos can never
+  create a million² pair list.
+
+Reference parity: the reference has no code corpus; these extend the
+same KG front end as operators/code_extract.py (north rule: KG
+construction over source-code repositories).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe (no lookarounds, no backrefs) — identical strings are used in
+# the DuckDB oracle, so keep them portable.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "cred_assign": r"(api_key|secret|token|password)[ \t]*=[ \t]*['\"][^'\"\n]{8,}['\"]",
+}
+
+REDACTED = "[REDACTED]"
+
+# (license, marker phrase) in priority order — first match wins.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("GPL", "GNU General Public License"),
+    ("BSD", "Redistribution and use in source and binary forms"),
+)
+
+
+def secrets_scan(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, secret_class, n_hits): occurrence counts of each
+    secret pattern class per file, only rows with hits.  One narrow map
+    (regexp_count per class) + explode — zero shuffles."""
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("secret_class"),
+                F.regexp_count(F.col(text_col), F.lit(pat))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            for name, pat in SECRET_PATTERNS.items()
+        ]
+    )
+    return (
+        files.select("repo", "path", F.explode(counts).alias("c"))
+        .select("repo", "path", "c.secret_class", "c.n_hits")
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def redact_secrets(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """Same rows with ``text_col`` scrubbed: every secret-pattern match
+    replaced by ``[REDACTED]``.  Chained regexp_replace — one projection,
+    stays inside whole-stage codegen."""
+    col = F.col(text_col)
+    for pat in SECRET_PATTERNS.values():
+        col = F.regexp_replace(col, pat, REDACTED)
+    return files.withColumn(text_col, col)
+
+
+def license_detect(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, license): first-match marker-phrase classification,
+    'unknown' when no marker is present.  Plain ``contains`` — no regex
+    needed, exact in any engine."""
+    expr = F.lit("unknown")
+    for name, marker in reversed(LICENSE_MARKERS):
+        expr = F.when(F.col(text_col).contains(marker), name).otherwise(expr)
+    return files.select("repo", "path", expr.alias("license"))
+
+
+def repo_overlap(
+    files: DataFrame,
+    text_col: str = "content",
+    max_repos: int = 64,
+) -> DataFrame:
+    """(repo_a, repo_b, shared, jaccard): fork/clone signal between repo
+    pairs via exact content-hash overlap.
+
+    A content hash present in more than ``max_repos`` distinct repos is
+    boilerplate (empty __init__.py, vendored LICENSE) and is excluded
+    from pairing — observable via :func:`repo_overlap_dropped`, never a
+    silent cap.  jaccard = shared / (|a| + |b| - shared) over each
+    repo's DISTINCT retained hashes, so vendoring the same file twice
+    doesn't inflate the score."""
+    rh = files.select(
+        "repo", F.sha2(F.col(text_col), 256).alias("h")
+    ).dropDuplicates(["repo", "h"])
+    hot = rh.groupBy("h").agg(F.countDistinct("repo").alias("n_repos"))
+    kept = rh.join(
+        hot.filter(F.col("n_repos") <= max_repos).select("h"), "h"
+    )
+    sizes = kept.groupBy("repo").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "h")
+        .filter(F.col("a.repo") < F.col("b.repo"))
+        .groupBy(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("repo", "repo_a"), "repo_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("repo", "repo_b"), "repo_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def repo_overlap_dropped(
+    files: DataFrame, text_col: str = "content", max_repos: int = 64
+) -> DataFrame:
+    """(h, n_repos): the boilerplate hashes `repo_overlap` excluded —
+    the observable-drop report for its cap."""
+    rh = files.select(
+        "repo", F.sha2(F.col(text_col), 256).alias("h")
+    ).dropDuplicates(["repo", "h"])
+    return (
+        rh.groupBy("h")
+        .agg(F.countDistinct("repo").cast("long").alias("n_repos"))
+        .filter(F.col("n_repos") > max_repos)
+    )
