@@ -3103,6 +3103,151 @@ def q_subclass_closure(spark, sf_dir):
     )
 
 
+@query(
+    "type_inference",
+    """
+    WITH RECURSIVE
+    d2 AS (SELECT doc_id, CAST(doc_id % 29 AS BIGINT) AS c FROM documents),
+    cls AS (SELECT DISTINCT c FROM d2),
+    e AS (SELECT 'cls_' || CAST(c AS VARCHAR) AS src,
+                 'cls_' || CAST(c // 2 AS VARCHAR) AS dst
+          FROM cls WHERE c >= 1),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+    a AS (
+      -- explicit DISTINCT: DuckDB 1.0.0 skips UNION dedup for
+      -- non-recursive CTEs inside a WITH RECURSIVE clause
+      SELECT DISTINCT entity, type FROM (
+        SELECT doc_id AS entity, 'cls_' || CAST(c AS VARCHAR) AS type FROM d2
+        UNION ALL
+        SELECT doc_id, 'cls_' || CAST(c // 4 AS VARCHAR) FROM d2)),
+    inf AS (
+      SELECT DISTINCT a.entity, r.dst AS type
+      FROM a JOIN reach r ON a.type = r.src)
+    SELECT entity, type, FALSE AS inferred FROM a
+    UNION ALL
+    SELECT i.entity, i.type, TRUE AS inferred FROM inf i
+    WHERE NOT EXISTS (SELECT 1 FROM a
+                      WHERE a.entity = i.entity AND a.type = i.type)
+    """,
+)
+def q_type_inference(spark, sf_dir):
+    """RDFS type inference (operators/ontology.infer_types): asserted
+    (entity, type) pairs — two types per entity, cls_{id%29} and its
+    grand-ancestor cls_{(id%29)//4}, so entailed-but-asserted overlap is
+    exercised — plus every subclass-closure ancestor flagged inferred.
+    Hierarchy = the binary tree over the 29 class labels; oracle =
+    recursive-CTE reachability + NOT EXISTS anti-join."""
+    from reden_spark.operators.ontology import infer_types
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = (d % 29).cast("long")
+    lbl = lambda col: F.concat(F.lit("cls_"), col.cast("string"))  # noqa: E731
+    types = docs.select(d.alias("entity"), lbl(c).alias("type")).unionByName(
+        docs.select(
+            d.alias("entity"),
+            lbl(F.floor(c / 4).cast("long")).alias("type"),
+        )
+    )
+    cls = docs.select(c.alias("c")).dropDuplicates()
+    sub = cls.filter(F.col("c") >= 1).select(
+        lbl(F.col("c")).alias("src"),
+        lbl(F.floor(F.col("c") / 2).cast("long")).alias("dst"),
+    )
+    return infer_types(types, sub)
+
+
+_INV_TRIPLES_SQL = """
+  SELECT DISTINCT * FROM (
+    SELECT 'e' || CAST(doc_id % 23 AS VARCHAR) AS subj, 'childOf' AS pred,
+           'e' || CAST(doc_id % 19 AS VARCHAR) AS obj FROM documents
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 19 AS VARCHAR), 'parentOf',
+           'e' || CAST(doc_id % 23 AS VARCHAR) FROM documents
+    WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 23 AS VARCHAR), 'near',
+           'e' || CAST(doc_id % 19 AS VARCHAR) FROM documents
+    WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 19 AS VARCHAR), 'near',
+           'e' || CAST(doc_id % 23 AS VARCHAR) FROM documents
+    WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 23 AS VARCHAR), 'mentions',
+           'e' || CAST(doc_id % 29 AS VARCHAR) FROM documents
+    WHERE doc_id % 5 = 0)
+"""
+
+
+@query(
+    "inverse_preds",
+    f"""
+    WITH t AS ({_INV_TRIPLES_SQL}),
+    cnt AS (SELECT pred, count(*) AS n FROM t GROUP BY 1),
+    inv AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   CAST(count(*) AS BIGINT) AS n_inverse
+            FROM t a JOIN t b ON a.subj = b.obj AND a.obj = b.subj
+            GROUP BY 1, 2)
+    SELECT pred_a, pred_b, n_inverse,
+           round(n_inverse / least(ca.n, cb.n), 9) AS inv_ratio
+    FROM inv JOIN cnt ca ON ca.pred = inv.pred_a
+             JOIN cnt cb ON cb.pred = inv.pred_b
+    """,
+)
+def q_inverse_preds(spark, sf_dir):
+    """owl:inverseOf / owl:SymmetricProperty discovery
+    (operators/kg_quality.inverse_pred_candidates) over a synthesized
+    KG with a partial inverse pair (childOf/parentOf, 2/3 coverage), a
+    symmetric predicate (near), and an uninverted one (mentions).  The
+    swapped side is a projection so the probe is one (subj, obj)-keyed
+    equi-join; ratios rounded 1e-9 on both sides."""
+    from reden_spark.operators.kg_quality import inverse_pred_candidates
+
+    d = F.col("doc_id")
+    ent = lambda m: F.concat(F.lit("e"), (d % m).cast("string"))  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            ent(23).alias("subj"),
+            F.lit("childOf").alias("pred"),
+            ent(19).alias("obj"),
+        )
+        .unionByName(
+            docs.filter(d % 3 != 0).select(
+                ent(19).alias("subj"),
+                F.lit("parentOf").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(19).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(19).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 5 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("mentions").alias("pred"),
+                ent(29).alias("obj"),
+            )
+        )
+    )
+    return inverse_pred_candidates(t)
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — data selection for LM
 # training: score every raw document by target-domain likeness.

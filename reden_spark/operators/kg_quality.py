@@ -122,3 +122,54 @@ def kg_validate(
             out = part if out is None else out.unionByName(part)
     assert out is not None, "at least one shape must be declared"
     return out
+
+
+def inverse_pred_candidates(
+    triples: DataFrame, min_pairs: int = 1
+) -> DataFrame:
+    """Inverse-predicate discovery: for every predicate pair (p, q),
+    how many edges satisfy ``p(s, o) ∧ q(o, s)`` and how large that is
+    relative to the smaller predicate — ``owl:inverseOf`` (and, on the
+    diagonal p = q, ``owl:SymmetricProperty``) candidates as DATA, the
+    same triage-table philosophy as `kg_validate`.
+
+    (pred_a, pred_b, n_inverse, inv_ratio) with
+    inv_ratio = n_inverse / min(|pred_a|, |pred_b|), rounded 1e-9.
+
+    Scale shape: one equi-join keyed on the (subj, obj) vertex pair —
+    the swapped side is a projection, not a theta-join — then a groupBy
+    on the tiny (pred, pred) key space.  A hot vertex pair contributes
+    |preds(s,o)| × |preds(o,s)| rows, bounded by the predicate
+    vocabulary, never by the corpus."""
+    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    cnt = t.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
+    swapped = t.select(
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+        F.col("pred").alias("pred_b"),
+    )
+    inv = (
+        t.withColumnRenamed("pred", "pred_a")
+        .join(swapped, ["subj", "obj"])
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count("*").cast("long").alias("n_inverse"))
+        .filter(F.col("n_inverse") >= min_pairs)
+    )
+    return (
+        inv.join(
+            F.broadcast(cnt.withColumnRenamed("pred", "pred_a")), "pred_a"
+        )
+        .withColumnRenamed("n", "na")
+        .join(
+            F.broadcast(cnt.withColumnRenamed("pred", "pred_b")), "pred_b"
+        )
+        .withColumnRenamed("n", "nb")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_inverse",
+            F.round(
+                F.col("n_inverse") / F.least(F.col("na"), F.col("nb")), 9
+            ).alias("inv_ratio"),
+        )
+    )

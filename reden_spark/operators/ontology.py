@@ -54,3 +54,33 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             break
         reach, n = merged, m
     return reach
+
+
+def infer_types(
+    types: DataFrame, subclass: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """RDFS type inference: materialize every (entity, type) pair
+    entailed by ``rdfs:subClassOf`` — the asserted types plus each
+    asserted type's ancestors in the closure.  (entity, type, inferred)
+    with ``inferred`` false for asserted rows; an entailed type that is
+    ALSO asserted stays a single asserted row (no duplicates).
+
+    Spark-first: the closure is computed once (`transitive_closure`,
+    log-depth doubling) and is hierarchy-sized — tiny next to the
+    entity table — so the entailment join broadcasts it; the only
+    corpus-sized exchanges are the dedups on (entity, type)."""
+    asserted = types.select("entity", "type").dropDuplicates(
+        ["entity", "type"]
+    )
+    clo = transitive_closure(subclass, max_rounds)
+    entailed = (
+        asserted.join(
+            F.broadcast(clo.withColumnRenamed("src", "type")), "type"
+        )
+        .select("entity", F.col("dst").alias("type"))
+        .dropDuplicates(["entity", "type"])
+        .join(asserted, ["entity", "type"], "left_anti")
+    )
+    return asserted.withColumn("inferred", F.lit(False)).unionByName(
+        entailed.withColumn("inferred", F.lit(True))
+    )

@@ -1,0 +1,63 @@
+"""Type inference over the subclass closure (operators/ontology.infer_types)
+and inverse-predicate discovery (operators/kg_quality.inverse_pred_candidates)
+vs hand-computed oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from reden_spark.operators.kg_quality import inverse_pred_candidates
+from reden_spark.operators.ontology import infer_types
+
+
+def test_infer_types_entails_ancestors(spark):
+    # hierarchy: dog < mammal < animal ; cat < mammal ; rock (no super)
+    sub = spark.createDataFrame(
+        [("dog", "mammal"), ("mammal", "animal"), ("cat", "mammal")],
+        "src string, dst string",
+    )
+    types = spark.createDataFrame(
+        [
+            ("rex", "dog"),
+            ("rex", "animal"),  # asserted AND entailed → stays asserted
+            ("tom", "cat"),
+            ("pet", "rock"),
+        ],
+        "entity string, type string",
+    )
+    got = {
+        (r.entity, r.type): r.inferred
+        for r in infer_types(types, sub).collect()
+    }
+    assert got == {
+        ("rex", "dog"): False,
+        ("rex", "animal"): False,   # no duplicate inferred row
+        ("rex", "mammal"): True,
+        ("tom", "cat"): False,
+        ("tom", "mammal"): True,
+        ("tom", "animal"): True,
+        ("pet", "rock"): False,
+    }
+
+
+def test_inverse_pred_candidates_ratios_and_symmetry(spark):
+    triples = [
+        # childOf/parentOf: perfect inverses on 2 edges; one unpaired childOf
+        ("a", "childOf", "b"), ("b", "parentOf", "a"),
+        ("c", "childOf", "d"), ("d", "parentOf", "c"),
+        ("e", "childOf", "f"),
+        # near: symmetric on one vertex pair
+        ("x", "near", "y"), ("y", "near", "x"),
+        # mentions: no inverse at all
+        ("a", "mentions", "d"),
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {
+        (r.pred_a, r.pred_b): (r.n_inverse, r.inv_ratio)
+        for r in inverse_pred_candidates(df).collect()
+    }
+    assert got[("childOf", "parentOf")] == (2, pytest.approx(1.0))  # 2/min(3,2)
+    assert got[("parentOf", "childOf")] == (2, pytest.approx(1.0))
+    assert got[("near", "near")] == (2, pytest.approx(1.0))  # symmetric
+    assert ("mentions", "mentions") not in got
+    assert all(k[0] in {"childOf", "parentOf", "near"} for k in got)
