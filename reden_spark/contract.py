@@ -3305,6 +3305,46 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, docs.filter(F.col("doc_id") % 7 == 3))
 
 
+@query(
+    "unigram_lm_nll",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    ref AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY 1),
+    st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS v FROM cnt),
+    lam AS (SELECT tok,
+                   CAST(round(ln((n + v) / (c + 1)) * 1000000) AS BIGINT)
+                     AS nll_e6
+            FROM cnt, st),
+    per AS (
+      SELECT t.doc_id,
+             CAST(sum(coalesce(l.nll_e6,
+                   CAST(round(ln(n + v) * 1000000) AS BIGINT)))
+               AS BIGINT) AS nll_sum_e6,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks t LEFT JOIN lam l USING (tok), st
+      GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.nll_sum_e6, 0) AS nll_sum_e6,
+           coalesce(p.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_unigram_lm_nll(spark, sf_dir):
+    """Unigram-LM perplexity proxy (operators/importance.
+    unigram_lm_scores): every document scored under an add-one-smoothed
+    unigram LM fit on the doc_id%3==0 slice — per-token −ln p quantized
+    to integer micro-units before the per-document sum (the DSIR
+    fixed-point contract), so both engines aggregate exact integers."""
+    from reden_spark.operators.importance import unigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, ref=docs.filter(F.col("doc_id") % 3 == 0))
+
+
+
+
 # ---------------------------------------------------------------------------
 # Code-KG front end (north rule: KG construction over source-code repos) —
 # triple extraction from (repo, path, commit, lang, content) rows, plus the

@@ -152,3 +152,75 @@ def dsir_log_weights(
         )
     )
     return out
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document negative
+    log-likelihood under an add-one-smoothed unigram LM fit on ``ref``
+    (the corpus itself when None) — the classic KenLM-style quality
+    gate (CCNet, Wenzek et al. 2020) reduced to its oracle-expressible
+    unigram core.
+
+    (doc_id, nll_sum_e6, n_tokens): Σ_t −ln p(t) in integer micro-log
+    units plus the token count; callers rank by nll_sum_e6/n_tokens
+    (mean NLL ≈ log-perplexity).  Empty documents score (0, 0).
+
+    Same determinism contract as `dsir_log_weights`: each token's
+    −ln p(t) = ln((N+V)/(c(t)+1)) is ONE log of one exact-integer
+    ratio, quantized to micro-units BEFORE the per-document sum, so
+    the aggregate is exact integer arithmetic in both engines.  Tokens
+    unseen in ``ref`` take c = 0 (the smoothing floor).
+
+    Scale shape: the LM table is vocabulary-sized and BROADCASTS;
+    scoring is one broadcast join + one groupBy on doc_id — a single
+    corpus exchange, like the hashed DSIR path."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    rtoks = (
+        _doc_tokens(ref, text_col, id_col) if ref is not None else toks
+    )
+    counts = rtoks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lam = counts.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log((F.col("n") + F.col("v")) / (F.col("c") + 1)) * LAM_SCALE
+        )
+        .cast("long")
+        .alias("nll_e6"),
+    )
+    per = (
+        toks.join(F.broadcast(lam), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.col("nll_e6"),
+                    F.round(F.log(F.col("n") + F.col("v")) * LAM_SCALE).cast(
+                        "long"
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("nll_sum_e6"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nll_sum_e6", F.lit(0)).cast("long").alias("nll_sum_e6"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -96,3 +96,32 @@ def test_bucketed_lam_side_is_broadcast(spark):
         raw, tgt, n_buckets=1 << 16
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_scores_matches_python(spark):
+    import math
+
+    from reden_spark.operators.importance import unigram_lm_scores
+
+    docs = [(0, "a a b"), (1, "b c"), (2, ""), (3, "zzz a")]
+    ref = [(10, "a a a b b c")]  # N=6, V=3 → N+V=9
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    rdf = spark.createDataFrame(ref, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.nll_sum_e6, r.n_tokens)
+        for r in unigram_lm_scores(ddf, ref=rdf).collect()
+    }
+    nll = lambda c: round(math.log(9 / (c + 1)) * 1e6)  # noqa: E731
+    c = {"a": 3, "b": 2, "c": 1, "zzz": 0}
+    want = {
+        0: (nll(c["a"]) * 2 + nll(c["b"]), 3),
+        1: (nll(c["b"]) + nll(c["c"]), 2),
+        2: (0, 0),
+        3: (nll(0) + nll(c["a"]), 2),  # unseen token at the smoothing floor
+    }
+    assert got == want
+    # self-fit: every doc present, rarer tokens score higher NLL
+    self_fit = {
+        r.doc_id: r.nll_sum_e6 for r in unigram_lm_scores(ddf).collect()
+    }
+    assert self_fit[2] == 0 and self_fit[3] > 0
