@@ -3462,6 +3462,41 @@ def q_code_import_hotness(spark, sf_dir):
     return import_hotness(code_triples(_code_files(spark, sf_dir)))
 
 
+@query(
+    "bgp_match",
+    f"""
+    WITH tri AS ({_CODE_TRIPLES_SQL}),
+    p0 AS (SELECT DISTINCT subj AS f, obj AS m FROM tri
+           WHERE pred = 'imports'),
+    p1 AS (SELECT DISTINCT subj AS f, obj AS d FROM tri
+           WHERE pred = 'defines'),
+    p2 AS (SELECT DISTINCT subj AS f, obj AS c FROM tri
+           WHERE pred = 'atCommit')
+    SELECT p0.f, p0.m, p1.d, p2.c
+    FROM p0 JOIN p1 USING (f) JOIN p2 USING (f)
+    """,
+)
+def q_bgp_match(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern matching (operators/bgp.
+    bgp_match): the pattern { ?f imports ?m . ?f defines ?d .
+    ?f atCommit ?c } compiled to a chain of equi-joins over the
+    extracted code KG — constants pushed into the scans, SELECT
+    DISTINCT semantics, join order left to Catalyst/AQE.  Oracle = the
+    same joins spelled out in SQL."""
+    from reden_spark.operators.bgp import bgp_match
+    from reden_spark.operators.code_extract import code_triples
+
+    tri = code_triples(_code_files(spark, sf_dir))
+    return bgp_match(
+        tri,
+        [
+            ("?f", "imports", "?m"),
+            ("?f", "defines", "?d"),
+            ("?f", "atCommit", "?c"),
+        ],
+    )
+
+
 _IMPORT_EDGES_SQL = f"""
     imp AS (
       SELECT regexp_extract(path, 'src/(m_[0-9]+)[.]py$', 1) AS src,

@@ -1,0 +1,99 @@
+"""Basic-graph-pattern matching over (subj, pred, obj) triple tables —
+the SPARQL SELECT core, compiled to a chain of DataFrame equi-joins.
+
+The reference answers graph-pattern probes by materializing Jena models
+and walking them in-process (GraphHandlerNEL.java builds the model; the
+NEL scorer walks neighborhoods); a Spark-first engine compiles the
+pattern ONCE into a join tree over the distributed triple table and
+lets Catalyst/AQE order and size the joins.
+
+A pattern is a list of (s, p, o) terms; a term starting with ``?`` is a
+variable, anything else is a constant.  The result is one row per
+binding of all variables, columns named after the variables (without
+the ``?``).
+
+Compilation, per pattern triple:
+  1. filter the triple table on the constant positions (these reach the
+     parquet scan as pushed predicates — a bound predicate prunes to
+     one predicate partition),
+  2. project the variable positions to their variable names,
+  3. equi-join with the accumulated bindings on the shared variables
+     (cartesian only when a pattern shares none — rejected by default).
+
+Repeated variables inside ONE triple (e.g. ``(?x, knows, ?x)``) become
+a self-equality filter before projection.
+
+Scale shape (10^12 triples): each step is a hash join keyed on the
+shared variables; selective constants are pushed into the scans so the
+join inputs are pattern-sized, not corpus-sized.  AQE reorders and
+broadcasts small sides at runtime.  No driver-side state, no UDFs —
+the whole query is one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """One row per solution of the basic graph pattern; columns = the
+    pattern's variables in first-appearance order.
+
+    Raises ValueError for an empty pattern, a triple with no variables
+    shared with the accumulated bindings (unless ``allow_cartesian``),
+    or a pattern with no variables at all."""
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    acc: DataFrame | None = None
+    bound: list[str] = []
+    for idx, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {idx}: expected 3 terms, got {pat!r}")
+        step = triples
+        # constants → filters (pushed to the scan)
+        for pos, term in zip(_POS, pat):
+            if not _is_var(term):
+                step = step.filter(F.col(pos) == term)
+        # repeated variables within the triple → equality filters
+        seen: dict[str, str] = {}
+        proj = []
+        for pos, term in zip(_POS, pat):
+            if not _is_var(term):
+                continue
+            name = term[1:]
+            if not name:
+                raise ValueError(f"pattern {idx}: bare '?' is not a variable")
+            if name in seen:
+                step = step.filter(F.col(pos) == F.col(seen[name]))
+            else:
+                seen[name] = pos
+                proj.append(F.col(pos).alias(name))
+        if not proj:
+            raise ValueError(f"pattern {idx}: no variables in {pat!r}")
+        step = step.select(*proj).dropDuplicates(list(seen))
+        if acc is None:
+            acc, bound = step, list(seen)
+            continue
+        shared = [v for v in seen if v in bound]
+        if not shared and not allow_cartesian:
+            raise ValueError(
+                f"pattern {idx}: shares no variable with {bound} "
+                "(pass allow_cartesian=True to permit a product)"
+            )
+        acc = acc.join(step, shared) if shared else acc.crossJoin(step)
+        bound += [v for v in seen if v not in bound]
+    # each step is distinct over its variables, and a join of distinct
+    # relations is distinct over the variable union — no final dedup
+    # (SELECT DISTINCT semantics at zero extra shuffles)
+    return acc

@@ -1,0 +1,86 @@
+"""Basic-graph-pattern matcher (operators/bgp.py) vs hand-enumerated
+solutions (SPARQL SELECT DISTINCT semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from reden_spark.operators.bgp import bgp_match
+
+TRIPLES = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("carol", "knows", "alice"),
+    ("alice", "worksAt", "acme"),
+    ("bob", "worksAt", "acme"),
+    ("carol", "worksAt", "globex"),
+    ("dave", "likes", "dave"),
+]
+
+
+@pytest.fixture()
+def tdf(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def test_single_pattern_with_constant(spark, tdf):
+    got = {tuple(r) for r in bgp_match(tdf, [("?x", "worksAt", "acme")]).collect()}
+    assert got == {("alice",), ("bob",)}
+
+
+def test_chained_join_colleague_knows(spark, tdf):
+    # ?x and ?y share an employer and ?x knows ?y
+    out = bgp_match(
+        tdf,
+        [("?x", "worksAt", "?c"), ("?y", "worksAt", "?c"), ("?x", "knows", "?y")],
+    )
+    assert set(out.columns) == {"x", "c", "y"}
+    got = {(r.x, r.y, r.c) for r in out.collect()}
+    assert got == {("alice", "bob", "acme")}
+
+
+def test_two_hop_path(spark, tdf):
+    got = {
+        (r.a, r.b, r.c)
+        for r in bgp_match(
+            tdf, [("?a", "knows", "?b"), ("?b", "knows", "?c")]
+        ).collect()
+    }
+    assert got == {
+        ("alice", "bob", "carol"),
+        ("bob", "carol", "alice"),
+        ("carol", "alice", "bob"),
+        ("carol", "alice", "carol"),
+        ("alice", "carol", "alice"),
+    }
+
+
+def test_repeated_variable_self_loop(spark, tdf):
+    got = {tuple(r) for r in bgp_match(tdf, [("?x", "likes", "?x")]).collect()}
+    assert got == {("dave",)}
+
+
+def test_distinct_projection_semantics(spark, tdf):
+    # ?x knows several people → still one row per x (SELECT DISTINCT)
+    got = [r.x for r in bgp_match(tdf, [("?x", "knows", "?anyone")])
+           .select("x").distinct().collect()]
+    one_var = {tuple(r) for r in bgp_match(tdf, [("?x", "knows", "?y")]).collect()}
+    assert len(one_var) == 4  # distinct (x, y) pairs
+    assert sorted(got) == ["alice", "bob", "carol"]
+
+
+def test_errors(spark, tdf):
+    with pytest.raises(ValueError, match="empty"):
+        bgp_match(tdf, [])
+    with pytest.raises(ValueError, match="no variables"):
+        bgp_match(tdf, [("alice", "knows", "bob")])
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(tdf, [("?x", "knows", "?y"), ("?a", "worksAt", "?b")])
+    # explicit opt-in to the product
+    n = bgp_match(
+        tdf,
+        [("?x", "likes", "?x"), ("?a", "worksAt", "globex")],
+        allow_cartesian=True,
+    ).count()
+    assert n == 1
