@@ -3865,6 +3865,50 @@ def q_asof_lookup(spark, sf_dir):
     )
 
 
+@query(
+    "interval_join",
+    """
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    l AS (SELECT user_id, event_id AS id, s AS st,
+                 s + event_id % 97 AS en FROM ev),
+    r AS (SELECT user_id, event_id AS id, s AS st,
+                 s + 500 + event_id % 300 AS en FROM ev
+          WHERE event_id % 50 = 0)
+    SELECT l.user_id, l.id AS id_l, r.id AS id_r,
+           greatest(l.st, r.st) AS overlap_start,
+           least(l.en, r.en) AS overlap_end
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l.st <= r.en AND r.st <= l.en
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.interval_overlap_join):
+    every event interval [ts, ts + id%97] vs the sparse window set
+    [ts, ts + 500 + id%300] of the id%50==0 events, per user — the
+    bucketed emit-once formulation (one (user, bucket) equi-exchange
+    per side, no pair-dedup shuffle) vs the oracle's plain theta join."""
+    from reden_spark.operators.temporal import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("long")
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        s.alias("start"),
+        (s + F.col("event_id") % 97).alias("end"),
+    )
+    right = ev.filter(F.col("event_id") % 50 == 0).select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        s.alias("start"),
+        (s + 500 + F.col("event_id") % 300).alias("end"),
+    )
+    return interval_overlap_join(
+        left, right, keys=["user_id"], bucket_width=600
+    )
+
+
 _CHANGES_SQL = """
   SELECT DISTINCT 'c' || CAST(o_orderkey % 131 AS VARCHAR) AS cmt,
          'f' || CAST(o_custkey % 59 AS VARCHAR) AS path

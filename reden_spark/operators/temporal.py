@@ -75,3 +75,61 @@ def asof_join(
         *[F.col(f"_f_{c}").alias(c) for c in fact_cols if c not in (key,)],
         *value_cols,
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | None = None,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose CLOSED
+    intervals intersect — ``start_l <= end_r AND start_r <= end_l`` —
+    optionally within equal ``keys``.  Inputs both carry (id, start,
+    end) numeric columns; output is (*keys, id_l, id_r, overlap_start,
+    overlap_end).
+
+    Spark has no native range join; a raw theta-join is |L|·|R| per
+    key.  This uses the bucketed formulation: each interval replicates
+    to the fixed-width buckets it covers, candidates meet in an
+    equi-join on (keys, bucket), and each overlapping pair is emitted
+    EXACTLY once — by the bucket containing max(start_l, start_r) —
+    so there is no pair-dedup shuffle afterwards.
+
+    Scale shape (10^12 rows): one hash exchange per side on
+    (keys, bucket); replication factor = interval length /
+    bucket_width, tunable per workload (pick the width near the median
+    interval length).  A hot bucket is AQE-splittable; nothing is ever
+    |L|·|R| unless every interval genuinely overlaps every other."""
+    keys = list(keys or [])
+
+    def _buckets(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col("id").alias(f"id_{side}"),
+            F.col("start").alias(f"start_{side}"),
+            F.col("end").alias(f"end_{side}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start") / bucket_width),
+                    F.floor(F.col("end") / bucket_width),
+                )
+            ).alias("bucket"),
+        )
+
+    lb, rb = _buckets(left, "l"), _buckets(right, "r")
+    ov_start = F.greatest("start_l", "start_r")
+    ov_end = F.least("end_l", "end_r")
+    return (
+        lb.join(rb, [*keys, "bucket"])
+        .filter(F.col("start_l") <= F.col("end_r"))
+        .filter(F.col("start_r") <= F.col("end_l"))
+        .filter(F.floor(ov_start / bucket_width) == F.col("bucket"))
+        .select(
+            *keys,
+            "id_l",
+            "id_r",
+            ov_start.alias("overlap_start"),
+            ov_end.alias("overlap_end"),
+        )
+    )

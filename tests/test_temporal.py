@@ -59,3 +59,50 @@ def test_single_exchange_plan(spark):
     # per-key sort — no join operator anywhere in the plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    from reden_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 20, 30), (3, 5, 2500)],
+        "id long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 8, 12), (20, 31, 40), (30, 2400, 2600), (40, 10, 10)],
+        "id long, start long, end long",
+    )
+    got = {
+        (r.id_l, r.id_r): (r.overlap_start, r.overlap_end)
+        for r in interval_overlap_join(left, right, bucket_width=7).collect()
+    }
+    # oracle: closed-interval intersection, enumerated by hand
+    assert got == {
+        (1, 10): (8, 10),
+        (1, 40): (10, 10),      # point interval at the boundary
+        (3, 10): (8, 12),
+        (3, 20): (31, 40),      # right interval nested inside left
+        (3, 30): (2400, 2500),
+        (3, 40): (10, 10),
+    }
+    # each pair appears exactly once despite multi-bucket overlap spans
+    rows = interval_overlap_join(left, right, bucket_width=7).collect()
+    assert len(rows) == len(got)
+
+
+def test_interval_overlap_join_keyed(spark):
+    from reden_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, 0, 100), ("u2", 2, 0, 100)],
+        "user string, id long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 9, 50, 60), ("u2", 9, 500, 600)],
+        "user string, id long, start long, end long",
+    )
+    got = {
+        (r.user, r.id_l, r.id_r)
+        for r in interval_overlap_join(left, right, keys=["user"]).collect()
+    }
+    assert got == {("u1", 1, 9)}  # u2's window doesn't overlap
