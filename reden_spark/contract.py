@@ -3909,6 +3909,56 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def _walks_oracle_sql(walk_len: int = 4, n_walks: int = 2) -> str:
+    """Unrolled SQL replay of operators/walks.random_walks over the
+    e{id%23} → e{id%19} graph: same md5 hash-argmin transition, same
+    (md5, dst) tie order, so every step is bit-identical."""
+    ks = ", ".join(str(k) for k in range(n_walks))
+    parts = [
+        """
+    WITH e AS (SELECT DISTINCT 'e' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                               'e' || CAST(doc_id % 19 AS VARCHAR) AS dst
+               FROM documents),
+    st AS (SELECT DISTINCT src AS vertex FROM e),
+    c0 AS (SELECT vertex || '#' || CAST(k AS VARCHAR) AS walker,
+                  vertex AS cur
+           FROM st, (SELECT unnest([""" + ks + """]) AS k) ks)"""
+    ]
+    for i in range(1, walk_len + 1):
+        parts.append(f"""
+    , s{i} AS (SELECT walker, dst AS cur FROM (
+        SELECT c.walker, e.dst,
+               row_number() OVER (PARTITION BY c.walker
+                 ORDER BY md5('w' || c.walker || ':{i}:' || e.dst), e.dst)
+                 AS rn
+        FROM s{i - 1 if i > 1 else 0} c JOIN e ON c.cur = e.src) z
+        WHERE rn = 1)""".replace("s0", "c0"))
+    selects = ["SELECT walker, CAST(0 AS BIGINT) AS step, cur AS vertex FROM c0"]
+    selects += [
+        f"SELECT walker, CAST({i} AS BIGINT), cur FROM s{i}"
+        for i in range(1, walk_len + 1)
+    ]
+    parts.append("\n    UNION ALL ".join(selects))
+    return "\n".join(parts)
+
+
+@query("random_walks", _walks_oracle_sql(4, 2))
+def q_random_walks(spark, sf_dir):
+    """DeepWalk-style deterministic random walks (operators/walks.
+    random_walks): 2 walks of 4 steps from every source of the cyclic
+    e{id%23} → e{id%19} graph; the transition is a hash argmin
+    (md5(seed‖walker‖step‖neighbor)), a pure function both engines
+    replay exactly — no RNG state, resume/retry-stable."""
+    from reden_spark.operators.walks import random_walks
+
+    d = F.col("doc_id")
+    edges = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (d % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
+    )
+    return random_walks(edges, walk_len=4, n_walks=2)
+
+
 _CHANGES_SQL = """
   SELECT DISTINCT 'c' || CAST(o_orderkey % 131 AS VARCHAR) AS cmt,
          'f' || CAST(o_custkey % 59 AS VARCHAR) AS path

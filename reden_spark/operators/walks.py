@@ -1,0 +1,83 @@
+"""Deterministic random-walk corpus generation over a directed edge
+set — the DeepWalk/node2vec front end (Perozzi et al. 2014): walks
+become the "sentences" a skip-gram embedding trains on.
+
+Distributed engines can't use a stateful RNG (resume/retry would
+change the corpus), so the transition choice is a HASH ARGMIN: at step
+t the walker at vertex v moves to the neighbor u minimizing
+``md5(seed ‖ walker ‖ ':' ‖ t ‖ ':' ‖ u)``.  That is a uniform-ish,
+collision-free choice that is a pure function of (seed, walker, step,
+neighbor) — identical across partitionings, retries, and engines (the
+DuckDB oracle replays the same md5), and different walkers/steps
+decorrelate because the walker id and step are in the hash.
+
+Scale shape (10^9 vertices): walk state is one row per walker —
+(walker, cur) — so each of the ``walk_len`` rounds is one hash join on
+the current vertex key plus one per-walker argmin window; a hub vertex
+fans out its neighbor list once per round into the join, never a
+neighbor² blowup.  Dead ends (no out-edge) simply stop extending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 1,
+    seed: str = "w",
+) -> DataFrame:
+    """(walker, step, vertex): ``n_walks`` deterministic walks of up to
+    ``walk_len`` steps from every source vertex.  walker =
+    ``<start>#<k>``; step 0 is the start vertex; a walk ends early at a
+    vertex with no out-edges."""
+    assert walk_len >= 1 and n_walks >= 1
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    starts = e.select(F.col("src").alias("vertex")).dropDuplicates(["vertex"])
+    cur = starts.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in range(n_walks)])
+        ).alias("k"),
+        F.col("vertex"),
+    ).select(
+        F.concat(F.col("vertex"), F.lit("#"), F.col("k").cast("string")).alias(
+            "walker"
+        ),
+        F.col("vertex").alias("cur"),
+    )
+    out = cur.select(
+        "walker", F.lit(0).cast("long").alias("step"), F.col("cur").alias("vertex")
+    )
+    w = Window.partitionBy("walker").orderBy("r", "dst")
+    for step in range(1, walk_len + 1):
+        nxt = (
+            cur.join(e.withColumnRenamed("src", "cur"), "cur")
+            .withColumn(
+                "r",
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("walker"),
+                        F.lit(":"),
+                        F.lit(str(step)),
+                        F.lit(":"),
+                        F.col("dst"),
+                    )
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walker", F.col("dst").alias("cur"))
+        )
+        cur = nxt
+        out = out.unionByName(
+            cur.select(
+                "walker",
+                F.lit(step).cast("long").alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out

@@ -1,0 +1,71 @@
+"""Deterministic random walks (operators/walks.py) vs a pure-Python
+replay of the hash-argmin transition rule."""
+
+from __future__ import annotations
+
+import hashlib
+
+from reden_spark.operators.walks import random_walks
+
+EDGES = [
+    ("a", "b"), ("a", "c"),
+    ("b", "c"), ("b", "d"),
+    ("c", "a"),
+    ("d", "e"),          # e is a dead end
+    ("x", "y"),          # y is a dead end too
+]
+
+
+def _py_walks(pairs, walk_len, n_walks, seed="w"):
+    adj: dict[str, list[str]] = {}
+    for s, d in set(pairs):
+        adj.setdefault(s, []).append(d)
+    rows = set()
+    for start in adj:
+        for k in range(n_walks):
+            walker = f"{start}#{k}"
+            cur = start
+            rows.add((walker, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                key = lambda u: (  # noqa: E731
+                    hashlib.md5(f"{seed}{walker}:{step}:{u}".encode()).hexdigest(),
+                    u,
+                )
+                cur = min(nbrs, key=key)
+                rows.add((walker, step, cur))
+    return rows
+
+
+def test_walks_match_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        (r.walker, r.step, r.vertex)
+        for r in random_walks(df, walk_len=5, n_walks=2).collect()
+    }
+    assert got == _py_walks(EDGES, walk_len=5, n_walks=2)
+    # dead ends stop early: x's walk is x → y and then nothing
+    x_steps = sorted(s for w, s, v in got if w == "x#0")
+    assert x_steps == [0, 1]
+    # full-length walks exist in the cyclic component
+    assert max(s for w, s, v in got if w.startswith("a#")) == 5
+
+
+def test_walks_decorrelate_by_walker_and_seed(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    two = random_walks(df, walk_len=4, n_walks=2).collect()
+    paths = {}
+    for r in two:
+        paths.setdefault(r.walker, {})[r.step] = r.vertex
+    # walker a#0 and a#1 diverge somewhere (hash includes the walker id)
+    seq0 = [paths["a#0"][s] for s in sorted(paths["a#0"])]
+    seq1 = [paths["a#1"][s] for s in sorted(paths["a#1"])]
+    assert seq0 != seq1
+    # a different seed changes at least one walk
+    other = {
+        (r.walker, r.step, r.vertex)
+        for r in random_walks(df, walk_len=4, n_walks=2, seed="q").collect()
+    }
+    assert other != {(r.walker, r.step, r.vertex) for r in two}
