@@ -3959,6 +3959,104 @@ def q_random_walks(spark, sf_dir):
     return random_walks(edges, walk_len=4, n_walks=2)
 
 
+@query(
+    "walk_skipgrams",
+    f"""
+    WITH w AS ({_walks_oracle_sql(4, 2)})
+    SELECT a.vertex AS center, b.vertex AS context,
+           CAST(b.step - a.step AS BIGINT) AS "offset"
+    FROM w a JOIN w b
+      ON a.walker = b.walker AND a.step <> b.step
+     AND b.step BETWEEN a.step - 2 AND a.step + 2
+    """,
+)
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram pair extraction (operators/walks.walk_skipgrams) from
+    the random_walks corpus: every ordered (center, context) pair
+    within a ±2-step window inside one walk — the Word2Vec-style
+    training set for KG embeddings.  One walker-keyed self-join with a
+    bounded range predicate."""
+    from reden_spark.operators.walks import random_walks, walk_skipgrams
+
+    d = F.col("doc_id")
+    edges = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (d % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
+    )
+    return walk_skipgrams(random_walks(edges, walk_len=4, n_walks=2), window=2)
+
+
+@query(
+    "kg_negative_samples",
+    f"""
+    WITH t AS ({_INV_TRIPLES_SQL}),
+    v AS (SELECT DISTINCT subj AS ent FROM t
+          UNION SELECT DISTINCT obj FROM t),
+    cand AS (
+      SELECT t.subj, t.pred, t.obj, k.k, v.ent,
+             md5('neg' || t.subj || '|' || t.pred || '|' || t.obj || '|'
+                 || CAST(k.k AS VARCHAR) || '|' || v.ent) AS r
+      FROM t, v, (SELECT unnest([0, 1]) AS k) k
+      WHERE v.ent <> t.obj),
+    neg AS (
+      SELECT subj, pred, ent AS obj, CAST(0 AS BIGINT) AS label FROM (
+        SELECT *, row_number() OVER (PARTITION BY subj, pred, obj, k
+                                     ORDER BY r, ent) AS rn
+        FROM cand) z
+      WHERE rn = 1)
+    SELECT subj, pred, obj, CAST(1 AS BIGINT) AS label FROM t
+    UNION ALL SELECT * FROM neg
+    """,
+)
+def q_kg_negative_samples(spark, sf_dir):
+    """TransE-style contrastive sampling (operators/walks.
+    negative_samples): each positive triple of the synthetic KG plus 2
+    object-corrupted negatives picked by the same md5 hash-argmin both
+    engines replay; unfiltered setting (a corrupted triple may
+    coincide with a true one, per the original TransE protocol)."""
+    from reden_spark.operators.walks import negative_samples
+
+    d = F.col("doc_id")
+    ent = lambda m: F.concat(F.lit("e"), (d % m).cast("string"))  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            ent(23).alias("subj"),
+            F.lit("childOf").alias("pred"),
+            ent(19).alias("obj"),
+        )
+        .unionByName(
+            docs.filter(d % 3 != 0).select(
+                ent(19).alias("subj"),
+                F.lit("parentOf").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(19).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(19).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 5 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("mentions").alias("pred"),
+                ent(29).alias("obj"),
+            )
+        )
+    )
+    return negative_samples(t, n_neg=2)
+
+
 _CHANGES_SQL = """
   SELECT DISTINCT 'c' || CAST(o_orderkey % 131 AS VARCHAR) AS cmt,
          'f' || CAST(o_custkey % 59 AS VARCHAR) AS path

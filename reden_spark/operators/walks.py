@@ -81,3 +81,98 @@ def random_walks(
             )
         )
     return out
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, offset): skip-gram training pairs from a walk
+    table (walker, step, vertex) — every ordered pair within ``window``
+    steps inside the same walk, excluding offset 0.  The skip-gram
+    corpus a Word2Vec-style KG embedding trains on.
+
+    One self-join keyed on the walker id with a bounded step-range
+    predicate — walks are ``walk_len+1`` rows, so per-walker fan-out is
+    a constant ≤ (2·window)·len, never corpus-squared."""
+    assert window >= 1
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walker") == F.col("b.walker"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (F.col("b.step") >= F.col("a.step") - window)
+            & (F.col("b.step") <= F.col("a.step") + window),
+        )
+        .select(
+            F.col("a.vertex").alias("center"),
+            F.col("b.vertex").alias("context"),
+            (F.col("b.step") - F.col("a.step")).cast("long").alias("offset"),
+        )
+    )
+
+
+def negative_samples(
+    triples: DataFrame, n_neg: int = 2, seed: str = "neg"
+) -> DataFrame:
+    """(subj, pred, obj, label): each positive triple (label 1) plus
+    ``n_neg`` corrupted negatives (label 0) with the OBJECT replaced by
+    a hash-argmin pick from the entity vocabulary — the TransE-style
+    contrastive set (Bordes et al. 2013).
+
+    Deterministic like `random_walks`: negative k for triple (s,p,o)
+    takes the entity minimizing md5(seed‖s‖p‖o‖k‖e) among entities
+    ≠ the true object; a pure function of the triple, so resume-stable
+    and oracle-replayable.
+
+    Scale shape: the entity vocabulary (distinct subj ∪ obj) is usually
+    ≪ the triple table; the candidate scoring is one broadcast-able
+    join (triples × vocab) per negative — with a huge vocabulary,
+    pre-sample the vocab table first (deterministic filter on
+    md5(entity)) to keep the broadcast bounded; corruption quality is
+    insensitive to vocab subsampling."""
+    assert n_neg >= 1
+    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    vocab = (
+        t.select(F.col("subj").alias("ent"))
+        .unionByName(t.select(F.col("obj").alias("ent")))
+        .dropDuplicates(["ent"])
+    )
+    pos = t.withColumn("label", F.lit(1).cast("long"))
+    w = Window.partitionBy("subj", "pred", "obj", "k").orderBy("r", "ent")
+    neg = (
+        t.crossJoin(
+            F.broadcast(
+                vocab.crossJoin(
+                    t.sparkSession.range(n_neg).select(
+                        F.col("id").cast("long").alias("k")
+                    )
+                )
+            )
+        )
+        .filter(F.col("ent") != F.col("obj"))
+        .withColumn(
+            "r",
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.col("subj"),
+                    F.lit("|"),
+                    F.col("pred"),
+                    F.lit("|"),
+                    F.col("obj"),
+                    F.lit("|"),
+                    F.col("k").cast("string"),
+                    F.lit("|"),
+                    F.col("ent"),
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "subj",
+            "pred",
+            F.col("ent").alias("obj"),
+            F.lit(0).cast("long").alias("label"),
+        )
+    )
+    return pos.unionByName(neg)

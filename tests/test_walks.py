@@ -69,3 +69,47 @@ def test_walks_decorrelate_by_walker_and_seed(spark):
         for r in random_walks(df, walk_len=4, n_walks=2, seed="q").collect()
     }
     assert other != {(r.walker, r.step, r.vertex) for r in two}
+
+
+def test_walk_skipgrams_window(spark):
+    from reden_spark.operators.walks import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("v", 0, "z")],
+        "walker string, step long, vertex string",
+    )
+    got = {(r.center, r.context, r.offset)
+           for r in walk_skipgrams(walks, window=1).collect()}
+    assert got == {
+        ("a", "b", 1), ("b", "a", -1), ("b", "c", 1), ("c", "b", -1),
+    }
+    wide = {(r.center, r.context, r.offset)
+            for r in walk_skipgrams(walks, window=2).collect()}
+    assert ("a", "c", 2) in wide and ("c", "a", -2) in wide
+    # other walkers never pair
+    assert not any("z" in (c, x) for c, x, _ in wide)
+
+
+def test_negative_samples_deterministic_corruption(spark):
+    import hashlib
+
+    from reden_spark.operators.walks import negative_samples
+
+    triples = [("s1", "p", "o1"), ("s2", "p", "o2")]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    rows = negative_samples(df, n_neg=2).collect()
+    pos = {(r.subj, r.pred, r.obj) for r in rows if r.label == 1}
+    neg = [(r.subj, r.pred, r.obj) for r in rows if r.label == 0]
+    assert pos == set(triples)
+    assert len(neg) == 4  # 2 per positive
+    # python replay of the hash argmin
+    ents = {"s1", "o1", "s2", "o2"}
+    for s, p, o in triples:
+        for k in range(2):
+            cand = ents - {o}
+            key = lambda e: (  # noqa: E731
+                hashlib.md5(f"neg{s}|{p}|{o}|{k}|{e}".encode()).hexdigest(), e)
+            assert (s, p, min(cand, key=key)) in neg
+    # corrupted object is never the true object
+    truth = dict((s + p, o) for s, p, o in triples)
+    assert all(truth[s + p] != o for s, p, o in neg)
