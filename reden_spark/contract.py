@@ -4057,6 +4057,55 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(t, n_neg=2)
 
 
+@query(
+    "feature_propagation",
+    """
+    WITH f AS (
+      SELECT vec_id AS vertex,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    e AS (SELECT DISTINCT vec_id AS src, vec_id % 113 AS dst
+          FROM embeddings),
+    x1 AS (
+      SELECT vertex, dim, avg(val) AS val FROM (
+        SELECT * FROM f
+        UNION ALL
+        SELECT e.dst, f.dim, f.val FROM e JOIN f ON f.vertex = e.src) z
+      GROUP BY 1, 2),
+    x2 AS (
+      SELECT vertex, dim, avg(val) AS val FROM (
+        SELECT * FROM x1
+        UNION ALL
+        SELECT e.dst, x.dim, x.val FROM e JOIN x1 x ON x.vertex = e.src) z
+      GROUP BY 1, 2)
+    SELECT vertex, CAST(dim AS BIGINT) AS dim, round(val, 6) AS val
+    FROM x2
+    """,
+)
+def q_feature_propagation(spark, sf_dir):
+    """GNN-style mean message passing (operators/propagate.
+    feature_propagation): 2 rounds of {self} ∪ in-neighbor averaging
+    over the embeddings table with the vec_id → vec_id%113 graph,
+    compared exploded to (vertex, dim, val) and rounded 1e-6 (group
+    means are summation-order-sensitive in the last ulps)."""
+    from reden_spark.operators.propagate import feature_propagation
+
+    emb = _read(spark, sf_dir, "embeddings")
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        (F.col("vec_id") % 113).alias("dst"),
+    )
+    out = feature_propagation(emb, edges, n_rounds=2)
+    return out.select(
+        "vertex", F.posexplode("vec").alias("dim", "val")
+    ).select(
+        "vertex",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 _CHANGES_SQL = """
   SELECT DISTINCT 'c' || CAST(o_orderkey % 131 AS VARCHAR) AS cmt,
          'f' || CAST(o_custkey % 59 AS VARCHAR) AS path

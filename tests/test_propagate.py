@@ -1,0 +1,37 @@
+"""Mean message passing (operators/propagate.py) vs a numpy replay."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from reden_spark.operators.propagate import feature_propagation
+
+
+def _np_prop(feats, edges, n_rounds):
+    x = {v: np.array(vec, dtype=float) for v, vec in feats}
+    for _ in range(n_rounds):
+        nxt = {}
+        for v in x:
+            msgs = [x[v]] + [x[u] for u, d in edges if d == v and u in x]
+            nxt[v] = np.mean(msgs, axis=0)
+        x = nxt
+    return x
+
+
+@pytest.mark.parametrize("n_rounds", [1, 3])
+def test_propagation_matches_numpy(spark, n_rounds):
+    feats = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [4.0, 4.0]), (9, [7.0, 7.0])]
+    edges = [(1, 2), (3, 2), (2, 1), (5, 1)]  # 5 has no features; 9 isolated
+    fdf = spark.createDataFrame(feats, "vec_id long, embedding array<double>")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: np.array(r.vec)
+        for r in feature_propagation(fdf, edf, n_rounds=n_rounds).collect()
+    }
+    want = _np_prop(feats, edges, n_rounds)
+    assert set(got) == set(want)
+    for v in want:
+        assert np.allclose(got[v], want[v], atol=1e-12), v
+    # the isolated vertex keeps its own vector exactly
+    assert got[9].tolist() == [7.0, 7.0]
