@@ -111,13 +111,15 @@ def repo_overlap(
     silent cap.  jaccard = shared / (|a| + |b| - shared) over each
     repo's DISTINCT retained hashes, so vendoring the same file twice
     doesn't inflate the score."""
-    rh = files.select(
-        "repo", F.sha2(F.col(text_col), 256).alias("h")
-    ).dropDuplicates(["repo", "h"])
+    rh = (
+        files.select("repo", F.sha2(F.col(text_col), 256).alias("h"))
+        .dropDuplicates(["repo", "h"])
+        .persist()  # read twice: hot-hash profile + pairing
+    )
     hot = rh.groupBy("h").agg(F.countDistinct("repo").alias("n_repos"))
     kept = rh.join(
         hot.filter(F.col("n_repos") <= max_repos).select("h"), "h"
-    )
+    ).persist()  # read three times: sizes + both pairing sides
     sizes = kept.groupBy("repo").agg(F.count("*").cast("long").alias("n"))
     pairs = (
         kept.alias("a")
