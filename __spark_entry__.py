@@ -2,27 +2,19 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 91 queries, all 91 with DuckDB
-oracles (the iterative centralities use unrolled/recursive SQL with
-1e-9-rounded scores; exact-value numpy/BFS oracles additionally live in
-tests/test_centrality_alt.py and tests/test_quality.py).
+SURVEY.md §2 (reden_spark/contract.py): 106 queries, all 106 with
+DuckDB oracles (the iterative centralities/HITS/walks use
+unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
+python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  41 registered queries await their first
-driver rows — 7 added after the r3 driver run (bm25_search,
-pagerank_centrality, pii_scrub, train_split, pack_sequences,
-contamination_check, dedup_clusters) and 34 new in r4 (gopher_quality,
-bm25_search_analyzed, ann_lsh_hyperplane_topk,
-ann_recall_lsh_hyperplane, c4_line_filter, c4_span_dedup,
-ppr_centrality, kg_upsert, cc_incremental, subclass_closure,
-dsir_weights, code_triples, code_import_hotness, stratified_sample,
-asof_lookup, cochange_edges, cochange_coupling, kg_pred_profile,
-kg_validate, url_canon, url_dedup, cooccur_pmi, kcore_nodes,
-triangle_stats, scd2_history, jaccard_link_candidates,
-er_blocking_pairs, er_pair_scores, lpa_communities, bfs_distances,
-kg_snapshot_diff, community_summary, degree_histogram,
-token_deciles); all 41 pass the
-local replica of the gate (tools/check_oracles.py).
+passes rows + schema + hash).  56 registered queries await their first
+driver rows — 7 added after the r3 driver run, 34 earlier in r4, and
+15 late in r4 (phrase_search, hits_imports, secrets_scan,
+license_scan, repo_overlap, repo_overlap_dropped, type_inference,
+inverse_preds, unigram_lm_nll, bgp_match, interval_join, random_walks,
+walk_skipgrams, kg_negative_samples, feature_propagation); all pass
+the local replica of the gate (tools/check_oracles.py).
 """
 
 from __future__ import annotations
