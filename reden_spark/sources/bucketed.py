@@ -1,0 +1,65 @@
+"""Bucketed-table layout: pre-shuffle a table ONCE at write time so
+every later join/aggregation on the bucket key runs with NO exchange.
+
+At 100 TB the dominant cost of the KG build is shuffling the big fact
+tables (triples, mentions, postings) onto their join keys over and
+over.  Spark's bucketing writes the table pre-partitioned by
+``hash(key) % n_buckets`` (and optionally sorted within buckets);
+Catalyst then recognizes that a join or groupBy on the bucket key is
+already co-partitioned and plans a zero-exchange sort-merge join /
+partial-agg — the "co-located join" the north rule's Iceberg tables
+would give via their partition spec.
+
+This module is the parquet-backed realization (bucketBy requires the
+table catalog, so tables are written with ``saveAsTable`` + an explicit
+``path``); the Iceberg writer in plans/resume.py remains the
+jar-gated deployment variant.
+
+Verified plan shapes (tests/test_bucketed.py):
+  * bucketed ⋈ bucketed on the key → SortMergeJoin with ZERO
+    Exchange operators,
+  * groupBy(bucket key) → final aggregate with no exchange,
+  * a non-bucketed probe side still shuffles (exactly one Exchange).
+
+Sizing: pick n_buckets so a bucket ≈ one task's worth of data
+(128–512 MB); both sides of a co-located join must use the SAME
+n_buckets and key order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Write ``df`` as a bucketed parquet table named ``table`` at
+    ``path`` (overwrite), bucketed by ``keys`` into ``n_buckets``
+    files per partition, optionally sorted inside each bucket (sorted
+    buckets let the merge join skip its sort too).  Returns the
+    re-read table (reading through the catalog is what carries the
+    bucket metadata — a plain ``spark.read.parquet(path)`` would
+    forget it)."""
+    assert keys and n_buckets >= 1
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
+    if sort_by:
+        w = w.sortBy(sort_by[0], *sort_by[1:])
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a previously written bucketed table through the catalog
+    (bucket-aware).  Exists mostly for symmetry/readability."""
+    return spark.table(table)

@@ -1,0 +1,72 @@
+"""Bucketed-table co-located joins (sources/bucketed.py): plan-shape
+assertions — the whole point of bucketing is the missing Exchange."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from reden_spark.sources.bucketed import write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    tag = uuid.uuid4().hex[:8]
+    left = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 7 AS a"
+    )
+    right = spark.range(0, 500).selectExpr(
+        "id AS k", "id % 5 AS b"
+    )
+    lt = write_bucketed(
+        left, f"bl_{tag}", str(tmp_path / "bl"), keys=["k"], n_buckets=4,
+        sort_by=["k"],
+    )
+    rt = write_bucketed(
+        right, f"br_{tag}", str(tmp_path / "br"), keys=["k"], n_buckets=4,
+        sort_by=["k"],
+    )
+    yield lt, rt
+    spark.sql(f"DROP TABLE IF EXISTS bl_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS br_{tag}")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    lt, rt = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        # correctness unchanged
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    lt, _ = bucketed_pair
+    agg = lt.groupBy("k").count()
+    plan = _plan(agg)
+    assert "Exchange" not in plan
+    assert agg.count() == 1000
+
+
+def test_unbucketed_probe_still_shuffles(spark, bucketed_pair):
+    lt, _ = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(0, 100).selectExpr("id AS k")
+        plan = _plan(lt.join(probe, "k"))
+        # exactly the probe side shuffles; the bucketed side does not
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
