@@ -4975,6 +4975,45 @@ def q_kg_snapshot_diff(spark, sf_dir):
     return kg_diff(old, new)
 
 
+@query(
+    "agg_state_merge",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total,
+           min(CAST(round(o_totalprice * 100) AS BIGINT)) AS vmin,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS vmax
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_state_merge(spark, sf_dir):
+    """Incremental rollup maintenance (operators/kg_maintain.agg_state /
+    merge_agg_state): the aggregate state of two disjoint halves of
+    orders (split by orderkey parity) merged back together must equal
+    the oracle's single full aggregation — count/sum/min/max over
+    integer cents (the pricing-summary exactness lesson), mean derives
+    as total/cnt at read time."""
+    from reden_spark.operators.kg_maintain import agg_state, merge_agg_state
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    a = agg_state(o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderstatus"], "cents")
+    b = agg_state(o.filter(F.col("o_orderkey") % 2 == 1), ["o_orderstatus"], "cents")
+    return merge_agg_state(a, b, ["o_orderstatus"]).select(
+        "o_orderstatus",
+        "cnt",
+        F.col("total").cast("long").alias("total"),
+        "vmin",
+        "vmax",
+    )
+
+
 _COMMUNITY_SUMMARY_FINAL = f""",
     lab AS (SELECT node, label FROM lab{_LPA_ROUNDS})
     SELECT least(la.label, lb.label) AS ca,

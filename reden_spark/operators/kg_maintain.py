@@ -208,3 +208,42 @@ def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return added.select(*cols, F.lit("added").alias("op")).unionByName(
         removed.select(*cols, F.lit("removed").alias("op"))
     )
+
+
+AGG_STATE_COLS = ["cnt", "total", "vmin", "vmax"]
+
+
+def agg_state(df: DataFrame, keys: list[str], val: str) -> DataFrame:
+    """Build the mergeable aggregate state (*keys, cnt, total, vmin,
+    vmax) of ``val`` — the incremental-view-maintenance building block:
+    count/sum/min/max are the classic self-mergeable aggregates, and
+    mean derives as total/cnt at read time."""
+    return df.groupBy(*keys).agg(
+        F.count(val).cast("long").alias("cnt"),
+        F.sum(val).alias("total"),
+        F.min(val).alias("vmin"),
+        F.max(val).alias("vmax"),
+    )
+
+
+def merge_agg_state(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a delta batch's aggregate state into the base state —
+    union + one re-aggregation on the keys, so maintaining a 10^12-row
+    rollup costs one exchange of STATE rows (tiny) plus the delta's own
+    aggregation, never a rescan of the base facts.
+
+    merge(agg_state(A), agg_state(B)) == agg_state(A ∪ B) exactly for
+    cnt/vmin/vmax and up to float summation order for total
+    (exact when ``val`` is integer — keep rollup measures integer-typed
+    at the source, the pricing-summary lesson)."""
+    return (
+        base.select(*keys, *AGG_STATE_COLS)
+        .unionByName(delta.select(*keys, *AGG_STATE_COLS))
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

@@ -151,3 +151,26 @@ def test_kg_diff_added_removed_changed(spark):
         ("s4", "D", "added"),
         ("s3", "C", "removed"),
     }  # s1 unchanged → absent
+
+
+def test_agg_state_merge_equals_full_rebuild(spark):
+    from reden_spark.operators.kg_maintain import agg_state, merge_agg_state
+
+    full = spark.range(0, 100).selectExpr("id % 7 AS k", "id * 3 AS v")
+    a = full.filter("id % 2 = 0")
+    b = full.filter("id % 2 = 1")
+    merged = merge_agg_state(
+        agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v"), ["k"]
+    )
+    want = {
+        r.k: (r.cnt, r.total, r.vmin, r.vmax)
+        for r in agg_state(full, ["k"], "v").collect()
+    }
+    got = {r.k: (r.cnt, r.total, r.vmin, r.vmax) for r in merged.collect()}
+    assert got == want
+    # mean derives at read time
+    row = merged.filter("k = 0").selectExpr("total / cnt AS mean").first()
+    full_mean = (
+        full.filter("k = 0").selectExpr("avg(v) AS m").first().m
+    )
+    assert row.mean == full_mean
