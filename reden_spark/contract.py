@@ -4976,6 +4976,58 @@ def q_kg_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "markov_transitions",
+    """
+    WITH led AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS to_state
+      FROM events),
+    p AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          FROM led WHERE to_state IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, n,
+           CAST(n * 1000000 // (sum(n) OVER (PARTITION BY from_state))
+                AS BIGINT) AS p_e6
+    FROM p
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition table (operators/eventstats.
+    transition_counts): per-user consecutive event-type pairs with
+    exact integer-div probabilities in micro-units — the behavioral
+    edge table a session KG ingests."""
+    from reden_spark.operators.eventstats import transition_counts
+
+    return transition_counts(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "burst_detect",
+    """
+    WITH b AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT key, bucket, n,
+           CAST((sum(n) OVER w) * 1000000 // (count(*) OVER w) AS BIGINT)
+             AS baseline_e6,
+           CAST(n * 1000000 * (count(*) OVER w) // (sum(n) OVER w)
+                AS BIGINT) AS lift_e6
+    FROM b WINDOW w AS (PARTITION BY key)
+    """,
+)
+def q_burst_detect(spark, sf_dir):
+    """Burst detection (operators/eventstats.burst_scores): hourly
+    per-type counts vs the type's active-bucket mean, lift in exact
+    integer micro-units (a lift_e6 ≫ 1e6 bucket is a burst) — the
+    trending-entity / crawl-drift probe for KG refresh scheduling."""
+    from reden_spark.operators.eventstats import burst_scores
+
+    return burst_scores(_read(spark, sf_dir, "events"), bucket_seconds=3600)
+
+
+@query(
     "agg_state_merge",
     """
     SELECT o_orderstatus,

@@ -1,0 +1,93 @@
+"""Event-sequence analytics over an append-only event log: Markov
+transition statistics (the behavioral edges a session KG wants) and
+burst detection (which entities/types suddenly spiked — crawl-drift
+and trending-entity signals for a KG refresh scheduler).
+
+Both are pure window/groupBy programs on the (user, ts) ordering the
+sessionizer already uses — no new partitioning, no UDFs.
+
+Scale shape (10^12 events): `transition_counts` is one exchange on the
+user key (the lead() window) plus a groupBy on the tiny (from, to)
+type-pair space; `burst_scores` is one exchange on the (key, bucket)
+pair plus a per-key window over the bounded number of time buckets.
+Probability/score columns are exact integers in micro-units via
+integer ``div`` (the repo-wide fixed-point determinism contract — no
+float mean anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(from_state, to_state, n, p_e6): per-user consecutive event-type
+    transitions aggregated into a first-order Markov table; p_e6 =
+    n·1e6 div Σ_to n (exact integer division; a from_state's rows sum
+    to ≤ 1e6).  Inputs should carry distinct timestamps per user (the
+    synthetic log does; real logs should add a sequence column to the
+    orderBy)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    pairs = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return pairs.withColumn("tot", F.sum("n").over(tot)).select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr(f"n * {E6} div tot").alias("p_e6"),
+    )
+
+
+def burst_scores(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, bucket, n, baseline_e6, lift_e6): per-key counts in fixed
+    time buckets; baseline_e6 = Σn·1e6 div n_buckets (the key's mean
+    bucket count in micro-units) and lift_e6 = n·1e6·n_buckets div Σn —
+    a bucket whose lift_e6 far exceeds 1e6 is a burst.
+
+    Convention: the baseline averages over the key's ACTIVE buckets
+    only (absent buckets don't dilute it) — conservative: a burst must
+    beat the key's busy periods, not its quiet ones.  All integer
+    arithmetic, bit-identical across engines."""
+    b = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"CAST(unix_timestamp({ts_col}) AS BIGINT) div {bucket_seconds}"
+            ).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_key = Window.partitionBy("key")
+    return (
+        b.withColumn("sum_n", F.sum("n").over(per_key))
+        .withColumn("n_buckets", F.count("*").over(per_key))
+        .select(
+            "key",
+            "bucket",
+            "n",
+            F.expr(f"sum_n * {E6} div n_buckets").alias("baseline_e6"),
+            F.expr(f"n * {E6} * n_buckets div sum_n").alias("lift_e6"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Markov transitions and burst detection (operators/eventstats.py) vs
+hand-computed integer oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from reden_spark.operators.eventstats import burst_scores, transition_counts
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_transition_counts_per_user_order(spark):
+    rows = [
+        # user 1: a → b → a    user 2: a → b   (cross-user never pairs)
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "a"),
+        (2, _ts(0), "a"), (2, _ts(5), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p_e6)
+        for r in transition_counts(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1_000_000),  # a always goes to b
+        ("b", "a"): (1, 1_000_000),
+    }
+
+
+def test_transition_probabilities_split(spark):
+    rows = [
+        (1, _ts(0), "x"), (1, _ts(1), "y"),
+        (1, _ts(2), "x"), (1, _ts(3), "z"),
+        (1, _ts(4), "x"), (1, _ts(5), "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.from_state, r.to_state): r.p_e6
+        for r in transition_counts(df).collect()
+    }
+    # from x: 1×y, 2×z out of... x→y, x→z, x→z; but y→x and z→x interleave
+    assert got[("x", "y")] == 1_000_000 // 3 * 1  # 333333
+    assert got[("x", "z")] == 2 * 1_000_000 // 3  # 666666
+    assert got[("y", "x")] == 1_000_000
+
+
+def test_burst_scores_integer_lift(spark):
+    rows = (
+        # key 'a': buckets 0,1,2 with counts 1,1,4 → sum 6, 3 buckets
+        [(1, T0 + dt.timedelta(seconds=10), "a")]
+        + [(1, T0 + dt.timedelta(seconds=3700), "a")]
+        + [(1, T0 + dt.timedelta(seconds=7300 + i), "a") for i in range(4)]
+        # key 'b': single bucket → lift exactly 1e6
+        + [(1, T0 + dt.timedelta(seconds=50), "b")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.key, r.bucket % 100): (r.n, r.baseline_e6, r.lift_e6)
+        for r in burst_scores(df, bucket_seconds=3600).collect()
+    }
+    a = {b: v for (k, b), v in got.items() if k == "a"}
+    assert [v[0] for b, v in sorted(a.items())] == [1, 1, 4]
+    assert all(v[1] == 6 * 1_000_000 // 3 for v in a.values())  # baseline 2.0
+    lifts = [v[2] for b, v in sorted(a.items())]
+    assert lifts == [1_000_000 * 3 // 6, 1_000_000 * 3 // 6, 4_000_000 * 3 // 6]
+    (bv,) = [v for (k, _), v in got.items() if k == "b"]
+    assert bv == (1, 1_000_000, 1_000_000)
