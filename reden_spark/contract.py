@@ -4976,6 +4976,39 @@ def q_kg_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "property_path",
+    f"""
+    WITH RECURSIVE t AS ({_INV_TRIPLES_SQL}),
+    e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+          WHERE pred = 'childOf' AND subj <> obj),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      WHERE r.src <> e2.dst)
+    SELECT src, dst FROM reach
+    """,
+)
+def q_property_path(spark, sf_dir):
+    """SPARQL 1.1 property-path evaluation (operators/bgp.path_match):
+    ``childOf+`` over the synthetic KG — the one-or-more step
+    materializes via the log-depth doubling closure; self-pairs
+    excluded on both sides (the engine's closure filters them, the
+    oracle's recursion guards r.src <> e2.dst).  Sequence, inverse and
+    alternation steps are pinned in tests/test_bgp.py."""
+    from reden_spark.operators.bgp import path_match
+
+    d = F.col("doc_id")
+    ent = lambda m: F.concat(F.lit("e"), (d % m).cast("string"))  # noqa: E731
+    t = _read(spark, sf_dir, "documents").select(
+        ent(23).alias("subj"),
+        F.lit("childOf").alias("pred"),
+        ent(19).alias("obj"),
+    )
+    return path_match(t, "childOf+")
+
+
+@query(
     "markov_transitions",
     """
     WITH led AS (

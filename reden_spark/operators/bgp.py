@@ -97,3 +97,68 @@ def bgp_match(
     # relations is distinct over the variable union — no final dedup
     # (SELECT DISTINCT semantics at zero extra shuffles)
     return acc
+
+
+def path_match(triples: DataFrame, path: str, max_rounds: int = 20) -> DataFrame:
+    """SPARQL 1.1 property-path evaluation: (src, dst) pairs connected
+    by ``path`` over the triple table, set semantics.
+
+    Grammar (whitespace-insensitive, left-associative):
+
+        path  := step ('/' step)*          sequence
+        step  := atom | atom '+'           one-or-more (transitive)
+        atom  := pred | '^' pred | '(' pred ('|' pred)* ')'
+                                           inverse | alternation
+
+    Examples: ``knows/worksAt``, ``subClassOf+``, ``^imports``,
+    ``(childOf|parentOf)/knows+``.
+
+    Compilation: each step becomes a distinct (src, dst) edge relation
+    — alternation is a filter on a predicate SET, inverse swaps the
+    projection, '+' materializes the step's transitive closure
+    (operators/ontology.transitive_closure, log-depth doubling) — and
+    sequence chains them with equi-joins on the intermediate vertex.
+    Everything stays a declarative plan; Catalyst orders the joins.
+
+    Scale shape: per step one (vertex)-keyed hash join; '+' pays the
+    closure's ⌈log2 depth⌉ rounds once per step, not per source."""
+    from reden_spark.operators.ontology import transitive_closure
+
+    steps = [s.strip() for s in path.split("/")]
+    if not steps or any(not s for s in steps):
+        raise ValueError(f"malformed path {path!r}")
+    acc: DataFrame | None = None
+    for raw in steps:
+        trans = raw.endswith("+")
+        atom = raw[:-1].strip() if trans else raw
+        inverse = atom.startswith("^")
+        if inverse:
+            atom = atom[1:].strip()
+        if atom.startswith("(") and atom.endswith(")"):
+            preds = [p.strip() for p in atom[1:-1].split("|")]
+        else:
+            preds = [atom]
+        if any(not p or "?" in p for p in preds):
+            raise ValueError(f"malformed step {raw!r} in {path!r}")
+        rel = triples.filter(F.col("pred").isin(preds))
+        src, dst = ("obj", "subj") if inverse else ("subj", "obj")
+        step = rel.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).dropDuplicates(["src", "dst"])
+        if trans:
+            step = transitive_closure(step, max_rounds)
+        if acc is None:
+            acc = step
+            continue
+        nxt = step.select(
+            F.col("src").alias("mid"), F.col("dst").alias("dst2")
+        )
+        acc = (
+            acc.select("src", F.col("dst").alias("mid"))
+            .join(nxt, "mid")
+            .select("src", F.col("dst2").alias("dst"))
+            # several mid vertices can connect one (src, dst): dedup per
+            # chain step keeps set semantics AND bounds the next join
+            .dropDuplicates(["src", "dst"])
+        )
+    return acc

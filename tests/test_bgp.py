@@ -84,3 +84,56 @@ def test_errors(spark, tdf):
         allow_cartesian=True,
     ).count()
     assert n == 1
+
+
+TRIPLES_PATHS = [
+    ("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d"),
+    ("a", "knows", "x"), ("x", "worksAt", "acme"),
+    ("b", "rel1", "y"), ("b", "rel2", "z"),
+    ("q", "knows", "a"),
+]
+
+
+@pytest.fixture()
+def pdf(spark):
+    return spark.createDataFrame(
+        TRIPLES_PATHS, "subj string, pred string, obj string"
+    )
+
+
+def test_path_sequence(spark, pdf):
+    from reden_spark.operators.bgp import path_match
+
+    got = {tuple(r) for r in path_match(pdf, "knows/worksAt").collect()}
+    assert got == {("a", "acme")}
+
+
+def test_path_transitive(spark, pdf):
+    from reden_spark.operators.bgp import path_match
+
+    got = {tuple(r) for r in path_match(pdf, "sub+").collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+
+
+def test_path_inverse_and_alternation(spark, pdf):
+    from reden_spark.operators.bgp import path_match
+
+    inv = {tuple(r) for r in path_match(pdf, "^knows").collect()}
+    assert inv == {("x", "a"), ("a", "q")}
+    alt = {tuple(r) for r in path_match(pdf, "(rel1|rel2)").collect()}
+    assert alt == {("b", "y"), ("b", "z")}
+    # composition: everything reachable from a via sub+ then knows? none;
+    # but ^knows/knows connects co-known vertices to themselves
+    comp = {tuple(r) for r in path_match(pdf, "^knows/knows").collect()}
+    assert comp == {("x", "x"), ("a", "a")}
+
+
+def test_path_errors(spark, pdf):
+    from reden_spark.operators.bgp import path_match
+
+    for bad in ("", "knows//worksAt", "?x", "knows/"):
+        with pytest.raises(ValueError):
+            path_match(pdf, bad)
