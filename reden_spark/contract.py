@@ -4976,6 +4976,84 @@ def q_kg_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "schema_graph",
+    f"""
+    WITH t AS ({_INV_TRIPLES_SQL}),
+    ents AS (SELECT DISTINCT doc_id % 29 AS k FROM documents),
+    ty AS (SELECT 'e' || CAST(k AS VARCHAR) AS entity,
+                  'T' || CAST(k % 3 AS VARCHAR) AS type FROM ents
+           UNION
+           SELECT 'e' || CAST(k AS VARCHAR), 'T9' FROM ents
+           WHERE k % 7 = 0)
+    SELECT coalesce(st.type, '?') AS subj_type, t.pred,
+           coalesce(ot.type, '?') AS obj_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t LEFT JOIN ty st ON t.subj = st.entity
+           LEFT JOIN ty ot ON t.obj = ot.entity
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_schema_graph(spark, sf_dir):
+    """Type-level schema induction (operators/kg_quality.schema_graph):
+    the synthetic KG collapsed to (subj_type, pred, obj_type, n)
+    signatures under a T{k%3} typing (entities with k%7==0 carry a
+    second type T9, exercising multi-type fan-out); untyped endpoints
+    bucket under '?'."""
+    from reden_spark.operators.kg_quality import schema_graph
+
+    d = F.col("doc_id")
+    ent = lambda m: F.concat(F.lit("e"), (d % m).cast("string"))  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            ent(23).alias("subj"),
+            F.lit("childOf").alias("pred"),
+            ent(19).alias("obj"),
+        )
+        .unionByName(
+            docs.filter(d % 3 != 0).select(
+                ent(19).alias("subj"),
+                F.lit("parentOf").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(19).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(19).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 5 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("mentions").alias("pred"),
+                ent(29).alias("obj"),
+            )
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    ents = docs.select((d % 29).alias("k")).dropDuplicates()
+    lbl = lambda col: F.concat(F.lit("e"), col.cast("string"))  # noqa: E731
+    types = ents.select(
+        lbl(F.col("k")).alias("entity"),
+        F.concat(F.lit("T"), (F.col("k") % 3).cast("string")).alias("type"),
+    ).unionByName(
+        ents.filter(F.col("k") % 7 == 0).select(
+            lbl(F.col("k")).alias("entity"), F.lit("T9").alias("type")
+        )
+    )
+    return schema_graph(t, types)
+
+
+@query(
     "property_path",
     f"""
     WITH RECURSIVE t AS ({_INV_TRIPLES_SQL}),

@@ -173,3 +173,41 @@ def inverse_pred_candidates(
             ).alias("inv_ratio"),
         )
     )
+
+
+def schema_graph(
+    triples: DataFrame, types: DataFrame, untyped: str = "?"
+) -> DataFrame:
+    """Schema induction: collapse the instance KG to its type-level
+    signature graph (subj_type, pred, obj_type, n) — how many triples
+    connect each type pair through each predicate.  The browsable
+    "what does this KG look like" summary (VoID/ABSTAT-style), and the
+    drift probe: diff two snapshots' schema graphs to see structural
+    change without touching instance rows.
+
+    ``types`` is (entity, type); entities with several types contribute
+    one row per type pair (standard signature semantics), unknown
+    endpoints group under ``untyped`` so literals/IRIs without type
+    assertions stay visible instead of vanishing.
+
+    Scale shape: two hash joins keyed on the entity columns (the type
+    table is usually broadcastable) and one groupBy on the tiny
+    (type, pred, type) space — map-side combinable."""
+    ty = types.select("entity", "type").dropDuplicates(["entity", "type"])
+    st = ty.select(
+        F.col("entity").alias("subj"), F.col("type").alias("subj_type")
+    )
+    ot = ty.select(
+        F.col("entity").alias("obj"), F.col("type").alias("obj_type")
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(F.broadcast(st), "subj", "left")
+        .join(F.broadcast(ot), "obj", "left")
+        .groupBy(
+            F.coalesce("subj_type", F.lit(untyped)).alias("subj_type"),
+            "pred",
+            F.coalesce("obj_type", F.lit(untyped)).alias("obj_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -61,3 +61,35 @@ def test_inverse_pred_candidates_ratios_and_symmetry(spark):
     assert got[("near", "near")] == (2, pytest.approx(1.0))  # symmetric
     assert ("mentions", "mentions") not in got
     assert all(k[0] in {"childOf", "parentOf", "near"} for k in got)
+
+
+def test_schema_graph_signatures(spark):
+    from reden_spark.operators.kg_quality import schema_graph
+
+    triples = spark.createDataFrame(
+        [
+            ("rex", "owns", "bone"), ("tom", "owns", "bone"),
+            ("rex", "knows", "tom"), ("rex", "label", "Rex"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("rex", "Dog"), ("tom", "Cat"), ("bone", "Thing"),
+         ("rex", "Pet"), ("tom", "Pet")],  # multi-typed entities
+        "entity string, type string",
+    )
+    got = {
+        (r.subj_type, r.pred, r.obj_type): r.n
+        for r in schema_graph(triples, types).collect()
+    }
+    assert got == {
+        ("Dog", "owns", "Thing"): 1,
+        ("Pet", "owns", "Thing"): 2,   # rex AND tom are Pets
+        ("Cat", "owns", "Thing"): 1,
+        ("Dog", "knows", "Cat"): 1,
+        ("Dog", "knows", "Pet"): 1,
+        ("Pet", "knows", "Cat"): 1,
+        ("Pet", "knows", "Pet"): 1,
+        ("Dog", "label", "?"): 1,      # literal object → untyped bucket
+        ("Pet", "label", "?"): 1,
+    }
