@@ -4975,6 +4975,96 @@ def q_kg_snapshot_diff(spark, sf_dir):
     return kg_diff(old, new)
 
 
+_TFIDF_SQL = f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    raw AS (SELECT tf.doc_id, tf.term,
+                   (1.0 + ln(tf.tf)) * ln(CAST(nd.n AS DOUBLE) / dft.df) AS w
+            FROM tf JOIN dft USING (term), nd),
+    nrm AS (SELECT doc_id, term,
+                   w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS w
+            FROM raw)
+"""
+
+
+@query(
+    "tfidf_vectors",
+    f"""
+    {_TFIDF_SQL}
+    SELECT doc_id, term, round(w, 6) AS w FROM nrm
+    """,
+)
+def q_tfidf_vectors(spark, sf_dir):
+    """Sparse TF-IDF document vectors (operators/sparse_sim.
+    tfidf_vectors): L2-normalized (1+ln tf)·ln(N/df) — both logs take
+    exact integer arguments, weights rounded 1e-6 on both sides (the
+    per-doc normalizer is summation-order-sensitive in the last
+    ulps)."""
+    from reden_spark.operators.sparse_sim import tfidf_vectors
+
+    return tfidf_vectors(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "term", F.round("w", 6).alias("w")
+    )
+
+
+@query(
+    "sparse_cosine_topk",
+    f"""
+    {_TFIDF_SQL},
+    keep AS (SELECT term FROM (SELECT term, count(*) AS df FROM nrm
+                               GROUP BY 1) z WHERE df <= 300),
+    v AS (SELECT nrm.* FROM nrm JOIN keep USING (term)),
+    sims AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS neighbor,
+             round(sum(a.w * b.w), 6) AS cos
+      FROM v a JOIN v b ON a.term = b.term AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_id, neighbor, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cos DESC, neighbor) AS BIGINT) AS rank
+      FROM sims) z
+    WHERE rank <= 3
+    """,
+)
+def q_sparse_cosine_topk(spark, sf_dir):
+    """Inverted-index sparse cosine top-k (operators/sparse_sim.
+    sparse_cosine_topk): neighbors via the term-keyed posting
+    self-join — pairs sharing no term never meet; terms in more than
+    300 docs are dropped from pairing (Σ df² is the join's cost), with
+    the drop observable as sparse_dropped_terms."""
+    from reden_spark.operators.sparse_sim import (
+        sparse_cosine_topk,
+        tfidf_vectors,
+    )
+
+    vec = tfidf_vectors(_read(spark, sf_dir, "documents"))
+    return sparse_cosine_topk(vec, k=3, max_df=300)
+
+
+@query(
+    "sparse_dropped_terms",
+    f"""
+    {_TFIDF_SQL}
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM nrm
+    GROUP BY 1 HAVING count(*) > 300
+    """,
+)
+def q_sparse_dropped_terms(spark, sf_dir):
+    """The observable-drop report for sparse_cosine_topk's max_df cap:
+    every term excluded from pairing, with its document frequency."""
+    from reden_spark.operators.sparse_sim import (
+        sparse_dropped_terms,
+        tfidf_vectors,
+    )
+
+    vec = tfidf_vectors(_read(spark, sf_dir, "documents"))
+    return sparse_dropped_terms(vec, 300)
+
+
 @query(
     "schema_graph",
     f"""

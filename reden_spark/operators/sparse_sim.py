@@ -1,0 +1,124 @@
+"""Sparse text similarity: TF-IDF document vectors and an
+inverted-index cosine top-k — the SPARSE complement to the dense ANN
+family (operators/similarity.py).  Dense ANN assumes a precomputed
+embedding column; this pair works straight off the text, the way a
+candidate-retrieval stage runs before any model is involved.
+
+TF-IDF (ltc-style, all from exact integers):
+
+    w(d, t) = (1 + ln tf) · ln(N / df)          then L2-normalized per doc
+
+The sparse cosine of two normalized vectors is then just the sum of
+weight products over SHARED terms — which an inverted index computes
+as a self-join on the term key: no |D|² pair scan, documents that
+share no term never meet.
+
+Scale shape (10^12 docs): the posting self-join is keyed on the term;
+its cost is Σ_t df(t)² — dominated by stop-word-like terms, so
+`max_df` drops terms present in more than that many documents from
+PAIRING (they carry ~zero IDF weight anyway) with the dropped terms
+observable via `sparse_dropped_terms`, the LSH bucket-cap principle.
+Everything else is groupBys on (doc, term) / (term) and one bounded
+top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reden_spark.operators.quality import _doc_tokens
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, w): L2-normalized (1+ln tf)·ln(N/df) weights.
+    Both logs take exact integer arguments (tf; N/df as one ratio), so
+    the DuckDB oracle reproduces the arithmetic; the normalizer is one
+    per-doc window."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumnRenamed("tok", "term")
+    )
+    n_docs = docs.select(
+        F.countDistinct(id_col).cast("long").alias("n")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    raw = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (1.0 + F.log(F.col("tf")))
+                * F.log(F.col("n") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    nrm = Window.partitionBy("doc_id")
+    return raw.select(
+        "doc_id",
+        "term",
+        (F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(nrm))).alias(
+            "w"
+        ),
+    )
+
+
+def sparse_cosine_topk(
+    vectors: DataFrame, k: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(doc_id, neighbor, cos, rank): top-k cosine neighbors per doc
+    over normalized sparse vectors via the inverted-index self-join.
+    Deterministic order (cos DESC, neighbor ASC); pairs with no shared
+    term never appear.  ``max_df`` drops terms in more than that many
+    docs from pairing (see module docstring — report the drops with
+    `sparse_dropped_terms`)."""
+    v = vectors.select("doc_id", "term", "w")
+    if max_df is not None:
+        keep = (
+            v.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("term")
+        )
+        v = v.join(keep, "term")
+    a = v.select(
+        F.col("doc_id").alias("ida"), "term", F.col("w").alias("wa")
+    )
+    b = v.select(
+        F.col("doc_id").alias("idb"), "term", F.col("w").alias("wb")
+    )
+    sims = (
+        a.join(b, "term")
+        .filter(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("ida").orderBy(F.desc("cos"), F.asc("idb"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ida").alias("doc_id"),
+            F.col("idb").alias("neighbor"),
+            "cos",
+            "rank",
+        )
+    )
+
+
+def sparse_dropped_terms(vectors: DataFrame, max_df: int) -> DataFrame:
+    """(term, df): the terms `sparse_cosine_topk(max_df=...)` excluded
+    from pairing — the observable-drop report."""
+    return (
+        vectors.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") > max_df)
+    )

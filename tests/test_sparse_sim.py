@@ -1,0 +1,90 @@
+"""TF-IDF vectors + inverted-index sparse cosine (operators/sparse_sim)
+vs a numpy oracle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from reden_spark.operators.sparse_sim import (
+    sparse_cosine_topk,
+    sparse_dropped_terms,
+    tfidf_vectors,
+)
+
+DOCS = [
+    (0, "spark shuffle join spark"),
+    (1, "spark window join"),
+    (2, "vector stream stream vector"),
+    (3, "the the the"),   # 'the' only here → idf ln(4/1)
+]
+
+
+def _py_tfidf(docs):
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, ts in toks.items():
+        w = {}
+        for t in set(ts):
+            w[t] = (1 + math.log(ts.count(t))) * math.log(n / df[t])
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        out[d] = {t: x / nrm for t, x in w.items()} if nrm else {}
+    return out
+
+
+def test_tfidf_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in tfidf_vectors(df).collect():
+        got.setdefault(r.doc_id, {})[r.term] = r.w
+    want = _py_tfidf(DOCS)
+    assert {d: set(v) for d, v in got.items()} == {
+        d: set(v) for d, v in want.items() if v
+    }
+    for d in want:
+        for t, x in want[d].items():
+            assert got[d][t] == pytest.approx(x, abs=1e-12), (d, t)
+    # per-doc L2 norm is 1
+    for d, v in got.items():
+        assert np.isclose(sum(x * x for x in v.values()), 1.0)
+
+
+def test_sparse_cosine_topk_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    want_vec = _py_tfidf(DOCS)
+    sims = {}
+    for a in want_vec:
+        for b in want_vec:
+            if a == b:
+                continue
+            s = sum(
+                want_vec[a][t] * want_vec[b].get(t, 0.0) for t in want_vec[a]
+            )
+            if s > 0:
+                sims[(a, b)] = round(s, 6)
+    got = {
+        (r.doc_id, r.neighbor): (r.cos, r.rank)
+        for r in sparse_cosine_topk(tfidf_vectors(df), k=3).collect()
+    }
+    assert set(got) == set(sims)  # no-shared-term pairs absent
+    for key, s in sims.items():
+        assert got[key][0] == pytest.approx(s, abs=2e-6), key
+    # doc 0's nearest is doc 1 (shares spark+join)
+    assert got[(0, 1)][1] == 1
+
+
+def test_sparse_max_df_cap_and_report(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vec = tfidf_vectors(df)
+    # cap at df<=1: every cross-doc term ('spark', 'join') leaves pairing
+    capped = sparse_cosine_topk(vec, k=3, max_df=1)
+    assert capped.count() == 0
+    dropped = {r.term: r.df for r in sparse_dropped_terms(vec, 1).collect()}
+    assert dropped == {"spark": 2, "join": 2}
