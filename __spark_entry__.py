@@ -2,19 +2,18 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 106 queries, all 106 with
+SURVEY.md §2 (reden_spark/contract.py): 118 queries, all 118 with
 DuckDB oracles (the iterative centralities/HITS/walks use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  56 registered queries await their first
-driver rows — 7 added after the r3 driver run, 34 earlier in r4, and
-15 late in r4 (phrase_search, hits_imports, secrets_scan,
-license_scan, repo_overlap, repo_overlap_dropped, type_inference,
-inverse_preds, unigram_lm_nll, bgp_match, interval_join, random_walks,
-walk_skipgrams, kg_negative_samples, feature_propagation); all pass
-the local replica of the gate (tools/check_oracles.py).
+passes rows + schema + hash).  68 registered queries await their first
+driver rows — 7 added after the r3 driver run and 61 across round 4
+(latest: tfidf/sparse-cosine, schema_graph, property_path,
+markov_transitions, burst_detect, agg_state_merge, hll_distinct,
+cms_heavy_hitters, kg_ranking_metrics, zorder_layout); all pass the
+local replica of the gate (tools/check_oracles.py).
 """
 
 from __future__ import annotations

@@ -5348,3 +5348,236 @@ def q_token_deciles(spark, sf_dir):
     from reden_spark.operators.corpus_prep import token_deciles
 
     return token_deciles(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py): the COUNT(DISTINCT) and
+# heavy-hitter halves of the incremental-rollup story (agg_state carries
+# count/sum/min/max; HLL and count-min carry the rest).
+
+
+@query(
+    "hll_distinct",
+    """
+    WITH h AS (
+      SELECT o_orderstatus AS k,
+             md5('hll:' || CAST(o_custkey AS VARCHAR)) AS hx
+      FROM orders),
+    r AS (
+      SELECT k, substr(hx, 1, 2) AS bucket, substr(hx, 3, 13) AS tail
+      FROM h),
+    rk AS (
+      SELECT k, bucket,
+             length(regexp_extract(tail, '^(0*)', 1)) AS z,
+             substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+               AS c
+      FROM r),
+    reg AS (
+      SELECT k, bucket,
+             CAST(max(CASE WHEN c = '' THEN 53
+                  ELSE 4 * z
+                       + CASE WHEN c = '1' THEN 3
+                              WHEN c IN ('2', '3') THEN 2
+                              WHEN c IN ('4', '5', '6', '7') THEN 1
+                              ELSE 0 END
+                       + 1 END) AS BIGINT) AS reg
+      FROM rk GROUP BY 1, 2),
+    agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+               + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992
+               AS sum_units
+      FROM reg GROUP BY 1),
+    ex AS (
+      SELECT o_orderstatus AS k,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1)
+    SELECT agg.k AS o_orderstatus, n_hit, sum_units,
+           CAST(floor(0.7213::DOUBLE
+                      / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                      * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+                      * 1000000.0::DOUBLE
+                      / CAST(sum_units AS DOUBLE)) AS BIGINT) AS est_e6,
+           exact_distinct
+    FROM agg JOIN ex ON agg.k = ex.k
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable COUNT(DISTINCT) sketch (operators/sketches.hll_sketch /
+    hll_merge / hll_estimate): orders split by orderkey parity, each
+    half sketched (256 md5-bucketed leading-zero registers), merged by
+    register-max, estimated in exact micro-units — published next to
+    the exact distinct so the sketch error is observable.  The merge
+    path never rescans the base (the reference rebuilds per run,
+    GraphFusion.java:44-80; a 10^12-row rollup cannot)."""
+    from reden_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_custkey")
+    a = hll_sketch(o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderstatus"], "o_custkey")
+    b = hll_sketch(o.filter(F.col("o_orderkey") % 2 == 1), ["o_orderstatus"], "o_custkey")
+    est = hll_estimate(hll_merge(a, b, ["o_orderstatus"]), ["o_orderstatus"])
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus", "n_hit", "sum_units", "est_e6", "exact_distinct"
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+           FROM toks GROUP BY 1),
+    probes AS (SELECT tok, exact_n FROM ex
+               ORDER BY exact_n DESC, tok LIMIT 20),
+    rows_ AS (SELECT CAST(x AS BIGINT) AS r
+              FROM (VALUES (0), (1), (2)) t(x)),
+    cells AS (
+      SELECT r,
+             substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 2)
+               AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+    pc AS (
+      SELECT p.tok, p.exact_n, c.cnt
+      FROM probes p CROSS JOIN rows_ r
+      JOIN cells c
+        ON c.r = r.r
+       AND c.cell = substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || p.tok), 1, 2))
+    SELECT tok, exact_n, min(cnt) AS cms_est
+    FROM pc GROUP BY 1, 2
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min frequency sketch (operators/sketches.cms_sketch /
+    cms_lookup): all document-token occurrences folded into a fixed
+    3x256 counter table, then the exact top-20 tokens probed against it
+    — cms_est >= exact_n always (one-sided error), published side by
+    side.  The counter table is KB-sized at any corpus scale; lookup
+    broadcasts both sides."""
+    from reden_spark.operators.sketches import cms_lookup, cms_sketch
+
+    toks = _tokens(spark, sf_dir)
+    sk = cms_sketch(toks, "tok")
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    return cms_lookup(sk, probes, "tok")
+
+
+@query(
+    "kg_ranking_metrics",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    norms AS (SELECT vec_id, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm, v
+              FROM e),
+    q AS (SELECT * FROM norms WHERE vec_id < 100),
+    js AS (SELECT CAST(x AS BIGINT) AS j
+           FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) t(x)),
+    cands AS (
+      SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, j,
+             (q.vec_id + j) % cnt.n AS cand
+      FROM q CROSS JOIN cnt CROSS JOIN js),
+    scored AS (
+      SELECT c.qid, c.cand, c.j,
+             {_DOT_SQL.format(a='c.qv', b='n.v')} / (c.qn * n.nrm) AS cos
+      FROM cands c JOIN norms n ON c.cand = n.vec_id),
+    ranked AS (
+      SELECT qid, j, cand,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cand ASC) AS rank
+      FROM scored),
+    pos AS (SELECT CAST(rank AS BIGINT) AS rank FROM ranked WHERE j = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(1000000 // rank) AS BIGINT) AS sum_recip_e6,
+           CAST(CAST(sum(1000000 // rank) AS BIGINT)
+                // CAST(count(*) AS BIGINT) AS BIGINT) AS mrr_e6,
+           CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits1,
+           CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits3,
+           CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits10
+    FROM pos
+    """,
+)
+def q_kg_ranking_metrics(spark, sf_dir):
+    """Link-prediction ranking evaluation (operators/ranking.
+    ranking_metrics — MRR / Hits@(1,3,10), Bordes et al. 2013 §5): each
+    query embedding's id+1 neighbor is the positive among the 8
+    id-successor candidates scored by exact-fold cosine; rank =
+    row_number over (cos DESC, cand ASC) so the float feeds only the
+    ordering, reciprocal ranks are exact integer micro-units."""
+    from reden_spark.operators.ranking import ranking_metrics
+    from reden_spark.operators.similarity import _dot, with_norms
+
+    emb = with_norms(_read(spark, sf_dir, "embeddings"))
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = emb.filter(F.col("id") < 100).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    js = F.explode(F.array(*[F.lit(j).cast("long") for j in range(1, 9)]))
+    cands = (
+        q.crossJoin(n)
+        .select("qid", "qv", "qn", js.alias("j"), "n")
+        .withColumn("cand", (F.col("qid") + F.col("j")) % F.col("n"))
+    )
+    scored = cands.join(emb, F.col("cand") == F.col("id")).select(
+        "qid",
+        "cand",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        (F.col("j") == 1).alias("is_true"),
+    )
+    return ranking_metrics(
+        scored, query_col="qid", cand_col="cand",
+        score_col="cos", label_col="is_true",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys (functions/layout.py): file-skipping clustering for
+# the Iceberg write path.
+
+from reden_spark.functions.layout import zorder_key_sql as _zorder_key_sql
+
+_ZORDER_SQL = _zorder_key_sql(["x", "y"], bits=8)
+
+
+@query(
+    "zorder_layout",
+    f"""
+    SELECT o_orderkey, x, y, {_ZORDER_SQL} AS zkey FROM (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(o_orderkey % 256 AS BIGINT) AS y
+      FROM orders) t
+    """,
+)
+def q_zorder_layout(spark, sf_dir):
+    """Morton / Z-order interleave key (functions/layout.zorder_key):
+    the clustering key behind Iceberg/Delta OPTIMIZE ZORDER BY — range-
+    partitioning the write on zkey bounds every file's per-column
+    min-max box so filters on ANY interleaved column skip files.  Pure
+    literal-shift bit arithmetic, zero shuffles to compute; the
+    bounding-box win is asserted in tests/test_layout.py."""
+    from reden_spark.functions.layout import zorder_key
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.col("o_orderkey") % 256).cast("long").alias("y"),
+    )
+    return o.select(
+        "o_orderkey", "x", "y",
+        zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey"),
+    )

@@ -1,0 +1,60 @@
+"""Z-order (Morton) layout keys for multi-dimensional data clustering.
+
+At 100 TB the cheapest query is the one whose files never open: parquet /
+Iceberg file-level min-max stats prune scans, but only if rows that are
+close in FILTER space are close in FILE space.  A sort on one column
+clusters that column only; interleaving the bits of several columns
+(Morton 1966; the technique behind Delta/Iceberg OPTIMIZE ZORDER BY)
+gives every interleaved column locality at once — range-partitioning by
+the z-key then bounds each file's per-column min-max box, so a filter on
+ANY of the columns skips most files.
+
+Pure integer bit arithmetic (shift/and/or with literal shift amounts) —
+identical in Spark and DuckDB, no UDFs, no floats, zero shuffles to
+compute; the one shuffle is the range-repartition the caller does to
+materialize the layout (exactly the write-time shuffle any clustered
+write pays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each column (non-negative
+    integral; values are masked to ``bits`` bits first).  Bit i of
+    column j lands at position i*len(cols)+j — ties broken toward the
+    first column listed."""
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            # ((v >> i) & 1) << (i*n + j) — literal shift amounts keep
+            # this a plain codegen expression chain.
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out.cast("long")
+
+
+def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
+    """The identical interleave as ANSI SQL (DuckDB-runnable) for the
+    contract oracles: OR of ((col >> i) & 1) << (i*n + j) terms over the
+    masked inputs."""
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        v = f"(CAST({c} AS BIGINT) & {mask})"
+        for i in range(bits):
+            terms.append(f"((({v} >> {i}) & 1) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"

@@ -1,0 +1,84 @@
+"""Ranking-quality metrics (MRR / Hits@k) for KG-embedding and retrieval
+evaluation.
+
+The walks family (operators/walks.py) produces the training protocol —
+walk corpora, skip-grams, TransE-style corrupted negatives; this module
+closes the loop with the standard link-prediction evaluation (Bordes et
+al. 2013 §5): for every positive among its scored candidates, its rank
+under a deterministic total order, reduced to MRR and Hits@{1,3,10}.
+Same role as the reference's Hachey eval metrics (EvaluationNEL.java)
+but for the embedding/retrieval surface instead of the NEL surface.
+
+Determinism: rank = row_number over (score DESC, cand ASC) — float
+scores feed ONLY the ordering (the ann_cosine_topk rule), reciprocal
+ranks are exact integer micro-units (1000000 div rank), so the DuckDB
+oracle matches hash-for-hash.
+
+Scale shape: one exchange on the query key for the ranking window, then
+a single global aggregate of the (tiny) positive-row set.  No collect,
+no floats in any sum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked_positives(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+    label_col: str = "is_true",
+) -> DataFrame:
+    """(query, cand, rank) for every positive row: its 1-based position
+    among ALL the query's candidates under (score DESC, cand ASC)."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(cand_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col(label_col))
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.col(cand_col).alias("cand_id"),
+            "rank",
+        )
+    )
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+    label_col: str = "is_true",
+    ks: Sequence[int] = (1, 3, 10),
+) -> DataFrame:
+    """One-row summary over all positives: (n_pos, sum_recip_e6, mrr_e6,
+    hits1, hits3, hits10, ...).  mrr_e6 = (sum of 1e6 div rank) div n —
+    exact integer div at both steps so engines agree bit-for-bit; the
+    per-positive reciprocal sum is also published so callers can merge
+    shards exactly (sum/count are additive)."""
+    pos = ranked_positives(scored, query_col, cand_col, score_col, label_col)
+    recip = F.expr("CAST(1000000 AS BIGINT) div rank")
+    aggs = [
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(recip).alias("sum_recip_e6"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"hits{k}")
+        )
+    out = pos.agg(*aggs)
+    return out.select(
+        "n_pos",
+        "sum_recip_e6",
+        F.expr("sum_recip_e6 div n_pos").alias("mrr_e6"),
+        *[f"hits{k}" for k in ks],
+    )

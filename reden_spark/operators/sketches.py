@@ -1,0 +1,173 @@
+"""Mergeable cardinality / frequency sketches for incremental rollups.
+
+`kg_maintain.agg_state` maintains count/sum/min/max rollups without base
+rescans; the two aggregates it cannot carry are COUNT(DISTINCT) and
+per-item frequency.  These are exactly the sketch aggregates every
+100 TB rollup layer ships (Flajolet et al. 2007 HyperLogLog; Cormode &
+Muthukrishnan 2005 count-min) — both have an associative, idempotent (HLL)
+or additive (CMS) merge, so maintaining them costs state-row exchanges,
+never a rescan of the 10^12-row base (the reference rebuilds its models
+per run, GraphFusion.java:44-80; a durable KG snapshot cannot).
+
+Determinism contract: registers/counters derive from md5 hex prefixes —
+string ops only (no engine hash builtins, no float accumulation), so the
+DuckDB oracle reproduces every register bit-for-bit.  The one float step
+is the final HLL estimate: a single IEEE division chain over exact
+integers (the repo's portability rule), floor()ed into micro-units.
+
+Scale shape: a sketch is ONE map-side-combinable groupBy on
+(keys, bucket/cell) — 256 reduce groups per key for HLL, 3x256 total for
+CMS.  Hot values are single reduce groups (max/sum), never pair lists;
+merge touches only the sketch rows (KB per key at any corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256          # 2^8 registers (first 2 md5 hex chars)
+HLL_TAIL = 13        # hex chars ranked => 52 bits, rank in 1..53
+HLL_UNIT_POW = 53    # sum units of 2^-reg scaled by 2^53 (exact BIGINT)
+CMS_ROWS = 3         # independent hash rows, 256 cells each
+
+
+def _hll_rank(tail):
+    """Leading-zero rank (1-based) of a 13-hex-char string, 53 when all
+    zero — pure string ops so the oracle reproduces it exactly."""
+    z = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    c = tail.substr(z + F.lit(1), F.lit(1))
+    extra = (
+        F.when(c == "1", 3)
+        .when(c.isin("2", "3"), 2)
+        .when(c.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(c == "", 4 * HLL_TAIL + 1).otherwise(4 * z + extra + 1)
+
+
+def hll_sketch(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """HLL register table for COUNT(DISTINCT col) per keys:
+    (keys..., bucket, reg).  bucket = first 2 md5 hex chars of the
+    salted value (256 registers); reg = max leading-zero rank of the
+    next 52 bits.  One groupBy; at most 256 rows per key group."""
+    h = F.md5(F.concat(F.lit("hll:"), F.col(col).cast("string")))
+    ranked = df.select(
+        *keys,
+        h.substr(1, 2).alias("bucket"),
+        _hll_rank(h.substr(3, HLL_TAIL)).cast("long").alias("rank"),
+    )
+    return ranked.groupBy(*keys, "bucket").agg(F.max("rank").alias("reg"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly: register-wise
+    max.  Idempotent — re-merging a batch is a no-op (the kg_stream
+    retry story carries over)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., n_hit, sum_units, est_e6): raw HyperLogLog estimate
+    alpha_m * m^2 / sum(2^-reg) in micro-units.  sum_units is the exact
+    BIGINT sum of 2^(53-reg) with absent registers counted at reg=0
+    (2^53 each); the only float op is one literal-constant chain divided
+    by that exact integer — IEEE-identical in any engine.  n_hit also
+    publishes V (zero registers = m - n_hit) for callers that want the
+    linear-counting small-range correction."""
+    per_key = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_UNIT_POW} - reg)")
+        ).alias("hit_units"),
+    )
+    sum_units = (
+        F.col("hit_units")
+        + (F.lit(HLL_M).cast("long") - F.col("n_hit"))
+        * F.lit(1 << HLL_UNIT_POW).cast("long")
+    ).alias("sum_units")
+    est = F.floor(
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0)
+        * F.lit(9007199254740992.0)
+        * F.lit(1000000.0)
+        / F.col("sum_units").cast("double")
+    ).cast("long")
+    return per_key.select(*keys, "n_hit", sum_units).withColumn(
+        "est_e6", est
+    )
+
+
+def hll_distinct(
+    df: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """One-shot convenience: sketch + estimate."""
+    return hll_estimate(hll_sketch(df, keys, col), keys)
+
+
+# ---------------------------------------------------------------------------
+# Count-min: per-item frequency under a fixed-size counter table.
+
+
+def _cms_cell(row, col):
+    return F.md5(
+        F.concat(F.lit("cms"), F.lit(str(row)), F.lit(":"), col.cast("string"))
+    ).substr(1, 2)
+
+
+def cms_sketch(df: DataFrame, col: str, rows: int = CMS_ROWS) -> DataFrame:
+    """Count-min counter table (r, cell, cnt) over occurrences of
+    ``col``: CMS_ROWS independent md5-salted hashes into 256 cells.
+    3x256 counters regardless of item cardinality; the groupBy is
+    map-side combinable so hot items cost one reduce group per row."""
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    _cms_cell(r, F.col(col)).alias("cell"),
+                )
+                for r in range(rows)
+            ])
+        ).alias("rc")
+    ).select("rc.r", "rc.cell")
+    return cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """merge(cms(A), cms(B)) == cms(A ∪ B) exactly: counter-wise sum."""
+    return (
+        a.unionByName(b).groupBy("r", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame, probes: DataFrame, col: str, rows: int = CMS_ROWS
+) -> DataFrame:
+    """Point estimates for probe items: probes + ``cms_est`` = min over
+    rows of the item's counter (>= true count always; error bounded by
+    N/256 per row, min over 3 rows).  The probe side is small by
+    construction (heavy-hitter candidates) — broadcast it; the sketch is
+    768 rows, broadcast too: zero big-side shuffles."""
+    pc = probes.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    _cms_cell(r, F.col(col)).alias("cell"),
+                )
+                for r in range(rows)
+            ])
+        ).alias("rc"),
+    ).select("*", "rc.r", "rc.cell").drop("rc")
+    joined = pc.join(F.broadcast(sketch), ["r", "cell"], "inner")
+    out_cols = [c for c in probes.columns]
+    return joined.groupBy(*out_cols).agg(F.min("cnt").alias("cms_est"))

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from reden_spark.functions.layout import zorder_key, zorder_key_sql
+
+
+def _zvals(spark, pairs, bits=8):
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    return [
+        r["z"]
+        for r in df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=bits).alias("z")
+        ).collect()
+    ]
+
+
+def test_known_interleaves(spark):
+    # bit i of x -> position 2i, bit i of y -> position 2i+1
+    assert _zvals(spark, [(0, 0), (1, 0), (0, 1), (3, 1)]) == [0, 1, 2, 7]
+
+
+def test_mask_keeps_low_bits_only(spark):
+    # with bits=2 the value 5 (0b101) masks to 1
+    assert _zvals(spark, [(5, 0)], bits=2) == [1]
+
+
+def test_sql_twin_matches_engine(spark):
+    df = spark.range(512).select(
+        (F.col("id") % 23).alias("x"), (F.col("id") % 19).alias("y")
+    )
+    eng = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    )
+    df.createOrReplaceTempView("zin")
+    sql = spark.sql(
+        f"SELECT x, y, {zorder_key_sql(['x', 'y'], bits=8)} AS z FROM zin"
+    )
+    assert sorted(map(tuple, eng.collect())) == sorted(
+        map(tuple, sql.collect())
+    )
+
+
+def test_zorder_bounds_both_columns(spark):
+    # 64x64 grid split into 16 contiguous chunks: z-order chunks are
+    # 16x16 quadrants (both per-column ranges <= 15 — every file prunes
+    # on EITHER filter column); row-major chunks span the full x range.
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = grid.withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=6))
+
+    def chunk_ranges(df, order_col):
+        w = Window.orderBy(order_col)
+        chunks = df.withColumn("chunk", F.ntile(16).over(w))
+        return chunks.groupBy("chunk").agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        ).collect()
+
+    for r in chunk_ranges(z, "z"):
+        assert r["xr"] <= 15 and r["yr"] <= 15
+    row_major = chunk_ranges(z, F.col("y") * 64 + F.col("x"))
+    assert max(r["xr"] for r in row_major) == 63

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.ranking import ranked_positives, ranking_metrics
+
+COLS = ["query_id", "cand_id", "score", "is_true"]
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_rank_positions(spark):
+    rows = [
+        ("q1", "a", 0.9, False),
+        ("q1", "b", 0.8, True),   # rank 2
+        ("q1", "c", 0.1, False),
+        ("q2", "a", 0.5, True),   # rank 1
+        ("q2", "b", 0.4, False),
+    ]
+    got = {
+        (r["query_id"], r["cand_id"]): r["rank"]
+        for r in ranked_positives(_scored(spark, rows)).collect()
+    }
+    assert got == {("q1", "b"): 2, ("q2", "a"): 1}
+
+
+def test_tie_break_is_cand_ascending(spark):
+    rows = [
+        ("q", "b", 1.0, True),
+        ("q", "a", 1.0, False),  # same score, 'a' < 'b' => positive ranks 2
+    ]
+    (r,) = ranked_positives(_scored(spark, rows)).collect()
+    assert r["rank"] == 2
+
+
+def test_metrics_exact_values(spark):
+    rows = [
+        ("q1", "a", 0.9, False),
+        ("q1", "b", 0.8, True),   # rank 2 -> recip 500000
+        ("q2", "a", 0.5, True),   # rank 1 -> recip 1000000
+        ("q2", "b", 0.4, False),
+        ("q3", "a", 0.9, False),
+        ("q3", "b", 0.8, False),
+        ("q3", "c", 0.7, False),
+        ("q3", "d", 0.6, True),   # rank 4 -> recip 250000
+    ]
+    (m,) = ranking_metrics(_scored(spark, rows)).collect()
+    assert m["n_pos"] == 3
+    assert m["sum_recip_e6"] == 500000 + 1000000 + 250000
+    assert m["mrr_e6"] == 1750000 // 3
+    assert m["hits1"] == 1
+    assert m["hits3"] == 2
+    assert m["hits10"] == 3
+
+
+def test_multiple_positives_per_query(spark):
+    rows = [
+        ("q", "a", 0.9, True),   # rank 1
+        ("q", "b", 0.8, False),
+        ("q", "c", 0.7, True),   # rank 3
+    ]
+    (m,) = ranking_metrics(_scored(spark, rows)).collect()
+    assert m["n_pos"] == 2
+    assert m["sum_recip_e6"] == 1000000 + 333333
+    assert m["hits1"] == 1 and m["hits3"] == 2

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.sketches import (
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def test_hll_estimate_accuracy(spark):
+    # 1000 distinct values, m=256 registers: standard error ~1.04/sqrt(m)
+    # ≈ 6.5%; assert a generous 3-sigma band.
+    df = spark.range(1000).select(
+        F.lit("g").alias("k"), F.col("id").alias("v")
+    )
+    row = hll_distinct(df, ["k"], "v").collect()[0]
+    est = row["est_e6"] / 1e6
+    assert 800 <= est <= 1200
+    assert row["n_hit"] <= 256
+
+
+def test_hll_merge_equals_full_sketch(spark):
+    df = spark.range(500).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    a = hll_sketch(df.filter(F.col("v") % 2 == 0), ["k"], "v")
+    b = hll_sketch(df.filter(F.col("v") % 2 == 1), ["k"], "v")
+    merged = sorted(
+        (r["bucket"], r["reg"]) for r in hll_merge(a, b, ["k"]).collect()
+    )
+    full = sorted(
+        (r["bucket"], r["reg"]) for r in hll_sketch(df, ["k"], "v").collect()
+    )
+    assert merged == full
+
+
+def test_hll_merge_idempotent(spark):
+    df = spark.range(200).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    sk = hll_sketch(df, ["k"], "v")
+    twice = hll_merge(sk, sk, ["k"])
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    base = spark.range(100).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    dup = base.unionByName(base).unionByName(base)
+    e1 = hll_estimate(hll_sketch(base, ["k"], "v"), ["k"]).collect()[0]
+    e3 = hll_estimate(hll_sketch(dup, ["k"], "v"), ["k"]).collect()[0]
+    assert e1["est_e6"] == e3["est_e6"]
+
+
+def test_cms_overestimates_never_under(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 37).cast("string").alias("v")
+    )
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(cms_sketch(df, "v"), exact, "v").collect()
+    assert len(est) == 37
+    for r in est:
+        assert r["cms_est"] >= r["exact_n"]
+
+
+def test_cms_merge_equals_full(spark):
+    df = spark.range(1000).select((F.col("id") % 11).cast("string").alias("v"))
+    a = cms_sketch(df.filter(F.col("id") < 500), "v")
+    b = cms_sketch(df.filter(F.col("id") >= 500), "v")
+    merged = sorted(map(tuple, cms_merge(a, b).collect()))
+    full = sorted(map(tuple, cms_sketch(df, "v").collect()))
+    assert merged == full
+
+
+def test_cms_counter_table_is_bounded(spark):
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    assert cms_sketch(df, "v").count() <= 3 * 256
