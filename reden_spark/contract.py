@@ -5581,3 +5581,166 @@ def q_zorder_layout(spark, sf_dir):
         "o_orderkey", "x", "y",
         zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join pre-filter, sample-sketch quantiles, weighted resampling.
+
+_BLOOM_FOLD0 = _TOK_HASH_SQL.format(
+    t="('bloom0:' || CAST({k} AS VARCHAR))"
+)
+_BLOOM_FOLD1 = _TOK_HASH_SQL.format(
+    t="('bloom1:' || CAST({k} AS VARCHAR))"
+)
+
+
+@query(
+    "bloom_prefilter",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_totalprice > 400000),
+    bits AS (
+      SELECT DISTINCT ({_BLOOM_FOLD0.format(k='k')}) % 65536 AS bit FROM dim
+      UNION
+      SELECT DISTINCT ({_BLOOM_FOLD1.format(k='k')}) % 65536 FROM dim),
+    li AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             ({_BLOOM_FOLD0.format(k='l_orderkey')}) % 65536 AS p0,
+             ({_BLOOM_FOLD1.format(k='l_orderkey')}) % 65536 AS p1
+      FROM lineitem),
+    passed AS (
+      SELECT l.l_orderkey, l.l_linenumber FROM li l
+      WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = l.p0)
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = l.p1))
+    SELECT p.l_orderkey, p.l_linenumber,
+           (d.k IS NOT NULL) AS is_match
+    FROM passed p LEFT JOIN dim d ON d.k = p.l_orderkey
+    """,
+)
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter (operators/bloomjoin): the
+    high-value orders' 65536-bit filter broadcast against lineitem — a
+    deterministic SUPERSET of the exact semi-join (is_match exposes the
+    reproducible false positives).  The shuffle-reduction step for joins
+    whose dimension side is too big to broadcast but whose bit table
+    never is."""
+    from reden_spark.operators.bloomjoin import bloom_bits, bloom_prefilter
+
+    dim = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+    passed = bloom_prefilter(li, bloom_bits(dim, "k"), "l_orderkey")
+    return passed.join(
+        dim, F.col("l_orderkey") == F.col("k"), "left"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("k").isNotNull().alias("is_match"),
+    )
+
+
+@query(
+    "sample_quantile_sketch",
+    """
+    WITH o AS (
+      SELECT o_orderstatus AS s, o_orderkey AS id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    h AS (
+      SELECT s, CAST(id AS VARCHAR) AS sid, v,
+             md5('smp:' || CAST(id AS VARCHAR)) AS hk
+      FROM o),
+    rk AS (
+      SELECT s, sid, v,
+             row_number() OVER (PARTITION BY s ORDER BY hk, sid) AS rn
+      FROM h),
+    sk AS (SELECT s, sid, v FROM rk WHERE rn <= 64),
+    rn2 AS (
+      SELECT s, v,
+             row_number() OVER (PARTITION BY s ORDER BY v, sid) AS rn,
+             count(*) OVER (PARTITION BY s) AS n
+      FROM sk)
+    SELECT s AS o_orderstatus,
+           CAST(max(n) AS BIGINT) AS n_sample,
+           max(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN v END) AS p25,
+           max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN v END) AS p50,
+           max(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN v END) AS p75
+    FROM rn2 GROUP BY 1
+    """,
+)
+def q_sample_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (operators/sketches.sample_sketch /
+    sample_merge / sample_quantiles): per-status bottom-64 md5-keyed
+    uniform sample of order totals (integer cents), built from the two
+    orderkey-parity halves and MERGED (bottom-k is a semilattice, so the
+    merge is exact), then nearest-rank p25/p50/p75 by exact integer rank
+    selection.  The scale twin of token_deciles' global sort."""
+    from reden_spark.operators.sketches import (
+        sample_merge,
+        sample_quantiles,
+        sample_sketch,
+    )
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = sample_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderstatus"], "o_orderkey", "cents",
+    )
+    b = sample_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_orderstatus"], "o_orderkey", "cents",
+    )
+    merged = sample_merge(a, b, ["o_orderstatus"])
+    return sample_quantiles(merged, ["o_orderstatus"])
+
+
+@query(
+    "weighted_resample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(500000 + (doc_id % 4) * 750000 AS BIGINT) AS weight_e6
+      FROM documents),
+    c AS (
+      SELECT doc_id, weight_e6,
+             weight_e6 // 1000000
+             + CASE WHEN substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 5)
+                      < lpad(lower(to_hex(
+                          (weight_e6 % 1000000) * 1048576 // 1000000)),
+                          5, '0')
+                    THEN 1 ELSE 0 END AS n_total
+      FROM d)
+    SELECT doc_id, weight_e6, CAST(copy AS BIGINT) AS copy FROM (
+      SELECT doc_id, weight_e6,
+             unnest(range(1, n_total + 1)) AS copy
+      FROM c) t
+    """,
+)
+def q_weighted_resample(spark, sf_dir):
+    """Epochs-style weighted upsampling (operators/corpus_prep.
+    resample_by_weight): micro-unit weights 0.5/1.25/2.0/2.75x by doc_id
+    — floor(w) copies plus a deterministic md5-coin fractional copy, so
+    the realized mix is reproducible row-for-row and E[copies] = w.  The
+    mix step that consumes DSIR/quality weights in an LLM data recipe."""
+    from reden_spark.operators.corpus_prep import resample_by_weight
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(500000) + (F.col("doc_id") % 4) * 750000)
+        .cast("long")
+        .alias("weight_e6"),
+    )
+    return resample_by_weight(d).select("doc_id", "weight_e6", "copy")

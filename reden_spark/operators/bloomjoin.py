@@ -1,0 +1,80 @@
+"""Bloom-filter semi-join pre-filter: shuffle reduction for big joins.
+
+The candidate join broadcasts its dictionary because authority dumps fit
+an executor; when the dimension side does NOT fit (a 10^9-key entity
+registry joined to a 10^12-row mention table), the classic fix is to
+broadcast the dimension's BLOOM FILTER instead: a few KB of bit
+positions prunes most non-matching big-side rows BEFORE they pay the
+shuffle, then the real join runs on the survivors (Bloom 1970; the same
+idea behind Spark's runtime row-level filtering, expressed explicitly so
+the pruning is plannable and observable).
+
+Determinism: bit positions come from the repo's polynomial char-hash of
+salted key strings (functions/text.char_hash — exact in DuckDB via the
+same fold), so the false-positive SET is reproducible bit-for-bit, not
+just its rate.
+
+Scale shape: the bit table is at most ``bits`` rows (65536 default — sized so the bit table stays an order of magnitude larger than the expected key count; half a MB of longs at worst),
+always broadcastable; membership is ``hashes`` broadcast LEFT SEMI joins
+— zero shuffles added to the big side.  False positives are a superset,
+never a loss: the downstream join stays correct and the pre-filter only
+sheds rows that could never match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reden_spark.functions.text import char_hash
+
+BLOOM_BITS = 65536
+BLOOM_HASHES = 2
+
+
+def _position(col, i: int, bits: int):
+    return (
+        char_hash(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))) % bits
+    ).cast("long")
+
+
+def bloom_bits(
+    dim: DataFrame, key: str, bits: int = BLOOM_BITS, hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """The set bits of the dimension keys' Bloom filter: (bit) distinct.
+    One map-side-combinable distinct over at most ``bits`` values — the
+    whole table is KB regardless of dimension size."""
+    parts = [
+        dim.select(_position(F.col(key), i, bits).alias("bit"))
+        for i in range(hashes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    bit_table: DataFrame,
+    key: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Rows of ``big`` whose key passes the Bloom filter (all ``hashes``
+    positions set) — a deterministic superset of the exact semi-join.
+    ``hashes`` broadcast semi-joins; no shuffle, no UDF.  The bit table
+    is persisted here because each semi-join broadcasts it separately —
+    without the persist Spark would rebuild it (and rescan the
+    dimension) once per hash (the round-4 plan-audit lesson: exchange
+    reuse does not fire across differently-aliased branches)."""
+    out = big
+    bit_table = bit_table.persist()
+    for i in range(hashes):
+        probe = bit_table.select(F.col("bit").alias(f"_bloom_b{i}"))
+        out = out.join(
+            F.broadcast(probe),
+            _position(F.col(key), i, bits) == F.col(f"_bloom_b{i}"),
+            "left_semi",
+        )
+    return out

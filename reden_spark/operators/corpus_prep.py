@@ -254,3 +254,42 @@ def token_deciles(
             "n_docs", "min_tokens", "max_tokens", "sum_tokens",
         )
     )
+
+
+def resample_by_weight(
+    df: DataFrame, id_col: str = "doc_id", weight_e6_col: str = "weight_e6"
+) -> DataFrame:
+    """Epochs-style weighted upsampling (the mix step of LLM data
+    recipes: repeat high-quality domains ~w times — Rae et al. 2021 §A.2
+    weight their subsets this way; DSIR/DoReMi weights plug straight
+    in): each row is emitted floor(w) times plus one more with
+    probability frac(w), decided by a deterministic md5 coin — so the
+    realized mix is reproducible row-for-row, stable under re-runs, and
+    the EXPECTED copy count equals the weight exactly.
+
+    Input: rows with an integer micro-unit weight (1_500_000 = 1.5x).
+    Output: the input columns plus ``copy`` (1-based).  w = 0 drops the
+    row; w < 1e6 downsamples.  Pure per-row column math + one explode —
+    zero shuffles, so it composes with any downstream repartition.
+    """
+    # deterministic coin: first 5 md5 hex chars as a 20-bit uniform vs
+    # the fraction rescaled to the same 16^5 space (exact integer div).
+    coin = F.md5(
+        F.concat(F.lit("rs:"), F.col(id_col).cast("string"))
+    ).substr(1, 5)
+    w = f"CAST({weight_e6_col} AS BIGINT)"
+    thresh = F.lpad(
+        F.lower(F.hex(F.expr(f"({w} % 1000000) * 1048576 div 1000000"))),
+        5,
+        "0",
+    )
+    n_total = F.expr(f"{w} div 1000000") + F.when(
+        coin < thresh, 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_n", n_total)
+        .filter(F.col("_n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+        .withColumn("copy", F.col("copy").cast("long"))
+    )

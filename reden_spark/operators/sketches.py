@@ -23,7 +23,7 @@ merge touches only the sketch rows (KB per key at any corpus size).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_M = 256          # 2^8 registers (first 2 md5 hex chars)
@@ -171,3 +171,75 @@ def cms_lookup(
     joined = pc.join(F.broadcast(sketch), ["r", "cell"], "inner")
     out_cols = [c for c in probes.columns]
     return joined.groupBy(*out_cols).agg(F.min("cnt").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded uniform-sample sketch: mergeable quantiles.  token_deciles is the
+# exact path (a global sort); at 10^12 rows the rollup layer keeps a k-row
+# md5-keyed bottom-k sample per group instead — a semilattice (bottom-k of a
+# union == bottom-k of bottom-ks), so merge is exact and the sketch never
+# rescans the base.
+
+SAMPLE_K = 64
+
+
+def _sample_topk(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy("hk", "sid")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sample_sketch(
+    df: DataFrame, keys: list[str], id_col: str, val_col: str,
+    k: int = SAMPLE_K,
+) -> DataFrame:
+    """(keys..., sid, sval, hk): the k rows with the smallest
+    md5('smp:'||id) per key group — a uniform-without-replacement sample
+    that is deterministic, merge-exact, and stable under re-runs.
+    ``id_col`` must be unique per row."""
+    return _sample_topk(
+        df.select(
+            *keys,
+            F.col(id_col).cast("string").alias("sid"),
+            F.col(val_col).alias("sval"),
+            F.md5(
+                F.concat(F.lit("smp:"), F.col(id_col).cast("string"))
+            ).alias("hk"),
+        ),
+        keys,
+        k,
+    )
+
+
+def sample_merge(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = SAMPLE_K
+) -> DataFrame:
+    """merge(sample(A), sample(B)) == sample(A ∪ B) exactly (bottom-k by
+    hash key is a semilattice when ids are unique)."""
+    return _sample_topk(a.unionByName(b), keys, k)
+
+
+def sample_quantiles(
+    sketch: DataFrame, keys: list[str], qs: tuple[int, ...] = (25, 50, 75)
+) -> DataFrame:
+    """Nearest-rank quantile estimates from the sample: value at
+    row_number ((n-1)*q) div 100 + 1 under (sval, sid) — exact integer
+    rank selection, no float percentiles, engine-portable."""
+    w = Window.partitionBy(*keys).orderBy("sval", "sid")
+    ranked = sketch.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("n").cast("long").alias("n_sample")]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"),
+                    F.col("sval"),
+                )
+            ).alias(f"p{q}")
+        )
+    return ranked.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.bloomjoin import bloom_bits, bloom_prefilter
+from reden_spark.operators.corpus_prep import resample_by_weight
+from reden_spark.operators.sketches import (
+    sample_merge,
+    sample_quantiles,
+    sample_sketch,
+)
+
+
+def test_bloom_superset_of_semi_join(spark):
+    dim = spark.range(0, 1000, 7).select(F.col("id").alias("k"))
+    big = spark.range(5000).select(F.col("id").alias("k"))
+    passed = bloom_prefilter(big, bloom_bits(dim, "k"), "k")
+    got = {r["k"] for r in passed.collect()}
+    exact = {r["k"] for r in big.join(dim, "k", "left_semi").collect()}
+    assert exact <= got  # no true match is ever dropped
+    # and the filter actually prunes (fp rate well under saturation)
+    assert len(got) < 5000 * 0.2
+
+
+def test_bloom_empty_dim_prunes_everything(spark):
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    big = spark.range(100).select(F.col("id").alias("k"))
+    assert bloom_prefilter(big, bloom_bits(dim, "k"), "k").count() == 0
+
+
+def test_bloom_no_shuffle_on_big_side(spark):
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    plan = bloom_prefilter(
+        big, bloom_bits(dim, "k"), "k"
+    )._jdf.queryExecution().executedPlan().toString()
+    # both membership probes are broadcast semi-joins ...
+    assert plan.count("BroadcastHashJoin") == 2
+    # ... and every shuffle in the plan is the (KB-sized) bit table's
+    # distinct — the big side never exchanges
+    assert plan.count("Exchange hashpartitioning") == plan.count(
+        "Exchange hashpartitioning(bit"
+    )
+
+
+def test_sample_merge_equals_full(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("id"),
+        (F.col("id") * 17 % 997).alias("v"),
+    )
+    a = sample_sketch(df.filter(F.col("id") % 2 == 0), ["g"], "id", "v")
+    b = sample_sketch(df.filter(F.col("id") % 2 == 1), ["g"], "id", "v")
+    merged = sorted(map(tuple, sample_merge(a, b, ["g"]).collect()))
+    full = sorted(map(tuple, sample_sketch(df, ["g"], "id", "v").collect()))
+    assert merged == full
+
+
+def test_sample_quantiles_exact_on_small_group(spark):
+    # group smaller than k: the sample IS the data, quantiles are exact
+    # nearest-rank. n=5 values 10..50: p50 rank = ((5-1)*50)//100+1 = 3.
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([30, 10, 50, 20, 40])],
+        ["g", "id", "v"],
+    )
+    sk = sample_sketch(df, ["g"], "id", "v", k=64)
+    (row,) = sample_quantiles(sk, ["g"]).collect()
+    assert row["n_sample"] == 5
+    assert (row["p25"], row["p50"], row["p75"]) == (20, 30, 40)
+
+
+def test_resample_copy_counts(spark):
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(500000) + (F.col("id") % 4) * 750000).alias("weight_e6"),
+    )
+    out = resample_by_weight(df)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for doc_id, n in counts.items():
+        w = 500000 + (doc_id % 4) * 750000
+        lo, hi = w // 1000000, w // 1000000 + (1 if w % 1000000 else 0)
+        assert lo <= n <= max(hi, lo)
+    # expected totals: mean copies = (0.5 + 1.25 + 2.0 + 2.75)/4 = 1.625
+    total = sum(counts.values())
+    assert 400 * 1.625 * 0.85 <= total <= 400 * 1.625 * 1.15
+    # weight 2.0 rows appear exactly twice, never a fractional third
+    assert all(n == 2 for d, n in counts.items() if d % 4 == 2)
+
+
+def test_resample_deterministic(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(1500000).alias("weight_e6")
+    )
+    a = sorted(map(tuple, resample_by_weight(df).collect()))
+    b = sorted(map(tuple, resample_by_weight(df).collect()))
+    assert a == b
+
+
+def test_resample_zero_weight_drops(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("weight_e6")
+    )
+    assert resample_by_weight(df).count() == 0
