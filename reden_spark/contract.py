@@ -5744,3 +5744,61 @@ def q_weighted_resample(spark, sf_dir):
         .alias("weight_e6"),
     )
     return resample_by_weight(d).select("doc_id", "weight_e6", "copy")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py): merge rules replayed in SQL.
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled replay of bpe_train: per round, pair counts over the
+    word states, deterministic argmax, string-replace merge (replace()
+    is left-to-right non-overlapping in both engines == greedy BPE)."""
+    ctes = [
+        """words0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) t
+      GROUP BY 1 ORDER BY n DESC, word LIMIT 5000)""",
+        """w0 AS (
+      SELECT '|' || array_to_string(
+               list_filter(string_split(word, ''), c -> c <> ''), '||')
+             || '|' AS s, n
+      FROM words0)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS (
+      SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(arr)),
+                                     i -> [arr[i], arr[i + 1]])) AS p, n
+        FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS arr,
+                     n
+              FROM {prev}) t
+        WHERE len(arr) >= 2) t2
+      GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS (
+      SELECT {r}::BIGINT AS round, a AS lsym, b AS rsym, cnt AS pair_n
+      FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+      SELECT replace(s, '|' || lsym || '||' || rsym || '|',
+                        '|' || lsym || rsym || '|') AS s, n
+      FROM {prev} CROSS JOIN b{r})""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT round, lsym, rsym, pair_n FROM ({union}) m"
+
+
+@query("bpe_merges", _bpe_oracle_sql(_BPE_ROUNDS))
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.bpe_train, Sennrich et al.
+    2016): 8 merge rules learned over the documents corpus — pair
+    counts on the word-frequency table only (the corpus is scanned
+    once), deterministic argmax ties, pipe-delimited string-replace
+    merges whose greedy left-to-right semantics are engine-identical."""
+    from reden_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        _read(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )

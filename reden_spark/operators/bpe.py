@@ -1,0 +1,125 @@
+"""BPE tokenizer training: learn merge rules over a distributed corpus.
+
+Byte-pair-encoding merges (Sennrich et al. 2016) are THE tokenizer-
+training step of an LLM data pipeline.  The classic scalability insight
+carries to Spark directly: training never iterates the corpus — it
+iterates the WORD-FREQUENCY table (vocab-sized, millions of rows at
+100 TB), which one groupBy produces.  Each merge round is then
+
+  1. adjacent-pair counts over the word states (explode + one
+     map-side-combinable groupBy, weighted by word frequency),
+  2. a global argmax with deterministic ties (count DESC, left ASC,
+     right ASC) — a 1-row broadcast,
+  3. the merge applied to every word state.
+
+Word states wrap every symbol in its own delimiters ('|l||o||w|') so
+adjacent pair occurrences are DISJOINT substrings; step 3 is
+``replace(s, '|a||b|', '|ab|')`` — left-to-right non-overlapping
+replacement, which then IS greedy BPE merge semantics ('|a||a||a||a|'
+-> '|aa||aa|'), and is identical in
+Spark and DuckDB, so the contract oracle replays training exactly.
+Symbols stay pipe-safe because pre-tokenization scopes the vocabulary
+to lowercase [a-z]+ words (standard BPE pre-tokenizers scope similarly).
+
+Scale shape: rounds touch only the vocab table (persisted per round,
+lineage cut like LPA); the corpus is scanned ONCE for word counts.  Hot
+pairs are single reduce groups.  ``max_vocab`` is an explicit,
+deterministic cap (count DESC, word ASC), not a silent truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", max_vocab: int | None = 5000
+) -> DataFrame:
+    """(word, n): lowercase [a-z]+ word frequencies, optionally capped
+    to the top ``max_vocab`` by (n DESC, word ASC) — BPE training needs
+    the head of the distribution; the cap is the standard practice and
+    deterministic here."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    if max_vocab is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab)
+    return counts
+
+
+def bpe_init(words: DataFrame) -> DataFrame:
+    """(s, n): each word as a character-symbol state, every symbol
+    wrapped in its own pipes ('|l||o||w|')."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    return words.select(
+        F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|")).alias("s"),
+        "n",
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol pairs over all word states, weighted
+    by word frequency (overlapping occurrences counted, as in the
+    reference implementation's get_stats)."""
+    arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+    multi = state.select(arr.alias("arr"), "n").filter(F.size("arr") >= 2)
+    pairs = multi.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - 1),
+                lambda i: F.struct(
+                    F.element_at("arr", i).alias("a"),
+                    F.element_at("arr", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+        "n",
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    max_vocab: int | None = 5000,
+) -> DataFrame:
+    """The learned merge table: (round, lsym, rsym, pair_n) for
+    ``rounds`` merges.  Deterministic end-to-end; replayable in SQL
+    (the contract oracle does)."""
+    state = bpe_init(word_counts(docs, text_col, max_vocab)).persist()
+    merges = None
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("lsym"),
+                F.col("b").alias("rsym"),
+                F.col("cnt").alias("pair_n"),
+            )
+        ).persist()
+        merges = best if merges is None else merges.unionByName(best)
+        new_state = (
+            state.crossJoin(
+                F.broadcast(best.select("lsym", "rsym"))
+            )
+            .select(
+                F.expr(
+                    "replace(s, concat('|', lsym, '||', rsym, '|'),"
+                    " concat('|', lsym, rsym, '|'))"
+                ).alias("s"),
+                "n",
+            )
+            .persist()
+        )
+        state.unpersist()
+        state = new_state
+    state.unpersist()
+    return merges

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.bpe import bpe_init, bpe_train, word_counts
+
+
+def test_hand_traced_merges(spark):
+    docs = spark.createDataFrame(
+        [("low low low lower lowest",), ("low lower",)], ["text"]
+    )
+    got = [
+        (r["round"], r["lsym"], r["rsym"], r["pair_n"])
+        for r in bpe_train(docs, rounds=4).orderBy("round").collect()
+    ]
+    # low:4 lower:2 lowest:1 -> (l,o)=7 ties (o,w)=7, left asc wins;
+    # then (lo,w)=7, (low,e)=3, (lowe,r)=2.
+    assert got == [
+        (1, "l", "o", 7),
+        (2, "lo", "w", 7),
+        (3, "low", "e", 3),
+        (4, "lowe", "r", 2),
+    ]
+
+
+def test_overlap_is_greedy_left_to_right(spark):
+    # 'aaaa' has 3 overlapping (a,a) pairs counted for the argmax, but
+    # the merge itself is non-overlapping: |a||a||a||a| -> |aa||aa|, so
+    # round 2 merges (aa,aa).
+    docs = spark.createDataFrame([("aaaa aaaa",)], ["text"])
+    got = [
+        (r["round"], r["lsym"], r["rsym"], r["pair_n"])
+        for r in bpe_train(docs, rounds=2).orderBy("round").collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_pretokenization_scopes_to_lowercase_words(spark):
+    docs = spark.createDataFrame([("Ab1 c|d e",)], ["text"])
+    words = {r["word"] for r in word_counts(docs).collect()}
+    # lowercase-then-extract: 'Ab1' -> 'ab'; '|' never enters a symbol
+    assert words == {"ab", "c", "d", "e"}
+
+
+def test_vocab_cap_is_deterministic_head(spark):
+    docs = spark.createDataFrame(
+        [("x x x y y z",)], ["text"]
+    )
+    capped = {r["word"] for r in word_counts(docs, max_vocab=2).collect()}
+    assert capped == {"x", "y"}
+
+
+def test_init_state_shape(spark):
+    words = spark.createDataFrame([("low", 3)], ["word", "n"])
+    (row,) = bpe_init(words).collect()
+    assert (row["s"], row["n"]) == ("|l||o||w|", 3)
