@@ -5802,3 +5802,99 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(
         _read(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components / dependency cycles (operators/scc.py).
+
+_SCC_EDGES_SQL = """
+    SELECT DISTINCT o_orderkey % 400 AS src, o_custkey % 400 AS dst
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 400 <> o_custkey % 400
+"""
+
+
+@query(
+    "scc_labels",
+    f"""
+    WITH RECURSIVE base AS ({_SCC_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM base
+      UNION
+      SELECT r.src, b.dst FROM reach r JOIN base b ON r.dst = b.src
+      WHERE r.src <> b.dst),
+    mutual AS (
+      SELECT f.src AS node, f.dst AS peer
+      FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+    nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+    lab AS (
+      SELECT n.node,
+             least(n.node, coalesce(min(m.peer), n.node)) AS label
+      FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+      GROUP BY n.node)
+    SELECT node, label,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS scc_size
+    FROM lab
+    """,
+)
+def q_scc_labels(spark, sf_dir):
+    """Strongly connected components (operators/scc.scc_labels): mutual
+    reachability over the log-depth doubling closure, label = min id of
+    the component — the directed twin of sameas_cc, and the dependency-
+    cycle detector for the code KG.  Oracle = recursive-CTE closure +
+    the same mutual-pair min."""
+    from reden_spark.operators.scc import scc_labels
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderkey") % 400 != F.col("o_custkey") % 400)
+        )
+        .select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            (F.col("o_custkey") % 400).alias("dst"),
+        )
+        .distinct()
+    )
+    return scc_labels(edges)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection (operators/similarity.project_embeddings).
+
+
+def _jl_oracle_sql(out_dim: int = 8, dim: int = 64) -> str:
+    from reden_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(1, out_dim, dim)[0]
+    projs = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(f"{c!r}::DOUBLE" for c in row) + "]"
+        projs.append(
+            f"""list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(range(1, {dim + 1}),
+                               i -> v[i] * ({lit})[i])),
+                (x, y) -> x + y) AS p{j}"""
+        )
+    cols = ",\n           ".join(projs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200)
+    SELECT vec_id AS id,
+           {cols}
+    FROM e
+    """
+
+
+@query("jl_projection", _jl_oracle_sql())
+def q_jl_projection(spark, sf_dir):
+    """JL random projection (operators/similarity.project_embeddings):
+    64-dim embeddings folded onto 8 deterministic integer hyperplanes —
+    the dimensionality-reduction front end for cheap ANN scans; exact
+    engine/oracle parity because both sides run the identical
+    sequential-fold dot against plan-literal planes."""
+    from reden_spark.operators.similarity import project_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return project_embeddings(emb)

@@ -356,3 +356,27 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
         )
     )
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: (id, p0..p{out_dim-1})
+    with p_j = <v, plane_j> under the deterministic integer hyperplane
+    family (table 0 of ``hyperplane_planes``).  Pairwise angles are
+    approximately preserved (JL lemma), so downstream cosine ANN runs on
+    out_dim components instead of ``dim`` — an 8x cheaper brute-force /
+    IVF scan at the cost of recall the caller measures with ann_recall.
+    Sequential-fold dots (the _dot kernel), plan-literal planes, no
+    broadcast, no shuffle."""
+    planes = hyperplane_planes(1, out_dim, dim)[0]
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col).alias("id")]
+    for j, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(c) for c in row])
+        cols.append(_dot(v, coeffs).alias(f"p{j}"))
+    return embeddings.select(*cols)

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.similarity import (
+    hyperplane_planes,
+    project_embeddings,
+)
+
+
+def test_projection_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [
+        (0, [float(i % 7 - 3) for i in range(64)]),
+        (1, [float((i * 3) % 11 - 5) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {r["id"]: [r[f"p{j}"] for j in range(8)]
+           for r in project_embeddings(df).collect()}
+    planes = np.array(hyperplane_planes(1, 8, 64)[0])
+    for vid, v in vecs:
+        want = planes @ np.array(v)
+        assert all(
+            math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+            for a, b in zip(got[vid], want)
+        )
+
+
+def test_projected_cosine_preserves_neighbors(spark):
+    # clustered vectors: projections of same-cluster vectors stay more
+    # similar than cross-cluster ones (JL preserves angles on average).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 64) * 5
+    rows = []
+    for i in range(40):
+        c = i % 4
+        rows.append((i, c, (centers[c] + rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+    proj = project_embeddings(df, out_dim=8).collect()
+    vecs = {r["id"]: np.array([r[f"p{j}"] for j in range(8)]) for r in proj}
+    clusters = {i: i % 4 for i in range(40)}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    same, diff = [], []
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                (same if clusters[i] == clusters[j] else diff).append(
+                    cos(vecs[i], vecs[j])
+                )
+    assert sum(same) / len(same) > sum(diff) / len(diff) + 0.2

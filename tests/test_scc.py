@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from reden_spark.operators.scc import dependency_cycles, scc_labels
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: (r["label"], r["scc_size"])
+        for r in scc_labels(df).collect()
+    }
+
+
+def test_two_cycles_one_way_bridge(spark):
+    # 1->2->3->1 and 10->11->10, bridged 3->10 (one-way): two SCCs.
+    got = _labels(
+        spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10)]
+    )
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_dag_is_all_singletons(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (1, 3)])
+    assert got == {1: (1, 1), 2: (2, 1), 3: (3, 1)}
+
+
+def test_self_loop_stays_singleton(spark):
+    got = _labels(spark, [(1, 1), (1, 2)])
+    assert got == {1: (1, 1), 2: (2, 1)}
+
+
+def test_dependency_cycles_reports_only_cyclic(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], ["src", "dst"]
+    )
+    got = {r["node"] for r in dependency_cycles(df).collect()}
+    assert got == {1, 2}
+
+
+def test_long_cycle_needs_doubling_rounds(spark):
+    n = 9
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = _labels(spark, edges)
+    assert all(got[i] == (0, n) for i in range(n))
