@@ -5898,3 +5898,46 @@ def q_jl_projection(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return project_embeddings(emb)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking plans (operators/corpus_prep.chunk_plan).
+
+
+@query(
+    "chunk_plan",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    n AS (
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t
+        ON d.doc_id = t.doc_id),
+    c AS (
+      SELECT id, n_tokens,
+             CASE WHEN n_tokens <= 32 THEN 1
+                  ELSE (n_tokens - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+      FROM n),
+    x AS (
+      SELECT id, n_tokens,
+             CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+      FROM c)
+    SELECT id, n_tokens, chunk_idx,
+           chunk_idx * 24 AS start_tok,
+           least(chunk_idx * 24 + 32, n_tokens) AS end_tok
+    FROM x
+    """,
+)
+def q_chunk_plan(spark, sf_dir):
+    """Token-budget chunking plan (operators/corpus_prep.chunk_plan):
+    32-token windows with 8-token overlap (stride 24) over each
+    document (sized to the synthetic corpus' 10-99-token docs so the
+    multi-chunk path is exercised) — pure integer offset arithmetic
+    emitted as a plan, not sliced text.  The long-document complement
+    of pack_sequences."""
+    from reden_spark.operators.corpus_prep import chunk_plan
+
+    return chunk_plan(
+        _read(spark, sf_dir, "documents"), budget=32, overlap=8
+    )

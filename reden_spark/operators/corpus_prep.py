@@ -293,3 +293,51 @@ def resample_by_weight(
         .drop("_n")
         .withColumn("copy", F.col("copy").cast("long"))
     )
+
+
+def chunk_plan(
+    docs: DataFrame,
+    budget: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-window chunking: split each document into token-budget
+    chunks with ``overlap`` tokens carried between consecutive windows —
+    the long-document half of sequence preparation (pack_sequences
+    handles the short-document half).  Output (id, n_tokens, chunk_idx,
+    start_tok, end_tok): a PLAN over token offsets, so the (expensive)
+    text slicing runs wherever the tokens already are — at 100 TB you
+    ship the plan to the data, not the text to a planner.
+
+    stride = budget - overlap; n_chunks = 1 when n <= budget else
+    ceil((n - budget) / stride) + 1; chunk i covers
+    [i * stride, min(i * stride + budget, n)).  All integer arithmetic
+    — exact in any engine; zero shuffles (per-row math + one explode).
+    """
+    if not 0 <= overlap < budget:
+        raise ValueError(
+            f"need 0 <= overlap < budget, got overlap={overlap} budget={budget}"
+        )
+    stride = budget - overlap
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    base = docs.select(
+        F.col(id_col).alias("id"), n.cast("long").alias("n_tokens")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n_tokens") <= budget, F.lit(1).cast("long")).otherwise(
+            F.expr(f"(n_tokens - {budget} + {stride} - 1) div {stride} + 1")
+        ),
+    )
+    return (
+        base.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)),
+        )
+        .withColumn("start_tok", F.col("chunk_idx") * stride)
+        .withColumn(
+            "end_tok",
+            F.least(F.col("start_tok") + budget, F.col("n_tokens")),
+        )
+        .select("id", "n_tokens", "chunk_idx", "start_tok", "end_tok")
+    )

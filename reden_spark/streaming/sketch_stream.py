@@ -1,0 +1,45 @@
+"""Streaming sketch maintenance: live COUNT(DISTINCT) and frequency
+rollups over an unbounded ingest stream.
+
+The batch sketches (operators/sketches.py) are built from aggregates
+that are associative, commutative, and (for HLL) idempotent — which is
+exactly the contract Structured Streaming's stateful aggregation needs.
+So the STREAMING twins are the same plans run on a streaming frame:
+
+* ``hll_sketch_stream`` — register-max per (keys, bucket): state is at
+  most 256 rows per key group FOREVER, regardless of stream volume, and
+  max() is idempotent, so replayed/retried batches cannot inflate the
+  registers (the same retry-safety argument as kg_stream's
+  idempotent-by-batch-id sink, provided by algebra instead of by
+  partition overwrite).
+* ``cms_sketch_stream`` — counter-sum per (r, cell): 3x256 rows of
+  state total; exactly-once delivery is required for exact counts (the
+  engine's checkpointing provides it), and the drained stream equals
+  the batch counter table row for row.
+
+Parity with batch is asserted in tests/test_sketch_stream.py: drain an
+availableNow stream in complete mode, the registers/counters and the
+derived distinct estimate match operators/sketches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from reden_spark.operators.sketches import cms_sketch, hll_sketch
+
+
+def hll_sketch_stream(
+    stream: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """HLL register table over a streaming frame — complete/update
+    output; feed the drained registers to operators/sketches.
+    hll_estimate (or merge them into a durable sketch table with
+    hll_merge) for the live distinct count."""
+    return hll_sketch(stream, keys, col)
+
+
+def cms_sketch_stream(stream: DataFrame, col: str) -> DataFrame:
+    """Count-min counter table over a streaming frame — complete/update
+    output; point-lookups via operators/sketches.cms_lookup."""
+    return cms_sketch(stream, col)

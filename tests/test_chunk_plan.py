@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import pytest
+
+from reden_spark.operators.corpus_prep import chunk_plan
+
+
+def _plan(spark, text, budget, overlap):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    return sorted(
+        (r["chunk_idx"], r["start_tok"], r["end_tok"])
+        for r in chunk_plan(df, budget=budget, overlap=overlap).collect()
+    )
+
+
+def test_short_doc_single_chunk(spark):
+    assert _plan(spark, "a b c", 10, 2) == [(0, 0, 3)]
+
+
+def test_exact_budget_single_chunk(spark):
+    text = " ".join(["t"] * 10)
+    assert _plan(spark, text, 10, 2) == [(0, 0, 10)]
+
+
+def test_overlapping_windows_cover_everything(spark):
+    # 25 tokens, budget 10, overlap 2 -> stride 8: chunks at 0,8,16
+    # (16+10=26 clipped to 25); every token covered, consecutive chunks
+    # share exactly 2 tokens.
+    text = " ".join(f"t{i}" for i in range(25))
+    got = _plan(spark, text, 10, 2)
+    assert got == [(0, 0, 10), (1, 8, 18), (2, 16, 25)]
+    for (_, s1, e1), (_, s2, _) in zip(got, got[1:]):
+        assert s2 == e1 - 2  # overlap carried
+    assert got[0][1] == 0 and got[-1][2] == 25  # full coverage
+
+
+def test_empty_text_one_empty_chunk(spark):
+    assert _plan(spark, "", 10, 2) == [(0, 0, 0)]
+
+
+def test_bad_overlap_raises(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_plan(df, budget=10, overlap=10)

@@ -1,0 +1,91 @@
+"""Streaming sketches vs batch: the drained availableNow stream must
+reproduce the batch register/counter tables exactly (max/sum are
+order-insensitive, so microbatch boundaries cannot change them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reden_spark.operators.sketches import (
+    cms_sketch,
+    hll_estimate,
+    hll_sketch,
+)
+from reden_spark.streaming.sketch_stream import (
+    cms_sketch_stream,
+    hll_sketch_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("sketch_stream") / "documents")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartitionByRange(5, "doc_id")
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _docs(spark, docs_path, streaming):
+    reader = (
+        spark.readStream if streaming else spark.read
+    )
+    df = (
+        reader.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(docs_path)
+        if streaming
+        else spark.read.parquet(docs_path)
+    )
+    return df.select("doc_id", "lang", "text")
+
+
+def test_hll_stream_equals_batch(spark, docs_path):
+    stream = hll_sketch_stream(_docs(spark, docs_path, True), ["lang"], "text")
+    name = _drain(stream, "hll_stream")
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(tuple, hll_sketch(_docs(spark, docs_path, False), ["lang"], "text").collect())
+    )
+    assert got == want
+    # and the derived estimate matches too
+    est_stream = sorted(
+        map(tuple, hll_estimate(spark.table(name), ["lang"]).collect())
+    )
+    est_batch = sorted(
+        map(
+            tuple,
+            hll_estimate(
+                hll_sketch(_docs(spark, docs_path, False), ["lang"], "text"),
+                ["lang"],
+            ).collect(),
+        )
+    )
+    assert est_stream == est_batch
+
+
+def test_cms_stream_equals_batch(spark, docs_path):
+    stream = cms_sketch_stream(_docs(spark, docs_path, True), "lang")
+    name = _drain(stream, "cms_stream")
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(tuple, cms_sketch(_docs(spark, docs_path, False), "lang").collect())
+    )
+    assert got == want
