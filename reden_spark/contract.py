@@ -5941,3 +5941,91 @@ def q_chunk_plan(spark, sf_dir):
     return chunk_plan(
         _read(spark, sf_dir, "documents"), budget=32, overlap=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Stable pseudonymization + multi-level corpus profile cube.
+
+
+@query(
+    "pii_pseudonymize",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id % 7 AS VARCHAR)
+                  || '@ex' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.com cc user' || CAST(doc_id % 7 AS VARCHAR)
+                  || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS ms
+      FROM synth)
+    SELECT doc_id,
+           CAST(len(ms) AS BIGINT) AS n_matches,
+           CAST(len(list_distinct(ms)) AS BIGINT) AS n_unique,
+           list_reduce(
+             list_prepend(t,
+               list_sort(list_transform(ms,
+                 x -> lpad(CAST(length(x) AS VARCHAR), 6, '0') || '|' || x),
+                 'DESC')),
+             (acc, k) -> replace(acc, substr(k, 8),
+                                 '<EMAIL_' || substr(md5(substr(k, 8)), 1, 8)
+                                 || '>')) AS pseudo
+    FROM m
+    """,
+)
+def q_pii_pseudonymize(spark, sf_dir):
+    """Stable pseudonymization (operators/quality.pseudonymize): emails
+    replaced by content-derived surrogates <EMAIL_xxxxxxxx> — the same
+    address maps to the same token across documents and re-runs, so
+    joins survive while the raw value is gone.  Longest-first fold so a
+    match inside a longer match never fires first; the synthetic PII is
+    planted identically in both engines."""
+    from reden_spark.operators.quality import pseudonymize
+
+    d = _read(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com cc user"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com"),
+        ).alias("t"),
+    )
+    return pseudonymize(synth, text_col="t").select(
+        "doc_id", "n_matches", "n_unique", "pseudo"
+    )
+
+
+@query(
+    "corpus_profile_cube",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def q_corpus_profile_cube(spark, sf_dir):
+    """Multi-level corpus profile (CUBE over (lang, source) with
+    grouping id): per-cell, per-lang, per-source, and grand totals in
+    one pass — Spark computes all four grouping sets in a single
+    shuffle (partial aggregation per set), the rollup a 100 TB corpus
+    dashboard reads instead of four scans."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )

@@ -432,3 +432,61 @@ def pii_scrub(
             out_col: scrubbed,
         }
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = EMAIL_RE,
+    tag: str = "EMAIL",
+    out_col: str = "pseudo",
+) -> DataFrame:
+    """Stable pseudonymization: every match of ``pattern`` is replaced
+    by a SURROGATE derived from the match itself —
+    ``<TAG_xxxxxxxx>`` with xxxxxxxx = first 8 md5 hex chars — so the
+    same address maps to the same token across documents, batches, and
+    re-runs (joins on the pseudonym still work; the raw value is gone).
+    pii_scrub is the destroy-it cousin; this is the analytics-preserving
+    one (GDPR-style pseudonymization).
+
+    Mechanics: matches are folded over the text longest-first (a match
+    that is a substring of a longer one must not fire first), each step
+    a plain replace-all.  Surrogates contain no '@' or digits-with-dots,
+    so later steps cannot match inside earlier replacements.  All native
+    higher-order functions — the fold is the same aggregate kernel as
+    char_hash, so the DuckDB oracle reproduces it bit-for-bit.  Zero
+    shuffles.
+    """
+    c = F.col(text_col)
+    matches = F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+    # sortable keys: zero-padded length + '|' + match, descending =>
+    # longest first, deterministic ties.
+    keys = F.sort_array(
+        F.transform(
+            matches,
+            lambda m: F.concat(
+                F.lpad(F.length(m).cast("string"), 6, "0"), F.lit("|"), m
+            ),
+        ),
+        asc=False,
+    )
+    folded = F.aggregate(
+        keys,
+        c,
+        lambda acc, k: F.replace(
+            acc,
+            k.substr(F.lit(8), F.length(k)),
+            F.concat(
+                F.lit(f"<{tag}_"),
+                F.md5(k.substr(F.lit(8), F.length(k))).substr(1, 8),
+                F.lit(">"),
+            ),
+        ),
+    )
+    return df.withColumns(
+        {
+            "n_matches": F.size(matches).cast("long"),
+            "n_unique": F.size(F.array_distinct(matches)).cast("long"),
+            out_col: folded,
+        }
+    )

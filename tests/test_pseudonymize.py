@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.quality import pseudonymize
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    return pseudonymize(df).collect()[0]
+
+
+def test_same_address_same_surrogate(spark):
+    r = _one(spark, "a@b.com wrote to c@d.org then a@b.com replied")
+    assert r["n_matches"] == 3 and r["n_unique"] == 2
+    toks = [t for t in r["pseudo"].split() if t.startswith("<EMAIL_")]
+    assert len(toks) == 3
+    assert toks[0] == toks[2] and toks[0] != toks[1]
+    assert "a@b.com" not in r["pseudo"] and "c@d.org" not in r["pseudo"]
+
+
+def test_substring_match_is_not_clobbered(spark):
+    # 'xa@b.com' contains 'a@b.com'; longest-first keeps them distinct.
+    r = _one(spark, "mail a@b.com and xa@b.com")
+    toks = [t for t in r["pseudo"].split() if t.startswith("<EMAIL_")]
+    assert len(toks) == 2 and toks[0] != toks[1]
+
+
+def test_stable_across_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "ping a@b.com"), (2, "pong a@b.com")], ["doc_id", "text"]
+    )
+    rows = pseudonymize(df).collect()
+    s1 = rows[0]["pseudo"].split()[-1]
+    s2 = rows[1]["pseudo"].split()[-1]
+    assert s1 == s2  # joins on the pseudonym still work
+
+
+def test_no_matches_is_identity(spark):
+    r = _one(spark, "nothing personal here")
+    assert r["pseudo"] == "nothing personal here"
+    assert r["n_matches"] == 0
+
+
+def test_custom_pattern_and_tag(spark):
+    df = spark.createDataFrame([(1, "ip 10.0.0.1 end")], ["doc_id", "text"])
+    r = pseudonymize(
+        df, pattern=r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", tag="IP"
+    ).collect()[0]
+    assert "<IP_" in r["pseudo"] and "10.0.0.1" not in r["pseudo"]
