@@ -2,19 +2,19 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 127 queries, all 127 with
+SURVEY.md §2 (reden_spark/contract.py): 128 queries, all 128 with
 DuckDB oracles (the iterative centralities/HITS/walks use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  77 registered queries await their first
-driver rows — 7 added after the r3 driver run and 70 across round 4
+passes rows + schema + hash).  78 registered queries await their first
+driver rows — 7 added after the r3 driver run and 71 across round 4
 (latest: tfidf/sparse-cosine, schema_graph, property_path,
 markov_transitions, burst_detect, agg_state_merge, hll_distinct,
 cms_heavy_hitters, kg_ranking_metrics, zorder_layout,
 bloom_prefilter, sample_quantile_sketch, weighted_resample, bpe_merges, scc_labels, jl_projection, chunk_plan,
-pii_pseudonymize, corpus_profile_cube); all pass the
+pii_pseudonymize, corpus_profile_cube, kg_negative_samples_filtered); all pass the
 local replica of the gate (tools/check_oracles.py).
 """
 

@@ -6029,3 +6029,78 @@ def q_corpus_profile_cube(spark, sf_dir):
         )
         .select("lang", "source", "gid", "n_docs", "sum_chars")
     )
+
+
+@query(
+    "kg_negative_samples_filtered",
+    f"""
+    WITH t AS ({_INV_TRIPLES_SQL}),
+    v AS (SELECT DISTINCT subj AS ent FROM t
+          UNION SELECT DISTINCT obj FROM t),
+    cand AS (
+      SELECT t.subj, t.pred, t.obj, k.k, v.ent,
+             md5('neg' || t.subj || '|' || t.pred || '|' || t.obj || '|'
+                 || CAST(k.k AS VARCHAR) || '|' || v.ent) AS r
+      FROM t, v, (SELECT unnest([0, 1]) AS k) k
+      WHERE v.ent <> t.obj
+        AND NOT EXISTS (SELECT 1 FROM t x
+                        WHERE x.subj = t.subj AND x.pred = t.pred
+                          AND x.obj = v.ent)),
+    neg AS (
+      SELECT subj, pred, ent AS obj, CAST(0 AS BIGINT) AS label FROM (
+        SELECT *, row_number() OVER (PARTITION BY subj, pred, obj, k
+                                     ORDER BY r, ent) AS rn
+        FROM cand) z
+      WHERE rn = 1)
+    SELECT subj, pred, obj, CAST(1 AS BIGINT) AS label FROM t
+    UNION ALL SELECT * FROM neg
+    """,
+)
+def q_kg_negative_samples_filtered(spark, sf_dir):
+    """FILTERED TransE negative sampling (operators/walks.
+    negative_samples_filtered — Bordes et al. 2013 'filt.' setting):
+    corrupted candidates that are true triples are anti-joined out
+    BEFORE the md5-argmin pick, so every negative is guaranteed false.
+    The dense synthetic KG makes the two protocols differ (many
+    corruptions hit real edges) — both driver-oracled side by side."""
+    from reden_spark.operators.walks import negative_samples_filtered
+
+    d = F.col("doc_id")
+    ent = lambda m: F.concat(F.lit("e"), (d % m).cast("string"))  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            ent(23).alias("subj"),
+            F.lit("childOf").alias("pred"),
+            ent(19).alias("obj"),
+        )
+        .unionByName(
+            docs.filter(d % 3 != 0).select(
+                ent(19).alias("subj"),
+                F.lit("parentOf").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(19).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                ent(19).alias("subj"),
+                F.lit("near").alias("pred"),
+                ent(23).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 5 == 0).select(
+                ent(23).alias("subj"),
+                F.lit("mentions").alias("pred"),
+                ent(29).alias("obj"),
+            )
+        )
+    )
+    return negative_samples_filtered(t, n_neg=2)

@@ -176,3 +176,78 @@ def negative_samples(
         )
     )
     return pos.unionByName(neg)
+
+
+def negative_samples_filtered(
+    triples: DataFrame, n_neg: int = 2, seed: str = "neg"
+) -> DataFrame:
+    """The FILTERED evaluation protocol (Bordes et al. 2013 §5 "filt."):
+    like `negative_samples`, but a corrupted candidate (s, p, ent) that
+    happens to be a TRUE triple is excluded BEFORE the hash-argmin pick,
+    so negatives are guaranteed false and ranking metrics are not
+    polluted by accidentally-true corruptions.  Same determinism: the
+    pick is the md5-argmin over the remaining candidates — a pure
+    function of the triple set.
+
+    Scale shape: one extra left-anti join of the candidate set against
+    the triple table on (subj, pred, obj) — the same key the candidate
+    set is already laid out on; at KG scale the anti-join shuffles once
+    (or broadcasts when the true-triple table fits)."""
+    assert n_neg >= 1
+    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    vocab = (
+        t.select(F.col("subj").alias("ent"))
+        .unionByName(t.select(F.col("obj").alias("ent")))
+        .dropDuplicates(["ent"])
+    )
+    pos = t.withColumn("label", F.lit(1).cast("long"))
+    cand = (
+        t.crossJoin(
+            F.broadcast(
+                vocab.crossJoin(
+                    t.sparkSession.range(n_neg).select(
+                        F.col("id").cast("long").alias("k")
+                    )
+                )
+            )
+        )
+        .filter(F.col("ent") != F.col("obj"))
+        .join(
+            t.select(
+                F.col("subj").alias("subj"),
+                F.col("pred").alias("pred"),
+                F.col("obj").alias("ent"),
+            ),
+            ["subj", "pred", "ent"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("subj", "pred", "obj", "k").orderBy("r", "ent")
+    neg = (
+        cand.withColumn(
+            "r",
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.col("subj"),
+                    F.lit("|"),
+                    F.col("pred"),
+                    F.lit("|"),
+                    F.col("obj"),
+                    F.lit("|"),
+                    F.col("k").cast("string"),
+                    F.lit("|"),
+                    F.col("ent"),
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "subj",
+            "pred",
+            F.col("ent").alias("obj"),
+            F.lit(0).cast("long").alias("label"),
+        )
+    )
+    return pos.unionByName(neg)

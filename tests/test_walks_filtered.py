@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.walks import (
+    negative_samples,
+    negative_samples_filtered,
+)
+
+TRIPLES = [
+    ("a", "likes", "b"),
+    ("a", "likes", "c"),
+    ("b", "likes", "c"),
+]
+
+
+def test_filtered_negatives_are_never_true(spark):
+    t = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+    out = negative_samples_filtered(t, n_neg=2)
+    true_set = set(TRIPLES)
+    negs = [
+        (r["subj"], r["pred"], r["obj"])
+        for r in out.filter(F.col("label") == 0).collect()
+    ]
+    assert negs and all(n not in true_set for n in negs)
+
+
+def test_unfiltered_can_hit_true_triples_here(spark):
+    # vocabulary {a,b,c}: corrupting (a,likes,b) can only yield a or c;
+    # (a,likes,c) IS true, so the unfiltered protocol emits it while the
+    # filtered one must pick 'a' instead for that slot.
+    t = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+    unf = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in negative_samples(t, n_neg=2)
+        .filter(F.col("label") == 0)
+        .collect()
+    }
+    filt = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in negative_samples_filtered(t, n_neg=2)
+        .filter(F.col("label") == 0)
+        .collect()
+    }
+    assert ("a", "likes", "c") not in filt
+    # filtered negatives are never true triples
+    assert all(x not in set(TRIPLES) for x in filt)
+    # and the two protocols genuinely differ on this KG
+    assert unf != filt
+
+
+def test_positives_carried_through(spark):
+    t = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+    pos = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in negative_samples_filtered(t)
+        .filter(F.col("label") == 1)
+        .collect()
+    }
+    assert pos == set(TRIPLES)
