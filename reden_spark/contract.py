@@ -6104,3 +6104,96 @@ def q_kg_negative_samples_filtered(spark, sf_dir):
         )
     )
     return negative_samples_filtered(t, n_neg=2)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing clone detection (operators/winnow.py — Schleimer et al. 2003)
+
+_WINNOW_FPS_SQL = f"""
+    WITH wfiles AS ({_CODE_FILES_SQL}),
+    wf AS (SELECT 'repo://' || repo || '/' || path AS id,
+                  lower(regexp_replace(content, '[ \\t\\r\\n]+', '', 'g')) AS nc
+           FROM wfiles),
+    wgrams AS (
+      SELECT id, unnest(generate_series(1, length(nc) - 11)) AS pos, nc
+      FROM wf WHERE length(nc) >= 12),
+    wh AS (SELECT id, pos, md5('wf:' || substr(nc, pos, 12)) AS h FROM wgrams),
+    wmins AS (
+      SELECT id, pos,
+             min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM wh)
+    SELECT id, fp, CAST(min(pos) AS BIGINT) AS first_pos,
+           count(*) AS n_windows
+    FROM wmins WHERE pos >= 4 GROUP BY id, fp
+"""
+
+
+@query("winnow_fingerprints", _WINNOW_FPS_SQL)
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (operators/winnow.winnow_fingerprints,
+    Schleimer et al. 2003) over the code-shaped corpus: every window of
+    w=4 consecutive k=12-gram md5 hashes contributes its minimum, so any
+    shared normalized substring of >= k+w-1 = 15 chars yields a shared
+    fingerprint.  Narrow explode + ONE exchange on the file key."""
+    from reden_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_code_files(spark, sf_dir).select(
+        F.concat(F.lit("repo://"), "repo", F.lit("/"), "path").alias("subj"),
+        "content",
+    ), k=12, w=4)
+
+
+@query(
+    "winnow_dropped",
+    f"""
+    WITH fps AS ({_WINNOW_FPS_SQL})
+    SELECT fp, count(DISTINCT id) AS df
+    FROM fps GROUP BY fp HAVING count(DISTINCT id) > 16
+    """,
+)
+def q_winnow_dropped(spark, sf_dir):
+    """Observability twin of the clone-join boilerplate cap
+    (operators/winnow.dropped_fingerprints): fingerprints whose document
+    frequency exceeds the cap — license headers / generated code that
+    the pair join excludes.  No silent drops."""
+    from reden_spark.operators.winnow import dropped_fingerprints, winnow_fingerprints
+
+    fps = winnow_fingerprints(_code_files(spark, sf_dir).select(
+        F.concat(F.lit("repo://"), "repo", F.lit("/"), "path").alias("subj"),
+        "content",
+    ), k=12, w=4)
+    return dropped_fingerprints(fps, df_cap=16)
+
+
+@query(
+    "clone_pairs",
+    f"""
+    WITH fps AS ({_WINNOW_FPS_SQL}),
+    fdf AS (SELECT fp, count(DISTINCT id) AS df FROM fps GROUP BY fp),
+    kept AS (SELECT f.id, f.fp FROM fps f JOIN fdf ON f.fp = fdf.fp
+             WHERE fdf.df <= 64),
+    sizes AS (SELECT id, count(*) AS n_fp FROM kept GROUP BY id),
+    shr AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT id_a, id_b, shared,
+           shared * 1000000 // least(sa.n_fp, sb.n_fp) AS sim_e6
+    FROM shr JOIN sizes sa ON sa.id = shr.id_a
+             JOIN sizes sb ON sb.id = shr.id_b
+    """,
+)
+def q_clone_pairs(spark, sf_dir):
+    """Clone-pair ranking (operators/winnow.clone_pairs): fingerprint
+    self-join with a df_cap=64 boilerplate cap (every join group is
+    <= cap wide — C(cap,2) bound per fingerprint), containment
+    similarity in exact integer micro-units.  EXACT over the sub-cap
+    fingerprint set; drops observable via winnow_dropped."""
+    from reden_spark.operators.winnow import clone_pairs, winnow_fingerprints
+
+    fps = winnow_fingerprints(_code_files(spark, sf_dir).select(
+        F.concat(F.lit("repo://"), "repo", F.lit("/"), "path").alias("subj"),
+        "content",
+    ), k=12, w=4)
+    return clone_pairs(fps, df_cap=64, min_shared=2)

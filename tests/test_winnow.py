@@ -1,0 +1,87 @@
+"""Winnowing clone detection (operators/winnow.py — Schleimer et al.
+2003): the t = k + w − 1 guarantee, whitespace/case invariance, the
+fingerprint-density win, and the boilerplate-cap pair bound.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.winnow import (
+    clone_pairs,
+    dropped_fingerprints,
+    kgram_hashes,
+    winnow_fingerprints,
+)
+
+K, W = 5, 4
+T = K + W - 1  # guarantee threshold
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "subj string, content string")
+
+
+def _fps(spark, rows, k=K, w=W):
+    df = winnow_fingerprints(_files(spark, rows), k=k, w=w)
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["id"], set()).add(r["fp"])
+    return out
+
+
+def test_guarantee_shared_block_shares_fingerprint(spark):
+    """Two files sharing a block of >= t normalized chars MUST share at
+    least one selected fingerprint — the winnowing guarantee."""
+    block = "qwertyuiopasdfgh"  # 16 >= t = 8 shared chars
+    fps = _fps(spark, [("a", "zz1" + block + "77xkcd"), ("b", "mmmm" + block + "0pq")])
+    assert fps["a"] & fps["b"]
+
+
+def test_whitespace_and_case_invariance(spark):
+    a = "def foo(x):\n    return bar(x) + 1"
+    b = "DEF FOO( X ) :  RETURN BAR( X )+ 1"
+    # b is a reformatted/recased a with identical normalized stream
+    fps = _fps(spark, [("a", a), ("b", b)])
+    assert fps["a"] == fps["b"]
+
+
+def test_density_below_one_per_position(spark):
+    """Winnowing selects ~2/(w+1) of positions — assert the selected set
+    is materially smaller than the k-gram stream (the paper's point)."""
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    files = _files(spark, [("a", text)])
+    n_grams = kgram_hashes(files, k=K).count()
+    n_fps = winnow_fingerprints(files, k=K, w=W).count()
+    assert 0 < n_fps < n_grams / 2
+
+
+def test_short_file_emits_nothing(spark):
+    # normalized length < t: no full window, per the paper
+    fps = winnow_fingerprints(_files(spark, [("a", "ab  c\n d")]), k=K, w=W)
+    assert fps.count() == 0
+
+
+def test_clone_pairs_containment_and_cap(spark):
+    """A contained clone scores 1e6; boilerplate shared by everyone is
+    excluded by df_cap and visible via dropped_fingerprints."""
+    boiler = "licenseheaderthatistotallythesameeverywhere"
+    body = "uniquepayloadnumberonewithenoughlength"
+    rows = [
+        ("big", boiler + body + "trailingextrauniquecontenthere"),
+        ("small", body),  # contained in big
+        # payloads with NO cross-noise shared substring >= t (single
+        # repeated letter per file), so only the boiler is shared
+    ] + [(f"noise{i}", boiler + chr(97 + i) * 30) for i in range(9)]
+    files = _files(spark, rows)
+    fps = winnow_fingerprints(files, k=K, w=W)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim_e6"]
+        for r in clone_pairs(fps, df_cap=4, min_shared=1).collect()
+    }
+    # big/small share the body fingerprints (df=2 <= cap) → containment 1e6
+    assert pairs[("big", "small")] == 1_000_000
+    # boilerplate fingerprints (df = 10 > cap) must NOT create noise pairs
+    assert not any("noise" in a and "noise" in b for a, b in pairs)
+    # ...and the exclusions are observable
+    dropped = dropped_fingerprints(fps, df_cap=4)
+    assert dropped.count() > 0
+    assert all(r["df"] > 4 for r in dropped.collect())
