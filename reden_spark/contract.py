@@ -6197,3 +6197,45 @@ def q_clone_pairs(spark, sf_dir):
         "content",
     ), k=12, w=4)
     return clone_pairs(fps, df_cap=64, min_shared=2)
+
+
+@query(
+    "funnel_counts",
+    """
+    WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1),
+    u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN u2 ON e.user_id = u2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1),
+    c AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM u1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
+    SELECT step_idx, step, n_users,
+           CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                THEN n_users * 1000000
+                     // first_value(n_users) OVER (ORDER BY step_idx)
+                ELSE 0 END AS conv_vs_first_e6,
+           CASE WHEN lag(n_users) OVER (ORDER BY step_idx) IS NULL
+                THEN 1000000
+                WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+                THEN n_users * 1000000
+                     // lag(n_users) OVER (ORDER BY step_idx)
+                ELSE 0 END AS conv_vs_prev_e6
+    FROM c
+    """,
+)
+def q_funnel_counts(spark, sf_dir):
+    """Ordered-funnel analysis (operators/eventstats.funnel_counts):
+    view -> click -> purchase with strictly-increasing first-touch reach
+    times.  Per-step reach tables are per-user aggregates keyed on the
+    user column throughout (one exchange lineage); conversion rates in
+    exact integer micro-units."""
+    from reden_spark.operators.eventstats import funnel_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])

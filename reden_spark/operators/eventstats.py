@@ -91,3 +91,76 @@ def burst_scores(
             F.expr(f"n * {E6} * n_buckets div sum_n").alias("lift_e6"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users, conv_vs_first_e6, conv_vs_prev_e6):
+    ordered-funnel analysis — a user reaches step i+1 only via an event
+    STRICTLY after their step-i reach time (first-touch semantics:
+    reach time of a step is the user's earliest qualifying event).
+
+    Scale shape (10^12 events): the per-step reach tables are per-user
+    aggregates (bounded by the user population, not the event count),
+    and every cascade join keys on the user column — the same
+    partitioning throughout, so AQE coalesces it to one exchange
+    lineage; step events are filter-pushed to the scan.  The final
+    k-row summary aggregates each reach table to ONE row (map-side
+    combine) — no driver-side loop over users anywhere.  Conversion
+    rates are exact integer micro-units (n·1e6 div base).
+    """
+    assert len(steps) >= 2, "a funnel needs at least two steps"
+    reach = (
+        events.filter(F.col(state_col) == steps[0])
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = [reach.agg(F.count("*").cast("long").alias("n"))]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(state_col) == step)
+            .select(F.col(key_col).alias("k"), F.col(ts_col).alias("ts2"))
+            .join(reach, "k")
+            .filter(F.col("ts2") > F.col("t"))
+            .groupBy("k")
+            .agg(F.min("ts2").alias("t"))
+        )
+        counts.append(nxt.agg(F.count("*").cast("long").alias("n")))
+        reach = nxt
+    rows = None
+    for i, (step, cnt) in enumerate(zip(steps, counts)):
+        r = cnt.select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w_first = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = F.lag("n_users", 1).over(Window.orderBy("step_idx"))
+    return rows.select(
+        "step_idx",
+        "step",
+        "n_users",
+        w_first.alias("_first"),
+        w_prev.alias("_prev"),
+    ).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(F.col("_first") > 0, F.expr(f"n_users * {E6} div _first"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conv_vs_first_e6"),
+        F.when(F.col("_prev").isNull(), F.lit(E6))  # step 1: no predecessor
+        .when(F.col("_prev") > 0, F.expr(f"n_users * {E6} div _prev"))
+        .otherwise(F.lit(0))  # empty predecessor: vacuous, report 0
+        .cast("long")
+        .alias("conv_vs_prev_e6"),
+    )

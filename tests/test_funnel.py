@@ -1,0 +1,69 @@
+"""Ordered-funnel semantics (operators/eventstats.funnel_counts):
+strictly-after ordering, first-touch reach times, conversion units.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from reden_spark.operators.eventstats import funnel_counts
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2026, 1, 1, 0, 0, s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def _got(spark, rows, steps=STEPS):
+    df = funnel_counts(_ev(spark, rows), steps)
+    return {r["step"]: (r["n_users"], r["conv_vs_first_e6"], r["conv_vs_prev_e6"]) for r in df.collect()}
+
+
+def test_ordering_is_strict(spark):
+    """A purchase BEFORE the user's first click does not convert."""
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),  # full funnel
+        (2, 0, "view"), (2, 5, "purchase"), (2, 10, "click"),   # purchase too early
+        (3, 0, "view"),                                          # view only
+    ]
+    got = _got(spark, rows)
+    assert got["view"][0] == 3
+    assert got["click"][0] == 2
+    assert got["purchase"][0] == 1
+
+
+def test_first_touch_blocks_later_window(spark):
+    """Reach time is the FIRST qualifying event: user 1's first click is
+    before any purchase-eligible event, user 2's re-view doesn't reset."""
+    rows = [
+        # click at t=1 (before view) ignored; first post-view click t=30
+        (1, 5, "view"), (1, 1, "click"), (1, 30, "click"), (1, 20, "purchase"),
+    ]
+    got = _got(spark, rows)
+    assert got["view"][0] == 1
+    assert got["click"][0] == 1      # the t=30 click counts
+    assert got["purchase"][0] == 0   # purchase t=20 < click-reach t=30
+
+
+def test_conversion_micro_units(spark):
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (2, 0, "view"), (2, 1, "click"),
+        (3, 0, "view"), (4, 0, "view"),
+    ]
+    got = _got(spark, rows)
+    assert got["view"] == (4, 1_000_000, 1_000_000)
+    assert got["click"] == (2, 500_000, 500_000)
+    assert got["purchase"] == (1, 250_000, 500_000)
+
+
+def test_empty_step_reports_zero(spark):
+    rows = [(1, 0, "view")]
+    got = _got(spark, rows)
+    assert got["click"] == (0, 0, 0)
+    # purchase's predecessor is empty → vacuous 0, not 1e6
+    assert got["purchase"] == (0, 0, 0)
