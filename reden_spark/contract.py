@@ -6239,3 +6239,82 @@ def q_funnel_counts(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "rank_fusion",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    rf_tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+              FROM toks GROUP BY 1, 2),
+    rf_dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT rf_tf.doc_id, rf_tf.term, rf_tf.tf, rf_dl.dl
+             FROM rf_tf JOIN rf_dl ON rf_tf.doc_id = rf_dl.doc_id),
+    tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM rf_dl) AS avgdl),
+    cand AS (
+      SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS rn
+      FROM tdf, st WHERE df >= 2),
+    q AS (SELECT CAST(rn // 2 AS BIGINT) AS query_id, term
+          FROM cand WHERE rn < 10),
+    s AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / st.avgdl))) AS s
+      FROM q JOIN post p ON q.term = p.term
+             JOIN tdf t ON p.term = t.term, st),
+    agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+            FROM s GROUP BY 1, 2),
+    bm AS (SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM agg) WHERE rank <= 5),
+    tsum AS (SELECT q.query_id, p.doc_id, sum(p.tf) AS tf_sum
+             FROM q JOIN post p ON q.term = p.term GROUP BY 1, 2),
+    tfr AS (SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY tf_sum DESC, doc_id) AS rank
+      FROM tsum) WHERE rank <= 5),
+    u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM bm
+          UNION ALL
+          SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM tfr),
+    fsd AS (SELECT query_id, doc_id, sum(c) AS rrf_e9 FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_e9, rank FROM (
+      SELECT query_id, doc_id, rrf_e9,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM fsd) WHERE rank <= 5
+    """,
+)
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/search.rank_fusion, Cormack et
+    al. 2009) of the BM25 top-5 lists with a deliberately-naive raw-TF
+    ranker over the same 5 queries: Σ 1e9 div (60 + rank) in exact
+    integer units — documents both voices agree on rise to the top.
+    One narrow union + one (query_id, doc_id) exchange + a bounded
+    per-query window."""
+    from reden_spark.operators.search import (
+        bm25_index,
+        bm25_search,
+        rank_fusion,
+        tf_rank,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    index = bm25_index(docs)
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    queries = (
+        index.term_df.filter(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 10)
+        .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
+    )
+    return rank_fusion(
+        [bm25_search(index, queries, k=5), tf_rank(index, queries, k=5)],
+        k=5,
+    )

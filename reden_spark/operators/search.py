@@ -167,3 +167,67 @@ def _analyze_py(text: str, analyzer: str) -> list[str]:
 
         return re.split(r"[^a-z0-9]+", text.lower())
     return text.split(" ")
+
+
+E9 = 1_000_000_000
+
+
+def rank_fusion(
+    lists: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of any number of ranked lists, each (query_id, doc_id, rank): the
+    fused score is Σ_lists 1e9 div (rrf_k + rank) — exact integer
+    micro-units, so the fusion is bit-identical in any engine (no float
+    reciprocal anywhere).  A document missing from a list contributes
+    nothing for it (the standard convention).
+
+    Output (query_id, doc_id, rrf_e9, rank), top-``k`` per query under
+    the deterministic total order (rrf_e9 desc, doc_id asc).
+
+    Scale shape: the union is narrow (3 columns), the sum keys on
+    (query_id, doc_id) — the same exchange every ranker here already
+    produced — and the top-k is a bounded per-query window (Spark plans
+    WindowGroupLimit: partial top-k before the shuffle)."""
+    assert lists, "rank_fusion needs at least one ranked list"
+    tagged = None
+    for df in lists:
+        part = df.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{E9} div ({rrf_k} + rank)").cast("long").alias("c"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("long").alias("rrf_e9")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tf_rank(index: BM25Index, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Raw term-frequency ranking — the deliberately-naive second voice
+    for fusion experiments: score = Σ_terms tf (no idf, no length
+    normalization), top-k per query, ties by doc_id.  Same broadcast
+    postings join shape as bm25_search."""
+    scored = (
+        F.broadcast(queries)
+        .join(index.postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf_sum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_sum").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "tf_sum", "rank")
+    )

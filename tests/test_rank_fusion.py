@@ -1,0 +1,38 @@
+"""Reciprocal-rank fusion (operators/search.rank_fusion): exact integer
+scoring, missing-item convention, deterministic ties.
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.search import E9, rank_fusion
+
+
+def _lst(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank long")
+
+
+def test_agreement_beats_single_voice(spark):
+    a = _lst(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _lst(spark, [(1, 11, 1), (1, 12, 2)])
+    got = {r["doc_id"]: (r["rrf_e9"], r["rank"]) for r in rank_fusion([a, b], k=3).collect()}
+    # doc 11 appears in both lists (ranks 2 and 1) → beats both singletons
+    assert got[11][1] == 1
+    assert got[11][0] == E9 // 62 + E9 // 61
+    # singletons carry exactly one reciprocal term
+    assert got[10] == (E9 // 61, 2)
+    assert got[12] == (E9 // 62, 3)
+
+
+def test_tie_breaks_by_doc_id(spark):
+    a = _lst(spark, [(1, 20, 1), (1, 7, 2)])
+    b = _lst(spark, [(1, 7, 1), (1, 20, 2)])
+    got = {r["doc_id"]: r["rank"] for r in rank_fusion([a, b], k=2).collect()}
+    # identical fused scores → lower doc_id first
+    assert got == {7: 1, 20: 2}
+
+
+def test_k_truncates_per_query(spark):
+    a = _lst(spark, [(q, d, d) for q in (1, 2) for d in range(1, 6)])
+    out = rank_fusion([a], k=2)
+    assert out.count() == 4
+    assert out.groupBy("query_id").count().collect()[0]["count"] == 2
