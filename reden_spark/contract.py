@@ -6318,3 +6318,36 @@ def q_rank_fusion(spark, sf_dir):
         [bm25_search(index, queries, k=5), tf_rank(index, queries, k=5)],
         k=5,
     )
+
+
+@query(
+    "ra_link_candidates",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    adj AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src AS node, dst AS nbr FROM base
+        UNION ALL SELECT dst, src FROM base)),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj
+            GROUP BY 1),
+    adjf AS MATERIALIZED (
+      SELECT a.node, a.nbr, d.deg AS deg_z
+      FROM adj a JOIN deg d ON a.nbr = d.node AND d.deg <= 16)
+    SELECT x.node AS a, y.node AS b,
+           CAST(count(*) AS BIGINT) AS common,
+           CAST(sum(1000000 // x.deg_z) AS BIGINT) AS ra_e6
+    FROM adjf x JOIN adjf y ON x.nbr = y.nbr AND x.node < y.node
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_ra_link_candidates(spark, sf_dir):
+    """Resource-allocation link scores (operators/linkpred.
+    resource_allocation_candidates, Zhou et al. 2009): Σ 1e6 div deg(z)
+    over shared sub-cap intermediates — the integer-exact alternative to
+    Adamic-Adar, same C(cap,2)-bounded pair join as the Jaccard
+    generator."""
+    from reden_spark.operators.linkpred import resource_allocation_candidates
+
+    return resource_allocation_candidates(
+        _kcore_edges(spark, sf_dir), hub_cap=16, min_common=2
+    )

@@ -101,3 +101,47 @@ def jaccard_candidates(
             .alias("jaccard_e6"),
         )
     )
+
+
+def resource_allocation_candidates(
+    edges: DataFrame, hub_cap: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(a, b, common, ra_e6): resource-allocation link scores (Zhou,
+    Lü & Zhang 2009) — RA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z), the
+    per-intermediate-damped cousin of common-neighbor counting that
+    outperforms Adamic-Adar on dense graphs while staying EXACT in
+    integer arithmetic: ra_e6 = Σ 1e6 div deg(z) (Adamic-Adar's
+    1/log deg(z) would force engine-dependent float logs).
+
+    The weight uses z's TRUE full-graph degree; the hub cap only limits
+    which intermediates generate pairs (deg(z) ≤ hub_cap by
+    construction, so every weight is ≥ 1e6 div hub_cap — consistent
+    with RA's own logic: the hubs the cap drops are exactly the
+    intermediates RA damps toward zero).  Same C(cap,2)-bounded join
+    shape as jaccard_candidates; drops observable via ``hub_nodes``."""
+    adj = _adj(edges).persist()
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    ok = deg.filter(F.col("deg") <= hub_cap)
+    adjf = adj.join(
+        ok.select(F.col("node").alias("nbr"), F.col("deg").alias("deg_z")),
+        "nbr",
+    ).persist()
+    x, y = adjf.alias("x"), adjf.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .select(
+            F.col("x.node").alias("a"),
+            F.col("y.node").alias("b"),
+            F.col("x.deg_z").alias("deg_z"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(F.expr("1000000 div deg_z")).cast("long").alias("ra_e6"),
+        )
+        .filter(F.col("common") >= min_common)
+    )

@@ -83,3 +83,38 @@ def test_er_scores_hand_values(spark):
     assert got[1] == (0, 1_000_000)
     assert got[3] == (1, 888_888)  # (9-1)·1e6 div 9
     assert got[5] == (3, 0)
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation scores (linkpred.resource_allocation_candidates)
+
+
+def test_ra_weights_by_intermediate_degree(spark):
+    from reden_spark.operators.linkpred import resource_allocation_candidates
+
+    # a-z1-b (deg(z1)=2) and a-z2-b where z2 also touches c (deg(z2)=3)
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)],
+        "src long, dst long",
+    )
+    got = {(r["a"], r["b"]): (r["common"], r["ra_e6"])
+           for r in resource_allocation_candidates(edges, hub_cap=64).collect()}
+    # pair (1,2): z=10 contributes 1e6/2, z=11 contributes 1e6/3 (int div)
+    assert got[(1, 2)] == (2, 1_000_000 // 2 + 1_000_000 // 3)
+    # pairs through z=11 only
+    assert got[(1, 3)] == (1, 1_000_000 // 3)
+    assert got[(2, 3)] == (1, 1_000_000 // 3)
+
+
+def test_ra_hub_cap_drops_hot_intermediate(spark):
+    from reden_spark.operators.linkpred import resource_allocation_candidates
+
+    hub = [(i, 99) for i in range(1, 8)]  # deg(99) = 7 > cap
+    side = [(1, 50), (2, 50)]             # deg(50) = 2
+    edges = spark.createDataFrame(hub + side, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in
+           resource_allocation_candidates(edges, hub_cap=4).collect()}
+    # no pair is generated THROUGH the hot hub 99 (its 7 spokes would be
+    # C(7,2) = 21 pairs); the only intermediates are the sub-cap nodes:
+    # 50 links (1,2), and 1/2 (deg 2 each) link the (50, 99) endpoints
+    assert got == {(1, 2), (50, 99)}
