@@ -6351,3 +6351,82 @@ def q_ra_link_candidates(spark, sf_dir):
     return resource_allocation_candidates(
         _kcore_edges(spark, sf_dir), hub_cap=16, min_common=2
     )
+
+
+@query(
+    "er_resolve",
+    f"""
+    WITH RECURSIVE names AS ({_ER_NAMES_SQL}),
+    k AS (
+      SELECT id AS id_a,
+             regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key_a
+      FROM names),
+    kb AS (SELECT id_a, key_a, substr(key_a, 1, 2) AS block FROM k),
+    led AS (
+      SELECT id_a, key_a, block,
+             lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS key1,
+             lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS key2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)),
+    pairs AS (
+      SELECT id_a, id1 AS id_b, key_a, key1 AS key_b
+      FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, id2, key_a, key2
+      FROM led WHERE id2 IS NOT NULL),
+    e AS (
+      SELECT printf('d%013d', id_a) AS src, printf('d%013d', id_b) AS dst
+      FROM pairs
+      WHERE CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                 THEN 1000000
+                 ELSE ((greatest(length(key_a), length(key_b))
+                        - levenshtein(key_a, key_b)) * 1000000)
+                      // greatest(length(key_a), length(key_b))
+            END >= 950000),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    mem AS (
+      SELECT n.id, n.name,
+             coalesce(c.comp, printf('d%013d', n.id)) AS cluster
+      FROM names n LEFT JOIN comp c ON printf('d%013d', n.id) = c.node),
+    votes AS (SELECT cluster, name, count(*) AS votes FROM mem
+              GROUP BY 1, 2),
+    canon AS (
+      SELECT cluster, name AS canon_name FROM (
+        SELECT cluster, name, row_number() OVER (
+          PARTITION BY cluster ORDER BY votes DESC, name ASC) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT m.id, m.name,
+           CAST(substr(m.cluster, 2, 13) AS BIGINT) AS canon_id,
+           c2.canon_name
+    FROM mem m JOIN canon c2 ON m.cluster = c2.cluster
+    """,
+)
+def q_er_resolve(spark, sf_dir):
+    """End-to-end entity resolution (operators/blocking.er_resolve):
+    sorted-neighborhood blocking → Levenshtein threshold (0.95) → CC
+    over the match graph → deterministic survivorship (numeric-min
+    canon_id, majority-vote canon_name).  The CC runs on matches only;
+    survivorship is one groupBy + a bounded per-cluster window."""
+    from reden_spark.operators.blocking import er_resolve
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    return er_resolve(names, threshold_e6=950_000)

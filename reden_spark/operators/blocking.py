@@ -109,3 +109,68 @@ def er_scores(
         .cast("long")
         .alias("sim_e6"),
     )
+
+
+def er_resolve(
+    records: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    window: int = 3,
+    block_len: int = 2,
+    threshold_e6: int = 950_000,
+) -> DataFrame:
+    """(id, name, canon_id, canon_name): full entity resolution —
+    sorted-neighborhood blocking → Levenshtein scoring → threshold →
+    connected components over the match graph → survivorship.
+
+    Same-key records need not pair directly: they are ADJACENT in the
+    block-local sort, so consecutive window pairs chain them and the CC
+    closes the chain (the classic SN + transitive-closure design).
+    Survivorship is deterministic: canon_id = numeric-min member (ids
+    are zero-padded to 13 digits — wider than a 10^12-record id space —
+    so the CC's lexicographic min IS the numeric min), canon_name =
+    majority vote over member names with (votes desc, name asc) ties —
+    the most attested surface form wins, not the min id's arbitrary one.
+
+    Scale shape: blocking is one block-key exchange, scoring is per-row,
+    the CC runs on the MATCH graph only (≪ records), and survivorship
+    is one (cluster, name) groupBy plus a bounded per-cluster window."""
+    from reden_spark.operators.sameas import connected_components
+
+    pad = lambda c: F.format_string("d%013d", c)  # noqa: E731
+    scored = er_scores(
+        sorted_neighborhood_pairs(
+            records, name_col=name_col, id_col=id_col,
+            window=window, block_len=block_len,
+        )
+    )
+    edges = scored.filter(F.col("sim_e6") >= threshold_e6).select(
+        pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst")
+    )
+    comp = connected_components(edges)
+    members = (
+        records.select(
+            pad(F.col(id_col)).alias("node"),
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("name"),
+        )
+        .join(comp, "node", "left")
+        .withColumn("cluster", F.coalesce("comp", "node"))
+    )
+    votes = members.groupBy("cluster", "name").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("votes").desc(), F.col("name").asc()
+    )
+    canon = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("name").alias("canon_name"))
+    )
+    return members.join(canon, "cluster").select(
+        "id",
+        "name",
+        F.expr("CAST(substring(cluster, 2, 13) AS BIGINT)").alias("canon_id"),
+        "canon_name",
+    )

@@ -118,3 +118,55 @@ def test_ra_hub_cap_drops_hot_intermediate(spark):
     # C(7,2) = 21 pairs); the only intermediates are the sub-cap nodes:
     # 50 links (1,2), and 1/2 (deg 2 each) link the (50, 99) endpoints
     assert got == {(1, 2), (50, 99)}
+
+
+# ---------------------------------------------------------------------------
+# End-to-end ER survivorship (blocking.er_resolve)
+
+
+def test_er_resolve_merges_variants_and_votes(spark):
+    from reden_spark.operators.blocking import er_resolve
+
+    rows = [
+        (1, "ACME Corp"),      # key acmecorp
+        (2, "acme-corp"),      # key acmecorp  (same)
+        (3, "Acme Corp."),     # key acmecorp  (same)
+        (4, "acme corp"),      # key acmecorp  (same) → majority on key tie
+        (5, "Zebra Ltd"),      # singleton
+    ]
+    got = {r["id"]: (r["canon_id"], r["canon_name"]) for r in er_resolve(
+        spark.createDataFrame(rows, "id long, name string"),
+        threshold_e6=950_000,
+    ).collect()}
+    # all four acme variants collapse to canon_id 1
+    assert {got[i][0] for i in (1, 2, 3, 4)} == {1}
+    # name vote: all distinct → lexicographic min ('ACME Corp' < 'Acme…' < 'acme…')
+    assert got[1][1] == "ACME Corp"
+    assert got[5] == (5, "Zebra Ltd")
+
+
+def test_er_resolve_majority_beats_min(spark):
+    from reden_spark.operators.blocking import er_resolve
+
+    rows = [
+        (1, "Widget Inc"),
+        (2, "widget inc"),
+        (3, "widget inc"),     # 'widget inc' has 2 votes → survives
+    ]
+    got = {r["id"]: r["canon_name"] for r in er_resolve(
+        spark.createDataFrame(rows, "id long, name string"),
+        threshold_e6=950_000,
+    ).collect()}
+    assert set(got.values()) == {"widget inc"}
+
+
+def test_er_resolve_threshold_keeps_distinct_apart(spark):
+    from reden_spark.operators.blocking import er_resolve
+
+    rows = [(1, "alphaone"), (2, "alphatwo"), (3, "betabeta")]
+    got = {r["id"]: r["canon_id"] for r in er_resolve(
+        spark.createDataFrame(rows, "id long, name string"),
+        threshold_e6=950_000,
+    ).collect()}
+    # alphaone vs alphatwo: lev 3 of len 8 → sim 625000 < threshold
+    assert got == {1: 1, 2: 2, 3: 3}
