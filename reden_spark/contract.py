@@ -6430,3 +6430,302 @@ def q_er_resolve(spark, sf_dir):
         .alias("name"),
     )
     return er_resolve(names, threshold_e6=950_000)
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (operators/ktruss.py).
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 5  # fixpoint at sf0.01 is round 5 (759>96>44>42>42 edges)
+
+# denser than _KCORE_EDGES_SQL (mod 500): the 4-truss of the mod-1200
+# graph is empty — a 0-row contract query proves nothing
+_KTRUSS_EDGES_SQL = """
+    SELECT DISTINCT least(o_orderkey % 500, o_custkey % 500) AS src,
+           greatest(o_orderkey % 500, o_custkey % 500) AS dst
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 500 <> o_custkey % 500
+"""
+
+
+def _ktruss_edges(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 500).cast("long")
+    b = (F.col("o_custkey") % 500).cast("long")
+    return (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .distinct()
+    )
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled edge peeling: each round enumerates ordered wedges
+    (a<b<c), maps each triangle to its three edges, and keeps edges with
+    support >= k-2.  Rounds past the fixpoint are identity."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KTRUSS_EDGES_SQL}),",
+        "tr0 AS MATERIALIZED (SELECT src, dst FROM base)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    tt{i} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM tr{i - 1} e1
+              JOIN tr{i - 1} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+              JOIN tr{i - 1} e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    ts{i} AS (SELECT src, dst, count(*) AS sup FROM (
+        SELECT a AS src, b AS dst FROM tt{i}
+        UNION ALL SELECT a, c FROM tt{i}
+        UNION ALL SELECT b, c FROM tt{i}) GROUP BY 1, 2),
+    tr{i} AS MATERIALIZED (
+      SELECT src, dst FROM ts{i} WHERE sup >= {k - 2})"""
+        )
+    parts.append(
+        f""",
+    ttf AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM tr{rounds} e1
+            JOIN tr{rounds} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN tr{rounds} e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS src, b AS dst FROM ttf
+        UNION ALL SELECT a, c FROM ttf
+        UNION ALL SELECT b, c FROM ttf) GROUP BY 1, 2
+    HAVING count(*) >= {k - 2}"""
+    )
+    return "".join(parts)
+
+
+@query("ktruss_edges", _ktruss_oracle_sql(_KTRUSS_K, _KTRUSS_ROUNDS))
+def q_ktruss_edges(spark, sf_dir):
+    """k-truss decomposition (operators/ktruss.ktruss): peel edges with
+    triangle support < k-2 to the fixpoint — the EDGE-level closure of
+    the reference's vertex degree prune; every surviving relation is
+    corroborated by >= k-2 common-neighbor witnesses.  Oracle unrolls
+    the same peeling with ordered-wedge triangle enumeration."""
+    from reden_spark.operators.ktruss import ktruss
+
+    return ktruss(_ktruss_edges(spark, sf_dir), k=_KTRUSS_K,
+                  max_rounds=_KTRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (bounded Bellman-Ford relaxation rounds).
+
+_SSSP_ROUNDS = 8
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    we AS MATERIALIZED (
+      SELECT src, dst, 1 + (src + dst) % 7 AS w FROM base),
+    s0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+        SELECT DISTINCT src AS node FROM we
+        UNION SELECT dst FROM we) WHERE node % 50 = 0)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    rx{i} AS (
+      SELECT e.dst AS node, p.dist + e.w AS dist
+      FROM s{i - 1} p JOIN we e ON e.src = p.node),
+    s{i} AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM s{i - 1}
+        UNION ALL SELECT node, dist FROM rx{i}) GROUP BY 1)"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM s{rounds}")
+    return "".join(parts)
+
+
+@query("sssp_weighted", _sssp_oracle_sql(_SSSP_ROUNDS))
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted SSSP (operators/paths.sssp_weighted): {_SSSP_ROUNDS}
+    synchronous Bellman-Ford relaxations over the DIRECTED weighted
+    graph (w = 1 + (src+dst) % 7), exact for shortest paths of <= that
+    many edges — integer weights keep both engines bit-identical.  One
+    src-key join + one node-key groupBy per round."""
+    from reden_spark.operators.paths import sssp_weighted
+
+    edges = _kcore_edges(spark, sf_dir).withColumn(
+        "w", (F.lit(1) + (F.col("src") + F.col("dst")) % 7).cast("long")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return sssp_weighted(edges, seeds, rounds=_SSSP_ROUNDS)
+
+
+@query(
+    "identifier_split",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    fw AS (SELECT doc_id, tok FROM toks WHERE pos = 0 AND tok <> ''),
+    idn AS (
+      SELECT doc_id,
+             'get' || upper(substr(tok, 1, 1)) || substr(tok, 2)
+               || 'HTTPUrl.' || CAST(doc_id % 7 AS VARCHAR) || '_v2' AS ident
+      FROM fw),
+    sp AS (
+      SELECT doc_id, ident,
+             list_filter(
+               string_split_regex(
+                 lower(regexp_replace(regexp_replace(regexp_replace(ident,
+                   '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+                   '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                   '[_\\-./]+', ' ', 'g')), ' +'),
+               t -> t <> '') AS subs
+      FROM idn)
+    SELECT doc_id, ident,
+           CAST(generate_subscripts(subs, 1) - 1 AS BIGINT) AS pos,
+           unnest(subs) AS sub
+    FROM sp
+    """,
+)
+def q_identifier_split(spark, sf_dir):
+    """Identifier sub-tokenization (functions/text.identifier_tokens):
+    camelCase / acronym-run / snake / kebab / dotted-path boundaries
+    split by an RE2-safe rewrite chain — the analyzer that lets code
+    identifiers feed the BM25/phrase index.  Synthetic idents derive
+    from each document's first token."""
+    from reden_spark.functions.text import identifier_tokens
+
+    first = _tokens(spark, sf_dir).filter(F.col("pos") == 0)
+    idn = first.select(
+        "doc_id",
+        F.concat(
+            F.lit("get"),
+            F.upper(F.substring("tok", 1, 1)),
+            F.expr("substring(tok, 2)"),
+            F.lit("HTTPUrl."),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("_v2"),
+        ).alias("ident"),
+    )
+    return idn.select(
+        "doc_id",
+        "ident",
+        F.posexplode(identifier_tokens("ident")).alias("pos", "sub"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "resolve_conflicts",
+    """
+    WITH asr AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+             'status' AS pred,
+             o_orderstatus AS obj,
+             's' || CAST(o_orderkey % 5 AS VARCHAR) AS source
+      FROM orders),
+    v AS (
+      SELECT subj, pred, obj,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM (SELECT DISTINCT subj, pred, obj, source FROM asr)
+      GROUP BY 1, 2, 3),
+    t AS (
+      SELECT subj, pred, obj, n_sources,
+             CAST(sum(n_sources) OVER (PARTITION BY subj, pred) AS BIGINT)
+               AS n_total,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY n_sources DESC, obj ASC) AS rn
+      FROM v)
+    SELECT subj, pred, obj, n_sources, n_total,
+           n_sources * 1000000 // n_total AS conf_e6
+    FROM t WHERE rn = 1
+    """,
+)
+def q_resolve_conflicts(spark, sf_dir):
+    """Truth discovery (operators/kg_quality.resolve_conflicts): per
+    (subj, pred) majority vote over conflicting crawled assertions,
+    distinct-source weighting (spam resistance), deterministic ties,
+    winner confidence in exact micro-units.  One distinct + one window
+    on the subject-keyed exchange."""
+    from reden_spark.operators.kg_quality import resolve_conflicts
+
+    orders = _read(spark, sf_dir, "orders")
+    assertions = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 5).cast("string")).alias("source"),
+    )
+    return resolve_conflicts(assertions)
+
+
+@query(
+    "domain_filter",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'https://ads.trk' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.com/x/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 1
+                  THEN 'http://Blog.Example.org/post/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 2
+                  THEN 'https://www.news.site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.net/a/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://cdn.media.example.org/f/' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents),
+    block(domain) AS (
+      VALUES ('trk0.com'), ('example.org'), ('news.site2.net')),
+    h AS (
+      SELECT doc_id, url,
+             regexp_replace(lower(regexp_replace(regexp_replace(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^[^@]*@', ''), ':[0-9]+$', '')), '^www\\.', '') AS host
+      FROM urls),
+    hosts AS (SELECT DISTINCT host FROM h),
+    sfx AS (
+      SELECT host, array_to_string(list_slice(string_split(host, '.'), 1, 999), '.') AS suffix
+      FROM hosts WHERE len(string_split(host, '.')) >= 1
+      UNION ALL
+      SELECT host, array_to_string(list_slice(string_split(host, '.'), 2, 999), '.')
+      FROM hosts WHERE len(string_split(host, '.')) >= 2
+      UNION ALL
+      SELECT host, array_to_string(list_slice(string_split(host, '.'), 3, 999), '.')
+      FROM hosts WHERE len(string_split(host, '.')) >= 3
+      UNION ALL
+      SELECT host, array_to_string(list_slice(string_split(host, '.'), 4, 999), '.')
+      FROM hosts WHERE len(string_split(host, '.')) >= 4
+      UNION ALL
+      SELECT host, array_to_string(list_slice(string_split(host, '.'), 5, 999), '.')
+      FROM hosts WHERE len(string_split(host, '.')) >= 5),
+    blocked AS (
+      SELECT DISTINCT s.host FROM sfx s JOIN block b ON s.suffix = b.domain)
+    SELECT u.doc_id, u.url, u.host
+    FROM h u LEFT JOIN blocked bl ON u.host = bl.host
+    WHERE bl.host IS NULL
+    """,
+)
+def q_domain_filter(spark, sf_dir):
+    """Registrable-domain blocklist filter (operators/corpus_prep.
+    domain_filter): a crawled doc is dropped when its host or any
+    parent-domain suffix hits the blocklist — suffix expansion over the
+    DISTINCT host set, broadcast blocklist join, ONE anti-join on the
+    host key (AQE-chosen strategy; blocking a hot TLD can block
+    millions of hosts, so the blocked set is never force-broadcast)."""
+    from reden_spark.operators.corpus_prep import domain_filter
+
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 4 == 0, F.concat(F.lit("https://ads.trk"), (d % 3).cast("string"),
+                                    F.lit(".com/x/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("http://Blog.Example.org/post/"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("https://www.news.site"), (d % 5).cast("string"),
+                                   F.lit(".net/a/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("http://cdn.media.example.org/f/"), d.cast("string")))
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    block = spark.createDataFrame(
+        [("trk0.com",), ("example.org",), ("news.site2.net",)], "domain string"
+    )
+    return domain_filter(docs, block)

@@ -187,3 +187,21 @@ def url_canonicalize(col) -> Column:
         ),
     )
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canon)
+
+
+def identifier_tokens(col) -> Column:
+    """Sub-token array of a source-code identifier: camelCase, acronym
+    runs (``HTTPResponse`` → ``http response``), snake_case, kebab-case,
+    and dotted paths all split; lowercased, empties dropped.
+
+    Pure JVM regexp_replace chain (RE2-safe — boundary splits are
+    expressed with capture-group rewrites, no lookarounds), so code
+    identifiers feed the BM25/phrase index and the winnowing stream
+    without any Python in the hot path.  Rewrite-string syntax differs
+    per engine ($1 in Spark/Java, \\1 in DuckDB) but the language is the
+    same — the contract oracle carries the DuckDB spelling."""
+    c = _c(col)
+    s = F.regexp_replace(c, "([A-Z]+)([A-Z][a-z])", "$1 $2")
+    s = F.regexp_replace(s, "([a-z0-9])([A-Z])", "$1 $2")
+    s = F.regexp_replace(s, "[_\\-./]+", " ")
+    return F.filter(F.split(F.lower(s), " +"), lambda t: t != "")

@@ -15,7 +15,7 @@ driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -210,4 +210,59 @@ def schema_graph(
             F.coalesce("obj_type", F.lit(untyped)).alias("obj_type"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def resolve_conflicts(
+    assertions: DataFrame,
+    functional_only: bool = True,
+) -> DataFrame:
+    """Truth discovery over conflicting assertions: ``assertions`` is
+    (subj, pred, obj, source) — multiple sources may assert DIFFERENT
+    objects for the same (subj, pred).  Majority vote per (subj, pred):
+    the object with the most distinct supporting sources wins, ties
+    broken by obj ascending (deterministic).  Output one row per
+    (subj, pred):
+
+      (subj, pred, obj, n_sources, n_total, conf_e6)
+
+    where n_sources counts the winner's distinct sources, n_total the
+    distinct (source, obj) votes for the key, and conf_e6 =
+    n_sources·1e6 div n_total — exact integer micro-units, the fraction
+    of votes the winner captured (1e6 = unanimous).
+
+    This is the conflict-resolution step a multi-source KG fusion needs
+    AFTER canonicalization: the reference fuses graphs by URI identity
+    (GraphFusion.java) and never has to vote because its sources are
+    authority dumps; a web-scale pipeline ingesting crawled claims does.
+    Voting by DISTINCT source means a source repeating itself gains no
+    weight (spam resistance).
+
+    Scale shape: one (subj, pred, obj) distinct + one (subj, pred)
+    window — both on the subject-keyed exchange the KG tables already
+    use.  With ``functional_only=False`` every object row is kept and
+    scored (multi-valued predicates), still one exchange."""
+    votes = (
+        assertions.select("subj", "pred", "obj", "source")
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    )
+    key = Window.partitionBy("subj", "pred")
+    ranked = votes.withColumn(
+        "n_total", F.sum("n_sources").over(key).cast("long")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            key.orderBy(F.col("n_sources").desc(), F.col("obj").asc())
+        ),
+    )
+    out = ranked if not functional_only else ranked.filter(F.col("rn") == 1)
+    return out.select(
+        "subj",
+        "pred",
+        "obj",
+        "n_sources",
+        "n_total",
+        F.expr("n_sources * 1000000 div n_total").alias("conf_e6"),
     )

@@ -1,0 +1,99 @@
+"""k-truss decomposition: iteratively peel edges whose triangle support
+is < k−2 until a fixpoint — the EDGE-level cousin of the k-core
+(operators/kcore.py), and the standard "cohesive subgraph" gate for a
+constructed KG: an edge inside a k-truss is corroborated by ≥ k−2
+common-neighbor witnesses, which is exactly the evidence a fusion
+reviewer wants before trusting a proposed sameAs/relatedTo link (Cohen
+2008, "Trusses: cohesive subgraphs for social network analysis").
+
+The reference prunes VERTICES by degree (CentralityHandler's minimum-
+degree filter); the truss prunes RELATIONS by mutual corroboration —
+a different and stronger signal the vertex rules can't express.
+
+Scale shape (10^12 edges): triangles are enumerated once per round via
+the ordered-wedge join (src < dst < wedge — each triangle produced
+exactly once), re-using the canonical edge partitioning; per-edge
+support is a map-side-combinable groupBy on the edge key; the peel is
+one semi-join.  Rounds are bounded by the peel depth (small on real
+graphs), the per-round edge set shrinks monotonically (AQE re-plans as
+the frontier collapses), and the only driver-side value is the
+per-round edge COUNT — the same scalar convergence probe as kcore/CC.
+Hot-vertex hazard: the wedge join fans out by neighbor degree; on a
+skewed graph, pre-gate with kcore(k−1) (a k-truss is always inside the
+(k−1)-core) or the linkpred hub cap before peeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected input → distinct canonical (src < dst) edges."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(src, dst, support): triangle count of every canonical edge.
+    Edges in no triangle appear with support 0 (left join back)."""
+    return _support(_canon(edges).persist())
+
+
+def _support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an ALREADY-canonical (and ideally
+    persisted — e feeds four references) edge set."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # ordered wedge a<b<c anchored at a: (a,b) + (a,c) closed by (b,c)
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src"))
+                & (F.col("e2.dst") > F.col("e1.dst")))
+        .join(e3, (F.col("e3.src") == F.col("e1.dst"))
+              & (F.col("e3.dst") == F.col("e2.dst")))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    per_edge = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return e.join(per_edge, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Edges of the k-truss with their in-truss support:
+    (src, dst, support), support ≥ k−2 — peel until the edge count is
+    stable or ``max_rounds`` is hit (rounds past the fixpoint are
+    identity, so the contract oracle can unroll the same count)."""
+    assert k >= 3, "the truss is defined for k >= 3"
+    cur = _canon(edges).persist()
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        sup = _support(cur)
+        # localCheckpoint CUTS the logical plan: the wedge join references
+        # cur THREE times, so without the cut the analyzed plan grows 3^r
+        # subtrees and Catalyst planning (not execution) dominates rounds
+        nxt = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    return _support(cur).filter(F.col("support") >= k - 2)

@@ -62,3 +62,46 @@ def bfs_distances(
         visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return visited
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 8,
+) -> DataFrame:
+    """(node, dist) — minimum WEIGHTED distance from any seed, by
+    ``rounds`` synchronous Bellman-Ford relaxations over the directed
+    graph ``edges`` (src, dst, w); exact for every shortest path of
+    ≤ ``rounds`` edges (non-negative integer weights keep the result
+    and the contract oracle bit-identical — no float accumulation).
+
+    Each round is dist' = min(dist, min_{(u,v,w)}(dist[u] + w)): ONE
+    join of the current label table against the edge list on the src
+    key plus one groupBy on the node key — the same exchange pair the
+    BFS uses, without frontier tracking (labels monotonically decrease;
+    a round that changes nothing is the fixpoint).  Rounds past the
+    fixpoint are identity, so an unrolled oracle with the same round
+    count reproduces the result exactly.
+
+    Scale note: for a frontier-sparse graph prefer bfs_distances'
+    delta-tracking shape; the label-relaxation form here trades a
+    visited anti-join for full-label joins, which wins when most nodes
+    update every round (dense reachability, small diameter)."""
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w")).persist()
+    dist = (
+        seeds.select("node").distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

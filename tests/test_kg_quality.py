@@ -84,3 +84,52 @@ def test_kg_validate_violations_are_anti_joinable(spark):
     )
     clean = df.join(bad_subjects, "subj", "left_anti")
     assert {r["subj"] for r in clean.select("subj").distinct().collect()} == {"e2"}
+
+
+# ---------------------------------------------------------------------------
+# Truth discovery (kg_quality.resolve_conflicts)
+
+
+def test_resolve_conflicts_majority_and_confidence(spark):
+    from reden_spark.operators.kg_quality import resolve_conflicts
+
+    rows = [
+        ("e1", "born", "1901", "srcA"),
+        ("e1", "born", "1901", "srcB"),
+        ("e1", "born", "1910", "srcC"),   # typo minority
+        ("e2", "born", "1950", "srcA"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, source string")
+    got = {r["subj"]: r for r in resolve_conflicts(df).collect()}
+    assert got["e1"]["obj"] == "1901"
+    assert (got["e1"]["n_sources"], got["e1"]["n_total"]) == (2, 3)
+    assert got["e1"]["conf_e6"] == 666_666
+    assert got["e2"]["conf_e6"] == 1_000_000
+
+
+def test_resolve_conflicts_spam_resistance_and_ties(spark):
+    from reden_spark.operators.kg_quality import resolve_conflicts
+
+    rows = [
+        # srcA spams the same claim 3x — still ONE distinct-source vote
+        ("e1", "type", "Zebra", "srcA"),
+        ("e1", "type", "Zebra", "srcA"),
+        ("e1", "type", "Zebra", "srcA"),
+        ("e1", "type", "Apple", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, source string")
+    got = resolve_conflicts(df).collect()[0]
+    # 1 vs 1 → tie broken by obj asc: Apple wins
+    assert got["obj"] == "Apple" and got["conf_e6"] == 500_000
+
+
+def test_resolve_conflicts_multivalued_keeps_all(spark):
+    from reden_spark.operators.kg_quality import resolve_conflicts
+
+    rows = [
+        ("e1", "memberOf", "g1", "srcA"),
+        ("e1", "memberOf", "g2", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, source string")
+    out = resolve_conflicts(df, functional_only=False)
+    assert out.count() == 2

@@ -1,0 +1,65 @@
+"""k-truss peeling (operators/ktruss) — hand graphs where the edge
+cascade matters (one support pass under-prunes).
+"""
+
+from __future__ import annotations
+
+from reden_spark.operators.ktruss import edge_support, ktruss
+
+# K4 clique {1,2,3,4} plus a triangle {4,5,6} hanging off vertex 4.
+EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5), (4, 6), (5, 6),
+]
+
+
+def _df(spark, rows=EDGES):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_edge_support_hand_values(spark):
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in edge_support(_df(spark)).collect()}
+    # clique edges: 2 triangles each; pendant-triangle edges: 1
+    assert got[(1, 2)] == 2 and got[(3, 4)] == 2
+    assert got[(4, 5)] == 1 and got[(5, 6)] == 1
+    assert len(got) == len(EDGES)
+
+
+def test_4truss_keeps_clique_drops_triangle(spark):
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in ktruss(_df(spark), k=4).collect()}
+    # 4-truss: every edge in >= 2 triangles — only the K4 survives
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in got.values())
+
+
+def test_3truss_cascade(spark):
+    """Chain of two triangles sharing an edge, plus a dangling edge:
+    3-truss keeps both triangles; the dangling edge (support 0) peels,
+    which does NOT cascade further here — but a bridge triangle whose
+    support depended on a peeled edge would (covered by the bowtie)."""
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (7, 8)]
+    got = set((r["src"], r["dst"]) for r in ktruss(_df(spark, rows), k=3).collect())
+    assert got == {(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)}
+
+
+def test_cascade_two_rounds(spark):
+    """Triangle A={1,2,3} plus triangle B={3,4,5} where B's edge (4,5)
+    also supports a wedge-closing edge chain: removing weak edges in
+    round 1 drops (4,5)'s support in round 2.  Build: square 3-4-6-5-3
+    with diagonal (4,5): edges (3,4),(4,5),(3,5),(4,6),(5,6).  In the
+    full graph (4,6)&(5,6) have support 1 [triangle {4,5,6}], and so
+    do... all of B's square edges; 4-truss empties it while keeping a
+    K4 elsewhere."""
+    k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    square = [(3, 4), (4, 5), (3, 5), (4, 6), (5, 6)]
+    got = set((r["src"], r["dst"])
+              for r in ktruss(_df(spark, k4 + square), k=4).collect())
+    assert got == set(k4)
+
+
+def test_undirected_and_duplicate_input(spark):
+    rows = EDGES + [(2, 1), (4, 3)]
+    got = set((r["src"], r["dst"]) for r in ktruss(_df(spark, rows), k=4).collect())
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}

@@ -46,3 +46,50 @@ def test_bfs_unreachable_absent(spark):
         for r in bfs_distances(_g(spark, rows), _seeds(spark, 1)).collect()
     }
     assert 10 not in got and 11 not in got and got[5] == 4
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (paths.sssp_weighted)
+
+
+def test_sssp_prefers_longer_lighter_path(spark):
+    from reden_spark.operators.paths import sssp_weighted
+
+    # direct 1->4 costs 10; the 3-edge detour 1->2->3->4 costs 3
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_is_directed(spark):
+    from reden_spark.operators.paths import sssp_weighted
+
+    edges = spark.createDataFrame([(2, 1, 5)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0}  # edge points INTO the seed; nothing reachable
+
+
+def test_sssp_bounded_rounds_truncates(spark):
+    from reden_spark.operators.paths import sssp_weighted
+
+    chain = [(i, i + 1, 1) for i in range(5)]
+    edges = spark.createDataFrame(chain, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # nodes beyond 2 relaxations absent
+
+
+def test_sssp_multi_seed_takes_nearest(spark):
+    from reden_spark.operators.paths import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (9, 2, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 9: 0, 2: 1}

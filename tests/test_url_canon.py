@@ -86,3 +86,28 @@ def test_url_canonicalize_strips_userinfo(spark):
     )
     got = [r["c"] for r in df.select(url_canonicalize("url").alias("c")).collect()]
     assert got == ["http://example.com/a", "https://example.com/b"]
+
+
+# ---------------------------------------------------------------------------
+# Identifier sub-tokenization (functions/text.identifier_tokens)
+
+
+def test_identifier_tokens_camel_acronym_snake(spark):
+    from reden_spark.functions.text import identifier_tokens
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("parseHTTPResponse",),
+        ("snake_case_name",),
+        ("kebab-case.path/seg",),
+        ("XMLHttpRequest2",),
+        ("__dunder__",),
+    ]
+    df = spark.createDataFrame(rows, "ident string")
+    got = {r["ident"]: r["subs"] for r in df.select(
+        "ident", identifier_tokens("ident").alias("subs")).collect()}
+    assert got["parseHTTPResponse"] == ["parse", "http", "response"]
+    assert got["snake_case_name"] == ["snake", "case", "name"]
+    assert got["kebab-case.path/seg"] == ["kebab", "case", "path", "seg"]
+    assert got["XMLHttpRequest2"] == ["xml", "http", "request2"]
+    assert got["__dunder__"] == ["dunder"]
