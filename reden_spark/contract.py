@@ -6729,3 +6729,104 @@ def q_domain_filter(spark, sf_dir):
         [("trk0.com",), ("example.org",), ("news.site2.net",)], "domain string"
     )
     return domain_filter(docs, block)
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction + anchor (link-edge) mining (functions/text.py).
+
+_HTML_DOC_SQL = """
+    SELECT doc_id,
+           '<html><head><style>p {c:1}</style></head><body><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 40)
+           || ' &amp; <b>more</b>&nbsp;tail</p><a href="https://ex.org/p/'
+           || CAST(doc_id AS VARCHAR) || '">Read ' || CAST(doc_id AS VARCHAR)
+           || '</a><a href=/rel/' || CAST(doc_id % 7 AS VARCHAR)
+           || '>rel link</a><!-- note --><script>var x=1;</script></body></html>'
+             AS html
+    FROM documents
+"""
+
+
+def _html_docs(spark, sf_dir):
+    """Deterministic HTML wrapping of each document — style/script
+    blocks, comments, entities, quoted and unquoted hrefs, markup
+    inside anchor text; mirrors _HTML_DOC_SQL token for token."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head><style>p {c:1}</style></head><body><h1>Doc "),
+        s, F.lit("</h1><p>"), F.substring("text", 1, 40),
+        F.lit(' &amp; <b>more</b>&nbsp;tail</p><a href="https://ex.org/p/'),
+        s, F.lit('">Read '), s,
+        F.lit("</a><a href=/rel/"), (d % 7).cast("string"),
+        F.lit(">rel link</a><!-- note --><script>var x=1;</script></body></html>"),
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+
+
+@query(
+    "html_strip_text",
+    f"""
+    WITH hdoc AS ({_HTML_DOC_SQL})
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html,
+                '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+        '[ \\t\\r\\n]+', ' ', 'g')) AS text
+    FROM hdoc
+    """,
+)
+def q_html_strip_text(spark, sf_dir):
+    """HTML → plain text (functions/text.html_strip): script/style/
+    comment blocks dropped whole, tags stripped, common entities
+    decoded, whitespace collapsed — the crawled-page cleanup ahead of
+    the quality/dedup operators, all RE2-safe per-row expressions."""
+    from reden_spark.functions.text import html_strip
+
+    return _html_docs(spark, sf_dir).select(
+        "doc_id", html_strip("html").alias("text")
+    )
+
+
+@query(
+    "anchor_edges",
+    f"""
+    WITH hdoc AS ({_HTML_DOC_SQL}),
+    m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html,
+               '(?is)<a[^>]*href=["'']?([^"'' >]+)["'']?[^>]*>(.*?)</a>', 0))
+               AS mt
+      FROM hdoc)
+    SELECT doc_id,
+           regexp_extract(mt,
+             '(?is)<a[^>]*href=["'']?([^"'' >]+)["'']?', 1) AS href,
+           trim(regexp_replace(regexp_replace(mt, '<[^>]+>', ' ', 'g'),
+                '[ \\t\\r\\n]+', ' ', 'g')) AS anchor
+    FROM m
+    """,
+)
+def q_anchor_edges(spark, sf_dir):
+    """Anchor mining (functions/text.anchor_pairs): every
+    <a href=...>text</a> becomes a (doc, target URL, anchor text) row —
+    the link edges of a web KG, with quoted/unquoted hrefs and markup
+    inside anchor text handled.  Pure regexp_extract_all + transform —
+    zero shuffles."""
+    from reden_spark.functions.text import anchor_pairs
+
+    return (
+        _html_docs(spark, sf_dir)
+        .select("doc_id", F.explode(anchor_pairs("html")).alias("p"))
+        .select(
+            "doc_id",
+            F.regexp_extract("p", "^([^|]*)\\|", 1).alias("href"),
+            F.regexp_extract("p", "^[^|]*\\|(.*)$", 1).alias("anchor"),
+        )
+    )

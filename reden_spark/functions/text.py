@@ -205,3 +205,47 @@ def identifier_tokens(col) -> Column:
     s = F.regexp_replace(s, "([a-z0-9])([A-Z])", "$1 $2")
     s = F.regexp_replace(s, "[_\\-./]+", " ")
     return F.filter(F.split(F.lower(s), " +"), lambda t: t != "")
+
+
+def html_strip(col) -> Column:
+    """Plain text of an HTML fragment: script/style blocks dropped
+    whole, all remaining tags removed, the common entities decoded
+    (&amp; &lt; &gt; &quot; &#39; &nbsp;), whitespace runs collapsed,
+    ends trimmed.
+
+    RE2-safe (no lookarounds; non-greedy spans for the block elements)
+    so the chain ports verbatim to the contract oracle.  Per-row JVM
+    expressions — the crawled-page cleanup stays in whole-stage codegen
+    ahead of the quality/dedup operators.  NOT a sanitizer: malformed
+    markup degrades to leftover text, never to an error."""
+    c = _c(col)
+    s = F.regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    s = F.regexp_replace(s, "(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, "[ \\t\\r\\n]+", " "))
+
+
+def anchor_pairs(col) -> Column:
+    """Array of ``href|text`` strings for every ``<a href=...>text</a>``
+    in an HTML fragment — the (target URL, anchor text) pairs that
+    become link edges in a web KG.  href accepts single/double/no
+    quotes; anchor text is tag-stripped and whitespace-collapsed.
+    Pipe-delimited (href first) because Spark/DuckDB share flat string
+    arrays more cheaply than structs in the contract layer; split on
+    the FIRST '|' to recover the pair (URLs may not contain '|',
+    anchor text may)."""
+    c = _c(col)
+    raw = F.regexp_extract_all(
+        c,
+        F.lit("(?is)<a[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*>(.*?)</a>"),
+        F.lit(0),
+    )
+    def _pair(m: Column) -> Column:
+        href = F.regexp_extract(m, "(?is)<a[^>]*href=[\"']?([^\"' >]+)[\"']?", 1)
+        txt = F.trim(F.regexp_replace(
+            F.regexp_replace(m, "<[^>]+>", " "), "[ \\t\\r\\n]+", " "))
+        return F.concat(href, F.lit("|"), txt)
+    return F.transform(raw, _pair)

@@ -1,0 +1,49 @@
+"""HTML text extraction and anchor mining (functions/text.html_strip,
+anchor_pairs) — hand fragments covering the messy cases.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from reden_spark.functions.text import anchor_pairs, html_strip
+
+
+def _one(spark, html, col):
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(col("html").alias("v")).collect()[0]["v"]
+
+
+def test_html_strip_blocks_entities_whitespace(spark):
+    html = (
+        "<html><head><STYLE>h1 {x}</STYLE><script src=x>var a = '<p>';"
+        "</script></head><body>\n<h1>Title</h1>\n"
+        "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "<!-- hidden -->tail</body></html>"
+    )
+    got = _one(spark, html, html_strip)
+    assert got == "Title A & B <tag> \"q\" 's' end tail"
+
+
+def test_html_strip_malformed_degrades_gracefully(spark):
+    assert _one(spark, "no markup at all", html_strip) == "no markup at all"
+    assert _one(spark, "<p>unclosed", html_strip) == "unclosed"
+
+
+def test_anchor_pairs_quoted_unquoted_nested(spark):
+    html = (
+        '<a href="https://a.example/x">First <b>bold</b> link</a>'
+        "<a href='https://b.example/y'>second</a>"
+        "<a href=/rel/path>third one</a>"
+        "<a name=skip>no href — not matched</a>"
+    )
+    got = _one(spark, html, anchor_pairs)
+    assert got == [
+        "https://a.example/x|First bold link",
+        "https://b.example/y|second",
+        "/rel/path|third one",
+    ]
+
+
+def test_anchor_pairs_empty_when_no_links(spark):
+    assert _one(spark, "<p>plain</p>", anchor_pairs) == []
