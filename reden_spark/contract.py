@@ -6830,3 +6830,35 @@ def q_anchor_edges(spark, sf_dir):
             F.regexp_extract("p", "^[^|]*\\|(.*)$", 1).alias("anchor"),
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bucket
+      FROM events),
+    fst AS (SELECT u, min(bucket) AS cohort FROM act GROUP BY 1),
+    cell AS (
+      SELECT fst.cohort, a.bucket - fst.cohort AS osft,
+             CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+      FROM act a JOIN fst ON a.u = fst.u GROUP BY 1, 2),
+    sz AS (
+      SELECT cohort, osft, n_users,
+             max(CASE WHEN osft = 0 THEN n_users END)
+               OVER (PARTITION BY cohort) AS cohort_size
+      FROM cell)
+    SELECT cohort, CAST(osft AS BIGINT) AS "offset", n_users,
+           n_users * 1000000 // cohort_size AS retained_e6
+    FROM sz
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention (operators/eventstats.retention_cohorts):
+    weekly first-event cohorts x activity offset, retained fraction in
+    exact micro-units — one user-keyed exchange, then aggregation on
+    the tiny (cohort, offset) space."""
+    from reden_spark.operators.eventstats import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"))

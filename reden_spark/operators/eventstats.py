@@ -164,3 +164,46 @@ def funnel_counts(
         .cast("long")
         .alias("conv_vs_prev_e6"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    bucket_seconds: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, offset, n_users, retained_e6): classic cohort retention —
+    a user's cohort is the time bucket of their FIRST event; for every
+    later bucket they were active in, they count toward (cohort,
+    offset = bucket − cohort).  retained_e6 = n_users·1e6 div cohort
+    size (offset 0 row ≡ 1e6 by construction).
+
+    Scale shape (10^12 events): one exchange on the user key (first-
+    event min + the distinct (user, bucket) activity set share it),
+    then a groupBy on the tiny (cohort, offset) space; the cohort-size
+    denominator is a per-cohort window over that small result — no
+    second pass over the events.  Bucketing is integer unix-time
+    division — exact in both engines."""
+    b = F.expr(
+        f"CAST(unix_timestamp({ts_col}) AS BIGINT) div {bucket_seconds}"
+    )
+    activity = (
+        events.select(F.col(key_col).alias("u"), b.alias("bucket"))
+        .distinct()
+    )
+    first = activity.groupBy("u").agg(F.min("bucket").alias("cohort"))
+    per_cell = (
+        activity.join(first, "u")
+        .groupBy("cohort", (F.col("bucket") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort")
+    return per_cell.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(w),
+    ).select(
+        "cohort",
+        F.col("offset").cast("long").alias("offset"),
+        "n_users",
+        F.expr("n_users * 1000000 div cohort_size").alias("retained_e6"),
+    )

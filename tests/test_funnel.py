@@ -67,3 +67,35 @@ def test_empty_step_reports_zero(spark):
     assert got["click"] == (0, 0, 0)
     # purchase's predecessor is empty → vacuous 0, not 1e6
     assert got["purchase"] == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (eventstats.retention_cohorts)
+
+
+def test_retention_cohorts_hand_values(spark):
+    from reden_spark.operators.eventstats import retention_cohorts
+
+    day = 86400
+    rows = [
+        # cohort bucket 0 (days 0-6): users 1,2,3
+        (1, 1, "view"), (2, 2, "view"), (3, 3, "view"),
+        # bucket 1: users 1,2 active
+        (1, 8, "view"), (2, 9, "view"),
+        # bucket 2: user 1 only
+        (1, 15, "view"),
+        # cohort bucket 1: user 4 first appears day 8
+        (4, 8, "view"),
+    ]
+    from datetime import datetime, timedelta
+    ev = spark.createDataFrame(
+        [(u, datetime(1970, 1, 1) + timedelta(days=d), t) for u, d, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {(r["cohort"], r["offset"]): (r["n_users"], r["retained_e6"])
+           for r in retention_cohorts(ev, bucket_seconds=7 * day).collect()}
+    assert got[(0, 0)] == (3, 1_000_000)
+    assert got[(0, 1)] == (2, 666_666)
+    assert got[(0, 2)] == (1, 333_333)
+    assert got[(1, 0)] == (1, 1_000_000)
+    assert (1, 1) not in got  # user 4 never returns
