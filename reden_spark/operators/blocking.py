@@ -156,6 +156,7 @@ def er_resolve(
         )
         .join(comp, "node", "left")
         .withColumn("cluster", F.coalesce("comp", "node"))
+        .persist()  # feeds the vote count AND the final canon join
     )
     votes = members.groupBy("cluster", "name").agg(
         F.count("*").cast("long").alias("votes")

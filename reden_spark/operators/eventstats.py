@@ -115,10 +115,13 @@ def funnel_counts(
     rates are exact integer micro-units (n·1e6 div base).
     """
     assert len(steps) >= 2, "a funnel needs at least two steps"
+    # each reach table feeds BOTH its count and the next step's join —
+    # persist per step or the whole cascade re-runs per reference
     reach = (
         events.filter(F.col(state_col) == steps[0])
         .groupBy(F.col(key_col).alias("k"))
         .agg(F.min(ts_col).alias("t"))
+        .persist()
     )
     counts = [reach.agg(F.count("*").cast("long").alias("n"))]
     for step in steps[1:]:
@@ -129,6 +132,7 @@ def funnel_counts(
             .filter(F.col("ts2") > F.col("t"))
             .groupBy("k")
             .agg(F.min("ts2").alias("t"))
+            .persist()
         )
         counts.append(nxt.agg(F.count("*").cast("long").alias("n")))
         reach = nxt
@@ -190,6 +194,7 @@ def retention_cohorts(
     activity = (
         events.select(F.col(key_col).alias("u"), b.alias("bucket"))
         .distinct()
+        .persist()  # feeds the first-bucket min AND the offset join
     )
     first = activity.groupBy("u").agg(F.min("bucket").alias("cohort"))
     per_cell = (

@@ -128,8 +128,13 @@ def clone_pairs(
     never a quadratic blowup on a license header.  Scores are EXACT
     over the sub-cap fingerprint set; the exclusions are observable via
     ``dropped_fingerprints``."""
+    # fps feeds the df count AND the kept join; kept feeds sizes and BOTH
+    # legs of the pair join.  Persist both — exchange reuse does not fire
+    # across aliased branches, so the winnowing subtree (explode + window)
+    # would otherwise re-run per reference (8 scans measured at sf0.01).
+    fps = fps.persist()
     df = fps.groupBy("fp").agg(F.countDistinct("id").cast("long").alias("df"))
-    kept = fps.join(df.filter(F.col("df") <= df_cap).select("fp"), "fp")
+    kept = fps.join(df.filter(F.col("df") <= df_cap).select("fp"), "fp").persist()
     sizes = kept.groupBy("id").agg(F.count("*").cast("long").alias("n_fp"))
     a = kept.select("fp", F.col("id").alias("id_a"))
     b = kept.select("fp", F.col("id").alias("id_b"))
