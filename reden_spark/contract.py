@@ -6862,3 +6862,37 @@ def q_retention_cohorts(spark, sf_dir):
     from reden_spark.operators.eventstats import retention_cohorts
 
     return retention_cohorts(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "dedup_signature",
+    f"""
+    WITH stoks AS (
+      SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL}) WHERE tok <> ''),
+    sh AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM stoks),
+    smins AS (
+      SELECT doc_id,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
+      FROM sh GROUP BY doc_id),
+    ssig AS (
+      SELECT doc_id,
+             {" || '_' || ".join(f'CAST(mh{i} AS VARCHAR)' for i in range(8))}
+               AS sig
+      FROM smins),
+    sall AS (
+      SELECT d.doc_id, coalesce(s.sig, '') AS sig
+      FROM documents d LEFT JOIN ssig s ON d.doc_id = s.doc_id)
+    SELECT sig, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_dups
+    FROM sall GROUP BY 1
+    """,
+)
+def q_dedup_signature(spark, sf_dir):
+    """Full-signature near-dup groups (operators/dedup.signature_dedup):
+    the per-ROW minhash signature (array transform + array_min — no
+    explode, no pre-aggregation) collapsed by one hash aggregation.
+    The same column expression powers ingest-time streaming suppression
+    (streaming/dedup_stream.near_dedup_stream, batch-parity-tested)."""
+    from reden_spark.operators.dedup import signature_dedup
+
+    return signature_dedup(_read(spark, sf_dir, "documents"))

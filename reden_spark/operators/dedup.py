@@ -215,3 +215,53 @@ def simhash_signatures(toks: DataFrame, bits: int = 16) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+def row_signature(
+    text_col: str = "text", n_hashes: int = 8
+) -> "F.Column":
+    """Per-ROW minhash signature string 'mh0_mh1_..' of the whitespace
+    token SET — the same hash family as minhash_signatures, but built
+    entirely from array expressions (transform + array_min): NO explode,
+    NO groupBy, so it runs on a streaming frame (ingest-time near-dup
+    suppression) and, in batch, turns the signature into a narrow
+    map-side column ahead of one hash aggregation."""
+    from reden_spark.functions.text import char_hash_inner
+
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    th = F.transform(toks, char_hash_inner)
+
+    def _affine(a: int, b: int):
+        # closure factory: F.transform inspects the lambda's arity, so
+        # the parameters must be exactly the element argument
+        return lambda x: (x * a + b) % MOD
+
+    mins = [
+        F.array_min(F.transform(th, _affine(a, b)))
+        for (a, b) in MINHASH_PARAMS[:n_hashes]
+    ]
+    return F.concat_ws("_", *[m.cast("string") for m in mins])
+
+
+def signature_dedup(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(sig, keep_id, n_dups): full-signature near-dup groups — docs
+    whose 8-hash minhash signatures coincide (high-Jaccard collisions;
+    an identical token SET collides with certainty, so this subsumes
+    order/whitespace-insensitive exact dedup).  One narrow per-row map
+    + ONE map-side-combinable groupBy; empty-token-set docs share the
+    empty signature by design (they are token-free duplicates).
+    Streaming twin: streaming/dedup_stream.near_dedup_stream."""
+    return (
+        documents.select(
+            F.col(id_col).alias("id"), row_signature(text_col).alias("sig")
+        )
+        .groupBy("sig")
+        .agg(
+            F.min("id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )

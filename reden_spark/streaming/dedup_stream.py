@@ -85,3 +85,35 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def near_dedup_stream(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ingest-time NEAR-dup suppression: keep-first per full minhash
+    signature (operators/dedup.row_signature — per-row array exprs, no
+    explode, so it chains into streaming dropDuplicates).  High-Jaccard
+    revisions of a landed doc are suppressed before any downstream
+    compute; state is one narrow signature key per surviving group."""
+    from reden_spark.operators.dedup import row_signature
+
+    return docs_stream.select(
+        F.col(id_col).alias("id"), row_signature(text_col).alias("sig")
+    ).dropDuplicates(["sig"])
+
+
+def near_dedup_counts_stream(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming twin of operators/dedup.signature_dedup: (sig, keep_id,
+    n_dups) as order-insensitive min/count aggregates — the drained
+    stream equals the batch result row for row."""
+    from reden_spark.operators.dedup import row_signature
+
+    return (
+        docs_stream.select(
+            F.col(id_col).alias("id"), row_signature(text_col).alias("sig")
+        )
+        .groupBy("sig")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )

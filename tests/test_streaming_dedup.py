@@ -94,3 +94,56 @@ def test_dedup_within_watermark_drops_in_horizon_dups(spark, tmp_path):
     out = spark.sql("SELECT * FROM dedup_wm_sink")
     assert out.count() == n_distinct
     assert out.distinct().count() == n_distinct
+
+
+def test_near_dedup_stream_signature_key_set(spark, docs_path):
+    from reden_spark.operators.dedup import row_signature
+    from reden_spark.streaming.dedup_stream import near_dedup_stream
+
+    docs = spark.read.parquet(docs_path)
+    batch_sigs = {
+        r.sig for r in docs.select(row_signature().alias("sig")).distinct().collect()
+    }
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(docs_path)
+    _drain(near_dedup_stream(stream), "near_dedup_sink", "append")
+    got = spark.sql("SELECT sig FROM near_dedup_sink").collect()
+    assert len(got) == len(batch_sigs)  # one survivor per signature group
+    assert {r.sig for r in got} == batch_sigs
+
+
+def test_near_dedup_counts_equal_batch(spark, docs_path):
+    from reden_spark.operators.dedup import signature_dedup
+    from reden_spark.streaming.dedup_stream import near_dedup_counts_stream
+
+    batch = {
+        r.sig: (r.keep_id, r.n_dups)
+        for r in signature_dedup(spark.read.parquet(docs_path)).collect()
+    }
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(docs_path)
+    _drain(near_dedup_counts_stream(stream), "near_counts_sink", "complete")
+    got = {
+        r.sig: (r.keep_id, r.n_dups)
+        for r in spark.sql("SELECT * FROM near_counts_sink").collect()
+    }
+    assert got == batch  # row-for-row: min/count are order-insensitive
+
+
+def test_row_signature_collides_iff_token_sets_match(spark):
+    from reden_spark.operators.dedup import row_signature
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "gamma  beta alpha"),     # same SET, different order/spacing
+        (3, "zebra yak xylophone"),  # disjoint set
+    ]
+    # NOTE: a superset ("alpha beta gamma delta") may legitimately share
+    # the signature — 8 minima can all survive one extra token; signature
+    # equality is the high-Jaccard collision design, not set equality
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", row_signature().alias("sig")).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
