@@ -6896,3 +6896,43 @@ def q_dedup_signature(spark, sf_dir):
     from reden_spark.operators.dedup import signature_dedup
 
     return signature_dedup(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_pivot",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+             event_type
+      FROM events)
+    SELECT week,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM b GROUP BY 1
+    """,
+)
+def q_events_pivot(spark, sf_dir):
+    """Weekly event-type pivot (DataFrame groupBy().pivot() with EXPLICIT
+    pivot values — without them Spark runs a blocking distinct scan to
+    discover columns; with them the pivot compiles to one pass of
+    map-side conditional aggregation, the same plan as the oracle's
+    FILTER clauses)."""
+    ev = _read(spark, sf_dir, "events")
+    week = F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
+    out = (
+        ev.select(week.alias("week"), "event_type")
+        .groupBy("week")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL where a (week, type) cell is empty; the oracle's
+    # FILTER count yields 0 — align, and fix the count type
+    return out.select(
+        "week",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("view", "click", "purchase", "signup", "error")],
+    )
