@@ -2,20 +2,21 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 128 queries, all 128 with
-DuckDB oracles (the iterative centralities/HITS/walks use
+SURVEY.md §2 (reden_spark/contract.py): 145 queries, all 145 with
+DuckDB oracles (the iterative centralities/HITS/walks/k-truss/SSSP use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  78 registered queries await their first
-driver rows — 7 added after the r3 driver run and 71 across round 4
-(latest: tfidf/sparse-cosine, schema_graph, property_path,
-markov_transitions, burst_detect, agg_state_merge, hll_distinct,
-cms_heavy_hitters, kg_ranking_metrics, zorder_layout,
-bloom_prefilter, sample_quantile_sketch, weighted_resample, bpe_merges, scc_labels, jl_projection, chunk_plan,
-pii_pseudonymize, corpus_profile_cube, kg_negative_samples_filtered); all pass the
-local replica of the gate (tools/check_oracles.py).
+passes rows + schema + hash).  95 registered queries await their first
+driver rows — 7 added after the r3 driver run and 88 across round 4
+(latest: winnow_fingerprints/winnow_dropped/clone_pairs (MOSS),
+funnel_counts, rank_fusion, ra_link_candidates, er_resolve,
+ktruss_edges, sssp_weighted, identifier_split, resolve_conflicts,
+domain_filter, html_strip_text, anchor_edges, retention_cohorts,
+dedup_signature, events_pivot); every registered query passes the
+local replica of the gate (tools/check_oracles.py — 128/128 full sweep
+re-verified this session, new queries gated individually on landing).
 """
 
 from __future__ import annotations
