@@ -6936,3 +6936,42 @@ def q_events_pivot(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("view", "click", "purchase", "signup", "error")],
     )
+
+
+@query(
+    "edge_recency",
+    """
+    WITH ert AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+             'did:' || event_type AS pred,
+             'e' || CAST(event_id AS VARCHAR) AS obj,
+             ts
+      FROM events),
+    erw AS (SELECT max(ts) AS now FROM ert)
+    SELECT subj, pred, obj,
+           CAST(floor(epoch(erw.now)) AS BIGINT)
+             - CAST(floor(epoch(ert.ts)) AS BIGINT) AS age_s,
+           1000000 // CAST(power(2, least(
+             (CAST(floor(epoch(erw.now)) AS BIGINT)
+              - CAST(floor(epoch(ert.ts)) AS BIGINT)) // 604800, 20))
+             AS BIGINT) AS conf_e6
+    FROM ert, erw
+    """,
+)
+def q_edge_recency(spark, sf_dir):
+    """Recency-decayed edge confidence (operators/kg_maintain.
+    edge_recency): 1e6 halved per 7-day half-life against the corpus
+    watermark max(ts) — reproducible from the snapshot alone; one
+    broadcast watermark row, per-row integer arithmetic."""
+    from reden_spark.operators.kg_maintain import edge_recency
+
+    ev = _read(spark, sf_dir, "events")
+    triples = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("did:"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("obj"),
+        "ts",
+    )
+    return edge_recency(triples, half_life_seconds=604800).select(
+        "subj", "pred", "obj", "age_s", "conf_e6"
+    )

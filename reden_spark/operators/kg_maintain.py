@@ -247,3 +247,38 @@ def merge_agg_state(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataF
             F.max("vmax").alias("vmax"),
         )
     )
+
+
+def edge_recency(
+    triples: DataFrame,
+    half_life_seconds: int,
+    ts_col: str = "ts",
+    max_halvings: int = 20,
+) -> DataFrame:
+    """Recency-decayed edge confidence for KG refresh scheduling:
+    conf_e6 = 1e6 halved once per elapsed ``half_life_seconds`` since
+    the assertion's timestamp — the crawl scheduler's "how much do we
+    still trust this edge" score, exact in integer arithmetic
+    (2^k is exact in a double up to k = 52; ``max_halvings`` caps k far
+    below that and floors ancient edges at the same tiny bucket).
+
+    "now" is the corpus watermark max(ts) — a pure function of the
+    input, so the score table is reproducible from the snapshot alone
+    (re-runs don't drift with wall-clock; callers wanting real now pass
+    a constant column instead).  Scale shape: ONE all-reduce row for the
+    watermark broadcast into a per-row projection — no other shuffle."""
+    now = triples.agg(F.max(F.col(ts_col)).alias("_now"))
+    return triples.crossJoin(F.broadcast(now)).select(
+        "*",
+        F.expr(
+            f"CAST(unix_timestamp(_now) AS BIGINT)"
+            f" - CAST(unix_timestamp({ts_col}) AS BIGINT)"
+        ).alias("age_s"),
+    ).select(
+        *[c for c in triples.columns],
+        "age_s",
+        F.expr(
+            f"1000000 div CAST(power(2, least(age_s div {half_life_seconds},"
+            f" {max_halvings})) AS BIGINT)"
+        ).alias("conf_e6"),
+    )

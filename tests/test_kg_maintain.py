@@ -174,3 +174,44 @@ def test_agg_state_merge_equals_full_rebuild(spark):
         full.filter("k = 0").selectExpr("avg(v) AS m").first().m
     )
     assert row.mean == full_mean
+
+
+# ---------------------------------------------------------------------------
+# Recency decay (kg_maintain.edge_recency)
+
+
+def test_edge_recency_halving_and_watermark(spark):
+    from datetime import datetime, timedelta
+
+    from reden_spark.operators.kg_maintain import edge_recency
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        ("a", "p", "x", base + timedelta(days=21)),  # the watermark: age 0
+        ("b", "p", "x", base + timedelta(days=14)),  # 1 half-life ago
+        ("c", "p", "x", base + timedelta(days=7)),   # 2 half-lives
+        ("d", "p", "x", base),                        # 3 half-lives
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, ts timestamp")
+    got = {r["subj"]: (r["age_s"], r["conf_e6"])
+           for r in edge_recency(df, half_life_seconds=7 * 86400).collect()}
+    wk = 7 * 86400
+    assert got["a"] == (0, 1_000_000)
+    assert got["b"] == (wk, 500_000)
+    assert got["c"] == (2 * wk, 250_000)
+    assert got["d"] == (3 * wk, 125_000)
+
+
+def test_edge_recency_max_halvings_floor(spark):
+    from datetime import datetime, timedelta
+
+    from reden_spark.operators.kg_maintain import edge_recency
+
+    base = datetime(2026, 1, 1)
+    rows = [("new", "p", "x", base + timedelta(days=400)), ("old", "p", "x", base)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, ts timestamp")
+    got = {r["subj"]: r["conf_e6"]
+           for r in edge_recency(df, half_life_seconds=86400, max_halvings=10).collect()}
+    # 400 halvings capped at 10 → floor bucket, not zero/overflow
+    assert got["old"] == 1_000_000 // 1024
+    assert got["new"] == 1_000_000

@@ -111,3 +111,31 @@ def test_identifier_tokens_camel_acronym_snake(spark):
     assert got["kebab-case.path/seg"] == ["kebab", "case", "path", "seg"]
     assert got["XMLHttpRequest2"] == ["xml", "http", "request2"]
     assert got["__dunder__"] == ["dunder"]
+
+
+def test_url_canonicalize_idempotent_on_torture_set(spark):
+    """canon(canon(x)) == canon(x): the canonical form is a fixpoint,
+    so re-ingesting already-canonicalized URLs never re-splits keys."""
+    import pyspark.sql.functions as F
+
+    from reden_spark.functions.text import url_canonicalize
+
+    torture = [
+        "HTTP://WWW.EX.COM:80/a/b/?utm_source=x&id=1#f",
+        "https://ex.com:443//",
+        "http://user:pw@ex.com:8080/p?ref=abc&keep=1",
+        "ftp://Files.Ex.Com/data//x/",
+        "http://ex.com/%7Euser/page%20name?x=%26",
+        "https://ex.com/?utm_a=1&utm_b=2",
+        "http://ex.com/a?b=1&b=1&a=2",
+        "not a url",
+        "http://ex.com",
+        "https://www.ex.com/#only-frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in torture], "url string")
+    rows = df.select(
+        url_canonicalize("url").alias("c1"),
+        url_canonicalize(url_canonicalize("url")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
