@@ -116,8 +116,10 @@ def prune_edges(edges: DataFrame, inv: DataFrame) -> DataFrame:
     collisions: ~n²/2⁶⁵ — irrelevant below trillions of vertices per
     context.)"""
     h = F.xxhash64
-    e = edges.withColumn("src_h", h("src")).withColumn("dst_h", h("dst"))
-    kept = _kept_vertices(e, _hashed_inv(inv))
+    # e feeds the cascade join AND the final semi-joins; kept feeds both
+    # endpoint filters — persist (40 scans measured unpersisted)
+    e = edges.withColumn("src_h", h("src")).withColumn("dst_h", h("dst")).persist()
+    kept = _kept_vertices(e, _hashed_inv(inv).persist()).persist()
     k_src = kept.select(*CTX, F.col("vertex_h").alias("src_h"))
     k_dst = kept.select(*CTX, F.col("vertex_h").alias("dst_h"))
     return (
@@ -132,7 +134,7 @@ def prune_edges_hashed(edges_h: DataFrame, invh: DataFrame) -> DataFrame:
     from fuse_edges_hashed and (ctx, uri_h, mention_h) from
     inverted_index_hashed, output the edge shape filtered — URI strings
     never exist on this path at all."""
-    kept = _kept_vertices(edges_h, invh)
+    kept = _kept_vertices(edges_h, invh).persist()  # feeds both endpoint filters
     k_src = kept.select(*CTX, F.col("vertex_h").alias("src_h"))
     k_dst = kept.select(*CTX, F.col("vertex_h").alias("dst_h"))
     return edges_h.join(k_src, [*CTX, "src_h"], "left_semi").join(

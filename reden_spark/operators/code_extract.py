@@ -71,38 +71,63 @@ def code_triples(files: DataFrame) -> DataFrame:
                    in-file recursion is not an edge)
     """
     f = file_uri(files)
-    meta = f.select(
-        "subj", F.lit("atCommit").alias("pred"), F.col("commit").alias("obj")
-    ).unionByName(
-        f.select("subj", F.lit("inLang").alias("pred"), F.col("lang").alias("obj"))
-    )
-    imports = _extracted(f, "imports", _P_IMPORT).unionByName(
-        _extracted(f, "imports", _P_FROM)
-    )
-    defines = _extracted(f, "defines", _P_DEF).withColumn(
-        "obj", F.concat(F.lit("fn:"), F.col("obj"))
-    ).unionByName(
-        _extracted(f, "defines", _P_CLASS).withColumn(
-            "obj", F.concat(F.lit("class:"), F.col("obj"))
+
+    def _pairs(pred: str, pattern: str, group: int = 2, prefix: str = ""):
+        # every (pred, obj) family as an array of structs, so ALL the
+        # extractions ride ONE projection of the content column
+        return F.transform(
+            F.regexp_extract_all(F.col("content"), F.lit(pattern), F.lit(group)),
+            lambda o: F.struct(
+                F.lit(pred).alias("pred"), F.concat(F.lit(prefix), o).alias("obj")
+            ),
         )
+
+    # ONE scan of the corpus (before this restructure the per-family
+    # unions re-read the full content column 6+ times — at the target
+    # scale that is six reads of the entire table); the exploded triple
+    # stream is narrow and persists for its three consumers below
+    base = (
+        f.select(
+            "subj",
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.lit("atCommit").alias("pred"),
+                            F.col("commit").alias("obj"),
+                        ),
+                        F.struct(
+                            F.lit("inLang").alias("pred"),
+                            F.col("lang").alias("obj"),
+                        ),
+                    ),
+                    _pairs("imports", _P_IMPORT),
+                    _pairs("imports", _P_FROM),
+                    _pairs("defines", _P_DEF, prefix="fn:"),
+                    _pairs("defines", _P_CLASS, prefix="class:"),
+                    _pairs("callsraw", _P_CALL, group=1),
+                )
+            ).alias("t"),
+        )
+        .select("subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj"))
+        .persist()
     )
+    tri = base.filter(F.col("pred") != "callsraw")
     defined_names = (
-        defines.select(
+        base.filter(F.col("pred") == "defines")
+        .select(
             "subj", F.regexp_replace("obj", r"^(fn|class):", "").alias("obj")
         )
         .dropDuplicates(["subj", "obj"])
     )
     calls = (
-        _extracted(f, "calls", _P_CALL, group=1)
+        base.filter(F.col("pred") == "callsraw")
+        .select("subj", F.lit("calls").alias("pred"), "obj")
         .filter(~F.col("obj").isin(*_CALL_STOPWORDS))
         .join(defined_names, ["subj", "obj"], "left_anti")
+        .select("subj", "pred", "obj")
     )
-    return (
-        meta.unionByName(imports)
-        .unionByName(defines)
-        .unionByName(calls)
-        .dropDuplicates(["subj", "pred", "obj"])
-    )
+    return tri.unionByName(calls).dropDuplicates(["subj", "pred", "obj"])
 
 
 def import_hotness(triples: DataFrame) -> DataFrame:

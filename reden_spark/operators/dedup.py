@@ -142,6 +142,9 @@ def jaccard_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filter candidate pairs (a < b): blocking join restricted to
     each doc's ``n - ceil(t*n) + 1`` rarest tokens under the global
     (document-frequency, token) total order.  Complete for J >= t."""
+    # toks feeds sizes, dfreq, AND the ranked join; prefix feeds both
+    # legs of the blocking self-join — persist both (8 scans measured)
+    toks = toks.persist()
     sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = toks.join(dfreq, "tok").join(sizes, "id")
@@ -150,6 +153,7 @@ def jaccard_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("id", "tok")
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     return (

@@ -46,11 +46,15 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     for _ in range(max_rounds):
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
+        # localCheckpoint, not bare persist: each round references cur
+        # three times (deg + two semi-joins), so the ANALYZED plan grows
+        # 3^rounds subtrees without a lineage cut and Catalyst planning
+        # dominates long peels (same pathology measured in ktruss)
         nxt = (
             cur.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         cur.unpersist()

@@ -141,7 +141,9 @@ def inverse_pred_candidates(
     on the tiny (pred, pred) key space.  A hot vertex pair contributes
     |preds(s,o)| × |preds(o,s)| rows, bounded by the predicate
     vocabulary, never by the corpus."""
-    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    # t feeds the per-pred counts, the join left side, AND the swapped
+    # projection — persist (20 scans measured unpersisted)
+    t = triples.select("subj", "pred", "obj").dropDuplicates().persist()
     cnt = t.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
     swapped = t.select(
         F.col("obj").alias("subj"),
@@ -193,7 +195,7 @@ def schema_graph(
     Scale shape: two hash joins keyed on the entity columns (the type
     table is usually broadcastable) and one groupBy on the tiny
     (type, pred, type) space — map-side combinable."""
-    ty = types.select("entity", "type").dropDuplicates(["entity", "type"])
+    ty = types.select("entity", "type").dropDuplicates(["entity", "type"]).persist()
     st = ty.select(
         F.col("entity").alias("subj"), F.col("type").alias("subj_type")
     )

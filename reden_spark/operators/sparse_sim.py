@@ -80,7 +80,10 @@ def sparse_cosine_topk(
     term never appear.  ``max_df`` drops terms in more than that many
     docs from pairing (see module docstring — report the drops with
     `sparse_dropped_terms`)."""
-    v = vectors.select("doc_id", "term", "w")
+    # vectors (two groupBys + a normalization window) feed the df count
+    # and BOTH legs of the inverted-index self-join — persist (12 scans
+    # measured unpersisted)
+    v = vectors.select("doc_id", "term", "w").persist()
     if max_df is not None:
         keep = (
             v.groupBy("term")
@@ -88,7 +91,7 @@ def sparse_cosine_topk(
             .filter(F.col("df") <= max_df)
             .select("term")
         )
-        v = v.join(keep, "term")
+        v = v.join(keep, "term").persist()
     a = v.select(
         F.col("doc_id").alias("ida"), "term", F.col("w").alias("wa")
     )

