@@ -6975,3 +6975,120 @@ def q_edge_recency(spark, sf_dir):
     return edge_recency(triples, half_life_seconds=604800).select(
         "subj", "pred", "obj", "age_s", "conf_e6"
     )
+
+
+@query(
+    "degree_assortativity",
+    f"""
+    WITH dabase AS ({_KCORE_EDGES_SQL}),
+    dasym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dabase UNION ALL SELECT dst, src FROM dabase)),
+    dadeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM dasym GROUP BY 1),
+    dap AS (
+      SELECT a.deg AS dx, b.deg AS dy
+      FROM dasym s JOIN dadeg a ON s.src = a.node
+                   JOIN dadeg b ON s.dst = b.node),
+    daagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM dap)
+    SELECT n, sx, sy, sxy, sxx, syy,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE)), 9) AS r
+    FROM daagg
+    """,
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graphstats.degree_assortativity,
+    Newman 2002): Pearson correlation of endpoint degrees from five
+    exact BIGINT sufficient statistics + ONE rounded double — does this
+    KG's pruning fragment hubs or leaves?  One degree groupBy, two
+    endpoint joins, one all-reduce row."""
+    from reden_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "er_reciprocal_best",
+    f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    k AS (
+      SELECT id AS id_a,
+             regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key_a
+      FROM names),
+    kb AS (SELECT id_a, key_a, substr(key_a, 1, 2) AS block FROM k),
+    led AS (
+      SELECT id_a, key_a, block,
+             lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS key1,
+             lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS key2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)),
+    prs AS (
+      SELECT id_a, id1 AS id_b, key_a, key1 AS key_b
+      FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, id2, key_a, key2
+      FROM led WHERE id2 IS NOT NULL),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                       THEN 1000000
+                       ELSE ((greatest(length(key_a), length(key_b))
+                              - levenshtein(key_a, key_b)) * 1000000)
+                            // greatest(length(key_a), length(key_b))
+                  END AS BIGINT) AS sim_e6
+      FROM prs),
+    symp AS (SELECT id_a, id_b, sim_e6 FROM scored
+             UNION ALL
+             SELECT id_b, id_a, sim_e6 FROM scored),
+    best AS (
+      SELECT id_a, id_b, sim_e6 FROM (
+        SELECT id_a, id_b, sim_e6,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY sim_e6 DESC, id_b ASC) AS rn
+        FROM symp) WHERE rn = 1)
+    SELECT f.id_a, f.id_b, f.sim_e6
+    FROM (SELECT * FROM best WHERE id_a < id_b) f
+    JOIN (SELECT id_b AS id_a, id_a AS id_b FROM best WHERE id_a > id_b) r2
+      ON f.id_a = r2.id_a AND f.id_b = r2.id_b
+    """,
+)
+def q_er_reciprocal_best(spark, sf_dir):
+    """Reciprocal-best-hit ER matching (operators/blocking.
+    reciprocal_best_pairs): a pair survives only when each side is the
+    other's top candidate — threshold-free high-precision matches over
+    the sorted-neighborhood scored pairs."""
+    from reden_spark.operators.blocking import (
+        er_scores,
+        reciprocal_best_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    scored = er_scores(
+        sorted_neighborhood_pairs(
+            names, name_col="name", id_col="id", window=3, block_len=2
+        )
+    )
+    return reciprocal_best_pairs(scored)

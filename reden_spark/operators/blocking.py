@@ -175,3 +175,38 @@ def er_resolve(
         F.expr("CAST(substring(cluster, 2, 13) AS BIGINT)").alias("canon_id"),
         "canon_name",
     )
+
+
+def reciprocal_best_pairs(scored: DataFrame) -> DataFrame:
+    """High-precision ER matches: keep a scored candidate pair
+    (id_a, id_b, sim_e6) only when each side is the other's BEST
+    candidate (ties broken by the partner id ascending) — the classic
+    reciprocal-best-hit rule that suppresses chained look-alikes
+    without any threshold tuning.
+
+    Input is any scored pair table in either orientation (the output is
+    canonicalized to id_a < id_b); candidates are ranked per endpoint
+    over BOTH orientations, so "best for a" considers every pair
+    touching a.  Two bounded per-key
+    windows + one self-join on the pair key — all on the endpoint
+    exchanges the scorer already produced."""
+    sym = scored.select("id_a", "id_b", "sim_e6").unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "sim_e6",
+        )
+    ).persist()
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("sim_e6").desc(), F.col("id_b").asc()
+    )
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id_a", "id_b", "sim_e6")
+    )
+    fwd = best.filter(F.col("id_a") < F.col("id_b"))
+    rev = best.filter(F.col("id_a") > F.col("id_b")).select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "sim_e6")

@@ -142,3 +142,59 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
             F.max("deg").alias("max_deg"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row degree-assortativity summary (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge set —
+    positive = hubs link hubs (social shape), negative = hubs link
+    leaves (star/authority shape), the number that predicts whether
+    degree-based pruning fragments the KG.
+
+    All five sufficient statistics are EXACT BIGINT sums over the
+    directed edge-end pairs (each undirected edge counted in both
+    orientations, the standard convention); only the final
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))
+    is a double, computed once from exact integers and rounded 1e-9 —
+    bit-identical in any engine.  Degenerate graphs (all degrees equal:
+    zero variance) report r = NULL — ANSI mode forbids the 0/0.
+
+    Scale shape: one degree groupBy + two joins keyed on the edge
+    endpoints + ONE all-reduce row.  (n, sx, sy, sxy, sxx, syy, r)."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pairs = (
+        sym.join(deg.select(F.col("node").alias("src"),
+                            F.col("deg").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("deg").alias("dy")), "dst")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    # each variance term fits a long; their PRODUCT does not (≈1e26 on a
+    # 10k-edge graph) — multiply as doubles, exactly like the oracle
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    denom = F.sqrt(vx * vy)
+    return agg.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        # explicit NULL on zero variance — ANSI mode raises on x/0.0
+        F.when(
+            denom > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+                9,
+            ),
+        ).alias("r"),
+    )

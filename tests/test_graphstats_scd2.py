@@ -80,3 +80,67 @@ def test_degree_histogram_buckets(spark):
     got = {r["bucket"]: (r["n_nodes"], r["min_deg"], r["max_deg"])
            for r in degree_histogram(df).collect()}
     assert got == {1: (5, 1, 1), 3: (1, 5, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (graphstats.degree_assortativity)
+
+
+def test_assortativity_star_is_negative(spark):
+    from reden_spark.operators.graphstats import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]  # hub deg 5, leaves deg 1
+    r = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert r["n"] == 10 and r["r"] == -1.0  # pure star: perfectly disassortative
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    from reden_spark.operators.graphstats import degree_assortativity
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]  # 2-regular: zero variance
+    r = degree_assortativity(
+        spark.createDataFrame(ring, "src long, dst long")
+    ).collect()[0]
+    assert r["r"] is None  # NULL, per docstring (ANSI forbids the 0/0)
+
+
+def test_assortativity_hand_sums(spark):
+    from reden_spark.operators.graphstats import degree_assortativity
+
+    # path 1-2-3: degrees 1,2,1; sym pairs (dx,dy): (1,2),(2,1),(2,1),(1,2)
+    r = degree_assortativity(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ).collect()[0]
+    assert (r["n"], r["sx"], r["sy"]) == (4, 6, 6)
+    assert (r["sxy"], r["sxx"], r["syy"]) == (8, 10, 10)
+    assert r["r"] == -1.0  # ends only link the middle
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal best match (blocking.reciprocal_best_pairs)
+
+
+def test_reciprocal_best_suppresses_chains(spark):
+    from reden_spark.operators.blocking import reciprocal_best_pairs
+
+    rows = [
+        (1, 2, 990_000),  # 1's best is 2 AND 2's best is 1 → kept
+        (2, 3, 900_000),  # 3's best is 2, but 2 prefers 1 → dropped
+        (3, 4, 800_000),  # 4's best is 3; 3's best is 2 → dropped
+        (5, 6, 700_000),  # isolated mutual best → kept
+    ]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, sim_e6 long")
+    got = {(r["id_a"], r["id_b"]) for r in reciprocal_best_pairs(df).collect()}
+    assert got == {(1, 2), (5, 6)}
+
+
+def test_reciprocal_best_tie_breaks_deterministically(spark):
+    from reden_spark.operators.blocking import reciprocal_best_pairs
+
+    rows = [(1, 2, 500_000), (1, 3, 500_000), (2, 3, 400_000)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, sim_e6 long")
+    got = {(r["id_a"], r["id_b"]) for r in reciprocal_best_pairs(df).collect()}
+    # 1's tie (2 vs 3) breaks to 2; 2's best is 1 (500k > 400k) → (1,2)
+    assert got == {(1, 2)}
