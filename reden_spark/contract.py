@@ -7092,3 +7092,40 @@ def q_er_reciprocal_best(spark, sf_dir):
         )
     )
     return reciprocal_best_pairs(scored)
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH mo AS (
+      SELECT doc_id AS id, lang AS grp,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS value
+      FROM documents),
+    m1 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY value, id) AS rn,
+                  count(*) OVER (PARTITION BY grp) AS cnt FROM mo),
+    m2 AS (SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+                       OVER (PARTITION BY grp) AS med FROM m1),
+    m3 AS (SELECT id, grp, value, med, abs(value - med) AS adev FROM m2),
+    m4 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY adev, id) AS rn2,
+                  count(*) OVER (PARTITION BY grp) AS cnt FROM m3),
+    m5 AS (SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN adev END)
+                       OVER (PARTITION BY grp) AS mad FROM m4)
+    SELECT id, grp AS "group", value, med, mad,
+           CAST(adev > 3 * greatest(mad, 1) AS INTEGER) AS is_outlier
+    FROM m5
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Hampel/MAD outlier gate (operators/quality.mad_outliers): per-
+    language robust token-count outliers — exact lower-median nearest
+    ranks under the deterministic (value, id) order, |v − med| >
+    3·max(MAD, 1).  Two bounded windows over ONE group-key exchange;
+    the text never rides the shuffle."""
+    from reden_spark.functions.text import word_token_count
+    from reden_spark.operators.quality import mad_outliers
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", word_token_count("text").alias("n_tok")
+    )
+    return mad_outliers(docs, value_col="n_tok", group_col="lang")

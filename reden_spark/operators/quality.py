@@ -490,3 +490,69 @@ def pseudonymize(
             out_col: folded,
         }
     )
+
+
+def mad_outliers(
+    docs: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, group, value, med, mad, is_outlier): robust per-group outlier
+    gate on an integer signal — |value − median| > k·max(MAD, 1), with
+    MAD = median of |value − median| (Hampel filter; the robust
+    alternative to mean±kσ that one pathological document cannot drag).
+    max(MAD, 1) keeps the rule meaningful in zero-spread groups: there
+    any deviation beyond k trips, instead of every nonzero one.
+
+    Medians are EXACT lower medians by nearest rank under the
+    deterministic (value, id) order — integer in, integer out, no
+    interpolation, bit-identical in any engine.
+
+    Scale shape: two bounded per-group windows over the SAME group-key
+    exchange (rank for the median, rank for the MAD) — never a global
+    sort; the doc text never rides the shuffle, only (id, group,
+    value)."""
+    v = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    wg = Window.partitionBy("grp")
+    w_rank = wg.orderBy("value", "id")
+    med = (
+        v.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count("*").over(wg))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("value"))
+            ).over(wg),
+        )
+    )
+    dev = med.select(
+        "id", "grp", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w_rank2 = wg.orderBy("adev", "id")
+    mad = (
+        dev.withColumn("rn2", F.row_number().over(w_rank2))
+        .withColumn("cnt", F.count("*").over(wg))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(F.col("rn2") == F.expr("(cnt + 1) div 2"), F.col("adev"))
+            ).over(wg),
+        )
+    )
+    return mad.select(
+        "id",
+        F.col("grp").alias("group"),
+        "value",
+        "med",
+        "mad",
+        (F.col("adev") > k * F.greatest(F.col("mad"), F.lit(1)))
+        .cast("int")
+        .alias("is_outlier"),
+    )

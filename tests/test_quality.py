@@ -373,3 +373,41 @@ def test_c4_span_dedup_keeps_first_occurrence(spark):
     assert got[5].n_spans == 7 and got[5].n_dup_spans == 4
     assert got[5].keep == 0  # novel_frac 3/7 < NOVEL_MIN
     assert got[1].keep == 0 and got[2].keep == 1  # NOVEL_MIN = 0.5 boundary
+
+
+# ---------------------------------------------------------------------------
+# Hampel / MAD outlier gate (quality.mad_outliers)
+
+
+def test_mad_outliers_flags_only_the_extreme(spark):
+    from reden_spark.operators.quality import mad_outliers
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 11, 12, 13, 14, 500])]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    got = {r["id"]: (r["med"], r["mad"], r["is_outlier"])
+           for r in mad_outliers(df, "n", "lang").collect()}
+    # lower median of [10..14,500] = 12; adevs [2,1,0,1,2,488] → MAD = 1
+    assert got[0] == (12, 1, 0)
+    assert got[5] == (12, 1, 1)   # 488 > 3·1
+    assert sum(o for _, _, o in got.values()) == 1
+
+
+def test_mad_outliers_zero_spread_group(spark):
+    from reden_spark.operators.quality import mad_outliers
+
+    rows = [(1, "x", 7), (2, "x", 7), (3, "x", 7), (4, "x", 9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    got = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "n", "lang").collect()}
+    # med 7, MAD 0 → rule uses max(MAD,1): |9-7|=2 ≤ 3 → nothing trips
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_mad_outliers_per_group_isolation(spark):
+    from reden_spark.operators.quality import mad_outliers
+
+    rows = [(1, "a", 10), (2, "a", 1000), (3, "b", 1000), (4, "b", 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    got = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "n", "lang").collect()}
+    # 'b' group: 1000s are normal THERE; 'a': med=10 (lower), adev 990 > 3
+    assert got[3] == 0 and got[4] == 0
+    assert got[2] == 1
