@@ -7129,3 +7129,47 @@ def q_mad_outliers(spark, sf_dir):
         "doc_id", "lang", word_token_count("text").alias("n_tok")
     )
     return mad_outliers(docs, value_col="n_tok", group_col="lang")
+
+
+@query(
+    "snapshot_retention",
+    """
+    WITH sr AS (
+      SELECT o_orderkey AS snapshot_id, CAST(o_orderdate AS TIMESTAMP) AS ts
+      FROM orders WHERE o_orderkey % 37 = 0),
+    srw AS (SELECT max(ts) AS wm FROM sr),
+    srr AS (
+      SELECT sr.snapshot_id, sr.ts,
+             CAST(floor(epoch(sr.ts)) AS BIGINT) // 86400 AS day,
+             CAST(floor(epoch(srw.wm)) AS BIGINT) // 86400 AS wm_day,
+             row_number() OVER (ORDER BY sr.ts DESC, sr.snapshot_id DESC)
+               AS rn_all,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(sr.ts)) AS BIGINT) // 86400
+               ORDER BY sr.ts DESC, sr.snapshot_id DESC) AS rn_day
+      FROM sr, srw)
+    SELECT snapshot_id, ts,
+           CAST(reason <> 'expire' AS INTEGER) AS keep, reason
+    FROM (
+      SELECT snapshot_id, ts,
+             CASE WHEN rn_all <= 3 THEN 'latest'
+                  WHEN rn_day = 1 AND wm_day - day <= 30 THEN 'daily'
+                  ELSE 'expire' END AS reason
+      FROM srr)
+    """,
+)
+def q_snapshot_retention(spark, sf_dir):
+    """Snapshot-retention planning (operators/kg_maintain.
+    snapshot_retention): Iceberg-style expire-snapshots as a reviewable
+    PLAN table — keep the 3 newest plus one per day for 30 days from
+    the watermark, everything else marked 'expire' before anything is
+    deleted.  Metadata-sized input; one broadcast watermark row + two
+    windows."""
+    from reden_spark.operators.kg_maintain import snapshot_retention
+
+    orders = _read(spark, sf_dir, "orders")
+    snaps = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("snapshot_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    return snapshot_retention(snaps, keep_latest=3, keep_daily_days=30)

@@ -282,3 +282,59 @@ def edge_recency(
             f" {max_halvings})) AS BIGINT)"
         ).alias("conf_e6"),
     )
+
+
+def snapshot_retention(
+    snaps: DataFrame,
+    keep_latest: int = 3,
+    keep_daily_days: int = 30,
+    id_col: str = "snapshot_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(snapshot_id, ts, keep, reason): the expire-snapshots PLAN for a
+    versioned table — Iceberg-style retention as data, reviewable and
+    diffable BEFORE anything is deleted (the same plan-as-table
+    philosophy as kg_validate / chunk_plan):
+
+      * the ``keep_latest`` newest snapshots stay (reason 'latest');
+      * one snapshot per calendar day — the day's newest — stays for
+        days within ``keep_daily_days`` of the table watermark
+        (reason 'daily');
+      * everything else is 'expire', keep = 0.
+
+    Deterministic total order (ts desc, id desc) everywhere; the
+    watermark is max(ts) — a pure function of the metadata, so the plan
+    reproduces from the snapshot list alone.  Scale shape: snapshot
+    metadata is tiny by definition; one broadcast watermark row + two
+    windows."""
+    w_all = Window.orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    day = F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT) div 86400")
+    wm = snaps.agg(F.max(ts_col).alias("_wm"))
+    w_day = Window.partitionBy("day").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    ranked = (
+        snaps.select(id_col, ts_col)
+        .crossJoin(F.broadcast(wm))
+        .withColumn("day", day)
+        .withColumn("wm_day", F.expr("CAST(unix_timestamp(_wm) AS BIGINT) div 86400"))
+        .withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("rn_day", F.row_number().over(w_day))
+    )
+    return ranked.select(
+        id_col,
+        ts_col,
+        F.when(F.col("rn_all") <= keep_latest, F.lit("latest"))
+        .when(
+            (F.col("rn_day") == 1)
+            & (F.col("wm_day") - F.col("day") <= keep_daily_days),
+            F.lit("daily"),
+        )
+        .otherwise(F.lit("expire"))
+        .alias("reason"),
+    ).select(
+        id_col,
+        ts_col,
+        (F.col("reason") != "expire").cast("int").alias("keep"),
+        "reason",
+    )

@@ -215,3 +215,39 @@ def test_edge_recency_max_halvings_floor(spark):
     # 400 halvings capped at 10 → floor bucket, not zero/overflow
     assert got["old"] == 1_000_000 // 1024
     assert got["new"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention planning (kg_maintain.snapshot_retention)
+
+
+def test_snapshot_retention_rules(spark):
+    from datetime import datetime, timedelta
+
+    from reden_spark.operators.kg_maintain import snapshot_retention
+
+    base = datetime(2026, 3, 1)
+    rows = [
+        # day 0 (oldest, beyond horizon with small keep_daily_days)
+        (1, base),
+        (2, base + timedelta(hours=6)),         # day 0's newest
+        # day 40
+        (3, base + timedelta(days=40)),
+        (4, base + timedelta(days=40, hours=1)),  # day 40's newest
+        # day 42 (watermark day): three snapshots
+        (5, base + timedelta(days=42)),
+        (6, base + timedelta(days=42, hours=1)),
+        (7, base + timedelta(days=42, hours=2)),  # newest overall
+    ]
+    df = spark.createDataFrame(rows, "snapshot_id long, ts timestamp")
+    got = {r["snapshot_id"]: (r["keep"], r["reason"])
+           for r in snapshot_retention(df, keep_latest=2, keep_daily_days=5).collect()}
+    assert got[7] == (1, "latest")
+    assert got[6] == (1, "latest")
+    # day 42's newest is 7 (already 'latest'); 5 is neither latest nor
+    # its day's newest → expires
+    assert got[5] == (0, "expire")
+    assert got[4] == (1, "daily")     # day 40 within horizon, day-newest
+    assert got[3] == (0, "expire")
+    assert got[2] == (0, "expire")    # day 0 beyond the 5-day horizon
+    assert got[1] == (0, "expire")
