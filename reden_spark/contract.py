@@ -7173,3 +7173,49 @@ def q_snapshot_retention(spark, sf_dir):
         F.col("o_orderdate").cast("timestamp").alias("ts"),
     )
     return snapshot_retention(snaps, keep_latest=3, keep_daily_days=30)
+
+
+@query(
+    "anchor_priors",
+    f"""
+    WITH hdoc AS ({_HTML_DOC_SQL}),
+    apm AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html,
+               '(?is)<a[^>]*href=["'']?([^"'' >]+)["'']?[^>]*>(.*?)</a>', 0))
+               AS mt
+      FROM hdoc),
+    ape AS (
+      SELECT regexp_extract(mt,
+               '(?is)<a[^>]*href=["'']?([^"'' >]+)["'']?', 1) AS target,
+             trim(regexp_replace(lower(
+               trim(regexp_replace(regexp_replace(mt, '<[^>]+>', ' ', 'g'),
+                    '[ \\t\\r\\n]+', ' ', 'g'))),
+               '[^a-z0-9]+', ' ', 'g')) AS anchor_norm
+      FROM apm),
+    apc AS (
+      SELECT anchor_norm, target, count(*) AS n
+      FROM ape WHERE anchor_norm <> '' GROUP BY 1, 2)
+    SELECT anchor_norm, target, n,
+           n * 1000000 // sum(n) OVER (PARTITION BY anchor_norm) AS p_e6
+    FROM apc
+    """,
+)
+def q_anchor_priors(spark, sf_dir):
+    """Anchor-prior dictionary (operators/cooccur.anchor_priors): the
+    Wikipedia-anchors popularity signal for NEL candidate ranking —
+    p(target | surface form) over the corpus's mined link edges in
+    exact micro-units; normalized surface keys join the mention stream
+    directly.  One groupBy + one bounded per-anchor window."""
+    from reden_spark.functions.text import anchor_pairs
+    from reden_spark.operators.cooccur import anchor_priors
+
+    edges = (
+        _html_docs(spark, sf_dir)
+        .select("doc_id", F.explode(anchor_pairs("html")).alias("p"))
+        .select(
+            F.regexp_extract("p", "^([^|]*)\\|", 1).alias("href"),
+            F.regexp_extract("p", "^[^|]*\\|(.*)$", 1).alias("anchor"),
+        )
+    )
+    return anchor_priors(edges)

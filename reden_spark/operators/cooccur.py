@@ -28,7 +28,7 @@ scalar joins in as a broadcast 1-row frame, never a ``.collect()``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reden_spark.operators.cochange import commit_sizes
@@ -107,4 +107,45 @@ def cooccur_pmi(
         )
         .cast("long")
         .alias("pmi_e6"),
+    )
+
+
+def anchor_priors(
+    anchors: DataFrame,
+    anchor_col: str = "anchor",
+    target_col: str = "href",
+    min_count: int = 1,
+) -> DataFrame:
+    """(anchor_norm, target, n, p_e6): link-prior dictionary from anchor
+    statistics — the classic Wikipedia-anchors trick for NEL candidate
+    ranking (how often does this surface form link THERE): p_e6 =
+    n·1e6 div Σ_targets n, exact integer micro-units.
+
+    The reference ranks candidates by graph centrality alone
+    (CentralityHandler); corpus-level anchor priors are the
+    complementary popularity signal every production linker mixes in,
+    and they come straight from the anchor_pairs extraction.  Surface
+    forms normalize like the candidate join (lowercase, non-alphanumeric
+    collapsed to single spaces, trimmed) so the prior table joins the
+    mention stream on the same key.
+
+    Scale shape: one (anchor, target) groupBy + one bounded per-anchor
+    window — map-side combinable; a hot anchor ("here") is one reduce
+    group, never a pair list."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(anchor_col)), "[^a-z0-9]+", " ")
+    )
+    counts = (
+        anchors.select(norm.alias("anchor_norm"), F.col(target_col).alias("target"))
+        .filter(F.col("anchor_norm") != "")
+        .groupBy("anchor_norm", "target")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("anchor_norm")
+    return counts.withColumn("tot", F.sum("n").over(w)).select(
+        "anchor_norm",
+        "target",
+        "n",
+        F.expr("n * 1000000 div tot").alias("p_e6"),
     )

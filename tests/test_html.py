@@ -47,3 +47,20 @@ def test_anchor_pairs_quoted_unquoted_nested(spark):
 
 def test_anchor_pairs_empty_when_no_links(spark):
     assert _one(spark, "<p>plain</p>", anchor_pairs) == []
+
+
+def test_anchor_priors_distribution(spark):
+    from reden_spark.operators.cooccur import anchor_priors
+
+    rows = [
+        ("paris", "dbp:Paris"),
+        ("Paris!", "dbp:Paris"),        # normalizes to the same surface
+        ("paris", "dbp:Paris_Texas"),
+        ("rare town", "dbp:RareTown"),
+    ]
+    df = spark.createDataFrame(rows, "anchor string, href string")
+    got = {(r["anchor_norm"], r["target"]): (r["n"], r["p_e6"])
+           for r in anchor_priors(df).collect()}
+    assert got[("paris", "dbp:Paris")] == (2, 666_666)
+    assert got[("paris", "dbp:Paris_Texas")] == (1, 333_333)
+    assert got[("rare town", "dbp:RareTown")] == (1, 1_000_000)
