@@ -7219,3 +7219,282 @@ def q_anchor_priors(spark, sf_dir):
         )
     )
     return anchor_priors(edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: structural labels, partition quality, Iceberg compaction,
+# markdown corpora, NEL context windows, landmark distance index.
+
+_WL_ROUNDS = 2
+
+
+def _wl_oracle_sql(rounds: int) -> str:
+    """Unrolled 1-WL color refinement: w0 = degree-as-string, then
+    w{i} = md5(own || '|' || sorted neighbor labels of w{i-1})."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    w0 AS MATERIALIZED (
+      SELECT src AS node, CAST(count(*) AS VARCHAR) AS lbl
+      FROM sym GROUP BY 1)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    w{i} AS MATERIALIZED (
+      SELECT e.src AS node,
+             md5(ls.lbl || '|' || string_agg(ld.lbl, ',' ORDER BY ld.lbl))
+               AS lbl
+      FROM sym e
+      JOIN w{i - 1} ld ON e.dst = ld.node
+      JOIN w{i - 1} ls ON e.src = ls.node
+      GROUP BY e.src, ls.lbl)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, lbl AS wl_label,
+           count(*) OVER (PARTITION BY lbl) AS class_size
+    FROM w{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("wl_refinement", _wl_oracle_sql(_WL_ROUNDS))
+def q_wl_refinement(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement (operators/communities.
+    wl_refinement): {_WL_ROUNDS} rounds of md5(own label | sorted
+    neighbor multiset) from a degree seed — the structural-role key
+    for code-clone grouping and ER blocking; fixed-width digests keep
+    round r's shuffle width constant."""
+    from reden_spark.operators.communities import wl_refinement
+
+    return wl_refinement(_kcore_edges(spark, sf_dir), rounds=_WL_ROUNDS)
+
+
+@query(
+    "modularity_terms",
+    _lpa_oracle_sql(
+        _LPA_ROUNDS,
+        final=f""",
+    me AS MATERIALIZED (SELECT src AS a, dst AS b FROM base),
+    tagged AS MATERIALIZED (
+      SELECT me.a, me.b, la.label AS la, lb.label AS lb
+      FROM me JOIN lab{_LPA_ROUNDS} la ON me.a = la.node
+              JOIN lab{_LPA_ROUNDS} lb ON me.b = lb.node),
+    mm AS (SELECT count(*) AS m_edges FROM me),
+    mintra AS (SELECT la AS community, count(*) AS intra_edges
+               FROM tagged WHERE la = lb GROUP BY 1),
+    mdeg AS (SELECT community, count(*) AS deg_sum FROM (
+               SELECT la AS community FROM tagged
+               UNION ALL SELECT lb FROM tagged) GROUP BY 1),
+    mnn AS (SELECT community, count(*) AS n_nodes FROM (
+               SELECT DISTINCT a AS node, la AS community FROM tagged
+               UNION SELECT DISTINCT b, lb FROM tagged) GROUP BY 1)
+    SELECT d.community, n.n_nodes,
+           coalesce(i.intra_edges, 0) AS intra_edges, d.deg_sum,
+           mm.m_edges,
+           4 * mm.m_edges * coalesce(i.intra_edges, 0)
+             - d.deg_sum * d.deg_sum AS q_num
+    FROM mdeg d
+    JOIN mnn n ON d.community = n.community
+    LEFT JOIN mintra i ON d.community = i.community
+    CROSS JOIN mm""",
+    ),
+)
+def q_modularity_terms(spark, sf_dir):
+    """Exact per-community modularity terms (operators/communities.
+    modularity_terms) of the LPA labeling: Q = Σ q_num/(4m²) with
+    q_num = 4·m·intra − deg_sum² — all integers, no division, so the
+    partition-quality gate is hash-comparable across engines."""
+    from reden_spark.operators.communities import (
+        lpa_communities,
+        modularity_terms,
+    )
+
+    edges = _kcore_edges(spark, sf_dir)
+    return modularity_terms(edges, lpa_communities(edges, rounds=_LPA_ROUNDS))
+
+
+@query(
+    "compaction_plan",
+    """
+    WITH f AS (
+      SELECT p_brand AS part_key, p_partkey AS file_id,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS size_bytes
+      FROM part),
+    c AS (
+      SELECT part_key, file_id, size_bytes,
+             (sum(size_bytes) OVER (PARTITION BY part_key
+                ORDER BY size_bytes DESC, file_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - size_bytes) // 500000 AS bucket
+      FROM f)
+    SELECT part_key, file_id, size_bytes, bucket,
+           count(*) OVER (PARTITION BY part_key, bucket) AS n_files,
+           sum(size_bytes) OVER (PARTITION BY part_key, bucket)
+             AS bucket_bytes,
+           CASE WHEN count(*) OVER (PARTITION BY part_key, bucket) > 1
+                THEN 'rewrite' ELSE 'keep' END AS action
+    FROM c
+    """,
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/kg_maintain.
+    compaction_plan): next-fit-decreasing packing of per-partition data
+    files into ~target-byte rewrite groups, as a reviewable plan table
+    — Iceberg rewrite_data_files semantics without the I/O.  Metadata-
+    sized input; two windows, no joins."""
+    from reden_spark.operators.kg_maintain import compaction_plan
+
+    part = _read(spark, sf_dir, "part")
+    files = part.select(
+        F.col("p_brand").alias("part_key"),
+        F.col("p_partkey").alias("file_id"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=500000)
+
+
+@query(
+    "markdown_strip_text",
+    """
+    WITH md AS (
+      SELECT doc_id,
+             '# Title ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || '**intro** with `code span` and *emph*' || chr(10) || chr(10)
+             || '```' || chr(10) || 'fenced code block' || chr(10)
+             || 'second line' || chr(10) || '```' || chr(10) || chr(10)
+             || '- item [link ' || CAST(doc_id AS VARCHAR)
+             || '](http://ex.org/' || CAST(doc_id AS VARCHAR)
+             || ') and ![logo](img.png)' || chr(10) || chr(10)
+             || '> quoted line' || chr(10) || chr(10) || '---'
+             || chr(10) || chr(10) || substr(text, 1, 160) AS body
+      FROM documents)
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(body, '(?s)```.*?```', ' ', 'g'),
+                        '`[^`\\n]*`', ' ', 'g'),
+                      '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+                    '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+                  '(?m)^[ \\t]*#{1,6}[ \\t]+', ' ', 'g'),
+                '(?m)^[ \\t]*>[ \\t]?', ' ', 'g'),
+              '(?m)^[ \\t]*([-*_][ \\t]*){3,}$', ' ', 'g'),
+            '\\*{1,3}([^*\\n]*)\\*{1,3}', '\\1', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '[ \\t\\r\\n]+', ' ', 'g')) AS md_text
+    FROM md
+    """,
+)
+def q_markdown_strip_text(spark, sf_dir):
+    """Markdown → text (functions/text.markdown_strip): the README/docs
+    half of the (repo, path, lang, content) input shape, next to
+    html_strip_text — fenced/inline code dropped, links/images reduced
+    to their text, headers/quotes/rules/emphasis unwrapped; pure JVM
+    regexp chain, oracle carries the \\1-spelled twin."""
+    from reden_spark.functions.text import markdown_strip
+
+    docs = _read(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("# Title "), did, nl, nl,
+        F.lit("**intro** with `code span` and *emph*"), nl, nl,
+        F.lit("```"), nl, F.lit("fenced code block"), nl,
+        F.lit("second line"), nl, F.lit("```"), nl, nl,
+        F.lit("- item [link "), did, F.lit("](http://ex.org/"), did,
+        F.lit(") and ![logo](img.png)"), nl, nl,
+        F.lit("> quoted line"), nl, nl, F.lit("---"), nl, nl,
+        F.substring("text", 1, 160),
+    )
+    return docs.select("doc_id", markdown_strip(body).alias("md_text"))
+
+
+@query(
+    "context_windows",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}), dict AS ({_DICT_SQL}),
+    ctx AS (
+      SELECT doc_id, pos, tok AS mention,
+             coalesce(string_agg(tok, ' ') OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+               '') AS left_ctx,
+             coalesce(string_agg(tok, ' ') OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+               '') AS right_ctx
+      FROM toks),
+    men AS (SELECT DISTINCT t.doc_id, t.pos
+            FROM toks t JOIN dict d ON t.tok = d.alias_norm)
+    SELECT c.doc_id, c.pos, c.mention, c.left_ctx, c.right_ctx
+    FROM ctx c JOIN men m ON c.doc_id = m.doc_id AND c.pos = m.pos
+    """,
+)
+def q_context_windows(spark, sf_dir):
+    """±3-token mention contexts (operators/cooccur.context_windows):
+    the feature the NEL scorer ranks candidates with next to graph
+    centrality (context-vs-candidate-abstract similarity).  One doc-key
+    exchange serves both frame windows; contexts are built before the
+    mention semi-join so token text never rides a second shuffle."""
+    from reden_spark.operators.cooccur import context_windows
+
+    toks = _tokens(spark, sf_dir)
+    dic = _dictionary(spark, sf_dir)
+    mentions = toks.join(
+        F.broadcast(dic), toks.tok == dic.alias_norm
+    ).select("doc_id", "pos")
+    return context_windows(toks, mentions, window=3)
+
+
+_LM_N = 4
+_LM_ROUNDS = 4
+
+
+def _landmark_oracle_sql(n: int, rounds: int) -> str:
+    """Unrolled synchronous min-plus BFS from the n smallest node ids,
+    keyed by (landmark, node)."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        f"""
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    lms AS (SELECT node FROM (SELECT DISTINCT src AS node FROM sym)
+            ORDER BY node LIMIT {n}),
+    d0 AS MATERIALIZED (
+      SELECT node AS landmark, node, CAST(0 AS BIGINT) AS dist FROM lms)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT landmark, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT d.landmark, e.dst AS node, d.dist + 1 AS dist
+        FROM d{i - 1} d JOIN sym e ON d.node = e.src
+        UNION ALL SELECT landmark, node, dist FROM d{i - 1})
+      GROUP BY 1, 2)"""
+        )
+    parts.append(f"\n    SELECT landmark, node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+@query("landmark_index", _landmark_oracle_sql(_LM_N, _LM_ROUNDS))
+def q_landmark_index(spark, sf_dir):
+    """Landmark distance index (operators/paths.landmark_distances):
+    exact hop distances from the {_LM_N} smallest node ids within
+    {_LM_ROUNDS} hops — d(u,v) ≈ min_L d(u,L)+d(L,v), the scale
+    substitute for all-pairs shortest paths; all landmarks' BFS waves
+    ride ONE exchange per round via the composite (landmark, node)
+    key."""
+    from reden_spark.operators.paths import landmark_distances
+
+    return landmark_distances(
+        _kcore_edges(spark, sf_dir), n_landmarks=_LM_N, max_rounds=_LM_ROUNDS
+    )

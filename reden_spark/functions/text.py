@@ -249,3 +249,31 @@ def anchor_pairs(col) -> Column:
             F.regexp_replace(m, "<[^>]+>", " "), "[ \\t\\r\\n]+", " "))
         return F.concat(href, F.lit("|"), txt)
     return F.transform(raw, _pair)
+
+
+def markdown_strip(col) -> Column:
+    """Plain text of a Markdown document — the README/docs reality of
+    the source-code-repository input shape (repo, path, lang, content):
+    fenced code blocks dropped whole, inline code spans dropped, images
+    reduced to their alt text, links reduced to their link text, ATX
+    headers / blockquote markers / emphasis runs / horizontal rules
+    unwrapped, leftover HTML tags removed, whitespace collapsed.
+
+    RE2-safe like html_strip (no lookarounds; (?s)/(?m) flags and
+    non-greedy spans only), so the chain ports verbatim to the contract
+    oracle ($1 vs \\1 rewrite spelling aside).  Pure JVM expressions —
+    markdown cleanup feeds the quality/dedup/language operators inside
+    whole-stage codegen.  NOT a parser: nested/malformed markdown
+    degrades to leftover text, never to an error."""
+    c = _c(col)
+    s = F.regexp_replace(c, "(?s)```.*?```", " ")
+    s = F.regexp_replace(s, "`[^`\\n]*`", " ")
+    # images BEFORE links: ![alt](url) is a '!' + link form
+    s = F.regexp_replace(s, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    s = F.regexp_replace(s, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    s = F.regexp_replace(s, "(?m)^[ \\t]*#{1,6}[ \\t]+", " ")
+    s = F.regexp_replace(s, "(?m)^[ \\t]*>[ \\t]?", " ")
+    s = F.regexp_replace(s, "(?m)^[ \\t]*([-*_][ \\t]*){3,}$", " ")
+    s = F.regexp_replace(s, "\\*{1,3}([^*\\n]*)\\*{1,3}", "$1")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    return F.trim(F.regexp_replace(s, "[ \\t\\r\\n]+", " "))

@@ -95,3 +95,134 @@ def community_summary(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy("ca", "cb")
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
+
+
+def wl_refinement(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(node, wl_label, class_size) — Weisfeiler-Lehman structural
+    label refinement (1-WL / color refinement) over an undirected edge
+    list: start from the degree as the label, then ``rounds`` times
+    relabel every node with a digest of (own label, sorted multiset of
+    neighbor labels).  Nodes sharing a final label are 1-WL
+    indistinguishable — the standard structural-role key for code-graph
+    clone grouping and for blocking structurally-equivalent entities in
+    ER (two KG nodes can only match if their WL colors match).
+
+    Determinism contract: the neighbor multiset is canonicalized by a
+    SORT (sort_array / string_agg ORDER BY — identical byte order in
+    both engines) and digested with md5, so the labels are pure
+    functions of the graph and reproduce exactly in the unrolled DuckDB
+    oracle.
+
+    Scale shape (10^12 edges): each round is ONE join of the edge list
+    against the (node, label) table plus one groupBy on the node key —
+    the same exchange pair as LPA; labels are fixed-width 32-char
+    digests, so round r's shuffle width does not grow with r (the naive
+    concatenated-string WL label doubles per round)."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .select("node", F.col("deg").cast("string").alias("lbl"))
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("nl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("nl"))).alias("nbrs")
+            )
+        )
+        labels = (
+            labels.join(nbr, "node")
+            .select(
+                "node",
+                F.md5(F.concat(F.col("lbl"), F.lit("|"), F.col("nbrs"))).alias(
+                    "lbl"
+                ),
+            )
+            # cut the lineage each round (same 3^rounds plan-reanalysis
+            # hazard as LPA / k-core)
+            .localCheckpoint(eager=False)
+        )
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("wl_label"),
+        F.count("*").over(w).cast("long").alias("class_size"),
+    )
+
+
+def modularity_terms(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community EXACT modularity terms for a labeling of an
+    undirected graph: (community, n_nodes, intra_edges, deg_sum,
+    m_edges, q_num) where Newman's Q = Σ_c q_num_c / (4·m²) with
+    q_num_c = 4·m·intra_c − deg_sum_c² — all integers, no division, so
+    the quality of an LPA/CC partition is hash-comparable across
+    engines and across runs (the standard acceptance gate before a
+    10^12-edge KG is physically partitioned by community).
+
+    Scale shape: two keyed joins to translate edge endpoints (same as
+    community_summary), one groupBy per term, and the global edge count
+    rides in as a broadcast 1-row aggregate — no windows over the edge
+    list, no driver state."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    tagged = e.join(la, "a").join(lb, "b").persist()
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    deg = (
+        tagged.select(F.col("la").alias("community"))
+        .unionByName(tagged.select(F.col("lb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("deg_sum"))
+    )
+    n_nodes = (
+        tagged.select(F.col("a").alias("node"), F.col("la").alias("community"))
+        .unionByName(
+            tagged.select(F.col("b").alias("node"), F.col("lb").alias("community"))
+        )
+        .distinct()
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    m = e.agg(F.count("*").cast("long").alias("m_edges"))
+    return (
+        deg.join(intra, "community", "left")
+        .join(n_nodes, "community")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "deg_sum",
+            "m_edges",
+            (
+                4 * F.col("m_edges") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+    )

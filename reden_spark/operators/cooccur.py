@@ -149,3 +149,37 @@ def anchor_priors(
         "n",
         F.expr("n * 1000000 div tot").alias("p_e6"),
     )
+
+
+def context_windows(
+    toks: DataFrame,
+    mentions: DataFrame,
+    window: int = 3,
+) -> DataFrame:
+    """(doc_id, pos, mention, left_ctx, right_ctx) — the ±``window``
+    token context around every matched mention: the feature the NEL
+    scorer ranks candidates WITH (context-vs-candidate-abstract
+    similarity is the reference's other disambiguation signal next to
+    graph centrality).  ``toks`` is the (doc_id, pos, tok) stream;
+    ``mentions`` is (doc_id, pos) marking which positions are mentions.
+
+    Scale shape: ONE exchange on doc_id serves both frame windows (the
+    window spec differs only in frame bounds, not keys), and the
+    contexts are built BEFORE the mention semi-join so the token text
+    never rides a second shuffle; frames are ±w rows, so state per task
+    is O(w).  string concat order inside a frame is the frame's ORDER
+    BY order in both engines — the oracle reproduces it verbatim."""
+    wl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-window, -1)
+    )
+    wr = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(1, window)
+    ctx = toks.select(
+        "doc_id",
+        "pos",
+        F.col("tok").alias("mention"),
+        F.concat_ws(" ", F.collect_list("tok").over(wl)).alias("left_ctx"),
+        F.concat_ws(" ", F.collect_list("tok").over(wr)).alias("right_ctx"),
+    )
+    return ctx.join(mentions.select("doc_id", "pos").distinct(), ["doc_id", "pos"])

@@ -338,3 +338,55 @@ def snapshot_retention(
         (F.col("reason") != "expire").cast("int").alias("keep"),
         "reason",
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part_key",
+    id_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """(part_key, file_id, size_bytes, bucket, n_files, bucket_bytes,
+    action) — the small-file compaction PLAN for a partitioned table:
+    within each partition, files are packed size-descending (ties by
+    id) into rewrite groups of ~``target_bytes`` by running-total
+    binning (bucket = (cumsum − size) div target — the classic
+    next-fit-decreasing stream packing); a group with a single file is
+    'keep', a multi-file group is 'rewrite'.  Like snapshot_retention /
+    chunk_plan this is Iceberg-style maintenance AS DATA: the rewrite
+    set is reviewable and diffable before any I/O happens.
+
+    Scale shape: file METADATA (one row per data file), so even a
+    10^12-row table is ~10^6-10^8 plan rows; two windows over one
+    partition-key exchange, no joins.  Oversized files (≥ target) land
+    alone in their own bucket by construction (the running total jumps
+    past the next boundary), so they come out 'keep' — never rewritten."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = (
+        files.select(part_col, id_col, size_col)
+        .withColumn("_cum", F.sum(size_col).over(w))
+        # integer `div`, not float floor: cumulative bytes at fleet scale
+        # exceed the 2^53 double mantissa
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST((_cum - {size_col}) div {target_bytes} AS BIGINT)"),
+        )
+        .drop("_cum")
+    )
+    wb = Window.partitionBy(part_col, "bucket")
+    return planned.select(
+        part_col,
+        id_col,
+        size_col,
+        "bucket",
+        F.count("*").over(wb).cast("long").alias("n_files"),
+        F.sum(size_col).over(wb).cast("long").alias("bucket_bytes"),
+    ).withColumn(
+        "action",
+        F.when(F.col("n_files") > 1, F.lit("rewrite")).otherwise(F.lit("keep")),
+    )

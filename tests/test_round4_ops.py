@@ -1,0 +1,156 @@
+"""Round-4 operators: WL refinement, modularity terms, compaction
+plan, markdown strip, mention context windows, landmark index —
+hand-computed expectations on tiny inputs (the contract oracles cover
+the sf0.01 scale; these pin the semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_wl_refinement_distinguishes_roles(spark):
+    # path a-b-c-d-e: ends {a,e}, next-to-ends {b,d}, center {c} are the
+    # three 1-WL roles after 2 rounds
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    from reden_spark.operators.communities import wl_refinement
+
+    rows = {r["node"]: r for r in wl_refinement(e, rounds=2).collect()}
+    assert rows[1]["wl_label"] == rows[5]["wl_label"]
+    assert rows[2]["wl_label"] == rows[4]["wl_label"]
+    labels = {rows[n]["wl_label"] for n in (1, 2, 3)}
+    assert len(labels) == 3
+    assert rows[1]["class_size"] == 2 and rows[3]["class_size"] == 1
+
+
+def test_wl_refinement_regular_graphs_collide(spark):
+    # a 4-cycle is 2-regular everywhere: 1-WL cannot split it — all one class
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    from reden_spark.operators.communities import wl_refinement
+
+    out = wl_refinement(e, rounds=3).collect()
+    assert len({r["wl_label"] for r in out}) == 1
+    assert all(r["class_size"] == 4 for r in out)
+
+
+def test_modularity_terms_two_cliques(spark):
+    # two triangles joined by one bridge; labels = the two triangles.
+    # m=7; clique A nodes {1,2,3} intra=3, deg_sum=3*2+1(bridge)=7,
+    # q_num = 4*7*3 - 49 = 35; same for B.
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, label long",
+    )
+    from reden_spark.operators.communities import modularity_terms
+
+    rows = {r["community"]: r for r in modularity_terms(e, labels).collect()}
+    assert rows[10]["intra_edges"] == 3 and rows[20]["intra_edges"] == 3
+    assert rows[10]["deg_sum"] == 7 and rows[10]["m_edges"] == 7
+    assert rows[10]["n_nodes"] == 3
+    assert rows[10]["q_num"] == 4 * 7 * 3 - 49 == 35
+    # Q = (35+35)/(4*49) ≈ 0.357 > 0: a good partition has positive terms
+    assert rows[10]["q_num"] + rows[20]["q_num"] > 0
+
+
+def test_modularity_terms_singleton_partition_is_negative(spark):
+    # every node its own community: intra=0 everywhere, q_num = -deg²<0
+    e = _edges(spark, [(1, 2), (2, 3)])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "node long, label long"
+    )
+    from reden_spark.operators.communities import modularity_terms
+
+    rows = {r["community"]: r for r in modularity_terms(e, labels).collect()}
+    assert all(r["intra_edges"] == 0 for r in rows.values())
+    assert rows[2]["q_num"] == -4  # deg(2)=2
+
+
+def test_compaction_plan_packs_and_keeps(spark):
+    files = spark.createDataFrame(
+        [
+            ("p", 1, 900),   # oversized: alone, keep
+            ("p", 2, 60),
+            ("p", 3, 50),
+            ("p", 4, 40),    # 60+50 fill bucket; 40 starts the next
+            ("q", 9, 10),    # single small file in its partition: keep
+        ],
+        "part_key string, file_id long, size_bytes long",
+    )
+    from reden_spark.operators.kg_maintain import compaction_plan
+
+    rows = {
+        r["file_id"]: r
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    assert rows[1]["action"] == "keep" and rows[1]["n_files"] == 1
+    # size-desc packing: 900 | 60,50 hit the 100 boundary mid-file-3
+    assert rows[2]["bucket"] == rows[3]["bucket"]
+    assert rows[2]["action"] == "rewrite"
+    assert rows[4]["bucket"] != rows[3]["bucket"]
+    assert rows[9]["action"] == "keep"
+    assert rows[3]["bucket_bytes"] == 110
+
+
+def test_markdown_strip(spark):
+    md = (
+        "# Head\n\n**bold** and *it* plus `code`\n\n"
+        "```\nfenced\n```\n\n[text](http://x) ![alt](i.png)\n\n"
+        "> quote\n\n---\n\ntail_snake stays"
+    )
+    from reden_spark.functions.text import markdown_strip
+
+    out = spark.range(1).select(
+        markdown_strip(F.lit(md)).alias("t")
+    ).first()["t"]
+    assert "```" not in out and "fenced" not in out and "`" not in out
+    assert "bold" in out and "it" in out and "*" not in out
+    assert "text" in out and "http://x" not in out
+    assert "alt" in out and "i.png" not in out
+    assert "Head" in out and "#" not in out
+    assert "---" not in out and "> " not in out
+    assert "tail_snake stays" in out  # identifiers with _ survive
+
+
+def test_context_windows(spark):
+    toks = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "M"), (1, 3, "c"), (1, 4, "d"),
+         (2, 0, "M")],
+        "doc_id long, pos long, tok string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, 2), (2, 0)], "doc_id long, pos long"
+    )
+    from reden_spark.operators.cooccur import context_windows
+
+    rows = {
+        (r["doc_id"], r["pos"]): r
+        for r in context_windows(toks, mentions, window=2).collect()
+    }
+    assert rows[(1, 2)]["left_ctx"] == "a b"
+    assert rows[(1, 2)]["right_ctx"] == "c d"
+    assert rows[(1, 2)]["mention"] == "M"
+    # doc boundary: no bleed, empty string (not NULL) at the edges
+    assert rows[(2, 0)]["left_ctx"] == "" and rows[(2, 0)]["right_ctx"] == ""
+
+
+def test_landmark_distances_path(spark):
+    # path 1-2-3-4-5, landmarks = 2 smallest ids {1,2}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    from reden_spark.operators.paths import landmark_distances
+
+    rows = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in landmark_distances(e, n_landmarks=2, max_rounds=4).collect()
+    }
+    assert rows[(1, 1)] == 0 and rows[(1, 5)] == 4 and rows[(2, 5)] == 3
+    assert len({lm for lm, _ in rows}) == 2
+    # triangle-inequality estimate: d(3,5) <= d(3,L)+d(L,5) for best L
+    est = min(rows[(lm, 3)] + rows[(lm, 5)] for lm in (1, 2))
+    assert est == 4  # true distance 2; landmarks on one side overshoot
