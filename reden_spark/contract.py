@@ -5752,10 +5752,12 @@ def q_weighted_resample(spark, sf_dir):
 _BPE_ROUNDS = 8
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
+def _bpe_oracle_sql(rounds: int, final: str | None = None) -> str:
     """Unrolled replay of bpe_train: per round, pair counts over the
     word states, deterministic argmax, string-replace merge (replace()
-    is left-to-right non-overlapping in both engines == greedy BPE)."""
+    is left-to-right non-overlapping in both engines == greedy BPE).
+    ``final`` overrides the merge-table select (bpe_token_counts reads
+    the final states w{rounds} instead)."""
     ctes = [
         """words0 AS (
       SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
@@ -5787,7 +5789,9 @@ def _bpe_oracle_sql(rounds: int) -> str:
                         '|' || lsym || rsym || '|') AS s, n
       FROM {prev} CROSS JOIN b{r})""")
     union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, rounds + 1))
-    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT round, lsym, rsym, pair_n FROM ({union}) m"
+    if final is None:
+        final = f"SELECT round, lsym, rsym, pair_n FROM ({union}) m"
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
 
 
 @query("bpe_merges", _bpe_oracle_sql(_BPE_ROUNDS))
@@ -7497,4 +7501,710 @@ def q_landmark_index(spark, sf_dir):
 
     return landmark_distances(
         _kcore_edges(spark, sf_dir), n_landmarks=_LM_N, max_rounds=_LM_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 batch 2: BPE encoding, containment dedup, LSH quality eval,
+# license conflict matrix, per-group quantile normalization.
+
+
+@query(
+    "bpe_token_counts",
+    _bpe_oracle_sql(
+        _BPE_ROUNDS,
+        final=f"""SELECT tok, CAST(sum(n) AS BIGINT) AS freq FROM (
+      SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS tok,
+             n
+      FROM w{_BPE_ROUNDS}) t GROUP BY 1""",
+    ),
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE ENCODING (operators/bpe.bpe_token_counts): train the merge
+    table, apply it to the word-frequency table in rank order, and
+    report the corpus token-frequency table under the learned vocab —
+    the tokenizer-budget question a pipeline asks before committing a
+    vocab.  Corpus scanned once; train+encode iterate only the
+    vocab-sized word table."""
+    from reden_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        _read(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+@query(
+    "containment_pairs",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id AS id, tok
+                  FROM ({_TOKENS_SQL}) WHERE tok <> '' AND doc_id < 120),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+    joinable AS (SELECT t.id, t.tok FROM toks t
+                 JOIN dfreq d ON t.tok = d.tok AND d.df <= 100),
+    inter AS (
+      SELECT a.id AS a, b.id AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM joinable a JOIN joinable b
+        ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT i.a, i.b, i.n_common, sa.n AS size_a, sb.n AS size_b,
+           CAST(i.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT)
+             AS containment_e6
+    FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+    WHERE i.n_common * 1000000 // least(sa.n, sb.n) >= 500000
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Exact set-containment near-dup pairs (operators/dedup.
+    containment_pairs): |A∩B|·1e6 div min(|A|,|B|) ≥ 0.5 — the
+    asymmetric complement of Jaccard that catches a small doc pasted
+    whole into a large one (J ≈ |A|/|B| → invisible to Jaccard dedup).
+    df-capped inverted-index join (df ≤ 100); capped scores are
+    conservative under-estimates, the drop is a parameter."""
+    from reden_spark.operators.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return containment_pairs(toks, threshold_e6=500000, df_cap=100)
+
+
+@query(
+    "lsh_eval",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL})
+                  WHERE tok <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    true_pairs AS (
+      SELECT i.a, i.b FROM inter i
+      JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5),
+    h AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
+      FROM h GROUP BY doc_id),
+    bands0 AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_'
+               || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+               AS band, 0 AS band_id
+      FROM sig
+      UNION ALL
+      SELECT doc_id,
+             CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_'
+               || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR), 1
+      FROM sig),
+    bands AS (
+      SELECT doc_id, band, band_id FROM (
+        SELECT doc_id, band, band_id,
+               row_number() OVER (PARTITION BY band_id, band
+                                  ORDER BY doc_id) AS rn
+        FROM bands0) WHERE rn <= 200),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band = b.band
+           AND a.doc_id < b.doc_id),
+    tp AS (SELECT c.a, c.b FROM cand c
+           JOIN true_pairs t ON c.a = t.a AND c.b = t.b),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM true_pairs),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_tp FROM tp)
+    SELECT n_true, n_cand, n_tp,
+           CAST(CASE WHEN n_cand = 0 THEN 1000000
+                ELSE n_tp * 1000000 // n_cand END AS BIGINT) AS precision_e6,
+           CAST(CASE WHEN n_true = 0 THEN 1000000
+                ELSE n_tp * 1000000 // n_true END AS BIGINT) AS recall_e6
+    FROM nt CROSS JOIN nc CROSS JOIN np
+    """,
+)
+def q_lsh_eval(spark, sf_dir):
+    """Measured LSH quality (operators/dedup.lsh_eval): precision and
+    recall of the MinHash+LSH candidate generator against exact-Jaccard
+    ground truth at the same 0.5 threshold, in exact micro-units — the
+    table the (bands, rows, cap) tuning loop reads before a 100 TB
+    dedup run ('measure, don't guess')."""
+    from reden_spark.operators.dedup import lsh_eval
+
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_eval(docs, threshold=0.5, bucket_cap=200)
+
+
+@query(
+    "license_conflicts",
+    f"""
+    WITH files AS ({_LICENSE_FILES_SQL}),
+    lic AS (
+      SELECT repo,
+             CASE
+               WHEN strpos(content,
+                 'Licensed under the Apache License, Version 2.0') > 0
+                 THEN 'Apache-2.0'
+               WHEN strpos(content,
+                 'Permission is hereby granted, free of charge') > 0
+                 THEN 'MIT'
+               WHEN strpos(content, 'GNU General Public License') > 0
+                 THEN 'GPL'
+               WHEN strpos(content,
+                 'Redistribution and use in source and binary forms') > 0
+                 THEN 'BSD'
+               ELSE 'unknown' END AS license
+      FROM files),
+    per AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS n_files
+            FROM lic GROUP BY 1, 2)
+    SELECT a.repo, a.license AS license_a, b.license AS license_b,
+           a.n_files AS n_files_a, b.n_files AS n_files_b,
+           CAST(CASE WHEN a.license = 'Apache-2.0' AND b.license = 'GPL'
+                THEN 1 ELSE 0 END AS INTEGER) AS conflict
+    FROM per a JOIN per b
+      ON a.repo = b.repo AND a.license < b.license
+    """,
+)
+def q_license_conflicts(spark, sf_dir):
+    """Per-repo license co-occurrence matrix with a policy flag
+    (operators/code_quality.license_conflicts): the gate a code corpus
+    runs before ingesting a repo (a GPL file vendored into an Apache
+    repo taints the checkout).  Repo-keyed self-join of the per-repo
+    DISTINCT license table — never file-level; policy is a plan
+    literal."""
+    from reden_spark.operators.code_quality import license_conflicts
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    marker = (
+        F.when(d % 5 == 0, "Licensed under the Apache License, Version 2.0")
+        .when(d % 5 == 1, "Permission is hereby granted, free of charge")
+        .when(d % 5 == 2, "GNU General Public License")
+        .when(d % 5 == 3, "Redistribution and use in source and binary forms")
+        .otherwise("")
+    )
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        F.concat(F.col("text"), F.lit(" "), marker).alias("content"),
+    )
+    return license_conflicts(files)
+
+
+@query(
+    "quantile_normalize",
+    f"""
+    WITH qn AS (
+      SELECT doc_id AS id, lang AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+      FROM documents)
+    SELECT id, grp, value,
+           CAST(row_number() OVER (PARTITION BY grp ORDER BY value, id)
+                * 1000000 // (count(*) OVER (PARTITION BY grp) + 1)
+                AS BIGINT) AS qn_e6
+    FROM qn
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Per-group quantile transform (operators/ranking.
+    quantile_normalize): rank·1e6 div (n+1) under the deterministic
+    (value, id) order — the outlier-immune rescaling that makes
+    heterogeneous quality scores fusable; one group-key exchange, no
+    joins."""
+    from reden_spark.operators.ranking import quantile_normalize
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return quantile_normalize(
+        docs, value_col="n_tok", group_col="lang", id_col="doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 batch 3: coref chains, entity salience, watermark-lateness
+# calibration, join-key skew profile.
+
+
+@query(
+    "coref_chains",
+    f"""
+    WITH RECURSIVE toks AS ({_QTOKS_SQL}),
+    uni AS (
+      SELECT doc_id, 2 * pos AS mention_id, tok AS surface
+      FROM toks WHERE doc_id < 60 AND pos % 7 = 0),
+    bi AS (
+      SELECT doc_id, 2 * pos + 1 AS mention_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS surface
+      FROM toks WHERE doc_id < 60),
+    men AS (
+      SELECT * FROM uni
+      UNION ALL
+      SELECT doc_id, mention_id, surface FROM bi
+      WHERE ((mention_id - 1) // 2) % 11 = 0 AND surface IS NOT NULL),
+    base AS (
+      SELECT doc_id, mention_id,
+             printf('d%013d#m%09d', doc_id, mention_id) AS node,
+             list_distinct(list_filter(string_split(
+               regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '')) AS tk
+      FROM men),
+    nb AS (SELECT * FROM base WHERE len(tk) > 0),
+    inv AS (SELECT doc_id, mention_id, node, tk, unnest(tk) AS tok FROM nb),
+    cand AS (
+      SELECT DISTINCT a.node AS src, b.node AS dst, a.tk AS ta, b.tk AS tb
+      FROM inv a JOIN inv b
+        ON a.doc_id = b.doc_id AND a.tok = b.tok
+           AND a.mention_id < b.mention_id),
+    pairs AS (
+      SELECT src, dst FROM cand
+      WHERE list_has_all(ta, tb) OR list_has_all(tb, ta)),
+    und AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src)
+    SELECT m.doc_id, m.mention_id, coalesce(c.comp, m.node) AS chain_id
+    FROM nb m LEFT JOIN comp c ON m.node = c.node
+    """,
+)
+def q_coref_chains(spark, sf_dir):
+    """Within-document coreference-lite (operators/coref.coref_chains):
+    token-SUBSET surface variants ("alpha beta" ⊇ "alpha") chain
+    transitively via shared-token inverted-index pairs + connected
+    components on the pair graph — the longest surface then carries the
+    chain's single NEL decision.  Mentions here: every 7th token as a
+    unigram mention, every 11th position as a bigram mention."""
+    from reden_spark.operators.coref import coref_chains
+
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") < 60)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = toks.filter(F.col("pos") % 7 == 0).select(
+        "doc_id",
+        (2 * F.col("pos")).alias("mention_id"),
+        F.col("tok").alias("surface"),
+    )
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter((F.col("pos") % 11 == 0) & F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            (2 * F.col("pos") + 1).alias("mention_id"),
+            F.concat_ws(" ", "tok", "nxt").alias("surface"),
+        )
+    )
+    return coref_chains(uni.unionByName(bi))
+
+
+@query(
+    "entity_salience",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), dict AS ({_DICT_SQL}),
+    cands AS (
+      SELECT t.doc_id, t.pos, d.uri
+      FROM toks t JOIN dict d ON t.tok = d.alias_norm),
+    per AS (
+      SELECT doc_id, uri, CAST(min(pos) AS BIGINT) AS first_pos,
+             CAST(max(pos) - min(pos) AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_mentions
+      FROM cands GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t
+            FROM cands GROUP BY 1)
+    SELECT p.doc_id, p.uri, p.first_pos, p.span, p.n_mentions,
+           CAST(p.n_mentions * 1000000 // t.t AS BIGINT) AS share_e6
+    FROM per p JOIN tot t ON p.doc_id = t.doc_id
+    """,
+)
+def q_entity_salience(spark, sf_dir):
+    """Per-document entity salience features (operators/enrich.
+    entity_salience): first-mention position, mention spread, count,
+    and exact mention share — the aboutness block that weights emitted
+    triples; two exchanges, no windows over the mention stream."""
+    from reden_spark.operators.enrich import entity_salience
+
+    toks = _tokens(spark, sf_dir)
+    dic = _dictionary(spark, sf_dir)
+    cands = toks.join(F.broadcast(dic), toks.tok == dic.alias_norm).select(
+        "doc_id", "pos", "uri"
+    )
+    return entity_salience(cands)
+
+
+@query(
+    "event_lateness",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - (event_id % 7) * 60 AS sec0
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, sec0,
+             max(sec0) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM e)
+    SELECT event_id, user_id, sec0 AS ts_sec,
+           greatest(CAST(0 AS BIGINT),
+                    coalesce(wm, sec0) - sec0) AS lateness_s,
+           CAST(greatest(CAST(0 AS BIGINT), coalesce(wm, sec0) - sec0) > 600
+                AS INTEGER) AS would_drop
+    FROM w
+    """,
+)
+def q_event_lateness(spark, sf_dir):
+    """Watermark-lateness calibration (operators/eventstats.
+    event_lateness): per-event lateness vs the running per-key event-
+    time maximum in arrival order, and the would-drop flag at a 600 s
+    watermark — the batch table that SIZES withWatermark() before a
+    streaming deployment.  Event times get a deterministic (event_id%7)
+    -minute jitter so the log is out-of-order like a real one."""
+    from reden_spark.operators.eventstats import event_lateness
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.expr(
+                "CAST(unix_timestamp(ts) AS BIGINT) - (event_id % 7) * 60"
+            )
+        ),
+    )
+    return event_lateness(events, delay_s=600).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("ts_sec"),
+        "lateness_s",
+        "would_drop",
+    )
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    top AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 50),
+    r AS (
+      SELECT key, n,
+             CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+               AS rank,
+             sum(n) OVER (ORDER BY n DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM top)
+    SELECT key, n, rank,
+           CAST(n * 1000000 // t AS BIGINT) AS share_e6,
+           CAST(cum * 1000000 // t AS BIGINT) AS cum_share_e6
+    FROM r CROSS JOIN tot
+    """,
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Hot-key profile (operators/skew.key_skew_profile): the top-50
+    heaviest values of a prospective join/groupBy key with exact share
+    and cumulative share in micro-units — the decision input for
+    salting breadth / AQE thresholds / broadcast-vs-shuffle; top-k via
+    orderBy+limit (no global sort), windows over the 50-row result
+    only."""
+    from reden_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(
+        _read(spark, sf_dir, "events"), key="event_type", top_n=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 batch 4: chunk-boundary dedup, NIL clustering, triple
+# provenance, alias-ambiguity profile.
+
+
+@query(
+    "chunk_overlap_pairs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id AS id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n,
+             md5(array_to_string(list_filter(string_split(text, ' '),
+               t -> t <> '')[1:8], ' ')) AS head_key,
+             md5(array_to_string(list_filter(string_split(text, ' '),
+               t -> t <> '')[-8:], ' ')) AS tail_key
+      FROM documents),
+    ok AS (SELECT * FROM fp WHERE n >= 8)
+    SELECT t.id AS a, h.id AS b, t.tail_key AS boundary_key
+    FROM ok t JOIN ok h ON t.tail_key = h.head_key AND t.id <> h.id
+    """,
+)
+def q_chunk_overlap_pairs(spark, sf_dir):
+    """Crawl-chunk boundary dedup (operators/dedup.chunk_overlap_pairs):
+    pairs where one doc's last 8 tokens equal another's first 8 —
+    the seam signature sliding-window extraction leaves, invisible to
+    Jaccard AND containment; row-local md5 fingerprints, one digest
+    hash-join, text never shuffles."""
+    from reden_spark.operators.dedup import chunk_overlap_pairs
+
+    return chunk_overlap_pairs(
+        _read(spark, sf_dir, "documents"), k=8
+    )
+
+
+@query(
+    "nil_clusters",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}), dict AS ({_DICT_SQL}),
+    men AS (
+      SELECT doc_id AS doc,
+             trim(regexp_replace(lower(tok), '[^a-z0-9]+', ' ', 'g'))
+               AS surface_norm
+      FROM toks WHERE pos % 5 = 0),
+    nils AS (
+      SELECT m.doc, m.surface_norm FROM men m
+      WHERE m.surface_norm <> ''
+        AND NOT EXISTS (SELECT 1 FROM dict d
+                        WHERE d.alias_norm = m.surface_norm))
+    SELECT md5(surface_norm) AS nil_key, surface_norm,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+    FROM nils GROUP BY surface_norm
+    """,
+)
+def q_nil_clusters(spark, sf_dir):
+    """NIL clustering for KB population (operators/candidates.
+    nil_clusters, TAC-KBP protocol): dictionary-missed mentions grouped
+    by normalized surface into proto-entities with doc support — the
+    feed that grows the dictionary between dump versions.  Broadcast
+    anti-join + one groupBy; mentions here: every 5th token."""
+    from reden_spark.operators.candidates import nil_clusters
+
+    toks = _tokens(spark, sf_dir).filter(F.col("pos") % 5 == 0)
+    mentions = toks.select("doc_id", F.col("tok").alias("surface"))
+    return nil_clusters(mentions, _dictionary(spark, sf_dir))
+
+
+@query(
+    "kg_provenance",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), dict AS ({_DICT_SQL}),
+    tr AS (
+      SELECT t.doc_id, d.uri AS subj,
+             'http://reden.example.org/mentions' AS pred,
+             'bucket-' || CAST(t.doc_id % 3 AS VARCHAR) AS obj
+      FROM toks t JOIN dict d ON t.tok = d.alias_norm
+      WHERE d.group_id = 0),
+    per AS (
+      SELECT subj, pred, obj,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM tr GROUP BY 1, 2, 3)
+    SELECT subj, pred, obj, n_docs, n_occurrences, first_doc, last_doc,
+           CAST(n_occurrences * 1000000 //
+                sum(n_occurrences) OVER (PARTITION BY subj) AS BIGINT)
+             AS support_e6
+    FROM per
+    """,
+)
+def q_kg_provenance(spark, sf_dir):
+    """Per-triple provenance (operators/kg_quality.kg_provenance):
+    distinct-doc support, occurrence counts, asserting-doc id range,
+    and the triple's exact share of its subject's assertions — the
+    audit block a fleet-scale KG ships next to its triples; one triple-
+    key groupBy + one subject window."""
+    from reden_spark.operators.kg_quality import kg_provenance
+
+    toks = _tokens(spark, sf_dir)
+    dic = _dictionary(spark, sf_dir).filter(F.col("group_id") == 0)
+    triples = toks.join(F.broadcast(dic), toks.tok == dic.alias_norm).select(
+        "doc_id",
+        F.col("uri").alias("subj"),
+        F.lit("http://reden.example.org/mentions").alias("pred"),
+        F.concat(F.lit("bucket-"), (F.col("doc_id") % 3).cast("string")).alias(
+            "obj"
+        ),
+    )
+    return kg_provenance(triples)
+
+
+@query(
+    "alias_ambiguity",
+    f"""
+    WITH dict AS ({_DICT_SQL}),
+    per_uri AS (
+      SELECT alias_norm, uri, CAST(count(*) AS BIGINT) AS n
+      FROM dict GROUP BY 1, 2),
+    stats AS (
+      SELECT alias_norm, uri, n,
+             row_number() OVER (PARTITION BY alias_norm
+                                ORDER BY n DESC, uri ASC) AS rn,
+             sum(n) OVER (PARTITION BY alias_norm) AS tot,
+             CAST(count(*) OVER (PARTITION BY alias_norm) AS BIGINT)
+               AS n_uris
+      FROM per_uri),
+    grp AS (
+      SELECT alias_norm,
+             CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+      FROM dict GROUP BY 1)
+    SELECT s.alias_norm, s.n_uris, g.n_groups,
+           CAST(s.n * 1000000 // s.tot AS BIGINT) AS top_share_e6
+    FROM stats s JOIN grp g ON s.alias_norm = g.alias_norm
+    WHERE s.rn = 1
+    """,
+)
+def q_alias_ambiguity(spark, sf_dir):
+    """Alias-ambiguity profile (operators/dict_build.alias_ambiguity):
+    per surface form, distinct URIs / candidate groups and the exact
+    top-URI dominance share — the table that sizes the NEL routing
+    thresholds (what skips disambiguation, what takes the prior, what
+    pays for centrality) from data; dictionary-sized input."""
+    from reden_spark.operators.dict_build import alias_ambiguity
+
+    return alias_ambiguity(_dictionary(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 batch 5: deterministic keyed sampling, join-size pre-flight,
+# language-ID confusion matrix.
+
+
+@query(
+    "keyed_sample",
+    f"""
+    WITH base AS (
+      SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS id FROM documents),
+    h AS (SELECT grp, id, {_TOK_HASH_SQL.format(t='id')} AS h FROM base),
+    r AS (SELECT grp, id, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+          FROM h)
+    SELECT grp, id, h FROM r WHERE rn <= 5
+    """,
+)
+def q_keyed_sample(spark, sf_dir):
+    """Deterministic per-key uniform sample (operators/corpus_prep.
+    keyed_sample): rank-by-polynomial-hash IS the reservoir — stable
+    across runs, partitionings, engines, and incremental batches; the
+    audit-sample feeder for fleet-scale estimators.  One exchange, one
+    rank window."""
+    from reden_spark.operators.corpus_prep import keyed_sample
+
+    return keyed_sample(
+        _read(spark, sf_dir, "documents"), key_col="lang", id_col="doc_id", k=5
+    )
+
+
+@query(
+    "join_size_estimate",
+    """
+    WITH cl AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cl
+                FROM orders GROUP BY 1),
+    cr AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cr
+           FROM customer GROUP BY 1),
+    shared AS (SELECT cl.cl, cr.cr FROM cl JOIN cr ON cl.k = cr.k),
+    est AS (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_rows,
+                   CAST(count(*) AS BIGINT) AS n_shared_keys,
+                   CAST(coalesce(max(cl * cr), 0) AS BIGINT)
+                     AS max_key_product
+            FROM shared),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_left FROM cl),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_right FROM cr)
+    SELECT est_rows, n_keys_left, n_keys_right, n_shared_keys,
+           max_key_product
+    FROM est CROSS JOIN nl CROSS JOIN nr
+    """,
+)
+def q_join_size_estimate(spark, sf_dir):
+    """Join-size pre-flight (operators/skew.join_size_estimate): the
+    EXACT equi-join output cardinality from the two key histograms —
+    Σ cL(k)·cR(k) — plus the hottest key's output rows, computed on
+    histogram-sized data before any row-sized join runs; what sizes
+    shuffle partitions and decides salting up front."""
+    from reden_spark.operators.skew import join_size_estimate
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    return join_size_estimate(orders, cust, key="ck")
+
+
+@query(
+    "lang_confusion",
+    f"""
+    WITH t AS (
+      SELECT lang AS declared, text,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    p AS (
+      SELECT declared,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_EN}, x)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS en_ratio,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_FR}, x)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS fr_ratio
+      FROM t),
+    cells AS (
+      SELECT declared,
+             CASE WHEN en_ratio = 0 AND fr_ratio = 0 THEN 'und'
+                  WHEN en_ratio >= fr_ratio THEN 'en' ELSE 'fr' END
+               AS predicted,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2)
+    SELECT declared, predicted, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY declared)
+                AS BIGINT) AS share_e6
+    FROM cells
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (operators/quality.lang_confusion):
+    the heuristic identifier vs the corpus's declared labels with exact
+    per-declared cell shares — the calibration table that decides
+    whether the cheap stopword lang-ID may gate an ingest; row-local
+    predict, one groupBy, one bounded window."""
+    from reden_spark.operators.quality import lang_confusion
+
+    return lang_confusion(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    e AS (SELECT printf('d%013d', a) AS src, printf('d%013d', b) AS dst
+          FROM pairs),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    docs AS (SELECT printf('d%013d', doc_id) AS node FROM documents),
+    cl AS (SELECT d.node, coalesce(c.comp, d.node) AS cluster
+           FROM docs d LEFT JOIN comp c ON d.node = c.node)
+    SELECT node, cluster,
+           CASE WHEN substr(md5('split:' || cluster), 1, 2) < '0d'
+                  THEN 'test'
+                WHEN substr(md5('split:' || cluster), 1, 2) < '1a'
+                  THEN 'validation'
+                ELSE 'train' END AS split
+    FROM cl
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/corpus_prep.
+    leakage_safe_split): the split hash is over the NEAR-DUP CLUSTER
+    representative, so a document and its near-duplicates can never
+    straddle train and test — the contamination failure mode closed at
+    the split instead of audited after; zero exchanges beyond the
+    clustering itself."""
+    from reden_spark.operators.corpus_prep import leakage_safe_split
+
+    return leakage_safe_split(
+        _read(spark, sf_dir, "documents"), bucket_cap=200
     )

@@ -87,11 +87,16 @@ def bpe_train(
     rounds: int = 8,
     text_col: str = "text",
     max_vocab: int | None = 5000,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """The learned merge table: (round, lsym, rsym, pair_n) for
     ``rounds`` merges.  Deterministic end-to-end; replayable in SQL
-    (the contract oracle does)."""
-    state = bpe_init(word_counts(docs, text_col, max_vocab)).persist()
+    (the contract oracle does).  ``words`` lets a caller that already
+    holds the (word, n) table (bpe_token_counts) skip the corpus
+    scan."""
+    if words is None:
+        words = word_counts(docs, text_col, max_vocab)
+    state = bpe_init(words).persist()
     merges = None
     for r in range(1, rounds + 1):
         best = (
@@ -123,3 +128,66 @@ def bpe_train(
         state = new_state
     state.unpersist()
     return merges
+
+
+def bpe_apply(words: DataFrame, merges: DataFrame, rounds: int) -> DataFrame:
+    """(s, n): word states after applying the learned merge table in
+    rank order — ENCODING with a trained tokenizer, the counterpart of
+    bpe_train.  Each round broadcasts that round's (single-row) merge
+    and rewrites the states with the same delimiter-safe left-to-right
+    replace the trainer used, so train-then-apply over the training
+    corpus reproduces the trainer's final states exactly.  A missing
+    round (merges table shorter than ``rounds``) is a no-op via the
+    null-safe left join — never a state-annihilating empty crossJoin."""
+    state = bpe_init(words).persist()
+    for r in range(1, rounds + 1):
+        m = (
+            merges.filter(F.col("round") == r)
+            .select(F.lit(1).alias("_k"), "lsym", "rsym")
+        )
+        new_state = (
+            state.withColumn("_k", F.lit(1))
+            .join(F.broadcast(m), "_k", "left")
+            .select(
+                F.when(F.col("lsym").isNull(), F.col("s"))
+                .otherwise(
+                    F.expr(
+                        "replace(s, concat('|', lsym, '||', rsym, '|'),"
+                        " concat('|', lsym, rsym, '|'))"
+                    )
+                )
+                .alias("s"),
+                "n",
+            )
+            .persist()
+        )
+        state.unpersist()
+        state = new_state
+    return state
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    max_vocab: int | None = 5000,
+) -> DataFrame:
+    """(tok, freq): the corpus token-frequency table under a
+    just-trained BPE tokenizer — train the merge rules, encode the
+    word-frequency table with them, explode the merged symbols, and
+    weight by word frequency.  This is the table a tokenizer-budget
+    decision actually reads (how many tokens does this corpus cost
+    under this vocab?).
+
+    Scale shape: the corpus is scanned ONCE (word_counts); training
+    and encoding iterate only the vocab-sized word table; the final
+    explode+groupBy is one exchange on the symbol key."""
+    words = word_counts(docs, text_col, max_vocab).persist()
+    merges = bpe_train(docs, rounds, text_col, max_vocab, words=words)
+    state = bpe_apply(words, merges, rounds)
+    syms = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+    return (
+        state.select(F.explode(syms).alias("tok"), "n")
+        .groupBy("tok")
+        .agg(F.sum("n").cast("long").alias("freq"))
+    )

@@ -147,3 +147,41 @@ def route_contexts(candidates: DataFrame) -> DataFrame:
         .when(any_candidate == 1, F.lit("no_ambiguity"))
         .otherwise(F.lit("no_mentions")),
     )
+
+
+def nil_clusters(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    surface_col: str = "surface",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(nil_key, surface_norm, n_mentions, n_docs) — the NIL-clustering
+    step of KB population (TAC-KBP protocol): mentions that match NO
+    dictionary alias are grouped by normalized surface form into
+    proto-entities; a cluster seen across many documents is a candidate
+    NEW KB entry, which is how the reference's dictionary grows between
+    dump versions.  nil_key is a stable md5 of the normalized surface,
+    so re-runs and incremental batches assign the same key.
+
+    Scale shape: one broadcast anti-join against the (small) alias
+    dictionary + one groupBy on the normalized surface — the same
+    exchange pair as candidate generation, on the complement set."""
+    norm = F.regexp_replace(F.lower(F.col(surface_col)), "[^a-z0-9]+", " ")
+    base = mentions.select(
+        F.col(doc_col).alias("doc"),
+        F.trim(norm).alias("surface_norm"),
+    ).filter(F.col("surface_norm") != "")
+    nils = base.join(
+        F.broadcast(dictionary.select(F.col("alias_norm").alias("surface_norm")).distinct()),
+        "surface_norm",
+        "left_anti",
+    )
+    return nils.groupBy("surface_norm").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+    ).select(
+        F.md5(F.col("surface_norm")).alias("nil_key"),
+        "surface_norm",
+        "n_mentions",
+        "n_docs",
+    )

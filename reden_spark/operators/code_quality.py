@@ -160,3 +160,59 @@ def repo_overlap_dropped(
         .agg(F.countDistinct("repo").cast("long").alias("n_repos"))
         .filter(F.col("n_repos") > max_repos)
     )
+
+
+# canonical (sorted) license pairs that cannot ship in one artifact;
+# a POLICY parameter, not a legal claim — teams swap their own matrix in.
+DEFAULT_LICENSE_CONFLICTS: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", "GPL"),
+)
+
+
+def license_conflicts(
+    files: DataFrame,
+    conflicts: tuple[tuple[str, str], ...] = DEFAULT_LICENSE_CONFLICTS,
+    text_col: str = "content",
+) -> DataFrame:
+    """(repo, license_a, license_b, n_files_a, n_files_b, conflict) —
+    the per-repo license co-occurrence matrix with a policy flag: every
+    unordered pair of distinct detected licenses inside one repo, with
+    file counts, flagged 1 when the pair is in the ``conflicts`` policy
+    list.  The curation gate a code-training corpus runs BEFORE
+    ingesting a repo (a GPL file vendored into an Apache repo taints
+    the whole checkout under most redistribution policies).
+
+    Scale shape: license_detect is a row-local contains-chain; the
+    matrix is one (repo, license) groupBy + a repo-keyed self-join of
+    the (small, per-repo-distinct) license table — never a file-level
+    self-join; the policy list is a plan literal."""
+    per = (
+        license_detect(files, text_col)
+        .groupBy("repo", "license")
+        .agg(F.count("*").cast("long").alias("n_files"))
+    )
+    a = per.select(
+        "repo",
+        F.col("license").alias("license_a"),
+        F.col("n_files").alias("n_files_a"),
+    )
+    b = per.select(
+        "repo",
+        F.col("license").alias("license_b"),
+        F.col("n_files").alias("n_files_b"),
+    )
+    pairs = a.join(b, "repo").filter(F.col("license_a") < F.col("license_b"))
+    flag = F.lit(0)
+    for la, lb in conflicts:
+        la, lb = sorted((la, lb))
+        flag = F.when(
+            (F.col("license_a") == la) & (F.col("license_b") == lb), 1
+        ).otherwise(flag)
+    return pairs.select(
+        "repo",
+        "license_a",
+        "license_b",
+        "n_files_a",
+        "n_files_b",
+        flag.cast("int").alias("conflict"),
+    )

@@ -1,0 +1,96 @@
+"""Within-document coreference-lite: chain surface-form variants of the
+same entity before linking.
+
+The reference links every mention independently; real corpora mention
+"Jacques Derrida" once and "Derrida" five times.  Chaining token-subset
+variants within a document (the classic shortened-form heuristic from
+cross-document coref systems) lets the NEL decision be made once per
+CHAIN with the longest (most informative) surface, and multiplies the
+effective context for the graph-centrality scorer.
+
+Scale shape (10^12 docs): pairs are generated through a WITHIN-document
+inverted index on shared tokens (never a global or per-doc quadratic
+self-join over unrelated mentions); the subset test is a row-local
+array_except on the two token sets; chains are connected components on
+the pair graph only (operators/sameas.py — the same CC that powers
+owl:sameAs canonicalization), keyed by a zero-padded doc#mention string
+so the lexicographic CC minimum is the numeric minimum across the full
+id space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col) -> F.Column:
+    """Distinct lowercase alnum tokens of a surface form."""
+    return F.array_distinct(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +"
+            ),
+            lambda t: t != "",
+        )
+    )
+
+
+def coref_chains(
+    mentions: DataFrame,
+    doc_col: str = "doc_id",
+    id_col: str = "mention_id",
+    surface_col: str = "surface",
+) -> DataFrame:
+    """(doc_id, mention_id, chain_id) — mentions of one document whose
+    normalized token sets are in a SUBSET relation ("Jacques Derrida" ⊇
+    "Derrida") land in one chain (transitively); every other mention is
+    its own singleton chain.  chain_id is the padded doc#mention key of
+    the chain's smallest member — deterministic and join-stable."""
+    key = F.format_string("d%013d#m%09d", F.col(doc_col), F.col(id_col))
+    base = (
+        mentions.select(
+            F.col(doc_col).alias("doc"),
+            F.col(id_col).alias("mid"),
+            key.alias("node"),
+            _norm_tokens(F.col(surface_col)).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .persist()
+    )
+    inv = base.select(
+        "doc", "mid", "node", "toks", F.explode("toks").alias("tok")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.mid") < F.col("b.mid")),
+        )
+        .select(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .distinct()
+        .filter(
+            (F.size(F.array_except("ta", "tb")) == 0)
+            | (F.size(F.array_except("tb", "ta")) == 0)
+        )
+        .select("src", "dst")
+    )
+    from reden_spark.operators.sameas import connected_components
+
+    comp = connected_components(pairs)
+    return (
+        base.join(comp, base["node"] == comp["node"], "left")
+        .select(
+            F.col("doc").alias(doc_col),
+            F.col("mid").alias(id_col),
+            F.coalesce("comp", base["node"]).alias("chain_id"),
+        )
+    )

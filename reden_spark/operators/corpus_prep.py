@@ -391,3 +391,68 @@ def domain_filter(
         .distinct()
     )
     return with_host.join(blocked, "host", "left_anti")
+
+
+def keyed_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """(grp, id, h) — a deterministic per-key uniform sample: the ``k``
+    rows of each key whose polynomial id-hash ranks smallest.  This is
+    the distributed replacement for per-key reservoir sampling (the
+    hash IS the reservoir: rank-by-hash is a uniform permutation,
+    stable across runs/partitionings/engines, and incremental batches
+    agree on what stays sampled — new rows displace old ones exactly
+    when their hash ranks lower).  The audit-sample feeder for
+    lsh_eval-style estimators at fleet scale.
+
+    Scale shape: one group-key exchange, one rank window; hash computed
+    row-locally (explicit polynomial fold — no engine hash builtins,
+    per the contract's portability rules)."""
+    from reden_spark.functions.text import char_hash_inner
+
+    w = Window.partitionBy("grp").orderBy("h", "id")
+    return (
+        df.select(
+            F.col(key_col).alias("grp"),
+            F.col(id_col).cast("string").alias("id"),
+        )
+        .withColumn("h", char_hash_inner(F.col("id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "id", "h")
+    )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    test_hex: str = TEST_HEX,
+    val_hex: str = VAL_HEX,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(node, cluster, split) — train/val/test assignment that respects
+    NEAR-DUP CLUSTER boundaries: the split hash is taken over the
+    cluster representative, not the document id, so every member of a
+    near-duplicate cluster lands in the SAME split.  Splitting by doc
+    id leaks: a doc in train and its near-dup in test inflates eval by
+    exactly the amount dedup was supposed to prevent (the
+    contamination_check failure mode, closed at the split instead of
+    audited after).
+
+    Scale shape: dedup_clusters (LSH pairs → CC on the pair graph
+    only) + a row-local md5 over the cluster key — the split itself
+    adds zero exchanges on top of clustering."""
+    from reden_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(documents, id_col=id_col, **lsh_kwargs)
+    h = F.md5(F.concat(F.lit("split:"), F.col("cluster")))
+    b = F.substring(h, 1, 2)
+    split = (
+        F.when(b < F.lit(test_hex), F.lit("test"))
+        .when(b < F.lit(val_hex), F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return clusters.select("node", "cluster", split.alias("split"))

@@ -269,3 +269,139 @@ def signature_dedup(
             F.count("*").cast("long").alias("n_dups"),
         )
     )
+
+
+def containment_pairs(
+    toks: DataFrame,
+    threshold_e6: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(a, b, n_common, size_a, size_b, containment_e6) — exact SET
+    CONTAINMENT pairs: |A∩B|·1e6 div min(|A|,|B|) ≥ ``threshold_e6``
+    for ordered pairs a < b.  Containment is the asymmetric complement
+    of Jaccard for training-data curation: a 100-word doc pasted whole
+    into a 10 000-word doc has J ≈ 0.01 (invisible to every Jaccard
+    dedup) but containment 1.0.  Exact integer micro-units, so the
+    score is hash-identical cross-engine.
+
+    Scale shape: inverted-index self-join on the token key + one pair
+    groupBy + two size joins.  ``df_cap`` drops tokens appearing in
+    more than that many docs BEFORE the join (stopword-hot tokens go
+    quadratic; dropping them only LOWERS n_common, so capped scores are
+    conservative under-estimates — same guardrail family as the LSH
+    bucket cap, and the drop is a parameter, not a silent constant)."""
+    toks = toks.select("id", "tok").distinct().persist()
+    sizes = toks.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    joinable = toks
+    if df_cap is not None:
+        dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        joinable = toks.join(
+            dfreq.filter(F.col("df") <= df_cap).select("tok"), "tok"
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("size_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "containment_e6",
+            F.expr("CAST(n_common * 1000000 div least(size_a, size_b) AS BIGINT)"),
+        )
+        .filter(F.col("containment_e6") >= threshold_e6)
+        .select("a", "b", "n_common", "size_a", "size_b", "containment_e6")
+    )
+
+
+def lsh_eval(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """One row (n_true, n_cand, n_tp, precision_e6, recall_e6) —
+    measured (not guessed) quality of the MinHash+LSH candidate
+    generator against exact-Jaccard ground truth at the same threshold:
+    tp = candidate pairs whose TRUE Jaccard ≥ threshold.  The tuning
+    loop for (bands, rows_per_band, bucket_cap) reads THIS table, the
+    way a production dedup pipeline is sized before a 100 TB run.
+
+    Scale shape: ground truth via prefix-filtered exact Jaccard (run on
+    an audit SAMPLE at fleet scale — the eval is an estimator, the
+    sample is the knob); both pair sets reuse ONE persisted token-set
+    scan; the three counts are 1-row aggregates crossJoined at the
+    end (broadcast by construction)."""
+    toks = token_set(documents, id_col).persist()
+    true_pairs = jaccard_pairs(toks, threshold).select("a", "b").persist()
+    cand = lsh_candidate_pairs(minhash_signatures(toks), **lsh_kwargs).persist()
+    tp = cand.join(true_pairs, ["a", "b"])
+    n_true = true_pairs.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_tp = tp.agg(F.count("*").cast("long").alias("n_tp"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_tp)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_tp",
+            F.expr(
+                "CAST(CASE WHEN n_cand = 0 THEN 1000000"
+                " ELSE n_tp * 1000000 div n_cand END AS BIGINT)"
+            ).alias("precision_e6"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE n_tp * 1000000 div n_true END AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+    )
+
+
+def chunk_overlap_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, boundary_key) — pairs where document a's LAST ``k``
+    tokens equal document b's FIRST ``k`` tokens (a ≠ b): the
+    crawl-chunk boundary signature.  Sliding-window extraction pipelines
+    emit documents that overlap at the seams; Jaccard misses them (2·k
+    shared tokens out of thousands) and containment misses them (the
+    overlap is a fraction of BOTH docs), so boundary matching is its
+    own dedup modality — matched pairs are stitch candidates, not
+    near-dups.
+
+    Scale shape: one scan computes both fingerprints row-locally
+    (slice + md5 → fixed-width join key; the text never rides the
+    shuffle), then heads hash-join tails on the digest.  Self-matches
+    (a doc whose head equals its own tail — periodic boilerplate) are
+    excluded."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    fp = documents.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, k))).alias("head_key"),
+        F.md5(
+            F.concat_ws(" ", F.expr(
+                f"slice(filter(split({text_col}, ' '), t -> t != ''),"
+                f" -{k}, {k})"
+            ))
+        ).alias("tail_key"),
+    ).filter(F.col("n") >= k).persist()
+    tails = fp.select(F.col("id").alias("a"), F.col("tail_key").alias("boundary_key"))
+    heads = fp.select(F.col("id").alias("b"), F.col("head_key").alias("boundary_key"))
+    return (
+        tails.join(heads, "boundary_key")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "boundary_key")
+    )

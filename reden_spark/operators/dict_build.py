@@ -18,7 +18,7 @@ plans.resume.StageRunner).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reden_spark.functions.aliases import make_aliases_udf, normalized_name
@@ -97,4 +97,44 @@ def write_dictionary(dictionary: DataFrame, path: str, mode: str = "overwrite"):
         .write.partitionBy("first_letter")
         .mode(mode)
         .parquet(path)
+    )
+
+
+def alias_ambiguity(dictionary: DataFrame) -> DataFrame:
+    """(alias_norm, n_uris, n_groups, top_share_e6) — the NEL
+    difficulty profile of the alias dictionary: how many distinct URIs
+    and candidate groups each surface form can resolve to, and the
+    exact share of its most popular URI (by (count, uri) — deterministic)
+    in micro-units.  This table drives the routing thresholds
+    (single-URI aliases skip disambiguation entirely; top_share ≈ 1e6
+    aliases can take the popularity prior; the long ambiguous tail pays
+    for graph centrality) — sizing the expensive path from data, not
+    guesswork.
+
+    Scale shape: two groupBys on the alias key + one bounded per-alias
+    window; dictionary-sized input (vocab, not corpus)."""
+    per_uri = dictionary.groupBy("alias_norm", "uri").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("alias_norm")
+    worder = Window.partitionBy("alias_norm").orderBy(
+        F.desc("n"), F.asc("uri")
+    )
+    stats = (
+        per_uri.withColumn("rn", F.row_number().over(worder))
+        .withColumn("tot", F.sum("n").over(w))
+        .withColumn("n_uris", F.count("*").over(w).cast("long"))
+    )
+    groups = dictionary.groupBy("alias_norm").agg(
+        F.countDistinct("group_id").cast("long").alias("n_groups")
+    )
+    return (
+        stats.filter(F.col("rn") == 1)
+        .join(groups, "alias_norm")
+        .select(
+            "alias_norm",
+            "n_uris",
+            "n_groups",
+            F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("top_share_e6"),
+        )
     )

@@ -159,3 +159,47 @@ def enrich_entities(
         F.col("lat_raw").cast("double").alias("lat"),
         F.col("lon_raw").cast("double").alias("lon"),
     )
+
+
+def entity_salience(
+    cands: DataFrame,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    ent_col: str = "uri",
+) -> DataFrame:
+    """(doc_id, uri, first_pos, span, n_mentions, share_e6) — per-
+    document entity salience features: where the entity FIRST appears
+    (title/lead mentions are what a document is about), how far its
+    mentions SPREAD (last − first), how often it is mentioned, and its
+    exact share of the document's entity mentions in micro-units.  The
+    standard feature block for weighting emitted (subj, pred, obj)
+    triples by aboutness instead of raw counts.
+
+    Scale shape: one groupBy on (doc, entity) + one doc-total groupBy
+    joined back on the doc key — two exchanges, no windows over the
+    mention stream, text never rides either."""
+    # cands feeds the per-entity AND the per-doc-total aggregates
+    cands = cands.persist()
+    per = cands.groupBy(
+        F.col(doc_col).alias("doc_id"), F.col(ent_col).alias("uri")
+    ).agg(
+        F.min(pos_col).cast("long").alias("first_pos"),
+        (F.max(pos_col) - F.min(pos_col)).cast("long").alias("span"),
+        F.count("*").cast("long").alias("n_mentions"),
+    )
+    totals = cands.groupBy(F.col(doc_col).alias("doc_id")).agg(
+        F.count("*").cast("long").alias("_doc_total")
+    )
+    return (
+        per.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "uri",
+            "first_pos",
+            "span",
+            "n_mentions",
+            F.expr(
+                "CAST(n_mentions * 1000000 div _doc_total AS BIGINT)"
+            ).alias("share_e6"),
+        )
+    )

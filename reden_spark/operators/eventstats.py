@@ -212,3 +212,49 @@ def retention_cohorts(
         "n_users",
         F.expr("n_users * 1000000 div cohort_size").alias("retained_e6"),
     )
+
+
+def event_lateness(
+    events: DataFrame,
+    delay_s: int = 600,
+    key_col: str = "user_id",
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_id, user_id, ts, lateness_s, would_drop) — per-event
+    lateness against the running per-key watermark: how far behind the
+    maximum event time ALREADY SEEN (in arrival order) each event
+    arrives, and whether a streaming job with ``withWatermark(delay_s)``
+    would drop it.  This is the BATCH calibration table a streaming
+    deployment reads to SIZE its watermark delay before committing to
+    one (too small → silently dropped events; too large → unbounded
+    state), computed from the same event log the stream will replay.
+
+    Scale shape: one exchange on the source key, one running-max
+    window per key in arrival order — Structured Streaming's global
+    watermark is the min over sources/partitions of exactly these
+    per-key maxima, so the per-key table upper-bounds the real drop
+    set.  Integer epoch seconds throughout (exact cross-engine)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sec = F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT)")
+    return (
+        events.select(arrival_col, key_col, ts_col)
+        .withColumn("_sec", sec)
+        .withColumn("_wm", F.max("_sec").over(w))
+        .select(
+            arrival_col,
+            key_col,
+            ts_col,
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.coalesce("_wm", F.col("_sec")) - F.col("_sec")).cast("long"),
+            ).alias("lateness_s"),
+        )
+        .withColumn(
+            "would_drop", (F.col("lateness_s") > delay_s).cast("int")
+        )
+    )

@@ -268,3 +268,33 @@ def resolve_conflicts(
         "n_total",
         F.expr("n_sources * 1000000 div n_total").alias("conf_e6"),
     )
+
+
+def kg_provenance(
+    triples: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(subj, pred, obj, n_docs, n_occurrences, first_doc, last_doc,
+    support_e6) — per-TRIPLE provenance aggregate: how many distinct
+    documents assert the triple, total assertions, the id range of the
+    asserting docs, and the triple's exact share of its subject's
+    assertions in micro-units.  The confidence/audit block a 10^12-file
+    KG ships NEXT TO the triples — every downstream consumer asks
+    "who says so, and how often" before trusting an edge.
+
+    Scale shape: one groupBy on the (subj, pred, obj) key, then one
+    bounded window over the subject key for the share — the triple key
+    exchange is the same one the KG sink already partitions by."""
+    per = triples.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct(doc_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min(doc_col).cast("long").alias("first_doc"),
+        F.max(doc_col).cast("long").alias("last_doc"),
+    )
+    return per.withColumn(
+        "support_e6",
+        F.expr(
+            "CAST(n_occurrences * 1000000 div"
+            " sum(n_occurrences) OVER (PARTITION BY subj) AS BIGINT)"
+        ),
+    )

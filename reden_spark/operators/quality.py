@@ -556,3 +556,35 @@ def mad_outliers(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    declared_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(declared, predicted, n, share_e6) — the confusion matrix of the
+    heuristic language identifier against the corpus's declared
+    language labels, with each cell's exact share of its declared row
+    in micro-units.  The calibration table that decides whether the
+    cheap stopword lang-ID is good enough to GATE a 100 TB ingest or
+    needs a model upgrade — per-language, measured, not guessed.
+
+    Scale shape: language_id is a row-local expression; the matrix is
+    one (declared, predicted) groupBy + one bounded per-declared
+    window."""
+    from reden_spark.functions.text import language_id
+
+    cells = docs.select(
+        F.col(declared_col).alias("declared"),
+        language_id(F.col(text_col)).alias("predicted"),
+    ).groupBy("declared", "predicted").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cells.withColumn(
+        "share_e6",
+        F.expr(
+            "CAST(n * 1000000 div sum(n) OVER (PARTITION BY declared)"
+            " AS BIGINT)"
+        ),
+    )

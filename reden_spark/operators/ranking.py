@@ -82,3 +82,37 @@ def ranking_metrics(
         F.expr("sum_recip_e6 div n_pos").alias("mrr_e6"),
         *[f"hits{k}" for k in ks],
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, group, value, qn_e6) — per-group quantile (rank) transform
+    in exact integer micro-units: qn = rank·1e6 div (n+1) under the
+    deterministic (value, id) total order.  The standard move before
+    FUSING heterogeneous quality scores (a perplexity, a length ratio,
+    a classifier logit live on incomparable scales; their per-group
+    quantiles don't) — rank-based, so it is outlier-immune and
+    hash-identical cross-engine, unlike z-scores.
+
+    Scale shape: one group-key exchange, one rank window, one count
+    window over the same partitioning — no joins, value column rides
+    the shuffle once."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"),
+    ).select(
+        "id",
+        "grp",
+        "value",
+        # rank·1e6 div (n+1) as BIGINT `div`, not float floor: a 10^10-row
+        # group would overflow the double mantissa under /
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY grp ORDER BY value, id)"
+            " * 1000000 div (count(*) OVER (PARTITION BY grp) + 1) AS BIGINT)"
+        ).alias("qn_e6"),
+    )

@@ -77,3 +77,87 @@ def salted_join(
         ),
     ).withColumn(SALT_COL, F.explode(F.col(SALT_COL)))
     return p.join(b, on=[key, SALT_COL], how=how).drop(SALT_COL)
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 50) -> DataFrame:
+    """(key, n, rank, share_e6, cum_share_e6) — the hot-key profile of
+    a prospective join/groupBy key: the ``top_n`` heaviest keys with
+    their exact corpus share and cumulative share in integer
+    micro-units.  This table IS the decision input for the repo's skew
+    machinery (salting breadth for salted_join, AQE skew thresholds,
+    broadcast-vs-shuffle choice): 'top key holds 18% of rows' is read
+    off cum_share_e6, not guessed.
+
+    Scale shape: one map-side-combinable groupBy on the key, a
+    distributed top-k (orderBy+limit — Spark's takeOrdered, no global
+    sort materialized), then rank/cumsum windows over the top_n-row
+    result only; the total rides in as a broadcast 1-row aggregate."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("_cum", F.sum("n").over(wc))
+        .select(
+            "key",
+            "n",
+            "rank",
+            F.expr("CAST(n * 1000000 div _total AS BIGINT)").alias("share_e6"),
+            F.expr("CAST(_cum * 1000000 div _total AS BIGINT)").alias(
+                "cum_share_e6"
+            ),
+        )
+    )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """One row (est_rows, n_keys_left, n_keys_right, n_shared_keys,
+    max_key_product) — the EXACT output cardinality of an equi-join
+    computed from the two key histograms WITHOUT running the join:
+    |L ⋈ R| = Σ_k cL(k)·cR(k).  The pre-flight a planner (or an
+    engineer sizing shuffle partitions) runs before committing a
+    fleet-scale join; max_key_product is the single hottest output
+    key's row count — the number that decides whether salting is
+    needed before AQE ever sees a task.
+
+    Scale shape: two map-side-combinable groupBys + one join ON THE
+    HISTOGRAMS (key-cardinality-sized, not row-sized) + a 1-row
+    aggregate."""
+    # each histogram feeds the shared join AND its own key-count
+    # aggregate — persist both or the row-sized inputs scan twice
+    cl = left.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("cl")
+    ).persist()
+    cr = right.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("cr")
+    ).persist()
+    shared = cl.join(cr, "k")
+    est = shared.agg(
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("est_rows"),
+        F.count("*").cast("long").alias("n_shared_keys"),
+        F.max(F.col("cl") * F.col("cr")).cast("long").alias("max_key_product"),
+    )
+    nl = cl.agg(F.count("*").cast("long").alias("n_keys_left"))
+    nr = cr.agg(F.count("*").cast("long").alias("n_keys_right"))
+    return (
+        est.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            F.coalesce("est_rows", F.lit(0)).cast("long").alias("est_rows"),
+            "n_keys_left",
+            "n_keys_right",
+            "n_shared_keys",
+            F.coalesce("max_key_product", F.lit(0))
+            .cast("long")
+            .alias("max_key_product"),
+        )
+    )

@@ -195,3 +195,44 @@ def stream_sessions(events_stream: DataFrame, gap_minutes: int = 30) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-user SESSION-window aggregates via Spark's native
+    ``session_window`` — the declarative counterpart of the
+    applyInPandasWithState sessionizer above (same gap semantics,
+    Catalyst-managed state instead of a hand-rolled per-key machine):
+    (user_id, session_start, session_end, n_events, sum_value), one row
+    per maximal run of events with inter-event gaps < ``gap``.
+
+    One plan for batch and stream (``streaming=True`` adds the
+    watermark the incremental state store needs; batch mode must NOT
+    carry it — Spark rejects withWatermark on batch plans in some
+    configs and it is a no-op at best).  At scale the state is
+    partitioned by user_id across executors and bounded by the
+    watermark, exactly like the custom sessionizer — prefer THIS form
+    wherever the session payload is expressible as aggregates, and drop
+    to applyInPandasWithState only for per-session custom logic."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

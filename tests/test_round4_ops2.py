@@ -1,0 +1,132 @@
+"""Round-4 batch 2: BPE encoding, containment pairs, LSH eval,
+license conflicts, quantile normalization — semantics pinned on tiny
+hand inputs (contract oracles cover sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bpe_apply_reproduces_trainer_state(spark):
+    docs = spark.createDataFrame(
+        [("low low low lower lowest newest newest",)], "text string"
+    )
+    from reden_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        bpe_token_counts,
+        word_counts,
+    )
+
+    words = word_counts(docs)
+    merges = bpe_train(docs, rounds=3)
+    state = {r["s"]: r["n"] for r in bpe_apply(words, merges, 3).collect()}
+    # 'low' appears in low/lower/lowest: 'l|o' then 'lo|w' merge first
+    assert any("|low|" in s for s in state)
+    counts = {r["tok"]: r["freq"] for r in bpe_token_counts(docs, rounds=3).collect()}
+    assert counts.get("low", 0) >= 3  # 'low' became one token
+    # total symbol mass conserved: every char of every word still present
+    assert sum(len(tok) * n for tok, n in counts.items()) == sum(
+        len(r["word"]) * r["n"] for r in words.collect()
+    )
+
+
+def test_bpe_apply_missing_round_is_noop(spark):
+    docs = spark.createDataFrame([("aa aa bb",)], "text string")
+    from reden_spark.operators.bpe import bpe_apply, bpe_train, word_counts
+
+    words = word_counts(docs)
+    merges = bpe_train(docs, rounds=2)
+    # ask for more rounds than trained: rounds 3-4 must be identity
+    s2 = sorted(r["s"] for r in bpe_apply(words, merges, 2).collect())
+    s4 = sorted(r["s"] for r in bpe_apply(words, merges, 4).collect())
+    assert s2 == s4
+
+
+def test_containment_catches_subset_docs(spark):
+    # doc 2 is entirely contained in doc 1; Jaccard is only 3/6
+    toks = spark.createDataFrame(
+        [(1, t) for t in "a b c d e f".split()]
+        + [(2, t) for t in "a b c".split()]
+        + [(3, "zz")],
+        "id long, tok string",
+    )
+    from reden_spark.operators.dedup import containment_pairs
+
+    rows = containment_pairs(toks, threshold_e6=900000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["containment_e6"] == 1000000
+    assert r["size_a"] == 6 and r["size_b"] == 3 and r["n_common"] == 3
+
+
+def test_containment_df_cap_is_conservative(spark):
+    # 'hot' is in every doc; with df_cap=2 it is excluded from n_common
+    toks = spark.createDataFrame(
+        [(1, "hot"), (1, "x"), (2, "hot"), (2, "x"), (3, "hot")],
+        "id long, tok string",
+    )
+    from reden_spark.operators.dedup import containment_pairs
+
+    rows = {
+        (r["a"], r["b"]): r
+        for r in containment_pairs(toks, threshold_e6=1, df_cap=2).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["n_common"] == 1  # 'x' only
+    assert (1, 3) not in rows  # hot-token-only overlap dropped by the cap
+    # sizes still count ALL tokens (cap affects the join, not |A|)
+    assert rows[(1, 2)]["size_a"] == 2
+
+
+def test_lsh_eval_perfect_on_exact_dups(spark):
+    # two identical docs + one unrelated: 1 true pair; LSH must find it
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    from reden_spark.operators.dedup import lsh_eval
+
+    r = lsh_eval(docs, threshold=0.5).first()
+    assert r["n_true"] == 1 and r["n_tp"] == 1
+    assert r["recall_e6"] == 1000000
+    assert 0 < r["precision_e6"] <= 1000000
+
+
+def test_license_conflicts_matrix(spark):
+    files = spark.createDataFrame(
+        [
+            ("r1", "a.py", "Licensed under the Apache License, Version 2.0"),
+            ("r1", "b.py", "GNU General Public License"),
+            ("r1", "c.py", "GNU General Public License"),
+            ("r2", "d.py", "Permission is hereby granted, free of charge"),
+            ("r2", "e.py", "Redistribution and use in source and binary forms"),
+        ],
+        "repo string, path string, content string",
+    )
+    from reden_spark.operators.code_quality import license_conflicts
+
+    rows = {(r["repo"], r["license_a"], r["license_b"]): r
+            for r in license_conflicts(files).collect()}
+    k = ("r1", "Apache-2.0", "GPL")
+    assert k in rows and rows[k]["conflict"] == 1
+    assert rows[k]["n_files_a"] == 1 and rows[k]["n_files_b"] == 2
+    k2 = ("r2", "BSD", "MIT")
+    assert k2 in rows and rows[k2]["conflict"] == 0
+    # single-license repos produce no pair rows
+    assert all(r[0] in ("r1", "r2") for r in rows)
+
+
+def test_quantile_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 30), (4, "h", 5)],
+        "id long, grp string, v long",
+    )
+    from reden_spark.operators.ranking import quantile_normalize
+
+    rows = {r["id"]: r["qn_e6"] for r in quantile_normalize(
+        df, value_col="v", group_col="grp", id_col="id").collect()}
+    assert rows[1] == 250000 and rows[2] == 500000 and rows[3] == 750000
+    assert rows[4] == 500000  # singleton group sits at the median

@@ -1,0 +1,93 @@
+"""Round-4 batch 3: coref chains, entity salience, event lateness,
+key-skew profile — semantics pinned on tiny hand inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_coref_chains_subset_variants(spark):
+    mentions = spark.createDataFrame(
+        [
+            (1, 1, "Jacques Derrida"),
+            (1, 2, "Derrida"),
+            (1, 3, "Jacques Derrida"),
+            (1, 4, "Alpha Beta"),   # shares no token: own chain
+            (2, 1, "Derrida"),      # other doc: never chained across docs
+        ],
+        "doc_id long, mention_id long, surface string",
+    )
+    from reden_spark.operators.coref import coref_chains
+
+    rows = {
+        (r["doc_id"], r["mention_id"]): r["chain_id"]
+        for r in coref_chains(mentions).collect()
+    }
+    assert rows[(1, 1)] == rows[(1, 2)] == rows[(1, 3)]
+    assert rows[(1, 4)] != rows[(1, 1)]
+    assert rows[(2, 1)] != rows[(1, 2)]
+    # chain id is the padded smallest member key
+    assert rows[(1, 1)].endswith("#m000000001")
+
+
+def test_coref_chains_no_partial_overlap(spark):
+    # 'alpha beta' vs 'beta gamma' share a token but neither is a
+    # subset: must NOT chain
+    mentions = spark.createDataFrame(
+        [(1, 1, "alpha beta"), (1, 2, "beta gamma")],
+        "doc_id long, mention_id long, surface string",
+    )
+    from reden_spark.operators.coref import coref_chains
+
+    rows = {r["mention_id"]: r["chain_id"] for r in coref_chains(mentions).collect()}
+    assert rows[1] != rows[2]
+
+
+def test_entity_salience(spark):
+    cands = spark.createDataFrame(
+        [(1, 0, "u1"), (1, 5, "u1"), (1, 9, "u1"), (1, 2, "u2")],
+        "doc_id long, pos long, uri string",
+    )
+    from reden_spark.operators.enrich import entity_salience
+
+    rows = {r["uri"]: r for r in entity_salience(cands).collect()}
+    assert rows["u1"]["first_pos"] == 0 and rows["u1"]["span"] == 9
+    assert rows["u1"]["n_mentions"] == 3
+    assert rows["u1"]["share_e6"] == 750000 and rows["u2"]["share_e6"] == 250000
+
+
+def test_event_lateness(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda k: t0 + datetime.timedelta(seconds=k)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 10, s(100)),
+            (2, 10, s(1000)),
+            (3, 10, s(200)),   # 800 s behind the running max: late, dropped
+            (4, 10, s(500)),   # 500 s behind: late, kept at 600 s delay
+            (5, 20, s(50)),    # first event of its key: lateness 0
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    from reden_spark.operators.eventstats import event_lateness
+
+    rows = {r["event_id"]: r for r in event_lateness(events, delay_s=600).collect()}
+    assert rows[1]["lateness_s"] == 0
+    assert rows[3]["lateness_s"] == 800 and rows[3]["would_drop"] == 1
+    assert rows[4]["lateness_s"] == 500 and rows[4]["would_drop"] == 0
+    assert rows[5]["lateness_s"] == 0
+
+
+def test_key_skew_profile(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)],
+        "k string",
+    )
+    from reden_spark.operators.skew import key_skew_profile
+
+    rows = {r["key"]: r for r in key_skew_profile(df, key="k", top_n=2).collect()}
+    assert set(rows) == {"hot", "warm"}  # top-2 only
+    assert rows["hot"]["rank"] == 1 and rows["hot"]["share_e6"] == 600000
+    assert rows["warm"]["cum_share_e6"] == 900000  # shares vs FULL total

@@ -1,0 +1,90 @@
+"""Round-4 batch 4: chunk-boundary pairs, NIL clusters, triple
+provenance, alias ambiguity — semantics pinned on tiny hand inputs."""
+
+from __future__ import annotations
+
+
+def test_chunk_overlap_pairs(spark):
+    # doc 2 starts with doc 1's last 3 tokens; doc 3 is unrelated;
+    # doc 4 is too short to fingerprint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "f g h x y z w v"),
+            (3, "p q r s t u m n"),
+            (4, "f g"),
+        ],
+        "doc_id long, text string",
+    )
+    from reden_spark.operators.dedup import chunk_overlap_pairs
+
+    rows = [(r["a"], r["b"]) for r in chunk_overlap_pairs(docs, k=3).collect()]
+    assert (1, 2) in rows
+    assert all(p == (1, 2) for p in rows)
+
+
+def test_chunk_overlap_excludes_self(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y")], "doc_id long, text string"
+    )
+    from reden_spark.operators.dedup import chunk_overlap_pairs
+
+    assert chunk_overlap_pairs(docs, k=2).count() == 0
+
+
+def test_nil_clusters(spark):
+    mentions = spark.createDataFrame(
+        [(1, "Known"), (1, "Ghost"), (2, "ghost!"), (2, "Other")],
+        "doc_id long, surface string",
+    )
+    dico = spark.createDataFrame(
+        [("known", "http://kb/known", 0)],
+        "alias_norm string, uri string, group_id int",
+    )
+    from reden_spark.operators.candidates import nil_clusters
+
+    rows = {r["surface_norm"]: r for r in nil_clusters(mentions, dico).collect()}
+    assert "known" not in rows  # dictionary hit → not NIL
+    assert rows["ghost"]["n_mentions"] == 2 and rows["ghost"]["n_docs"] == 2
+    assert rows["other"]["n_mentions"] == 1
+    assert len(rows["ghost"]["nil_key"]) == 32  # stable md5 key
+
+
+def test_kg_provenance(spark):
+    triples = spark.createDataFrame(
+        [
+            (10, "s1", "p", "o1"),
+            (11, "s1", "p", "o1"),
+            (11, "s1", "p", "o1"),  # doc 11 asserts twice
+            (12, "s1", "p", "o2"),
+            (20, "s2", "p", "o9"),
+        ],
+        "doc_id long, subj string, pred string, obj string",
+    )
+    from reden_spark.operators.kg_quality import kg_provenance
+
+    rows = {(r["subj"], r["obj"]): r for r in kg_provenance(triples).collect()}
+    r = rows[("s1", "o1")]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 3
+    assert r["first_doc"] == 10 and r["last_doc"] == 11
+    assert r["support_e6"] == 750000  # 3 of s1's 4 assertions
+    assert rows[("s2", "o9")]["support_e6"] == 1000000
+
+
+def test_alias_ambiguity(spark):
+    dico = spark.createDataFrame(
+        [
+            ("paris", "http://kb/paris-fr", 0),
+            ("paris", "http://kb/paris-fr", 0),   # duplicate row: weight 2
+            ("paris", "http://kb/paris-tx", 1),
+            ("unique", "http://kb/unique", 0),
+        ],
+        "alias_norm string, uri string, group_id int",
+    )
+    from reden_spark.operators.dict_build import alias_ambiguity
+
+    rows = {r["alias_norm"]: r for r in alias_ambiguity(dico).collect()}
+    assert rows["paris"]["n_uris"] == 2 and rows["paris"]["n_groups"] == 2
+    assert rows["paris"]["top_share_e6"] == 666666
+    assert rows["unique"]["n_uris"] == 1
+    assert rows["unique"]["top_share_e6"] == 1000000

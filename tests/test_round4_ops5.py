@@ -1,0 +1,85 @@
+"""Round-4 batch 5: keyed sampling, join-size estimate, language
+confusion matrix."""
+
+from __future__ import annotations
+
+
+def test_keyed_sample_deterministic_and_capped(spark):
+    df = spark.createDataFrame(
+        [("g", i) for i in range(20)] + [("h", 99)],
+        "lang string, doc_id long",
+    )
+    from reden_spark.operators.corpus_prep import keyed_sample
+
+    s1 = sorted((r["grp"], r["id"]) for r in keyed_sample(
+        df, key_col="lang", id_col="doc_id", k=3).collect())
+    s2 = sorted((r["grp"], r["id"]) for r in keyed_sample(
+        df.repartition(7), key_col="lang", id_col="doc_id", k=3).collect())
+    assert s1 == s2  # partitioning-invariant
+    assert sum(1 for g, _ in s1 if g == "g") == 3
+    assert ("h", "99") in s1  # under-full groups keep everything
+
+
+def test_join_size_estimate_exact(spark):
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "ck long"
+    )
+    right = spark.createDataFrame([(1,), (1,), (2,), (7,)], "ck long")
+    from reden_spark.operators.skew import join_size_estimate
+
+    r = join_size_estimate(left, right, key="ck").first()
+    true_rows = left.join(right, "ck").count()
+    assert r["est_rows"] == true_rows == 7  # 3*2 + 1*1
+    assert r["n_shared_keys"] == 2
+    assert r["max_key_product"] == 6
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 3
+
+
+def test_join_size_estimate_disjoint(spark):
+    left = spark.createDataFrame([(1,)], "ck long")
+    right = spark.createDataFrame([(2,)], "ck long")
+    from reden_spark.operators.skew import join_size_estimate
+
+    r = join_size_estimate(left, right, key="ck").first()
+    assert r["est_rows"] == 0 and r["max_key_product"] == 0
+
+
+def test_lang_confusion(spark):
+    docs = spark.createDataFrame(
+        [
+            ("en", "the and of the with this"),
+            ("en", "le la les et und oui xx"),   # french-looking: confused
+            ("fr", "le la les des une est"),
+            ("xx", "zzz qqq www"),               # no stopwords: und
+        ],
+        "lang string, text string",
+    )
+    from reden_spark.operators.quality import lang_confusion
+
+    rows = {(r["declared"], r["predicted"]): r
+            for r in lang_confusion(docs).collect()}
+    assert rows[("en", "en")]["n"] == 1
+    assert ("en", "fr") in rows  # the confused doc lands off-diagonal
+    assert rows[("fr", "fr")]["share_e6"] == 1000000
+    assert rows[("xx", "und")]["n"] == 1
+    assert rows[("en", "en")]["share_e6"] == 500000
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # docs 1 and 2 share almost all tokens (near-dups); doc 3 disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "uno dos tres cuatro cinco seis"),
+        ],
+        "doc_id long, text string",
+    )
+    from reden_spark.operators.corpus_prep import leakage_safe_split
+
+    rows = {r["node"]: r for r in leakage_safe_split(docs).collect()}
+    n1, n2 = "d0000000000001", "d0000000000002"
+    assert rows[n1]["cluster"] == rows[n2]["cluster"]
+    assert rows[n1]["split"] == rows[n2]["split"]  # never straddles
+    assert rows[n1]["split"] in ("train", "validation", "test")
+    assert len(rows) == 3

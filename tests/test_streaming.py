@@ -109,3 +109,49 @@ def test_stateful_sessionizer_matches_batch(spark, events_path):
     assert want - open_tail <= got, (
         f"missing closed sessions: {list(want - open_tail - got)[:3]}"
     )
+
+
+def test_native_session_windows_match_stateful_sessionizer(spark, events_path):
+    """The declarative session_window plan and the custom
+    applyInPandasWithState sessionizer implement the same gap
+    semantics: identical (user, start, n_events) session sets."""
+    from reden_spark.streaming.events import session_window_counts
+
+    events = spark.read.parquet(events_path)
+    native = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_window_counts(events, gap="30 minutes").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionize_batch(events, gap_minutes=30)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    assert native == batch and len(native) > 10
+
+
+def test_native_session_windows_stream_converges(spark, events_path):
+    """availableNow streaming with the same session plan emits exactly
+    the batch sessions whose windows the watermark has closed."""
+    import datetime
+
+    from reden_spark.streaming.events import session_window_counts
+
+    events = spark.read.parquet(events_path)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_window_counts(events).collect()
+        if r.session_end <= horizon
+    }
+    stream = session_window_counts(
+        read_events_stream(spark, events_path), streaming=True
+    )
+    _run_stream(stream, "sw_sink")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("select * from sw_sink").collect()
+    }
+    assert got == want and len(want) > 5
