@@ -8208,3 +8208,316 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(
         _read(spark, sf_dir, "documents"), bucket_cap=200
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dictionary matching: FastSS 1-deletion blocking + exact levenshtein.
+
+
+@query(
+    "fuzzy_candidates",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    dict AS (SELECT DISTINCT tok AS alias FROM toks WHERE length(tok) >= 5),
+    men AS (
+      SELECT DISTINCT CASE WHEN (doc_id + pos) % 3 = 0
+             THEN substr(tok, 1, 2) || substr(tok, 4)
+             ELSE tok END AS mention
+      FROM toks WHERE length(tok) >= 6 AND doc_id % 3 = 0),
+    mi AS (SELECT mention, unnest(range(1, length(mention) + 1)) AS i FROM men),
+    mv AS (SELECT mention, mention AS variant FROM men
+           UNION
+           SELECT mention, substr(mention, 1, i - 1) || substr(mention, i + 1)
+           FROM mi),
+    di AS (SELECT alias, unnest(range(1, length(alias) + 1)) AS i FROM dict),
+    dv AS (SELECT alias, alias AS variant FROM dict
+           UNION
+           SELECT alias, substr(alias, 1, i - 1) || substr(alias, i + 1)
+           FROM di),
+    pairs AS (SELECT DISTINCT mention, alias
+              FROM mv JOIN dv USING (variant))
+    SELECT mention, alias, CAST(levenshtein(mention, alias) AS BIGINT) AS dist
+    FROM pairs WHERE levenshtein(mention, alias) <= 1
+    """,
+)
+def q_fuzzy_candidates(spark, sf_dir):
+    """Edit-distance-1 dictionary candidate generation
+    (operators/candidates.fuzzy_candidates): FastSS 1-deletion
+    neighborhoods on both sides, variant-key join, exact levenshtein
+    verify on the blocked pairs only.  Mentions are the corpus tokens
+    with a deterministic planted deletion (every (doc_id+pos)%3==0
+    token drops its 3rd char) so the fuzzy path is actually exercised:
+    those mentions no longer equal any alias yet sit at distance 1."""
+    from reden_spark.operators.candidates import fuzzy_candidates
+
+    toks = _tokens(spark, sf_dir)
+    dictionary = (
+        toks.filter(F.length("tok") >= 5)
+        .select(F.col("tok").alias("alias_norm"))
+        .distinct()
+    )
+    mentions = (
+        toks.filter((F.length("tok") >= 6) & (F.col("doc_id") % 3 == 0))
+        .select(
+            F.when(
+                (F.col("doc_id") + F.col("pos")) % 3 == 0,
+                F.concat(
+                    F.substring("tok", 1, 2),
+                    F.col("tok").substr(F.lit(4), F.length("tok")),
+                ),
+            )
+            .otherwise(F.col("tok"))
+            .alias("surface")
+        )
+        .distinct()
+    )
+    return fuzzy_candidates(mentions, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# KG domain/range validation + CDC changelog collapse.
+
+_DRC_TRIPLES_SQL = """
+    SELECT 'c' || o_custkey AS subj, 'rdf:type' AS pred, 'Customer' AS obj
+    FROM (SELECT DISTINCT o_custkey FROM orders) WHERE o_custkey % 11 <> 0
+    UNION ALL
+    SELECT 'o' || o_orderkey, 'rdf:type', 'Order'
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT 'o' || o_orderkey, 'placed_by', 'c' || o_custkey FROM orders
+    UNION ALL
+    SELECT 'c' || o_custkey, 'placed_by', 'o' || o_orderkey
+    FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@query(
+    "domain_range_check",
+    f"""
+    WITH triples AS ({_DRC_TRIPLES_SQL}),
+    types AS (SELECT subj AS node, obj AS typ FROM triples
+              WHERE pred = 'rdf:type'),
+    facts AS (SELECT * FROM triples WHERE pred <> 'rdf:type')
+    SELECT subj, pred, obj, 'domain' AS violation FROM facts f
+    WHERE NOT EXISTS (SELECT 1 FROM types t
+                      WHERE t.node = f.subj AND t.typ = 'Order')
+    UNION ALL
+    SELECT subj, pred, obj, 'range' FROM facts f
+    WHERE NOT EXISTS (SELECT 1 FROM types t
+                      WHERE t.node = f.obj AND t.typ = 'Customer')
+    """,
+)
+def q_domain_range_check(spark, sf_dir):
+    """OWL-lite domain/range gate (operators/kg_quality.
+    domain_range_check) over a typed order/customer graph with planted
+    offenses: every 13th order and every 11th customer is left untyped,
+    and every 101st order also emits a subject/object-swapped triple —
+    so the output exercises untyped-subject, untyped-object and
+    wrong-type violations on both the domain and range paths."""
+    from reden_spark.operators.kg_quality import domain_range_check
+
+    o = _read(spark, sf_dir, "orders")
+    subj_o = F.concat(F.lit("o"), F.col("o_orderkey"))
+    subj_c = F.concat(F.lit("c"), F.col("o_custkey"))
+    type_c = (
+        o.select("o_custkey").distinct()
+        .filter(F.col("o_custkey") % 11 != 0)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("Customer").alias("obj"),
+        )
+    )
+    type_o = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        subj_o.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("Order").alias("obj"),
+    )
+    facts = o.select(
+        subj_o.alias("subj"),
+        F.lit("placed_by").alias("pred"),
+        subj_c.alias("obj"),
+    )
+    swapped = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        subj_c.alias("subj"),
+        F.lit("placed_by").alias("pred"),
+        subj_o.alias("obj"),
+    )
+    triples = type_c.unionByName(type_o).unionByName(facts).unionByName(swapped)
+    dom = spark.createDataFrame([("placed_by", "Order")], "pred string, type string")
+    rng = spark.createDataFrame(
+        [("placed_by", "Customer")], "pred string, type string"
+    )
+    return domain_range_check(triples, domains=dom, ranges=rng)
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH changelog AS (
+      SELECT o_custkey AS key, o_orderkey AS version,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                  THEN 'd' ELSE 'u' END AS op,
+             o_orderpriority AS value
+      FROM orders),
+    ranked AS (
+      SELECT key, version, op, value,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY version DESC, op DESC, value DESC)
+               AS rn
+      FROM changelog)
+    SELECT key, version, value FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog collapse (operators/kg_maintain.cdc_apply): the
+    orders table read as a per-customer changelog (version =
+    o_orderkey, deterministic tombstones on finished orders); the
+    snapshot keeps each key's highest-version row and FORGETS keys
+    whose winner is a tombstone — the delete semantics kg_upsert
+    deliberately lacks."""
+    from reden_spark.operators.kg_maintain import cdc_apply
+
+    o = _read(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+            F.lit("d"),
+        )
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("o_orderpriority").alias("value"),
+    )
+    return cdc_apply(changelog)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring: integer-exact histogram drift + exact two-sample
+# KS statistic (no logarithms anywhere — PSI's ln(p/q) is libm-dependent and
+# would break engine parity; TVD and KS carry the same alarm).
+
+
+@query(
+    "drift_histogram",
+    """
+    WITH b AS (SELECT event_type AS bin, CAST(count(*) AS BIGINT) AS n_base
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    c AS (SELECT event_type AS bin, CAST(count(*) AS BIGINT) AS n_cur
+          FROM events WHERE event_id % 2 = 1
+            AND NOT (event_type = 'click' AND event_id % 5 = 0)
+          GROUP BY 1),
+    nb AS (SELECT sum(n_base) AS _nb FROM b),
+    nc AS (SELECT sum(n_cur) AS _nc FROM c),
+    j AS (SELECT coalesce(b.bin, c.bin) AS bin,
+                 coalesce(n_base, 0) AS n_base,
+                 coalesce(n_cur, 0) AS n_cur
+          FROM b FULL OUTER JOIN c ON b.bin = c.bin)
+    SELECT bin, n_base, n_cur,
+           CAST(n_base * 1000000 // _nb AS BIGINT) AS base_share_e6,
+           CAST(n_cur * 1000000 // _nc AS BIGINT) AS cur_share_e6,
+           CAST(abs(n_base * 1000000 // _nb - n_cur * 1000000 // _nc)
+                AS BIGINT) AS drift_e6
+    FROM j, nb, nc
+    """,
+)
+def q_drift_histogram(spark, sf_dir):
+    """Snapshot-over-snapshot histogram drift (operators/analytics.
+    drift_histogram): events split by event_id parity into
+    baseline/current, with a planted shift (current drops every 5th
+    click) so the drift column is non-trivially non-zero.  Integer
+    micro-unit shares — exact, no floats until a reader divides."""
+    from reden_spark.operators.analytics import drift_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(
+        (F.col("event_id") % 2 == 1)
+        & ~((F.col("event_type") == "click") & (F.col("event_id") % 5 == 0))
+    )
+    return drift_histogram(base, cur, bin_col="event_type")
+
+
+@query(
+    "ks_drift",
+    """
+    WITH b AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cb
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    c AS (SELECT value * 1.25 AS v, CAST(count(*) AS BIGINT) AS cc
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+    m AS (SELECT coalesce(b.v, c.v) AS v,
+                 coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+          FROM b FULL OUTER JOIN c ON b.v = c.v),
+    nb AS (SELECT sum(cb) AS _nb FROM m),
+    nc AS (SELECT sum(cc) AS _nc FROM m),
+    s AS (SELECT v, sum(cb) OVER (ORDER BY v) AS cum_b,
+                 sum(cc) OVER (ORDER BY v) AS cum_c
+          FROM m)
+    SELECT CAST(max(abs(cum_b * _nc - cum_c * _nb)) AS BIGINT) AS d_num,
+           CAST(max(_nb) AS BIGINT) AS n_base,
+           CAST(max(_nc) AS BIGINT) AS n_cur,
+           CAST(max(abs(cum_b * _nc - cum_c * _nb)) * 1000000
+                // (max(_nb) * max(_nc)) AS BIGINT) AS ks_e6
+    FROM s, nb, nc
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic (operators/analytics.ks_statistic)
+    between the even-id event values and the odd-id values scaled by
+    1.25 (a planted location-scale shift): the supremum CDF gap kept as
+    an integer numerator over n_base·n_cur, reported in micro-units."""
+    from reden_spark.operators.analytics import ks_statistic
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * F.lit(1.25)).alias("value")
+    )
+    return ks_statistic(base, cur)
+
+
+@query(
+    "mix_allocation",
+    """
+    WITH tc AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source,
+                 CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS w_num
+          FROM (SELECT DISTINCT source FROM documents)),
+    ws AS (SELECT sum(w_num) AS _w FROM w),
+    j AS (SELECT tc.source, tokens,
+                 CAST(1000000 * w_num // _w AS BIGINT) AS desired,
+                 CAST(least(1000000 * w_num // _w,
+                            tokens * 2500 // 1000) AS BIGINT) AS alloc
+          FROM tc JOIN w ON tc.source = w.source, ws)
+    SELECT source, tokens, desired, alloc,
+           CAST(alloc * 1000 // tokens AS BIGINT) AS epochs_e3,
+           CAST(desired - alloc AS BIGINT) AS shortfall
+    FROM j
+    """,
+)
+def q_mix_allocation(spark, sf_dir):
+    """Training-mixture allocator (operators/corpus_prep.
+    mix_allocation): per-source corpus token counts vs rank-derived
+    target weights at a 1M-token budget and a 2.5-epoch repeat cap —
+    small sources hit the cap and report their shortfall."""
+    from reden_spark.operators.corpus_prep import mix_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("long").alias("tokens")
+    )
+    weights = (
+        docs.select("source").distinct()
+        .withColumn(
+            "w_num",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+    )
+    return mix_allocation(tc, weights, budget_tokens=1_000_000, max_epochs_e3=2500)

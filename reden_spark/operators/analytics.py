@@ -16,7 +16,7 @@ preparation and KB population-completeness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,4 +98,102 @@ def compare_runs(
         .when(F.col("_a").isNotNull(), F.lit("only_a"))
         .otherwise(F.lit("only_b"))
         .alias("status"),
+    )
+
+
+def drift_histogram(
+    baseline: DataFrame,
+    current: DataFrame,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Per-bin distribution drift between two corpus snapshots, in
+    integer micro-units so the number is exact and engine-portable
+    (no logarithms — PSI's ln(p/q) is libm-dependent; the total-
+    variation distance Σ|p−q|/2 carries the same triage signal and is
+    pure integer arithmetic over the counts).  One row per bin seen in
+    EITHER snapshot:
+
+      (bin, n_base, n_cur, base_share_e6, cur_share_e6, drift_e6)
+
+    with drift_e6 = |n_base·1e6 div N_base − n_cur·1e6 div N_cur|;
+    TVD_e6 is sum(drift_e6)/2 downstream.  The monitoring gate a
+    training-data pipeline runs between crawl snapshots before the mix
+    shifts silently.
+
+    Scale shape: two map-side-combinable groupBys (bin cardinality ≪
+    rows), a full outer join on the bin key, totals ride in as
+    broadcast 1-row aggregates."""
+    b = baseline.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    c = current.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    nb = b.agg(F.sum("n_base").alias("_nb"))
+    nc = c.agg(F.sum("n_cur").alias("_nc"))
+    joined = (
+        b.join(c, "bin", "full_outer")
+        .na.fill(0, ["n_base", "n_cur"])
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+    )
+    base_share = F.expr("n_base * 1000000L div _nb")
+    cur_share = F.expr("n_cur * 1000000L div _nc")
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        base_share.alias("base_share_e6"),
+        cur_share.alias("cur_share_e6"),
+        F.abs(base_share - cur_share).cast("long").alias("drift_e6"),
+    )
+
+
+def ks_statistic(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic as ONE integer-
+    valued row: (d_num, n_base, n_cur, ks_e6) where the true statistic
+    is d_num / (n_base·n_cur) and ks_e6 = d_num·1e6 div (n_base·n_cur).
+    D = sup_x |F_base(x) − F_cur(x)| evaluated at every observed value;
+    with counts c_b, c_c per distinct value, |F_b−F_c| at x is
+    |cum_b(x)·n_cur − cum_c(x)·n_base| / (n_base·n_cur) — kept as the
+    integer numerator so there is no float until the final report.
+    The distribution-shift alarm for continuous columns where binning
+    (drift_histogram) would hide tail movement.
+
+    Scale shape: one groupBy per side on the value, a full outer join,
+    one global-ordered running-sum window over the DISTINCT-value
+    table (≪ rows; for truly unbounded value domains quantile-sketch
+    pre-binning bounds it), two broadcast totals."""
+    b = baseline.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    c = current.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").cast("long").alias("cc")
+    )
+    nb = b.agg(F.sum("cb").alias("_nb"))
+    nc = c.agg(F.sum("cc").alias("_nc"))
+    merged = b.join(c, "v", "full_outer").na.fill(0, ["cb", "cc"])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (
+        merged.withColumn("cum_b", F.sum("cb").over(w))
+        .withColumn("cum_c", F.sum("cc").over(w))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+    )
+    d = stepped.agg(
+        F.max(
+            F.abs(F.col("cum_b") * F.col("_nc") - F.col("cum_c") * F.col("_nb"))
+        ).cast("long").alias("d_num"),
+        F.max("_nb").cast("long").alias("n_base"),
+        F.max("_nc").cast("long").alias("n_cur"),
+    )
+    return d.select(
+        "d_num",
+        "n_base",
+        "n_cur",
+        F.expr("d_num * 1000000L div (n_base * n_cur)").alias("ks_e6"),
     )

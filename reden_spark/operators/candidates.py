@@ -185,3 +185,54 @@ def nil_clusters(
         "n_mentions",
         "n_docs",
     )
+
+
+def deletion_variants(df: DataFrame, col: str) -> DataFrame:
+    """Explode each string into its 1-deletion neighborhood PLUS the
+    string itself: (original, variant).  substring math only — no UDF,
+    stays inside whole-stage codegen; output size is O(len) rows per
+    string, which is the whole point of FastSS blocking (bounded,
+    length-proportional blow-up instead of an all-pairs comparison)."""
+    s = F.col(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1), s.substr(i + 1, F.length(s))
+        ),
+    )
+    variants = F.array_union(F.array(s), dels)
+    return df.withColumn("variant", F.explode(variants))
+
+
+def fuzzy_candidates(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    mention_col: str = "surface",
+    alias_col: str = "alias_norm",
+    max_dist: int = 1,
+) -> DataFrame:
+    """(mention, alias, dist) — edit-distance-≤1 dictionary candidate
+    generation via FastSS 1-deletion-neighborhood blocking (Bocek et
+    al. 2007): two strings within edit distance 1 share a member of
+    each other's {self} ∪ del1 set, so joining the two exploded variant
+    tables on the variant key yields a candidate superset (the
+    neighborhood join admits some distance-2 pairs), and one exact
+    ``levenshtein`` verify on the CANDIDATES ONLY prunes it.  This is
+    the OCR-noise / diacritics-loss recall path for the reference's
+    dictionary lookup (DicoProcessingNEL.java:410-415 normalizes but
+    cannot recover a dropped character).
+
+    Scale shape: each side explodes to O(avg_len) rows, the join key is
+    a short string, and levenshtein runs only on blocked pairs — never
+    an all-pairs product.  At 100 TB the dictionary side is the small
+    one; its exploded variant table broadcasts."""
+    m = deletion_variants(
+        mentions.select(F.col(mention_col).alias("mention")).distinct(), "mention"
+    )
+    d = deletion_variants(
+        dictionary.select(F.col(alias_col).alias("alias")).distinct(), "alias"
+    )
+    pairs = m.join(F.broadcast(d), "variant").select("mention", "alias").distinct()
+    return pairs.withColumn(
+        "dist", F.levenshtein("mention", "alias").cast("long")
+    ).filter(F.col("dist") <= max_dist)

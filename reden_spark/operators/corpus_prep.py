@@ -456,3 +456,49 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
     )
     return clusters.select("node", "cluster", split.alias("split"))
+
+
+def mix_allocation(
+    token_counts: DataFrame,
+    weights: DataFrame,
+    budget_tokens: int,
+    max_epochs_e3: int = 1000,
+) -> DataFrame:
+    """Training-mixture token allocator: given per-source token counts
+    and target mixture weights, how many tokens does each source
+    contribute to a ``budget_tokens`` training run when no source may
+    repeat more than ``max_epochs_e3``/1000 epochs?  One row per
+    source, all integer math (token counts are integers; epochs are
+    milli-epochs):
+
+      (source, tokens, desired, alloc, epochs_e3, shortfall)
+
+    desired = budget·w/(Σw); alloc = min(desired, tokens·max_epochs);
+    shortfall > 0 marks a source whose target share is unreachable at
+    the repeat cap — the report a data-mixture owner reads BEFORE
+    launching, instead of discovering mid-run that a 2% source was
+    silently upsampled 40 epochs.  Redistribution of shortfall is the
+    caller's policy loop (rerun with adjusted weights), not hidden here.
+
+    Scale shape: the per-source table is tiny (sources ≪ rows); the
+    only big-data touch is whatever groupBy produced ``token_counts``;
+    the weight sum rides in as a broadcast 1-row aggregate."""
+    wsum = weights.agg(F.sum("w_num").cast("long").alias("_w"))
+    j = token_counts.join(weights, "source").crossJoin(F.broadcast(wsum))
+    desired = F.expr(f"CAST({budget_tokens} AS BIGINT) * w_num div _w")
+    capacity = F.expr(f"tokens * {max_epochs_e3} div 1000")
+    alloc = F.least(desired, capacity)
+    staged = j.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        desired.cast("long").alias("desired"),
+        alloc.cast("long").alias("alloc"),
+    )
+    return staged.select(
+        "source",
+        "tokens",
+        "desired",
+        "alloc",
+        F.expr("alloc * 1000 div tokens").cast("long").alias("epochs_e3"),
+        F.expr("desired - alloc").cast("long").alias("shortfall"),
+    )

@@ -390,3 +390,28 @@ def compaction_plan(
         "action",
         F.when(F.col("n_files") > 1, F.lit("rewrite")).otherwise(F.lit("keep")),
     )
+
+
+def cdc_apply(changelog: DataFrame) -> DataFrame:
+    """Collapse a CDC changelog (key, version, op, value) into the
+    current snapshot: per key, the highest-version row wins (ties break
+    on op desc then value — deterministic), and a winning tombstone
+    (op = 'd') DELETES the key from the snapshot entirely.  This is the
+    Debezium/Iceberg changelog-merge shape kg_upsert lacks: upsert
+    keeps every key ever seen; CDC must forget.
+
+    Output: (key, version, value) — live keys only.
+
+    Scale shape: one key exchange, one window; at 100 TB the changelog
+    pre-aggregates per partition via the same key (map-side max-version
+    combine is not safe under ties, so the window does the exact
+    collapse — AQE coalesces the skewed post-filter side)."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("version").desc(), F.col("op").desc(), F.col("value").desc()
+    )
+    latest = (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.filter(F.col("op") != "d").select("key", "version", "value")

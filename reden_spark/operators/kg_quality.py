@@ -298,3 +298,67 @@ def kg_provenance(
             " sum(n_occurrences) OVER (PARTITION BY subj) AS BIGINT)"
         ),
     )
+
+
+def domain_range_check(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    domains: DataFrame | None = None,
+    ranges: DataFrame | None = None,
+) -> DataFrame:
+    """OWL-lite domain/range validation: for every non-type triple whose
+    predicate declares a domain (resp. range), flag it unless the
+    subject (resp. object) carries at least one matching ``type_pred``
+    type.  Untyped nodes count as violations — at construction scale an
+    untyped subject under a constrained predicate is exactly the row a
+    curator must see.  Output, one row per offense:
+
+      (subj, pred, obj, violation) with violation in
+        'domain' — subject's type set misses every declared domain
+        'range'  — object's type set misses every declared range
+
+    ``domains``/``ranges`` are small (pred, type) declaration tables —
+    the ontology header, broadcast.
+
+    Scale shape: ONE node exchange builds the type-set table
+    (collect_set per node), each check is then a broadcast join on pred
+    plus one shuffle join on the node key; arrays_overlap does the set
+    test per-row, so neither check explodes the declaration list."""
+    node_types = (
+        triples.filter(F.col("pred") == type_pred)
+        .groupBy(F.col("subj").alias("node"))
+        .agg(F.collect_set("obj").alias("types"))
+    )
+    facts = triples.filter(F.col("pred") != type_pred)
+    parts = []
+    if domains is not None:
+        dom = domains.groupBy("pred").agg(
+            F.collect_set("type").alias("allowed")
+        )
+        parts.append(
+            facts.join(F.broadcast(dom), "pred")
+            .join(node_types, facts["subj"] == node_types["node"], "left")
+            .filter(
+                F.col("types").isNull()
+                | ~F.arrays_overlap("types", "allowed")
+            )
+            .select("subj", "pred", "obj", F.lit("domain").alias("violation"))
+        )
+    if ranges is not None:
+        rng = ranges.groupBy("pred").agg(
+            F.collect_set("type").alias("allowed")
+        )
+        parts.append(
+            facts.join(F.broadcast(rng), "pred")
+            .join(node_types, facts["obj"] == node_types["node"], "left")
+            .filter(
+                F.col("types").isNull()
+                | ~F.arrays_overlap("types", "allowed")
+            )
+            .select("subj", "pred", "obj", F.lit("range").alias("violation"))
+        )
+    assert parts, "declare at least one of domains/ranges"
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,101 @@
+"""Round-4 wave 6: fuzzy candidate blocking, domain/range validation,
+CDC changelog collapse — hand-built cases with known-exact answers."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.candidates import deletion_variants, fuzzy_candidates
+from reden_spark.operators.kg_maintain import cdc_apply
+from reden_spark.operators.kg_quality import domain_range_check
+
+
+def test_deletion_variants_exact(spark):
+    df = spark.createDataFrame([("ab",)], "s string")
+    got = sorted(
+        r.variant for r in deletion_variants(df, "s").collect()
+    )
+    assert got == ["a", "ab", "b"]
+
+
+def test_fuzzy_candidates_blocks_and_verifies(spark):
+    mentions = spark.createDataFrame(
+        [("pari",), ("parys",), ("lond",), ("berlin",)], "surface string"
+    )    # pari: deletion of paris; parys: substitution; lond: distance 2
+    dictionary = spark.createDataFrame(
+        [("paris",), ("london",), ("berlin",)], "alias_norm string"
+    )
+    rows = {
+        (r.mention, r.alias, r.dist)
+        for r in fuzzy_candidates(mentions, dictionary).collect()
+    }
+    assert ("pari", "paris", 1) in rows          # 1 deletion
+    assert ("parys", "paris", 1) in rows         # 1 substitution
+    assert ("berlin", "berlin", 0) in rows       # exact passes through
+    assert not any(m == "lond" and a == "london" for m, a, _ in rows)
+
+
+def test_fuzzy_candidates_insertion_case(spark):
+    # mention one char LONGER than the alias (insertion)
+    mentions = spark.createDataFrame([("parris",)], "surface string")
+    dictionary = spark.createDataFrame([("paris",)], "alias_norm string")
+    rows = fuzzy_candidates(mentions, dictionary).collect()
+    assert [(r.mention, r.alias, r.dist) for r in rows] == [
+        ("parris", "paris", 1)
+    ]
+
+
+def test_domain_range_check_all_violation_kinds(spark):
+    triples = spark.createDataFrame(
+        [
+            ("o1", "rdf:type", "Order"),
+            ("c1", "rdf:type", "Customer"),
+            ("o1", "placed_by", "c1"),    # clean
+            ("c1", "placed_by", "o1"),    # wrong-type subj AND obj
+            ("o9", "placed_by", "c9"),    # untyped subj AND obj
+        ],
+        "subj string, pred string, obj string",
+    )
+    dom = spark.createDataFrame([("placed_by", "Order")], "pred string, type string")
+    rng = spark.createDataFrame(
+        [("placed_by", "Customer")], "pred string, type string"
+    )
+    got = {
+        (r.subj, r.obj, r.violation)
+        for r in domain_range_check(triples, domains=dom, ranges=rng).collect()
+    }
+    assert got == {
+        ("c1", "o1", "domain"),
+        ("c1", "o1", "range"),
+        ("o9", "c9", "domain"),
+        ("o9", "c9", "range"),
+    }
+
+
+def test_domain_range_check_multi_type_node_passes(spark):
+    # a node with several types passes if ANY type matches
+    triples = spark.createDataFrame(
+        [
+            ("x", "rdf:type", "Order"),
+            ("x", "rdf:type", "Thing"),
+            ("c", "rdf:type", "Customer"),
+            ("x", "placed_by", "c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    dom = spark.createDataFrame([("placed_by", "Order")], "pred string, type string")
+    assert domain_range_check(triples, domains=dom).count() == 0
+
+
+def test_cdc_apply_tombstone_deletes_key(spark):
+    changelog = spark.createDataFrame(
+        [
+            ("k1", 1, "u", "a"),
+            ("k1", 2, "d", ""),        # latest is delete -> k1 gone
+            ("k2", 1, "d", ""),
+            ("k2", 2, "u", "b"),       # re-created after delete -> b
+            ("k3", 5, "u", "c"),
+            ("k3", 3, "u", "old"),     # stale update loses
+        ],
+        "key string, version long, op string, value string",
+    )
+    got = {(r.key, r.version, r.value) for r in cdc_apply(changelog).collect()}
+    assert got == {("k2", 2, "b"), ("k3", 5, "c")}

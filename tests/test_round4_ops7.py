@@ -1,0 +1,59 @@
+"""Round-4 wave 7: drift monitoring + mixture allocation — exact
+hand-computed answers."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.analytics import drift_histogram, ks_statistic
+from reden_spark.operators.corpus_prep import mix_allocation
+
+
+def test_drift_histogram_exact_shares(spark):
+    base = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "bin string")
+    cur = spark.createDataFrame([("a",)] * 1 + [("c",)] * 1, "bin string")
+    got = {r.bin: r for r in drift_histogram(base, cur).collect()}
+    assert got["a"].base_share_e6 == 750_000 and got["a"].cur_share_e6 == 500_000
+    assert got["a"].drift_e6 == 250_000
+    assert got["b"].n_cur == 0 and got["b"].drift_e6 == 250_000
+    assert got["c"].n_base == 0 and got["c"].cur_share_e6 == 500_000
+
+
+def test_ks_statistic_identical_is_zero(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    row = ks_statistic(a, a).collect()[0]
+    assert row.d_num == 0 and row.ks_e6 == 0
+
+
+def test_ks_statistic_disjoint_is_one(spark):
+    a = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    b = spark.createDataFrame([(10.0,), (20.0,)], "value double")
+    row = ks_statistic(a, b).collect()[0]
+    # D = 1 exactly: at x=2 F_a=1, F_b=0
+    assert row.d_num == row.n_base * row.n_cur
+    assert row.ks_e6 == 1_000_000
+
+
+def test_ks_statistic_hand_case(spark):
+    # base {1,2,3,4}, cur {3,4,5,6}: sup gap at x=2 -> |2/4 - 0/4| = 1/2
+    a = spark.createDataFrame([(float(i),) for i in [1, 2, 3, 4]], "value double")
+    b = spark.createDataFrame([(float(i),) for i in [3, 4, 5, 6]], "value double")
+    row = ks_statistic(a, b).collect()[0]
+    assert row.d_num == 8 and row.ks_e6 == 500_000  # 8 / (4*4) = 0.5
+
+
+def test_mix_allocation_cap_and_shortfall(spark):
+    tc = spark.createDataFrame(
+        [("big", 1000), ("small", 10)], "source string, tokens long"
+    )
+    w = spark.createDataFrame(
+        [("big", 1), ("small", 1)], "source string, w_num long"
+    )
+    # budget 200, equal weights -> desired 100 each; small capped at
+    # 10 tokens * 2 epochs = 20 -> shortfall 80
+    got = {
+        r.source: r
+        for r in mix_allocation(tc, w, budget_tokens=200, max_epochs_e3=2000).collect()
+    }
+    assert got["big"].alloc == 100 and got["big"].shortfall == 0
+    assert got["big"].epochs_e3 == 100  # 100/1000 tokens = 0.1 epochs
+    assert got["small"].alloc == 20 and got["small"].shortfall == 80
+    assert got["small"].epochs_e3 == 2000
