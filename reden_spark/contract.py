@@ -8521,3 +8521,76 @@ def q_mix_allocation(spark, sf_dir):
         )
     )
     return mix_allocation(tc, weights, budget_tokens=1_000_000, max_epochs_e3=2500)
+
+
+# ---------------------------------------------------------------------------
+# Approximate Neighborhood Function (Flajolet–Martin register sketches).
+
+_ANF_ROUNDS = 3
+
+
+def _anf_oracle_sql(rounds: int) -> str:
+    from reden_spark.operators.graphstats import (
+        _ANF_ALPHA,
+        _ANF_MOD,
+        _ANF_PARAMS,
+        _ANF_POW2_FRAC,
+        _ANF_RHO_CAP,
+    )
+
+    def rho(h: str) -> str:
+        branches = [f"WHEN ({h}) % 2 = 1 THEN 1"]
+        for k in range(2, _ANF_RHO_CAP):
+            branches.append(f"WHEN ({h}) % {2 ** k} = {2 ** (k - 1)} THEN {k}")
+        return "CASE " + " ".join(branches) + f" ELSE {_ANF_RHO_CAP} END"
+
+    regs = " UNION ALL ".join(
+        f"SELECT node, {j} AS reg, CAST({rho(f'(node * {a} + {b}) % {_ANF_MOD}')} AS BIGINT) AS val FROM nodes"
+        for j, (a, b) in enumerate(_ANF_PARAMS)
+    )
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),""",
+        f"\n    s0 AS MATERIALIZED ({regs})",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    s{r} AS MATERIALIZED (
+      SELECT node, reg, max(val) AS val FROM (
+        SELECT e.src AS node, s.reg, s.val
+        FROM sym e JOIN s{r - 1} s ON e.dst = s.node
+        UNION ALL SELECT node, reg, val FROM s{r - 1})
+      GROUP BY 1, 2)"""
+        )
+    frac = "CASE " + " ".join(
+        f"WHEN reg_sum % 8 = {j} THEN {_ANF_POW2_FRAC[j]!r}" for j in range(1, 8)
+    ) + " ELSE 1.0 END"
+    parts.append(
+        f""",
+    ps AS (SELECT node, CAST(sum(val) AS BIGINT) AS reg_sum
+           FROM s{rounds} GROUP BY 1)
+    SELECT node, reg_sum,
+           CAST(floor((CAST(1 AS BIGINT) << (reg_sum // 8)) * ({frac})
+                      * 1000000.0 / {_ANF_ALPHA!r}) AS BIGINT)
+             AS ball_est_e6
+    FROM ps"""
+    )
+    return "".join(parts)
+
+
+@query("anf_sketch", _anf_oracle_sql(_ANF_ROUNDS))
+def q_anf_sketch(spark, sf_dir):
+    """Approximate Neighborhood Function (operators/graphstats.
+    anf_sketch): {_ANF_ROUNDS} synchronous register-max rounds over the
+    shared order/customer graph; per-node FM ball-size estimate in
+    integer micro-units.  The sketch state is 8 longs per node whatever
+    the graph size — the scalable stand-in for exact r-ball counting,
+    whose exact twin (a transitive closure) is the thing a 10^12-edge
+    graph cannot afford."""
+    from reden_spark.operators.graphstats import anf_sketch
+
+    return anf_sketch(_kcore_edges(spark, sf_dir), rounds=_ANF_ROUNDS)

@@ -198,3 +198,98 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             ),
         ).alias("r"),
     )
+
+
+_ANF_PARAMS = [(37 + 101 * i, 19 + 29 * i) for i in range(8)]
+_ANF_MOD = 1_000_000_007
+_ANF_RHO_CAP = 16
+# 2^(j/8) for j = 0..7 — fixed literals so both engines parse the same
+# doubles; the estimate is then pure IEEE multiply/divide on integers.
+_ANF_POW2_FRAC = [
+    1.0,
+    1.0905077326652577,
+    1.189207115002721,
+    1.2968395546510096,
+    1.4142135623730951,
+    1.5422108254079407,
+    1.681792830507429,
+    1.8340080864093424,
+]
+_ANF_ALPHA = 0.77351  # Flajolet–Martin bias correction
+
+
+def _rho(col):
+    """rho(h) = index of lowest set bit + 1, capped — the geometric
+    observable Flajolet–Martin registers record.  An explicit CASE
+    chain (h mod 2^k) so the oracle can state the identical integers."""
+    expr = F.lit(_ANF_RHO_CAP)
+    for k in range(_ANF_RHO_CAP - 1, 0, -1):
+        expr = F.when(col % (2 ** k) == 2 ** (k - 1), F.lit(k)).otherwise(expr)
+    return F.when(col % 2 == 1, F.lit(1)).otherwise(expr)
+
+
+def anf_sketch(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Approximate Neighborhood Function (ANF / HyperANF, Palmer et al.
+    2002; Boldi et al. 2011) with Flajolet–Martin registers: after
+    round r each node's 8 registers summarize its r-ball, and
+
+      (node, reg_sum, ball_est_e6)
+
+    reports the FM cardinality estimate 2^(reg_sum/8)/α per node in
+    integer micro-units (floor before the cast — DuckDB rounds on
+    CAST, Spark truncates; floor pins both).  This is THE scalable
+    substitute for exact per-node ball sizes / effective-diameter
+    estimation: exact |ball(v,r)| is a transitive closure, the sketch
+    is a fixed 8 ints per node.
+
+    Scale shape: registers live in long form (node, reg, val) — round
+    r+1 is one join edges⋈sketch on the node key + one (node, reg)
+    max-aggregate, both map-side combinable; state is 8 rows per node
+    regardless of graph size, and register merge is max() so the
+    iteration tolerates recomputation (idempotent, speculative-task
+    safe).  Every round's frame is persisted: it feeds both the join
+    and the self-union."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    init_parts = []
+    for j, (a, b) in enumerate(_ANF_PARAMS):
+        h = (F.col("node") * a + b) % _ANF_MOD
+        init_parts.append(
+            nodes.select(
+                "node", F.lit(j).alias("reg"), _rho(h).cast("long").alias("val")
+            )
+        )
+    sketch = init_parts[0]
+    for p in init_parts[1:]:
+        sketch = sketch.unionByName(p)
+    sketch = sketch.persist()
+    for _ in range(rounds):
+        propagated = sym.join(
+            sketch.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "reg", "val")
+        nxt = (
+            propagated.unionByName(sketch)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .persist()
+        )
+        sketch.unpersist()
+        sketch = nxt
+    per_node = sketch.groupBy("node").agg(
+        F.sum("val").cast("long").alias("reg_sum")
+    )
+    frac = F.lit(_ANF_POW2_FRAC[0])
+    for j in range(1, 8):
+        frac = F.when(
+            F.col("reg_sum") % 8 == j, F.lit(_ANF_POW2_FRAC[j])
+        ).otherwise(frac)
+    shifted = F.expr("CAST(1 AS BIGINT) << (reg_sum div 8)")
+    return per_node.select(
+        "node",
+        "reg_sum",
+        F.floor(
+            shifted * frac * F.lit(1000000.0) / F.lit(_ANF_ALPHA)
+        ).cast("long").alias("ball_est_e6"),
+    )

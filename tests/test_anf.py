@@ -1,0 +1,64 @@
+"""anf_sketch: the register propagation must equal a brute-force
+replay — registers of node v after r rounds are the element-wise max
+of the initial registers over v's exact r-ball."""
+
+import math
+
+from reden_spark.operators.graphstats import (
+    _ANF_ALPHA,
+    _ANF_MOD,
+    _ANF_PARAMS,
+    _ANF_POW2_FRAC,
+    _ANF_RHO_CAP,
+    anf_sketch,
+)
+
+
+def _rho_py(h):
+    if h % 2 == 1:
+        return 1
+    for k in range(2, _ANF_RHO_CAP):
+        if h % (2 ** k) == 2 ** (k - 1):
+            return k
+    return _ANF_RHO_CAP
+
+
+def _ball(adj, v, r):
+    seen = {v}
+    frontier = {v}
+    for _ in range(r):
+        frontier = {u for x in frontier for u in adj.get(x, ())} - seen
+        seen |= frontier
+    return seen
+
+
+def test_anf_matches_exact_ball_replay(spark):
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (2, 6)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rounds = 2
+    got = {r.node: (r.reg_sum, r.ball_est_e6) for r in anf_sketch(edges, rounds=rounds).collect()}
+    for v in adj:
+        regs = []
+        for a, b in _ANF_PARAMS:
+            regs.append(
+                max(_rho_py((u * a + b) % _ANF_MOD) for u in _ball(adj, v, rounds))
+            )
+        reg_sum = sum(regs)
+        est = math.floor(
+            (1 << (reg_sum // 8)) * _ANF_POW2_FRAC[reg_sum % 8] * 1000000.0 / _ANF_ALPHA
+        )
+        assert got[v] == (reg_sum, est), f"node {v}"
+
+
+def test_anf_zero_rounds_is_self_only(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.reg_sum for r in anf_sketch(edges, rounds=0).collect()}
+    for v in (1, 2):
+        expect = sum(
+            _rho_py((v * a + b) % _ANF_MOD) for a, b in _ANF_PARAMS
+        )
+        assert got[v] == expect
