@@ -406,12 +406,25 @@ def cdc_apply(changelog: DataFrame) -> DataFrame:
     pre-aggregates per partition via the same key (map-side max-version
     combine is not safe under ties, so the window does the exact
     collapse — AQE coalesces the skewed post-filter side)."""
+    return cdc_compact(changelog).filter(F.col("op") != "d").select(
+        "key", "version", "value"
+    )
+
+
+def cdc_compact(changelog: DataFrame) -> DataFrame:
+    """Per-key winning row of a CDC changelog, TOMBSTONES KEPT:
+    (key, version, op, value).  This is the log-compaction primitive —
+    the winner per key is sufficient state for any future merge
+    (cdc_apply(compact(A) ∪ B) == cdc_apply(A ∪ B), pinned in
+    tests/test_streaming_cdc.py), and the tombstone must survive
+    compaction because a lower-version row for the same key may still
+    arrive in a later batch and must stay suppressed.  cdc_apply is
+    compact + drop tombstones."""
     w = Window.partitionBy("key").orderBy(
         F.col("version").desc(), F.col("op").desc(), F.col("value").desc()
     )
-    latest = (
+    return (
         changelog.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    return latest.filter(F.col("op") != "d").select("key", "version", "value")

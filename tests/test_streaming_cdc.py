@@ -1,0 +1,102 @@
+"""Streaming CDC log vs batch cdc_apply: any micro-batch split of the
+changelog must land a log whose snapshot equals the batch collapse of
+the whole changelog; compaction must not change future snapshots."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reden_spark.operators.kg_maintain import cdc_apply, cdc_compact
+from reden_spark.streaming.cdc_stream import (
+    cdc_compact_log,
+    cdc_snapshot,
+    stream_cdc_log,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _changelog(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    return o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+            F.lit("d"),
+        )
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("o_orderpriority").alias("value"),
+    )
+
+
+@pytest.fixture(scope="module")
+def cdc_input(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cdc") / "changelog")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    _changelog(spark).repartition(6).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _rows(df):
+    return {(r.key, r.version, r.value) for r in df.collect()}
+
+
+def test_stream_log_snapshot_equals_batch(spark, cdc_input, tmp_path):
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(
+            "key long, version long, op string, value string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(cdc_input)
+    )
+    q = stream_cdc_log(stream, ckpt, log_dir)
+    q.awaitTermination(180)
+    # several batch partitions actually landed
+    n_batches = (
+        spark.read.parquet(log_dir).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+    assert _rows(cdc_snapshot(spark, log_dir)) == _rows(
+        cdc_apply(_changelog(spark))
+    )
+
+
+def test_compaction_preserves_snapshots(spark, tmp_path):
+    early = spark.createDataFrame(
+        [("k1", 5, "d", ""), ("k2", 1, "u", "a")],
+        "key string, version long, op string, value string",
+    )
+    late = spark.createDataFrame(
+        # k1 v3 arrives AFTER the tombstone v5 was compacted: must stay
+        # suppressed; k2 gets a newer value
+        [("k1", 3, "u", "zombie"), ("k2", 2, "u", "b")],
+        "key string, version long, op string, value string",
+    )
+    compacted = cdc_compact(early)
+    merged = cdc_apply(compacted.unionByName(late))
+    direct = cdc_apply(early.unionByName(late))
+    assert _rows(merged) == _rows(direct) == {("k2", 2, "b")}
+
+
+def test_compact_log_roundtrip(spark, cdc_input, tmp_path):
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(
+            "key long, version long, op string, value string"
+        )
+        .option("maxFilesPerTrigger", 3)
+        .parquet(cdc_input)
+    )
+    stream_cdc_log(stream, ckpt, log_dir).awaitTermination(180)
+    compacted_dir = str(tmp_path / "base")
+    base = cdc_compact_log(spark, log_dir, compacted_dir)
+    # compacted base alone yields the same snapshot as the raw log
+    assert _rows(cdc_apply(base)) == _rows(cdc_snapshot(spark, log_dir))
+    # and it is one row per key
+    assert base.groupBy("key").count().filter("count > 1").count() == 0
