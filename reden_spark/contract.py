@@ -8594,3 +8594,48 @@ def q_anf_sketch(spark, sf_dir):
     from reden_spark.operators.graphstats import anf_sketch
 
     return anf_sketch(_kcore_edges(spark, sf_dir), rounds=_ANF_ROUNDS)
+
+
+@query(
+    "frontier_schedule",
+    """
+    WITH f AS (
+      SELECT 'https://h' || (doc_id % 37) || '.example.org/p/' || doc_id AS url,
+             'h' || (doc_id % 37) AS host,
+             CAST(doc_id % 5 AS BIGINT) AS priority,
+             CAST(doc_id AS BIGINT) AS discovered_ts
+      FROM documents),
+    r AS (
+      SELECT url, host,
+             CAST(row_number() OVER (
+               PARTITION BY host
+               ORDER BY priority DESC, discovered_ts ASC, url ASC)
+             AS BIGINT) AS host_rank
+      FROM f)
+    SELECT url, host, host_rank,
+           CAST(CASE WHEN (host_rank - 1) // 2 < 5
+                     THEN (host_rank - 1) // 2 ELSE -1 END AS BIGINT) AS wave
+    FROM r
+    """,
+)
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling (operators/
+    corpus_prep.frontier_schedule): a synthetic frontier (37 hosts over
+    documents) scheduled at 2 URLs/host/wave with a 5-wave horizon —
+    hosts deeper than the horizon emit wave = -1 (deferred, observable)
+    instead of disappearing."""
+    from reden_spark.operators.corpus_prep import frontier_schedule
+
+    docs = _read(spark, sf_dir, "documents")
+    f = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+        (F.col("doc_id") % 5).cast("long").alias("priority"),
+        F.col("doc_id").cast("long").alias("discovered_ts"),
+    )
+    return frontier_schedule(f, per_host_per_wave=2, max_waves=5)

@@ -502,3 +502,41 @@ def mix_allocation(
         F.expr("alloc * 1000 div tokens").cast("long").alias("epochs_e3"),
         F.expr("desired - alloc").cast("long").alias("shortfall"),
     )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    per_host_per_wave: int = 1,
+    max_waves: int = 100,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: given candidate URLs
+    (url, host, priority, discovered_ts), assign each URL a fetch
+    ``wave`` such that no host appears more than ``per_host_per_wave``
+    times per wave — the crawler's rate limit expressed as data.  URLs
+    beyond ``max_waves`` are emitted with wave = -1 (deferred) rather
+    than silently dropped (the no-silent-caps rule).  Within a host,
+    higher priority first, then older discovery, then url — total
+    order, so re-runs schedule identically.
+
+      (url, host, host_rank, wave)
+
+    Scale shape: ONE window partitioned by host — the natural
+    partitioning key of a frontier (hosts are many, so the exchange is
+    balanced; a pathological mega-host is one partition and AQE splits
+    its sort).  No global ordering anywhere: waves interleave hosts by
+    construction."""
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url").asc()
+    )
+    ranked = frontier.withColumn(
+        "host_rank", F.row_number().over(w).cast("long")
+    )
+    wave = F.expr(f"(host_rank - 1) div {per_host_per_wave}")
+    return ranked.select(
+        "url",
+        "host",
+        "host_rank",
+        F.when(wave < max_waves, wave).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("wave"),
+    )

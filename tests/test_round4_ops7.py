@@ -57,3 +57,26 @@ def test_mix_allocation_cap_and_shortfall(spark):
     assert got["big"].epochs_e3 == 100  # 100/1000 tokens = 0.1 epochs
     assert got["small"].alloc == 20 and got["small"].shortfall == 80
     assert got["small"].epochs_e3 == 2000
+
+
+def test_frontier_schedule_politeness_and_deferral(spark):
+    from reden_spark.operators.corpus_prep import frontier_schedule
+
+    rows = [
+        (f"u{h}{i}", f"host{h}", i % 2, i) for h in range(2) for i in range(5)
+    ]
+    f = spark.createDataFrame(
+        rows, "url string, host string, priority long, discovered_ts long"
+    )
+    out = frontier_schedule(f, per_host_per_wave=1, max_waves=4).collect()
+    per_wave_host = {}
+    for r in out:
+        if r.wave >= 0:
+            key = (r.wave, r.host)
+            per_wave_host[key] = per_wave_host.get(key, 0) + 1
+    assert all(v == 1 for v in per_wave_host.values())  # politeness cap
+    deferred = [r for r in out if r.wave == -1]
+    assert len(deferred) == 2  # 5 urls/host, 4 waves -> 1 deferred each
+    # priority first: host_rank 1 goes to a priority-1 url
+    first = {r.host: r.url for r in out if r.host_rank == 1}
+    assert all(u in {"u01", "u11"} for u in first.values())
