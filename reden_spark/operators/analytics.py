@@ -123,12 +123,14 @@ def drift_histogram(
     Scale shape: two map-side-combinable groupBys (bin cardinality ≪
     rows), a full outer join on the bin key, totals ride in as
     broadcast 1-row aggregates."""
+    # each histogram feeds the outer join AND its own total — persist so
+    # the row-sized inputs scan once
     b = baseline.groupBy(F.col(bin_col).alias("bin")).agg(
         F.count("*").cast("long").alias("n_base")
-    )
+    ).persist()
     c = current.groupBy(F.col(bin_col).alias("bin")).agg(
         F.count("*").cast("long").alias("n_cur")
-    )
+    ).persist()
     nb = b.agg(F.sum("n_base").alias("_nb"))
     nc = c.agg(F.sum("n_cur").alias("_nc"))
     joined = (
@@ -168,12 +170,13 @@ def ks_statistic(
     one global-ordered running-sum window over the DISTINCT-value
     table (≪ rows; for truly unbounded value domains quantile-sketch
     pre-binning bounds it), two broadcast totals."""
+    # value histograms feed the outer join AND the totals — persist
     b = baseline.groupBy(F.col(value_col).alias("v")).agg(
         F.count("*").cast("long").alias("cb")
-    )
+    ).persist()
     c = current.groupBy(F.col(value_col).alias("v")).agg(
         F.count("*").cast("long").alias("cc")
-    )
+    ).persist()
     nb = b.agg(F.sum("cb").alias("_nb"))
     nc = c.agg(F.sum("cc").alias("_nc"))
     merged = b.join(c, "v", "full_outer").na.fill(0, ["cb", "cc"])

@@ -249,9 +249,10 @@ def anf_sketch(edges: DataFrame, rounds: int = 3) -> DataFrame:
     iteration tolerates recomputation (idempotent, speculative-task
     safe).  Every round's frame is persisted: it feeds both the join
     and the self-union."""
+    # sym feeds the node derivation AND every propagation round
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     init_parts = []
     for j, (a, b) in enumerate(_ANF_PARAMS):

@@ -324,12 +324,15 @@ def domain_range_check(
     (collect_set per node), each check is then a broadcast join on pred
     plus one shuffle join on the node key; arrays_overlap does the set
     test per-row, so neither check explodes the declaration list."""
+    # both the domain and the range path probe these two frames — persist
+    # or the triple table scans four times instead of once each
     node_types = (
         triples.filter(F.col("pred") == type_pred)
         .groupBy(F.col("subj").alias("node"))
         .agg(F.collect_set("obj").alias("types"))
+        .persist()
     )
-    facts = triples.filter(F.col("pred") != type_pred)
+    facts = triples.filter(F.col("pred") != type_pred).persist()
     parts = []
     if domains is not None:
         dom = domains.groupBy("pred").agg(
