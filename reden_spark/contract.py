@@ -8639,3 +8639,85 @@ def q_frontier_schedule(spark, sf_dir):
         F.col("doc_id").cast("long").alias("discovered_ts"),
     )
     return frontier_schedule(f, per_host_per_wave=2, max_waves=5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance + stats-based file pruning.
+
+
+@query(
+    "ivm_apply",
+    """
+    SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(o_orderkey % 1000) AS BIGINT) AS total
+    FROM orders
+    WHERE (o_orderkey % 4 = 0) OR (o_orderkey % 9 <> 0)
+    GROUP BY 1
+    HAVING count(*) <> 0
+    """,
+)
+def q_ivm_apply(spark, sf_dir):
+    """Incremental view maintenance (operators/kg_maintain.ivm_apply):
+    the view aggregates the already-ingested orders (o_orderkey%4!=0);
+    the delta INSERTS the %4==0 rows and RETRACTS the %9==0 subset of
+    the ingested ones.  The oracle is the FROM-SCRATCH aggregate over
+    the final multiset — the IVM equivalence theorem itself is the
+    check, not a replay of the merge arithmetic."""
+    from reden_spark.operators.kg_maintain import ivm_apply
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        (F.col("o_orderkey") % 1000).cast("long").alias("val"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    ingested = o.filter(F.col("ok") % 4 != 0)
+    view = ingested.groupBy("key").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("val").cast("long").alias("total"),
+    )
+    inserts = o.filter(F.col("ok") % 4 == 0).select(
+        "key", F.lit(1).alias("mult"), "val"
+    )
+    retractions = ingested.filter(F.col("ok") % 9 == 0).select(
+        "key", F.lit(-1).alias("mult"), "val"
+    )
+    return ivm_apply(view, inserts.unionByName(retractions))
+
+
+@query(
+    "file_prune_plan",
+    """
+    WITH stats AS (
+      SELECT CAST(l_orderkey // 600 AS BIGINT) AS file_id,
+             CAST(min(datediff('day', DATE '1992-01-01',
+                               CAST(l_shipdate AS DATE))) AS BIGINT) AS min_v,
+             CAST(max(datediff('day', DATE '1992-01-01',
+                               CAST(l_shipdate AS DATE))) AS BIGINT) AS max_v,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1)
+    SELECT file_id, min_v, max_v, n_rows,
+           CASE WHEN max_v < 400 OR min_v > 900 THEN 'prune'
+                WHEN min_v >= 400 AND max_v <= 900 THEN 'scan_full'
+                ELSE 'scan_partial' END AS decision
+    FROM stats
+    """,
+)
+def q_file_prune_plan(spark, sf_dir):
+    """Stats-based scan planning (operators/kg_maintain.
+    file_prune_plan): lineitem sliced into 600-order 'files', per-file
+    shipdate min/max (integer days since 1992-01-01), classified
+    against the predicate [400, 900] — prune / scan_full /
+    scan_partial, the Iceberg manifest-pruning decision as a
+    reviewable table."""
+    from reden_spark.operators.kg_maintain import file_prune_plan
+
+    li = _read(spark, sf_dir, "lineitem")
+    day = F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01"))
+    stats = li.groupBy(
+        F.expr("l_orderkey div 600").cast("long").alias("file_id")
+    ).agg(
+        F.min(day).cast("long").alias("min_v"),
+        F.max(day).cast("long").alias("max_v"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return file_prune_plan(stats, F.lit(400), F.lit(900))

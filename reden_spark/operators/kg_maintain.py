@@ -428,3 +428,77 @@ def cdc_compact(changelog: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def ivm_apply(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental view maintenance for additive aggregates (the DBSP /
+    differential-dataflow shape): ``view`` is existing per-key state
+    (key, cnt, total); ``delta`` is a multiset changelog
+    (key, mult, val) with mult = +1 insert / -1 retraction.  The new
+    view is state + Σmult per key, computed WITHOUT rescanning the
+    base relation — the whole point at 100 TB, where the base is the
+    corpus and the delta is one crawl increment:
+
+      cnt'   = cnt + Σ mult
+      total' = total + Σ mult·val
+
+    Keys whose cnt' reaches 0 VANISH (the group retracted away);
+    a negative cnt' means the delta retracted rows the view never
+    held — emitted (not hidden) so the caller's consistency check can
+    fail loudly.
+
+    Scale shape: one map-side-combinable groupBy on the delta (tiny vs
+    the base) + one key join against the view; the view never
+    re-aggregates."""
+    d = delta.groupBy("key").agg(
+        F.sum("mult").cast("long").alias("d_cnt"),
+        F.sum(F.col("mult") * F.col("val")).cast("long").alias("d_total"),
+    )
+    merged = view.join(d, "key", "full_outer")
+    return (
+        merged.select(
+            "key",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+            (
+                F.coalesce(F.col("total"), F.lit(0))
+                + F.coalesce(F.col("d_total"), F.lit(0))
+            )
+            .cast("long")
+            .alias("total"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def file_prune_plan(
+    file_stats: DataFrame,
+    lo,
+    hi,
+) -> DataFrame:
+    """Scan planning from file-level min/max statistics (the Iceberg /
+    Parquet-footer pruning decision as a reviewable table): for a
+    predicate ``lo <= v <= hi`` over files (file_id, min_v, max_v,
+    n_rows), classify each file
+
+      'prune'        — max_v < lo or min_v > hi: never read
+      'scan_full'    — lo <= min_v and max_v <= hi: read WITHOUT
+                       row-level predicate evaluation (the range
+                       proves every row qualifies)
+      'scan_partial' — overlaps the boundary: read + filter
+
+    The table a platform engineer reads to see WHY a query touched N
+    files — and the exactness contract of stats-based pruning: a file
+    is pruned only when its range proves emptiness.
+
+    Scale shape: pure per-row projection over the stats table (files,
+    not rows) — no shuffle at all."""
+    decision = (
+        F.when((F.col("max_v") < lo) | (F.col("min_v") > hi), F.lit("prune"))
+        .when((F.col("min_v") >= lo) & (F.col("max_v") <= hi), F.lit("scan_full"))
+        .otherwise(F.lit("scan_partial"))
+    )
+    return file_stats.select(
+        "file_id", "min_v", "max_v", "n_rows", decision.alias("decision")
+    )

@@ -80,3 +80,46 @@ def test_frontier_schedule_politeness_and_deferral(spark):
     # priority first: host_rank 1 goes to a priority-1 url
     first = {r.host: r.url for r in out if r.host_rank == 1}
     assert all(u in {"u01", "u11"} for u in first.values())
+
+
+def test_ivm_apply_retraction_and_vanish(spark):
+    from reden_spark.operators.kg_maintain import ivm_apply
+
+    view = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "key string, cnt long, total long"
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", -1, 10),   # retract one a-row
+            ("b", -1, 5),    # b vanishes entirely
+            ("c", 1, 7),     # brand-new key
+            ("d", -1, 2),    # retraction with no state: NEGATIVE, emitted
+        ],
+        "key string, mult long, val long",
+    )
+    got = {(r.key, r.cnt, r.total) for r in ivm_apply(view, delta).collect()}
+    assert got == {("a", 1, 20), ("c", 1, 7), ("d", -1, -2)}
+
+
+def test_file_prune_plan_boundaries(spark):
+    from reden_spark.operators.kg_maintain import file_prune_plan
+    from pyspark.sql import functions as FF
+
+    stats = spark.createDataFrame(
+        [
+            (1, 0, 99, 10),      # entirely below -> prune
+            (2, 400, 900, 10),   # exactly the range -> scan_full
+            (3, 350, 450, 10),   # straddles lo -> scan_partial
+            (4, 901, 950, 10),   # entirely above -> prune
+            (5, 500, 600, 10),   # inside -> scan_full
+        ],
+        "file_id long, min_v long, max_v long, n_rows long",
+    )
+    got = {
+        r.file_id: r.decision
+        for r in file_prune_plan(stats, FF.lit(400), FF.lit(900)).collect()
+    }
+    assert got == {
+        1: "prune", 2: "scan_full", 3: "scan_partial",
+        4: "prune", 5: "scan_full",
+    }
