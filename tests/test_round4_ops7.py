@@ -123,3 +123,34 @@ def test_file_prune_plan_boundaries(spark):
         1: "prune", 2: "scan_full", 3: "scan_partial",
         4: "prune", 5: "scan_full",
     }
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty frames flow through without crashing and yield 0 rows."""
+    from reden_spark.operators.analytics import drift_histogram, ks_statistic
+    from reden_spark.operators.candidates import fuzzy_candidates
+    from reden_spark.operators.corpus_prep import frontier_schedule, mix_allocation
+    from reden_spark.operators.kg_maintain import cdc_apply, ivm_apply
+
+    empty_bin = spark.createDataFrame([], "bin string")
+    assert drift_histogram(empty_bin, empty_bin).count() == 0
+    empty_val = spark.createDataFrame([], "value double")
+    row = ks_statistic(empty_val, empty_val).collect()[0]
+    assert row.d_num is None  # max over empty -> null, no crash
+    empty_m = spark.createDataFrame([], "surface string")
+    empty_d = spark.createDataFrame([], "alias_norm string")
+    assert fuzzy_candidates(empty_m, empty_d).count() == 0
+    empty_f = spark.createDataFrame(
+        [], "url string, host string, priority long, discovered_ts long"
+    )
+    assert frontier_schedule(empty_f).count() == 0
+    empty_log = spark.createDataFrame(
+        [], "key string, version long, op string, value string"
+    )
+    assert cdc_apply(empty_log).count() == 0
+    empty_view = spark.createDataFrame([], "key string, cnt long, total long")
+    empty_delta = spark.createDataFrame([], "key string, mult long, val long")
+    assert ivm_apply(empty_view, empty_delta).count() == 0
+    tc = spark.createDataFrame([], "source string, tokens long")
+    w = spark.createDataFrame([], "source string, w_num long")
+    assert mix_allocation(tc, w, budget_tokens=100).count() == 0
