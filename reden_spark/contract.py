@@ -8721,3 +8721,85 @@ def q_file_prune_plan(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
     )
     return file_prune_plan(stats, F.lit(400), F.lit(900))
+
+
+@query(
+    "recrawl_diff",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    oldc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_o
+             FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    newc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_n
+             FROM toks WHERE tok <> '' AND (pos + 1) % 7 <> 0
+             GROUP BY 1, 2),
+    m AS (SELECT coalesce(oldc.doc_id, newc.doc_id) AS doc_id,
+                 coalesce(n_o, 0) AS n_o, coalesce(n_n, 0) AS n_n
+          FROM oldc FULL OUTER JOIN newc
+            ON oldc.doc_id = newc.doc_id AND oldc.tok = newc.tok),
+    d AS (SELECT doc_id,
+                 CAST(sum(n_o) AS BIGINT) AS n_old,
+                 CAST(sum(n_n) AS BIGINT) AS n_new,
+                 CAST(sum(greatest(n_n - n_o, 0)) AS BIGINT) AS added,
+                 CAST(sum(greatest(n_o - n_n, 0)) AS BIGINT) AS removed
+          FROM m GROUP BY 1)
+    SELECT doc_id, n_old, n_new, added, removed,
+           CAST((added + removed) * 1000000 // (n_old + n_new) AS BIGINT)
+             AS change_e6
+    FROM d
+    """,
+)
+def q_recrawl_diff(spark, sf_dir):
+    """Recrawl churn (operators/corpus_prep.recrawl_diff): the new
+    snapshot is the corpus with every 7th token position dropped — a
+    deterministic re-fetch delta — and the diff is the per-document
+    token-multiset added/removed/change_e6 table."""
+    from reden_spark.operators.corpus_prep import recrawl_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    new_docs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split("text", " "), lambda x, i: (i + 1) % 7 != 0
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return recrawl_diff(docs, new_docs)
+
+
+@query(
+    "attribution_linear",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS seg
+      FROM events),
+    touches AS (SELECT * FROM tagged WHERE event_type IN ('click', 'view')),
+    convs AS (SELECT DISTINCT user_id, seg FROM tagged
+              WHERE event_type = 'purchase'),
+    sized AS (SELECT user_id, seg, event_type,
+                     CAST(count(*) AS BIGINT) AS n_type
+              FROM touches GROUP BY 1, 2, 3),
+    segt AS (SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n_seg
+             FROM touches GROUP BY 1, 2),
+    cr AS (SELECT s.user_id, s.event_type, n_type, n_seg
+           FROM sized s
+           JOIN segt USING (user_id, seg)
+           JOIN convs USING (user_id, seg))
+    SELECT user_id, event_type,
+           CAST(sum(n_type) AS BIGINT) AS n_touches,
+           CAST(sum(n_type * (1000000 // n_seg)) AS BIGINT) AS credit_e6
+    FROM cr GROUP BY 1, 2
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (operators/eventstats.
+    attribution_linear): click/view credit split per conversion
+    segment in integer micro-units over the events log."""
+    from reden_spark.operators.eventstats import attribution_linear
+
+    return attribution_linear(_read(spark, sf_dir, "events"))

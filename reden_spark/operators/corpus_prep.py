@@ -540,3 +540,62 @@ def frontier_schedule(
         .cast("long")
         .alias("wave"),
     )
+
+
+def recrawl_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-multiset diff between two crawl snapshots of
+    the same URL set: (doc_id, n_old, n_new, added, removed,
+    change_e6).  ``added``/``removed`` are multiset differences (a
+    token appearing 3× then 5× counts 2 added), change_e6 =
+    (added+removed)·1e6 div (n_old+n_new) — the re-fetch churn metric
+    that decides recrawl frequency per site and whether a page's delta
+    is worth re-processing downstream.
+
+    Scale shape: one (doc, token) count aggregate per side (map-side
+    combinable), one full-outer join on that key, one doc-key
+    aggregate.  Never a positional alignment — multiset semantics is
+    what survives token reordering and is O(tokens), where true edit
+    scripts are O(n·m)."""
+    def counts(df):
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    merged = (
+        counts(old_docs)
+        .withColumnRenamed("n", "n_o")
+        .join(counts(new_docs).withColumnRenamed("n", "n_n"),
+              ["doc_id", "tok"], "full_outer")
+        .na.fill(0, ["n_o", "n_n"])
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("n_o").cast("long").alias("n_old"),
+        F.sum("n_n").cast("long").alias("n_new"),
+        F.sum(F.greatest(F.col("n_n") - F.col("n_o"), F.lit(0)))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.greatest(F.col("n_o") - F.col("n_n"), F.lit(0)))
+        .cast("long")
+        .alias("removed"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_old",
+        "n_new",
+        "added",
+        "removed",
+        F.expr("(added + removed) * 1000000 div (n_old + n_new)")
+        .cast("long")
+        .alias("change_e6"),
+    )

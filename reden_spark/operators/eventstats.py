@@ -258,3 +258,51 @@ def event_lateness(
             "would_drop", (F.col("lateness_s") > delay_s).cast("int")
         )
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit is
+    split equally (integer micro-units, floor) across the touch events
+    since the user's previous conversion; touches never followed by a
+    conversion earn nothing.  Output per (user_id, event_type):
+    (user_id, event_type, n_touches, credit_e6) — the channel-credit
+    table a marketing/ranking pipeline feeds from the raw event log.
+
+    Scale shape: ONE user-key exchange reused by both windows (segment
+    numbering and segment sizing ride the same partitioning); the
+    conversion side joins back on (user, segment) — key-sized, not
+    event-sized.  Total order (ts, event_id) makes re-runs identical."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = F.sum(
+        F.when(F.col("event_type") == conversion_type, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = events.withColumn("seg", F.coalesce(seg, F.lit(0))).persist()
+    touches = tagged.filter(F.col("event_type").isin(*touch_types))
+    convs = tagged.filter(F.col("event_type") == conversion_type).select(
+        "user_id", "seg"
+    ).distinct()
+    sized = touches.groupBy("user_id", "seg", "event_type").agg(
+        F.count("*").cast("long").alias("n_type")
+    )
+    seg_total = touches.groupBy("user_id", "seg").agg(
+        F.count("*").cast("long").alias("n_seg")
+    )
+    credited = (
+        sized.join(seg_total, ["user_id", "seg"])
+        .join(convs, ["user_id", "seg"])  # only segments that converted
+    )
+    return (
+        credited.withColumn(
+            "credit_e6",
+            F.expr("n_type * (1000000 div n_seg)").cast("long"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_type").cast("long").alias("n_touches"),
+            F.sum("credit_e6").cast("long").alias("credit_e6"),
+        )
+    )

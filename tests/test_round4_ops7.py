@@ -154,3 +154,42 @@ def test_new_ops_empty_inputs(spark):
     tc = spark.createDataFrame([], "source string, tokens long")
     w = spark.createDataFrame([], "source string, w_num long")
     assert mix_allocation(tc, w, budget_tokens=100).count() == 0
+
+
+def test_recrawl_diff_multiset_semantics(spark):
+    from reden_spark.operators.corpus_prep import recrawl_diff
+
+    old = spark.createDataFrame([(1, "a a a b c")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a a b b d")], "doc_id long, text string")
+    r = recrawl_diff(old, new).collect()[0]
+    # a: 3->2 (1 removed); b: 1->2 (1 added); c: 1->0 (removed); d: 0->1 (added)
+    assert (r.n_old, r.n_new, r.added, r.removed) == (5, 5, 2, 2)
+    assert r.change_e6 == 400_000  # 4 * 1e6 // 10
+
+
+def test_attribution_linear_hand_case(spark):
+    from reden_spark.operators.eventstats import attribution_linear
+
+    rows = [
+        # user 1: click, view, purchase -> each touch gets 500000
+        (1, "2024-01-01 00:00:01", 1, "click"),
+        (2, "2024-01-01 00:00:02", 1, "view"),
+        (3, "2024-01-01 00:00:03", 1, "purchase"),
+        # then a dangling click with no later purchase -> no credit
+        (4, "2024-01-01 00:00:04", 1, "click"),
+        # user 2: three clicks then purchase -> 333333 each
+        (5, "2024-01-01 00:00:01", 2, "click"),
+        (6, "2024-01-01 00:00:02", 2, "click"),
+        (7, "2024-01-01 00:00:03", 2, "click"),
+        (8, "2024-01-01 00:00:04", 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.user_id, r.event_type): (r.n_touches, r.credit_e6)
+        for r in attribution_linear(ev).collect()
+    }
+    assert got[(1, "click")] == (1, 500_000)   # dangling click excluded
+    assert got[(1, "view")] == (1, 500_000)
+    assert got[(2, "click")] == (3, 999_999)   # 3 * (1e6 // 3)
