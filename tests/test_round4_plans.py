@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions for the round-4 operator wave — the
+properties the 100 TB design depends on: the fuzzy dictionary side
+broadcasts, attribution reuses one user-key exchange, nothing ever
+degenerates into a CartesianProduct over row-sized inputs, and the
+persisted shared subtrees actually hit the cache."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from reden_spark.operators.candidates import fuzzy_candidates
+from reden_spark.operators.eventstats import attribution_linear
+from reden_spark.operators.graphstats import anf_sketch
+from reden_spark.operators.kg_maintain import ivm_apply
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_fuzzy_candidates_broadcasts_dictionary(spark):
+    mentions = spark.range(2000).select(
+        F.concat(F.lit("mention"), (F.col("id") % 500).cast("string")).alias(
+            "surface"
+        )
+    )
+    dictionary = spark.range(200).select(
+        F.concat(F.lit("mention"), F.col("id").cast("string")).alias("alias_norm")
+    )
+    out = fuzzy_candidates(mentions, dictionary)
+    out.count()  # materialize so executedPlan is final (AQE)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_exchange(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = attribution_linear(ev)
+    out.count()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the tagged frame is persisted and reused by touches AND convs
+    assert "InMemoryTableScan" in plan
+    # exactly one exchange hashes the raw event stream on user_id alone:
+    # the window partitioning; everything downstream is key-sized
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_anf_rounds_hit_cache(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    out = anf_sketch(edges, rounds=2)
+    out.count()
+    plan = _plan(out)
+    assert "InMemoryTableScan" in plan  # sym + per-round sketch persisted
+    assert "CartesianProduct" not in plan
+
+
+def test_ivm_no_base_rescan(spark):
+    # the merged plan must read the VIEW side as given (no re-aggregation
+    # of a base relation) — one aggregate (the delta's), one join
+    view = spark.range(1000).select(
+        F.col("id").alias("key"),
+        F.lit(1).cast("long").alias("cnt"),
+        (F.col("id") % 7).cast("long").alias("total"),
+    )
+    delta = spark.range(100).select(
+        F.col("id").alias("key"),
+        F.lit(-1).cast("long").alias("mult"),
+        (F.col("id") % 7).cast("long").alias("val"),
+    )
+    out = ivm_apply(view, delta)
+    out.count()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") <= 4  # delta partial+final only
