@@ -236,3 +236,81 @@ def session_window_counts(
             "sum_value",
         )
     )
+
+
+def click_purchase_join_batch(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Batch twin of the stream-stream interval join: every (click,
+    purchase) pair of one user with the purchase inside ``window_s``
+    after the click.  (user_id, click_id, purchase_id, gap_s)."""
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = c.join(
+        p,
+        (c["user_id"] == p["user_id"])
+        & (p["p_ts"] >= c["c_ts"])
+        & (p["p_ts"] <= c["c_ts"] + F.expr(f"INTERVAL {int(window_s)} SECONDS")),
+    )
+    return j.select(
+        c["user_id"],
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+def stream_click_purchase_join(
+    events_stream: DataFrame, window_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join (the stateful Structured Streaming
+    join shape): clicks and purchases of the SAME input stream joined
+    per user with a time-range condition.  Both sides carry a watermark
+    so Spark can evict click state once no qualifying purchase can
+    still arrive — bounded state by construction; the watermark delay
+    must exceed ``window_s`` plus the source's event-time disorder or
+    late matches are dropped (the standard streaming-join contract,
+    and why event_lateness exists to MEASURE that disorder first).
+
+    Equals the batch twin row-for-row on a drained, per-partition
+    time-ordered source (tests/test_streaming.py)."""
+    c = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    j = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {int(window_s)} SECONDS")),
+    )
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_s"),
+    )

@@ -155,3 +155,35 @@ def test_native_session_windows_stream_converges(spark, events_path):
         for r in spark.sql("select * from sw_sink").collect()
     }
     assert got == want and len(want) > 5
+
+
+def test_stream_stream_join_matches_batch(spark, events_path):
+    from reden_spark.streaming.events import (
+        click_purchase_join_batch,
+        stream_click_purchase_join,
+    )
+
+    batch = click_purchase_join_batch(
+        spark.read.parquet(events_path), window_s=3600
+    )
+    stream_in = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_path)
+    )
+    q = _run_stream(
+        stream_click_purchase_join(stream_in, window_s=3600), "ss_join"
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    q.stop()
