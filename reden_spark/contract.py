@@ -8803,3 +8803,49 @@ def q_attribution_linear(spark, sf_dir):
     from reden_spark.operators.eventstats import attribution_linear
 
     return attribution_linear(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "relation_patterns",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    led AS (
+      SELECT doc_id, pos, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    ents AS (
+      SELECT doc_id, pos, tok, t1, t2, t3, t4,
+             lead(tok) OVER w2 AS ent_b, lead(pos) OVER w2 AS pos_b
+      FROM led WHERE length(tok) >= 5
+      WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+    occ AS (
+      SELECT tok AS ent_a, ent_b,
+             concat_ws(' ',
+               CASE WHEN pos_b - pos > 1 THEN t1 END,
+               CASE WHEN pos_b - pos > 2 THEN t2 END,
+               CASE WHEN pos_b - pos > 3 THEN t3 END,
+               CASE WHEN pos_b - pos > 4 THEN t4 END) AS pattern
+      FROM ents
+      WHERE ent_b IS NOT NULL AND pos_b - pos BETWEEN 2 AND 5)
+    SELECT pattern,
+           CAST(count(DISTINCT (ent_a, ent_b)) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def q_relation_patterns(spark, sf_dir):
+    """Relation-pattern mining (operators/relations.relation_patterns):
+    tokens of length >= 5 act as entity mentions; the between-token
+    patterns of consecutive mentions at distance 2..5 are aggregated
+    into the corpus's candidate-predicate inventory (Hearst 1992 /
+    Mintz 2009 distant supervision).  One (doc, pos) exchange, no
+    self-joins."""
+    from reden_spark.operators.relations import relation_patterns
+
+    return relation_patterns(
+        _tokens(spark, sf_dir),
+        is_entity=F.length("tok") >= 5,
+        max_gap=5,
+        min_support=3,
+    )

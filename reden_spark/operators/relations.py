@@ -1,0 +1,75 @@
+"""Relation-pattern mining between adjacent entity mentions — the
+distant-supervision step that turns a linked corpus into candidate KG
+PREDICATES (the reference consumes a fixed ontology; a construction
+pipeline must also propose the relations its corpus actually expresses,
+Hearst 1992 / Mintz et al. 2009).
+
+Scale shape: everything rides ONE (doc, pos) exchange — the next-entity
+lookahead is a window over the entity stream, and the between-token
+text comes from lead() columns on the token stream joined back 1:1 on
+the exact (doc, pos) key.  There is NO doc-keyed self-join and no
+range join: the between-window is bounded (max_gap), so the pattern is
+assembled from a fixed number of lead columns, per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def relation_patterns(
+    tokens: DataFrame,
+    is_entity,
+    max_gap: int = 5,
+    min_support: int = 3,
+) -> DataFrame:
+    """(pattern, n_pairs, n_occurrences) — the inter-entity token
+    patterns of the corpus: for every pair of CONSECUTIVE entity
+    mentions in a document at token distance 2..max_gap, the tokens
+    strictly between them form one pattern occurrence.  Patterns with
+    at least ``min_support`` occurrences survive; n_pairs counts
+    DISTINCT (ent_a, ent_b) pairs — a pattern seen across many pairs
+    is a relation surface, one seen often for one pair is a collocation.
+
+    ``tokens``: (doc_id, pos, tok); ``is_entity``: a Column predicate
+    over ``tok`` marking mention tokens."""
+    w_tok = Window.partitionBy("doc_id").orderBy("pos")
+    with_leads = tokens.select(
+        "doc_id",
+        "pos",
+        "tok",
+        *[
+            F.lead("tok", i).over(w_tok).alias(f"t{i}")
+            for i in range(1, max_gap)
+        ],
+    ).withColumn("is_ent", is_entity)
+    w_ent = Window.partitionBy("doc_id").orderBy("pos")
+    ents = (
+        with_leads.filter(F.col("is_ent"))
+        .withColumn("ent_b", F.lead("tok").over(w_ent))
+        .withColumn("pos_b", F.lead("pos").over(w_ent))
+        .filter(F.col("ent_b").isNotNull())
+        .withColumn("dist", F.col("pos_b") - F.col("pos"))
+        .filter((F.col("dist") >= 2) & (F.col("dist") <= max_gap))
+    )
+    pattern = F.concat_ws(
+        " ",
+        *[
+            F.when(F.col("dist") > i, F.col(f"t{i}"))
+            for i in range(1, max_gap)
+        ],
+    )
+    occ = ents.select(
+        F.col("tok").alias("ent_a"),
+        "ent_b",
+        pattern.alias("pattern"),
+    )
+    return (
+        occ.groupBy("pattern")
+        .agg(
+            F.countDistinct("ent_a", "ent_b").cast("long").alias("n_pairs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_support)
+    )

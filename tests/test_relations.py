@@ -1,0 +1,54 @@
+"""relation_patterns: hand-built corpus with known pattern inventory."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.relations import relation_patterns
+
+
+def _toks(spark, docs):
+    rows = []
+    for doc_id, text in docs:
+        for pos, tok in enumerate(text.split()):
+            rows.append((doc_id, pos, tok))
+    return spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+
+
+def test_relation_patterns_hand_corpus(spark):
+    docs = [
+        (1, "ALICE works at ACORP today"),
+        (2, "BOBBY works at BCORP x"),
+        (3, "CAROL works at CCORP y"),
+        (4, "ALICE met in DELHI z"),
+    ]
+    toks = _toks(spark, docs)
+    out = {
+        r.pattern: (r.n_pairs, r.n_occurrences)
+        for r in relation_patterns(
+            toks, is_entity=F.col("tok").rlike("^[A-Z]+$"), min_support=3
+        ).collect()
+    }
+    # "works at" seen for 3 distinct pairs, 3 occurrences
+    assert out == {"works at": (3, 3)}
+
+
+def test_relation_patterns_gap_bounds(spark):
+    # distance 1 (adjacent entities, no between tokens) and distance > max_gap
+    # produce no pattern rows
+    docs = [(1, "AA BB c d e f g HH")]
+    toks = _toks(spark, docs)
+    out = relation_patterns(
+        toks, is_entity=F.col("tok").rlike("^[A-Z]+$"), min_support=1
+    ).collect()
+    assert out == []  # AA-BB adjacent; BB-HH distance 6 > 5
+
+
+def test_relation_patterns_counts_pairs_vs_occurrences(spark):
+    # one pair repeating the same pattern: n_pairs 1, n_occurrences 3
+    docs = [(i, "AA likes BB") for i in range(3)]
+    toks = _toks(spark, docs)
+    r = relation_patterns(
+        toks, is_entity=F.col("tok").rlike("^[A-Z]+$"), min_support=3
+    ).collect()
+    assert [(x.pattern, x.n_pairs, x.n_occurrences) for x in r] == [
+        ("likes", 1, 3)
+    ]
