@@ -8849,3 +8849,72 @@ def q_relation_patterns(spark, sf_dir):
         max_gap=5,
         min_support=3,
     )
+
+
+def _anf_growth_oracle_sql(rounds: int) -> str:
+    from reden_spark.operators.graphstats import (
+        _ANF_ALPHA,
+        _ANF_MOD,
+        _ANF_PARAMS,
+        _ANF_POW2_FRAC,
+        _ANF_RHO_CAP,
+    )
+
+    def rho(h: str) -> str:
+        branches = [f"WHEN ({h}) % 2 = 1 THEN 1"]
+        for k in range(2, _ANF_RHO_CAP):
+            branches.append(f"WHEN ({h}) % {2 ** k} = {2 ** (k - 1)} THEN {k}")
+        return "CASE " + " ".join(branches) + f" ELSE {_ANF_RHO_CAP} END"
+
+    regs = " UNION ALL ".join(
+        f"SELECT node, {j} AS reg, CAST({rho(f'(node * {a} + {b}) % {_ANF_MOD}')} AS BIGINT) AS val FROM nodes"
+        for j, (a, b) in enumerate(_ANF_PARAMS)
+    )
+    frac = "CASE " + " ".join(
+        f"WHEN reg_sum % 8 = {j} THEN {_ANF_POW2_FRAC[j]!r}" for j in range(1, 8)
+    ) + " ELSE 1.0 END"
+
+    def level(r: int) -> str:
+        return f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CAST(floor((CAST(1 AS BIGINT) << (reg_sum // 8))
+                               * ({frac}) * 1000000.0 / {_ANF_ALPHA!r})
+                         AS BIGINT)) AS BIGINT) AS sum_ball_est_e6
+    FROM (SELECT node, CAST(sum(val) AS BIGINT) AS reg_sum
+          FROM s{r} GROUP BY 1)"""
+
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),""",
+        f"\n    s0 AS MATERIALIZED ({regs})",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    s{r} AS MATERIALIZED (
+      SELECT node, reg, max(val) AS val FROM (
+        SELECT e.src AS node, s.reg, s.val
+        FROM sym e JOIN s{r - 1} s ON e.dst = s.node
+        UNION ALL SELECT node, reg, val FROM s{r - 1})
+      GROUP BY 1, 2)"""
+        )
+    parts.append(
+        " UNION ALL ".join(level(r) for r in range(rounds + 1))
+    )
+    return "".join(parts)
+
+
+@query("anf_growth", _anf_growth_oracle_sql(_ANF_ROUNDS))
+def q_anf_growth(spark, sf_dir):
+    """ANF growth curve (operators/graphstats.anf_growth): the summed
+    FM ball-size estimate after each round 0..{_ANF_ROUNDS} — the
+    effective-diameter table (Palmer et al. 2002 §4).  Per-node
+    estimates are BIGINT micro-units, so the per-round totals are
+    exact integer sums (no float-aggregation order sensitivity)."""
+    from reden_spark.operators.graphstats import anf_growth
+
+    return anf_growth(_kcore_edges(spark, sf_dir), rounds=_ANF_ROUNDS)

@@ -278,6 +278,11 @@ def anf_sketch(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
         sketch.unpersist()
         sketch = nxt
+    return _ball_estimates(sketch)
+
+
+def _ball_estimates(sketch: DataFrame) -> DataFrame:
+    """(node, reg_sum, ball_est_e6) from a long-form register table."""
     per_node = sketch.groupBy("node").agg(
         F.sum("val").cast("long").alias("reg_sum")
     )
@@ -294,3 +299,52 @@ def anf_sketch(edges: DataFrame, rounds: int = 3) -> DataFrame:
             shifted * frac * F.lit(1000000.0) / F.lit(_ANF_ALPHA)
         ).cast("long").alias("ball_est_e6"),
     )
+
+
+def anf_growth(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(round, n_nodes, sum_ball_est_e6) — the Approximate Neighborhood
+    Function CURVE: the summed FM ball-size estimate after each
+    propagation round, r = 0..rounds.  This is the table effective-
+    diameter estimation reads (the r where the curve flattens is the
+    graph's effective radius; Palmer et al. 2002 §4) — per-node sums
+    are BIGINT micro-units, so the per-round totals are exact integer
+    sums with no float-aggregation order sensitivity.
+
+    Same state and per-round cost as anf_sketch; the extra work is one
+    node-key aggregate per round over the 8-rows-per-node sketch."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    init_parts = []
+    for j, (a, b) in enumerate(_ANF_PARAMS):
+        h = (F.col("node") * a + b) % _ANF_MOD
+        init_parts.append(
+            nodes.select(
+                "node", F.lit(j).alias("reg"), _rho(h).cast("long").alias("val")
+            )
+        )
+    sketch = init_parts[0]
+    for p in init_parts[1:]:
+        sketch = sketch.unionByName(p)
+    sketch = sketch.persist()
+
+    def level(r, sk):
+        return _ball_estimates(sk).agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("ball_est_e6").cast("long").alias("sum_ball_est_e6"),
+        ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "sum_ball_est_e6")
+
+    out = level(0, sketch)
+    for r in range(1, rounds + 1):
+        propagated = sym.join(
+            sketch.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "reg", "val")
+        sketch = (
+            propagated.unionByName(sketch)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .persist()
+        )
+        out = out.unionByName(level(r, sketch))
+    return out

@@ -62,3 +62,21 @@ def test_anf_zero_rounds_is_self_only(spark):
             _rho_py((v * a + b) % _ANF_MOD) for a, b in _ANF_PARAMS
         )
         assert got[v] == expect
+
+
+def test_anf_growth_monotone_and_round0(spark):
+    from reden_spark.operators.graphstats import anf_growth, anf_sketch
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    rows = {r.round: r for r in anf_growth(edges, rounds=3).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    # register max only grows -> the estimate sum is monotone in r
+    sums = [rows[r].sum_ball_est_e6 for r in range(4)]
+    assert sums == sorted(sums)
+    assert all(rows[r].n_nodes == 6 for r in range(4))
+    # final-round total equals the per-node sketch's sum
+    final = anf_sketch(edges, rounds=3).agg(
+        {"ball_est_e6": "sum"}
+    ).collect()[0][0]
+    assert rows[3].sum_ball_est_e6 == final
