@@ -8918,3 +8918,84 @@ def q_anf_growth(spark, sf_dir):
     from reden_spark.operators.graphstats import anf_growth
 
     return anf_growth(_kcore_edges(spark, sf_dir), rounds=_ANF_ROUNDS)
+
+
+@query(
+    "corpus_funnel",
+    """
+    WITH raw AS (SELECT doc_id, text FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY sha256(text)),
+    dedup AS (SELECT r.doc_id, r.text FROM raw r
+              WHERE r.doc_id IN (SELECT doc_id FROM keep)),
+    quality AS (
+      SELECT * FROM dedup
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) >= 20),
+    qtoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM quality),
+    qled AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM (SELECT * FROM qtoks WHERE tok <> '')
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    qsh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS shingle
+      FROM qled WHERE t4 IS NOT NULL),
+    btoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM raw WHERE doc_id % 97 = 0),
+    bled AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM (SELECT * FROM btoks WHERE tok <> '')
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    bsh AS (
+      SELECT DISTINCT tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+               AS shingle
+      FROM bled WHERE t4 IS NOT NULL),
+    contam AS (SELECT DISTINCT doc_id FROM qsh
+               WHERE shingle IN (SELECT shingle FROM bsh)),
+    clean AS (SELECT * FROM quality
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    train AS (
+      SELECT * FROM clean
+      WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '1a'),
+    packed AS (
+      SELECT doc_id % 8 AS shard,
+             CAST(coalesce(sum(
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> ''))) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+               AS BIGINT) AS bin
+      FROM train),
+    bins AS (SELECT DISTINCT shard, bin FROM packed)
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM raw
+    UNION ALL SELECT 'dedup', CAST(count(*) AS BIGINT) FROM dedup
+    UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM quality
+    UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) FROM clean
+    UNION ALL SELECT 'train', CAST(count(*) AS BIGINT) FROM train
+    UNION ALL SELECT 'packed_bins', CAST(count(*) AS BIGINT) FROM bins
+    """,
+)
+def q_corpus_funnel(spark, sf_dir):
+    """End-to-end training-corpus assembly funnel (plans/
+    corpus_pipeline.corpus_funnel): raw → exact dedup → ≥20-token
+    quality gate → 5-gram decontamination against the doc_id%97==0
+    benchmark slice → train split → packed bins, each stage filtering
+    the PREVIOUS stage's frame.  The composition check: every operator
+    is verified alone elsewhere; this pins that they compose without
+    drift."""
+    from reden_spark.plans.corpus_pipeline import corpus_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus_funnel(docs, benchmark)

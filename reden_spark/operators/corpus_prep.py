@@ -599,3 +599,16 @@ def recrawl_diff(
         .cast("long")
         .alias("change_e6"),
     )
+
+
+def exact_dedup_keep(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The SURVIVING documents after exact content dedup (smallest id
+    per sha256(text) wins) — the keep-side twin of
+    operators/dedup.exact_dedup, which returns the hash→representative
+    table.  One hash aggregate + one semi-join on the id."""
+    keep = documents.groupBy(F.sha2(F.col(text_col), 256).alias("k")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return documents.join(keep.select(id_col), id_col, "left_semi")

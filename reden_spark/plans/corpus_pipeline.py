@@ -1,0 +1,109 @@
+"""The training-corpus assembly pipeline — the LLM-data twin of
+plans/pipeline.run_pipeline: raw crawl documents → exact dedup →
+quality gate → benchmark decontamination → train split → packed
+sequences, composed from the operators each already verified alone.
+
+The output contract is the AUDITABLE FUNNEL: one row per stage with
+the surviving row count — the number a data owner signs off on before
+a run ships ("dedup dropped 12%, decontamination 0.4%"), and the first
+thing to diff when two corpus builds disagree.  Every stage keeps the
+frame it filters FROM the previous stage, so the funnel is consistent
+by construction (no independently-recomputed predicates that could
+drift apart).
+
+Scale shape: the stages chain hash-aggregations and broadcast
+anti-joins keyed on doc_id / content hash / shingle; each intermediate
+is persisted exactly once because it feeds both its successor stage
+and its own funnel count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reden_spark.functions.text import token_count
+from reden_spark.operators.corpus_prep import (
+    VAL_HEX,
+    exact_dedup_keep,
+    pack_sequences,
+    train_split,
+    word_shingles,
+)
+
+
+def corpus_funnel(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 20,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(stage, n_rows) for stages raw → dedup → quality → decontam →
+    train → packed_bins.  ``benchmark`` is the eval suite to
+    decontaminate against (its shingles broadcast)."""
+    raw = documents.select("doc_id", "text").persist()
+    deduped = exact_dedup_keep(raw).persist()
+    quality = deduped.filter(token_count("text") >= min_tokens).persist()
+    bench_sh = (
+        word_shingles(benchmark, n=shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        word_shingles(quality, n=shingle_n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti").persist()
+    train = (
+        clean.join(
+            train_split(clean).filter(F.col("split") == "train"),
+            "doc_id",
+        )
+    ).persist()
+    packed = pack_sequences(train)
+    bins = packed.select("shard", "bin").distinct()
+
+    def count_row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit(stage).alias("stage"), "n_rows"
+        )
+
+    out = count_row("raw", raw)
+    for stage, df in [
+        ("dedup", deduped),
+        ("quality", quality),
+        ("decontam", clean),
+        ("train", train),
+        ("packed_bins", bins),
+    ]:
+        out = out.unionByName(count_row(stage, df))
+    return out
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 20,
+):
+    """Convenience entry: returns (train_docs, packed_plan, funnel) —
+    the shipped artifacts plus the audit table."""
+    raw = documents.select("doc_id", "text")
+    deduped = exact_dedup_keep(raw)
+    quality = deduped.filter(token_count("text") >= min_tokens).persist()
+    bench_sh = word_shingles(benchmark).select("shingle").distinct()
+    contaminated = (
+        word_shingles(quality)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti")
+    train = clean.join(
+        train_split(clean).filter(F.col("split") == "train"), "doc_id"
+    ).persist()
+    packed = pack_sequences(train)
+    funnel = corpus_funnel(documents, benchmark, min_tokens=min_tokens)
+    return train, packed, funnel
