@@ -62,3 +62,19 @@ def test_pipeline_outputs_match_funnel(spark):
     f = {r.stage: r.n_rows for r in funnel.collect()}
     assert train.count() == f["train"]
     assert packed.select("shard", "bin").distinct().count() == f["packed_bins"]
+
+
+def test_funnel_empty_benchmark_keeps_all_quality_docs(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.lit(False))
+    f = {r.stage: r.n_rows for r in corpus_funnel(docs, bench).collect()}
+    assert f["decontam"] == f["quality"]  # nothing to decontaminate
+
+
+def test_funnel_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    f = {r.stage: r.n_rows for r in corpus_funnel(docs, docs).collect()}
+    assert f == {
+        "raw": 0, "dedup": 0, "quality": 0,
+        "decontam": 0, "train": 0, "packed_bins": 0,
+    }

@@ -52,3 +52,12 @@ def test_relation_patterns_counts_pairs_vs_occurrences(spark):
     assert [(x.pattern, x.n_pairs, x.n_occurrences) for x in r] == [
         ("likes", 1, 3)
     ]
+
+
+def test_relation_patterns_empty_and_no_entities(spark):
+    toks = spark.createDataFrame([], "doc_id long, pos long, tok string")
+    assert relation_patterns(toks, is_entity=F.lit(True)).count() == 0
+    toks2 = _toks(spark, [(1, "a b c d")])
+    assert (
+        relation_patterns(toks2, is_entity=F.col("tok") == "Z").count() == 0
+    )
