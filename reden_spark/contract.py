@@ -8999,3 +8999,49 @@ def q_corpus_funnel(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return corpus_funnel(docs, benchmark)
+
+
+@query(
+    "canon_conflicts",
+    """
+    WITH nodes AS (SELECT DISTINCT o_orderkey % 1000 AS k FROM orders),
+    canon AS (SELECT 'n' || k AS node, 'n' || (k - k % 4) AS comp FROM nodes),
+    facts AS (
+      SELECT 'n' || k AS subj, 'birth_year' AS pred,
+             CAST(1900 + (k - k % 4) % 50
+                  + CASE WHEN k % 97 = 0 THEN 1 ELSE 0 END AS VARCHAR) AS obj
+      FROM nodes),
+    mapped AS (SELECT c.comp, f.pred, f.subj, f.obj
+               FROM facts f JOIN canon c ON f.subj = c.node)
+    SELECT comp, pred,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_values,
+           CAST(count(DISTINCT subj) AS BIGINT) AS n_nodes,
+           min(obj) AS min_value, max(obj) AS max_value
+    FROM mapped GROUP BY 1, 2
+    HAVING count(DISTINCT obj) > 1
+    """,
+)
+def q_canon_conflicts(spark, sf_dir):
+    """Post-canonicalization functional-property conflicts (operators/
+    kg_quality.canon_conflicts): synthetic components of 4 nodes with a
+    shared birth_year, except every 97th node asserts year+1 — its
+    component surfaces as a wrong-merge candidate with the clashing
+    min/max values inline."""
+    from reden_spark.operators.kg_quality import canon_conflicts
+
+    o = _read(spark, sf_dir, "orders")
+    nodes = o.select((F.col("o_orderkey") % 1000).alias("k")).distinct()
+    canon = nodes.select(
+        F.concat(F.lit("n"), F.col("k")).alias("node"),
+        F.concat(F.lit("n"), F.col("k") - F.col("k") % 4).alias("comp"),
+    )
+    facts = nodes.select(
+        F.concat(F.lit("n"), F.col("k")).alias("subj"),
+        F.lit("birth_year").alias("pred"),
+        (
+            F.lit(1900)
+            + (F.col("k") - F.col("k") % 4) % 50
+            + F.when(F.col("k") % 97 == 0, 1).otherwise(0)
+        ).cast("string").alias("obj"),
+    )
+    return canon_conflicts(canon, facts, ["birth_year"])

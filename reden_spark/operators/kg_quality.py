@@ -365,3 +365,41 @@ def domain_range_check(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def canon_conflicts(
+    canon: DataFrame,
+    triples: DataFrame,
+    functional_preds: list[str],
+) -> DataFrame:
+    """Wrong-merge detection AFTER owl:sameAs canonicalization: a
+    connected component whose members carry more than one distinct
+    value for a functional property (birth date, geo coordinates, …)
+    almost certainly merged two real-world entities — the single most
+    damaging KG-construction error, and invisible to per-subject
+    validation (kg_validate) because each MEMBER is individually
+    consistent; only the component view exposes it.
+
+    ``canon``: (node, comp) as emitted by operators/sameas.
+    Output, one row per offense:
+
+      (comp, pred, n_values, n_nodes, min_value, max_value)
+
+    min/max value ride along so a triager sees the clash without a
+    second query.  Scale shape: one join of the fact triples against
+    the canon map on the node key + one (comp, pred) aggregate —
+    map-side combinable; the conflict set is tiny by construction."""
+    facts = triples.filter(F.col("pred").isin(*functional_preds))
+    mapped = facts.join(
+        canon.select(F.col("node").alias("subj"), "comp"), "subj"
+    )
+    return (
+        mapped.groupBy("comp", "pred")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_values"),
+            F.countDistinct("subj").cast("long").alias("n_nodes"),
+            F.min("obj").alias("min_value"),
+            F.max("obj").alias("max_value"),
+        )
+        .filter(F.col("n_values") > 1)
+    )

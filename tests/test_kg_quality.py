@@ -133,3 +133,42 @@ def test_resolve_conflicts_multivalued_keeps_all(spark):
     df = spark.createDataFrame(rows, "subj string, pred string, obj string, source string")
     out = resolve_conflicts(df, functional_only=False)
     assert out.count() == 2
+
+
+def test_canon_conflicts_detects_wrong_merge(spark):
+    from pyspark.sql import functions as F
+    from reden_spark.operators.kg_quality import canon_conflicts
+
+    canon = spark.createDataFrame(
+        [("a1", "c1"), ("a2", "c1"), ("b1", "c2"), ("b2", "c2")],
+        "node string, comp string",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("a1", "birth", "1900"),
+            ("a2", "birth", "1900"),   # c1 consistent
+            ("b1", "birth", "1900"),
+            ("b2", "birth", "1955"),   # c2 = wrong merge
+            ("b1", "note", "x"),       # non-functional pred ignored
+            ("b2", "note", "y"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = canon_conflicts(canon, facts, ["birth"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.comp, r.pred, r.n_values, r.n_nodes) == ("c2", "birth", 2, 2)
+    assert (r.min_value, r.max_value) == ("1900", "1955")
+
+
+def test_canon_conflicts_same_node_two_values_also_flags(spark):
+    # one member asserting two values is a conflict too (n_nodes = 1)
+    from reden_spark.operators.kg_quality import canon_conflicts
+
+    canon = spark.createDataFrame([("a1", "c1")], "node string, comp string")
+    facts = spark.createDataFrame(
+        [("a1", "birth", "1900"), ("a1", "birth", "1901")],
+        "subj string, pred string, obj string",
+    )
+    r = canon_conflicts(canon, facts, ["birth"]).collect()[0]
+    assert (r.n_values, r.n_nodes) == (2, 1)
