@@ -9045,3 +9045,43 @@ def q_canon_conflicts(spark, sf_dir):
         ).cast("string").alias("obj"),
     )
     return canon_conflicts(canon, facts, ["birth_year"])
+
+
+@query(
+    "dict_bootstrap",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}), dict AS ({_DICT_SQL}),
+    men AS (
+      SELECT doc_id AS doc,
+             trim(regexp_replace(lower(tok), '[^a-z0-9]+', ' ', 'g'))
+               AS surface_norm
+      FROM toks WHERE pos % 5 = 0),
+    nils AS (
+      SELECT m.doc, m.surface_norm FROM men m
+      WHERE m.surface_norm <> ''
+        AND NOT EXISTS (SELECT 1 FROM dict d
+                        WHERE d.alias_norm = m.surface_norm)),
+    clusters AS (
+      SELECT md5(surface_norm) AS nil_key, surface_norm,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM nils GROUP BY surface_norm)
+    SELECT surface_norm AS alias_norm,
+           'http://kb.example.org/nil/' || nil_key AS uri,
+           0 AS group_id, n_docs
+    FROM clusters WHERE n_docs >= 3
+    """,
+)
+def q_dict_bootstrap(spark, sf_dir):
+    """KB-population loop closure (operators/dict_build.dict_bootstrap):
+    NIL clusters with >= 3 supporting documents promoted to dictionary
+    rows with content-derived minted URIs — identical across runs and
+    batches, so re-promotion is a no-op upsert, never a duplicate
+    entity."""
+    from reden_spark.operators.candidates import nil_clusters
+    from reden_spark.operators.dict_build import dict_bootstrap
+
+    toks = _tokens(spark, sf_dir).filter(F.col("pos") % 5 == 0)
+    mentions = toks.select("doc_id", F.col("tok").alias("surface"))
+    return dict_bootstrap(
+        nil_clusters(mentions, _dictionary(spark, sf_dir)), min_docs=3
+    )

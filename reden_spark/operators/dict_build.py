@@ -138,3 +138,31 @@ def alias_ambiguity(dictionary: DataFrame) -> DataFrame:
             F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("top_share_e6"),
         )
     )
+
+
+def dict_bootstrap(
+    nil: DataFrame,
+    min_docs: int = 3,
+    kb_prefix: str = "http://kb.example.org/nil/",
+) -> DataFrame:
+    """Close the KB-population loop: NIL clusters seen in at least
+    ``min_docs`` documents are promoted to dictionary entries with a
+    minted URI derived from the cluster's stable nil_key — so the NEXT
+    pipeline run links those surfaces instead of re-NILing them, and
+    because nil_key is content-derived the minted URI is identical
+    across runs and incremental batches (re-promotion is a no-op
+    upsert, never a duplicate entity).  This is how the reference's
+    dictionary grows between dump versions, expressed as data.
+
+    Input: operators/candidates.nil_clusters output
+    (nil_key, surface_norm, n_mentions, n_docs).
+    Output dictionary rows: (alias_norm, uri, group_id, n_docs).
+
+    Scale shape: a filter + projection over the (already tiny) cluster
+    table — zero shuffles."""
+    return nil.filter(F.col("n_docs") >= min_docs).select(
+        F.col("surface_norm").alias("alias_norm"),
+        F.concat(F.lit(kb_prefix), F.col("nil_key")).alias("uri"),
+        F.lit(0).alias("group_id"),
+        "n_docs",
+    )

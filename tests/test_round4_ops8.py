@@ -1,0 +1,26 @@
+"""dict_bootstrap: NIL promotion threshold + URI stability."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.candidates import nil_clusters
+from reden_spark.operators.dict_build import dict_bootstrap
+
+
+def test_dict_bootstrap_threshold_and_stable_uri(spark):
+    mentions = spark.createDataFrame(
+        [(d, "newentity") for d in range(4)]
+        + [(9, "rareone")]
+        + [(d, "known") for d in range(5)],
+        "doc_id long, surface string",
+    )
+    dictionary = spark.createDataFrame([("known",)], "alias_norm string")
+    nil = nil_clusters(mentions, dictionary)
+    out = dict_bootstrap(nil, min_docs=3).collect()
+    assert len(out) == 1 and out[0].alias_norm == "newentity"
+    # minted URI is content-derived: a rerun (and a superset corpus)
+    # mints the identical URI
+    more = mentions.unionByName(
+        spark.createDataFrame([(99, "newentity")], "doc_id long, surface string")
+    )
+    out2 = dict_bootstrap(nil_clusters(more, dictionary), min_docs=3).collect()
+    assert out2[0].uri == out[0].uri
