@@ -9085,3 +9085,60 @@ def q_dict_bootstrap(spark, sf_dir):
     return dict_bootstrap(
         nil_clusters(mentions, _dictionary(spark, sf_dir)), min_docs=3
     )
+
+
+@query(
+    "schema_drift",
+    """
+    WITH d0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    d1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    t0 AS (SELECT 'T' || (doc_id % 3) AS subj_type, 'rel' AS pred,
+                  'T' || (doc_id % 5) AS obj_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM d0 GROUP BY 1, 2, 3),
+    t1 AS (SELECT 'T' || (doc_id % 3) AS subj_type,
+                  CASE WHEN doc_id % 11 = 0 THEN 'newrel' ELSE 'rel' END AS pred,
+                  'T' || (doc_id % 5) AS obj_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM d1 GROUP BY 1, 2, 3),
+    j AS (SELECT coalesce(t0.subj_type, t1.subj_type) AS subj_type,
+                 coalesce(t0.pred, t1.pred) AS pred,
+                 coalesce(t0.obj_type, t1.obj_type) AS obj_type,
+                 coalesce(t0.n, 0) AS n_old, coalesce(t1.n, 0) AS n_new
+          FROM t0 FULL OUTER JOIN t1
+            ON t0.subj_type = t1.subj_type AND t0.pred = t1.pred
+           AND t0.obj_type = t1.obj_type)
+    SELECT subj_type, pred, obj_type,
+           CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CASE WHEN n_old = 0 THEN 'added'
+                WHEN n_new = 0 THEN 'removed'
+                WHEN n_new > n_old THEN 'grown'
+                WHEN n_new < n_old THEN 'shrunk'
+                ELSE 'stable' END AS status
+    FROM j
+    """,
+)
+def q_schema_drift(spark, sf_dir):
+    """Schema drift between snapshots (operators/kg_quality.
+    schema_drift): the even-doc and odd-doc halves' type-level
+    signature graphs diffed — the odd half asserts a planted 'newrel'
+    predicate on every 11th doc, so added/grown/shrunk/removed all
+    appear."""
+    from reden_spark.operators.kg_quality import schema_drift
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+
+    def sig(half, pred_col):
+        return half.groupBy(
+            F.concat(F.lit("T"), (d % 3).cast("string")).alias("subj_type"),
+            pred_col.alias("pred"),
+            F.concat(F.lit("T"), (d % 5).cast("string")).alias("obj_type"),
+        ).agg(F.count("*").cast("long").alias("n"))
+
+    old = sig(docs.filter(d % 2 == 0), F.lit("rel"))
+    new = sig(
+        docs.filter(d % 2 == 1),
+        F.when(d % 11 == 0, F.lit("newrel")).otherwise(F.lit("rel")),
+    )
+    return schema_drift(old, new)

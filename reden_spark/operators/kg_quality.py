@@ -403,3 +403,38 @@ def canon_conflicts(
         )
         .filter(F.col("n_values") > 1)
     )
+
+
+def schema_drift(old_schema: DataFrame, new_schema: DataFrame) -> DataFrame:
+    """Structural diff of two snapshots' schema graphs (each a
+    schema_graph output (subj_type, pred, obj_type, n)): one row per
+    signature seen in EITHER snapshot with
+
+      (subj_type, pred, obj_type, n_old, n_new, status)
+
+    status ∈ added / removed / grown / shrunk / stable.  This is how a
+    KG owner watches an evolving corpus WITHOUT touching instance rows:
+    'a new predicate appeared between T0 and T2', 'the ?-typed bucket
+    doubled' — signature-level alarms at signature-level cost.
+
+    Scale shape: one full-outer join on the (tiny) signature key —
+    both inputs are already type-level summaries."""
+    key = ["subj_type", "pred", "obj_type"]
+    j = (
+        old_schema.withColumnRenamed("n", "n_old")
+        .join(new_schema.withColumnRenamed("n", "n_new"), key, "full_outer")
+        .na.fill(0, ["n_old", "n_new"])
+    )
+    status = (
+        F.when(F.col("n_old") == 0, F.lit("added"))
+        .when(F.col("n_new") == 0, F.lit("removed"))
+        .when(F.col("n_new") > F.col("n_old"), F.lit("grown"))
+        .when(F.col("n_new") < F.col("n_old"), F.lit("shrunk"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        *key,
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        status.alias("status"),
+    )

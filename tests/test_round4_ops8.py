@@ -24,3 +24,24 @@ def test_dict_bootstrap_threshold_and_stable_uri(spark):
     )
     out2 = dict_bootstrap(nil_clusters(more, dictionary), min_docs=3).collect()
     assert out2[0].uri == out[0].uri
+
+
+def test_schema_drift_all_statuses(spark):
+    from reden_spark.operators.kg_quality import schema_drift
+
+    old = spark.createDataFrame(
+        [("A", "p", "B", 5), ("A", "q", "B", 3), ("C", "p", "D", 2)],
+        "subj_type string, pred string, obj_type string, n long",
+    )
+    new = spark.createDataFrame(
+        [("A", "p", "B", 9), ("A", "q", "B", 1), ("E", "r", "F", 4)],
+        "subj_type string, pred string, obj_type string, n long",
+    )
+    got = {
+        (r.subj_type, r.pred, r.obj_type): (r.n_old, r.n_new, r.status)
+        for r in schema_drift(old, new).collect()
+    }
+    assert got[("A", "p", "B")] == (5, 9, "grown")
+    assert got[("A", "q", "B")] == (3, 1, "shrunk")
+    assert got[("C", "p", "D")] == (2, 0, "removed")
+    assert got[("E", "r", "F")] == (0, 4, "added")
