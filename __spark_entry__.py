@@ -11,9 +11,10 @@ Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
 passes rows + schema + hash).  142 registered queries await their first
 driver rows — 7 added after the r3 driver run, 94 across the round-3
 closing sessions, and 41 in round 4; every registered query passes the
-local replica of the gate (tools/check_oracles.py — 151/151 full sweep
-re-verified at the start of round 4, new queries gated individually on
-landing).
+local replica of the gate (tools/check_oracles.py — full sweeps
+re-verified green three times within round 4: 151/151 at round start,
+182/182 mid-round, 191/191 at the re-entry session's close, with the
+final late-registered query gated individually on landing).
 """
 
 from __future__ import annotations
