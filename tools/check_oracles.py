@@ -62,9 +62,11 @@ def main():
     oracles = entrymod.oracle_sql()
     names = args or sorted(qs)
     failures = []
+    import time as _time
     for name in names:
         if name not in qs:
             print(f"[{name}] NOT REGISTERED"); failures.append(name); continue
+        _t0 = _time.time()
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
@@ -100,7 +102,7 @@ def main():
                 diff_b = [x for x in b if x not in set(a)][:3]
                 print(f"[{name}] VALUE MISMATCH only-spark={diff_a} only-duck={diff_b}")
         if ok:
-            print(f"[{name}] OK rows={len(srows)}")
+            print(f"[{name}] OK rows={len(srows)} wall={_time.time() - _t0:.1f}s")
         else:
             failures.append(name)
     if failures:
