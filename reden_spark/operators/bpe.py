@@ -109,7 +109,10 @@ def bpe_train(
                 F.col("b").alias("rsym"),
                 F.col("cnt").alias("pair_n"),
             )
-        ).persist()
+        ).localCheckpoint()  # 1 row; truncates the per-round lineage —
+        # without this the final plan nests rounds-deep pair_counts
+        # subtrees and Catalyst PLANNING (not execution) dominates
+        # (95 s -> ~10 s at sf0.01, same lesson as kcore peeling)
         merges = best if merges is None else merges.unionByName(best)
         new_state = (
             state.crossJoin(
@@ -122,7 +125,7 @@ def bpe_train(
                 ).alias("s"),
                 "n",
             )
-            .persist()
+            .localCheckpoint()  # vocab-sized
         )
         state.unpersist()
         state = new_state
@@ -159,7 +162,7 @@ def bpe_apply(words: DataFrame, merges: DataFrame, rounds: int) -> DataFrame:
                 .alias("s"),
                 "n",
             )
-            .persist()
+            .localCheckpoint()  # vocab-sized; truncates round lineage
         )
         state.unpersist()
         state = new_state
