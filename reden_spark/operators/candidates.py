@@ -226,6 +226,15 @@ def fuzzy_candidates(
     a short string, and levenshtein runs only on blocked pairs — never
     an all-pairs product.  At 100 TB the dictionary side is the small
     one; its exploded variant table broadcasts."""
+    if max_dist > 1:
+        # the 1-deletion neighborhood guarantees recall ONLY for
+        # ED <= 1 (two substitutions at different positions share no
+        # variant); a silent partial result would be worse than an error
+        raise ValueError(
+            "fuzzy_candidates blocks with 1-deletion neighborhoods: "
+            f"max_dist={max_dist} would silently miss pairs; use k-deletion "
+            "blocking (not implemented) for distances beyond 1"
+        )
     m = deletion_variants(
         mentions.select(F.col(mention_col).alias("mention")).distinct(), "mention"
     )

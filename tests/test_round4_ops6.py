@@ -99,3 +99,12 @@ def test_cdc_apply_tombstone_deletes_key(spark):
     )
     got = {(r.key, r.version, r.value) for r in cdc_apply(changelog).collect()}
     assert got == {("k2", 2, "b"), ("k3", 5, "c")}
+
+
+def test_fuzzy_candidates_rejects_unsupported_distance(spark):
+    import pytest
+
+    m = spark.createDataFrame([("a",)], "surface string")
+    d = spark.createDataFrame([("b",)], "alias_norm string")
+    with pytest.raises(ValueError, match="1-deletion"):
+        fuzzy_candidates(m, d, max_dist=2)
