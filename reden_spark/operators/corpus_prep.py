@@ -499,7 +499,10 @@ def mix_allocation(
         "tokens",
         "desired",
         "alloc",
-        F.expr("alloc * 1000 div tokens").cast("long").alias("epochs_e3"),
+        # a zero-token source can be allocated nothing: 0 epochs, not a
+        # null from the integer division
+        F.expr("CASE WHEN tokens > 0 THEN alloc * 1000 div tokens "
+               "ELSE 0 END").cast("long").alias("epochs_e3"),
         F.expr("desired - alloc").cast("long").alias("shortfall"),
     )
 
@@ -525,6 +528,12 @@ def frontier_schedule(
     balanced; a pathological mega-host is one partition and AQE splits
     its sort).  No global ordering anywhere: waves interleave hosts by
     construction."""
+    if per_host_per_wave < 1:
+        raise ValueError(
+            f"per_host_per_wave={per_host_per_wave}: a politeness rate "
+            "below 1 URL/host/wave schedules nothing; raise the wave "
+            "duration instead"
+        )
     w = Window.partitionBy("host").orderBy(
         F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url").asc()
     )

@@ -193,3 +193,23 @@ def test_attribution_linear_hand_case(spark):
     assert got[(1, "click")] == (1, 500_000)   # dangling click excluded
     assert got[(1, "view")] == (1, 500_000)
     assert got[(2, "click")] == (3, 999_999)   # 3 * (1e6 // 3)
+
+
+def test_mix_allocation_zero_token_source(spark):
+    from reden_spark.operators.corpus_prep import mix_allocation
+
+    tc = spark.createDataFrame([("empty", 0)], "source string, tokens long")
+    w = spark.createDataFrame([("empty", 1)], "source string, w_num long")
+    r = mix_allocation(tc, w, budget_tokens=100).collect()[0]
+    assert (r.alloc, r.epochs_e3, r.shortfall) == (0, 0, 100)
+
+
+def test_frontier_schedule_rejects_zero_rate(spark):
+    import pytest
+    from reden_spark.operators.corpus_prep import frontier_schedule
+
+    f = spark.createDataFrame(
+        [], "url string, host string, priority long, discovered_ts long"
+    )
+    with pytest.raises(ValueError, match="politeness"):
+        frontier_schedule(f, per_host_per_wave=0)
