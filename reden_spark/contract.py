@@ -9142,3 +9142,36 @@ def q_schema_drift(spark, sf_dir):
         F.when(d % 11 == 0, F.lit("newrel")).otherwise(F.lit("rel")),
     )
     return schema_drift(old, new)
+
+
+@query(
+    "consistent_shards",
+    """
+    WITH ring AS (
+      SELECT s.shard, md5(CAST(s.shard AS VARCHAR) || '#'
+                          || CAST(v.vnode AS VARCHAR)) AS rh
+      FROM (SELECT unnest(range(4)) AS shard) s,
+           (SELECT unnest(range(16)) AS vnode) v),
+    k AS (SELECT doc_id AS key,
+                 md5('key:' || CAST(doc_id AS VARCHAR)) AS kh
+          FROM documents),
+    per AS (
+      SELECT key, kh,
+             min(CASE WHEN rh >= kh THEN rh END) AS succ,
+             min(rh) AS first
+      FROM k CROSS JOIN ring GROUP BY 1, 2)
+    SELECT p.key, CAST(r.shard AS BIGINT) AS shard,
+           coalesce(p.succ, p.first) AS ring_hash
+    FROM per p JOIN ring r ON coalesce(p.succ, p.first) = r.rh
+    """,
+)
+def q_consistent_shards(spark, sf_dir):
+    """Consistent-hash ring sharding (operators/skew.consistent_shards):
+    document ids assigned to 4 shards x 16 vnodes; lexicographic md5
+    order is the ring, wraparound via the global minimum.  The shard
+    map whose rebalance stability (grow the ring, move ~1/(n+1) of
+    keys) modulo sharding cannot give."""
+    from reden_spark.operators.skew import consistent_shards
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id"))
+    return consistent_shards(docs, n_shards=4, vnodes=16, key_col="doc_id")

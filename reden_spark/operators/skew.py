@@ -161,3 +161,51 @@ def join_size_estimate(
             .alias("max_key_product"),
         )
     )
+
+
+def consistent_shards(
+    keys: DataFrame,
+    n_shards: int,
+    vnodes: int = 16,
+    key_col: str = "key",
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al. 1997): each key
+    maps to the first virtual node clockwise of its hash (md5 hex;
+    lexicographic order IS the ring order), shards own ``vnodes``
+    points each.  The property that matters at fleet scale — and the
+    one the test pins — is REBALANCE STABILITY: growing n_shards by
+    one moves only ≈1/(n+1) of keys, where modulo sharding moves
+    almost all of them.  This is the shard map for stateful stream
+    routing and cache partitioning, as data.
+
+    (key, shard, ring_hash)
+
+    Scale shape: the ring is n_shards × vnodes rows — broadcast; one
+    broadcast join + one key aggregate; no shuffle of the key table
+    beyond its own groupBy."""
+    spark = keys.sparkSession
+    ring = spark.createDataFrame(
+        [(s, v) for s in range(n_shards) for v in range(vnodes)],
+        "shard int, vnode int",
+    ).select(
+        "shard",
+        F.md5(
+            F.concat_ws("#", F.col("shard").cast("string"),
+                        F.col("vnode").cast("string"))
+        ).alias("rh"),
+    )
+    k = keys.select(
+        F.col(key_col).alias("key"),
+        F.md5(F.concat(F.lit("key:"), F.col(key_col).cast("string"))).alias("kh"),
+    )
+    joined = k.crossJoin(F.broadcast(ring))
+    per_key = joined.groupBy("key", "kh").agg(
+        F.min(F.when(F.col("rh") >= F.col("kh"), F.col("rh"))).alias("succ"),
+        F.min("rh").alias("first"),
+    )
+    chosen = per_key.select(
+        "key", F.coalesce("succ", "first").alias("ring_hash")
+    )
+    return chosen.join(
+        F.broadcast(ring.withColumnRenamed("rh", "ring_hash")), "ring_hash"
+    ).select("key", F.col("shard").cast("long").alias("shard"), "ring_hash")

@@ -45,3 +45,30 @@ def test_schema_drift_all_statuses(spark):
     assert got[("A", "q", "B")] == (3, 1, "shrunk")
     assert got[("C", "p", "D")] == (2, 0, "removed")
     assert got[("E", "r", "F")] == (0, 4, "added")
+
+
+def test_consistent_shards_rebalance_stability(spark):
+    from reden_spark.operators.skew import consistent_shards
+
+    keys = spark.range(1000).select(F.col("id").alias("key"))
+    a = {r.key: r.shard for r in consistent_shards(keys, 4).collect()}
+    b = {r.key: r.shard for r in consistent_shards(keys, 5).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    # consistent hashing moves ~1/5 of keys when a 5th shard joins;
+    # modulo sharding would move ~4/5.  Allow generous slack.
+    assert 0 < moved < 450, moved
+    # keys that moved, moved TO the new shard (4) or stayed coherent:
+    # every key that changed shard maps to shard 4 under b OR its arc
+    # was split; at minimum the new shard owns something
+    assert any(s == 4 for s in b.values())
+    # deterministic across runs
+    a2 = {r.key: r.shard for r in consistent_shards(keys, 4).collect()}
+    assert a == a2
+
+
+def test_consistent_shards_covers_all_shards(spark):
+    from reden_spark.operators.skew import consistent_shards
+
+    keys = spark.range(2000).select(F.col("id").alias("key"))
+    shards = {r.shard for r in consistent_shards(keys, 8).collect()}
+    assert shards == set(range(8))
