@@ -9175,3 +9175,37 @@ def q_consistent_shards(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select(F.col("doc_id"))
     return consistent_shards(docs, n_shards=4, vnodes=16, key_col="doc_id")
+
+
+@query(
+    "pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(event_id % 97 AS BIGINT) AS x,
+             CAST((96 - event_id % 97) * 10 + (event_id * 31) % 25 AS BIGINT)
+               AS y
+      FROM events)
+    SELECT p.id, p.x, p.y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE (q.x >= p.x AND q.y > p.y) OR (q.x > p.x AND q.y >= p.y))
+    """,
+)
+def q_pareto_frontier(spark, sf_dir):
+    """Exact 2-D skyline (operators/ranking.pareto_frontier) over a
+    deterministic ANTI-CORRELATED (cost, quality) scatter (the shape
+    with a thick frontier) derived from event ids; the
+    oracle is the textbook NOT-EXISTS dominance test, the engine is
+    the scalable E(x)/suffix-max formulation — same rows."""
+    from reden_spark.operators.ranking import pareto_frontier
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        (F.col("event_id") % 97).cast("long").alias("cost"),
+        (
+            (96 - F.col("event_id") % 97) * 10 + (F.col("event_id") * 31) % 25
+        ).cast("long").alias("quality"),
+    )
+    return pareto_frontier(pts, x_col="cost", y_col="quality", id_col="pid")

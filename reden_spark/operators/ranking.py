@@ -116,3 +116,47 @@ def quantile_normalize(
             " * 1000000 div (count(*) OVER (PARTITION BY grp) + 1) AS BIGINT)"
         ).alias("qn_e6"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline), both dimensions maximized:
+    a row survives iff NO other row is >= in both dimensions and > in
+    at least one.  The model/data selection frontier ("best quality at
+    each cost") computed WITHOUT the naive all-pairs dominance join:
+
+      survivor(x, y) ⇔ y = E(x) ∧ y > M(x), where
+      E(x) = max y among rows with the same x,
+      M(x) = max y among rows with STRICTLY GREATER x (suffix max).
+
+    Equal (x, y) duplicates don't dominate each other — all survive.
+
+    (id, x, y)
+
+    Scale shape: one map-side-combinable groupBy on x builds E; M is a
+    suffix-max window over the DISTINCT-x table (bounded — the same
+    distinct-domain argument as ks_statistic); one join back on x.
+    Never a self-join over row-sized inputs."""
+    e = df.groupBy(F.col(x_col).alias("_x")).agg(
+        F.max(F.col(y_col)).alias("_e")
+    )
+    w = Window.orderBy(F.col("_x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = e.withColumn("_m", F.max("_e").over(w))
+    survivors = df.join(
+        m,
+        df[x_col] == m["_x"],
+    ).filter(
+        (F.col(y_col) == F.col("_e"))
+        & (F.col("_m").isNull() | (F.col(y_col) > F.col("_m")))
+    )
+    return survivors.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )

@@ -72,3 +72,41 @@ def test_consistent_shards_covers_all_shards(spark):
     keys = spark.range(2000).select(F.col("id").alias("key"))
     shards = {r.shard for r in consistent_shards(keys, 8).collect()}
     assert shards == set(range(8))
+
+
+def test_pareto_frontier_hand_case(spark):
+    from reden_spark.operators.ranking import pareto_frontier
+
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 10),   # frontier (best y)
+            (2, 5, 5),    # frontier
+            (3, 10, 1),   # frontier (best x)
+            (4, 4, 4),    # dominated by (5,5)
+            (5, 5, 5),    # duplicate of id 2's point -> BOTH survive
+            (6, 1, 9),    # dominated by (1,10) (same x, lower y)
+        ],
+        "pid long, cost long, quality long",
+    )
+    got = {r.id for r in pareto_frontier(pts, "cost", "quality", "pid").collect()}
+    assert got == {1, 2, 3, 5}
+
+
+def test_pareto_frontier_brute_force_parity(spark):
+    from reden_spark.operators.ranking import pareto_frontier
+
+    import itertools
+    rows = [
+        (i, (i * 17) % 13, (i * 29) % 11) for i in range(60)
+    ]
+    pts = spark.createDataFrame(rows, "pid long, cost long, quality long")
+    got = {r.id for r in pareto_frontier(pts, "cost", "quality", "pid").collect()}
+    want = set()
+    for i, x, y in rows:
+        dominated = any(
+            (qx >= x and qy > y) or (qx > x and qy >= y)
+            for j, qx, qy in rows if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
