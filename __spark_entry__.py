@@ -12,9 +12,8 @@ passes rows + schema + hash).  144 registered queries await their first
 driver rows — 7 added after the r3 driver run, 94 across the round-3
 closing sessions, and 43 in round 4; every registered query passes the
 local replica of the gate (tools/check_oracles.py — full sweeps
-re-verified green three times within round 4: 151/151 at round start,
-182/182 mid-round, 191/191 at the re-entry session's close, with the
-final late-registered query gated individually on landing).
+re-verified green four times within round 4: 151/151 at round start,
+182/182 and 191/191 mid-round, and the definitive 194/194 at close).
 """
 
 from __future__ import annotations
