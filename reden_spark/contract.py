@@ -9209,3 +9209,63 @@ def q_pareto_frontier(spark, sf_dir):
         ).cast("long").alias("quality"),
     )
     return pareto_frontier(pts, x_col="cost", y_col="quality", id_col="pid")
+
+
+@query(
+    "novelty_rate",
+    """
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    bat AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1),
+    htoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM hist),
+    hled AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM (SELECT * FROM htoks WHERE tok <> '')
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    hsh AS (
+      SELECT DISTINCT tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+               AS shingle
+      FROM hled WHERE t4 IS NOT NULL),
+    btoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM bat),
+    bled AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM (SELECT * FROM btoks WHERE tok <> '')
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    bsh AS (
+      SELECT DISTINCT b.source,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS shingle
+      FROM bled JOIN bat b USING (doc_id) WHERE t4 IS NOT NULL),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN h.shingle IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM bsh LEFT JOIN hsh h USING (shingle) GROUP BY 1)
+    SELECT source, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_e6
+    FROM agg
+    """,
+)
+def q_novelty_rate(spark, sf_dir):
+    """Crawl novelty feedback (operators/corpus_prep.novelty_rate): the
+    odd-id half of the corpus treated as the incoming batch, the
+    even-id half as history; per-source share of never-seen 5-grams in
+    exact micro-units — the signal that shrinks a stale source's
+    frontier budget."""
+    from reden_spark.operators.corpus_prep import novelty_rate
+
+    docs = _read(spark, sf_dir, "documents")
+    return novelty_rate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

@@ -621,3 +621,50 @@ def exact_dedup_keep(
         F.min(id_col).alias(id_col)
     )
     return documents.join(keep.select(id_col), id_col, "left_semi")
+
+
+def novelty_rate(
+    history: DataFrame,
+    batch: DataFrame,
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Per-source novelty of a crawl batch against the corpus history:
+    what fraction of the batch's distinct word n-grams has the corpus
+    never seen?  (source, n_shingles, n_novel, novelty_e6).  THE
+    recrawl-budget feedback signal — a source whose novelty decays to
+    zero is re-serving known content and its frontier budget
+    (frontier_schedule) should shrink; novelty_e6 is the exact integer
+    share.
+
+    Scale shape: one distinct-shingle aggregate per side, one
+    shingle-key LEFT join (history side carries only the shingle key —
+    at fleet scale this is the dedup index, already materialized), one
+    source aggregate.  Text never rides a shuffle."""
+    hist_sh = (
+        word_shingles(history, n=n).select("shingle").distinct()
+    )
+    batch_sh = (
+        word_shingles(batch, n=n)
+        .join(
+            batch.select(F.col("doc_id"), F.col(source_col).alias("source")),
+            "doc_id",
+        )
+        .select("source", "shingle")
+        .distinct()
+    )
+    hit = batch_sh.join(
+        hist_sh.withColumn("seen", F.lit(1)), "shingle", "left"
+    )
+    return hit.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        "source",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_shingles").cast("long")
+        .alias("novelty_e6"),
+    )

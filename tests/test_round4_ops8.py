@@ -110,3 +110,24 @@ def test_pareto_frontier_brute_force_parity(spark):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+def test_novelty_rate_hand_case(spark):
+    from reden_spark.operators.corpus_prep import novelty_rate
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            # doc 2: shingles "a b c d e","b c d e f" both seen -> 0 novel
+            (2, "a b c d e f", "stale"),
+            # doc 3: all-new tokens -> both shingles novel
+            (3, "p q r s t u", "fresh"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_shingles, r.n_novel, r.novelty_e6)
+           for r in novelty_rate(hist, batch).collect()}
+    assert got["stale"] == (2, 0, 0)
+    assert got["fresh"] == (2, 2, 1_000_000)
