@@ -9269,3 +9269,51 @@ def q_novelty_rate(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+@query(
+    "cusum_changepoints",
+    """
+    WITH RECURSIVE series AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+             CAST(count(*)
+                  + CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) % 11 = 0
+                         THEN 40 ELSE 0 END AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    rs AS (SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+           FROM series),
+    cu AS (
+      SELECT key, rn, t, x,
+             CAST(greatest(0, x - 35) AS BIGINT) AS s
+      FROM rs WHERE rn = 1
+      UNION ALL
+      SELECT n.key, n.rn, n.t, n.x,
+             CAST(greatest(0,
+               (CASE WHEN c.s >= 30 THEN 0 ELSE c.s END) + n.x - 35)
+               AS BIGINT)
+      FROM cu c JOIN rs n ON n.key = c.key AND n.rn = c.rn + 1)
+    SELECT key, t, x, s, s >= 30 AS alarm FROM cu
+    """,
+)
+def q_cusum_changepoints(spark, sf_dir):
+    """CUSUM drift alarms (operators/eventstats.cusum_changepoints)
+    over per-(event_type, epoch-day) counts with a +40 spike planted
+    on every 11th day: reference rate k=35, threshold h=30, alarm-then-
+    reset — the engine folds each key's bounded series with ONE
+    higher-order aggregate; the oracle replays the recurrence with a
+    recursive CTE."""
+    from reden_spark.operators.eventstats import cusum_changepoints
+
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    series = ev.groupBy(
+        F.col("event_type").alias("key"), day.alias("t")
+    ).agg(
+        (
+            F.count("*")
+            + F.when(F.col("t") % 11 == 0, 40).otherwise(0)
+        ).cast("long").alias("x")
+    )
+    return cusum_changepoints(series, k=35, h=30)

@@ -306,3 +306,70 @@ def attribution_linear(
             F.sum("credit_e6").cast("long").alias("credit_e6"),
         )
     )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    k: int,
+    h: int,
+) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) over integer series
+    (key, t, x): S_t = max(0, S'_{t-1} + x_t − k) with S' reset to 0
+    after an alarm (S ≥ h), emitting the full trace
+
+      (key, t, x, s, alarm)
+
+    — the sequential-analysis alarm for event-rate drift per type/
+    tenant/host, where a fixed threshold on x fires on every noisy day
+    and CUSUM fires only on SUSTAINED excess over the reference rate k.
+    Pure integer recurrence → bit-identical in any engine.
+
+    Scale shape: the recurrence is inherently sequential per key, so
+    each key's series (bounded: days × one row) is collected into an
+    array and folded with ONE vectorized higher-order aggregate — one
+    key exchange, no per-row Python, no driver state.  Keys are many;
+    the parallelism is across keys, exactly like every production
+    monitoring pipeline."""
+    seq = series.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t").cast("long").alias("t"),
+                                    F.col("x").cast("long").alias("x")))
+        ).alias("seq")
+    )
+    out_t = "array<struct<t:bigint,x:bigint,s:bigint,alarm:boolean>>"
+    folded = seq.withColumn(
+        "trace",
+        F.expr(
+            f"""
+            aggregate(
+              seq,
+              named_struct('s', CAST(0 AS BIGINT),
+                           'out', CAST(array() AS {out_t})),
+              (acc, e) -> named_struct(
+                's', greatest(CAST(0 AS BIGINT),
+                              (CASE WHEN acc.s >= {int(h)} THEN CAST(0 AS BIGINT)
+                                    ELSE acc.s END) + e.x - {int(k)}),
+                'out', array_append(
+                  acc.out,
+                  named_struct(
+                    't', e.t, 'x', e.x,
+                    's', greatest(CAST(0 AS BIGINT),
+                                  (CASE WHEN acc.s >= {int(h)}
+                                        THEN CAST(0 AS BIGINT)
+                                        ELSE acc.s END) + e.x - {int(k)}),
+                    'alarm', greatest(CAST(0 AS BIGINT),
+                                      (CASE WHEN acc.s >= {int(h)}
+                                            THEN CAST(0 AS BIGINT)
+                                            ELSE acc.s END) + e.x - {int(k)})
+                             >= {int(h)}))),
+              acc -> acc.out)
+            """
+        ),
+    )
+    return folded.select("key", F.explode("trace").alias("r")).select(
+        "key",
+        F.col("r.t").alias("t"),
+        F.col("r.x").alias("x"),
+        F.col("r.s").alias("s"),
+        F.col("r.alarm").alias("alarm"),
+    )

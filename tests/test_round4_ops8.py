@@ -131,3 +131,29 @@ def test_novelty_rate_hand_case(spark):
            for r in novelty_rate(hist, batch).collect()}
     assert got["stale"] == (2, 0, 0)
     assert got["fresh"] == (2, 2, 1_000_000)
+
+
+def test_cusum_hand_trace(spark):
+    from reden_spark.operators.eventstats import cusum_changepoints
+
+    rows = [("a", t, x) for t, x in enumerate([5, 5, 9, 9, 9, 5, 12, 1])]
+    s = spark.createDataFrame(rows, "key string, t long, x long")
+    got = [(r.s, r.alarm) for r in
+           cusum_changepoints(s, k=6, h=5).orderBy("t").collect()]
+    # deltas x-6: -1,-1,+3,+3,+3,-1,+6,-5; alarm at s>=5 resets next step
+    assert got == [
+        (0, False), (0, False), (3, False), (6, True),
+        (3, False), (2, False), (8, True), (0, False),
+    ]
+
+
+def test_cusum_keys_independent(spark):
+    from reden_spark.operators.eventstats import cusum_changepoints
+
+    s = spark.createDataFrame(
+        [("a", 0, 100), ("b", 0, 0), ("b", 1, 0)],
+        "key string, t long, x long",
+    )
+    got = {(r.key, r.t): r.alarm for r in cusum_changepoints(s, k=6, h=5).collect()}
+    assert got[("a", 0)] is True
+    assert got[("b", 0)] is False and got[("b", 1)] is False
