@@ -9317,3 +9317,56 @@ def q_cusum_changepoints(spark, sf_dir):
         ).cast("long").alias("x")
     )
     return cusum_changepoints(series, k=35, h=30)
+
+
+@query(
+    "bot_regularity",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CASE WHEN user_id % 13 = 0
+                  THEN CAST(to_timestamp(user_id * 100000
+                            + (row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) * 60)
+                       AS TIMESTAMP)
+                  ELSE ts END AS ts
+      FROM events),
+    g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap,
+             event_id
+      FROM ev),
+    a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT user_id, n_gaps, sum_gap,
+           CAST(n_gaps * sum_g2 - sum_gap * sum_gap AS BIGINT) AS var_num,
+           (n_gaps >= 5 AND
+            n_gaps * sum_g2 - sum_gap * sum_gap <= 4 * n_gaps * n_gaps)
+             AS is_bot
+    FROM a
+    """,
+)
+def q_bot_regularity(spark, sf_dir):
+    """Machine-traffic regularity flag (operators/eventstats.
+    bot_regularity): every 13th user's timestamps rewritten onto an
+    exact 60-second clock (the planted scheduler), everyone else keeps
+    the organic log; zero-variance gap series flag as bots, bursty
+    humans don't.  Integer sufficient statistics only."""
+    from reden_spark.operators.eventstats import bot_regularity
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rewritten = ev.withColumn(
+        "ts",
+        F.when(
+            F.col("user_id") % 13 == 0,
+            F.to_timestamp(
+                F.col("user_id") * 100000 + F.row_number().over(w) * 60
+            ),
+        ).otherwise(F.col("ts")),
+    )
+    return bot_regularity(rewritten)

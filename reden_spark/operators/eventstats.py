@@ -373,3 +373,48 @@ def cusum_changepoints(
         F.col("r.s").alias("s"),
         F.col("r.alarm").alias("alarm"),
     )
+
+
+def bot_regularity(
+    events: DataFrame,
+    min_gaps: int = 5,
+    var_tol: int = 4,
+) -> DataFrame:
+    """Machine-traffic detection by inter-event-time REGULARITY: humans
+    have bursty gaps, schedulers fire on a clock.  Per user, the
+    integer gap series g_i (seconds between consecutive events) is
+    summarized by exact sufficient statistics and flagged when the
+    scaled variance numerator n·Σg² − (Σg)² (= n²·Var) is at most
+    ``var_tol``·n² — i.e. Var ≤ var_tol s² — over at least ``min_gaps``
+    gaps.  All integers; no float variance.
+
+      (user_id, n_gaps, sum_gap, var_num, is_bot)
+
+    Scale shape: ONE user-key exchange (the lag window), then a
+    map-side-combinable aggregate — the same shape as sessionization,
+    and the standard pre-filter before expensive per-user models."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        events.withColumn(
+            "gap",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("long"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sum_g2"),
+    )
+    var_num = F.col("n_gaps") * F.col("sum_g2") - F.col("sum_gap") * F.col("sum_gap")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap",
+        var_num.cast("long").alias("var_num"),
+        (
+            (F.col("n_gaps") >= min_gaps)
+            & (var_num <= F.lit(var_tol) * F.col("n_gaps") * F.col("n_gaps"))
+        ).alias("is_bot"),
+    )

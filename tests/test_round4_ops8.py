@@ -157,3 +157,23 @@ def test_cusum_keys_independent(spark):
     got = {(r.key, r.t): r.alarm for r in cusum_changepoints(s, k=6, h=5).collect()}
     assert got[("a", 0)] is True
     assert got[("b", 0)] is False and got[("b", 1)] is False
+
+
+def test_bot_regularity_clock_vs_bursty(spark):
+    from reden_spark.operators.eventstats import bot_regularity
+
+    rows = []
+    # user 1: perfect 60s clock -> bot
+    for i in range(7):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "click"))
+    # user 2: bursty gaps -> human
+    for i, sec in enumerate([0, 3, 200, 210, 3000, 3004, 9000]):
+        rows.append((100 + i, f"2024-01-01 0{sec // 3600}:{(sec % 3600) // 60:02d}:{sec % 60:02d}", 2, "click"))
+    # user 3: regular but too few events -> not flagged
+    for i in range(3):
+        rows.append((200 + i, f"2024-01-01 00:{i:02d}:00", 3, "click"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r.is_bot for r in bot_regularity(ev).collect()}
+    assert got == {1: True, 2: False, 3: False}
