@@ -9370,3 +9370,49 @@ def q_bot_regularity(spark, sf_dir):
         ).otherwise(F.col("ts")),
     )
     return bot_regularity(rewritten)
+
+
+@query(
+    "khop_sample",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    e AS (SELECT DISTINCT src, dst FROM sym),
+    seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 50 = 0),
+    s1 AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (
+               PARTITION BY src
+               ORDER BY md5('1' || '#' || CAST(src AS VARCHAR)
+                            || '#' || CAST(dst AS VARCHAR)), dst) AS rk
+             FROM e) WHERE rk <= 3),
+    s2 AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (
+               PARTITION BY src
+               ORDER BY md5('2' || '#' || CAST(src AS VARCHAR)
+                            || '#' || CAST(dst AS VARCHAR)), dst) AS rk
+             FROM e) WHERE rk <= 2),
+    f1 AS (SELECT DISTINCT sd.node AS seed, s1.dst AS node
+           FROM seeds sd JOIN s1 ON sd.node = s1.src),
+    f2 AS (SELECT DISTINCT f1.seed, s2.dst AS node
+           FROM f1 JOIN s2 ON f1.node = s2.src)
+    SELECT node AS seed, CAST(0 AS BIGINT) AS hop, node FROM seeds
+    UNION ALL SELECT seed, CAST(1 AS BIGINT), node FROM f1
+    UNION ALL SELECT seed, CAST(2 AS BIGINT), node FROM f2
+    """,
+)
+def q_khop_sample(spark, sf_dir):
+    """GraphSAGE k-hop sampling (operators/walks.khop_sample) over the
+    shared order/customer graph: seeds = node%50==0, fanout [3, 2],
+    hop-salted md5 neighbor selection — deterministic, node-wise,
+    bounded by the fanout product whatever the hub degrees."""
+    from reden_spark.operators.walks import khop_sample
+
+    edges = _kcore_edges(spark, sf_dir)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    seeds = sym.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 50 == 0
+    )
+    return khop_sample(sym, seeds, fanout=[3, 2])

@@ -260,3 +260,54 @@ def negative_samples_filtered(
         )
     )
     return pos.unionByName(neg)
+
+
+def khop_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanout: list[int],
+) -> DataFrame:
+    """GraphSAGE-style k-hop neighborhood sampling (Hamilton et al.
+    2017): expand each seed through ``len(fanout)`` hops, keeping at
+    most fanout[h] neighbors PER NODE at hop h — chosen by md5 order
+    (salted per hop), so the sample is uniform-ish, deterministic
+    across runs, and NODE-WISE (every seed reaching a node sees the
+    same sampled neighbors — exactly the minibatch sampler's cache-
+    friendly contract).  Output (seed, hop, node), hop 0 = the seed
+    itself; |rows per seed| ≤ 1 + f1 + f1·f2 + … — bounded by the
+    fanout product regardless of hub degrees.
+
+    Scale shape: per hop, one window over (src) on the edge table
+    caps neighbors (rank ≤ f — a bounded heap per node, never a hub
+    explosion), then one join frontier⋈sampled-edges; frontiers dedup
+    on (seed, node) so diamond shapes don't multiply."""
+    out = seeds.select(
+        F.col("node").alias("seed"),
+        F.lit(0).cast("long").alias("hop"),
+        F.col("node"),
+    )
+    frontier = out.select("seed", "node").persist()
+    for h, f in enumerate(fanout, start=1):
+        w = Window.partitionBy("src").orderBy(
+            F.md5(F.concat_ws("#", F.lit(str(h)), F.col("src").cast("string"),
+                              F.col("dst").cast("string"))),
+            F.col("dst"),
+        )
+        sampled = (
+            edges.select("src", "dst")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= f)
+            .select("src", "dst")
+        )
+        frontier = (
+            frontier.join(sampled, frontier["node"] == sampled["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .dropDuplicates(["seed", "node"])
+            .persist()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "seed", F.lit(h).cast("long").alias("hop"), "node"
+            )
+        )
+    return out

@@ -177,3 +177,26 @@ def test_bot_regularity_clock_vs_bursty(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {r.user_id: r.is_bot for r in bot_regularity(ev).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_khop_sample_fanout_bound_and_determinism(spark):
+    from reden_spark.operators.walks import khop_sample
+
+    # star: hub 0 with 10 leaves; leaves connect to 100+leaf
+    edges = []
+    for i in range(1, 11):
+        edges += [(0, i), (i, 0), (i, 100 + i), (100 + i, i)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = khop_sample(e, seeds, fanout=[3, 2]).collect()
+    by_hop = {}
+    for r in out:
+        by_hop.setdefault(r.hop, set()).add(r.node)
+    assert by_hop[0] == {0}
+    assert len(by_hop[1]) == 3          # hub capped at fanout 3 of 10
+    # hop-2 nodes come only from the sampled hop-1 leaves
+    assert len(by_hop[2]) <= 3 * 2
+    out2 = khop_sample(e, seeds, fanout=[3, 2]).collect()
+    assert {(r.seed, r.hop, r.node) for r in out} == {
+        (r.seed, r.hop, r.node) for r in out2
+    }
