@@ -281,6 +281,9 @@ def khop_sample(
     caps neighbors (rank ≤ f — a bounded heap per node, never a hub
     explosion), then one join frontier⋈sampled-edges; frontiers dedup
     on (seed, node) so diamond shapes don't multiply."""
+    # the edge table feeds every hop's sampling window — persist or it
+    # rescans once per hop
+    edges = edges.select("src", "dst").persist()
     out = seeds.select(
         F.col("node").alias("seed"),
         F.lit(0).cast("long").alias("hop"),
@@ -294,7 +297,7 @@ def khop_sample(
             F.col("dst"),
         )
         sampled = (
-            edges.select("src", "dst")
+            edges
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= f)
             .select("src", "dst")
