@@ -9416,3 +9416,41 @@ def q_khop_sample(spark, sf_dir):
         F.col("node") % 50 == 0
     )
     return khop_sample(sym, seeds, fanout=[3, 2])
+
+
+@query(
+    "ewma_residuals",
+    """
+    WITH RECURSIVE series AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    rs AS (SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+           FROM series),
+    cu AS (
+      SELECT key, rn, t, x, CAST(x AS DOUBLE) AS ewma,
+             CAST(NULL AS DOUBLE) AS resid
+      FROM rs WHERE rn = 1
+      UNION ALL
+      SELECT n.key, n.rn, n.t, n.x,
+             (c.ewma + CAST(n.x AS DOUBLE)) / 2.0,
+             CAST(n.x AS DOUBLE) - c.ewma
+      FROM cu c JOIN rs n ON n.key = c.key AND n.rn = c.rn + 1)
+    SELECT key, t, x, ewma, resid FROM cu
+    """,
+)
+def q_ewma_residuals(spark, sf_dir):
+    """EWMA level + forecast residual (operators/eventstats.
+    ewma_residuals) over per-(event_type, epoch-day) counts; α = 1/2 so
+    every value is a dyadic rational, exact in doubles on both engines
+    — fold vs recursive-CTE replay, hash-identical."""
+    from reden_spark.operators.eventstats import ewma_residuals
+
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    series = ev.groupBy(
+        F.col("event_type").alias("key"), day.alias("t")
+    ).agg(F.count("*").cast("long").alias("x"))
+    return ewma_residuals(series)

@@ -418,3 +418,57 @@ def bot_regularity(
             & (var_num <= F.lit(var_tol) * F.col("n_gaps") * F.col("n_gaps"))
         ).alias("is_bot"),
     )
+
+
+def ewma_residuals(series: DataFrame) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 over integer
+    series (key, t, x): s_1 = x_1, s_t = (s_{t-1} + x_t)/2, and the
+    one-step-ahead forecast residual resid_t = x_t − s_{t-1} — the
+    level-tracking complement of cusum_changepoints (CUSUM finds
+    sustained drift; the EWMA residual sizes each day's surprise).
+
+      (key, t, x, ewma, resid)   resid NULL on each key's first row
+
+    α = 1/2 is not a compromise: halving is EXACT in IEEE doubles
+    (dyadic rationals), so the whole trace is bit-identical in any
+    engine — an arbitrary α would accumulate libm-free but
+    representation-dependent error and break oracle parity.
+
+    Scale shape: same as cusum_changepoints — one key exchange, one
+    higher-order fold over each key's bounded series."""
+    seq = series.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t").cast("long").alias("t"),
+                                    F.col("x").cast("long").alias("x")))
+        ).alias("seq")
+    )
+    out_t = "array<struct<t:bigint,x:bigint,ewma:double,resid:double>>"
+    folded = seq.withColumn(
+        "trace",
+        F.expr(
+            f"""
+            aggregate(
+              seq,
+              named_struct('s', CAST(NULL AS DOUBLE),
+                           'out', CAST(array() AS {out_t})),
+              (acc, e) -> named_struct(
+                's', CASE WHEN acc.s IS NULL THEN CAST(e.x AS DOUBLE)
+                          ELSE (acc.s + CAST(e.x AS DOUBLE)) / 2.0 END,
+                'out', array_append(
+                  acc.out,
+                  named_struct(
+                    't', e.t, 'x', e.x,
+                    'ewma', CASE WHEN acc.s IS NULL THEN CAST(e.x AS DOUBLE)
+                                 ELSE (acc.s + CAST(e.x AS DOUBLE)) / 2.0 END,
+                    'resid', CAST(e.x AS DOUBLE) - acc.s))),
+              acc -> acc.out)
+            """
+        ),
+    )
+    return folded.select("key", F.explode("trace").alias("r")).select(
+        "key",
+        F.col("r.t").alias("t"),
+        F.col("r.x").alias("x"),
+        F.col("r.ewma").alias("ewma"),
+        F.col("r.resid").alias("resid"),
+    )

@@ -200,3 +200,15 @@ def test_khop_sample_fanout_bound_and_determinism(spark):
     assert {(r.seed, r.hop, r.node) for r in out} == {
         (r.seed, r.hop, r.node) for r in out2
     }
+
+
+def test_ewma_hand_trace(spark):
+    from reden_spark.operators.eventstats import ewma_residuals
+
+    s = spark.createDataFrame(
+        [("a", 0, 8), ("a", 1, 4), ("a", 2, 10)],
+        "key string, t long, x long",
+    )
+    got = [(r.ewma, r.resid) for r in ewma_residuals(s).orderBy("t").collect()]
+    # s: 8, (8+4)/2=6, (6+10)/2=8; resid: null, 4-8=-4, 10-6=4
+    assert got == [(8.0, None), (6.0, -4.0), (4 + 4.0, 10.0 - 6.0)]
