@@ -9454,3 +9454,52 @@ def q_ewma_residuals(spark, sf_dir):
         F.col("event_type").alias("key"), day.alias("t")
     ).agg(F.count("*").cast("long").alias("x"))
     return ewma_residuals(series)
+
+
+@query(
+    "fd_profile",
+    """
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS violation_e6
+    FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)
+    FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_orderstatus,o_orderpriority->o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)
+    FROM (SELECT o_orderstatus, o_orderpriority,
+                 count(DISTINCT o_custkey) AS n_rhs
+          FROM orders GROUP BY 1, 2)
+    """,
+)
+def q_fd_profile(spark, sf_dir):
+    """FD discovery (operators/kg_quality.fd_profile) over orders: the
+    true key FD (orderkey → custkey, 0 violations), a mostly-false one
+    (custkey → priority), and a compound-lhs one — the profile that
+    separates constraints from coincidences before kg_validate
+    declares shapes."""
+    from reden_spark.operators.kg_quality import fd_profile
+
+    o = _read(spark, sf_dir, "orders")
+    return fd_profile(
+        o,
+        [
+            (["o_orderkey"], "o_custkey"),
+            (["o_custkey"], "o_orderpriority"),
+            (["o_orderstatus", "o_orderpriority"], "o_custkey"),
+        ],
+    )

@@ -438,3 +438,45 @@ def schema_drift(old_schema: DataFrame, new_schema: DataFrame) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         status.alias("status"),
     )
+
+
+def fd_profile(
+    df: DataFrame,
+    fds: list[tuple[list[str], str]],
+) -> DataFrame:
+    """Functional-dependency profiling: for each candidate FD
+    lhs → rhs, how many lhs groups exist and how many VIOLATE it
+    (more than one distinct rhs).  (fd, n_groups, n_violating,
+    violation_e6) — the data-contract discovery step before declaring
+    a key, a merge identity, or a kg_validate functional shape: an FD
+    that holds at 99.97% is a constraint plus a triage table, one that
+    holds at 60% is not a constraint at all.
+
+    Scale shape: one map-side-combinable groupBy per candidate FD
+    (countDistinct on the rhs), then 1-row aggregates unioned — no
+    joins, no windows."""
+    parts = []
+    for lhs, rhs in fds:
+        name = ",".join(lhs) + "->" + rhs
+        g = df.groupBy(*lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        parts.append(
+            g.agg(
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            ).select(
+                F.lit(name).alias("fd"),
+                "n_groups",
+                "n_violating",
+                F.expr("n_violating * 1000000 div n_groups")
+                .cast("long")
+                .alias("violation_e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

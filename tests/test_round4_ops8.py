@@ -212,3 +212,19 @@ def test_ewma_hand_trace(spark):
     got = [(r.ewma, r.resid) for r in ewma_residuals(s).orderBy("t").collect()]
     # s: 8, (8+4)/2=6, (6+10)/2=8; resid: null, 4-8=-4, 10-6=4
     assert got == [(8.0, None), (6.0, -4.0), (4 + 4.0, 10.0 - 6.0)]
+
+
+def test_fd_profile_hand_case(spark):
+    from reden_spark.operators.kg_quality import fd_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (1, "a", "x"),   # key 1 consistent
+            (2, "a", "y"), (2, "b", "y"),   # key 2 violates k->v
+        ],
+        "k long, v string, w string",
+    )
+    got = {r.fd: (r.n_groups, r.n_violating, r.violation_e6)
+           for r in fd_profile(df, [(["k"], "v"), (["k", "v"], "w")]).collect()}
+    assert got["k->v"] == (2, 1, 500_000)
+    assert got["k,v->w"] == (3, 0, 0)
