@@ -9503,3 +9503,170 @@ def q_fd_profile(spark, sf_dir):
             (["o_orderstatus", "o_orderpriority"], "o_custkey"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — commit-history line provenance (operators/provenance.py)
+
+_HISTORY_SQL = """
+    SELECT 'repo-' || (doc_id % 17) AS repo,
+           'src/m_' || doc_id || '.py' AS path,
+           CAST(k AS BIGINT) AS commit_idx,
+           concat_ws(chr(10),
+             's_' || (doc_id % 7),
+             'u_' || doc_id,
+             'v_' || doc_id || '_' || (k // 2),
+             CASE WHEN k >= 1 THEN 'a_' || doc_id END,
+             CASE WHEN k <= 1 THEN 't_' || doc_id END,
+             CASE WHEN k = 3 THEN 'u_' || doc_id END) AS content
+    FROM documents, (SELECT unnest(range(0, 4)) AS k) ks
+"""
+
+_HIST_LINES_SQL = f"""
+    SELECT repo, path, commit_idx,
+           unnest(string_split(content, chr(10))) AS line
+    FROM ({_HISTORY_SQL})
+"""
+
+_HIST_DIFF_SQL = f"""
+    WITH lines AS ({_HIST_LINES_SQL}),
+    cnts AS (
+      SELECT repo, path, commit_idx, line, count(*) AS cnt
+      FROM lines GROUP BY 1, 2, 3, 4),
+    mx AS (SELECT repo, path, max(commit_idx) AS max_idx
+           FROM cnts GROUP BY 1, 2),
+    prev AS (
+      SELECT c.repo, c.path, c.commit_idx + 1 AS commit_idx, c.line,
+             c.cnt AS prev_cnt
+      FROM cnts c JOIN mx USING (repo, path)
+      WHERE c.commit_idx + 1 <= mx.max_idx),
+    j AS (
+      SELECT coalesce(c.repo, p.repo) AS repo,
+             coalesce(c.path, p.path) AS path,
+             coalesce(c.commit_idx, p.commit_idx) AS commit_idx,
+             coalesce(c.cnt, 0) AS cnt,
+             coalesce(p.prev_cnt, 0) AS prev_cnt
+      FROM cnts c FULL OUTER JOIN prev p
+        ON c.repo = p.repo AND c.path = p.path
+       AND c.commit_idx = p.commit_idx AND c.line = p.line)
+    SELECT repo, path, commit_idx,
+           CAST(sum(greatest(cnt - prev_cnt, 0)) AS BIGINT) AS added,
+           CAST(sum(greatest(prev_cnt - cnt, 0)) AS BIGINT) AS removed
+    FROM j GROUP BY 1, 2, 3
+"""
+
+
+def _history(spark, sf_dir):
+    """Deterministic 4-version file history in the input_hint schema,
+    derived from documents — mirrors _HISTORY_SQL token for token.
+    Exercises every diff path: stable lines, a line rewritten at v2,
+    a line added at v1, one removed at v2, and a v3 duplication that
+    only a multiset diff counts correctly."""
+    d = F.col("doc_id")
+    k = F.col("k")
+    s = lambda c: c.cast("string")  # noqa: E731
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("s_"), s(d % 7)),
+        F.concat(F.lit("u_"), s(d)),
+        F.concat(F.lit("v_"), s(d), F.lit("_"), s(F.floor(k / 2))),
+        F.when(k >= 1, F.concat(F.lit("a_"), s(d))),
+        F.when(k <= 1, F.concat(F.lit("t_"), s(d))),
+        F.when(k == 3, F.concat(F.lit("u_"), s(d))),
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+        .select(
+            F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+            F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+            k.cast("long").alias("commit_idx"),
+            content.alias("content"),
+        )
+    )
+
+
+@query("commit_line_diff", _HIST_DIFF_SQL)
+def q_commit_line_diff(spark, sf_dir):
+    """Multiset line diff between consecutive file versions
+    (operators/provenance.commit_line_diff): per-version (line, cnt)
+    multisets full-outer-joined at adjacent indices — one exchange on
+    the (repo, path, line) key, duplicate-line-exact, no phantom
+    all-removed row past the last version."""
+    from reden_spark.operators.provenance import commit_line_diff
+
+    return commit_line_diff(_history(spark, sf_dir))
+
+
+@query(
+    "blame_first_seen",
+    f"""
+    WITH lines AS ({_HIST_LINES_SQL})
+    SELECT repo, path, line, md5(line) AS line_key,
+           CAST(min(commit_idx) AS BIGINT) AS first_idx,
+           CAST(count(DISTINCT commit_idx) AS BIGINT) AS n_versions
+    FROM lines GROUP BY 1, 2, 3
+    """,
+)
+def q_blame_first_seen(spark, sf_dir):
+    """Line-introduction blame (operators/provenance.blame_first_seen):
+    per distinct file line, the version that introduced it plus its
+    version span — one groupBy on (repo, path, line); the md5 line_key
+    is what a 100 TB deployment joins on downstream."""
+    from reden_spark.operators.provenance import blame_first_seen
+
+    return blame_first_seen(_history(spark, sf_dir))
+
+
+@query(
+    "line_survival",
+    f"""
+    WITH lines AS ({_HIST_LINES_SQL}),
+    blame AS (
+      SELECT repo, path, line, min(commit_idx) AS first_idx
+      FROM lines GROUP BY 1, 2, 3),
+    mx AS (SELECT repo, path, max(commit_idx) AS max_idx
+           FROM lines GROUP BY 1, 2),
+    latest AS (
+      SELECT DISTINCT l.repo, l.path, l.line
+      FROM lines l JOIN mx
+        ON l.repo = mx.repo AND l.path = mx.path
+       AND l.commit_idx = mx.max_idx)
+    SELECT b.repo, b.path, CAST(b.first_idx AS BIGINT) AS first_idx,
+           CAST(count(*) AS BIGINT) AS n_introduced,
+           CAST(sum(CASE WHEN t.line IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving
+    FROM blame b LEFT JOIN latest t
+      ON b.repo = t.repo AND b.path = t.path AND b.line = t.line
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_line_survival(spark, sf_dir):
+    """Code-decay curve (operators/provenance.line_survival): of the
+    distinct lines first introduced at version k, how many survive to
+    the latest version — blame left-joined against the latest line
+    set, both sides keyed exchanges."""
+    from reden_spark.operators.provenance import line_survival
+
+    return line_survival(_history(spark, sf_dir))
+
+
+@query(
+    "code_churn",
+    f"""
+    WITH diff AS ({_HIST_DIFF_SQL})
+    SELECT repo, path,
+           CAST(count(DISTINCT commit_idx) AS BIGINT) AS n_versions,
+           CAST(sum(added) AS BIGINT) AS total_added,
+           CAST(sum(removed) AS BIGINT) AS total_removed,
+           CAST(sum(added) + sum(removed) AS BIGINT) AS churn
+    FROM diff GROUP BY 1, 2
+    """,
+)
+def q_code_churn(spark, sf_dir):
+    """Churn hotspot ranking (operators/provenance.code_churn): total
+    added+removed lines per file across its history — the classic
+    review-priority signal; one aggregate over the diff table."""
+    from reden_spark.operators.provenance import code_churn
+
+    return code_churn(_history(spark, sf_dir))

@@ -1,0 +1,165 @@
+"""Commit-history line provenance: diff, blame, survival, churn.
+
+The input_hint table carries a ``commit`` column the KG pipeline only
+uses as a row attribute (code_extract.py emits ``atCommit`` triples);
+this module makes the history dimension first-class — the
+mining-software-repositories trio every code-corpus pipeline wants:
+
+* ``commit_line_diff`` — added/removed line counts between consecutive
+  versions of a file (a *multiset* diff: a duplicated line counts
+  twice, matching ``git diff --stat`` on pure add/remove hunks).
+* ``blame_first_seen`` — per surviving-or-dead line, the first version
+  that introduced it (``git blame``'s attribution collapsed to the
+  introduction event; a removed-then-re-added line attributes to its
+  first appearance — documented approximation).
+* ``line_survival`` — of the distinct lines first introduced at
+  version k, how many are still present in the latest version; the
+  code-decay curve.
+* ``code_churn`` — per-file total added+removed across the history;
+  the classic hotspot ranking (hotspot = high churn, the files most
+  worth reviewing / most likely to carry defects).
+
+Scale shape (10^12 file-versions): everything is keyed exchanges on
+``(repo, path [, line])`` — no self-joins wider than the two adjacent
+versions of one file, no collect, no Python row loops.  The line join
+key at 100 TB should be a hash, not the raw line text: callers can
+pre-project ``line -> xxhash64(line)``; here we keep the string so the
+DuckDB oracle can replay the same plan verbatim (the only difference
+is shuffle width, not semantics).  A version's line multiset is
+reduced to (line, count) *before* any join, so a pathological file
+with 10^6 copies of one line is a single reduce-group counter, never a
+pair blow-up.
+
+History versions are ordered by an integer ``commit_idx``.  Real git
+history is a DAG; materializing a per-file linear order (first-parent
+ordering) is the standard flattening and is an upstream extract
+concern, same scoping as the reference's pre-materialized SPARQL dumps
+(QuerySource.java:40-59).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY = ["repo", "path"]
+
+
+def version_lines(history: DataFrame) -> DataFrame:
+    """(repo, path, commit_idx, line, cnt) — the line *multiset* of
+    every file version.  One exchange on (repo, path, commit_idx,
+    line); map-side combinable."""
+    return (
+        history.select(
+            *KEY,
+            "commit_idx",
+            F.explode(F.split(F.col("content"), "\n")).alias("line"),
+        )
+        .groupBy(*KEY, "commit_idx", "line")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def commit_line_diff(history: DataFrame) -> DataFrame:
+    """(repo, path, commit_idx, added, removed) — multiset line diff of
+    each version against its predecessor.  The first version of a file
+    is all-added; a version identical to its predecessor is (0, 0).
+
+    Shape: version multisets full-outer-joined on (repo, path, line)
+    at adjacent indices — one shuffle, then one groupBy back to the
+    version key.  Versions that only exist on the predecessor side
+    (idx+1 past the last version) are clipped against the per-file
+    max index so no phantom "everything removed" row appears."""
+    cur = version_lines(history)
+    last = history.groupBy(*KEY).agg(
+        F.max("commit_idx").alias("max_idx")
+    )
+    prev = (
+        cur.withColumn("commit_idx", F.col("commit_idx") + F.lit(1))
+        .join(last, KEY)
+        .filter(F.col("commit_idx") <= F.col("max_idx"))
+        .drop("max_idx")
+        .withColumnRenamed("cnt", "prev_cnt")
+    )
+    joined = cur.join(
+        prev, [*KEY, "commit_idx", "line"], "full_outer"
+    ).select(
+        *KEY,
+        "commit_idx",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        F.coalesce(F.col("prev_cnt"), F.lit(0)).alias("prev_cnt"),
+    )
+    return joined.groupBy(*KEY, "commit_idx").agg(
+        F.sum(F.greatest(F.col("cnt") - F.col("prev_cnt"), F.lit(0)))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.greatest(F.col("prev_cnt") - F.col("cnt"), F.lit(0)))
+        .cast("long")
+        .alias("removed"),
+    )
+
+
+def blame_first_seen(history: DataFrame) -> DataFrame:
+    """(repo, path, line, line_key, first_idx, n_versions) — per
+    distinct line of a file: the version that introduced it and how
+    many versions carry it.  ``line_key`` is the md5 a 100 TB caller
+    would group on instead of the raw text (carried so downstream
+    joins never reshuffle the string)."""
+    return (
+        version_lines(history)
+        .groupBy(*KEY, "line")
+        .agg(
+            F.min("commit_idx").alias("first_idx"),
+            F.countDistinct("commit_idx").cast("long").alias(
+                "n_versions"
+            ),
+        )
+        .select(
+            *KEY,
+            "line",
+            F.md5(F.col("line")).alias("line_key"),
+            "first_idx",
+            "n_versions",
+        )
+    )
+
+
+def line_survival(history: DataFrame) -> DataFrame:
+    """(repo, path, first_idx, n_introduced, n_surviving) — the decay
+    curve: of the distinct lines first seen at version ``first_idx``,
+    how many are present in the file's latest version.  Set semantics
+    (a line either survives or not), documented vs the multiset diff."""
+    blame = blame_first_seen(history)
+    last = history.groupBy(*KEY).agg(
+        F.max("commit_idx").alias("max_idx")
+    )
+    latest = (
+        version_lines(history)
+        .join(last, KEY)
+        .filter(F.col("commit_idx") == F.col("max_idx"))
+        .select(*KEY, "line")
+        .distinct()
+        .withColumn("alive", F.lit(1))
+    )
+    return (
+        blame.join(latest, [*KEY, "line"], "left")
+        .groupBy(*KEY, "first_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_introduced"),
+            F.sum(F.coalesce(F.col("alive"), F.lit(0)))
+            .cast("long")
+            .alias("n_surviving"),
+        )
+    )
+
+
+def code_churn(history: DataFrame) -> DataFrame:
+    """(repo, path, n_versions, total_added, total_removed, churn) —
+    the hotspot ranking input: per-file total line churn across its
+    whole history.  One aggregate over commit_line_diff."""
+    return commit_line_diff(history).groupBy(*KEY).agg(
+        F.countDistinct("commit_idx").cast("long").alias("n_versions"),
+        F.sum("added").cast("long").alias("total_added"),
+        F.sum("removed").cast("long").alias("total_removed"),
+        (F.sum("added") + F.sum("removed")).cast("long").alias("churn"),
+    )

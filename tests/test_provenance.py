@@ -1,0 +1,74 @@
+"""Hand-traced line-provenance semantics: multiset diff, blame,
+survival, churn (operators/provenance.py)."""
+
+from reden_spark.operators.provenance import (
+    blame_first_seen,
+    code_churn,
+    commit_line_diff,
+    line_survival,
+)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit_idx long, content string"
+    )
+
+
+def test_commit_line_diff_hand_trace(spark):
+    # v0: a,b          v1: a,b,c        v2: a,c,c (b removed, c duped)
+    h = _hist(
+        spark,
+        [
+            ("r", "f", 0, "a\nb"),
+            ("r", "f", 1, "a\nb\nc"),
+            ("r", "f", 2, "a\nc\nc"),
+        ],
+    )
+    got = {
+        r.commit_idx: (r.added, r.removed)
+        for r in commit_line_diff(h).collect()
+    }
+    assert got == {0: (2, 0), 1: (1, 0), 2: (1, 1)}
+
+
+def test_diff_no_phantom_row_and_identical_versions(spark):
+    h = _hist(spark, [("r", "f", 0, "x"), ("r", "f", 1, "x")])
+    rows = commit_line_diff(h).collect()
+    # exactly the two real versions — no commit_idx=2 "all removed" row
+    assert sorted((r.commit_idx, r.added, r.removed) for r in rows) == [
+        (0, 1, 0),
+        (1, 0, 0),
+    ]
+
+
+def test_blame_and_survival(spark):
+    # "b" removed at v2; "c" introduced at v1 and survives; "a" always
+    h = _hist(
+        spark,
+        [
+            ("r", "f", 0, "a\nb"),
+            ("r", "f", 1, "a\nb\nc"),
+            ("r", "f", 2, "a\nc"),
+        ],
+    )
+    blame = {r.line: (r.first_idx, r.n_versions)
+             for r in blame_first_seen(h).collect()}
+    assert blame == {"a": (0, 3), "b": (0, 2), "c": (1, 2)}
+    surv = {r.first_idx: (r.n_introduced, r.n_surviving)
+            for r in line_survival(h).collect()}
+    assert surv == {0: (2, 1), 1: (1, 1)}
+
+
+def test_code_churn_totals(spark):
+    h = _hist(
+        spark,
+        [
+            ("r", "f", 0, "a\nb"),
+            ("r", "f", 1, "a\nc"),
+            ("r", "g", 0, "z"),
+        ],
+    )
+    got = {r.path: (r.n_versions, r.total_added, r.total_removed, r.churn)
+           for r in code_churn(h).collect()}
+    assert got == {"f": (2, 3, 1, 4), "g": (1, 1, 0, 1)}
