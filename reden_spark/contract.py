@@ -9670,3 +9670,207 @@ def q_code_churn(spark, sf_dir):
     from reden_spark.operators.provenance import code_churn
 
     return code_churn(_history(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — code-file quality filters + surface extraction
+# (operators/code_filters.py)
+
+from reden_spark.operators.code_filters import _DECL_RE as _DECL  # noqa: E402
+
+_CODE2_SQL = """
+    SELECT 'repo-' || (doc_id % 17) AS repo,
+           'src/f_' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '.js' ELSE '.py' END AS path,
+           md5('c2' || doc_id) AS commit,
+           CASE WHEN doc_id % 3 = 0 THEN 'js' ELSE 'py' END AS lang,
+           CASE
+             WHEN doc_id % 5 = 0
+               THEN 'var x=1;' || repeat('f(a,b);g();', 120)
+             WHEN doc_id % 5 = 1
+               THEN concat_ws(chr(10),
+                    repeat('[]{};;,,..', 6), repeat('[]{};;,,..', 6),
+                    repeat('[]{};;,,..', 6), repeat('[]{};;,,..', 6),
+                    repeat('[]{};;,,..', 6), repeat('[]{};;,,..', 6))
+             ELSE concat_ws(chr(10),
+               CASE WHEN doc_id % 3 = 0 THEN '// header ' || doc_id
+                    ELSE '# header ' || doc_id END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'function fn_' || doc_id || '(x, y) {'
+                    ELSE 'def fn_' || doc_id || '(x, y):' END,
+               '    return x + ' || (doc_id % 7),
+               CASE WHEN doc_id % 3 = 0 THEN '}'
+                    ELSE 'class C_' || (doc_id % 11) || ':' END,
+               CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 1
+                    THEN '# trailing note' END)
+           END AS content
+    FROM documents
+"""
+
+_CODE2_STATS_SQL = f"""
+    SELECT repo, path,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(ls, l -> length(l)))
+                AS BIGINT) AS max_line_len,
+           list_sum(list_transform(ls, l -> length(l))) / len(ls)
+             AS mean_line_len,
+           length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+             / length(content) AS alnum_frac
+    FROM (SELECT repo, path, content,
+                 string_split(content, chr(10)) AS ls
+          FROM ({_CODE2_SQL}))
+"""
+
+
+def _code_files2(spark, sf_dir):
+    """Deterministic mixed-quality code corpus in the input_hint
+    schema — mirrors _CODE2_SQL token for token.  doc_id%5==0 is a
+    minified single-line file (max-line rule), %5==1 a zero-alnum
+    data blob (alnum rule), the rest normal py/js files with comments
+    and def/function/class declarations."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    is_js = d % 3 == 0
+    blob_line = F.repeat(F.lit("[]{};;,,.."), 6)
+    content = (
+        F.when(d % 5 == 0,
+               F.concat(F.lit("var x=1;"), F.repeat(F.lit("f(a,b);g();"), 120)))
+        .when(d % 5 == 1,
+              F.concat_ws("\n", blob_line, blob_line, blob_line,
+                          blob_line, blob_line, blob_line))
+        .otherwise(F.concat_ws(
+            "\n",
+            F.when(is_js, F.concat(F.lit("// header "), s(d)))
+            .otherwise(F.concat(F.lit("# header "), s(d))),
+            F.when(is_js, F.concat(F.lit("function fn_"), s(d),
+                                   F.lit("(x, y) {")))
+            .otherwise(F.concat(F.lit("def fn_"), s(d), F.lit("(x, y):"))),
+            F.concat(F.lit("    return x + "), s(d % 7)),
+            F.when(is_js, F.lit("}"))
+            .otherwise(F.concat(F.lit("class C_"), s(d % 11), F.lit(":"))),
+            F.when(~is_js & (d % 2 == 1), F.lit("# trailing note")),
+        ))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(
+            F.lit("src/f_"), s(d),
+            F.when(is_js, F.lit(".js")).otherwise(F.lit(".py")),
+        ).alias("path"),
+        F.md5(F.concat(F.lit("c2"), s(d))).alias("commit"),
+        F.when(is_js, F.lit("js")).otherwise(F.lit("py")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+@query("code_file_stats", _CODE2_STATS_SQL)
+def q_code_file_stats(spark, sf_dir):
+    """Per-file shape statistics (operators/code_filters.
+    code_file_stats): line count, max/mean line length, alphanumeric
+    fraction — one shuffle-free projection of array expressions; the
+    whole cost is the content scan."""
+    from reden_spark.operators.code_filters import code_file_stats
+
+    return code_file_stats(_code_files2(spark, sf_dir))
+
+
+@query(
+    "code_file_filters",
+    f"""
+    WITH st AS ({_CODE2_STATS_SQL}),
+    v AS (
+      SELECT repo, path,
+             CASE WHEN max_line_len > 1000 THEN 'max_line'
+                  WHEN mean_line_len > 100.0 THEN 'mean_line'
+                  WHEN alnum_frac < 0.25 THEN 'low_alnum'
+                  ELSE 'ok' END AS reason
+      FROM st)
+    SELECT repo, path, reason, reason = 'ok' AS keep FROM v
+    """,
+)
+def q_code_file_filters(spark, sf_dir):
+    """The-Stack-style cleaning verdict (operators/code_filters.
+    code_file_filters): first failing rule named per file — minified
+    single-liners fail max_line, zero-alnum blobs fail low_alnum,
+    normal files keep.  Deterministic, auditable drop ledger."""
+    from reden_spark.operators.code_filters import code_file_filters
+
+    return code_file_filters(_code_files2(spark, sf_dir))
+
+
+@query(
+    "comment_density",
+    f"""
+    SELECT repo, path, lang,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls,
+                  l -> starts_with(ltrim(l),
+                         CASE WHEN lang IN ('js','c','cpp','java','go',
+                                            'ts','rust')
+                              THEN '//' ELSE '#' END)))
+                AS BIGINT) AS n_comments,
+           len(list_filter(ls,
+                  l -> starts_with(ltrim(l),
+                         CASE WHEN lang IN ('js','c','cpp','java','go',
+                                            'ts','rust')
+                              THEN '//' ELSE '#' END)))
+             / len(ls) AS comment_frac
+    FROM (SELECT repo, path, lang, string_split(content, chr(10)) AS ls
+          FROM ({_CODE2_SQL}))
+    """,
+)
+def q_comment_density(spark, sf_dir):
+    """Lang-aware comment-line fraction (operators/code_filters.
+    comment_density): # for Python-likes, // for C-likes, chosen by a
+    plan-time CASE — a documentation-quality prior for the training
+    mix; shuffle-free."""
+    from reden_spark.operators.code_filters import comment_density
+
+    return comment_density(_code_files2(spark, sf_dir))
+
+
+@query(
+    "api_surface",
+    f"""
+    WITH ex AS (
+      SELECT repo, path,
+             unnest(regexp_extract_all(content, '{_DECL}', 0)) AS decl
+      FROM ({_CODE2_SQL}))
+    SELECT repo, path,
+           regexp_extract(decl, '{_DECL}', 1) AS kind,
+           regexp_extract(decl, '{_DECL}', 2) AS name,
+           CAST(CASE WHEN trim(regexp_extract(decl, '{_DECL}', 4)) = ''
+                     THEN 0
+                     ELSE len(string_split(
+                            trim(regexp_extract(decl, '{_DECL}', 4)), ','))
+                END AS BIGINT) AS arity
+    FROM ex
+    """,
+)
+def q_api_surface(spark, sf_dir):
+    """Declaration extraction (operators/code_filters.api_surface):
+    (kind, name, arity) for every def/function/class — the signature
+    detail of the code KG; regexp_extract_all + explode, no UDFs."""
+    from reden_spark.operators.code_filters import api_surface
+
+    return api_surface(_code_files2(spark, sf_dir))
+
+
+@query(
+    "repo_profile",
+    f"""
+    SELECT repo,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len(string_split(content, chr(10)))) AS BIGINT)
+             AS total_lines,
+           CAST(sum(length(content)) AS BIGINT) AS total_chars
+    FROM ({_CODE2_SQL}) GROUP BY 1
+    """,
+)
+def q_repo_profile(spark, sf_dir):
+    """Corpus census (operators/code_filters.repo_profile): per-repo
+    file/lang/line/char totals — one map-side-combinable groupBy."""
+    from reden_spark.operators.code_filters import repo_profile
+
+    return repo_profile(_code_files2(spark, sf_dir))

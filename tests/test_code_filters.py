@@ -1,0 +1,85 @@
+"""Hand-traced code-filter semantics (operators/code_filters.py)."""
+
+from reden_spark.operators.code_filters import (
+    api_surface,
+    code_file_filters,
+    code_file_stats,
+    comment_density,
+    repo_profile,
+)
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+
+
+def test_stats_and_filter_reasons(spark):
+    minified = "x=1;" + "f();" * 300               # one 1204-char line
+    blob = "\n".join(["[]{};;"] * 4)               # zero alnum
+    ok = "# c\ndef f(x):\n    return x"
+    f = _files(
+        spark,
+        [
+            ("r", "min.js", "js", minified),
+            ("r", "blob.py", "py", blob),
+            ("r", "ok.py", "py", ok),
+        ],
+    )
+    st = {r.path: r for r in code_file_stats(f).collect()}
+    assert st["min.js"].n_lines == 1
+    assert st["min.js"].max_line_len == 1204
+    assert st["blob.py"].alnum_frac == 0.0
+    assert st["ok.py"].n_lines == 3
+    verdict = {r.path: (r.keep, r.reason)
+               for r in code_file_filters(f).collect()}
+    assert verdict == {
+        "min.js": (False, "max_line"),
+        "blob.py": (False, "low_alnum"),
+        "ok.py": (True, "ok"),
+    }
+
+
+def test_comment_density_lang_aware(spark):
+    f = _files(
+        spark,
+        [
+            ("r", "a.py", "py", "# one\nx = 1\n  # two"),
+            ("r", "b.js", "js", "// one\nvar x;\n# not js comment"),
+        ],
+    )
+    got = {r.path: (r.n_comments, r.n_lines)
+           for r in comment_density(f).collect()}
+    assert got == {"a.py": (2, 3), "b.js": (1, 3)}
+
+
+def test_api_surface_kinds_and_arity(spark):
+    content = (
+        "def f(a, b, c):\n    pass\n"
+        "class K:\n    pass\n"
+        "function g() {}\n"
+        "def h():\n    pass"
+    )
+    f = _files(spark, [("r", "m.py", "py", content)])
+    got = {(r.kind, r.name): r.arity for r in api_surface(f).collect()}
+    assert got == {
+        ("def", "f"): 3,
+        ("class", "K"): 0,
+        ("function", "g"): 0,
+        ("def", "h"): 0,
+    }
+
+
+def test_repo_profile(spark):
+    f = _files(
+        spark,
+        [
+            ("r1", "a.py", "py", "x\ny"),
+            ("r1", "b.js", "js", "z"),
+            ("r2", "c.py", "py", "w"),
+        ],
+    )
+    got = {r.repo: (r.n_files, r.n_langs, r.total_lines, r.total_chars)
+           for r in repo_profile(f).collect()}
+    assert got == {"r1": (2, 2, 3, 4), "r2": (1, 1, 1, 1)}
