@@ -9874,3 +9874,72 @@ def q_repo_profile(spark, sf_dir):
     from reden_spark.operators.code_filters import repo_profile
 
     return repo_profile(_code_files2(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — harmonic centrality + directed reciprocity
+
+@query(
+    "harmonic_centrality",
+    f"""
+    WITH RECURSIVE {_CTX_GRAPH_SQL},
+    reach AS (
+      SELECT context_id, vertex AS source, vertex, 0 AS dist FROM verts
+      UNION
+      SELECT r.context_id, r.source, u.dst AS vertex, r.dist + 1 AS dist
+      FROM reach r JOIN und u
+        ON r.context_id = u.context_id AND r.vertex = u.src
+      WHERE r.dist < 10),
+    d AS (SELECT context_id, source, vertex, min(dist) AS dist
+          FROM reach GROUP BY 1, 2, 3),
+    g AS (SELECT context_id, source, dist, count(*) AS n_d
+          FROM d WHERE dist > 0 GROUP BY 1, 2, 3)
+    SELECT context_id, source AS vertex,
+           CAST(sum((n_d * 1000000) // dist) AS BIGINT) AS harmonic_e6
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality (Boldi & Vigna 2014) — the
+    disconnection-robust closeness variant, completing the centrality
+    family (degree/eigen/closeness/betweenness/PageRank/PPR).  Exact
+    integer micro-units per (source, dist) level: both engines sum
+    identical integers, zero float drift."""
+    from reden_spark.operators.centrality_alt import harmonic_scores
+
+    return harmonic_scores(_ctx_edges(spark, sf_dir)).select(
+        "context_id", "vertex", "harmonic_e6"
+    )
+
+
+@query(
+    "edge_reciprocity",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey % 30 AS src, (l_suppkey * 3 + 1) % 30 AS dst
+      FROM lineitem
+      WHERE l_partkey % 30 <> (l_suppkey * 3 + 1) % 30),
+    t AS (SELECT count(*) AS n_directed FROM e),
+    r AS (SELECT count(*) AS n_reciprocal
+          FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                               WHERE e2.src = e.dst AND e2.dst = e.src))
+    SELECT CAST(n_directed AS BIGINT) AS n_directed,
+           CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+           CAST((n_reciprocal * 1000000) // n_directed AS BIGINT)
+             AS reciprocity_e6
+    FROM t, r
+    """,
+)
+def q_edge_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (operators/graphstats.
+    edge_reciprocity): share of distinct directed edges whose reverse
+    exists — dedup once, left-semi self-join on the same key, 1-row
+    crossJoin of aggregates."""
+    from reden_spark.operators.graphstats import edge_reciprocity
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 30).alias("src"),
+        ((F.col("l_suppkey") * 3 + 1) % 30).alias("dst"),
+    )
+    return edge_reciprocity(edges)

@@ -429,3 +429,32 @@ def score_candidates_alt(
         .withColumn("score", F.coalesce("alt_score", F.lit(0.0)))
         .drop("alt_score", "base_dec")
     )
+
+
+def harmonic_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
+    """(ctx, vertex, harmonic_e6): harmonic centrality Σ_{u≠v} 1/d(v,u)
+    in exact integer micro-units.  Per (source, dist) level the
+    contribution is ``(n_d * 1_000_000) div dist`` — both engines sum
+    identical integers, so no float-accumulation-order drift can leak
+    into the driver hash.  Unreachable pairs contribute 0, which is the
+    measure's own convention: harmonic centrality handles disconnected
+    graphs natively (its textbook advantage over Freeman closeness, cf.
+    Boldi & Vigna 2014, "Axioms for centrality").
+
+    Same scale shape as closeness: the bounded-hop ``_sigma_bfs`` keyed
+    on (ctx, vertex), then two map-side-combinable aggregates."""
+    reached = _sigma_bfs(edges, max_hops)
+    per_d = (
+        reached.filter(F.col("dist") > 0)
+        .groupBy(*CTX, "source", "dist")
+        .agg(F.count("*").alias("n_d"))
+    )
+    return (
+        per_d.select(
+            *CTX,
+            F.col("source").alias("vertex"),
+            F.expr("(n_d * 1000000L) div dist").alias("contrib"),
+        )
+        .groupBy(*CTX, "vertex")
+        .agg(F.sum("contrib").cast("long").alias("harmonic_e6"))
+    )

@@ -348,3 +348,35 @@ def anf_growth(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
         out = out.unionByName(level(r, sketch))
     return out
+
+
+def edge_reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_directed, n_reciprocal, reciprocity_e6): share of the
+    distinct directed edges (self-loops excluded) whose reverse edge
+    also exists — classic directed-graph reciprocity, in exact integer
+    micro-units.
+
+    Shape: the edge set is deduped once (one exchange on (src, dst));
+    the reverse-existence test is a left-semi self-join on the same
+    key, and the two counts meet in a 1-row crossJoin — the bounded
+    crossJoin-of-aggregates pattern used throughout this repo, never a
+    row-level cross product."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    total = e.agg(F.count("*").cast("long").alias("n_directed"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_reciprocal"))
+    )
+    return total.crossJoin(recip).select(
+        "n_directed",
+        "n_reciprocal",
+        F.expr("(n_reciprocal * 1000000L) div n_directed").alias(
+            "reciprocity_e6"
+        ),
+    )

@@ -1,0 +1,39 @@
+"""Hand-traced harmonic centrality and reciprocity semantics."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.centrality_alt import harmonic_scores
+from reden_spark.operators.graphstats import edge_reciprocity
+
+
+def test_harmonic_path_graph(spark):
+    # path a-b-c in one context: H(a)=1/1+1/2, H(b)=2, H(c)=1/1+1/2
+    edges = spark.createDataFrame(
+        [(0, 0, "a", "b"), (0, 0, "b", "c")],
+        "doc_key long, context_id int, src string, dst string",
+    )
+    got = {r.vertex: r.harmonic_e6 for r in harmonic_scores(edges).collect()}
+    assert got == {"a": 1_500_000, "b": 2_000_000, "c": 1_500_000}
+
+
+def test_harmonic_disconnected_component(spark):
+    # a-b plus isolated pair c-d: disconnection contributes 0, no NaN/inf
+    edges = spark.createDataFrame(
+        [(0, 0, "a", "b"), (0, 0, "c", "d")],
+        "doc_key long, context_id int, src string, dst string",
+    )
+    got = {r.vertex: r.harmonic_e6 for r in harmonic_scores(edges).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000,
+                   "c": 1_000_000, "d": 1_000_000}
+
+
+def test_reciprocity_counts(spark):
+    # a->b, b->a reciprocal; a->c one-way; self-loop ignored; dup ignored
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("d", "d")],
+        "src string, dst string",
+    )
+    row = edge_reciprocity(edges).collect()[0]
+    assert (row.n_directed, row.n_reciprocal, row.reciprocity_e6) == (
+        3, 2, 666_666,
+    )
