@@ -9943,3 +9943,83 @@ def q_edge_reciprocity(spark, sf_dir):
         ((F.col("l_suppkey") * 3 + 1) % 30).alias("dst"),
     )
     return edge_reciprocity(edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — seasonal profile + autocorrelation (operators/eventstats.py)
+
+_DAY_SERIES_SQL = """
+    SELECT event_type AS key,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _day_series(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    return ev.groupBy(
+        F.col("event_type").alias("key"), day.alias("t")
+    ).agg(F.count("*").cast("long").alias("x"))
+
+
+@query(
+    "seasonal_profile",
+    f"""
+    WITH series AS ({_DAY_SERIES_SQL}),
+    per AS (SELECT key, t % 7 AS phase,
+                   count(*) AS n_obs, sum(x) AS phase_sum
+            FROM series GROUP BY 1, 2),
+    tot AS (SELECT key, count(*) AS n_total, sum(x) AS total_sum
+            FROM series GROUP BY 1)
+    SELECT per.key, CAST(phase AS BIGINT) AS phase,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(phase_sum AS BIGINT) AS phase_sum,
+           phase_sum / n_obs AS phase_mean,
+           CAST((phase_sum * n_total * 1000000)
+                // (total_sum * n_obs) AS BIGINT) AS index_e6
+    FROM per JOIN tot ON per.key = tot.key
+    """,
+)
+def q_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonal component (operators/eventstats.
+    seasonal_profile) of per-(event_type, day) counts: per-phase mean
+    and the seasonality index in exact integer micro-units — the
+    crawl-scheduler / drift-monitor weekly profile."""
+    from reden_spark.operators.eventstats import seasonal_profile
+
+    return seasonal_profile(_day_series(spark, sf_dir), period=7)
+
+
+@query(
+    "acf_lags",
+    f"""
+    WITH series AS ({_DAY_SERIES_SQL}),
+    ex AS (SELECT key, t, x, lag
+           FROM series, (VALUES (1), (2), (7)) l(lag)),
+    pairs AS (
+      SELECT ex.key, ex.lag, ex.x AS x, y.x AS y
+      FROM ex JOIN series y
+        ON y.key = ex.key AND y.t = ex.t + ex.lag),
+    a AS (SELECT key, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pairs GROUP BY 1, 2)
+    SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+           END AS acf
+    FROM a
+    """,
+)
+def q_acf_lags(spark, sf_dir):
+    """Sample autocorrelation at lags 1/2/7 (operators/eventstats.
+    acf_lags) via the scalable (key, t+lag) self-join — Pearson r from
+    exact integer sums in one fixed expression, NULL on zero variance
+    (integer-exact guard), 1e-9-rounded per repo convention."""
+    from reden_spark.operators.eventstats import acf_lags
+
+    return acf_lags(_day_series(spark, sf_dir), lags=(1, 2, 7))

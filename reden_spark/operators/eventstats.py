@@ -472,3 +472,89 @@ def ewma_residuals(series: DataFrame) -> DataFrame:
         F.col("r.ewma").alias("ewma"),
         F.col("r.resid").alias("resid"),
     )
+
+
+def seasonal_profile(series: DataFrame, period: int = 7) -> DataFrame:
+    """(key, phase, n_obs, phase_sum, phase_mean, index_e6) — seasonal
+    decomposition's seasonal component at a fixed period: per phase
+    ``t % period``, the observation count, sum, mean, and the
+    seasonality index (phase mean / key mean) in exact integer
+    micro-units — ``(phase_sum · n_total · 1e6) div (total_sum ·
+    n_obs)`` is all-integer, so both engines agree bit-for-bit;
+    ``phase_mean`` is one division of exact integers (deterministic).
+
+    Shape: two map-side-combinable groupBys on the key, one broadcast-
+    size join back.  The weekly-traffic / day-of-week profile every
+    crawl scheduler and drift monitor wants."""
+    per = series.groupBy(
+        "key", (F.col("t") % period).cast("long").alias("phase")
+    ).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("x").cast("long").alias("phase_sum"),
+    )
+    tot = series.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("x").cast("long").alias("total_sum"),
+    )
+    return per.join(tot, "key").select(
+        "key",
+        "phase",
+        "n_obs",
+        "phase_sum",
+        (F.col("phase_sum") / F.col("n_obs")).alias("phase_mean"),
+        F.expr(
+            "(phase_sum * n_total * 1000000L)"
+            " div (total_sum * n_obs)"
+        ).cast("long").alias("index_e6"),
+    )
+
+
+def acf_lags(series: DataFrame, lags=(1, 2, 7)) -> DataFrame:
+    """(key, lag, n_pairs, acf) — sample autocorrelation of each key's
+    series at the given integer lags: Pearson r between x_t and
+    x_{t+lag} over the pairs both present.  The join on (key, t+lag)
+    is the scalable formulation (no per-key array materialization);
+    r is computed in ONE fixed expression from exact integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy²), NULL when either variance is zero —
+    both conditions integer-exact, so engines can't disagree on the
+    guard.  Rounded to 1e-9 per the repo's float-score convention."""
+    lagged = series.select(
+        F.col("key").alias("k2"),
+        F.col("t").alias("t_src"),
+        F.col("x").alias("y"),
+    )
+    ex = series.select(
+        "key", "t", "x",
+        F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag"),
+    )
+    pairs = ex.join(
+        lagged,
+        (ex["key"] == lagged["k2"])
+        & (lagged["t_src"] == ex["t"] + ex["lag"]),
+    ).select("key", "lag", "x", "y")
+    a = pairs.groupBy("key", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return a.select(
+        "key",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                9,
+            ),
+        ).alias("acf"),
+    )

@@ -1,0 +1,36 @@
+"""Hand-traced seasonal-profile and autocorrelation semantics."""
+
+from reden_spark.operators.eventstats import acf_lags, seasonal_profile
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "key string, t long, x long")
+
+
+def test_seasonal_profile_two_phases(spark):
+    # period 2: even t → x=10, odd t → x=30; key mean = 20
+    rows = [("a", t, 10 if t % 2 == 0 else 30) for t in range(8)]
+    got = {r.phase: r for r in
+           seasonal_profile(_series(spark, rows), period=2).collect()}
+    assert got[0].phase_sum == 40 and got[0].phase_mean == 10.0
+    assert got[1].phase_sum == 120 and got[1].phase_mean == 30.0
+    # index = phase_mean / global mean: 10/20 and 30/20
+    assert got[0].index_e6 == 500_000
+    assert got[1].index_e6 == 1_500_000
+
+
+def test_acf_perfect_and_anti_correlation(spark):
+    # strictly increasing series: acf(1) == 1 exactly
+    inc = [("a", t, t + 1) for t in range(6)]
+    # alternating series: acf(1) == -1 exactly
+    alt = [("b", t, 1 if t % 2 == 0 else 3) for t in range(6)]
+    got = {(r.key, r.lag): r for r in
+           acf_lags(_series(spark, inc + alt), lags=(1,)).collect()}
+    assert got[("a", 1)].n_pairs == 5 and got[("a", 1)].acf == 1.0
+    assert got[("b", 1)].n_pairs == 5 and got[("b", 1)].acf == -1.0
+
+
+def test_acf_zero_variance_is_null(spark):
+    rows = [("c", t, 5) for t in range(4)]
+    out = acf_lags(_series(spark, rows), lags=(1,)).collect()
+    assert len(out) == 1 and out[0].acf is None
