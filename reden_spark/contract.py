@@ -10023,3 +10023,71 @@ def q_acf_lags(spark, sf_dir):
     from reden_spark.operators.eventstats import acf_lags
 
     return acf_lags(_day_series(spark, sf_dir), lags=(1, 2, 7))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — gaps-and-islands temporal validity (operators/temporal.py)
+
+@query(
+    "triple_intervals",
+    f"""
+    WITH p AS (SELECT DISTINCT repo, path, line, commit_idx
+               FROM ({_HIST_LINES_SQL})),
+    r AS (SELECT repo, path, line, commit_idx,
+                 commit_idx - row_number() OVER (
+                   PARTITION BY repo, path, line
+                   ORDER BY commit_idx) AS island
+          FROM p)
+    SELECT repo, path, line,
+           CAST(min(commit_idx) AS BIGINT) AS start_idx,
+           CAST(max(commit_idx) AS BIGINT) AS end_idx,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM r GROUP BY repo, path, line, island
+    """,
+)
+def q_triple_intervals(spark, sf_dir):
+    """Temporal-KG validity intervals (operators/temporal.
+    presence_intervals): per-snapshot fact presence collapsed to
+    maximal consecutive runs via the island key idx − row_number() —
+    one window + one groupBy on the same key; each island is one
+    validity interval of the fact across the commit history."""
+    from reden_spark.operators.provenance import version_lines
+    from reden_spark.operators.temporal import presence_intervals
+
+    pres = version_lines(_history(spark, sf_dir)).select(
+        "repo", "path", "line", "commit_idx"
+    )
+    return presence_intervals(
+        pres, ["repo", "path", "line"], "commit_idx"
+    )
+
+
+@query(
+    "activity_islands",
+    f"""
+    WITH p AS (SELECT DISTINCT key, t FROM ({_DAY_SERIES_SQL})),
+    r AS (SELECT key, t,
+                 t - row_number() OVER (PARTITION BY key ORDER BY t)
+                   AS island
+          FROM p),
+    iv AS (SELECT key, island,
+                  min(t) AS start_idx, max(t) AS end_idx,
+                  count(*) AS run_len
+           FROM r GROUP BY 1, 2)
+    SELECT key,
+           CAST(min(start_idx) AS BIGINT) AS first_idx,
+           CAST(max(end_idx) AS BIGINT) AS last_idx,
+           CAST(sum(run_len) AS BIGINT) AS n_present,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM iv GROUP BY 1
+    """,
+)
+def q_activity_islands(spark, sf_dir):
+    """Activity-period summary (operators/temporal.presence_lifespan)
+    over per-(event_type, day) presence: lifespan, active-day count,
+    and number of separate activity runs — n_islands > 1 ⇔ the source
+    went quiet and came back (the recrawl-scheduler signal)."""
+    from reden_spark.operators.temporal import presence_lifespan
+
+    pres = _day_series(spark, sf_dir).select("key", "t")
+    return presence_lifespan(pres, ["key"], "t")

@@ -133,3 +133,49 @@ def interval_overlap_join(
             ov_end.alias("overlap_end"),
         )
     )
+
+
+def presence_intervals(
+    df: DataFrame, keys: list[str], idx_col: str = "t"
+) -> DataFrame:
+    """Gaps-and-islands: collapse a (keys…, idx) presence set into its
+    maximal consecutive runs — (keys…, start_idx, end_idx, run_len).
+
+    This is the temporal-KG validity operator: feed it (subj, pred,
+    obj, commit_idx) presence rows extracted per snapshot and each
+    island is one validity interval of the fact ([first commit it
+    held, last commit before it was retracted]); feed it (key, day)
+    activity rows and each island is an uptime/activity period.
+
+    Classic formulation: ``island = idx − row_number() over (keys
+    ORDER BY idx)`` is constant exactly along a consecutive run.  One
+    window and one groupBy, both keyed on ``keys`` — a single exchange
+    reused; per-key state is the sort, never a pairwise join.  Input
+    is deduped on (keys, idx) first so multiplicity can't split runs."""
+    idx = F.col(idx_col)
+    w = Window.partitionBy(*keys).orderBy(idx_col)
+    runs = (
+        df.select(*keys, idx.cast("long").alias(idx_col))
+        .dropDuplicates([*keys, idx_col])
+        .withColumn("_island", idx - F.row_number().over(w))
+    )
+    return runs.groupBy(*keys, "_island").agg(
+        F.min(idx_col).alias("start_idx"),
+        F.max(idx_col).alias("end_idx"),
+        F.count("*").cast("long").alias("run_len"),
+    ).drop("_island")
+
+
+def presence_lifespan(
+    df: DataFrame, keys: list[str], idx_col: str = "t"
+) -> DataFrame:
+    """(keys…, first_idx, last_idx, n_present, n_islands) — the
+    summary view over ``presence_intervals``: total lifespan, how many
+    snapshots the fact held in, and how many separate validity runs it
+    had (n_islands > 1 ⇔ the fact was retracted and re-asserted)."""
+    return presence_intervals(df, keys, idx_col).groupBy(*keys).agg(
+        F.min("start_idx").alias("first_idx"),
+        F.max("end_idx").alias("last_idx"),
+        F.sum("run_len").cast("long").alias("n_present"),
+        F.count("*").cast("long").alias("n_islands"),
+    )

@@ -1,0 +1,28 @@
+"""Hand-traced gaps-and-islands semantics (operators/temporal.py)."""
+
+from reden_spark.operators.temporal import (
+    presence_intervals,
+    presence_lifespan,
+)
+
+
+def test_intervals_split_and_merge(spark):
+    # fact "a" holds at 0,1,2 and 5,6 (retracted 3-4, re-asserted 5)
+    # fact "b" holds at 2 only; duplicates must not split runs
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 1), ("a", 2), ("a", 5), ("a", 6),
+         ("b", 2)],
+        "fact string, t long",
+    )
+    iv = {(r.fact, r.start_idx): (r.end_idx, r.run_len)
+          for r in presence_intervals(df, ["fact"], "t").collect()}
+    assert iv == {("a", 0): (2, 3), ("a", 5): (6, 2), ("b", 2): (2, 1)}
+
+
+def test_lifespan_counts_islands(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 5), ("b", 3)], "fact string, t long"
+    )
+    ls = {r.fact: (r.first_idx, r.last_idx, r.n_present, r.n_islands)
+          for r in presence_lifespan(df, ["fact"], "t").collect()}
+    assert ls == {"a": (0, 5, 3, 2), "b": (3, 3, 1, 1)}
