@@ -10091,3 +10091,112 @@ def q_activity_islands(spark, sf_dir):
 
     pres = _day_series(spark, sf_dir).select("key", "t")
     return presence_lifespan(pres, ["key"], "t")
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — ER threshold tuning curve (operators/blocking.py)
+
+@query(
+    "er_threshold_sweep",
+    f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    k AS (SELECT id,
+                 regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key
+          FROM names),
+    kb AS (SELECT id AS id_a, key AS key_a, substr(key, 1, 2) AS block
+           FROM k),
+    led AS (
+      SELECT id_a, key_a, block,
+             lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS key1,
+             lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS key2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)),
+    pairs AS (
+      SELECT id_a, id1 AS id_b, key_a, key1 AS key_b
+      FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, id2, key_a, key2 FROM led WHERE id2 IS NOT NULL),
+    scored AS (
+      SELECT id_a, id_b,
+             CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                  THEN 1000000
+                  ELSE ((greatest(length(key_a), length(key_b))
+                         - levenshtein(key_a, key_b)) * 1000000)
+                       // greatest(length(key_a), length(key_b))
+             END AS sim_e6
+      FROM pairs),
+    pred AS (SELECT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb,
+                    max(sim_e6) AS s
+             FROM scored GROUP BY 1, 2),
+    gold AS (SELECT DISTINCT a.id AS pa, b.id AS pb
+             FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+    marked AS (
+      SELECT p.s,
+             CASE WHEN g.pa IS NOT NULL THEN 1 ELSE 0 END AS is_gold
+      FROM pred p LEFT JOIN gold g ON p.pa = g.pa AND p.pb = g.pb),
+    ng AS (SELECT count(*) AS n_gold FROM gold),
+    per AS (
+      SELECT t.threshold,
+             sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS n_pred,
+             sum(CASE WHEN s >= t.threshold AND is_gold = 1
+                      THEN 1 ELSE 0 END) AS tp
+      FROM marked, (VALUES (500000), (800000), (1000000)) t(threshold)
+      GROUP BY 1),
+    rates AS (
+      SELECT threshold, n_pred, tp, n_gold,
+             CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred
+                  ELSE 0 END AS p_e6,
+             CASE WHEN n_gold > 0 THEN (tp * 1000000) // n_gold
+                  ELSE 0 END AS r_e6
+      FROM per, ng)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CAST(p_e6 AS BIGINT) AS p_e6, CAST(r_e6 AS BIGINT) AS r_e6,
+           CAST(CASE WHEN p_e6 + r_e6 > 0
+                     THEN (2 * p_e6 * r_e6) // (p_e6 + r_e6)
+                     ELSE 0 END AS BIGINT) AS f1_e6
+    FROM rates
+    """,
+)
+def q_er_threshold_sweep(spark, sf_dir):
+    """ER tuning curve (operators/blocking.er_threshold_sweep):
+    P/R/F1 in exact micro-units at thresholds 0.5/0.8/1.0 over the
+    sorted-neighborhood+Levenshtein scores, gold = equal normalized
+    keys — conditional aggregation keeps every τ row; all-integer."""
+    from reden_spark.operators.blocking import (
+        er_scores,
+        er_threshold_sweep,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    scored = er_scores(
+        sorted_neighborhood_pairs(
+            names, name_col="name", id_col="id", window=3, block_len=2
+        )
+    )
+    key = F.regexp_replace(F.lower(F.col("name")), "[^a-z0-9]", "")
+    keyed = names.select("id", key.alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    gold = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return er_threshold_sweep(
+        scored, gold, thresholds=(500_000, 800_000, 1_000_000)
+    )

@@ -210,3 +210,94 @@ def reciprocal_best_pairs(scored: DataFrame) -> DataFrame:
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
     )
     return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "sim_e6")
+
+
+def er_threshold_sweep(
+    scored: DataFrame,
+    gold: DataFrame,
+    thresholds=(500_000, 800_000, 1_000_000),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "sim_e6",
+) -> DataFrame:
+    """(threshold, n_pred, tp, n_gold, p_e6, r_e6, f1_e6) — the ER
+    tuning curve: precision / recall / F1 of ``score ≥ τ`` match
+    decisions against a gold pair set, for every τ at once.
+
+    Pairs are canonicalized (least, greatest) and deduped keeping the
+    max score before comparison, so direction and blocking-window
+    duplicates can't inflate counts.  Every τ row survives even at
+    zero predictions (conditional aggregation, not a filter), and all
+    rates are exact integer micro-units with explicit zero guards —
+    f1_e6 = 2·p·r div (p + r) in e6 space.
+
+    Shape: one exchange to dedup pairs, a broadcast-size explode by
+    |thresholds| (a handful), one groupBy on τ, and a 1-row crossJoin
+    for the gold denominator — never a pairwise blow-up."""
+    pred = (
+        scored.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("pb"),
+            F.col(score_col).alias("s"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.max("s").alias("s"))
+    )
+    g = (
+        gold.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("pb"),
+        )
+        .distinct()
+        .withColumn("is_gold", F.lit(1))
+        .persist()
+    )
+    marked = pred.join(g, ["pa", "pb"], "left").select(
+        "s", F.coalesce("is_gold", F.lit(0)).alias("is_gold")
+    )
+    taus = F.explode(
+        F.array(*[F.lit(int(t)) for t in thresholds])
+    ).alias("threshold")
+    per_tau = (
+        marked.select("s", "is_gold", taus)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("s") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred"),
+            F.sum(
+                F.when(
+                    (F.col("s") >= F.col("threshold"))
+                    & (F.col("is_gold") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    n_gold = g.agg(F.count("*").cast("long").alias("n_gold"))
+    out = per_tau.crossJoin(n_gold)
+    p = F.when(
+        F.col("n_pred") > 0, F.expr("(tp * 1000000L) div n_pred")
+    ).otherwise(F.lit(0)).cast("long")
+    r = F.when(
+        F.col("n_gold") > 0, F.expr("(tp * 1000000L) div n_gold")
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        out.withColumn("p_e6", p)
+        .withColumn("r_e6", r)
+        .withColumn(
+            "f1_e6",
+            F.when(
+                F.col("p_e6") + F.col("r_e6") > 0,
+                F.expr("(2 * p_e6 * r_e6) div (p_e6 + r_e6)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "n_pred", "tp", "n_gold", "p_e6", "r_e6", "f1_e6",
+        )
+    )

@@ -1,0 +1,42 @@
+"""Hand-traced ER threshold-sweep metrics (operators/blocking.py)."""
+
+from reden_spark.operators.blocking import er_threshold_sweep
+
+
+def test_sweep_exact_counts(spark):
+    # pairs: (1,2)=1.0 gold, (3,4)=0.9 not gold, (5,6)=0.4 gold,
+    # (2,1) duplicate reversed with lower score (must dedup to max)
+    scored = spark.createDataFrame(
+        [(1, 2, 1_000_000), (2, 1, 900_000), (3, 4, 900_000),
+         (5, 6, 400_000)],
+        "id_a long, id_b long, sim_e6 long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.threshold: r for r in er_threshold_sweep(
+        scored, gold, thresholds=(400_000, 950_000)).collect()}
+    lo = got[400_000]
+    # all 3 distinct pairs predicted; tp = 2 of 3 gold
+    assert (lo.n_pred, lo.tp, lo.n_gold) == (3, 2, 3)
+    assert lo.p_e6 == 666_666 and lo.r_e6 == 666_666
+    assert lo.f1_e6 == 666_666
+    hi = got[950_000]
+    # only (1,2) at 1.0 survives; precision 1, recall 1/3
+    assert (hi.n_pred, hi.tp) == (1, 1)
+    assert hi.p_e6 == 1_000_000 and hi.r_e6 == 333_333
+    # f1 = 2*1e6*333333 div (1333333) = 499999 (integer e6 space)
+    assert hi.f1_e6 == 499_999
+
+
+def test_sweep_zero_prediction_row_survives(spark):
+    scored = spark.createDataFrame(
+        [(1, 2, 100_000)], "id_a long, id_b long, sim_e6 long"
+    )
+    gold = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r.threshold: r for r in er_threshold_sweep(
+        scored, gold, thresholds=(900_000,)).collect()}
+    row = got[900_000]
+    assert (row.n_pred, row.tp, row.p_e6, row.r_e6, row.f1_e6) == (
+        0, 0, 0, 0, 0,
+    )
