@@ -10200,3 +10200,392 @@ def q_er_threshold_sweep(spark, sf_dir):
     return er_threshold_sweep(
         scored, gold, thresholds=(500_000, 800_000, 1_000_000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — vendored-path detection, indentation profile, DAG layering
+
+_VEND_SQL = """
+    SELECT 'repo-' || (doc_id % 17) AS repo,
+           CASE doc_id % 7
+             WHEN 0 THEN 'vendor/lib/a_' || doc_id || '.py'
+             WHEN 1 THEN 'node_modules/m_' || doc_id || '/index.js'
+             WHEN 2 THEN 'src/gen/x_' || doc_id || '.pb.go'
+             WHEN 3 THEN 'dist/app_' || doc_id || '.min.js'
+             ELSE 'src/m_' || doc_id || '.py'
+           END AS path
+    FROM documents
+"""
+
+
+@query(
+    "vendored_paths",
+    f"""
+    SELECT repo, path,
+           (contains(lower('/' || path), '/vendor/')
+            OR contains(lower('/' || path), '/vendored/')
+            OR contains(lower('/' || path), '/third_party/')
+            OR contains(lower('/' || path), '/thirdparty/')
+            OR contains(lower('/' || path), '/node_modules/')
+            OR contains(lower('/' || path), '/bower_components/')
+            OR contains(lower('/' || path), '/external/')
+            OR contains(lower('/' || path), '/deps/')) AS vendored,
+           (contains(lower(path), '.min.')
+            OR contains(lower(path), '.pb.')
+            OR contains(lower(path), '_pb2.')
+            OR contains(lower(path), '.generated.')
+            OR contains(lower(path), '-lock.')) AS generated
+    FROM ({_VEND_SQL})
+    """,
+)
+def q_vendored_paths(spark, sf_dir):
+    """Vendored/generated-tree detection (operators/code_filters.
+    vendored_paths): path-convention booleans computed on the cheapest
+    column — the first gate of a code-corpus cleaning cascade (prunes
+    the content scan for dropped rows)."""
+    from reden_spark.operators.code_filters import vendored_paths
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    path = (
+        F.when(d % 7 == 0, F.concat(F.lit("vendor/lib/a_"), s(d), F.lit(".py")))
+        .when(d % 7 == 1,
+              F.concat(F.lit("node_modules/m_"), s(d), F.lit("/index.js")))
+        .when(d % 7 == 2, F.concat(F.lit("src/gen/x_"), s(d), F.lit(".pb.go")))
+        .when(d % 7 == 3, F.concat(F.lit("dist/app_"), s(d), F.lit(".min.js")))
+        .otherwise(F.concat(F.lit("src/m_"), s(d), F.lit(".py")))
+    )
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"), path.alias("path")
+    )
+    return vendored_paths(files)
+
+
+_IND_SQL = """
+    SELECT 'repo-' || (doc_id % 17) AS repo,
+           'src/m_' || doc_id || '.py' AS path,
+           concat_ws(chr(10),
+             'def f():',
+             '    a = 1',
+             CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'b = 2'
+                  ELSE '    b = 2' END,
+             CASE WHEN doc_id % 2 = 0 THEN '  c = 3'
+                  ELSE '    c = 3' END) AS content
+    FROM documents
+"""
+
+
+@query(
+    "indentation_profile",
+    f"""
+    WITH lines AS (
+      SELECT repo, path, unnest(string_split(content, chr(10))) AS line
+      FROM ({_IND_SQL})),
+    ind AS (
+      SELECT repo, path,
+             starts_with(line, chr(9)) AS is_tab,
+             length(line) - length(regexp_replace(line, '^ +', ''))
+               AS n_sp
+      FROM lines),
+    ind2 AS (SELECT * FROM ind WHERE is_tab OR n_sp > 0),
+    per AS (SELECT repo, path, count(*) AS n_indented,
+                   sum(CASE WHEN is_tab THEN 1 ELSE 0 END) AS n_tab,
+                   sum(CASE WHEN NOT is_tab THEN 1 ELSE 0 END) AS n_space
+            FROM ind2 GROUP BY 1, 2),
+    widths AS (SELECT repo, path, n_sp, count(*) AS n_w
+               FROM ind2 WHERE NOT is_tab GROUP BY 1, 2, 3),
+    mode AS (SELECT repo, path, n_sp, n_w FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY repo, path
+                 ORDER BY n_w DESC, n_sp ASC) AS rk
+               FROM widths) WHERE rk = 1)
+    SELECT p.repo, p.path,
+           CAST(n_indented AS BIGINT) AS n_indented,
+           CAST(n_tab AS BIGINT) AS n_tab_indented,
+           CAST(n_space AS BIGINT) AS n_space_indented,
+           CAST(coalesce(m.n_sp, 0) AS BIGINT) AS mode_indent,
+           CAST(CASE WHEN n_space > 0 THEN (m.n_w * 1000000) // n_space
+                     ELSE 0 END AS BIGINT) AS indent_consistency_e6
+    FROM per p LEFT JOIN mode m
+      ON p.repo = m.repo AND p.path = m.path
+    """,
+)
+def q_indentation_profile(spark, sf_dir):
+    """Indentation-shape profile (operators/code_filters.
+    indentation_profile): tab/space split, deterministic mode indent
+    width ((count DESC, width ASC) argmax), and mode-share consistency
+    in micro-units — the machine-mangled-file smell detector."""
+    from reden_spark.operators.code_filters import indentation_profile
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    content = F.concat_ws(
+        "\n",
+        F.lit("def f():"),
+        F.lit("    a = 1"),
+        F.when(d % 3 == 0, F.concat(F.lit("\t"), F.lit("b = 2")))
+        .otherwise(F.lit("    b = 2")),
+        F.when(d % 2 == 0, F.lit("  c = 3")).otherwise(F.lit("    c = 3")),
+    )
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+    return indentation_profile(files)
+
+
+@query(
+    "topo_layers",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_partkey % 8 AS src,
+             (l_partkey % 8) + 1 + (l_suppkey % 2) AS dst
+      FROM lineitem),
+    nodes AS (SELECT src AS node FROM e
+              UNION SELECT dst FROM e),
+    walk AS (
+      SELECT node, 0 AS l FROM nodes
+      UNION ALL
+      SELECT e.dst AS node, w.l + 1 AS l
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.l < 25)
+    SELECT node, CAST(max(l) AS BIGINT) AS layer
+    FROM walk GROUP BY 1
+    """,
+)
+def q_topo_layers(spark, sf_dir):
+    """DAG dependency-depth layering (operators/graphstats.
+    topo_layers): longest-path-from-roots fixpoint via iterative max
+    relaxation, one join + one groupBy per round on the node key —
+    build order for an import graph; oracle = bounded recursive-CTE
+    longest path (the fixture is a strict-increase DAG)."""
+    from reden_spark.operators.graphstats import topo_layers
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 8).alias("src"),
+        ((F.col("l_partkey") % 8) + 1 + (F.col("l_suppkey") % 2)).alias(
+            "dst"
+        ),
+    )
+    return topo_layers(edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — CCNet head/middle/tail LM-quality buckets
+# (operators/importance.lm_quality_buckets)
+
+@query(
+    "lm_quality_buckets",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    ref AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY 1),
+    st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS v FROM cnt),
+    lam AS (SELECT tok,
+                   CAST(round(ln((n + v) / (c + 1)) * 1000000) AS BIGINT)
+                     AS nll_e6
+            FROM cnt, st),
+    per AS (
+      SELECT t.doc_id,
+             CAST(sum(coalesce(l.nll_e6,
+                   CAST(round(ln(n + v) * 1000000) AS BIGINT)))
+               AS BIGINT) AS nll_sum_e6,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks t LEFT JOIN lam l USING (tok), st
+      GROUP BY 1),
+    means AS (SELECT doc_id, nll_sum_e6 // n_tokens AS mean_nll_e6
+              FROM per WHERE n_tokens > 0),
+    dist AS (SELECT mean_nll_e6, count(*) AS cnt
+             FROM means GROUP BY 1),
+    cum AS (SELECT mean_nll_e6,
+                   sum(cnt) OVER (ORDER BY mean_nll_e6
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM dist),
+    tot AS (SELECT count(*) AS n FROM means),
+    bounds AS (
+      SELECT min(CASE WHEN cum * 3 >= n THEN mean_nll_e6 END) AS b1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN mean_nll_e6 END) AS b2
+      FROM cum, tot)
+    SELECT doc_id, CAST(mean_nll_e6 AS BIGINT) AS mean_nll_e6,
+           CASE WHEN mean_nll_e6 <= b1 THEN 'head'
+                WHEN mean_nll_e6 <= b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM means, bounds
+    """,
+)
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (operators/importance.
+    lm_quality_buckets) over the unigram-LM per-token NLL: VALUE-based
+    terciles (cumulative window over the small distinct-mean table, a
+    1-row boundary broadcast) — never a global row-number ntile; ties
+    land together, deterministic in both engines."""
+    from reden_spark.operators.importance import (
+        lm_quality_buckets,
+        unigram_lm_scores,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(
+        docs, ref=docs.filter(F.col("doc_id") % 3 == 0)
+    )
+    return lm_quality_buckets(scored)
+
+
+@query(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents),
+    pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM chars WHERE ch <> '' GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars
+            FROM pc GROUP BY 1),
+    agg AS (
+      SELECT pc.doc_id, t.n, t.n_distinct_chars,
+             sum(c * CAST(round(ln(CAST(t.n AS DOUBLE) / c) * 1000000)
+                          AS BIGINT)) AS raw
+      FROM pc JOIN tot t ON pc.doc_id = t.doc_id
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, n AS n_chars, n_distinct_chars,
+           CAST(raw // n AS BIGINT) AS entropy_e6
+    FROM agg
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy (operators/quality.char_entropy) in
+    exact integer micro-nats (quantize-then-sum fixed-point contract)
+    — the base64/gibberish detector of the byte-level quality family;
+    two map-side-combinable groupBys, hot chars are single counters."""
+    from reden_spark.operators.quality import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — Adamic-Adar, robots filtering, Benford deviation
+
+@query(
+    "adamic_adar",
+    f"""
+    WITH base AS ({_KCORE_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    adj AS (SELECT DISTINCT src AS node, dst AS nbr FROM sym
+            WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+    adjf AS (SELECT a.node, a.nbr, d.deg AS deg_z
+             FROM adj a JOIN deg d ON d.node = a.nbr
+             WHERE d.deg <= 64),
+    pairs AS (
+      SELECT x.node AS a, y.node AS b,
+             1000000000000 // CAST(round(
+               ln(CAST(x.deg_z AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM adjf x JOIN adjf y
+        ON x.nbr = y.nbr AND x.node < y.node)
+    SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+           CAST(sum(w) AS BIGINT) AS aa_e6
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (operators/linkpred.
+    adamic_adar_candidates) — completes the common-neighbor triad
+    (Jaccard / RA / AA); per-intermediate 1/ln(deg) weights under the
+    quantize-then-sum fixed-point contract, hub-capped C(cap,2) pair
+    join."""
+    from reden_spark.operators.linkpred import adamic_adar_candidates
+
+    return adamic_adar_candidates(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "robots_filter",
+    """
+    WITH urls AS (
+      SELECT DISTINCT 'h' || (doc_id % 23) AS host,
+             '/p/' || doc_id AS path
+      FROM documents),
+    rules AS (
+      SELECT DISTINCT 'h' || (doc_id % 23) AS host,
+             '/p/' || (doc_id % 100) AS prefix
+      FROM documents WHERE doc_id % 3 = 0),
+    m AS (
+      SELECT u.host, u.path, r.prefix, length(r.prefix) AS l
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)),
+    best AS (
+      SELECT host, path, prefix FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY host, path ORDER BY l DESC, prefix) AS rk
+        FROM m) WHERE rk = 1)
+    SELECT u.host, u.path,
+           b.prefix IS NOT NULL AS blocked,
+           coalesce(b.prefix, '') AS rule
+    FROM urls u LEFT JOIN best b
+      ON u.host = b.host AND u.path = b.path
+    """,
+)
+def q_robots_filter(spark, sf_dir):
+    """Crawl-frontier robots filtering (operators/corpus_prep.
+    robots_filter): per-host Disallow prefixes, longest-match rule
+    attribution — host-keyed broadcastable join + one deterministic
+    argmax aggregate on the URL key."""
+    from reden_spark.operators.corpus_prep import robots_filter
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("h"), s(d % 23)).alias("host"),
+        F.concat(F.lit("/p/"), s(d)).alias("path"),
+    ).distinct()
+    rules = (
+        docs.filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("h"), s(d % 23)).alias("host"),
+            F.concat(F.lit("/p/"), s(d % 100)).alias("prefix"),
+        )
+        .distinct()
+    )
+    return robots_filter(urls, rules)
+
+
+@query(
+    "benford_deviation",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS key,
+             CAST(floor(l_extendedprice) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice > 0),
+    dd AS (SELECT key,
+                  CAST(substr(CAST(val AS VARCHAR), 1, 1) AS BIGINT) AS d
+           FROM v),
+    c AS (SELECT key, d, CAST(count(*) AS BIGINT) AS c
+          FROM dd GROUP BY 1, 2),
+    n AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT n.key, n.n, e.d, e.b
+      FROM n, (VALUES (1, 301030), (2, 176091), (3, 124939),
+                      (4, 96910), (5, 79181), (6, 66947),
+                      (7, 57992), (8, 51153), (9, 45757)) e(d, b)),
+    j AS (SELECT g.key, g.n, g.b, coalesce(c.c, 0) AS c
+          FROM grid g LEFT JOIN c ON c.key = g.key AND c.d = g.d)
+    SELECT key, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(abs((c * 1000000) // n - b)) AS BIGINT) AS tad_e6
+    FROM j GROUP BY 1
+    """,
+)
+def q_benford_deviation(spark, sf_dir):
+    """Benford leading-digit deviation (operators/analytics.
+    benford_deviation) of l_extendedprice per return flag — literal
+    quantized Benford targets (no libm in either engine), first digit
+    via decimal string of floor(value), all-integer deviation."""
+    from reden_spark.operators.analytics import benford_deviation
+
+    li = _read(spark, sf_dir, "lineitem")
+    return benford_deviation(li, "l_returnflag", "l_extendedprice")

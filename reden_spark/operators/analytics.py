@@ -200,3 +200,57 @@ def ks_statistic(
         "n_cur",
         F.expr("d_num * 1000000L div (n_base * n_cur)").alias("ks_e6"),
     )
+
+
+# log10(1 + 1/d) in integer micro-units, d = 1..9 — precomputed
+# constants shared verbatim with the oracle SQL, so no libm call runs
+# in either engine.
+BENFORD_E6 = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+
+def benford_deviation(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """(key, n, tad_e6) — per-key total absolute deviation of the
+    leading-digit distribution from Benford's law, in exact integer
+    micro-units: Σ_d |cnt_d·1e6 div n − log10(1+1/d)·1e6|.  The
+    fabricated-data / broken-feed alarm for numeric columns.
+
+    Determinism: the first digit is taken from the DECIMAL STRING of
+    ``floor(value)`` (IEEE floor is identical across engines; no
+    log10-of-double anywhere), the Benford targets are shared literal
+    constants, and every rate is integer division.  Absent digits
+    count at 0 share via a key×digit grid join, so a key whose values
+    all start with 1 is penalized for the 8 digits it never produces.
+
+    Shape: one groupBy on (key, digit), one on key, a 9-row literal
+    grid broadcast — no scan wider than the two input columns."""
+    v = F.floor(F.col(value_col)).cast("long")
+    d1 = F.substring(v.cast("string"), 1, 1).cast("long")
+    digits = df.filter(F.col(value_col) > 0).select(
+        F.col(key_col).alias("key"), d1.alias("d")
+    )
+    cnt = digits.groupBy("key", "d").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cnt.groupBy("key").agg(F.sum("c").cast("long").alias("n"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        list(BENFORD_E6), "d long, b long"
+    )
+    grid = tot.crossJoin(F.broadcast(expected))
+    j = grid.join(cnt, ["key", "d"], "left").select(
+        "key",
+        "n",
+        "b",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    return j.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.expr("abs((c * 1000000L) div n - b)"))
+        .cast("long")
+        .alias("tad_e6"),
+    )

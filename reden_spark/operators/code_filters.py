@@ -166,3 +166,109 @@ def repo_profile(files: DataFrame, text_col: str = "content") -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# Path fragments that mark vendored / third-party / generated trees in
+# the published code-corpus cleaning recipes (The Stack's opt-out +
+# dedup pipeline drops these wholesale — they are other projects' code
+# and swamp near-dup stats).
+VENDOR_MARKERS = (
+    "vendor/", "vendored/", "third_party/", "thirdparty/",
+    "node_modules/", "bower_components/", "external/", "deps/",
+)
+GENERATED_MARKERS = (".min.", ".pb.", "_pb2.", ".generated.", "-lock.")
+
+
+def vendored_paths(files: DataFrame) -> DataFrame:
+    """(repo, path, vendored, generated) — path-convention detection
+    of vendored trees and generated files.  Pure per-row boolean
+    expressions on ``path`` (the cheapest column in the table): this
+    filter should run FIRST in a cleaning cascade, before anything
+    that reads ``content`` — at 100 TB the scan saves itself by
+    pruning the content column for the dropped rows."""
+    p = F.concat(F.lit("/"), F.lower(F.col("path")))
+    vend = None
+    for m in VENDOR_MARKERS:
+        c = p.contains("/" + m)
+        vend = c if vend is None else (vend | c)
+    gen = None
+    for m in GENERATED_MARKERS:
+        c = F.lower(F.col("path")).contains(m)
+        gen = c if gen is None else (gen | c)
+    return files.select(
+        "repo", "path", vend.alias("vendored"), gen.alias("generated")
+    )
+
+
+def indentation_profile(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, n_indented, n_tab_indented, n_space_indented,
+    mode_indent, indent_consistency_e6) — per-file indentation shape:
+    how many lines are indented, the tab/space split, the most common
+    leading-space width among space-indented lines (ties → smaller
+    width), and the fraction of space-indented lines using the mode
+    width in exact micro-units.  A low consistency is the classic
+    machine-mangled / concatenated-file smell.
+
+    Shape: explode lines → two map-side-combinable groupBys keyed on
+    (repo, path); the mode is a deterministic (count DESC, width ASC)
+    argmax window on the tiny per-file width table."""
+    from pyspark.sql import Window
+
+    lines = files.select(
+        "repo",
+        "path",
+        F.explode(_lines(F.col(text_col))).alias("line"),
+    )
+    sp = F.length(F.col("line")) - F.length(
+        F.regexp_replace(F.col("line"), "^ +", "")
+    )
+    ind = lines.select(
+        "repo",
+        "path",
+        F.col("line").startswith("\t").alias("is_tab"),
+        sp.alias("n_sp"),
+    ).filter(F.col("is_tab") | (F.col("n_sp") > 0))
+    per_file = ind.groupBy("repo", "path").agg(
+        F.count("*").cast("long").alias("n_indented"),
+        F.sum(F.when(F.col("is_tab"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tab_indented"),
+        F.sum(F.when(~F.col("is_tab"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_space_indented"),
+    )
+    widths = (
+        ind.filter(~F.col("is_tab"))
+        .groupBy("repo", "path", "n_sp")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.col("n_w").desc(), F.col("n_sp").asc()
+    )
+    mode = (
+        widths.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "repo",
+            "path",
+            F.col("n_sp").cast("long").alias("mode_indent"),
+            F.col("n_w").alias("n_mode"),
+        )
+    )
+    return per_file.join(mode, ["repo", "path"], "left").select(
+        "repo",
+        "path",
+        "n_indented",
+        "n_tab_indented",
+        "n_space_indented",
+        F.coalesce("mode_indent", F.lit(0)).cast("long").alias(
+            "mode_indent"
+        ),
+        F.when(
+            F.col("n_space_indented") > 0,
+            F.expr("(n_mode * 1000000L) div n_space_indented"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("indent_consistency_e6"),
+    )

@@ -668,3 +668,48 @@ def novelty_rate(
         F.expr("n_novel * 1000000 div n_shingles").cast("long")
         .alias("novelty_e6"),
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """(host, path, blocked, rule) — robots.txt Disallow filtering for
+    a crawl frontier: a URL is blocked when any of its host's disallow
+    prefixes matches the path start; ``rule`` names the LONGEST
+    matching prefix (the most specific rule, Google's documented
+    precedence), '' when unblocked.
+
+    Shape: rules tables are tiny next to frontiers (one row per
+    (host, prefix)) — the join keys on host and stays broadcastable;
+    prefix matching is a per-row startswith, the longest-match argmax
+    is a (length DESC, prefix ASC) deterministic aggregate on the
+    (host, path) key.  Allow-rule precedence layering is upstream
+    parse policy, same scoping as the reference's pre-materialized
+    network sources."""
+    joined = urls.select(host_col, path_col).join(
+        rules.select(host_col, F.col("prefix")), host_col, "left"
+    )
+    hit = F.col(path_col).startswith(F.col("prefix"))
+    best = joined.groupBy(host_col, path_col).agg(
+        F.max(
+            F.when(
+                hit,
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    # equal-length matching prefixes of one path are
+                    # necessarily the same string, so (l, p) max is a
+                    # total, deterministic order here
+                    F.col("prefix").alias("p"),
+                ),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        host_col,
+        path_col,
+        F.col("m").isNotNull().alias("blocked"),
+        F.coalesce(F.col("m.p"), F.lit("")).alias("rule"),
+    )

@@ -380,3 +380,52 @@ def edge_reciprocity(edges: DataFrame) -> DataFrame:
             "reciprocity_e6"
         ),
     )
+
+
+def topo_layers(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, layer) — DAG layering: each node's longest-path distance
+    from the root set (nodes with no incoming edge) — the build-order /
+    dependency-depth assignment for an import graph.
+
+    Iterative max-relaxation: start every node at 0; each round sets
+    layer(v) = max(layer(v), 1 + max over incoming layer(u)); on a DAG
+    this reaches the exact longest-path fixpoint in depth(G) rounds.
+    Every round is one join + one groupBy keyed on the node column —
+    the same partitioning reused, localCheckpoint-truncated lineage
+    (the kcore/BPE lesson).  ``max_iter`` bounds cycles: if the last
+    round still changed rows the graph is cyclic and the affected
+    layers are lower bounds (callers that need the certificate run
+    scc_labels first — SCC size > 1 ⇔ cycle)."""
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    layer = nodes.select(
+        "node", F.lit(0).cast("long").alias("layer")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cand = (
+            e.join(layer, e["src"] == layer["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("layer") + 1).alias("layer"),
+            )
+            .unionByName(layer)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            cand.join(
+                layer.withColumnRenamed("layer", "old"), "node"
+            )
+            .filter(F.col("layer") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        layer = cand
+        if changed == 0:
+            break
+    return layer

@@ -224,3 +224,62 @@ def unigram_lm_scores(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def lm_quality_buckets(scored: DataFrame) -> DataFrame:
+    """(doc_id, mean_nll_e6, bucket) — CCNet's head/middle/tail split
+    (Wenzek et al. 2020 §4.3): documents bucketed by per-token LM NLL
+    terciles (head = lowest NLL = most fluent under the reference LM).
+
+    Input is ``unigram_lm_scores`` output (doc_id, nll_sum_e6,
+    n_tokens); zero-token docs are excluded (no defined perplexity).
+
+    Scale design — VALUE-based terciles, not row-number ntile: a
+    global ntile is a single-partition window over every document (a
+    scale-killer at 10^12 docs).  Instead the mean-NLL DISTRIBUTION is
+    aggregated by distinct value (micro-unit quantization collapses
+    this to a bounded value table), a cumulative window runs over that
+    small table only, and the two boundary values b1/b2 (smallest mean
+    with 3·cum ≥ n, resp. ≥ 2n) broadcast back as a 1-row crossJoin.
+    Ties at a boundary land in one bucket together — deterministic,
+    engine-order-independent, and exactly replayable in SQL."""
+    from pyspark.sql import Window
+
+    means = scored.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        F.expr("nll_sum_e6 div n_tokens").cast("long").alias(
+            "mean_nll_e6"
+        ),
+    )
+    dist = means.groupBy("mean_nll_e6").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("mean_nll_e6").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(w))
+    n = means.agg(F.count("*").cast("long").alias("n"))
+    bounds = (
+        cum.crossJoin(n)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= F.col("n"), F.col("mean_nll_e6")
+                )
+            ).alias("b1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= 2 * F.col("n"),
+                    F.col("mean_nll_e6"),
+                )
+            ).alias("b2"),
+        )
+    )
+    return means.crossJoin(bounds).select(
+        "doc_id",
+        "mean_nll_e6",
+        F.when(F.col("mean_nll_e6") <= F.col("b1"), F.lit("head"))
+        .when(F.col("mean_nll_e6") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

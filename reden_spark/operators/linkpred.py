@@ -145,3 +145,53 @@ def resource_allocation_candidates(
         )
         .filter(F.col("common") >= min_common)
     )
+
+
+def adamic_adar_candidates(
+    edges: DataFrame, hub_cap: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(a, b, common, aa_e6): Adamic–Adar link scores — AA(a,b) =
+    Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg(z)) — completing the common-neighbor
+    triad next to jaccard_candidates and resource_allocation_candidates.
+
+    Determinism: the repo's quantize-then-sum fixed-point contract —
+    each intermediate contributes ``1e12 div round(ln(deg_z)·1e6)``
+    micro-units (one quantized log per DISTINCT degree value, then
+    pure integer arithmetic), so both engines aggregate identical
+    integers.  A common neighbor has deg ≥ 2 by construction, so
+    ln(deg_z) ≥ ln 2 and the divisor is never 0.
+
+    Same hub-capped, C(cap,2)-bounded pair-join shape as the other two
+    (the cap drops exactly the hubs AA damps hardest); drops are
+    observable via ``hub_nodes``."""
+    adj = _adj(edges).persist()
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    ok = deg.filter(F.col("deg") <= hub_cap)
+    adjf = adj.join(
+        ok.select(F.col("node").alias("nbr"), F.col("deg").alias("deg_z")),
+        "nbr",
+    ).persist()
+    w_z = F.expr(
+        "1000000000000L div cast(round(ln(cast(deg_z as double)) * 1000000)"
+        " as bigint)"
+    )
+    x, y = adjf.alias("x"), adjf.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .select(
+            F.col("x.node").alias("a"),
+            F.col("y.node").alias("b"),
+            F.col("x.deg_z").alias("deg_z"),
+        )
+        .select("a", "b", w_z.alias("w"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("w").cast("long").alias("aa_e6"),
+        )
+        .filter(F.col("common") >= min_common)
+    )

@@ -588,3 +588,52 @@ def lang_confusion(
             " AS BIGINT)"
         ),
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy_e6) — per-document
+    Shannon character entropy in exact integer micro-nats: each
+    distinct character contributes ``c · round(ln(n/c)·1e6) div n``
+    micro-nats per character (quantize-then-sum, the repo's DSIR
+    fixed-point contract), so both engines aggregate identical
+    integers.
+
+    The gibberish detector the byte-level filters want: base64 blobs
+    and encrypted/compressed spans sit near ln(64) ≈ 4.16 nats with a
+    flat distribution; natural language sits around 2.8–3.1 with a
+    skewed one; single-character padding floods read ~0.
+
+    Shape: explode to (doc, char) → one map-side-combinable groupBy on
+    (doc, char) → one on doc.  A pathological doc with 10^9 copies of
+    one char is a single reduce-group counter."""
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = per_char.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+    )
+    return (
+        per_char.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct_chars")
+        .agg(
+            F.sum(
+                F.expr(
+                    "c * cast(round(ln(cast(n as double) / c) * 1000000)"
+                    " as bigint)"
+                )
+            ).alias("raw")
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            F.expr("raw div n").cast("long").alias("entropy_e6"),
+        )
+    )

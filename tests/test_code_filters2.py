@@ -1,0 +1,63 @@
+"""Hand-traced vendored-path, indentation, and topo-layer semantics."""
+
+from reden_spark.operators.code_filters import (
+    indentation_profile,
+    vendored_paths,
+)
+from reden_spark.operators.graphstats import topo_layers
+
+
+def test_vendored_and_generated_flags(spark):
+    f = spark.createDataFrame(
+        [
+            ("r", "vendor/x/a.py", "py", ""),
+            ("r", "src/NODE_MODULES/b.js", "js", ""),   # case-insensitive
+            ("r", "src/app.min.js", "js", ""),
+            ("r", "proto/api_pb2.py", "py", ""),
+            ("r", "src/plain.py", "py", ""),
+            ("r", "myvendor/notmarker.py", "py", ""),   # needs /vendor/
+        ],
+        "repo string, path string, lang string, content string",
+    )
+    got = {r.path: (r.vendored, r.generated)
+           for r in vendored_paths(f).collect()}
+    assert got["vendor/x/a.py"] == (True, False)
+    assert got["src/NODE_MODULES/b.js"] == (True, False)
+    assert got["src/app.min.js"] == (False, True)
+    assert got["proto/api_pb2.py"] == (False, True)
+    assert got["src/plain.py"] == (False, False)
+    assert got["myvendor/notmarker.py"] == (False, False)
+
+
+def test_indentation_profile_mode_and_tabs(spark):
+    content = "def f():\n    a\n    b\n  c\n\td\nplain"
+    f = spark.createDataFrame(
+        [("r", "m.py", "py", content)],
+        "repo string, path string, lang string, content string",
+    )
+    row = indentation_profile(f).collect()[0]
+    # indented: 4-sp x2, 2-sp x1, tab x1
+    assert row.n_indented == 4
+    assert row.n_tab_indented == 1
+    assert row.n_space_indented == 3
+    assert row.mode_indent == 4
+    assert row.indent_consistency_e6 == 666_666
+
+
+def test_indentation_all_tabs_has_zero_mode(spark):
+    f = spark.createDataFrame(
+        [("r", "t.py", "py", "x\n\ta\n\tb")],
+        "repo string, path string, lang string, content string",
+    )
+    row = indentation_profile(f).collect()[0]
+    assert (row.n_tab_indented, row.n_space_indented,
+            row.mode_indent, row.indent_consistency_e6) == (2, 0, 0, 0)
+
+
+def test_topo_layers_longest_path(spark):
+    # diamond + tail: 0→1, 0→2, 1→3, 2→3, 3→4; layer = longest path
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: r.layer for r in topo_layers(edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}

@@ -1,0 +1,33 @@
+"""Hand-traced LM quality buckets and character entropy."""
+
+import math
+
+from reden_spark.operators.importance import lm_quality_buckets
+from reden_spark.operators.quality import char_entropy
+
+
+def test_buckets_value_terciles_with_ties(spark):
+    # means 10,10,20,30,40,50: n=6; b1 = smallest with 3cum>=6 -> cum(10)=2*3=6 -> 10
+    # b2 = smallest with 3cum>=12 -> cum(30)=4*3=12 -> 30
+    scored = spark.createDataFrame(
+        [(1, 10, 1), (2, 10, 1), (3, 20, 1), (4, 30, 1), (5, 40, 1),
+         (6, 50, 1), (7, 0, 0)],  # zero-token doc excluded
+        "doc_id long, nll_sum_e6 long, n_tokens long",
+    )
+    got = {r.doc_id: r.bucket for r in lm_quality_buckets(scored).collect()}
+    assert got == {1: "head", 2: "head", 3: "middle", 4: "middle",
+                   5: "tail", 6: "tail"}
+    assert 7 not in got
+
+
+def test_char_entropy_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert got[1].entropy_e6 == 0 and got[1].n_distinct_chars == 1
+    # "abab": each char c=2, n=4 -> per char term 2*round(ln(2)*1e6)=1386588
+    # raw = 2*1386588, entropy = raw div 4 = 693294
+    expected = (2 * 2 * round(math.log(2) * 1_000_000)) // 4
+    assert got[2].entropy_e6 == expected == 693_147
+    assert got[2].n_chars == 4 and got[2].n_distinct_chars == 2

@@ -1,0 +1,50 @@
+"""Hand-traced Adamic-Adar, robots filter, Benford deviation."""
+
+import math
+
+from reden_spark.operators.analytics import benford_deviation
+from reden_spark.operators.corpus_prep import robots_filter
+from reden_spark.operators.linkpred import adamic_adar_candidates
+
+
+def test_adamic_adar_exact(spark):
+    # square 1-2-3-4-1: (1,3) share {2,4}, both deg 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r.a, r.b): (r.common, r.aa_e6)
+           for r in adamic_adar_candidates(edges).collect()}
+    w2 = 10**12 // round(math.log(2) * 10**6)  # 1/ln(2) in e6 units
+    assert got[(1, 3)] == (2, 2 * w2)
+    assert got[(2, 4)] == (2, 2 * w2)
+    assert set(got) == {(1, 3), (2, 4)}
+
+
+def test_robots_longest_match(spark):
+    urls = spark.createDataFrame(
+        [("h1", "/a/b/c"), ("h1", "/z"), ("h2", "/a/b/c")],
+        "host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("h1", "/a/"), ("h1", "/a/b/"), ("h2", "/x/")],
+        "host string, prefix string",
+    )
+    got = {(r.host, r.path): (r.blocked, r.rule)
+           for r in robots_filter(urls, rules).collect()}
+    assert got[("h1", "/a/b/c")] == (True, "/a/b/")   # longest wins
+    assert got[("h1", "/z")] == (False, "")
+    assert got[("h2", "/a/b/c")] == (False, "")       # other host's rule
+
+
+def test_benford_all_ones_penalized(spark):
+    # every value starts with 1: share(1)=1e6, others 0
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in (1, 10, 150, 1999)],
+        "key string, val double",
+    )
+    row = benford_deviation(df, "key", "val").collect()[0]
+    # |1e6 - 301030| + sum of the other 8 targets
+    targets = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757]
+    assert row.n == 4
+    assert row.tad_e6 == (1_000_000 - 301030) + sum(targets[1:])
