@@ -10589,3 +10589,120 @@ def q_benford_deviation(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     return benford_deviation(li, "l_returnflag", "l_extendedprice")
+
+
+def _katz_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled Katz recurrence x ← 1 + 0.125·Aᵀx — the SQL twin of
+    operators/centrality_alt.katz_scores.  α = 2^-3 keeps every
+    intermediate an exact dyadic double, so no rounding is needed on
+    either side."""
+    parts = [
+        "WITH", _CTX_GRAPH_SQL, ",",
+        "x0 AS (SELECT context_id, vertex, CAST(1.0 AS DOUBLE) AS score"
+        " FROM verts)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (
+        SELECT u.context_id, u.src AS vertex, sum(x.score) AS raw
+        FROM und u JOIN x{i - 1} x
+          ON u.context_id = x.context_id AND u.dst = x.vertex
+        GROUP BY 1, 2)
+    , x{i} AS (
+        SELECT v.context_id, v.vertex,
+               CAST(1.0 AS DOUBLE)
+                 + CAST(0.125 AS DOUBLE)
+                 * coalesce(c.raw, CAST(0.0 AS DOUBLE)) AS score
+        FROM verts v
+        LEFT JOIN c{i} c
+          ON v.context_id = c.context_id AND v.vertex = c.vertex)""")
+    parts.append(f"SELECT context_id, vertex, score FROM x{n_iter}")
+    return "\n".join(parts)
+
+
+@query("katz_centrality", _katz_oracle_sql(4))
+def q_katz_centrality(spark, sf_dir):
+    """Katz centrality (operators/centrality_alt.katz_scores) over the
+    shared per-context graph — the attenuated-walk companion to the
+    CentralityHandler.java:137-152 config family, with a dyadic
+    α = 1/8 so Spark and the unrolled-SQL oracle agree bit-for-bit
+    without rounding."""
+    from reden_spark.operators.centrality_alt import katz_scores
+
+    return katz_scores(_ctx_edges(spark, sf_dir), n_iter=4).select(
+        "context_id", "vertex", "score"
+    )
+
+
+@query(
+    "temperature_mix",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS tokens
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+           GROUP BY 1),
+    b AS (SELECT source, tokens,
+                 CAST(floor(sqrt(CAST(tokens AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS sqrt_e6
+          FROM tc),
+    t AS (SELECT CAST(sum(tokens) AS BIGINT) AS _t,
+                 CAST(sum(sqrt_e6) AS BIGINT) AS _s FROM b)
+    SELECT source, tokens, sqrt_e6,
+           tokens * 1000000000 // _t AS nat_share_e9,
+           sqrt_e6 * 1000000000 // _s AS temp_share_e9,
+           CASE WHEN tokens * 1000000000 // _t = 0 THEN 0
+                ELSE (sqrt_e6 * 1000000000 // _s) * 1000000
+                     // (tokens * 1000000000 // _t) END AS boost_e6
+    FROM b, t
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """T=0.5 temperature-scaled source mixture shares
+    (operators/corpus_prep.temperature_mix) over per-source whitespace
+    token counts of the documents table — integer micro/nano-unit
+    outputs, hash-identical across engines."""
+    from reden_spark.operators.corpus_prep import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("long").alias("tokens")
+    )
+    return temperature_mix(tc)
+
+
+@query(
+    "sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x <> '') AS segs
+      FROM documents),
+    l AS (SELECT doc_id,
+                 CAST(len(segs) AS BIGINT) AS n_sentences,
+                 CAST(coalesce(list_aggregate(
+                   list_transform(segs, x -> length(x)), 'sum'), 0)
+                   AS BIGINT) AS sent_chars,
+                 CAST(coalesce(list_aggregate(
+                   list_transform(segs, x -> length(x)), 'max'), 0)
+                   AS BIGINT) AS max_sent_chars
+          FROM s)
+    SELECT doc_id AS id, n_sentences, sent_chars,
+           CASE WHEN n_sentences > 0
+                THEN sent_chars * 1000 // n_sentences
+                ELSE 0 END AS mean_sent_chars_e3,
+           max_sent_chars
+    FROM l
+    """,
+)
+def q_sentence_stats(spark, sf_dir):
+    """Rule-based sentence segmentation profile
+    (operators/quality.sentence_stats) per document — C4-style terminal
+    punctuation splitting, integer char-length stats, no shuffle."""
+    from reden_spark.operators.quality import sentence_stats
+
+    return sentence_stats(_read(spark, sf_dir, "documents"))

@@ -458,3 +458,56 @@ def harmonic_scores(edges: DataFrame, max_hops: int = 10) -> DataFrame:
         .groupBy(*CTX, "vertex")
         .agg(F.sum("contrib").cast("long").alias("harmonic_e6"))
     )
+
+
+def katz_scores(
+    edges: DataFrame,
+    n_iter: int = 4,
+    alpha_shift: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(ctx, vertex, score): Katz centrality x ← β + α·Aᵀx per context
+    over the undirected graph, β = 1 and α = 2^-``alpha_shift`` — a
+    dyadic attenuation, so every intermediate is an exact dyadic
+    rational representable in IEEE doubles and the unrolled-SQL oracle
+    reproduces the values bit-for-bit (no accumulation-order drift:
+    per-round sums are over exactly-representable dyadics whose
+    binary-point alignment keeps addition associative at these scales).
+
+    Completes the CentralityHandler.java:137-152 config family with the
+    classic attenuated-walk measure (Katz 1953): unlike eigenvector
+    centrality it converges on directed/dangling structures and gives
+    leaf vertices the β floor.  α = 1/8 is well inside 1/λ_max for the
+    per-context co-occurrence graphs (degree ≤ dozens).
+
+    Scale shape: identical to eigenvector_scores — bounded rounds, one
+    (ctx, vertex) shuffle join per round, per-context graphs tiny."""
+    alpha = 1.0 / (1 << alpha_shift)
+    und = _undirected(edges).localCheckpoint(eager=True)
+    verts = (
+        und.select(*CTX, F.col("src").alias("vertex"))
+        .dropDuplicates([*CTX, "vertex"])
+    )
+    x = verts.withColumn("score", F.lit(1.0))
+    for i in range(n_iter):
+        contrib = (
+            und.join(
+                x.select(*CTX, F.col("vertex").alias("dst"), "score"),
+                [*CTX, "dst"],
+            )
+            .groupBy(*CTX, F.col("src").alias("vertex"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        x = (
+            verts.join(contrib, [*CTX, "vertex"], "left")
+            .select(
+                *CTX,
+                "vertex",
+                (F.lit(1.0) + F.lit(alpha) * F.coalesce("raw", F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            x = x.localCheckpoint(eager=True)
+    return x

@@ -713,3 +713,50 @@ def robots_filter(
         F.col("m").isNotNull().alias("blocked"),
         F.coalesce(F.col("m.p"), F.lit("")).alias("rule"),
     )
+
+
+def temperature_mix(token_counts: DataFrame, source_col: str = "source") -> DataFrame:
+    """Temperature-scaled mixture shares (T = 0.5): the multilingual /
+    multi-source sampling rule of mBERT / XLM-R (Conneau & Lample 2019
+    §3.1) — sample source s with probability ∝ p_s^T so head sources
+    shrink and tail sources grow, here at the T=1/2 point where
+    p^T = sqrt(p).
+
+    One row per source, all integer math (micro-/nano-units) so the
+    driver hash is engine-independent:
+
+      (source, tokens, sqrt_e6, nat_share_e9, temp_share_e9, boost_e6)
+
+    sqrt_e6 = floor(sqrt(tokens)·1e6) — a single correctly-rounded IEEE
+    sqrt on identically-constructed doubles, floored, so both engines
+    land the same integer; the shares are integer divisions against the
+    respective totals, and boost_e6 = temp_share·1e6 div nat_share is
+    the up/down-sampling factor the mixture applies to each source.
+
+    Scale shape: the per-source table is tiny (the big-data work is the
+    upstream groupBy that produced ``token_counts``); the two totals
+    ride in as one broadcast 1-row aggregate."""
+    sq = F.expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE) * 1e12)) AS BIGINT)")
+    base = token_counts.select(
+        F.col(source_col).alias("source"),
+        F.col("tokens").cast("long").alias("tokens"),
+    ).withColumn("sqrt_e6", sq)
+    tot = base.agg(
+        F.sum("tokens").cast("long").alias("_t"),
+        F.sum("sqrt_e6").cast("long").alias("_s"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            "sqrt_e6",
+            F.expr("tokens * 1000000000L div _t").alias("nat_share_e9"),
+            F.expr("sqrt_e6 * 1000000000L div _s").alias("temp_share_e9"),
+            F.expr(
+                "CASE WHEN tokens * 1000000000L div _t = 0 THEN 0 "
+                "ELSE (sqrt_e6 * 1000000000L div _s) * 1000000L "
+                "div (tokens * 1000000000L div _t) END"
+            ).alias("boost_e6"),
+        )
+    )

@@ -637,3 +637,54 @@ def char_entropy(
             F.expr("raw div n").cast("long").alias("entropy_e6"),
         )
     )
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_sentences, sent_chars, mean_sent_chars_e3, max_sent_chars):
+    deterministic rule-based sentence segmentation — split on runs of
+    terminal punctuation ``[.!?]+``, trim, drop empties — and the
+    per-document length profile C4-style sentence rules key on (Raffel
+    et al. 2020 §2.2 keeps only pages whose sentences end in terminal
+    punctuation; the mean/max sentence length is the companion signal
+    for boilerplate — navigation fragments segment into many tiny
+    "sentences", prose into fewer, longer ones).
+
+    All integer outputs (character counts; mean in milli-chars via
+    integer division) — the regex class and trim are semantics-identical
+    in Java regex and RE2, so the DuckDB oracle hashes equal.
+
+    Scale shape: embarrassingly parallel — one projection, no shuffle;
+    the array never leaves the row."""
+    # NB: not F.transform(..., F.trim) — trim's optional second arg makes
+    # it binary, so transform would pass the element INDEX as the
+    # trim-character set; the unary lambda pins the one-arg form.
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    d = docs.select(F.col(id_col).alias("id"), segs.alias("s"))
+    n = F.size("s").cast("long")
+    chars = F.aggregate(
+        "s", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mx = F.coalesce(
+        F.array_max(F.transform("s", lambda x: F.length(x).cast("long"))),
+        F.lit(0).cast("long"),
+    )
+    return d.select(
+        "id",
+        n.alias("n_sentences"),
+        chars.alias("sent_chars"),
+        mx.alias("max_sent_chars"),
+    ).select(
+        "id",
+        "n_sentences",
+        "sent_chars",
+        F.expr(
+            "CASE WHEN n_sentences > 0 THEN (sent_chars * 1000) div n_sentences"
+            " ELSE 0L END"
+        ).alias("mean_sent_chars_e3"),
+        "max_sent_chars",
+    )

@@ -1,0 +1,86 @@
+"""Hand-traced Katz centrality, temperature mixture, sentence stats."""
+
+import math
+
+from reden_spark.operators.centrality_alt import katz_scores
+from reden_spark.operators.corpus_prep import temperature_mix
+from reden_spark.operators.quality import sentence_stats
+
+
+def _katz_ref(adj, n, n_iter, alpha):
+    x = {v: 1.0 for v in range(n)}
+    for _ in range(n_iter):
+        x = {
+            v: 1.0 + alpha * sum(x[u] for u in adj.get(v, ()))
+            for v in range(n)
+        }
+    return x
+
+
+def test_katz_path_graph_exact(spark):
+    # path 0-1-2: degree-asymmetric so the center pulls ahead
+    edges = spark.createDataFrame(
+        [(0, 0, "a", "b"), (0, 0, "b", "c")],
+        "doc_key long, context_id int, src string, dst string",
+    )
+    adj = {0: [1], 1: [0, 2], 2: [1]}
+    ref = _katz_ref(adj, 3, n_iter=4, alpha=0.125)
+    name = {"a": 0, "b": 1, "c": 2}
+    got = {r.vertex: r.score for r in katz_scores(edges, n_iter=4).collect()}
+    for v, i in name.items():
+        assert got[v] == ref[i]  # dyadic α → bit-exact
+    assert got["b"] > got["a"] == got["c"]
+
+
+def test_katz_leaf_floor(spark):
+    # isolated-ish leaf keeps the β floor path: star center vs leaves
+    edges = spark.createDataFrame(
+        [(0, 0, "hub", f"l{i}") for i in range(4)],
+        "doc_key long, context_id int, src string, dst string",
+    )
+    got = {r.vertex: r.score for r in katz_scores(edges, n_iter=4).collect()}
+    assert got["hub"] > got["l0"]
+    assert all(got[f"l{i}"] == got["l0"] for i in range(4))
+    assert got["l0"] > 1.0  # every vertex keeps at least the β floor
+
+
+def test_temperature_mix_flattens(spark):
+    tc = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, tokens long"
+    )
+    got = {r.source: r for r in temperature_mix(tc).collect()}
+    assert got["big"].sqrt_e6 == math.isqrt(900 * 10**12)
+    assert got["big"].nat_share_e9 == 900 * 10**9 // 1000
+    s_big, s_small = got["big"].sqrt_e6, got["small"].sqrt_e6
+    assert got["big"].temp_share_e9 == s_big * 10**9 // (s_big + s_small)
+    # temperature pulls the head down and the tail up
+    assert got["big"].temp_share_e9 < got["big"].nat_share_e9
+    assert got["small"].temp_share_e9 > got["small"].nat_share_e9
+    assert got["small"].boost_e6 > 10**6 > got["big"].boost_e6
+
+
+def test_sentence_stats_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "One two. Three!  Four?"),
+            (2, "no terminal punctuation at all"),
+            (3, ""),
+            (4, "...!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in sentence_stats(docs).collect()}
+    # doc 1: segments "One two", "Three", "Four"
+    assert got[1].n_sentences == 3
+    assert got[1].sent_chars == 7 + 5 + 4
+    assert got[1].mean_sent_chars_e3 == 16 * 1000 // 3
+    assert got[1].max_sent_chars == 7
+    # doc 2: the whole text is one "sentence"
+    assert got[2].n_sentences == 1
+    assert got[2].sent_chars == len("no terminal punctuation at all")
+    # empty + punctuation-only docs → zero everywhere
+    for d in (3, 4):
+        assert got[d].n_sentences == 0
+        assert got[d].sent_chars == 0
+        assert got[d].mean_sent_chars_e3 == 0
+        assert got[d].max_sent_chars == 0
