@@ -10706,3 +10706,162 @@ def q_sentence_stats(spark, sf_dir):
     from reden_spark.operators.quality import sentence_stats
 
     return sentence_stats(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "transitive_reduction",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+      FROM documents WHERE doc_id >= 1
+      UNION
+      SELECT doc_id AS src, CAST(doc_id // 4 AS BIGINT) AS dst
+      FROM documents WHERE doc_id >= 4),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+    multi AS (
+      SELECT DISTINCT r.src, e3.dst
+      FROM reach r JOIN e e3 ON r.dst = e3.src)
+    SELECT e.src, e.dst FROM e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM multi m WHERE m.src = e.src AND m.dst = e.dst)
+    """,
+)
+def q_transitive_reduction(spark, sf_dir):
+    """Transitive reduction (operators/ontology.transitive_reduction) of
+    a DAG with planted shortcuts: the tree doc_id → doc_id//2 plus the
+    redundant doc_id → doc_id//4 hop edges, which the reduction must
+    remove (each is covered by two tree edges).  Oracle = recursive-CTE
+    length-≥2 reachability anti-join."""
+    from reden_spark.operators.ontology import transitive_reduction
+
+    docs = _read(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    quarter = docs.filter(F.col("doc_id") >= 4).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.floor(F.col("doc_id") / 4).cast("long").alias("dst"),
+    )
+    return transitive_reduction(half.unionByName(quarter))
+
+
+# Branchy deterministic code fixture for the cyclomatic proxy: bodies
+# carry a doc_id-modulated number of branch lines per language.
+_CODE3_SQL = """
+    SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+           'src/b_' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '.js' ELSE '.py' END) AS path,
+           CASE WHEN doc_id % 3 = 0 THEN
+             'function f_' || CAST(doc_id AS VARCHAR) || '(x) {' || chr(10)
+             || repeat('  while (x > 0) { x--; }' || chr(10),
+                       CAST(doc_id % 3 AS INTEGER))
+             || '  return (a && b) || c;' || chr(10) || '}'
+           ELSE
+             'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+             || repeat('    if x > 0:' || chr(10) || '        x -= 1'
+                       || chr(10), CAST(doc_id % 4 AS INTEGER))
+             || '    for i in range(3):' || chr(10)
+             || '        x += i' || chr(10) || '    return x'
+           END AS content
+    FROM documents
+"""
+
+
+def _code_files3(spark, sf_dir):
+    """Deterministic branchy code corpus — mirrors _CODE3_SQL token for
+    token: js files carry doc_id%3 while-loops plus one &&/|| line, py
+    files doc_id%4 if-blocks plus one for-loop."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    nl = F.lit("\n")
+    is_js = d % 3 == 0
+    js_body = F.concat(
+        F.lit("function f_"), s(d), F.lit("(x) {"), nl,
+        F.repeat(F.concat(F.lit("  while (x > 0) { x--; }"), nl),
+                 (d % 3).cast("int")),
+        F.lit("  return (a && b) || c;"), nl, F.lit("}"),
+    )
+    py_body = F.concat(
+        F.lit("def f_"), s(d), F.lit("(x):"), nl,
+        F.repeat(
+            F.concat(F.lit("    if x > 0:"), nl, F.lit("        x -= 1"), nl),
+            (d % 4).cast("int"),
+        ),
+        F.lit("    for i in range(3):"), nl,
+        F.lit("        x += i"), nl, F.lit("    return x"),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(
+            F.lit("src/b_"), s(d),
+            F.when(is_js, F.lit(".js")).otherwise(F.lit(".py")),
+        ).alias("path"),
+        F.when(is_js, js_body).otherwise(py_body).alias("content"),
+    )
+
+
+@query(
+    "branch_density",
+    f"""
+    WITH f AS ({_CODE3_SQL}),
+    m AS (SELECT repo, path,
+                 CAST(len(string_split(content, chr(10))) AS BIGINT) AS lines,
+                 CAST(len(regexp_extract_all(content,
+                   '\\b(?:if|elif|else if|for|while|case|when|catch|except)\\b|&&|\\|\\|'))
+                   AS BIGINT) AS decisions
+          FROM f)
+    SELECT repo, path, lines, decisions,
+           decisions * 1000 // (CASE WHEN lines > 0 THEN lines ELSE 1 END)
+             AS cyclo_e3
+    FROM m
+    """,
+)
+def q_branch_density(spark, sf_dir):
+    """Cyclomatic-complexity proxy (operators/code_filters.
+    branch_density) over the branchy deterministic code corpus —
+    language-agnostic branch-keyword + short-circuit census per file,
+    milli-decisions-per-line, regex identical under Java regex and RE2."""
+    from reden_spark.operators.code_filters import branch_density
+
+    return branch_density(_code_files3(spark, sf_dir))
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT tok, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM freq),
+    tot AS (SELECT CAST(max(cum) AS BIGINT) AS total_tokens,
+                   CAST(max(rank) AS BIGINT) AS n_vocab FROM ranked),
+    tgt(target_pct) AS (VALUES (50), (90), (95), (99))
+    SELECT CAST(t.target_pct AS BIGINT) AS target_pct,
+           min(r.rank) AS vocab_size,
+           min_by(r.cum, r.rank) AS covered_tokens,
+           tot.total_tokens, tot.n_vocab
+    FROM ranked r, tot, tgt t
+    WHERE r.cum * 100 >= t.target_pct * tot.total_tokens
+    GROUP BY 1, 4, 5
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design coverage curve (operators/corpus_prep.
+    vocab_coverage): minimal frequency-ranked vocabulary size reaching
+    50/90/95/99% cumulative token mass over the documents corpus —
+    deterministic (count DESC, token ASC) ranking, exact integer reach
+    test."""
+    from reden_spark.operators.corpus_prep import vocab_coverage
+
+    toks = _tokens(spark, sf_dir).filter(F.col("tok") != "")
+    return vocab_coverage(toks)

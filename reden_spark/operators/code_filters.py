@@ -272,3 +272,41 @@ def indentation_profile(files: DataFrame, text_col: str = "content") -> DataFram
         .cast("long")
         .alias("indent_consistency_e6"),
     )
+
+
+_BRANCH_RE = r"\b(?:if|elif|else if|for|while|case|when|catch|except)\b|&&|\|\|"
+
+
+def branch_density(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, lines, decisions, cyclo_e3): a cyclomatic-complexity
+    proxy per file — decision points = branch keywords plus short-circuit
+    operators (McCabe 1976: complexity = decisions + 1, here reported as
+    milli-decisions-per-line so auto-generated flat code, hand-written
+    logic, and pathological branch towers separate cleanly).  The
+    language-agnostic keyword census is the filter signal training-data
+    pipelines use to drop machine-generated boilerplate (near-zero
+    density) and obfuscated branch mazes (extreme density) without a
+    parser per language.
+
+    ``\\b(?:if|elif|else if|for|while|case|when|catch|except)\\b`` plus
+    ``&&`` / ``||`` — the class is semantics-identical in Java regex and
+    RE2, so the DuckDB oracle hashes equal.  One shuffle-free projection;
+    the content column never rides a shuffle."""
+    n_lines = F.size(_lines(text_col))
+    decisions = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(_BRANCH_RE), 0)
+    ).cast("long")
+    return files.select(
+        "repo",
+        "path",
+        n_lines.cast("long").alias("lines"),
+        decisions.alias("decisions"),
+    ).select(
+        "repo",
+        "path",
+        "lines",
+        "decisions",
+        F.expr(
+            "(decisions * 1000) div (CASE WHEN lines > 0 THEN lines ELSE 1 END)"
+        ).alias("cyclo_e3"),
+    )

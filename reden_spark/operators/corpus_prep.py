@@ -760,3 +760,59 @@ def temperature_mix(token_counts: DataFrame, source_col: str = "source") -> Data
             ).alias("boost_e6"),
         )
     )
+
+
+def vocab_coverage(
+    tokens: DataFrame,
+    targets: tuple[int, ...] = (50, 90, 95, 99),
+    tok_col: str = "tok",
+) -> DataFrame:
+    """(target_pct, vocab_size, covered_tokens, total_tokens, n_vocab):
+    the tokenizer-design curve — for each coverage target, the minimal
+    frequency-ranked vocabulary size whose cumulative token mass reaches
+    target_pct% of the corpus.  The number every vocab-size decision
+    reads first: a heavy-tailed corpus may cover 95% with 30k types but
+    need 10x that for 99%.
+
+    Rank order is (count DESC, token ASC) — fully deterministic ties —
+    and the reach test is exact integer math (cum·100 ≥ target·total),
+    so the oracle hashes equal.
+
+    Scale shape: the corpus-sized work is one map-side-combinable
+    groupBy(token); everything after runs on the VOCABULARY (types, not
+    tokens — orders of magnitude smaller), where the single global
+    ranking window is a deliberate, documented small-data sort, and the
+    target grid is a broadcast literal."""
+    freq = tokens.groupBy(F.col(tok_col).alias("tok")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = freq.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+    )
+    tot = ranked.agg(
+        F.max("cum").cast("long").alias("total_tokens"),
+        F.max("rank").cast("long").alias("n_vocab"),
+    )
+    tgt = tokens.sparkSession.createDataFrame(
+        [(int(t),) for t in targets], "target_pct long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tgt))
+        .filter(F.col("cum") * 100 >= F.col("target_pct") * F.col("total_tokens"))
+        .groupBy("target_pct", "total_tokens", "n_vocab")
+        .agg(
+            F.min("rank").alias("vocab_size"),
+            F.min_by("cum", "rank").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            "target_pct", "vocab_size", "covered_tokens",
+            "total_tokens", "n_vocab",
+        )
+    )

@@ -84,3 +84,29 @@ def infer_types(
     return asserted.withColumn("inferred", F.lit(False)).unionByName(
         entailed.withColumn("inferred", F.lit(True))
     )
+
+
+def transitive_reduction(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Minimal equivalent DAG: drop every edge (s, d) for which a path
+    s → … → d of length ≥ 2 exists.  On a DAG this is the unique
+    transitive reduction (Aho, Garey & Ullman 1972) — the standard
+    ontology-cleanup pass that removes redundant rdfs:subClassOf /
+    skos:broader shortcuts so the hierarchy stores only covering edges.
+
+    Composition: reach = transitive_closure (⌈log₂ depth⌉ doubling
+    rounds), multi = reach ⋈ E (one more hop ⇒ length ≥ 2), result =
+    E anti-join multi.  All set logic, no driver state; the anti-join
+    keys on the same (src, dst) exchange the closure already built."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    reach = transitive_closure(e, max_rounds=max_rounds)
+    multi = (
+        reach.alias("r")
+        .join(e.alias("b"), F.col("r.dst") == F.col("b.src"))
+        .select(F.col("r.src").alias("src"), F.col("b.dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return e.join(multi, ["src", "dst"], "left_anti")

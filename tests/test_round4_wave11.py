@@ -1,0 +1,57 @@
+"""Hand-traced transitive reduction, branch density, vocab coverage."""
+
+from reden_spark.operators.code_filters import branch_density
+from reden_spark.operators.corpus_prep import vocab_coverage
+from reden_spark.operators.ontology import transitive_reduction
+
+
+def test_transitive_reduction_diamond(spark):
+    # a→b→d, a→c→d, plus redundant shortcuts a→d and a→...→d via both
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst) for r in transitive_reduction(edges).collect()}
+    assert got == {("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")}
+
+
+def test_transitive_reduction_chain_kept(spark):
+    # a pure chain has no redundant edge — reduction is the identity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {(r.src, r.dst) for r in transitive_reduction(edges).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_branch_density_counts(spark):
+    files = spark.createDataFrame(
+        [
+            ("r", "a.py", "def f(x):\n    if x:\n        return 1\n"
+             "    for i in y:\n        pass"),
+            ("r", "b.js", "return (a && b) || c;"),
+            ("r", "c.txt", "no branches here at all"),
+            ("r", "d.py", "elifx = 1\nifff = 2"),  # no \b matches
+        ],
+        "repo string, path string, content string",
+    )
+    got = {r.path: r for r in branch_density(files).collect()}
+    assert got["a.py"].decisions == 2          # if + for
+    assert got["a.py"].lines == 5
+    assert got["a.py"].cyclo_e3 == 2000 // 5
+    assert got["b.js"].decisions == 2          # && and ||
+    assert got["c.txt"].decisions == 0
+    assert got["d.py"].decisions == 0          # word boundary respected
+
+
+def test_vocab_coverage_exact(spark):
+    # frequencies: a=6, b=3, c=1  (total 10)
+    toks = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)], "tok string"
+    )
+    got = {r.target_pct: r for r in
+           vocab_coverage(toks, targets=(50, 90, 100)).collect()}
+    assert got[50].vocab_size == 1 and got[50].covered_tokens == 6
+    assert got[90].vocab_size == 2 and got[90].covered_tokens == 9
+    assert got[100].vocab_size == 3 and got[100].covered_tokens == 10
+    assert got[50].total_tokens == 10 and got[50].n_vocab == 3
