@@ -10865,3 +10865,101 @@ def q_vocab_coverage(spark, sf_dir):
 
     toks = _tokens(spark, sf_dir).filter(F.col("tok") != "")
     return vocab_coverage(toks)
+
+
+@query(
+    "idf_keywords",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.term,
+                 CAST(round((1.0 + ln(CAST(cnt AS DOUBLE)))
+                   * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS w_e6
+          FROM tf JOIN dft USING (term), nd),
+    r AS (SELECT doc_id, term, w_e6,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY w_e6 DESC, term) AS BIGINT) AS rank
+          FROM s)
+    SELECT doc_id, rank, term, w_e6 FROM r WHERE rank <= 3
+    """,
+)
+def q_idf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF-distinctive terms per document (operators/sparse_sim.
+    idf_keywords) — weights quantized to micro-units BEFORE ranking so
+    the order never depends on last-ulp libm agreement."""
+    from reden_spark.operators.sparse_sim import idf_keywords
+
+    return idf_keywords(_read(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "term_dispersion",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+           FROM toks GROUP BY 1, 2),
+    dd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+           FROM documents),
+    a AS (SELECT tok AS term, CAST(sum(x) AS BIGINT) AS total,
+                 CAST(sum(x * x) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM pd GROUP BY 1)
+    SELECT term, total, df,
+           (d * sq - total * total) * 1000000 // (d * total) AS vmr_e6
+    FROM a, dd WHERE df >= 5
+    """,
+)
+def q_term_dispersion(spark, sf_dir):
+    """Corpus burstiness per term (operators/quality.term_dispersion):
+    variance-to-mean ratio of per-document counts, zeros handled
+    algebraically — the Church–Gale boilerplate-vs-topical separator,
+    all-integer micro-units."""
+    from reden_spark.operators.quality import term_dispersion
+
+    return term_dispersion(_read(spark, sf_dir, "documents"), min_df=5)
+
+
+@query(
+    "split_balance",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '0d' THEN 'test'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '1a' THEN 'validation'
+                  ELSE 'train' END AS split
+      FROM documents),
+    cell AS (SELECT split, lang AS stratum, CAST(count(*) AS BIGINT) AS n
+             FROM s GROUP BY 1, 2),
+    ps AS (SELECT split, CAST(sum(n) AS BIGINT) AS split_n
+           FROM cell GROUP BY 1),
+    pt AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS strat_n
+           FROM cell GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM cell)
+    SELECT c.split, c.stratum, c.n, ps.split_n,
+           c.n * 1000000 // ps.split_n AS share_e6,
+           pt.strat_n * 1000000 // g.g AS global_share_e6,
+           abs(c.n * 1000000 // ps.split_n
+               - pt.strat_n * 1000000 // g.g) AS dev_e6
+    FROM cell c JOIN ps USING (split) JOIN pt USING (stratum), g
+    """,
+)
+def q_split_balance(spark, sf_dir):
+    """Stratification audit of the hash split (operators/corpus_prep.
+    split_balance): per-(split, lang) share vs the corpus-wide share in
+    exact micro-units — the table that certifies the eval set still
+    measures the training distribution."""
+    from reden_spark.operators.corpus_prep import split_balance, train_split
+
+    docs = _read(spark, sf_dir, "documents")
+    assigned = train_split(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return split_balance(assigned, strat_col="lang")

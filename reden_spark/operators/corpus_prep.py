@@ -816,3 +816,46 @@ def vocab_coverage(
             "total_tokens", "n_vocab",
         )
     )
+
+
+def split_balance(
+    assigned: DataFrame,
+    strat_col: str = "lang",
+    split_col: str = "split",
+) -> DataFrame:
+    """(split, stratum, n, split_n, share_e6, global_share_e6, dev_e6):
+    the stratification audit for a train/val/test split — within each
+    split, every stratum's share in micro-units against the corpus-wide
+    share, and the absolute deviation.  A hash split is only defensible
+    if this table shows dev ≈ 0 everywhere; a skewed stratum here means
+    the eval set no longer measures the training distribution.
+
+    All integer division — hash-identical across engines.  Scale shape:
+    two map-side-combinable groupBys over (split, stratum) keys plus two
+    broadcast totals; the documents themselves never move."""
+    cell = assigned.groupBy(
+        F.col(split_col).alias("split"), F.col(strat_col).alias("stratum")
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_split = cell.groupBy("split").agg(
+        F.sum("n").cast("long").alias("split_n")
+    )
+    per_strat = cell.groupBy("stratum").agg(
+        F.sum("n").cast("long").alias("strat_n")
+    )
+    grand = cell.agg(F.sum("n").cast("long").alias("g"))
+    return (
+        cell.join(per_split, "split")
+        .join(F.broadcast(per_strat), "stratum")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "stratum",
+            "n",
+            "split_n",
+            F.expr("n * 1000000 div split_n").alias("share_e6"),
+            F.expr("strat_n * 1000000 div g").alias("global_share_e6"),
+            F.expr(
+                "abs(n * 1000000 div split_n - strat_n * 1000000 div g)"
+            ).alias("dev_e6"),
+        )
+    )

@@ -688,3 +688,49 @@ def sentence_stats(
         ).alias("mean_sent_chars_e3"),
         "max_sent_chars",
     )
+
+
+def term_dispersion(
+    docs: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, total, df, vmr_e6): corpus burstiness per term — the
+    variance-to-mean ratio of per-document counts ACROSS ALL documents
+    (zeros included), in exact integer micro-units:
+
+        vmr_e6 = (D·Σx² − (Σx)²) · 1e6  div  (D·Σx)
+
+    Church & Gale (1995): function words and boilerplate spread evenly
+    (VMR ≈ 1 − mean, low), topical content words are bursty (high VMR)
+    — the signal that separates template chrome from substance when
+    picking stop lists or spotting injected spam strings.  All-integer
+    identity (n·Σx²−(Σx)² is the same integer in any engine), no float
+    anywhere.
+
+    Scale shape: one (doc, term) groupBy then one term groupBy, both
+    map-side combinable; D rides in as one broadcast scalar; zeros never
+    materialize (the identity accounts for them algebraically)."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    per_doc = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    d_total = docs.select(F.countDistinct(id_col).cast("long").alias("d"))
+    return (
+        per_doc.groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.sum("x").cast("long").alias("total"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            "term",
+            "total",
+            "df",
+            F.expr("(d * sq - total * total) * 1000000 div (d * total)")
+            .alias("vmr_e6"),
+        )
+    )

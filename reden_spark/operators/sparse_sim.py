@@ -125,3 +125,45 @@ def sparse_dropped_terms(vectors: DataFrame, max_df: int) -> DataFrame:
         .agg(F.count("*").cast("long").alias("df"))
         .filter(F.col("df") > max_df)
     )
+
+
+def idf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, rank, term, w_e6): the k most TF-IDF-distinctive terms
+    per document — the deterministic keyword labeler (document tagging,
+    cluster naming, index summaries).  Weights are quantized to integer
+    micro-units BEFORE ranking — (1+ln tf)·ln(N/df) rounded at 1e-6 —
+    so the rank order (w_e6 DESC, term ASC) is engine-independent: a
+    raw-double sort could flip on last-ulp libm differences between
+    JVM and any oracle.
+
+    Scale shape: same two map-side-combinable groupBys as
+    tfidf_vectors, then one bounded top-k window per doc on the
+    (doc_id) exchange — never a global sort."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumnRenamed("tok", "term")
+    )
+    n_docs = docs.select(F.countDistinct(id_col).cast("long").alias("n"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    w_e6 = F.expr(
+        "CAST(round((1.0 + ln(CAST(tf AS DOUBLE)))"
+        " * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)"
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", w_e6.alias("w_e6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w_e6").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "w_e6")
+    )

@@ -1,0 +1,76 @@
+"""Hand-traced IDF keywords, term dispersion, split balance."""
+
+import math
+
+from reden_spark.operators.corpus_prep import split_balance
+from reden_spark.operators.quality import term_dispersion
+from reden_spark.operators.sparse_sim import idf_keywords
+
+
+def test_idf_keywords_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "cherry common"),
+            (3, "date common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.w_e6)
+           for r in idf_keywords(docs, k=2).collect()}
+    w = lambda tf, df: round((1 + math.log(tf)) * math.log(3 / df) * 1e6)
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=1; common has w=0
+    assert got[(1, 1)] == ("apple", w(2, 1))
+    assert got[(1, 2)] == ("banana", w(1, 1))
+    # doc 2/3: the unique term wins, 'common' (ln(3/3)=0) is rank 2
+    assert got[(2, 1)][0] == "cherry"
+    assert got[(2, 2)] == ("common", 0)
+    assert got[(3, 1)][0] == "date"
+
+
+def test_term_dispersion_uniform_vs_bursty(spark):
+    # 'flat' appears once in each of 4 docs; 'burst' 4 times in one doc
+    docs = spark.createDataFrame(
+        [
+            (1, "flat burst burst burst burst"),
+            (2, "flat x"),
+            (3, "flat y"),
+            (4, "flat z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in term_dispersion(docs, min_df=1).collect()}
+    # flat: D=4, total=4, sq=4 → (16-16)*1e6 // 16 = 0
+    assert got["flat"].vmr_e6 == 0
+    assert got["flat"].total == 4 and got["flat"].df == 4
+    # burst: total=4, sq=16 → (64-16)*1e6 // 16 = 3e6
+    assert got["burst"].vmr_e6 == 3_000_000
+    assert got["burst"].df == 1
+    assert got["burst"].vmr_e6 > got["flat"].vmr_e6
+
+
+def test_term_dispersion_min_df_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a")], "doc_id long, text string"
+    )
+    terms = {r.term for r in term_dispersion(docs, min_df=2).collect()}
+    assert terms == {"a"}
+
+
+def test_split_balance_exact(spark):
+    assigned = spark.createDataFrame(
+        [("train", "en")] * 6 + [("train", "fr")] * 2
+        + [("test", "en")] * 3 + [("test", "fr")],
+        "split string, lang string",
+    )
+    got = {(r.split, r.stratum): r
+           for r in split_balance(assigned, strat_col="lang").collect()}
+    tr_en = got[("train", "en")]
+    assert tr_en.n == 6 and tr_en.split_n == 8
+    assert tr_en.share_e6 == 6 * 10**6 // 8
+    assert tr_en.global_share_e6 == 9 * 10**6 // 12
+    assert tr_en.dev_e6 == abs(6 * 10**6 // 8 - 9 * 10**6 // 12)
+    te_fr = got[("test", "fr")]
+    assert te_fr.share_e6 == 10**6 // 4
+    assert te_fr.global_share_e6 == 3 * 10**6 // 12
+    assert te_fr.dev_e6 == 0
