@@ -10963,3 +10963,83 @@ def q_split_balance(spark, sf_dir):
         docs.select("doc_id", "lang"), "doc_id"
     )
     return split_balance(assigned, strat_col="lang")
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    st AS (SELECT idx, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1),
+    c AS (SELECT e.vec_id, e.idx, e.v, s.lo, s.hi,
+                 CASE WHEN s.hi > s.lo THEN
+                   least(255, greatest(0,
+                     CAST(round((e.v - s.lo) * 255 / (s.hi - s.lo))
+                          AS BIGINT)))
+                 ELSE 0 END AS q
+          FROM ex e JOIN st s USING (idx)),
+    d AS (SELECT vec_id, idx, q,
+                 CAST(round((v - (lo + q * (hi - lo) / 255)) * 1e9)
+                      AS BIGINT) AS err_e9
+          FROM c)
+    SELECT vec_id, list(q ORDER BY idx) AS codes,
+           CAST(sum(err_e9 * err_e9) AS BIGINT) AS sse_q,
+           CAST(max(abs(err_e9)) AS BIGINT) AS max_abs_err_e9
+    FROM d GROUP BY 1
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Uint8 scalar quantization of the embeddings table
+    (operators/similarity.embedding_quantize): per-dimension uniform
+    codes + nano-unit-quantized reconstruction error — the 4x
+    compression pass in front of every large ANN store, with the exact
+    error report that justifies it."""
+    from reden_spark.operators.similarity import embedding_quantize
+
+    return embedding_quantize(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "critical_path",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst,
+             CAST(1 + doc_id % 7 AS BIGINT) AS w
+      FROM documents WHERE doc_id >= 1
+      UNION
+      SELECT doc_id AS src, CAST(doc_id // 4 AS BIGINT) AS dst,
+             CAST(1 + doc_id % 5 AS BIGINT) AS w
+      FROM documents WHERE doc_id >= 4),
+    p(node, len) AS (
+      SELECT src, w FROM e
+      UNION ALL
+      SELECT e.src, e.w + p.len FROM e JOIN p ON e.dst = p.node),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    SELECT n.node, CAST(coalesce(max(p.len), 0) AS BIGINT) AS longest
+    FROM nodes n LEFT JOIN p ON p.node = n.node
+    GROUP BY 1
+    """,
+)
+def q_critical_path(spark, sf_dir):
+    """Critical-path lengths (operators/paths.critical_path) over the
+    shortcut DAG (doc_id → doc_id//2 weighted 1+id%7, plus doc_id →
+    doc_id//4 weighted 1+id%5): (max, +) relaxation to sinks, integer
+    weights, oracle = recursive-CTE path enumeration (positive weights ⇒
+    the max path ends at a sink)."""
+    from reden_spark.operators.paths import critical_path
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    half = docs.filter(d >= 1).select(
+        d.cast("long").alias("src"),
+        F.floor(d / 2).cast("long").alias("dst"),
+        (1 + d % 7).cast("long").alias("w"),
+    )
+    quarter = docs.filter(d >= 4).select(
+        d.cast("long").alias("src"),
+        F.floor(d / 4).cast("long").alias("dst"),
+        (1 + d % 5).cast("long").alias("w"),
+    )
+    return critical_path(half.unionByName(quarter), max_iter=15)

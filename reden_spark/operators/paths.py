@@ -160,3 +160,43 @@ def landmark_distances(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def critical_path(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, longest): longest weighted path length from each node to
+    any sink of a DAG — the critical-path metric of scheduling (CPM) and
+    build-graph analysis; on a provenance/derivation DAG it is the depth
+    of the longest recompute chain a node's invalidation triggers.
+
+    Synchronous relaxation dist(n) ← max over out-edges (w + dist(dst)),
+    sinks at 0, ``max_iter`` ≥ DAG depth rounds — each round is one
+    src-key join plus one node-key groupBy on the same exchange, exactly
+    the SSSP shape with (max, +) in place of (min, +).  Integer weights
+    in, integer lengths out: engine-exact."""
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.withColumn("longest", F.lit(0).cast("long"))
+    for i in range(max_iter):
+        relaxed = (
+            e.join(
+                dist.select(F.col("node").alias("dst"), "longest"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.max(F.col("w") + F.col("longest")).alias("cand"))
+        )
+        new = (
+            nodes.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.coalesce("cand", F.lit(0).cast("long")).alias("longest"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            new = new.localCheckpoint(eager=True)
+        dist = new
+    return dist

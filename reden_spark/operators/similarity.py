@@ -380,3 +380,63 @@ def project_embeddings(
         coeffs = F.array(*[F.lit(c) for c in row])
         cols.append(_dot(v, coeffs).alias(f"p{j}"))
     return embeddings.select(*cols)
+
+
+def embedding_quantize(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> DataFrame:
+    """(vec_id, codes, sse_q, max_abs_err_e9): per-dimension scalar
+    quantization of float vectors to ``n_levels`` uniform codes (the
+    uint8 compression every 100 TB embedding store ships before ANN —
+    4x smaller than float32, dot products on integers), plus the exact
+    reconstruction-error report that decides whether 8 bits suffice.
+
+    codes[i] = round((v_i − min_i)·(L−1)/(max_i − min_i)) with per-
+    dimension corpus min/max (0 where the dimension is constant);
+    errors are quantized to nano-units BEFORE squaring/summing so the
+    per-vector aggregates are order-free integer sums, engine-exact.
+    All arithmetic runs in float64 after one explicit upcast — float32
+    in, double math, identical in any IEEE engine.
+
+    Scale shape: one explode + one 64-row dimension aggregate broadcast
+    back; the per-vector regroup keys on the id — two map-side-
+    combinable exchanges, codes never exceed vector length."""
+    lvl = n_levels - 1
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("idx").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = F.when(
+        F.col("hi") > F.col("lo"),
+        F.round((F.col("v") - F.col("lo")) * lvl / (F.col("hi") - F.col("lo")))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    coded = (
+        ex.join(F.broadcast(stats), "idx")
+        .withColumn("q", F.least(F.lit(lvl).cast("long"), F.greatest(F.lit(0).cast("long"), q)))
+        .withColumn(
+            "deq",
+            F.col("lo") + F.col("q") * (F.col("hi") - F.col("lo")) / lvl,
+        )
+        .withColumn(
+            "err_e9",
+            F.round((F.col("v") - F.col("deq")) * 1e9).cast("long"),
+        )
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "q"))),
+                lambda s: s.q,
+            ).alias("codes"),
+            F.sum(F.col("err_e9") * F.col("err_e9")).cast("long").alias("sse_q"),
+            F.max(F.abs("err_e9")).cast("long").alias("max_abs_err_e9"),
+        )
+    )

@@ -1,0 +1,53 @@
+"""Hand-traced embedding quantization and critical path."""
+
+from reden_spark.operators.paths import critical_path
+from reden_spark.operators.similarity import embedding_quantize
+
+
+def test_embedding_quantize_exact(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 10.0]), (3, [2.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in embedding_quantize(emb).collect()}
+    # dim 0: lo=0 hi=2 → codes 0, 128 (round(1*255/2)=128), 255
+    # dim 1: constant → code 0, dequant error = v - lo = 0
+    assert got[1].codes == [0, 0]
+    assert got[2].codes == [128, 0]
+    assert got[3].codes == [255, 0]
+    # vec 2 dim0 dequant: 128*2/255 = 1.00392…, err ≈ -0.00392e9
+    err = round((1.0 - 128 * 2.0 / 255) * 1e9)
+    assert got[2].sse_q == err * err
+    assert got[2].max_abs_err_e9 == abs(err)
+    # exact-grid vectors reconstruct perfectly
+    assert got[1].sse_q == 0 and got[3].sse_q == 0
+
+
+def test_embedding_quantize_clamps(spark):
+    emb = spark.createDataFrame(
+        [(1, [5.0]), (2, [5.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in embedding_quantize(emb).collect()}
+    # constant dimension: code 0 everywhere, zero error
+    assert got[1].codes == [0] and got[1].sse_q == 0
+
+
+def test_critical_path_diamond(spark):
+    # a→b (3), a→c (1), b→d (1), c→d (10): longest from a = 11 via c
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "d", 1), ("c", "d", 10)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.longest for r in critical_path(edges, max_iter=5).collect()}
+    assert got["d"] == 0          # sink
+    assert got["b"] == 1
+    assert got["c"] == 10
+    assert got["a"] == 11         # max(3+1, 1+10)
+
+
+def test_critical_path_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 5)], "src string, dst string, w long"
+    )
+    got = {r.node: r.longest for r in critical_path(edges, max_iter=5).collect()}
+    assert got == {"a": 7, "b": 5, "c": 0}
