@@ -11043,3 +11043,108 @@ def q_critical_path(spark, sf_dir):
         (1 + d % 5).cast("long").alias("w"),
     )
     return critical_path(half.unionByName(quarter), max_iter=15)
+
+
+# Shared dequantization CTE for the compressed-domain ANN queries — the
+# SQL twin of operators/similarity.dequantized_vectors (FAISS-SQ8 shape:
+# store uint8 codes, evaluate the metric on the per-dimension
+# reconstruction; symmetric dots on the affine codes collapse recall to
+# 0.03 on this table, dequantized cosine holds 0.96).
+_DEQ_SQL = f"""
+    dqex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    dqst AS (SELECT idx, min(v) AS lo, max(v) AS hi FROM dqex GROUP BY 1),
+    dqd AS (SELECT e.vec_id, e.idx,
+                   s.lo + least(255, greatest(0,
+                     CASE WHEN s.hi > s.lo THEN
+                       CAST(round((e.v - s.lo) * 255 / (s.hi - s.lo))
+                            AS BIGINT)
+                     ELSE 0 END)) * (s.hi - s.lo) / 255 AS deq
+            FROM dqex e JOIN dqst s USING (idx)),
+    dqv AS (SELECT vec_id, list(deq ORDER BY idx) AS v
+            FROM dqd GROUP BY 1),
+    dqn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+            FROM dqv)
+"""
+
+
+@query(
+    "ann_quantized_topk",
+    f"""
+    WITH {_DEQ_SQL},
+    sims AS (
+      SELECT q.vec_id AS id, n.vec_id AS neighbor,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                        / (q.nrm * n.nrm) DESC,
+                        n.vec_id ASC) AS rank
+      FROM (SELECT * FROM dqn WHERE vec_id < 100) q
+      JOIN dqn n ON q.vec_id <> n.vec_id)
+    SELECT id, neighbor, CAST(rank AS BIGINT) AS rank
+    FROM sims WHERE rank <= 3
+    """,
+)
+def q_ann_quantized_topk(spark, sf_dir):
+    """Compressed-domain top-3 (operators/similarity.quantized_topk):
+    vectors round-tripped through the uint8 scalar quantizer, ranked by
+    cosine on the reconstruction — 1 byte/dim storage, float-faithful
+    ranking machinery (same fold order as cosine_topk)."""
+    from reden_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(
+        _read(spark, sf_dir, "embeddings"), k=3, query_max=100
+    )
+
+
+@query(
+    "ann_recall_quantized",
+    f"""
+    WITH {_DEQ_SQL},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norms AS (SELECT vec_id, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm,
+                     v FROM e),
+    approx AS (
+      SELECT id AS vec_id, neighbor FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM (SELECT * FROM dqn WHERE vec_id < 100) q
+        JOIN dqn n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    exact AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT q.vec_id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM (SELECT * FROM norms WHERE vec_id < 100) q
+        JOIN norms n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    hit AS (
+      SELECT a.vec_id, a.neighbor FROM approx a
+      JOIN exact x ON a.vec_id = x.vec_id AND a.neighbor = x.neighbor)
+    SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM exact), 9) AS recall
+    """,
+)
+def q_ann_recall_quantized(spark, sf_dir):
+    """Recall of the dequantized-cosine search vs the float-exact top-3
+    (operators/similarity.ann_recall) — the number that certifies the
+    uint8 compression for serving."""
+    from reden_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        quantized_topk,
+        with_norms,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    en = with_norms(emb)
+    exact = cosine_topk(en.filter(F.col("id") < 100), en, k=3)
+    approx = quantized_topk(emb, k=3, query_max=100)
+    return ann_recall(approx, exact)

@@ -440,3 +440,81 @@ def embedding_quantize(
             F.max(F.abs("err_e9")).cast("long").alias("max_abs_err_e9"),
         )
     )
+
+
+def dequantized_vectors(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> DataFrame:
+    """(vec_id, v array<double>): round-trip through the uint8 scalar
+    quantizer — what a reader of the 1-byte/dim store actually sees.
+    Same per-dimension grid as embedding_quantize; elements reassembled
+    in dimension order."""
+    lvl = n_levels - 1
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("idx").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = F.when(
+        F.col("hi") > F.col("lo"),
+        F.round(
+            (F.col("v") - F.col("lo")) * lvl / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    deq = (
+        ex.join(F.broadcast(stats), "idx")
+        .withColumn(
+            "q",
+            F.least(
+                F.lit(lvl).cast("long"),
+                F.greatest(F.lit(0).cast("long"), q),
+            ),
+        )
+        .withColumn(
+            "deq",
+            F.col("lo") + F.col("q") * (F.col("hi") - F.col("lo")) / lvl,
+        )
+    )
+    return deq.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "deq"))),
+            lambda s: s.deq,
+        ).alias("v")
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    query_max: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, neighbor, rank): top-k neighbors computed entirely from the
+    uint8-quantized store — vectors are DEQUANTIZED per dimension and
+    ranked by cosine, the FAISS-SQ8 pattern: storage is 1 byte/dim, the
+    metric is evaluated on the reconstruction.
+
+    Why not dot products on the raw codes: the code grid is affine
+    (code = (v−lo)·255/(hi−lo)), and the per-dimension offset term
+    dominates symmetric code dots — measured recall vs the float-exact
+    cosine top-3 collapses to 0.03, while dequantized cosine holds 0.96
+    on the same table (ann_recall_quantized).  The decode is the price
+    of correctness and stays element-local.
+
+    Engine parity: the dequantized doubles, the norm fold order and the
+    cosine ranking reuse exactly the machinery of cosine_topk /
+    _DOT_SQL, so the SQL oracle reproduces the ranking bit-for-bit.
+
+    Scale shape: one dimension-stats broadcast + one id-key regroup to
+    rebuild vectors, then the brute-force scan with a broadcast query
+    side — same shape as cosine_topk, reading quarter-width data."""
+    deq = dequantized_vectors(embeddings, vec_col=vec_col, id_col=id_col)
+    en = with_norms(deq, id_col="vec_id", vec_col="v")
+    queries = en if query_max is None else en.filter(F.col("id") < query_max)
+    return cosine_topk(queries, en, k=k)

@@ -1,0 +1,60 @@
+"""Quantized-store ANN: dequantization round-trip and recall sanity."""
+
+from reden_spark.operators.similarity import (
+    ann_recall,
+    cosine_topk,
+    dequantized_vectors,
+    quantized_topk,
+    with_norms,
+)
+
+
+def test_dequantized_roundtrip_on_grid(spark):
+    # values sitting exactly on the 255-step grid reconstruct bit-exactly
+    emb = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [255.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.v for r in dequantized_vectors(emb).collect()}
+    assert got[1] == [0.0, 7.0]       # lo endpoint + constant dim
+    assert got[2] == [255.0, 7.0]     # hi endpoint + constant dim
+
+
+def test_dequantized_error_bounded(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i) / 3.0, float(i * i % 17)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = dequantized_vectors(emb).collect()
+    orig = {i: [i / 3.0, float(i * i % 17)] for i in range(8)}
+    # max error per dim is half a grid step: (hi-lo)/255/2
+    steps = [(7 / 3.0) / 255 / 2, 16.0 / 255 / 2]
+    for r in rows:
+        for d in range(2):
+            assert abs(r.v[d] - orig[r.vec_id][d]) <= steps[d] + 1e-12
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    # three well-separated clusters: quantization cannot flip the top-1
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for vid in range(9):
+        c = base[vid % 3]
+        rows.append((vid, [x + (0.1 if i == vid % 3 else 0.0)
+                           for i, x in enumerate(c)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = quantized_topk(emb, k=1).collect()
+    for r in got:
+        assert r.neighbor % 3 == r.id % 3  # nearest stays in-cluster
+
+
+def test_quantized_recall_high_on_clusters(spark):
+    rows = [(vid, [1000.0 * ((vid % 3) == i) + float(vid) for i in range(3)])
+            for vid in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    en = with_norms(emb)
+    exact = cosine_topk(en, en, k=2)
+    approx = quantized_topk(emb, k=2)
+    rec = ann_recall(approx, exact).collect()[0]
+    assert rec.n_exact == 24
+    assert rec.recall >= 0.9
