@@ -11148,3 +11148,167 @@ def q_ann_recall_quantized(spark, sf_dir):
     exact = cosine_topk(en.filter(F.col("id") < 100), en, k=3)
     approx = quantized_topk(emb, k=3, query_max=100)
     return ann_recall(approx, exact)
+
+
+# Entity-valued triple fixture for rule mining: memberOf ∘ locatedIn ⇒
+# inRegion holds for 6/7 of customers (the %7 == 0 heads are withheld).
+_RULE_TRIPLES_SQL = """
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+           'memberOf' AS pred,
+           'n' || CAST(c_nationkey AS VARCHAR) AS obj
+    FROM customer
+    UNION ALL
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+           'r' || CAST(n_regionkey AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'c' || CAST(c.c_custkey AS VARCHAR), 'inRegion',
+           'r' || CAST(n.n_regionkey AS VARCHAR)
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 7 <> 0
+"""
+
+
+def _rule_triples(spark, sf_dir):
+    """Spark twin of _RULE_TRIPLES_SQL."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    s = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
+    member = cust.select(
+        s("c", F.col("c_custkey")).alias("subj"),
+        F.lit("memberOf").alias("pred"),
+        s("n", F.col("c_nationkey")).alias("obj"),
+    )
+    located = nation.select(
+        s("n", F.col("n_nationkey")).alias("subj"),
+        F.lit("locatedIn").alias("pred"),
+        s("r", F.col("n_regionkey")).alias("obj"),
+    )
+    in_region = (
+        cust.filter(F.col("c_custkey") % 7 != 0)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            s("c", F.col("c_custkey")).alias("subj"),
+            F.lit("inRegion").alias("pred"),
+            s("r", F.col("n_regionkey")).alias("obj"),
+        )
+    )
+    return member.unionByName(located).unionByName(in_region)
+
+
+@query(
+    "rule_mining",
+    f"""
+    WITH t AS ({_RULE_TRIPLES_SQL}),
+    paths AS (
+      SELECT DISTINCT a.subj AS x, a.pred AS p, b.pred AS q, b.obj AS z
+      FROM t a JOIN t b ON a.obj = b.subj),
+    np AS (SELECT p, q, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM paths GROUP BY 1, 2),
+    heads AS (SELECT DISTINCT subj AS x, pred AS r, obj AS z FROM t),
+    sup AS (
+      SELECT p, q, r, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT DISTINCT pa.p, pa.q, h.r, pa.x, pa.z
+        FROM paths pa JOIN heads h ON pa.x = h.x AND pa.z = h.z)
+      GROUP BY 1, 2, 3)
+    SELECT s.p, s.q, s.r, np.n_pairs, s.support,
+           s.support * 1000000 // np.n_pairs AS conf_e6
+    FROM sup s JOIN np USING (p, q)
+    """,
+)
+def q_rule_mining(spark, sf_dir):
+    """AMIE-style 2-hop Horn rules (operators/relations.mine_path_rules)
+    over the entity triple fixture — the planted rule memberOf ∘
+    locatedIn ⇒ inRegion surfaces at ~6/7 confidence, exact integer
+    counts."""
+    from reden_spark.operators.relations import mine_path_rules
+
+    return mine_path_rules(_rule_triples(spark, sf_dir))
+
+
+_CATALOG_SQL = """
+    SELECT 'orders' AS rel, 'o_custkey' AS col,
+           CAST(o_custkey AS VARCHAR) AS val FROM orders
+    UNION ALL
+    SELECT 'customer', 'c_custkey', CAST(c_custkey AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'nation', 'n_nationkey', CAST(n_nationkey AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'supplier', 's_nationkey', CAST(s_nationkey AS VARCHAR)
+    FROM supplier
+    UNION ALL
+    SELECT 'part', 'p_partkey', CAST(p_partkey AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', CAST(l_partkey AS VARCHAR)
+    FROM lineitem WHERE l_orderkey < 5000
+"""
+
+
+@query(
+    "joinability",
+    f"""
+    WITH cat AS ({_CATALOG_SQL}),
+    vals AS (SELECT DISTINCT rel, col, val FROM cat),
+    sizes AS (SELECT rel, col, CAST(count(*) AS BIGINT) AS n
+              FROM vals GROUP BY 1, 2),
+    common AS (
+      SELECT a.rel AS a_rel, a.col AS a_col, b.rel AS b_rel,
+             b.col AS b_col, CAST(count(*) AS BIGINT) AS n_common
+      FROM vals a JOIN vals b ON a.val = b.val
+      WHERE a.rel < b.rel OR (a.rel = b.rel AND a.col < b.col)
+      GROUP BY 1, 2, 3, 4)
+    SELECT c.a_rel, c.a_col, c.b_rel, c.b_col,
+           sa.n AS n_a, sb.n AS n_b, c.n_common,
+           c.n_common * 1000000
+             // (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END)
+             AS containment_e6,
+           c.n_common * 1000000 // (sa.n + sb.n - c.n_common)
+             AS jaccard_e6
+    FROM common c
+    JOIN sizes sa ON sa.rel = c.a_rel AND sa.col = c.a_col
+    JOIN sizes sb ON sb.rel = c.b_rel AND sb.col = c.b_col
+    """,
+)
+def q_joinability(spark, sf_dir):
+    """Data-lake join-key discovery (operators/analytics.joinability)
+    over seven TPC-H key columns — containment/jaccard of distinct value
+    sets in exact micro-units; the foreign-key pairs (custkey, nationkey,
+    partkey) surface at containment 1e6."""
+    from reden_spark.operators.analytics import joinability
+
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    parts = [
+        _read(spark, sf_dir, "orders").select(
+            F.lit("orders").alias("rel"), F.lit("o_custkey").alias("col"),
+            s("o_custkey").alias("val")),
+        _read(spark, sf_dir, "customer").select(
+            F.lit("customer").alias("rel"), F.lit("c_custkey").alias("col"),
+            s("c_custkey").alias("val")),
+        _read(spark, sf_dir, "customer").select(
+            F.lit("customer").alias("rel"), F.lit("c_nationkey").alias("col"),
+            s("c_nationkey").alias("val")),
+        _read(spark, sf_dir, "nation").select(
+            F.lit("nation").alias("rel"), F.lit("n_nationkey").alias("col"),
+            s("n_nationkey").alias("val")),
+        _read(spark, sf_dir, "supplier").select(
+            F.lit("supplier").alias("rel"), F.lit("s_nationkey").alias("col"),
+            s("s_nationkey").alias("val")),
+        _read(spark, sf_dir, "part").select(
+            F.lit("part").alias("rel"), F.lit("p_partkey").alias("col"),
+            s("p_partkey").alias("val")),
+        _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+        .select(
+            F.lit("lineitem").alias("rel"), F.lit("l_partkey").alias("col"),
+            s("l_partkey").alias("val")),
+    ]
+    cat = parts[0]
+    for p in parts[1:]:
+        cat = cat.unionByName(p)
+    from reden_spark.operators.analytics import joinability as _j
+
+    return _j(cat)

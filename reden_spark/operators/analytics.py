@@ -254,3 +254,65 @@ def benford_deviation(
         .cast("long")
         .alias("tad_e6"),
     )
+
+
+def joinability(catalog: DataFrame) -> DataFrame:
+    """(a_rel, a_col, b_rel, b_col, n_a, n_b, n_common, containment_e6,
+    jaccard_e6): join-key discovery across a data-lake catalog — for
+    every pair of columns, how much of the smaller column's distinct
+    value set the other contains (Aurum / JOSIE-style joinability).
+    ``catalog`` is the long-form (rel, col, val) table of candidate
+    columns; containment ≥ ~0.95 flags a foreign-key-shaped pair, high
+    jaccard flags same-domain duplicates.
+
+    All integer math over distinct-value counts — engine-exact.
+
+    Scale shape: one distinct on (rel, col, val), one val-key self-join
+    producing only co-occurring column pairs (never the full pair
+    grid), two map-side-combinable groupBys.  Hot values (low-cardinality
+    flag columns) fan out as |cols(v)|² — prune such columns upstream or
+    cap, exactly like every bucket join in this repo."""
+    vals = catalog.select("rel", "col", "val").distinct()
+    sizes = vals.groupBy("rel", "col").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = vals.select(
+        F.col("rel").alias("a_rel"), F.col("col").alias("a_col"), "val"
+    )
+    b = vals.select(
+        F.col("rel").alias("b_rel"), F.col("col").alias("b_col"), "val"
+    )
+    common = (
+        a.join(b, "val")
+        .filter(
+            (F.col("a_rel") < F.col("b_rel"))
+            | (
+                (F.col("a_rel") == F.col("b_rel"))
+                & (F.col("a_col") < F.col("b_col"))
+            )
+        )
+        .groupBy("a_rel", "a_col", "b_rel", "b_col")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("rel").alias("a_rel"), F.col("col").alias("a_col"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sizes.select(
+        F.col("rel").alias("b_rel"), F.col("col").alias("b_col"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        common.join(F.broadcast(sa), ["a_rel", "a_col"])
+        .join(F.broadcast(sb), ["b_rel", "b_col"])
+        .select(
+            "a_rel", "a_col", "b_rel", "b_col", "n_a", "n_b", "n_common",
+            F.expr(
+                "n_common * 1000000 div (CASE WHEN n_a < n_b THEN n_a"
+                " ELSE n_b END)"
+            ).alias("containment_e6"),
+            F.expr(
+                "n_common * 1000000 div (n_a + n_b - n_common)"
+            ).alias("jaccard_e6"),
+        )
+    )

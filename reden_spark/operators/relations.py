@@ -73,3 +73,59 @@ def relation_patterns(
         )
         .filter(F.col("n_occurrences") >= min_support)
     )
+
+
+def mine_path_rules(
+    triples: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """(p, q, r, n_pairs, support, conf_e6): AMIE-style 2-hop Horn rules
+    p(x,y) ∧ q(y,z) ⇒ r(x,z) mined from an entity-valued triple store
+    (Galárraga et al. 2013) — the KG-completion prior that proposes
+    which composed relations the graph already entails (memberOf ∘
+    locatedIn ⇒ inRegion and friends).
+
+      n_pairs  = #distinct (x, z) connected by a p-q path
+      support  = #distinct (x, z) among them where r(x, z) holds
+      conf_e6  = support·1e6 div n_pairs (AMIE's standard confidence)
+
+    All counts are exact integers; only rules with support ≥
+    ``min_support`` are emitted (an inner join on the head drops
+    zero-support combinations by construction).
+
+    Scale shape: one obj=subj hash join builds the path set, one
+    (x, z)-key join scores heads; both aggregates are distinct-pair
+    groupBys on their own keys.  Hub intermediates y fan paths out
+    linearly (|in(y)|·|out(y)| pairs) — the usual AMIE blowup — so
+    callers mining open-domain KGs should pre-cap hub degree the same
+    way the LSH buckets are capped; the fixture graphs here are
+    tree-like."""
+    t = triples.select("subj", "pred", "obj")
+    paths = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.obj") == F.col("b.subj"))
+        .select(
+            F.col("a.subj").alias("x"),
+            F.col("a.pred").alias("p"),
+            F.col("b.pred").alias("q"),
+            F.col("b.obj").alias("z"),
+        )
+        .dropDuplicates(["x", "p", "q", "z"])
+    )
+    n_pairs = paths.groupBy("p", "q").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    heads = t.select(
+        F.col("subj").alias("x"), F.col("pred").alias("r"),
+        F.col("obj").alias("z"),
+    ).dropDuplicates(["x", "r", "z"])
+    support = (
+        paths.join(heads, ["x", "z"])
+        .dropDuplicates(["p", "q", "r", "x", "z"])
+        .groupBy("p", "q", "r")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return support.join(n_pairs, ["p", "q"]).select(
+        "p", "q", "r", "n_pairs", "support",
+        F.expr("support * 1000000 div n_pairs").alias("conf_e6"),
+    )

@@ -1,0 +1,58 @@
+"""Hand-traced AMIE rule mining and join discovery."""
+
+from reden_spark.operators.analytics import joinability
+from reden_spark.operators.relations import mine_path_rules
+
+
+def test_mine_path_rules_exact_confidence(spark):
+    triples = spark.createDataFrame(
+        [
+            ("a1", "memberOf", "g1"), ("a2", "memberOf", "g1"),
+            ("a3", "memberOf", "g2"),
+            ("g1", "locatedIn", "z1"), ("g2", "locatedIn", "z2"),
+            # head holds for a1, a2 but NOT a3
+            ("a1", "inZone", "z1"), ("a2", "inZone", "z1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.p, r.q, r.r): r for r in mine_path_rules(triples).collect()}
+    rule = got[("memberOf", "locatedIn", "inZone")]
+    assert rule.n_pairs == 3 and rule.support == 2
+    assert rule.conf_e6 == 2 * 10**6 // 3
+    # no other head predicate matches any path pair
+    assert set(got) == {("memberOf", "locatedIn", "inZone")}
+
+
+def test_mine_path_rules_dedups_multipath(spark):
+    # two distinct mid nodes both connect x to z: ONE (x, z) pair
+    triples = spark.createDataFrame(
+        [
+            ("x", "p", "m1"), ("x", "p", "m2"),
+            ("m1", "q", "z"), ("m2", "q", "z"),
+            ("x", "h", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.p, r.q, r.r): r for r in mine_path_rules(triples).collect()}
+    rule = got[("p", "q", "h")]
+    assert rule.n_pairs == 1 and rule.support == 1
+    assert rule.conf_e6 == 10**6
+
+
+def test_joinability_fk_and_partial(spark):
+    cat = spark.createDataFrame(
+        [("t1", "k", str(i)) for i in range(10)]
+        + [("t2", "fk", str(i)) for i in range(8)]      # subset of t1.k
+        + [("t3", "other", str(i)) for i in range(5, 15)],  # half overlap
+        "rel string, col string, val string",
+    )
+    got = {(r.a_rel, r.b_rel): r for r in joinability(cat).collect()}
+    fk = got[("t1", "t2")]
+    assert fk.n_a == 10 and fk.n_b == 8 and fk.n_common == 8
+    assert fk.containment_e6 == 10**6          # t2.fk fully contained
+    assert fk.jaccard_e6 == 8 * 10**6 // 10
+    half = got[("t1", "t3")]
+    assert half.n_common == 5
+    assert half.containment_e6 == 5 * 10**6 // 10
+    mid = got[("t2", "t3")]
+    assert mid.n_common == 3                   # {5, 6, 7}
