@@ -11312,3 +11312,102 @@ def q_joinability(spark, sf_dir):
     from reden_spark.operators.analytics import joinability as _j
 
     return _j(cat)
+
+
+# Exact all-pairs cosine top-3 over the full embeddings table (both
+# sides), shared by the mutual-kNN queries.
+_ALLKNN_SQL = f"""
+    ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    ktop AS (
+      SELECT id, neighbor FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM kn q JOIN kn n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    mutual AS (
+      SELECT t.id AS a, t.neighbor AS b FROM ktop t
+      JOIN ktop r ON r.id = t.neighbor AND r.neighbor = t.id
+      WHERE t.id < t.neighbor)
+"""
+
+
+@query(
+    "knn_graph_mutual",
+    f"WITH {_ALLKNN_SQL} SELECT a, b FROM mutual",
+)
+def q_knn_graph_mutual(spark, sf_dir):
+    """Mutual-kNN graph (operators/similarity.knn_graph_mutual): edges
+    where each endpoint is in the other's exact cosine top-3 — the
+    density filter in front of embedding clustering."""
+    from reden_spark.operators.similarity import knn_graph_mutual
+
+    return knn_graph_mutual(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "embedding_clusters",
+    f"""
+    WITH RECURSIVE {_ALLKNN_SQL},
+    und AS (SELECT a AS src, b AS dst FROM mutual
+            UNION SELECT b, a FROM mutual),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+    SELECT src AS node, least(src, min(dst)) AS comp
+    FROM reach GROUP BY src
+    """,
+)
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding clustering = connected components of the mutual-kNN
+    graph (operators/similarity.knn_graph_mutual + operators/sameas.
+    connected_components) — the engine's own CC doing double duty on the
+    similarity graph; isolated vectors are absent (no mutual edge)."""
+    from reden_spark.operators.sameas import connected_components
+    from reden_spark.operators.similarity import knn_graph_mutual
+
+    edges = knn_graph_mutual(_read(spark, sf_dir, "embeddings"), k=3)
+    return connected_components(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+@query(
+    "knn_label_accuracy",
+    f"""
+    WITH ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    top1 AS (
+      SELECT id, neighbor FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM kn q JOIN kn n ON q.vec_id <> n.vec_id) WHERE rank = 1),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    sc AS (
+      SELECT la.label,
+             CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS hit
+      FROM top1 t
+      JOIN lab la ON la.vec_id = t.id
+      JOIN lab lb ON lb.vec_id = t.neighbor)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hit) AS BIGINT) AS correct,
+           CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS acc_e6
+    FROM sc GROUP BY 1
+    """,
+)
+def q_knn_label_accuracy(spark, sf_dir):
+    """Leave-one-out 1-NN label accuracy per class
+    (operators/similarity.knn_label_accuracy) — the training-free
+    embedding-quality probe over the labeled embeddings table, exact
+    integer counts."""
+    from reden_spark.operators.similarity import knn_label_accuracy
+
+    return knn_label_accuracy(_read(spark, sf_dir, "embeddings"), k=1)

@@ -518,3 +518,75 @@ def quantized_topk(
     en = with_norms(deq, id_col="vec_id", vec_col="v")
     queries = en if query_max is None else en.filter(F.col("id") < query_max)
     return cosine_topk(queries, en, k=k)
+
+
+def knn_graph_mutual(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(a, b): the mutual-kNN graph — edge kept iff each endpoint is in
+    the other's exact cosine top-k, a < b.  The standard density filter
+    in front of graph clustering: one-sided kNN edges from outliers into
+    dense regions vanish, so connected components of THIS graph are
+    tight clusters instead of one hairball.
+
+    Scale shape: one brute-force top-k (swap in the LSH/IVF variant at
+    corpus scale), then a self-semi-join of the (id, neighbor) list on
+    the reversed key — edge-list-sized, never vector-sized."""
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    topk = cosine_topk(en, en, k=k).select("id", "neighbor")
+    rev = topk.select(
+        F.col("neighbor").alias("id"), F.col("id").alias("neighbor")
+    )
+    return (
+        topk.join(rev, ["id", "neighbor"], "left_semi")
+        .filter(F.col("id") < F.col("neighbor"))
+        .select(F.col("id").alias("a"), F.col("neighbor").alias("b"))
+    )
+
+
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, correct, acc_e6): leave-one-out 1-NN classification
+    accuracy per class — the embedding-quality probe that needs no
+    training: if vectors encode the label, the nearest OTHER vector
+    shares it.  Exact cosine neighbors, integer counts, micro-unit
+    accuracy; the per-class breakdown exposes which classes smear.
+
+    Scale shape: the brute-force top-1 dominates (swap the ANN variant
+    in at scale); the scoring is two broadcast-joinable label lookups
+    and one label-key groupBy."""
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    top1 = cosine_topk(en, en, k=k).filter(F.col("rank") == 1)
+    labels = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    nbr_labels = labels.select(
+        F.col("id").alias("neighbor"), F.col("label").alias("nbr_label")
+    )
+    scored = (
+        top1.join(F.broadcast(labels), "id")
+        .join(F.broadcast(nbr_labels), "neighbor")
+        .select(
+            "label",
+            (F.col("label") == F.col("nbr_label")).cast("long").alias("hit"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("hit").cast("long").alias("correct"),
+        )
+        .select(
+            "label", "n", "correct",
+            F.expr("correct * 1000000 div n").alias("acc_e6"),
+        )
+    )

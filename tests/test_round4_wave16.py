@@ -1,0 +1,52 @@
+"""Hand-traced mutual-kNN graph and 1-NN label accuracy."""
+
+from reden_spark.operators.similarity import (
+    knn_graph_mutual,
+    knn_label_accuracy,
+)
+
+
+def _clustered_embeddings(spark):
+    # two tight clusters on orthogonal axes + one outlier pointing away
+    rows = [
+        (0, [10.0, 0.0, 0.1], 1), (1, [10.0, 0.1, 0.0], 1),
+        (2, [10.1, 0.0, 0.0], 1),
+        (3, [0.0, 10.0, 0.1], 2), (4, [0.1, 10.0, 0.0], 2),
+        (5, [0.0, 10.1, 0.0], 2),
+        (6, [-5.0, -5.0, -5.0], 3),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_mutual_knn_keeps_clusters_drops_outlier(spark):
+    emb = _clustered_embeddings(spark)
+    got = {(r.a, r.b) for r in knn_graph_mutual(emb, k=2).collect()}
+    # within-cluster pairs are mutual at k=2
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert {(3, 4), (3, 5), (4, 5)} <= got
+    # the outlier's one-sided edges never survive the mutual filter
+    assert all(6 not in e for e in got)
+
+
+def test_mutual_knn_requires_both_sides(spark):
+    # chain a-b-c with k=1: b's top1 is a OR c but not both → at most
+    # one mutual edge; the far endpoint pair is never mutual
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.3]), (2, [1.0, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.a, r.b) for r in knn_graph_mutual(emb, k=1).collect()}
+    assert (0, 2) not in got
+    assert len(got) <= 1
+
+
+def test_knn_label_accuracy_exact(spark):
+    emb = _clustered_embeddings(spark)
+    got = {r.label: r for r in knn_label_accuracy(emb, k=1).collect()}
+    # clusters classify perfectly; the singleton class cannot
+    assert got[1].n == 3 and got[1].correct == 3
+    assert got[1].acc_e6 == 10**6
+    assert got[2].acc_e6 == 10**6
+    assert got[3].n == 1 and got[3].correct == 0 and got[3].acc_e6 == 0
