@@ -11411,3 +11411,158 @@ def q_knn_label_accuracy(spark, sf_dir):
     from reden_spark.operators.similarity import knn_label_accuracy
 
     return knn_label_accuracy(_read(spark, sf_dir, "embeddings"), k=1)
+
+
+@query(
+    "bigram_lm_nll",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    pairs AS (
+      SELECT doc_id, prev, tok FROM (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS prev, tok
+        FROM toks) WHERE prev IS NOT NULL),
+    c1 AS (SELECT tok AS prev, CAST(count(*) AS BIGINT) AS c1
+           FROM toks GROUP BY 1),
+    c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+           FROM pairs GROUP BY 1, 2),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    lm AS (SELECT c2.prev, c2.tok,
+                  CAST(round(ln((c1 + v) / (c2 + 1)) * 1000000) AS BIGINT)
+                    AS nll_e6
+           FROM c2 JOIN c1 USING (prev), vv),
+    per AS (
+      SELECT p.doc_id, CAST(sum(l.nll_e6) AS BIGINT) AS nll_sum_e6,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM pairs p JOIN lm l ON l.prev = p.prev AND l.tok = p.tok
+      GROUP BY 1)
+    SELECT d.doc_id, coalesce(per.nll_sum_e6, 0) AS nll_sum_e6,
+           coalesce(per.n_bigrams, 0) AS n_bigrams
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_bigram_lm_nll(spark, sf_dir):
+    """Bigram-LM word-order scorer (operators/importance.bigram_lm_nll):
+    add-one-smoothed transition NLL fit on the corpus itself, per-
+    transition micro-unit quantization before the per-document sum —
+    the local-order complement to unigram_lm_nll."""
+    from reden_spark.operators.importance import bigram_lm_nll
+
+    return bigram_lm_nll(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "char_class_census",
+    """
+    WITH b AS (
+      SELECT doc_id AS id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text,
+               '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(text) - length(regexp_replace(text,
+               '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space,
+             CAST(length(text) - length(regexp_replace(text,
+               '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents)
+    SELECT id, n_chars, n_alpha, n_digit, n_space, n_punct,
+           n_chars - n_alpha - n_digit - n_space - n_punct AS n_other,
+           CASE WHEN n_chars > 0 THEN n_alpha * 1000000 // n_chars
+                ELSE 0 END AS alpha_e6,
+           CASE WHEN n_chars > 0 THEN n_digit * 1000000 // n_chars
+                ELSE 0 END AS digit_e6
+    FROM b
+    """,
+)
+def q_char_class_census(spark, sf_dir):
+    """ASCII character-class profile per document (operators/quality.
+    char_class_census) — length-difference folds, micro-unit fractions,
+    shuffle-free."""
+    from reden_spark.operators.quality import char_class_census
+
+    return char_class_census(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "packing_efficiency",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM d),
+    p AS (SELECT shard, n_tokens, tok_offset,
+                 tok_offset // 256 AS bin,
+                 CASE WHEN n_tokens > 0 AND
+                      (tok_offset + n_tokens - 1) // 256 <> tok_offset // 256
+                      THEN 1 ELSE 0 END AS straddles
+          FROM o)
+    SELECT shard, CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST((max(bin) + 1) * 256 AS BIGINT) AS capacity,
+           CAST(sum(n_tokens) AS BIGINT) * 1000000
+             // ((max(bin) + 1) * 256) AS fill_e6,
+           CAST(sum(straddles) AS BIGINT) AS straddlers
+    FROM p GROUP BY 1
+    """,
+)
+def q_packing_efficiency(spark, sf_dir):
+    """Packing audit (operators/corpus_prep.packing_efficiency) over the
+    pack_sequences layout: per-shard bin fill and boundary straddlers —
+    the sign-off table before burning compute on padding."""
+    from reden_spark.operators.corpus_prep import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    packed = pack_sequences(_read(spark, sf_dir, "documents"))
+    return packing_efficiency(packed)
+
+
+@query(
+    "dup_inflation",
+    f"""
+    WITH RECURSIVE {{_LSH_PAIRS_PLACEHOLDER}},
+    e AS (SELECT printf('d%013d', a) AS src, printf('d%013d', b) AS dst
+          FROM pairs),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    docs AS (SELECT printf('d%013d', doc_id) AS node FROM documents),
+    cl AS (SELECT d.node, coalesce(c.comp, d.node) AS cluster
+           FROM docs d LEFT JOIN comp c ON d.node = c.node),
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1),
+    g AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS g FROM sizes)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size) AS BIGINT) * 1000000 // g.g AS share_e6
+    FROM sizes, g GROUP BY 1, g.g
+    """,
+)
+def q_dup_inflation(spark, sf_dir):
+    """Corpus duplication profile (operators/corpus_prep.dup_inflation):
+    cluster-size histogram + per-multiplicity document share over the
+    engine's own near-dup clustering."""
+    from reden_spark.operators.corpus_prep import dup_inflation
+    from reden_spark.operators.dedup import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_inflation(dedup_clusters(docs, bucket_cap=200))
+
+
+ORACLES["dup_inflation"] = ORACLES["dup_inflation"].replace(
+    "{_LSH_PAIRS_PLACEHOLDER}", _LSH_PAIRS_SQL
+)

@@ -859,3 +859,72 @@ def split_balance(
             ).alias("dev_e6"),
         )
     )
+
+
+def packing_efficiency(
+    packed: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """(shard, n_bins, n_docs, tokens, capacity, fill_e6, straddlers):
+    the audit table for a pack_sequences layout — per shard, how full
+    the bins actually are (fill = tokens / (n_bins·budget)) and how many
+    documents straddle a bin boundary (their span crosses a multiple of
+    the budget — the rows a cross-bin attention mask must handle or a
+    splitter must cut).  The number a pretraining-data owner signs off
+    before burning compute on padding.
+
+    All integer math.  One shard-key groupBy over the already-computed
+    layout columns — no re-tokenization, no second corpus scan."""
+    straddle = (F.col("n_tokens") > 0) & (
+        F.expr(f"(tok_offset + n_tokens - 1) div {int(budget)}")
+        != F.col("bin")
+    )
+    return (
+        packed.withColumn("straddles", straddle.cast("long"))
+        .groupBy("shard")
+        .agg(
+            (F.max("bin") + 1).cast("long").alias("n_bins"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("straddles").cast("long").alias("straddlers"),
+        )
+        .select(
+            "shard",
+            "n_bins",
+            "n_docs",
+            "tokens",
+            (F.col("n_bins") * int(budget)).cast("long").alias("capacity"),
+            F.expr(f"tokens * 1000000 div (n_bins * {int(budget)})")
+            .alias("fill_e6"),
+            "straddlers",
+        )
+    )
+
+
+def dup_inflation(clusters: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, share_e6): the duplication
+    profile of a corpus from a dedup clustering — how many clusters have
+    k members and what share of all documents sits at each multiplicity.
+    The one-table answer to "how inflated is this crawl?": Σ share of
+    size ≥ 2 rows is the mass dedup will remove (minus one survivor per
+    cluster).
+
+    Two map-side-combinable groupBys (cluster key, then size key) plus a
+    broadcast total — histogram-sized output."""
+    sizes = clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    tot = sizes.agg(F.sum("cluster_size").cast("long").alias("g"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.expr("n_docs * 1000000 div g").alias("share_e6"),
+        )
+    )

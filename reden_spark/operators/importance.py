@@ -283,3 +283,76 @@ def lm_quality_buckets(scored: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bigram_lm_nll(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, nll_sum_e6, n_bigrams): per-document negative
+    log-likelihood under an add-one-smoothed BIGRAM LM fit on the corpus
+    itself — the next step up from unigram_lm_scores toward the KenLM
+    gate (CCNet, Wenzek et al. 2020): unigram NLL scores vocabulary
+    plausibility, bigram NLL scores local word ORDER, which is what
+    separates shuffled/templated text from prose at equal vocabulary.
+
+      −ln p(t_i | t_{i−1}) = ln((c(t_{i−1}) + V) / (c(t_{i−1}, t_i) + 1))
+
+    — one log of one exact-integer ratio per transition, quantized to
+    micro-units BEFORE the per-document sum (the same determinism
+    contract as the unigram scorer); c(·) are corpus unigram/bigram
+    counts, V the vocabulary size.  Documents with < 2 tokens score
+    (0, 0).
+
+    Scale shape: the bigram table shuffles on the bigram key once (its
+    own groupBy); scoring joins the doc's transitions against it on the
+    same key — corpus-sized but map-side combinable; the unigram/V
+    stats ride in broadcast."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("prev", F.lag("tok", 1).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    c1 = toks.groupBy(F.col("tok").alias("prev")).agg(
+        F.count("*").cast("long").alias("c1")
+    )
+    c2 = pairs.groupBy("prev", "tok").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    v = toks.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    lm = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "tok",
+            F.round(
+                F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1)) * 1e6
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    per = (
+        pairs.join(lm, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nll_e6").cast("long").alias("nll_sum_e6"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nll_sum_e6", F.lit(0)).cast("long")
+            .alias("nll_sum_e6"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+        )
+    )

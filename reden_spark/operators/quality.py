@@ -734,3 +734,59 @@ def term_dispersion(
             .alias("vmr_e6"),
         )
     )
+
+
+_CLASS_RES = (
+    ("alpha", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("punct", "[!-/:-@\\[-`{-~]"),
+)
+
+
+def char_class_census(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_alpha, n_digit, n_space, n_punct, n_other,
+    alpha_e6, digit_e6): per-document character-class profile — the
+    cheapest structure probe there is: tables and logs are digit/punct-
+    heavy, prose is alpha-heavy, minified blobs have no spaces.  Counts
+    come from length-difference folds (length(text) −
+    length(regexp_replace(text, class, ''))) — ASCII classes, identical
+    under Java regex and RE2; fractions in integer micro-units.
+
+    Shuffle-free single projection; the text never leaves the row."""
+    t = F.col(text_col)
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, pat, "")))
+        .cast("long")
+        for name, pat in _CLASS_RES
+    }
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        counts["alpha"].alias("n_alpha"),
+        counts["digit"].alias("n_digit"),
+        counts["space"].alias("n_space"),
+        counts["punct"].alias("n_punct"),
+    )
+    return base.select(
+        "id",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        (
+            F.col("n_chars") - F.col("n_alpha") - F.col("n_digit")
+            - F.col("n_space") - F.col("n_punct")
+        ).alias("n_other"),
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN n_alpha * 1000000 div n_chars"
+            " ELSE 0L END"
+        ).alias("alpha_e6"),
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN n_digit * 1000000 div n_chars"
+            " ELSE 0L END"
+        ).alias("digit_e6"),
+    )

@@ -1,0 +1,84 @@
+"""Hand-traced bigram LM, char census, packing audit, dup inflation."""
+
+import math
+
+from reden_spark.operators.corpus_prep import (
+    dup_inflation,
+    pack_sequences,
+    packing_efficiency,
+)
+from reden_spark.operators.importance import bigram_lm_nll
+from reden_spark.operators.quality import char_class_census
+
+
+def test_bigram_lm_nll_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_nll(docs).collect()}
+    # corpus: tokens a=3, b=3, x=1; V=3; bigrams: (a,b)x3, (b,a)x1
+    nll_ab = round(math.log((3 + 3) / (3 + 1)) * 1e6)
+    nll_ba = round(math.log((3 + 3) / (1 + 1)) * 1e6)
+    assert got[1].n_bigrams == 3
+    assert got[1].nll_sum_e6 == 2 * nll_ab + nll_ba
+    assert got[2].n_bigrams == 1 and got[2].nll_sum_e6 == nll_ab
+    # single-token doc has no transitions
+    assert got[3].n_bigrams == 0 and got[3].nll_sum_e6 == 0
+    # ordered prose scores lower than a rare transition
+    assert nll_ab < nll_ba
+
+
+def test_char_class_census_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "Ab1 ,\né"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in char_class_census(docs).collect()}
+    r = got[1]
+    assert r.n_chars == 7
+    assert r.n_alpha == 2      # A b (é is non-ASCII → other)
+    assert r.n_digit == 1
+    assert r.n_space == 2      # ' ' and '\n'
+    assert r.n_punct == 1      # ','
+    assert r.n_other == 1      # é
+    assert r.alpha_e6 == 2 * 10**6 // 7
+    z = got[2]
+    assert z.n_chars == 0 and z.alpha_e6 == 0 and z.n_other == 0
+
+
+def test_packing_efficiency_exact(spark):
+    # one shard: docs of 100/100/100 tokens, budget 128
+    packed = spark.createDataFrame(
+        [(1, 0, 100, 0, 0), (2, 0, 100, 100, 0), (3, 0, 100, 200, 1)],
+        "doc_id long, shard long, n_tokens long, tok_offset long, bin long",
+    )
+    got = packing_efficiency(packed, budget=128).collect()[0]
+    assert got.n_bins == 2 and got.n_docs == 3 and got.tokens == 300
+    assert got.capacity == 256
+    assert got.fill_e6 == 300 * 10**6 // 256
+    # doc2 spans [100,199] crossing 128; doc3 spans [200,299] crossing 256
+    assert got.straddlers == 2
+
+
+def test_dup_inflation_exact(spark):
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "e")],
+        "node string, cluster string",
+    )
+    got = {r.cluster_size: r for r in dup_inflation(clusters).collect()}
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3
+    assert got[3].share_e6 == 3 * 10**6 // 5
+    assert got[1].n_clusters == 2 and got[1].n_docs == 2
+
+
+def test_packing_efficiency_composes(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, budget=64, n_shards=4)
+    eff = packing_efficiency(packed, budget=64).collect()
+    assert len(eff) == 4
+    for r in eff:
+        assert 0 < r.fill_e6 <= 10**6
+        assert r.tokens <= r.capacity
