@@ -11566,3 +11566,118 @@ def q_dup_inflation(spark, sf_dir):
 ORACLES["dup_inflation"] = ORACLES["dup_inflation"].replace(
     "{_LSH_PAIRS_PLACEHOLDER}", _LSH_PAIRS_SQL
 )
+
+
+@query(
+    "hard_negatives",
+    f"""
+    WITH ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    top AS (
+      SELECT id, neighbor, rank FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM kn q JOIN kn n ON q.vec_id <> n.vec_id) WHERE rank <= 20),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    negs AS (
+      SELECT t.id, t.neighbor, t.rank, lb.label AS nbr_label
+      FROM top t
+      JOIN lab la ON la.vec_id = t.id
+      JOIN lab lb ON lb.vec_id = t.neighbor
+      WHERE la.label <> lb.label),
+    rr AS (SELECT id, neighbor, nbr_label,
+                  CAST(row_number() OVER (PARTITION BY id ORDER BY rank)
+                       AS BIGINT) AS rank
+           FROM negs)
+    SELECT id, rank, neighbor, nbr_label FROM rr WHERE rank <= 3
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): per anchor, the 3 highest-cosine different-label
+    vectors from the exact top-20 pool — the DPR-style mining step,
+    deterministic ranks."""
+    from reden_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(
+        _read(spark, sf_dir, "embeddings"), k=3, pool=20
+    )
+
+
+@query(
+    "bipartite_check",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey < 60),
+    e0 AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+             'n' || CAST(c_nationkey AS VARCHAR) AS dst
+      FROM ranked
+      UNION ALL
+      SELECT 'c' || CAST(a.c_custkey AS VARCHAR),
+             'c' || CAST(b.c_custkey AS VARCHAR)
+      FROM ranked a JOIN ranked b
+        ON a.c_nationkey = b.c_nationkey AND a.rn = 1 AND b.rn = 2
+      WHERE a.c_nationkey % 5 = 0),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    walk(node, d) AS (
+      SELECT DISTINCT comp, 0 FROM comp
+      UNION
+      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.d < 20),
+    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS dist
+             FROM walk GROUP BY node),
+    canon AS (SELECT src, dst FROM (
+        SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM edges) GROUP BY 1, 2)
+    SELECT c.src, c.dst, ps.dist % 2 AS parity
+    FROM canon c
+    JOIN dist ps ON ps.node = c.src
+    JOIN dist pd ON pd.node = c.dst
+    WHERE ps.dist % 2 = pd.dist % 2
+    """,
+)
+def q_bipartite_check(spark, sf_dir):
+    """Odd-cycle witnesses (operators/graphstats.bipartite_violations)
+    over the customer↔nation star forest with planted SAME-NATION
+    customer-customer edges (nations %5: the two smallest custkeys) —
+    each planted edge closes a length-3 cycle, so some cycle edge must
+    surface; empty would mean bipartite.  Oracle = min-BFS parity from
+    component-min roots via a state-bounded recursive CTE."""
+    from reden_spark.operators.graphstats import bipartite_violations
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    s = lambda p, c: F.concat(F.lit(p), c.cast("string"))  # noqa: E731
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ranked = cust.withColumn("rn", F.row_number().over(w))
+    base = ranked.select(
+        s("c", F.col("c_custkey")).alias("src"),
+        s("n", F.col("c_nationkey")).alias("dst"),
+    )
+    a = ranked.filter((F.col("rn") == 1) & (F.col("c_nationkey") % 5 == 0))
+    b = ranked.filter(F.col("rn") == 2)
+    planted = (
+        a.select(F.col("c_nationkey").alias("nk"),
+                 s("c", F.col("c_custkey")).alias("src"))
+        .join(
+            b.select(F.col("c_nationkey").alias("nk"),
+                     s("c", F.col("c_custkey")).alias("dst")),
+            "nk",
+        )
+        .select("src", "dst")
+    )
+    return bipartite_violations(base.unionByName(planted))

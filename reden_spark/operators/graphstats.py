@@ -429,3 +429,79 @@ def topo_layers(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return layer
+
+
+def bipartite_violations(edges: DataFrame, max_hops: int = 20) -> DataFrame:
+    """(src, dst, parity): the odd-cycle witnesses of an undirected
+    graph — edges whose endpoints sit at EQUAL BFS-layer parity from
+    their component's canonical root.  Empty result ⇔ the graph is
+    bipartite (2-colorable); each row is a concrete violation to triage.
+    The structural sanity check for graphs that are bipartite BY
+    CONSTRUCTION (doc↔entity, author↔paper, user↔item): a same-side
+    edge means an upstream id collision or extraction bug.
+
+    Parity layers come from synchronous frontier BFS seeded at each
+    component's minimum node (deterministic root choice) — the same
+    bounded-round join shape as every BFS here; the final check is one
+    edge-key join against the parity table."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    # component min via min-label propagation (bounded rounds)
+    comp = nodes.withColumn("comp", F.col("node"))
+    for _ in range(max_hops):
+        better = (
+            und.join(
+                comp.select(F.col("node").alias("dst"), "comp"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        comp = (
+            comp.join(better, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "comp", F.coalesce("nbr_min", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # BFS layers from each component root
+    dist = comp.filter(F.col("node") == F.col("comp")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            und.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    p = dist.select("node", (F.col("dist") % 2).alias("par"))
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .join(p.select(F.col("node").alias("src"), F.col("par").alias("ps")), "src")
+        .join(p.select(F.col("node").alias("dst"), F.col("par").alias("pd")), "dst")
+        .filter(F.col("ps") == F.col("pd"))
+        .select("src", "dst", F.col("ps").cast("long").alias("parity"))
+    )

@@ -590,3 +590,49 @@ def knn_label_accuracy(
             F.expr("correct * 1000000 div n").alias("acc_e6"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    pool: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(id, rank, neighbor, nbr_label): contrastive-training hard
+    negatives — for every anchor, the ``k`` highest-cosine vectors whose
+    label DIFFERS, drawn from the exact top-``pool`` neighborhood.  The
+    mining step behind every dual-encoder fine-tune (DPR, Karpukhin et
+    al. 2020: in-batch randoms are easy; the negatives that teach sit
+    just outside the class boundary).  ``rank`` re-numbers 1..k within
+    the negatives, deterministic (cos DESC, neighbor ASC) as ever.
+
+    Mining from a bounded pool (not the full corpus) is the honest
+    at-scale shape: top-``pool`` comes from whatever ANN tier serves
+    (swap cosine_topk for the IVF/LSH variants), and the label filter
+    is a broadcast lookup — if every pool member shares the anchor's
+    label, FEWER than k rows come back rather than fabricating easy
+    negatives.
+
+    Scale shape: one top-pool ANN pass + one broadcast label join + one
+    bounded per-anchor window."""
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    top = cosine_topk(en, en, k=pool)
+    labels = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    nbr = labels.select(
+        F.col("id").alias("neighbor"), F.col("label").alias("nbr_label")
+    )
+    negs = (
+        top.join(F.broadcast(labels), "id")
+        .join(F.broadcast(nbr), "neighbor")
+        .filter(F.col("label") != F.col("nbr_label"))
+    )
+    w = Window.partitionBy("id").orderBy("rank")
+    return (
+        negs.withColumn("nrank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nrank") <= k)
+        .select("id", F.col("nrank").alias("rank"), "neighbor", "nbr_label")
+    )

@@ -1,0 +1,66 @@
+"""Hand-traced hard-negative mining and bipartiteness witnesses."""
+
+from reden_spark.operators.graphstats import bipartite_violations
+from reden_spark.operators.similarity import hard_negatives
+
+
+def test_hard_negatives_skips_same_label(spark):
+    # anchor 0: nearest is same-label 1, then different-label 2, 3
+    emb = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0], 1),
+            (1, [10.0, 0.5], 1),     # closest, same label → skipped
+            (2, [10.0, 1.0], 2),     # first hard negative
+            (3, [10.0, 2.0], 2),     # second
+            (4, [0.0, 10.0], 3),     # far negative
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.id, r.rank): (r.neighbor, r.nbr_label)
+           for r in hard_negatives(emb, k=2, pool=4).collect()}
+    assert got[(0, 1)] == (2, 2)
+    assert got[(0, 2)] == (3, 2)
+    # anchor 4 has every other vector as a negative; nearest-first order
+    assert got[(4, 1)][0] in (0, 1, 2, 3)
+
+
+def test_hard_negatives_short_when_pool_same_label(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [1.0, 0.1], 1), (2, [0.0, 1.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # pool=1: anchor 0's pool is {1} (same label) → zero negatives
+    rows = [r for r in hard_negatives(emb, k=3, pool=1).collect()
+            if r.id == 0]
+    assert rows == []
+
+
+def test_bipartite_clean_graph_empty(spark):
+    edges = spark.createDataFrame(
+        [("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2")],
+        "src string, dst string",
+    )
+    assert bipartite_violations(edges).collect() == []
+
+
+def test_bipartite_triangle_flagged(spark):
+    # square a-b-c-d plus chord a-c: odd cycle a-b-c-a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst) for r in bipartite_violations(edges).collect()}
+    # root is 'a' (min); dist: a=0, b=1, c=1, d=1 → b-c, c-d, d-a... wait
+    # b,c,d all parity 1: flagged edges are exactly those among them
+    assert got == {("b", "c"), ("c", "d")}
+
+
+def test_bipartite_two_components(spark):
+    # one clean star + one triangle, independently rooted
+    edges = spark.createDataFrame(
+        [("s", "t1"), ("s", "t2"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst) for r in bipartite_violations(edges).collect()}
+    # triangle root x: dist x=0, y=1, z=1 → the y-z edge is the witness
+    assert got == {("y", "z")}
