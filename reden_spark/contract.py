@@ -11681,3 +11681,109 @@ def q_bipartite_check(spark, sf_dir):
         .select("src", "dst")
     )
     return bipartite_violations(base.unionByName(planted))
+
+
+@query(
+    "knn_calibration",
+    f"""
+    WITH ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    top1 AS (
+      SELECT id, neighbor, conf_e6 FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               CAST(round({_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) * 1e6) AS BIGINT) AS conf_e6,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rn
+        FROM kn q JOIN kn n ON q.vec_id <> n.vec_id) WHERE rn = 1),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    sc AS (
+      SELECT CASE WHEN t.conf_e6 >= 0 THEN t.conf_e6 // 100000
+                  ELSE -((-t.conf_e6 + 99999) // 100000) END AS bucket,
+             t.conf_e6,
+             CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS hit
+      FROM top1 t
+      JOIN lab la ON la.vec_id = t.id
+      JOIN lab lb ON lb.vec_id = t.neighbor),
+    ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(hit) AS BIGINT) AS hits,
+                  CAST(sum(conf_e6) AS BIGINT) AS sum_conf
+           FROM sc GROUP BY 1)
+    SELECT bucket, n, hits, hits * 1000000 // n AS acc_e6,
+           CASE WHEN sum_conf >= 0 THEN sum_conf // n
+                ELSE -((-sum_conf) // n) END AS mean_conf_e6
+    FROM ag
+    """,
+)
+def q_knn_calibration(spark, sf_dir):
+    """Reliability diagram of cosine-as-confidence
+    (operators/similarity.knn_calibration): top-1 cosine quantized then
+    bucketed, per-bucket empirical 1-NN label accuracy vs mean
+    confidence — the measurement behind any raw-similarity accept
+    threshold."""
+    from reden_spark.operators.similarity import knn_calibration
+
+    return knn_calibration(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "retrieval_eval",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tf0 AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dft0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf0 GROUP BY 1),
+    kws AS (SELECT doc_id, term FROM (
+        SELECT tf0.doc_id, tf0.term,
+               row_number() OVER (PARTITION BY tf0.doc_id ORDER BY
+                 CAST(round((1.0 + ln(CAST(cnt AS DOUBLE)))
+                   * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+                   AS BIGINT) DESC, tf0.term) AS r
+        FROM tf0 JOIN dft0 USING (term), nd)
+      WHERE r = 1),
+    q AS (SELECT doc_id AS query_id, term FROM kws WHERE doc_id < 50),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+    tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)
+                    AS avgdl),
+    s AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / st.avgdl))) AS s
+      FROM q JOIN post p ON q.term = p.term
+             JOIN tdf t ON p.term = t.term, st),
+    agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+            FROM s GROUP BY 1, 2),
+    rnk AS (SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+            FROM agg),
+    found AS (SELECT query_id, CAST(rank AS BIGINT) AS rank_found
+              FROM rnk WHERE rank <= 5 AND doc_id = query_id)
+    SELECT coalesce(f.rank_found, 0) AS rank_found,
+           CAST(count(*) AS BIGINT) AS n
+    FROM q LEFT JOIN found f USING (query_id)
+    GROUP BY 1
+    """,
+)
+def q_retrieval_eval(spark, sf_dir):
+    """Self-retrieval smoke test (operators/search.self_retrieval_eval):
+    each of the first 50 docs queried by its own top TF-IDF keyword;
+    histogram of the BM25 rank at which the source doc returns (0 =
+    missed top-5) — the no-labels end-to-end index health check."""
+    from reden_spark.operators.search import self_retrieval_eval
+
+    return self_retrieval_eval(
+        _read(spark, sf_dir, "documents"), n_queries=50, k=5
+    )

@@ -236,3 +236,42 @@ def tf_rank(index: BM25Index, queries: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "tf_sum", "rank")
     )
+
+
+def self_retrieval_eval(
+    docs: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank_found, n): the end-to-end retrieval smoke test with a
+    built-in ground truth — each of the first ``n_queries`` documents is
+    queried BY ITS OWN most TF-IDF-distinctive term (sparse_sim.
+    idf_keywords rank 1), and this histogram reports at which BM25 rank
+    the source document came back (0 = missed the top-``k``).  A healthy
+    index concentrates mass at rank 1; drift here catches analyzer,
+    scoring or postings regressions without any labeled data.
+
+    Scale shape: the query set is bounded (``n_queries`` rows broadcast
+    into the postings join — the bm25_search contract); the keyword pick
+    reuses the idf machinery (two corpus groupBys)."""
+    from reden_spark.operators.sparse_sim import idf_keywords
+
+    kw = (
+        idf_keywords(docs, k=1, text_col=text_col, id_col=id_col)
+        .filter((F.col("rank") == 1) & (F.col("doc_id") < n_queries))
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    index = bm25_index(docs, text_col=text_col, id_col=id_col)
+    res = bm25_search(index, kw, k=k)
+    found = (
+        res.filter(F.col("query_id") == F.col("doc_id"))
+        .select("query_id", F.col("rank").cast("long").alias("rank_found"))
+    )
+    return (
+        kw.join(found, "query_id", "left")
+        .select(F.coalesce("rank_found", F.lit(0).cast("long")).alias("rank_found"))
+        .groupBy("rank_found")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

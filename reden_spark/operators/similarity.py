@@ -636,3 +636,85 @@ def hard_negatives(
         .filter(F.col("nrank") <= k)
         .select("id", F.col("nrank").alias("rank"), "neighbor", "nbr_label")
     )
+
+
+def knn_calibration(
+    embeddings: DataFrame,
+    bucket_width_e6: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(bucket, n, hits, acc_e6, mean_conf_e6): the reliability diagram
+    of cosine-as-confidence — is a 1-NN match at cosine 0.35 actually
+    more often label-correct than one at 0.15?  Top-1 cosine is
+    quantized to micro-units, bucketed at ``bucket_width_e6``, and each
+    bucket reports empirical accuracy next to mean confidence; a
+    calibrated signal rises monotonically, and the gap |acc − conf| per
+    bucket is the ECE integrand.  This is the measurement that licenses
+    (or kills) using raw similarity as a dedup/link-accept threshold.
+
+    Integer outputs throughout (quantize BEFORE bucketing/averaging).
+
+    Scale shape: one top-1 ANN pass + broadcast label joins + one
+    bucket-key groupBy."""
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    q = en.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sims = q.join(en, F.col("qid") != F.col("id")).select(
+        F.col("qid").alias("id_out"),
+        F.col("id").alias("neighbor"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+        .alias("cos"),
+    )
+    w = Window.partitionBy("id_out").orderBy(F.desc("cos"), F.asc("neighbor"))
+    top1 = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_out").alias("id"),
+            "neighbor",
+            F.round(F.col("cos") * 1e6).cast("long").alias("conf_e6"),
+        )
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    nbr = labels.select(
+        F.col("id").alias("neighbor"), F.col("label").alias("nbr_label")
+    )
+    scored = (
+        top1.join(F.broadcast(labels), "id")
+        .join(F.broadcast(nbr), "neighbor")
+        .select(
+            F.expr(
+                f"CASE WHEN conf_e6 >= 0 THEN conf_e6 div {int(bucket_width_e6)}"
+                f" ELSE -((-conf_e6 + {int(bucket_width_e6)} - 1)"
+                f" div {int(bucket_width_e6)}) END"
+            ).alias("bucket"),
+            "conf_e6",
+            (F.col("label") == F.col("nbr_label")).cast("long").alias("hit"),
+        )
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("hit").cast("long").alias("hits"),
+            F.sum("conf_e6").cast("long").alias("sum_conf"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "hits",
+            F.expr("hits * 1000000 div n").alias("acc_e6"),
+            # explicit truncate-toward-zero on both engines (Spark div
+            # truncates, DuckDB // floors — they differ on negatives)
+            F.expr(
+                "CASE WHEN sum_conf >= 0 THEN sum_conf div n"
+                " ELSE -((-sum_conf) div n) END"
+            ).alias("mean_conf_e6"),
+        )
+    )

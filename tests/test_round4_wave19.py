@@ -1,0 +1,65 @@
+"""Hand-traced retrieval self-eval and cosine calibration."""
+
+from reden_spark.operators.search import self_retrieval_eval
+from reden_spark.operators.similarity import knn_calibration
+
+
+def test_self_retrieval_unique_terms_rank1(spark):
+    # each doc has a unique distinctive word → BM25 must return the
+    # source doc at rank 1 for every query
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra common words here"),
+            (1, "quartz common words here"),
+            (2, "fjord common words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.rank_found: r.n
+           for r in self_retrieval_eval(docs, n_queries=3, k=5).collect()}
+    assert got == {1: 3}
+
+
+def test_self_retrieval_reports_misses(spark):
+    # doc 0's every term is dominated by doc 1 repeating them more:
+    # its own keyword may still retrieve doc 1 first, but never miss
+    # silently — the histogram buckets must sum to n_queries
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana"),
+            (1, "apple apple apple banana banana banana"),
+            (2, "cherry date elderberry fig grape"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.rank_found: r.n
+           for r in self_retrieval_eval(docs, n_queries=3, k=1).collect()}
+    assert sum(got.values()) == 3
+
+
+def test_knn_calibration_exact(spark):
+    # cluster pair (same label, cos≈1) + cross pair (diff label, cos≈1)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1), (1, [1.0, 0.01], 1),   # calibrated hit
+            (2, [0.0, 1.0], 2), (3, [0.01, 1.0], 3),   # confident miss
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = knn_calibration(emb, bucket_width_e6=100_000).collect()
+    assert sum(r.n for r in rows) == 4
+    hi = {r.bucket: r for r in rows}[9]  # cos≈0.9999 → bucket 9
+    assert hi.n == 4 and hi.hits == 2
+    assert hi.acc_e6 == 500_000
+    assert 900_000 <= hi.mean_conf_e6 <= 1_000_000
+
+
+def test_knn_calibration_negative_bucket(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [-1.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = knn_calibration(emb, bucket_width_e6=100_000).collect()
+    # mutual top-1 at cosine -1 → bucket floor(-1e6/1e5) = -10
+    assert {r.bucket for r in rows} == {-10}
+    assert all(r.hits == 0 and r.mean_conf_e6 <= -999_999 for r in rows)
