@@ -11787,3 +11787,45 @@ def q_retrieval_eval(spark, sf_dir):
     return self_retrieval_eval(
         _read(spark, sf_dir, "documents"), n_queries=50, k=5
     )
+
+
+@query(
+    "zipf_fit",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY 1),
+    top AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                         AS BIGINT) AS rank FROM freq)
+      WHERE rank <= 200),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM top)
+    SELECT n AS n_terms,
+           CAST(round(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE))
+                / (CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+             AS slope_e6,
+           CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             AS r2_e6
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the corpus (operators/corpus_prep.zipf_fit):
+    ln-freq vs ln-rank least squares over the top-200 terms, micro-unit
+    quantization before the exact-integer sums — one number tracked
+    across crawls (natural text ≈ −1)."""
+    from reden_spark.operators.corpus_prep import zipf_fit
+
+    toks = _tokens(spark, sf_dir).filter(F.col("tok") != "")
+    return zipf_fit(toks, top_n=200)

@@ -928,3 +928,61 @@ def dup_inflation(clusters: DataFrame) -> DataFrame:
             F.expr("n_docs * 1000000 div g").alias("share_e6"),
         )
     )
+
+
+def zipf_fit(
+    tokens: DataFrame, top_n: int = 200, tok_col: str = "tok"
+) -> DataFrame:
+    """One row (n_terms, slope_e6, r2_e6): least-squares fit of
+    ln(freq) against ln(rank) over the top-``top_n`` frequency-ranked
+    terms — the Zipf exponent of the corpus.  Natural language sits
+    near slope −1; templated/generated text flattens (head too even),
+    spammy keyword-stuffing steepens.  A one-number fingerprint a
+    corpus owner tracks across crawls.
+
+    Determinism: ln(rank) and ln(freq) are quantized to integer
+    micro-units FIRST; all Σx, Σy, Σxy, Σxx, Σyy are then exact integer
+    sums (order-free), and only the final ratios divide as doubles —
+    identical operands in any IEEE engine.
+
+      slope_e6 = round(1e6 · (nΣxy − ΣxΣy) / (nΣxx − (Σx)²))
+      r2_e6    = round(1e6 · (nΣxy − ΣxΣy)² / ((nΣxx − (Σx)²)(nΣyy − (Σy)²)))
+
+    Scale shape: one token-key groupBy (map-side combinable), then the
+    fit runs on ``top_n`` rows — the global window is vocabulary-sized
+    and bounded."""
+    freq = tokens.groupBy(F.col(tok_col).alias("tok")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)")
+            .alias("x"),
+            F.expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)")
+            .alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "CAST(round(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)"
+        ).alias("slope_e6"),
+        F.expr(
+            "CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        ).alias("r2_e6"),
+    )

@@ -63,3 +63,33 @@ def test_knn_calibration_negative_bucket(spark):
     # mutual top-1 at cosine -1 → bucket floor(-1e6/1e5) = -10
     assert {r.bucket for r in rows} == {-10}
     assert all(r.hits == 0 and r.mean_conf_e6 <= -999_999 for r in rows)
+
+
+def test_zipf_fit_exact_on_planted_powerlaw(spark):
+    import math
+
+    from reden_spark.operators.corpus_prep import zipf_fit
+
+    # exact power law: freq(rank) = 2^(10-rank) → slope in ln-ln space
+    # is not constant, so plant freq = round(1000 / rank) instead
+    rows = []
+    for rank in range(1, 21):
+        tok = f"t{rank:02d}"
+        rows += [(tok,)] * (1000 // rank)
+    toks = spark.createDataFrame(rows, "tok string")
+    got = zipf_fit(toks, top_n=20).collect()[0]
+    assert got.n_terms == 20
+    # replicate the integer-exact fit in python
+    xs, ys = [], []
+    for rank in range(1, 21):
+        xs.append(round(math.log(rank) * 1e6))
+        ys.append(round(math.log(1000 // rank) * 1e6))
+    n = 20
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = round(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert got.slope_e6 == slope
+    assert -1_050_000 < got.slope_e6 < -950_000   # ≈ −1
+    assert got.r2_e6 > 990_000                    # near-perfect fit
