@@ -11829,3 +11829,59 @@ def q_zipf_fit(spark, sf_dir):
 
     toks = _tokens(spark, sf_dir).filter(F.col("tok") != "")
     return zipf_fit(toks, top_n=200)
+
+
+@query(
+    "lsh_index_upsert",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL})),
+    h AS (SELECT doc_id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate(_MINHASH_PARAMS))}
+      FROM h GROUP BY doc_id),
+    bands_all AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_'
+               || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+               AS band, 0 AS band_id
+      FROM sig
+      UNION ALL
+      SELECT doc_id,
+             CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_'
+               || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR), 1
+      FROM sig),
+    old0 AS (SELECT * FROM bands_all WHERE doc_id % 2 = 0),
+    old_b AS (
+      SELECT doc_id, band, band_id FROM (
+        SELECT doc_id, band, band_id,
+               row_number() OVER (PARTITION BY band_id, band
+                                  ORDER BY doc_id) AS rn
+        FROM old0) WHERE rn <= 200),
+    new_b AS (SELECT * FROM bands_all WHERE doc_id % 2 = 1)
+    SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+    FROM old_b o JOIN new_b n
+      ON o.band_id = n.band_id AND o.band = n.band
+    """,
+)
+def q_lsh_index_upsert(spark, sf_dir):
+    """Incremental near-dup indexing (operators/dedup.lsh_index_upsert):
+    the odd-doc_id batch arrives against the even-doc_id signature
+    store; only old×new band collisions are emitted — the nightly-crawl
+    shape that never re-joins the full corpus.  Band keys are identical
+    to lsh_candidate_pairs, pinning the append-only invariant."""
+    from reden_spark.operators.dedup import (
+        lsh_index_upsert,
+        minhash_signatures,
+        token_set,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old_sig = minhash_signatures(
+        token_set(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    new_sig = minhash_signatures(
+        token_set(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    _, cross = lsh_index_upsert(old_sig, new_sig, bucket_cap=200)
+    return cross

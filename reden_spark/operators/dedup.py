@@ -405,3 +405,72 @@ def chunk_overlap_pairs(
         .filter(F.col("a") != F.col("b"))
         .select("a", "b", "boundary_key")
     )
+
+
+def lsh_index_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup indexing: (new_signatures, cross_pairs) for a
+    NEW batch of documents against an EXISTING signature store — the
+    shape every continuously-crawling dedup service runs nightly.
+    ``existing``/``incoming`` are minhash_signatures frames; cross_pairs
+    (old_id, new_id, band hits deduped) contains ONLY old×new
+    candidates — the old×old pairs were resolved when the old batch
+    landed, and new×new pairs come from running the batch through the
+    ordinary lsh_candidate_pairs, so the nightly cost is
+    O(new·bands), never a full-corpus re-join.
+
+    The band keys are identical to lsh_candidate_pairs (same columns,
+    same concat) so an id produces the same buckets whether it arrived
+    in the first batch or the hundredth — the invariant that makes the
+    index append-only.
+
+    Scale shape: band-key equi-join with the incoming side small by
+    construction (one day's crawl vs the store); ``bucket_cap``
+    truncates boilerplate buckets on the EXISTING side deterministically
+    before the join."""
+    def _bands(sig):
+        frames = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            frames.append(
+                sig.select(
+                    "id",
+                    F.concat_ws("_", *cols).alias("band"),
+                    F.lit(b).alias("band_id"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    old_b = _bands(existing)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band").orderBy("id")
+        old_b = (
+            old_b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= bucket_cap)
+            .drop("rn")
+        )
+    new_b = _bands(incoming)
+    cross = (
+        old_b.alias("o")
+        .join(
+            new_b.alias("n"),
+            (F.col("o.band_id") == F.col("n.band_id"))
+            & (F.col("o.band") == F.col("n.band")),
+        )
+        .select(
+            F.col("o.id").alias("old_id"), F.col("n.id").alias("new_id")
+        )
+        .distinct()
+    )
+    return incoming, cross

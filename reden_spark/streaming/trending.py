@@ -1,0 +1,62 @@
+"""Streaming trending terms — windowed token counts over a document
+stream with watermarked late-data handling: the "what is the crawl
+seeing right now" dashboard feed, and the online twin of the batch
+term-frequency aggregates (vocab_coverage / term_dispersion read the
+same counts at rest).
+
+Native Structured Streaming: explode → window → count is a standard
+watermarked streaming aggregation (no foreachBatch, no Python state).
+Count is order-insensitive, so a drained stream equals the batch
+answer row for row — asserted in tests/test_streaming_trending.py.
+
+Scale shape: state is one (window, token) count row; the watermark
+bounds it to the active windows.  Hot tokens are single state rows
+(counters), never lists.  Reference scope: the reference engine has no
+streaming surface (MainNELApp.java:205-342); additive capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_events(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """(ts, tok): the token stream — works on static and streaming
+    frames alike."""
+    return docs.select(
+        F.col(ts_col).alias("ts"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def trending_counts(
+    docs: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    streaming: bool = True,
+) -> DataFrame:
+    """(window_start, window_end, tok, n): per-window token counts.
+    With ``streaming`` the source must carry an event-time column and
+    the watermark bounds the state; the batch twin (streaming=False)
+    runs the identical expression tree minus the watermark, which is
+    the parity assertion in the tests."""
+    ev = token_events(docs, ts_col=ts_col, text_col=text_col)
+    if streaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tok",
+            "n",
+        )
+    )

@@ -1,0 +1,67 @@
+"""Incremental LSH index upsert: cross-batch candidates only."""
+
+from reden_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    lsh_index_upsert,
+    minhash_signatures,
+    token_set,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_upsert_finds_cross_batch_dup(spark):
+    old = _docs(spark, [(0, "the quick brown fox jumps over it"),
+                        (2, "completely different words entirely here")])
+    new = _docs(spark, [(1, "the quick brown fox jumps over it"),
+                        (3, "nothing shared with anything else at all")])
+    so, sn = minhash_signatures(token_set(old)), minhash_signatures(token_set(new))
+    _, cross = lsh_index_upsert(so, sn)
+    got = {(r.old_id, r.new_id) for r in cross.collect()}
+    assert (0, 1) in got                      # exact dup across batches
+    assert all(o % 2 == 0 and n % 2 == 1 for o, n in got)
+
+
+def test_upsert_band_keys_match_batch_operator(spark):
+    # running everything in ONE batch must find the same old-new pairs
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "one two three four five six seven"),
+    ]
+    all_docs = _docs(spark, texts)
+    batch_pairs = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(token_set(all_docs))
+        ).collect()
+    }
+    old = _docs(spark, [t for t in texts if t[0] % 2 == 0])
+    new = _docs(spark, [t for t in texts if t[0] % 2 == 1])
+    _, cross = lsh_index_upsert(
+        minhash_signatures(token_set(old)),
+        minhash_signatures(token_set(new)),
+    )
+    got = {(min(r.old_id, r.new_id), max(r.old_id, r.new_id))
+           for r in cross.collect()}
+    cross_batch_expected = {
+        (a, b) for a, b in batch_pairs if (a % 2) != (b % 2)
+    }
+    assert got == cross_batch_expected
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_upsert_bucket_cap_bounds_old_side(spark):
+    # 5 identical old docs + 1 identical new doc; cap 2 → ≤2 cross pairs
+    old = _docs(spark, [(i * 2, "same same same same same") for i in range(5)])
+    new = _docs(spark, [(99, "same same same same same")])
+    _, cross = lsh_index_upsert(
+        minhash_signatures(token_set(old)),
+        minhash_signatures(token_set(new)),
+        bucket_cap=2,
+    )
+    got = {(r.old_id, r.new_id) for r in cross.collect()}
+    assert got == {(0, 99), (2, 99)}          # deterministic id-order cap

@@ -1,0 +1,81 @@
+"""Streaming trending terms vs the batch twin: the drained availableNow
+stream must reproduce the batch windowed counts row for row (count is
+order-insensitive).  Drained in complete mode: append would withhold
+the trailing window still open at end-of-stream (watermark semantics),
+which is exactly right for a live dashboard but not for a parity
+assert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reden_spark.streaming.trending import token_events, trending_counts
+
+DOC_SCHEMA = "ts timestamp, text string"
+
+
+@pytest.fixture(scope="module")
+def stream_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("trend_stream") / "docs")
+    rows = [
+        ("2024-01-01 00:01:00", "alpha beta alpha"),
+        ("2024-01-01 00:04:00", "beta gamma"),
+        ("2024-01-01 00:12:00", "alpha alpha"),
+        ("2024-01-01 00:14:00", "delta"),
+        ("2024-01-01 00:25:00", "beta"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, text string").select(
+        F.col("ts").cast("timestamp"), "text"
+    )
+    df.repartitionByRange(3, "ts").write.mode("overwrite").parquet(p)
+    return p
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df):
+    return {
+        (str(r.window_start), str(r.window_end), r.tok, r.n)
+        for r in df.collect()
+    }
+
+
+def test_trending_stream_equals_batch(spark, stream_path):
+    batch_df = spark.read.schema(DOC_SCHEMA).parquet(stream_path)
+    stream_df = spark.readStream.schema(DOC_SCHEMA).parquet(stream_path)
+    batch = trending_counts(batch_df, streaming=False)
+    _drain(trending_counts(stream_df, streaming=True), "trend1")
+    got = _rows(spark.table("trend1"))
+    assert got == _rows(batch)
+    assert got  # non-empty
+
+
+def test_trending_window_math(spark, stream_path):
+    batch = trending_counts(
+        spark.read.schema(DOC_SCHEMA).parquet(stream_path), streaming=False
+    )
+    by_key = {(str(r.window_start)[11:16], r.tok): r.n for r in batch.collect()}
+    # window [00:00, 00:10): alpha 2 (one doc), beta 2 (two docs)
+    assert by_key[("00:00", "alpha")] == 2
+    assert by_key[("00:00", "beta")] == 2
+    assert by_key[("00:10", "alpha")] == 2
+    assert by_key[("00:20", "beta")] == 1
+
+
+def test_token_events_drops_empties(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a  b ")], "ts string, text string"
+    ).select(F.col("ts").cast("timestamp"), "text")
+    toks = [r.tok for r in token_events(df).collect()]
+    assert sorted(toks) == ["a", "b"]
