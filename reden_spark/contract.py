@@ -11885,3 +11885,164 @@ def q_lsh_index_upsert(spark, sf_dir):
     )
     _, cross = lsh_index_upsert(old_sig, new_sig, bucket_cap=200)
     return cross
+
+
+@query(
+    "pps_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM d),
+    tt AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+           FROM o GROUP BY 1),
+    j AS (SELECT o.*, greatest(tt.shard_tokens // 10, 1) AS t
+          FROM o JOIN tt USING (shard))
+    SELECT doc_id, shard, n_tokens,
+           CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+             (tok_offset + n_tokens - 1) // t
+             - CASE WHEN tok_offset = 0 THEN -1
+                    ELSE (tok_offset - 1) // t END
+           END AS BIGINT) AS picks
+    FROM j
+    """,
+)
+def q_pps_sample(spark, sf_dir):
+    """Systematic PPS sampling (operators/corpus_prep.pps_sample):
+    token-axis sample points every T tokens per shard; a document's pick
+    count is exactly proportional to its size, deterministic, integer
+    math throughout."""
+    from reden_spark.operators.corpus_prep import pps_sample
+
+    return pps_sample(_read(spark, sf_dir, "documents"), n_per_shard=10)
+
+
+@query(
+    "hybrid_rerank",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tf0 AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dft0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf0 GROUP BY 1),
+    kws AS (SELECT doc_id, term FROM (
+        SELECT tf0.doc_id, tf0.term,
+               row_number() OVER (PARTITION BY tf0.doc_id ORDER BY
+                 CAST(round((1.0 + ln(CAST(cnt AS DOUBLE)))
+                   * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+                   AS BIGINT) DESC, tf0.term) AS r
+        FROM tf0 JOIN dft0 USING (term), nd)
+      WHERE r = 1),
+    q AS (SELECT doc_id AS query_id, term FROM kws WHERE doc_id < 50),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+    tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)
+                    AS avgdl),
+    s AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / st.avgdl))) AS s
+      FROM q JOIN post p ON q.term = p.term
+             JOIN tdf t ON p.term = t.term, st),
+    agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+            FROM s GROUP BY 1, 2),
+    cand AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS bm25_rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank FROM agg)
+             WHERE rank <= 20),
+    ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    sc AS (
+      SELECT c.query_id, c.doc_id, c.bm25_rank,
+             {_DOT_SQL.format(a='qv.v', b='dv.v')} / (qv.nrm * dv.nrm)
+               AS cos
+      FROM cand c
+      JOIN kn qv ON qv.vec_id = c.query_id
+      JOIN kn dv ON dv.vec_id = c.doc_id
+      WHERE c.query_id <> c.doc_id)
+    SELECT query_id, doc_id, bm25_rank,
+           CAST(rerank AS BIGINT) AS rerank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, doc_id) AS rerank FROM sc)
+    WHERE rerank <= 5
+    """,
+)
+def q_hybrid_rerank(spark, sf_dir):
+    """Two-stage retrieval (operators/search.hybrid_rerank): BM25
+    top-20 sparse recall, exact embedding-cosine rerank to top-5 — the
+    canonical RAG serving stack over the aligned documents/embeddings
+    tables (vec_id = doc_id)."""
+    from reden_spark.operators.search import hybrid_rerank
+    from reden_spark.operators.sparse_sim import idf_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (
+        idf_keywords(docs, k=1)
+        .filter((F.col("rank") == 1) & (F.col("doc_id") < 50))
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return hybrid_rerank(docs, emb, queries, candidates=20, k=5)
+
+
+@query(
+    "residual_quantize",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    st1 AS (SELECT idx, min(v) AS lo1, max(v) AS hi1 FROM ex GROUP BY 1),
+    s1 AS (SELECT e.vec_id, e.idx, e.v,
+                  st1.lo1 + least(255, greatest(0,
+                    CASE WHEN st1.hi1 > st1.lo1 THEN
+                      CAST(round((e.v - st1.lo1) * 255
+                           / (st1.hi1 - st1.lo1)) AS BIGINT)
+                    ELSE 0 END)) * (st1.hi1 - st1.lo1) / 255 AS deq1
+           FROM ex e JOIN st1 USING (idx)),
+    r AS (SELECT vec_id, idx, v, v - deq1 AS res FROM s1),
+    st2 AS (SELECT idx, min(res) AS lo2, max(res) AS hi2
+            FROM r GROUP BY 1),
+    s2 AS (SELECT r.vec_id, r.idx, r.res,
+                  st2.lo2 + least(255, greatest(0,
+                    CASE WHEN st2.hi2 > st2.lo2 THEN
+                      CAST(round((r.res - st2.lo2) * 255
+                           / (st2.hi2 - st2.lo2)) AS BIGINT)
+                    ELSE 0 END)) * (st2.hi2 - st2.lo2) / 255 AS deq2
+           FROM r JOIN st2 USING (idx)),
+    q AS (SELECT vec_id,
+                 CAST(round(res * 1e9) AS BIGINT) AS err1_e9,
+                 CAST(round((res - deq2) * 1e9) AS BIGINT) AS err2_e9
+          FROM s2)
+    SELECT vec_id,
+           CAST(sum(err1_e9 * err1_e9) AS BIGINT) AS sse1_q,
+           CAST(sum(err2_e9 * err2_e9) AS BIGINT) AS sse2_q,
+           CAST(max(abs(err2_e9)) AS BIGINT) AS max_abs_err2_e9
+    FROM q GROUP BY 1
+    """,
+)
+def q_residual_quantize(spark, sf_dir):
+    """Two-stage residual scalar quantization (operators/similarity.
+    residual_quantize): stage-2 quantizes the stage-1 residual on its
+    own per-dimension grid — two bytes/dim, ~256x finer effective grid,
+    with the per-vector error improvement stated in exact nano-unit
+    integers."""
+    from reden_spark.operators.similarity import residual_quantize
+
+    return residual_quantize(_read(spark, sf_dir, "embeddings"))

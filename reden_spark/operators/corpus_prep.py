@@ -986,3 +986,66 @@ def zipf_fit(
             " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
         ).alias("r2_e6"),
     )
+
+
+def pps_sample(
+    documents: DataFrame,
+    n_per_shard: int = 10,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, picks): systematic
+    probability-proportional-to-size sampling — lay the documents out on
+    the token axis (the pack_sequences layout) and take every T-th
+    token-point, T = shard_tokens div n_per_shard; a document's pick
+    count is the number of sample points inside its span, so inclusion
+    is exactly ∝ size with zero randomness:
+
+        picks = floor((offset + len − 1) / T) − floor((offset − 1) / T)
+
+    The estimator corpus subsampling wants when long documents must not
+    be under-represented (token-budget studies, mixture calibration);
+    deterministic and append-stable per shard.  Zero-length documents
+    never match a point.  All integer math.
+
+    Scale shape: identical to pack_sequences — one shard-key exchange,
+    per-shard running sums, a broadcast per-shard total."""
+    from reden_spark.functions.text import token_count
+
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = d.withColumn(
+        "tok_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")),
+    )
+    tot = laid.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_tokens")
+    )
+    return (
+        laid.join(F.broadcast(tot), "shard")
+        .withColumn(
+            "t",
+            F.expr(f"greatest(shard_tokens div {int(n_per_shard)}, 1L)"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0L ELSE"
+                " (tok_offset + n_tokens - 1) div t"
+                " - CASE WHEN tok_offset = 0 THEN -1L"
+                "        ELSE (tok_offset - 1) div t END"
+                " END"
+            ).cast("long").alias("picks"),
+        )
+    )

@@ -275,3 +275,68 @@ def self_retrieval_eval(
         .groupBy("rank_found")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    candidates: int = 20,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, doc_id, bm25_rank, rerank): the two-stage retrieval
+    stack — BM25 recalls a bounded candidate set cheaply from the
+    postings, then exact embedding cosine against the QUERY DOCUMENT's
+    vector re-orders it.  This is the canonical RAG serving shape
+    (sparse recall → dense precision): the expensive vector math runs
+    on ``candidates`` rows per query, never the corpus.
+
+    ``queries`` is (query_id, term) with query_id doubling as the id of
+    the query's own document/vector (the self-retrieval convention of
+    self_retrieval_eval).  Candidates without a vector drop out (inner
+    join) — observable as missing ranks.  Rerank order (cos DESC,
+    doc_id ASC) reuses the cosine fold shared with the ANN family, so
+    the oracle reproduces it bit-for-bit.
+
+    Scale shape: stage 1 is the broadcast-query postings join; stage 2
+    joins ``candidates``·|queries| rows against the vector store on its
+    key — bounded, broadcastable."""
+    from reden_spark.operators.similarity import _dot, with_norms
+
+    index = bm25_index(docs, text_col=text_col, id_col=id_col)
+    cand = bm25_search(index, queries, k=candidates).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank")
+    )
+    en = with_norms(embeddings, id_col=vec_id_col, vec_col=vec_col)
+    qv = en.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dv = en.select(
+        F.col("id").alias("doc_id"), F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(dv, "doc_id")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            (_dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank") <= k)
+        .select("query_id", "doc_id", "bm25_rank", "rerank")
+    )

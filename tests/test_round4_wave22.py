@@ -1,0 +1,100 @@
+"""Hand-traced PPS sampling and hybrid two-stage retrieval."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.operators.corpus_prep import pps_sample
+from reden_spark.operators.search import hybrid_rerank
+
+
+def test_pps_picks_proportional(spark):
+    # one shard (ids ≡ 0 mod 8): sizes 10, 30, 60 → total 100, n=10, T=10
+    docs = spark.createDataFrame(
+        [(0, " ".join(["w"] * 10)), (8, " ".join(["w"] * 30)),
+         (16, " ".join(["w"] * 60))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.picks for r in
+           pps_sample(docs, n_per_shard=10).collect()}
+    # points at 0,10,...,90: doc0 spans [0,9]→1; doc8 [10,39]→3; doc16 [40,99]→6
+    assert got == {0: 1, 8: 3, 16: 6}
+    assert sum(got.values()) == 10
+
+
+def test_pps_zero_length_and_total_points(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (8, " ".join(["w"] * 25)), (16, " ".join(["w"] * 25))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.picks for r in
+           pps_sample(docs, n_per_shard=5).collect()}
+    assert got[0] == 0                      # empty doc never matches
+    # total 50, T=10, points 0..40 → 5 points among the two docs
+    assert got[8] + got[16] == 5
+
+
+def test_hybrid_rerank_dense_overrides_sparse(spark):
+    # doc0 queries "zebra": BM25 recalls doc1 (has zebra twice) and doc2
+    # (has zebra once); embeddings make doc2 the dense winner
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra here"),
+            (1, "zebra zebra filler filler"),
+            (2, "zebra other words"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),      # orthogonal to the query doc
+            (2, [0.9, 0.1, 0.0]),      # nearly parallel → dense winner
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, "zebra")], "query_id long, term string"
+    )
+    got = {r.rerank: r for r in
+           hybrid_rerank(docs, emb, queries, candidates=3, k=3).collect()}
+    assert got[1].doc_id == 2              # cosine promotes doc2
+    assert got[2].doc_id == 1
+    # doc3 never entered: BM25 found no term match
+    assert all(r.doc_id != 3 for r in got.values())
+    # bm25_rank is carried through for triage
+    assert got[2].bm25_rank <= 3
+
+
+def test_hybrid_rerank_missing_vector_drops(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple tart")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple")], "query_id long, term string"
+    )
+    got = hybrid_rerank(docs, emb, queries, candidates=5, k=5).collect()
+    # doc1 has no vector → inner join drops it; nothing else survives
+    assert got == []
+
+
+def test_residual_quantize_improves_error(spark):
+    from reden_spark.operators.similarity import residual_quantize
+
+    rows = [(i, [((i * 37 + d * 13) % 101) / 101.0 for d in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = residual_quantize(emb).collect()
+    assert len(got) == 30
+    total1 = sum(r.sse1_q for r in got)
+    total2 = sum(r.sse2_q for r in got)
+    assert total1 > 0
+    # the residual stage must improve aggregate error by orders of
+    # magnitude (grid is ~256x finer → SSE ~65000x smaller in theory;
+    # allow slack for clamping and nano-quantization)
+    assert total2 * 100 < total1
+    assert all(r.sse2_q <= r.sse1_q for r in got)
