@@ -12046,3 +12046,126 @@ def q_residual_quantize(spark, sf_dir):
     from reden_spark.operators.similarity import residual_quantize
 
     return residual_quantize(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "global_transitivity",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM base
+        UNION ALL SELECT dst AS node FROM base) GROUP BY 1),
+    wd AS (
+      SELECT e.src AS a, e.dst AS b, x.deg AS dega, y.deg AS degb
+      FROM base e JOIN deg x ON e.src = x.node
+                  JOIN deg y ON e.dst = y.node),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN b ELSE a END AS v,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN degb ELSE dega END AS dv
+      FROM wd),
+    w AS (
+      SELECT x.u AS w0, x.v AS w1, y.v AS w2
+      FROM o x JOIN o y ON x.u = y.u
+        AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+    tri AS (SELECT count(*) AS n_triangles
+            FROM w JOIN o z ON w.w1 = z.u AND w.w2 = z.v),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                 CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg)
+    SELECT s.n_nodes, s.n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles, s.n_wedges,
+           CASE WHEN s.n_wedges > 0
+                THEN CAST(tri.n_triangles AS BIGINT) * 3000000
+                     // s.n_wedges
+                ELSE 0 END AS transitivity_e6
+    FROM s, tri
+    """,
+)
+def q_global_transitivity(spark, sf_dir):
+    """Global clustering coefficient (operators/graphstats.
+    global_transitivity): 3·triangles/wedges in exact micro-units over
+    the shared k-core edge fixture — the one-number community probe."""
+    from reden_spark.operators.graphstats import global_transitivity
+
+    return global_transitivity(_kcore_edges(spark, sf_dir))
+
+
+_FS_PAIRS_SQL = """
+    SELECT c_custkey AS pair_id,
+           CAST(c_custkey % 3 = 0 AS INTEGER) AS is_match,
+           CAST((c_custkey % 3 = 0 AND c_custkey % 5 <> 0)
+                OR (c_custkey % 3 <> 0 AND c_custkey % 11 = 0)
+                AS INTEGER) AS name_agree,
+           CAST(c_custkey % 2 = 0 AS INTEGER) AS phone_agree
+    FROM customer WHERE c_custkey < 300
+"""
+
+
+@query(
+    "fs_weights",
+    f"""
+    WITH p AS ({_FS_PAIRS_SQL}),
+    st AS (SELECT CAST(sum(is_match) AS BIGINT) AS n_match,
+                  CAST(count(*) AS BIGINT) AS n_total,
+                  CAST(sum(name_agree * is_match) AS BIGINT) AS am_name,
+                  CAST(sum(name_agree * (1 - is_match)) AS BIGINT)
+                    AS au_name,
+                  CAST(sum(phone_agree * is_match) AS BIGINT) AS am_phone,
+                  CAST(sum(phone_agree * (1 - is_match)) AS BIGINT)
+                    AS au_phone
+           FROM p)
+    SELECT 'name_agree' AS field,
+           (am_name + 1) * 1000000 // (n_match + 2) AS m_e6,
+           (au_name + 1) * 1000000 // (n_total - n_match + 2) AS u_e6,
+           CAST(round(ln((CAST(am_name + 1 AS DOUBLE) / (n_match + 2))
+                / (CAST(au_name + 1 AS DOUBLE)
+                   / (n_total - n_match + 2))) * 1e6) AS BIGINT)
+             AS weight_agree_e6,
+           CAST(round(ln((1.0 - CAST(am_name + 1 AS DOUBLE)
+                / (n_match + 2))
+                / (1.0 - CAST(au_name + 1 AS DOUBLE)
+                   / (n_total - n_match + 2))) * 1e6) AS BIGINT)
+             AS weight_disagree_e6
+    FROM st
+    UNION ALL
+    SELECT 'phone_agree',
+           (am_phone + 1) * 1000000 // (n_match + 2),
+           (au_phone + 1) * 1000000 // (n_total - n_match + 2),
+           CAST(round(ln((CAST(am_phone + 1 AS DOUBLE) / (n_match + 2))
+                / (CAST(au_phone + 1 AS DOUBLE)
+                   / (n_total - n_match + 2))) * 1e6) AS BIGINT),
+           CAST(round(ln((1.0 - CAST(am_phone + 1 AS DOUBLE)
+                / (n_match + 2))
+                / (1.0 - CAST(au_phone + 1 AS DOUBLE)
+                   / (n_total - n_match + 2))) * 1e6) AS BIGINT)
+    FROM st
+    """,
+)
+def q_fs_weights(spark, sf_dir):
+    """Fellegi–Sunter field weights (operators/blocking.
+    fellegi_sunter_weights) learned from a planted labeled-pair table:
+    name agreement is informative (m≈0.8, u≈0.09 → large positive
+    agree weight), phone agreement is noise (m≈u≈0.5 → weight ≈ 0) —
+    one aggregate pass, micro-quantized log ratios."""
+    from reden_spark.operators.blocking import fellegi_sunter_weights
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    pairs = cust.select(
+        k.alias("pair_id"),
+        (k % 3 == 0).cast("int").alias("is_match"),
+        (
+            ((k % 3 == 0) & (k % 5 != 0))
+            | ((k % 3 != 0) & (k % 11 == 0))
+        ).cast("int").alias("name_agree"),
+        (k % 2 == 0).cast("int").alias("phone_agree"),
+    )
+    return fellegi_sunter_weights(
+        pairs, agree_cols=["name_agree", "phone_agree"]
+    )

@@ -301,3 +301,65 @@ def er_threshold_sweep(
             "n_pred", "tp", "n_gold", "p_e6", "r_e6", "f1_e6",
         )
     )
+
+
+def fellegi_sunter_weights(
+    labeled_pairs: DataFrame,
+    agree_cols: list[str],
+    label_col: str = "is_match",
+) -> DataFrame:
+    """(field, m_e6, u_e6, weight_agree_e6, weight_disagree_e6): the
+    Fellegi–Sunter (1969) field weights learned from labeled pairs —
+    for each comparison field, m = P(agree | match) and
+    u = P(agree | non-match) with add-one smoothing, and the log-ratio
+    weights a probabilistic linker SUMS over fields:
+
+        w_agree    = ln(m / u)          (evidence for a match)
+        w_disagree = ln((1−m) / (1−u))  (evidence against)
+
+    Each probability is one exact-integer ratio; each weight is ONE log
+    of a ratio of two such ratios, quantized to micro-units — the same
+    determinism contract as every LM scorer here.  m_e6/u_e6 are the
+    smoothed probabilities in micro-units for audit.
+
+    Scale shape: ``labeled_pairs`` carries one 0/1 agreement column per
+    field plus the label; the whole computation is one global aggregate
+    per field (map-side combinable counters), then arithmetic on a
+    field-count-sized frame."""
+    lbl = F.col(label_col).cast("long")
+    aggs = [F.sum(lbl).cast("long").alias("n_match"),
+            F.count("*").cast("long").alias("n_total")]
+    for c in agree_cols:
+        a = F.col(c).cast("long")
+        aggs.append(F.sum(a * lbl).cast("long").alias(f"am_{c}"))
+        aggs.append(F.sum(a * (1 - lbl)).cast("long").alias(f"au_{c}"))
+    stats = labeled_pairs.agg(*aggs)
+    rows = []
+    for c in agree_cols:
+        rows.append(
+            stats.select(
+                F.lit(c).alias("field"),
+                F.expr(
+                    f"(am_{c} + 1) * 1000000 div (n_match + 2)"
+                ).alias("m_e6"),
+                F.expr(
+                    f"(au_{c} + 1) * 1000000 div (n_total - n_match + 2)"
+                ).alias("u_e6"),
+                F.expr(
+                    f"CAST(round(ln((CAST(am_{c} + 1 AS DOUBLE)"
+                    f" / (n_match + 2))"
+                    f" / (CAST(au_{c} + 1 AS DOUBLE)"
+                    f" / (n_total - n_match + 2))) * 1e6) AS BIGINT)"
+                ).alias("weight_agree_e6"),
+                F.expr(
+                    f"CAST(round(ln((1.0 - CAST(am_{c} + 1 AS DOUBLE)"
+                    f" / (n_match + 2))"
+                    f" / (1.0 - CAST(au_{c} + 1 AS DOUBLE)"
+                    f" / (n_total - n_match + 2))) * 1e6) AS BIGINT)"
+                ).alias("weight_disagree_e6"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

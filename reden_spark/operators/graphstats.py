@@ -505,3 +505,32 @@ def bipartite_violations(edges: DataFrame, max_hops: int = 20) -> DataFrame:
         .filter(F.col("ps") == F.col("pd"))
         .select("src", "dst", F.col("ps").cast("long").alias("parity"))
     )
+
+
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles, n_wedges,
+    transitivity_e6): the global clustering coefficient
+    3·triangles / wedges in exact integer micro-units — the one-number
+    community-structure probe next to the per-node table
+    (triangle_stats).  Wedges = Σ deg·(deg−1)/2; triangle total = Σ
+    per-node triangles / 3 (each counted at all three corners).
+
+    Reuses triangle_stats' compact-forward machinery — same cost, one
+    extra global aggregate."""
+    ts = triangle_stats(edges)
+    return ts.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        (F.sum("n_tri") / 3).cast("long").alias("n_triangles"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long")
+        .alias("n_wedges"),
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN"
+            " n_triangles * 3000000 div n_wedges ELSE 0L END"
+        ).alias("transitivity_e6"),
+    )

@@ -1,0 +1,59 @@
+"""Hand-traced Fellegi-Sunter weights and global transitivity."""
+
+import math
+
+from reden_spark.operators.blocking import fellegi_sunter_weights
+from reden_spark.operators.graphstats import global_transitivity
+
+
+def test_fs_weights_exact(spark):
+    # 4 matches (3 name-agrees), 6 non-matches (1 name-agree)
+    rows = []
+    for i in range(4):
+        rows.append((1, 1 if i < 3 else 0))
+    for i in range(6):
+        rows.append((0, 1 if i < 1 else 0))
+    pairs = spark.createDataFrame(rows, "is_match int, name_agree int")
+    got = {r.field: r for r in
+           fellegi_sunter_weights(pairs, ["name_agree"]).collect()}
+    r = got["name_agree"]
+    m = (3 + 1) / (4 + 2)       # 4/6
+    u = (1 + 1) / (6 + 2)       # 2/8
+    assert r.m_e6 == 4 * 10**6 // 6
+    assert r.u_e6 == 2 * 10**6 // 8
+    assert r.weight_agree_e6 == round(math.log(m / u) * 1e6)
+    assert r.weight_disagree_e6 == round(math.log((1 - m) / (1 - u)) * 1e6)
+    assert r.weight_agree_e6 > 0 > r.weight_disagree_e6
+
+
+def test_fs_weights_uninformative_field_near_zero(spark):
+    # field agrees half the time regardless of label → weights ≈ 0
+    rows = [(m, i % 2) for m in (0, 1) for i in range(50)]
+    pairs = spark.createDataFrame(rows, "is_match int, coin int")
+    r = fellegi_sunter_weights(pairs, ["coin"]).collect()[0]
+    assert abs(r.weight_agree_e6) < 50_000
+    assert abs(r.weight_disagree_e6) < 50_000
+
+
+def test_global_transitivity_triangle_plus_tail(spark):
+    # triangle a-b-c plus pendant c-d: 1 triangle; wedges: a:1,b:1,c:3,d:0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    r = global_transitivity(edges).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 4
+    assert r.n_triangles == 1 and r.n_wedges == 5
+    assert r.transitivity_e6 == 3 * 10**6 // 5
+
+
+def test_global_transitivity_complete_graph(spark):
+    # K4: 4 triangles, wedges = 4 * C(3,2) = 12 → transitivity = 1
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y],
+        "src string, dst string",
+    )
+    r = global_transitivity(edges).collect()[0]
+    assert r.n_triangles == 4 and r.n_wedges == 12
+    assert r.transitivity_e6 == 10**6
