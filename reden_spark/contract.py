@@ -12169,3 +12169,40 @@ def q_fs_weights(spark, sf_dir):
     return fellegi_sunter_weights(
         pairs, agree_cols=["name_agree", "phone_agree"]
     )
+
+
+@query(
+    "markov_accuracy",
+    """
+    WITH pr AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS to_state
+        FROM events)
+      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    am AS (
+      SELECT from_state, to_state AS predicted FROM (
+        SELECT from_state, to_state,
+               row_number() OVER (PARTITION BY from_state
+                 ORDER BY n DESC, to_state) AS rn
+        FROM pr) WHERE rn = 1)
+    SELECT pr.from_state, CAST(sum(pr.n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pr.to_state = am.predicted
+                         THEN pr.n ELSE 0 END) AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN pr.to_state = am.predicted
+                         THEN pr.n ELSE 0 END) AS BIGINT) * 1000000
+             // sum(pr.n) AS acc_e6,
+           am.predicted
+    FROM pr JOIN am USING (from_state)
+    GROUP BY 1, 5
+    """,
+)
+def q_markov_accuracy(spark, sf_dir):
+    """Majority-transition next-event baseline (operators/eventstats.
+    markov_accuracy): per from-state argmax prediction scored against
+    every observed transition — the accuracy floor any sequence model
+    must beat, exact integer counts."""
+    from reden_spark.operators.eventstats import markov_accuracy
+
+    return markov_accuracy(_read(spark, sf_dir, "events"))

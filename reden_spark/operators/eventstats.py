@@ -558,3 +558,65 @@ def acf_lags(series: DataFrame, lags=(1, 2, 7)) -> DataFrame:
             ),
         ).alias("acf"),
     )
+
+
+def markov_accuracy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(from_state, n, hits, acc_e6, predicted): how well the
+    first-order Markov table predicts the NEXT event — for each
+    from-state, the argmax transition (deterministic ties: max count,
+    then lexicographic to_state) is the prediction, and this scores it
+    against every observed transition.  The baseline every sequence
+    model must beat, and the drift alarm when behavior shifts (a
+    from-state whose accuracy collapses has a new dominant follow-up).
+
+    Self-scored on the same log it was fit on (the usual in-sample
+    majority baseline); exact integer counts and micro-unit accuracy.
+
+    Scale shape: one (user, ts) window exchange shared with
+    transition_counts, one transition groupBy, a broadcast argmax table
+    (states², tiny), one from-state groupBy."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    pairs = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    aw = Window.partitionBy("from_state").orderBy(
+        F.col("n").desc(), "to_state"
+    )
+    argmax = (
+        pairs.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("from_state", F.col("to_state").alias("predicted"))
+    )
+    scored = pairs.join(F.broadcast(argmax), "from_state").select(
+        "from_state",
+        "predicted",
+        "n",
+        F.when(F.col("to_state") == F.col("predicted"), F.col("n"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("hit_n"),
+    )
+    return (
+        scored.groupBy("from_state", "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("hit_n").cast("long").alias("hits"),
+        )
+        .select(
+            "from_state",
+            "n",
+            "hits",
+            F.expr("hits * 1000000 div n").alias("acc_e6"),
+            "predicted",
+        )
+    )

@@ -1,0 +1,36 @@
+"""Hand-traced Markov majority-baseline accuracy."""
+
+from datetime import datetime
+
+from reden_spark.operators.eventstats import markov_accuracy
+
+
+def _ev(spark, seqs):
+    rows = []
+    for uid, seq in enumerate(seqs):
+        for i, t in enumerate(seq):
+            rows.append((uid, datetime(2024, 1, 1, 0, i), t))
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_markov_accuracy_exact(spark):
+    # from 'a': →b ×3, →c ×1 → predict b, acc 3/4
+    ev = _ev(spark, [["a", "b", "a", "b"], ["a", "b", "a", "c"]])
+    got = {r.from_state: r for r in markov_accuracy(ev).collect()}
+    a = got["a"]
+    assert a.predicted == "b" and a.n == 4 and a.hits == 3
+    assert a.acc_e6 == 3 * 10**6 // 4
+    # from 'b': →a ×2 (the b at sequence end has no successor)
+    b = got["b"]
+    assert b.predicted == "a" and b.n == 2 and b.hits == 2
+    assert b.acc_e6 == 10**6
+
+
+def test_markov_accuracy_tie_breaks_lexicographic(spark):
+    ev = _ev(spark, [["x", "a", "x", "b"]])
+    got = {r.from_state: r for r in markov_accuracy(ev).collect()}
+    x = got["x"]
+    assert x.predicted == "a"          # count tie 1-1 → lexicographic
+    assert x.n == 2 and x.hits == 1
