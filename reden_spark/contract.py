@@ -12206,3 +12206,43 @@ def q_markov_accuracy(spark, sf_dir):
     from reden_spark.operators.eventstats import markov_accuracy
 
     return markov_accuracy(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "dangling_refs",
+    f"""
+    WITH t AS (
+      {_KG_TRIPLES_SQL}
+      UNION ALL
+      SELECT 'http://ex.org/c/' || CAST(o_custkey AS VARCHAR), 'label',
+             'c' || CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_custkey % 3 = 0),
+    subs AS (SELECT DISTINCT subj AS node FROM t),
+    objs AS (SELECT DISTINCT pred, obj AS node FROM t
+             WHERE obj LIKE 'http%'),
+    m AS (SELECT o.pred, o.node,
+                 CASE WHEN s.node IS NULL THEN 1 ELSE 0 END AS dang
+          FROM objs o LEFT JOIN subs s ON s.node = o.node)
+    SELECT pred, CAST(count(*) AS BIGINT) AS n_objs,
+           CAST(sum(dang) AS BIGINT) AS n_dangling,
+           CAST(sum(dang) AS BIGINT) * 1000000 // count(*) AS dangling_e6
+    FROM m GROUP BY 1
+    """,
+)
+def q_dangling_refs(spark, sf_dir):
+    """Unresolved-reference census (operators/kg_quality.dangling_refs):
+    per predicate, the share of distinct IRI objects with no local
+    description — the crawler-frontier sizing / missing-authority-dump
+    alarm.  Fixture: the kg triples plus 'label' descriptions for the
+    %3 homepage IRIs, so homepage dangles at ~2/3."""
+    from reden_spark.operators.kg_quality import dangling_refs
+
+    orders = _read(spark, sf_dir, "orders")
+    extra = orders.filter(F.col("o_custkey") % 3 == 0).select(
+        F.concat(
+            F.lit("http://ex.org/c/"), F.col("o_custkey").cast("string")
+        ).alias("subj"),
+        F.lit("label").alias("pred"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    return dangling_refs(_kg_triples(spark, sf_dir).unionByName(extra))

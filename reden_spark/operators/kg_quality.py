@@ -480,3 +480,42 @@ def fd_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dangling_refs(triples: DataFrame) -> DataFrame:
+    """(pred, n_objs, n_dangling, dangling_e6): per predicate, how many
+    of its DISTINCT IRI-shaped objects never occur as a subject anywhere
+    in the graph — the unresolved-reference census.  A high dangling
+    share on an ontology predicate (type/broader/sameAs) means the
+    authority dump backing it wasn't loaded; on a data predicate it
+    sizes the frontier a crawler should fetch next (these are exactly
+    the URIs with zero local description).  Literal objects are out of
+    scope by construction (the IRI filter).
+
+    Scale shape: one distinct subject set (hash semi-join key), one
+    (pred, obj) distinct, a left-anti-style null count via left join —
+    two corpus exchanges, map-side combinable aggregates."""
+    subs = triples.select(F.col("subj").alias("node")).distinct()
+    objs = (
+        triples.filter(F.col("obj").startswith("http"))
+        .select("pred", F.col("obj").alias("node"))
+        .distinct()
+    )
+    marked = objs.join(
+        subs.withColumn("described", F.lit(1)), "node", "left"
+    )
+    return (
+        marked.groupBy("pred")
+        .agg(
+            F.count("*").cast("long").alias("n_objs"),
+            F.sum(
+                F.when(F.col("described").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_dangling"),
+        )
+        .select(
+            "pred",
+            "n_objs",
+            "n_dangling",
+            F.expr("n_dangling * 1000000 div n_objs").alias("dangling_e6"),
+        )
+    )

@@ -34,3 +34,24 @@ def test_markov_accuracy_tie_breaks_lexicographic(spark):
     x = got["x"]
     assert x.predicted == "a"          # count tie 1-1 → lexicographic
     assert x.n == 2 and x.hits == 1
+
+
+def test_dangling_refs_exact(spark):
+    from reden_spark.operators.kg_quality import dangling_refs
+
+    triples = spark.createDataFrame(
+        [
+            ("http://a", "knows", "http://b"),   # b described below
+            ("http://a", "knows", "http://c"),   # c dangling
+            ("http://b", "label", "bee"),        # literal obj → ignored
+            ("http://a", "cites", "http://d"),   # d dangling
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r.pred: r for r in dangling_refs(triples).collect()}
+    k = got["knows"]
+    assert k.n_objs == 2 and k.n_dangling == 1
+    assert k.dangling_e6 == 500_000
+    c = got["cites"]
+    assert c.n_objs == 1 and c.n_dangling == 1 and c.dangling_e6 == 10**6
+    assert "label" not in got                    # literal-only predicate
