@@ -12246,3 +12246,42 @@ def q_dangling_refs(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("obj"),
     )
     return dangling_refs(_kg_triples(spark, sf_dir).unionByName(extra))
+
+
+@query(
+    "dup_files",
+    f"""
+    WITH f AS ({_CODE2_SQL}),
+    h AS (SELECT repo, path, sha256(content) AS sha FROM f)
+    SELECT repo, sha, CAST(count(*) AS BIGINT) AS n_files,
+           min(path) AS keep_path
+    FROM h GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_dup_files(spark, sf_dir):
+    """Intra-repo duplicate file groups (operators/code_filters.
+    dup_files): same content hash within one repository — committed
+    copies a cleanup keeps once (deterministic min-path survivor)."""
+    from reden_spark.operators.code_filters import dup_files
+
+    return dup_files(_code_files2(spark, sf_dir))
+
+
+@query(
+    "crossrepo_dup_files",
+    f"""
+    WITH f AS ({_CODE2_SQL}),
+    h AS (SELECT repo, path, sha256(content) AS sha FROM f)
+    SELECT sha, CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+           CAST(count(*) AS BIGINT) AS n_files,
+           min(path) AS example_path
+    FROM h GROUP BY 1 HAVING count(DISTINCT repo) >= 2
+    """,
+)
+def q_crossrepo_dup_files(spark, sf_dir):
+    """Vendoring census (operators/code_filters.crossrepo_dup_files):
+    content hashes shared across repositories — dedup once, license-
+    check once, exclude from per-repo stats."""
+    from reden_spark.operators.code_filters import crossrepo_dup_files
+
+    return crossrepo_dup_files(_code_files2(spark, sf_dir))

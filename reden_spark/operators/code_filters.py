@@ -310,3 +310,47 @@ def branch_density(files: DataFrame, text_col: str = "content") -> DataFrame:
             "(decisions * 1000) div (CASE WHEN lines > 0 THEN lines ELSE 1 END)"
         ).alias("cyclo_e3"),
     )
+
+
+def dup_files(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, sha, n_files, keep_path): intra-repo duplicate file
+    groups — files whose content hashes equal within one repository
+    (vendored copies, build outputs committed twice).  keep_path is the
+    lexicographic-min path, the deterministic survivor a cleanup pass
+    keeps.  Only groups with n_files ≥ 2 are emitted.
+
+    One (repo, sha) hash aggregate — the exact-dedup shape scoped by
+    repo; content never rides the shuffle (only its 32-byte hash)."""
+    h = files.select(
+        "repo", "path", F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    return (
+        h.groupBy("repo", "sha")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.min("path").alias("keep_path"),
+        )
+        .filter(F.col("n_files") >= 2)
+    )
+
+
+def crossrepo_dup_files(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(sha, n_repos, n_files, example_path): content hashes shared by
+    MULTIPLE repositories — the vendoring census of a code corpus.  A
+    sha in hundreds of repos is a vendored library file: exclude it
+    from per-repo statistics, dedup it once for training, and check its
+    license once instead of per copy.  Only n_repos ≥ 2 rows emit.
+
+    Two map-side-combinable aggregates on the sha key."""
+    h = files.select(
+        "repo", "path", F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    return (
+        h.groupBy("sha")
+        .agg(
+            F.countDistinct("repo").cast("long").alias("n_repos"),
+            F.count("*").cast("long").alias("n_files"),
+            F.min("path").alias("example_path"),
+        )
+        .filter(F.col("n_repos") >= 2)
+    )

@@ -55,3 +55,28 @@ def test_dangling_refs_exact(spark):
     c = got["cites"]
     assert c.n_objs == 1 and c.n_dangling == 1 and c.dangling_e6 == 10**6
     assert "label" not in got                    # literal-only predicate
+
+
+def test_dup_files_and_crossrepo(spark):
+    from reden_spark.operators.code_filters import (
+        crossrepo_dup_files,
+        dup_files,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "a/x.py", "same content"),
+            ("r1", "b/x.py", "same content"),      # intra-repo dup
+            ("r1", "c/y.py", "unique one"),
+            ("r2", "v/x.py", "same content"),      # cross-repo copy
+            ("r3", "lib/z.py", "other"),
+        ],
+        "repo string, path string, content string",
+    )
+    intra = dup_files(files).collect()
+    assert len(intra) == 1
+    assert intra[0].repo == "r1" and intra[0].n_files == 2
+    assert intra[0].keep_path == "a/x.py"
+    cross = crossrepo_dup_files(files).collect()
+    assert len(cross) == 1
+    assert cross[0].n_repos == 2 and cross[0].n_files == 3
