@@ -12285,3 +12285,71 @@ def q_crossrepo_dup_files(spark, sf_dir):
     from reden_spark.operators.code_filters import crossrepo_dup_files
 
     return crossrepo_dup_files(_code_files2(spark, sf_dir))
+
+
+@query(
+    "session_entropy",
+    """
+    WITH per AS (SELECT user_id, event_type AS t,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM per GROUP BY 1)
+    SELECT p.user_id, t.n AS n_events, t.n_types,
+           CAST(sum(p.c * CAST(round(ln(CAST(t.n AS DOUBLE) / p.c)
+                * 1000000) AS BIGINT)) // t.n AS BIGINT) AS entropy_e6
+    FROM per p JOIN tot t USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_session_entropy(spark, sf_dir):
+    """Behavioral diversity per user (operators/eventstats.
+    session_entropy): Shannon entropy of the event-type distribution in
+    integer micro-nats — the content half of bot detection next to
+    bot_regularity's timing half."""
+    from reden_spark.operators.eventstats import session_entropy
+
+    return session_entropy(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "path_tree_rollup",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             '/s' || CAST(doc_id % 5 AS VARCHAR)
+               || '/t' || CAST(doc_id % 3 AS VARCHAR)
+               || '/f' || CAST(doc_id AS VARCHAR) || '.html' AS path
+      FROM documents),
+    e AS (
+      SELECT host,
+             CAST(d AS BIGINT) AS depth,
+             CASE WHEN d = 0 THEN '/'
+                  ELSE '/' || array_to_string(segs[1:d], '/') || '/'
+             END AS prefix
+      FROM (SELECT host,
+                   list_filter(string_split(path, '/'), x -> x <> '')
+                     AS segs
+            FROM u),
+           unnest(range(0, least(len(segs), 3) + 1)) AS t(d))
+    SELECT host, depth, prefix, CAST(count(*) AS BIGINT) AS n_urls
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def q_path_tree_rollup(spark, sf_dir):
+    """Crawl path-tree rollup (operators/analytics.path_tree_rollup):
+    URL counts per host at every path-prefix depth ≤ 3 — where a host's
+    pages concentrate and which subtrees deserve crawl budget."""
+    from reden_spark.operators.analytics import path_tree_rollup
+
+    d = F.col("doc_id")
+    urls = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/s"), (d % 5).cast("string"),
+            F.lit("/t"), (d % 3).cast("string"),
+            F.lit("/f"), d.cast("string"), F.lit(".html"),
+        ).alias("path"),
+    )
+    return path_tree_rollup(urls, max_depth=3)

@@ -316,3 +316,44 @@ def joinability(catalog: DataFrame) -> DataFrame:
             ).alias("jaccard_e6"),
         )
     )
+
+
+def path_tree_rollup(
+    urls: DataFrame,
+    max_depth: int = 3,
+    path_col: str = "path",
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, depth, prefix, n_urls): URL counts rolled up the path
+    tree to ``max_depth`` — the crawl-analytics view that shows where a
+    host's pages concentrate (/docs/ vs /blog/ vs an infinite /search/
+    pit) and which subtrees deserve budget.  depth 0 is the host total;
+    prefix at depth d is the first d segments with a trailing slash.
+
+    One explode of ≤ max_depth+1 prefix rows per URL (bounded fan-out),
+    one (host, depth, prefix) groupBy — map-side combinable."""
+    segs = F.filter(
+        F.split(F.col(path_col), "/"), lambda x: x != ""
+    )
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.least(F.size(segs), F.lit(max_depth))),
+        lambda d: F.struct(
+            d.cast("long").alias("depth"),
+            F.when(d == 0, F.lit("/")).otherwise(
+                F.concat(
+                    F.lit("/"),
+                    F.array_join(F.slice(segs, 1, d), "/"),
+                    F.lit("/"),
+                )
+            ).alias("prefix"),
+        ),
+    )
+    return (
+        urls.select(
+            F.col(host_col).alias("host"), F.explode(prefixes).alias("p")
+        )
+        .select("host", F.col("p.depth").alias("depth"),
+                F.col("p.prefix").alias("prefix"))
+        .groupBy("host", "depth", "prefix")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )

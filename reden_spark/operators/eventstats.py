@@ -620,3 +620,46 @@ def markov_accuracy(
             "predicted",
         )
     )
+
+
+def session_entropy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, n_events, n_types, entropy_e6): Shannon entropy of each
+    user's event-type distribution in integer micro-nats — the
+    behavioral-diversity score that separates single-purpose
+    automations (entropy ≈ 0 at any volume) from human exploration
+    BEFORE looking at timing (bot_regularity is the timing half).
+
+    Same integer-log contract as char_entropy: each type contributes
+    c·round(ln(n/c)·1e6), summed exactly, divided by n — engine-exact.
+
+    Scale shape: one (user, type) groupBy + one user groupBy, both
+    map-side combinable."""
+    per = events.groupBy(
+        F.col(key_col).alias("user_id"), F.col(state_col).alias("t")
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return (
+        per.join(tot, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(
+            F.sum(
+                F.expr(
+                    "c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000)"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("raw")
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            F.expr("raw div n").cast("long").alias("entropy_e6"),
+        )
+    )

@@ -80,3 +80,47 @@ def test_dup_files_and_crossrepo(spark):
     cross = crossrepo_dup_files(files).collect()
     assert len(cross) == 1
     assert cross[0].n_repos == 2 and cross[0].n_files == 3
+
+
+def test_session_entropy_exact(spark):
+    import math
+
+    from reden_spark.operators.eventstats import session_entropy
+
+    ev = spark.createDataFrame(
+        [(1, "a")] * 4
+        + [(2, "a"), (2, "a"), (2, "b"), (2, "b")],
+        "user_id long, event_type string",
+    )
+    got = {r.user_id: r for r in session_entropy(ev).collect()}
+    # user 1: single type → entropy 0
+    assert got[1].n_events == 4 and got[1].n_types == 1
+    assert got[1].entropy_e6 == 0
+    # user 2: 2+2 of 4 → ln 2 in micro-nats (integer replay)
+    raw = 2 * round(math.log(4 / 2) * 1e6) * 2
+    assert got[2].entropy_e6 == raw // 4
+    assert abs(got[2].entropy_e6 - round(math.log(2) * 1e6)) <= 1
+
+
+def test_path_tree_rollup_exact(spark):
+    from reden_spark.operators.analytics import path_tree_rollup
+
+    urls = spark.createDataFrame(
+        [
+            ("h1", "/docs/api/a.html"),
+            ("h1", "/docs/api/b.html"),
+            ("h1", "/docs/guide/c.html"),
+            ("h1", "/blog/d.html"),
+            ("h2", "/x.html"),
+        ],
+        "host string, path string",
+    )
+    got = {(r.host, r.depth, r.prefix): r.n_urls
+           for r in path_tree_rollup(urls, max_depth=2).collect()}
+    assert got[("h1", 0, "/")] == 4
+    assert got[("h1", 1, "/docs/")] == 3
+    assert got[("h1", 1, "/blog/")] == 1
+    assert got[("h1", 2, "/docs/api/")] == 2
+    assert got[("h1", 2, "/docs/guide/")] == 1
+    assert got[("h2", 0, "/")] == 1
+    assert got[("h2", 1, "/x.html/")] == 1   # shallow path: full as leaf
