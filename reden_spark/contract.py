@@ -12353,3 +12353,102 @@ def q_path_tree_rollup(spark, sf_dir):
         ).alias("path"),
     )
     return path_tree_rollup(urls, max_depth=3)
+
+
+@query(
+    "weighted_sample_aes",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(1 + doc_id % 9 AS BIGINT) AS w
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, w,
+             CAST(round(ln(CAST(
+               CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                                   1, 12) AS UBIGINT) AS DOUBLE)
+               / 281474976710656.0) * 1e9) AS BIGINT) AS ln_u
+      FROM w WHERE w > 0),
+    fk AS (
+      SELECT doc_id, w,
+             CASE WHEN ln_u >= 0 THEN ln_u // w
+                  ELSE -((-ln_u) // w
+                         + CASE WHEN (-ln_u) % w > 0 THEN 1 ELSE 0 END)
+             END AS key_e9
+      FROM keyed)
+    SELECT doc_id, w, key_e9,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY key_e9 DESC, doc_id) AS rank
+      FROM fk)
+    WHERE rank <= 25
+    """,
+)
+def q_weighted_sample_aes(spark, sf_dir):
+    """Deterministic A-ES weighted sampling without replacement
+    (operators/corpus_prep.weighted_sample_aes): md5-derived uniform
+    draw, nano-quantized ln before an explicit-floor division by the
+    weight (w = 1 + doc_id%9), top-25 by integer key."""
+    from reden_spark.operators.corpus_prep import weighted_sample_aes
+
+    items = _read(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.col("doc_id") % 9).cast("long").alias("w")
+    )
+    return weighted_sample_aes(items, k=25)
+
+
+@query(
+    "url_spam_signals",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 11 = 0 THEN
+               '/cal/2024/01/' || CAST(doc_id AS VARCHAR)
+               || '/view.php?sid=' || CAST(doc_id * 7919 AS VARCHAR)
+               || '&a=1&b=2&c=3&d=4'
+             ELSE '/docs/page' || CAST(doc_id % 20 AS VARCHAR) || '.html'
+             END AS path
+      FROM documents),
+    m AS (
+      SELECT host, path,
+             CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                  AS BIGINT) AS depth,
+             CAST(CASE WHEN strpos(path, '?') > 0 THEN
+               len(string_split(
+                 array_extract(string_split(path, '?'),
+                               len(string_split(path, '?'))), '&'))
+             ELSE 0 END AS BIGINT) AS n_params,
+             CAST(length(path) AS BIGINT) AS path_len,
+             CASE WHEN length(path) > 0 THEN
+               CAST(length(path) - length(regexp_replace(path, '[0-9]',
+                 '', 'g')) AS BIGINT) * 1000000 // length(path)
+             ELSE 0 END AS digit_e6
+      FROM u)
+    SELECT host, path, depth, n_params, path_len, digit_e6,
+           CAST(depth > 8 OR n_params > 4 OR path_len > 200
+                OR digit_e6 > 300000 AS INTEGER) AS spammy
+    FROM m
+    """,
+)
+def q_url_spam_signals(spark, sf_dir):
+    """URL-shape spam screen (operators/analytics.url_spam_signals) over
+    a planted mix of calendar-pit URLs (%11: parameter explosion +
+    digit-heavy) and clean doc pages — per-row, shuffle-free."""
+    from reden_spark.operators.analytics import url_spam_signals
+
+    d = F.col("doc_id")
+    urls = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit("/cal/2024/01/"), d.cast("string"),
+                F.lit("/view.php?sid="), (d * 7919).cast("string"),
+                F.lit("&a=1&b=2&c=3&d=4"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/docs/page"), (d % 20).cast("string"),
+                F.lit(".html"),
+            )
+        ).alias("path"),
+    )
+    return url_spam_signals(urls)

@@ -357,3 +357,49 @@ def path_tree_rollup(
         .groupBy("host", "depth", "prefix")
         .agg(F.count("*").cast("long").alias("n_urls"))
     )
+
+
+def url_spam_signals(
+    urls: DataFrame, host_col: str = "host", path_col: str = "path"
+) -> DataFrame:
+    """(host, path, depth, n_params, path_len, digit_e6, spammy): the
+    cheap URL-shape spam screen a frontier applies before spending a
+    fetch — deep paths, parameter explosions, digit-heavy slugs
+    (session ids, calendar pits) mark procedurally-generated URL space.
+    ``spammy`` is the rule disjunction (depth > 8, n_params > 4,
+    path_len > 200, digits > 30% of the path), emitted as INT for
+    portable hashing; thresholds follow the usual crawler folklore and
+    are visible constants, not magic.
+
+    Pure per-row projection — no shuffle, RE2/Java-identical ASCII
+    classes."""
+    p = F.col(path_col)
+    depth = F.size(F.filter(F.split(p, "/"), lambda x: x != "")).cast(
+        "long"
+    )
+    n_params = F.when(
+        F.instr(p, "?") > 0,
+        F.size(F.split(F.substring_index(p, "?", -1), "&")),
+    ).otherwise(0).cast("long")
+    path_len = F.length(p).cast("long")
+    return urls.select(
+        F.col(host_col).alias("host"),
+        p.alias("path"),
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        path_len.alias("path_len"),
+        F.expr(
+            f"CASE WHEN length({path_col}) > 0 THEN"
+            f" (length({path_col}) - length(regexp_replace({path_col},"
+            f" '[0-9]', ''))) * 1000000 div length({path_col})"
+            f" ELSE 0L END"
+        ).alias("digit_e6"),
+    ).withColumn(
+        "spammy",
+        (
+            (F.col("depth") > 8)
+            | (F.col("n_params") > 4)
+            | (F.col("path_len") > 200)
+            | (F.col("digit_e6") > 300_000)
+        ).cast("int"),
+    )

@@ -1049,3 +1049,57 @@ def pps_sample(
             ).cast("long").alias("picks"),
         )
     )
+
+
+def weighted_sample_aes(
+    items: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(doc_id, w, key_e9, rank): weighted sampling without replacement
+    by the Efraimidis–Spirakis A-ES scheme made DETERMINISTIC — the
+    uniform draw u is an md5-derived fraction of the id (content-
+    independent, identical in every engine and run), and the sample is
+    the top-``k`` by the exponential key ln(u)/w (equivalent ordering
+    to u^(1/w), numerically tamer).  Inclusion probability rises with
+    weight, no item repeats, re-runs reproduce the sample, and corpus
+    growth only perturbs the sample where new keys beat old ones.
+
+    Determinism: u = (first 12 md5 hex digits)/16^12 is the same double
+    in any IEEE engine; ln(u) is quantized to nano-units BEFORE the
+    division by the integer weight, and that division is an EXPLICIT
+    floor (spelled out per sign — Spark's div truncates, DuckDB's //
+    floors; the CASE makes both floor).  Ranking is then pure integer
+    comparison, ties by id.  Non-positive weights are excluded.
+
+    Scale shape: per-row key computation, one global top-k (bounded
+    heap per partition — the TakeOrdered shape); weights never
+    shuffle."""
+    # referenced AFTER the aliasing select, so keyed on "doc_id"
+    h12 = F.substring(
+        F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 12
+    )
+    u = F.conv(h12, 16, 10).cast("double") / F.lit(float(16 ** 12))
+    keyed = (
+        items.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("ln_u", F.round(F.log(u) * 1e9).cast("long"))
+        .withColumn(
+            "key_e9",
+            F.expr(
+                "CASE WHEN ln_u >= 0 THEN ln_u div w"
+                " ELSE -((-ln_u) div w + CASE WHEN (-ln_u) % w > 0"
+                " THEN 1 ELSE 0 END) END"
+            ),
+        )
+        .drop("ln_u")
+    )
+    w_rank = Window.orderBy(F.col("key_e9").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,69 @@
+"""Hand-traced A-ES weighted sampling and URL spam signals."""
+
+import hashlib
+import math
+
+from reden_spark.operators.analytics import url_spam_signals
+from reden_spark.operators.corpus_prep import weighted_sample_aes
+
+
+def _key_e9(doc_id, w):
+    h = hashlib.md5(f"aes:{doc_id}".encode()).hexdigest()[:12]
+    u = int(h, 16) / 16 ** 12
+    ln_u = round(math.log(u) * 1e9)
+    q, r = divmod(-ln_u, w)
+    return -(q + (1 if r > 0 else 0)) if ln_u < 0 else ln_u // w
+
+
+def test_aes_matches_python_replay(spark):
+    items = spark.createDataFrame(
+        [(i, 1 + i % 4) for i in range(40)], "doc_id long, w long"
+    )
+    got = [(r.doc_id, r.key_e9) for r in
+           weighted_sample_aes(items, k=5).orderBy("rank").collect()]
+    keys = sorted(
+        ((_key_e9(i, 1 + i % 4), i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert got == [(i, k) for k, i in keys]
+
+
+def test_aes_weight_monotone_inclusion(spark):
+    # same id set sampled twice: heavier weights can only improve keys
+    items_light = spark.createDataFrame(
+        [(i, 1) for i in range(30)], "doc_id long, w long"
+    )
+    items_heavy = spark.createDataFrame(
+        [(i, 100) for i in range(30)], "doc_id long, w long"
+    )
+    light = {r.doc_id: r.key_e9
+             for r in weighted_sample_aes(items_light, k=30).collect()}
+    heavy = {r.doc_id: r.key_e9
+             for r in weighted_sample_aes(items_heavy, k=30).collect()}
+    assert all(heavy[i] >= light[i] for i in light)
+
+
+def test_aes_excludes_nonpositive_weights(spark):
+    items = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1)], "doc_id long, w long"
+    )
+    got = [r.doc_id for r in weighted_sample_aes(items, k=10).collect()]
+    assert got == [1]
+
+
+def test_url_spam_signals_exact(spark):
+    urls = spark.createDataFrame(
+        [
+            ("h", "/docs/a.html"),
+            ("h", "/cal/2024/01/99/x.php?sid=123&a=1&b=2&c=3&d=4"),
+            ("h", "/a/b/c/d/e/f/g/h/i/j.html"),
+        ],
+        "host string, path string",
+    )
+    got = {r.path: r for r in url_spam_signals(urls).collect()}
+    clean = got["/docs/a.html"]
+    assert clean.depth == 2 and clean.n_params == 0 and clean.spammy == 0
+    pit = got["/cal/2024/01/99/x.php?sid=123&a=1&b=2&c=3&d=4"]
+    assert pit.n_params == 5 and pit.spammy == 1
+    deep = got["/a/b/c/d/e/f/g/h/i/j.html"]
+    assert deep.depth == 10 and deep.spammy == 1
