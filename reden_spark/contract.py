@@ -12452,3 +12452,91 @@ def q_url_spam_signals(spark, sf_dir):
         ).alias("path"),
     )
     return url_spam_signals(urls)
+
+
+@query(
+    "asof_snapshot",
+    """
+    WITH t AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+             'status' AS pred, o_orderstatus AS obj,
+             CAST(o_orderkey AS BIGINT) AS version
+      FROM orders),
+    f AS (
+      SELECT subj, pred, obj, version,
+             CASE WHEN lag(obj) OVER w IS NULL
+                    OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+      FROM t WINDOW w AS (PARTITION BY subj, pred ORDER BY version)),
+    g AS (
+      SELECT subj, pred, obj, version,
+             sum(chg) OVER (PARTITION BY subj, pred ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f),
+    isl AS (SELECT subj, pred, grp, obj,
+                   CAST(min(version) AS BIGINT) AS v_from
+            FROM g GROUP BY 1, 2, 3, 4),
+    hist AS (
+      SELECT subj, pred, obj, v_from,
+             lead(v_from) OVER (PARTITION BY subj, pred
+                                ORDER BY v_from) AS v_to
+      FROM isl)
+    SELECT subj, pred, obj FROM hist
+    WHERE v_from <= 7500 AND (v_to IS NULL OR 7500 < v_to)
+    """,
+)
+def q_asof_snapshot(spark, sf_dir):
+    """Time-travel read (operators/kg_maintain.asof_snapshot): the KG
+    state as of version 7500, reconstructed from the SCD2 history with
+    one partition-prunable filter — subjects first asserted later are
+    absent, exactly what the KG said then."""
+    from reden_spark.operators.kg_maintain import asof_snapshot, scd2_history
+
+    orders = _read(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderkey").cast("long").alias("version"),
+    )
+    return asof_snapshot(scd2_history(triples), version=7500)
+
+
+@query(
+    "label_centroids",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cm AS (SELECT label, idx, avg(v) AS m FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(m ORDER BY idx) AS cv
+             FROM cm GROUP BY 1),
+    cn AS (SELECT label, cv,
+                  sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnn
+           FROM cent),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (SELECT vec_id, label, v,
+                  sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e),
+    cos AS (
+      SELECT en.label,
+             {_DOT_SQL.format(a='en.v', b='cn.cv')} / (en.nrm * cn.cnn)
+               AS c
+      FROM en JOIN cn ON cn.label = en.label),
+    coh AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(avg(c) * 1e6) AS BIGINT) AS mean_cos_e6
+            FROM cos GROUP BY 1)
+    SELECT cn.label, coh.n,
+           list_transform(cn.cv,
+             x -> CAST(round(x * 1e6) AS BIGINT)) AS centroid_e6,
+           coh.mean_cos_e6
+    FROM cn JOIN coh USING (label)
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Class prototypes (operators/similarity.label_centroids): per-label
+    mean embedding (micro-quantized per dimension) + member-to-centroid
+    mean cosine — the nearest-centroid model table and cohesion
+    report."""
+    from reden_spark.operators.similarity import label_centroids
+
+    return label_centroids(_read(spark, sf_dir, "embeddings"))

@@ -502,3 +502,19 @@ def file_prune_plan(
     return file_stats.select(
         "file_id", "min_v", "max_v", "n_rows", decision.alias("decision")
     )
+
+
+def asof_snapshot(history: DataFrame, version: int) -> DataFrame:
+    """(subj, pred, obj): the KG state AS OF ``version`` — the
+    time-travel read over an scd2_history table:
+
+        v_from <= version AND (v_to IS NULL OR version < v_to)
+
+    One partition-prunable filter over the history (at rest, v_from
+    range-partitions the table, so old snapshots touch old files only);
+    no window, no join.  A subject/predicate first asserted after
+    ``version`` is simply absent — exactly what the KG said then."""
+    return history.filter(
+        (F.col("v_from") <= F.lit(int(version)))
+        & (F.col("v_to").isNull() | (F.lit(int(version)) < F.col("v_to")))
+    ).select("subj", "pred", "obj")

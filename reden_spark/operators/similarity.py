@@ -809,3 +809,69 @@ def residual_quantize(
         .alias("sse2_q"),
         F.max(F.abs("err2_e9")).cast("long").alias("max_abs_err2_e9"),
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, centroid_e6, mean_cos_e6): the class prototypes —
+    per-label mean vector (quantized to micro-units per dimension) and
+    the mean cosine of members to their own centroid (cohesion).  The
+    nearest-centroid classifier's model table, and the per-class
+    tightness report that says which labels are embedding-coherent.
+
+    Float sums over group members are summation-order-sensitive in the
+    last ulps, so every emitted number is rounded at 1e-6 — the same
+    pragmatic contract as the TF-IDF normalizer.
+
+    Scale shape: one explode + (label, dim) groupBy for the means (both
+    map-side combinable), one broadcast of the label-count-sized
+    centroid table back over the corpus for the cohesion pass."""
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy("label", "idx")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    )
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    lbl = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    cn = cent.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cos = (
+        en.join(F.broadcast(lbl), "id")
+        .join(F.broadcast(cn), "label")
+        .select(
+            "label",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+            .alias("cos"),
+        )
+    )
+    coh = cos.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("cos") * 1e6).cast("long").alias("mean_cos_e6"),
+    )
+    return (
+        cent.join(coh, "label")
+        .select(
+            "label",
+            "n",
+            F.transform(
+                "cv", lambda x: F.round(x * 1e6).cast("long")
+            ).alias("centroid_e6"),
+            "mean_cos_e6",
+        )
+    )

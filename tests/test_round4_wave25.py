@@ -67,3 +67,41 @@ def test_url_spam_signals_exact(spark):
     assert pit.n_params == 5 and pit.spammy == 1
     deep = got["/a/b/c/d/e/f/g/h/i/j.html"]
     assert deep.depth == 10 and deep.spammy == 1
+
+
+def test_asof_snapshot_exact(spark):
+    from reden_spark.operators.kg_maintain import asof_snapshot, scd2_history
+
+    triples = spark.createDataFrame(
+        [
+            ("s", "p", "v1", 1), ("s", "p", "v1", 3),   # re-assert: no-op
+            ("s", "p", "v2", 5),                        # change at 5
+            ("t", "p", "x", 8),                         # born at 8
+        ],
+        "subj string, pred string, obj string, version long",
+    )
+    hist = scd2_history(triples)
+    at4 = {(r.subj, r.obj) for r in asof_snapshot(hist, 4).collect()}
+    assert at4 == {("s", "v1")}                         # t not born yet
+    at6 = {(r.subj, r.obj) for r in asof_snapshot(hist, 6).collect()}
+    assert at6 == {("s", "v2")}
+    at9 = {(r.subj, r.obj) for r in asof_snapshot(hist, 9).collect()}
+    assert at9 == {("s", "v2"), ("t", "x")}
+
+
+def test_label_centroids_exact(spark):
+    from reden_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (0, [2.0, 0.0], 1), (1, [4.0, 0.0], 1),    # centroid (3, 0)
+            (2, [0.0, 5.0], 2),                        # singleton class
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in label_centroids(emb).collect()}
+    assert got[1].n == 2
+    assert got[1].centroid_e6 == [3_000_000, 0]
+    assert got[1].mean_cos_e6 == 10**6          # colinear members
+    assert got[2].centroid_e6 == [0, 5_000_000]
+    assert got[2].mean_cos_e6 == 10**6
