@@ -12540,3 +12540,58 @@ def q_label_centroids(spark, sf_dir):
     from reden_spark.operators.similarity import label_centroids
 
     return label_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "centroid_classify",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cm AS (SELECT label, idx, avg(v) AS m FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label AS clabel, list(m ORDER BY idx) AS cv
+             FROM cm GROUP BY 1),
+    cn AS (SELECT clabel, cv,
+                  sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnn
+           FROM cent),
+    e AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    en AS (SELECT id, label, v,
+                  sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e),
+    sc AS (
+      SELECT en.id, en.label, cn.clabel,
+             CAST(round({_DOT_SQL.format(a='en.v', b='cn.cv')}
+                  / (en.nrm * cn.cnn) * 1e6) AS BIGINT) AS cos_e6
+      FROM en, cn),
+    asg AS (
+      SELECT id, label, clabel AS assigned FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY cos_e6 DESC, clabel) AS rn FROM sc)
+      WHERE rn = 1),
+    per AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN label = assigned THEN 1 ELSE 0 END)
+                        AS BIGINT) AS correct
+            FROM asg GROUP BY 1),
+    tc AS (
+      SELECT label, CAST(assigned AS VARCHAR) AS top_confusion FROM (
+        SELECT label, assigned, count(*) AS wn,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY count(*) DESC, assigned) AS rn
+        FROM asg WHERE label <> assigned GROUP BY 1, 2)
+      WHERE rn = 1)
+    SELECT per.label, per.n, per.correct,
+           per.correct * 1000000 // per.n AS acc_e6,
+           coalesce(tc.top_confusion, '') AS top_confusion
+    FROM per LEFT JOIN tc USING (label)
+    """,
+)
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification per true label
+    (operators/similarity.centroid_classify): micro-quantized cosine
+    argmax against the class prototypes, with the dominant confusion
+    named — the global-separability half of the embedding-quality
+    bracket (local half: knn_label_accuracy)."""
+    from reden_spark.operators.similarity import centroid_classify
+
+    return centroid_classify(_read(spark, sf_dir, "embeddings"))

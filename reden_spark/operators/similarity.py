@@ -875,3 +875,100 @@ def label_centroids(
             "mean_cos_e6",
         )
     )
+
+
+def centroid_classify(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, correct, acc_e6, top_confusion): nearest-centroid
+    classification scored per true label — each vector is assigned to
+    the label whose class centroid (label_centroids) it is most
+    cosine-similar to, with the similarity QUANTIZED to micro-units
+    before the argmax (ties → smaller label) so the decision is integer
+    comparison, engine-stable.  top_confusion is the most common wrong
+    assignment (deterministic ties), the first place to look when a
+    class bleeds.
+
+    Together with knn_label_accuracy this brackets embedding quality:
+    1-NN measures local structure, centroids measure global
+    separability — random-label embeddings fail both, cluster-but-
+    mislabeled data passes 1-NN and fails here.
+
+    Scale shape: the centroid table is label-count-sized and broadcast;
+    one corpus pass scores |labels| cosines per row; two label-key
+    aggregates."""
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        ex.groupBy("label", "idx")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "cv",
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    en = with_norms(embeddings, id_col=id_col, vec_col=vec_col)
+    lbl = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    scored = (
+        en.join(F.broadcast(lbl), "id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "id",
+            "label",
+            "clabel",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cn")) * 1e6
+            ).cast("long").alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_e6"), F.asc("clabel"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "label", F.col("clabel").alias("assigned"))
+    )
+    per = assigned.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("label") == F.col("assigned")).cast("long"))
+        .cast("long").alias("correct"),
+    )
+    wrong = assigned.filter(F.col("label") != F.col("assigned"))
+    cw = Window.partitionBy("label").orderBy(
+        F.desc("wn"), F.asc("assigned")
+    )
+    top_conf = (
+        wrong.groupBy("label", "assigned")
+        .agg(F.count("*").cast("long").alias("wn"))
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("assigned").alias("top_confusion"))
+    )
+    return (
+        per.join(top_conf, "label", "left")
+        .select(
+            "label",
+            "n",
+            "correct",
+            F.expr("correct * 1000000 div n").alias("acc_e6"),
+            F.coalesce(
+                F.col("top_confusion").cast("string"), F.lit("")
+            ).alias("top_confusion"),
+        )
+    )

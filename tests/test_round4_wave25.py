@@ -105,3 +105,25 @@ def test_label_centroids_exact(spark):
     assert got[1].mean_cos_e6 == 10**6          # colinear members
     assert got[2].centroid_e6 == [0, 5_000_000]
     assert got[2].mean_cos_e6 == 10**6
+
+
+def test_centroid_classify_exact(spark):
+    from reden_spark.operators.similarity import centroid_classify
+
+    emb = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0], 1), (1, [9.0, 1.0], 1),
+            (2, [0.0, 10.0], 2), (3, [1.0, 9.0], 2),
+            (4, [0.5, 9.5], 1),   # a label-1 vector living in class 2
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in centroid_classify(emb).collect()}
+    one = got[1]
+    # vectors 0, 1 classify as 1; vector 4 drags toward 2
+    assert one.n == 3 and one.correct == 2
+    assert one.acc_e6 == 2 * 10**6 // 3
+    assert one.top_confusion == "2"
+    two = got[2]
+    assert two.correct == 2 and two.acc_e6 == 10**6
+    assert two.top_confusion == ""
