@@ -12595,3 +12595,55 @@ def q_centroid_classify(spark, sf_dir):
     from reden_spark.operators.similarity import centroid_classify
 
     return centroid_classify(_read(spark, sf_dir, "embeddings"))
+
+
+def _pca_oracle_sql(n_iter: int = 6) -> str:
+    """Unrolled power iteration over the nano-quantized covariance —
+    the SQL twin of operators/similarity.pca_top_component."""
+    parts = ["""
+    WITH ex AS (
+      -- generate_subscripts is 1-based; idx is an OUTPUT column here,
+      -- so shift to Spark's 0-based posexplode convention
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    mu AS (SELECT idx, avg(v) AS m FROM ex GROUP BY 1),
+    cent AS (SELECT e.vec_id, e.idx, e.v - mu.m AS c
+             FROM ex e JOIN mu USING (idx)),
+    nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+           FROM embeddings),
+    cov AS (
+      SELECT a.idx AS i, b.idx AS j,
+             CAST(round(sum(a.c * b.c) / (n - 1) * 1e9) AS BIGINT) / 1e9
+               AS c
+      FROM cent a JOIN cent b ON a.vec_id = b.vec_id, nn
+      GROUP BY 1, 2, nn.n),
+    x0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS score
+           FROM cov)"""]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{r} AS (
+        SELECT cov.i AS idx, sum(cov.c * x.score) AS raw
+        FROM cov JOIN x{r - 1} x ON cov.j = x.idx GROUP BY 1)
+    , n{r} AS (SELECT sqrt(sum(raw * raw)) AS l2 FROM c{r})
+    , x{r} AS (SELECT idx, raw / l2 AS score FROM c{r}, n{r})""")
+    parts.append(f"""
+    , cx AS (SELECT cov.i AS idx, sum(cov.c * x.score) AS cx
+             FROM cov JOIN x{n_iter} x ON cov.j = x.idx GROUP BY 1)
+    , lam AS (SELECT sum(cx.cx * x.score) AS l
+              FROM cx JOIN x{n_iter} x USING (idx))
+    SELECT x.idx, CAST(round(x.score * 1e6) AS BIGINT) AS loading_e6,
+           CAST(round(lam.l * 1e6) AS BIGINT) AS eigenvalue_e6
+    FROM x{n_iter} x, lam""")
+    return "\n".join(parts)
+
+
+@query("pca_top_component", _pca_oracle_sql(6))
+def q_pca_top_component(spark, sf_dir):
+    """Dominant principal component of the embedding cloud
+    (operators/similarity.pca_top_component): power iteration on the
+    nano-quantized covariance, all-ones start, Rayleigh eigenvalue —
+    the PCA-whitening / anisotropy primitive."""
+    from reden_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(_read(spark, sf_dir, "embeddings"), n_iter=6)

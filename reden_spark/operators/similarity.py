@@ -972,3 +972,110 @@ def centroid_classify(
             ).alias("top_confusion"),
         )
     )
+
+
+def covariance_matrix_q(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(i, j, cq): the sample covariance matrix of the embedding
+    dimensions, QUANTIZED to nano-units — cq = round(cov(i,j)·1e9).
+    Quantization pins the engine-order-sensitive float sums once, so
+    everything downstream (power iteration, whitening) starts from
+    identical integers in any engine.
+
+    Scale shape: one mean broadcast (64 rows), one vec_id-key self-join
+    of the centered explode (n·d² product terms — for d=64 that is
+    4096 per vector, embarrassingly parallel), one (i, j) groupBy."""
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    means = ex.groupBy("idx").agg(F.avg("v").alias("m"))
+    cent = ex.join(F.broadcast(means), "idx").select(
+        "vec_id", "idx", (F.col("v") - F.col("m")).alias("c")
+    )
+    n = embeddings.select(
+        F.countDistinct(id_col).cast("long").alias("n")
+    )
+    a = cent.select(
+        "vec_id", F.col("idx").alias("i"), F.col("c").alias("ci")
+    )
+    b = cent.select(
+        "vec_id", F.col("idx").alias("j"), F.col("c").alias("cj")
+    )
+    return (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ci") * F.col("cj")).alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s") / (F.col("n") - 1) * 1e9)
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    n_iter: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(idx, loading_e6, eigenvalue_e6): the dominant principal
+    component of the embedding cloud by power iteration on the
+    nano-quantized covariance matrix, plus the Rayleigh-quotient
+    eigenvalue — the first step of PCA whitening and the anisotropy
+    probe (one dimension hoarding variance is the classic symptom of
+    degenerate embeddings; Mu & Viswanath 2018 remove exactly this
+    component to improve similarity).
+
+    Deterministic: iteration starts from the all-ones vector; the
+    covariance is integer-pinned BEFORE iterating; the final loadings
+    and eigenvalue are micro-quantized.  Each round is two joins over a
+    64²-row matrix frame — driver-free, engine-mirrorable.
+
+    Scale shape: the covariance build dominates (one self-join per
+    vector row, see covariance_matrix_q); the iteration itself touches
+    d² rows per round."""
+    cov = covariance_matrix_q(
+        embeddings, vec_col=vec_col, id_col=id_col
+    ).withColumn("c", F.col("cq") / 1e9).localCheckpoint(eager=True)
+    x = cov.select(F.col("i").alias("idx")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            cov.join(
+                x.select(F.col("idx").alias("j"), "score"), "j"
+            )
+            .groupBy(F.col("i").alias("idx"))
+            .agg(F.sum(F.col("c") * F.col("score")).alias("raw"))
+        )
+        nrm = contrib.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("l2")
+        )
+        x = contrib.crossJoin(F.broadcast(nrm)).select(
+            "idx", (F.col("raw") / F.col("l2")).alias("score")
+        )
+    cx = (
+        cov.join(x.select(F.col("idx").alias("j"), "score"), "j")
+        .groupBy(F.col("i").alias("idx"))
+        .agg(F.sum(F.col("c") * F.col("score")).alias("cx"))
+    )
+    lam = (
+        cx.join(x, "idx")
+        .agg(F.sum(F.col("cx") * F.col("score")).alias("l"))
+    )
+    return (
+        x.crossJoin(F.broadcast(lam))
+        .select(
+            "idx",
+            F.round(F.col("score") * 1e6).cast("long").alias("loading_e6"),
+            F.round(F.col("l") * 1e6).cast("long").alias("eigenvalue_e6"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""PCA top component vs a numpy oracle."""
+
+import numpy as np
+
+from reden_spark.operators.similarity import (
+    covariance_matrix_q,
+    pca_top_component,
+)
+
+
+def _emb(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_covariance_matches_numpy(spark):
+    rng = [[1.0, 2.0], [3.0, 5.0], [5.0, 4.0], [7.0, 9.0]]
+    emb = _emb(spark, rng)
+    got = {(r.i, r.j): r.cq for r in covariance_matrix_q(emb).collect()}
+    c = np.cov(np.array(rng).T, ddof=1)
+    for i in range(2):
+        for j in range(2):
+            assert got[(i, j)] == round(c[i, j] * 1e9)
+
+
+def test_pca_finds_dominant_direction(spark):
+    # variance concentrated on a known axis mixture: y ≈ 2x
+    rng = np.random.RandomState(7)
+    t = rng.randn(60)
+    mat = np.stack([t, 2 * t + 0.01 * rng.randn(60),
+                    0.01 * rng.randn(60)], axis=1)
+    emb = _emb(spark, mat)
+    got = sorted(pca_top_component(emb, n_iter=8).collect(),
+                 key=lambda r: r.idx)
+    v = np.array([r.loading_e6 for r in got], dtype=float) / 1e6
+    # numpy reference: dominant eigvec of the covariance
+    w, vecs = np.linalg.eigh(np.cov(mat.T, ddof=1))
+    ref = vecs[:, -1]
+    cos = abs(float(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref)))
+    assert cos > 0.9999
+    lam = got[0].eigenvalue_e6 / 1e6
+    assert abs(lam - w[-1]) / w[-1] < 1e-3
+    # the near-silent third dimension carries ~no loading
+    assert abs(v[2]) < 0.02
