@@ -12647,3 +12647,77 @@ def q_pca_top_component(spark, sf_dir):
     from reden_spark.operators.similarity import pca_top_component
 
     return pca_top_component(_read(spark, sf_dir, "embeddings"), n_iter=6)
+
+
+@query(
+    "pca_project_residual",
+    _pca_oracle_sql(6).replace(
+        """SELECT x.idx, CAST(round(x.score * 1e6) AS BIGINT) AS loading_e6,
+           CAST(round(lam.l * 1e6) AS BIGINT) AS eigenvalue_e6
+    FROM x6 x, lam""",
+        """, u AS (SELECT idx,
+                   CAST(round(score * 1e6) AS BIGINT) / 1e6 AS u
+            FROM x6)
+    , pe AS (SELECT e.vec_id, sum(e.v * u.u) AS p
+             FROM ex e JOIN u USING (idx) GROUP BY 1)
+    , re AS (SELECT e.vec_id,
+                    sqrt(sum((e.v - pe.p * u.u) * (e.v - pe.p * u.u)))
+                      AS rn
+             FROM ex e JOIN u USING (idx)
+                       JOIN pe ON pe.vec_id = e.vec_id
+             GROUP BY 1)
+    SELECT pe.vec_id, CAST(round(pe.p * 1e6) AS BIGINT) AS proj_e6,
+           CAST(round(re.rn * 1e6) AS BIGINT) AS res_norm_e6
+    FROM pe JOIN re USING (vec_id)""",
+    ),
+)
+def q_pca_project_residual(spark, sf_dir):
+    """All-but-the-top report (operators/similarity.pca_project_residual):
+    per-vector projection onto the dominant component and the residual
+    norm after removing it — the anisotropy evidence behind subtracting
+    the common direction before similarity serving."""
+    from reden_spark.operators.similarity import (
+        pca_project_residual,
+        pca_top_component,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    comp = pca_top_component(emb, n_iter=6)
+    return pca_project_residual(emb, comp)
+
+
+@query(
+    "ab_ztest",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             CAST(event_type = 'purchase' AS INTEGER) AS converted
+      FROM events),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM e GROUP BY 1)
+    SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b,
+           a.conv * 1000000 // a.n AS p_a_e6,
+           b.conv * 1000000 // b.n AS p_b_e6,
+           CAST(round((CAST(a.conv AS DOUBLE) / a.n
+                - CAST(b.conv AS DOUBLE) / b.n)
+                / sqrt((CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                * (1.0 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                * (1.0 / a.n + 1.0 / b.n)) * 1e6) AS BIGINT) AS z_e6
+    FROM (SELECT * FROM g WHERE grp = 'a') a,
+         (SELECT * FROM g WHERE grp = 'b') b
+    """,
+)
+def q_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test (operators/analytics.ab_ztest) over a
+    deterministic A/B assignment (user_id parity, conversion =
+    purchase events) — pooled-variance z from exact integer counts,
+    micro-quantized."""
+    from reden_spark.operators.analytics import ab_ztest
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("grp"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return ab_ztest(ev)

@@ -403,3 +403,44 @@ def url_spam_signals(
             | (F.col("digit_e6") > 300_000)
         ).cast("int"),
     )
+
+
+def ab_ztest(
+    events: DataFrame,
+    group_col: str = "grp",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """One row (n_a, n_b, conv_a, conv_b, p_a_e6, p_b_e6, z_e6): the
+    two-proportion z-test over an A/B assignment — pooled-variance z
+    for H0: conversion rates equal.  |z| > 1.96 rejects at 5%; the
+    sign says which arm leads.  Counts are exact integers; z is ONE
+    closed-form double from those integers, micro-quantized — the same
+    contract as significance_paired_t.
+
+    Scale shape: one map-side-combinable groupBy over the assignment;
+    the test itself runs on a 2-row frame."""
+    g = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(converted_col).cast("long")).cast("long").alias("conv"),
+    )
+    a = g.filter(F.col("g") == "a").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = g.filter(F.col("g") == "b").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("conv_a * 1000000 div n_a").alias("p_a_e6"),
+        F.expr("conv_b * 1000000 div n_b").alias("p_b_e6"),
+        F.expr(
+            "CAST(round((CAST(conv_a AS DOUBLE) / n_a"
+            " - CAST(conv_b AS DOUBLE) / n_b)"
+            " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+            " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+            " * (1.0 / n_a + 1.0 / n_b)) * 1e6) AS BIGINT)"
+        ).alias("z_e6"),
+    )

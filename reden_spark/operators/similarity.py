@@ -1079,3 +1079,51 @@ def pca_top_component(
             F.round(F.col("l") * 1e6).cast("long").alias("eigenvalue_e6"),
         )
     )
+
+
+def pca_project_residual(
+    embeddings: DataFrame,
+    component: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, proj_e6, res_norm_e6): the Mu & Viswanath (2018)
+    all-but-the-top transform, reported per vector — the projection of
+    each embedding onto the dominant component (proj = v·u) and the
+    norm of what remains after removing it (‖v − proj·u‖).  A corpus
+    whose proj distribution is wide and one-sided is anisotropic:
+    similarity is dominated by the common direction, and serving should
+    subtract it.  ``component`` is pca_top_component's output (idx,
+    loading_e6, …).
+
+    Outputs micro-quantized; u is rebuilt from its integer loadings so
+    both engines use the identical direction.
+
+    Scale shape: the component is 64 rows broadcast; one explode-join-
+    regroup per vector — embarrassingly parallel."""
+    u = component.select(
+        "idx", (F.col("loading_e6") / 1e6).alias("u")
+    )
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    j = ex.join(F.broadcast(u), "idx")
+    proj = j.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("u")).alias("p")
+    )
+    res = (
+        j.join(F.broadcast(proj), "vec_id")
+        .select(
+            "vec_id",
+            ((F.col("v") - F.col("p") * F.col("u"))
+             * (F.col("v") - F.col("p") * F.col("u"))).alias("r2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("r2")).alias("rn"))
+    )
+    return proj.join(res, "vec_id").select(
+        "vec_id",
+        F.round(F.col("p") * 1e6).cast("long").alias("proj_e6"),
+        F.round(F.col("rn") * 1e6).cast("long").alias("res_norm_e6"),
+    )

@@ -44,3 +44,36 @@ def test_pca_finds_dominant_direction(spark):
     assert abs(lam - w[-1]) / w[-1] < 1e-3
     # the near-silent third dimension carries ~no loading
     assert abs(v[2]) < 0.02
+
+
+def test_pca_project_residual_exact(spark):
+    from reden_spark.operators.similarity import pca_project_residual
+
+    # component = x-axis (loading 1e6, 0); vectors decompose trivially
+    comp = spark.createDataFrame(
+        [(0, 10**6), (1, 0)], "idx long, loading_e6 long"
+    )
+    emb = _emb(spark, [[3.0, 4.0], [5.0, 0.0], [0.0, 2.0]])
+    got = {r.vec_id: r for r in
+           pca_project_residual(emb, comp).collect()}
+    assert got[0].proj_e6 == 3_000_000 and got[0].res_norm_e6 == 4_000_000
+    assert got[1].proj_e6 == 5_000_000 and got[1].res_norm_e6 == 0
+    assert got[2].proj_e6 == 0 and got[2].res_norm_e6 == 2_000_000
+
+
+def test_ab_ztest_exact(spark):
+    import math
+
+    from reden_spark.operators.analytics import ab_ztest
+
+    ev = spark.createDataFrame(
+        [("a", 1)] * 30 + [("a", 0)] * 70
+        + [("b", 1)] * 10 + [("b", 0)] * 90,
+        "grp string, converted int",
+    )
+    r = ab_ztest(ev).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (100, 100, 30, 10)
+    p = 40 / 200
+    z = (0.3 - 0.1) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r.z_e6 == round(z * 1e6)
+    assert r.z_e6 > 1_960_000          # significant at 5%
