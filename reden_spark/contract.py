@@ -12721,3 +12721,33 @@ def q_ab_ztest(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("converted"),
     )
     return ab_ztest(ev)
+
+
+@query(
+    "heaps_curve",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    fs AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM toks GROUP BY 1),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM toks GROUP BY 1),
+    cps(docs) AS (VALUES (2), (4), (8), (16), (32), (64), (128),
+                         (256), (512)),
+    tk AS (SELECT c.docs, CAST(sum(p.n) AS BIGINT) AS tokens
+           FROM cps c JOIN pd p ON p.doc_id < c.docs GROUP BY 1),
+    ty AS (SELECT c.docs, CAST(count(*) AS BIGINT) AS types
+           FROM cps c JOIN fs f ON f.first_doc < c.docs GROUP BY 1)
+    SELECT CAST(c.docs AS BIGINT) AS docs,
+           coalesce(tk.tokens, 0) AS tokens,
+           coalesce(ty.types, 0) AS types
+    FROM cps c LEFT JOIN tk USING (docs) LEFT JOIN ty USING (docs)
+    """,
+)
+def q_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/corpus_prep.heaps_curve):
+    cumulative tokens vs distinct types at doubling checkpoints —
+    flattens for templated corpora, stays linear for identifier soup.
+    Entirely integer."""
+    from reden_spark.operators.corpus_prep import heaps_curve
+
+    return heaps_curve(_read(spark, sf_dir, "documents"))

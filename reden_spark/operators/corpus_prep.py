@@ -1103,3 +1103,59 @@ def weighted_sample_aes(
         keyed.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def heaps_curve(
+    documents: DataFrame,
+    checkpoints: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128, 256, 512),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(docs, tokens, types): vocabulary growth along the corpus —
+    at each checkpoint k, the total token count and DISTINCT type count
+    of the first k documents (id order).  Heaps' law says types ≈
+    K·tokens^β with β ≈ 0.4–0.6 for natural text; a curve that flattens
+    early is templated (new docs add no new words), one that stays
+    linear is noise/identifier soup.  The companion to zipf_fit read
+    before sizing a tokenizer against corpus growth.
+
+    Entirely integer — no fit, no floats; run the points through
+    zipf_fit-style regression offline if a β number is wanted.
+
+    Scale shape: one (token) groupBy for first-occurrence docs, one
+    (doc) groupBy for token counts, then a broadcast checkpoint grid
+    joined against both — aggregates are map-side combinable; distinct
+    types at every checkpoint come from ONE first-seen table, not one
+    distinct per checkpoint."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    first_seen = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cps = documents.sparkSession.createDataFrame(
+        [(int(c),) for c in checkpoints], "docs long"
+    )
+    tokens = (
+        cps.join(per_doc, per_doc.doc_id < cps.docs)
+        .groupBy("docs")
+        .agg(F.sum("n").cast("long").alias("tokens"))
+    )
+    types = (
+        cps.join(first_seen, first_seen.first_doc < cps.docs)
+        .groupBy("docs")
+        .agg(F.count("*").cast("long").alias("types"))
+    )
+    return (
+        cps.join(tokens, "docs", "left")
+        .join(types, "docs", "left")
+        .select(
+            "docs",
+            F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"),
+            F.coalesce("types", F.lit(0)).cast("long").alias("types"),
+        )
+    )

@@ -77,3 +77,23 @@ def test_ab_ztest_exact(spark):
     z = (0.3 - 0.1) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
     assert r.z_e6 == round(z * 1e6)
     assert r.z_e6 > 1_960_000          # significant at 5%
+
+
+def test_heaps_curve_exact(spark):
+    from reden_spark.operators.corpus_prep import heaps_curve
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),          # 2 tokens, types {a, b}
+            (1, "a c c"),        # +3 tokens, +1 type
+            (2, "a b c"),        # +3 tokens, +0 types
+            (3, "d"),            # +1 token, +1 type
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.docs: (r.tokens, r.types)
+           for r in heaps_curve(docs, checkpoints=(1, 2, 4, 8)).collect()}
+    assert got[1] == (2, 2)
+    assert got[2] == (5, 3)
+    assert got[4] == (9, 4)
+    assert got[8] == (9, 4)     # past the corpus: curve saturates
