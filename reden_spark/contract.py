@@ -12751,3 +12751,92 @@ def q_heaps_curve(spark, sf_dir):
     from reden_spark.operators.corpus_prep import heaps_curve
 
     return heaps_curve(_read(spark, sf_dir, "documents"))
+
+
+# Stopword sets mirrored verbatim from functions/text.py for the
+# kappa oracle's inline language_id twin (same constants the
+# lang_quality / lang_confusion oracles use).
+@query(
+    "cohens_kappa",
+    f"""
+    WITH lbl AS (
+      SELECT lang AS a, pred AS b FROM (
+        SELECT lang,
+               CASE WHEN en = 0 AND fr = 0 THEN 'und'
+                    WHEN en >= fr THEN 'en' ELSE 'fr' END AS pred
+        FROM (
+          SELECT lang,
+                 len(list_filter(list_filter(string_split(lower(text), ' '),
+                   x -> x <> ''), x -> list_contains(
+                     ['the','be','to','of','and','a','in','that'], x)))
+                   AS en,
+                 len(list_filter(list_filter(string_split(lower(text), ' '),
+                   x -> x <> ''), x -> list_contains(
+                     ['le','la','les','de','et','un','une','que'], x)))
+                   AS fr
+          FROM documents))),
+    cells AS (SELECT a AS ca, b AS cb, CAST(count(*) AS BIGINT) AS n
+              FROM lbl GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    diag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree
+             FROM cells WHERE ca = cb),
+    ra AS (SELECT ca, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+    cbm AS (SELECT cb, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+    ch AS (SELECT CAST(coalesce(sum(ra.rn * cbm.cn), 0) AS BIGINT)
+                    AS pe_num
+           FROM ra JOIN cbm ON ra.ca = cbm.cb)
+    SELECT tot.nn AS n,
+           diag.agree * 1000000 // tot.nn AS po_e6,
+           ch.pe_num * 1000000 // (tot.nn * tot.nn) AS pe_e6,
+           CASE WHEN ch.pe_num = tot.nn * tot.nn THEN 0
+                ELSE CAST(round((CAST(diag.agree AS DOUBLE) / tot.nn
+                     - CAST(ch.pe_num AS DOUBLE) / (tot.nn * tot.nn))
+                     / (1.0 - CAST(ch.pe_num AS DOUBLE)
+                        / (tot.nn * tot.nn)) * 1e6) AS BIGINT) END
+             AS kappa_e6
+    FROM tot, diag, ch
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Chance-corrected agreement (operators/analytics.cohens_kappa)
+    between declared language labels and the heuristic identifier —
+    the honest summary of the lang_confusion matrix."""
+    from reden_spark.functions.text import language_id
+    from reden_spark.operators.analytics import cohens_kappa
+
+    docs = _read(spark, sf_dir, "documents")
+    lbl = docs.select(
+        F.col("lang").alias("a"), language_id(F.col("text")).alias("b")
+    )
+    return cohens_kappa(lbl)
+
+
+@query(
+    "info_gain",
+    """
+    WITH cells AS (SELECT source AS f, lang AS t,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    tm AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    ht AS (SELECT CAST(sum(ct * CAST(round(ln(CAST(n AS DOUBLE) / ct)
+                   * 1000000) AS BIGINT)) AS BIGINT) AS raw_t
+           FROM tm, nn),
+    fm AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM cells GROUP BY 1),
+    hc AS (SELECT CAST(sum(c * CAST(round(ln(CAST(cf AS DOUBLE) / c)
+                   * 1000000) AS BIGINT)) AS BIGINT) AS raw_c
+           FROM cells JOIN fm USING (f))
+    SELECT nn.n, ht.raw_t // nn.n AS h_target_e6,
+           hc.raw_c // nn.n AS h_cond_e6,
+           ht.raw_t // nn.n - hc.raw_c // nn.n AS ig_e6
+    FROM nn, ht, hc
+    """,
+)
+def q_info_gain(spark, sf_dir):
+    """Information gain of source about language
+    (operators/analytics.info_gain): H(lang) − H(lang|source) in integer
+    micro-nats — the feature-selection number, char_entropy's integer
+    contract end to end."""
+    from reden_spark.operators.analytics import info_gain
+
+    return info_gain(_read(spark, sf_dir, "documents"), "source", "lang")

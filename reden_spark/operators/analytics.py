@@ -444,3 +444,107 @@ def ab_ztest(
             " * (1.0 / n_a + 1.0 / n_b)) * 1e6) AS BIGINT)"
         ).alias("z_e6"),
     )
+
+
+def cohens_kappa(labels: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """One row (n, po_e6, pe_e6, kappa_e6): chance-corrected agreement
+    between two labelings of the same items (Cohen 1960) — the honest
+    version of "our lang-ID agrees with the declared labels 85% of the
+    time" when one class dominates and raw agreement flatters.
+
+      po = Σ diag / n;  pe = Σ_c (row_c · col_c) / n²;
+      κ = (po − pe) / (1 − pe)
+
+    po and pe are exact integer ratios; κ is one closed-form double from
+    those integers, micro-quantized.  Degenerate pe = 1 (both raters
+    constant) reports κ = 0.
+
+    Scale shape: one (a, b) cell groupBy, two marginal rollups of the
+    cell table (class-count-sized), one scalar row."""
+    cells = labels.groupBy(
+        F.col(a_col).alias("ca"), F.col(b_col).alias("cb")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    diag = cells.filter(F.col("ca") == F.col("cb")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("agree")
+    )
+    ra = cells.groupBy("ca").agg(F.sum("n").cast("long").alias("rn"))
+    cb = cells.groupBy("cb").agg(F.sum("n").cast("long").alias("cn"))
+    chance = (
+        ra.join(cb, ra.ca == cb.cb)
+        .agg(
+            F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+            .cast("long").alias("pe_num")
+        )
+    )
+    return (
+        tot.crossJoin(diag)
+        .crossJoin(chance)
+        .select(
+            F.col("nn").alias("n"),
+            F.expr("agree * 1000000 div nn").alias("po_e6"),
+            F.expr("pe_num * 1000000 div (nn * nn)").alias("pe_e6"),
+            F.expr(
+                "CASE WHEN pe_num = nn * nn THEN 0L ELSE"
+                " CAST(round((CAST(agree AS DOUBLE) / nn"
+                " - CAST(pe_num AS DOUBLE) / (nn * nn))"
+                " / (1.0 - CAST(pe_num AS DOUBLE) / (nn * nn)) * 1e6)"
+                " AS BIGINT) END"
+            ).alias("kappa_e6"),
+        )
+    )
+
+
+def info_gain(
+    rows: DataFrame, feature_col: str, target_col: str
+) -> DataFrame:
+    """One row (n, h_target_e6, h_cond_e6, ig_e6): information gain of a
+    categorical feature about a categorical target — H(T) − H(T|F) in
+    integer micro-nats, the feature-selection number that says whether
+    source predicts language, path predicts license, and so on.
+
+    Every entropy term is the char_entropy integer contract
+    (c·round(ln(n/c)·1e6), summed exactly, divided at the end), so both
+    engines aggregate identical integers; the conditional entropy
+    weights each feature value's entropy by its exact count.
+
+    Scale shape: one (feature, target) groupBy; everything after runs
+    on the (small) cell table."""
+    cells = rows.groupBy(
+        F.col(feature_col).alias("f"), F.col(target_col).alias("t")
+    ).agg(F.count("*").cast("long").alias("c"))
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
+    tmarg = cells.groupBy("t").agg(F.sum("c").cast("long").alias("ct"))
+    h_t = (
+        tmarg.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.expr(
+                    "ct * CAST(round(ln(CAST(n AS DOUBLE) / ct) * 1000000)"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("raw_t")
+        )
+    )
+    fmarg = cells.groupBy("f").agg(F.sum("c").cast("long").alias("cf"))
+    h_c = (
+        cells.join(fmarg, "f")
+        .agg(
+            F.sum(
+                F.expr(
+                    "c * CAST(round(ln(CAST(cf AS DOUBLE) / c) * 1000000)"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("raw_c")
+        )
+    )
+    return (
+        nn.crossJoin(h_t)
+        .crossJoin(h_c)
+        .select(
+            "n",
+            F.expr("raw_t div n").alias("h_target_e6"),
+            F.expr("raw_c div n").alias("h_cond_e6"),
+            F.expr("raw_t div n - raw_c div n").alias("ig_e6"),
+        )
+    )

@@ -97,3 +97,48 @@ def test_heaps_curve_exact(spark):
     assert got[2] == (5, 3)
     assert got[4] == (9, 4)
     assert got[8] == (9, 4)     # past the corpus: curve saturates
+
+
+def test_cohens_kappa_exact(spark):
+    import math
+
+    from reden_spark.operators.analytics import cohens_kappa
+
+    # 8 items: 6 agreements, marginals a:{x:4,y:4} b:{x:5,y:3}
+    rows = [("x", "x")] * 4 + [("y", "y")] * 2 + [("y", "x")] * 1 \
+        + [("y", "y")] * 1
+    lbl = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(lbl).collect()[0]
+    # po = 7/8; pe = (4*5 + 4*3)/64 = 32/64 = 1/2
+    assert r.n == 8 and r.po_e6 == 7 * 10**6 // 8
+    assert r.pe_e6 == 500_000
+    kappa = (7 / 8 - 0.5) / (1 - 0.5)
+    assert r.kappa_e6 == round(kappa * 1e6)
+
+
+def test_cohens_kappa_constant_raters(spark):
+    from reden_spark.operators.analytics import cohens_kappa
+
+    lbl = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohens_kappa(lbl).collect()[0]
+    assert r.po_e6 == 10**6 and r.pe_e6 == 10**6 and r.kappa_e6 == 0
+
+
+def test_info_gain_exact(spark):
+    import math
+
+    from reden_spark.operators.analytics import info_gain
+
+    # feature fully determines target → IG == H(target)
+    rows = [("f1", "en")] * 2 + [("f2", "fr")] * 2
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = info_gain(df, "source", "lang").collect()[0]
+    h = 2 * round(math.log(2) * 1e6) * 2 // 4
+    assert r.h_target_e6 == h
+    assert r.h_cond_e6 == 0
+    assert r.ig_e6 == h
+    # independent feature → IG 0
+    rows2 = [("f1", "en"), ("f1", "fr"), ("f2", "en"), ("f2", "fr")]
+    df2 = spark.createDataFrame(rows2, "source string, lang string")
+    r2 = info_gain(df2, "source", "lang").collect()[0]
+    assert r2.ig_e6 == 0
