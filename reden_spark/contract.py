@@ -12840,3 +12840,57 @@ def q_info_gain(spark, sf_dir):
     from reden_spark.operators.analytics import info_gain
 
     return info_gain(_read(spark, sf_dir, "documents"), "source", "lang")
+
+
+@query(
+    "spearman_degree_eigen",
+    f"""
+    WITH eig AS (SELECT * FROM ({_eigenvector_oracle_sql(6)})),
+    degq AS (
+      SELECT * FROM (
+        WITH {_CTX_GRAPH_SQL},
+        ends AS (SELECT context_id, src AS vertex FROM edges
+                 UNION ALL SELECT context_id, dst FROM edges)
+        SELECT context_id, vertex, CAST(count(*) AS BIGINT) AS deg
+        FROM ends GROUP BY 1, 2)),
+    j AS (SELECT e.context_id, e.vertex, e.score, d.deg
+          FROM eig e JOIN degq d
+            ON d.context_id = e.context_id AND d.vertex = e.vertex),
+    r AS (SELECT context_id, vertex,
+                 CAST(row_number() OVER (PARTITION BY context_id
+                   ORDER BY deg DESC, vertex) AS BIGINT) AS ra,
+                 CAST(row_number() OVER (PARTITION BY context_id
+                   ORDER BY score DESC, vertex) AS BIGINT) AS rb
+          FROM j)
+    SELECT context_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           CASE WHEN count(*) < 2 THEN 1000000
+                ELSE CAST(round((1.0 - 6.0 * sum((ra - rb) * (ra - rb))
+                     / (CAST(count(*) AS DOUBLE)
+                        * (count(*) * count(*) - 1))) * 1e6) AS BIGINT)
+           END AS rho_e6
+    FROM r GROUP BY 1
+    """,
+)
+def q_spearman_degree_eigen(spark, sf_dir):
+    """Spearman rank correlation of degree vs eigenvector centrality per
+    context (operators/analytics.spearman_rho) — the reference's own
+    degree ≈ eigenvector significance claim
+    (SignificanceTesting.java:27-33) restated as a rank statistic over
+    the shared per-context graph."""
+    from reden_spark.operators.analytics import spearman_rho
+    from reden_spark.operators.centrality import degree
+    from reden_spark.operators.centrality_alt import eigenvector_scores
+
+    edges = _ctx_edges(spark, sf_dir)
+    deg = degree(edges).select(
+        "context_id", "vertex", F.col("degree").alias("score_a")
+    )
+    eig = eigenvector_scores(edges, n_iter=6).select(
+        "context_id", "vertex",
+        F.round(F.col("score"), 9).alias("score_b"),
+    )
+    return spearman_rho(
+        deg.join(eig, ["context_id", "vertex"]),
+        key_cols=["context_id"],
+    )

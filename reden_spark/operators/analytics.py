@@ -548,3 +548,59 @@ def info_gain(
             F.expr("raw_t div n - raw_c div n").alias("ig_e6"),
         )
     )
+
+
+def spearman_rho(
+    scores: DataFrame,
+    key_cols: list[str],
+    id_col: str = "vertex",
+    a_col: str = "score_a",
+    b_col: str = "score_b",
+) -> DataFrame:
+    """(key…, n, sum_d2, rho_e6): Spearman rank correlation between two
+    scores of the same items, per key group — the reference's own
+    question ("is degree ≈ eigenvector?", SignificanceTesting.java:
+    27-33) asked properly: correlate the RANKINGS, which is what a
+    disambiguator consumes.
+
+      rho = 1 − 6·Σd² / (n·(n²−1)),  d = rank_a − rank_b
+
+    Ranks are row_number over (score DESC, id ASC) — fully
+    deterministic ties — so Σd² is an exact integer and rho is one
+    closed-form double from integers, micro-quantized.  Groups with
+    n < 2 report rho = 1e6 (identical trivial rankings).
+
+    Scale shape: two windows over the SAME key exchange, one join on
+    (key, id), one key-group aggregate."""
+    wa = Window.partitionBy(*key_cols).orderBy(
+        F.col(a_col).desc(), F.col(id_col)
+    )
+    wb = Window.partitionBy(*key_cols).orderBy(
+        F.col(b_col).desc(), F.col(id_col)
+    )
+    ranked = scores.select(
+        *key_cols,
+        F.col(id_col).alias("id"),
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    )
+    return (
+        ranked.groupBy(*key_cols)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+            ).cast("long").alias("sum_d2"),
+        )
+        .select(
+            *key_cols,
+            "n",
+            "sum_d2",
+            F.expr(
+                "CASE WHEN n < 2 THEN 1000000L ELSE"
+                " CAST(round((1.0 - 6.0 * sum_d2"
+                " / (CAST(n AS DOUBLE) * (n * n - 1))) * 1e6) AS BIGINT)"
+                " END"
+            ).alias("rho_e6"),
+        )
+    )

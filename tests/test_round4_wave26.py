@@ -142,3 +142,23 @@ def test_info_gain_exact(spark):
     df2 = spark.createDataFrame(rows2, "source string, lang string")
     r2 = info_gain(df2, "source", "lang").collect()[0]
     assert r2.ig_e6 == 0
+
+
+def test_spearman_rho_exact(spark):
+    from reden_spark.operators.analytics import spearman_rho
+
+    # perfect agreement and perfect reversal in two groups
+    rows = [
+        ("g1", "a", 3.0, 30.0), ("g1", "b", 2.0, 20.0),
+        ("g1", "c", 1.0, 10.0),
+        ("g2", "a", 3.0, 10.0), ("g2", "b", 2.0, 20.0),
+        ("g2", "c", 1.0, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, vertex string, score_a double, score_b double"
+    )
+    got = {r.grp: r for r in
+           spearman_rho(df, key_cols=["grp"]).collect()}
+    assert got["g1"].sum_d2 == 0 and got["g1"].rho_e6 == 10**6
+    # reversal of 3 items: sum d² = 4+0+4 = 8 → rho = 1 - 48/24 = -1
+    assert got["g2"].sum_d2 == 8 and got["g2"].rho_e6 == -(10**6)
