@@ -12894,3 +12894,46 @@ def q_spearman_degree_eigen(spark, sf_dir):
         deg.join(eig, ["context_id", "vertex"]),
         key_cols=["context_id"],
     )
+
+
+@query(
+    "source_concentration",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS x
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+           GROUP BY 1),
+    r AS (SELECT source, x,
+                 CAST(row_number() OVER (ORDER BY x ASC, source)
+                      AS BIGINT) AS i
+          FROM tc),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                 CAST(sum(x) AS BIGINT) AS total,
+                 CAST(max(x) AS BIGINT) AS mx,
+                 CAST(sum(x * x) AS BIGINT) AS sq,
+                 CAST(sum(i * x) AS BIGINT) AS ix
+          FROM r)
+    SELECT n_sources, total,
+           mx * 1000000 // total AS top1_share_e6,
+           CAST(round(CAST(total AS DOUBLE) * total / sq * 1e6)
+                AS BIGINT) AS inv_simpson_e6,
+           CAST(round((2.0 * ix / (CAST(n_sources AS DOUBLE) * total)
+                - (n_sources + 1.0) / n_sources) * 1e6) AS BIGINT)
+             AS gini_e6
+    FROM s
+    """,
+)
+def q_source_concentration(spark, sf_dir):
+    """Corpus concentration across sources (operators/corpus_prep.
+    source_concentration): top-1 share, effective source count (inverse
+    Simpson), and Gini over per-source token mass — the governance
+    numbers before any mixture decision."""
+    from reden_spark.operators.corpus_prep import source_concentration
+
+    docs = _read(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("long").alias("tokens")
+    )
+    return source_concentration(tc)

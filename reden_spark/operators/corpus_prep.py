@@ -1159,3 +1159,45 @@ def heaps_curve(
             F.coalesce("types", F.lit(0)).cast("long").alias("types"),
         )
     )
+
+
+def source_concentration(token_counts: DataFrame) -> DataFrame:
+    """One row (n_sources, total, top1_share_e6, inv_simpson_e6,
+    gini_e6): how concentrated the corpus is across sources — the
+    data-governance numbers read before any mixture decision:
+
+      * top1_share — largest source's token share
+      * inverse Simpson (Σx)²/Σx² — the "effective number of sources"
+        (n if perfectly even, →1 under monopoly); exact integer ratio
+      * Gini — inequality of the source-size distribution,
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted sizes
+        (deterministic ties by source), quantized once at the end
+
+    All sums are exact integers; the two final divisions are closed
+    forms from integers, micro-quantized.
+
+    Scale shape: ``token_counts`` is the per-source aggregate (sources
+    ≪ corpus); the rank window sorts that small table only."""
+    w = Window.orderBy(F.col("x").asc(), F.col("source"))
+    ranked = token_counts.select(
+        "source", F.col("tokens").cast("long").alias("x")
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("x").cast("long").alias("total"),
+        F.max("x").cast("long").alias("_mx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sq"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("_ix"),
+    ).select(
+        "n_sources",
+        "total",
+        F.expr("_mx * 1000000 div total").alias("top1_share_e6"),
+        F.expr(
+            "CAST(round(CAST(total AS DOUBLE) * total / _sq * 1e6)"
+            " AS BIGINT)"
+        ).alias("inv_simpson_e6"),
+        F.expr(
+            "CAST(round((2.0 * _ix / (CAST(n_sources AS DOUBLE) * total)"
+            " - (n_sources + 1.0) / n_sources) * 1e6) AS BIGINT)"
+        ).alias("gini_e6"),
+    )

@@ -162,3 +162,28 @@ def test_spearman_rho_exact(spark):
     assert got["g1"].sum_d2 == 0 and got["g1"].rho_e6 == 10**6
     # reversal of 3 items: sum d² = 4+0+4 = 8 → rho = 1 - 48/24 = -1
     assert got["g2"].sum_d2 == 8 and got["g2"].rho_e6 == -(10**6)
+
+
+def test_source_concentration_exact(spark):
+    from reden_spark.operators.corpus_prep import source_concentration
+
+    tc = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10), ("d", 10)],
+        "source string, tokens long",
+    )
+    r = source_concentration(tc).collect()[0]
+    # perfectly even: top share 1/4, effective sources 4, gini 0
+    assert r.top1_share_e6 == 250_000
+    assert r.inv_simpson_e6 == 4_000_000
+    assert r.gini_e6 == 0
+    tc2 = spark.createDataFrame(
+        [("a", 97), ("b", 1), ("c", 1), ("d", 1)],
+        "source string, tokens long",
+    )
+    r2 = source_concentration(tc2).collect()[0]
+    assert r2.top1_share_e6 == 970_000
+    # inverse Simpson: 100^2 / (97^2+3) = 10000/9412
+    assert r2.inv_simpson_e6 == round(10000 / 9412 * 1e6)
+    # gini = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4 = 0.72
+    assert r2.gini_e6 == round((2 * 394 / 400 - 1.25) * 1e6)
+    assert r2.gini_e6 > r.gini_e6
