@@ -12937,3 +12937,41 @@ def q_source_concentration(spark, sf_dir):
         ).cast("long").alias("tokens")
     )
     return source_concentration(tc)
+
+
+@query(
+    "neardup_threshold_hist",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norms AS (SELECT vec_id, v,
+                     sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm,
+                     (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM e),
+    pairs AS (
+      SELECT {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+      FROM norms a JOIN norms b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= 0.2),
+    c AS (SELECT (CAST(round(cos * 1e6) AS BIGINT) // 25000) * 25000
+                   AS cos_bucket_e6,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY 1)
+    SELECT cos_bucket_e6, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY cos_bucket_e6 DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+    FROM c
+    """,
+)
+def q_neardup_threshold_hist(spark, sf_dir):
+    """Threshold-selection histogram for embedding near-dups
+    (operators/similarity.neardup_threshold_hist): LSH candidate pairs
+    above 0.2 bucketed by micro-quantized cosine with top-down
+    cumulative counts — pick the cut-off where the curve elbows."""
+    from reden_spark.operators.similarity import neardup_threshold_hist
+
+    return neardup_threshold_hist(
+        _read(spark, sf_dir, "embeddings"), floor=0.2
+    )

@@ -1127,3 +1127,52 @@ def pca_project_residual(
         F.round(F.col("p") * 1e6).cast("long").alias("proj_e6"),
         F.round(F.col("rn") * 1e6).cast("long").alias("res_norm_e6"),
     )
+
+
+def neardup_threshold_hist(
+    embeddings: DataFrame,
+    floor: float = 0.2,
+    bucket_e6: int = 25_000,
+    n_bits: int = 4,
+    bucket_cap: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cos_bucket_e6, n_pairs, cum_pairs): the choose-your-threshold
+    table for embedding near-dup detection — candidate pairs above
+    ``floor`` bucketed by quantized cosine, with the cumulative count
+    FROM THE TOP (what a threshold at this bucket's floor would
+    accept).  Run this before committing to a cut-off: the elbow where
+    cum_pairs explodes is where near-dups end and ordinary similarity
+    begins.
+
+    Pairs come from the capped sign-LSH candidate generator
+    (cosine_near_dup_pairs) — bucket-local, never all-pairs; cosines
+    are micro-quantized before bucketing so the histogram is
+    engine-exact; the cumulative is a bounded window over the
+    bucket-count table (dozens of rows).
+
+    Scale shape: inherited from the LSH pair join; everything after is
+    histogram-sized."""
+    pairs = cosine_near_dup_pairs(
+        embeddings,
+        threshold=floor,
+        n_bits=n_bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_cap=bucket_cap,
+    )
+    b = F.expr(
+        f"(CAST(round(cos * 1e6) AS BIGINT) div {int(bucket_e6)})"
+        f" * {int(bucket_e6)}"
+    )
+    counts = pairs.select(b.alias("cos_bucket_e6")).groupBy(
+        "cos_bucket_e6"
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    w = (
+        Window.orderBy(F.col("cos_bucket_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.withColumn(
+        "cum_pairs", F.sum("n_pairs").over(w).cast("long")
+    )

@@ -187,3 +187,22 @@ def test_source_concentration_exact(spark):
     # gini = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4 = 0.72
     assert r2.gini_e6 == round((2 * 394 / 400 - 1.25) * 1e6)
     assert r2.gini_e6 > r.gini_e6
+
+
+def test_neardup_threshold_hist_exact(spark):
+    from reden_spark.operators.similarity import neardup_threshold_hist
+
+    # same-bucket (all-positive) vectors with known cosines
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),     # cos(0,1) = 1.0
+            (2, [1.0, 1.0, 0.0, 0.0]),     # cos(0,2) ≈ 0.7071
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.cos_bucket_e6: r for r in
+           neardup_threshold_hist(emb, floor=0.2).collect()}
+    assert got[1_000_000].n_pairs == 1          # the exact dup
+    assert got[700_000].n_pairs == 2            # both ~0.707 pairs
+    assert got[700_000].cum_pairs == 3          # cumulative from top
