@@ -12975,3 +12975,83 @@ def q_neardup_threshold_hist(spark, sf_dir):
     return neardup_threshold_hist(
         _read(spark, sf_dir, "embeddings"), floor=0.2
     )
+
+
+@query(
+    "unreachable_modules",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+      FROM documents WHERE doc_id >= 1
+      UNION
+      SELECT doc_id, CAST(doc_id // 4 AS BIGINT)
+      FROM documents WHERE doc_id >= 4),
+    roots AS (SELECT doc_id AS node FROM documents
+              WHERE doc_id % 97 = 0),
+    reach(node) AS (
+      SELECT node FROM roots
+      UNION
+      SELECT e.dst FROM reach r JOIN e ON e.src = r.node),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+    SELECT n.node FROM nodes n
+    WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.node = n.node)
+    """,
+)
+def q_unreachable_modules(spark, sf_dir):
+    """Dead-module detection (operators/ontology.unreachable_nodes):
+    nodes of the shortcut import DAG not transitively imported by the
+    %97 entrypoints — tree-shake candidates; closure by frontier
+    expansion, one anti-join."""
+    from reden_spark.operators.ontology import unreachable_nodes
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    half = docs.filter(d >= 1).select(
+        d.cast("long").alias("src"),
+        F.floor(d / 2).cast("long").alias("dst"),
+    )
+    quarter = docs.filter(d >= 4).select(
+        d.cast("long").alias("src"),
+        F.floor(d / 4).cast("long").alias("dst"),
+    )
+    roots = docs.filter(d % 97 == 0).select(
+        d.cast("long").alias("node")
+    )
+    return unreachable_nodes(half.unionByName(quarter), roots)
+
+
+@query(
+    "time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+      FROM events GROUP BY 1),
+    d AS (SELECT user_id,
+                 CAST(floor(epoch(t1)) - floor(epoch(t0)) AS BIGINT) AS d
+          FROM f WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+    r AS (SELECT user_id, d,
+                 CAST(row_number() OVER (ORDER BY d, user_id) AS BIGINT)
+                   AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS nn
+          FROM d)
+    SELECT max(nn) AS n_users,
+           CAST(max(CASE WHEN rn = (nn + 1) // 2 THEN d END) AS BIGINT)
+             AS median_s,
+           CAST(max(CASE WHEN rn = (CASE WHEN (nn * 9) % 10 = 0
+                    THEN (nn * 9) // 10 ELSE (nn * 9) // 10 + 1 END)
+                    THEN d END) AS BIGINT) AS p90_s,
+           CAST(max(d) AS BIGINT) AS max_s
+    FROM r
+    """,
+)
+def q_time_to_convert(spark, sf_dir):
+    """Funnel latency (operators/eventstats.time_to_convert): first
+    view → first purchase per user, exact nearest-rank median/p90 over
+    converters — the latency half next to funnel_counts' volume
+    half."""
+    from reden_spark.operators.eventstats import time_to_convert
+
+    return time_to_convert(_read(spark, sf_dir, "events"))

@@ -663,3 +663,78 @@ def session_entropy(
             F.expr("raw div n").cast("long").alias("entropy_e6"),
         )
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    start_type: str = "view",
+    convert_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """One row (n_users, median_s, p90_s, max_s): seconds from a user's
+    first ``start_type`` event to their first subsequent
+    ``convert_type``, summarized by EXACT nearest-rank percentiles over
+    converting users — the latency half of the funnel (funnel_counts is
+    the volume half).  Users who never convert (or convert before ever
+    starting) are excluded, visible as n_users vs the funnel table.
+
+    Integer epoch-second deltas; lower nearest-rank medians under the
+    deterministic (delta, user) order — no interpolation, engine-exact.
+
+    Scale shape: two min-aggregates on the user key (one exchange),
+    one bounded global rank over the (small) converter set."""
+    firsts = events.groupBy(F.col(key_col).alias("user_id")).agg(
+        F.min(
+            F.when(
+                F.col(state_col) == start_type, F.col(ts_col)
+            )
+        ).alias("t0"),
+        F.min(
+            F.when(
+                F.col(state_col) == convert_type, F.col(ts_col)
+            )
+        ).alias("t1"),
+    )
+    deltas = (
+        firsts.filter(
+            F.col("t0").isNotNull()
+            & F.col("t1").isNotNull()
+            & (F.col("t1") >= F.col("t0"))
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).cast("long").alias("d"),
+        )
+    )
+    w = Window.orderBy("d", "user_id")
+    ranked = deltas.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (
+        ranked.crossJoin(
+            F.broadcast(
+                ranked.agg(F.count("*").cast("long").alias("nn"))
+            )
+        )
+        .agg(
+            F.max("nn").cast("long").alias("n_users"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(nn + 1) div 2"), F.col("d")
+                )
+            ).cast("long").alias("median_s"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(
+                        "CASE WHEN (nn * 9) % 10 = 0 THEN (nn * 9) div 10"
+                        " ELSE (nn * 9) div 10 + 1 END"
+                    ),
+                    F.col("d"),
+                )
+            ).cast("long").alias("p90_s"),
+            F.max("d").cast("long").alias("max_s"),
+        )
+    )

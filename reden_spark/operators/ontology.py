@@ -110,3 +110,48 @@ def transitive_reduction(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         .dropDuplicates(["src", "dst"])
     )
     return e.join(multi, ["src", "dst"], "left_anti")
+
+
+def reachable_from(
+    edges: DataFrame, roots: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """(node): every node reachable from ``roots`` (inclusive) along
+    directed edges — synchronous frontier expansion, one src-key join
+    per round, early exit when the frontier drains."""
+    reached = roots.select("node").distinct().localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(max_rounds):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached
+
+
+def unreachable_nodes(
+    edges: DataFrame, roots: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """(node): nodes of the edge graph NOT reachable from ``roots`` —
+    dead-code detection on an import/dependency graph: modules no
+    entrypoint transitively imports are tree-shake candidates (and, in
+    a training-data pipeline, files whose quality signals never affect
+    anything shipped).  Set logic over reachable_from: one anti-join
+    against the closure."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.join(
+        reachable_from(edges, roots, max_rounds=max_rounds),
+        "node",
+        "left_anti",
+    )

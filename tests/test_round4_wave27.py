@@ -1,0 +1,52 @@
+"""Hand-traced reachability dead-code and funnel latency."""
+
+from datetime import datetime
+
+from reden_spark.operators.eventstats import time_to_convert
+from reden_spark.operators.ontology import reachable_from, unreachable_nodes
+
+
+def test_unreachable_nodes_exact(spark):
+    # a→b→c, d→c, isolated pair e→f; root = a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "c"), ("e", "f")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    dead = {r.node for r in unreachable_nodes(edges, roots).collect()}
+    assert dead == {"d", "e", "f"}
+    alive = {r.node for r in reachable_from(edges, roots).collect()}
+    assert alive == {"a", "b", "c"}
+
+
+def test_unreachable_nodes_all_roots_alive(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    roots = spark.createDataFrame([("a",), ("b",)], "node string")
+    assert unreachable_nodes(edges, roots).collect() == []
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_time_to_convert_exact(spark):
+    rows = [
+        # user 1: view at 0, purchase at 10 → 600 s
+        (1, _ts(0), "view"), (1, _ts(10), "purchase"),
+        # user 2: view at 0, purchase at 30 → 1800 s
+        (2, _ts(0), "view"), (2, _ts(30), "purchase"),
+        # user 3: view at 0, purchase at 50 → 3000 s
+        (3, _ts(0), "view"), (3, _ts(50), "purchase"),
+        # user 4: purchase BEFORE any view → excluded
+        (4, _ts(5), "purchase"), (4, _ts(9), "view"),
+        # user 5: never converts → excluded
+        (5, _ts(0), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = time_to_convert(ev).collect()[0]
+    assert r.n_users == 3
+    assert r.median_s == 1800       # rank (3+1)//2 = 2
+    assert r.p90_s == 3000          # rank ceil(27/10) = 3
+    assert r.max_s == 3000
