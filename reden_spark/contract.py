@@ -13055,3 +13055,37 @@ def q_time_to_convert(spark, sf_dir):
     from reden_spark.operators.eventstats import time_to_convert
 
     return time_to_convert(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "embedding_drift",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    sa AS (SELECT idx,
+                  CAST(round(avg(v) * 1e6) AS BIGINT) AS mean_a_e6,
+                  CAST(round(stddev_pop(v) * 1e6) AS BIGINT) AS std_a_e6
+           FROM ex WHERE vec_id % 3 = 0 GROUP BY 1),
+    sb AS (SELECT idx,
+                  CAST(round(avg(v) * 1e6) AS BIGINT) AS mean_b_e6,
+                  CAST(round(stddev_pop(v) * 1e6) AS BIGINT) AS std_b_e6
+           FROM ex WHERE vec_id % 3 <> 0 GROUP BY 1)
+    SELECT sa.idx, sa.mean_a_e6, sb.mean_b_e6,
+           sb.mean_b_e6 - sa.mean_a_e6 AS delta_e6,
+           sa.std_a_e6, sb.std_b_e6
+    FROM sa JOIN sb USING (idx)
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Per-dimension drift between two embedding snapshots
+    (operators/similarity.embedding_drift) — the %3 slice vs the rest as
+    the deterministic A/B; quantized means/stds, integer deltas."""
+    from reden_spark.operators.similarity import embedding_drift
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 != 0),
+    )

@@ -1176,3 +1176,43 @@ def neardup_threshold_hist(
     return counts.withColumn(
         "cum_pairs", F.sum("n_pairs").over(w).cast("long")
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(idx, mean_a_e6, mean_b_e6, delta_e6, std_a_e6, std_b_e6): per-
+    dimension drift between two embedding snapshots — the MLOps check
+    run when the encoder, the corpus, or the preprocessing changed:
+    a handful of dimensions shifting while the rest hold means a
+    feature-level change (new domain in the data); everything shifting
+    means a model change; stds collapsing means dead dimensions.
+
+    Means/stds are float aggregates quantized at 1e-6 (the pragmatic
+    sum-order contract); delta is the quantized-mean difference, so the
+    drift table is integer-comparable across runs.
+
+    Scale shape: one explode + (idx) groupBy per side — map-side
+    combinable; output is dimension-sized."""
+    def _stats(df, ma, sa):
+        ex = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(vec_col).alias("idx", "v"),
+        ).withColumn("v", F.col("v").cast("double"))
+        return ex.groupBy("idx").agg(
+            F.round(F.avg("v") * 1e6).cast("long").alias(ma),
+            F.round(F.stddev_pop("v") * 1e6).cast("long").alias(sa),
+        )
+    sa = _stats(a, "mean_a_e6", "std_a_e6")
+    sb = _stats(b, "mean_b_e6", "std_b_e6")
+    return sa.join(sb, "idx").select(
+        "idx",
+        "mean_a_e6",
+        "mean_b_e6",
+        (F.col("mean_b_e6") - F.col("mean_a_e6")).alias("delta_e6"),
+        "std_a_e6",
+        "std_b_e6",
+    )

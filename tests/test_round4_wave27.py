@@ -50,3 +50,24 @@ def test_time_to_convert_exact(spark):
     assert r.median_s == 1800       # rank (3+1)//2 = 2
     assert r.p90_s == 3000          # rank ceil(27/10) = 3
     assert r.max_s == 3000
+
+
+def test_embedding_drift_exact(spark):
+    from reden_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(2, [10.0, 5.0]), (3, [14.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.idx: r for r in embedding_drift(a, b).collect()}
+    # dim 0: mean 2 → 12 (delta 10), stds 1 and 2
+    assert got[0].mean_a_e6 == 2_000_000
+    assert got[0].mean_b_e6 == 12_000_000
+    assert got[0].delta_e6 == 10_000_000
+    assert got[0].std_a_e6 == 1_000_000 and got[0].std_b_e6 == 2_000_000
+    # dim 1: constant both sides → zero drift, zero spread
+    assert got[1].delta_e6 == 0 and got[1].std_a_e6 == 0
