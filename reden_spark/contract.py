@@ -13089,3 +13089,47 @@ def q_embedding_drift(spark, sf_dir):
         emb.filter(F.col("vec_id") % 3 == 0),
         emb.filter(F.col("vec_id") % 3 != 0),
     )
+
+
+@query(
+    "local_bridges",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM base
+        UNION ALL SELECT dst AS node FROM base) GROUP BY 1),
+    wd AS (
+      SELECT e.src AS a, e.dst AS b, x.deg AS dega, y.deg AS degb
+      FROM base e JOIN deg x ON e.src = x.node
+                  JOIN deg y ON e.dst = y.node),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN b ELSE a END AS v,
+             CASE WHEN dega < degb OR (dega = degb AND a < b)
+                  THEN degb ELSE dega END AS dv
+      FROM wd),
+    w AS (
+      SELECT x.u AS w0, x.v AS w1, y.v AS w2
+      FROM o x JOIN o y ON x.u = y.u
+        AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+    tri AS (SELECT w0, w1, w2 FROM w JOIN o z ON w.w1 = z.u AND w.w2 = z.v),
+    marked AS (
+      SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b FROM (
+        SELECT w0 AS p, w1 AS q FROM tri
+        UNION ALL SELECT w1, w2 FROM tri
+        UNION ALL SELECT w0, w2 FROM tri))
+    SELECT e.src AS a, e.dst AS b FROM base e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM marked m WHERE m.a = e.src AND m.b = e.dst)
+    """,
+)
+def q_local_bridges(spark, sf_dir):
+    """Local bridges (operators/graphstats.local_bridges): edges closing
+    no triangle over the shared k-core fixture — the weak ties ER
+    should trust least; compact-forward reuse plus one anti-join."""
+    from reden_spark.operators.graphstats import local_bridges
+
+    return local_bridges(_kcore_edges(spark, sf_dir))

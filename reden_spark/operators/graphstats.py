@@ -534,3 +534,62 @@ def global_transitivity(edges: DataFrame) -> DataFrame:
             " n_triangles * 3000000 div n_wedges ELSE 0L END"
         ).alias("transitivity_e6"),
     )
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """(a, b): edges that close NO triangle — local bridges (Granovetter
+    1973 weak ties): the only connections between their endpoints'
+    otherwise-disjoint neighborhoods.  In a KG these are the low-support
+    links entity-resolution should trust least (no co-neighbor
+    corroboration) and community detection should cut first.
+
+    Reuses the compact-forward triangle machinery: every triangle's
+    three edges are marked via the wedge-close join, and bridges are
+    the canonical edge set anti-joined against the marked set — same
+    cost shape as triangle_stats, one extra anti-join."""
+    norm = _normalized(edges).persist()
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    withdeg = norm.join(da, "a").join(db, "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    ).persist()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            (F.col("x.dv") < F.col("y.dv"))
+            | (
+                (F.col("x.dv") == F.col("y.dv"))
+                & (F.col("x.v") < F.col("y.v"))
+            )
+        ),
+    ).select(
+        F.col("x.u").alias("w0"),
+        F.col("x.v").alias("w1"),
+        F.col("y.v").alias("w2"),
+    )
+    closer = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tris = wedges.join(closer, ["w1", "w2"])
+    marked = (
+        tris.select(F.col("w0").alias("p"), F.col("w1").alias("q"))
+        .unionByName(tris.select(F.col("w1").alias("p"), F.col("w2").alias("q")))
+        .unionByName(tris.select(F.col("w0").alias("p"), F.col("w2").alias("q")))
+        .select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return norm.join(marked, ["a", "b"], "left_anti")

@@ -71,3 +71,26 @@ def test_embedding_drift_exact(spark):
     assert got[0].std_a_e6 == 1_000_000 and got[0].std_b_e6 == 2_000_000
     # dim 1: constant both sides → zero drift, zero spread
     assert got[1].delta_e6 == 0 and got[1].std_a_e6 == 0
+
+
+def test_local_bridges_exact(spark):
+    from reden_spark.operators.graphstats import local_bridges
+
+    # triangle a-b-c plus pendant c-d plus separate edge e-f
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("e", "f")],
+        "src string, dst string",
+    )
+    got = {(r.a, r.b) for r in local_bridges(edges).collect()}
+    assert got == {("c", "d"), ("e", "f")}
+
+
+def test_local_bridges_none_in_clique(spark):
+    from reden_spark.operators.graphstats import local_bridges
+
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y],
+        "src string, dst string",
+    )
+    assert local_bridges(edges).collect() == []
