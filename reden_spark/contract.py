@@ -13133,3 +13133,97 @@ def q_local_bridges(spark, sf_dir):
     from reden_spark.operators.graphstats import local_bridges
 
     return local_bridges(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "dedup_method_agreement",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    ek AS (SELECT doc_id, sha256(substr(text, 1, 40)) AS k
+           FROM documents),
+    ep AS (SELECT x.doc_id AS a, y.doc_id AS b
+           FROM ek x JOIN ek y ON x.k = y.k AND x.doc_id < y.doc_id),
+    la AS (SELECT DISTINCT a, b FROM pairs),
+    eb AS (SELECT DISTINCT a, b FROM ep),
+    bo AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+           FROM la JOIN eb USING (a, b)),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM la),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM eb)
+    SELECT na.n_a, nb.n_b, bo.n_both,
+           CASE WHEN na.n_a + nb.n_b - bo.n_both > 0
+                THEN bo.n_both * 1000000 // (na.n_a + nb.n_b - bo.n_both)
+                ELSE 1000000 END AS jaccard_e6,
+           CASE WHEN na.n_a > 0 THEN bo.n_both * 1000000 // na.n_a
+                ELSE 1000000 END AS a_in_b_e6,
+           CASE WHEN nb.n_b > 0 THEN bo.n_both * 1000000 // nb.n_b
+                ELSE 1000000 END AS b_in_a_e6
+    FROM na, nb, bo
+    """,
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    """Dedup-tier agreement (operators/dedup.pair_set_agreement): the
+    MinHash-LSH candidate pairs vs the exact 40-char-prefix duplicate
+    pairs — b_in_a reads as LSH's recall of exact dups, jaccard as how
+    far the two near-dup definitions diverge."""
+    from reden_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        pair_set_agreement,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(docs, bucket_cap=200)
+    ek = docs.select(
+        "doc_id", F.sha2(F.substring("text", 1, 40), 256).alias("k")
+    )
+    exact = (
+        ek.alias("x")
+        .join(
+            ek.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+    )
+    return pair_set_agreement(lsh, exact)
+
+
+@query(
+    "column_profile",
+    """
+    SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT)
+             AS n_distinct,
+           min(CAST(o_custkey AS VARCHAR)) AS min_s,
+           max(CAST(o_custkey AS VARCHAR)) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_column_profile(spark, sf_dir):
+    """Classic column profiler (operators/analytics.column_profile):
+    null census, exact distinct counts, lexicographic extrema of the
+    string form over three orders columns — first contact with any new
+    table."""
+    from reden_spark.operators.analytics import column_profile
+
+    return column_profile(
+        _read(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -604,3 +604,34 @@ def spearman_rho(
             ).alias("rho_e6"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col, n, n_null, n_distinct, min_s, max_s): the classic data
+    profiler over the named columns — null census, exact distinct
+    count, lexicographic extrema of the string form.  First contact
+    with any new table; feeds fd_profile / type_inference with which
+    columns are even worth testing.
+
+    One aggregate pass PER COLUMN over the same scan (cheap —
+    column-pruned), unioned; values stringified so the schema is
+    uniform and engine-portable (integer/string columns only; float
+    formatting differs across engines by design)."""
+    frames = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        frames.append(
+            df.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long")
+                .alias("n_null"),
+                F.countDistinct(s).cast("long").alias("n_distinct"),
+                F.min(s).alias("min_s"),
+                F.max(s).alias("max_s"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

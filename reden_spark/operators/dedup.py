@@ -474,3 +474,43 @@ def lsh_index_upsert(
         .distinct()
     )
     return incoming, cross
+
+
+def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """One row (n_a, n_b, n_both, jaccard_e6, a_in_b_e6, b_in_a_e6):
+    set agreement between two candidate-pair tables (a, b), canonical
+    a < b assumed — the methodology comparison for dedup tiers: run the
+    cheap method and the expensive one on the same corpus and read
+    containment (did LSH catch every exact dup?) and jaccard (do the
+    two near-dup definitions even agree?).  Exact integer counts.
+
+    Scale shape: one distinct per side, one pair-key semi-join, three
+    scalar aggregates."""
+    a = pairs_a.select("a", "b").distinct()
+    b = pairs_b.select("a", "b").distinct()
+    both = a.join(b, ["a", "b"], "left_semi")
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    nboth = both.agg(F.count("*").cast("long").alias("n_both"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nboth)
+        .select(
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CASE WHEN n_a + n_b - n_both > 0 THEN"
+                " n_both * 1000000 div (n_a + n_b - n_both) ELSE 1000000L"
+                " END"
+            ).alias("jaccard_e6"),
+            F.expr(
+                "CASE WHEN n_a > 0 THEN n_both * 1000000 div n_a"
+                " ELSE 1000000L END"
+            ).alias("a_in_b_e6"),
+            F.expr(
+                "CASE WHEN n_b > 0 THEN n_both * 1000000 div n_b"
+                " ELSE 1000000L END"
+            ).alias("b_in_a_e6"),
+        )
+    )

@@ -94,3 +94,32 @@ def test_local_bridges_none_in_clique(spark):
         "src string, dst string",
     )
     assert local_bridges(edges).collect() == []
+
+
+def test_pair_set_agreement_exact(spark):
+    from reden_spark.operators.dedup import pair_set_agreement
+
+    a = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "a long, b long"
+    )
+    b = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "a long, b long"
+    )
+    r = pair_set_agreement(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both) == (3, 3, 2)
+    assert r.jaccard_e6 == 2 * 10**6 // 4
+    assert r.a_in_b_e6 == 2 * 10**6 // 3
+    assert r.b_in_a_e6 == 2 * 10**6 // 3
+
+
+def test_column_profile_exact(spark):
+    from reden_spark.operators.analytics import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, s string"
+    )
+    got = {r.col: r for r in column_profile(df, ["k", "s"]).collect()}
+    assert got["k"].n == 3 and got["k"].n_null == 0
+    assert got["k"].n_distinct == 2
+    assert got["k"].min_s == "1" and got["k"].max_s == "2"
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
