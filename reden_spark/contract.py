@@ -13227,3 +13227,36 @@ def q_column_profile(spark, sf_dir):
         _read(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@query(
+    "cluster_terms",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    ct AS (SELECT d.source AS cluster, t.tok AS term,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+           GROUP BY 1, 2),
+    nc AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS nc
+           FROM documents),
+    cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf
+            FROM ct GROUP BY 1),
+    s AS (SELECT ct.cluster, ct.term,
+                 CAST(round((1.0 + ln(CAST(tf AS DOUBLE)))
+                   * ln(CAST(nc AS DOUBLE) / cdf) * 1e6) AS BIGINT)
+                   AS w_e6
+          FROM ct JOIN cdf USING (term), nc),
+    r AS (SELECT cluster, term, w_e6,
+                 CAST(row_number() OVER (PARTITION BY cluster
+                   ORDER BY w_e6 DESC, term) AS BIGINT) AS rank
+          FROM s)
+    SELECT cluster, rank, term, w_e6 FROM r WHERE rank <= 3
+    """,
+)
+def q_cluster_terms(spark, sf_dir):
+    """c-TF-IDF cluster labels (operators/sparse_sim.cluster_terms):
+    top-3 class-distinctive terms per source — the automatic name tag
+    for any grouping the engine produces; quantize-before-rank."""
+    from reden_spark.operators.sparse_sim import cluster_terms
+
+    return cluster_terms(_read(spark, sf_dir, "documents"))

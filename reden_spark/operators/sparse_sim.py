@@ -167,3 +167,59 @@ def idf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "w_e6")
     )
+
+
+def cluster_terms(
+    docs: DataFrame,
+    cluster_col: str = "source",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster, rank, term, w_e6): the k most distinctive terms PER
+    CLUSTER by class-based TF-IDF (the BERTopic labeling rule,
+    Grootendorst 2022): tf is the term's count in the cluster,
+    idf = ln(n_clusters / cluster_df) — a term scoring high appears a
+    lot here and in few other clusters.  The automatic name tag for any
+    grouping this engine produces (dedup clusters, kNN components,
+    sources, languages).
+
+    Same engine-stability contract as idf_keywords: the weight
+    (1 + ln tf)·idf is micro-quantized BEFORE the (w DESC, term ASC)
+    ranking.
+
+    Scale shape: one (cluster, term) groupBy (map-side combinable), a
+    cluster-count broadcast, one bounded top-k window per cluster."""
+    toks = docs.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("cluster", F.col("tok").alias("term")).agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ncl = docs.select(
+        F.countDistinct(cluster_col).cast("long").alias("nc")
+    )
+    cdf = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("cdf")
+    )
+    scored = (
+        tf.join(cdf, "term")
+        .crossJoin(F.broadcast(ncl))
+        .select(
+            "cluster",
+            "term",
+            F.expr(
+                "CAST(round((1.0 + ln(CAST(tf AS DOUBLE)))"
+                " * ln(CAST(nc AS DOUBLE) / cdf) * 1e6) AS BIGINT)"
+            ).alias("w_e6"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("w_e6").desc(), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("cluster", "rank", "term", "w_e6")
+    )

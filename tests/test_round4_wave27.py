@@ -123,3 +123,26 @@ def test_column_profile_exact(spark):
     assert got["k"].n_distinct == 2
     assert got["k"].min_s == "1" and got["k"].max_s == "2"
     assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+
+
+def test_cluster_terms_exact(spark):
+    import math
+
+    from reden_spark.operators.sparse_sim import cluster_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "apple apple shared"),
+            (2, "s1", "apple shared"),
+            (3, "s2", "banana shared"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.cluster, r.rank): (r.term, r.w_e6)
+           for r in cluster_terms(docs, k=2).collect()}
+    # s1: apple tf=3, cdf=1, nc=2 → distinctive; shared cdf=2 → w=0
+    w_apple = round((1 + math.log(3)) * math.log(2) * 1e6)
+    assert got[("s1", 1)] == ("apple", w_apple)
+    assert got[("s1", 2)] == ("shared", 0)
+    w_banana = round((1 + math.log(1)) * math.log(2) * 1e6)
+    assert got[("s2", 1)] == ("banana", w_banana)
