@@ -13260,3 +13260,47 @@ def q_cluster_terms(spark, sf_dir):
     from reden_spark.operators.sparse_sim import cluster_terms
 
     return cluster_terms(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "asymmetric_sameas",
+    """
+    WITH t AS (
+      SELECT 'u' || CAST(n_nationkey AS VARCHAR) AS subj,
+             'sameAs' AS pred,
+             'u' || CAST(n_nationkey % 7 AS VARCHAR) AS obj
+      FROM nation WHERE n_nationkey >= 7
+      UNION ALL
+      SELECT 'u' || CAST(n_nationkey % 7 AS VARCHAR), 'sameAs',
+             'u' || CAST(n_nationkey AS VARCHAR)
+      FROM nation WHERE n_nationkey >= 7 AND n_nationkey % 2 = 0),
+    p AS (SELECT DISTINCT subj, obj FROM t WHERE pred = 'sameAs')
+    SELECT p.subj, p.obj FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p m WHERE m.subj = p.obj AND m.obj = p.subj)
+    """,
+)
+def q_asymmetric_sameas(spark, sf_dir):
+    """owl:sameAs symmetry audit (operators/kg_quality.asymmetric_pairs):
+    one-way assertions whose mirror is missing — the odd nationkeys'
+    links surface, the even ones (mirrored in the fixture) pass."""
+    from reden_spark.operators.kg_quality import asymmetric_pairs
+
+    nation = _read(spark, sf_dir, "nation")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    fwd = nation.filter(F.col("n_nationkey") >= 7).select(
+        u(F.col("n_nationkey")).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        u(F.col("n_nationkey") % 7).alias("obj"),
+    )
+    back = nation.filter(
+        (F.col("n_nationkey") >= 7) & (F.col("n_nationkey") % 2 == 0)
+    ).select(
+        u(F.col("n_nationkey") % 7).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        u(F.col("n_nationkey")).alias("obj"),
+    )
+    return asymmetric_pairs(
+        fwd.unionByName(back).dropDuplicates(["subj", "pred", "obj"]),
+        "sameAs",
+    )

@@ -519,3 +519,19 @@ def dangling_refs(triples: DataFrame) -> DataFrame:
             F.expr("n_dangling * 1000000 div n_objs").alias("dangling_e6"),
         )
     )
+
+
+def asymmetric_pairs(triples: DataFrame, pred: str) -> DataFrame:
+    """(subj, obj): assertions of a DECLARED-SYMMETRIC predicate whose
+    mirror is missing — the owl:sameAs hygiene check: the CC
+    canonicalizer treats sameAs as undirected, so a one-way assertion
+    silently widens components with evidence nobody stated twice.
+    Empty result ⇔ the predicate's assertion set is symmetric; each row
+    is the exact missing-mirror lead for triage.
+
+    One self-anti-join on the reversed key — edge-list-sized."""
+    p = triples.filter(F.col("pred") == pred).select("subj", "obj")
+    mirror = p.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    return p.join(mirror, ["subj", "obj"], "left_anti")

@@ -146,3 +146,19 @@ def test_cluster_terms_exact(spark):
     assert got[("s1", 2)] == ("shared", 0)
     w_banana = round((1 + math.log(1)) * math.log(2) * 1e6)
     assert got[("s2", 1)] == ("banana", w_banana)
+
+
+def test_asymmetric_pairs_exact(spark):
+    from reden_spark.operators.kg_quality import asymmetric_pairs
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "sameAs", "b"), ("b", "sameAs", "a"),   # symmetric ok
+            ("c", "sameAs", "d"),                         # one-way
+            ("e", "knows", "f"),                          # other pred
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.obj)
+           for r in asymmetric_pairs(triples, "sameAs").collect()}
+    assert got == {("c", "d")}
