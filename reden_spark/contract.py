@@ -13304,3 +13304,50 @@ def q_asymmetric_sameas(spark, sf_dir):
         fwd.unionByName(back).dropDuplicates(["subj", "pred", "obj"]),
         "sameAs",
     )
+
+
+@query(
+    "boilerplate_lines",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'SITE NAV | Home | About' || chr(10)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN 'Section: archive' || chr(10) ELSE '' END
+             || text || chr(10)
+             || 'Copyright 2024 Example Corp' AS text
+      FROM documents),
+    l0 AS (
+      SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+      FROM pages),
+    l AS (SELECT DISTINCT doc_id, line FROM l0 WHERE line <> ''),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM pages)
+    SELECT line, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) * 1000000 // nd.nd AS share_e6
+    FROM l, nd GROUP BY 1, nd.nd HAVING count(*) >= 5
+    """,
+)
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate census (operators/quality.
+    boilerplate_lines) over the documents wrapped in deterministic page
+    chrome (nav header everywhere, a section banner on the %3 docs, a
+    copyright footer) — the chrome lines surface with their exact
+    corpus shares, the unique bodies don't."""
+    from reden_spark.operators.quality import boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SITE NAV | Home | About"), nl,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("Section: archive"), nl),
+            ).otherwise(F.lit("")),
+            F.col("text"), nl,
+            F.lit("Copyright 2024 Example Corp"),
+        ).alias("text"),
+    )
+    return boilerplate_lines(pages)

@@ -790,3 +790,45 @@ def char_class_census(
             " ELSE 0L END"
         ).alias("digit_e6"),
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(line, n_docs, share_e6): non-empty lines appearing in at least
+    ``min_docs`` DISTINCT documents, with the share of the corpus they
+    infect — the cross-document boilerplate census (headers, footers,
+    cookie banners, license preambles) that line-level cleaners strip
+    BEFORE dedup so shared chrome doesn't glue unrelated documents into
+    one near-dup cluster.  Within-doc repetition is the separate
+    c4_line / repetition_signals family; this is the across-docs half.
+
+    Scale shape: one explode + distinct on (doc, line), one line-key
+    groupBy — the exact-dedup shape at line granularity; hot lines are
+    single counters."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .dropDuplicates(["doc_id", "line"])
+    )
+    n_docs = docs.select(
+        F.countDistinct(id_col).cast("long").alias("nd")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "line",
+            "n_docs",
+            F.expr("n_docs * 1000000 div nd").alias("share_e6"),
+        )
+    )

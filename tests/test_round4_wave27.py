@@ -162,3 +162,24 @@ def test_asymmetric_pairs_exact(spark):
     got = {(r.subj, r.obj)
            for r in asymmetric_pairs(triples, "sameAs").collect()}
     assert got == {("c", "d")}
+
+
+def test_boilerplate_lines_exact(spark):
+    from reden_spark.operators.quality import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nunique one\nFOOTER"),
+            (2, "HEADER\nunique two\nFOOTER"),
+            (3, "HEADER\nunique three"),
+            (4, "  HEADER  \nHEADER\nunique four"),  # trim + per-doc dedup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.line: r for r in
+           boilerplate_lines(docs, min_docs=2).collect()}
+    assert got["HEADER"].n_docs == 4
+    assert got["HEADER"].share_e6 == 10**6
+    assert got["FOOTER"].n_docs == 2
+    assert got["FOOTER"].share_e6 == 500_000
+    assert set(got) == {"HEADER", "FOOTER"}
