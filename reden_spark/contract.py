@@ -13351,3 +13351,26 @@ def q_boilerplate_lines(spark, sf_dir):
         ).alias("text"),
     )
     return boilerplate_lines(pages)
+
+
+@query(
+    "rolling_active_users",
+    """
+    WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events),
+    act AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    cov AS (
+      SELECT DISTINCT p.user_id, a.day
+      FROM pairs p JOIN act a
+        ON a.day >= p.d AND a.day <= p.d + INTERVAL 6 DAY)
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM cov GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark, sf_dir):
+    """Exact trailing-7-day active users per active day
+    (operators/eventstats.rolling_active_users) — bounded explode, no
+    range join; the engagement denominator next to retention_cohorts."""
+    from reden_spark.operators.eventstats import rolling_active_users
+
+    return rolling_active_users(_read(spark, sf_dir, "events"))

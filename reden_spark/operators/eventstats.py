@@ -738,3 +738,43 @@ def time_to_convert(
             F.max("d").cast("long").alias("max_s"),
         )
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, wau): EXACT trailing-N-day distinct active users per
+    calendar day — the engagement denominator (WAU at 7, MAU at 30)
+    every funnel divides by.  Exactness matters at the reporting layer
+    (sketches drift); at the 100 TB layer the same shape runs on
+    hll_distinct sketches instead.
+
+    Shape: distinct (user, day) pairs, each EXPLODED to the ≤ N report
+    days it keeps the user active for (bounded fan-out — never a range
+    join), then dedup + count per report day.  Report days are only
+    those with actual activity (the grid join is the caller's calendar
+    policy)."""
+    day = F.to_date(F.col(ts_col))
+    pairs = events.select(
+        F.col(key_col).alias("user_id"), day.alias("d")
+    ).distinct()
+    active_days = events.select(day.alias("day")).distinct()
+    covered = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), window_days - 1),
+                )
+            ).alias("day"),
+        )
+        .join(active_days, "day", "left_semi")
+        .dropDuplicates(["user_id", "day"])
+    )
+    return covered.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )

@@ -183,3 +183,26 @@ def test_boilerplate_lines_exact(spark):
     assert got["FOOTER"].n_docs == 2
     assert got["FOOTER"].share_e6 == 500_000
     assert set(got) == {"HEADER", "FOOTER"}
+
+
+def test_rolling_active_users_exact(spark):
+    from datetime import datetime as dt
+
+    from reden_spark.operators.eventstats import rolling_active_users
+
+    rows = [
+        (1, dt(2024, 1, 1)), (2, dt(2024, 1, 1)),
+        (1, dt(2024, 1, 5)),
+        (3, dt(2024, 1, 10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r.day): r.wau
+           for r in rolling_active_users(ev, window_days=7).collect()}
+    # Jan 1: users 1,2 active that day → 2
+    assert got["2024-01-01"] == 2
+    # Jan 5: users 1,2 from Jan 1 still in window + 1's own event → 2
+    assert got["2024-01-05"] == 2
+    # Jan 10: Jan 1 fell out; user 1 (Jan 5) still in; user 3 new → 2
+    assert got["2024-01-10"] == 2
+    # only active days are reported
+    assert set(got) == {"2024-01-01", "2024-01-05", "2024-01-10"}
