@@ -13374,3 +13374,56 @@ def q_rolling_active_users(spark, sf_dir):
     from reden_spark.operators.eventstats import rolling_active_users
 
     return rolling_active_users(_read(spark, sf_dir, "events"))
+
+
+@query(
+    "volume_anomalies",
+    """
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS id,
+             CAST(count(*) AS BIGINT) AS value
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT grp, value, id,
+             row_number() OVER (PARTITION BY grp ORDER BY value, id)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS cnt
+      FROM v),
+    m1 AS (SELECT grp,
+                  max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+                    AS med
+           FROM med GROUP BY 1),
+    dev AS (
+      SELECT v.grp, v.id, v.value, m1.med,
+             abs(v.value - m1.med) AS ad
+      FROM v JOIN m1 USING (grp)),
+    md AS (
+      SELECT grp, ad, id,
+             row_number() OVER (PARTITION BY grp ORDER BY ad, id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS cnt
+      FROM dev),
+    m2 AS (SELECT grp,
+                  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN ad END)
+                       AS BIGINT) AS mad
+           FROM md GROUP BY 1)
+    SELECT d.id, d.grp AS "group", d.value, d.med, m2.mad,
+           CAST(abs(d.value - d.med) >
+                3 * greatest(m2.mad, 1) AS INTEGER) AS is_outlier
+    FROM dev d JOIN m2 USING (grp)
+    """,
+)
+def q_volume_anomalies(spark, sf_dir):
+    """Daily event-volume anomaly days per type — the existing Hampel
+    filter (operators/quality.mad_outliers) REUSED over a new surface:
+    (type, day, count) rows; id = days since 2020-01-01 keeps the
+    deterministic tie order integer."""
+    from reden_spark.operators.quality import mad_outliers
+
+    ev = _read(spark, sf_dir, "events")
+    v = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.datediff(F.to_date("ts"), F.lit("2020-01-01"))
+        .cast("long").alias("doc_id"),
+    ).agg(F.count("*").cast("long").alias("value"))
+    return mad_outliers(v, "value", "grp", id_col="doc_id", k=3)
