@@ -13427,3 +13427,80 @@ def q_volume_anomalies(spark, sf_dir):
         .cast("long").alias("doc_id"),
     ).agg(F.count("*").cast("long").alias("value"))
     return mad_outliers(v, "value", "grp", id_col="doc_id", k=3)
+
+
+@query(
+    "knn_null_baseline",
+    f"""
+    WITH lab0 AS (SELECT vec_id, label FROM embeddings),
+    wrap AS (SELECT label AS wl FROM lab0 ORDER BY vec_id LIMIT 1),
+    der AS (
+      SELECT e.vec_id, e.embedding,
+             coalesce(n.label, w.wl) AS label
+      FROM embeddings e
+      LEFT JOIN lab0 n ON n.vec_id = e.vec_id + 1, wrap w),
+    ke AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM der),
+    kn AS (SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+           FROM ke),
+    top1 AS (
+      SELECT id, neighbor FROM (
+        SELECT q.vec_id AS id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM kn q JOIN kn n ON q.vec_id <> n.vec_id) WHERE rank = 1),
+    lab AS (SELECT vec_id, label FROM der),
+    sc AS (
+      SELECT la.label,
+             CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS hit
+      FROM top1 t
+      JOIN lab la ON la.vec_id = t.id
+      JOIN lab lb ON lb.vec_id = t.neighbor)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hit) AS BIGINT) AS correct,
+           CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS acc_e6
+    FROM sc GROUP BY 1
+    """,
+)
+def q_knn_null_baseline(spark, sf_dir):
+    """Chance-level 1-NN accuracy under a deterministic label
+    derangement (operators/similarity.knn_null_baseline) — the null
+    model knn_label_accuracy must beat; no global window, no driver
+    fetch."""
+    from reden_spark.operators.similarity import knn_null_baseline
+
+    return knn_null_baseline(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "utf8_density",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || repeat('é', CAST(doc_id % 4 AS INTEGER)) AS text
+      FROM documents),
+    b AS (SELECT doc_id AS id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes
+          FROM p)
+    SELECT id, n_chars, n_bytes,
+           CASE WHEN n_chars > 0 THEN n_bytes * 1000 // n_chars
+                ELSE 0 END AS bytes_per_char_e3
+    FROM b
+    """,
+)
+def q_utf8_density(spark, sf_dir):
+    """UTF-8 byte density (operators/quality.utf8_density) over the
+    documents with doc_id%4 planted two-byte accents — byte-vs-char
+    budget honesty and a cheap script detector."""
+    from reden_spark.operators.quality import utf8_density
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("é"), (F.col("doc_id") % 4).cast("int")),
+        ).alias("text"),
+    )
+    return utf8_density(docs)

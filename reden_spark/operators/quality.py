@@ -832,3 +832,30 @@ def boilerplate_lines(
             F.expr("n_docs * 1000000 div nd").alias("share_e6"),
         )
     )
+
+
+def utf8_density(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_bytes, bytes_per_char_e3): UTF-8 byte density per
+    document — ratio 1.0 is pure ASCII, Latin-accented European text
+    sits near 1.02–1.1, CJK near 3; the cheap script detector and the
+    honest size number when budgets are in BYTES but quality rules
+    think in characters.
+
+    octet_length vs length — both engines count identically; ratio in
+    exact milli-units."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+    ).select(
+        "id",
+        "n_chars",
+        "n_bytes",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN n_bytes * 1000 div n_chars"
+            " ELSE 0L END"
+        ).alias("bytes_per_char_e3"),
+    )

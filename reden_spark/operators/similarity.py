@@ -1216,3 +1216,49 @@ def embedding_drift(
         "std_a_e6",
         "std_b_e6",
     )
+
+
+def knn_null_baseline(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, correct, acc_e6): the NULL model for
+    knn_label_accuracy — the same leave-one-out 1-NN scoring after a
+    deterministic label derangement (each vector takes the NEXT id's
+    label, the maximum id wrapping to the minimum's), which preserves
+    the label marginals but destroys any vector-label association.
+    Real accuracy must beat THIS, not 1/k: class imbalance and
+    neighborhood structure both move chance level, and this measures
+    them.
+
+    Scale shape: the derangement is one equi-join on id+1 plus a
+    broadcast one-row wrap label — no global window, no driver
+    fetch."""
+    labels = embeddings.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_nl")
+    )
+    wrap = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(label_col))
+        .orderBy("i")
+        .limit(1)
+        .select(F.col(label_col).alias("_wrap"))
+    )
+    deranged = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .join(
+            labels,
+            F.col(id_col) + 1 == F.col("_nid"),
+            "left",
+        )
+        .crossJoin(F.broadcast(wrap))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.coalesce("_nl", "_wrap").alias(label_col),
+        )
+    )
+    return knn_label_accuracy(
+        deranged, k=1, vec_col=vec_col, id_col=id_col, label_col=label_col
+    )

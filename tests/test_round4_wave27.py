@@ -206,3 +206,43 @@ def test_rolling_active_users_exact(spark):
     assert got["2024-01-10"] == 2
     # only active days are reported
     assert set(got) == {"2024-01-01", "2024-01-05", "2024-01-10"}
+
+
+def test_knn_null_baseline_breaks_association(spark):
+    from reden_spark.operators.similarity import (
+        knn_label_accuracy,
+        knn_null_baseline,
+    )
+
+    # two tight clusters with perfectly aligned labels
+    emb = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0], 1), (1, [10.0, 0.1], 1),
+            (2, [10.1, 0.0], 1), (3, [10.0, 0.2], 1),
+            (4, [0.0, 10.0], 2), (5, [0.1, 10.0], 2),
+            (6, [0.0, 10.1], 2), (7, [0.2, 10.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    real = knn_label_accuracy(emb, k=1).collect()
+    real_acc = sum(r.correct for r in real) / sum(r.n for r in real)
+    assert real_acc == 1.0
+    null = knn_null_baseline(emb).collect()
+    null_acc = sum(r.correct for r in null) / sum(r.n for r in null)
+    # derangement moves one label across each cluster boundary edge:
+    # chance level must be strictly below the real signal
+    assert null_acc < real_acc
+
+
+def test_utf8_density_exact(spark):
+    from reden_spark.operators.quality import utf8_density
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "abé"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in utf8_density(docs).collect()}
+    assert got[1].n_bytes == 3 and got[1].bytes_per_char_e3 == 1000
+    assert got[2].n_chars == 3 and got[2].n_bytes == 4
+    assert got[2].bytes_per_char_e3 == 4000 // 3
+    assert got[3].bytes_per_char_e3 == 0
