@@ -2,15 +2,15 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 284 queries, all 284 with
+SURVEY.md §2 (reden_spark/contract.py): 292 queries, all 292 with
 DuckDB oracles (the iterative centralities/HITS/walks/k-truss/SSSP use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  234 registered queries await their first
+passes rows + schema + hash).  242 registered queries await their first
 driver rows — 7 added after the r3 driver run, 94 across the round-3
-closing sessions, and 133 in round 4; every registered query passes the
+closing sessions, and 141 in round 4; every registered query passes the
 local replica of the gate (tools/check_oracles.py — full sweeps
 re-verified green six times within round 4: 151/151 at round start,
 182/182 and 191/191 mid-round, 194/194, then 224/224, 250/250,

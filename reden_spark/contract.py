@@ -13504,3 +13504,51 @@ def q_utf8_density(spark, sf_dir):
         ).alias("text"),
     )
     return utf8_density(docs)
+
+
+@query(
+    "weighted_jaccard",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_TOKENS_SQL})
+                  WHERE tok <> ''),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    idf AS (SELECT tok,
+                   CAST(round(ln(CAST(n AS DOUBLE) / count(*)) * 1e6)
+                        AS BIGINT) AS idf_e6
+            FROM toks, nn GROUP BY tok, nn.n),
+    pr AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+           WHERE doc_id < 100),
+    ta AS (SELECT p.a, p.b, t.tok, 1 AS in_a
+           FROM pr p JOIN toks t ON t.doc_id = p.a),
+    tb AS (SELECT p.a, p.b, t.tok, 1 AS in_b
+           FROM pr p JOIN toks t ON t.doc_id = p.b),
+    al AS (SELECT coalesce(ta.a, tb.a) AS a, coalesce(ta.b, tb.b) AS b,
+                  coalesce(ta.tok, tb.tok) AS tok, ta.in_a, tb.in_b
+           FROM ta FULL OUTER JOIN tb
+             ON ta.a = tb.a AND ta.b = tb.b AND ta.tok = tb.tok),
+    j AS (SELECT al.*, idf.idf_e6 FROM al JOIN idf USING (tok))
+    SELECT a, b,
+           CAST(sum(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+                         THEN idf_e6 ELSE 0 END) AS BIGINT) AS inter_w,
+           CAST(sum(idf_e6) AS BIGINT) AS union_w,
+           CASE WHEN sum(idf_e6) > 0 THEN
+             CAST(sum(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+                           THEN idf_e6 ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(sum(idf_e6) AS BIGINT)
+           ELSE 0 END AS wj_e6
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted Jaccard over consecutive-doc pairs
+    (operators/blocking.weighted_jaccard_pairs): rare-token overlap
+    counts, stop-token overlap doesn't — integer-quantized idf makes
+    both sums exact."""
+    from reden_spark.operators.blocking import weighted_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    return weighted_jaccard_pairs(docs, pairs)

@@ -363,3 +363,76 @@ def fellegi_sunter_weights(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, inter_w, union_w, wj_e6): IDF-weighted Jaccard similarity
+    of candidate pairs' token SETS — the ER feature that knows "the"
+    matching means nothing and a rare surname matching means a lot
+    (soft TF-IDF family, Cohen et al. 2003).  Token IDF is quantized to
+    integer micro-units (ln(N/df), the idf_keywords contract), so
+    intersection and union weights are exact integer sums and the
+    similarity is one integer division:
+
+        wj_e6 = Σ_{{t∈A∩B}} idf(t) · 1e6  div  Σ_{{t∈A∪B}} idf(t)
+
+    Scale shape: one corpus df groupBy for the IDF table (token-key,
+    broadcastable at vocab size), tokens join pairs on the id keys,
+    one full-outer pair-token alignment, one pair-key aggregate —
+    pair-list-sized, never corpus²."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "").distinct()
+    n = docs.select(F.countDistinct(id_col).cast("long").alias("n"))
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.expr(
+                "CAST(round(ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT)"
+            ).alias("idf_e6"),
+        )
+    )
+    ta = (
+        pairs.join(toks.withColumnRenamed("doc_id", "a"), "a")
+        .select("a", "b", "tok")
+        .withColumn("in_a", F.lit(1))
+    )
+    tb = (
+        pairs.join(toks.withColumnRenamed("doc_id", "b"), "b")
+        .select("a", "b", "tok")
+        .withColumn("in_b", F.lit(1))
+    )
+    aligned = ta.join(tb, ["a", "b", "tok"], "full_outer").join(
+        idf, "tok"
+    )
+    return (
+        aligned.groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(),
+                    F.col("idf_e6"),
+                ).otherwise(0)
+            ).cast("long").alias("inter_w"),
+            F.sum("idf_e6").cast("long").alias("union_w"),
+        )
+        .select(
+            "a",
+            "b",
+            "inter_w",
+            "union_w",
+            F.expr(
+                "CASE WHEN union_w > 0 THEN inter_w * 1000000 div union_w"
+                " ELSE 0L END"
+            ).alias("wj_e6"),
+        )
+    )

@@ -246,3 +246,31 @@ def test_utf8_density_exact(spark):
     assert got[2].n_chars == 3 and got[2].n_bytes == 4
     assert got[2].bytes_per_char_e3 == 4000 // 3
     assert got[3].bytes_per_char_e3 == 0
+
+
+def test_weighted_jaccard_exact(spark):
+    import math
+
+    from reden_spark.operators.blocking import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common"),
+            (2, "rare common extra"),
+            (3, "common"),
+            (4, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    got = {(r.a, r.b): r
+           for r in weighted_jaccard_pairs(docs, pairs).collect()}
+    idf = lambda df: round(math.log(4 / df) * 1e6)
+    r12 = got[(1, 2)]
+    # intersection {rare, common}; union adds {extra}
+    assert r12.inter_w == idf(2) + idf(4)
+    assert r12.union_w == idf(2) + idf(4) + idf(1)
+    assert r12.wj_e6 == r12.inter_w * 10**6 // r12.union_w
+    r34 = got[(3, 4)]
+    # only the ubiquitous token: idf(4) = ln(1) = 0 → wj 0 with union 0
+    assert r34.inter_w == 0 and r34.union_w == 0 and r34.wj_e6 == 0
