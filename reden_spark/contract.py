@@ -13552,3 +13552,36 @@ def q_weighted_jaccard(spark, sf_dir):
         F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
     )
     return weighted_jaccard_pairs(docs, pairs)
+
+
+@query(
+    "readability",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(regexp_extract_all(lower(tok),
+                     '[aeiouy]+'))) AS BIGINT) AS n_syllables
+            FROM toks GROUP BY 1),
+    sent AS (
+      SELECT doc_id,
+             greatest(CAST(len(list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x)), x -> x <> ''))
+               AS BIGINT), 1) AS n_sentences
+      FROM documents)
+    SELECT p.doc_id AS id, p.n_words, s.n_sentences, p.n_syllables,
+           CAST(round((206.835
+             - 1.015 * CAST(p.n_words AS DOUBLE) / s.n_sentences
+             - 84.6 * CAST(p.n_syllables AS DOUBLE) / p.n_words)
+             * 1e3) AS BIGINT) AS fre_e3
+    FROM per p JOIN sent s USING (doc_id)
+    WHERE p.n_words > 0
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading ease (operators/quality.readability) with the
+    vowel-run syllable heuristic — audience/curriculum filter,
+    milli-quantized closed form from exact counts."""
+    from reden_spark.operators.quality import readability
+
+    return readability(_read(spark, sf_dir, "documents"))

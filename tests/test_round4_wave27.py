@@ -274,3 +274,20 @@ def test_weighted_jaccard_exact(spark):
     r34 = got[(3, 4)]
     # only the ubiquitous token: idf(4) = ln(1) = 0 → wj 0 with union 0
     assert r34.inter_w == 0 and r34.union_w == 0 and r34.wj_e6 == 0
+
+
+def test_readability_exact(spark):
+    from reden_spark.operators.quality import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It purred.")],
+        "doc_id long, text string",
+    )
+    r = readability(docs).collect()[0]
+    # words: The cat sat. It purred. → 5 tokens (with punctuation)
+    assert r.n_words == 5
+    assert r.n_sentences == 2
+    # syllables (vowel runs): the=1 cat=1 sat.=1 it=1 purred.=2 → 6
+    assert r.n_syllables == 6
+    fre = 206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5)
+    assert r.fre_e3 == round(fre * 1e3)
