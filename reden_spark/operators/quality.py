@@ -916,3 +916,39 @@ def readability(
             ).alias("fre_e3"),
         )
     )
+
+
+INJECTION_RES = (
+    ("override", r"(?i)ignore (all )?previous instructions"),
+    ("role", r"(?i)\bsystem\s*:"),
+    ("exfil", r"(?i)send (your|the) (api|secret) key"),
+    ("b64blob", r"[A-Za-z0-9+/]{40,}={0,2}"),
+)
+
+
+def injection_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_override, n_role, n_exfil, n_b64blob, flagged): census of
+    prompt-injection markers and long base64-ish blobs per document —
+    the safety sibling of pii_scrub for TRAINING corpora: text that
+    instructs downstream models ("ignore previous instructions",
+    spoofed role headers, key-exfiltration asks) or smuggles encoded
+    payloads gets counted, flagged, and routed to review instead of the
+    training mix.  Patterns are RE2-safe (no backrefs/lookarounds) so
+    the oracle runs them verbatim; the inventory is a visible constant
+    to extend, not magic.
+
+    Shuffle-free per-row projection."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        .alias(f"n_{name}")
+        for name, pat in INJECTION_RES
+    ]
+    base = docs.select(F.col(id_col).alias("id"), *counts)
+    total = None
+    for name, _ in INJECTION_RES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return base.withColumn("flagged", (total > 0).cast("int"))
