@@ -13644,3 +13644,49 @@ def q_injection_scan(spark, sf_dir):
         ).alias("text"),
     )
     return injection_scan(docs)
+
+
+def _markov_stationary_oracle_sql(n_iter: int = 8) -> str:
+    """Unrolled per-round-quantized power iteration — SQL twin of
+    operators/eventstats.markov_stationary."""
+    parts = ["""
+    WITH pr AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS to_state
+        FROM events)
+      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    p AS (SELECT from_state, to_state,
+                 n * 1000000 // sum(n) OVER (PARTITION BY from_state)
+                   AS p_e6
+          FROM pr),
+    st AS (SELECT DISTINCT state FROM (
+        SELECT from_state AS state FROM p
+        UNION ALL SELECT to_state FROM p)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+    x0 AS (SELECT state, CAST(1000000000 // n AS BIGINT) AS p_e9
+           FROM st, nn)"""]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{r} AS (
+        SELECT p.to_state AS state,
+               sum(CAST(x.p_e9 AS DOUBLE) * p.p_e6 / 1e6) AS raw
+        FROM p JOIN x{r - 1} x ON x.state = p.from_state GROUP BY 1)
+    , x{r} AS (
+        SELECT s.state,
+               CAST(coalesce(round(c.raw), 0) AS BIGINT) AS p_e9
+        FROM st s LEFT JOIN c{r} c ON c.state = s.state)""")
+    parts.append(f"SELECT state, p_e9 FROM x{n_iter}")
+    return "\n".join(parts)
+
+
+@query("markov_stationary", _markov_stationary_oracle_sql(8))
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain
+    (operators/eventstats.markov_stationary): nano-quantized after every
+    round so both engines carry identical integers — the
+    absorbing-state detector next to markov_accuracy."""
+    from reden_spark.operators.eventstats import markov_stationary
+
+    return markov_stationary(_read(spark, sf_dir, "events"), n_iter=8)

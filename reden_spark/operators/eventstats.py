@@ -778,3 +778,61 @@ def rolling_active_users(
     return covered.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    n_iter: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(state, p_e9): the long-run occupancy of the first-order Markov
+    chain fit on the event log — where sessions SETTLE, as opposed to
+    where they are now (the raw type histogram).  A state whose
+    stationary mass far exceeds its observed share is an absorbing trap
+    (error loops, dead ends) the funnel table won't show directly.
+
+    Power iteration x ← xᵀP from the uniform start; transition
+    probabilities are the exact integer p_e6 of transition_counts, and
+    the iterate is re-quantized to nano-units after EVERY round, so
+    both engines carry identical integers throughout — no
+    accumulation-order drift across 8 rounds.
+
+    Scale shape: the state-transition table is states² (tiny,
+    broadcast); rounds are joins over it."""
+    p = transition_counts(
+        events, key_col=key_col, ts_col=ts_col, state_col=state_col
+    ).select("from_state", "to_state", "p_e6").localCheckpoint(eager=True)
+    states = (
+        p.select(F.col("from_state").alias("state"))
+        .unionByName(p.select(F.col("to_state").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = states.count()
+    x = states.withColumn(
+        "p_e9", F.lit(1_000_000_000 // n).cast("long")
+    )
+    for _ in range(n_iter):
+        nxt = (
+            p.join(
+                x.select(F.col("state").alias("from_state"), "p_e9"),
+                "from_state",
+            )
+            .groupBy(F.col("to_state").alias("state"))
+            .agg(
+                F.sum(
+                    F.col("p_e9").cast("double") * F.col("p_e6") / 1e6
+                ).alias("raw")
+            )
+        )
+        x = (
+            states.join(nxt, "state", "left")
+            .select(
+                "state",
+                F.coalesce(F.round("raw").cast("long"), F.lit(0).cast("long"))
+                .alias("p_e9"),
+            )
+        )
+    return x

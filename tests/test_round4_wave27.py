@@ -310,3 +310,37 @@ def test_injection_scan_exact(spark):
     assert got[2].flagged == 0
     assert got[3].n_role == 1 and got[3].n_exfil == 1
     assert got[4].n_b64blob == 1 and got[4].flagged == 1
+
+
+def test_markov_stationary_two_state(spark):
+    from datetime import datetime as dt
+
+    from reden_spark.operators.eventstats import markov_stationary
+
+    # chain: a→b always, b→a always → stationary (1/2, 1/2)
+    rows = []
+    for i, t in enumerate(["a", "b"] * 10):
+        rows.append((1, dt(2024, 1, 1, 0, i), t))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.state: r.p_e9 for r in markov_stationary(ev, n_iter=6).collect()}
+    # p(a→b)=1, p(b→a)=1; uniform start (0.5, 0.5) is already stationary
+    assert abs(got["a"] - 500_000_000) <= 2
+    assert abs(got["b"] - 500_000_000) <= 2
+
+
+def test_markov_stationary_absorbing(spark):
+    from datetime import datetime as dt
+
+    from reden_spark.operators.eventstats import markov_stationary
+
+    # a→end, end→end: mass drains into the absorbing state
+    rows = [(1, dt(2024, 1, 1, 0, i), t)
+            for i, t in enumerate(["a", "end", "end", "end", "end"])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.state: r.p_e9 for r in markov_stationary(ev, n_iter=8).collect()}
+    assert got["a"] == 0
+    assert got["end"] >= 999_999_990
