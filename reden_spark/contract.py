@@ -13690,3 +13690,96 @@ def q_markov_stationary(spark, sf_dir):
     from reden_spark.operators.eventstats import markov_stationary
 
     return markov_stationary(_read(spark, sf_dir, "events"), n_iter=8)
+
+
+@query(
+    "token_length_hist",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    occ AS (SELECT CAST(length(tok) AS BIGINT) AS length,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1),
+    typ AS (SELECT CAST(length(t) AS BIGINT) AS length,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM (SELECT DISTINCT tok AS t FROM toks) GROUP BY 1)
+    SELECT occ.length, occ.n_tokens, typ.n_types
+    FROM occ JOIN typ USING (length)
+    """,
+)
+def q_token_length_hist(spark, sf_dir):
+    """Token-length distribution over occurrences and vocabulary
+    (operators/corpus_prep.token_length_hist) — the subword-fertility
+    shape a tokenizer budget reads."""
+    from reden_spark.operators.corpus_prep import token_length_hist
+
+    return token_length_hist(
+        _tokens(spark, sf_dir).filter(F.col("tok") != "")
+    )
+
+
+@query(
+    "source_type_token",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    j AS (SELECT d.source, t.tok
+          FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS types,
+           CAST(count(DISTINCT tok) AS BIGINT) * 1000000 // count(*)
+             AS ttr_e6
+    FROM j GROUP BY 1
+    """,
+)
+def q_source_type_token(spark, sf_dir):
+    """Per-source lexical diversity (operators/corpus_prep.
+    source_type_token): types per token mass in micro-units — templated
+    feeds score low at any size."""
+    from reden_spark.operators.corpus_prep import source_type_token
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("tokens"),
+        F.countDistinct("tok").cast("long").alias("types"),
+    )
+    return per.select(
+        "source", "tokens", "types",
+        F.expr("types * 1000000 div tokens").alias("ttr_e6"),
+    )
+
+
+@query(
+    "volume_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT key, y,
+                 CAST(day - min(day) OVER (PARTITION BY key) AS BIGINT)
+                   AS x
+          FROM daily),
+    s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM b GROUP BY 1)
+    SELECT key, n AS n_days,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0
+                ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) END
+             AS slope_e6,
+           sy * 1000 // n AS mean_daily_e3
+    FROM s
+    """,
+)
+def q_volume_trend(spark, sf_dir):
+    """Per-type daily-volume trend (operators/eventstats.volume_trend):
+    exact integer least squares over (day index, count) — growth/decay
+    without a plotting step."""
+    from reden_spark.operators.eventstats import volume_trend
+
+    return volume_trend(_read(spark, sf_dir, "events"))

@@ -1201,3 +1201,47 @@ def source_concentration(token_counts: DataFrame) -> DataFrame:
             " - (n_sources + 1.0) / n_sources) * 1e6) AS BIGINT)"
         ).alias("gini_e6"),
     )
+
+
+def token_length_hist(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """(length, n_tokens, n_types): token-length distribution over
+    occurrences AND vocabulary — the subword-fertility shape a tokenizer
+    budget reads (occurrence mass at length 1–3 = syntax/stopwords;
+    a heavy type tail at 20+ = identifiers/URLs that BPE will shred).
+    Two map-side-combinable aggregates on the length key."""
+    occ = tokens.select(F.length(tok_col).cast("long").alias("length"))
+    typ = (
+        tokens.select(F.col(tok_col).alias("t")).distinct()
+        .select(F.length("t").cast("long").alias("length"))
+    )
+    o = occ.groupBy("length").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    t = typ.groupBy("length").agg(
+        F.count("*").cast("long").alias("n_types")
+    )
+    return o.join(t, "length")
+
+
+def source_type_token(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, tokens, types, ttr_e6): per-source lexical diversity —
+    distinct types per source over its token mass (TTR in micro-units).
+    Templated feeds score low at any size; compare at similar token
+    masses (TTR shrinks with size — that's Heaps, see heaps_curve).
+    Two aggregates on (source[, token]) keys."""
+    toks = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("tokens"),
+        F.countDistinct("tok").cast("long").alias("types"),
+    )
+    return per.select(
+        "source", "tokens", "types",
+        F.expr("types * 1000000 div tokens").alias("ttr_e6"),
+    )

@@ -836,3 +836,48 @@ def markov_stationary(
             )
         )
     return x
+
+
+def volume_trend(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, n_days, slope_e6, mean_daily_e3): per-key trend of daily
+    event volume by EXACT integer least squares — x = days since the
+    key's first day, y = count; slope in milli-events/day scaled e6:
+
+        slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²)
+
+    Every sufficient statistic is an exact integer (day indexes and
+    counts), so only the final division is a double, micro-quantized —
+    growth/decay of each event stream without a plotting step.  Keys
+    observed on < 2 distinct days report slope 0.
+
+    Scale shape: one (key, day) groupBy, one key groupBy."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    based = daily.withColumn(
+        "x",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("key"))
+        ).cast("long"),
+    )
+    s = based.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "key",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0L ELSE"
+            " CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) END"
+        ).alias("slope_e6"),
+        F.expr("sy * 1000 div n").alias("mean_daily_e3"),
+    )
