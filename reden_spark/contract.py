@@ -13783,3 +13783,288 @@ def q_volume_trend(spark, sf_dir):
     from reden_spark.operators.eventstats import volume_trend
 
     return volume_trend(_read(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 1: relational->RDF direct mapping, canonical N-Triples sink,
+# MIS / greedy-coloring update scheduling, IRI hygiene, range-write planning.
+
+from reden_spark.operators.mis import (  # noqa: E402
+    jp_coloring_oracle_sql,
+    luby_mis_oracle_sql,
+)
+
+_REL_TRIPLES_SQL = """
+    WITH cust AS (
+      SELECT 'kb://customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+             c_name, c_mktsegment, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer),
+    tri AS (
+      SELECT subj, 'c_name' AS pred, c_name AS obj, FALSE AS obj_is_iri
+      FROM cust WHERE c_name IS NOT NULL
+      UNION ALL
+      SELECT subj, 'c_mktsegment', c_mktsegment, FALSE
+      FROM cust WHERE c_mktsegment IS NOT NULL
+      UNION ALL
+      SELECT subj, 'acctbal_cents', CAST(acctbal_cents AS VARCHAR), FALSE
+      FROM cust WHERE acctbal_cents IS NOT NULL
+      UNION ALL
+      SELECT subj, 'c_nationkey',
+             'kb://nation/' || CAST(c_nationkey AS VARCHAR), TRUE
+      FROM cust WHERE c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT 'kb://nation/' || CAST(n_nationkey AS VARCHAR), 'n_name',
+             n_name, FALSE
+      FROM nation WHERE n_name IS NOT NULL
+      UNION ALL
+      SELECT 'kb://nation/' || CAST(n_nationkey AS VARCHAR), 'n_regionkey',
+             'kb://region/' || CAST(n_regionkey AS VARCHAR), TRUE
+      FROM nation WHERE n_regionkey IS NOT NULL)
+    SELECT subj, pred, obj, obj_is_iri FROM tri
+"""
+
+
+def _rel_triples(spark, sf_dir):
+    from reden_spark.operators.relmap import TableMap, rel_triples
+
+    customer = _read(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    nation = _read(spark, sf_dir, "nation")
+    return rel_triples(
+        {"customer": customer, "nation": nation},
+        [
+            TableMap(
+                "customer",
+                pk="c_custkey",
+                literals=["c_name", "c_mktsegment", "acctbal_cents"],
+                refs={"c_nationkey": "nation"},
+            ),
+            TableMap(
+                "nation",
+                pk="n_nationkey",
+                literals=["n_name"],
+                refs={"n_regionkey": "region"},
+            ),
+        ],
+        base="kb://",
+    )
+
+
+@query("rel_triples", _REL_TRIPLES_SQL)
+def q_rel_triples(spark, sf_dir):
+    """R2RML-lite direct mapping (operators/relmap.rel_triples): the
+    relational front half of the reference's dump-based dictionary
+    build (DicoProcessingNEL.java consumes BnF/IdRef exports that were
+    themselves generated from catalogue tables) — FK columns become
+    refObjectMap IRIs, data columns typed literals, NULLs emit nothing.
+    Zero joins, zero shuffles: a pure projection per table."""
+    return _rel_triples(spark, sf_dir)
+
+
+@query(
+    "ntriples_canon",
+    """
+    WITH lit AS (
+      SELECT 'kb://doc/' || CAST(doc_id AS VARCHAR) AS subj,
+             'text' AS pred,
+             substring(text, 1, 40) || '"' || chr(92) || chr(10) || chr(9)
+               || 'end' AS obj,
+             FALSE AS obj_is_iri
+      FROM documents),
+    iri AS (
+      SELECT 'kb://doc/' || CAST(doc_id AS VARCHAR) AS subj,
+             'sameAs' AS pred,
+             'kb://mirror/' || CAST(doc_id AS VARCHAR) AS obj,
+             TRUE AS obj_is_iri
+      FROM documents WHERE doc_id % 7 = 0),
+    t AS (SELECT * FROM lit UNION ALL SELECT * FROM iri),
+    esc AS (
+      SELECT subj, pred, obj_is_iri,
+             replace(replace(replace(replace(replace(obj,
+               chr(92), chr(92) || chr(92)),
+               '"', chr(92) || '"'),
+               chr(10), chr(92) || 'n'),
+               chr(13), chr(92) || 'r'),
+               chr(9), chr(92) || 't') AS body,
+             obj
+      FROM t)
+    SELECT subj, pred,
+           '<' || subj || '> <' || pred || '> '
+             || CASE WHEN obj_is_iri THEN '<' || obj || '>'
+                     ELSE '"' || body || '"' END
+             || ' .' AS line
+    FROM esc
+    """,
+)
+def q_ntriples_canon(spark, sf_dir):
+    """Canonical N-Triples sink lines (sources/ntriples.to_ntriples):
+    the inverse of the reference's Jena ``model.read`` cache format
+    (GraphHandlerNEL.java:351-384) with full ECHAR literal escaping —
+    backslash first, then quote/LF/CR/TAB, so round-tripping through
+    parse_ntriples is the identity (pinned in tests).  Pure projection,
+    zero shuffles at any scale."""
+    from reden_spark.sources.ntriples import to_ntriples
+
+    docs = _read(spark, sf_dir, "documents")
+    lit = docs.select(
+        F.concat(F.lit("kb://doc/"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("text").alias("pred"),
+        F.concat(
+            F.substring("text", 1, 40), F.lit('"'), F.lit("\\"), F.lit("\n"),
+            F.lit("\t"), F.lit("end"),
+        ).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    iri = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("kb://doc/"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.concat(F.lit("kb://mirror/"), F.col("doc_id").cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+    return to_ntriples(lit.unionByName(iri))
+
+
+_MIS_ROUNDS = 8   # Luby finishes in 4 on this graph; fixpoint rounds are no-ops
+_JP_ROUNDS = 14   # JP priority-chain depth on the %2400/%6 graph is 13
+
+# jp_coloring runs on a sparser, wider cut of the orders graph: JP's
+# round count tracks the longest decreasing-priority path, which the
+# avg-degree of the kcore %3/%1200 graph pushes to 28 rounds; this
+# 1426-node / 2495-edge cut converges in 13 (measured by replaying the
+# exact rule in Python; fixpoint rounds past it are no-ops).
+_JP_EDGES_SQL = """
+    SELECT DISTINCT least(o_orderkey % 2400, o_custkey % 2400) AS src,
+           greatest(o_orderkey % 2400, o_custkey % 2400) AS dst
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 2400 <> o_custkey % 2400
+"""
+
+
+def _jp_edges(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 2400).cast("long")
+    b = (F.col("o_custkey") % 2400).cast("long")
+    return (
+        orders.filter((F.col("o_orderkey") % 6 == 0) & (a != b))
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .distinct()
+    )
+
+
+@query("mis_luby", luby_mis_oracle_sql(_KCORE_EDGES_SQL, rounds=_MIS_ROUNDS))
+def q_mis_luby(spark, sf_dir):
+    """Luby maximal independent set (operators/mis.luby_mis): the
+    conflict-free batch scheduler for parallel KG mutation — the
+    distributed-safe form of the reference's single-JVM sequential
+    fusion loop (GraphHandlerNEL).  md5 round-salted priorities make
+    every round bit-reproducible in the unrolled oracle."""
+    from reden_spark.operators.mis import luby_mis
+
+    return luby_mis(_kcore_edges(spark, sf_dir), rounds=_MIS_ROUNDS)
+
+
+@query("jp_coloring", jp_coloring_oracle_sql(_JP_EDGES_SQL, rounds=_JP_ROUNDS))
+def q_jp_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (operators/mis.jp_coloring):
+    iterated-MIS vertex coloring whose color classes ARE the
+    conflict-free update waves; colors bounded by max-degree + 1
+    (property pinned in tests), rounds oracle-unrolled."""
+    from reden_spark.operators.mis import jp_coloring
+
+    return jp_coloring(_jp_edges(spark, sf_dir), rounds=_JP_ROUNDS)
+
+
+@query(
+    "range_partition_plan",
+    """
+    WITH s AS (
+      SELECT l_partkey AS k FROM lineitem
+      WHERE substring(md5('rps:' || CAST(l_partkey AS VARCHAR)), 1, 3)
+            < '100'),
+    tiles AS (SELECT k, ntile(8) OVER (ORDER BY k) AS b FROM s),
+    bounds AS (
+      SELECT b, max(k) AS hi FROM tiles GROUP BY 1 HAVING b < 8),
+    asg AS (
+      SELECT 1 + (SELECT count(*) FROM bounds WHERE hi < l.l_partkey)
+               AS bucket,
+             l.l_partkey AS k
+      FROM lineitem l)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS lo, max(k) AS hi
+    FROM asg GROUP BY 1
+    """,
+)
+def q_range_partition_plan(spark, sf_dir):
+    """Deterministic balanced range-partition bounds
+    (operators/skew.range_partition_plan): the sorted-write pre-flight
+    that Spark's reservoir-sampled RangePartitioner can't make
+    reproducible — md5-predicate sample, ntile bounds, zero-shuffle
+    bucket assignment via one broadcast bound array."""
+    from reden_spark.operators.skew import range_partition_plan
+
+    return range_partition_plan(
+        _read(spark, sf_dir, "lineitem"), key="l_partkey", n_buckets=8
+    )
+
+
+@query(
+    "iri_validate",
+    f"""
+    WITH rel AS ({_REL_TRIPLES_SQL}),
+    planted AS (
+      SELECT CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'kb://doc ok/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'no-scheme-here/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'kb://doc/%G1-' || CAST(doc_id AS VARCHAR)
+               ELSE 'kb://doc/ok%2F' || CAST(doc_id AS VARCHAR)
+             END AS subj,
+             'selfclaim' AS pred, 'x' AS obj, FALSE AS obj_is_iri
+      FROM documents),
+    t AS (SELECT * FROM rel UNION ALL SELECT * FROM planted),
+    iris AS (
+      SELECT iri, CAST(count(*) AS BIGINT) AS n_uses FROM (
+        SELECT subj AS iri FROM t
+        UNION ALL SELECT pred FROM t
+        UNION ALL SELECT obj FROM t WHERE obj_is_iri) GROUP BY 1),
+    checks AS (
+      SELECT iri, n_uses,
+             regexp_matches(iri, '^[A-Za-z][A-Za-z0-9+.\\-]*:') AS has_scheme,
+             NOT regexp_matches(iri, '[ <>"{{}}|\\\\^`]')
+               AS no_illegal_chars,
+             NOT contains(regexp_replace(iri, '%[0-9A-Fa-f]{{2}}', '', 'g'),
+                          '%') AS pct_encoding_ok
+      FROM iris)
+    SELECT iri, n_uses, has_scheme, no_illegal_chars, pct_encoding_ok,
+           (has_scheme AND no_illegal_chars AND pct_encoding_ok) AS valid
+    FROM checks
+    """,
+)
+def q_iri_validate(spark, sf_dir):
+    """IRI syntax gate (operators/kg_quality.iri_validate): scheme /
+    illegal-char / percent-encoding checks over every IRI position,
+    offenders reported as data instead of Jena's whole-file reject
+    (GraphHandlerNEL.java model.read).  One map-side-combinable
+    DISTINCT, then a pure projection."""
+    from reden_spark.operators.kg_quality import iri_validate
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("kb://doc ok/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("no-scheme-here/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("kb://doc/%G1-"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("kb://doc/ok%2F"), F.col("doc_id").cast("string")))
+        .alias("subj"),
+        F.lit("selfclaim").alias("pred"),
+        F.lit("x").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    from reden_spark.operators.kg_quality import iri_validate as _iv
+
+    return _iv(_rel_triples(spark, sf_dir).unionByName(planted))

@@ -535,3 +535,49 @@ def asymmetric_pairs(triples: DataFrame, pred: str) -> DataFrame:
         F.col("obj").alias("subj"), F.col("subj").alias("obj")
     )
     return p.join(mirror, ["subj", "obj"], "left_anti")
+
+
+def iri_validate(triples: DataFrame) -> DataFrame:
+    """Syntactic IRI validation (RFC 3987-lite) over every IRI position
+    of a triple stream: (iri, n_uses, has_scheme, no_illegal_chars,
+    pct_encoding_ok, valid).
+
+    The ingest hygiene gate the dump-based reference never needed (Jena
+    rejects a whole file on one bad IRI — GraphHandlerNEL.java's
+    model.read would throw); at 10^12 triples the engine instead keeps
+    the scan alive and reports offenders as data, exactly like the
+    parse-salvage stance of sources/ntriples.parse_ntriples.
+
+    Checks (all RE2-safe, so the DuckDB oracle runs them verbatim):
+      has_scheme       — '^[A-Za-z][A-Za-z0-9+.\\-]*:'
+      no_illegal_chars — no space, <>"{}|\\^` or backslash anywhere
+      pct_encoding_ok  — stripping every valid %XX leaves no '%'
+                         (the lookahead-free formulation)
+
+    Scale shape: one DISTINCT on the IRI value (map-side combinable,
+    dedups the hot predicates), then a pure projection.
+    """
+    iris = (
+        triples.select(F.col("subj").alias("iri"))
+        .unionByName(triples.select(F.col("pred").alias("iri")))
+        .unionByName(
+            triples.filter(F.col("obj_is_iri")).select(F.col("obj").alias("iri"))
+            if "obj_is_iri" in triples.columns
+            else triples.select(F.col("obj").alias("iri")).limit(0)
+        )
+        .groupBy("iri")
+        .agg(F.count("*").alias("n_uses"))
+    )
+    has_scheme = F.col("iri").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    no_illegal = ~F.col("iri").rlike(r'[ <>"{}|\\^`]')
+    pct_ok = ~F.contains(
+        F.regexp_replace(F.col("iri"), r"%[0-9A-Fa-f]{2}", ""), F.lit("%")
+    )
+    return iris.select(
+        "iri",
+        "n_uses",
+        has_scheme.alias("has_scheme"),
+        no_illegal.alias("no_illegal_chars"),
+        pct_ok.alias("pct_encoding_ok"),
+        (has_scheme & no_illegal & pct_ok).alias("valid"),
+    )

@@ -1,0 +1,239 @@
+"""Luby's maximal independent set + Jones–Plassmann greedy coloring.
+
+Why these belong in a KG-construction engine: parallel KG *mutation* —
+entity merges (sameAs fusion), in-place canon rewrites, per-node
+enrichment with cross-edge invariants — is only safe when the touched
+nodes are pairwise non-adjacent.  An MIS round picks a maximal
+conflict-free batch; iterated MIS (= greedy coloring) partitions the
+whole vertex set into conflict-free waves, so a 10^12-node update runs
+as `n_colors` embarrassingly-parallel passes instead of one lock-ridden
+sequential sweep.  The reference mutates its disambiguation graph
+single-threaded inside one JVM (GraphHandlerNEL's fusion loop); this is
+the distributed-safe equivalent of that scheduling decision.
+
+Determinism: per-round priorities are md5 over a literal-salted node id
+— identical in Spark and DuckDB, so the unrolled-CTE oracle reproduces
+every round bit-for-bit (the house pattern from kcore/ktruss/anf).
+
+Scale shape (10^12 edges): each round is two semi-joins + one min-
+aggregate, all hash exchanges on the node key; the active set shrinks
+geometrically (Luby: expected ≥ half the EDGES retire per round), so
+rounds are O(log n) and AQE re-plans the joins as the frontier
+collapses.  Per-round ``localCheckpoint`` cuts the 3^rounds Catalyst
+plan growth (the measured kcore/ktruss pathology).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def luby_mis(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Maximal independent set: (node, round_selected).
+
+    Per round r every still-active node draws priority
+    ``md5('mis{r}:' || node)``; a node joins the MIS iff its priority is
+    strictly below every active neighbor's (or it has none).  Winners
+    and their neighbors retire.  A fixed ``rounds`` with convergence
+    before it yields the exact MIS (later rounds are no-ops on an empty
+    active set), which is what the unrolled oracle relies on.
+    """
+    sym = _sym(edges).persist()
+    active = _nodes(edges).localCheckpoint(eager=False)
+    out = None
+    for r in range(1, rounds + 1):
+        if active.isEmpty():
+            break
+        pri = active.select(
+            "node",
+            F.md5(F.concat(F.lit(f"mis{r}:"), F.col("node").cast("string"))).alias("pr"),
+        )
+        # neighbor minima over ACTIVE edges only: semi-join both sides
+        act_e = (
+            sym.join(active.withColumnRenamed("node", "u"), "u", "semi")
+            .join(active.withColumnRenamed("node", "v"), "v", "semi")
+        )
+        nbr_min = (
+            act_e.join(pri.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("pr").alias("nbr"))
+        )
+        winners = (
+            pri.join(nbr_min, "node", "left")
+            .filter(F.col("nbr").isNull() | (F.col("pr") < F.col("nbr")))
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        picked = winners.select("node", F.lit(r).cast("long").alias("round_selected"))
+        out = picked if out is None else out.unionByName(picked)
+        removed = winners.unionByName(
+            act_e.join(winners.withColumnRenamed("node", "v"), "v", "semi")
+            .select(F.col("u").alias("node"))
+        ).distinct()
+        active = active.join(removed, "node", "anti").localCheckpoint(eager=False)
+    sym.unpersist()
+    if out is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, round_selected long")
+    return out
+
+
+def luby_mis_oracle_sql(edges_sql: str, rounds: int = 8) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`luby_mis` (same priorities,
+    same strict-< rule, same round count)."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({edges_sql}),",
+        "s0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM base"
+        " UNION SELECT dst, src FROM base),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM s0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+      SELECT node, md5('mis{i}:' || CAST(node AS VARCHAR)) AS pr FROM a{i - 1}),
+    e{i} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s0 s
+      JOIN a{i - 1} x ON s.u = x.node JOIN a{i - 1} y ON s.v = y.node),
+    nm{i} AS (
+      SELECT e.u AS node, min(p.pr) AS nbr
+      FROM e{i} e JOIN p{i} p ON e.v = p.node GROUP BY 1),
+    w{i} AS MATERIALIZED (
+      SELECT p.node FROM p{i} p LEFT JOIN nm{i} n ON p.node = n.node
+      WHERE n.nbr IS NULL OR p.pr < n.nbr),
+    m{i} AS (SELECT node, {i} AS round_selected FROM w{i}),
+    a{i} AS MATERIALIZED (
+      SELECT node FROM a{i - 1}
+      WHERE node NOT IN (SELECT node FROM w{i})
+        AND node NOT IN (SELECT e.u FROM e{i} e
+                         JOIN w{i} w ON e.v = w.node))""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, rounds + 1))
+    parts.append(
+        f"\n    SELECT node, CAST(round_selected AS BIGINT) AS round_selected"
+        f" FROM ({union})"
+    )
+    return "".join(parts)
+
+
+def jp_coloring(edges: DataFrame, rounds: int = 12) -> DataFrame:
+    """Jones–Plassmann greedy coloring: (node, color).
+
+    Static priority ``md5('jp:' || node)``; per round every uncolored
+    node whose priority strictly exceeds all uncolored neighbors' takes
+    the smallest color (0-based) absent from its already-colored
+    neighborhood.  Colors are bounded by max-degree + 1; the per-wave
+    vertex sets ARE the conflict-free update batches.  Fixed rounds +
+    early convergence, oracle-unrolled like :func:`luby_mis`.
+    """
+    sym = _sym(edges).persist()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    state = deg.select(
+        "node",
+        "deg",
+        F.md5(F.concat(F.lit("jp:"), F.col("node").cast("string"))).alias("pr"),
+        F.lit(None).cast("long").alias("color"),
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        # ONE neighbor pass per round carries both signals: the max
+        # priority over still-uncolored neighbors (the winner test) and
+        # the color set over colored ones (the palette); collect_set
+        # drops the NULL arms, so both ride the same groupBy
+        nb = (
+            sym.join(
+                state.select(
+                    F.col("node").alias("v"), F.col("pr").alias("vpr"), "color"
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(
+                F.max(F.when(F.col("color").isNull(), F.col("vpr"))).alias("nbr_pr"),
+                F.collect_set("color").alias("used"),
+            )
+        )
+        st = state.join(nb, "node", "left")
+        # smallest color absent from the colored neighborhood: |used| <=
+        # deg, so 0..deg always contains a free value — pure projection
+        free = F.element_at(
+            F.filter(
+                F.sequence(F.lit(0), F.col("deg").cast("int")),
+                lambda c: ~F.array_contains(
+                    F.coalesce(F.col("used"), F.array()), c.cast("long")
+                ),
+            ),
+            1,
+        ).cast("long")
+        wins = F.col("nbr_pr").isNull() | (F.col("pr") > F.col("nbr_pr"))
+        state = st.select(
+            "node",
+            "deg",
+            "pr",
+            F.when(F.col("color").isNotNull(), F.col("color"))
+            .when(wins, free)
+            .alias("color"),
+        ).localCheckpoint(eager=False)
+    sym.unpersist()
+    return state.filter(F.col("color").isNotNull()).select("node", "color")
+
+
+def jp_coloring_oracle_sql(edges_sql: str, rounds: int = 12) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`jp_coloring`."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({edges_sql}),",
+        "s0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM base"
+        " UNION SELECT dst, src FROM base),",
+        "pri AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg,"
+        " md5('jp:' || CAST(u AS VARCHAR)) AS pr FROM s0 GROUP BY 1),",
+        "u0 AS MATERIALIZED (SELECT node FROM pri),",
+        "c0 AS MATERIALIZED (SELECT node, CAST(NULL AS BIGINT) AS color"
+        " FROM pri WHERE 1 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    nm{i} AS (
+      SELECT s.u AS node, max(p.pr) AS nbr
+      FROM s0 s
+      JOIN u{i - 1} x ON s.u = x.node JOIN u{i - 1} y ON s.v = y.node
+      JOIN pri p ON s.v = p.node GROUP BY 1),
+    w{i} AS MATERIALIZED (
+      SELECT p.node, p.deg FROM pri p
+      JOIN u{i - 1} a ON p.node = a.node
+      LEFT JOIN nm{i} n ON p.node = n.node
+      WHERE n.nbr IS NULL OR p.pr > n.nbr),
+    cand{i} AS (
+      SELECT w.node, gs.c FROM w{i} w,
+      LATERAL (SELECT unnest(generate_series(0, CAST(w.deg AS INTEGER))) AS c) gs),
+    used{i} AS (
+      SELECT DISTINCT s.u AS node, c.color AS c
+      FROM s0 s JOIN w{i} w ON s.u = w.node
+      JOIN c{i - 1} c ON s.v = c.node),
+    pick{i} AS MATERIALIZED (
+      SELECT cd.node, CAST(min(cd.c) AS BIGINT) AS color
+      FROM cand{i} cd
+      WHERE NOT EXISTS (SELECT 1 FROM used{i} u2
+                        WHERE u2.node = cd.node AND u2.c = cd.c)
+      GROUP BY 1),
+    c{i} AS MATERIALIZED (
+      SELECT node, color FROM c{i - 1}
+      UNION ALL SELECT node, color FROM pick{i}),
+    u{i} AS MATERIALIZED (
+      SELECT node FROM u{i - 1}
+      WHERE node NOT IN (SELECT node FROM pick{i}))""")
+    parts.append(f"\n    SELECT node, color FROM c{rounds}")
+    return "".join(parts)

@@ -17,7 +17,7 @@ broadcast back inside an IN-set — no full shuffle added.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__reden_salt"
@@ -209,3 +209,56 @@ def consistent_shards(
     return chosen.join(
         F.broadcast(ring.withColumnRenamed("rh", "ring_hash")), "ring_hash"
     ).select("key", F.col("shard").cast("long").alias("shard"), "ring_hash")
+
+
+def range_partition_plan(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    sample_prefix_lt: str = "100",
+) -> DataFrame:
+    """Balanced range-partition bounds for a sorted write, as data:
+    (bucket, n_rows, lo, hi).
+
+    The pre-flight for globally-sorted / z-ordered table layouts at
+    fleet scale: a full sort needs range bounds, and Spark's built-in
+    RangePartitioner samples NON-deterministically (reservoir seeded by
+    partition id), so two runs of the same job can write different file
+    splits — poison for content-hash lineage.  This planner makes the
+    sample a pure deterministic predicate: keep keys whose
+    ``md5('rps:' || key)`` hex starts below ``sample_prefix_lt``
+    (3 hex digits => rate = int(prefix,16)/4096), rank the sample once
+    with ``ntile(n)``, and take per-tile maxima as the bounds.
+
+    Bucket assignment for the FULL table is then a zero-shuffle
+    projection: the n-1 bounds broadcast as one sorted array literal and
+    ``bucket = 1 + #(bounds < key)`` — so the plan's only exchange is
+    the final per-bucket count.  The single-partition ntile window runs
+    over the SAMPLE only (bounded by construction, the same pattern as
+    sample_quantile_sketch).
+
+    Equal keys straddling a tile boundary are safe: ntile is positional
+    on the sorted order and equal values are interchangeable, so the
+    per-tile max is deterministic either way.
+    """
+    kc = F.col(key)
+    sample = df.filter(
+        F.substring(F.md5(F.concat(F.lit("rps:"), kc.cast("string"))), 1, 3)
+        < F.lit(sample_prefix_lt)
+    )
+    w = Window.orderBy(kc)
+    tiles = sample.select(kc.alias("k"), F.ntile(n_buckets).over(w).alias("b"))
+    bounds = (
+        tiles.groupBy("b").agg(F.max("k").alias("hi")).filter(F.col("b") < n_buckets)
+    )
+    # the n-1 bounds as ONE sorted array scalar -> broadcast literal
+    barr = bounds.agg(F.sort_array(F.collect_list("hi")).alias("bs"))
+    assigned = df.crossJoin(F.broadcast(barr)).select(
+        (
+            1 + F.size(F.filter(F.col("bs"), lambda x: x < kc))
+        ).cast("long").alias("bucket"),
+        kc.alias("k"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"), F.min("k").alias("lo"), F.max("k").alias("hi")
+    )

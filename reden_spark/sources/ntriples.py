@@ -35,11 +35,61 @@ def parse_ntriples(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.regexp_extract(v, _LINE, 4).alias("lit_obj"),
     ).filter(F.col("subj") != "")
     obj = F.when(F.col("iri_obj") != "", F.col("iri_obj")).otherwise(
-        F.regexp_replace(
-            F.regexp_replace(F.col("lit_obj"), r'\\"', '"'), r"\\\\", r"\\"
-        )
+        _unescape(F.col("lit_obj"))
     )
     return parsed.select("subj", "pred", obj.alias("obj"))
+
+
+# N-Triples string-literal escapes (W3C N-Triples §2.3 ECHAR subset the
+# serializer below emits).  Unescaping is ORDER-SENSITIVE: "\\n" is an
+# escaped backslash followed by a literal n, not a newline — so a naive
+# replace chain that handles \n before \\ corrupts it.  Single-pass
+# semantics via a sentinel: park \\ as NUL (which cannot appear in a
+# valid N-Triples literal — control chars MUST be escaped), unescape the
+# short forms, then restore the backslashes.
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def _unescape(col):
+    nul = F.lit("\x00")
+    out = F.replace(col, F.lit("\\\\"), nul)
+    for raw, esc in _ESCAPES[1:]:
+        out = F.replace(out, F.lit(esc), F.lit(raw))
+    return F.replace(out, nul, F.lit("\\"))
+
+
+def escape_literal(col):
+    """Escape a string column into the N-Triples literal body (ECHAR
+    forms for backslash, quote, LF, CR, TAB — backslash first so later
+    rewrites can't double-escape)."""
+    out = col
+    for raw, esc in _ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def to_ntriples(triples: DataFrame, obj_is_iri: str | None = "obj_is_iri") -> DataFrame:
+    """``(subj, pred, obj[, obj_is_iri])`` → canonical N-Triples
+    ``line`` strings (one triple per line, escaped literal bodies,
+    ``<>``-wrapped IRIs).  The inverse of :func:`parse_ntriples` —
+    ``parse(to_ntriples(t)) == t`` is pinned by tests.
+
+    Scale shape: pure projection, zero shuffles; a 10^12-triple dump is
+    written straight from the partitioned triple table with no exchange.
+    """
+    is_iri = (
+        F.col(obj_is_iri)
+        if obj_is_iri and obj_is_iri in triples.columns
+        else F.lit(False)
+    )
+    rendered = F.when(is_iri, F.concat(F.lit("<"), F.col("obj"), F.lit(">"))).otherwise(
+        F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
+    )
+    line = F.concat(
+        F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
+        rendered, F.lit(" ."),
+    )
+    return triples.select("subj", "pred", line.alias("line"))
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,188 @@
+"""Round-5 wave 1: MIS / JP coloring properties, R2RML-lite direct
+mapping, canonical N-Triples escaping roundtrip, range-partition
+planning, IRI validation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# a 10-node graph: a 5-cycle, a triangle sharing node 0, and an isolated
+# edge — small enough to check MIS/coloring properties by hand
+_G = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
+    (0, 5), (5, 6), (6, 0),
+    (7, 8),
+]
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    from reden_spark.operators.mis import luby_mis
+
+    e = _edges(spark, _G)
+    mis = {r.node for r in luby_mis(e, rounds=8).collect()}
+    adj = {}
+    for a, b in _G:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no edge inside the MIS
+    for a, b in _G:
+        assert not (a in mis and b in mis), f"adjacent MIS pair {a},{b}"
+    # maximality: every outside node has a MIS neighbor
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, f"node {v} has no MIS neighbor"
+
+
+def test_luby_mis_matches_python_replay(spark):
+    """Exact replay of the round-salted rule gives the same set AND the
+    same selection round."""
+    import hashlib
+
+    from reden_spark.operators.mis import luby_mis
+
+    adj = {}
+    for a, b in _G:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active, expect = set(adj), {}
+    r = 0
+    while active:
+        r += 1
+        pr = {v: hashlib.md5(f"mis{r}:{v}".encode()).hexdigest() for v in active}
+        win = [v for v in active
+               if all(pr[v] < pr[u] for u in adj[v] if u in active)]
+        for v in win:
+            expect[v] = r
+        rm = set(win)
+        for v in win:
+            rm |= adj[v] & active
+        active -= rm
+    got = {r_.node: r_.round_selected
+           for r_ in luby_mis(_edges(spark, _G), rounds=8).collect()}
+    assert got == expect
+
+
+def test_jp_coloring_proper_complete_bounded(spark):
+    from reden_spark.operators.mis import jp_coloring
+
+    colors = {r.node: r.color
+              for r in jp_coloring(_edges(spark, _G), rounds=12).collect()}
+    adj = {}
+    for a, b in _G:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(colors) == set(adj), "every node colored"
+    for a, b in _G:
+        assert colors[a] != colors[b], f"edge {a},{b} monochrome"
+    maxdeg = max(len(v) for v in adj.values())
+    assert max(colors.values()) <= maxdeg  # <= maxdeg+1 colors, 0-based
+
+
+def test_jp_color_classes_are_conflict_free_waves(spark):
+    """The operational point: each color class is an independent set."""
+    from reden_spark.operators.mis import jp_coloring
+
+    rows = jp_coloring(_edges(spark, _G), rounds=12).collect()
+    by_color = {}
+    for r in rows:
+        by_color.setdefault(r.color, set()).add(r.node)
+    for cls in by_color.values():
+        for a, b in _G:
+            assert not (a in cls and b in cls)
+
+
+def test_ntriples_roundtrip_nasty_literals(spark):
+    from reden_spark.sources.ntriples import parse_ntriples, to_ntriples
+
+    nasty = [
+        ('quote', '"quoted"'),
+        ('newline', 'line1\nline2'),
+        ('tab_cr', 'a\tb\rc'),
+        ('backslash', 'back\\slash'),
+        # the order-sensitivity case: literal backslash + literal n must
+        # NOT come back as a newline
+        ('bs_n', 'not\\na newline'),
+        ('all', '\\"\n\t\r\\\\'),
+    ]
+    t = spark.createDataFrame(
+        [(f"kb://s/{k}", "p", v, False) for k, v in nasty]
+        + [("kb://s/iri", "sameAs", "kb://o/1", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    lines = to_ntriples(t).select(F.col("line").alias("value"))
+    back = {(r.subj, r.pred): r.obj for r in parse_ntriples(lines).collect()}
+    for k, v in nasty:
+        assert back[(f"kb://s/{k}", "p")] == v, k
+    assert back[("kb://s/iri", "sameAs")] == "kb://o/1"
+
+
+def test_rel_triples_nulls_and_fk_iris(spark):
+    from reden_spark.operators.relmap import TableMap, map_table
+
+    df = spark.createDataFrame(
+        [(1, "alice", 10), (2, None, None)],
+        "id long, name string, org_id long",
+    )
+    rows = map_table(
+        df,
+        TableMap("person", pk="id", literals=["name"], refs={"org_id": "org"}),
+        base="kb://",
+    ).collect()
+    got = {(r.subj, r.pred): (r.obj, r.obj_is_iri) for r in rows}
+    assert got[("kb://person/1", "name")] == ("alice", False)
+    assert got[("kb://person/1", "org_id")] == ("kb://org/10", True)
+    # NULL columns emit NO triple (R2RML semantics)
+    assert len(rows) == 2
+    assert not any(r.subj == "kb://person/2" for r in rows)
+
+
+def test_range_partition_plan_partitions_everything(spark):
+    from reden_spark.operators.skew import range_partition_plan
+
+    df = spark.range(0, 5000).select((F.col("id") * 37 % 1009).alias("k"))
+    plan = range_partition_plan(df, key="k", n_buckets=8).orderBy("bucket")
+    rows = plan.collect()
+    assert sum(r.n_rows for r in rows) == 5000
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    # ranges are disjoint and ordered: each bucket's lo exceeds the
+    # previous bucket's hi
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi < cur.lo
+    # rough balance: no bucket holds more than 3x its fair share
+    assert max(r.n_rows for r in rows) <= 3 * 5000 // 8
+
+
+def test_range_partition_plan_deterministic(spark):
+    from reden_spark.operators.skew import range_partition_plan
+
+    df = spark.range(0, 3000).select((F.col("id") % 523).alias("k"))
+    a = sorted(map(tuple, range_partition_plan(df, "k", 4).collect()))
+    b = sorted(map(tuple, range_partition_plan(df, "k", 4).collect()))
+    assert a == b
+
+
+def test_iri_validate_flags(spark):
+    from reden_spark.operators.kg_quality import iri_validate
+
+    t = spark.createDataFrame(
+        [
+            ("kb://good/x", "p:ok", "kb://ref/ok%2F", True),
+            ("kb://bad space/x", "p:ok", "lit", False),
+            ("no-scheme/x", "p:ok", "lit", False),
+            ("kb://pct/%G1", "p:ok", "lit", False),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    got = {r.iri: r for r in iri_validate(t).collect()}
+    assert got["kb://good/x"].valid
+    assert got["kb://ref/ok%2F"].valid and got["kb://ref/ok%2F"].pct_encoding_ok
+    assert not got["kb://bad space/x"].no_illegal_chars
+    assert not got["no-scheme/x"].has_scheme
+    assert not got["kb://pct/%G1"].pct_encoding_ok
+    # predicate positions are validated too, and uses are counted
+    assert got["p:ok"].n_uses == 4
