@@ -14068,3 +14068,235 @@ def q_iri_validate(spark, sf_dir):
     from reden_spark.operators.kg_quality import iri_validate as _iv
 
     return _iv(_rel_triples(spark, sf_dir).unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 2: Louvain local move, SPARQL OPTIONAL/MINUS, greedy
+# maximal matching (the ER 1:1 assignment), multimodal MIME sniffing.
+
+from reden_spark.operators.matching import greedy_matching_oracle_sql  # noqa: E402
+
+_LOUVAIN_SQL = f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM base
+      UNION SELECT dst, src FROM base),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS ku FROM sym GROUP BY 1),
+    lab AS (SELECT u AS node, u % 40 AS label FROM deg),
+    mm AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM sym),
+    tot AS (
+      SELECT l.label AS comm, CAST(sum(d.ku) AS BIGINT) AS tot
+      FROM deg d JOIN lab l ON d.u = l.node GROUP BY 1),
+    kub AS (
+      SELECT s.u, l.label AS b, CAST(count(*) AS BIGINT) AS kub
+      FROM sym s JOIN lab l ON s.v = l.node GROUP BY 1, 2),
+    st AS (
+      SELECT d.u, d.ku, l.label AS lu, coalesce(k.kub, 0) AS kua,
+             t.tot AS tota, (SELECT m FROM mm) AS m
+      FROM deg d JOIN lab l ON d.u = l.node
+      LEFT JOIN kub k ON k.u = d.u AND k.b = l.label
+      JOIN tot t ON t.comm = l.label),
+    cand AS (
+      SELECT st.u, st.lu, k.b,
+             2 * st.m * (k.kub - st.kua)
+               + st.ku * (st.tota - st.ku - t2.tot) AS gain
+      FROM st JOIN kub k ON k.u = st.u AND k.b <> st.lu
+      JOIN tot t2 ON t2.comm = k.b),
+    best AS (
+      SELECT u, b, gain,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY gain DESC, b ASC) AS rn
+      FROM cand)
+    SELECT l.node, l.label AS old_label,
+           coalesce(CASE WHEN bs.gain > 0 THEN bs.b END, l.label)
+             AS new_label,
+           CAST(coalesce(CASE WHEN bs.gain > 0 THEN bs.gain END, 0)
+                AS BIGINT) AS gain_2m2
+    FROM lab l
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) bs ON bs.u = l.node
+"""
+
+
+@query("louvain_move", _LOUVAIN_SQL)
+def q_louvain_move(spark, sf_dir):
+    """Synchronous Louvain local-move pass (operators/communities.
+    louvain_move) refining a hash-partition labeling (node % 40):
+    exact integer modularity gains scaled by 2m², argmax per node,
+    Jacobi-style so the pass is node-order independent (the property
+    sequential Louvain lacks and a distributed engine needs)."""
+    from reden_spark.operators.communities import louvain_move
+
+    edges = _kcore_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", (F.col("node") % 40).alias("label"))
+    return louvain_move(edges, labels)
+
+
+_VIP_TRIPLES_SQL = f"""
+    SELECT * FROM ({_REL_TRIPLES_SQL})
+    UNION ALL
+    SELECT 'kb://customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+           'vip_tier' AS pred, 'gold' AS obj, FALSE AS obj_is_iri
+    FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+def _vip_triples(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    vip = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.concat(F.lit("kb://customer/"), F.col("c_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("vip_tier").alias("pred"),
+        F.lit("gold").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    return _rel_triples(spark, sf_dir).unionByName(vip)
+
+
+@query(
+    "optional_match",
+    f"""
+    WITH t AS MATERIALIZED ({_VIP_TRIPLES_SQL}),
+    req AS (SELECT DISTINCT subj AS c, obj AS seg FROM t
+            WHERE pred = 'c_mktsegment'),
+    opt AS (SELECT DISTINCT subj AS c, obj AS tier FROM t
+            WHERE pred = 'vip_tier')
+    SELECT req.c, req.seg, opt.tier
+    FROM req LEFT JOIN opt ON req.c = opt.c
+    """,
+)
+def q_optional_match(spark, sf_dir):
+    """SPARQL OPTIONAL (operators/bgp.optional_match): the pattern
+    {{ ?c c_mktsegment ?seg . OPTIONAL {{ ?c vip_tier ?tier }} }} over
+    the direct-mapped customer KG with planted partial vip triples —
+    unmatched optionals surface as NULL tier, the left-join semantics
+    the reference's SPARQL sources rely on (QuerySource.java issues
+    OPTIONAL-bearing queries against the endpoints)."""
+    from reden_spark.operators.bgp import optional_match
+
+    return optional_match(
+        _vip_triples(spark, sf_dir),
+        required=[("?c", "c_mktsegment", "?seg")],
+        optional=[("?c", "vip_tier", "?tier")],
+    )
+
+
+@query(
+    "bgp_minus",
+    f"""
+    WITH t AS MATERIALIZED ({_VIP_TRIPLES_SQL}),
+    base AS (SELECT DISTINCT subj AS c, obj AS n FROM t
+             WHERE pred = 'c_nationkey'),
+    neg AS (SELECT DISTINCT subj AS c FROM t WHERE pred = 'vip_tier')
+    SELECT base.c, base.n FROM base
+    WHERE base.c NOT IN (SELECT c FROM neg)
+    """,
+)
+def q_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (operators/bgp.bgp_minus): solutions of
+    {{ ?c c_nationkey ?n }} minus those compatible with
+    {{ ?c vip_tier ?t }} on the shared ?c — one narrow anti-join."""
+    from reden_spark.operators.bgp import bgp_minus
+
+    return bgp_minus(
+        _vip_triples(spark, sf_dir),
+        patterns=[("?c", "c_nationkey", "?n")],
+        minus=[("?c", "vip_tier", "?t")],
+    )
+
+
+_MATCH_PAIRS_SQL = """
+    SELECT a, b, max(score) AS score FROM (
+      SELECT o_custkey % 500 AS a, o_orderkey % 700 AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score
+      FROM orders) GROUP BY 1, 2
+"""
+_MATCH_ROUNDS = 6
+
+
+def _match_pairs(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_custkey") % 500).alias("a"),
+            (F.col("o_orderkey") % 700).alias("b"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("score").alias("score"))
+    )
+
+
+@query(
+    "greedy_matching",
+    greedy_matching_oracle_sql(_MATCH_PAIRS_SQL, rounds=_MATCH_ROUNDS),
+)
+def q_greedy_matching(spark, sf_dir):
+    """Locally-dominant greedy maximal matching (operators/matching.
+    greedy_matching): the ER 1:1 assignment — er_reciprocal_best
+    iterated to the fixpoint, so each record ends matched to at most
+    one partner and no candidate edge between two unmatched records
+    survives.  Integer scores, total (score, a, b) order, rounds
+    oracle-unrolled."""
+    from reden_spark.operators.matching import greedy_matching
+
+    return greedy_matching(_match_pairs(spark, sf_dir), rounds=_MATCH_ROUNDS)
+
+
+@query(
+    "mime_sniff",
+    """
+    WITH blobs AS (
+      SELECT doc_id AS media_id,
+             from_hex(
+               CASE CAST(doc_id % 6 AS INTEGER)
+                 WHEN 0 THEN '89504E47'
+                 WHEN 1 THEN 'FFD8FFE0'
+                 WHEN 2 THEN '47494638'
+                 WHEN 3 THEN '25504446'
+                 WHEN 4 THEN '504B0304'
+                 ELSE '00112233'
+               END || md5(text)) AS data
+      FROM documents)
+    SELECT media_id, substring(hex(data), 1, 16) AS magic16,
+           CASE
+             WHEN starts_with(hex(data), '89504E47') THEN 'image/png'
+             WHEN starts_with(hex(data), '47494638') THEN 'image/gif'
+             WHEN starts_with(hex(data), '25504446') THEN 'application/pdf'
+             WHEN starts_with(hex(data), '504B0304') THEN 'application/zip'
+             WHEN starts_with(hex(data), 'FFD8FF') THEN 'image/jpeg'
+             WHEN starts_with(hex(data), '1F8B') THEN 'application/gzip'
+             ELSE 'application/octet-stream'
+           END AS mime
+    FROM blobs
+    """,
+)
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME detection (multimodal.mime_sniff): the codec-free
+    first gate of multimodal ingest, fully JVM-side (hex prefix of the
+    first 8 bytes), over deterministically magic-prefixed blobs derived
+    from the documents table.  Unlike the decode kernels (sandbox-
+    stubbed), this multimodal operator is real AND oracled."""
+    from reden_spark.multimodal import mime_sniff
+
+    docs = _read(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                F.element_at(
+                    F.array(
+                        F.lit("89504E47"), F.lit("FFD8FFE0"), F.lit("47494638"),
+                        F.lit("25504446"), F.lit("504B0304"), F.lit("00112233"),
+                    ),
+                    (F.col("doc_id") % 6).cast("int") + 1,
+                ),
+                F.md5("text"),
+            )
+        ).alias("data"),
+    )
+    return mime_sniff(blobs)

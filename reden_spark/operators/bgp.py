@@ -162,3 +162,51 @@ def path_match(triples: DataFrame, path: str, max_rounds: int = 20) -> DataFrame
             .dropDuplicates(["src", "dst"])
         )
     return acc
+
+
+def optional_match(
+    triples: DataFrame,
+    required: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL OPTIONAL: solutions of ``required`` left-extended by the
+    ``optional`` group — unmatched optionals leave their variables
+    NULL, matched ones multiply solutions (standard OPTIONAL
+    cardinality).  The groups must share at least one variable (a
+    disjoint OPTIONAL is a cross product in the spec; this engine
+    rejects it the same way bgp_match rejects disjoint joins).
+
+    Scale shape: two independent BGP subplans joined ONCE with a left
+    join on the shared variables — Catalyst/AQE pick broadcast vs
+    shuffle per side exactly as for the inner-join case."""
+    req = bgp_match(triples, required)
+    opt = bgp_match(triples, optional)
+    shared = [c for c in req.columns if c in opt.columns]
+    if not shared:
+        raise ValueError(
+            f"OPTIONAL group shares no variable with {req.columns}"
+        )
+    return req.join(opt, shared, "left")
+
+
+def bgp_minus(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    minus: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL MINUS: drop solutions of ``patterns`` that are compatible
+    with some solution of the ``minus`` group on their shared
+    variables.  Per the SPARQL 1.1 spec (§8.3.3) a MINUS group sharing
+    NO variables removes nothing — that case returns the base
+    solutions unchanged rather than raising, because it is
+    well-defined (if surprising) SPARQL.
+
+    Scale shape: one anti-join on the shared variables; the minus side
+    is pre-projected and deduped to the shared columns so the anti-join
+    key is as narrow as possible."""
+    base = bgp_match(triples, patterns)
+    neg = bgp_match(triples, minus)
+    shared = [c for c in base.columns if c in neg.columns]
+    if not shared:
+        return base
+    return base.join(neg.select(*shared).distinct(), shared, "anti")

@@ -226,3 +226,92 @@ def modularity_terms(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("q_num"),
         )
     )
+
+
+def louvain_move(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous Louvain local-move pass (Blondel et al. 2008
+    §2): every node evaluates moving to each neighboring community and
+    takes the best strictly-positive modularity gain, all decisions
+    made against the INPUT labeling (Jacobi-style, so the pass is
+    order-independent and reproducible — sequential Louvain's
+    node-order dependence is exactly what a distributed engine can't
+    allow).  Returns (node, old_label, new_label, gain_2m2): the gain
+    of moving u from A to B, scaled by 2m² so it stays an exact
+    integer (no float Q anywhere):
+
+        gain_2m2 = 2m·(k_uB − k_uA') + k_u·(Σtot_A' − Σtot_B)
+
+    with A' = A minus u (k_uA' = u's edges into its own community,
+    Σtot_A' = Σtot_A − k_u).  new_label = argmax_B gain if > 0 else
+    old; ties break to the smallest community id.  Compose with
+    modularity_terms as the acceptance gate and iterate from LPA/CC
+    seeds — one pass per engine round-trip, the usual fleet-scale
+    schedule.
+
+    Scale shape (10^12 edges): one edge-key join to tag neighbor
+    labels, one (node, community) count, two broadcast side tables
+    (community totals, global m), one per-node window over the
+    candidate communities (bounded by the node's distinct neighbor
+    labels, ≤ degree).  No driver state, no iteration inside the pass.
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("ku"))
+    m_df = sym.agg((F.count("*") / 2).cast("long").alias("m"))
+    lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    tot = (
+        deg.join(lab_u, "u")
+        .groupBy(F.col("lu").alias("comm"))
+        .agg(F.sum("ku").cast("long").alias("tot"))
+    )
+    # k_uB: u's edge count into each neighboring community B
+    kub = (
+        sym.join(labels.select(F.col("node").alias("v"), F.col("label").alias("b")), "v")
+        .groupBy("u", "b")
+        .agg(F.count("*").cast("long").alias("kub"))
+    )
+    base = (
+        deg.join(lab_u, "u")
+        .join(m_df.hint("broadcast"))
+        .join(
+            kub.select("u", F.col("b").alias("lu"), F.col("kub").alias("kua")),
+            ["u", "lu"],
+            "left",
+        )
+        .na.fill({"kua": 0})
+        .join(tot.select(F.col("comm").alias("lu"), F.col("tot").alias("tota")), "lu")
+    )
+    cand = (
+        base.join(kub, "u")
+        .filter(F.col("b") != F.col("lu"))
+        .join(tot.select(F.col("comm").alias("b"), F.col("tot").alias("totb")), "b")
+        .withColumn(
+            "gain",
+            2 * F.col("m") * (F.col("kub") - F.col("kua"))
+            + F.col("ku") * (F.col("tota") - F.col("ku") - F.col("totb")),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("gain").desc(), F.col("b").asc())
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select("u", F.col("b").alias("new_b"), F.col("gain").alias("gain_2m2"))
+    )
+    out = (
+        lab_u.join(best, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("lu").alias("old_label"),
+            F.coalesce("new_b", "lu").alias("new_label"),
+            F.coalesce("gain_2m2", F.lit(0)).cast("long").alias("gain_2m2"),
+        )
+    )
+    return out

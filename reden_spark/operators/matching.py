@@ -1,0 +1,98 @@
+"""Locally-dominant greedy maximal matching over a scored pair graph.
+
+The 1:1 assignment step of entity resolution: after er_pair_scores /
+er_reciprocal_best produce scored candidate pairs, KB population often
+needs each left record matched to AT MOST ONE right record and vice
+versa (one mention ↔ one entity, one catalogue row ↔ one authority
+record).  Sequential greedy (sort by score, sweep) is inherently
+serial; the distributed-safe equivalent is the locally-dominant edge
+rule (Preis 1999 / Manne–Bisseling): an edge is matched in a round iff
+it is the best edge of BOTH endpoints; matched endpoints retire; repeat.
+This reproduces the sequential greedy matching exactly when scores are
+distinct, and is a 1/2-approximation of maximum weight matching.
+
+operators/blocking.py:er_reciprocal_best is exactly ROUND ONE of this
+operator; iterating to the fixpoint is what makes the matching MAXIMAL
+(no two unmatched records that share a candidate edge remain).
+
+Determinism: ordering is (score desc, a asc, b asc) — a total order on
+edges, so ties cannot diverge between engines; scores should be exact
+integers (micro-units), per the house rule for cross-engine hashes.
+
+Scale shape (10^12 candidate edges): each round is two per-endpoint
+window argmaxes (keyed exchanges on a and b) + one anti-join against
+the matched-node set; rounds are O(log n) expected because every round
+matches a constant fraction of locally-dominant edges.  Per-round
+``localCheckpoint`` cuts the Catalyst plan-growth pathology (kcore
+lesson)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def greedy_matching(pairs: DataFrame, rounds: int = 6) -> DataFrame:
+    """(a, b, score) candidate edges → matched (a, b, score,
+    round_matched).  ``a``/``b`` are the two endpoint id spaces
+    (bipartite or not — a node id appearing on both sides is treated
+    as the same node only if the caller namespaces them; ER callers
+    pass disjoint id spaces).  Duplicate (a, b) rows must be
+    pre-collapsed (keep-max-score) by the caller."""
+    live = pairs.select("a", "b", "score").localCheckpoint(eager=False)
+    out = None
+    wa = Window.partitionBy("a").orderBy(
+        F.col("score").desc(), F.col("b").asc()
+    )
+    wb = Window.partitionBy("b").orderBy(
+        F.col("score").desc(), F.col("a").asc()
+    )
+    for r in range(1, rounds + 1):
+        ranked = live.withColumn("ra", F.row_number().over(wa)).withColumn(
+            "rb", F.row_number().over(wb)
+        )
+        won = ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1)).select(
+            "a", "b", "score"
+        ).localCheckpoint(eager=False)
+        picked = won.select(
+            "a", "b", "score", F.lit(r).cast("long").alias("round_matched")
+        )
+        out = picked if out is None else out.unionByName(picked)
+        live = (
+            live.join(won.select("a"), "a", "anti")
+            .join(won.select("b"), "b", "anti")
+            .localCheckpoint(eager=False)
+        )
+    if out is None:
+        return pairs.sparkSession.createDataFrame(
+            [], "a long, b long, score long, round_matched long"
+        )
+    return out
+
+
+def greedy_matching_oracle_sql(pairs_sql: str, rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`greedy_matching` (same total
+    order, same both-endpoints-dominant rule, same round count)."""
+    parts = [f"WITH l0 AS MATERIALIZED ({pairs_sql})"]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    r{i} AS (
+      SELECT a, b, score,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY score DESC, b ASC) AS ra,
+             row_number() OVER (PARTITION BY b
+                                ORDER BY score DESC, a ASC) AS rb
+      FROM l{i - 1}),
+    w{i} AS MATERIALIZED (
+      SELECT a, b, score FROM r{i} WHERE ra = 1 AND rb = 1),
+    m{i} AS (SELECT a, b, score, {i} AS round_matched FROM w{i}),
+    l{i} AS MATERIALIZED (
+      SELECT a, b, score FROM l{i - 1}
+      WHERE a NOT IN (SELECT a FROM w{i})
+        AND b NOT IN (SELECT b FROM w{i}))""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, rounds + 1))
+    parts.append(
+        f"\n    SELECT a, b, score, CAST(round_matched AS BIGINT)"
+        f" AS round_matched FROM ({union})"
+    )
+    return "".join(parts)

@@ -1,0 +1,159 @@
+"""Round-5 wave 2: Louvain local move, greedy matching, SPARQL
+OPTIONAL/MINUS, MIME sniffing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# two triangles joined by one bridge edge — the textbook two-community
+# graph: {0,1,2} and {3,4,5}, bridge (2,3)
+_TWO_TRI = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+
+
+def test_louvain_move_heals_bad_partition(spark):
+    """Start from a labeling that puts node 0 in the WRONG community;
+    one synchronous pass must move it home with a positive gain."""
+    from reden_spark.operators.communities import louvain_move
+
+    edges = spark.createDataFrame(_TWO_TRI, "src long, dst long")
+    # node 0 mislabeled into community 1 (the right-hand triangle)
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "node long, label long",
+    )
+    got = {r.node: r for r in louvain_move(edges, labels).collect()}
+    assert got[0].new_label == 0 and got[0].gain_2m2 > 0
+    # nodes already home see no better community
+    assert got[1].new_label == 0 and got[4].new_label == 1
+
+
+def test_louvain_move_gain_matches_hand_formula(spark):
+    """gain_2m2 = 2m(k_uB - k_uA') + k_u(tot_A' - tot_B) replayed by
+    hand for the mislabeled node of the two-triangle graph."""
+    from reden_spark.operators.communities import louvain_move
+
+    edges = spark.createDataFrame(_TWO_TRI, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "node long, label long",
+    )
+    got = {r.node: r for r in louvain_move(edges, labels).collect()}
+    # m=7, k_0=2; A=1: tot_A = k0+k3+k4+k5 = 2+3+2+2 = 9, k_0A = 0
+    # B=0: tot_B = k1+k2 = 2+3 = 5, k_0B = 2
+    # gain = 2*7*(2-0) + 2*((9-2) - 5) = 28 + 4 = 32
+    assert got[0].gain_2m2 == 32
+
+
+def test_louvain_move_improves_modularity(spark):
+    """Applying the pass must not decrease Newman's Q (checked via the
+    exact integer q_num terms)."""
+    from reden_spark.operators.communities import louvain_move, modularity_terms
+
+    edges = spark.createDataFrame(_TWO_TRI, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "node long, label long",
+    )
+    moved = louvain_move(edges, labels).select(
+        "node", F.col("new_label").alias("label")
+    )
+    q0 = sum(r.q_num for r in modularity_terms(edges, labels).collect())
+    q1 = sum(r.q_num for r in modularity_terms(edges, moved).collect())
+    assert q1 > q0
+
+
+def test_greedy_matching_valid_and_maximal(spark):
+    from reden_spark.operators.matching import greedy_matching
+
+    pairs = [
+        (1, 10, 90), (1, 11, 80), (2, 10, 85), (2, 11, 70),
+        (3, 11, 60), (3, 12, 50), (4, 13, 40),
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long, score long")
+    m = greedy_matching(df, rounds=6).collect()
+    a_used = [r.a for r in m]
+    b_used = [r.b for r in m]
+    assert len(a_used) == len(set(a_used)) and len(b_used) == len(set(b_used))
+    # maximality: no candidate edge with both endpoints unmatched
+    for a, b, _ in pairs:
+        assert a in a_used or b in b_used
+    # greedy order: (1,10,90) wins round 1, then (2,11,70), (3,12,50)
+    got = {(r.a, r.b): r.round_matched for r in m}
+    assert got[(1, 10)] == 1 and (4, 13) in got
+    assert (2, 11) in got and (3, 12) in got
+
+
+def test_greedy_matching_equals_sequential_greedy(spark):
+    """With distinct scores the locally-dominant fixpoint IS the
+    sequential sort-and-sweep greedy matching."""
+    from reden_spark.operators.matching import greedy_matching
+
+    import random
+
+    rng = random.Random(11)
+    pairs, seen = [], set()
+    for _ in range(60):
+        a, b = rng.randrange(12), rng.randrange(12)
+        if (a, b) not in seen:
+            seen.add((a, b))
+            pairs.append((a, b, len(seen) * 7 % 997))
+    # sequential greedy on (score desc, a, b)
+    expect, ua, ub = set(), set(), set()
+    for a, b, s in sorted(pairs, key=lambda p: (-p[2], p[0], p[1])):
+        if a not in ua and b not in ub:
+            expect.add((a, b))
+            ua.add(a)
+            ub.add(b)
+    df = spark.createDataFrame(pairs, "a long, b long, score long")
+    got = {(r.a, r.b) for r in greedy_matching(df, rounds=10).collect()}
+    assert got == expect
+
+
+def test_optional_match_null_and_multiplicity(spark):
+    from reden_spark.operators.bgp import optional_match
+
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "x"), ("s2", "p", "y"),
+            ("s1", "q", "o1"), ("s1", "q", "o2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = optional_match(
+        t, [("?s", "p", "?v")], [("?s", "q", "?w")]
+    ).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.s, []).append(r.w)
+    assert sorted(by_s["s1"]) == ["o1", "o2"]  # multiplicity preserved
+    assert by_s["s2"] == [None]  # unmatched optional -> NULL
+
+
+def test_bgp_minus_disjoint_removes_nothing(spark):
+    """SPARQL 1.1 §8.3.3: MINUS with no shared variables is a no-op."""
+    from reden_spark.operators.bgp import bgp_minus
+
+    t = spark.createDataFrame(
+        [("s1", "p", "x"), ("s2", "p", "y"), ("a", "q", "b")],
+        "subj string, pred string, obj string",
+    )
+    base = bgp_minus(t, [("?s", "p", "?v")], [("?u", "q", "?w")])
+    assert base.count() == 2
+
+
+def test_mime_sniff_detects_each_magic(spark):
+    from reden_spark.multimodal import mime_sniff
+
+    cases = [
+        (1, bytes.fromhex("89504E47") + b"rest", "image/png"),
+        (2, bytes.fromhex("FFD8FFE1") + b"rest", "image/jpeg"),
+        (3, bytes.fromhex("1F8B0800"), "application/gzip"),
+        (4, b"plain text here", "application/octet-stream"),
+        (5, bytes.fromhex("504B0304") + b"zipzip", "application/zip"),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d, _ in cases], "media_id long, data binary"
+    )
+    got = {r.media_id: r.mime for r in mime_sniff(df).collect()}
+    for i, _, mime in cases:
+        assert got[i] == mime, i
