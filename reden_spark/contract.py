@@ -14300,3 +14300,128 @@ def q_mime_sniff(spark, sf_dir):
         ).alias("data"),
     )
     return mime_sniff(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 3: Unicode normalization, k-anonymity governance gate,
+# deterministic subsample confidence intervals.
+
+
+@query(
+    "unicode_nfc",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             substring(text, 1, 20)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN 'e' || chr(769) || ' A' || chr(778) || ' '
+                            || chr(64257)
+                       ELSE chr(233) END AS raw
+      FROM documents)
+    SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+           (raw = nfc_normalize(raw)) AS is_nfc
+    FROM t
+    """,
+)
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (functions/unicode.nfc): the
+    mandatory pre-dedup/pre-lookup canonical form — combining
+    sequences compose to the precomposed code points the dictionary
+    keys use.  Arrow-batched pandas kernel (one of the engine's few
+    sanctioned Python kernels); DuckDB's utf8proc nfc_normalize is the
+    oracle twin.  Half the rows are planted decomposed (is_nfc false),
+    half precomposed (true)."""
+    from reden_spark.functions.unicode import nfc
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 20),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("é Å ﬁ"))
+        .otherwise(F.lit("é")),
+    )
+    t = docs.select("doc_id", raw.alias("raw"))
+    return t.select(
+        "doc_id", "raw", nfc("raw").alias("nfc"),
+        (F.col("raw") == nfc("raw")).alias("is_nfc"),
+    )
+
+
+@query(
+    "k_anonymity",
+    """
+    WITH t AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+      FROM customer),
+    size_ AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM t GROUP BY 1, 2),
+    div_ AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS distinct_sensitive
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band FROM t)
+      GROUP BY 1, 2)
+    SELECT s.c_nationkey, s.c_mktsegment, s.class_size,
+           d.distinct_sensitive,
+           (s.class_size >= 5) AS meets_k,
+           (d.distinct_sensitive >= 2) AS meets_l
+    FROM size_ s JOIN div_ d
+      ON s.c_nationkey = d.c_nationkey
+     AND s.c_mktsegment = d.c_mktsegment
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (operators/analytics.
+    k_anonymity): QI = (nation, market segment), sensitive = $1000
+    balance band — the post-pii_scrub linkage-risk gate, offending
+    equivalence classes reported as data (Sweeney 2002)."""
+    from reden_spark.operators.analytics import k_anonymity
+
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
+    )
+
+
+@query(
+    "subsample_ci",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey AS k
+      FROM orders),
+    reps AS (SELECT unnest(generate_series(1, 32)) AS rep),
+    kept AS (
+      SELECT r.rep, v.v FROM v, reps r
+      WHERE substring(md5('ci' || CAST(r.rep AS VARCHAR) || ':'
+                          || CAST(v.k AS VARCHAR)), 1, 1) < '8'),
+    pr AS (SELECT rep, sum(v) // count(*) AS mean_rep
+           FROM kept GROUP BY 1),
+    rk AS (SELECT rep, mean_rep,
+                  row_number() OVER (ORDER BY mean_rep ASC, rep ASC) AS rn
+           FROM pr),
+    f AS (SELECT sum(v) // count(*) AS m FROM v)
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           (SELECT m FROM f) AS mean_full,
+           max(CASE WHEN rn = 1 THEN mean_rep END) AS p05,
+           max(CASE WHEN rn = 16 THEN mean_rep END) AS median,
+           max(CASE WHEN rn = 31 THEN mean_rep END) AS p95
+    FROM rk
+    """,
+)
+def q_subsample_ci(spark, sf_dir):
+    """Deterministic half-sample CI for the mean order value in cents
+    (operators/analytics.subsample_ci): 32 md5-keyed half-samples, the
+    reproducible stand-in for a bootstrap — the sampling-variability
+    band that turns a point metric into a gate."""
+    from reden_spark.operators.analytics import subsample_ci
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return subsample_ci(orders, value="cents", key="o_orderkey", n_reps=32)

@@ -1,0 +1,52 @@
+"""Unicode normalization (NFC / NFKC) as a vectorized Arrow kernel.
+
+Text dedup and dictionary lookup both break on canonically-equivalent
+byte sequences: ``é`` as U+00E9 and as ``e`` + U+0301 hash differently,
+shingle differently, and miss dictionary keys — the reference sidesteps
+this only because its BnF/IdRef dumps arrive pre-composed (the Java
+pipeline never normalizes; StringUtils-based cleanup in
+DicoProcessingNEL.java assumes composed input).  A web-scale corpus
+gets both forms, so normalization is the mandatory step BEFORE
+operators/dedup.py and the candidate join.
+
+JVM-side Spark has no Unicode-normalization builtin, so this is one of
+the engine's few sanctioned Python kernels: an Arrow-batched pandas UDF
+(``Series.str.normalize`` → unicodedata, one libc call per batch, never
+per-row Python) — the same vectorized-kernel family as
+functions/aliases.py.  DuckDB's ``nfc_normalize`` implements the same
+Unicode standard (utf8proc), so NFC results are oracle-comparable
+bit-for-bit.
+
+Scale shape: a pure map — zero shuffles; Arrow transfer is the only
+cost, and only the normalized column rides it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_kernel(s: pd.Series) -> pd.Series:
+    return s.str.normalize("NFC")
+
+
+@F.pandas_udf(T.StringType())
+def _nfkc_kernel(s: pd.Series) -> pd.Series:
+    return s.str.normalize("NFKC")
+
+
+def nfc(col) -> Column:
+    """Canonical composition (NFC): combining sequences → precomposed
+    code points; the idempotent pre-dedup normal form."""
+    return _nfc_kernel(F.col(col) if isinstance(col, str) else col)
+
+
+def nfkc(col) -> Column:
+    """Compatibility composition (NFKC): NFC plus compatibility folds
+    (ligatures, full-width forms, superscripts) — the more aggressive
+    form used before tokenization, not before exact-match lookup."""
+    return _nfkc_kernel(F.col(col) if isinstance(col, str) else col)

@@ -635,3 +635,121 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a release candidate: one
+    row per quasi-identifier equivalence class with (class_size,
+    distinct_sensitive, meets_k, meets_l).
+
+    The governance gate a training-data pipeline runs AFTER pii_scrub:
+    scrubbing removes direct identifiers, but a class of fewer than k
+    rows on (zip, age-band, segment)-style quasi-identifiers still
+    re-identifies by linkage (Sweeney 2002), and a k-large class whose
+    sensitive value is constant still discloses it (Machanavasjhala's
+    l-diversity).  Offending classes are reported as data — the same
+    salvage-not-reject stance as the other audit operators.
+
+    Scale shape (10^12 rows): ONE groupBy on the QI key carries both
+    aggregates (count + approx-free exact countDistinct — a second
+    shuffle only if Catalyst expands distinct; at fleet scale swap in
+    a two-level (qi, sensitive) pre-aggregate, which is what the
+    implementation does explicitly below: dedup then count, both
+    map-side combinable)."""
+    qi = [F.col(c) for c in quasi_identifiers]
+    # explicit two-level plan: (qi, sensitive) dedup first so the
+    # distinct count is an ordinary count — no planner-expanded
+    # count(DISTINCT) double shuffle on the wide key
+    pairs = df.select(*qi, F.col(sensitive).alias("__sens")).dropDuplicates(
+        [*quasi_identifiers, "__sens"]
+    )
+    div = pairs.groupBy(*quasi_identifiers).agg(
+        F.count("*").cast("long").alias("distinct_sensitive")
+    )
+    size = df.groupBy(*quasi_identifiers).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    return (
+        size.join(div, quasi_identifiers)
+        .select(
+            *quasi_identifiers,
+            "class_size",
+            "distinct_sensitive",
+            (F.col("class_size") >= k).alias("meets_k"),
+            (F.col("distinct_sensitive") >= l).alias("meets_l"),
+        )
+    )
+
+
+def subsample_ci(
+    df: DataFrame,
+    value: str,
+    key: str,
+    n_reps: int = 32,
+    salt: str = "ci",
+) -> DataFrame:
+    """Deterministic half-sample confidence interval for the mean of an
+    integer column: (n_reps, mean_full_e2, p05_e2, median_e2, p95_e2),
+    all in the value's own integer units.
+
+    Bootstrap CIs need with-replacement randomness; the deterministic
+    stand-in with the same engine parity guarantees is half-sampling
+    (m-out-of-n without replacement): replicate j keeps row r iff
+    ``md5(salt || j || ':' || key)`` starts below hex '8' (rate 1/2),
+    so every replicate is reproducible across runs AND engines, and the
+    replicate-mean spread gives the sampling-variability band that a
+    single point estimate hides.  Half-sample spread overstates the
+    full-sample CI by ~sqrt(2) — callers get a conservative band, which
+    is the right default for a gate.
+
+    Scale shape: the corpus is scanned once per replicate batch via ONE
+    explode over the replicate index (n_reps × the filtered half-rows
+    ride a single exchange keyed on the replicate id); quantiles over
+    n_reps ≤ 64 replicate means are a bounded single-partition sort.
+    """
+    reps = F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("rep")
+    tagged = df.select(F.col(value).alias("v"), F.col(key).alias("k")).select(
+        "v", "k", reps
+    )
+    kept = tagged.filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("rep").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    per_rep = kept.groupBy("rep").agg(
+        F.expr("sum(v) div count(*)").alias("mean_rep")
+    )
+    w = Window.orderBy(F.col("mean_rep").asc(), F.col("rep").asc())
+    ranked = per_rep.select("mean_rep", F.row_number().over(w).alias("rn"))
+    lo_rk = max(1, int(0.05 * n_reps))
+    md_rk = (n_reps + 1) // 2
+    hi_rk = min(n_reps, int(0.95 * n_reps) + 1)
+    full = df.select(F.col(value).alias("v")).agg(
+        F.expr("sum(v) div count(*)").alias("m")
+    )
+    return (
+        ranked.agg(
+            F.count("*").cast("long").alias("n_reps"),
+            F.max(F.when(F.col("rn") == lo_rk, F.col("mean_rep"))).alias("p05"),
+            F.max(F.when(F.col("rn") == md_rk, F.col("mean_rep"))).alias("median"),
+            F.max(F.when(F.col("rn") == hi_rk, F.col("mean_rep"))).alias("p95"),
+        )
+        .join(full.hint("broadcast"))
+        .select("n_reps", F.col("m").alias("mean_full"), "p05", "median", "p95")
+    )

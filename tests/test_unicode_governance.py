@@ -1,0 +1,84 @@
+"""Round-5 wave 3: Unicode NFC/NFKC kernels, k-anonymity audit,
+deterministic subsample CI."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+
+def test_nfc_composes_and_is_idempotent(spark):
+    from reden_spark.functions.unicode import nfc
+
+    cases = [
+        "Café",        # e + combining acute -> é
+        "Å",            # A + ring -> Å
+        "é already",     # precomposed stays
+        "mixed é́",  # double combining mark
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "raw string")
+    got = [r.n for r in df.select(nfc("raw").alias("n")).collect()]
+    for raw, n in zip(cases, got):
+        assert n == unicodedata.normalize("NFC", raw)
+        assert unicodedata.normalize("NFC", n) == n  # idempotent
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    from reden_spark.functions.unicode import nfkc
+
+    df = spark.createDataFrame(
+        [("ﬁle",), ("Ｈｉ",), ("x²",)], "raw string"
+    )  # fi-ligature, full-width Hi, superscript 2
+    got = [r.n for r in df.select(nfkc("raw").alias("n")).collect()]
+    assert got == ["file", "Hi", "x2"]
+
+
+def test_nfc_unifies_dedup_keys(spark):
+    """The operational point: canonically-equivalent texts hash equal
+    AFTER nfc, not before."""
+    from reden_spark.functions.unicode import nfc
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "id long, text string"
+    )
+    raw_hashes = df.select(F.sha2("text", 256).alias("h")).distinct().count()
+    nfc_hashes = (
+        df.select(F.sha2(nfc("text"), 256).alias("h")).distinct().count()
+    )
+    assert raw_hashes == 2 and nfc_hashes == 1
+
+
+def test_k_anonymity_flags(spark):
+    from reden_spark.operators.analytics import k_anonymity
+
+    rows = [
+        # class (1, 'a'): 5 rows, 2 sensitive values -> meets both
+        *[(1, "a", v) for v in (10, 10, 10, 20, 20)],
+        # class (2, 'b'): 2 rows -> fails k
+        (2, "b", 10), (2, "b", 20),
+        # class (3, 'c'): 6 rows, all same sensitive -> fails l
+        *[(3, "c", 42)] * 6,
+    ]
+    df = spark.createDataFrame(rows, "zip int, seg string, sens int")
+    got = {(r.zip, r.seg): r for r in
+           k_anonymity(df, ["zip", "seg"], "sens", k=5, l=2).collect()}
+    assert got[(1, "a")].meets_k and got[(1, "a")].meets_l
+    assert not got[(2, "b")].meets_k and got[(2, "b")].meets_l
+    assert got[(3, "c")].meets_k and not got[(3, "c")].meets_l
+    assert got[(3, "c")].distinct_sensitive == 1
+
+
+def test_subsample_ci_brackets_the_mean_and_is_deterministic(spark):
+    from reden_spark.operators.analytics import subsample_ci
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    a = subsample_ci(df, "v", "k", n_reps=32).collect()[0]
+    b = subsample_ci(df, "v", "k", n_reps=32).collect()[0]
+    assert a == b  # deterministic
+    assert a.n_reps == 32
+    assert a.p05 <= a.median <= a.p95
+    # the half-sample band brackets the full mean for an iid column
+    assert a.p05 <= a.mean_full <= a.p95
