@@ -14425,3 +14425,160 @@ def q_subsample_ci(spark, sf_dir):
         "o_orderkey",
     )
     return subsample_ci(orders, value="cents", key="o_orderkey", n_reps=32)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 4: SCC condensation build order, graph re-identification
+# risk, redirect-chain resolution.
+
+from reden_spark.operators.redirects import resolve_redirects_oracle_sql  # noqa: E402
+
+# purpose-built condensation fixture (the scc_labels orders graph
+# collapses into one giant SCC — degenerate for layering): four 30-node
+# directed rings (each ring = one SCC) chained by forward edges, so the
+# condensation is a 4-node path with layers 0..3
+_SCC_COND_EDGES_SQL = """
+    SELECT d AS src, (d // 30) * 30 + ((d % 30) + 1) % 30 AS dst
+    FROM (SELECT DISTINCT doc_id % 120 AS d FROM documents) i1
+    UNION ALL
+    SELECT d AS src, d + 30 AS dst
+    FROM (SELECT DISTINCT doc_id % 120 AS d FROM documents) i2
+    WHERE d % 3 = 0 AND d < 90
+"""
+
+_SCC_LAB_SQL = f"""
+    base AS MATERIALIZED ({_SCC_COND_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM base
+      UNION
+      SELECT r.src, b.dst FROM reach r JOIN base b ON r.dst = b.src
+      WHERE r.src <> b.dst),
+    mutual AS (
+      SELECT f.src AS node, f.dst AS peer
+      FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+    nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+    lab AS MATERIALIZED (
+      SELECT n.node,
+             least(n.node, coalesce(min(m.peer), n.node)) AS label
+      FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+      GROUP BY n.node)
+"""
+
+_COND_ROUNDS = 20
+
+
+def _scc_cond_sql(rounds: int) -> str:
+    parts = [f"""
+    WITH RECURSIVE {_SCC_LAB_SQL},
+    cond AS MATERIALIZED (
+      SELECT DISTINCT la.label AS src, lb.label AS dst
+      FROM base e JOIN lab la ON e.src = la.node
+      JOIN lab lb ON e.dst = lb.node
+      WHERE la.label <> lb.label),
+    comps AS MATERIALIZED (
+      SELECT label AS comp, CAST(count(*) AS BIGINT) AS scc_size
+      FROM lab GROUP BY 1),
+    l0 AS (SELECT comp AS node, 0 AS layer FROM comps)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, max(layer) AS layer FROM (
+        SELECT node, layer FROM l{i - 1}
+        UNION ALL
+        SELECT c.dst AS node, l.layer + 1 AS layer
+        FROM l{i - 1} l JOIN cond c ON c.src = l.node) GROUP BY 1)""")
+    parts.append(f"""
+    SELECT c.comp, c.scc_size,
+           CAST(coalesce(l.layer, 0) AS BIGINT) AS layer
+    FROM comps c LEFT JOIN l{rounds} l ON l.node = c.comp""")
+    return "".join(parts)
+
+
+@query("scc_condensation", _scc_cond_sql(_COND_ROUNDS))
+def q_scc_condensation(spark, sf_dir):
+    """Condensation build order (operators/scc.scc_condense): collapse
+    SCCs, then longest-path-layer the resulting DAG — the
+    cycle-tolerant schedule for a dependency KG (cycle members share a
+    layer).  Composition of two verified operators, pinned as a
+    composition; both engines run the identical bounded max-relaxation
+    so parity holds round-for-round even past the fixpoint."""
+    from reden_spark.operators.scc import scc_condense
+
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 120).alias("d"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("d").alias("src"),
+        (F.expr("d div 30") * 30 + (F.col("d") % 30 + 1) % 30).alias("dst"),
+    )
+    fwd = ids.filter((F.col("d") % 3 == 0) & (F.col("d") < 90)).select(
+        F.col("d").alias("src"), (F.col("d") + 30).alias("dst")
+    )
+    return scc_condense(ring.unionByName(fwd), max_rounds=_COND_ROUNDS)
+
+
+@query(
+    "graph_reid_risk",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM base
+      UNION SELECT dst, src FROM base),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    nbr AS (
+      SELECT s.u, d.deg AS vdeg
+      FROM sym s JOIN deg d ON s.v = d.u),
+    sigs AS (
+      SELECT n.u AS node, d.deg,
+             CAST(d.deg AS VARCHAR) || '|'
+               || array_to_string(list(n.vdeg ORDER BY n.vdeg), ',') AS sig
+      FROM nbr n JOIN deg d ON n.u = d.u
+      GROUP BY n.u, d.deg)
+    SELECT node, deg, sig,
+           CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS class_size,
+           (count(*) OVER (PARTITION BY sig) = 1) AS reidentifiable
+    FROM sigs
+    """,
+)
+def q_graph_reid_risk(spark, sf_dir):
+    """Structural re-identification risk (operators/graphstats.
+    graph_reid_risk): the graph twin of k_anonymity — nodes whose
+    (degree, sorted neighbor-degree multiset) signature is unique are
+    re-identifiable in a structure-only KG release (Hay et al. 2008
+    1-hop attacker)."""
+    from reden_spark.operators.graphstats import graph_reid_risk
+
+    return graph_reid_risk(_kcore_edges(spark, sf_dir))
+
+
+_REDIR_SQL = """
+    SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+           'u' || CAST(doc_id // 2 AS VARCHAR) AS dst
+    FROM documents WHERE doc_id > 0
+    UNION ALL
+    SELECT * FROM (VALUES ('c1', 'c2'), ('c2', 'c3'), ('c3', 'c1'))
+      AS t(src, dst)
+"""
+_REDIR_ROUNDS = 5
+
+
+@query("redirect_resolve", resolve_redirects_oracle_sql(_REDIR_SQL, _REDIR_ROUNDS))
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.
+    resolve_redirects): pointer doubling collapses every chain to its
+    terminal target in log rounds (the directed/functional twin of the
+    sameAs closure); planted 3-cycle loop members surface as
+    is_terminal = false data."""
+    from reden_spark.operators.redirects import resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents")
+    chain = docs.filter(F.col("doc_id") > 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), F.expr("doc_id div 2").cast("string")).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [("c1", "c2"), ("c2", "c3"), ("c3", "c1")], "src string, dst string"
+    )
+    return resolve_redirects(chain.unionByName(cyc), rounds=_REDIR_ROUNDS)

@@ -19,7 +19,7 @@ state.  The coefficient is exact integer micro-units
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -593,3 +593,60 @@ def local_bridges(edges: DataFrame) -> DataFrame:
         .dropDuplicates(["a", "b"])
     )
     return norm.join(marked, ["a", "b"], "left_anti")
+
+
+def graph_reid_risk(edges: DataFrame) -> DataFrame:
+    """Graph re-identification risk by 1-hop structural signature:
+    (node, deg, sig, class_size, reidentifiable).
+
+    The graph twin of operators/analytics.k_anonymity: publishing an
+    "anonymized" KG (ids dropped, structure kept) still re-identifies
+    any node whose (degree, sorted neighbor-degree multiset) signature
+    is UNIQUE — the 1-hop version of the Hay et al. 2008 structural
+    attack model.  ``sig`` is the exact signature string (degree, then
+    the sorted neighbor degrees), class_size counts signature twins,
+    and class_size = 1 flags the re-identifiable nodes as data.  One
+    more WL round (operators/communities.wl_refinement) gives the
+    stronger 2-hop attacker; this operator is the release gate's cheap
+    first pass.
+
+    Scale shape (10^12 edges): one degree aggregate, one edge-key join
+    to tag neighbor degrees, one per-node sorted-list aggregate — all
+    keyed on the node column — and a signature groupBy bounded by the
+    number of distinct signatures.  Hub nodes produce long sigs; cap
+    upstream via kcore if the degree distribution is unbounded."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    nbr = sym.join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("vdeg")), "v"
+    )
+    sigs = (
+        nbr.groupBy("u")
+        .agg(F.sort_array(F.collect_list("vdeg")).alias("nd"))
+        .join(deg, "u")
+        .select(
+            F.col("u").alias("node"),
+            "deg",
+            F.concat(
+                F.col("deg").cast("string"),
+                F.lit("|"),
+                F.concat_ws(",", F.col("nd")),
+            ).alias("sig"),
+        )
+    )
+    w = Window.partitionBy("sig")
+    return sigs.select(
+        "node",
+        "deg",
+        "sig",
+        F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
+    ).withColumn("reidentifiable", F.col("class_size") == 1)

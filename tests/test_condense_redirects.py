@@ -1,0 +1,91 @@
+"""Round-5 wave 4: SCC condensation, structural re-id risk,
+redirect-chain resolution."""
+
+from __future__ import annotations
+
+
+def test_scc_condense_rings_and_layers(spark):
+    from reden_spark.operators.scc import scc_condense
+
+    # two 3-cycles chained: {0,1,2} -> {10,11,12}, plus a singleton sink
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (2, 0),
+            (10, 11), (11, 12), (12, 10),
+            (2, 10),          # inter-SCC forward edge
+            (12, 99),         # DAG tail to a singleton
+        ],
+        "src long, dst long",
+    )
+    got = {r.comp: r for r in scc_condense(edges).collect()}
+    assert set(got) == {0, 10, 99}
+    assert got[0].scc_size == 3 and got[10].scc_size == 3
+    assert got[99].scc_size == 1
+    assert (got[0].layer, got[10].layer, got[99].layer) == (0, 1, 2)
+
+
+def test_scc_condense_acyclic_is_plain_layering(spark):
+    from reden_spark.operators.scc import scc_condense
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got = {r.comp: r for r in scc_condense(edges).collect()}
+    assert all(r.scc_size == 1 for r in got.values())
+    assert (got[1].layer, got[2].layer, got[3].layer) == (0, 1, 2)
+
+
+def test_graph_reid_risk_flags_unique_signature(spark):
+    from reden_spark.operators.graphstats import graph_reid_risk
+
+    # a 4-star (center 0) + a disjoint edge: the center's signature
+    # (deg 4) is unique; the 4 leaves share one class; 8,9 share one
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (8, 9)], "src long, dst long"
+    )
+    got = {r.node: r for r in graph_reid_risk(edges).collect()}
+    assert got[0].reidentifiable and got[0].class_size == 1
+    assert got[1].class_size == 4 and not got[1].reidentifiable
+    assert got[8].class_size == 2 and got[8].sig == "1|1"
+    assert got[0].sig == "4|1,1,1,1"
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from reden_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain -> d
+            ("x", "y"), ("y", "x"),               # 2-loop
+            ("q", "d"),
+        ],
+        "src string, dst string",
+    )
+    got = {r.src: r for r in resolve_redirects(edges, rounds=4).collect()}
+    assert got["a"].final == "d" and got["a"].is_terminal
+    assert got["b"].final == "d" and got["q"].final == "d"
+    # loop members never terminate: final still inside the loop
+    assert got["x"].final in {"x", "y"} and not got["x"].is_terminal
+
+
+def test_resolve_redirects_functional_pick_is_min(spark):
+    """Conflicting redirects for one src resolve to the lexicographic
+    min dst — deterministic across runs and engines."""
+    from reden_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "z"), ("a", "b")], "src string, dst string"
+    )
+    got = {r.src: r.final for r in resolve_redirects(edges).collect()}
+    assert got["a"] == "b"
+
+
+def test_resolve_redirects_long_chain_needs_log_rounds(spark):
+    from reden_spark.operators.redirects import resolve_redirects
+
+    # 20-hop chain: resolved with 5 doubling rounds (2^5 = 32 >= 20)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(20)], "src string, dst string"
+    )
+    got = {r.src: r for r in resolve_redirects(edges, rounds=5).collect()}
+    assert got["n0"].final == "n20" and got["n0"].is_terminal
