@@ -14582,3 +14582,174 @@ def q_redirect_resolve(spark, sf_dir):
         [("c1", "c2"), ("c2", "c3"), ("c3", "c1")], "src string, dst string"
     )
     return resolve_redirects(chain.unionByName(cyc), rounds=_REDIR_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 5: cross-source overlap matrix, effective-license
+# propagation, TextRank keywords.
+
+
+@query(
+    "source_overlap",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    led AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (
+      SELECT DISTINCT d.source,
+             l.tok || ' ' || l.t1 || ' ' || l.t2 || ' ' || l.t3
+               || ' ' || l.t4 AS shingle
+      FROM led l JOIN documents d ON l.doc_id = d.doc_id
+      WHERE l.t4 IS NOT NULL),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.source_a, c.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           c.n_common,
+           c.n_common * 1000000 // (sa.n_sh + sb.n_sh - c.n_common)
+             AS jaccard_e6
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (operators/corpus_prep.
+    source_overlap): mirrored FEEDS show up as one high-Jaccard source
+    pair long before per-doc near-dup clustering links their documents
+    individually — and the remedy (drop the feed) differs.  Exact
+    integer micro-unit Jaccard; matrix bounded by (#sources choose 2)."""
+    from reden_spark.operators.corpus_prep import source_overlap
+
+    return source_overlap(_read(spark, sf_dir, "documents"), n=5)
+
+
+_LIC_EDGES_SQL = """
+    SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+    FROM documents WHERE doc_id >= 1
+    UNION
+    SELECT doc_id, CAST(doc_id // 4 AS BIGINT)
+    FROM documents WHERE doc_id >= 4
+"""
+
+
+@query(
+    "license_reach",
+    f"""
+    WITH RECURSIVE e AS ({_LIC_EDGES_SQL}),
+    own AS (
+      SELECT doc_id AS node,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+               WHEN 2 THEN 'BSD-3-Clause' WHEN 3 THEN 'GPL-3.0'
+               ELSE 'MPL-2.0' END AS license
+      FROM documents),
+    pl(node, license) AS (
+      SELECT node, license FROM own
+      UNION
+      SELECT e.src, p.license FROM pl p JOIN e ON e.dst = p.node)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_licenses,
+           array_to_string(list(license ORDER BY license), ',')
+             AS licenses,
+           bool_or(license IN ('GPL-3.0', 'AGPL-3.0')) AS has_copyleft
+    FROM pl GROUP BY 1
+    """,
+)
+def q_license_reach(spark, sf_dir):
+    """Effective license under dependency reach (operators/
+    code_quality.license_reach): one GPL dependency five imports deep
+    makes the top-level artifact copyleft — (node, license) pairs
+    propagate up the shortcut import DAG to the fixpoint, bounded by
+    |nodes| x |licenses| (never path counts)."""
+    from reden_spark.operators.code_quality import license_reach
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = (
+        docs.filter(d >= 1)
+        .select(d.alias("src"), F.expr("doc_id div 2").alias("dst"))
+        .unionByName(
+            docs.filter(d >= 4)
+            .select(d.alias("src"), F.expr("doc_id div 4").alias("dst"))
+        )
+        .distinct()
+    )
+    lic = docs.select(
+        d.alias("node"),
+        F.element_at(
+            F.array(
+                F.lit("MIT"), F.lit("Apache-2.0"), F.lit("BSD-3-Clause"),
+                F.lit("GPL-3.0"), F.lit("MPL-2.0"),
+            ),
+            (d % 5).cast("int") + 1,
+        ).alias("license"),
+    )
+    return license_reach(edges, lic)
+
+
+_TEXTRANK_ITER = 6
+_TEXTRANK_TOPK = 50
+
+
+def _textrank_oracle_sql(n_iter: int, top_k: int) -> str:
+    parts = [f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    adj AS (
+      SELECT least(t.tok, u.tok) AS a, greatest(t.tok, u.tok) AS b
+      FROM toks t JOIN toks u
+        ON t.doc_id = u.doc_id AND u.pos = t.pos + 1
+      WHERE t.tok <> u.tok),
+    e AS MATERIALIZED (SELECT DISTINCT a, b FROM adj),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS MATERIALIZED (
+      SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    x0 AS (SELECT a AS word,
+                  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS p_e9
+           FROM deg)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    inf{i} AS (
+      SELECT s.a AS word,
+             sum(CAST(x.p_e9 AS DOUBLE) / d.deg) AS inflow
+      FROM sym s JOIN x{i - 1} x ON s.b = x.word
+      JOIN deg d ON d.a = s.b GROUP BY 1),
+    x{i} AS MATERIALIZED (
+      SELECT d.a AS word,
+             CAST(round(150000000.0 / (SELECT n FROM nn)
+                        + 0.85 * coalesce(i.inflow, 0.0)) AS BIGINT)
+               AS p_e9
+      FROM deg d LEFT JOIN inf{i} i ON i.word = d.a)""")
+    parts.append(f""",
+    rk AS (SELECT word, p_e9,
+                  row_number() OVER (ORDER BY p_e9 DESC, word ASC) AS rank
+           FROM x{n_iter})
+    SELECT CAST(rank AS BIGINT) AS rank, word, p_e9
+    FROM rk WHERE rank <= {top_k}""")
+    return "".join(parts)
+
+
+@query("textrank_keywords", _textrank_oracle_sql(_TEXTRANK_ITER, _TEXTRANK_TOPK))
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (operators/ranking.
+    textrank_keywords): PageRank over the corpus word-adjacency graph —
+    the graph-central complement of idf_keywords' rarity ranking, and
+    the candidate-surface-form miner for KB population.  Nano-unit
+    re-quantization after every round keeps both engines integer-
+    identical (the markov_stationary discipline)."""
+    from reden_spark.operators.ranking import textrank_keywords
+
+    return textrank_keywords(
+        _read(spark, sf_dir, "documents"),
+        n_iter=_TEXTRANK_ITER,
+        top_k=_TEXTRANK_TOPK,
+    )

@@ -216,3 +216,49 @@ def license_conflicts(
         "n_files_b",
         flag.cast("int").alias("conflict"),
     )
+
+
+def license_reach(
+    edges: DataFrame,
+    licenses: DataFrame,
+    copyleft: tuple[str, ...] = ("GPL-3.0", "AGPL-3.0"),
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Effective license set per module under transitive dependency
+    reach: (node, n_licenses, licenses, has_copyleft).
+
+    license_scan tells you what each FILE declares; what a release
+    lawyer asks is what a module's whole dependency CLOSURE pulls in —
+    one GPL dependency five imports deep makes the top-level artifact
+    copyleft.  Propagates (node, license) pairs up the import graph
+    (src imports dst ⇒ dst's licenses flow to src) to the fixpoint;
+    ``licenses`` is the sorted-distinct comma list so the result is
+    hash-stable.
+
+    Scale shape (10^12 edges): the propagated relation is bounded by
+    |nodes| × |distinct licenses| (licenses number dozens), NOT by path
+    counts — each round is one join + one distinct on that small-width
+    relation; rounds = dependency depth; per-round localCheckpoint
+    (kcore lesson)."""
+    own = licenses.select("node", "license").distinct()
+    pairs = own.localCheckpoint(eager=False)
+    n_prev = pairs.count()
+    for _ in range(max_rounds):
+        step = (
+            edges.join(
+                pairs.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "license")
+        )
+        nxt = pairs.unionByName(step).distinct().localCheckpoint(eager=False)
+        n = nxt.count()
+        pairs = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    return pairs.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_licenses"),
+        F.concat_ws(",", F.sort_array(F.collect_list("license"))).alias(
+            "licenses"
+        ),
+        F.max(F.col("license").isin(*copyleft)).alias("has_copyleft"),
+    )

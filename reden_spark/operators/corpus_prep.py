@@ -1245,3 +1245,60 @@ def source_type_token(
         "source", "tokens", "types",
         F.expr("types * 1000000 div tokens").alias("ttr_e6"),
     )
+
+
+def source_overlap(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source shingle-overlap matrix: (source_a, source_b, n_a,
+    n_b, n_common, jaccard_e6) for every unordered source pair that
+    shares at least one word n-gram.
+
+    The corpus-governance view the per-document dedup tiers can't give:
+    two FEEDS that mirror each other (a crawl and its syndicated copy,
+    two dumps of the same wiki) show up as a high-Jaccard source pair
+    long before per-doc near-dup clustering has linked their documents
+    one by one — and the remedy is different (drop the feed, not the
+    docs).  Jaccard in exact integer micro-units.
+
+    Scale shape (10^12 docs): the per-source DISTINCT shingle table is
+    the big object (map-side combinable); the pair join fans a shared
+    shingle out to at most (#sources choose 2) pairs — #sources is
+    thousands, not billions, so the matrix itself is always small.
+    Hot boilerplate shingles shared by every source are each ONE join
+    row per source pair, never a per-doc pair list."""
+    # shingle PER DOCUMENT first (the lead window must not cross doc
+    # boundaries — pos restarts per doc), then map doc -> source
+    sh = (
+        word_shingles(documents, n=n, text_col=text_col)
+        .join(documents.select("doc_id", F.col(source_col).alias("source")),
+              "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("source").alias("source_a"),
+                         F.col("n_sh").alias("n_a")), "source_a")
+        .join(
+            sizes.select(F.col("source").alias("source_b"),
+                         F.col("n_sh").alias("n_b")), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .alias("jaccard_e6"),
+        )
+    )

@@ -160,3 +160,85 @@ def pareto_frontier(
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    n_iter: int = 6,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word-adjacency graph, top-k words by score —
+    (rank, word, score_e9).
+
+    The graph-based complement of idf_keywords: IDF surfaces RARE
+    terms, TextRank surfaces CENTRAL ones (words that co-occur with
+    many other well-connected words), which is what a KG wants as
+    candidate entity surface forms.  Adjacent-token pairs form an
+    unweighted undirected graph; scores are re-quantized to nano-units
+    after EVERY round (the markov_stationary discipline) so both
+    engines carry identical integers through all rounds — no float
+    accumulation-order drift.
+
+    Scale shape (10^12 docs): the edge list collapses to DISTINCT word
+    pairs (vocabulary-bounded, ≪ corpus); every round is one join + one
+    aggregate on the word key of that vocabulary-sized table."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    nxt = toks.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    edges = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .filter(F.col("tok") != F.col("tok2"))
+        .select(
+            F.least("tok", "tok2").alias("a"),
+            F.greatest("tok", "tok2").alias("b"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    n = deg.count()
+    x = deg.select(
+        F.col("a").alias("word"),
+        F.lit(1_000_000_000 // n).cast("long").alias("p_e9"),
+    )
+    for _ in range(n_iter):
+        inflow = (
+            sym.join(
+                x.join(deg, x["word"] == deg["a"])
+                .select(
+                    F.col("word").alias("b"),
+                    (F.col("p_e9").cast("double") / F.col("deg")).alias("share"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("word"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        x = (
+            deg.select(F.col("a").alias("word"))
+            .join(inflow, "word", "left")
+            .select(
+                "word",
+                F.round(
+                    150_000_000.0 / n
+                    + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))
+                )
+                .cast("long")
+                .alias("p_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.orderBy(F.col("p_e9").desc(), F.col("word").asc())
+    return (
+        x.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "word", "p_e9")
+    )

