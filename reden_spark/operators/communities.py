@@ -264,7 +264,10 @@ def louvain_move(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .dropDuplicates(["u", "v"])
         .persist()
     )
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("ku"))
+    # deg feeds tot AND the per-node state; kub feeds the own-community
+    # lookup AND the candidate list — persist both (exchange reuse does
+    # not fire across differently-aliased branches; plan-census lesson)
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("ku")).persist()
     m_df = sym.agg((F.count("*") / 2).cast("long").alias("m"))
     lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
     tot = (
@@ -277,6 +280,7 @@ def louvain_move(edges: DataFrame, labels: DataFrame) -> DataFrame:
         sym.join(labels.select(F.col("node").alias("v"), F.col("label").alias("b")), "v")
         .groupBy("u", "b")
         .agg(F.count("*").cast("long").alias("kub"))
+        .persist()
     )
     base = (
         deg.join(lab_u, "u")

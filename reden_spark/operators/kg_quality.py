@@ -557,13 +557,19 @@ def iri_validate(triples: DataFrame) -> DataFrame:
     Scale shape: one DISTINCT on the IRI value (map-side combinable,
     dedups the hot predicates), then a pure projection.
     """
+    # all three IRI positions ride ONE scan: an array of the positions
+    # (obj only when obj_is_iri), compacted and exploded — a plan-census
+    # pass showed the naive 3-way union re-reading the triple input 3x
+    obj_arm = (
+        F.when(F.col("obj_is_iri"), F.col("obj"))
+        if "obj_is_iri" in triples.columns
+        else F.lit(None).cast("string")
+    )
     iris = (
-        triples.select(F.col("subj").alias("iri"))
-        .unionByName(triples.select(F.col("pred").alias("iri")))
-        .unionByName(
-            triples.filter(F.col("obj_is_iri")).select(F.col("obj").alias("iri"))
-            if "obj_is_iri" in triples.columns
-            else triples.select(F.col("obj").alias("iri")).limit(0)
+        triples.select(
+            F.explode(
+                F.array_compact(F.array(F.col("subj"), F.col("pred"), obj_arm))
+            ).alias("iri")
         )
         .groupBy("iri")
         .agg(F.count("*").alias("n_uses"))
