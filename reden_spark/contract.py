@@ -14753,3 +14753,194 @@ def q_textrank_keywords(spark, sf_dir):
         n_iter=_TEXTRANK_ITER,
         top_k=_TEXTRANK_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 6: table-maintenance completion (orphan files, tombstone
+# GC) and the per-triple ingest quarantine router.
+
+_NS_TRIPLES_SQL = f"""
+    SELECT subj, 'kb://pred/' || pred AS pred, obj, obj_is_iri
+    FROM ({_VIP_TRIPLES_SQL})
+    UNION ALL
+    SELECT CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'kb://doc ok/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'no-scheme-here/' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'kb://doc/%G1-' || CAST(doc_id AS VARCHAR)
+             ELSE 'kb://doc/ok%2F' || CAST(doc_id AS VARCHAR)
+           END AS subj,
+           'kb://pred/selfclaim' AS pred, 'x' AS obj, FALSE AS obj_is_iri
+    FROM documents
+"""
+
+
+@query(
+    "triple_quarantine",
+    f"""
+    WITH t AS ({_NS_TRIPLES_SQL}),
+    c AS (
+      SELECT subj, pred, obj, obj_is_iri,
+             NOT (regexp_matches(subj, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                  AND NOT regexp_matches(subj, '[ <>"{{}}|\\\\^`]')
+                  AND NOT contains(regexp_replace(subj,
+                        '%[0-9A-Fa-f]{{2}}', '', 'g'), '%')) AS bad_subj,
+             NOT (regexp_matches(pred, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                  AND NOT regexp_matches(pred, '[ <>"{{}}|\\\\^`]')
+                  AND NOT contains(regexp_replace(pred,
+                        '%[0-9A-Fa-f]{{2}}', '', 'g'), '%')) AS bad_pred,
+             (obj_is_iri AND NOT (
+                  regexp_matches(obj, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                  AND NOT regexp_matches(obj, '[ <>"{{}}|\\\\^`]')
+                  AND NOT contains(regexp_replace(obj,
+                        '%[0-9A-Fa-f]{{2}}', '', 'g'), '%'))) AS bad_obj
+      FROM t)
+    SELECT subj, pred, obj, bad_subj, bad_pred, bad_obj,
+           CASE WHEN bad_subj OR bad_pred OR bad_obj
+                THEN 'quarantine' ELSE 'pass' END AS verdict
+    FROM c
+    """,
+)
+def q_triple_quarantine(spark, sf_dir):
+    """Per-triple ingest router (operators/kg_quality.
+    triple_quarantine): iri_validate's checks applied INLINE per
+    position — a pure projection, zero exchanges added to the ingest
+    path — so the KG writer routes pass/quarantine row-by-row at
+    10^12-triple scale with per-position failure flags for triage."""
+    from reden_spark.operators.kg_quality import triple_quarantine
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("kb://doc ok/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("no-scheme-here/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("kb://doc/%G1-"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("kb://doc/ok%2F"), F.col("doc_id").cast("string")))
+        .alias("subj"),
+        F.lit("kb://pred/selfclaim").alias("pred"),
+        F.lit("x").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    t = (
+        _vip_triples(spark, sf_dir)
+        .withColumn("pred", F.concat(F.lit("kb://pred/"), F.col("pred")))
+        .unionByName(planted)
+    )
+    return triple_quarantine(t)
+
+
+@query(
+    "orphan_files",
+    """
+    WITH snap_ids AS (SELECT unnest(generate_series(0, 9)) AS snapshot_id),
+    manifests AS (
+      SELECT s.snapshot_id, 'f_' || CAST(d.doc_id AS VARCHAR) AS path
+      FROM (SELECT doc_id FROM documents) d, snap_ids s
+      WHERE d.doc_id % 10 = s.snapshot_id
+         OR d.doc_id % 7 = s.snapshot_id % 7),
+    retention AS (
+      SELECT snapshot_id,
+             CASE WHEN snapshot_id >= 8 OR snapshot_id = 5
+                  THEN 1 ELSE 0 END AS keep
+      FROM snap_ids),
+    files AS (
+      SELECT 'f_' || CAST(doc_id AS VARCHAR) AS path,
+             CAST(doc_id * 37 % 9973 + 100 AS BIGINT) AS bytes
+      FROM documents
+      UNION ALL
+      SELECT 'tmp_' || CAST(doc_id AS VARCHAR),
+             CAST(doc_id * 37 % 9973 + 100 AS BIGINT)
+      FROM documents WHERE doc_id % 5 = 0),
+    live AS (
+      SELECT DISTINCT m.path FROM manifests m
+      JOIN retention r ON m.snapshot_id = r.snapshot_id AND r.keep = 1),
+    refd AS (SELECT DISTINCT path FROM manifests)
+    SELECT f.path, f.bytes,
+           CASE WHEN l.path IS NOT NULL THEN 'live'
+                WHEN r.path IS NOT NULL THEN 'expired_only'
+                ELSE 'orphan' END AS status
+    FROM files f
+    LEFT JOIN live l ON f.path = l.path
+    LEFT JOIN refd r ON f.path = r.path
+    """,
+)
+def q_orphan_files(spark, sf_dir):
+    """Orphan-file report (operators/kg_maintain.orphan_files): after
+    snapshot expiry a file is reclaimable iff no KEPT snapshot
+    references it — expired_only (normal churn) and orphan
+    (failed-write leftovers, a writer-bug signal) reported separately;
+    plan-as-table, nothing deleted."""
+    from reden_spark.operators.kg_maintain import orphan_files
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    snap = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("snapshot_id"), "doc_id"
+    )
+    manifests = snap.filter(
+        (d % 10 == F.col("snapshot_id")) | (d % 7 == F.col("snapshot_id") % 7)
+    ).select(
+        "snapshot_id", F.concat(F.lit("f_"), d.cast("string")).alias("path")
+    )
+    retention = spark.range(0, 10).select(
+        F.col("id").alias("snapshot_id"),
+        F.when((F.col("id") >= 8) | (F.col("id") == 5), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    bytes_ = (d * 37 % 9973 + 100).cast("long")
+    files = docs.select(
+        F.concat(F.lit("f_"), d.cast("string")).alias("path"),
+        bytes_.alias("bytes"),
+    ).unionByName(
+        docs.filter(d % 5 == 0).select(
+            F.concat(F.lit("tmp_"), d.cast("string")).alias("path"),
+            bytes_.alias("bytes"),
+        )
+    )
+    return orphan_files(files, manifests, retention)
+
+
+_TGC_WATERMARK = 480
+
+
+@query(
+    "tombstone_gc",
+    f"""
+    WITH log AS (
+      SELECT 'k' || CAST(doc_id % 50 AS VARCHAR) AS key,
+             CAST(doc_id AS BIGINT) AS version,
+             CASE WHEN doc_id % 4 = 0 THEN 'd' ELSE 'u' END AS op,
+             'v' || CAST(doc_id AS VARCHAR) AS value
+      FROM documents),
+    win AS (
+      SELECT key, version, op, value,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY version DESC, op DESC,
+                                         value DESC) AS rn
+      FROM log)
+    SELECT key, version, op, value,
+           CASE WHEN op = 'd' AND version <= {_TGC_WATERMARK}
+                THEN 'drop' ELSE 'keep' END AS action
+    FROM win WHERE rn = 1
+    """,
+)
+def q_tombstone_gc(spark, sf_dir):
+    """Tombstone GC plan (operators/kg_maintain.tombstone_gc): once
+    every producer passes the version watermark, the
+    lower-version-may-still-arrive hazard that forces cdc_compact to
+    keep tombstones expires — old deletes become droppable and the log
+    stops growing with delete history."""
+    from reden_spark.operators.kg_maintain import tombstone_gc
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.concat(F.lit("k"), (d % 50).cast("string")).alias("key"),
+        d.cast("long").alias("version"),
+        F.when(d % 4 == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.concat(F.lit("v"), d.cast("string")).alias("value"),
+    )
+    return tombstone_gc(log, version_watermark=_TGC_WATERMARK)

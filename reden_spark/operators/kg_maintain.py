@@ -518,3 +518,78 @@ def asof_snapshot(history: DataFrame, version: int) -> DataFrame:
         (F.col("v_from") <= F.lit(int(version)))
         & (F.col("v_to").isNull() | (F.lit(int(version)) < F.col("v_to")))
     ).select("subj", "pred", "obj")
+
+
+def orphan_files(
+    files: DataFrame,
+    manifests: DataFrame,
+    retention: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """Orphan-file report for a versioned table: (path, bytes, status)
+    with status in {live, expired_only, orphan}.
+
+    The companion of snapshot_retention: after snapshots expire, a file
+    is deletable iff NO kept snapshot references it — 'expired_only'
+    (referenced, but only by snapshots the plan expires) and 'orphan'
+    (referenced by nothing: failed-write leftovers) are both
+    reclaimable, reported separately because orphans indicate a writer
+    bug while expired_only is normal churn.  Plan-as-table, nothing
+    deleted here.
+
+    Scale shape: manifests join retention (snapshot metadata — tiny,
+    broadcast), then ONE aggregate per path and a left join from the
+    file listing; the file listing (the 10^9-file object-store
+    inventory) is the only big side and is touched once."""
+    kept = retention.filter(F.col("keep") == 1).select("snapshot_id")
+    refs = (
+        manifests.join(F.broadcast(kept), "snapshot_id", "left")
+        .groupBy(path_col)
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.max(F.col("snapshot_id").isNotNull()).alias("_any"),
+        )
+    )
+    live_refs = (
+        manifests.join(F.broadcast(kept), "snapshot_id", "semi")
+        .groupBy(path_col)
+        .agg(F.count("*").cast("long").alias("n_live_refs"))
+    )
+    return (
+        files.join(refs.select(path_col, "n_refs"), path_col, "left")
+        .join(live_refs, path_col, "left")
+        .select(
+            path_col,
+            "bytes",
+            F.when(F.coalesce("n_live_refs", F.lit(0)) > 0, F.lit("live"))
+            .when(F.coalesce("n_refs", F.lit(0)) > 0, F.lit("expired_only"))
+            .otherwise(F.lit("orphan"))
+            .alias("status"),
+        )
+    )
+
+
+def tombstone_gc(changelog: DataFrame, version_watermark: int) -> DataFrame:
+    """Tombstone garbage-collection plan over a compacted CDC log:
+    (key, version, op, value, action) with action in {keep, drop}.
+
+    cdc_compact must keep tombstones because a lower-version row for
+    the same key may still arrive; once every producer has advanced
+    past ``version_watermark`` that hazard expires, and tombstones with
+    version <= watermark are droppable — the log stops growing with the
+    delete history.  Live rows always keep; young tombstones keep.
+
+    Scale shape: pure projection over the compacted log (the compaction
+    window is cdc_compact's); the watermark is a plan literal."""
+    return cdc_compact(changelog).select(
+        "key",
+        "version",
+        "op",
+        "value",
+        F.when(
+            (F.col("op") == "d") & (F.col("version") <= version_watermark),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

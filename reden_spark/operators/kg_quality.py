@@ -587,3 +587,43 @@ def iri_validate(triples: DataFrame) -> DataFrame:
         pct_ok.alias("pct_encoding_ok"),
         (has_scheme & no_illegal & pct_ok).alias("valid"),
     )
+
+
+def triple_quarantine(triples: DataFrame) -> DataFrame:
+    """Per-triple ingest routing: (subj, pred, obj, bad_subj, bad_pred,
+    bad_obj, verdict) with verdict in {pass, quarantine}.
+
+    The composition gate in front of the KG writer: iri_validate
+    reports offenders per distinct IRI; the WRITER needs a per-row
+    verdict, and at 10^12 triples that must be a PURE PROJECTION — the
+    same RE2-safe checks applied inline to each position (no join back
+    against the distinct-IRI table), so the router adds zero exchanges
+    to the ingest path.  Quarantined rows carry their position flags so
+    triage can group by failure mode."""
+
+    def _ok(col):
+        has_scheme = col.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        no_illegal = ~col.rlike(r'[ <>"{}|\\^`]')
+        pct_ok = ~F.contains(
+            F.regexp_replace(col, r"%[0-9A-Fa-f]{2}", ""), F.lit("%")
+        )
+        return has_scheme & no_illegal & pct_ok
+
+    bad_subj = ~_ok(F.col("subj"))
+    bad_pred = ~_ok(F.col("pred"))
+    bad_obj = (
+        F.col("obj_is_iri") & ~_ok(F.col("obj"))
+        if "obj_is_iri" in triples.columns
+        else F.lit(False)
+    )
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        bad_subj.alias("bad_subj"),
+        bad_pred.alias("bad_pred"),
+        bad_obj.alias("bad_obj"),
+        F.when(bad_subj | bad_pred | bad_obj, F.lit("quarantine"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )

@@ -1,0 +1,82 @@
+"""Round-5 wave 6: orphan files, tombstone GC, triple quarantine."""
+
+from __future__ import annotations
+
+
+def test_orphan_files_three_statuses(spark):
+    from reden_spark.operators.kg_maintain import orphan_files
+
+    files = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "path string, bytes long"
+    )
+    manifests = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b")], "snapshot_id long, path string"
+    )
+    retention = spark.createDataFrame(
+        [(1, 0), (2, 1)], "snapshot_id long, keep int"
+    )
+    got = {r.path: r.status for r in
+           orphan_files(files, manifests, retention).collect()}
+    assert got == {"a": "live", "b": "expired_only", "c": "orphan"}
+
+
+def test_tombstone_gc_drops_only_old_tombstones(spark):
+    from reden_spark.operators.kg_maintain import tombstone_gc
+
+    log = spark.createDataFrame(
+        [
+            ("k1", 5, "d", "x"),    # old tombstone -> drop
+            ("k2", 50, "d", "x"),   # young tombstone -> keep
+            ("k3", 3, "u", "v3"),   # old live row -> keep
+            ("k1", 2, "u", "v1"),   # superseded, vanishes in compaction
+        ],
+        "key string, version long, op string, value string",
+    )
+    got = {r.key: r for r in tombstone_gc(log, version_watermark=10).collect()}
+    assert got["k1"].action == "drop" and got["k1"].op == "d"
+    assert got["k2"].action == "keep"
+    assert got["k3"].action == "keep"
+    assert len(got) == 3  # compaction kept one row per key
+
+
+def test_tombstone_gc_drop_is_safe_after_watermark(spark):
+    """The safety property: dropping GC'd tombstones changes nothing
+    for any future batch whose versions exceed the watermark."""
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.kg_maintain import cdc_apply, tombstone_gc
+
+    log = spark.createDataFrame(
+        [("k1", 5, "d", "x"), ("k2", 7, "u", "v")],
+        "key string, version long, op string, value string",
+    )
+    future = spark.createDataFrame(
+        [("k1", 20, "u", "new"), ("k2", 21, "d", "x")],
+        "key string, version long, op string, value string",
+    )
+    gc = tombstone_gc(log, version_watermark=10)
+    pruned = gc.filter(F.col("action") == "keep").drop("action")
+    a = sorted(map(tuple, cdc_apply(log.unionByName(future)).collect()))
+    b = sorted(map(tuple, cdc_apply(pruned.unionByName(future)).collect()))
+    assert a == b
+
+
+def test_triple_quarantine_routes_by_position(spark):
+    from reden_spark.operators.kg_quality import triple_quarantine
+
+    t = spark.createDataFrame(
+        [
+            ("kb://s/1", "kb://p/name", "anything goes in a literal", False),
+            ("kb://bad s", "kb://p/name", "x", False),
+            ("kb://s/2", "no-scheme-pred", "x", False),
+            ("kb://s/3", "kb://p/ref", "kb://bad obj", True),
+            ("kb://s/4", "kb://p/ref", "kb://ok/%2F", True),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    got = {r.subj: r for r in triple_quarantine(t).collect()}
+    assert got["kb://s/1"].verdict == "pass"
+    assert got["kb://bad s"].verdict == "quarantine" and got["kb://bad s"].bad_subj
+    assert got["kb://s/2"].bad_pred and got["kb://s/2"].verdict == "quarantine"
+    assert got["kb://s/3"].bad_obj and not got["kb://s/3"].bad_subj
+    assert got["kb://s/4"].verdict == "pass"  # valid pct-encoded IRI obj
