@@ -14944,3 +14944,145 @@ def q_tombstone_gc(spark, sf_dir):
         F.concat(F.lit("v"), d.cast("string")).alias("value"),
     )
     return tombstone_gc(log, version_watermark=_TGC_WATERMARK)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 7: clustering agreement (ARI), bipartite butterflies,
+# near-dup evidence strings.
+
+
+@query(
+    "ari_agreement",
+    """
+    WITH nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT least(o_orderkey % 1200, o_custkey % 1200) AS node
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 1200 <> o_custkey % 1200
+        UNION ALL
+        SELECT greatest(o_orderkey % 1200, o_custkey % 1200)
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 1200 <> o_custkey % 1200)),
+    j AS (SELECT node, node % 40 AS la, node % 20 AS lb FROM nodes),
+    cells AS (
+      SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s_cells FROM (
+        SELECT count(*) AS c FROM j GROUP BY la, lb)),
+    ma AS (
+      SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s_a FROM (
+        SELECT count(*) AS c FROM j GROUP BY la)),
+    mb AS (
+      SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s_b FROM (
+        SELECT count(*) AS c FROM j GROUP BY lb)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j)
+    SELECT n AS n_nodes, s_cells AS sum_comb_cells, s_a AS sum_comb_a,
+           s_b AS sum_comb_b,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS comb_n,
+           CASE WHEN (CAST(s_a AS DOUBLE) + s_b) / 2
+                     - CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) // 2) = 0
+                THEN NULL
+                ELSE CAST(round(1e6 *
+                  (s_cells
+                   - CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) // 2))
+                  / ((CAST(s_a AS DOUBLE) + s_b) / 2
+                     - CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) // 2)))
+                  AS BIGINT) END AS ari_e6
+    FROM cells, ma, mb, nn
+    """,
+)
+def q_ari_agreement(spark, sf_dir):
+    """Adjusted Rand Index (operators/communities.ari_agreement)
+    between the %40 hash partition and its %20 coarsening over the
+    kcore graph's node set: exact BIGINT pair counts, one final double
+    division in rounded micro-units — the chance-corrected agreement
+    gate before swapping the KG's physical partitioner."""
+    from reden_spark.operators.communities import ari_agreement
+
+    edges = _kcore_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    la = nodes.select("node", (F.col("node") % 40).alias("label"))
+    lb = nodes.select("node", (F.col("node") % 20).alias("label"))
+    return ari_agreement(la, lb)
+
+
+@query(
+    "butterfly_counts",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey % 200 AS "left",
+             o_orderkey % 300 AS "right"
+      FROM orders WHERE o_orderkey % 2 = 0),
+    deg AS (SELECT "left", CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+    pairs AS (
+      SELECT a."left" AS l1, b."left" AS l2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM e a JOIN e b ON a."right" = b."right"
+      WHERE a."left" < b."left"
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    bf AS (SELECT l1, l2, c * (c - 1) // 2 AS bf FROM pairs),
+    pn AS (
+      SELECT "left", CAST(sum(bf) AS BIGINT) AS n_bfly FROM (
+        SELECT l1 AS "left", bf FROM bf
+        UNION ALL SELECT l2, bf FROM bf) GROUP BY 1)
+    SELECT d."left", d.deg,
+           CAST(coalesce(p.n_bfly, 0) AS BIGINT) AS n_bfly
+    FROM deg d LEFT JOIN pn p ON d."left" = p."left"
+    """,
+)
+def q_butterfly_counts(spark, sf_dir):
+    """Bipartite butterfly (4-cycle) counts (operators/graphstats.
+    butterfly_counts) over the customer-order bipartite cut: the
+    dense-block detector where triangles are structurally zero —
+    dup farms and bot rings co-engage in butterflies."""
+    from reden_spark.operators.graphstats import butterfly_counts
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            (F.col("o_custkey") % 200).alias("left"),
+            (F.col("o_orderkey") % 300).alias("right"),
+        )
+        .distinct()
+    )
+    return butterfly_counts(edges)
+
+
+@query(
+    "dup_evidence",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    led AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+               AS shingle
+      FROM led WHERE t4 IS NOT NULL),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingle
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared,
+           array_to_string((list(shingle ORDER BY shingle))[1:3], ' | ')
+             AS examples
+    FROM shared GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_dup_evidence(spark, sf_dir):
+    """Near-dup pair evidence (operators/dedup.dup_evidence): pairs
+    sharing >= 3 word 5-grams with the 3 lexicographically-smallest
+    shared shingles spelled out — the deterministic audit table behind
+    every dedup collapse decision."""
+    from reden_spark.operators.dedup import dup_evidence
+
+    return dup_evidence(
+        _read(spark, sf_dir, "documents"), n=5, min_shared=3, n_examples=3
+    )

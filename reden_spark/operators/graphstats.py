@@ -650,3 +650,45 @@ def graph_reid_risk(edges: DataFrame) -> DataFrame:
         "sig",
         F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
     ).withColumn("reidentifiable", F.col("class_size") == 1)
+
+
+def butterfly_counts(edges: DataFrame) -> DataFrame:
+    """Per-left-node butterfly (bipartite 4-cycle) counts over a
+    bipartite edge set (left, right): (left, deg, n_bfly) — the
+    bipartite analogue of the triangle count: a doc-feature / user-item
+    / mention-candidate edge embedded in many butterflies sits in a
+    dense co-engagement block (dup farms, template families, bot
+    rings), where triangle metrics are structurally zero.
+
+    Exact counting via wedges: two left nodes sharing a right neighbor
+    form a wedge; c shared rights make C(c,2) butterflies for the pair.
+    One join keyed on the right column + one (l1, l2) aggregate + one
+    per-node rollup — all integers.
+
+    Scale shape (10^12 edges): wedge generation is quadratic in RIGHT-
+    node degree (a right hub touching every left node is the hazard) —
+    the standard mitigation is capping/sampling hot rights upstream
+    (key_skew_profile finds them); left-degree never explodes the
+    join."""
+    e = edges.select("left", "right").distinct().persist()
+    deg = e.groupBy("left").agg(F.count("*").cast("long").alias("deg"))
+    a = e.select(F.col("right").alias("r"), F.col("left").alias("l1"))
+    b = e.select(F.col("right").alias("r"), F.col("left").alias("l2"))
+    pairs = (
+        a.join(b, "r")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("l1", "l2", F.expr("c * (c - 1) div 2").alias("bf"))
+    )
+    per_node = (
+        pairs.select(F.col("l1").alias("left"), "bf")
+        .unionByName(pairs.select(F.col("l2").alias("left"), "bf"))
+        .groupBy("left")
+        .agg(F.sum("bf").cast("long").alias("n_bfly"))
+    )
+    return deg.join(per_node, "left", "left").select(
+        "left", "deg",
+        F.coalesce("n_bfly", F.lit(0)).cast("long").alias("n_bfly"),
+    )

@@ -1,0 +1,88 @@
+"""Round-5 wave 7: ARI agreement, butterfly counts, dup evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_ari_perfect_agreement_is_1e6(spark):
+    from reden_spark.operators.communities import ari_agreement
+
+    a = _labels(spark, [(1, 0), (2, 0), (3, 1), (4, 1)])
+    b = _labels(spark, [(1, 7), (2, 7), (3, 9), (4, 9)])  # renamed classes
+    r = ari_agreement(a, b).collect()[0]
+    assert r.ari_e6 == 1_000_000
+
+
+def test_ari_matches_sklearn_formula_by_hand(spark):
+    from reden_spark.operators.communities import ari_agreement
+
+    # classic example: a = {1,2,3|4,5,6}, b = {1,2|3,4,5|6}
+    a = _labels(spark, [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)])
+    b = _labels(spark, [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1), (6, 2)])
+    r = ari_agreement(a, b).collect()[0]
+    # contingency: n00=2, n01=1, n11=2, n12=1 -> sum C2 = 1+0+1+0 = 2
+    # sum_a = 2*C(3,2) = 6; sum_b = C(2,2)+C(3,2)+C(1,2) = 1+3 = 4
+    # C(n,2)=15; E = 6*4/15 = 1.6; max = 5; ARI = (2-1.6)/(5-1.6) = 0.11765
+    assert r.sum_comb_cells == 2 and r.sum_comb_a == 6 and r.sum_comb_b == 4
+    assert r.ari_e6 == 117647
+
+
+def test_ari_refinement_vs_independent(spark):
+    """A coarsening agrees far better than an unrelated labeling."""
+    from reden_spark.operators.communities import ari_agreement
+
+    nodes = list(range(200))
+    a = _labels(spark, [(n, n % 8) for n in nodes])
+    coarser = _labels(spark, [(n, n % 4) for n in nodes])
+    shifted = _labels(spark, [(n, (n // 25) % 8) for n in nodes])
+    r1 = ari_agreement(a, coarser).collect()[0].ari_e6
+    r2 = ari_agreement(a, shifted).collect()[0].ari_e6
+    assert r1 > r2
+
+
+def test_butterfly_square_counts_one(spark):
+    from reden_spark.operators.graphstats import butterfly_counts
+
+    # one 4-cycle: l1-r1, l1-r2, l2-r1, l2-r2 (+ a dangling edge)
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)],
+        "left long, right long",
+    )
+    got = {r.left: r for r in butterfly_counts(e).collect()}
+    assert got[1].n_bfly == 1 and got[2].n_bfly == 1
+    assert got[3].n_bfly == 0
+    assert got[1].deg == 2
+
+
+def test_butterfly_k23_counts(spark):
+    """K_{2,3} has C(3,2) = 3 butterflies at each left node."""
+    from reden_spark.operators.graphstats import butterfly_counts
+
+    e = spark.createDataFrame(
+        [(l, r) for l in (1, 2) for r in (10, 11, 12)],
+        "left long, right long",
+    )
+    got = {r.left: r.n_bfly for r in butterfly_counts(e).collect()}
+    assert got == {1: 3, 2: 3}
+
+
+def test_dup_evidence_examples_are_lexicographic_min(spark):
+    from reden_spark.operators.dedup import dup_evidence
+
+    base = "zz yy xx ww vv uu aa bb cc dd ee"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here five six")],
+        "doc_id long, text string",
+    )
+    rows = dup_evidence(docs, n=5, min_shared=3, n_examples=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    ex = r.examples.split(" | ")
+    assert len(ex) == 2 and ex == sorted(ex)
+    assert ex[0].startswith("aa bb cc")  # lexicographic smallest shared
