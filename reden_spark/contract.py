@@ -15086,3 +15086,164 @@ def q_dup_evidence(spark, sf_dir):
     return dup_evidence(
         _read(spark, sf_dir, "documents"), n=5, min_shared=3, n_examples=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 8: directed triad census, schema-evolution compatibility.
+
+
+@query(
+    "triad_census",
+    f"""
+    WITH raw AS ({_SCC_EDGES_SQL}),
+    d AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    und AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS INTEGER)
+               AS dir
+      FROM d GROUP BY 1, 2),
+    tri AS (
+      SELECT e1.dir AS d_uv, e2.dir AS d_uw, e3.dir AS d_vw
+      FROM und e1
+      JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+    cls AS (
+      SELECT (d_uv = 3 OR d_uw = 3 OR d_vw = 3) AS mx,
+             ((d_uv = 1 AND d_vw = 1 AND d_uw = 2)
+              OR (d_uv = 2 AND d_vw = 2 AND d_uw = 1)) AS cyc
+      FROM tri)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST(coalesce(sum(CASE WHEN NOT mx AND cyc THEN 1 END), 0)
+                AS BIGINT) AS n_cyclic,
+           CAST(coalesce(sum(CASE WHEN NOT mx AND NOT cyc THEN 1 END), 0)
+                AS BIGINT) AS n_transitive,
+           CAST(coalesce(sum(CASE WHEN mx THEN 1 END), 0) AS BIGINT)
+             AS n_mixed
+    FROM cls
+    """,
+)
+def q_triad_census(spark, sf_dir):
+    """Closed-triad census (operators/graphstats.triad_census) over the
+    directed SCC fixture graph: cyclic vs transitive vs mutual-
+    containing triangle closures — hierarchy-health for a dependency
+    KG, where cyclic closures are sameAs discoveries or modeling bugs."""
+    from reden_spark.operators.graphstats import triad_census
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderkey") % 400 != F.col("o_custkey") % 400)
+        )
+        .select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            (F.col("o_custkey") % 400).alias("dst"),
+        )
+        .distinct()
+    )
+    return triad_census(edges)
+
+
+_SCHEMA_OLD_SQL = """
+    SELECT 'c' || CAST(n AS VARCHAR) AS col,
+           CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 'int'
+                WHEN 1 THEN 'float' WHEN 2 THEN 'varchar'
+                ELSE 'bigint' END AS dtype,
+           (n % 3 <> 0) AS nullable
+    FROM (SELECT unnest(generate_series(0, 19)) AS n)
+"""
+_SCHEMA_NEW_SQL = """
+    SELECT 'c' || CAST(n AS VARCHAR) AS col,
+           CASE WHEN n % 4 = 0 AND n % 5 = 0 THEN 'bigint'
+                WHEN n % 4 = 1 AND n % 5 = 1 THEN 'double'
+                WHEN n % 4 = 2 AND n % 5 = 2 THEN 'int'
+                ELSE CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 'int'
+                     WHEN 1 THEN 'float' WHEN 2 THEN 'varchar'
+                     ELSE 'bigint' END END AS dtype,
+           CASE WHEN n % 7 = 0 THEN (n % 3 = 0)
+                ELSE (n % 3 <> 0) END AS nullable
+    FROM (SELECT unnest(generate_series(0, 17)) AS n)
+    UNION ALL
+    SELECT 'extra_opt', 'varchar', TRUE
+    UNION ALL
+    SELECT 'extra_req', 'bigint', FALSE
+"""
+
+
+@query(
+    "schema_compat",
+    f"""
+    WITH o AS ({_SCHEMA_OLD_SQL}),
+    n AS ({_SCHEMA_NEW_SQL}),
+    j AS (
+      SELECT coalesce(o.col, n.col) AS col,
+             o.dtype AS old_type, n.dtype AS new_type,
+             o.nullable AS old_null, n.nullable AS new_null
+      FROM o FULL JOIN n ON o.col = n.col),
+    st AS (
+      SELECT col, old_type, new_type,
+             CASE
+               WHEN old_type IS NULL AND new_null THEN 'added_nullable'
+               WHEN old_type IS NULL THEN 'added_required'
+               WHEN new_type IS NULL THEN 'removed'
+               WHEN old_type <> new_type AND (
+                    (old_type = 'int' AND new_type = 'bigint')
+                 OR (old_type = 'float' AND new_type = 'double')
+                 OR (old_type = 'int' AND new_type = 'double'))
+                 THEN 'type_widened'
+               WHEN old_type <> new_type THEN 'type_changed'
+               WHEN NOT old_null AND new_null THEN 'nullable_relaxed'
+               WHEN old_null AND NOT new_null THEN 'nullable_tightened'
+               ELSE 'unchanged' END AS status
+      FROM j)
+    SELECT col, old_type, new_type, status,
+           status IN ('added_required', 'removed', 'type_changed',
+                      'nullable_tightened') AS breaking
+    FROM st
+    """,
+)
+def q_schema_compat(spark, sf_dir):
+    """Schema-evolution gate (operators/kg_maintain.schema_compat):
+    Iceberg's widening/nullability rulebook as a reviewable table over
+    a deterministic old/new column inventory covering every status
+    class — run BEFORE the metadata swap, because a breaking change
+    found by the first failed reader is a fleet-wide incident."""
+    from reden_spark.operators.kg_maintain import schema_compat
+
+    def inv(n_max, new):
+        base = spark.range(0, n_max).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("col"),
+            F.col("id").alias("n"),
+        )
+        old_type = (
+            F.when(F.col("n") % 4 == 0, F.lit("int"))
+            .when(F.col("n") % 4 == 1, F.lit("float"))
+            .when(F.col("n") % 4 == 2, F.lit("varchar"))
+            .otherwise(F.lit("bigint"))
+        )
+        if not new:
+            return base.select(
+                "col", old_type.alias("dtype"),
+                (F.col("n") % 3 != 0).alias("nullable"),
+            )
+        dtype = (
+            F.when((F.col("n") % 4 == 0) & (F.col("n") % 5 == 0),
+                   F.lit("bigint"))
+            .when((F.col("n") % 4 == 1) & (F.col("n") % 5 == 1),
+                  F.lit("double"))
+            .when((F.col("n") % 4 == 2) & (F.col("n") % 5 == 2),
+                  F.lit("int"))
+            .otherwise(old_type)
+        )
+        nullable = F.when(
+            F.col("n") % 7 == 0, F.col("n") % 3 == 0
+        ).otherwise(F.col("n") % 3 != 0)
+        return base.select("col", dtype.alias("dtype"),
+                           nullable.alias("nullable"))
+
+    extra = spark.createDataFrame(
+        [("extra_opt", "varchar", True), ("extra_req", "bigint", False)],
+        "col string, dtype string, nullable boolean",
+    )
+    return schema_compat(inv(20, new=False),
+                         inv(18, new=True).unionByName(extra))

@@ -692,3 +692,70 @@ def butterfly_counts(edges: DataFrame) -> DataFrame:
         "left", "deg",
         F.coalesce("n_bfly", F.lit(0)).cast("long").alias("n_bfly"),
     )
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Closed-triad census of a directed graph: one row (n_triangles,
+    n_cyclic, n_transitive, n_mixed).
+
+    The direction-aware summary the undirected triangle count erases —
+    and the KG-health number that separates HIERARCHY from FEEDBACK: a
+    dependency/subclass KG should close its triangles transitively
+    (a→b→c with a→c); cyclic closures are either discoveries
+    (equivalence cliques sameAs missed) or modeling bugs, and 'mixed'
+    (a mutual pair inside the triangle) flags unresolved bidirectional
+    assertions.  This is the 3-node slice of the full Holland-Leinhardt
+    triad census restricted to closed triads — the open-triad classes
+    are degree arithmetic, not worth an exchange.
+
+    Scale shape (10^12 edges): triangles enumerate on the UNDIRECTED
+    support with the canonical a<b<c ordered join (each triangle once);
+    direction flags ride the same three joins as packed 1/2/3 codes, so
+    classification is a pure projection after the third join."""
+    d = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    # packed direction per unordered pair (a<b): 1 = a->b, 2 = b->a,
+    # 3 = mutual — one groupBy, reused by all three triangle legs
+    und = (
+        d.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("d"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("d").cast("int").alias("dir"))
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.col("dir").alias("d_uv"))
+    e2 = und.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                    F.col("dir").alias("d_uw"))
+    e3 = und.select(F.col("a").alias("v"), F.col("b").alias("w"),
+                    F.col("dir").alias("d_vw"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .join(e3, ["v", "w"])
+    )
+    has_mutual = (
+        (F.col("d_uv") == 3) | (F.col("d_uw") == 3) | (F.col("d_vw") == 3)
+    )
+    # with u<v<w and one direction per pair, the rotation closes iff
+    # (u->v, v->w, w->u) or its full reversal
+    cyclic = (
+        (F.col("d_uv") == 1) & (F.col("d_vw") == 1) & (F.col("d_uw") == 2)
+    ) | ((F.col("d_uv") == 2) & (F.col("d_vw") == 2) & (F.col("d_uw") == 1))
+    return tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.sum((~has_mutual & cyclic).cast("long")).cast("long").alias("n_cyclic"),
+        F.sum((~has_mutual & ~cyclic).cast("long"))
+        .cast("long")
+        .alias("n_transitive"),
+        F.sum(has_mutual.cast("long")).cast("long").alias("n_mixed"),
+    )

@@ -593,3 +593,67 @@ def tombstone_gc(changelog: DataFrame, version_watermark: int) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+# type widenings that preserve every old value (reader-safe)
+_WIDENINGS = {("int", "bigint"), ("float", "double"), ("int", "double")}
+
+
+def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-evolution compatibility report between two column
+    inventories (col, dtype, nullable): one row per column with
+    (col, old_type, new_type, status, breaking).
+
+      added_nullable    — new optional column: safe
+      added_required    — new NOT NULL column: breaking for old writers
+      removed           — breaking for old readers
+      type_widened      — int→bigint / float→double / int→double: safe
+      type_changed      — any other type change: breaking
+      nullable_relaxed  — required → optional: safe
+      nullable_tightened— optional → required: breaking for old writers
+      unchanged         — identical
+
+    This is Iceberg's schema-evolution rulebook as a reviewable table —
+    the gate a 10^12-row table runs BEFORE committing a metadata swap,
+    because a breaking change discovered by the first failed reader is
+    a fleet-wide incident.  Pure full-outer join on the column name;
+    schema inventories are tiny by definition."""
+    o = old.select(
+        "col", F.col("dtype").alias("old_type"),
+        F.col("nullable").alias("old_null"),
+    )
+    n = new.select(
+        "col", F.col("dtype").alias("new_type"),
+        F.col("nullable").alias("new_null"),
+    )
+    arms = [
+        (F.col("old_type") == a) & (F.col("new_type") == b)
+        for a, b in sorted(_WIDENINGS)
+    ]
+    widened = arms[0]
+    for arm in arms[1:]:
+        widened = widened | arm
+    j = o.join(n, "col", "full")
+    status = (
+        F.when(F.col("old_type").isNull() & F.col("new_null"),
+               F.lit("added_nullable"))
+        .when(F.col("old_type").isNull(), F.lit("added_required"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .when((F.col("old_type") != F.col("new_type")) & widened,
+              F.lit("type_widened"))
+        .when(F.col("old_type") != F.col("new_type"), F.lit("type_changed"))
+        .when(~F.col("old_null") & F.col("new_null"),
+              F.lit("nullable_relaxed"))
+        .when(F.col("old_null") & ~F.col("new_null"),
+              F.lit("nullable_tightened"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "col",
+        "old_type",
+        "new_type",
+        status.alias("status"),
+        status.isin(
+            "added_required", "removed", "type_changed", "nullable_tightened"
+        ).alias("breaking"),
+    )

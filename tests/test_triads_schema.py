@@ -1,0 +1,73 @@
+"""Round-5 wave 8: triad census, schema compatibility."""
+
+from __future__ import annotations
+
+
+def test_triad_census_classifies_hand_graph(spark):
+    from reden_spark.operators.graphstats import triad_census
+
+    edges = spark.createDataFrame(
+        [
+            # transitive triangle: 1->2, 2->3, 1->3
+            (1, 2), (2, 3), (1, 3),
+            # cyclic triangle: 4->5, 5->6, 6->4
+            (4, 5), (5, 6), (6, 4),
+            # mixed triangle: 7<->8 mutual, 7->9, 8->9
+            (7, 8), (8, 7), (7, 9), (8, 9),
+            # open wedge (no triangle): 10->11, 11->12
+            (10, 11), (11, 12),
+        ],
+        "src long, dst long",
+    )
+    r = triad_census(edges).collect()[0]
+    assert r.n_triangles == 3
+    assert r.n_transitive == 1
+    assert r.n_cyclic == 1
+    assert r.n_mixed == 1
+
+
+def test_triad_census_reverse_cycle_detected(spark):
+    """The rotation test must catch BOTH orientations of a 3-cycle."""
+    from reden_spark.operators.graphstats import triad_census
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    rev = spark.createDataFrame([(2, 1), (3, 2), (1, 3)], "src long, dst long")
+    assert triad_census(fwd).collect()[0].n_cyclic == 1
+    assert triad_census(rev).collect()[0].n_cyclic == 1
+
+
+def test_schema_compat_every_status(spark):
+    from reden_spark.operators.kg_maintain import schema_compat
+
+    old = spark.createDataFrame(
+        [
+            ("a", "int", True),       # widened -> bigint
+            ("b", "varchar", True),   # changed -> int
+            ("c", "int", False),      # relaxed -> nullable
+            ("d", "int", True),       # tightened -> required
+            ("e", "int", True),       # removed
+            ("f", "float", True),     # unchanged
+        ],
+        "col string, dtype string, nullable boolean",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "bigint", True),
+            ("b", "int", True),
+            ("c", "int", True),
+            ("d", "int", False),
+            ("f", "float", True),
+            ("g", "varchar", True),   # added nullable
+            ("h", "bigint", False),   # added required
+        ],
+        "col string, dtype string, nullable boolean",
+    )
+    got = {r.col: r for r in schema_compat(old, new).collect()}
+    assert got["a"].status == "type_widened" and not got["a"].breaking
+    assert got["b"].status == "type_changed" and got["b"].breaking
+    assert got["c"].status == "nullable_relaxed" and not got["c"].breaking
+    assert got["d"].status == "nullable_tightened" and got["d"].breaking
+    assert got["e"].status == "removed" and got["e"].breaking
+    assert got["f"].status == "unchanged" and not got["f"].breaking
+    assert got["g"].status == "added_nullable" and not got["g"].breaking
+    assert got["h"].status == "added_required" and got["h"].breaking
