@@ -15247,3 +15247,68 @@ def q_schema_compat(spark, sf_dir):
     )
     return schema_compat(inv(20, new=False),
                          inv(18, new=True).unionByName(extra))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 9: entity-card fact selection, predicate co-occurrence.
+
+
+@query(
+    "entity_facts_topk",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_CODE_TRIPLES_SQL})),
+    fc AS (
+      SELECT pred, obj, CAST(count(*) AS BIGINT) AS fact_count
+      FROM t GROUP BY 1, 2),
+    r AS (
+      SELECT t.subj, t.pred, t.obj, fc.fact_count,
+             CAST(row_number() OVER (
+               PARTITION BY t.subj
+               ORDER BY fc.fact_count ASC, t.pred ASC, t.obj ASC)
+               AS BIGINT) AS rank
+      FROM t JOIN fc ON t.pred = fc.pred AND t.obj = fc.obj)
+    SELECT subj, pred, obj, fact_count, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_entity_facts_topk(spark, sf_dir):
+    """Entity-card fact selection (operators/enrich.entity_facts_topk):
+    per subject the 3 globally-rarest facts — the integer-exact
+    -log p(pred,obj) ranking that makes a 100-fact entity usable in a
+    bounded display/prompt budget, deterministic ties."""
+    from reden_spark.operators.code_extract import code_triples
+    from reden_spark.operators.enrich import entity_facts_topk
+
+    return entity_facts_topk(code_triples(_code_files(spark, sf_dir)), k=3)
+
+
+@query(
+    "pred_cooccurrence",
+    f"""
+    WITH t AS ({_CODE_TRIPLES_SQL}),
+    sp AS (SELECT DISTINCT subj, pred FROM t),
+    ns AS (SELECT CAST(count(DISTINCT subj) AS BIGINT) AS n_subj FROM sp),
+    counts AS (SELECT pred, CAST(count(*) AS BIGINT) AS n
+               FROM sp GROUP BY 1),
+    pairs AS (
+      SELECT a.pred AS pred_a, b.pred AS pred_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+      GROUP BY 1, 2)
+    SELECT p.pred_a, p.pred_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
+           p.n_both * (SELECT n_subj FROM ns) * 1000000 // (ca.n * cb.n)
+             AS lift_e6
+    FROM pairs p
+    JOIN counts ca ON ca.pred = p.pred_a
+    JOIN counts cb ON cb.pred = p.pred_b
+    """,
+)
+def q_pred_cooccurrence(spark, sf_dir):
+    """Predicate co-occurrence lift (operators/kg_quality.
+    pred_cooccurrence): which predicates travel together on the same
+    subjects vs independence — the pairwise layer of schema induction
+    between pred_profile and fd_profile; exclusions are undeclared
+    type boundaries."""
+    from reden_spark.operators.code_extract import code_triples
+    from reden_spark.operators.kg_quality import pred_cooccurrence
+
+    return pred_cooccurrence(code_triples(_code_files(spark, sf_dir)))

@@ -13,7 +13,7 @@ per-entity loops, no Jena.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -202,4 +202,41 @@ def entity_salience(
                 "CAST(n_mentions * 1000000 div _doc_total AS BIGINT)"
             ).alias("share_e6"),
         )
+    )
+
+
+def entity_facts_topk(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Entity-card fact selection: per subject the k most INFORMATIVE
+    facts — (subj, pred, obj, fact_count, rank) — where informativeness
+    is global (pred, obj) rarity: "type: Thing" is shared by everything
+    and says nothing; "diedIn: Ravensbruck" is nearly unique and is the
+    fact a disambiguation context or an entity card should lead with.
+    The integer-exact stand-in for the usual -log p(pred,obj) scoring
+    (rank by count ascending ≡ rank by -log p descending, no floats),
+    ties broken (pred, obj) lexicographic so the card is deterministic.
+
+    The reference surfaces candidate entities with whatever triples the
+    dump happens to order first (GraphHandlerNEL neighborhood dumps);
+    rarity-ranked selection is what makes a 100-fact entity usable in a
+    bounded prompt/display budget.
+
+    Scale shape (10^12 triples): one (pred, obj) count (map-side
+    combinable), one broadcast-or-shuffle join back, one per-subject
+    top-k window — WindowGroupLimit pushes the k-filter below the sort
+    at every partition."""
+    # dedup FIRST: duplicate storage rows of one fact must not inflate
+    # its count (rarity is over the fact set, not the row multiset)
+    t = triples.select("subj", "pred", "obj").distinct().persist()
+    fc = t.groupBy("pred", "obj").agg(
+        F.count("*").cast("long").alias("fact_count")
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("fact_count").asc(), F.col("pred").asc(), F.col("obj").asc()
+    )
+    return (
+        t
+        .join(fc, ["pred", "obj"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("subj", "pred", "obj", "fact_count", "rank")
     )

@@ -627,3 +627,50 @@ def triple_quarantine(triples: DataFrame) -> DataFrame:
         .otherwise(F.lit("pass"))
         .alias("verdict"),
     )
+
+
+def pred_cooccurrence(triples: DataFrame) -> DataFrame:
+    """Predicate co-occurrence lift over subjects: (pred_a, pred_b,
+    n_both, n_a, n_b, lift_e6) for pred_a < pred_b — which predicates
+    travel together on the same entities, and how much more often than
+    independence predicts (lift > 1e6) or less (mutual exclusion,
+    lift ≈ 0 — usually a TYPE boundary the schema never declared).
+
+    The pairwise layer of schema induction between pred_profile (one
+    predicate at a time) and fd_profile (value-level dependencies):
+    co-occurrence clusters ARE the latent entity types, and exclusions
+    are the SHACL shapes worth declaring.  lift_e6 =
+    n_both·n_subjects·1e6 div (n_a·n_b), exact integers.
+
+    Scale shape (10^12 triples): one DISTINCT (subj, pred) projection
+    (the per-subject predicate set), one self-join on subj — fan-out
+    bounded by per-subject predicate-set size (tens), never corpus
+    size — and one (pred_a, pred_b) aggregate.  At extreme
+    cardinalities (n_both x n_subjects x 1e6 past BIGINT) swap the
+    lift product into DECIMAL(38) — the contract pins the BIGINT
+    form."""
+    sp = triples.select("subj", "pred").distinct().persist()
+    n_subj = sp.select("subj").distinct().count()
+    counts = sp.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), "subj")
+        .filter(F.col("a.pred") < F.col("b.pred"))
+        .groupBy(
+            F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("pred").alias("pred_a"),
+                          F.col("n").alias("n_a")), "pred_a")
+        .join(
+            counts.select(F.col("pred").alias("pred_b"),
+                          F.col("n").alias("n_b")), "pred_b")
+        .select(
+            "pred_a", "pred_b", "n_both", "n_a", "n_b",
+            F.expr(f"n_both * {n_subj}L * 1000000 div (n_a * n_b)")
+            .alias("lift_e6"),
+        )
+    )

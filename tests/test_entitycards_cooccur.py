@@ -1,0 +1,54 @@
+"""Round-5 wave 9: entity-card fact selection, predicate co-occurrence."""
+
+from __future__ import annotations
+
+
+def test_entity_facts_topk_prefers_rare_facts(spark):
+    from reden_spark.operators.enrich import entity_facts_topk
+
+    t = spark.createDataFrame(
+        [
+            ("e1", "type", "Thing"), ("e2", "type", "Thing"),
+            ("e3", "type", "Thing"),
+            ("e1", "diedIn", "Ravensbruck"),       # unique -> leads
+            ("e1", "bornIn", "Paris"), ("e2", "bornIn", "Paris"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.rank): r for r in entity_facts_topk(t, k=2).collect()}
+    assert got[("e1", 1)].pred == "diedIn"        # count 1
+    assert got[("e1", 2)].pred == "bornIn"        # count 2 beats type (3)
+    assert got[("e2", 1)].pred == "bornIn"
+    # k bounds the card
+    assert ("e1", 3) not in got
+
+
+def test_entity_facts_topk_duplicate_triples_collapse(spark):
+    from reden_spark.operators.enrich import entity_facts_topk
+
+    t = spark.createDataFrame(
+        [("e1", "p", "x")] * 5 + [("e1", "q", "y")],
+        "subj string, pred string, obj string",
+    )
+    rows = entity_facts_topk(t, k=5).collect()
+    assert len(rows) == 2  # distinct facts only
+    by_pred = {r.pred: r.fact_count for r in rows}
+    assert by_pred == {"p": 1, "q": 1}  # count over DISTINCT triples
+
+
+def test_pred_cooccurrence_lift(spark):
+    from reden_spark.operators.kg_quality import pred_cooccurrence
+
+    # 4 subjects: a+b always co-occur; a+c never
+    t = spark.createDataFrame(
+        [
+            ("s1", "a", "x"), ("s1", "b", "x"),
+            ("s2", "a", "x"), ("s2", "b", "x"),
+            ("s3", "c", "x"), ("s4", "c", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.pred_a, r.pred_b): r for r in pred_cooccurrence(t).collect()}
+    # lift(a,b) = 2 * 4 / (2*2) = 2.0 -> 2e6
+    assert got[("a", "b")].lift_e6 == 2_000_000
+    assert ("a", "c") not in got  # zero co-occurrence -> no row
