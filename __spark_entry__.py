@@ -2,20 +2,19 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 292 queries, all 292 with
+SURVEY.md §2 (reden_spark/contract.py): 327 queries, all 327 with
 DuckDB oracles (the iterative centralities/HITS/walks/k-truss/SSSP use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  242 registered queries await their first
-driver rows — 7 added after the r3 driver run, 94 across the round-3
-closing sessions, and 141 in round 4; every registered query passes the
-local replica of the gate (tools/check_oracles.py — full sweeps
-re-verified green six times within round 4: 151/151 at round start,
-182/182 and 191/191 mid-round, 194/194, then 224/224, 250/250,
-256/256, 264/264, 276/276 and 281/281 across the closing session, plus every
-newer query individually).
+passes rows + schema + hash).  277 registered queries await their first
+driver rows — 7 added after the r3 driver run, 235 more across round 4,
+and 30 in round 5; every registered query passes the local replica of
+the gate (tools/check_oracles.py — round 5 re-verified the full
+297-query sweep ALL OK at round start, gated each of the 30 new
+queries on landing, and closes with a full-registry sweep recorded in
+ROADMAP.md).
 """
 
 from __future__ import annotations
