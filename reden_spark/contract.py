@@ -15312,3 +15312,118 @@ def q_pred_cooccurrence(spark, sf_dir):
     from reden_spark.operators.kg_quality import pred_cooccurrence
 
     return pred_cooccurrence(code_triples(_code_files(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 10: binary-classifier evaluation (AUC, PR curve, lift).
+
+_SCORED_SQL = """
+    SELECT doc_id AS id,
+           CAST((doc_id * 37 + 13) % 101 AS BIGINT) AS score,
+           CASE WHEN (doc_id * 53 + 11) % 101
+                     < ((doc_id * 37 + 13) % 101) * 7 // 10
+                THEN 1 ELSE 0 END AS label
+    FROM documents
+"""
+
+_SCORE_COUNTS_SQL = f"""
+    SELECT score, CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+    FROM ({_SCORED_SQL}) GROUP BY 1
+"""
+
+
+def _scored(spark, sf_dir):
+    """Deterministic scored rows: integer score 0..100 whose label
+    probability rises with the score — ties everywhere (|docs| >> 101),
+    so the tie-aware rank math is actually exercised."""
+    return _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr("CAST((doc_id * 37 + 13) % 101 AS BIGINT)").alias("score"),
+        F.expr(
+            "CASE WHEN (doc_id * 53 + 11) % 101"
+            "          < ((doc_id * 37 + 13) % 101) * 7 div 10"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+
+
+@query(
+    "auc_roc",
+    f"""
+    WITH g AS ({_SCORE_COUNTS_SQL}),
+    c AS (
+      SELECT n_pos, n_neg,
+             n_pos * (2 * COALESCE(sum(n_neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_neg) AS num2
+      FROM g)
+    SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           CAST(sum(num2) * 1000000 // (2 * sum(n_pos) * sum(n_neg))
+                AS BIGINT) AS auc_e6
+    FROM c
+    """,
+)
+def q_auc_roc(spark, sf_dir):
+    """Tie-aware AUC-ROC (operators/model_eval.auc_roc) in exact
+    integer micro-units from the per-score histogram — the rank window
+    sees 101 rows regardless of corpus size."""
+    from reden_spark.operators.model_eval import auc_roc
+
+    return auc_roc(_scored(spark, sf_dir))
+
+
+@query(
+    "pr_curve",
+    f"""
+    WITH g AS ({_SCORE_COUNTS_SQL}),
+    c AS (
+      SELECT score AS threshold,
+             sum(n_pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n_neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(n_pos) OVER () AS all_pos
+      FROM g)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(all_pos - tp AS BIGINT) AS fn,
+           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_e6,
+           CAST(tp * 1000000 // all_pos AS BIGINT) AS recall_e6
+    FROM c
+    """,
+)
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall curve (operators/model_eval.pr_curve): one row
+    per distinct threshold, cumulative from the top of the score
+    histogram — threshold selection for every filter model."""
+    from reden_spark.operators.model_eval import pr_curve
+
+    return pr_curve(_scored(spark, sf_dir))
+
+
+@query(
+    "lift_deciles",
+    f"""
+    WITH r AS (
+      SELECT label, row_number() OVER (ORDER BY score DESC, id) AS rank,
+             count(*) OVER () AS n_all, sum(label) OVER () AS pos_all
+      FROM ({_SCORED_SQL})),
+    d AS (SELECT CAST((rank - 1) * 10 // n_all + 1 AS BIGINT) AS decile,
+                 label, n_all, pos_all FROM r)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS rate_e6,
+           CAST(sum(label) * max(n_all) * 1000000
+                // (count(*) * max(pos_all)) AS BIGINT) AS lift_e6
+    FROM d GROUP BY 1
+    """,
+)
+def q_lift_deciles(spark, sf_dir):
+    """Decile lift (operators/model_eval.lift_deciles): response rate
+    per global score decile vs base rate — the engine reproduces the
+    naive ORDER BY score DESC, id ranking via score-group offsets so
+    no window ever sees the raw table."""
+    from reden_spark.operators.model_eval import lift_deciles
+
+    return lift_deciles(_scored(spark, sf_dir))

@@ -1,0 +1,169 @@
+"""Binary-classifier evaluation over scored rows — AUC-ROC, the
+precision/recall curve, and decile lift.  These close the loop on every
+scoring model this engine trains data FOR (the dedup classifier behind
+er_pair_scores, a quality filter, a contamination detector): once a
+score column exists, these three tables are how you decide the
+threshold and whether the model ranks at all.
+
+The shared scale trick: NOTHING here sorts the raw rows globally.
+Every metric is derived from per-score aggregates — ``groupBy(score)
+→ (n_pos, n_neg)`` is map-side combinable, and the only window runs
+over the DISTINCT-score table (bounded by score cardinality, e.g.
+1001 rows for an integer 0..1000 score at any corpus size).  That is
+the same histogram-first formulation large-scale eval uses so a
+10^12-row scored table never hits a single-partition sort:
+
+* ``auc_roc`` — Mann-Whitney rank formulation with exact tie handling
+  (average ranks), done in integers: for score group i with p_i
+  positives, n_i negatives, and cum_neg_below the negatives at
+  strictly lower scores, 2·Σ_pairs = Σ p_i·(2·cum_neg_below + n_i),
+  so auc_e6 = that·10^6 div (2·P·N) is integer-exact cross-engine.
+* ``pr_curve`` — one row per distinct threshold (predict positive at
+  score ≥ t): tp/fp/fn plus precision_e6 / recall_e6.
+* ``lift_deciles`` — deterministic global deciles WITHOUT a global
+  row sort: the base offset of each score group comes from the
+  distinct-score window; the within-group row_number is partitioned
+  by score (ordered by id for determinism), so rank = offset + local
+  row_number reproduces ORDER BY score DESC, id exactly while the
+  only unpartitioned window sees |distinct scores| rows.
+
+No reference-parity citation: the reference (REDEN) stops at NEL
+P/R (operators/evaluate.py covers that, Hachey et al.); these are the
+training-pipeline-side additions the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+
+
+def _score_counts(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """(score, n_pos, n_neg) — the histogram every metric derives from."""
+    lab = F.col(label_col).cast("long")
+    return scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(lab).alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(lab)).alias("n_neg"),
+    )
+
+
+def auc_roc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """One row (n_pos, n_neg, auc_e6): tie-aware AUC in exact integer
+    micro-units.  auc_e6 = 500000 means "no better than chance"."""
+    cnt = _score_counts(scored, score_col, label_col)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    per = cnt.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (2 * F.coalesce(F.sum("n_neg").over(w), F.lit(0)) + F.col("n_neg"))
+        ).alias("num2"),
+    )
+    return per.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.expr(
+            f"CAST(sum(num2) * {E6} div (2 * sum(n_pos) * sum(n_neg)) AS BIGINT)"
+        ).alias("auc_e6"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """(threshold, tp, fp, fn, precision_e6, recall_e6) — one row per
+    distinct score, classifying positive at score >= threshold."""
+    cnt = _score_counts(scored, score_col, label_col)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_pos = Window.partitionBy()
+    return (
+        cnt.select(
+            F.col("score").alias("threshold"),
+            F.sum("n_pos").over(w).alias("tp"),
+            F.sum("n_neg").over(w).alias("fp"),
+            F.sum("n_pos").over(tot_pos).alias("all_pos"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (F.col("all_pos") - F.col("tp")).alias("fn"),
+            F.expr(f"CAST(tp * {E6} div (tp + fp) AS BIGINT)").alias(
+                "precision_e6"
+            ),
+            F.expr(f"CAST(tp * {E6} div all_pos AS BIGINT)").alias("recall_e6"),
+        )
+    )
+
+
+def lift_deciles(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(decile, n, n_pos, rate_e6, lift_e6) — response rate per global
+    score decile vs the base rate, deciles 1 (best scores) .. 10.
+
+    decile = (rank-1)·n_buckets div N + 1 under the total order
+    (score DESC, id ASC) — exact equal-count buckets (first buckets
+    get the remainder), reproduced without a global row sort."""
+    lab = F.col(label_col).cast("long")
+    rows = scored.select(
+        F.col(score_col).alias("score"),
+        F.col(id_col).alias("id"),
+        lab.alias("label"),
+    )
+    # histogram first: the only unpartitioned window + the totals both
+    # run over |distinct scores| rows, never over the raw table
+    grp = rows.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("label").alias("n_pos_g")
+    )
+    w_off = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grp.select(
+        "score", F.coalesce(F.sum("n_rows").over(w_off), F.lit(0)).alias("offset")
+    )
+    totals = grp.agg(
+        F.sum("n_rows").alias("n_all"), F.sum("n_pos_g").alias("pos_all")
+    )
+    w_in = Window.partitionBy("score").orderBy("id")
+    ranked = (
+        rows.join(F.broadcast(offsets), "score")
+        .select(
+            "label",
+            (F.col("offset") + F.row_number().over(w_in)).alias("rank"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    by_decile = ranked.select(
+        "label",
+        "n_all",
+        "pos_all",
+        F.expr(
+            f"CAST((rank - 1) * {n_buckets} div n_all + 1 AS BIGINT)"
+        ).alias("decile"),
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.first("n_all").alias("n_all"),
+        F.first("pos_all").alias("pos_all"),
+    )
+    return by_decile.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr(f"CAST(n_pos * {E6} div n AS BIGINT)").alias("rate_e6"),
+        F.expr(f"CAST(n_pos * n_all * {E6} div (n * pos_all) AS BIGINT)").alias(
+            "lift_e6"
+        ),
+    )

@@ -1,0 +1,83 @@
+"""Round-5 wave 10: classifier evaluation — AUC, PR curve, lift."""
+
+from __future__ import annotations
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "id long, score long, label int")
+
+
+def test_auc_perfect_and_chance(spark):
+    from reden_spark.operators.model_eval import auc_roc
+
+    perfect = _scored(
+        spark, [(1, 9, 1), (2, 8, 1), (3, 2, 0), (4, 1, 0)]
+    )
+    r = auc_roc(perfect).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_e6) == (2, 2, 1_000_000)
+
+    # every row the same score -> all ties -> exactly chance
+    flat = _scored(spark, [(i, 5, i % 2) for i in range(10)])
+    assert auc_roc(flat).collect()[0].auc_e6 == 500_000
+
+
+def test_auc_known_mixed_case(spark):
+    from reden_spark.operators.model_eval import auc_roc
+
+    # scores: pos {3, 1}, neg {2, 1} -> pairs: (3>2)=1, (3>1)=1,
+    # (1<2)=0, (1=1)=0.5 -> AUC = 2.5/4 = 0.625
+    df = _scored(spark, [(1, 3, 1), (2, 1, 1), (3, 2, 0), (4, 1, 0)])
+    assert auc_roc(df).collect()[0].auc_e6 == 625_000
+
+
+def test_pr_curve_cumulative(spark):
+    from reden_spark.operators.model_eval import pr_curve
+
+    df = _scored(spark, [(1, 3, 1), (2, 2, 0), (3, 2, 1), (4, 1, 0)])
+    got = {r.threshold: r for r in pr_curve(df).collect()}
+    assert (got[3].tp, got[3].fp, got[3].fn) == (1, 0, 1)
+    assert got[3].precision_e6 == 1_000_000 and got[3].recall_e6 == 500_000
+    assert (got[2].tp, got[2].fp) == (2, 1)
+    assert got[2].precision_e6 == 666_666  # 2*1e6 div 3, floor
+    assert (got[1].tp, got[1].fp, got[1].fn) == (2, 2, 0)
+    assert got[1].recall_e6 == 1_000_000
+
+
+def test_lift_deciles_exact_buckets_and_tie_determinism(spark):
+    from reden_spark.operators.model_eval import lift_deciles
+
+    # 20 rows, all score ties broken by id: ranks follow id order.
+    # labels: 1 for the 4 lowest ids only -> deciles 1,2 pure positive.
+    rows = [(i, 7, 1 if i < 4 else 0) for i in range(20)]
+    got = {r.decile: r for r in lift_deciles(_scored(spark, rows)).collect()}
+    assert len(got) == 10 and all(got[d].n == 2 for d in got)
+    assert got[1].n_pos == 2 and got[2].n_pos == 2
+    assert got[3].n_pos == 0
+    # base rate 4/20 -> pure decile lift = 5x
+    assert got[1].lift_e6 == 5_000_000
+    assert got[10].rate_e6 == 0
+
+
+def test_lift_deciles_matches_naive_global_sort(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.model_eval import lift_deciles
+
+    rows = [
+        (i, (i * 37 + 13) % 11, 1 if (i * 53 + 7) % 3 == 0 else 0)
+        for i in range(97)
+    ]
+    df = _scored(spark, rows)
+    got = {
+        r.decile: (r.n, r.n_pos)
+        for r in lift_deciles(df).collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), "id")
+    naive = (
+        df.select("label", F.row_number().over(w).alias("rank"))
+        .groupBy(F.expr("CAST((rank - 1) * 10 div 97 + 1 AS BIGINT)").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("p"))
+        .collect()
+    )
+    assert got == {r.d: (r.n, r.p) for r in naive}
