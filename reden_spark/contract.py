@@ -15427,3 +15427,140 @@ def q_lift_deciles(spark, sf_dir):
     from reden_spark.operators.model_eval import lift_deciles
 
     return lift_deciles(_scored(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 11: graph structure — rich club, edge clustering, 4-cliques.
+
+_BLOCK_EDGES_SQL = """
+    SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM (
+      SELECT o_orderkey % 2400 AS u,
+             (o_orderkey % 2400) - ((o_orderkey % 2400) % 8)
+               + (o_custkey % 8) AS v
+      FROM orders)
+    WHERE u <> v
+"""
+
+
+def _block_edges(spark, sf_dir):
+    """Block-community graph: 300 blocks of 8 nodes, ~80% of each
+    block's 28 possible edges present at sf0.01 — dense enough that
+    triangles and 4-cliques actually occur, with variance across
+    blocks (unlike the sparse k-core graph, whose expected K4 count
+    is ~0)."""
+    orders = _read(spark, sf_dir, "orders")
+    u = (F.col("o_orderkey") % 2400).cast("long")
+    v = (u - (u % 8) + (F.col("o_custkey") % 8)).cast("long")
+    return (
+        orders.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .distinct()
+    )
+
+
+_RC_DEG_SQL = f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT src AS node FROM base UNION ALL SELECT dst FROM base)
+    GROUP BY 1
+"""
+
+
+@query(
+    "rich_club",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    deg AS ({_RC_DEG_SQL}),
+    nh AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_at FROM deg GROUP BY 1),
+    eh AS (SELECT least(da.deg, db.deg) AS m,
+                  CAST(count(*) AS BIGINT) AS e_at
+           FROM base e
+           JOIN deg da ON e.src = da.node
+           JOIN deg db ON e.dst = db.node GROUP BY 1),
+    ngt AS (SELECT deg AS k,
+                   COALESCE(sum(n_at) OVER (ORDER BY deg
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+                     AS n_nodes
+            FROM nh),
+    th AS (SELECT * FROM ngt WHERE n_nodes >= 2),
+    egt AS (SELECT t.k, t.n_nodes,
+                   CAST(COALESCE(sum(e.e_at), 0) AS BIGINT) AS n_edges
+            FROM th t LEFT JOIN eh e ON e.m > t.k GROUP BY 1, 2)
+    SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes, n_edges,
+           CAST(2 * n_edges * 1000000 // (n_nodes * (n_nodes - 1))
+                AS BIGINT) AS phi_e6
+    FROM egt
+    """,
+)
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient (operators/graphstats.rich_club): do the
+    hub entities wire to each other more than chance — per-threshold
+    suffix sums over degree histograms, nothing per-k touches edges."""
+    from reden_spark.operators.graphstats import rich_club
+
+    return rich_club(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "edge_clustering",
+    f"""
+    WITH base AS MATERIALIZED ({_BLOCK_EDGES_SQL}),
+    e AS (SELECT src AS a, dst AS b FROM base),
+    deg AS ({_RC_DEG_SQL}),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    te AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_tri FROM (
+             SELECT x AS a, y AS b FROM tri
+             UNION ALL SELECT x, z FROM tri
+             UNION ALL SELECT y, z FROM tri)
+           GROUP BY 1, 2)
+    SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(COALESCE(te.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN least(da.deg, db.deg) >= 2
+                     THEN COALESCE(te.n_tri, 0) * 1000000
+                          // (least(da.deg, db.deg) - 1)
+                     ELSE 0 END AS BIGINT) AS ecc_e6
+    FROM e
+    JOIN deg da ON e.a = da.node
+    JOIN deg db ON e.b = db.node
+    LEFT JOIN te ON te.a = e.a AND te.b = e.b
+    """,
+)
+def q_edge_clustering(spark, sf_dir):
+    """Radicchi edge clustering (operators/graphstats.edge_clustering):
+    per-edge triangle support over min-degree — the divisive
+    community-detection / least-corroborated-sameAs signal, via the
+    degree-ordered wedge join."""
+    from reden_spark.operators.graphstats import edge_clustering
+
+    return edge_clustering(_block_edges(spark, sf_dir))
+
+
+@query(
+    "clique4_census",
+    f"""
+    WITH base AS MATERIALIZED ({_BLOCK_EDGES_SQL}),
+    e AS (SELECT src AS a, dst AS b FROM base),
+    k4 AS (SELECT e1.a, e1.b, e2.b AS c, e3.b AS d
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e12 ON e12.a = e1.b AND e12.b = e2.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b > e2.b
+           JOIN e e13 ON e13.a = e1.b AND e13.b = e3.b
+           JOIN e e23 ON e23.a = e2.b AND e23.b = e3.b)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_k4 FROM (
+      SELECT a AS node FROM k4 UNION ALL SELECT b FROM k4
+      UNION ALL SELECT c FROM k4 UNION ALL SELECT d FROM k4)
+    GROUP BY 1
+    """,
+)
+def q_clique4_census(spark, sf_dir):
+    """4-clique participation census (operators/graphstats.
+    clique4_census): triangle + apex via degree-ordered orientation,
+    each K4 decomposed exactly once — the highest-precision
+    mutual-corroboration signal for fused sameAs groups."""
+    from reden_spark.operators.graphstats import clique4_census
+
+    return clique4_census(_block_edges(spark, sf_dir))

@@ -759,3 +759,211 @@ def triad_census(edges: DataFrame) -> DataFrame:
         .alias("n_transitive"),
         F.sum(has_mutual.cast("long")).cast("long").alias("n_mixed"),
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, n_nodes, n_edges, phi_e6) — rich-club coefficient
+    φ(k) = 2·E_k / (N_k·(N_k−1)) in integer micro-units, evaluated at
+    every degree value k present, over nodes of degree > k (rows kept
+    where N_k ≥ 2).  Zhou & Mondragón's connectivity-concentration
+    curve: in a KG it answers "do the hub entities form their own
+    densely wired core?" — a rising φ(k) is how authority-dump fusion
+    (operators/fuse.py) ends up with a giant near-clique of
+    high-degree canon nodes that dominates every neighborhood score.
+
+    Scale shape (10^12 edges): NOTHING per-k touches the edge list.
+    One degree groupBy, one per-edge min-endpoint-degree projection,
+    then BOTH collapse to degree histograms (|distinct degrees| rows);
+    every threshold's N_k / E_k is a suffix sum over those tiny
+    tables, windowed once."""
+    norm = _normalized(edges).persist()
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
+    )
+    node_hist = deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_at"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    edge_hist = (
+        norm.join(da, "a")
+        .join(db, "b")
+        .select(F.least("dega", "degb").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("e_at"))
+    )
+    # suffix sums: N_k = nodes with deg > k, E_k = edges with min > k,
+    # evaluated at k = every distinct degree value
+    w_n = Window.orderBy("deg").rowsBetween(1, Window.unboundedFollowing)
+    n_gt = node_hist.select(
+        F.col("deg").alias("k"),
+        F.coalesce(F.sum("n_at").over(w_n), F.lit(0)).alias("n_nodes"),
+    )
+    thresholds = n_gt.filter(F.col("n_nodes") >= 2)
+    e_gt = thresholds.join(edge_hist, F.col("m") > F.col("k"), "left").groupBy(
+        "k", "n_nodes"
+    ).agg(F.coalesce(F.sum("e_at"), F.lit(0)).cast("long").alias("n_edges"))
+    return e_gt.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.expr(
+            "CAST(2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1))"
+            " AS BIGINT)"
+        ).alias("phi_e6"),
+    )
+
+
+def _oriented(norm: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (u → v with rank(u) < rank(v), rank =
+    (deg, id)) plus the head's rank key — the standard trick that caps
+    every adjacency list at O(sqrt(E)) out-neighbors so wedge joins
+    never explode on hubs."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    withdeg = norm.join(da, "a").join(db, "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    return withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    )
+
+
+def edge_clustering(edges: DataFrame) -> DataFrame:
+    """(a, b, deg_a, deg_b, n_tri, ecc_e6) per undirected edge —
+    Radicchi et al.'s edge clustering coefficient
+    C(e) = tri(e) / (min(deg_a, deg_b) − 1) in integer micro-units
+    (0 when the denominator is 0).  The EDGE-side companion of
+    triangle_stats: low-C edges are the inter-community candidates
+    (the divisive variant of Girvan-Newman without betweenness), and
+    in ER terms the sameAs assertions least corroborated by shared
+    neighborhood — prune candidates for fuse review.
+
+    Scale shape: identical cost to triangle_stats (degree-ordered
+    wedge join); triangles then scatter 3 edge-keyed rows each into
+    one groupBy, and the result joins back to the edge list on its
+    canonical key — no new quadratic term."""
+    norm = _normalized(edges).persist()
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
+    )
+    oriented = _oriented(norm, deg).persist()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            (F.col("x.dv") < F.col("y.dv"))
+            | ((F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v")))
+        ),
+    ).select(
+        F.col("x.u").alias("w0"),
+        F.col("x.v").alias("w1"),
+        F.col("y.v").alias("w2"),
+    )
+    closer = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tris = wedges.join(closer, ["w1", "w2"])
+    tri_edges = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("w0", "w1").alias("a"),
+                        F.greatest("w0", "w1").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("w0", "w2").alias("a"),
+                        F.greatest("w0", "w2").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("w1", "w2").alias("a"),
+                        F.greatest("w1", "w2").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        norm.join(da, "a")
+        .join(db, "b")
+        .join(tri_edges, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "deg_a",
+            "deg_b",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.least("deg_a", "deg_b") >= 2,
+                F.expr(
+                    "CAST(coalesce(n_tri, 0) * 1000000"
+                    " div (least(deg_a, deg_b) - 1) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ecc_e6"),
+        )
+    )
+
+
+def clique4_census(edges: DataFrame) -> DataFrame:
+    """(node, n_k4) — number of 4-cliques each node participates in
+    (nodes in no K4 omitted).  The next motif up from triangles: in a
+    fused KG a K4 of sameAs/calls edges is near-certain equivalence
+    (every pair mutually corroborated), so K4 membership is the
+    highest-precision signal the dedup reviewer has; it is also the
+    k=4 clique-percolation building block for community seeds.
+
+    Scale shape (10^12 edges): triangles via the degree-ordered wedge
+    join (adjacency capped at O(sqrt(E))), then ONE more join of the
+    rank-ordered triangle (w0<w1<w2) against the three oriented
+    closing edges to a common apex w3 — each K4 counted exactly once,
+    no all-pairs stage anywhere."""
+    norm = _normalized(edges).persist()
+    deg = (
+        norm.select(F.col("a").alias("node"))
+        .unionByName(norm.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
+    )
+    oriented = _oriented(norm, deg).persist()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    rank_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & rank_lt).select(
+        F.col("x.u").alias("w0"),
+        F.col("x.v").alias("w1"),
+        F.col("y.v").alias("w2"),
+    )
+    closer = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tris = wedges.join(closer, ["w1", "w2"])
+    # apex: a node w3 adjacent to all of w0, w1, w2 via oriented edges
+    # (so rank(w3) is above all three) — three probes of the same edge
+    # set; the triangle is always the 3 lowest-ranked nodes of the K4,
+    # the apex the highest, hence exactly one decomposition per K4
+    e0 = oriented.select(F.col("u").alias("w0"), F.col("v").alias("w3"))
+    e1 = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w3"))
+    e2 = oriented.select(F.col("u").alias("w2"), F.col("v").alias("w3"))
+    k4 = tris.join(e2, "w2").join(e1, ["w1", "w3"]).join(e0, ["w0", "w3"])
+    return (
+        k4.select(F.explode(F.array("w0", "w1", "w2", "w3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_k4"))
+    )

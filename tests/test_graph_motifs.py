@@ -1,0 +1,74 @@
+"""Round-5 wave 11: rich club, edge clustering, 4-clique census."""
+
+from __future__ import annotations
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_rich_club_clique_with_pendants(spark):
+    from reden_spark.operators.graphstats import rich_club
+
+    # K4 on {1,2,3,4} plus pendants 5-1, 6-1
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {r.k: r for r in rich_club(_edges(spark, k4 + [(5, 1), (6, 1)])).collect()}
+    # k=1: nodes of deg>1 are the clique -> fully wired
+    assert (got[1].n_nodes, got[1].n_edges, got[1].phi_e6) == (4, 6, 1_000_000)
+    # k=3 leaves only node 1 (deg 5): N<2 -> no row; k=5 empty
+    assert list(got) == [1]
+
+
+def test_rich_club_counts_edges_strictly_above_k(spark):
+    from reden_spark.operators.graphstats import rich_club
+
+    # path 1-2-3-4: degs 1,2,2,1 -> k=1: nodes {2,3} edge (2,3) -> phi=1
+    got = {r.k: r for r in rich_club(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()}
+    assert (got[1].n_nodes, got[1].n_edges, got[1].phi_e6) == (2, 1, 1_000_000)
+    assert (got[2].n_nodes if 2 in got else None) is None
+
+
+def test_edge_clustering_triangle_and_pendant(spark):
+    from reden_spark.operators.graphstats import edge_clustering
+
+    got = {
+        (r.a, r.b): r
+        for r in edge_clustering(
+            _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+        ).collect()
+    }
+    assert got[(1, 2)].n_tri == 1
+    # min(deg1, deg2) = min(3, 2) = 2 -> ecc = 1e6 / 1
+    assert got[(1, 2)].ecc_e6 == 1_000_000
+    assert got[(1, 4)].n_tri == 0 and got[(1, 4)].ecc_e6 == 0
+    assert got[(1, 2)].deg_a == 3 and got[(1, 2)].deg_b == 2
+
+
+def test_clique4_census_overlapping_k4s(spark):
+    from reden_spark.operators.graphstats import clique4_census
+
+    # K4 {1,2,3,4}; node 5 adjacent to 1,2,3 forms a second K4 {1,2,3,5}
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(5, 1), (5, 2), (5, 3)]
+    got = {r.node: r.n_k4 for r in clique4_census(_edges(spark, k4 + extra)).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_clique4_census_k5_combinatorics(spark):
+    from reden_spark.operators.graphstats import clique4_census
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = {r.node: r.n_k4 for r in clique4_census(_edges(spark, k5)).collect()}
+    # C(5,4)=5 cliques, each node in C(4,3)=4
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_clique4_census_sparse_graph_empty(spark):
+    from reden_spark.operators.graphstats import clique4_census
+
+    # a triangle plus a path: no K4 anywhere
+    rows = clique4_census(
+        _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    ).collect()
+    assert rows == []
