@@ -15564,3 +15564,213 @@ def q_clique4_census(spark, sf_dir):
     from reden_spark.operators.graphstats import clique4_census
 
     return clique4_census(_block_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 12: code surface — Halstead counts, API churn, debt markers.
+
+from reden_spark.operators.code_surface import (  # noqa: E402
+    KEYWORDS as _H_KEYWORDS,
+    MARKERS_RE as _H_MARKERS,
+    SYM_RE as _H_SYM,
+    WORD_RE as _H_WORD,
+)
+
+_H_KW_SQL = ", ".join(f"'{k}'" for k in _H_KEYWORDS)
+
+
+@query(
+    "halstead_profile",
+    f"""
+    WITH files AS ({_CODE_FILES_SQL}),
+    w AS (SELECT repo, path,
+                 unnest(regexp_extract_all(content, '{_H_WORD}', 0)) AS tok
+          FROM files),
+    wk AS (SELECT repo, path, tok, tok IN ({_H_KW_SQL}) AS is_op FROM w),
+    s AS (SELECT repo, path,
+                 unnest(regexp_extract_all(content, '{_H_SYM}', 0)) AS tok,
+                 TRUE AS is_op
+          FROM files),
+    t AS (SELECT * FROM wk UNION ALL SELECT * FROM s),
+    p AS (SELECT repo, path,
+            CAST(count(DISTINCT CASE WHEN is_op THEN tok END) AS BIGINT) AS n1,
+            CAST(count(DISTINCT CASE WHEN NOT is_op THEN tok END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN is_op THEN 1 ELSE 0 END) AS BIGINT) AS big_n1,
+            CAST(sum(CASE WHEN NOT is_op THEN 1 ELSE 0 END) AS BIGINT)
+              AS big_n2
+          FROM t GROUP BY 1, 2)
+    SELECT repo, path, n1, n2, big_n1, big_n2,
+           CAST(n1 + n2 AS BIGINT) AS vocabulary,
+           CAST(big_n1 + big_n2 AS BIGINT) AS length,
+           CAST(CASE WHEN n2 > 0 THEN n1 * big_n2 * 1000 // (2 * n2)
+                     ELSE 0 END AS BIGINT) AS difficulty_e3
+    FROM p
+    """,
+)
+def q_halstead_profile(spark, sf_dir):
+    """Halstead base counts (operators/code_surface.halstead_profile):
+    distinct/total operator+operand tokens and integer-milli
+    difficulty per file — regexp_extract_all + explode + one groupBy,
+    log-derived metrics deliberately omitted for cross-engine parity."""
+    from reden_spark.operators.code_surface import halstead_profile
+
+    return halstead_profile(_code_files(spark, sf_dir))
+
+
+_CODE_CONTENT_SQL = """'import mod_' || CAST(doc_id % 13 AS VARCHAR) || chr(10)
+           || 'from pkg_' || CAST(doc_id % 5 AS VARCHAR) || ' import thing'
+           || chr(10) || 'def fn_' || CAST(doc_id AS VARCHAR) || '(x):'
+           || chr(10) || '    return helper_' || CAST(doc_id % 3 AS VARCHAR)
+           || '(x) + fn_' || CAST(doc_id AS VARCHAR) || '(0)' || chr(10)
+           || 'class C_' || CAST(doc_id % 11 AS VARCHAR) || ':' || chr(10)
+           || '    pass'"""
+
+_CODE_FILES_NEW_SQL = f"""
+  SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+         'src/m_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         {_CODE_CONTENT_SQL}
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'def fn_' || CAST(doc_id AS VARCHAR)
+                        || '_extra(a, b):' || chr(10) || '    return a'
+                   ELSE '' END AS content
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+         'src/new_' || CAST(doc_id AS VARCHAR) || '.py',
+         'def fresh_' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+           || '    pass'
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_DECL_SQL_RE = r"(def|function|class)\s+([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?"
+
+
+def _api_surface_sql(files_sql: str) -> str:
+    return f"""
+      SELECT repo, path,
+             regexp_extract(decl, '{_DECL_SQL_RE}', 1) AS kind,
+             regexp_extract(decl, '{_DECL_SQL_RE}', 2) AS name
+      FROM (SELECT repo, path,
+                   unnest(regexp_extract_all(content, '{_DECL_SQL_RE}', 0))
+                     AS decl
+            FROM ({files_sql}))
+    """
+
+
+def _code_files_new(spark, sf_dir):
+    """Second snapshot of the code tree: files with doc_id%5==0 deleted,
+    an extra def appended when doc_id%3==0, brand-new files added when
+    doc_id%7==0 — mirrors _CODE_FILES_NEW_SQL token for token."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = F.concat(
+        F.lit("import mod_"), s(d % 13),
+        F.lit("\nfrom pkg_"), s(d % 5), F.lit(" import thing"),
+        F.lit("\ndef fn_"), s(d), F.lit("(x):\n    return helper_"),
+        s(d % 3), F.lit("(x) + fn_"), s(d), F.lit("(0)"),
+        F.lit("\nclass C_"), s(d % 11), F.lit(":\n    pass"),
+    )
+    extra = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("\ndef fn_"), s(d), F.lit("_extra(a, b):\n    return a")),
+    ).otherwise(F.lit(""))
+    docs = _read(spark, sf_dir, "documents")
+    kept = docs.filter(d % 5 != 0).select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        F.md5(F.concat(s(d), F.lit("v2"))).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(base, extra).alias("content"),
+    )
+    added = docs.filter(d % 7 == 0).select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/new_"), s(d), F.lit(".py")).alias("path"),
+        F.md5(F.concat(s(d), F.lit("v2new"))).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("def fresh_"), s(d), F.lit("():\n    pass")).alias(
+            "content"
+        ),
+    )
+    return kept.unionByName(added)
+
+
+@query(
+    "api_churn",
+    f"""
+    WITH o AS (SELECT DISTINCT repo, path, kind, name, 1 AS in_old
+               FROM ({_api_surface_sql(_CODE_FILES_SQL)})),
+    n AS (SELECT DISTINCT repo, path, kind, name, 1 AS in_new
+          FROM ({_api_surface_sql(_CODE_FILES_NEW_SQL)}))
+    SELECT repo, path, kind, name,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                ELSE 'kept' END AS status
+    FROM o FULL OUTER JOIN n USING (repo, path, kind, name)
+    """,
+)
+def q_api_churn(spark, sf_dir):
+    """API churn (operators/code_surface.api_churn): declaration-level
+    added/removed/kept between two snapshots of the tree — one
+    full-outer join on the extracted surface, file contents never
+    shuffle."""
+    from reden_spark.operators.code_filters import api_surface
+    from reden_spark.operators.code_surface import api_churn
+
+    return api_churn(
+        api_surface(_code_files(spark, sf_dir)),
+        api_surface(_code_files_new(spark, sf_dir)),
+    )
+
+
+_MARKER_FILES_SQL = """
+  SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+         'src/m_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         'def f():' || chr(10) || '    pass'
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || '# TODO fix helper' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                   THEN chr(10) || '# FIXME edge case' ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                   THEN chr(10) || '# HACK workaround' || chr(10)
+                        || '# XXX revisit  TODO later' ELSE '' END AS content
+  FROM documents
+"""
+
+
+def _marker_files(spark, sf_dir):
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    content = F.concat(
+        F.lit("def f():\n    pass"),
+        F.when(d % 4 == 0, F.lit("\n# TODO fix helper")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("\n# FIXME edge case")).otherwise(F.lit("")),
+        F.when(
+            d % 9 == 0, F.lit("\n# HACK workaround\n# XXX revisit  TODO later")
+        ).otherwise(F.lit("")),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+
+
+@query(
+    "tech_debt_markers",
+    f"""
+    WITH m AS (
+      SELECT repo, path,
+             unnest(regexp_extract_all(content, 'TODO|FIXME|HACK|XXX', 0))
+               AS marker
+      FROM ({_MARKER_FILES_SQL}))
+    SELECT repo, path, marker, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def q_tech_debt_markers(spark, sf_dir):
+    """Tech-debt marker census (operators/code_surface.
+    tech_debt_markers): TODO/FIXME/HACK/XXX per file."""
+    from reden_spark.operators.code_surface import tech_debt_markers
+
+    return tech_debt_markers(_marker_files(spark, sf_dir))

@@ -1,0 +1,124 @@
+"""Code-surface metrics over source files in the input_hint schema
+(repo, path, commit, lang, content) — the per-file complexity /
+API-evolution / debt signals a training-data pipeline computes right
+after the cheap shape filters (operators/code_filters.py) and before
+expensive dedup: complexity and debt density are mix features, and the
+API diff between snapshots is the code analogue of kg_snapshot_diff.
+
+* ``halstead_profile`` — Halstead's base counts per file: total and
+  distinct operator/operand tokens, vocabulary, length, and the
+  difficulty D = (n1/2)·(N2/n2) in exact integer milli-units.  The
+  log-based volume/effort derivatives are deliberately NOT emitted:
+  they are transcendental-function territory where cross-engine IEEE
+  parity dies; every downstream use (mix weighting, thresholding) is
+  monotone in the integer counts anyway.
+* ``api_churn`` — (repo, path, kind, name, status) per declaration in
+  either snapshot: added / removed / kept, from api_surface extracts
+  (code_filters.py) of two commits of the same tree.
+* ``tech_debt_markers`` — TODO/FIXME/HACK/XXX census per file.
+
+Scale shape (10^12 files): halstead/debt are regexp_extract_all +
+explode + one file-keyed groupBy each (map-side combinable, no UDFs,
+stays in whole-stage codegen); api_churn is one full-outer join on the
+declaration key, shuffling only the (repo, path, kind, name) surface
+rows — never file contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# word-shaped tokens (identifiers / numbers); keywords among them are
+# operators in Halstead's accounting
+WORD_RE = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+# symbol operators: maximal runs of arithmetic/compare/logic chars
+# (so `==` is ONE operator), plus single punctuation/bracket tokens
+SYM_RE = "[-+*/%=<>!&|^~]+|[()\\[\\]{}:,.]"
+KEYWORDS = (
+    "def", "class", "return", "import", "from", "if", "elif", "else",
+    "while", "for", "in", "not", "and", "or", "lambda", "pass", "try",
+    "except", "raise", "yield", "with", "as",
+)
+MARKERS_RE = "TODO|FIXME|HACK|XXX"
+
+
+def halstead_profile(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, n1, n2, big_n1, big_n2, vocabulary, length,
+    difficulty_e3) — distinct/total operator and operand counts and
+    D·1000 = n1·N2·1000 div (2·n2), 0 when a file has no operands."""
+    kw = F.array(*[F.lit(k) for k in KEYWORDS])
+    words = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), 0)
+        ).alias("tok"),
+    ).select(
+        "repo", "path", "tok", F.array_contains(kw, F.col("tok")).alias("is_op")
+    )
+    syms = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(SYM_RE), 0)
+        ).alias("tok"),
+    ).select("repo", "path", "tok", F.lit(True).alias("is_op"))
+    toks = words.unionByName(syms)
+    prof = toks.groupBy("repo", "path").agg(
+        F.count_distinct(F.when(F.col("is_op"), F.col("tok"))).alias("n1"),
+        F.count_distinct(F.when(~F.col("is_op"), F.col("tok"))).alias("n2"),
+        F.sum(F.col("is_op").cast("long")).alias("big_n1"),
+        F.sum((~F.col("is_op")).cast("long")).alias("big_n2"),
+    )
+    return prof.select(
+        "repo",
+        "path",
+        "n1",
+        "n2",
+        "big_n1",
+        "big_n2",
+        (F.col("n1") + F.col("n2")).cast("long").alias("vocabulary"),
+        (F.col("big_n1") + F.col("big_n2")).cast("long").alias("length"),
+        F.when(
+            F.col("n2") > 0,
+            F.expr("CAST(n1 * big_n2 * 1000 div (2 * n2) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("difficulty_e3"),
+    )
+
+
+def api_churn(old_surface: DataFrame, new_surface: DataFrame) -> DataFrame:
+    """(repo, path, kind, name, status) — declaration-level diff of two
+    api_surface extracts: 'added' (new only), 'removed' (old only),
+    'kept' (both).  The reviewable API-evolution gate: a 'removed' on a
+    public name is the code-KG edition of a breaking schema change."""
+    key = ["repo", "path", "kind", "name"]
+    o = old_surface.select(*key).distinct().withColumn("in_old", F.lit(1))
+    n = new_surface.select(*key).distinct().withColumn("in_new", F.lit(1))
+    j = o.join(n, key, "full_outer")
+    return j.select(
+        *key,
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def tech_debt_markers(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, marker, n) — TODO/FIXME/HACK/XXX occurrence counts
+    per file (files/markers with zero hits omitted)."""
+    return (
+        files.select(
+            "repo",
+            "path",
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(MARKERS_RE), 0)
+            ).alias("marker"),
+        )
+        .groupBy("repo", "path", "marker")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -1,0 +1,84 @@
+"""Round-5 wave 12: Halstead counts, API churn, tech-debt markers."""
+
+from __future__ import annotations
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+def test_halstead_hand_counted(spark):
+    from reden_spark.operators.code_surface import halstead_profile
+
+    # tokens: words [def(kw) f x return x] syms [( ) : =? none]
+    # def f(x):\n    return x + 1
+    src = "def f(x):\n    return x + 1"
+    r = halstead_profile(_files(spark, [("r", "p", src)])).collect()[0]
+    # operators: def, return, (, ), :, +  -> all distinct, 6 total
+    assert r.big_n1 == 6 and r.n1 == 6
+    # operands: f, x, x, 1 -> distinct {f, x, 1}
+    assert r.big_n2 == 4 and r.n2 == 3
+    assert r.vocabulary == 9 and r.length == 10
+    # D = (n1/2)*(N2/n2) = 3 * 4/3 = 4 -> 4000 milli
+    assert r.difficulty_e3 == 4000
+
+
+def test_halstead_merges_operator_runs(spark):
+    from reden_spark.operators.code_surface import halstead_profile
+
+    r = halstead_profile(_files(spark, [("r", "p", "a == b != c")])).collect()[0]
+    # '==' and '!=' are single tokens, distinct from each other
+    assert r.big_n1 == 2 and r.n1 == 2
+    assert r.big_n2 == 3 and r.n2 == 3
+
+
+def test_halstead_no_operands(spark):
+    from reden_spark.operators.code_surface import halstead_profile
+
+    r = halstead_profile(_files(spark, [("r", "p", "()")])).collect()[0]
+    assert r.n2 == 0 and r.difficulty_e3 == 0
+
+
+def test_api_churn_statuses(spark):
+    from reden_spark.operators.code_surface import api_churn
+
+    surf = "repo string, path string, kind string, name string"
+    old = spark.createDataFrame(
+        [("r", "p", "def", "keepme"), ("r", "p", "def", "dropme"),
+         ("r", "q", "class", "Gone")],
+        surf,
+    )
+    new = spark.createDataFrame(
+        [("r", "p", "def", "keepme"), ("r", "p", "def", "fresh")], surf
+    )
+    got = {(r.path, r.kind, r.name): r.status for r in api_churn(old, new).collect()}
+    assert got[("p", "def", "keepme")] == "kept"
+    assert got[("p", "def", "dropme")] == "removed"
+    assert got[("q", "class", "Gone")] == "removed"
+    assert got[("p", "def", "fresh")] == "added"
+
+
+def test_api_churn_dedups_declarations(spark):
+    from reden_spark.operators.code_surface import api_churn
+
+    surf = "repo string, path string, kind string, name string"
+    old = spark.createDataFrame([("r", "p", "def", "f")] * 3, surf)
+    new = spark.createDataFrame([("r", "p", "def", "f")] * 2, surf)
+    rows = api_churn(old, new).collect()
+    assert len(rows) == 1 and rows[0].status == "kept"
+
+
+def test_tech_debt_markers_counts(spark):
+    from reden_spark.operators.code_surface import tech_debt_markers
+
+    files = _files(
+        spark,
+        [
+            ("r", "a.py", "# TODO one\nx = 1\n# TODO two\n# FIXME now"),
+            ("r", "b.py", "clean = True"),
+        ],
+    )
+    got = {
+        (r.path, r.marker): r.n for r in tech_debt_markers(files).collect()
+    }
+    assert got == {("a.py", "TODO"): 2, ("a.py", "FIXME"): 1}
