@@ -15774,3 +15774,116 @@ def q_tech_debt_markers(spark, sf_dir):
     from reden_spark.operators.code_surface import tech_debt_markers
 
     return tech_debt_markers(_marker_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 13: collocations, OOF target encoding, McNemar's test.
+
+
+@query(
+    "collocation_dice",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    bi AS (SELECT doc_id, tok AS w1,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM toks),
+    b2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+    p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+          FROM b2 GROUP BY 1, 2),
+    l AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_left FROM b2 GROUP BY 1),
+    r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_right FROM b2 GROUP BY 1)
+    SELECT p.w1, p.w2, p.n_pair, l.n_left, r.n_right,
+           CAST(2 * n_pair * 1000000 // (n_left + n_right) AS BIGINT)
+             AS dice_e6,
+           CAST(n_pair * 1000000 // n_left AS BIGINT) AS p2g1_e6
+    FROM p JOIN l USING (w1) JOIN r USING (w2)
+    WHERE p.n_pair >= 2
+    """,
+)
+def q_collocation_dice(spark, sf_dir):
+    """Adjacent-bigram collocations by Dice (operators/cooccur.
+    collocation_dice): the integer-exact collocation measure (PMI's
+    log lives in cooccur_pmi; chi-squared overflows int64 at corpus
+    scale) plus the P(w2|w1) transition."""
+    from reden_spark.operators.cooccur import collocation_dice
+
+    return collocation_dice(_tokens(spark, sf_dir))
+
+
+@query(
+    "target_encode_oof",
+    f"""
+    WITH s AS ({_SCORED_SQL}),
+    base AS (SELECT id, id % 23 AS cat, id % 5 AS fold, label FROM s),
+    cf AS (SELECT cat, fold, CAST(sum(label) AS BIGINT) AS s_cf,
+                  CAST(count(*) AS BIGINT) AS n_cf
+           FROM base GROUP BY 1, 2),
+    c AS (SELECT cat, CAST(sum(s_cf) AS BIGINT) AS s_c,
+                 CAST(sum(n_cf) AS BIGINT) AS n_c
+          FROM cf GROUP BY 1),
+    pr AS (SELECT CAST(sum(label) * 1000000 // count(*) AS BIGINT)
+                    AS prior_e6
+           FROM base),
+    oof AS (SELECT cat, fold,
+                   CAST(((s_c - s_cf) * 1000000 + 10 * prior_e6)
+                        // ((n_c - n_cf) + 10) AS BIGINT) AS enc_e6
+            FROM cf JOIN c USING (cat) CROSS JOIN pr)
+    SELECT b.id, b.cat, b.fold, o.enc_e6
+    FROM base b JOIN oof o USING (cat, fold)
+    """,
+)
+def q_target_encode_oof(spark, sf_dir):
+    """Out-of-fold smoothed target encoding (operators/model_eval.
+    target_encode_oof): the leakage-safe categorical feature — a row's
+    encoding never sees its own fold's labels; (cat, fold) aggregates
+    broadcast back, labels never ride a window."""
+    from reden_spark.operators.model_eval import target_encode_oof
+
+    rows = _scored(spark, sf_dir).select(
+        "id",
+        (F.col("id") % 23).alias("cat"),
+        (F.col("id") % 5).alias("fold"),
+        "label",
+    )
+    return target_encode_oof(rows)
+
+
+@query(
+    "mcnemar_paired",
+    f"""
+    WITH s AS ({_SCORED_SQL}),
+    p AS (SELECT label,
+                 CASE WHEN score >= 50 THEN 1 ELSE 0 END AS pred_a,
+                 CASE WHEN (id * 31 + 5) % 101 >= 45 THEN 1 ELSE 0 END
+                   AS pred_b
+          FROM s),
+    a AS (SELECT count(*) AS n,
+                 sum(CASE WHEN pred_a = label AND pred_b <> label
+                          THEN 1 ELSE 0 END) AS b_only_a,
+                 sum(CASE WHEN pred_b = label AND pred_a <> label
+                          THEN 1 ELSE 0 END) AS b_only_b
+          FROM p)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(b_only_a AS BIGINT) AS b_only_a,
+           CAST(b_only_b AS BIGINT) AS b_only_b,
+           CAST(CASE WHEN b_only_a + b_only_b > 0
+                     THEN (b_only_a - b_only_b) * (b_only_a - b_only_b)
+                          * 1000000 // (b_only_a + b_only_b)
+                     ELSE 0 END AS BIGINT) AS chi2_e6
+    FROM a
+    """,
+)
+def q_mcnemar_paired(spark, sf_dir):
+    """McNemar's test (operators/model_eval.mcnemar_paired): two
+    filter models on the same rows, tested only on the discordant
+    diagonal — the binary-verdict companion of significance_paired_t."""
+    from reden_spark.operators.model_eval import mcnemar_paired
+
+    preds = _scored(spark, sf_dir).select(
+        "label",
+        F.expr("CASE WHEN score >= 50 THEN 1 ELSE 0 END").alias("pred_a"),
+        F.expr(
+            "CASE WHEN (id * 31 + 5) % 101 >= 45 THEN 1 ELSE 0 END"
+        ).alias("pred_b"),
+    )
+    return mcnemar_paired(preds)

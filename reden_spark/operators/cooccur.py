@@ -183,3 +183,59 @@ def context_windows(
         F.concat_ws(" ", F.collect_list("tok").over(wr)).alias("right_ctx"),
     )
     return ctx.join(mentions.select("doc_id", "pos").distinct(), ["doc_id", "pos"])
+
+
+def collocation_dice(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok",
+    min_pair: int = 2,
+) -> DataFrame:
+    """(w1, w2, n_pair, n_left, n_right, dice_e6, p2g1_e6) — adjacent
+    bigram collocation strength: Dice = 2·n_pair/(n_left + n_right)
+    and the transition probability P(w2|w1), in integer micro-units.
+    n_left counts w1's occurrences as a bigram LEFT slot, n_right w2's
+    as a RIGHT slot — the marginals of the same population the pairs
+    are drawn from.  Dice is the integer-exact collocation measure
+    this engine can hash-verify cross-engine (PMI's log lives in
+    cooccur_pmi with nano-rounding; chi-squared's N·(ad−bc)² overflows
+    int64 at corpus scale — Dice needs neither).
+
+    Scale shape (10^12 tokens): one lead() window per document
+    partition to form bigrams, one pair groupBy, two marginal groupBys
+    joined back on their keys — all map-side combinable; min_pair
+    prunes the long tail before the marginal joins."""
+    w = Window.partitionBy("doc").orderBy("pos")
+    bi = (
+        tokens.select(
+            F.col(id_col).alias("doc"),
+            F.col(pos_col).alias("pos"),
+            F.col(tok_col).alias("w1"),
+        )
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+    )
+    pairs = bi.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    left = bi.groupBy("w1").agg(F.count("*").cast("long").alias("n_left"))
+    right = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n_right"))
+    return (
+        pairs.filter(F.col("n_pair") >= min_pair)
+        .join(left, "w1")
+        .join(right, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.expr(
+                "CAST(2 * n_pair * 1000000 div (n_left + n_right) AS BIGINT)"
+            ).alias("dice_e6"),
+            F.expr("CAST(n_pair * 1000000 div n_left AS BIGINT)").alias(
+                "p2g1_e6"
+            ),
+        )
+    )

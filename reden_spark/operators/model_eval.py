@@ -167,3 +167,102 @@ def lift_deciles(
             "lift_e6"
         ),
     )
+
+
+def target_encode_oof(
+    rows: DataFrame,
+    cat_col: str = "cat",
+    label_col: str = "label",
+    fold_col: str = "fold",
+    id_col: str = "id",
+    alpha: int = 10,
+) -> DataFrame:
+    """(id, cat, fold, enc_e6) — out-of-fold smoothed target encoding:
+    enc = (Σlabel over the category EXCLUDING the row's own fold +
+    α·prior) / (count excluding own fold + α), prior = global positive
+    rate, all in integer micro-units.  The leakage-safe categorical
+    feature: a row never sees its own fold's labels, so the encoded
+    column is legal to train on (the non-OOF variant leaks the row's
+    own label into its feature and inflates offline metrics).
+
+    Scale shape: one (cat, fold) groupBy — |cats|·|folds| rows — a
+    per-cat rollup of it, a broadcast of both back onto the raw rows,
+    and one scalar prior cross-join.  The raw table shuffles once on
+    cat; labels never ride a window."""
+    base = rows.select(
+        F.col(id_col).alias("id"),
+        F.col(cat_col).alias("cat"),
+        F.col(fold_col).alias("fold"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.sum("label").alias("s_cf"), F.count(F.lit(1)).alias("n_cf")
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("s_cf").alias("s_c"), F.sum("n_cf").alias("n_c")
+    )
+    prior = base.agg(
+        F.expr("CAST(sum(label) * 1000000 div count(*) AS BIGINT)").alias(
+            "prior_e6"
+        )
+    )
+    oof = (
+        cf.join(c, "cat")
+        .select(
+            "cat",
+            "fold",
+            (F.col("s_c") - F.col("s_cf")).alias("s_oof"),
+            (F.col("n_c") - F.col("n_cf")).alias("n_oof"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "cat",
+            "fold",
+            F.expr(
+                f"CAST((s_oof * {E6} + {int(alpha)} * prior_e6)"
+                f" div (n_oof + {int(alpha)}) AS BIGINT)"
+            ).alias("enc_e6"),
+        )
+    )
+    return base.join(F.broadcast(oof), ["cat", "fold"]).select(
+        "id", "cat", "fold", "enc_e6"
+    )
+
+
+def mcnemar_paired(
+    preds: DataFrame,
+    label_col: str = "label",
+    a_col: str = "pred_a",
+    b_col: str = "pred_b",
+) -> DataFrame:
+    """One row (n, b_only_a, b_only_b, chi2_e6) — McNemar's test on two
+    classifiers over the SAME rows: b_only_a = rows only A got right,
+    b_only_b = rows only B got right, χ² = (b−c)²/(b+c) in micro-units
+    (0 when there are no discordant rows).  The significance companion
+    of compare_runs for BINARY verdicts (keep/drop filters, link
+    accept/reject) where the paired t-test's continuous scores don't
+    exist: concordant rows carry no evidence, so only the discordant
+    diagonal is tested."""
+    lab = F.col(label_col)
+    a_ok = (F.col(a_col) == lab).cast("long")
+    b_ok = (F.col(b_col) == lab).cast("long")
+    agg = preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok * (1 - b_ok)).alias("b_only_a"),
+        F.sum(b_ok * (1 - a_ok)).alias("b_only_b"),
+    )
+    return agg.select(
+        "n",
+        "b_only_a",
+        "b_only_b",
+        F.when(
+            F.col("b_only_a") + F.col("b_only_b") > 0,
+            F.expr(
+                f"CAST((b_only_a - b_only_b) * (b_only_a - b_only_b) * {E6}"
+                " div (b_only_a + b_only_b) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chi2_e6"),
+    )

@@ -1,0 +1,87 @@
+"""Round-5 wave 13: collocation Dice, OOF target encoding, McNemar."""
+
+from __future__ import annotations
+
+
+def test_collocation_dice_hand_case(spark):
+    from reden_spark.operators.cooccur import collocation_dice
+
+    # doc 1: "new york new york city"  doc 2: "new deal"
+    toks = spark.createDataFrame(
+        [
+            (1, 0, "new"), (1, 1, "york"), (1, 2, "new"),
+            (1, 3, "york"), (1, 4, "city"),
+            (2, 0, "new"), (2, 1, "deal"),
+        ],
+        "doc_id long, pos long, tok string",
+    )
+    got = {
+        (r.w1, r.w2): r for r in collocation_dice(toks, min_pair=1).collect()
+    }
+    r = got[("new", "york")]
+    # bigram population: (new,york)x2, (york,new), (york,city), (new,deal)
+    assert r.n_pair == 2
+    assert r.n_left == 3    # 'new' opens 3 bigrams
+    assert r.n_right == 2   # 'york' closes 2 bigrams
+    assert r.dice_e6 == 800_000          # 2*2/(3+2)
+    assert r.p2g1_e6 == 666_666          # 2/3 floored
+    # bigrams never span documents
+    assert ("city", "new") not in got
+
+
+def test_collocation_min_pair_prunes(spark):
+    from reden_spark.operators.cooccur import collocation_dice
+
+    toks = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")],
+        "doc_id long, pos long, tok string",
+    )
+    assert collocation_dice(toks, min_pair=2).collect() == []
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from reden_spark.operators.model_eval import target_encode_oof
+
+    # one category, 2 folds: fold 0 all positive (2), fold 1 all negative (2)
+    rows = spark.createDataFrame(
+        [(1, "c", 0, 1), (2, "c", 0, 1), (3, "c", 1, 0), (4, "c", 1, 0)],
+        "id long, cat string, fold long, label int",
+    )
+    got = {r.id: r.enc_e6 for r in target_encode_oof(rows, alpha=2).collect()}
+    # prior = 2/4 = 0.5 -> prior_e6 = 500000
+    # fold-0 rows see fold 1: (0*1e6 + 2*500000)/(2+2) = 250000
+    assert got[1] == got[2] == 250_000
+    # fold-1 rows see fold 0: (2*1e6 + 2*500000)/(2+2) = 750000
+    assert got[3] == got[4] == 750_000
+
+
+def test_target_encode_oof_single_fold_category_falls_to_prior(spark):
+    from reden_spark.operators.model_eval import target_encode_oof
+
+    rows = spark.createDataFrame(
+        [(1, "solo", 0, 1), (2, "other", 1, 0)],
+        "id long, cat string, fold long, label int",
+    )
+    got = {r.id: r.enc_e6 for r in target_encode_oof(rows, alpha=10).collect()}
+    # 'solo' has no out-of-fold rows: enc = 10*prior/10 = prior = 500000
+    assert got[1] == 500_000
+
+
+def test_mcnemar_paired_hand_case(spark):
+    from reden_spark.operators.model_eval import mcnemar_paired
+
+    # A right/B wrong x3; B right/A wrong x1; both right x2
+    rows = [(1, 1, 0)] * 3 + [(1, 0, 1)] * 1 + [(1, 1, 1)] * 2
+    preds = spark.createDataFrame(rows, "label int, pred_a int, pred_b int")
+    r = mcnemar_paired(preds).collect()[0]
+    assert (r.n, r.b_only_a, r.b_only_b) == (6, 3, 1)
+    assert r.chi2_e6 == 1_000_000  # (3-1)^2 / 4
+
+
+def test_mcnemar_no_discordance_is_zero(spark):
+    from reden_spark.operators.model_eval import mcnemar_paired
+
+    preds = spark.createDataFrame(
+        [(1, 1, 1), (0, 0, 0)], "label int, pred_a int, pred_b int"
+    )
+    assert mcnemar_paired(preds).collect()[0].chi2_e6 == 0
