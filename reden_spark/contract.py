@@ -15887,3 +15887,70 @@ def q_mcnemar_paired(spark, sf_dir):
         ).alias("pred_b"),
     )
     return mcnemar_paired(preds)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 14: SHACL cardinality bands, SAX symbolization.
+
+
+@query(
+    "shacl_cardinality",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})),
+    shapes(pred, min_count, max_count) AS (
+      VALUES ('status', 2, 10), ('homepage', 1, 5), ('prio', 1, 3)),
+    subs AS (SELECT DISTINCT subj FROM t),
+    u AS (SELECT s.subj, sh.pred, sh.min_count, sh.max_count
+          FROM subs s CROSS JOIN shapes sh),
+    c AS (SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n
+          FROM t GROUP BY 1, 2),
+    j AS (SELECT u.subj, u.pred, COALESCE(c.n, 0) AS n,
+                 u.min_count, u.max_count
+          FROM u LEFT JOIN c ON c.subj = u.subj AND c.pred = u.pred)
+    SELECT subj, pred, CAST(n AS BIGINT) AS n,
+           CAST(min_count AS BIGINT) AS min_count,
+           CAST(max_count AS BIGINT) AS max_count,
+           CASE WHEN n < min_count THEN 'under_min'
+                ELSE 'over_max' END AS violation
+    FROM j WHERE n < min_count OR n > max_count
+    """,
+)
+def q_shacl_cardinality(spark, sf_dir):
+    """SHACL min/max cardinality bands (operators/kg_quality.
+    shacl_cardinality): distinct-object counts per (subj, shaped pred)
+    vs declared [min, max], absent predicates included via the
+    broadcast shape cross-join — the general gate whose (min=1)/(max=1)
+    corners are kg_validate's required/functional checks."""
+    from reden_spark.operators.kg_quality import shacl_cardinality
+
+    shapes = spark.createDataFrame(
+        [("status", 2, 10), ("homepage", 1, 5), ("prio", 1, 3)],
+        "pred string, min_count long, max_count long",
+    )
+    return shacl_cardinality(_kg_triples(spark, sf_dir), shapes)
+
+
+@query(
+    "sax_symbols",
+    f"""
+    WITH series AS ({_DAY_SERIES_SQL}),
+    p AS (SELECT key, t // 4 AS seg, CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS paa_e6
+          FROM series GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY key
+                      ORDER BY paa_e6, seg) AS rn,
+                 count(*) OVER (PARTITION BY key) AS nseg
+          FROM p)
+    SELECT key, CAST(seg AS BIGINT) AS seg, n_obs, paa_e6,
+           CAST((rn - 1) * 4 // nseg AS BIGINT) AS symbol
+    FROM r
+    """,
+)
+def q_sax_symbols(spark, sf_dir):
+    """SAX-style series symbolization (operators/eventstats.
+    sax_symbols): PAA over 4-day windows then rank-breakpoint symbols
+    (integer-exact stand-in for Gaussian breakpoints) — the
+    motif-mining representation of per-type event volume."""
+    from reden_spark.operators.eventstats import sax_symbols
+
+    return sax_symbols(_day_series(spark, sf_dir))

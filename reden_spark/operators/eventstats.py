@@ -881,3 +881,50 @@ def volume_trend(
         ).alias("slope_e6"),
         F.expr("sy * 1000 div n").alias("mean_daily_e3"),
     )
+
+
+def sax_symbols(
+    series: DataFrame, seg_len: int = 4, alphabet: int = 4
+) -> DataFrame:
+    """(key, seg, n_obs, paa_e6, symbol) — SAX-style symbolization of a
+    per-key time series (key, t, x): Piecewise Aggregate Approximation
+    over fixed windows of ``seg_len`` ticks (paa_e6 = Σx·10^6 div n,
+    exact integers), then each segment mapped to one of ``alphabet``
+    symbols by its RANK among the key's segments —
+    symbol = (rank−1)·alphabet div n_segments under the deterministic
+    (paa_e6, seg) order.  Rank breakpoints are the integer-exact,
+    distribution-adaptive stand-in for classic SAX's Gaussian
+    breakpoints (which need mean/σ — transcendental, hash-unstable
+    cross-engine); equal-depth symbols preserve exactly the property
+    downstream motif mining uses (order statistics of segment levels).
+
+    Scale shape: one (key, seg) groupBy collapses the raw ticks; the
+    rank window runs per key over its segments only (days/seg_len
+    rows) — the raw table never sees a window."""
+    seg = series.groupBy(
+        "key", F.expr(f"CAST(t div {int(seg_len)} AS BIGINT)").alias("seg")
+    ).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.expr("CAST(sum(x) * 1000000 div count(*) AS BIGINT)").alias(
+            "paa_e6"
+        ),
+    )
+    w = Window.partitionBy("key").orderBy("paa_e6", "seg")
+    wk = Window.partitionBy("key")
+    ranked = seg.select(
+        "key",
+        "seg",
+        "n_obs",
+        "paa_e6",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wk).alias("n_segs"),
+    )
+    return ranked.select(
+        "key",
+        "seg",
+        "n_obs",
+        "paa_e6",
+        F.expr(
+            f"CAST((rn - 1) * {int(alphabet)} div n_segs AS BIGINT)"
+        ).alias("symbol"),
+    )

@@ -674,3 +674,55 @@ def pred_cooccurrence(triples: DataFrame) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+def shacl_cardinality(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """SHACL sh:minCount / sh:maxCount over a triple table: for every
+    (subject, shaped predicate) pair, count the DISTINCT objects (RDF
+    set semantics) and emit one row per violation —
+    (subj, pred, n, min_count, max_count, violation) with violation in
+    'under_min' (including n = 0: a subject that never mentions the
+    predicate at all) / 'over_max'.  ``shapes`` is
+    (pred, min_count, max_count).
+
+    The cardinality band completes the SHACL-lite family:
+    kg_validate's required/functional checks are the (min=1) and
+    (max=1) corners; this is the general [min, max] gate (e.g. "every
+    entity has 1-5 homepages, 2+ statuses").
+
+    Scale shape (10^12 triples): shapes is tiny and broadcast twice —
+    once to pre-filter the triple scan to shaped predicates before the
+    (subj, pred) count exchange, once cross-joined against the
+    distinct-subject list so minCount violations of ABSENT predicates
+    surface without any per-predicate anti-join."""
+    sh = shapes.select(
+        "pred",
+        F.col("min_count").cast("long").alias("min_count"),
+        F.col("max_count").cast("long").alias("max_count"),
+    )
+    subjects = triples.select("subj").distinct()
+    universe = subjects.crossJoin(F.broadcast(sh))
+    counts = (
+        triples.join(F.broadcast(sh.select("pred")), "pred")
+        .groupBy("subj", "pred")
+        .agg(F.count_distinct("obj").cast("long").alias("n"))
+    )
+    j = universe.join(counts, ["subj", "pred"], "left").select(
+        "subj",
+        "pred",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "min_count",
+        "max_count",
+    )
+    return j.filter(
+        (F.col("n") < F.col("min_count")) | (F.col("n") > F.col("max_count"))
+    ).select(
+        "subj",
+        "pred",
+        "n",
+        "min_count",
+        "max_count",
+        F.when(F.col("n") < F.col("min_count"), F.lit("under_min"))
+        .otherwise(F.lit("over_max"))
+        .alias("violation"),
+    )

@@ -1,0 +1,78 @@
+"""Round-5 wave 14: SHACL cardinality bands, SAX symbolization."""
+
+from __future__ import annotations
+
+
+def test_shacl_cardinality_bands(spark):
+    from reden_spark.operators.kg_quality import shacl_cardinality
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "name", "a"),
+            ("e2", "name", "a"), ("e2", "name", "b"), ("e2", "name", "c"),
+            ("e3", "other", "x"),
+            # duplicate triple: RDF set semantics -> counts once
+            ("e1", "tag", "t"), ("e1", "tag", "t"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    shapes = spark.createDataFrame(
+        [("name", 1, 2), ("tag", 1, 5)],
+        "pred string, min_count long, max_count long",
+    )
+    got = {
+        (r.subj, r.pred): r
+        for r in shacl_cardinality(triples, shapes).collect()
+    }
+    # e2 has 3 distinct names > max 2
+    assert got[("e2", "name")].violation == "over_max"
+    assert got[("e2", "name")].n == 3
+    # e3 never states name or tag -> two under_min rows with n=0
+    assert got[("e3", "name")].violation == "under_min"
+    assert got[("e3", "tag")].n == 0
+    # e2 lacks tag
+    assert got[("e2", "tag")].violation == "under_min"
+    # e1 is fully conformant (dup triple counted once)
+    assert ("e1", "name") not in got and ("e1", "tag") not in got
+    assert len(got) == 4
+
+
+def test_sax_symbols_paa_and_rank_breakpoints(spark):
+    from reden_spark.operators.eventstats import sax_symbols
+
+    # key k: 8 days, two ticks per segment of length 2 -> 4 segments
+    # with PAA means 1, 10, 100, 1000 -> symbols 0,1,2,3
+    rows = []
+    for seg, lvl in enumerate([1, 10, 100, 1000]):
+        rows += [("k", seg * 2, lvl), ("k", seg * 2 + 1, lvl)]
+    series = spark.createDataFrame(rows, "key string, t long, x long")
+    got = {r.seg: r for r in sax_symbols(series, seg_len=2, alphabet=4).collect()}
+    assert [got[s].symbol for s in range(4)] == [0, 1, 2, 3]
+    assert got[0].paa_e6 == 1_000_000 and got[3].paa_e6 == 1_000_000_000
+    assert all(got[s].n_obs == 2 for s in range(4))
+
+
+def test_sax_symbols_partial_segments_and_ties(spark):
+    from reden_spark.operators.eventstats import sax_symbols
+
+    # 3 segments (one partial), all equal PAA -> tie broken by seg:
+    # symbols (rank-1)*2 div 3 -> 0, 0, 1 for alphabet=2
+    series = spark.createDataFrame(
+        [("k", 0, 5), ("k", 1, 5), ("k", 2, 5), ("k", 3, 5), ("k", 4, 5)],
+        "key string, t long, x long",
+    )
+    got = {r.seg: r.symbol for r in sax_symbols(series, seg_len=2, alphabet=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_sax_symbols_keys_independent(spark):
+    from reden_spark.operators.eventstats import sax_symbols
+
+    series = spark.createDataFrame(
+        [("a", 0, 1), ("a", 4, 100), ("b", 0, 7)],
+        "key string, t long, x long",
+    )
+    got = {(r.key, r.seg): r.symbol for r in sax_symbols(series).collect()}
+    # key b's single segment ranks alone -> symbol 0 regardless of key a
+    assert got[("b", 0)] == 0
+    assert got[("a", 0)] == 0 and got[("a", 1)] == 2
