@@ -15954,3 +15954,92 @@ def q_sax_symbols(spark, sf_dir):
     from reden_spark.operators.eventstats import sax_symbols
 
     return sax_symbols(_day_series(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 15: rank-biased overlap, effective sample size.
+
+
+@query(
+    "rbo_rankings",
+    """
+    WITH ca AS (SELECT o_custkey AS item, CAST(count(*) AS BIGINT) AS s
+                FROM orders GROUP BY 1),
+    ra AS (SELECT item, row_number() OVER (ORDER BY s DESC, item) AS rank
+           FROM ca),
+    cb AS (SELECT o_custkey AS item, CAST(count(*) AS BIGINT) AS s
+           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+    rb AS (SELECT item, row_number() OVER (ORDER BY s DESC, item) AS rank
+           FROM cb),
+    a AS (SELECT * FROM ra WHERE rank <= 10),
+    b AS (SELECT * FROM rb WHERE rank <= 10),
+    mds AS (SELECT greatest(a.rank, b.rank) AS md
+            FROM a JOIN b USING (item)
+            WHERE greatest(a.rank, b.rank) <= 10),
+    h AS (SELECT md, CAST(count(*) AS BIGINT) AS n_at FROM mds GROUP BY 1),
+    pows(d, pn, pd) AS (VALUES (1, 1, 1), (2, 9, 10), (3, 81, 100), (4, 729, 1000), (5, 6561, 10000), (6, 59049, 100000), (7, 531441, 1000000), (8, 4782969, 10000000), (9, 43046721, 100000000), (10, 387420489, 1000000000)),
+    dep AS (SELECT CAST(p.d AS BIGINT) AS d, CAST(p.pn AS BIGINT) AS pn,
+                   CAST(p.pd AS BIGINT) AS pd,
+                   CAST(COALESCE(sum(h.n_at), 0) AS BIGINT) AS overlap
+            FROM pows p LEFT JOIN h ON h.md <= p.d GROUP BY 1, 2, 3),
+    t AS (SELECT d, overlap,
+                 CAST(overlap * pn * 1000000 // (d * pd) AS BIGINT)
+                   AS term_e6
+          FROM dep)
+    SELECT CAST(d AS BIGINT) AS d, overlap, term_e6,
+           CAST(sum(term_e6) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) // 10 AS BIGINT)
+             AS rbo_prefix_e6
+    FROM t
+    """,
+)
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-Biased Overlap (operators/ranking.rbo_rankings) between the
+    top-10 customers by order count and by count over a 1/3 subsample —
+    the top-weighted agreement measure for "can the cheaper ranking
+    replace the dearer one", exact rational powers of p=0.9."""
+    from reden_spark.operators.ranking import rbo_rankings
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("s").desc(), "item")
+
+    def topk(df):
+        c = df.groupBy(F.col("o_custkey").alias("item")).agg(
+            F.count("*").cast("long").alias("s")
+        )
+        return (
+            c.select("item", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 10)
+        )
+
+    return rbo_rankings(
+        topk(orders), topk(orders.filter(F.col("o_orderkey") % 3 == 0)), k=10
+    )
+
+
+@query(
+    "effective_sample_size",
+    """
+    WITH wt AS (SELECT source AS grp, (doc_id * 13 + 7) % 50 + 1 AS w
+                FROM documents)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(w * w) AS BIGINT) AS sum_w2,
+           CAST(sum(w) * sum(w) * 1000 // sum(w * w) AS BIGINT) AS ess_e3,
+           CAST(sum(w) * sum(w) * 1000000 // (sum(w * w) * count(*))
+                AS BIGINT) AS utilization_e6
+    FROM wt GROUP BY 1
+    """,
+)
+def q_effective_sample_size(spark, sf_dir):
+    """Kish effective sample size per source (operators/corpus_prep.
+    effective_sample_size): (Σw)²/Σw² over deterministic integer
+    weights — has the weighted mixture collapsed onto a few heavy
+    documents?  Additive sufficient statistics, shard-mergeable."""
+    from reden_spark.operators.corpus_prep import effective_sample_size
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("source").alias("grp"),
+        ((F.col("doc_id") * 13 + 7) % 50 + 1).alias("w"),
+    )
+    return effective_sample_size(docs)

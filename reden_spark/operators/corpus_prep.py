@@ -1302,3 +1302,39 @@ def source_overlap(
             .alias("jaccard_e6"),
         )
     )
+
+
+def effective_sample_size(
+    weighted: DataFrame,
+    group_col: str = "grp",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(grp, n, sum_w, sum_w2, ess_e3, utilization_e6) per group —
+    Kish's effective sample size ESS = (Σw)²/Σw² for integer weights,
+    in exact milli-units, plus ESS/n in micro-units.  The one number
+    that says whether a weighted resample (dsir_weights, fs_weights,
+    temperature_mix) still has statistical mass or has collapsed onto
+    a few heavy documents: utilization near 10^6 means weights are
+    flat; near 0 means a handful of rows dominate and the "10M-doc"
+    mixture is effectively a few thousand.
+
+    Scale shape: one map-side-combinable groupBy over (n, Σw, Σw²) —
+    additive sufficient statistics, so shards merge exactly."""
+    w = F.col(weight_col).cast("long")
+    agg = weighted.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sum_w"),
+        F.sum(w * w).alias("sum_w2"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "sum_w",
+        "sum_w2",
+        F.expr("CAST(sum_w * sum_w * 1000 div sum_w2 AS BIGINT)").alias(
+            "ess_e3"
+        ),
+        F.expr(
+            "CAST(sum_w * sum_w * 1000000 div (sum_w2 * n) AS BIGINT)"
+        ).alias("utilization_e6"),
+    )

@@ -242,3 +242,69 @@ def textrank_keywords(
         .filter(F.col("rank") <= top_k)
         .select("rank", "word", "p_e9")
     )
+
+
+def rbo_rankings(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """(d, overlap, term_e6, rbo_prefix_e6) for depths d = 1..k —
+    Rank-Biased Overlap (Webber et al. 2010) between two top-k lists
+    (item, rank), rank 1-based: overlap_d = |top_d(A) ∩ top_d(B)|,
+    term_e6 = overlap_d·p^(d−1)·10^6 div d (with p = p_num/p_den as an
+    exact rational power), rbo_prefix_e6 = (1−p)·Σ_{i≤d} term — the
+    truncated RBO at each depth, all in floor-integer micro-units so
+    both engines agree bit-for-bit (no float pow anywhere: the p^i
+    numerator/denominator pairs are precomputed exact integers).
+
+    RBO is the TOP-WEIGHTED agreement measure Spearman/Kendall are not:
+    two centrality rankings that agree on the 3 hub entities but
+    scramble the tail score high — exactly the invariance wanted when
+    deciding whether a cheaper centrality can replace a dearer one
+    (spearman_degree_eigen's whole-population rho answers a different
+    question).
+
+    Scale shape: the item join is |top-k| rows; the depth table is k
+    rows; everything downstream is constant-size regardless of the
+    graph that produced the rankings."""
+    if not 1 <= k <= 19:
+        raise ValueError(f"k must be in 1..19 (int64 pow bound), got {k}")
+    a = ranks_a.select(F.col("item").alias("it"), F.col("rank").alias("ra"))
+    b = ranks_b.select(F.col("item").alias("it"), F.col("rank").alias("rb"))
+    # max(ra, rb) = first depth at which the item is in BOTH prefixes;
+    # items in only one list never overlap within depth k
+    md = (
+        a.join(b, "it")
+        .select(F.greatest("ra", "rb").alias("md"))
+        .filter(F.col("md") <= k)
+        .groupBy("md")
+        .agg(F.count("*").cast("long").alias("n_at"))
+    )
+    spark = ranks_a.sparkSession
+    pows = spark.createDataFrame(
+        [(d, p_num ** (d - 1), p_den ** (d - 1)) for d in range(1, k + 1)],
+        "d long, pn long, pd long",
+    )
+    depth = pows.join(md, F.col("md") <= F.col("d"), "left").groupBy(
+        "d", "pn", "pd"
+    ).agg(F.coalesce(F.sum("n_at"), F.lit(0)).cast("long").alias("overlap"))
+    terms = depth.select(
+        "d",
+        "overlap",
+        F.expr("CAST(overlap * pn * 1000000 div (d * pd) AS BIGINT)").alias(
+            "term_e6"
+        ),
+    )
+    return terms.select(
+        "d",
+        "overlap",
+        "term_e6",
+        F.expr(
+            f"CAST(sum(term_e6) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) * {p_den - p_num} div {p_den}"
+            " AS BIGINT)"
+        ).alias("rbo_prefix_e6"),
+    )

@@ -1,0 +1,71 @@
+"""Round-5 wave 15: rank-biased overlap, effective sample size."""
+
+from __future__ import annotations
+
+
+def _ranks(spark, items):
+    return spark.createDataFrame(
+        [(it, i + 1) for i, it in enumerate(items)], "item string, rank long"
+    )
+
+
+def test_rbo_identical_lists_is_one(spark):
+    from reden_spark.operators.ranking import rbo_rankings
+
+    a = _ranks(spark, ["x", "y", "z"])
+    got = {r.d: r for r in rbo_rankings(a, a, k=3).collect()}
+    # overlap_d = d at every depth -> every term_e6 = p^(d-1)*1e6 (floored)
+    assert got[1].overlap == 1 and got[1].term_e6 == 1_000_000
+    assert got[2].overlap == 2 and got[2].term_e6 == 900_000
+    assert got[3].overlap == 3 and got[3].term_e6 == 810_000
+    # (1e6 + 9e5 + 81e4) / 10 = 271000 = (1-p)(1 + p + p^2)·1e6
+    assert got[3].rbo_prefix_e6 == 271_000
+
+
+def test_rbo_disjoint_lists_is_zero(spark):
+    from reden_spark.operators.ranking import rbo_rankings
+
+    a = _ranks(spark, ["a", "b"])
+    b = _ranks(spark, ["c", "d"])
+    got = rbo_rankings(a, b, k=2).collect()
+    assert all(r.overlap == 0 and r.rbo_prefix_e6 == 0 for r in got)
+    assert len(got) == 2
+
+
+def test_rbo_top_weighted_asymmetry(spark):
+    from reden_spark.operators.ranking import rbo_rankings
+
+    # agree on rank-1, differ at rank-2 vs agree only at rank-2
+    head = rbo_rankings(
+        _ranks(spark, ["x", "a"]), _ranks(spark, ["x", "b"]), k=2
+    ).collect()[-1]
+    tail = rbo_rankings(
+        _ranks(spark, ["a", "x"]), _ranks(spark, ["b", "x"]), k=2
+    ).collect()[-1]
+    # same #shared items, but head agreement scores strictly higher
+    assert head.rbo_prefix_e6 > tail.rbo_prefix_e6
+
+
+def test_rbo_k_bound_enforced(spark):
+    import pytest
+
+    from reden_spark.operators.ranking import rbo_rankings
+
+    a = _ranks(spark, ["x"])
+    with pytest.raises(ValueError, match="k must be"):
+        rbo_rankings(a, a, k=25)
+
+
+def test_effective_sample_size_flat_and_peaked(spark):
+    from reden_spark.operators.corpus_prep import effective_sample_size
+
+    rows = [("flat", 5)] * 4 + [("peak", 1)] * 3 + [("peak", 97)]
+    df = spark.createDataFrame(rows, "grp string, w long")
+    got = {r.grp: r for r in effective_sample_size(df).collect()}
+    # flat weights: ESS = n exactly, utilization = 1
+    assert got["flat"].ess_e3 == 4000
+    assert got["flat"].utilization_e6 == 1_000_000
+    # peaked: (100)^2 / (3 + 9409) = 10000/9412 ~ 1.0625
+    assert got["peak"].ess_e3 == 1062
+    assert got["peak"].utilization_e6 == 265_618  # 1.0625/4, floored e6
+    assert got["peak"].sum_w == 100 and got["peak"].sum_w2 == 9412
