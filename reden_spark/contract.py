@@ -16043,3 +16043,101 @@ def q_effective_sample_size(spark, sf_dir):
         ((F.col("doc_id") * 13 + 7) % 50 + 1).alias("w"),
     )
     return effective_sample_size(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 16: rename detection, conformal calibration.
+
+_CODE_FILES_RENAMED_SQL = f"""
+  SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+         CASE WHEN doc_id % 6 = 0
+              THEN 'src/moved_' || CAST(doc_id AS VARCHAR) || '.py'
+              ELSE 'src/m_' || CAST(doc_id AS VARCHAR) || '.py' END AS path,
+         {_CODE_CONTENT_SQL} AS content
+  FROM documents
+"""
+
+
+def _code_files_renamed(spark, sf_dir):
+    """Same tree as _code_files but every doc_id%6==0 file moved to
+    src/moved_<id>.py with byte-identical content — pure renames."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _code_files(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        F.when(
+            d % 6 == 0, F.concat(F.lit("src/moved_"), s(d), F.lit(".py"))
+        )
+        .otherwise(F.concat(F.lit("src/m_"), s(d), F.lit(".py")))
+        .alias("new_path"),
+    )
+    return (
+        base.join(docs, "path")
+        .select("repo", F.col("new_path").alias("path"), "content")
+    )
+
+
+@query(
+    "rename_detect",
+    f"""
+    WITH o AS (SELECT repo, path, md5(content) AS h
+               FROM ({_CODE_FILES_SQL})),
+    n AS (SELECT repo, path, md5(content) AS h
+          FROM ({_CODE_FILES_RENAMED_SQL})),
+    rem AS (SELECT * FROM o WHERE NOT EXISTS
+              (SELECT 1 FROM n WHERE n.repo = o.repo AND n.path = o.path)),
+    addf AS (SELECT * FROM n WHERE NOT EXISTS
+              (SELECT 1 FROM o WHERE o.repo = n.repo AND o.path = n.path)),
+    ru AS (SELECT repo, h, min(path) AS old_path
+           FROM rem GROUP BY 1, 2 HAVING count(*) = 1),
+    au AS (SELECT repo, h, min(path) AS new_path
+           FROM addf GROUP BY 1, 2 HAVING count(*) = 1)
+    SELECT repo, old_path, new_path, h AS content_hash
+    FROM ru JOIN au USING (repo, h)
+    """,
+)
+def q_rename_detect(spark, sf_dir):
+    """Exact rename detection (operators/code_surface.rename_detect):
+    vanished path + appeared path + identical md5, unambiguous-only —
+    kept files drop out via path anti-joins before any hash compares,
+    so churn metrics stop double-charging moves as delete+add."""
+    from reden_spark.operators.code_surface import rename_detect
+
+    return rename_detect(
+        _code_files(spark, sf_dir), _code_files_renamed(spark, sf_dir)
+    )
+
+
+@query(
+    "conformal_threshold",
+    """
+    WITH s AS (SELECT lang AS grp, (doc_id * 41 + 3) % 1000 AS score,
+                      doc_id AS id
+               FROM documents),
+    c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    k AS (SELECT grp, n, CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k
+          FROM c),
+    kk AS (SELECT * FROM k WHERE k <= n),
+    r AS (SELECT grp, score,
+                 row_number() OVER (PARTITION BY grp ORDER BY score, id)
+                   AS rn
+          FROM s)
+    SELECT kk.grp, kk.n, kk.k, CAST(r.score AS BIGINT) AS threshold
+    FROM kk JOIN r ON r.grp = kk.grp AND r.rn = kk.k
+    """,
+)
+def q_conformal_threshold(spark, sf_dir):
+    """Split-conformal calibration per language (operators/model_eval.
+    conformal_threshold): the ceil((n+1)·0.9)-th smallest
+    nonconformity score — accept new rows at score ≤ threshold for a
+    distribution-free ≥90% coverage guarantee."""
+    from reden_spark.operators.model_eval import conformal_threshold
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("grp"),
+        ((F.col("doc_id") * 41 + 3) % 1000).cast("long").alias("score"),
+        F.col("doc_id").alias("id"),
+    )
+    return conformal_threshold(docs)

@@ -122,3 +122,41 @@ def tech_debt_markers(files: DataFrame, text_col: str = "content") -> DataFrame:
         .groupBy("repo", "path", "marker")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def rename_detect(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
+    """(repo, old_path, new_path, content_hash) — git-style exact
+    rename detection between two snapshots: a path that disappeared
+    and a path that appeared in the same repo with IDENTICAL content
+    (md5), reported only when the content hash is UNAMBIGUOUS (exactly
+    one vanished and one appeared path carry it in that repo — the
+    same uniqueness rule `git diff -M100%` applies before it falls
+    back to similarity).  Renames matter to the corpus pipeline
+    because a naive path-keyed diff counts them as delete+add, double-
+    charging churn metrics and re-ingesting unchanged content.
+
+    Scale shape (10^12 files): two path anti-joins (kept files drop
+    out BEFORE any content hashing is compared), then one
+    (repo, hash) join between the two small removed/added sides with
+    count==1 guards — content strings never shuffle, only their
+    hashes."""
+    o = old_files.select(
+        "repo", "path", F.md5(F.col("content")).alias("h")
+    )
+    n = new_files.select(
+        "repo", "path", F.md5(F.col("content")).alias("h")
+    )
+    removed = o.join(n.select("repo", "path"), ["repo", "path"], "left_anti")
+    added = n.join(o.select("repo", "path"), ["repo", "path"], "left_anti")
+
+    def uniq(df):
+        w = df.groupBy("repo", "h").agg(
+            F.count("*").alias("c"), F.first("path").alias("p")
+        )
+        return w.filter(F.col("c") == 1).select("repo", "h", "p")
+
+    ro = uniq(removed).withColumnRenamed("p", "old_path")
+    ra = uniq(added).withColumnRenamed("p", "new_path")
+    return ro.join(ra, ["repo", "h"]).select(
+        "repo", "old_path", "new_path", F.col("h").alias("content_hash")
+    )

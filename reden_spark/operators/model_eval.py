@@ -266,3 +266,47 @@ def mcnemar_paired(
         .cast("long")
         .alias("chi2_e6"),
     )
+
+
+def conformal_threshold(
+    scores: DataFrame,
+    group_col: str = "grp",
+    score_col: str = "score",
+    id_col: str = "id",
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """(grp, n, k, threshold) — split-conformal calibration per group:
+    the k-th smallest nonconformity score under the deterministic
+    (score, id) order, k = ceil((n+1)·(1−α)) with α = alpha_num/
+    alpha_den computed in exact integers.  Accepting new rows with
+    score ≤ threshold then guarantees ≥(1−α) marginal coverage — the
+    distribution-free way to turn ANY quality/novelty score into a
+    filter with a stated error rate.  Groups too small for the
+    requested coverage (k > n, where no finite threshold is valid)
+    are omitted, per the standard conformal validity condition.
+
+    Scale shape: one group count, one rank window per group, one join
+    on (grp, rank=k) — the scores shuffle once on the group key."""
+    base = scores.select(
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+        F.col(id_col).alias("id"),
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    keep = alpha_den - alpha_num
+    ks = counts.select(
+        "grp",
+        "n",
+        F.expr(
+            f"CAST(((n + 1) * {keep} + {alpha_den} - 1) div {alpha_den}"
+            " AS BIGINT)"
+        ).alias("k"),
+    ).filter(F.col("k") <= F.col("n"))
+    w = Window.partitionBy("grp").orderBy("score", "id")
+    ranked = base.select(
+        "grp", "score", F.row_number().over(w).alias("rn")
+    )
+    return ks.join(
+        ranked, (ks.grp == ranked.grp) & (ks.k == ranked.rn)
+    ).select(ks.grp, "n", "k", F.col("score").alias("threshold"))

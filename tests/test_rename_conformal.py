@@ -1,0 +1,71 @@
+"""Round-5 wave 16: rename detection, conformal calibration."""
+
+from __future__ import annotations
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+def test_rename_detect_basic_move(spark):
+    from reden_spark.operators.code_surface import rename_detect
+
+    old = _files(spark, [("r", "a.py", "body-1"), ("r", "keep.py", "same")])
+    new = _files(spark, [("r", "b.py", "body-1"), ("r", "keep.py", "same")])
+    got = rename_detect(old, new).collect()
+    assert len(got) == 1
+    assert (got[0].old_path, got[0].new_path) == ("a.py", "b.py")
+
+
+def test_rename_detect_ambiguous_hash_suppressed(spark):
+    from reden_spark.operators.code_surface import rename_detect
+
+    # two identical removed files, one added with the same content:
+    # ambiguous -> no rename reported
+    old = _files(spark, [("r", "a.py", "dup"), ("r", "b.py", "dup")])
+    new = _files(spark, [("r", "c.py", "dup")])
+    assert rename_detect(old, new).collect() == []
+
+
+def test_rename_detect_scoped_per_repo_and_content_change(spark):
+    from reden_spark.operators.code_surface import rename_detect
+
+    old = _files(
+        spark, [("r1", "a.py", "x"), ("r2", "a.py", "x"), ("r1", "m.py", "v1")]
+    )
+    new = _files(
+        spark, [("r1", "b.py", "x"), ("r2", "a.py", "x"), ("r1", "m2.py", "v2")]
+    )
+    got = {(r.repo, r.old_path): r.new_path for r in rename_detect(old, new).collect()}
+    # r1's a.py -> b.py matches within r1 only; m.py changed content -> no match
+    assert got == {("r1", "a.py"): "b.py"}
+
+
+def test_conformal_threshold_exact_order_statistic(spark):
+    from reden_spark.operators.model_eval import conformal_threshold
+
+    # n=9: k = ceil(10*0.9) = 9 -> the maximum score
+    rows = [("g", s, i) for i, s in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6])]
+    df = spark.createDataFrame(rows, "grp string, score long, id long")
+    r = conformal_threshold(df).collect()[0]
+    assert (r.n, r.k, r.threshold) == (9, 9, 9)
+
+
+def test_conformal_threshold_small_group_omitted(spark):
+    from reden_spark.operators.model_eval import conformal_threshold
+
+    # n=3 -> k = ceil(4*0.9) = 4 > 3: no valid finite threshold
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2), ("g", 3, 3)], "grp string, score long, id long"
+    )
+    assert conformal_threshold(df).collect() == []
+
+
+def test_conformal_threshold_alpha_half(spark):
+    from reden_spark.operators.model_eval import conformal_threshold
+
+    # alpha=1/2, n=9 -> k = ceil(10*0.5) = 5 -> median
+    rows = [("g", s, s) for s in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, score long, id long")
+    r = conformal_threshold(df, alpha_num=1, alpha_den=2).collect()[0]
+    assert (r.k, r.threshold) == (5, 5)
