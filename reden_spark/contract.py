@@ -16141,3 +16141,103 @@ def q_conformal_threshold(spark, sf_dir):
         F.col("doc_id").alias("id"),
     )
     return conformal_threshold(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 17: Kendall tau over top-k, semver bump rollup.
+
+
+@query(
+    "kendall_tau_topk",
+    """
+    WITH ca AS (SELECT o_custkey AS item, CAST(count(*) AS BIGINT) AS s
+                FROM orders GROUP BY 1),
+    ra AS (SELECT item, row_number() OVER (ORDER BY s DESC, item) AS rank
+           FROM ca),
+    cb AS (SELECT o_custkey AS item, CAST(count(*) AS BIGINT) AS s
+           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+    rb AS (SELECT item, row_number() OVER (ORDER BY s DESC, item) AS rank
+           FROM cb),
+    a AS (SELECT * FROM ra WHERE rank <= 20),
+    b AS (SELECT * FROM rb WHERE rank <= 20),
+    sh AS (SELECT a.item, a.rank AS ra, b.rank AS rb
+           FROM a JOIN b USING (item)),
+    p AS (SELECT CASE WHEN x.rb < y.rb THEN 1 ELSE 0 END AS conc
+          FROM sh x JOIN sh y ON x.ra < y.ra),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM sh),
+    ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(conc) AS BIGINT) AS concordant,
+                  CAST(count(*) - sum(conc) AS BIGINT) AS discordant
+           FROM p)
+    SELECT ns.n_shared, ag.n_pairs, ag.concordant, ag.discordant,
+           CAST(CASE WHEN ag.n_pairs > 0
+                     THEN (ag.concordant - ag.discordant + ag.n_pairs)
+                          * 1000000 // (2 * ag.n_pairs)
+                     ELSE 500000 END AS BIGINT) AS tau01_e6
+    FROM ns CROSS JOIN ag
+    """,
+)
+def q_kendall_tau_topk(spark, sf_dir):
+    """Kendall tau-a over shared top-20 items (operators/ranking.
+    kendall_tau_topk): pair-level inversion count between the full and
+    1/3-subsample customer rankings, on the shifted [0,1e6] scale so
+    integer floor division stays engine-identical."""
+    from reden_spark.operators.ranking import kendall_tau_topk
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("s").desc(), "item")
+
+    def topk(df):
+        c = df.groupBy(F.col("o_custkey").alias("item")).agg(
+            F.count("*").cast("long").alias("s")
+        )
+        return (
+            c.select("item", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 20)
+        )
+
+    return kendall_tau_topk(
+        topk(orders), topk(orders.filter(F.col("o_orderkey") % 3 == 0))
+    )
+
+
+@query(
+    "semver_bump",
+    f"""
+    WITH o AS (SELECT DISTINCT repo, path, kind, name, 1 AS in_old
+               FROM ({_api_surface_sql(_CODE_FILES_SQL)})),
+    n AS (SELECT DISTINCT repo, path, kind, name, 1 AS in_new
+          FROM ({_api_surface_sql(_CODE_FILES_NEW_SQL)})),
+    ch AS (SELECT repo,
+                  CASE WHEN in_old IS NULL THEN 'added'
+                       WHEN in_new IS NULL THEN 'removed'
+                       ELSE 'kept' END AS status
+           FROM o FULL OUTER JOIN n USING (repo, path, kind, name)),
+    ag AS (SELECT repo,
+                  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_removed,
+                  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_added,
+                  CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept
+           FROM ch GROUP BY 1)
+    SELECT repo, n_removed, n_added, n_kept,
+           CASE WHEN n_removed > 0 THEN 'major'
+                WHEN n_added > 0 THEN 'minor'
+                ELSE 'patch' END AS bump
+    FROM ag
+    """,
+)
+def q_semver_bump(spark, sf_dir):
+    """Semantic-version recommendation per repo (operators/
+    code_surface.semver_bump): rollup of the declaration-level churn —
+    removed ⇒ major, added ⇒ minor, else patch."""
+    from reden_spark.operators.code_filters import api_surface
+    from reden_spark.operators.code_surface import api_churn, semver_bump
+
+    return semver_bump(
+        api_churn(
+            api_surface(_code_files(spark, sf_dir)),
+            api_surface(_code_files_new(spark, sf_dir)),
+        )
+    )

@@ -160,3 +160,31 @@ def rename_detect(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
     return ro.join(ra, ["repo", "h"]).select(
         "repo", "old_path", "new_path", F.col("h").alias("content_hash")
     )
+
+
+def semver_bump(churn: DataFrame) -> DataFrame:
+    """(repo, n_removed, n_added, n_kept, bump) — the semantic-version
+    recommendation per repo from an api_churn table: any removed
+    declaration forces 'major', otherwise any added one 'minor',
+    otherwise 'patch'.  The release-engineering rollup of the
+    declaration diff — the repo-level verdict a corpus curator uses to
+    decide whether two snapshots of a dependency are interchangeable
+    training documents or genuinely different APIs.
+
+    Scale shape: one repo-keyed groupBy over the (already small)
+    churn surface."""
+    agg = churn.groupBy("repo").agg(
+        F.sum((F.col("status") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+    )
+    return agg.select(
+        "repo",
+        "n_removed",
+        "n_added",
+        "n_kept",
+        F.when(F.col("n_removed") > 0, F.lit("major"))
+        .when(F.col("n_added") > 0, F.lit("minor"))
+        .otherwise(F.lit("patch"))
+        .alias("bump"),
+    )

@@ -308,3 +308,53 @@ def rbo_rankings(
             " AS BIGINT)"
         ).alias("rbo_prefix_e6"),
     )
+
+
+def kendall_tau_topk(ranks_a: DataFrame, ranks_b: DataFrame) -> DataFrame:
+    """One row (n_shared, n_pairs, concordant, discordant, tau01_e6) —
+    Kendall's tau-a over the items PRESENT IN BOTH top-k lists
+    (item, rank): every unordered pair of shared items is concordant
+    when both rankings order it the same way.  Published on the
+    shifted [0, 10^6] scale tau01 = (tau + 1)/2 = (C − D + P)/(2P)
+    (P = pairs), because floor-vs-truncate integer division of
+    NEGATIVE numerators differs between engines — the shift keeps the
+    numerator non-negative so the floor is engine-identical; callers
+    recover tau = 2·tau01 − 1.
+
+    The pair-level companion of rbo_rankings: RBO weights the head,
+    tau counts inversions uniformly — disagreement between the two
+    tells you WHERE two rankings diverge (head swaps vs tail noise).
+
+    Scale shape: the input lists are top-k extracts (bounded), so the
+    O(k²) pair self-join is a constant-size stage by construction —
+    this operator is deliberately NOT for whole-population rankings
+    (use spearman_rho there)."""
+    a = ranks_a.select(F.col("item").alias("it"), F.col("rank").alias("ra"))
+    b = ranks_b.select(F.col("item").alias("it"), F.col("rank").alias("rb"))
+    shared = a.join(b, "it").select("it", "ra", "rb")
+    x, y = shared.alias("x"), shared.alias("y")
+    pairs = x.join(y, F.col("x.ra") < F.col("y.ra")).select(
+        (F.col("x.rb") < F.col("y.rb")).cast("long").alias("conc")
+    )
+    n_shared = shared.agg(F.count("*").cast("long").alias("n_shared"))
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        (F.count("*") - F.sum("conc")).cast("long").alias("discordant"),
+    )
+    return n_shared.crossJoin(agg).select(
+        "n_shared",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr(
+                "CAST((concordant - discordant + n_pairs) * 1000000"
+                " div (2 * n_pairs) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(500_000))
+        .cast("long")
+        .alias("tau01_e6"),
+    )

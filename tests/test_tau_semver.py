@@ -1,0 +1,66 @@
+"""Round-5 wave 17: Kendall tau over top-k, semver bump."""
+
+from __future__ import annotations
+
+
+def _ranks(spark, items):
+    return spark.createDataFrame(
+        [(it, i + 1) for i, it in enumerate(items)], "item string, rank long"
+    )
+
+
+def test_tau_identical_and_reversed(spark):
+    from reden_spark.operators.ranking import kendall_tau_topk
+
+    a = _ranks(spark, ["w", "x", "y", "z"])
+    same = kendall_tau_topk(a, a).collect()[0]
+    assert (same.n_shared, same.n_pairs) == (4, 6)
+    assert same.concordant == 6 and same.tau01_e6 == 1_000_000  # tau = +1
+
+    rev = kendall_tau_topk(a, _ranks(spark, ["z", "y", "x", "w"])).collect()[0]
+    assert rev.discordant == 6 and rev.tau01_e6 == 0  # tau = -1
+
+
+def test_tau_single_swap(spark):
+    from reden_spark.operators.ranking import kendall_tau_topk
+
+    a = _ranks(spark, ["p", "q", "r"])
+    b = _ranks(spark, ["q", "p", "r"])
+    r = kendall_tau_topk(a, b).collect()[0]
+    # 3 pairs, one inverted: tau = (2-1)/3 -> tau01 = (1+3)/6
+    assert (r.concordant, r.discordant) == (2, 1)
+    assert r.tau01_e6 == 666_666
+
+
+def test_tau_ignores_unshared_items(spark):
+    from reden_spark.operators.ranking import kendall_tau_topk
+
+    a = _ranks(spark, ["x", "only_a", "y"])
+    b = _ranks(spark, ["x", "y", "only_b"])
+    r = kendall_tau_topk(a, b).collect()[0]
+    assert r.n_shared == 2 and r.n_pairs == 1
+    assert r.tau01_e6 == 1_000_000
+
+
+def test_tau_degenerate_one_item(spark):
+    from reden_spark.operators.ranking import kendall_tau_topk
+
+    r = kendall_tau_topk(_ranks(spark, ["x"]), _ranks(spark, ["x"])).collect()[0]
+    assert r.n_pairs == 0 and r.tau01_e6 == 500_000
+
+
+def test_semver_bump_precedence(spark):
+    from reden_spark.operators.code_surface import semver_bump
+
+    churn = spark.createDataFrame(
+        [
+            ("rma", "p", "def", "gone", "removed"),
+            ("rma", "p", "def", "new", "added"),
+            ("rmi", "p", "def", "new", "added"),
+            ("rmi", "p", "def", "old", "kept"),
+            ("rpa", "p", "def", "old", "kept"),
+        ],
+        "repo string, path string, kind string, name string, status string",
+    )
+    got = {r.repo: r.bump for r in semver_bump(churn).collect()}
+    assert got == {"rma": "major", "rmi": "minor", "rpa": "patch"}
