@@ -16241,3 +16241,113 @@ def q_semver_bump(spark, sf_dir):
             api_surface(_code_files_new(spark, sf_dir)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 18: community conductance, exact 2-hop size.
+
+_MIXED_EDGES_SQL = f"""
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM ({_BLOCK_EDGES_SQL})
+      UNION ALL
+      SELECT least(o_orderkey % 2400, (o_custkey * 7) % 2400) AS src,
+             greatest(o_orderkey % 2400, (o_custkey * 7) % 2400) AS dst
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+        AND o_orderkey % 2400 <> (o_custkey * 7) % 2400)
+"""
+
+
+def _mixed_edges(spark, sf_dir):
+    """Block graph + deterministic cross-block edges — community
+    structure WITH leakage, so conductance is non-degenerate."""
+    orders = _read(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 2400).cast("long")
+    b = ((F.col("o_custkey") * 7) % 2400).cast("long")
+    cross = (
+        orders.filter((F.col("o_orderkey") % 5 == 0) & (a != b))
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+    )
+    return _block_edges(spark, sf_dir).unionByName(cross).distinct()
+
+
+@query(
+    "community_conductance",
+    f"""
+    WITH base AS MATERIALIZED ({_MIXED_EDGES_SQL}),
+    e AS (SELECT src, dst, src // 8 AS la, dst // 8 AS lb FROM base),
+    intra AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS n_internal
+              FROM e WHERE la = lb GROUP BY 1),
+    cutl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_cut FROM (
+               SELECT la AS label FROM e WHERE la <> lb
+               UNION ALL SELECT lb FROM e WHERE la <> lb) GROUP BY 1),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT src AS node FROM base UNION ALL SELECT dst FROM base)
+            GROUP BY 1),
+    vol AS (SELECT node // 8 AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(deg) AS BIGINT) AS vol
+            FROM deg GROUP BY 1),
+    tot AS (SELECT CAST(sum(vol) AS BIGINT) AS vol_all FROM vol),
+    j AS (SELECT v.label, v.n_nodes, v.vol,
+                 COALESCE(i.n_internal, 0) AS n_internal,
+                 COALESCE(c.n_cut, 0) AS n_cut,
+                 least(v.vol, t.vol_all - v.vol) AS min_vol
+          FROM vol v LEFT JOIN intra i USING (label)
+          LEFT JOIN cutl c USING (label) CROSS JOIN tot t)
+    SELECT CAST(label AS BIGINT) AS label, n_nodes, vol,
+           CAST(n_internal AS BIGINT) AS n_internal,
+           CAST(n_cut AS BIGINT) AS n_cut,
+           CAST(n_cut * 1000000 // min_vol AS BIGINT) AS conductance_e6,
+           CAST(CASE WHEN n_internal + n_cut > 0
+                     THEN n_internal * 1000000 // (n_internal + n_cut)
+                     ELSE 0 END AS BIGINT) AS internal_frac_e6
+    FROM j WHERE min_vol > 0
+    """,
+)
+def q_community_conductance(spark, sf_dir):
+    """Community conductance (operators/communities.
+    community_conductance): φ(S) = cut/min-side-volume per block label
+    over the mixed block+cross graph — the Cheeger-style leakiness of
+    each fused entity group, one labeled-endpoint pass."""
+    from reden_spark.operators.communities import community_conductance
+
+    edges = _mixed_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "node", F.expr("CAST(node div 8 AS BIGINT)").alias("label")
+    )
+    return community_conductance(edges, labels)
+
+
+@query(
+    "two_hop_size",
+    f"""
+    WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    und AS (SELECT src AS u, dst AS v FROM base
+            UNION ALL SELECT dst, src FROM base),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+    centers AS (SELECT u FROM deg WHERE deg <= 256),
+    mid AS (SELECT und.u, und.v FROM und JOIN centers USING (u)),
+    cand AS (SELECT DISTINCT x.v AS a, y.v AS b
+             FROM mid x JOIN mid y ON x.u = y.u AND x.v <> y.v),
+    two AS (SELECT a, b FROM cand WHERE NOT EXISTS
+              (SELECT 1 FROM und WHERE und.u = cand.a AND und.v = cand.b)),
+    n2 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n2
+           FROM two GROUP BY 1)
+    SELECT d.u AS node, d.deg AS n1,
+           CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n2
+    FROM deg d LEFT JOIN n2 ON n2.node = d.u
+    """,
+)
+def q_two_hop_size(spark, sf_dir):
+    """Exact 2-hop neighborhood size (operators/graphstats.
+    two_hop_size): the blow-up factor that prices neighborhood
+    expansion before running it — hub-capped wedge join, distinct-pair
+    dedup, adjacency anti-join."""
+    from reden_spark.operators.graphstats import two_hop_size
+
+    return two_hop_size(_kcore_edges(spark, sf_dir))

@@ -391,3 +391,98 @@ def ari_agreement(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, vol, n_internal, n_cut, conductance_e6,
+    internal_frac_e6) per community — conductance φ(S) = cut(S) /
+    min(vol(S), vol(V∖S)) and the internal-edge fraction
+    internal/(internal+cut), in integer micro-units (communities whose
+    min-side volume is 0 are omitted; a lone isolated community has no
+    conductance).  ``labels`` is (node, label).
+
+    Conductance is the cut-quality number modularity_terms does NOT
+    give you: modularity compares to a null model (can look great on
+    a graph with no community structure at all), φ bounds how fast a
+    random walk escapes the community — the Cheeger-style guarantee
+    sameAs-cluster reviewers actually want ("how leaky is this fused
+    entity group?").
+
+    Scale shape (10^12 edges): two broadcast/hash joins stamp the
+    endpoint labels on, then ONE groupBy per side aggregates internal
+    and cut counts; volumes come from a degree groupBy joined to the
+    label table — no per-community passes."""
+    lab_a = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lab_b = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .join(lab_a, "src")
+        .join(lab_b, "dst")
+    )
+    internal = (
+        e.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_internal"))
+    )
+    # a cut edge charges BOTH its communities
+    cut = (
+        e.filter(F.col("la") != F.col("lb"))
+        .select(F.explode(F.array("la", "lb")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_cut"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    vol = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("vol"),
+        )
+    )
+    total = vol.agg(F.sum("vol").alias("vol_all"))
+    j = (
+        vol.join(internal, "label", "left")
+        .join(cut, "label", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            F.coalesce("n_internal", F.lit(0)).cast("long").alias("n_internal"),
+            F.coalesce("n_cut", F.lit(0)).cast("long").alias("n_cut"),
+            F.least(F.col("vol"), F.col("vol_all") - F.col("vol")).alias(
+                "min_vol"
+            ),
+        )
+    )
+    return j.filter(F.col("min_vol") > 0).select(
+        "label",
+        "n_nodes",
+        "vol",
+        "n_internal",
+        "n_cut",
+        F.expr("CAST(n_cut * 1000000 div min_vol AS BIGINT)").alias(
+            "conductance_e6"
+        ),
+        F.when(
+            F.col("n_internal") + F.col("n_cut") > 0,
+            F.expr(
+                "CAST(n_internal * 1000000 div (n_internal + n_cut)"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("internal_frac_e6"),
+    )

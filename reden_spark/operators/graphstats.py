@@ -967,3 +967,47 @@ def clique4_census(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_k4"))
     )
+
+
+def two_hop_size(edges: DataFrame, hub_cap: int = 256) -> DataFrame:
+    """(node, n1, n2) — exact 1-hop degree and DISTINCT 2-hop
+    neighborhood size (excluding the node itself and its direct
+    neighbors): the blow-up factor that prices every neighborhood-
+    expanding operator (ER blocking, khop_sample, graph features)
+    BEFORE running it.  ANF sketches (anf_growth) estimate this at
+    unbounded scale; this is the exact version for capped graphs.
+
+    Scale shape: nodes of degree > ``hub_cap`` are excluded as wedge
+    CENTERS (their through-traffic would be quadratic in hub degree —
+    the same sub-cap rule cooccur/linkpred use) but still count as
+    endpoints; the wedge join is then bounded by cap·|E| and the
+    distinct-pair dedup is one exchange."""
+    norm = _normalized(edges).persist()
+    und = norm.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(norm.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    centers = deg.filter(F.col("deg") <= hub_cap).select("u")
+    mid = und.join(centers, "u")
+    x = mid.select(F.col("u").alias("m"), F.col("v").alias("a"))
+    y = mid.select(F.col("u").alias("m"), F.col("v").alias("b"))
+    cand = (
+        x.join(y, "m")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # drop direct neighbors: 2-hop means NOT adjacent
+    two = cand.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    n2 = two.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("n2")
+    )
+    return (
+        deg.select(F.col("u").alias("node"), F.col("deg").alias("n1"))
+        .join(n2, "node", "left")
+        .select("node", "n1", F.coalesce("n2", F.lit(0)).cast("long").alias("n2"))
+    )

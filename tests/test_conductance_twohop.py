@@ -1,0 +1,78 @@
+"""Round-5 wave 18: community conductance, exact 2-hop size."""
+
+from __future__ import annotations
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_conductance_two_triangles_one_bridge(spark):
+    from reden_spark.operators.communities import community_conductance
+
+    # triangle {0,1,2} and triangle {3,4,5} joined by bridge 2-3
+    e = _edges(
+        spark,
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+    )
+    lab = _labels(spark, [(n, n // 3) for n in range(6)])
+    got = {r.label: r for r in community_conductance(e, lab).collect()}
+    # each side: vol = 7 edge-ends, cut = 1, min_vol = min(7, 7) = 7
+    for side in (0, 1):
+        r = got[side]
+        assert (r.n_nodes, r.vol, r.n_internal, r.n_cut) == (3, 7, 3, 1)
+        assert r.conductance_e6 == 142_857  # 1e6/7
+        assert r.internal_frac_e6 == 750_000
+
+
+def test_conductance_isolated_community_omitted(spark):
+    from reden_spark.operators.communities import community_conductance
+
+    # a single community with all volume -> min-side volume 0 -> no row
+    e = _edges(spark, [(0, 1), (1, 2)])
+    lab = _labels(spark, [(0, 9), (1, 9), (2, 9)])
+    assert community_conductance(e, lab).collect() == []
+
+
+def test_two_hop_path_graph(spark):
+    from reden_spark.operators.graphstats import two_hop_size
+
+    # path 1-2-3-4-5: n2(1)={3}, n2(3)={1,5}, n2(5)={3}
+    got = {
+        r.node: (r.n1, r.n2)
+        for r in two_hop_size(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        ).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[3] == (2, 2)
+    assert got[2] == (2, 1)  # 2-hop of 2 = {4} (1,3 adjacent)
+
+
+def test_two_hop_triangle_has_none(spark):
+    from reden_spark.operators.graphstats import two_hop_size
+
+    got = {
+        r.node: r.n2
+        for r in two_hop_size(_edges(spark, [(1, 2), (2, 3), (1, 3)])).collect()
+    }
+    # everyone adjacent to everyone: no strict 2-hop nodes
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_two_hop_hub_cap_excludes_center_but_keeps_endpoint(spark):
+    from reden_spark.operators.graphstats import two_hop_size
+
+    # star center 0 with leaves 1..5; cap 4 excludes 0 as a wedge center
+    star = [(0, i) for i in range(1, 6)]
+    got = {r.node: (r.n1, r.n2) for r in two_hop_size(_edges(spark, star), hub_cap=4).collect()}
+    # leaves' 2-hop (via the hub) is suppressed by the cap; hub still listed
+    assert got[0] == (5, 0)
+    assert all(got[i] == (1, 0) for i in range(1, 6))
+    # without the cap the leaves see each other
+    full = {r.node: r.n2 for r in two_hop_size(_edges(spark, star), hub_cap=64).collect()}
+    assert all(full[i] == 4 for i in range(1, 6))
