@@ -16351,3 +16351,126 @@ def q_two_hop_size(spark, sf_dir):
     from reden_spark.operators.graphstats import two_hop_size
 
     return two_hop_size(_kcore_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 19: join-strategy advisor, per-key salt plan.
+
+_JOIN_STATS_SQL = """
+    SELECT 'orders_lineitem' AS join_id,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS left_rows,
+           CAST((SELECT count(*) * 120 FROM orders) AS BIGINT) AS left_bytes,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS right_rows,
+           CAST((SELECT count(*) * 100 FROM lineitem) AS BIGINT)
+             AS right_bytes,
+           CAST((SELECT max(c) * 1000000 // sum(c) FROM
+                  (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey))
+                AS BIGINT) AS max_share_e6
+    UNION ALL
+    SELECT 'lineitem_supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) * 100 FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM supplier) AS BIGINT),
+           CAST((SELECT count(*) * 64 FROM supplier) AS BIGINT),
+           CAST((SELECT max(c) * 1000000 // sum(c) FROM
+                  (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_mod3_rollup',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) * 100 FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) * 100 FROM lineitem) AS BIGINT),
+           CAST((SELECT max(c) * 1000000 // sum(c) FROM
+                  (SELECT count(*) AS c FROM lineitem
+                   GROUP BY l_orderkey % 3)) AS BIGINT)
+"""
+
+
+def _join_stats(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+
+    def share(df, keyexpr):
+        c = df.groupBy(keyexpr.alias("k")).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.expr("CAST(max(c) * 1000000 div sum(c) AS BIGINT)").alias("s")
+        )
+
+    def cnt(df):
+        return df.agg(F.count("*").cast("long").alias("c"))
+
+    n_o = cnt(orders).collect()[0].c
+    n_l = cnt(li).collect()[0].c
+    n_s = cnt(sup).collect()[0].c
+    s_ord = share(li, F.col("l_orderkey")).collect()[0].s
+    s_sup = share(li, F.col("l_suppkey")).collect()[0].s
+    s_mod = share(li, F.col("l_orderkey") % 3).collect()[0].s
+    return spark.createDataFrame(
+        [
+            ("orders_lineitem", n_o, n_o * 120, n_l, n_l * 100, s_ord),
+            ("lineitem_supplier", n_l, n_l * 100, n_s, n_s * 64, s_sup),
+            ("lineitem_mod3_rollup", n_l, n_l * 100, n_l, n_l * 100, s_mod),
+        ],
+        "join_id string, left_rows long, left_bytes long, right_rows long,"
+        " right_bytes long, max_share_e6 long",
+    )
+
+
+@query(
+    "join_strategy_advisor",
+    f"""
+    WITH s AS ({_JOIN_STATS_SQL})
+    SELECT join_id,
+           CASE WHEN least(left_bytes, right_bytes) <= 10485760
+                THEN 'broadcast'
+                WHEN max_share_e6 >= 200000 THEN 'salted_shuffle'
+                ELSE 'sort_merge' END AS strategy,
+           CASE WHEN least(left_bytes, right_bytes) <= 10485760
+                THEN CASE WHEN left_bytes < right_bytes
+                          THEN 'left' ELSE 'right' END
+                ELSE 'none' END AS build_side,
+           CASE WHEN least(left_bytes, right_bytes) <= 10485760
+                THEN 'min_side_bytes=' ||
+                     CAST(least(left_bytes, right_bytes) AS VARCHAR)
+                     || '<=10485760'
+                WHEN max_share_e6 >= 200000
+                THEN 'max_share_e6=' || CAST(max_share_e6 AS VARCHAR)
+                     || '>=200000'
+                ELSE 'no_small_side_no_skew' END AS reason
+    FROM s
+    """,
+)
+def q_join_strategy_advisor(spark, sf_dir):
+    """Physical-join advisor (operators/skew.join_strategy_advisor)
+    over MEASURED per-join stats: supplier side → broadcast, the %3
+    rollup's 33% hot key → salted_shuffle, orders⋈lineitem →
+    sort_merge — the codified version of the decisions this repo's
+    pipeline makes by hand."""
+    from reden_spark.operators.skew import join_strategy_advisor
+
+    return join_strategy_advisor(_join_stats(spark, sf_dir))
+
+
+@query(
+    "salt_plan",
+    """
+    WITH c AS (SELECT l_suppkey % 17 AS key, CAST(count(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY 1)
+    SELECT key, n,
+           CAST(least((n + 500 - 1) // 500, 64) AS BIGINT) AS salt
+    FROM c WHERE least((n + 500 - 1) // 500, 64) > 1
+    """,
+)
+def q_salt_plan(spark, sf_dir):
+    """Per-key salting breadth (operators/skew.salt_plan): ceil(n/500)
+    capped at 64, hot keys only — the executable plan salted_join
+    consumes, leaving the long tail unsalted."""
+    from reden_spark.operators.skew import salt_plan
+
+    li = _read(spark, sf_dir, "lineitem")
+    counts = li.groupBy((F.col("l_suppkey") % 17).alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return salt_plan(counts, target_rows=500)

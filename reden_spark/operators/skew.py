@@ -262,3 +262,95 @@ def range_partition_plan(
     return assigned.groupBy("bucket").agg(
         F.count("*").alias("n_rows"), F.min("k").alias("lo"), F.max("k").alias("hi")
     )
+
+
+def join_strategy_advisor(
+    stats: DataFrame,
+    broadcast_bytes: int = 10 * 1024 * 1024,
+    skew_share_e6: int = 200_000,
+) -> DataFrame:
+    """(join_id, strategy, build_side, reason) — the physical-join
+    decision table over measured stats (join_id, left_rows, left_bytes,
+    right_rows, right_bytes, max_share_e6), codifying the exact rules
+    this repo applies by hand everywhere else:
+
+      1. either side under ``broadcast_bytes``  → 'broadcast' (build
+         the smaller-byte side; tie → right, Spark's own preference),
+         because a broadcast join HAS no shuffle to skew;
+      2. else hottest key share ≥ ``skew_share_e6``→ 'salted_shuffle'
+         (operators/skew.salted_join breadth from the share);
+      3. else                                    → 'sort_merge'.
+
+    This is the advisor stage between key_skew_profile /
+    join_size_estimate (measurement) and salted_join / broadcast
+    (mechanism): the number the engineer reads is a strategy, not a
+    histogram.  Stats rows are per-join aggregates, so the advisor
+    itself is a constant-size projection."""
+    lb, rb = F.col("left_bytes"), F.col("right_bytes")
+    strategy = (
+        F.when(F.least(lb, rb) <= broadcast_bytes, F.lit("broadcast"))
+        .when(F.col("max_share_e6") >= skew_share_e6, F.lit("salted_shuffle"))
+        .otherwise(F.lit("sort_merge"))
+    )
+    return stats.select(
+        "join_id",
+        strategy.alias("strategy"),
+        F.when(
+            F.least(lb, rb) <= broadcast_bytes,
+            F.when(lb < rb, F.lit("left")).otherwise(F.lit("right")),
+        )
+        .otherwise(F.lit("none"))
+        .alias("build_side"),
+        F.when(
+            F.least(lb, rb) <= broadcast_bytes,
+            F.concat(
+                F.lit("min_side_bytes="),
+                F.least(lb, rb).cast("string"),
+                F.lit("<="),
+                F.lit(str(broadcast_bytes)),
+            ),
+        )
+        .when(
+            F.col("max_share_e6") >= skew_share_e6,
+            F.concat(
+                F.lit("max_share_e6="),
+                F.col("max_share_e6").cast("string"),
+                F.lit(">="),
+                F.lit(str(skew_share_e6)),
+            ),
+        )
+        .otherwise(F.lit("no_small_side_no_skew"))
+        .alias("reason"),
+    )
+
+
+def salt_plan(
+    counts: DataFrame,
+    target_rows: int,
+    max_salt: int = 64,
+    key_col: str = "key",
+    n_col: str = "n",
+) -> DataFrame:
+    """(key, n, salt) — per-key salting breadth: salt = ceil(n /
+    target_rows) capped at ``max_salt``, emitted ONLY for keys that
+    need spreading (salt > 1).  The executable companion of
+    key_skew_profile: feed the result straight into salted_join so a
+    key carrying 40× the target task size lands on 40 reducers while
+    the long tail pays nothing (uniform salting would multiply the
+    WHOLE small side by K; this plan multiplies only the hot rows).
+
+    Scale shape: one projection over the (already aggregated) key
+    histogram."""
+    n = F.col(n_col).cast("long")
+    t = int(target_rows)
+    return (
+        counts.select(
+            F.col(key_col).alias("key"),
+            n.alias("n"),
+            F.least(
+                F.expr(f"CAST(({n_col} + {t} - 1) div {t} AS BIGINT)"),
+                F.lit(int(max_salt)).cast("long"),
+            ).alias("salt"),
+        )
+        .filter(F.col("salt") > 1)
+    )

@@ -1,0 +1,56 @@
+"""Round-5 wave 19: join-strategy advisor, salt plan."""
+
+from __future__ import annotations
+
+STATS_SCHEMA = (
+    "join_id string, left_rows long, left_bytes long, right_rows long,"
+    " right_bytes long, max_share_e6 long"
+)
+
+
+def test_advisor_three_strategies(spark):
+    from reden_spark.operators.skew import join_strategy_advisor
+
+    mb = 1024 * 1024
+    stats = spark.createDataFrame(
+        [
+            ("small_dim", 10_000_000, 2_000 * mb, 1_000, 1 * mb, 50_000),
+            ("skewed", 10_000_000, 2_000 * mb, 9_000_000, 1_800 * mb, 400_000),
+            ("balanced", 10_000_000, 2_000 * mb, 9_000_000, 1_800 * mb, 1_000),
+        ],
+        STATS_SCHEMA,
+    )
+    got = {r.join_id: r for r in join_strategy_advisor(stats).collect()}
+    assert got["small_dim"].strategy == "broadcast"
+    assert got["small_dim"].build_side == "right"
+    assert got["skewed"].strategy == "salted_shuffle"
+    assert got["skewed"].build_side == "none"
+    assert got["balanced"].strategy == "sort_merge"
+    assert "no_small_side_no_skew" in got["balanced"].reason
+
+
+def test_advisor_broadcast_beats_skew_and_ties_build_right(spark):
+    from reden_spark.operators.skew import join_strategy_advisor
+
+    stats = spark.createDataFrame(
+        [("tiny_but_skewed", 100, 1_000, 100, 1_000, 900_000)], STATS_SCHEMA
+    )
+    r = join_strategy_advisor(stats).collect()[0]
+    # rule 1 wins over skew; equal bytes -> right build side
+    assert r.strategy == "broadcast" and r.build_side == "right"
+
+
+def test_salt_plan_ceil_cap_and_tail(spark):
+    from reden_spark.operators.skew import salt_plan
+
+    counts = spark.createDataFrame(
+        [("hot", 4_001), ("warm", 1_500), ("cool", 1_000), ("cold", 3)],
+        "key string, n long",
+    )
+    got = {r.key: r.salt for r in salt_plan(counts, target_rows=1_000).collect()}
+    assert got == {"hot": 5, "warm": 2}          # ceil; tail untouched
+    capped = {
+        r.key: r.salt
+        for r in salt_plan(counts, target_rows=10, max_salt=8).collect()
+    }
+    assert capped["hot"] == 8                    # cap applies
