@@ -16474,3 +16474,108 @@ def q_salt_plan(spark, sf_dir):
         F.count("*").cast("long").alias("n")
     )
     return salt_plan(counts, target_rows=500)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 20: Wu-Palmer taxonomy similarity, most-specific type.
+
+_TAXO_CLOSURE_SQL = """
+    SELECT node, node >> i AS anc
+    FROM (SELECT DISTINCT (p_partkey % 255) + 1 AS node FROM part),
+         (SELECT unnest(generate_series(0, 8)) AS i)
+    WHERE (node >> i) >= 1
+"""
+
+
+def _taxo_closure(spark, sf_dir):
+    """Reflexive ancestor closure of the heap-encoded binary taxonomy
+    (parent of c is c >> 1, root 1): 255 classes, depth = bit length."""
+    nodes = (
+        _read(spark, sf_dir, "part")
+        .select(((F.col("p_partkey") % 255) + 1).cast("long").alias("node"))
+        .distinct()
+    )
+    return nodes.select(
+        "node",
+        F.explode(
+            F.expr("transform(sequence(0, 8), i -> shiftright(node, i))")
+        ).alias("anc"),
+    ).filter(F.col("anc") >= 1)
+
+
+_TAXO_PAIRS_SQL = """
+    SELECT DISTINCT (p_partkey % 255) + 1 AS a,
+           ((p_partkey * 7) % 255) + 1 AS b
+    FROM part
+"""
+
+
+@query(
+    "wu_palmer",
+    f"""
+    WITH closure AS ({_TAXO_CLOSURE_SQL}),
+    d AS (SELECT node, CAST(count(*) AS BIGINT) AS depth
+          FROM closure GROUP BY 1),
+    pairs AS ({_TAXO_PAIRS_SQL}),
+    sh AS (SELECT p.a, p.b, ca.anc
+           FROM pairs p
+           JOIN closure ca ON ca.node = p.a
+           JOIN closure cb ON cb.node = p.b AND cb.anc = ca.anc),
+    lca AS (SELECT sh.a, sh.b, CAST(max(d.depth) AS BIGINT) AS lca_depth
+            FROM sh JOIN d ON d.node = sh.anc GROUP BY 1, 2)
+    SELECT CAST(l.a AS BIGINT) AS a, CAST(l.b AS BIGINT) AS b,
+           da.depth AS depth_a, db.depth AS depth_b, l.lca_depth,
+           CAST(2 * l.lca_depth * 1000000 // (da.depth + db.depth)
+                AS BIGINT) AS wup_e6
+    FROM lca l
+    JOIN d da ON da.node = l.a
+    JOIN d db ON db.node = l.b
+    """,
+)
+def q_wu_palmer(spark, sf_dir):
+    """Wu-Palmer type similarity (operators/ontology.wu_palmer):
+    2·depth(LCA)/(depth_a+depth_b) over the heap-encoded 255-class
+    taxonomy — the KG type-similarity signal for entity matching,
+    closure-join shaped so cost scales with |pairs|·depth."""
+    from reden_spark.operators.ontology import wu_palmer
+
+    part = _read(spark, sf_dir, "part")
+    pairs = part.select(
+        ((F.col("p_partkey") % 255) + 1).cast("long").alias("a"),
+        (((F.col("p_partkey") * 7) % 255) + 1).cast("long").alias("b"),
+    ).distinct()
+    return wu_palmer(_taxo_closure(spark, sf_dir), pairs)
+
+
+@query(
+    "most_specific_type",
+    f"""
+    WITH closure AS ({_TAXO_CLOSURE_SQL}),
+    d AS (SELECT node, CAST(count(*) AS BIGINT) AS depth
+          FROM closure GROUP BY 1),
+    et AS (SELECT DISTINCT 'e' || CAST(o_custkey % 97 AS VARCHAR) AS entity,
+                  (o_orderkey % 255) + 1 AS type
+           FROM orders),
+    j AS (SELECT et.entity, et.type, d.depth,
+                 row_number() OVER (PARTITION BY et.entity
+                   ORDER BY d.depth DESC, et.type ASC) AS rn
+          FROM et JOIN d ON d.node = et.type)
+    SELECT entity, CAST(type AS BIGINT) AS type, depth
+    FROM j WHERE rn = 1
+    """,
+)
+def q_most_specific_type(spark, sf_dir):
+    """Most-specific-type selection (operators/ontology.
+    most_specific_type): per entity the deepest asserted class under
+    the closure, deterministic ties — the display type that keeps
+    'Thing'-level labels out of dedup keys."""
+    from reden_spark.operators.ontology import most_specific_type
+
+    orders = _read(spark, sf_dir, "orders")
+    et = orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "entity"
+        ),
+        ((F.col("o_orderkey") % 255) + 1).cast("long").alias("type"),
+    ).distinct()
+    return most_specific_type(et, _taxo_closure(spark, sf_dir))

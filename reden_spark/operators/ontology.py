@@ -21,7 +21,7 @@ hash join Catalyst/AQE can size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -154,4 +154,81 @@ def unreachable_nodes(
         reachable_from(edges, roots, max_rounds=max_rounds),
         "node",
         "left_anti",
+    )
+
+
+def _depths(closure: DataFrame) -> DataFrame:
+    """(node, depth) from a reflexive ancestor table (node, anc):
+    depth = |ancestors including self| — root depth 1 in a tree."""
+    return closure.groupBy("node").agg(
+        F.count("*").cast("long").alias("depth")
+    )
+
+
+def wu_palmer(closure: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, depth_a, depth_b, lca_depth, wup_e6) — Wu-Palmer
+    taxonomy similarity sim(a,b) = 2·depth(LCA) / (depth(a)+depth(b))
+    in integer micro-units, over a REFLEXIVE ancestor-closure table
+    (node, anc) (subclass_closure output plus the identity rows) and a
+    pair list (a, b).  Pairs with no common ancestor are omitted
+    (forest with multiple roots).  The standard type-similarity signal
+    for KG entity matching: two entities typed Poet and Novelist score
+    high because Writer sits deep, while Poet vs Place bottoms out at
+    the root.
+
+    Scale shape: two closure joins keyed on the pair members, one
+    join on the shared-ancestor key, one (a, b) groupBy for the max —
+    closure rows per node are bounded by taxonomy depth (tiny), so
+    the joins scale with |pairs|·depth, never |taxonomy|²."""
+    d = _depths(closure)
+    ca = closure.select(F.col("node").alias("a"), F.col("anc").alias("anc"))
+    cb = closure.select(F.col("node").alias("b"), F.col("anc").alias("anc"))
+    shared = pairs.join(ca, "a").join(cb, ["b", "anc"])
+    lca = (
+        shared.join(
+            d.select(F.col("node").alias("anc"), F.col("depth").alias("da")),
+            "anc",
+        )
+        .groupBy("a", "b")
+        .agg(F.max("da").cast("long").alias("lca_depth"))
+    )
+    da = d.select(F.col("node").alias("a"), F.col("depth").alias("depth_a"))
+    db = d.select(F.col("node").alias("b"), F.col("depth").alias("depth_b"))
+    return (
+        lca.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "depth_a",
+            "depth_b",
+            "lca_depth",
+            F.expr(
+                "CAST(2 * lca_depth * 1000000 div (depth_a + depth_b)"
+                " AS BIGINT)"
+            ).alias("wup_e6"),
+        )
+    )
+
+
+def most_specific_type(entity_types: DataFrame, closure: DataFrame) -> DataFrame:
+    """(entity, type, depth) — per entity, the DEEPEST of its asserted
+    types under the reflexive ancestor closure (ties broken by type
+    string, ascending): the display-type selection every entity card /
+    facet UI performs, and the dedup key coarse 'Thing'-level types
+    would poison.  One broadcast depth join + one (entity) argmax
+    window over the (small) per-entity type sets."""
+    d = _depths(closure).select(
+        F.col("node").alias("type"), F.col("depth").alias("depth")
+    )
+    typed = entity_types.select("entity", "type").distinct().join(
+        F.broadcast(d), "type"
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.col("depth").desc(), F.col("type").asc()
+    )
+    return (
+        typed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity", "type", "depth")
     )

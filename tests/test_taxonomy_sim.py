@@ -1,0 +1,59 @@
+"""Round-5 wave 20: Wu-Palmer similarity, most-specific type."""
+
+from __future__ import annotations
+
+
+def _closure(spark, nodes):
+    # heap-encoded tree: ancestors of n are n >> i down to 1 (reflexive)
+    rows = []
+    for n in nodes:
+        a = n
+        while a >= 1:
+            rows.append((n, a))
+            a >>= 1
+    return spark.createDataFrame(rows, "node long, anc long")
+
+
+def test_wu_palmer_hand_cases(spark):
+    from reden_spark.operators.ontology import wu_palmer
+
+    # tree: 1 root; 2,3 depth 2; 4,5,6,7 depth 3
+    closure = _closure(spark, [1, 2, 3, 4, 5, 6, 7])
+    pairs = spark.createDataFrame(
+        [(4, 5), (4, 6), (4, 4), (2, 3)], "a long, b long"
+    )
+    got = {(r.a, r.b): r for r in wu_palmer(closure, pairs).collect()}
+    # siblings 4,5 share parent 2 (depth 2): 2*2/(3+3)
+    assert got[(4, 5)].wup_e6 == 666_666
+    assert got[(4, 5)].lca_depth == 2
+    # cousins 4,6 share only root: 2*1/6
+    assert got[(4, 6)].wup_e6 == 333_333
+    # identity: LCA is the node itself
+    assert got[(4, 4)].wup_e6 == 1_000_000
+    # depth-2 siblings via root: 2*1/4
+    assert got[(2, 3)].wup_e6 == 500_000
+
+
+def test_wu_palmer_forest_pairs_omitted(spark):
+    from reden_spark.operators.ontology import wu_palmer
+
+    # two disjoint roots 1 and 9 (9's ancestors stop at 9)
+    closure = spark.createDataFrame(
+        [(1, 1), (2, 2), (2, 1), (9, 9)], "node long, anc long"
+    )
+    pairs = spark.createDataFrame([(2, 9)], "a long, b long")
+    assert wu_palmer(closure, pairs).collect() == []
+
+
+def test_most_specific_type_depth_then_name(spark):
+    from reden_spark.operators.ontology import most_specific_type
+
+    closure = _closure(spark, [1, 2, 3, 6, 7])
+    et = spark.createDataFrame(
+        [("e1", 1), ("e1", 3), ("e1", 6),   # depths 1, 2, 3 -> pick 6
+         ("e2", 6), ("e2", 7),              # tie depth 3 -> pick 6 (asc)
+         ("e3", 1)],
+        "entity string, type long",
+    )
+    got = {r.entity: (r.type, r.depth) for r in most_specific_type(et, closure).collect()}
+    assert got == {"e1": (6, 3), "e2": (6, 3), "e3": (1, 1)}
