@@ -2,19 +2,18 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 327 queries, all 327 with
+SURVEY.md §2 (reden_spark/contract.py): 353 queries, all 353 with
 DuckDB oracles (the iterative centralities/HITS/walks/k-truss/SSSP use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
 
 Driver truth: CORRECTNESS_r03.json records 50/50 green (every key
-passes rows + schema + hash).  277 registered queries await their first
+passes rows + schema + hash).  303 registered queries await their first
 driver rows — 7 added after the r3 driver run, 235 more across round 4,
-and 30 in round 5; every registered query passes the local replica of
-the gate (tools/check_oracles.py — round 5 re-verified the full
-297-query sweep ALL OK at round start, gated each of the 30 new
-queries on landing, and closes with a full-registry sweep recorded in
-ROADMAP.md).
+and 61 across round 5; every registered query passes the local replica
+of the gate (tools/check_oracles.py — round 5 re-verified the full
+sweep ALL OK at round start and again mid-round after wave 14, gated
+each new query on landing; the pytest suite stands at 601+ passed).
 """
 
 from __future__ import annotations
