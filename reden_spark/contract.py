@@ -16579,3 +16579,97 @@ def q_most_specific_type(spark, sf_dir):
         ((F.col("o_orderkey") % 255) + 1).cast("long").alias("type"),
     ).distinct()
     return most_specific_type(et, _taxo_closure(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 21: bow-tie decomposition, exact percentiles.
+
+
+@query(
+    "bowtie_decomposition",
+    f"""
+    WITH RECURSIVE base AS ({_SCC_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM base
+      UNION
+      SELECT r.src, b.dst FROM reach r JOIN base b ON r.dst = b.src
+      WHERE r.src <> b.dst),
+    nodes AS (SELECT DISTINCT src AS node FROM base
+              UNION SELECT DISTINCT dst FROM base),
+    mutual AS (SELECT f.src AS node, f.dst AS peer
+               FROM reach f JOIN reach b
+               ON f.src = b.dst AND f.dst = b.src),
+    labs AS (SELECT n.node,
+                    least(n.node, COALESCE(min(m.peer), n.node)) AS label
+             FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+             GROUP BY n.node),
+    sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS sz
+              FROM labs GROUP BY 1),
+    core AS (SELECT label, sz FROM sizes ORDER BY sz DESC, label ASC LIMIT 1),
+    coren AS (SELECT node FROM labs
+              WHERE label = (SELECT label FROM core)),
+    toc AS (SELECT DISTINCT r.src AS node
+            FROM reach r JOIN coren c ON r.dst = c.node),
+    fromc AS (SELECT DISTINCT r.dst AS node
+              FROM reach r JOIN coren c ON r.src = c.node)
+    SELECT l.node,
+           CASE WHEN l.label = (SELECT label FROM core) THEN 'core'
+                WHEN t.node IS NOT NULL THEN 'in'
+                WHEN f.node IS NOT NULL THEN 'out'
+                ELSE 'other' END AS region,
+           CAST((SELECT label FROM core) AS BIGINT) AS core_label,
+           (SELECT sz FROM core) AS core_size
+    FROM labs l
+    LEFT JOIN toc t ON t.node = l.node
+    LEFT JOIN fromc f ON f.node = l.node
+    """,
+)
+def q_bowtie_decomposition(spark, sf_dir):
+    """Broder bow-tie map (operators/scc.bowtie_decomposition):
+    core/in/out/other around the largest SCC of the directed %400
+    graph — one transitive closure feeds SCC labels AND both core
+    reachability probes."""
+    from reden_spark.operators.scc import bowtie_decomposition
+
+    orders = _read(spark, sf_dir, "orders")
+    edges = (
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderkey") % 400 != F.col("o_custkey") % 400)
+        )
+        .select(
+            (F.col("o_orderkey") % 400).cast("long").alias("src"),
+            (F.col("o_custkey") % 400).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return bowtie_decomposition(edges)
+
+
+@query(
+    "exact_percentiles",
+    """
+    WITH base AS (SELECT lang AS grp, n_chars AS value FROM documents),
+    c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+    ps(p) AS (VALUES (50), (90), (99)),
+    ks AS (SELECT grp, CAST(p AS BIGINT) AS p, n,
+                  CAST((p * n + 99) // 100 AS BIGINT) AS k
+           FROM c CROSS JOIN ps),
+    r AS (SELECT grp, value,
+                 row_number() OVER (PARTITION BY grp ORDER BY value) AS rn
+          FROM base)
+    SELECT ks.grp, ks.p, ks.n, ks.k, CAST(r.value AS BIGINT) AS value
+    FROM ks JOIN r ON r.grp = ks.grp AND r.rn = ks.k
+    """,
+)
+def q_exact_percentiles(spark, sf_dir):
+    """Exact rank-based percentiles (operators/analytics.
+    exact_percentiles): p50/p90/p99 of document length per language as
+    k-th order statistics — always a value present in the data, the
+    exact companion of sample_quantile_sketch."""
+    from reden_spark.operators.analytics import exact_percentiles
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("grp"), F.col("n_chars").alias("value")
+    )
+    return exact_percentiles(docs)

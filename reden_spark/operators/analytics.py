@@ -753,3 +753,42 @@ def subsample_ci(
         .join(full.hint("broadcast"))
         .select("n_reps", F.col("m").alias("mean_full"), "p05", "median", "p95")
     )
+
+
+def exact_percentiles(
+    values: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "value",
+    ps: tuple = (50, 90, 99),
+) -> DataFrame:
+    """(grp, p, n, k, value) — EXACT rank-based percentiles per group:
+    for each p in ``ps``, the k-th smallest value with k = ceil(p·n /
+    100) (the lower empirical quantile — a value actually present in
+    the data, never an interpolation, so it is engine-exact for any
+    type with a total order).  The k-th order STATISTIC is unique even
+    under ties, so no tiebreak id is needed.  This is the exact
+    companion of sample_quantile_sketch: run it when the group fits a
+    rank window (per-partition telemetry, per-language length
+    budgets); run the sketch when it doesn't.
+
+    Scale shape: one count per group, one rank window per group, one
+    join on (grp, rank) — values shuffle once on the group key, the
+    percentile list rides a broadcast."""
+    base = values.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("value")
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    spark = values.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in ps], "p long")
+    ks = counts.crossJoin(F.broadcast(pdf)).select(
+        "grp",
+        "p",
+        "n",
+        F.expr("CAST((p * n + 99) div 100 AS BIGINT)").alias("k"),
+    )
+    w = Window.partitionBy("grp").orderBy("value")
+    ranked = base.select("grp", "value", F.row_number().over(w).alias("rn"))
+    return ks.join(
+        ranked,
+        (ks.grp == ranked.grp) & (ks.k == ranked.rn),
+    ).select(ks.grp, "p", "n", "k", "value")

@@ -117,3 +117,91 @@ def scc_condense(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         )
     )
     return out
+
+
+def bowtie_decomposition(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(node, region, core_label, core_size) — the Broder et al. (2000)
+    bow-tie map of a directed graph around its largest SCC: region ∈
+    'core' (the largest strongly connected component, ties broken by
+    smallest label), 'in' (reaches the core but is not in it), 'out'
+    (reachable from the core), 'other' (tendrils + disconnected).
+    'in' and 'out' are provably disjoint — a node with paths BOTH ways
+    would be in the core — so the four regions partition the vertices.
+
+    On a KG this is the redirect/dependency health map: a fat IN with
+    a thin core means most entities funnel into a canonical cluster
+    (good for canonicalization), a fat OTHER means the graph is
+    fragments that sameAs fusion never connected.
+
+    Scale shape: ONE transitive closure (the same doubling-join
+    engine scc_labels uses) feeds all of: mutual pairs → SCC labels,
+    core→node probes (OUT), node→core probes (IN) — both probes are
+    semi-joins of the closure against the (broadcast-size) core set;
+    no second closure is computed."""
+    clo = transitive_closure(edges, max_rounds).persist()
+    mutual = (
+        clo.alias("f")
+        .join(
+            clo.alias("b"),
+            (F.col("f.src") == F.col("b.dst"))
+            & (F.col("f.dst") == F.col("b.src")),
+        )
+        .select(F.col("f.src").alias("node"), F.col("f.dst").alias("peer"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lab = (
+        nodes.join(mutual, "node", "left")
+        .groupBy("node")
+        .agg(F.min("peer").alias("mp"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce("mp", F.col("node"))).alias(
+                "label"
+            ),
+        )
+    )
+    sizes = lab.groupBy("label").agg(F.count("*").cast("long").alias("sz"))
+    w = Window.orderBy(F.col("sz").desc(), F.col("label").asc())
+    core_row = sizes.select(
+        "label", "sz", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    core_nodes = lab.join(
+        F.broadcast(core_row.select("label")), "label"
+    ).select("node")
+    reaches_core = (
+        clo.join(
+            F.broadcast(core_nodes.select(F.col("node").alias("dst"))), "dst"
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    reached_by_core = (
+        clo.join(
+            F.broadcast(core_nodes.select(F.col("node").alias("src"))), "src"
+        )
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    marked = (
+        lab.join(
+            core_nodes.withColumn("in_core", F.lit(1)), "node", "left"
+        )
+        .join(reaches_core.withColumn("to_core", F.lit(1)), "node", "left")
+        .join(reached_by_core.withColumn("from_core", F.lit(1)), "node", "left")
+    )
+    return marked.crossJoin(F.broadcast(core_row.select(
+        F.col("label").alias("core_label"), F.col("sz").alias("core_size")
+    ))).select(
+        "node",
+        F.when(F.col("in_core").isNotNull(), F.lit("core"))
+        .when(F.col("to_core").isNotNull(), F.lit("in"))
+        .when(F.col("from_core").isNotNull(), F.lit("out"))
+        .otherwise(F.lit("other"))
+        .alias("region"),
+        "core_label",
+        "core_size",
+    )

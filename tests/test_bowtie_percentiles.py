@@ -1,0 +1,59 @@
+"""Round-5 wave 21: bow-tie decomposition, exact percentiles."""
+
+from __future__ import annotations
+
+
+def test_bowtie_textbook_graph(spark):
+    from reden_spark.operators.scc import bowtie_decomposition
+
+    # core cycle 1->2->3->1; in: 10->1; in-tail: 9->10; out: 3->20;
+    # disconnected pair 30->31
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 1), (9, 10), (3, 20), (30, 31)],
+        "src long, dst long",
+    )
+    got = {r.node: r for r in bowtie_decomposition(edges).collect()}
+    assert {n: got[n].region for n in (1, 2, 3)} == {n: "core" for n in (1, 2, 3)}
+    assert got[10].region == "in" and got[9].region == "in"
+    assert got[20].region == "out"
+    assert got[30].region == "other" and got[31].region == "other"
+    assert got[1].core_label == 1 and got[1].core_size == 3
+    assert len(got) == 9
+
+
+def test_bowtie_largest_scc_wins_tie_by_label(spark):
+    from reden_spark.operators.scc import bowtie_decomposition
+
+    # two 2-cycles {1,2} and {5,6}: tie on size -> core label 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 6), (6, 5)], "src long, dst long"
+    )
+    got = {r.node: r for r in bowtie_decomposition(edges).collect()}
+    assert got[1].region == "core" and got[2].region == "core"
+    # the other cycle neither reaches nor is reached by the core
+    assert got[5].region == "other" and got[6].region == "other"
+    assert got[5].core_label == 1 and got[5].core_size == 2
+
+
+def test_exact_percentiles_order_statistics(spark):
+    from reden_spark.operators.analytics import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 101)], "grp string, value long"
+    )
+    got = {r.p: r for r in exact_percentiles(df).collect()}
+    # n=100: k = p exactly
+    assert (got[50].k, got[50].value) == (50, 50)
+    assert (got[99].k, got[99].value) == (99, 99)
+
+
+def test_exact_percentiles_ties_and_small_group(spark):
+    from reden_spark.operators.analytics import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("g", 7), ("g", 7), ("g", 7), ("h", 1)], "grp string, value long"
+    )
+    got = {(r.grp, r.p): r.value for r in exact_percentiles(df).collect()}
+    # all-ties group: every percentile is 7; singleton: k=ceil(p/100)=1
+    assert got[("g", 50)] == 7 and got[("g", 99)] == 7
+    assert got[("h", 50)] == 1 and got[("h", 99)] == 1
