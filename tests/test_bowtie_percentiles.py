@@ -18,7 +18,7 @@ def test_bowtie_textbook_graph(spark):
     assert got[20].region == "out"
     assert got[30].region == "other" and got[31].region == "other"
     assert got[1].core_label == 1 and got[1].core_size == 3
-    assert len(got) == 9
+    assert len(got) == 8
 
 
 def test_bowtie_largest_scc_wins_tie_by_label(spark):
