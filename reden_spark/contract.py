@@ -16673,3 +16673,219 @@ def q_exact_percentiles(spark, sf_dir):
         F.col("lang").alias("grp"), F.col("n_chars").alias("value")
     )
     return exact_percentiles(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 22: blocking quality metrics, IFP merge candidates,
+# rare-token canopy blocking.
+
+
+@query(
+    "blocking_quality",
+    f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    k AS (SELECT id,
+                 regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS key
+          FROM names),
+    kb AS (SELECT id AS id_a, key AS key_a, substr(key, 1, 2) AS block
+           FROM k),
+    led AS (
+      SELECT id_a,
+             lead(id_a, 1) OVER w AS id1, lead(id_a, 2) OVER w AS id2
+      FROM kb WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)),
+    cand AS (
+      SELECT DISTINCT least(id_a, id1) AS pa, greatest(id_a, id1) AS pb
+      FROM led WHERE id1 IS NOT NULL
+      UNION
+      SELECT DISTINCT least(id_a, id2), greatest(id_a, id2)
+      FROM led WHERE id2 IS NOT NULL),
+    gold AS (SELECT DISTINCT a.id AS pa, b.id AS pb
+             FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+    cnts AS (SELECT (SELECT count(*) FROM k) AS n_records,
+                    (SELECT count(*) FROM cand) AS n_cand,
+                    (SELECT count(*) FROM gold) AS n_gold,
+                    (SELECT count(*) FROM cand c JOIN gold g
+                     ON c.pa = g.pa AND c.pb = g.pb) AS tp)
+    SELECT CAST(n_records AS BIGINT) AS n_records,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(1000000 - n_cand * 1000000
+                // (n_records * (n_records - 1) // 2)
+                AS BIGINT) AS reduction_ratio_e6,
+           CAST(CASE WHEN n_gold > 0 THEN tp * 1000000 // n_gold
+                     ELSE 0 END AS BIGINT) AS pairs_completeness_e6,
+           CAST(CASE WHEN n_cand > 0 THEN tp * 1000000 // n_cand
+                     ELSE 0 END AS BIGINT) AS pairs_quality_e6
+    FROM cnts
+    """,
+)
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme audit (operators/blocking.blocking_quality):
+    reduction ratio / pairs completeness / pairs quality of the
+    sorted-neighborhood generator against the exact-normkey gold —
+    the three numbers (Christen 2012) that say whether a candidate
+    generator is deployable before any scoring runs."""
+    from reden_spark.operators.blocking import (
+        blocking_quality,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    suffix = (F.col("c_custkey") % 97).cast("string")
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.upper("c_mktsegment"), F.lit("-"), suffix),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), suffix),
+        )
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_"), suffix))
+        .alias("name"),
+    )
+    cand = sorted_neighborhood_pairs(names, window=3).select("id_a", "id_b")
+    keyed = names.select(
+        "id",
+        F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    gold = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("ga"), F.col("b.id").alias("gb"))
+    return blocking_quality(names, cand, gold)
+
+
+_IFP_TRIPLES_SQL = """
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj, 'phone' AS pred,
+           'p' || CAST(c_custkey % 211 AS VARCHAR) AS obj
+    FROM customer
+    UNION ALL
+    SELECT 'c' || CAST(c_custkey AS VARCHAR), 'email',
+           'e' || CAST(c_custkey % 97 AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c' || CAST(c_custkey AS VARCHAR), 'homepage',
+           'http://example.org/'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'c' || CAST(c_custkey AS VARCHAR), 'name', c_name
+    FROM customer
+"""
+
+
+@query(
+    "ifp_merge_candidates",
+    f"""
+    WITH t AS ({_IFP_TRIPLES_SQL}),
+    v AS (SELECT DISTINCT subj, pred, obj FROM t
+          WHERE pred IN ('phone', 'email', 'homepage')),
+    w AS (SELECT subj, pred, obj,
+                 CAST(count(*) OVER (PARTITION BY pred, obj) AS BIGINT)
+                   AS group_n,
+                 row_number() OVER
+                   (PARTITION BY pred, obj ORDER BY subj) AS rn,
+                 lead(subj, 1) OVER
+                   (PARTITION BY pred, obj ORDER BY subj) AS s_b
+          FROM v)
+    SELECT pred, obj, subj AS s_a, s_b, group_n
+    FROM w WHERE s_b IS NOT NULL AND rn < 64
+    """,
+)
+def q_ifp_merge_candidates(spark, sf_dir):
+    """owl:InverseFunctionalProperty merge candidates
+    (operators/kg_quality.ifp_merge_candidates): subjects sharing a
+    phone/email/homepage value link as sameAs candidates — chain pairs
+    (k−1 edges, CC-equivalent to the clique), hot junk values capped
+    at 64 with the full pre-cap group size carried for review."""
+    from reden_spark.operators.kg_quality import ifp_merge_candidates
+
+    cust = _read(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    triples = (
+        cust.select(
+            subj.alias("subj"),
+            F.lit("phone").alias("pred"),
+            F.concat(
+                F.lit("p"), (F.col("c_custkey") % 211).cast("string")
+            ).alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                subj.alias("subj"),
+                F.lit("email").alias("pred"),
+                F.concat(
+                    F.lit("e"), (F.col("c_custkey") % 97).cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 0).select(
+                subj.alias("subj"),
+                F.lit("homepage").alias("pred"),
+                F.lit("http://example.org/").alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                subj.alias("subj"),
+                F.lit("name").alias("pred"),
+                F.col("c_name").alias("obj"),
+            )
+        )
+    )
+    return ifp_merge_candidates(
+        triples, ["phone", "email", "homepage"], bucket_cap=64
+    )
+
+
+@query(
+    "rare_token_blocking",
+    """
+    WITH names AS (
+      SELECT c_custkey AS id,
+             c_mktsegment || ' n' || CAST(c_nationkey AS VARCHAR)
+               || ' g' || CAST(c_custkey % 37 AS VARCHAR) AS name
+      FROM customer),
+    toks AS (
+      SELECT DISTINCT id,
+             unnest(string_split_regex(lower(name), '[^a-z0-9]+')) AS tok
+      FROM names),
+    tf AS (SELECT id, tok FROM toks WHERE tok <> ''),
+    dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    best AS (
+      SELECT tf.id, tf.tok AS canopy, dfs.df,
+             row_number() OVER (PARTITION BY tf.id
+                                ORDER BY dfs.df ASC, tf.tok ASC) AS rn
+      FROM tf JOIN dfs ON dfs.tok = tf.tok),
+    b1 AS (SELECT id, canopy, df FROM best WHERE rn = 1),
+    sz AS (SELECT canopy, CAST(count(*) AS BIGINT) AS block_n
+           FROM b1 GROUP BY 1)
+    SELECT CAST(b1.id AS BIGINT) AS id, b1.canopy, b1.df, sz.block_n
+    FROM b1 JOIN sz ON sz.canopy = b1.canopy
+    """,
+)
+def q_rare_token_blocking(spark, sf_dir):
+    """Rarest-token canopy assignment (operators/blocking.
+    rare_token_blocking): each record blocks on its most
+    discriminative (lowest-df) token, deterministic (df, token)
+    argmin, with the resulting block sizes attached — the canopy
+    front-end for in-block ER comparison."""
+    from reden_spark.operators.blocking import rare_token_blocking
+
+    cust = _read(spark, sf_dir, "customer")
+    names = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit(" n"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(" g"),
+            (F.col("c_custkey") % 37).cast("string"),
+        ).alias("name"),
+    )
+    return rare_token_blocking(names)

@@ -436,3 +436,111 @@ def weighted_jaccard_pairs(
             ).alias("wj_e6"),
         )
     )
+
+
+def blocking_quality(
+    records: DataFrame,
+    cand_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """One row (n_records, n_cand, n_gold, tp, reduction_ratio_e6,
+    pairs_completeness_e6, pairs_quality_e6): the three standard
+    blocking-scheme metrics (Christen 2012, ch. 4) that decide whether
+    a candidate generator is safe to deploy —
+
+        reduction ratio     = 1 − |cand| / C(n, 2)   (work saved)
+        pairs completeness  = |cand ∩ gold| / |gold| (recall ceiling)
+        pairs quality       = |cand ∩ gold| / |cand| (precision of
+                              the block step alone)
+
+    Pairs are normalized to (min, max) and deduplicated on both sides
+    so direction and duplicates never skew the counts; every ratio is
+    exact integer micro-units.
+
+    Scale shape: three map-side-combinable global counts plus ONE join
+    between the two pair sets on the normalized pair key — no pair
+    materialization beyond what the generator already produced; the
+    1-row frames meet in crossJoins of single rows."""
+    ids = records.select(F.col(id_col).alias("_id")).distinct()
+    n_rec = ids.agg(F.count("*").cast("long").alias("n_records"))
+
+    def _norm(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+        ).distinct()
+
+    ca, cb = cand_pairs.columns[0], cand_pairs.columns[1]
+    ga, gb = gold_pairs.columns[0], gold_pairs.columns[1]
+    cand = _norm(cand_pairs, ca, cb)
+    gold = _norm(gold_pairs, ga, gb)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_gold = gold.agg(F.count("*").cast("long").alias("n_gold"))
+    tp = (
+        cand.join(gold, ["pa", "pb"])
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    out = n_rec.crossJoin(n_cand).crossJoin(n_gold).crossJoin(tp)
+    total = F.expr("n_records * (n_records - 1) div 2")
+    return out.select(
+        "n_records",
+        "n_cand",
+        "n_gold",
+        "tp",
+        F.when(
+            total > 0,
+            F.lit(1000000).cast("long")
+            - F.expr("n_cand * 1000000 div (n_records * (n_records - 1) div 2)"),
+        ).otherwise(F.lit(0)).cast("long").alias("reduction_ratio_e6"),
+        F.when(F.col("n_gold") > 0, F.expr("tp * 1000000 div n_gold"))
+        .otherwise(F.lit(0)).cast("long").alias("pairs_completeness_e6"),
+        F.when(F.col("n_cand") > 0, F.expr("tp * 1000000 div n_cand"))
+        .otherwise(F.lit(0)).cast("long").alias("pairs_quality_e6"),
+    )
+
+
+def rare_token_blocking(
+    records: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, canopy, df, block_n): canopy-style blocking by each
+    record's RAREST token (McCallum, Nigam & Ungar 2000, with the
+    cheap distance = shared token and a deterministic assignment):
+    tokenize the name (lowercase, non-alphanumeric boundaries), compute
+    each token's document frequency, and assign the record to the
+    token with the smallest (df, token) — rare tokens are the most
+    discriminative block keys, and frequency-ranked assignment keeps
+    mega-blocks ("smith", "inc") from forming.  ``block_n`` is the
+    resulting block's size, the number a capacity planner reads before
+    running the in-block comparisons.
+
+    Scale shape: explode to (id, token) distinct, one groupBy(token)
+    for df, one broadcast-or-shuffle join back, one window argmin per
+    id, one groupBy(canopy) for sizes — every step key-parallel, no
+    pair materialization here at all."""
+    toks = (
+        records.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.col(name_col)), "[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+    best = (
+        toks.join(df_tbl, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("tok").alias("canopy"), "df")
+    )
+    sizes = best.groupBy("canopy").agg(
+        F.count("*").cast("long").alias("block_n")
+    )
+    return best.join(sizes, "canopy").select("id", "canopy", "df", "block_n")

@@ -726,3 +726,53 @@ def shacl_cardinality(triples: DataFrame, shapes: DataFrame) -> DataFrame:
         .otherwise(F.lit("over_max"))
         .alias("violation"),
     )
+
+
+def ifp_merge_candidates(
+    triples: DataFrame,
+    ifp_preds: list[str],
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(pred, obj, s_a, s_b, group_n): owl:InverseFunctionalProperty
+    merge candidates — two subjects that share a value of an
+    inverse-functional predicate (same ISBN, same email, same normalized
+    homepage) denote the same entity, the OWL-semantics complement of
+    the explicit owl:sameAs links the CC step already closes over
+    (reference: sameAs handling in RDFProcessing.java; IFP inference is
+    the standard silver-of-the-same-coin, e.g. LDIF / Silk).
+
+    Emits CHAIN pairs, not cliques: within each (pred, obj) group the
+    subjects are sorted and each links to its successor — k−1 edges
+    instead of C(k,2), with the identical connected-components closure
+    downstream (operators/sameas.connected_components), so a hot value
+    never materializes a quadratic pair list.  Groups are additionally
+    capped at ``bucket_cap`` subjects (deterministic sort-order
+    truncation) because a mega-group on an IFP is almost always a junk
+    value ('', 'N/A', 'http://example.org/') that must be reviewed, not
+    merged; ``group_n`` carries the FULL pre-cap group size so the
+    truncation is observable, never silent.
+
+    Scale shape: one filter + distinct, one window per (pred, obj) —
+    a single exchange on the shared-value key."""
+    vals = (
+        triples.filter(F.col("pred").isin(list(ifp_preds)))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    grp = Window.partitionBy("pred", "obj")
+    w = grp.orderBy("subj")
+    return (
+        vals.withColumn("group_n", F.count("*").over(grp).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("s_b", F.lead("subj", 1).over(w))
+        .filter(
+            F.col("s_b").isNotNull() & (F.col("rn") < F.lit(bucket_cap))
+        )
+        .select(
+            "pred",
+            "obj",
+            F.col("subj").alias("s_a"),
+            "s_b",
+            "group_n",
+        )
+    )

@@ -1,0 +1,72 @@
+"""Hand-traced blocking quality, IFP merge candidates, rare-token canopy."""
+
+from reden_spark.operators.blocking import (
+    blocking_quality,
+    rare_token_blocking,
+)
+from reden_spark.operators.kg_quality import ifp_merge_candidates
+
+
+def test_blocking_quality_exact(spark):
+    records = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    cand = spark.createDataFrame(
+        [(2, 1), (3, 4), (4, 3)], "x long, y long"  # dup + reversed
+    )
+    gold = spark.createDataFrame([(1, 2), (1, 3)], "x long, y long")
+    r = blocking_quality(records, cand, gold).collect()[0]
+    assert r.n_records == 4
+    assert r.n_cand == 2            # (1,2) and (3,4) after normalization
+    assert r.n_gold == 2
+    assert r.tp == 1                # only (1,2)
+    assert r.reduction_ratio_e6 == 1000000 - 2 * 1000000 // 6
+    assert r.pairs_completeness_e6 == 500000
+    assert r.pairs_quality_e6 == 500000
+
+
+def test_ifp_chain_pairs_and_filter(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "phone", "p1"),
+            ("s2", "phone", "p1"),
+            ("s3", "phone", "p1"),
+            ("s4", "phone", "p2"),          # singleton: no pair
+            ("s1", "name", "Alice"),        # not an IFP: filtered
+            ("s2", "name", "Alice"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = ifp_merge_candidates(triples, ["phone"]).collect()
+    pairs = {(r.s_a, r.s_b) for r in rows}
+    assert pairs == {("s1", "s2"), ("s2", "s3")}   # chain, not clique
+    assert all(r.group_n == 3 for r in rows)
+
+
+def test_ifp_bucket_cap_observable(spark):
+    triples = spark.createDataFrame(
+        [(f"s{i}", "email", "junk") for i in range(1, 6)],
+        "subj string, pred string, obj string",
+    )
+    rows = ifp_merge_candidates(triples, ["email"], bucket_cap=3).collect()
+    # rn < 3 keeps only the first two chain edges; group_n stays 5
+    assert {(r.s_a, r.s_b) for r in rows} == {("s1", "s2"), ("s2", "s3")}
+    assert all(r.group_n == 5 for r in rows)
+
+
+def test_rare_token_blocking_exact(spark):
+    records = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha gamma"),
+            (3, "Alpha, beta!"),   # case/punct-insensitive tokens
+            (4, "xx yy"),          # df tie: lexicographic min wins
+        ],
+        "id long, name string",
+    )
+    out = {r.id: r for r in rare_token_blocking(records).collect()}
+    # dfs: alpha=3, beta=2, gamma=1, xx=1, yy=1
+    assert out[1].canopy == "beta" and out[1].df == 2
+    assert out[2].canopy == "gamma" and out[2].df == 1
+    assert out[3].canopy == "beta"
+    assert out[4].canopy == "xx"
+    assert out[1].block_n == 2     # records 1 and 3 share the beta canopy
+    assert out[2].block_n == 1
