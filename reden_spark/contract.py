@@ -16889,3 +16889,179 @@ def q_rare_token_blocking(spark, sf_dir):
         ).alias("name"),
     )
     return rare_token_blocking(names)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 23: OWL disjointness gate, RDF list flattening,
+# blank-node skolemization.
+
+
+@query(
+    "disjoint_violations",
+    """
+    WITH et AS (
+      SELECT DISTINCT 'e' || CAST(o_custkey % 97 AS VARCHAR) AS entity,
+             (o_orderkey % 255) + 1 AS type
+      FROM orders),
+    anc AS (
+      SELECT DISTINCT entity, type // power(2, i)::BIGINT AS anc
+      FROM et, range(0, 9) t(i)
+      WHERE type // power(2, i)::BIGINT >= 1),
+    d(a, b) AS (VALUES (2, 3), (8, 9)),
+    hits AS (
+      SELECT x.entity, d.a AS class_a, d.b AS class_b
+      FROM anc x JOIN d ON x.anc = d.a
+      JOIN anc y ON y.entity = x.entity AND y.anc = d.b)
+    SELECT DISTINCT entity, CAST(class_a AS BIGINT) AS class_a,
+           CAST(class_b AS BIGINT) AS class_b
+    FROM hits
+    """,
+)
+def q_disjoint_violations(spark, sf_dir):
+    """owl:disjointWith gate (operators/ontology.disjoint_violations):
+    entities asserted under both halves of a disjoint class pair via
+    the heap-taxonomy closure — the post-fusion consistency check
+    (disjoint roots 2|3, plus a deeper pair 8|9)."""
+    from reden_spark.operators.ontology import disjoint_violations
+
+    orders = _read(spark, sf_dir, "orders")
+    et = orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "entity"
+        ),
+        ((F.col("o_orderkey") % 255) + 1).cast("long").alias("type"),
+    ).distinct()
+    closure = et.select(F.col("type").alias("node")).distinct().select(
+        "node",
+        F.explode(
+            F.expr("transform(sequence(0, 8), i -> shiftright(node, i))")
+        ).alias("anc"),
+    ).filter(F.col("anc") >= 1)
+    d = spark.createDataFrame([(2, 3), (8, 9)], "a long, b long")
+    return disjoint_violations(et, closure, d)
+
+
+_RDF_LIST_SQL = """
+    WITH cell0 AS (
+      SELECT l_orderkey, l_linenumber, min(l_partkey) AS part
+      FROM lineitem WHERE l_orderkey % 20 = 0
+      GROUP BY 1, 2)
+    SELECT 'n' || CAST(l_orderkey AS VARCHAR) || '_'
+             || CAST(l_linenumber AS VARCHAR) AS node,
+           'item' || CAST(part AS VARCHAR) AS member,
+           lead('n' || CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR))
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+    FROM cell0
+"""
+
+
+@query(
+    "rdf_list_flatten",
+    f"""
+    WITH RECURSIVE cells AS ({_RDF_LIST_SQL}),
+    firsts AS (SELECT node, member FROM cells),
+    rests AS (SELECT node, COALESCE(nxt, 'rdf:nil') AS nxt FROM cells),
+    heads AS (SELECT node FROM firsts
+              WHERE node NOT IN (SELECT nxt FROM rests)),
+    walk(head, node, pos) AS (
+      SELECT node, node, 0 FROM heads
+      UNION ALL
+      SELECT w.head, r.nxt, w.pos + 1
+      FROM walk w JOIN rests r ON r.node = w.node
+      WHERE r.nxt <> 'rdf:nil')
+    SELECT w.head, CAST(w.pos AS BIGINT) AS pos, f.member
+    FROM walk w JOIN firsts f ON f.node = w.node
+    """,
+)
+def q_rdf_list_flatten(spark, sf_dir):
+    """RDF collection flattening (operators/ontology.rdf_list_flatten):
+    rdf:first/rdf:rest cons chains (one list per sampled order, cells
+    chained in line-number order) → positional (head, pos, member)
+    rows; all lists advance one hop per round."""
+    from reden_spark.operators.ontology import rdf_list_flatten
+
+    cell0 = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_partkey").alias("part"))
+    )
+    node = F.concat(
+        F.lit("n"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    cells = cell0.select(
+        node.alias("node"),
+        F.concat(F.lit("item"), F.col("part").cast("string")).alias("member"),
+        F.lead(node).over(w).alias("nxt"),
+    )
+    triples = cells.select(
+        F.col("node").alias("subj"),
+        F.lit("rdf:first").alias("pred"),
+        F.col("member").alias("obj"),
+    ).unionByName(
+        cells.select(
+            F.col("node").alias("subj"),
+            F.lit("rdf:rest").alias("pred"),
+            F.coalesce(F.col("nxt"), F.lit("rdf:nil")).alias("obj"),
+        )
+    )
+    return rdf_list_flatten(triples)
+
+
+@query(
+    "skolemize_bnodes",
+    """
+    WITH t AS (
+      SELECT 'g' || CAST(l_orderkey % 50 AS VARCHAR) AS graph,
+             '_:b' || CAST(l_linenumber AS VARCHAR) AS subj,
+             'value' AS pred,
+             CASE WHEN l_linenumber % 2 = 0
+                  THEN '_:b' || CAST(l_linenumber + 1 AS VARCHAR)
+                  ELSE 'v' || CAST(l_partkey AS VARCHAR) END AS obj
+      FROM lineitem WHERE l_orderkey % 25 = 0),
+    s AS (
+      SELECT graph,
+             CASE WHEN subj LIKE '_:%'
+                  THEN 'http://kb.example.org/.well-known/genid/'
+                       || substr(lower(sha256(graph || ':' || subj)), 1, 32)
+                  ELSE subj END AS subj,
+             pred,
+             CASE WHEN obj LIKE '\\_:%' ESCAPE '\\'
+                  THEN 'http://kb.example.org/.well-known/genid/'
+                       || substr(lower(sha256(graph || ':' || obj)), 1, 32)
+                  ELSE obj END AS obj
+      FROM t)
+    SELECT graph, subj, pred, obj FROM s
+    """,
+)
+def q_skolemize_bnodes(spark, sf_dir):
+    """Blank-node skolemization (sources/ntriples.skolemize_bnodes):
+    graph-scoped deterministic /.well-known/genid/ IRIs from
+    sha256(graph:label) — two documents' _:b0 never collide after the
+    KG union, and the mapping is stable across runs and partitions."""
+    from reden_spark.sources.ntriples import skolemize_bnodes
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    triples = li.select(
+        F.concat(F.lit("g"), (F.col("l_orderkey") % 50).cast("string")).alias(
+            "graph"
+        ),
+        F.concat(F.lit("_:b"), F.col("l_linenumber").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("value").alias("pred"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.concat(F.lit("_:b"), (F.col("l_linenumber") + 1).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("v"), F.col("l_partkey").cast("string"))
+        )
+        .alias("obj"),
+    )
+    return skolemize_bnodes(triples)

@@ -232,3 +232,108 @@ def most_specific_type(entity_types: DataFrame, closure: DataFrame) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("entity", "type", "depth")
     )
+
+
+def disjoint_violations(
+    entity_types: DataFrame,
+    closure: DataFrame,
+    disjoint_pairs: DataFrame,
+) -> DataFrame:
+    """(entity, class_a, class_b): owl:disjointWith violations — an
+    entity asserted (directly or through the subclass closure) under
+    BOTH members of a declared-disjoint class pair.  The consistency
+    gate a KG needs before fusion: a merge that lands one canonical
+    entity under Person AND Place is wrong no matter how good the
+    sameAs evidence was (reference analogue: REDEN's per-type
+    dictionaries never mix types; a fused KG must re-check).
+
+    ``closure`` is the reflexive (node, anc) ancestor closure
+    (ontology.transitive_closure / the heap fixture);
+    ``disjoint_pairs`` (a, b) is symmetric by normalization here, so
+    one declared direction suffices.
+
+    Scale shape: one join of the entity-type table against the closure
+    (exchange on the type key), then two broadcast joins against the
+    tiny axiom table — never an entity×entity or class×class product."""
+    anc = (
+        entity_types.join(
+            closure,
+            entity_types["type"] == closure["node"],
+        )
+        .select("entity", "anc")
+        .distinct()
+    )
+    d = disjoint_pairs.select(
+        F.least(F.col("a"), F.col("b")).alias("a"),
+        F.greatest(F.col("a"), F.col("b")).alias("b"),
+    ).distinct()
+    hit_a = anc.join(
+        F.broadcast(d), anc["anc"] == d["a"]
+    ).select("entity", "a", "b")
+    anc2 = anc.select(
+        F.col("entity").alias("entity2"), F.col("anc").alias("anc2")
+    )
+    return (
+        hit_a.join(
+            anc2,
+            (F.col("entity") == F.col("entity2"))
+            & (F.col("anc2") == F.col("b")),
+        )
+        .select(
+            "entity",
+            F.col("a").alias("class_a"),
+            F.col("b").alias("class_b"),
+        )
+        .distinct()
+    )
+
+
+def rdf_list_flatten(
+    triples: DataFrame,
+    first_pred: str = "rdf:first",
+    rest_pred: str = "rdf:rest",
+    nil: str = "rdf:nil",
+    max_len: int = 64,
+) -> DataFrame:
+    """(head, pos, member): RDF collections (rdf:first / rdf:rest cons
+    chains) flattened to positional membership rows — the shape every
+    downstream operator can actually join, versus the linked list RDF
+    serializes.  A list head is a cons cell that is no other cell's
+    rdf:rest target.
+
+    Scale shape: one join per list POSITION (not per list) — all lists
+    advance one hop per round in a single edge join, with an early-exit
+    count on the materialized frontier; ``max_len`` bounds the walk the
+    way every iterative operator here is bounded (a longer list is a
+    data bug to surface, not to chase)."""
+    firsts = triples.filter(F.col("pred") == first_pred).select(
+        F.col("subj").alias("node"), F.col("obj").alias("member")
+    )
+    rests = triples.filter(F.col("pred") == rest_pred).select(
+        F.col("subj").alias("node"), F.col("obj").alias("nxt")
+    )
+    heads = firsts.select("node").join(
+        rests.select(F.col("nxt").alias("node")), "node", "left_anti"
+    )
+    frontier = heads.select(
+        F.col("node").alias("head"), "node", F.lit(0).alias("pos")
+    ).localCheckpoint(eager=True)
+    out = frontier
+    for _ in range(max_len - 1):
+        nxt = (
+            frontier.join(rests, "node")
+            .filter(F.col("nxt") != nil)
+            .select(
+                "head",
+                F.col("nxt").alias("node"),
+                (F.col("pos") + 1).alias("pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.join(firsts, "node").select(
+        "head", F.col("pos").cast("long").alias("pos"), "member"
+    )

@@ -95,3 +95,42 @@ def to_ntriples(triples: DataFrame, obj_is_iri: str | None = "obj_is_iri") -> Da
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Scan ``.n3``/``.nt`` file(s)/folder into the ``triples`` shape."""
     return parse_ntriples(spark.read.text(path))
+
+
+def skolemize_bnodes(
+    triples: DataFrame,
+    base: str = "http://kb.example.org",
+    graph_col: str = "graph",
+) -> DataFrame:
+    """Replace blank-node labels with deterministic skolem IRIs
+    (RDF 1.1 §3.5 /.well-known/genid/ scheme): a label ``_:b0`` is
+    scoped to its source graph/document, so two documents' ``_:b0``
+    must NOT collide after the union that KG construction performs —
+    the skolem id is sha256(graph ‖ ':' ‖ label), making the mapping
+    stable across runs, partitions, and re-ingests (no monotonic
+    counters, nothing driver-side).
+
+    Applies to subj and obj positions (a literal never starts with
+    ``_:`` after N-Triples parsing).  Pure column expressions — no
+    shuffle, no UDF; the hash is the same one the engine keys
+    documents with."""
+    genid = base + "/.well-known/genid/"
+
+    def _skolem(col):
+        return F.when(
+            col.startswith("_:"),
+            F.concat(
+                F.lit(genid),
+                F.substring(
+                    F.sha2(
+                        F.concat(F.col(graph_col), F.lit(":"), col), 256
+                    ),
+                    1,
+                    32,
+                ),
+            ),
+        ).otherwise(col)
+
+    return triples.withColumn(
+        "subj", _skolem(F.col("subj"))
+    ).withColumn("obj", _skolem(F.col("obj")))

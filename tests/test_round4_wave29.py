@@ -1,0 +1,87 @@
+"""Hand-traced OWL disjointness, RDF list flattening, skolemization."""
+
+import hashlib
+
+from reden_spark.operators.ontology import (
+    disjoint_violations,
+    rdf_list_flatten,
+)
+from reden_spark.sources.ntriples import skolemize_bnodes
+
+
+def _heap_closure(spark, nodes):
+    rows = []
+    for n in nodes:
+        a = n
+        while a >= 1:
+            rows.append((n, a))
+            a //= 2
+    return spark.createDataFrame(rows, "node long, anc long")
+
+
+def test_disjoint_violations_exact(spark):
+    et = spark.createDataFrame(
+        [("e1", 4), ("e1", 6), ("e2", 4), ("e2", 5)],
+        "entity string, type long",
+    )
+    closure = _heap_closure(spark, [4, 5, 6])
+    d = spark.createDataFrame([(3, 2)], "a long, b long")  # any direction
+    rows = disjoint_violations(et, closure, d).collect()
+    # e1 sits under both root subtrees (4→2, 6→3); e2 only under 2
+    assert [(r.entity, r.class_a, r.class_b) for r in rows] == [("e1", 2, 3)]
+
+
+def test_rdf_list_flatten_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            ("a", "rdf:first", "x"), ("a", "rdf:rest", "b"),
+            ("b", "rdf:first", "y"), ("b", "rdf:rest", "c"),
+            ("c", "rdf:first", "z"), ("c", "rdf:rest", "rdf:nil"),
+            ("d", "rdf:first", "w"), ("d", "rdf:rest", "rdf:nil"),
+            ("e", "other", "q"),  # not a list cell
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r.head, r.pos): r.member
+           for r in rdf_list_flatten(triples).collect()}
+    assert out == {
+        ("a", 0): "x", ("a", 1): "y", ("a", 2): "z", ("d", 0): "w",
+    }
+
+
+def test_rdf_list_flatten_max_len_bounds(spark):
+    # a 5-cell chain truncates at max_len=3 positions
+    rows = []
+    for i in range(5):
+        rows.append((f"n{i}", "rdf:first", f"m{i}"))
+        rows.append(
+            (f"n{i}", "rdf:rest", f"n{i+1}" if i < 4 else "rdf:nil")
+        )
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    out = rdf_list_flatten(triples, max_len=3).collect()
+    assert sorted((r.pos, r.member) for r in out) == [
+        (0, "m0"), (1, "m1"), (2, "m2")
+    ]
+
+
+def test_skolemize_graph_scoped_deterministic(spark):
+    triples = spark.createDataFrame(
+        [
+            ("g1", "_:b0", "p", "_:b1"),
+            ("g2", "_:b0", "p", "lit-value"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    out = {r.graph: r for r in skolemize_bnodes(triples).collect()}
+
+    def skolem(graph, label):
+        h = hashlib.sha256(f"{graph}:{label}".encode()).hexdigest()[:32]
+        return f"http://kb.example.org/.well-known/genid/{h}"
+
+    assert out["g1"].subj == skolem("g1", "_:b0")
+    assert out["g2"].subj == skolem("g2", "_:b0")
+    assert out["g1"].subj != out["g2"].subj     # graph-scoped: no collision
+    assert out["g1"].obj == skolem("g1", "_:b1")
+    assert out["g2"].obj == "lit-value"          # literals untouched
