@@ -17065,3 +17065,197 @@ def q_skolemize_bnodes(spark, sf_dir):
         .alias("obj"),
     )
     return skolemize_bnodes(triples)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 24: literal census, namespace profile, CURIE compaction.
+
+
+_NSP_TRIPLES_SQL = """
+    SELECT 'http://kb.example.org/ent/' || CAST(c_custkey AS VARCHAR) AS subj,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'http://www.w3.org/2000/01/rdf-schema#label'
+                ELSE 'kb://rel/knows' END AS pred,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'http://example.org/doc/' || CAST(c_nationkey AS VARCHAR)
+                WHEN c_custkey % 3 = 1 THEN '"x"'
+                ELSE 'c' || CAST(c_custkey AS VARCHAR) END AS obj
+    FROM customer
+"""
+
+
+def _nsp_triples(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        F.concat(
+            F.lit("http://kb.example.org/ent/"),
+            F.col("c_custkey").cast("string"),
+        ).alias("subj"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.lit("http://www.w3.org/2000/01/rdf-schema#label"),
+        )
+        .otherwise(F.lit("kb://rel/knows"))
+        .alias("pred"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("http://example.org/doc/"),
+                F.col("c_nationkey").cast("string"),
+            ),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.lit('"x"'))
+        .otherwise(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        )
+        .alias("obj"),
+    )
+
+
+@query(
+    "namespace_profile",
+    f"""
+    WITH t AS ({_NSP_TRIPLES_SQL}),
+    pos AS (
+      SELECT subj AS iri FROM t
+      UNION ALL SELECT pred FROM t
+      UNION ALL SELECT obj FROM t),
+    iri AS (SELECT iri FROM pos
+            WHERE regexp_matches(iri, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+    ns AS (SELECT CASE WHEN regexp_extract(iri, '^(.*[/#])', 1) <> ''
+                       THEN regexp_extract(iri, '^(.*[/#])', 1)
+                       ELSE '(none)' END AS namespace, iri
+           FROM iri)
+    SELECT namespace, CAST(count(*) AS BIGINT) AS n_uses,
+           CAST(count(DISTINCT iri) AS BIGINT) AS n_iris
+    FROM ns GROUP BY 1
+    """,
+)
+def q_namespace_profile(spark, sf_dir):
+    """IRI namespace census (operators/kg_quality.namespace_profile):
+    uses and distinct IRIs per namespace (through the last '/' or '#')
+    over all three triple positions — the fused-KG overview a prefix
+    curator reads first."""
+    from reden_spark.operators.kg_quality import namespace_profile
+
+    return namespace_profile(_nsp_triples(spark, sf_dir))
+
+
+@query(
+    "literal_profile",
+    """
+    WITH t AS (
+      SELECT CASE c_custkey % 4
+               WHEN 0 THEN '"seg-' || c_mktsegment || '"'
+               WHEN 1 THEN '"seg-' || c_mktsegment || '"@en'
+               WHEN 2 THEN '"seg-' || c_mktsegment || '"@fr-CA'
+               ELSE '"' || CAST(c_custkey % 100 AS VARCHAR)
+                    || '"^^xsd:integer'
+             END AS obj
+      FROM customer
+      UNION ALL
+      SELECT 'http://example.org/doc/' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 7 = 0),
+    lits AS (SELECT obj FROM t WHERE obj LIKE '"%'),
+    parsed AS (
+      SELECT regexp_extract(obj, '"@([A-Za-z][A-Za-z0-9-]*)$', 1) AS lang,
+             regexp_extract(obj, '"\\^\\^(.+)$', 1) AS dtype, obj
+      FROM lits)
+    SELECT CASE WHEN dtype <> '' THEN dtype
+                WHEN lang <> '' THEN 'rdf:langString'
+                ELSE 'xsd:string' END AS datatype,
+           lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct
+    FROM parsed GROUP BY 1, 2
+    """,
+)
+def q_literal_profile(spark, sf_dir):
+    """Literal census (sources/ntriples.literal_profile): plain /
+    language-tagged / typed literal counts with distincts — the ingest
+    profile that picks parsers and validators before mapping."""
+    from reden_spark.sources.ntriples import literal_profile
+
+    cust = _read(spark, sf_dir, "customer")
+    seg = F.concat(F.lit('"seg-'), F.col("c_mktsegment"))
+    obj = (
+        F.when(F.col("c_custkey") % 4 == 0, F.concat(seg, F.lit('"')))
+        .when(F.col("c_custkey") % 4 == 1, F.concat(seg, F.lit('"@en')))
+        .when(F.col("c_custkey") % 4 == 2, F.concat(seg, F.lit('"@fr-CA')))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                (F.col("c_custkey") % 100).cast("string"),
+                F.lit('"^^xsd:integer'),
+            )
+        )
+    )
+    triples = (
+        cust.select(
+            F.lit("s").alias("subj"), F.lit("p").alias("pred"),
+            obj.alias("obj"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                F.lit("s").alias("subj"), F.lit("p").alias("pred"),
+                F.concat(
+                    F.lit("http://example.org/doc/"),
+                    F.col("c_custkey").cast("string"),
+                ).alias("obj"),
+            )
+        )
+    )
+    return literal_profile(triples)
+
+
+@query(
+    "curie_compact",
+    f"""
+    WITH t AS ({_NSP_TRIPLES_SQL}),
+    pos AS (
+      SELECT subj AS iri FROM t
+      UNION ALL SELECT pred FROM t
+      UNION ALL SELECT obj FROM t),
+    iris AS (SELECT DISTINCT iri FROM pos
+             WHERE regexp_matches(iri, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+    p(prefix, ns) AS (VALUES
+      ('kbe', 'http://kb.example.org/ent/'),
+      ('kb', 'http://kb.example.org/'),
+      ('rdfs', 'http://www.w3.org/2000/01/rdf-schema#'),
+      ('ex', 'http://example.org/')),
+    m AS (SELECT i.iri, p.prefix, p.ns
+          FROM iris i LEFT JOIN p ON starts_with(i.iri, p.ns)),
+    r AS (SELECT iri, prefix, ns,
+                 row_number() OVER (PARTITION BY iri
+                   ORDER BY length(ns) DESC NULLS LAST, prefix ASC) AS rn
+          FROM m)
+    SELECT iri,
+           CASE WHEN ns IS NOT NULL
+                THEN prefix || ':' || substr(iri, length(ns) + 1)
+                ELSE iri END AS curie
+    FROM r WHERE rn = 1
+    """,
+)
+def q_curie_compact(spark, sf_dir):
+    """CURIE compaction (sources/ntriples.curie_compact): longest
+    declared namespace wins (kbe: beats kb: on /ent/ IRIs), unmatched
+    IRIs (kb://rel/knows) pass through — the Turtle-writer mapping."""
+    from reden_spark.sources.ntriples import curie_compact
+
+    t = _nsp_triples(spark, sf_dir)
+    pos = (
+        t.select(F.col("subj").alias("iri"))
+        .unionByName(t.select(F.col("pred").alias("iri")))
+        .unionByName(t.select(F.col("obj").alias("iri")))
+        .filter(F.col("iri").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+    )
+    prefixes = spark.createDataFrame(
+        [
+            ("kbe", "http://kb.example.org/ent/"),
+            ("kb", "http://kb.example.org/"),
+            ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+            ("ex", "http://example.org/"),
+        ],
+        "prefix string, ns string",
+    )
+    return curie_compact(pos, prefixes)

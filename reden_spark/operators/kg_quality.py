@@ -776,3 +776,35 @@ def ifp_merge_candidates(
             "group_n",
         )
     )
+
+
+def namespace_profile(triples: DataFrame) -> DataFrame:
+    """(namespace, n_uses, n_iris): how the KG's IRI space is
+    distributed over namespaces (everything up to and including the
+    last '/' or '#'), across subject, predicate, and IRI-shaped object
+    positions — the first chart anyone draws of a fused KG, and the
+    input a prefix-table curator (curie_compact) works from.
+
+    One union of three projections, one regexp per row, one groupBy
+    exchange on the namespace key."""
+    iri_rx = "^[A-Za-z][A-Za-z0-9+.-]*://"
+    parts = None
+    for c in ("subj", "pred", "obj"):
+        p = triples.select(F.col(c).alias("iri")).filter(
+            F.col(c).rlike(iri_rx)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    ns = F.regexp_extract(F.col("iri"), "^(.*[/#])", 1)
+    return (
+        parts.select(
+            F.when(ns != "", ns).otherwise(F.lit("(none)")).alias(
+                "namespace"
+            ),
+            "iri",
+        )
+        .groupBy("namespace")
+        .agg(
+            F.count("*").cast("long").alias("n_uses"),
+            F.countDistinct("iri").cast("long").alias("n_iris"),
+        )
+    )

@@ -134,3 +134,74 @@ def skolemize_bnodes(
     return triples.withColumn(
         "subj", _skolem(F.col("subj"))
     ).withColumn("obj", _skolem(F.col("obj")))
+
+
+def literal_profile(triples: DataFrame) -> DataFrame:
+    """(datatype, lang, n, n_distinct): census of literal objects in
+    N-Triples surface form — plain ``"v"`` (xsd:string per RDF 1.1),
+    language-tagged ``"v"@en``, and typed ``"12"^^xsd:integer``.  The
+    ingest profile that tells a KG builder which parsers and datatype
+    validators the corpus actually needs before any mapping runs
+    (companion to iri_validate on the IRI positions).
+
+    One filter + regexp extraction + one groupBy — a single exchange
+    on the (datatype, lang) key, counts map-side combinable."""
+    lits = triples.filter(F.col("obj").startswith('"'))
+    lang = F.regexp_extract(F.col("obj"), '"@([A-Za-z][A-Za-z0-9-]*)$', 1)
+    dtype = F.regexp_extract(F.col("obj"), '"\\^\\^(.+)$', 1)
+    return (
+        lits.select(
+            F.when(dtype != "", dtype)
+            .when(lang != "", F.lit("rdf:langString"))
+            .otherwise(F.lit("xsd:string"))
+            .alias("datatype"),
+            lang.alias("lang"),
+            F.col("obj"),
+        )
+        .groupBy("datatype", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("obj").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def curie_compact(iris: DataFrame, prefixes: DataFrame) -> DataFrame:
+    """(iri, curie): compact each IRI to prefix:localname under the
+    LONGEST matching declared namespace (the Turtle-writer rule);
+    unmatched IRIs pass through unchanged.  ``prefixes`` is
+    (prefix, ns), tiny and broadcast.
+
+    Scale shape: distinct IRIs × broadcast prefix table with a
+    startswith predicate, then one window argmax on namespace length
+    per IRI (deterministic (length desc, prefix asc) tie-break) — no
+    shuffle of the triple table itself; callers join the mapping back
+    wherever they serialize."""
+    from pyspark.sql import Window
+
+    d = iris.select("iri").distinct()
+    m = d.join(
+        F.broadcast(prefixes),
+        F.col("iri").startswith(F.col("ns")),
+        "left",
+    )
+    w = Window.partitionBy("iri").orderBy(
+        F.length("ns").desc(), F.asc("prefix")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "iri",
+            F.when(
+                F.col("ns").isNotNull(),
+                F.concat(
+                    F.col("prefix"),
+                    F.lit(":"),
+                    F.expr("substring(iri, length(ns) + 1)"),
+                ),
+            )
+            .otherwise(F.col("iri"))
+            .alias("curie"),
+        )
+    )

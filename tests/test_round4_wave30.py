@@ -1,0 +1,64 @@
+"""Hand-traced literal census, namespace profile, CURIE compaction."""
+
+from reden_spark.operators.kg_quality import namespace_profile
+from reden_spark.sources.ntriples import curie_compact, literal_profile
+
+
+def test_literal_profile_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s", "p", '"plain"'),
+            ("s", "p", '"plain"'),          # duplicate: n=2, n_distinct=1
+            ("s", "p", '"hello"@en'),
+            ("s", "p", '"bonjour"@fr-CA'),
+            ("s", "p", '"42"^^xsd:integer'),
+            ("s", "p", "http://example.org/x"),   # IRI: not a literal
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r.datatype, r.lang): (r.n, r.n_distinct)
+           for r in literal_profile(triples).collect()}
+    assert out == {
+        ("xsd:string", ""): (2, 1),
+        ("rdf:langString", "en"): (1, 1),
+        ("rdf:langString", "fr-CA"): (1, 1),
+        ("xsd:integer", ""): (1, 1),
+    }
+
+
+def test_namespace_profile_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            ("http://a.org/x/1", "http://a.org/p#label", "http://a.org/x/1"),
+            ("http://a.org/x/2", "http://a.org/p#label", '"lit"'),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.namespace: (r.n_uses, r.n_iris)
+           for r in namespace_profile(triples).collect()}
+    # subj 1 appears twice (subj + obj position): 3 uses, 2 distinct
+    assert out == {
+        "http://a.org/x/": (3, 2),
+        "http://a.org/p#": (2, 1),
+    }
+
+
+def test_curie_longest_prefix_wins(spark):
+    iris = spark.createDataFrame(
+        [
+            ("http://kb.org/ent/42",),
+            ("http://kb.org/other",),
+            ("urn:uuid:x",),              # no declared namespace
+        ],
+        "iri string",
+    )
+    prefixes = spark.createDataFrame(
+        [("kb", "http://kb.org/"), ("kbe", "http://kb.org/ent/")],
+        "prefix string, ns string",
+    )
+    out = {r.iri: r.curie for r in curie_compact(iris, prefixes).collect()}
+    assert out == {
+        "http://kb.org/ent/42": "kbe:42",      # longest namespace wins
+        "http://kb.org/other": "kb:other",
+        "urn:uuid:x": "urn:uuid:x",            # pass-through
+    }
