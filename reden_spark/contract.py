@@ -17259,3 +17259,169 @@ def q_curie_compact(spark, sf_dir):
         "prefix string, ns string",
     )
     return curie_compact(pos, prefixes)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 25: pattern IE — capitalized-run NER spans, Schwartz–Hearst
+# acronyms, Hearst hyponyms (operators/iextract.py).
+
+
+_IEX_DOCS_SQL = """
+    SELECT c_custkey AS doc_id,
+           'Research ' || w1 || ' ' || w2 || ' (' || acr
+             || ') panel. Nations such as ' || w1 || ', ' || w2
+             || ' and Trade are big. Bad ' || w2 || ' (QZX) case.' AS text
+    FROM (
+      SELECT c_custkey,
+             upper(substr(regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g'), 1, 1))
+               || lower(substr(regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g'), 2)) AS w1,
+             upper(substr(regexp_replace(r_name, '[^A-Za-z0-9]', '', 'g'), 1, 1))
+               || lower(substr(regexp_replace(r_name, '[^A-Za-z0-9]', '', 'g'), 2)) AS w2,
+             upper(substr(regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g'), 1, 1))
+               || upper(substr(regexp_replace(r_name, '[^A-Za-z0-9]', '', 'g'), 1, 1)) AS acr
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey)
+"""
+
+
+def _iex_docs(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    j = (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    w1c = F.regexp_replace(F.col("n_name"), "[^A-Za-z0-9]", "")
+    w2c = F.regexp_replace(F.col("r_name"), "[^A-Za-z0-9]", "")
+    w1 = F.concat(
+        F.upper(F.substring(w1c, 1, 1)),
+        F.lower(F.substring(w1c, 2, 1000)),
+    )
+    w2 = F.concat(
+        F.upper(F.substring(w2c, 1, 1)),
+        F.lower(F.substring(w2c, 2, 1000)),
+    )
+    acr = F.concat(F.upper(F.substring(w1c, 1, 1)), F.upper(F.substring(w2c, 1, 1)))
+    return j.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("Research "), w1, F.lit(" "), w2, F.lit(" ("), acr,
+            F.lit(") panel. Nations such as "), w1, F.lit(", "), w2,
+            F.lit(" and Trade are big. Bad "), w2, F.lit(" (QZX) case."),
+        ).alias("text"),
+    )
+
+
+@query(
+    "ner_cap_spans",
+    f"""
+    WITH d AS ({_IEX_DOCS_SQL}),
+    toks0 AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM d),
+    cap AS (SELECT doc_id, pos, tok FROM toks0
+            WHERE regexp_matches(tok, '^[A-Z][A-Za-z0-9]*$')),
+    isl AS (SELECT doc_id, pos, tok,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS island
+            FROM cap),
+    g AS (SELECT doc_id, island,
+                 CAST(min(pos) AS BIGINT) AS start_pos,
+                 CAST(max(pos) AS BIGINT) AS end_pos,
+                 string_agg(tok, ' ' ORDER BY pos) AS span,
+                 CAST(count(*) AS BIGINT) AS n_toks
+          FROM isl GROUP BY 1, 2)
+    SELECT doc_id, start_pos, end_pos, span, n_toks
+    FROM g WHERE n_toks >= 2
+    """,
+)
+def q_ner_cap_spans(spark, sf_dir):
+    """Capitalized-run NER spans (operators/iextract.
+    ner_capitalized_spans): maximal consecutive-capitalized-token runs
+    (≥2) over the synthesized prose — the zero-resource mention
+    proposer for unannotated corpora (gaps-and-islands, one doc-keyed
+    exchange)."""
+    from reden_spark.operators.iextract import ner_capitalized_spans
+
+    docs = _iex_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    return ner_capitalized_spans(toks)
+
+
+@query(
+    "acronym_pairs",
+    f"""
+    WITH d AS ({_IEX_DOCS_SQL}),
+    cand AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '((?:[A-Za-z][A-Za-z0-9]* ){{1,8}})\\(([A-Z]{{2,8}})\\)', 1))
+               AS lf,
+             unnest(regexp_extract_all(text,
+               '((?:[A-Za-z][A-Za-z0-9]* ){{1,8}})\\(([A-Z]{{2,8}})\\)', 2))
+               AS acronym
+      FROM d),
+    parsed AS (
+      SELECT doc_id, acronym,
+             string_split(trim(lf), ' ') AS words,
+             length(acronym) AS n
+      FROM cand),
+    ok AS (
+      SELECT doc_id, acronym,
+             words[len(words) - n + 1:] AS sel
+      FROM parsed WHERE len(words) >= n),
+    v AS (
+      SELECT doc_id, acronym,
+             array_to_string(sel, ' ') AS long_form,
+             array_to_string(list_transform(sel, w -> upper(w[1])), '')
+               AS initials
+      FROM ok)
+    SELECT DISTINCT doc_id, acronym, long_form
+    FROM v WHERE initials = acronym
+    """,
+)
+def q_acronym_pairs(spark, sf_dir):
+    """Schwartz–Hearst acronym definitions (operators/iextract.
+    acronym_pairs): "Long Form (LF)" where the last len(LF) word
+    initials spell the acronym — the (QZX) plant is rejected, the
+    nation-region acronym accepted; pure regexp + array arithmetic."""
+    from reden_spark.operators.iextract import acronym_pairs
+
+    return acronym_pairs(_iex_docs(spark, sf_dir))
+
+
+@query(
+    "hearst_hyponyms",
+    f"""
+    WITH d AS ({_IEX_DOCS_SQL}),
+    m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '([A-Z][A-Za-z0-9]*) (?:such as|including|especially) ((?:[A-Z][A-Za-z0-9]*(?:, | and )?)+)',
+               1)) AS hypernym,
+             unnest(regexp_extract_all(text,
+               '([A-Z][A-Za-z0-9]*) (?:such as|including|especially) ((?:[A-Z][A-Za-z0-9]*(?:, | and )?)+)',
+               2)) AS hypo_list
+      FROM d),
+    e AS (
+      SELECT doc_id, hypernym,
+             unnest(string_split_regex(hypo_list, ', | and ')) AS hyponym
+      FROM m)
+    SELECT DISTINCT doc_id, hypernym, hyponym
+    FROM e WHERE hyponym <> ''
+    """,
+)
+def q_hearst_hyponyms(spark, sf_dir):
+    """Hearst taxonomy patterns (operators/iextract.hearst_hyponyms):
+    "Nations such as X, Y and Trade" → (Nations, X/Y/Trade) — the
+    corpus-side subclass proposer feeding subclass_closure."""
+    from reden_spark.operators.iextract import hearst_hyponyms
+
+    return hearst_hyponyms(_iex_docs(spark, sf_dir))

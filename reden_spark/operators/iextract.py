@@ -1,0 +1,135 @@
+"""Pattern-based information extraction from raw text: capitalized-run
+NER spans, Schwartz–Hearst acronym pairs, Hearst hyponym patterns.
+
+The reference detects mentions ONLY where TEI markup already says so
+(ProcessACombinedVersionOfTEIFiles.java tag scan); a construction
+pipeline over unannotated corpora needs rule-based span proposers too.
+These are the three classic deterministic extractors: capitalization
+runs (NER-lite), "Long Form (LF)" acronym definitions (Schwartz &
+Hearst 2003, simplified to the exact last-n-initials rule), and
+"X such as Y" hyponym patterns (Hearst 1992) — each one regex/window
+work over native columns, no UDFs, so they run JVM-side at corpus
+scale and their semantics port verbatim to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_CAP_TOK = "^[A-Z][A-Za-z0-9]*$"
+
+
+def ner_capitalized_spans(
+    tokens: DataFrame, min_len: int = 2
+) -> DataFrame:
+    """(doc_id, start_pos, end_pos, span, n_toks): maximal runs of
+    consecutive capitalized tokens of length ≥ ``min_len`` — the
+    zero-resource NER span proposer.  ``tokens`` is (doc_id, pos, tok)
+    with pos dense per document (the _tokens contract).
+
+    Gaps-and-islands: island = pos − row_number() over capitalized
+    tokens only, so one window + one groupBy on (doc, island) — a
+    single (doc_id)-keyed exchange, no self-joins."""
+    cap = tokens.filter(F.col("tok").rlike(_CAP_TOK))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = cap.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("span"),
+            F.count("*").cast("long").alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= min_len)
+        .drop("island")
+    )
+
+
+_ACRO_RX = r"((?:[A-Za-z][A-Za-z0-9]* ){1,8})\(([A-Z]{2,8})\)"
+
+
+def acronym_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, acronym, long_form): "Long Form (LF)" definitions where
+    the initials of the LAST len(LF) words before the parenthesis
+    spell the acronym (Schwartz & Hearst 2003, exact-initials rule —
+    deterministic, no scoring).  Candidates come from ONE
+    regexp_extract_all pass; validation is pure array arithmetic
+    (slice + initial-letter fold), all native columns."""
+    cand = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(text_col), F.lit(_ACRO_RX), 1),
+                F.regexp_extract_all(F.col(text_col), F.lit(_ACRO_RX), 2),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        F.split(F.trim(F.col("z.0")), " ").alias("words"),
+        F.col("z.1").alias("acronym"),
+    )
+    n = F.length("acronym")
+    lastn = F.expr(
+        "slice(words, size(words) - length(acronym) + 1, length(acronym))"
+    )
+    initials = F.array_join(
+        F.transform(lastn, lambda s: F.upper(F.substring(s, 1, 1))), ""
+    )
+    return (
+        cand.filter(F.size("words") >= n)
+        .withColumn("long_form", F.array_join(lastn, " "))
+        .filter(initials == F.col("acronym"))
+        .select("doc_id", "acronym", "long_form")
+        .distinct()
+    )
+
+
+_HEARST_RX = (
+    r"([A-Z][A-Za-z0-9]*) (?:such as|including|especially) "
+    r"((?:[A-Z][A-Za-z0-9]*(?:, | and )?)+)"
+)
+
+
+def hearst_hyponyms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, hypernym, hyponym): Hearst (1992) lexico-syntactic
+    taxonomy patterns — "X such as A, B and C" (plus including /
+    especially) yields (X, A), (X, B), (X, C).  The corpus-side
+    taxonomy proposer whose output feeds subclass_closure /
+    wu_palmer.  One regexp pass, one split-explode; RE2-safe
+    alternation, no lookaround."""
+    m = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(text_col), F.lit(_HEARST_RX), 1),
+                F.regexp_extract_all(F.col(text_col), F.lit(_HEARST_RX), 2),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z.0").alias("hypernym"),
+        F.col("z.1").alias("hypo_list"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "hypernym",
+            F.explode(
+                F.split(F.col("hypo_list"), ", | and ")
+            ).alias("hyponym"),
+        )
+        .filter(F.col("hyponym") != "")
+        .distinct()
+    )

@@ -1,0 +1,62 @@
+"""Hand-traced pattern IE: NER spans, acronyms, Hearst hyponyms."""
+
+from reden_spark.operators.iextract import (
+    acronym_pairs,
+    hearst_hyponyms,
+    ner_capitalized_spans,
+)
+
+
+def test_ner_capitalized_spans_exact(spark):
+    toks = spark.createDataFrame(
+        [
+            (1, 0, "The"), (1, 1, "United"), (1, 2, "Nations"),
+            (1, 3, "met"), (1, 4, "in"), (1, 5, "New"), (1, 6, "York"),
+            (1, 7, "today"), (1, 8, "Alone"),
+        ],
+        "doc_id long, pos long, tok string",
+    )
+    out = {(r.start_pos, r.end_pos): (r.span, r.n_toks)
+           for r in ner_capitalized_spans(toks).collect()}
+    # "Alone" is a 1-token run: below min_len
+    assert out == {
+        (0, 2): ("The United Nations", 3),
+        (5, 6): ("New York", 2),
+    }
+
+
+def test_acronym_pairs_validates_initials(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The United Nations Organization (UNO) convened."),
+            (2, "A Wrong Match (XYZ) is rejected."),
+            (3, "Big Data Processing (BDP) and Bad Data (XX) mix."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.acronym): r.long_form
+           for r in acronym_pairs(docs).collect()}
+    assert out == {
+        (1, "UNO"): "United Nations Organization",
+        (3, "BDP"): "Big Data Processing",
+    }
+
+
+def test_hearst_hyponyms_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Cities such as Paris, Berlin and Tokyo grew."),
+            (2, "Languages including French and Spanish evolved."),
+            (3, "no pattern here such as nothing lowercase."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.hypernym, r.hyponym)
+           for r in hearst_hyponyms(docs).collect()}
+    assert out == {
+        (1, "Cities", "Paris"),
+        (1, "Cities", "Berlin"),
+        (1, "Cities", "Tokyo"),
+        (2, "Languages", "French"),
+        (2, "Languages", "Spanish"),
+    }
