@@ -17425,3 +17425,141 @@ def q_hearst_hyponyms(spark, sf_dir):
     from reden_spark.operators.iextract import hearst_hyponyms
 
     return hearst_hyponyms(_iex_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 26: interval coalescing, Allen interval algebra,
+# process-mining trace variants.
+
+
+@query(
+    "interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT o_custkey % 100 AS key,
+             o_orderkey % 1000 AS start,
+             (o_orderkey % 1000) + (o_orderkey % 37) + 1 AS "end"
+      FROM orders),
+    m AS (SELECT key, start, "end",
+                 max("end") OVER (PARTITION BY key ORDER BY start, "end"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM iv),
+    n AS (SELECT key, start, "end",
+                 CASE WHEN prev_max IS NULL OR start > prev_max
+                      THEN 1 ELSE 0 END AS newi
+          FROM m),
+    i AS (SELECT key, start, "end",
+                 sum(newi) OVER (PARTITION BY key ORDER BY start, "end")
+                   AS island
+          FROM n)
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(min(start) AS BIGINT) AS start,
+           CAST(max("end") AS BIGINT) AS "end",
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM i GROUP BY key, island
+    """,
+)
+def q_interval_coalesce(spark, sf_dir):
+    """Interval union compaction (operators/temporal.
+    interval_coalesce): overlapping validity intervals per key merge
+    into maximal disjoint spans via running-max islands (nested
+    intervals handled, lag(end) formulations are wrong there)."""
+    from reden_spark.operators.temporal import interval_coalesce
+
+    orders = _read(spark, sf_dir, "orders")
+    iv = orders.select(
+        (F.col("o_custkey") % 100).cast("long").alias("key"),
+        (F.col("o_orderkey") % 1000).cast("long").alias("start"),
+        (
+            (F.col("o_orderkey") % 1000)
+            + (F.col("o_orderkey") % 37)
+            + 1
+        ).cast("long").alias("end"),
+    )
+    return interval_coalesce(iv)
+
+
+@query(
+    "allen_relations",
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS id,
+             o_orderkey % 500 AS s,
+             (o_orderkey % 500) + (o_custkey % 40) + 1 AS e
+      FROM orders WHERE o_orderkey % 30 = 0),
+    p AS (SELECT a.id AS a, b.id AS b
+          FROM iv a JOIN iv b
+          ON a.id % 97 = b.id % 97 AND a.id < b.id),
+    j AS (SELECT p.a, p.b, ia.s AS sa, ia.e AS ea, ib.s AS sb, ib.e AS eb
+          FROM p JOIN iv ia ON ia.id = p.a JOIN iv ib ON ib.id = p.b)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CASE WHEN sa = sb AND ea = eb THEN 'equal'
+                WHEN ea < sb THEN 'before'
+                WHEN eb < sa THEN 'after'
+                WHEN ea = sb THEN 'meets'
+                WHEN eb = sa THEN 'met_by'
+                WHEN sa = sb AND ea < eb THEN 'starts'
+                WHEN sa = sb AND ea > eb THEN 'started_by'
+                WHEN ea = eb AND sa > sb THEN 'finishes'
+                WHEN ea = eb AND sa < sb THEN 'finished_by'
+                WHEN sa > sb AND ea < eb THEN 'during'
+                WHEN sa < sb AND ea > eb THEN 'contains'
+                WHEN sa < sb AND ea < eb THEN 'overlaps'
+                ELSE 'overlapped_by' END AS relation
+    FROM j
+    """,
+)
+def q_allen_relations(spark, sf_dir):
+    """Allen interval algebra (operators/temporal.allen_relations):
+    all 13 temporal relations classified over bucketed order-interval
+    pairs — two id-keyed joins plus a CASE projection, nothing
+    quadratic."""
+    from reden_spark.operators.temporal import allen_relations
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 30 == 0
+    )
+    iv = orders.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        (F.col("o_orderkey") % 500).cast("long").alias("start"),
+        (
+            (F.col("o_orderkey") % 500) + (F.col("o_custkey") % 40) + 1
+        ).cast("long").alias("end"),
+    )
+    a = iv.select(F.col("id").alias("a"))
+    b = iv.select(F.col("id").alias("b"))
+    pairs = a.join(
+        b, (F.col("a") % 97 == F.col("b") % 97) & (F.col("a") < F.col("b"))
+    )
+    return allen_relations(iv, pairs)
+
+
+@query(
+    "process_variants",
+    """
+    WITH tr AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY ts, event_id)
+               AS variant
+      FROM events GROUP BY 1),
+    c AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+          FROM tr GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM tr),
+    r AS (SELECT variant, n_users,
+                 n_users * 1000000 // total AS pct_e6,
+                 row_number() OVER (ORDER BY n_users DESC, variant ASC)
+                   AS rn
+          FROM c, t)
+    SELECT variant, n_users, CAST(pct_e6 AS BIGINT) AS pct_e6
+    FROM r WHERE rn <= 50
+    """,
+)
+def q_process_variants(spark, sf_dir):
+    """Process-mining trace variants (operators/eventstats.
+    process_variants): top-50 exact user journeys (chronological
+    event-type paths, deterministic (ts, event_id) tie-break) with
+    user share in micro-units."""
+    from reden_spark.operators.eventstats import process_variants
+
+    return process_variants(_read(spark, sf_dir, "events"))

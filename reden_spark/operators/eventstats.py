@@ -928,3 +928,44 @@ def sax_symbols(
             f"CAST((rn - 1) * {int(alphabet)} div n_segs AS BIGINT)"
         ).alias("symbol"),
     )
+
+
+def process_variants(events: DataFrame, top_k: int = 50) -> DataFrame:
+    """(variant, n_users, pct_e6): process-mining trace variants —
+    each user's chronologically ordered event-type sequence joined
+    with ' > ', grouped and ranked by how many users share the exact
+    path (van der Aalst's variant log).  Ties in ts break on
+    event_id so the trace string is deterministic under any
+    partitioning.  ``pct_e6`` is the variant's share of all users in
+    integer micro-units.
+
+    One user-keyed exchange builds traces (sort_array over collected
+    (ts, event_id, type) structs — no per-user window chain), one
+    variant-keyed count, one broadcast of the single total row;
+    ``top_k`` bounds the output (deterministic (n desc, variant)
+    order), with the long tail summarized downstream if needed."""
+    traces = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("variant")
+    )
+    counts = traces.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    total = traces.agg(F.count("*").cast("long").alias("_total"))
+    w = Window.orderBy(F.desc("n_users"), F.asc("variant"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct_e6", F.expr("n_users * 1000000 div _total"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("variant", "n_users", "pct_e6")
+    )

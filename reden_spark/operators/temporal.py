@@ -179,3 +179,91 @@ def presence_lifespan(
         F.sum("run_len").cast("long").alias("n_present"),
         F.count("*").cast("long").alias("n_islands"),
     )
+
+
+def interval_coalesce(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """(key, start, end, n_merged): merge overlapping-or-touching
+    [start, end] intervals per key into maximal disjoint intervals —
+    the canonical temporal-KG compaction (validity intervals of a
+    triple asserted by many sources collapse to their union).
+
+    Gaps-and-islands with a RUNNING MAX (not lag): an interval starts
+    a new island only if its start exceeds the max end seen so far,
+    which handles nested intervals that a lag(end) formulation gets
+    wrong.  One window + one groupBy on (key, island) — a single
+    exchange on the key."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = intervals.withColumn(
+        "_prev_max", F.max(end_col).over(w)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev_max").isNull()
+            | (F.col(start_col) > F.col("_prev_max")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    grp = marked.withColumn("_island", F.sum("_new").over(w2))
+    return (
+        grp.groupBy(key_col, "_island")
+        .agg(
+            F.min(start_col).cast("long").alias("start"),
+            F.max(end_col).cast("long").alias("end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .drop("_island")
+    )
+
+
+def allen_relations(
+    intervals: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """(a, b, relation): Allen's (1983) interval algebra over
+    requested pairs — the 13 relations (before/after, meets/met_by,
+    overlaps/overlapped_by, starts/started_by, during/contains,
+    finishes/finished_by, equal), the vocabulary temporal-KG QA and
+    constraint checking speak.  ``intervals`` is (id, start, end);
+    ``pairs`` is (a, b).
+
+    Two hash joins on the id key + one CASE projection — nothing
+    quadratic; the caller chooses which pairs matter (candidate
+    pairs, co-occurring entities), this classifies them."""
+    ia = intervals.select(
+        F.col("id").alias("a"),
+        F.col("start").alias("sa"),
+        F.col("end").alias("ea"),
+    )
+    ib = intervals.select(
+        F.col("id").alias("b"),
+        F.col("start").alias("sb"),
+        F.col("end").alias("eb"),
+    )
+    j = pairs.join(ia, "a").join(ib, "b")
+    sa, ea, sb, eb = (F.col(c) for c in ("sa", "ea", "sb", "eb"))
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equal")
+        .when(ea < sb, "before")
+        .when(eb < sa, "after")
+        .when(ea == sb, "meets")
+        .when(eb == sa, "met_by")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb) & (ea > eb), "started_by")
+        .when((ea == eb) & (sa > sb), "finishes")
+        .when((ea == eb) & (sa < sb), "finished_by")
+        .when((sa > sb) & (ea < eb), "during")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when((sa < sb) & (ea < eb), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return j.select("a", "b", rel.alias("relation"))

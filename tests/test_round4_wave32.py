@@ -1,0 +1,90 @@
+"""Hand-traced interval coalescing, Allen algebra, trace variants."""
+
+from datetime import datetime
+
+from reden_spark.operators.eventstats import process_variants
+from reden_spark.operators.temporal import allen_relations, interval_coalesce
+
+
+def test_interval_coalesce_nested_and_touching(spark):
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,10] contains [2,3] (nested), touches [10,12],
+            # then gap, then [20,25]
+            (1, 0, 10), (1, 2, 3), (1, 10, 12), (1, 20, 25),
+            # key 2: disjoint singles
+            (2, 5, 6), (2, 8, 9),
+        ],
+        "key long, start long, end long",
+    )
+    out = {(r.key, r.start, r.end): r.n_merged
+           for r in interval_coalesce(iv).collect()}
+    assert out == {
+        (1, 0, 12): 3,     # nested + touching merge (lag(end) would split)
+        (1, 20, 25): 1,
+        (2, 5, 6): 1,
+        (2, 8, 9): 1,
+    }
+
+
+def test_allen_relations_all_cases(spark):
+    iv = spark.createDataFrame(
+        [
+            ("x", 0, 10),
+            ("eq", 0, 10), ("bef", 12, 15), ("meet", 10, 12),
+            ("start", 0, 5), ("fin", 4, 10), ("dur", 2, 8),
+            ("ovl", 5, 15),
+        ],
+        "id string, start long, end long",
+    )
+    pairs = spark.createDataFrame(
+        [("x", p) for p in
+         ["eq", "bef", "meet", "start", "fin", "dur", "ovl"]]
+        + [("bef", "x")],
+        "a string, b string",
+    )
+    out = {(r.a, r.b): r.relation
+           for r in allen_relations(iv, pairs).collect()}
+    assert out == {
+        ("x", "eq"): "equal",
+        ("x", "bef"): "before",
+        ("x", "meet"): "meets",
+        ("x", "start"): "started_by",   # x starts with and outlasts it
+        ("x", "fin"): "finished_by",
+        ("x", "dur"): "contains",
+        ("x", "ovl"): "overlaps",
+        ("bef", "x"): "after",
+    }
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_process_variants_exact(spark):
+    rows = [
+        (1, 10, _ts(0), "view"), (1, 11, _ts(1), "buy"),
+        (2, 20, _ts(0), "view"), (2, 21, _ts(1), "buy"),
+        (3, 30, _ts(0), "view"),
+        # user 4: same ts for both events — event_id breaks the tie
+        (4, 41, _ts(0), "view"), (4, 40, _ts(0), "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.variant: (r.n_users, r.pct_e6)
+           for r in process_variants(ev).collect()}
+    assert out == {
+        "view > buy": (2, 500000),
+        "view": (1, 250000),
+        "buy > view": (1, 250000),   # id 40 < 41 at the tied timestamp
+    }
+
+
+def test_process_variants_top_k(spark):
+    rows = [(u, u, _ts(0), f"t{u}") for u in range(10)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = process_variants(ev, top_k=3).collect()
+    assert [r.variant for r in out] == ["t0", "t1", "t2"]  # name tie-break
