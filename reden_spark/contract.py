@@ -17563,3 +17563,205 @@ def q_process_variants(spark, sf_dir):
     from reden_spark.operators.eventstats import process_variants
 
     return process_variants(_read(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 27: test-coverage mapping, stale-test detection,
+# predicate cardinality typing.
+
+
+_TESTMAP_FILES_SQL = """
+    SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+           'src/m_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+           'py' AS lang,
+           'def fn(): pass' AS content
+    FROM documents
+    UNION ALL
+    SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+           'tests/test_m_' || CAST(doc_id AS VARCHAR) || '.py',
+           'py',
+           'import m_' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'from m_' || CAST(doc_id + 17 AS VARCHAR)
+             || ' import thing' || chr(10)
+             || 'import m_' || CAST(doc_id * 3 AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def _testmap_files(spark, sf_dir):
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/m_"), s(d), F.lit(".py")).alias("path"),
+        F.lit("py").alias("lang"),
+        F.lit("def fn(): pass").alias("content"),
+    )
+    tests = docs.filter(d % 3 == 0).select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("tests/test_m_"), s(d), F.lit(".py")).alias("path"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("import m_"), s(d),
+            F.lit("\nfrom m_"), s(d + 17), F.lit(" import thing"),
+            F.lit("\nimport m_"), s(d * 3),
+        ).alias("content"),
+    )
+    return src.unionByName(tests)
+
+
+@query(
+    "test_coverage_map",
+    f"""
+    WITH files AS ({_TESTMAP_FILES_SQL}),
+    b AS (SELECT repo, path, content,
+                 regexp_extract(path, '([^/]+)$', 1) AS base
+          FROM files),
+    src AS (SELECT repo, path,
+                   regexp_replace(base, '\\.py$', '') AS module
+            FROM b
+            WHERE NOT starts_with(base, 'test_') AND path LIKE '%.py'),
+    t AS (SELECT repo, path AS test_path, content FROM b
+          WHERE starts_with(base, 'test_') AND path LIKE '%.py'),
+    ti AS (
+      SELECT DISTINCT repo, test_path,
+             unnest(regexp_extract_all(content,
+               '(^|\n)import ([A-Za-z_][A-Za-z0-9_]*)', 2)) AS module
+      FROM t
+      UNION
+      SELECT DISTINCT repo, test_path,
+             unnest(regexp_extract_all(content,
+               '(^|\n)from ([A-Za-z_][A-Za-z0-9_]*) import', 2))
+      FROM t),
+    pm AS (SELECT repo, module,
+                  CAST(count(DISTINCT test_path) AS BIGINT) AS n_tests
+           FROM ti GROUP BY 1, 2)
+    SELECT s.repo, s.path, s.module,
+           CAST(COALESCE(pm.n_tests, 0) AS BIGINT) AS n_tests
+    FROM src s LEFT JOIN pm ON pm.repo = s.repo AND pm.module = s.module
+    """,
+)
+def q_test_coverage_map(spark, sf_dir):
+    """Test-to-source coverage map (operators/code_surface.
+    test_coverage_map): per source module the count of same-repo test
+    files importing it; n_tests = 0 rows are the untested-file triage
+    list — a repo-hygiene mix feature over the input_hint schema."""
+    from reden_spark.operators.code_surface import test_coverage_map
+
+    return test_coverage_map(_testmap_files(spark, sf_dir))
+
+
+@query(
+    "stale_tests",
+    f"""
+    WITH files AS ({_TESTMAP_FILES_SQL}),
+    b AS (SELECT repo, path, content,
+                 regexp_extract(path, '([^/]+)$', 1) AS base
+          FROM files),
+    src AS (SELECT DISTINCT repo,
+                   regexp_replace(base, '\\.py$', '') AS module
+            FROM b
+            WHERE NOT starts_with(base, 'test_') AND path LIKE '%.py'),
+    t AS (SELECT repo, path AS test_path, content FROM b
+          WHERE starts_with(base, 'test_') AND path LIKE '%.py'),
+    ti AS (
+      SELECT DISTINCT repo, test_path,
+             unnest(regexp_extract_all(content,
+               '(^|\n)import ([A-Za-z_][A-Za-z0-9_]*)', 2)) AS module
+      FROM t
+      UNION
+      SELECT DISTINCT repo, test_path,
+             unnest(regexp_extract_all(content,
+               '(^|\n)from ([A-Za-z_][A-Za-z0-9_]*) import', 2))
+      FROM t)
+    SELECT ti.repo, ti.test_path, ti.module
+    FROM ti WHERE NOT EXISTS (
+      SELECT 1 FROM src WHERE src.repo = ti.repo
+        AND src.module = ti.module)
+    """,
+)
+def q_stale_tests(spark, sf_dir):
+    """Stale test imports (operators/code_surface.stale_tests): test
+    files importing modules no source file in the repo provides —
+    deleted-module leftovers, one anti-join on the (repo, module)
+    surface."""
+    from reden_spark.operators.code_surface import stale_tests
+
+    return stale_tests(_testmap_files(spark, sf_dir))
+
+
+_CARD_TRIPLES_SQL = """
+    SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS subj, 'o2c' AS pred,
+           'c' || CAST(o_custkey AS VARCHAR) AS obj FROM orders
+    UNION ALL
+    SELECT 'c' || CAST(o_custkey AS VARCHAR), 'c2o',
+           'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'okey',
+           'k' || CAST(o_orderkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o' || CAST(o_orderkey % 100 AS VARCHAR), 'tag',
+           't' || CAST(o_custkey % 50 AS VARCHAR) FROM orders
+"""
+
+
+@query(
+    "pred_cardinality_class",
+    f"""
+    WITH t AS ({_CARD_TRIPLES_SQL}),
+    ps AS (SELECT pred, subj, count(DISTINCT obj) AS n
+           FROM t GROUP BY 1, 2),
+    mo AS (SELECT pred, CAST(max(n) AS BIGINT) AS max_obj_per_subj
+           FROM ps GROUP BY 1),
+    po AS (SELECT pred, obj, count(DISTINCT subj) AS n
+           FROM t GROUP BY 1, 2),
+    ms AS (SELECT pred, CAST(max(n) AS BIGINT) AS max_subj_per_obj
+           FROM po GROUP BY 1)
+    SELECT mo.pred, mo.max_obj_per_subj, ms.max_subj_per_obj,
+           CASE WHEN mo.max_obj_per_subj <= 1
+                     AND ms.max_subj_per_obj <= 1 THEN '1:1'
+                WHEN mo.max_obj_per_subj <= 1 THEN 'N:1'
+                WHEN ms.max_subj_per_obj <= 1 THEN '1:N'
+                ELSE 'M:N' END AS card_class
+    FROM mo JOIN ms ON ms.pred = mo.pred
+    """,
+)
+def q_pred_cardinality_class(spark, sf_dir):
+    """Predicate cardinality typing (operators/kg_quality.
+    pred_cardinality_class): 1:1 / 1:N / N:1 / M:N from both-direction
+    max fan-outs — the TransE-'bern' sampling input; o2c is N:1, c2o
+    1:N, okey 1:1, tag M:N."""
+    from reden_spark.operators.kg_quality import pred_cardinality_class
+
+    orders = _read(spark, sf_dir, "orders")
+    so = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    sc = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    triples = (
+        orders.select(so.alias("subj"), F.lit("o2c").alias("pred"),
+                      sc.alias("obj"))
+        .unionByName(
+            orders.select(sc.alias("subj"), F.lit("c2o").alias("pred"),
+                          so.alias("obj"))
+        )
+        .unionByName(
+            orders.select(
+                so.alias("subj"), F.lit("okey").alias("pred"),
+                F.concat(
+                    F.lit("k"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(
+                    F.lit("o"), (F.col("o_orderkey") % 100).cast("string")
+                ).alias("subj"),
+                F.lit("tag").alias("pred"),
+                F.concat(
+                    F.lit("t"), (F.col("o_custkey") % 50).cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    return pred_cardinality_class(triples)

@@ -188,3 +188,94 @@ def semver_bump(churn: DataFrame) -> DataFrame:
         .otherwise(F.lit("patch"))
         .alias("bump"),
     )
+
+
+def test_coverage_map(files: DataFrame) -> DataFrame:
+    """(repo, path, module, n_tests): per SOURCE file, how many test
+    files in the same repo import its module — the repo-hygiene mix
+    feature (untested-code fraction) and the triage list (n_tests = 0
+    rows ARE the untested files).  A test file is any ``test_*.py``
+    basename; a module is a source file's basename sans extension;
+    imports are the ``import X`` / ``from X import`` surface.
+
+    Scale shape: regexp over content happens BEFORE any shuffle and
+    only test files' contents are scanned; the join shuffles just the
+    (repo, module) surface — never file bodies."""
+    base = F.regexp_extract(F.col("path"), "([^/]+)$", 1)
+    src = files.filter(
+        ~base.startswith("test_") & F.col("path").endswith(".py")
+    ).select(
+        "repo", "path",
+        F.regexp_replace(base, "\\.py$", "").alias("module"),
+    )
+    tests = files.filter(
+        base.startswith("test_") & F.col("path").endswith(".py")
+    )
+    timports = (
+        tests.select(
+            "repo",
+            F.col("path").alias("test_path"),
+            F.explode(
+                F.array_union(
+                    F.regexp_extract_all(
+                        F.col("content"),
+                        F.lit(r"(^|\n)import ([A-Za-z_][A-Za-z0-9_]*)"),
+                        2,
+                    ),
+                    F.regexp_extract_all(
+                        F.col("content"),
+                        F.lit(r"(^|\n)from ([A-Za-z_][A-Za-z0-9_]*) import"),
+                        2,
+                    ),
+                )
+            ).alias("module"),
+        )
+        .distinct()
+    )
+    per_mod = timports.groupBy("repo", "module").agg(
+        F.count("*").cast("long").alias("n_tests")
+    )
+    return src.join(per_mod, ["repo", "module"], "left").select(
+        "repo",
+        "path",
+        "module",
+        F.coalesce(F.col("n_tests"), F.lit(0)).cast("long").alias("n_tests"),
+    )
+
+
+def stale_tests(files: DataFrame) -> DataFrame:
+    """(repo, test_path, module): imports in test files that resolve
+    to NO source module in the repo — deleted-module leftovers, the
+    dual of test_coverage_map's n_tests = 0 rows.  Same extraction,
+    one anti-join on the (repo, module) surface."""
+    base = F.regexp_extract(F.col("path"), "([^/]+)$", 1)
+    src_mods = files.filter(
+        ~base.startswith("test_") & F.col("path").endswith(".py")
+    ).select("repo", F.regexp_replace(base, "\\.py$", "").alias("module"))
+    tests = files.filter(
+        base.startswith("test_") & F.col("path").endswith(".py")
+    )
+    timports = (
+        tests.select(
+            "repo",
+            F.col("path").alias("test_path"),
+            F.explode(
+                F.array_union(
+                    F.regexp_extract_all(
+                        F.col("content"),
+                        F.lit(r"(^|\n)import ([A-Za-z_][A-Za-z0-9_]*)"),
+                        2,
+                    ),
+                    F.regexp_extract_all(
+                        F.col("content"),
+                        F.lit(r"(^|\n)from ([A-Za-z_][A-Za-z0-9_]*) import"),
+                        2,
+                    ),
+                )
+            ).alias("module"),
+        )
+        .distinct()
+    )
+    return timports.join(
+        src_mods.distinct(), ["repo", "module"], "left_anti"
+    ).select("repo", "test_path", "module")

@@ -808,3 +808,42 @@ def namespace_profile(triples: DataFrame) -> DataFrame:
             F.countDistinct("iri").cast("long").alias("n_iris"),
         )
     )
+
+
+def pred_cardinality_class(triples: DataFrame) -> DataFrame:
+    """(pred, max_obj_per_subj, max_subj_per_obj, card_class): classify
+    every predicate as 1:1 / 1:N / N:1 / M:N from its observed maximum
+    fan-outs in both directions — the typing that drives KG-embedding
+    negative sampling (the TransE 'bern' trick corrupts the many-side)
+    and pairs with pred_profile's functional test (1:1 and 1:N are
+    exactly the functional predicates).
+
+    Two (pred, subj)/(pred, obj) exchanges, each map-side combinable,
+    then a pred-sized join — never a subject×object product."""
+    per_subj = (
+        triples.groupBy("pred", "subj")
+        .agg(F.countDistinct("obj").alias("n"))
+        .groupBy("pred")
+        .agg(F.max("n").cast("long").alias("max_obj_per_subj"))
+    )
+    per_obj = (
+        triples.groupBy("pred", "obj")
+        .agg(F.countDistinct("subj").alias("n"))
+        .groupBy("pred")
+        .agg(F.max("n").cast("long").alias("max_subj_per_obj"))
+    )
+    j = per_subj.join(per_obj, "pred")
+    cls = (
+        F.when(
+            (F.col("max_obj_per_subj") <= 1)
+            & (F.col("max_subj_per_obj") <= 1),
+            "1:1",
+        )
+        .when(F.col("max_obj_per_subj") <= 1, "N:1")
+        .when(F.col("max_subj_per_obj") <= 1, "1:N")
+        .otherwise("M:N")
+    )
+    return j.select(
+        "pred", "max_obj_per_subj", "max_subj_per_obj",
+        cls.alias("card_class"),
+    )

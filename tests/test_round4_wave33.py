@@ -1,0 +1,58 @@
+"""Hand-traced test-coverage map, stale tests, predicate cardinality."""
+
+from reden_spark.operators.code_surface import stale_tests, test_coverage_map
+from reden_spark.operators.kg_quality import pred_cardinality_class
+
+
+def _files(spark):
+    return spark.createDataFrame(
+        [
+            ("r1", "src/a.py", "py", "def f(): pass"),
+            ("r1", "src/b.py", "py", "def g(): pass"),
+            ("r1", "tests/test_a.py", "py",
+             "import a\nfrom a import f\nimport gone"),
+            ("r1", "tests/test_all.py", "py", "import a\nimport b"),
+            # same module name in another repo: must not cross-count
+            ("r2", "src/a.py", "py", "def f(): pass"),
+            ("r2", "docs/readme.md", "md", "import a"),  # not .py: ignored
+        ],
+        "repo string, path string, lang string, content string",
+    )
+
+
+def test_test_coverage_map_exact(spark):
+    out = {(r.repo, r.module): r.n_tests
+           for r in test_coverage_map(_files(spark)).collect()}
+    # a: two tests (test_a dedups its double import), b: one, r2/a: zero
+    assert out == {("r1", "a"): 2, ("r1", "b"): 1, ("r2", "a"): 0}
+
+
+def test_stale_tests_exact(spark):
+    rows = {(r.repo, r.test_path, r.module)
+            for r in stale_tests(_files(spark)).collect()}
+    assert rows == {("r1", "tests/test_a.py", "gone")}
+
+
+def test_pred_cardinality_class_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            # one-to-one
+            ("s1", "id", "v1"), ("s2", "id", "v2"),
+            # 1:N (subject fans out, objects unique)
+            ("s1", "tags", "t1"), ("s1", "tags", "t2"),
+            # N:1 (each subject one object, object shared)
+            ("s1", "country", "fr"), ("s2", "country", "fr"),
+            # M:N
+            ("s1", "knows", "s2"), ("s1", "knows", "s3"),
+            ("s2", "knows", "s2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.pred: (r.max_obj_per_subj, r.max_subj_per_obj, r.card_class)
+           for r in pred_cardinality_class(triples).collect()}
+    assert out == {
+        "id": (1, 1, "1:1"),
+        "tags": (2, 1, "1:N"),
+        "country": (1, 2, "N:1"),
+        "knows": (2, 2, "M:N"),
+    }
