@@ -17644,12 +17644,12 @@ def _testmap_files(spark, sf_dir):
 )
 def q_test_coverage_map(spark, sf_dir):
     """Test-to-source coverage map (operators/code_surface.
-    test_coverage_map): per source module the count of same-repo test
+    module_test_coverage): per source module the count of same-repo test
     files importing it; n_tests = 0 rows are the untested-file triage
     list — a repo-hygiene mix feature over the input_hint schema."""
-    from reden_spark.operators.code_surface import test_coverage_map
+    from reden_spark.operators.code_surface import module_test_coverage
 
-    return test_coverage_map(_testmap_files(spark, sf_dir))
+    return module_test_coverage(_testmap_files(spark, sf_dir))
 
 
 @query(

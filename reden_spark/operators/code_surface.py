@@ -190,7 +190,7 @@ def semver_bump(churn: DataFrame) -> DataFrame:
     )
 
 
-def test_coverage_map(files: DataFrame) -> DataFrame:
+def module_test_coverage(files: DataFrame) -> DataFrame:
     """(repo, path, module, n_tests): per SOURCE file, how many test
     files in the same repo import its module — the repo-hygiene mix
     feature (untested-code fraction) and the triage list (n_tests = 0

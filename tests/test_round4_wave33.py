@@ -1,6 +1,6 @@
 """Hand-traced test-coverage map, stale tests, predicate cardinality."""
 
-from reden_spark.operators.code_surface import stale_tests, test_coverage_map
+from reden_spark.operators.code_surface import module_test_coverage, stale_tests
 from reden_spark.operators.kg_quality import pred_cardinality_class
 
 
@@ -22,7 +22,7 @@ def _files(spark):
 
 def test_test_coverage_map_exact(spark):
     out = {(r.repo, r.module): r.n_tests
-           for r in test_coverage_map(_files(spark)).collect()}
+           for r in module_test_coverage(_files(spark)).collect()}
     # a: two tests (test_a dedups its double import), b: one, r2/a: zero
     assert out == {("r1", "a"): 2, ("r1", "b"): 1, ("r2", "a"): 0}
 
