@@ -17765,3 +17765,215 @@ def q_pred_cardinality_class(spark, sf_dir):
         )
     )
     return pred_cardinality_class(triples)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 28: temporal reachability, Brier decomposition,
+# chat-format lint.
+
+
+_TREACH_ROUNDS = 4
+
+
+def _treach_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    te AS MATERIALIZED (
+      SELECT src, dst, (src * 7 + dst) % 100 AS ts FROM base),
+    s0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS arrival FROM (
+        SELECT DISTINCT src AS node FROM te
+        UNION SELECT dst FROM te) WHERE node % 50 = 0)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    rx{i} AS (
+      SELECT e.dst AS node, e.ts AS arrival
+      FROM s{i - 1} p JOIN te e ON e.src = p.node
+      WHERE e.ts >= p.arrival),
+    s{i} AS MATERIALIZED (
+      SELECT node, CAST(min(arrival) AS BIGINT) AS arrival FROM (
+        SELECT node, arrival FROM s{i - 1}
+        UNION ALL SELECT node, arrival FROM rx{i}) GROUP BY 1)"""
+        )
+    parts.append(f"\n    SELECT node, arrival FROM s{rounds}")
+    return "".join(parts)
+
+
+@query("temporal_reachability", _treach_oracle_sql(_TREACH_ROUNDS))
+def q_temporal_reachability(spark, sf_dir):
+    """Time-respecting reachability (operators/paths.
+    temporal_reachability): earliest arrival from the seed set where a
+    journey may only continue on edges timestamped ≥ its arrival at
+    the source — exact for journeys of ≤ 4 edges; one src-key join +
+    one node-key min per round."""
+    from reden_spark.operators.paths import temporal_reachability
+
+    edges = _kcore_edges(spark, sf_dir).withColumn(
+        "ts", ((F.col("src") * 7 + F.col("dst")) % 100).cast("long")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+        .withColumn("t0", F.lit(0).cast("long"))
+    )
+    return temporal_reachability(edges, seeds, rounds=_TREACH_ROUNDS)
+
+
+_BRIER_SCORED_SQL = """
+    SELECT o_orderkey AS id,
+           (o_orderkey % 1001) * 1000 AS p_e6,
+           CASE WHEN (o_orderkey * 31) % 1000
+                     < (o_orderkey % 1001) THEN 1 ELSE 0 END AS label
+    FROM orders
+"""
+
+
+@query(
+    "brier_decomposition",
+    f"""
+    WITH s AS ({_BRIER_SCORED_SQL}),
+    b AS (SELECT p_e6 // 100000 AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_k,
+                 CAST(sum(p_e6) AS BIGINT) AS sum_p,
+                 CAST(sum(label) AS BIGINT) AS n_pos
+          FROM s GROUP BY 1),
+    t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                 CAST(sum(n_pos) AS BIGINT) AS pos FROM b),
+    terms AS (
+      SELECT n_k,
+             n_k * (sum_p // n_k - n_pos * 1000000 // n_k)
+                 * (sum_p // n_k - n_pos * 1000000 // n_k) AS rel_term,
+             n_k * (n_pos * 1000000 // n_k - pos * 1000000 // n)
+                 * (n_pos * 1000000 // n_k - pos * 1000000 // n)
+               AS res_term
+      FROM b, t),
+    agg AS (SELECT CAST(sum(rel_term) AS BIGINT) AS sum_rel,
+                   CAST(sum(res_term) AS BIGINT) AS sum_res FROM terms)
+    SELECT t.n,
+           CAST(sum_rel // t.n AS BIGINT) AS rel_e12,
+           CAST(sum_res // t.n AS BIGINT) AS res_e12,
+           CAST((pos * 1000000 // t.n)
+                * (1000000 - pos * 1000000 // t.n) AS BIGINT) AS unc_e12,
+           CAST(sum_rel // t.n - sum_res // t.n
+                + (pos * 1000000 // t.n)
+                  * (1000000 - pos * 1000000 // t.n) AS BIGINT)
+             AS brier_e12
+    FROM agg, t
+    """,
+)
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition (operators/model_eval.brier_decomposition):
+    reliability / resolution / uncertainty in exact pico-units over
+    100k-wide probability bins of a synthetic near-calibrated scorer —
+    brier = rel − res + unc, bit-identical integer arithmetic."""
+    from reden_spark.operators.model_eval import brier_decomposition
+
+    orders = _read(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 1001) * 1000).cast("long").alias("p_e6"),
+        F.when(
+            (F.col("o_orderkey") * 31) % 1000 < F.col("o_orderkey") % 1001,
+            1,
+        ).otherwise(0).cast("long").alias("label"),
+    )
+    return brier_decomposition(scored)
+
+
+_CHAT_MSGS_SQL = """
+    WITH r AS (
+      SELECT o_orderkey % 300 AS conv_id,
+             row_number() OVER (PARTITION BY o_orderkey % 300
+                                ORDER BY o_orderkey) - 1 AS turn,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 9 < 4)
+    SELECT conv_id, turn,
+           CASE WHEN turn = 0 THEN
+                  CASE WHEN conv_id % 5 = 0 THEN 'assistant'
+                       WHEN conv_id % 3 = 0 THEN 'system'
+                       ELSE 'user' END
+                WHEN conv_id % 7 = 0 AND turn = 2 THEN 'system'
+                WHEN turn % 2 = 1 THEN 'assistant'
+                ELSE 'user' END AS role,
+           CASE WHEN conv_id % 11 = 0 AND turn = 1 THEN '  '
+                ELSE 'm' || CAST(turn AS VARCHAR) END AS content
+    FROM r
+"""
+
+
+@query(
+    "chat_format_lint",
+    f"""
+    WITH m AS ({_CHAT_MSGS_SQL}),
+    lg AS (SELECT conv_id, turn, role, content,
+                  lag(role) OVER (PARTITION BY conv_id ORDER BY turn)
+                    AS prev_role,
+                  max(turn) OVER (PARTITION BY conv_id) AS last_turn
+           FROM m)
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(max(CASE WHEN turn = 0
+                         AND role IN ('system', 'user')
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS first_ok,
+           sum(CASE WHEN prev_role IS NOT NULL
+                    AND (role = prev_role OR role = 'system')
+                    THEN 1 ELSE 0 END) = 0 AS alternates_ok,
+           sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) = 0
+             AS nonempty_ok,
+           CAST(max(CASE WHEN turn = last_turn AND role = 'assistant'
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS ends_ok,
+           (CAST(max(CASE WHEN turn = 0 AND role IN ('system', 'user')
+                          THEN 1 ELSE 0 END) AS BOOLEAN)
+            AND sum(CASE WHEN prev_role IS NOT NULL
+                         AND (role = prev_role OR role = 'system')
+                         THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) = 0
+            AND CAST(max(CASE WHEN turn = last_turn
+                              AND role = 'assistant'
+                              THEN 1 ELSE 0 END) AS BOOLEAN)) AS valid
+    FROM lg GROUP BY conv_id
+    """,
+)
+def q_chat_format_lint(spark, sf_dir):
+    """Chat-format lint (operators/corpus_prep.chat_format_lint): SFT
+    conversation structure checks (first role, no consecutive repeats,
+    system only leads, non-empty content, assistant-final) over a
+    planted conversation log with every defect class represented."""
+    from reden_spark.operators.corpus_prep import chat_format_lint
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 9 < 4
+    )
+    conv = (F.col("o_orderkey") % 300).alias("conv_id")
+    w = Window.partitionBy(F.col("o_orderkey") % 300).orderBy("o_orderkey")
+    r = orders.select(
+        conv, (F.row_number().over(w) - 1).cast("long").alias("turn")
+    )
+    role = (
+        F.when(
+            F.col("turn") == 0,
+            F.when(F.col("conv_id") % 5 == 0, "assistant")
+            .when(F.col("conv_id") % 3 == 0, "system")
+            .otherwise("user"),
+        )
+        .when(
+            (F.col("conv_id") % 7 == 0) & (F.col("turn") == 2), "system"
+        )
+        .when(F.col("turn") % 2 == 1, "assistant")
+        .otherwise("user")
+    )
+    content = F.when(
+        (F.col("conv_id") % 11 == 0) & (F.col("turn") == 1), "  "
+    ).otherwise(F.concat(F.lit("m"), F.col("turn").cast("string")))
+    msgs = r.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        "turn",
+        role.alias("role"),
+        content.alias("content"),
+    )
+    return chat_format_lint(msgs)

@@ -1338,3 +1338,65 @@ def effective_sample_size(
             "CAST(sum_w * sum_w * 1000000 div (sum_w2 * n) AS BIGINT)"
         ).alias("utilization_e6"),
     )
+
+
+def chat_format_lint(messages: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, first_ok, alternates_ok, nonempty_ok,
+    ends_ok, valid): structural lint of chat-format training
+    conversations — first turn is system or user, no role repeats
+    consecutively, system never reappears after the opening turn, no
+    content is empty/whitespace, and the trace ends on assistant.
+    Conversations failing any check are the rows an SFT pipeline must
+    quarantine BEFORE templating (a duplicated role silently shifts
+    every subsequent loss mask).  ``messages`` is (conv_id, turn,
+    role, content) with turn dense from 0.
+
+    One conversation-keyed window (lag role) + one groupBy — a single
+    exchange on conv_id; all checks fold into boolean aggregates."""
+    w = Window.partitionBy("conv_id").orderBy("turn")
+    lagged = messages.select(
+        "conv_id",
+        "turn",
+        "role",
+        "content",
+        F.lag("role").over(w).alias("prev_role"),
+        F.max("turn").over(
+            Window.partitionBy("conv_id")
+        ).alias("last_turn"),
+    )
+    alt_violation = (
+        # a non-leading turn repeats its predecessor, or system
+        # appears after turn 0
+        (F.col("prev_role").isNotNull())
+        & (
+            (F.col("role") == F.col("prev_role"))
+            | (F.col("role") == "system")
+        )
+    )
+    return lagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.max(
+            F.when(
+                (F.col("turn") == 0)
+                & F.col("role").isin("system", "user"),
+                1,
+            ).otherwise(0)
+        ).cast("boolean").alias("first_ok"),
+        (F.sum(alt_violation.cast("long")) == 0).alias("alternates_ok"),
+        (
+            F.sum((F.trim(F.col("content")) == "").cast("long")) == 0
+        ).alias("nonempty_ok"),
+        F.max(
+            F.when(
+                (F.col("turn") == F.col("last_turn"))
+                & (F.col("role") == "assistant"),
+                1,
+            ).otherwise(0)
+        ).cast("boolean").alias("ends_ok"),
+    ).withColumn(
+        "valid",
+        F.col("first_ok")
+        & F.col("alternates_ok")
+        & F.col("nonempty_ok")
+        & F.col("ends_ok"),
+    )

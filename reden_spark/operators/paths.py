@@ -200,3 +200,40 @@ def critical_path(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             new = new.localCheckpoint(eager=True)
         dist = new
     return dist
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 8,
+) -> DataFrame:
+    """(node, arrival): earliest TIME-RESPECTING arrival from any seed
+    — a path may only continue along an edge whose timestamp is ≥ the
+    arrival time at its source (Holme & Saramäki 2012), the reachability
+    that matters for provenance ("could this fact have propagated
+    here?") and diffusion, where plain reachability over-claims.
+    ``edges`` is (src, dst, ts); ``seeds`` is (node, t0); integer
+    timestamps keep both engines bit-identical.  Exact for journeys of
+    ≤ ``rounds`` edges.
+
+    Scale shape: synchronous label-correction like sssp_weighted —
+    one src-keyed join + one node-keyed min per round, frontier
+    materialized per round; no path enumeration, state is one row per
+    reached node."""
+    arr = seeds.select(
+        "node", F.col("t0").cast("long").alias("arrival")
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
+    for _ in range(rounds):
+        relaxed = (
+            arr.join(e, arr["node"] == e["src"])
+            .filter(F.col("ts") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("ts").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").cast("long").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arr

@@ -1,0 +1,69 @@
+"""Hand-traced temporal reachability, Brier decomposition, chat lint."""
+
+from reden_spark.operators.corpus_prep import chat_format_lint
+from reden_spark.operators.model_eval import brier_decomposition
+from reden_spark.operators.paths import temporal_reachability
+
+
+def test_temporal_reachability_respects_time(spark):
+    # a -(t=5)-> b -(t=3)-> c : c NOT reachable (3 < arrival 5 at b)
+    # a -(t=5)-> b -(t=7)-> c : c reachable at 7
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3), ("b", "c", 7), ("c", "d", 1)],
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("a", 0)], "node string, t0 long")
+    out = {r.node: r.arrival
+           for r in temporal_reachability(edges, seeds, rounds=4).collect()}
+    # d unreachable: the only edge into d is at t=1 < arrival 7 at c
+    assert out == {"a": 0, "b": 5, "c": 7}
+
+
+def test_temporal_reachability_seed_time_gates(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 5)], "src string, dst string, ts long"
+    )
+    seeds = spark.createDataFrame([("a", 6)], "node string, t0 long")
+    out = {r.node: r.arrival
+           for r in temporal_reachability(edges, seeds, rounds=2).collect()}
+    assert out == {"a": 6}   # edge at t=5 departed before the seed time
+
+
+def test_brier_decomposition_perfect_and_uniform(spark):
+    # perfectly calibrated, fully resolved scorer: p=1e6 on positives,
+    # p=0 on negatives, half each → rel=0, res=unc, brier=0
+    rows = [(i, 1000000, 1) for i in range(4)] + [
+        (i + 4, 0, 0) for i in range(4)
+    ]
+    scored = spark.createDataFrame(rows, "id long, p_e6 long, label long")
+    r = brier_decomposition(scored).collect()[0]
+    assert r.n == 8
+    assert r.rel_e12 == 0
+    assert r.unc_e12 == 500000 * 500000
+    assert r.res_e12 == r.unc_e12
+    assert r.brier_e12 == 0
+
+
+def test_chat_format_lint_flags(spark):
+    rows = [
+        # conv 1: valid (system, user, assistant)
+        (1, 0, "system", "s"), (1, 1, "user", "u"), (1, 2, "assistant", "a"),
+        # conv 2: starts with assistant, ends on user
+        (2, 0, "assistant", "a"), (2, 1, "user", "u"),
+        # conv 3: consecutive user turns
+        (3, 0, "user", "u"), (3, 1, "user", "u2"), (3, 2, "assistant", "a"),
+        # conv 4: empty content
+        (4, 0, "user", "   "), (4, 1, "assistant", "a"),
+        # conv 5: system reappears mid-conversation
+        (5, 0, "user", "u"), (5, 1, "system", "s"), (5, 2, "assistant", "a"),
+    ]
+    msgs = spark.createDataFrame(
+        rows, "conv_id long, turn long, role string, content string"
+    )
+    out = {r.conv_id: r for r in chat_format_lint(msgs).collect()}
+    assert out[1].valid
+    assert not out[2].first_ok and not out[2].ends_ok
+    assert not out[3].alternates_ok and out[3].first_ok
+    assert not out[4].nonempty_ok
+    assert not out[5].alternates_ok
+    assert all(not out[c].valid for c in (2, 3, 4, 5))
