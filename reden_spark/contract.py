@@ -17977,3 +17977,167 @@ def q_chat_format_lint(spark, sf_dir):
         content.alias("content"),
     )
     return chat_format_lint(msgs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 29: attribute assortativity, exact effective diameter,
+# per-function cyclomatic complexity.
+
+
+@query(
+    "attribute_assortativity",
+    f"""
+    WITH aab AS ({_KCORE_EDGES_SQL}),
+    aasym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM aab UNION ALL SELECT dst, src FROM aab)
+      WHERE src <> dst),
+    ends AS (
+      SELECT 'a' || CAST(src % 7 AS VARCHAR) AS ax,
+             'a' || CAST(dst % 7 AS VARCHAR) AS ay
+      FROM aasym),
+    rowm AS (SELECT ax AS attr, CAST(count(*) AS BIGINT) AS row_n
+             FROM ends GROUP BY 1),
+    colm AS (SELECT ay AS attr, CAST(count(*) AS BIGINT) AS col_n
+             FROM ends GROUP BY 1),
+    marg AS (SELECT CAST(sum(COALESCE(row_n, 0) * COALESCE(col_n, 0))
+                         AS BIGINT) AS sum_rc
+             FROM rowm FULL OUTER JOIN colm USING (attr)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ax = ay THEN 1 ELSE 0 END)
+                        AS BIGINT) AS matched
+            FROM ends)
+    SELECT n, matched, sum_rc,
+           CASE WHEN n * n <> sum_rc
+                THEN round((matched * n - sum_rc)
+                           / CAST(n * n - sum_rc AS DOUBLE), 9)
+           END AS r
+    FROM tot, marg
+    """,
+)
+def q_attribute_assortativity(spark, sf_dir):
+    """Categorical assortativity (operators/graphstats.
+    attribute_assortativity, Newman 2003): do %7-class nodes link
+    within class?  r from three exact BIGINT statistics
+    (M·n − Σrc)/(n² − Σrc), one rounded double at the end."""
+    from reden_spark.operators.graphstats import attribute_assortativity
+
+    edges = _kcore_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    attrs = nodes.select(
+        "node",
+        F.concat(F.lit("a"), (F.col("node") % 7).cast("string")).alias(
+            "attr"
+        ),
+    )
+    return attribute_assortativity(edges, attrs)
+
+
+_EFFD_ROUNDS = 3
+
+
+def _effd_oracle_sql(rounds: int, coverage_pct: int = 90) -> str:
+    parts = [
+        f"WITH edbase AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    edsym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edbase UNION ALL SELECT dst, src FROM edbase)
+      WHERE src <> dst),
+    r1 AS MATERIALIZED (SELECT src, dst FROM edsym)""",
+    ]
+    for i in range(2, rounds + 1):
+        parts.append(
+            f""",
+    r{i} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM r{i - 1}
+        UNION ALL
+        SELECT r.src, s.dst FROM r{i - 1} r JOIN edsym s ON r.dst = s.src
+        WHERE r.src <> s.dst))"""
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS h,"
+        f" CAST((SELECT count(*) FROM r{i}) AS BIGINT) AS n_pairs"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+    curve AS ({counts}),
+    fin AS (SELECT max(n_pairs) AS _fin FROM curve),
+    marked AS (
+      SELECT h, n_pairs,
+             CAST(n_pairs * 1000000 // _fin AS BIGINT) AS coverage_e6,
+             CASE WHEN n_pairs * 100 >= _fin * {coverage_pct}
+                  THEN 1 ELSE 0 END AS hit
+      FROM curve, fin)
+    SELECT h, n_pairs, coverage_e6,
+           (hit = 1 AND sum(hit) OVER (ORDER BY h) = 1) AS at_coverage
+    FROM marked"""
+    )
+    return "".join(parts)
+
+
+@query("effective_diameter", _effd_oracle_sql(_EFFD_ROUNDS))
+def q_effective_diameter(spark, sf_dir):
+    """Exact hop-coverage curve (operators/graphstats.
+    effective_diameter): distinct reachable pairs within h hops,
+    coverage vs the 3-hop horizon, and the smallest h reaching 90% —
+    the exact small-graph companion anf_growth is validated against."""
+    from reden_spark.operators.graphstats import effective_diameter
+
+    return effective_diameter(
+        _kcore_edges(spark, sf_dir), rounds=_EFFD_ROUNDS
+    )
+
+
+@query(
+    "function_complexity",
+    f"""
+    WITH files AS ({_CODE_FILES_SQL}),
+    lines AS (
+      SELECT repo, path,
+             generate_subscripts(string_split(content, chr(10)), 1) - 1
+               AS line_no,
+             unnest(string_split(content, chr(10))) AS line
+      FROM files),
+    marked AS (
+      SELECT repo, path, line_no, line,
+             CASE WHEN regexp_matches(line, '^\\s*def ')
+                  THEN 1 ELSE 0 END AS is_def
+      FROM lines),
+    isl AS (
+      SELECT repo, path, line_no, line, is_def,
+             sum(is_def) OVER (PARTITION BY repo, path
+                               ORDER BY line_no) AS island
+      FROM marked),
+    seg AS (SELECT * FROM isl WHERE island >= 1),
+    per AS (
+      SELECT repo, path, island, line_no,
+             CASE WHEN is_def = 1
+                  THEN regexp_extract(line,
+                         'def\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+             END AS fname,
+             CAST(len(regexp_extract_all(line,
+               '^\\s*(if|elif|for|while|except|case)\\b|\\band\\b|\\bor\\b'))
+               AS BIGINT) AS n_dec
+      FROM seg)
+    SELECT repo, path, max(fname) AS func,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(n_dec) AS BIGINT) AS n_decisions,
+           CAST(sum(n_dec) + 1 AS BIGINT) AS complexity
+    FROM per GROUP BY repo, path, island
+    """,
+)
+def q_function_complexity(spark, sf_dir):
+    """Per-function cyclomatic complexity (operators/code_surface.
+    function_complexity, McCabe): def-line islands over exploded
+    lines, leading-keyword + and/or decision counts per line —
+    RE2-safe, the per-file number branch_density hides."""
+    from reden_spark.operators.code_surface import function_complexity
+
+    return function_complexity(_code_files(spark, sf_dir))

@@ -279,3 +279,67 @@ def stale_tests(files: DataFrame) -> DataFrame:
     return timports.join(
         src_mods.distinct(), ["repo", "module"], "left_anti"
     ).select("repo", "test_path", "module")
+
+
+_DECISION_RE = r"^\s*(if|elif|for|while|except|case)\b|\band\b|\bor\b"
+
+
+def function_complexity(files: DataFrame) -> DataFrame:
+    """(repo, path, func, n_lines, n_decisions, complexity): per-FUNCTION
+    cyclomatic complexity (McCabe 1976, the decision-count + 1 form)
+    for Python-shaped sources — the granularity branch_density's
+    per-file number hides: one 300-line monster inflates a whole file,
+    this finds it.  A function segment runs from its ``def`` line to
+    the next ``def`` line (nested defs open their own segment —
+    documented deterministic approximation); lines before the first
+    def belong to no function.
+
+    Scale shape: lines explode FIRST (content never shuffles whole),
+    one (repo, path)-keyed window builds def-islands, one groupBy per
+    segment; decision counting is a per-line regexp — no UDFs, no
+    lookarounds (RE2-safe, the oracle ports verbatim)."""
+    from pyspark.sql import Window
+
+    lines = files.select(
+        "repo",
+        "path",
+        F.posexplode(F.split(F.col("content"), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    is_def = F.col("line").rlike(r"^\s*def ").cast("long")
+    w = Window.partitionBy("repo", "path").orderBy("line_no")
+    segs = lines.withColumn("island", F.sum(is_def).over(w)).filter(
+        F.col("island") >= 1
+    )
+    per_line = segs.select(
+        "repo",
+        "path",
+        "island",
+        "line_no",
+        F.when(
+            F.col("line").rlike(r"^\s*def "),
+            F.regexp_extract(
+                F.col("line"), r"def\s+([A-Za-z_][A-Za-z0-9_]*)", 1
+            ),
+        ).alias("fname"),
+        F.size(
+            F.regexp_extract_all(F.col("line"), F.lit(_DECISION_RE), 0)
+        ).cast("long").alias("n_dec"),
+    )
+    return (
+        per_line.groupBy("repo", "path", "island")
+        .agg(
+            F.max("fname").alias("func"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("n_dec").cast("long").alias("n_decisions"),
+        )
+        .select(
+            "repo",
+            "path",
+            "func",
+            "n_lines",
+            "n_decisions",
+            (F.col("n_decisions") + 1).cast("long").alias("complexity"),
+        )
+    )

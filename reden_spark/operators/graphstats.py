@@ -1011,3 +1011,144 @@ def two_hop_size(edges: DataFrame, hub_cap: int = 256) -> DataFrame:
         .join(n2, "node", "left")
         .select("node", "n1", F.coalesce("n2", F.lit(0)).cast("long").alias("n2"))
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, node_attrs: DataFrame
+) -> DataFrame:
+    """One row (n, matched, sum_rc, r): Newman's (2003) categorical
+    assortativity over a node attribute (type, language, community) —
+    do entities link within their class?  r = (Tr e − Σ a·b)/(1 − Σ
+    a·b) over the symmetrized edge-end mixing matrix, rewritten as the
+    EXACT integer rational (M·n − Σ rc)/(n² − Σ rc) where M = matched
+    ends, n = total ends, and rc = per-class row·col products — the
+    only double is the final division of exact BIGINTs, rounded 1e-9
+    (the degree_assortativity contract).  r = NULL on the degenerate
+    one-class graph.
+
+    Scale shape: two broadcast-or-shuffle joins of the edge list
+    against the attr table, one class-keyed groupBy for the margins,
+    one all-reduce row — never a class×class materialization."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    a = node_attrs.select(
+        F.col("node").alias("src"), F.col("attr").alias("ax")
+    )
+    b = node_attrs.select(
+        F.col("node").alias("dst"), F.col("attr").alias("ay")
+    )
+    ends = sym.join(a, "src").join(b, "dst")
+    margins = (
+        ends.groupBy(F.col("ax").alias("attr"))
+        .agg(F.count("*").cast("long").alias("row_n"))
+        .join(
+            ends.groupBy(F.col("ay").alias("attr")).agg(
+                F.count("*").cast("long").alias("col_n")
+            ),
+            "attr",
+            "full_outer",
+        )
+        .select(
+            F.coalesce("row_n", F.lit(0)).alias("row_n"),
+            F.coalesce("col_n", F.lit(0)).alias("col_n"),
+        )
+        .agg(
+            F.sum(F.col("row_n") * F.col("col_n"))
+            .cast("long")
+            .alias("sum_rc")
+        )
+    )
+    tot = ends.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("ax") == F.col("ay")).cast("long"))
+        .cast("long")
+        .alias("matched"),
+    )
+    return tot.crossJoin(F.broadcast(margins)).select(
+        "n",
+        "matched",
+        "sum_rc",
+        F.when(
+            F.col("n") * F.col("n") != F.col("sum_rc"),
+            F.round(
+                (F.col("matched") * F.col("n") - F.col("sum_rc"))
+                / (F.col("n") * F.col("n") - F.col("sum_rc")),
+                9,
+            ),
+        ).alias("r"),
+    )
+
+
+def effective_diameter(
+    edges: DataFrame, rounds: int = 4, coverage_pct: int = 90
+) -> DataFrame:
+    """(h, n_pairs, coverage_e6, at_coverage): EXACT hop-coverage curve
+    of the undirected graph — distinct reachable pairs (a ≠ b) within
+    h hops for h = 1..rounds, coverage relative to the horizon's pair
+    count, and the flag marking the smallest h reaching
+    ``coverage_pct`` (the effective-diameter reading, Palmer et al.
+    2002).  This is the exact small-graph companion the ANF sketch
+    (anf_growth) is validated against; at fleet scale the sketch IS
+    the operator — this one materializes reach pairs and is O(n·ball).
+
+    One doubling-free frontier expansion per round (reach ⋈ edges),
+    each round's count folded in WITHOUT collect — per-round 1-row
+    aggregates union into the output frame."""
+    e = edges.filter(F.col("src") != F.col("dst"))
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    reach = sym
+    levels = [
+        reach.agg(F.count("*").cast("long").alias("n_pairs")).select(
+            F.lit(1).cast("long").alias("h"), "n_pairs"
+        )
+    ]
+    for h in range(2, rounds + 1):
+        hops = (
+            reach.alias("r")
+            .join(sym.alias("s"), F.col("r.dst") == F.col("s.src"))
+            .select(
+                F.col("r.src").alias("src"), F.col("s.dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        reach = (
+            reach.unionByName(hops)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        levels.append(
+            reach.agg(F.count("*").cast("long").alias("n_pairs")).select(
+                F.lit(h).cast("long").alias("h"), "n_pairs"
+            )
+        )
+    curve = levels[0]
+    for lv in levels[1:]:
+        curve = curve.unionByName(lv)
+    final = curve.agg(F.max("n_pairs").cast("long").alias("_fin"))
+    w = Window.orderBy("h")
+    out = (
+        curve.crossJoin(F.broadcast(final))
+        .withColumn(
+            "coverage_e6",
+            F.expr("n_pairs * 1000000 div _fin").cast("long"),
+        )
+        .withColumn(
+            "_hit",
+            (F.col("n_pairs") * 100 >= F.col("_fin") * coverage_pct)
+            .cast("long"),
+        )
+        .withColumn("_cum", F.sum("_hit").over(w))
+        .select(
+            "h",
+            "n_pairs",
+            "coverage_e6",
+            ((F.col("_cum") == 1) & (F.col("_hit") == 1)).alias(
+                "at_coverage"
+            ),
+        )
+    )
+    return out

@@ -1,0 +1,82 @@
+"""Hand-traced attribute assortativity, effective diameter, McCabe."""
+
+from reden_spark.operators.code_surface import function_complexity
+from reden_spark.operators.graphstats import (
+    attribute_assortativity,
+    effective_diameter,
+)
+
+
+def test_attribute_assortativity_perfect(spark):
+    # two disjoint same-class cliques: r = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")],
+        "node long, attr string",
+    )
+    r = attribute_assortativity(edges, attrs).collect()[0]
+    assert r.n == 4 and r.matched == 4
+    assert r.r == 1.0
+
+
+def test_attribute_assortativity_disassortative(spark):
+    # bipartite x-y edges only: matched = 0, r negative
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x"), (4, "y")],
+        "node long, attr string",
+    )
+    r = attribute_assortativity(edges, attrs).collect()[0]
+    # margins: row x=2,y=2 col x=2,y=2 → sum_rc=8; r=(0*4-8)/(16-8)=-1
+    assert r.matched == 0 and r.r == -1.0
+
+
+def test_attribute_assortativity_degenerate_null(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "node long, attr string"
+    )
+    assert attribute_assortativity(edges, attrs).collect()[0].r is None
+
+
+def test_effective_diameter_path_graph(spark):
+    # path 1-2-3-4: pairs within 1 hop = 6 (3 edges × 2 dirs),
+    # 2 hops = +4 (1-3, 2-4 both dirs) = 10, 3 hops = 12 (all)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r.h: r for r in effective_diameter(edges, rounds=3).collect()}
+    assert [out[h].n_pairs for h in (1, 2, 3)] == [6, 10, 12]
+    assert not out[1].at_coverage          # 6/12 = 50%
+    assert not out[2].at_coverage          # 10/12 ≈ 83%
+    assert out[3].at_coverage              # first h ≥ 90%
+
+
+def test_function_complexity_exact(spark):
+    content = (
+        "import os\n"                      # preamble: no function
+        "def simple(x):\n"
+        "    return x\n"
+        "def branchy(x):\n"
+        "    if x and x > 1:\n"
+        "        return 1\n"
+        "    for i in range(3):\n"
+        "        while i or x:\n"
+        "            pass\n"
+    )
+    files = spark.createDataFrame(
+        [("r", "a.py", "py", content)],
+        "repo string, path string, lang string, content string",
+    )
+    out = {r.func: r for r in function_complexity(files).collect()}
+    assert out["simple"].n_decisions == 0
+    assert out["simple"].complexity == 1
+    # if + and + for + while + or = 5 decisions
+    assert out["branchy"].n_decisions == 5
+    assert out["branchy"].complexity == 6
+    # 6 body lines + the empty line after the trailing newline
+    assert out["branchy"].n_lines == 7
