@@ -18141,3 +18141,211 @@ def q_function_complexity(spark, sf_dir):
     from reden_spark.operators.code_surface import function_complexity
 
     return function_complexity(_code_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 30: temporal-KG conflicts, refusal census, system-prompt
+# leak check.
+
+
+@query(
+    "temporal_conflicts",
+    """
+    WITH t AS (
+      SELECT 'e' || CAST(o_custkey % 200 AS VARCHAR) AS subj,
+             'role' AS pred,
+             'r' || CAST(o_orderkey % 5 AS VARCHAR) AS obj,
+             o_orderkey % 100 AS s,
+             (o_orderkey % 100) + (o_orderkey % 20) + 1 AS e
+      FROM orders WHERE o_orderkey % 12 = 0)
+    SELECT DISTINCT a.subj, a.pred,
+           a.obj AS obj_a, b.obj AS obj_b,
+           CAST(greatest(a.s, b.s) AS BIGINT) AS overlap_start,
+           CAST(least(a.e, b.e) AS BIGINT) AS overlap_end
+    FROM t a JOIN t b
+      ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
+    WHERE greatest(a.s, b.s) < least(a.e, b.e)
+    """,
+)
+def q_temporal_conflicts(spark, sf_dir):
+    """Temporal functional-fact conflicts (operators/temporal.
+    temporal_conflicts): overlapping validity intervals asserting
+    different objects for the same (subj, pred) — two simultaneous
+    role-holders; group-local self-join, same-object re-assertions
+    excluded."""
+    from reden_spark.operators.temporal import temporal_conflicts
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 12 == 0
+    )
+    triples = orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 200).cast("string"))
+        .alias("subj"),
+        F.lit("role").alias("pred"),
+        F.concat(F.lit("r"), (F.col("o_orderkey") % 5).cast("string"))
+        .alias("obj"),
+        (F.col("o_orderkey") % 100).cast("long").alias("start"),
+        ((F.col("o_orderkey") % 100) + (F.col("o_orderkey") % 20) + 1)
+        .cast("long")
+        .alias("end"),
+    )
+    return temporal_conflicts(triples)
+
+
+_SFT_MSGS_SQL = """
+    SELECT user_id AS conv_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS turn,
+           CASE WHEN row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) % 2 = 1
+                THEN 'user' ELSE 'assistant' END AS role,
+           CASE WHEN row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) % 2 = 1
+                THEN 'q ' || CAST(event_id AS VARCHAR)
+                WHEN event_id % 7 = 0 THEN 'I cannot help with that'
+                WHEN event_id % 7 = 1 THEN 'As an AI, I will not'
+                ELSE 'ok ' || CAST(event_id AS VARCHAR) END AS content
+    FROM events
+"""
+
+
+@query(
+    "refusal_census",
+    f"""
+    WITH m AS ({_SFT_MSGS_SQL}),
+    a AS (SELECT conv_id, content FROM m WHERE role = 'assistant')
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_assistant,
+           CAST(sum(CASE WHEN regexp_matches(content,
+             '(?i)\\b(i cannot|i can''t|i am unable|i''m unable|as an ai|i am not able|i''m sorry, but)\\b')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_refusal,
+           CAST(sum(CASE WHEN regexp_matches(content,
+             '(?i)\\b(i cannot|i can''t|i am unable|i''m unable|as an ai|i am not able|i''m sorry, but)\\b')
+             THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS refusal_frac_e6
+    FROM a GROUP BY conv_id
+    """,
+)
+def q_refusal_census(spark, sf_dir):
+    """Canned-refusal census (operators/corpus_prep.refusal_census):
+    per-conversation assistant-turn refusal counts and micro-unit
+    fraction over the synthesized event-log chat — the SFT-mix
+    statistic; RE2-safe case-insensitive alternation."""
+    from reden_spark.operators.corpus_prep import refusal_census
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    msgs = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (rn - 1).cast("long").alias("turn"),
+        F.when(rn % 2 == 1, "user").otherwise("assistant").alias("role"),
+        F.when(
+            rn % 2 == 1,
+            F.concat(F.lit("q "), F.col("event_id").cast("string")),
+        )
+        .when(F.col("event_id") % 7 == 0, "I cannot help with that")
+        .when(F.col("event_id") % 7 == 1, "As an AI, I will not")
+        .otherwise(
+            F.concat(F.lit("ok "), F.col("event_id").cast("string"))
+        )
+        .alias("content"),
+    )
+    return refusal_census(msgs)
+
+
+_LEAK_MSGS_SQL = """
+    SELECT c_custkey AS conv_id, 0 AS turn, 'system' AS role,
+           'you are the agent for '
+             || regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g')
+             || ' region team' AS content
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    UNION ALL
+    SELECT c_custkey, 1, 'assistant',
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'the agent for '
+                     || regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g')
+                     || ' region team indeed'
+                ELSE 'happy to help with everything today friend' END
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+@query(
+    "system_leak_check",
+    f"""
+    WITH m AS ({_LEAK_MSGS_SQL}),
+    sys AS (SELECT conv_id, content FROM m WHERE role = 'system'),
+    ast AS (SELECT conv_id, content FROM m WHERE role = 'assistant'),
+    st AS (SELECT conv_id,
+                  generate_subscripts(string_split(content, ' '), 1) - 1
+                    AS pos,
+                  unnest(string_split(content, ' ')) AS tok
+           FROM sys),
+    stq AS (SELECT * FROM st WHERE tok <> ''),
+    ssh AS (
+      SELECT DISTINCT conv_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w
+                 || ' ' || lead(tok, 4) OVER w AS shingle
+      FROM stq WINDOW w AS (PARTITION BY conv_id ORDER BY pos)
+      QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+    at_ AS (SELECT conv_id,
+                   generate_subscripts(string_split(content, ' '), 1) - 1
+                     AS pos,
+                   unnest(string_split(content, ' ')) AS tok
+            FROM ast),
+    atq AS (SELECT * FROM at_ WHERE tok <> ''),
+    ash AS (
+      SELECT DISTINCT conv_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w
+                 || ' ' || lead(tok, 4) OVER w AS shingle
+      FROM atq WINDOW w AS (PARTITION BY conv_id ORDER BY pos)
+      QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+    lk AS (SELECT s.conv_id, CAST(count(*) AS BIGINT) AS n_leaked
+           FROM ssh s JOIN ash a
+             ON a.conv_id = s.conv_id AND a.shingle = s.shingle
+           GROUP BY 1),
+    tot AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sys_shingles
+            FROM ssh GROUP BY 1)
+    SELECT CAST(t.conv_id AS BIGINT) AS conv_id, t.n_sys_shingles,
+           CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(COALESCE(lk.n_leaked, 0) * 1000000 // t.n_sys_shingles
+                AS BIGINT) AS leak_frac_e6
+    FROM tot t LEFT JOIN lk ON lk.conv_id = t.conv_id
+    """,
+)
+def q_system_leak_check(spark, sf_dir):
+    """System-prompt leak check (operators/corpus_prep.
+    system_leak_check): 5-gram shingles of system turns intersected
+    with assistant turns per conversation — the planted parrot
+    conversations (every third) score 500000, the rest 0."""
+    from reden_spark.operators.corpus_prep import system_leak_check
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    j = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+    w1 = F.regexp_replace(F.col("n_name"), "[^A-Za-z0-9]", "")
+    sysm = j.select(
+        F.col("c_custkey").cast("long").alias("conv_id"),
+        F.lit(0).cast("long").alias("turn"),
+        F.lit("system").alias("role"),
+        F.concat(
+            F.lit("you are the agent for "), w1, F.lit(" region team")
+        ).alias("content"),
+    )
+    astm = j.select(
+        F.col("c_custkey").cast("long").alias("conv_id"),
+        F.lit(1).cast("long").alias("turn"),
+        F.lit("assistant").alias("role"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("the agent for "), w1, F.lit(" region team indeed")
+            ),
+        )
+        .otherwise(F.lit("happy to help with everything today friend"))
+        .alias("content"),
+    )
+    return system_leak_check(sysm.unionByName(astm))

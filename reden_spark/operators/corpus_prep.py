@@ -1400,3 +1400,94 @@ def chat_format_lint(messages: DataFrame) -> DataFrame:
         & F.col("nonempty_ok")
         & F.col("ends_ok"),
     )
+
+
+REFUSAL_RE = (
+    "(?i)\\b(i cannot|i can't|i am unable|i'm unable|as an ai"
+    "|i am not able|i'm sorry, but)\\b"
+)
+
+
+def refusal_census(
+    messages: DataFrame, refusal_re: str = REFUSAL_RE
+) -> DataFrame:
+    """(conv_id, n_assistant, n_refusal, refusal_frac_e6): how many
+    assistant turns in each conversation open the canned-refusal
+    register — the SFT-mix statistic every instruction-data curator
+    tracks (an over-refusing corpus trains an over-refusing model; a
+    zero-refusal corpus can't teach safe declining either).  The
+    pattern is a case-insensitive alternation, RE2-safe so the oracle
+    ports verbatim.
+
+    One filter + one conv-keyed groupBy; counts map-side combinable."""
+    a = messages.filter(F.col("role") == "assistant")
+    agg = a.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assistant"),
+        F.sum(F.col("content").rlike(refusal_re).cast("long"))
+        .cast("long")
+        .alias("n_refusal"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_assistant",
+        "n_refusal",
+        F.expr("n_refusal * 1000000 div n_assistant")
+        .cast("long")
+        .alias("refusal_frac_e6"),
+    )
+
+
+def system_leak_check(messages: DataFrame, n: int = 5) -> DataFrame:
+    """(conv_id, n_sys_shingles, n_leaked, leak_frac_e6): does the
+    assistant parrot the system prompt?  Word n-gram shingles of each
+    conversation's SYSTEM turns are intersected with shingles of its
+    ASSISTANT turns; a high leaked fraction marks conversations that
+    train verbatim prompt regurgitation (and leak deployment prompts
+    into the corpus).  Distinct-shingle semantics on both sides.
+
+    Scale shape: shingling is window-lead work keyed on conv_id; the
+    intersection is ONE (conv_id, shingle) join — never a turn×turn
+    or string-containment scan."""
+    def _role_text(role: str) -> DataFrame:
+        # one text per conversation (turn-ordered concat) so shingle
+        # positions never collide across turns
+        return (
+            messages.filter(F.col("role") == role)
+            .groupBy("conv_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn", "content"))
+                        ),
+                        lambda s: s["content"],
+                    ),
+                    " ",
+                ).alias("content")
+            )
+        )
+
+    sys_sh = word_shingles(
+        _role_text("system"), n=n, id_col="conv_id", text_col="content"
+    ).select(F.col("doc_id").alias("conv_id"), "shingle")
+    asst_sh = word_shingles(
+        _role_text("assistant"), n=n, id_col="conv_id", text_col="content"
+    ).select(F.col("doc_id").alias("conv_id"), "shingle")
+    leaked = sys_sh.join(asst_sh, ["conv_id", "shingle"]).groupBy(
+        "conv_id"
+    ).agg(F.count("*").cast("long").alias("n_leaked"))
+    totals = sys_sh.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_sys_shingles")
+    )
+    return (
+        totals.join(leaked, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_sys_shingles",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.expr(
+                "CAST(COALESCE(n_leaked, 0) * 1000000"
+                " div n_sys_shingles AS BIGINT)"
+            ).alias("leak_frac_e6"),
+        )
+    )

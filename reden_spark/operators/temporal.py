@@ -267,3 +267,43 @@ def allen_relations(
         .otherwise("overlapped_by")
     )
     return j.select("a", "b", rel.alias("relation"))
+
+
+def temporal_conflicts(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj_a, obj_b, overlap_start, overlap_end):
+    overlapping validity intervals that assert DIFFERENT objects for
+    the same (subj, functional-pred) — the temporal-KG contradiction
+    detector (two simultaneous CEOs, two birthplaces in force at
+    once).  Input is (subj, pred, obj, start, end) already filtered to
+    functional predicates (pred_profile / pred_cardinality_class tell
+    you which); same-object re-assertions are NOT conflicts —
+    interval_coalesce merges those.
+
+    One self-join keyed on (subj, pred) with obj_a < obj_b dedup —
+    group-local, and per-entity fact lists for a functional predicate
+    are small by definition (a huge group here is itself the data bug
+    this operator exists to surface)."""
+    a = triples.select(
+        "subj", "pred",
+        F.col("obj").alias("obj_a"),
+        F.col("start").alias("sa"),
+        F.col("end").alias("ea"),
+    )
+    b = triples.select(
+        "subj", "pred",
+        F.col("obj").alias("obj_b"),
+        F.col("start").alias("sb"),
+        F.col("end").alias("eb"),
+    )
+    j = a.join(b, ["subj", "pred"]).filter(
+        (F.col("obj_a") < F.col("obj_b"))
+        & (F.greatest("sa", "sb") < F.least("ea", "eb"))
+    )
+    return j.select(
+        "subj",
+        "pred",
+        "obj_a",
+        "obj_b",
+        F.greatest("sa", "sb").cast("long").alias("overlap_start"),
+        F.least("ea", "eb").cast("long").alias("overlap_end"),
+    ).distinct()

@@ -1,0 +1,79 @@
+"""Hand-traced temporal conflicts, refusal census, system-leak check."""
+
+from reden_spark.operators.corpus_prep import (
+    refusal_census,
+    system_leak_check,
+)
+from reden_spark.operators.temporal import temporal_conflicts
+
+
+def test_temporal_conflicts_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            # e1 role: r1 during [0,10), r2 during [5,15) → conflict [5,10)
+            ("e1", "role", "r1", 0, 10),
+            ("e1", "role", "r2", 5, 15),
+            # same object re-asserted overlapping: NOT a conflict
+            ("e1", "role", "r1", 8, 12),
+            # e2: disjoint intervals, different objects: no conflict
+            ("e2", "role", "r1", 0, 5), ("e2", "role", "r2", 5, 9),
+        ],
+        "subj string, pred string, obj string, start long, end long",
+    )
+    rows = temporal_conflicts(triples).collect()
+    got = {(r.subj, r.obj_a, r.obj_b, r.overlap_start, r.overlap_end)
+           for r in rows}
+    assert got == {
+        ("e1", "r1", "r2", 5, 10),     # first r1 interval vs r2
+        ("e1", "r1", "r2", 8, 12),     # re-asserted r1 vs r2
+    }
+
+
+def test_refusal_census_exact(spark):
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "user", "hi"),
+            (1, 1, "assistant", "I cannot help with that"),
+            (1, 2, "user", "why"),
+            (1, 3, "assistant", "because reasons"),
+            (2, 0, "user", "hey"),
+            (2, 1, "assistant", "I'm sorry, but no"),
+        ],
+        "conv_id long, turn long, role string, content string",
+    )
+    out = {r.conv_id: r for r in refusal_census(msgs).collect()}
+    assert out[1].n_assistant == 2 and out[1].n_refusal == 1
+    assert out[1].refusal_frac_e6 == 500000
+    assert out[2].n_refusal == 1 and out[2].refusal_frac_e6 == 1000000
+
+
+def test_system_leak_check_exact(spark):
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "system", "a b c d e f"),      # shingles: abcde, bcdef
+            (1, 1, "assistant", "x a b c d e y"),  # contains abcde
+            (2, 0, "system", "a b c d e f"),
+            (2, 1, "assistant", "totally unrelated words only here now"),
+        ],
+        "conv_id long, turn long, role string, content string",
+    )
+    out = {r.conv_id: r for r in system_leak_check(msgs).collect()}
+    assert out[1].n_sys_shingles == 2
+    assert out[1].n_leaked == 1
+    assert out[1].leak_frac_e6 == 500000
+    assert out[2].n_leaked == 0 and out[2].leak_frac_e6 == 0
+
+
+def test_system_leak_multi_turn_concat(spark):
+    # system text split across two turns still shingles across the seam
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "system", "a b c"),
+            (1, 2, "system", "d e f"),
+            (1, 1, "assistant", "b c d e f"),
+        ],
+        "conv_id long, turn long, role string, content string",
+    )
+    r = system_leak_check(msgs).collect()[0]
+    assert r.n_sys_shingles == 2       # abcde, bcdef from the joined text
+    assert r.n_leaked == 1             # bcdef
