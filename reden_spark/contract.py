@@ -18349,3 +18349,130 @@ def q_system_leak_check(spark, sf_dir):
         .alias("content"),
     )
     return system_leak_check(sysm.unionByName(astm))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 31: hash-partition quality audit, notebook cell
+# extraction, markdown fenced-block mining.
+
+
+@query(
+    "partition_cut_stats",
+    f"""
+    WITH pcb AS ({_KCORE_EDGES_SQL}),
+    e AS (SELECT src % 32 AS ps, dst % 32 AS pd, src, dst FROM pcb),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cut_edges
+            FROM e),
+    loads AS (SELECT CAST(max(c) AS BIGINT) AS max_part_edges FROM (
+                SELECT count(*) AS c FROM e GROUP BY ps)),
+    repl AS (SELECT CAST(sum(np) AS BIGINT) AS sum_np,
+                    CAST(count(*) AS BIGINT) AS n_nodes FROM (
+               SELECT node, count(*) AS np FROM (
+                 SELECT DISTINCT src AS node, ps AS part FROM e
+                 UNION SELECT DISTINCT dst, ps FROM e)
+               GROUP BY node))
+    SELECT CAST(32 AS BIGINT) AS n_parts, n_edges, cut_edges,
+           CAST(cut_edges * 1000000 // n_edges AS BIGINT) AS cut_frac_e6,
+           max_part_edges,
+           CAST(max_part_edges * 32 * 1000000 // n_edges AS BIGINT)
+             AS balance_e6,
+           CAST(sum_np * 1000000 // n_nodes AS BIGINT) AS replication_e6
+    FROM tot, loads, repl
+    """,
+)
+def q_partition_cut_stats(spark, sf_dir):
+    """Hash-partitioner audit (operators/graphstats.
+    partition_cut_stats): edge-cut fraction, straggler balance, and
+    vertex-cut replication of node%32 placement — the pre-scale-up
+    numbers for every graph operator here."""
+    from reden_spark.operators.graphstats import partition_cut_stats
+
+    return partition_cut_stats(_kcore_edges(spark, sf_dir), n_parts=32)
+
+
+@query(
+    "notebook_cells",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+    rows_ AS (
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+             'nb/n_' || CAST(doc_id AS VARCHAR) || '.ipynb' AS path,
+             CAST(0 AS BIGINT) AS cell_idx,
+             'markdown' AS cell_type,
+             '# t ' || CAST(doc_id AS VARCHAR) AS source,
+             CAST(1 AS BIGINT) AS n_lines
+      FROM d
+      UNION ALL
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+             'nb/n_' || CAST(doc_id AS VARCHAR) || '.ipynb',
+             1, 'code',
+             'x = ' || CAST(doc_id AS VARCHAR) || chr(10) || 'print(x)',
+             2
+      FROM d)
+    SELECT repo, path, cell_idx, cell_type, source, n_lines FROM rows_
+    """,
+)
+def q_notebook_cells(spark, sf_dir):
+    """Jupyter cell extraction (operators/code_extract.notebook_cells):
+    from_json over synthesized .ipynb wrappers (every 50th file is
+    planted malformed JSON and must yield no rows, not a failure) —
+    one row per cell with joined source; the oracle regenerates the
+    expected cells directly, pinning the parser end-to-end."""
+    from reden_spark.operators.code_extract import notebook_cells
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    content = F.when(
+        d % 50 == 0, F.lit("not a notebook {")
+    ).otherwise(
+        F.concat(
+            F.lit('{"cells":[{"cell_type":"markdown","source":["# t '),
+            s(d),
+            F.lit('"]},{"cell_type":"code","source":["x = '),
+            s(d),
+            F.lit('\\n","print(x)"]}]}'),
+        )
+    )
+    files = docs.select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("nb/n_"), s(d), F.lit(".ipynb")).alias("path"),
+        content.alias("content"),
+    )
+    return notebook_cells(files)
+
+
+@query(
+    "markdown_code_blocks",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    rows_ AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'py' AS lang,
+             'x = ' || CAST(doc_id AS VARCHAR) || chr(10) AS code
+      FROM d
+      UNION ALL
+      SELECT doc_id, 1, '', 'plain block' || chr(10) FROM d)
+    SELECT doc_id, block_idx, lang, code,
+           CAST(length(code) AS BIGINT) AS n_chars
+    FROM rows_
+    """,
+)
+def q_markdown_code_blocks(spark, sf_dir):
+    """Fenced-block mining (operators/code_extract.
+    markdown_code_blocks): ```py and untagged fences extracted with
+    non-greedy dotall matching — README-embedded code routed out of
+    prose statistics; oracle regenerates the planted blocks."""
+    from reden_spark.operators.code_extract import markdown_code_blocks
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("# doc\n```py\nx = "),
+            d.cast("string"),
+            F.lit("\n```\nprose text\n```\nplain block\n```\n"),
+        ).alias("text"),
+    )
+    return markdown_code_blocks(docs)

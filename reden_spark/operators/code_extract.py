@@ -143,3 +143,73 @@ def import_hotness(triples: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_files"),
         F.countDistinct("repo").cast("long").alias("n_repos"),
     )
+
+
+_NB_SCHEMA = (
+    "STRUCT<cells: ARRAY<STRUCT<cell_type: STRING,"
+    " source: ARRAY<STRING>>>>"
+)
+
+
+def notebook_cells(files: DataFrame) -> DataFrame:
+    """(repo, path, cell_idx, cell_type, source, n_lines): Jupyter
+    notebooks exploded to one row per cell — the extraction a code
+    corpus needs because .ipynb files are JSON wrappers whose code
+    cells otherwise evade every line-based filter, dedup shingle, and
+    complexity metric in the pipeline.  Parse failures (truncated or
+    non-notebook JSON) yield no rows for that file rather than a job
+    failure — quarantine is a left-anti join away.
+
+    Scale shape: one from_json per file (JVM-side, no UDF) + one
+    posexplode; the JSON string never shuffles — only the exploded
+    cell rows."""
+    parsed = files.select(
+        "repo",
+        "path",
+        F.from_json(F.col("content"), _NB_SCHEMA).alias("nb"),
+    ).filter(F.col("nb.cells").isNotNull())
+    return parsed.select(
+        "repo",
+        "path",
+        F.posexplode(F.col("nb.cells")).alias("cell_idx", "cell"),
+    ).select(
+        "repo",
+        "path",
+        F.col("cell_idx").cast("long").alias("cell_idx"),
+        F.col("cell.cell_type").alias("cell_type"),
+        F.array_join(F.col("cell.source"), "").alias("source"),
+        F.size(F.col("cell.source")).cast("long").alias("n_lines"),
+    )
+
+
+_FENCE_RX = r"(?s)```([A-Za-z0-9+-]*)\n(.*?)```"
+
+
+def markdown_code_blocks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, block_idx, lang, code, n_chars): fenced code blocks
+    (```lang ... ```) mined out of markdown/README corpora — the
+    routing step that sends embedded code to the code-quality
+    operators and keeps it OUT of prose LM statistics (a README's
+    shell block wrecks its Gopher scores otherwise).  The language
+    tag is kept verbatim ('' when untagged).  Non-greedy dotall
+    matching, RE2-safe — no lookaround.
+
+    One regexp_extract_all pass + posexplode; per-block rows shuffle,
+    the document never does."""
+    z = docs.select(
+        F.col("doc_id"),
+        F.arrays_zip(
+            F.regexp_extract_all(F.col(text_col), F.lit(_FENCE_RX), 1),
+            F.regexp_extract_all(F.col(text_col), F.lit(_FENCE_RX), 2),
+        ).alias("blocks"),
+    )
+    return z.select(
+        "doc_id",
+        F.posexplode(F.col("blocks")).alias("block_idx", "b"),
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("b.0").alias("lang"),
+        F.col("b.1").alias("code"),
+        F.length(F.col("b.1")).cast("long").alias("n_chars"),
+    )

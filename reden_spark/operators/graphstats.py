@@ -1152,3 +1152,76 @@ def effective_diameter(
         )
     )
     return out
+
+
+def partition_cut_stats(
+    edges: DataFrame, n_parts: int = 32
+) -> DataFrame:
+    """One row (n_parts, n_edges, cut_edges, cut_frac_e6,
+    max_part_edges, balance_e6, replication_e6): quality of the
+    DEFAULT hash partitioner (node % n_parts) for this graph — the
+    numbers that decide whether a graph operator needs a smarter
+    partitioner before a 100× scale-up:
+
+      cut_frac     — fraction of edges whose endpoints hash apart
+                     (every one is a network message per superstep)
+      balance      — max partition edge load / mean (stragglers)
+      replication  — avg distinct partitions per vertex under
+                     edge-partitioning (PowerGraph's vertex-cut cost)
+
+    All exact integer ratios in micro-units.
+
+    Scale shape: two edge-projections + one vertex groupBy — the
+    audit costs one pass over the edge list, nothing materializes per
+    partition pair."""
+    e = edges.select(
+        (F.col("src") % n_parts).alias("ps"),
+        (F.col("dst") % n_parts).alias("pd"),
+        "src",
+        "dst",
+    )
+    tot = e.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum((F.col("ps") != F.col("pd")).cast("long"))
+        .cast("long")
+        .alias("cut_edges"),
+    )
+    loads = (
+        e.groupBy("ps")
+        .agg(F.count("*").cast("long").alias("load"))
+        .agg(F.max("load").cast("long").alias("max_part_edges"))
+    )
+    repl = (
+        e.select(F.col("src").alias("node"), F.col("ps").alias("part"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("ps").alias("part"))
+        )
+        .distinct()
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("np"))
+        .agg(
+            F.sum("np").cast("long").alias("sum_np"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(loads))
+        .crossJoin(F.broadcast(repl))
+        .select(
+            F.lit(n_parts).cast("long").alias("n_parts"),
+            "n_edges",
+            "cut_edges",
+            F.expr("cut_edges * 1000000 div n_edges")
+            .cast("long")
+            .alias("cut_frac_e6"),
+            "max_part_edges",
+            F.expr(
+                f"max_part_edges * {n_parts} * 1000000 div n_edges"
+            )
+            .cast("long")
+            .alias("balance_e6"),
+            F.expr("sum_np * 1000000 div n_nodes")
+            .cast("long")
+            .alias("replication_e6"),
+        )
+    )

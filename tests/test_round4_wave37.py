@@ -1,0 +1,54 @@
+"""Hand-traced partition audit, notebook cells, markdown fences."""
+
+from reden_spark.operators.code_extract import (
+    markdown_code_blocks,
+    notebook_cells,
+)
+from reden_spark.operators.graphstats import partition_cut_stats
+
+
+def test_partition_cut_stats_exact(spark):
+    # 2 parts: edges (0,2) same part, (0,1) cut, (1,3) same part
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 1), (1, 3)], "src long, dst long"
+    )
+    r = partition_cut_stats(edges, n_parts=2).collect()[0]
+    assert r.n_edges == 3 and r.cut_edges == 1
+    assert r.cut_frac_e6 == 333333
+    # edge placement by src part: part0 gets (0,2),(0,1); part1 gets (1,3)
+    assert r.max_part_edges == 2
+    assert r.balance_e6 == 2 * 2 * 1000000 // 3
+    # vertex parts: 0→{0}, 2→{0}, 1→{0,1}, 3→{1} → sum 5 / 4 nodes
+    assert r.replication_e6 == 5 * 1000000 // 4
+
+
+def test_notebook_cells_parses_and_quarantines(spark):
+    good = (
+        '{"cells":[{"cell_type":"markdown","source":["# hi"]},'
+        '{"cell_type":"code","source":["x = 1\\n","print(x)"]}]}'
+    )
+    files = spark.createDataFrame(
+        [("r", "a.ipynb", good), ("r", "bad.ipynb", "not json {")],
+        "repo string, path string, content string",
+    )
+    rows = notebook_cells(files).collect()
+    assert {r.path for r in rows} == {"a.ipynb"}   # bad file: no rows
+    out = {r.cell_idx: r for r in rows}
+    assert out[0].cell_type == "markdown" and out[0].source == "# hi"
+    assert out[1].source == "x = 1\nprint(x)"
+    assert out[1].n_lines == 2
+
+
+def test_markdown_code_blocks_exact(spark):
+    text = (
+        "# title\n"
+        "```python\nprint('a')\n```\n"
+        "prose\n"
+        "```\nplain\n```\n"
+        "no fence here"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.block_idx: r for r in markdown_code_blocks(docs).collect()}
+    assert rows[0].lang == "python" and rows[0].code == "print('a')\n"
+    assert rows[1].lang == "" and rows[1].code == "plain\n"
+    assert rows[0].n_chars == len("print('a')\n")
