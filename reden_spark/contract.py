@@ -18476,3 +18476,165 @@ def q_markdown_code_blocks(spark, sf_dir):
         ).alias("text"),
     )
     return markdown_code_blocks(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 32: majority-vote truth discovery, source credibility,
+# declarative expectation checks.
+
+
+_CLAIMS_SQL = """
+    SELECT 'e' || CAST(o_custkey % 300 AS VARCHAR) AS subj,
+           'p' || CAST(o_orderkey % 3 AS VARCHAR) AS pred,
+           'v' || CAST(CASE WHEN o_orderkey % 7 < 4
+                            THEN o_custkey % 5
+                            ELSE o_orderkey % 11 END AS VARCHAR) AS obj,
+           's' || CAST(o_orderkey % 6 AS VARCHAR) AS source
+    FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
+@query(
+    "majority_truth",
+    f"""
+    WITH c AS ({_CLAIMS_SQL}),
+    votes AS (
+      SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS votes
+      FROM (SELECT DISTINCT subj, pred, obj, source FROM c)
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT subj, pred, obj, votes,
+             CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+               AS n_values,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY votes DESC, obj ASC) AS rn
+      FROM votes)
+    SELECT subj, pred, obj, votes, n_values FROM ranked WHERE rn = 1
+    """,
+)
+def q_majority_truth(spark, sf_dir):
+    """Majority-vote fact resolution (operators/kg_quality.
+    majority_truth): one vote per source per value, deterministic
+    (votes desc, obj) winner, contestedness carried — the vote
+    baseline of truth discovery."""
+    from reden_spark.operators.kg_quality import majority_truth
+
+    return majority_truth(_claims(spark, sf_dir))
+
+
+def _claims(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    )
+    return orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 300).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string"))
+        .alias("pred"),
+        F.concat(
+            F.lit("v"),
+            F.when(
+                F.col("o_orderkey") % 7 < 4, F.col("o_custkey") % 5
+            )
+            .otherwise(F.col("o_orderkey") % 11)
+            .cast("string"),
+        ).alias("obj"),
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 6).cast("string"))
+        .alias("source"),
+    )
+
+
+@query(
+    "source_accuracy",
+    f"""
+    WITH c AS ({_CLAIMS_SQL}),
+    votes AS (
+      SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS votes
+      FROM (SELECT DISTINCT subj, pred, obj, source FROM c)
+      GROUP BY 1, 2, 3),
+    truth AS (
+      SELECT subj, pred, obj AS true_obj FROM (
+        SELECT subj, pred, obj,
+               row_number() OVER (PARTITION BY subj, pred
+                                  ORDER BY votes DESC, obj ASC) AS rn
+        FROM votes) WHERE rn = 1),
+    cd AS (SELECT DISTINCT subj, pred, obj, source FROM c),
+    scored AS (
+      SELECT cd.source, cd.obj, t.true_obj
+      FROM cd JOIN truth t ON t.subj = cd.subj AND t.pred = cd.pred)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_claims,
+           CAST(sum(CASE WHEN obj = true_obj THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(sum(CASE WHEN obj = true_obj THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS acc_e6
+    FROM scored GROUP BY source
+    """,
+)
+def q_source_accuracy(spark, sf_dir):
+    """Source credibility (operators/kg_quality.source_accuracy):
+    per-source agreement with the majority resolution — TruthFinder's
+    iteration-0 weighting for fusion feeds."""
+    from reden_spark.operators.kg_quality import source_accuracy
+
+    return source_accuracy(_claims(spark, sf_dir))
+
+
+@query(
+    "expectation_check",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer),
+    v AS (
+      SELECT 'c_custkey' AS col, 'not_null' AS kind,
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations
+      FROM customer
+      UNION ALL
+      SELECT 'c_custkey', 'unique',
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'c_acctbal', 'range',
+             CAST(sum(CASE WHEN c_acctbal IS NULL
+                           OR c_acctbal < 0 OR c_acctbal > 5000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', 'in_set',
+             CAST(sum(CASE WHEN c_mktsegment NOT IN
+                           ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                            'HOUSEHOLD', 'MACHINERY')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer)
+    SELECT v.col, v.kind, n.n_rows, v.n_violations,
+           v.n_violations = 0 AS passed
+    FROM v, n
+    """,
+)
+def q_expectation_check(spark, sf_dir):
+    """Data-contract audit (operators/analytics.expectation_check):
+    not_null / unique / range / in_set expectations compiled into ONE
+    aggregation pass + stack() unpivot — the relational kg_validate;
+    the tight acctbal range is planted to fail."""
+    from reden_spark.operators.analytics import expectation_check
+
+    cust = _read(spark, sf_dir, "customer")
+    return expectation_check(
+        cust,
+        [
+            ("c_custkey", "not_null"),
+            ("c_custkey", "unique"),
+            ("c_acctbal", "range", 0, 5000),
+            (
+                "c_mktsegment",
+                "in_set",
+                [
+                    "AUTOMOBILE",
+                    "BUILDING",
+                    "FURNITURE",
+                    "HOUSEHOLD",
+                    "MACHINERY",
+                ],
+            ),
+        ],
+    )

@@ -792,3 +792,64 @@ def exact_percentiles(
         ranked,
         (ks.grp == ranked.grp) & (ks.k == ranked.rn),
     ).select(ks.grp, "p", "n", "k", "value")
+
+
+def expectation_check(
+    df: DataFrame, expectations: list[tuple]
+) -> DataFrame:
+    """(col, kind, n_rows, n_violations, passed): declarative
+    data-contract audit — the Great-Expectations-style gate evaluated
+    in ONE aggregation pass regardless of how many expectations are
+    declared.  Supported kinds:
+
+      ("col", "not_null")            — null rows violate
+      ("col", "unique")              — duplicates violate (nulls too)
+      ("col", "range", lo, hi)       — value outside [lo, hi] or null
+      ("col", "in_set", [v1, ...])   — value not in the set, or null
+
+    Violating tables are data, not exceptions — the relational twin
+    of kg_validate's triple shapes.
+
+    Scale shape: every expectation compiles to aggregate expressions
+    in a single global agg (count / conditional-sum / countDistinct),
+    then one stack() unpivot of the 1-row result — the table is read
+    once, no per-expectation scans."""
+    aggs = [F.count("*").cast("long").alias("__n")]
+    labels = []
+    for i, exp in enumerate(expectations):
+        col, kind = exp[0], exp[1]
+        c = F.col(col)
+        if kind == "not_null":
+            v = F.sum(c.isNull().cast("long"))
+        elif kind == "unique":
+            v = F.count("*") - F.count_distinct(c)
+        elif kind == "range":
+            lo, hi = exp[2], exp[3]
+            v = F.sum(
+                (c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))).cast(
+                    "long"
+                )
+            )
+        elif kind == "in_set":
+            v = F.sum((~c.isin(list(exp[2]))).cast("long"))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(v.cast("long").alias(f"__v{i}"))
+        labels.append((col, kind))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{k}', __v{i}" for i, (c, k) in enumerate(labels)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(labels)}, {stack_args})"
+            " AS (col, kind, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "col",
+        "kind",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -847,3 +847,66 @@ def pred_cardinality_class(triples: DataFrame) -> DataFrame:
         "pred", "max_obj_per_subj", "max_subj_per_obj",
         cls.alias("card_class"),
     )
+
+
+def majority_truth(claims: DataFrame) -> DataFrame:
+    """(subj, pred, obj, votes, n_values): majority-vote fact
+    resolution over multi-source claims (subj, pred, obj, source) —
+    each source votes once per value (duplicate assertions dedup), the
+    most-voted object wins with a deterministic (votes desc, obj asc)
+    tie-break, and n_values carries how contested the slot was.  The
+    baseline truth-discovery step source_accuracy scores against
+    (Dong & Srivastava's vote baseline).
+
+    One (subj, pred, obj) dedup-count + one (subj, pred) window —
+    two exchanges on the fact key."""
+    votes = (
+        claims.select("subj", "pred", "obj", "source")
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("votes"), F.asc("obj")
+    )
+    grp = Window.partitionBy("subj", "pred")
+    return (
+        votes.withColumn("n_values", F.count("*").over(grp).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subj", "pred", "obj", "votes", "n_values")
+    )
+
+
+def source_accuracy(claims: DataFrame) -> DataFrame:
+    """(source, n_claims, n_agree, acc_e6): per-source agreement with
+    the majority_truth resolution — the single-round credibility score
+    (TruthFinder's iteration-0) a fusion pipeline uses to weight or
+    quarantine feeds; a source systematically disagreeing with every
+    majority is either stale or uniquely informative, and either way
+    a human wants the list.
+
+    Claims dedup per (source, fact), one join against the winner
+    table on the (subj, pred) key, one source-keyed groupBy."""
+    truth = majority_truth(claims).select(
+        "subj", "pred", F.col("obj").alias("true_obj")
+    )
+    c = claims.select("subj", "pred", "obj", "source").distinct()
+    scored = c.join(truth, ["subj", "pred"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_claims"),
+            F.sum((F.col("obj") == F.col("true_obj")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "source",
+            "n_claims",
+            "n_agree",
+            F.expr("n_agree * 1000000 div n_claims")
+            .cast("long")
+            .alias("acc_e6"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Hand-traced truth discovery, source credibility, expectations."""
+
+from reden_spark.operators.analytics import expectation_check
+from reden_spark.operators.kg_quality import majority_truth, source_accuracy
+
+
+def _claims(spark):
+    rows = [
+        # e1/born: s1,s2 say paris; s3 says rome → paris wins 2:1
+        ("e1", "born", "paris", "s1"),
+        ("e1", "born", "paris", "s2"),
+        ("e1", "born", "rome", "s3"),
+        # duplicate assertion by one source counts once
+        ("e1", "born", "rome", "s3"),
+        # e2/born: 1-1 tie → lexicographic winner "berlin"
+        ("e2", "born", "berlin", "s1"),
+        ("e2", "born", "madrid", "s3"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source string"
+    )
+
+
+def test_majority_truth_exact(spark):
+    out = {(r.subj, r.pred): r for r in majority_truth(_claims(spark)).collect()}
+    assert out[("e1", "born")].obj == "paris"
+    assert out[("e1", "born")].votes == 2
+    assert out[("e1", "born")].n_values == 2
+    assert out[("e2", "born")].obj == "berlin"   # deterministic tie-break
+    assert out[("e2", "born")].votes == 1
+
+
+def test_source_accuracy_exact(spark):
+    out = {r.source: r for r in source_accuracy(_claims(spark)).collect()}
+    # s1 agrees on both facts; s2 on its one; s3 on neither
+    assert out["s1"].n_claims == 2 and out["s1"].n_agree == 2
+    assert out["s1"].acc_e6 == 1000000
+    assert out["s2"].acc_e6 == 1000000
+    assert out["s3"].n_claims == 2 and out["s3"].n_agree == 0
+    assert out["s3"].acc_e6 == 0
+
+
+def test_expectation_check_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 99, "a"), (2, None, "z")],
+        "id long, v long, tag string",
+    )
+    out = {(r.col, r.kind): r for r in expectation_check(
+        df,
+        [
+            ("id", "not_null"),
+            ("id", "unique"),
+            ("v", "range", 0, 50),
+            ("tag", "in_set", ["a", "b"]),
+        ],
+    ).collect()}
+    assert out[("id", "not_null")].n_violations == 0
+    assert out[("id", "not_null")].passed
+    assert out[("id", "unique")].n_violations == 1      # duplicate 2
+    assert out[("v", "range")].n_violations == 2        # 99 and null
+    assert out[("tag", "in_set")].n_violations == 1     # "z"
+    assert all(r.n_rows == 3 for r in out.values())
