@@ -18638,3 +18638,168 @@ def q_expectation_check(spark, sf_dir):
             ),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 33: linear-threshold cascade, adjacency-gap compression
+# estimate, cross-schema column matching.
+
+
+_CASC_ROUNDS = 3
+
+
+def _casc_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"WITH cbase AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM cbase),
+    cth AS MATERIALIZED (
+      SELECT node, 1 + node % 3 AS k FROM (
+        SELECT DISTINCT src AS node FROM ce
+        UNION SELECT dst FROM ce)),
+    a0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS round_activated
+      FROM cth WHERE node % 100 = 0)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    inf{i} AS (
+      SELECT cand, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT e.dst AS cand, e.src
+        FROM a{i - 1} a JOIN ce e ON e.src = a.node)
+      GROUP BY 1),
+    new{i} AS (
+      SELECT f.cand AS node FROM inf{i} f JOIN cth t ON t.node = f.cand
+      WHERE f.n >= t.k
+        AND f.cand NOT IN (SELECT node FROM a{i - 1})),
+    a{i} AS MATERIALIZED (
+      SELECT node, round_activated FROM a{i - 1}
+      UNION ALL
+      SELECT node, CAST({i} AS BIGINT) FROM new{i})"""
+        )
+    parts.append(f"\n    SELECT node, round_activated FROM a{rounds}")
+    return "".join(parts)
+
+
+@query("threshold_cascade", _casc_oracle_sql(_CASC_ROUNDS))
+def q_threshold_cascade(spark, sf_dir):
+    """Linear-threshold cascade (operators/propagate.
+    threshold_cascade): seeds %100, integer thresholds 1 + node%3,
+    synchronous activation when distinct active in-neighbors reach
+    k — the fused-KG poisoned-source reach probe, 3 rounds."""
+    from reden_spark.operators.propagate import threshold_cascade
+
+    edges = _kcore_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 100 == 0)
+    th = nodes.select("node", (1 + F.col("node") % 3).alias("k"))
+    return threshold_cascade(edges, seeds, th, rounds=_CASC_ROUNDS)
+
+
+@query(
+    "adjacency_gap_stats",
+    f"""
+    WITH gbase AS ({_KCORE_EDGES_SQL}),
+    gsym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gbase UNION ALL SELECT dst, src FROM gbase)
+      WHERE src <> dst),
+    gaps AS (
+      SELECT src,
+             CASE WHEN lag(dst) OVER w IS NULL THEN dst + 1
+                  ELSE dst - lag(dst) OVER w END AS gap
+      FROM gsym WINDOW w AS (PARTITION BY src ORDER BY dst)),
+    agg AS (
+      SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CAST(floor(log2(gap)) AS BIGINT) + 1) AS BIGINT)
+               AS total_gap_bits
+      FROM gaps),
+    mx AS (SELECT CAST(ceil(log2(greatest(max(dst), 1) + 1)) AS BIGINT)
+             AS raw_bits FROM gsym)
+    SELECT n_nodes, n_edges, total_gap_bits,
+           CAST(total_gap_bits * 1000 // n_edges AS BIGINT)
+             AS bits_per_edge_e3,
+           CAST(raw_bits * 1000 AS BIGINT) AS raw_bits_per_edge_e3
+    FROM agg, mx
+    """,
+)
+def q_adjacency_gap_stats(spark, sf_dir):
+    """Gap-encoding size estimate (operators/graphstats.
+    adjacency_gap_stats): WebGraph bits per edge of the sorted
+    adjacency vs raw fixed-width ids — the renumber-before-
+    materialize planning number."""
+    from reden_spark.operators.graphstats import adjacency_gap_stats
+
+    return adjacency_gap_stats(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "schema_match",
+    """
+    WITH l(col, dtype) AS (VALUES
+      ('cust_key', 'long'), ('acct_bal', 'double'),
+      ('mkt_segment', 'string'), ('nation_key', 'long'),
+      ('createdAt', 'timestamp'), ('comment', 'string')),
+    r(col, dtype) AS (VALUES
+      ('customer_key', 'long'), ('account_bal', 'double'),
+      ('segment_mkt', 'string'), ('nation_fk', 'long'),
+      ('created_at', 'timestamp'), ('notes', 'string')),
+    lt AS (SELECT col AS left_col, dtype AS left_type,
+                  list_distinct(list_filter(string_split_regex(
+                    lower(regexp_replace(col,
+                      '([a-z0-9])([A-Z])', '\\1_\\2', 'g')),
+                    '[^a-z0-9]+'), t -> t <> '')) AS toks
+           FROM l),
+    rt AS (SELECT col AS right_col, dtype AS right_type,
+                  list_distinct(list_filter(string_split_regex(
+                    lower(regexp_replace(col,
+                      '([a-z0-9])([A-Z])', '\\1_\\2', 'g')),
+                    '[^a-z0-9]+'), t -> t <> '')) AS toks
+           FROM r),
+    p AS (SELECT left_col, right_col, left_type, right_type,
+                 CAST(len(list_intersect(lt.toks, rt.toks)) AS BIGINT)
+                   AS i,
+                 CAST(len(list_distinct(list_concat(lt.toks, rt.toks)))
+                      AS BIGINT) AS u
+          FROM lt CROSS JOIN rt),
+    s AS (SELECT left_col, right_col,
+                 i * 1000000 // u AS sim_e6,
+                 left_type = right_type AS type_match,
+                 row_number() OVER (PARTITION BY left_col
+                   ORDER BY i * 1000000 // u DESC, right_col ASC) AS rn
+          FROM p WHERE i * 1000000 // u >= 300000)
+    SELECT left_col, right_col, CAST(sim_e6 AS BIGINT) AS sim_e6,
+           type_match
+    FROM s WHERE rn = 1
+    """,
+)
+def q_schema_match(spark, sf_dir):
+    """Cross-schema column alignment (operators/kg_maintain.
+    schema_match): snake/camel token Jaccard, top-1 per left column,
+    below-threshold columns absent — the integration step before
+    schema_compat; createdAt ↔ created_at matches at 1.0."""
+    from reden_spark.operators.kg_maintain import schema_match
+
+    left = spark.createDataFrame(
+        [
+            ("cust_key", "long"), ("acct_bal", "double"),
+            ("mkt_segment", "string"), ("nation_key", "long"),
+            ("createdAt", "timestamp"), ("comment", "string"),
+        ],
+        "col string, dtype string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("customer_key", "long"), ("account_bal", "double"),
+            ("segment_mkt", "string"), ("nation_fk", "long"),
+            ("created_at", "timestamp"), ("notes", "string"),
+        ],
+        "col string, dtype string",
+    )
+    return schema_match(left, right)

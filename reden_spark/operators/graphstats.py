@@ -1225,3 +1225,57 @@ def partition_cut_stats(
             .alias("replication_e6"),
         )
     )
+
+
+def adjacency_gap_stats(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, total_gap_bits, bits_per_edge_e3,
+    raw_bits_per_edge_e3): WebGraph-style gap-encoding size estimate
+    of the sorted adjacency lists — per node, neighbors sort and each
+    gap costs floor(log2(gap)) + 1 bits (the first neighbor is stored
+    as value + 1).  Against raw_bits = ceil(log2(max_id + 1)) per
+    edge, the ratio says whether locality-aware id assignment
+    (graph re-numbering) is worth a pass before materializing a
+    100-TB adjacency table.  log2 on exact integers floors safely in
+    IEEE doubles (< 2^53) — same expression both engines.
+
+    One (node)-keyed window over the sorted edge list + one global
+    reduce."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = sym.withColumn("prev", F.lag("dst").over(w)).select(
+        "src",
+        F.when(
+            F.col("prev").isNull(), F.col("dst") + 1
+        ).otherwise(F.col("dst") - F.col("prev")).alias("gap"),
+    )
+    bits = F.floor(F.log2(F.col("gap"))) + 1
+    agg = gaps.agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(bits).cast("long").alias("total_gap_bits"),
+    )
+    mx = sym.agg(
+        (F.ceil(F.log2(F.greatest(F.max("dst"), F.lit(1)) + 1)))
+        .cast("long")
+        .alias("raw_bits")
+    )
+    return agg.crossJoin(F.broadcast(mx)).select(
+        "n_nodes",
+        "n_edges",
+        "total_gap_bits",
+        F.expr("total_gap_bits * 1000 div n_edges")
+        .cast("long")
+        .alias("bits_per_edge_e3"),
+        (F.col("raw_bits") * 1000).cast("long").alias(
+            "raw_bits_per_edge_e3"
+        ),
+    )

@@ -657,3 +657,62 @@ def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
             "added_required", "removed", "type_changed", "nullable_tightened"
         ).alias("breaking"),
     )
+
+
+def schema_match(
+    left: DataFrame, right: DataFrame, min_sim_e6: int = 300000
+) -> DataFrame:
+    """(left_col, right_col, sim_e6, type_match): cross-SCHEMA column
+    alignment by name-token Jaccard — the integration step BEFORE
+    schema_compat can run, when two sources never shared names
+    ('cust_key' vs 'customer_id').  Inputs are column inventories
+    (col, dtype); names split on snake/camel boundaries; top-1 match
+    per left column with a deterministic (sim desc, right_col) pick,
+    below-threshold columns report no row (their absence IS the
+    unmatched list via anti-join).
+
+    Scale shape: column inventories are tiny — one broadcast cross of
+    two token-set tables; nothing here touches data rows."""
+    def toks(df, side):
+        return df.select(
+            F.col("col").alias(f"{side}_col"),
+            F.col("dtype").alias(f"{side}_type"),
+            F.array_distinct(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(
+                            F.col("col"), "([a-z0-9])([A-Z])", "$1_$2"
+                        )
+                    ),
+                    "[^a-z0-9]+",
+                )
+            ).alias(f"{side}_toks"),
+        )
+
+    l, r = toks(left, "left"), toks(right, "right")
+    pairs = l.crossJoin(F.broadcast(r))
+    inter = F.size(
+        F.array_intersect(F.col("left_toks"), F.col("right_toks"))
+    ).cast("long")
+    union = F.size(
+        F.array_union(F.col("left_toks"), F.col("right_toks"))
+    ).cast("long")
+    w = Window.partitionBy("left_col").orderBy(
+        F.desc("sim_e6"), F.asc("right_col")
+    )
+    return (
+        pairs.withColumn("_i", inter)
+        .withColumn("_u", union)
+        .withColumn("sim_e6", F.expr("_i * 1000000 div _u"))
+        .filter(F.col("sim_e6") >= min_sim_e6)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "left_col",
+            "right_col",
+            "sim_e6",
+            (F.col("left_type") == F.col("right_type")).alias(
+                "type_match"
+            ),
+        )
+    )

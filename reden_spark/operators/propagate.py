@@ -65,3 +65,48 @@ def feature_propagation(
             lambda s: s.val,
         ).alias("vec")
     )
+
+
+def threshold_cascade(
+    edges: DataFrame,
+    seeds: DataFrame,
+    thresholds: DataFrame,
+    rounds: int = 6,
+) -> DataFrame:
+    """(node, round_activated): deterministic linear-threshold cascade
+    (Granovetter/Kempe-Kleinberg with integer thresholds) — a node
+    activates in round r+1 when at least ``k(node)`` of its DISTINCT
+    in-neighbors are active after round r; seeds are round 0.  The
+    influence-propagation primitive for KG trust ("how far does a
+    poisoned source reach once fused?") with everything integer and
+    synchronous, so both engines agree bit-for-bit.
+
+    Scale shape: per round ONE join of the frontier-so-far against
+    the edge list + one dst-keyed distinct-count — no per-node loops,
+    state is one row per activated node."""
+    active = seeds.select(
+        "node", F.lit(0).cast("long").alias("round_activated")
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct()
+    th = thresholds.select("node", F.col("k").cast("long").alias("k"))
+    for r in range(1, rounds + 1):
+        influenced = (
+            active.join(e, active["node"] == e["src"])
+            .select(F.col("dst").alias("cand"), F.col("src"))
+            .distinct()
+            .groupBy("cand")
+            .agg(F.count("*").cast("long").alias("n_active_in"))
+        )
+        newly = (
+            influenced.join(
+                th, influenced["cand"] == th["node"]
+            )
+            .filter(F.col("n_active_in") >= F.col("k"))
+            .select(F.col("cand").alias("node"))
+            .join(active.select("node"), "node", "left_anti")
+            .withColumn("round_activated", F.lit(r).cast("long"))
+        )
+        if newly.isEmpty():
+            break
+        active = active.unionByName(newly).localCheckpoint(eager=True)
+    return active

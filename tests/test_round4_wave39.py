@@ -1,0 +1,66 @@
+"""Hand-traced threshold cascade, gap encoding, schema matching."""
+
+from reden_spark.operators.graphstats import adjacency_gap_stats
+from reden_spark.operators.kg_maintain import schema_match
+from reden_spark.operators.propagate import threshold_cascade
+
+
+def test_threshold_cascade_exact(spark):
+    # a,b seeds; c needs 2 in-neighbors (a,b) → round 1;
+    # d needs 1 (c) → round 2; e needs 3 → never
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d"), ("a", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    th = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 1), ("e", 3)],
+        "node string, k long",
+    )
+    out = {r.node: r.round_activated
+           for r in threshold_cascade(edges, seeds, th, rounds=5).collect()}
+    assert out == {"a": 0, "b": 0, "c": 1, "d": 2}
+
+
+def test_threshold_cascade_distinct_neighbors(spark):
+    # duplicate edges must count as ONE active in-neighbor
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    th = spark.createDataFrame([("c", 2)], "node string, k long")
+    out = threshold_cascade(edges, seeds, th, rounds=3).collect()
+    assert {r.node for r in out} == {"a"}    # c never reaches 2
+
+
+def test_adjacency_gap_stats_exact(spark):
+    # undirected: 1-2, 1-3, 1-9
+    # node 1 nbrs [2,3,9]: gaps 3(first:2+1),1,6 → bits 2+1+3 = 6
+    # node 2 nbrs [1]: gap 2 → 2 bits; node 3: gap 2 → 2; node 9: gap 2 → 2
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 9)], "src long, dst long"
+    )
+    r = adjacency_gap_stats(edges).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 6
+    assert r.total_gap_bits == 6 + 2 + 2 + 2
+    assert r.raw_bits_per_edge_e3 == 4000    # ceil(log2(10)) = 4
+
+
+def test_schema_match_exact(spark):
+    left = spark.createDataFrame(
+        [("cust_key", "long"), ("createdAt", "timestamp"),
+         ("comment", "string")],
+        "col string, dtype string",
+    )
+    right = spark.createDataFrame(
+        [("customer_key", "long"), ("created_at", "timestamp"),
+         ("notes", "string")],
+        "col string, dtype string",
+    )
+    out = {r.left_col: r for r in schema_match(left, right).collect()}
+    assert out["createdAt"].right_col == "created_at"
+    assert out["createdAt"].sim_e6 == 1000000
+    assert out["createdAt"].type_match
+    assert out["cust_key"].right_col == "customer_key"
+    assert out["cust_key"].sim_e6 == 333333
+    assert "comment" not in out             # below threshold: absent
