@@ -18803,3 +18803,138 @@ def q_schema_match(spark, sf_dir):
         "col string, dtype string",
     )
     return schema_match(left, right)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 34: Matryoshka truncation recall, physical-layout
+# clustering factor.
+
+
+_DOT8_SQL = """
+    list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(range(1, 9), i -> {a}[i] * {b}[i])),
+                (x, y) -> x + y)
+"""
+
+
+@query(
+    "ann_recall_truncated",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norms AS (
+      SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm
+      FROM e),
+    t AS (SELECT vec_id, v[1:8] AS v8 FROM e),
+    tn AS (SELECT vec_id, v8,
+                  sqrt({_DOT8_SQL.format(a='v8', b='v8')}) AS nrm8
+           FROM t),
+    approx AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT q.vec_id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT8_SQL.format(a='q.v8', b='n.v8')}
+                          / (q.nrm8 * n.nrm8) DESC,
+                          n.vec_id ASC) AS rank
+        FROM tn q JOIN tn n ON q.vec_id <> n.vec_id)
+      WHERE rank <= 3 AND vec_id < 100),
+    exact AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT q.vec_id, n.vec_id AS neighbor,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='n.v')}
+                          / (q.nrm * n.nrm) DESC,
+                          n.vec_id ASC) AS rank
+        FROM (SELECT * FROM norms WHERE vec_id < 100) q
+        JOIN norms n ON q.vec_id <> n.vec_id) WHERE rank <= 3),
+    hit AS (
+      SELECT a.vec_id, a.neighbor FROM approx a
+      JOIN exact x ON a.vec_id = x.vec_id AND a.neighbor = x.neighbor)
+    SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / (SELECT count(*) FROM exact), 9) AS recall
+    """,
+)
+def q_ann_recall_truncated(spark, sf_dir):
+    """Matryoshka truncation recall (operators/similarity.
+    truncated_topk): top-3 cosine on the first 8 of 64 dims vs the
+    full-dim exact top-3 (queries vec_id < 100) — prices the 8×
+    cheaper dot product the way ann_recall_lsh prices buckets."""
+    from reden_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        truncated_topk,
+        with_norms,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    en = with_norms(emb)
+    exact = cosine_topk(en.filter(F.col("id") < 100), en, k=3)
+    approx = truncated_topk(emb, d=8, k=3).filter(F.col("id") < 100)
+    return ann_recall(approx, exact)
+
+
+@query(
+    "clustering_factor",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             c_custkey // 128 AS part, c_custkey // 64 AS bucket
+      FROM customer),
+    seg AS (
+      SELECT 'c_mktsegment' AS col,
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> v
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+      FROM (SELECT c_mktsegment AS v,
+                   lag(c_mktsegment) OVER (PARTITION BY part
+                                           ORDER BY c_custkey) AS prev
+            FROM c)),
+    nat AS (
+      SELECT 'c_nationkey',
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> v
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT v) AS BIGINT)
+      FROM (SELECT c_nationkey AS v,
+                   lag(c_nationkey) OVER (PARTITION BY part
+                                          ORDER BY c_custkey) AS prev
+            FROM c)),
+    bkt AS (
+      SELECT 'bucket',
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> v
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT v) AS BIGINT)
+      FROM (SELECT bucket AS v,
+                   lag(bucket) OVER (PARTITION BY part
+                                     ORDER BY c_custkey) AS prev
+            FROM c)),
+    u AS (SELECT * FROM seg UNION ALL SELECT * FROM nat
+          UNION ALL SELECT * FROM bkt)
+    SELECT col, n_runs, n_distinct,
+           CAST(n_distinct * 1000000 // n_runs AS BIGINT)
+             AS clustering_e6
+    FROM u
+    """,
+)
+def q_clustering_factor(spark, sf_dir):
+    """Layout clustering audit (operators/kg_maintain.
+    clustering_factor): per-column run counts under the current
+    (part, order) layout — the planted `bucket` column is perfectly
+    clustered (ratio 1.0), segment/nation interleave badly; the
+    measure-before-zorder step."""
+    from reden_spark.operators.kg_maintain import clustering_factor
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_custkey") / 128).cast("long").alias("part"),
+        (F.col("c_custkey") / 64).cast("long").alias("bucket"),
+    )
+    return clustering_factor(
+        cust,
+        ["c_mktsegment", "c_nationkey", "bucket"],
+        part_col="part",
+        order_col="c_custkey",
+    )

@@ -716,3 +716,48 @@ def schema_match(
             ),
         )
     )
+
+
+def clustering_factor(
+    df: DataFrame,
+    cols: list[str],
+    part_col: str,
+    order_col: str,
+) -> DataFrame:
+    """(col, n_runs, n_distinct, clustering_e6): how clustered each
+    candidate column's values are under the CURRENT physical layout —
+    runs are maximal same-value stretches within a partition/file in
+    ``order_col`` order; a column whose n_runs ≈ n_distinct prunes
+    beautifully as-is, one whose runs explode is the one zorder_layout
+    / a sort rewrite should target.  clustering_e6 = distinct/runs in
+    micro-units (1.0 = perfectly clustered).  The measure-BEFORE-
+    rewriting companion to zorder_layout and compaction_plan.
+
+    Scale shape: one lag-window per audited column, each keyed on the
+    partition column (file-local order is exactly what min/max pruning
+    sees) — no global sort, no shuffle beyond the partition key."""
+    out = None
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    for c in cols:
+        runs = df.select(
+            F.when(
+                F.lag(F.col(c)).over(w).isNull()
+                | (F.lag(F.col(c)).over(w) != F.col(c)),
+                1,
+            )
+            .otherwise(0)
+            .alias("_new_run"),
+            F.col(c).alias("_val"),
+        ).agg(
+            F.sum("_new_run").cast("long").alias("n_runs"),
+            F.countDistinct("_val").cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(c).alias("col"),
+            "n_runs",
+            "n_distinct",
+            F.expr("n_distinct * 1000000 div n_runs")
+            .cast("long")
+            .alias("clustering_e6"),
+        )
+        out = runs if out is None else out.unionByName(runs)
+    return out

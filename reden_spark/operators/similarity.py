@@ -1262,3 +1262,27 @@ def knn_null_baseline(
     return knn_label_accuracy(
         deranged, k=1, vec_col=vec_col, id_col=id_col, label_col=label_col
     )
+
+
+def truncated_topk(
+    embeddings: DataFrame,
+    d: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, neighbor, rank): brute-force cosine top-k computed on the
+    FIRST ``d`` dimensions only — the Matryoshka-style truncation
+    probe (Kusupati et al. 2022): if recall against the full-dim
+    top-k (ann_recall) stays high, every downstream ANN scan gets a
+    dim/d-times cheaper dot product for free.  Truncation is a slice,
+    no projection matrix — the cheapest dimension-reduction there is,
+    and the one MRL-trained embeddings are built for.
+
+    Same scale shape as cosine_topk on the sliced vectors."""
+    tr = embeddings.select(
+        F.col(id_col).alias(id_col),
+        F.slice(F.col(vec_col), 1, d).alias(vec_col),
+    )
+    en = with_norms(tr, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(en, en, k=k)

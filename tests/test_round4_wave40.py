@@ -1,0 +1,49 @@
+"""Hand-traced truncation recall and clustering factor."""
+
+from reden_spark.operators.kg_maintain import clustering_factor
+from reden_spark.operators.similarity import (
+    ann_recall,
+    cosine_topk,
+    truncated_topk,
+    with_norms,
+)
+
+
+def test_truncated_topk_first_dims_only(spark):
+    # vectors differ ONLY in dims 3-4; truncation to d=2 makes all
+    # corpus vectors identical in the truncated space
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 5.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 5.0]),
+            (2, [1.0, 0.0, 5.0, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    tr = {(r.id, r.rank): r.neighbor
+          for r in truncated_topk(emb, d=2, k=2).collect()}
+    # all truncated cosines are 1.0 → rank order falls to neighbor id
+    assert tr[(0, 1)] == 1 and tr[(0, 2)] == 2
+    full = with_norms(emb)
+    ex = {(r.id, r.rank): r.neighbor
+          for r in cosine_topk(full, full, k=1).collect()}
+    assert ex[(0, 1)] == 2                  # full-dim: 2 is the true nn
+    r = ann_recall(
+        truncated_topk(emb, d=2, k=1), cosine_topk(full, full, k=1)
+    ).collect()[0]
+    assert r.n_exact == 3 and 0 <= r.n_hit < 3
+
+
+def test_clustering_factor_exact(spark):
+    # part 0 rows in order: tag a,a,b,b | val 1,2,1,2
+    df = spark.createDataFrame(
+        [(0, 0, "a", 1), (0, 1, "a", 2), (0, 2, "b", 1), (0, 3, "b", 2)],
+        "part long, ord long, tag string, val long",
+    )
+    out = {r.col: r for r in clustering_factor(
+        df, ["tag", "val"], part_col="part", order_col="ord"
+    ).collect()}
+    assert out["tag"].n_runs == 2 and out["tag"].n_distinct == 2
+    assert out["tag"].clustering_e6 == 1000000     # perfectly clustered
+    assert out["val"].n_runs == 4 and out["val"].n_distinct == 2
+    assert out["val"].clustering_e6 == 500000      # interleaved
