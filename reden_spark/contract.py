@@ -18938,3 +18938,195 @@ def q_clustering_factor(spark, sf_dir):
         part_col="part",
         order_col="c_custkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 35: type-2 clone detection, HLL set-overlap estimate.
+
+
+_T2_FILES_SQL = """
+    SELECT 'a' || CAST(doc_id AS VARCHAR) AS id,
+           'def calc_' || CAST(doc_id AS VARCHAR) || '(alpha, beta):'
+             || ' total = alpha * 12'
+             || repeat(' + beta', (doc_id % 7) + 1)
+             || repeat(' * 3', (doc_id % 5) + 1)
+             || repeat(' - alpha', (doc_id % 11) + 1)
+             || ' return total' AS content
+    FROM documents
+    UNION ALL
+    SELECT 'b' || CAST(doc_id AS VARCHAR),
+           'def zz_' || CAST(doc_id AS VARCHAR) || 'q(left2, right3):'
+             || ' acc = left2 * 777'
+             || repeat(' + right3', (doc_id % 7) + 1)
+             || repeat(' * 9', (doc_id % 5) + 1)
+             || repeat(' - left2', (doc_id % 11) + 1)
+             || ' return acc'
+    FROM documents
+"""
+
+_T2_TOKEN_RX_SQL = (
+    "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|''[^'']*''|\"[^\"]*\""
+    "|[^A-Za-z0-9_ \\t\\r\\n]+"
+)
+
+_T2_NORM_SQL = f"""
+    lower(regexp_replace(array_to_string(list_transform(
+      regexp_extract_all(content, '{_T2_TOKEN_RX_SQL}'),
+      t -> CASE WHEN t IN ('def', 'class', 'return', 'import', 'from',
+                           'if', 'elif', 'else', 'while', 'for', 'in',
+                           'not', 'and', 'or', 'lambda', 'pass', 'try',
+                           'except', 'raise', 'yield', 'with', 'as',
+                           'None', 'True', 'False') THEN t
+                WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'I'
+                WHEN regexp_matches(t, '^[0-9]') THEN 'N'
+                WHEN regexp_matches(t, '^[''\"]') THEN 'S'
+                ELSE t END), ' '), '[ \\t\\r\\n]+', '', 'g'))
+"""
+
+
+@query(
+    "clone_pairs_t2",
+    f"""
+    WITH tfiles AS ({_T2_FILES_SQL}),
+    wf AS (SELECT id, {_T2_NORM_SQL} AS nc FROM tfiles),
+    wgrams AS (
+      SELECT id, unnest(generate_series(1, length(nc) - 11)) AS pos, nc
+      FROM wf WHERE length(nc) >= 12),
+    wh AS (SELECT id, pos, md5('wf:' || substr(nc, pos, 12)) AS h
+           FROM wgrams),
+    wmins AS (
+      SELECT id, pos,
+             min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM wh),
+    fps AS (SELECT id, fp FROM wmins WHERE pos >= 4 GROUP BY id, fp),
+    fdf AS (SELECT fp, count(DISTINCT id) AS df FROM fps GROUP BY fp),
+    kept AS (SELECT f.id, f.fp FROM fps f JOIN fdf ON f.fp = fdf.fp
+             WHERE fdf.df <= 64),
+    sizes AS (SELECT id, count(*) AS n_fp FROM kept GROUP BY id),
+    shr AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT s.id_a, s.id_b, CAST(s.shared AS BIGINT) AS shared,
+           CAST(s.shared * 1000000
+                // least(sa.n_fp, sb.n_fp) AS BIGINT) AS sim_e6
+    FROM shr s JOIN sizes sa ON sa.id = s.id_a
+               JOIN sizes sb ON sb.id = s.id_b
+    """,
+)
+def q_clone_pairs_t2(spark, sf_dir):
+    """Type-2 clone detection (operators/winnow.type2_normalize →
+    winnow_fingerprints → clone_pairs): identifier/literal-abstracted
+    winnowing — every planted renamed copy (a_d, b_d) surfaces at
+    sim 1e6; structural repeat counts keep templates distinct so the
+    boilerplate df-cap never swallows the signal."""
+    from reden_spark.operators.winnow import (
+        clone_pairs,
+        type2_normalize,
+        winnow_fingerprints,
+    )
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+
+    def rep(snippet, times):
+        return F.expr(f"repeat('{snippet}', {times})")
+
+    a = docs.select(
+        F.concat(F.lit("a"), s(d)).alias("subj"),
+        F.concat(
+            F.lit("def calc_"), s(d), F.lit("(alpha, beta):"),
+            F.lit(" total = alpha * 12"),
+            rep(" + beta", "(doc_id % 7) + 1"),
+            rep(" * 3", "(doc_id % 5) + 1"),
+            rep(" - alpha", "(doc_id % 11) + 1"),
+            F.lit(" return total"),
+        ).alias("content"),
+    )
+    b = docs.select(
+        F.concat(F.lit("b"), s(d)).alias("subj"),
+        F.concat(
+            F.lit("def zz_"), s(d), F.lit("q(left2, right3):"),
+            F.lit(" acc = left2 * 777"),
+            rep(" + right3", "(doc_id % 7) + 1"),
+            rep(" * 9", "(doc_id % 5) + 1"),
+            rep(" - left2", "(doc_id % 11) + 1"),
+            F.lit(" return acc"),
+        ).alias("content"),
+    )
+    files = a.unionByName(b).withColumn(
+        "content", type2_normalize("content")
+    )
+    fps = winnow_fingerprints(files)
+    return clone_pairs(fps)
+
+
+@query(
+    "hll_overlap",
+    """
+    WITH va AS (SELECT DISTINCT o_custkey AS v FROM orders
+                WHERE o_orderkey % 2 = 0),
+    vb AS (SELECT DISTINCT o_custkey AS v FROM orders
+           WHERE o_orderkey % 3 = 0),
+    pool AS (
+      SELECT 'a' AS g, v FROM va
+      UNION ALL SELECT 'b', v FROM vb
+      UNION ALL SELECT 'u', v FROM va
+      UNION ALL SELECT 'u', v FROM vb),
+    h AS (SELECT g, md5('hll:' || CAST(v AS VARCHAR)) AS hx FROM pool),
+    r AS (SELECT g, substr(hx, 1, 2) AS bucket, substr(hx, 3, 13) AS tail
+          FROM h),
+    rk AS (SELECT g, bucket,
+                  length(regexp_extract(tail, '^(0*)', 1)) AS z,
+                  substr(tail,
+                         length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+                    AS c
+           FROM r),
+    reg AS (SELECT g, bucket,
+                   CAST(max(CASE WHEN c = '' THEN 53
+                        ELSE 4 * z
+                             + CASE WHEN c = '1' THEN 3
+                                    WHEN c IN ('2', '3') THEN 2
+                                    WHEN c IN ('4', '5', '6', '7') THEN 1
+                                    ELSE 0 END
+                             + 1 END) AS BIGINT) AS reg
+            FROM rk GROUP BY 1, 2),
+    agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_hit,
+                   CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+                     + (256 - CAST(count(*) AS BIGINT))
+                       * 9007199254740992 AS sum_units
+            FROM reg GROUP BY 1),
+    est AS (SELECT g,
+                   CAST(floor(0.7213::DOUBLE
+                        / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                        * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+                        * 1000000.0::DOUBLE
+                        / CAST(sum_units AS DOUBLE)) AS BIGINT) AS est_e6
+            FROM agg),
+    p AS (SELECT max(CASE WHEN g = 'a' THEN est_e6 END) AS est_a_e6,
+                 max(CASE WHEN g = 'b' THEN est_e6 END) AS est_b_e6,
+                 max(CASE WHEN g = 'u' THEN est_e6 END) AS est_union_e6
+          FROM est)
+    SELECT est_a_e6, est_b_e6, est_union_e6,
+           greatest(CAST(0 AS BIGINT),
+                    est_a_e6 + est_b_e6 - est_union_e6) AS est_overlap_e6
+    FROM p
+    """,
+)
+def q_hll_overlap(spark, sf_dir):
+    """Sketch-only set overlap (operators/sketches.hll_overlap):
+    inclusion-exclusion over register-max-merged HLLs of the even- and
+    third-orderkey customer sets — the cross-source overlap question
+    answered from two 256-row sketches."""
+    from reden_spark.operators.sketches import hll_overlap
+
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("v")
+    ).distinct()
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("v")
+    ).distinct()
+    return hll_overlap(a, b, "v")

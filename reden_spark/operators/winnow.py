@@ -155,3 +155,39 @@ def clone_pairs(
             F.expr(f"shared * {E6} div least(n_a, n_b)").alias("sim_e6"),
         )
     )
+
+
+_T2_TOKEN_RX = (
+    "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|'[^']*'|\"[^\"]*\"|[^A-Za-z0-9_ \\t\\r\\n]+"
+)
+_T2_KEYWORDS = (
+    "def", "class", "return", "import", "from", "if", "elif", "else",
+    "while", "for", "in", "not", "and", "or", "lambda", "pass", "try",
+    "except", "raise", "yield", "with", "as", "None", "True", "False",
+)
+
+
+def type2_normalize(col) -> "F.Column":
+    """Type-2 clone view of source content (identifier- and
+    literal-abstracted): identifiers → ``I``, numbers → ``N``, string
+    literals → ``S``, keywords and operators kept verbatim — the
+    normalization under which a RENAMED copy of a function is
+    byte-identical, so winnowing over it finds type-2 clones exactly
+    as it finds type-1 over normalize_code.  Token-level (extract-all
+    + transform + CASE), no lookarounds — RE2-safe, oracle ports
+    verbatim.
+
+    Compose: ``winnow_fingerprints(files.withColumn("content",
+    type2_normalize("content")))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    kw = F.array(*[F.lit(k) for k in _T2_KEYWORDS])
+    toks = F.regexp_extract_all(c, F.lit(_T2_TOKEN_RX), 0)
+    t2 = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(kw, t), t)
+        .when(t.rlike("^[A-Za-z_]"), F.lit("I"))
+        .when(t.rlike("^[0-9]"), F.lit("N"))
+        .when(t.rlike("^['\"]"), F.lit("S"))
+        .otherwise(t),
+    )
+    return F.array_join(t2, " ")

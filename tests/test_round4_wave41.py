@@ -1,0 +1,60 @@
+"""Hand-traced type-2 clone normalization and HLL overlap."""
+
+from reden_spark.operators.sketches import hll_overlap
+from reden_spark.operators.winnow import (
+    clone_pairs,
+    type2_normalize,
+    winnow_fingerprints,
+)
+from pyspark.sql import functions as F
+
+
+def test_type2_normalize_abstracts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "def foo(bar): return bar * 42 + 'txt'"),
+            (2, 'def zz(q7): return q7 * 999 + "other"'),
+        ],
+        "id long, content string",
+    )
+    out = {r.id: r.n for r in df.select(
+        "id", type2_normalize("content").alias("n")
+    ).collect()}
+    # renamed identifiers, different numbers and strings → identical
+    assert out[1] == out[2]
+    assert out[1] == "def I ( I ): return I * N + S"
+
+
+def test_type2_clone_pair_found(spark):
+    base = (
+        "def calc(alpha, beta): total = alpha * 12 + beta"
+        " - alpha * beta + alpha return total"
+    )
+    renamed = (
+        "def comp(left, right): acc = left * 999 + right"
+        " - left * right + left return acc"
+    )
+    other = (
+        "class Widget: pass pass pass pass pass pass pass pass"
+        " pass pass pass pass"
+    )
+    files = spark.createDataFrame(
+        [("a", base), ("b", renamed), ("c", other)],
+        "subj string, content string",
+    ).withColumn("content", type2_normalize("content"))
+    pairs = clone_pairs(winnow_fingerprints(files)).collect()
+    top = {(r.id_a, r.id_b): r.sim_e6 for r in pairs}
+    assert top[("a", "b")] == 1000000    # full containment after T2
+    assert all({a, b} != {"a", "c"} for a, b in top)
+
+
+def test_hll_overlap_subset(spark):
+    # B ⊂ A: overlap estimate ≈ est(B), union ≈ est(A)
+    a = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    r = hll_overlap(a, b, "v").collect()[0]
+    assert r.est_union_e6 == r.est_a_e6          # union adds nothing
+    assert r.est_overlap_e6 == r.est_b_e6        # inclusion-exclusion
+    # sketch accuracy sanity: within 15% of truth
+    assert abs(r.est_a_e6 / 1e6 - 2000) < 300
+    assert abs(r.est_b_e6 / 1e6 - 1000) < 150
