@@ -19130,3 +19130,165 @@ def q_hll_overlap(spark, sf_dir):
         F.col("o_custkey").alias("v")
     ).distinct()
     return hll_overlap(a, b, "v")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 36: partition refinement, property-chain inference,
+# truthy-rank projection.
+
+
+@query(
+    "partition_refine",
+    f"""
+    WITH prb AS ({_KCORE_EDGES_SQL}),
+    prsym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM prb UNION ALL SELECT dst, src FROM prb)
+      WHERE src <> dst),
+    asg AS (SELECT node, node % 8 AS part FROM (
+              SELECT DISTINCT src AS node FROM prsym)),
+    np AS (SELECT s.src AS node, a.part AS npart
+           FROM prsym s JOIN asg a ON a.node = s.dst),
+    cnt AS (SELECT node, npart, CAST(count(*) AS BIGINT) AS c
+            FROM np GROUP BY 1, 2),
+    best AS (SELECT node, npart AS best, c AS bc FROM (
+               SELECT node, npart, c,
+                      row_number() OVER (PARTITION BY node
+                        ORDER BY c DESC, npart ASC) AS rn
+               FROM cnt) WHERE rn = 1),
+    curc AS (SELECT c0.node, c0.c AS cur_c
+             FROM cnt c0 JOIN asg a
+               ON a.node = c0.node AND a.part = c0.npart)
+    SELECT a.node, a.part AS old_part,
+           CASE WHEN b.best IS NOT NULL
+                     AND b.bc > COALESCE(cc.cur_c, 0)
+                THEN b.best ELSE a.part END AS new_part,
+           CASE WHEN b.best IS NOT NULL
+                     AND b.bc > COALESCE(cc.cur_c, 0)
+                THEN b.best ELSE a.part END <> a.part AS moved
+    FROM asg a LEFT JOIN best b ON b.node = a.node
+               LEFT JOIN curc cc ON cc.node = a.node
+    """,
+)
+def q_partition_refine(spark, sf_dir):
+    """One LPA refinement round (operators/graphstats.
+    partition_refine) over the node%8 assignment of the kcore graph —
+    strict-majority moves with deterministic tie-breaks; compose with
+    partition_cut_stats to watch the cut drop."""
+    from reden_spark.operators.graphstats import partition_refine
+
+    edges = _kcore_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    assign = nodes.select("node", (F.col("node") % 8).alias("part"))
+    return partition_refine(edges, assign)
+
+
+_CHAIN_TRIPLES_SQL = """
+    SELECT 'e' || CAST(o_orderkey % 400 AS VARCHAR) AS subj,
+           'locatedIn' AS pred,
+           'c' || CAST(o_custkey % 80 AS VARCHAR) AS obj
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'c' || CAST(o_custkey % 80 AS VARCHAR), 'partOf',
+           'r' || CAST(o_custkey % 12 AS VARCHAR)
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'e' || CAST(o_orderkey % 400 AS VARCHAR), 'locatedIn',
+           'r' || CAST(o_custkey % 12 AS VARCHAR)
+    FROM orders WHERE o_orderkey % 25 = 0
+"""
+
+
+@query(
+    "property_chain_infer",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj
+               FROM ({_CHAIN_TRIPLES_SQL})),
+    a AS (SELECT subj AS x, obj AS y FROM t WHERE pred = 'locatedIn'),
+    b AS (SELECT subj AS y, obj AS z FROM t WHERE pred = 'partOf'),
+    inf AS (SELECT DISTINCT a.x AS subj, 'locatedIn' AS pred, b.z AS obj
+            FROM a JOIN b ON b.y = a.y)
+    SELECT i.subj, i.pred, i.obj,
+           t.subj IS NULL AS novel
+    FROM inf i LEFT JOIN t
+      ON t.subj = i.subj AND t.pred = i.pred AND t.obj = i.obj
+    """,
+)
+def q_property_chain_infer(spark, sf_dir):
+    """owl:propertyChainAxiom materialization (operators/ontology.
+    property_chain_infer): locatedIn ∘ partOf ⊑ locatedIn over the
+    entity→city→region fixture; some inferences are planted as
+    already-asserted, so both novel flags appear."""
+    from reden_spark.operators.ontology import property_chain_infer
+
+    orders = _read(spark, sf_dir, "orders")
+    f5 = orders.filter(F.col("o_orderkey") % 5 == 0)
+    f25 = orders.filter(F.col("o_orderkey") % 25 == 0)
+    e = F.concat(F.lit("e"), (F.col("o_orderkey") % 400).cast("string"))
+    c = F.concat(F.lit("c"), (F.col("o_custkey") % 80).cast("string"))
+    r = F.concat(F.lit("r"), (F.col("o_custkey") % 12).cast("string"))
+    triples = (
+        f5.select(e.alias("subj"), F.lit("locatedIn").alias("pred"),
+                  c.alias("obj"))
+        .unionByName(
+            f5.select(c.alias("subj"), F.lit("partOf").alias("pred"),
+                      r.alias("obj"))
+        )
+        .unionByName(
+            f25.select(e.alias("subj"), F.lit("locatedIn").alias("pred"),
+                       r.alias("obj"))
+        )
+        .distinct()
+    )
+    return property_chain_infer(
+        triples, [("locatedIn", "partOf", "locatedIn")]
+    )
+
+
+@query(
+    "truthy_facts",
+    """
+    WITH s AS (
+      SELECT 'e' || CAST(o_custkey % 150 AS VARCHAR) AS subj,
+             'p' || CAST(o_orderkey % 4 AS VARCHAR) AS pred,
+             'v' || CAST(o_orderkey % 9 AS VARCHAR) AS obj,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'preferred'
+                  WHEN o_orderkey % 11 = 1 THEN 'deprecated'
+                  ELSE 'normal' END AS rank
+      FROM orders WHERE o_orderkey % 3 = 0),
+    live AS (SELECT DISTINCT subj, pred, obj, rank,
+                    CASE WHEN rank = 'preferred' THEN 2 ELSE 1 END AS r
+             FROM s WHERE rank <> 'deprecated'),
+    m AS (SELECT subj, pred, obj, rank, r,
+                 max(r) OVER (PARTITION BY subj, pred) AS best
+          FROM live)
+    SELECT DISTINCT subj, pred, obj, rank
+    FROM m WHERE r = best
+    """,
+)
+def q_truthy_facts(spark, sf_dir):
+    """Wikidata truthy projection (operators/kg_quality.truthy_facts):
+    deprecated dropped, preferred shadows normal per (subj, pred) —
+    the ranked-statement → simple-triple dump rule."""
+    from reden_spark.operators.kg_quality import truthy_facts
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    stmts = orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 150).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 4).cast("string"))
+        .alias("pred"),
+        F.concat(F.lit("v"), (F.col("o_orderkey") % 9).cast("string"))
+        .alias("obj"),
+        F.when(F.col("o_orderkey") % 11 == 0, "preferred")
+        .when(F.col("o_orderkey") % 11 == 1, "deprecated")
+        .otherwise("normal")
+        .alias("rank"),
+    )
+    return truthy_facts(stmts)

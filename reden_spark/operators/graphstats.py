@@ -1279,3 +1279,58 @@ def adjacency_gap_stats(edges: DataFrame) -> DataFrame:
             "raw_bits_per_edge_e3"
         ),
     )
+
+
+def partition_refine(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """(node, old_part, new_part, moved): one synchronous
+    label-propagation refinement round over a partition assignment —
+    each node moves to the partition holding the strict majority of
+    its neighbors (deterministic (count desc, part asc) pick; ties
+    with the current partition's count stay put).  The cheap cut
+    reducer between partition_cut_stats measurements: measure →
+    refine → measure, stop when the cut stops dropping.
+
+    Scale shape: one join edge⋈assign, one (node, part) count, one
+    per-node argmax window, one join back — all keyed on node, no
+    global state; rounds compose by feeding new_part back in."""
+    sym = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    ).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    nbr_part = sym.join(
+        assign.select(
+            F.col("node").alias("dst"), F.col("part").alias("npart")
+        ),
+        "dst",
+    ).select(F.col("src").alias("node"), "npart")
+    counts = nbr_part.groupBy("node", "npart").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("npart"))
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("npart").alias("best"), F.col("c").alias("bc"))
+    )
+    cur = assign.select("node", F.col("part").alias("old_part"))
+    cur_count = counts.join(
+        assign.select("node", F.col("part").alias("npart")),
+        ["node", "npart"],
+    ).select("node", F.col("c").alias("cur_c"))
+    return (
+        cur.join(best, "node", "left")
+        .join(cur_count, "node", "left")
+        .select(
+            "node",
+            "old_part",
+            F.when(
+                F.col("best").isNotNull()
+                & (F.col("bc") > F.coalesce(F.col("cur_c"), F.lit(0))),
+                F.col("best"),
+            )
+            .otherwise(F.col("old_part"))
+            .alias("new_part"),
+        )
+        .withColumn("moved", F.col("new_part") != F.col("old_part"))
+    )

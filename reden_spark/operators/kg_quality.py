@@ -910,3 +910,27 @@ def source_accuracy(claims: DataFrame) -> DataFrame:
             .alias("acc_e6"),
         )
     )
+
+
+def truthy_facts(statements: DataFrame) -> DataFrame:
+    """(subj, pred, obj, rank): the Wikidata-style 'truthy' projection
+    of a ranked statement table (subj, pred, obj, rank ∈ preferred |
+    normal | deprecated) — deprecated rows drop, and when any
+    preferred statement exists for a (subj, pred) slot only the
+    preferred ones survive; otherwise the normal ones do.  Exactly the
+    rule that turns a fully-qualified statement dump into the simple
+    triple view most consumers query.
+
+    One (subj, pred) window carrying the best rank + one filter —
+    a single exchange on the slot key."""
+    ranked = statements.filter(F.col("rank") != "deprecated").withColumn(
+        "_r",
+        F.when(F.col("rank") == "preferred", 2).otherwise(1),
+    )
+    grp = Window.partitionBy("subj", "pred")
+    return (
+        ranked.withColumn("_best", F.max("_r").over(grp))
+        .filter(F.col("_r") == F.col("_best"))
+        .select("subj", "pred", "obj", "rank")
+        .distinct()
+    )

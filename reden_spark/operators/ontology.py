@@ -337,3 +337,47 @@ def rdf_list_flatten(
     return out.join(firsts, "node").select(
         "head", F.col("pos").cast("long").alias("pos"), "member"
     )
+
+
+def property_chain_infer(
+    triples: DataFrame, chains: list[tuple]
+) -> DataFrame:
+    """(subj, pred, obj, novel): OWL RL property-chain materialization
+    — each axiom (p1, p2, target) adds target(x, z) wherever
+    p1(x, y) ∧ p2(y, z) (owl:propertyChainAxiom, the two-step form:
+    'located-in ∘ part-of ⊑ located-in' territory).  ``novel`` marks
+    inferences absent from the asserted set, so the caller can both
+    audit the inference volume and union the new rows in.
+
+    One p1⋈p2 join per axiom on the shared middle key + one anti-join
+    flag — axiom list is tiny, the joins are edge-list-sized."""
+    out = None
+    base = triples.select("subj", "pred", "obj")
+    for p1, p2, tgt in chains:
+        a = base.filter(F.col("pred") == p1).select(
+            F.col("subj").alias("x"), F.col("obj").alias("y")
+        )
+        b = base.filter(F.col("pred") == p2).select(
+            F.col("subj").alias("y"), F.col("obj").alias("z")
+        )
+        inf = (
+            a.join(b, "y")
+            .select(
+                F.col("x").alias("subj"),
+                F.lit(tgt).alias("pred"),
+                F.col("z").alias("obj"),
+            )
+            .distinct()
+        )
+        out = inf if out is None else out.unionByName(inf)
+    out = out.distinct()
+    asserted = base.distinct()
+    novel = out.join(asserted, ["subj", "pred", "obj"], "left_anti")
+    return out.join(
+        novel.withColumn("_n", F.lit(True)),
+        ["subj", "pred", "obj"],
+        "left",
+    ).select(
+        "subj", "pred", "obj",
+        F.coalesce(F.col("_n"), F.lit(False)).alias("novel"),
+    )

@@ -1,0 +1,67 @@
+"""Hand-traced partition refine, property chains, truthy ranks."""
+
+from reden_spark.operators.graphstats import partition_refine
+from reden_spark.operators.kg_quality import truthy_facts
+from reden_spark.operators.ontology import property_chain_infer
+
+
+def test_partition_refine_majority_move(spark):
+    # node 1 sits in part 0 but all 3 neighbors are in part 1 → moves;
+    # node 5 (part 1, neighbors split 1-1 with tie) stays
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2), (5, 6)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1), (4, 1), (5, 1), (6, 0)],
+        "node long, part long",
+    )
+    out = {r.node: r for r in partition_refine(edges, assign).collect()}
+    assert out[1].new_part == 1 and out[1].moved
+    # node 5: one neighbor in part 1 (node 2), one in part 0 (node 6);
+    # best count 1 is NOT strictly greater than current count 1 → stays
+    assert out[5].new_part == 1 and not out[5].moved
+
+
+def test_partition_refine_tie_stays(spark):
+    edges = spark.createDataFrame([(2, 1), (2, 5)], "src long, dst long")
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 1), (5, 1)], "node long, part long"
+    )
+    out = {r.node: r for r in partition_refine(edges, assign).collect()}
+    # node 2: nbr counts {0: 1, 1: 1}; best is (1, part 0) but not
+    # strictly greater than current part 1's count 1 → stays
+    assert out[2].new_part == 1 and not out[2].moved
+
+
+def test_property_chain_infer_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            ("e1", "locatedIn", "paris"),
+            ("paris", "partOf", "france"),
+            ("e2", "locatedIn", "lyon"),
+            ("lyon", "partOf", "france"),
+            ("e2", "locatedIn", "france"),   # already asserted
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r.subj, r.obj): r.novel for r in property_chain_infer(
+        triples, [("locatedIn", "partOf", "locatedIn")]
+    ).collect()}
+    assert out[("e1", "france")] is True
+    assert out[("e2", "france")] is False
+
+
+def test_truthy_facts_exact(spark):
+    stmts = spark.createDataFrame(
+        [
+            ("e1", "pop", "100", "normal"),
+            ("e1", "pop", "200", "preferred"),   # shadows normal
+            ("e1", "pop", "300", "deprecated"),  # dropped
+            ("e2", "pop", "50", "normal"),       # survives: no preferred
+            ("e2", "pop", "60", "normal"),
+        ],
+        "subj string, pred string, obj string, rank string",
+    )
+    rows = {(r.subj, r.obj) for r in truthy_facts(stmts).collect()}
+    assert rows == {("e1", "200"), ("e2", "50"), ("e2", "60")}
