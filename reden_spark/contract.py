@@ -19292,3 +19292,73 @@ def q_truthy_facts(spark, sf_dir):
         .alias("rank"),
     )
     return truthy_facts(stmts)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 37: Trojan-Source audits — invisible code points and
+# homoglyph identifiers.
+
+
+def _trojan_files(spark, sf_dir):
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _read(spark, sf_dir, "documents")
+    content = F.concat(
+        F.lit("def run(x): return x"),
+        F.when(d % 20 == 0, F.lit("‮; x = 1")).otherwise(F.lit("")),
+        F.when(d % 30 == 0, F.lit(" va​r2 = 0")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 25 == 0, F.lit(" scоpe = 9")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("src/f_"), s(d), F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+
+
+@query(
+    "invisible_scan",
+    """
+    SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+           'src/f_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+           CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_bidi,
+           CAST(CASE WHEN doc_id % 30 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_zero_width,
+           (doc_id % 20 = 0 OR doc_id % 30 = 0) AS suspicious
+    FROM documents
+    """,
+)
+def q_invisible_scan(spark, sf_dir):
+    """Trojan-Source invisible-char census (operators/quality.
+    invisible_scan, CVE-2021-42574): BiDi override and zero-width
+    counts per file over planted fixtures — zero rows report zeros,
+    the audit wants proof of absence."""
+    from reden_spark.operators.quality import invisible_scan
+
+    return invisible_scan(_trojan_files(spark, sf_dir))
+
+
+@query(
+    "homoglyph_idents",
+    """
+    SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+           'src/f_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+           'sc' || chr(1086) || 'pe' AS ident,
+           'scope' AS skeleton,
+           TRUE AS mixed_script
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q_homoglyph_idents(spark, sf_dir):
+    """Homoglyph identifier audit (operators/quality.
+    homoglyph_idents): Cyrillic-о 'scоpe' folds to skeleton 'scope'
+    and is flagged mixed-script; clean ASCII identifiers emit
+    nothing."""
+    from reden_spark.operators.quality import homoglyph_idents
+
+    return homoglyph_idents(_trojan_files(spark, sf_dir))

@@ -952,3 +952,69 @@ def injection_scan(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return base.withColumn("flagged", (total > 0).cast("int"))
+
+
+_BIDI_RX = "[\u202a-\u202e\u2066-\u2069\u200e\u200f]"
+_ZW_RX = "[\u200b-\u200d\ufeff]"
+
+# Cyrillic / Greek letters visually confusable with ASCII — the
+# Trojan-Source homoglyph set that matters for identifiers
+_CONFUSABLE_FROM = "аеорсхуΑΒΕΖΗΙΚΜΝΟΡΤΥΧАВЕКМНОРСТХ"
+_CONFUSABLE_TO = "aeopcxyABEZHIKMNOPTYXABEKMHOPCTX"
+
+
+def invisible_scan(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, n_bidi, n_zero_width, suspicious): census of the
+    invisible code points behind the Trojan Source attack (Boucher &
+    Anderson 2021, CVE-2021-42574): BiDi embedding/override/isolate
+    controls reorder what reviewers SEE versus what compilers parse,
+    and zero-width characters smuggle distinct-but-identical-looking
+    identifiers.  Any BiDi control inside source code is suspicious;
+    the census is the quarantine feed for a code corpus (compare
+    injection_scan for prose).
+
+    One regexp count per class per row — codegen-friendly, no UDFs,
+    zero-hit files report zeros (the audit wants proof of absence)."""
+    c = F.col(text_col)
+    n_bidi = F.size(
+        F.regexp_extract_all(c, F.lit(_BIDI_RX), 0)
+    ).cast("long")
+    n_zw = F.size(F.regexp_extract_all(c, F.lit(_ZW_RX), 0)).cast("long")
+    return files.select(
+        "repo",
+        "path",
+        n_bidi.alias("n_bidi"),
+        n_zw.alias("n_zero_width"),
+        ((n_bidi > 0) | (n_zw > 0)).alias("suspicious"),
+    )
+
+
+def homoglyph_idents(files: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, path, ident, skeleton, mixed_script): identifiers whose
+    visual skeleton (confusable Cyrillic/Greek letters folded to their
+    ASCII lookalikes) differs from the raw spelling — 'scоpe' vs
+    'scope', the homoglyph half of Trojan Source.  Only flagged
+    identifiers are emitted; the skeleton is what reviewers should
+    diff against the codebase's real names (a skeleton that collides
+    with an existing ASCII identifier is the attack).
+
+    Identifier extraction is one regexp pass; the fold is translate()
+    — both in whole-stage codegen; only flagged rows shuffle."""
+    ident_rx = "[A-Za-z_Ͱ-ϿЀ-ӿ][A-Za-z0-9_Ͱ-ϿЀ-ӿ]*"
+    idents = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(ident_rx), 0)
+            )
+        ).alias("ident"),
+    )
+    skel = F.translate(F.col("ident"), _CONFUSABLE_FROM, _CONFUSABLE_TO)
+    return (
+        idents.withColumn("skeleton", skel)
+        .filter(F.col("skeleton") != F.col("ident"))
+        .withColumn(
+            "mixed_script", F.col("ident").rlike("[A-Za-z]")
+        )
+    )

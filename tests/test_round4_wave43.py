@@ -1,0 +1,50 @@
+"""Hand-traced Trojan-Source audits: invisible chars, homoglyphs."""
+
+from reden_spark.operators.quality import homoglyph_idents, invisible_scan
+
+
+def test_invisible_scan_exact(spark):
+    files = spark.createDataFrame(
+        [
+            ("r", "clean.py", "def f(): return 1"),
+            ("r", "bidi.py", "x = 'a‮b' # comment"),
+            ("r", "zw.py", "va​r = 1﻿"),
+            ("r", "both.py", "⁦x⁩ y‌"),
+        ],
+        "repo string, path string, content string",
+    )
+    out = {r.path: r for r in invisible_scan(files).collect()}
+    assert out["clean.py"].n_bidi == 0
+    assert not out["clean.py"].suspicious
+    assert out["bidi.py"].n_bidi == 1 and out["bidi.py"].suspicious
+    assert out["zw.py"].n_zero_width == 2
+    assert out["both.py"].n_bidi == 2 and out["both.py"].n_zero_width == 1
+
+
+def test_homoglyph_idents_exact(spark):
+    files = spark.createDataFrame(
+        [
+            # Cyrillic о in 'scоpe'; clean 'scope' elsewhere
+            ("r", "a.py", "scоpe = 1\nscope = 2\nvalue = 3"),
+        ],
+        "repo string, path string, content string",
+    )
+    rows = homoglyph_idents(files).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ident == "scоpe"
+    assert r.skeleton == "scope"
+    assert r.mixed_script           # latin s,c,p,e mixed with cyrillic о
+
+
+def test_homoglyph_pure_cyrillic_not_mixed(spark):
+    # а,с,о,х all-Cyrillic word: folds to a skeleton but is NOT
+    # mixed-script (it's just Russian, not an attack)
+    files = spark.createDataFrame(
+        [("r", "a.py", "сох = 1")],
+        "repo string, path string, content string",
+    )
+    rows = homoglyph_idents(files).collect()
+    assert len(rows) == 1
+    assert rows[0].skeleton == "cox"
+    assert not rows[0].mixed_script
