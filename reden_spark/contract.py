@@ -19362,3 +19362,148 @@ def q_homoglyph_idents(spark, sf_dir):
     from reden_spark.operators.quality import homoglyph_idents
 
     return homoglyph_idents(_trojan_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 38: PSI drift, chi-square drift, Wald SPRT.
+
+
+@query(
+    "psi_drift",
+    """
+    WITH b AS (SELECT lang AS bin, CAST(count(*) AS BIGINT) AS n_base
+               FROM documents GROUP BY 1),
+    c AS (SELECT lang AS bin, CAST(count(*) AS BIGINT) AS n_cur
+          FROM documents
+          WHERE lang = 'en' OR doc_id % 2 = 0 GROUP BY 1),
+    j AS (SELECT COALESCE(b.bin, c.bin) AS bin,
+                 COALESCE(n_base, 0) AS n_base,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM b FULL OUTER JOIN c ON c.bin = b.bin),
+    kk AS (SELECT count(*) AS k FROM j),
+    t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+    SELECT bin, n_base, n_cur,
+           CAST((n_base + 1) * 1000000 // (tb + k) AS BIGINT)
+             AS base_share_e6,
+           CAST((n_cur + 1) * 1000000 // (tc + k) AS BIGINT)
+             AS cur_share_e6,
+           CAST(((n_base + 1) * 1000000 // (tb + k)
+                 - (n_cur + 1) * 1000000 // (tc + k))
+                * CAST(round(ln((CAST(n_base + 1 AS DOUBLE) / (tb + k))
+                       / (CAST(n_cur + 1 AS DOUBLE) / (tc + k))) * 1e6)
+                       AS BIGINT)
+                // 1000000 AS BIGINT) AS psi_term_e6
+    FROM j, t, kk
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators/analytics.psi_drift):
+    per-language PSI terms between the full corpus and a biased
+    resample — add-one smoothed, single quantized ln per bin (the
+    fs_weights determinism contract)."""
+    from reden_spark.operators.analytics import psi_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    cur = docs.filter(
+        (F.col("lang") == "en") | (F.col("doc_id") % 2 == 0)
+    )
+    return psi_drift(
+        docs.select(F.col("lang").alias("bin")),
+        cur.select(F.col("lang").alias("bin")),
+    )
+
+
+@query(
+    "chi2_drift",
+    """
+    WITH b AS (SELECT c_mktsegment AS cat,
+                      CAST(count(*) AS BIGINT) AS n_base
+               FROM customer GROUP BY 1),
+    cc AS (
+      SELECT CASE WHEN c_custkey % 97 = 0 THEN 'NEWSEG'
+                  ELSE c_mktsegment END AS cat,
+             CAST(count(*) AS BIGINT) AS n_cur
+      FROM customer
+      WHERE c_custkey % 3 <> 0 GROUP BY 1),
+    j AS (SELECT COALESCE(b.cat, cc.cat) AS cat,
+                 COALESCE(n_base, 0) AS n_base,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM b FULL OUTER JOIN cc ON cc.cat = b.cat),
+    kk AS (SELECT count(*) AS k FROM j),
+    t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+    SELECT cat, n_base, n_cur,
+           CAST((n_base + 1) * tc * 1000000 // (tb + k) AS BIGINT)
+             AS expected_e6,
+           round((CAST(n_cur AS DOUBLE)
+                  - CAST(n_base + 1 AS DOUBLE) * tc / (tb + k))
+                 * (CAST(n_cur AS DOUBLE)
+                    - CAST(n_base + 1 AS DOUBLE) * tc / (tb + k))
+                 / (CAST(n_base + 1 AS DOUBLE) * tc / (tb + k)), 6)
+             AS chi2_term
+    FROM j, t, kk
+    """,
+)
+def q_chi2_drift(spark, sf_dir):
+    """Chi-square drift (operators/analytics.chi2_drift): per-segment
+    (obs − exp)²/exp against baseline proportions, with a planted
+    never-seen NEWSEG category exercising the add-one smoothing —
+    one rounded double from exact integers."""
+    from reden_spark.operators.analytics import chi2_drift
+
+    cust = _read(spark, sf_dir, "customer")
+    cur = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.when(F.col("c_custkey") % 97 == 0, "NEWSEG")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("cat")
+    )
+    return chi2_drift(
+        cust.select(F.col("c_mktsegment").alias("cat")), cur
+    )
+
+
+@query(
+    "sprt_decision",
+    """
+    WITH tr AS (
+      SELECT o_orderkey AS seq,
+             CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS success
+      FROM orders WHERE o_orderkey % 5 = 0),
+    walked AS (
+      SELECT seq,
+             CASE WHEN success = 1 THEN 693147 ELSE -117783 END AS inc
+      FROM tr),
+    cum AS (SELECT seq, inc,
+                   sum(inc) OVER (ORDER BY seq) AS llr
+            FROM walked),
+    crossed AS (
+      SELECT seq, inc, llr,
+             CASE WHEN llr >= 2944439 THEN 'accept_h1'
+                  WHEN llr <= -2944439 THEN 'accept_h0' END AS hit
+      FROM cum),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(inc) AS BIGINT) AS llr_e6,
+                   CAST(min(CASE WHEN hit IS NOT NULL THEN seq END)
+                        AS BIGINT) AS decided_at
+            FROM crossed)
+    SELECT a.n_obs, a.llr_e6,
+           COALESCE(c.hit, 'continue') AS decision, a.decided_at
+    FROM agg a LEFT JOIN crossed c ON c.seq = a.decided_at
+    """,
+)
+def q_sprt_decision(spark, sf_dir):
+    """Wald SPRT (operators/model_eval.sprt_decision): sequential
+    H0 p=0.1 vs H1 p=0.2 over the ordered success-every-sixth trial
+    stream — quantized-literal increments and boundaries, integer
+    cumulative walk, first-crossing decision."""
+    from reden_spark.operators.model_eval import sprt_decision
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    trials = orders.select(
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(F.col("o_orderkey") % 6 == 0, 1).otherwise(0).alias(
+            "success"
+        ),
+    )
+    return sprt_decision(trials)

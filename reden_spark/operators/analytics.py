@@ -853,3 +853,109 @@ def expectation_check(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def psi_drift(
+    baseline: DataFrame, current: DataFrame, bin_col: str = "bin"
+) -> DataFrame:
+    """(bin, n_base, n_cur, base_share_e6, cur_share_e6, psi_term_e6):
+    Population Stability Index per bin — the industry drift metric
+    (term = (p_b − p_c)·ln(p_b/p_c), Σ terms > 0.2 = action).  The
+    deterministic companion to drift_histogram's TVD: counts are
+    add-one smoothed so empty bins stay finite, the single ln runs on
+    an exact integer ratio and is quantized to micro-units before the
+    final integer multiply (the fs_weights determinism contract) —
+    bit-identical across engines.
+
+    Two bin groupBys + one outer join on the bin key, totals as
+    broadcast 1-row frames."""
+    b = baseline.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    c = current.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    j = b.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    k = j.count()  # bin-cardinality-sized; needed for smoothing totals
+    tot = j.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    out = j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.expr(f"(n_base + 1) * 1000000 div (tb + {k})")
+        .cast("long")
+        .alias("base_share_e6"),
+        F.expr(f"(n_cur + 1) * 1000000 div (tc + {k})")
+        .cast("long")
+        .alias("cur_share_e6"),
+        F.expr(
+            f"CAST(round(ln((CAST((n_base + 1) AS DOUBLE) / (tb + {k}))"
+            f" / (CAST((n_cur + 1) AS DOUBLE) / (tc + {k}))) * 1e6)"
+            " AS BIGINT)"
+        ).alias("_ln_e6"),
+    )
+    return out.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        "base_share_e6",
+        "cur_share_e6",
+        F.expr(
+            "(base_share_e6 - cur_share_e6) * _ln_e6 div 1000000"
+        )
+        .cast("long")
+        .alias("psi_term_e6"),
+    )
+
+
+def chi2_drift(
+    baseline: DataFrame, current: DataFrame, cat_col: str = "cat"
+) -> DataFrame:
+    """(cat, n_base, n_cur, expected_e6, chi2_term): per-category
+    chi-square drift of the current snapshot against baseline
+    proportions — the categorical sibling of ks_drift (continuous)
+    and psi_drift (binned), expected_i = N_cur·p_base_i.  chi2_term
+    is (obs − exp)²/exp as ONE double from exact integers, rounded
+    1e-6 (the assortativity contract); Σ terms vs the χ² quantile is
+    the caller's gate.  Categories absent from baseline are add-one
+    smoothed so new categories scream rather than divide by zero.
+
+    Two groupBys + one outer join on the category key."""
+    b = baseline.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    c = current.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    j = b.join(c, "cat", "full_outer").select(
+        "cat",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    k = j.count()
+    tot = j.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    return j.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_base",
+        "n_cur",
+        F.expr(
+            f"CAST((n_base + 1) * tc * 1000000 div (tb + {k}) AS BIGINT)"
+        ).alias("expected_e6"),
+        F.expr(
+            f"round((CAST(n_cur AS DOUBLE)"
+            f" - CAST((n_base + 1) AS DOUBLE) * tc / (tb + {k}))"
+            f" * (CAST(n_cur AS DOUBLE)"
+            f" - CAST((n_base + 1) AS DOUBLE) * tc / (tb + {k}))"
+            f" / (CAST((n_base + 1) AS DOUBLE) * tc / (tb + {k})), 6)"
+        ).alias("chi2_term"),
+    )

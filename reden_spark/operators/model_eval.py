@@ -384,3 +384,70 @@ def brier_decomposition(
             " + (pos * 1000000 div n) * (1000000 - pos * 1000000 div n)"
         ).cast("long").alias("brier_e12"),
     )
+
+
+def sprt_decision(
+    trials: DataFrame,
+    p0_e6: int = 100000,
+    p1_e6: int = 200000,
+    alpha_e6: int = 50000,
+    beta_e6: int = 50000,
+) -> DataFrame:
+    """One row (n_obs, llr_e6, decision, decided_at): Wald's
+    sequential probability-ratio test over an ORDERED 0/1 trial
+    stream (trials: (seq, success)) for H0: p = p0 vs H1: p = p1 —
+    the early-stopping A/B machinery that reads each observation
+    once and stops the moment the evidence crosses a boundary,
+    instead of waiting for a fixed n.
+
+    Determinism: the two per-observation log-likelihood increments
+    and both Wald boundaries ln((1−β)/α), ln(β/(1−α)) are quantized
+    to micro-units ONCE as plan literals; everything after is integer
+    cumulative sums and comparisons — bit-identical across engines.
+    decision ∈ accept_h1 | accept_h0 | continue; decided_at is the
+    FIRST crossing's seq (NULL while continuing) and the reported
+    decision is that first crossing's side, per the sequential rule.
+
+    One cumulative window over the (per-experiment-sized) trial
+    stream + a 1-row reduce + one seq-key join back."""
+    import math
+
+    p0, p1 = p0_e6 / 1e6, p1_e6 / 1e6
+    a, b = alpha_e6 / 1e6, beta_e6 / 1e6
+    inc1 = round(math.log(p1 / p0) * 1e6)
+    inc0 = round(math.log((1 - p1) / (1 - p0)) * 1e6)
+    up = round(math.log((1 - b) / a) * 1e6)
+    lo = round(math.log(b / (1 - a)) * 1e6)
+    w = Window.orderBy("seq")
+    crossed = (
+        trials.select(
+            "seq",
+            F.when(F.col("success") == 1, F.lit(inc1))
+            .otherwise(F.lit(inc0))
+            .cast("long")
+            .alias("inc"),
+        )
+        .withColumn("llr", F.sum("inc").over(w))
+        .withColumn(
+            "hit",
+            F.when(F.col("llr") >= up, F.lit("accept_h1")).when(
+                F.col("llr") <= lo, F.lit("accept_h0")
+            ),
+        )
+    )
+    agg = crossed.agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("inc").cast("long").alias("llr_e6"),
+        F.min(F.when(F.col("hit").isNotNull(), F.col("seq")))
+        .cast("long")
+        .alias("decided_at"),
+    )
+    dec = crossed.select(
+        F.col("seq").alias("decided_at"), F.col("hit").alias("_d")
+    )
+    return agg.join(F.broadcast(dec), ["decided_at"], "left").select(
+        "n_obs",
+        "llr_e6",
+        F.coalesce(F.col("_d"), F.lit("continue")).alias("decision"),
+        "decided_at",
+    )

@@ -1,0 +1,56 @@
+"""Hand-traced PSI, chi-square drift, and Wald SPRT."""
+
+import math
+
+from reden_spark.operators.analytics import chi2_drift, psi_drift
+from reden_spark.operators.model_eval import sprt_decision
+
+
+def test_psi_drift_identical_is_zero(spark):
+    base = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "bin string"
+    )
+    out = psi_drift(base, base).collect()
+    assert all(r.psi_term_e6 == 0 for r in out)
+    assert all(r.base_share_e6 == r.cur_share_e6 for r in out)
+
+
+def test_psi_drift_shift_positive(spark):
+    base = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "bin string")
+    cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, "bin string")
+    out = {r.bin: r.psi_term_e6 for r in psi_drift(base, cur).collect()}
+    # every term of PSI is non-negative: (p-q) and ln(p/q) share sign
+    assert out["a"] > 0 and out["b"] > 0
+
+
+def test_chi2_drift_exact_small(spark):
+    base = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "cat string")
+    cur = spark.createDataFrame([("x",)] * 2 + [("y",)] * 2, "cat string")
+    out = {r.cat: r for r in chi2_drift(base, cur).collect()}
+    # smoothed: tb+k = 6; expected_x = 4*4/6, expected_y = 2*4/6
+    ex = (3 + 1) * 4 / 6
+    ey = (1 + 1) * 4 / 6
+    assert out["x"].chi2_term == round((2 - ex) ** 2 / ex, 6)
+    assert out["y"].chi2_term == round((2 - ey) ** 2 / ey, 6)
+
+
+def test_sprt_accepts_h1_on_high_rate(spark):
+    # 30 straight successes: llr climbs by ln(2)e6 each step and
+    # crosses the upper boundary at step ceil(2944439/693147) = 5
+    trials = spark.createDataFrame(
+        [(i, 1) for i in range(1, 31)], "seq long, success long"
+    )
+    r = sprt_decision(trials).collect()[0]
+    assert r.decision == "accept_h1"
+    assert r.decided_at == 5
+    assert r.n_obs == 30
+    assert r.llr_e6 == 30 * round(math.log(2) * 1e6)
+
+
+def test_sprt_continue_when_inconclusive(spark):
+    trials = spark.createDataFrame(
+        [(1, 1), (2, 0)], "seq long, success long"
+    )
+    r = sprt_decision(trials).collect()[0]
+    assert r.decision == "continue"
+    assert r.decided_at is None
