@@ -19507,3 +19507,81 @@ def q_sprt_decision(spark, sf_dir):
         ),
     )
     return sprt_decision(trials)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 39: mojibake census, Horvitz–Thompson de-biasing.
+
+
+@query(
+    "mojibake_scan",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 15 = 0 THEN 2 ELSE 0 END
+                + CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_mojibake,
+           (doc_id % 15 = 0 OR doc_id % 40 = 0) AS suspicious
+    FROM documents
+    """,
+)
+def q_mojibake_scan(spark, sf_dir):
+    """Mojibake census (functions/text.mojibake_scan): planted
+    UTF-8-as-Latin-1 artifacts (cafÃ©, â€™, Â«) counted per document —
+    the re-decode triage feed; clean documents report zero."""
+    from reden_spark.functions.text import mojibake_scan
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("clean words here"),
+            F.when(d % 15 == 0, F.lit(" cafÃ© and â€™quote")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 40 == 0, F.lit(" hÂ«x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_scan(docs)
+
+
+@query(
+    "ht_estimate",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM d),
+    tt AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+           FROM o GROUP BY 1),
+    j AS (SELECT o.*, greatest(tt.shard_tokens // 10, 1) AS t
+          FROM o JOIN tt USING (shard)),
+    p AS (SELECT doc_id, shard, n_tokens, t,
+                 CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+                   (tok_offset + n_tokens - 1) // t
+                   - CASE WHEN tok_offset = 0 THEN -1
+                          ELSE (tok_offset - 1) // t END
+                 END AS BIGINT) AS picks
+          FROM j),
+    s AS (SELECT * FROM p WHERE picks > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(picks) AS BIGINT) AS n_picks,
+           CAST(sum(picks * t * 1000000 // n_tokens) AS BIGINT)
+             AS est_docs_e6
+    FROM s
+    """,
+)
+def q_ht_estimate(spark, sf_dir):
+    """Horvitz–Thompson document-count estimate (operators/
+    corpus_prep.ht_estimate): picks·T/len de-biases the size-biased
+    systematic-PPS sample back to N — the closing half of the PPS
+    loop, exact integer micro-units."""
+    from reden_spark.operators.corpus_prep import ht_estimate
+
+    return ht_estimate(_read(spark, sf_dir, "documents"), n_per_shard=10)

@@ -277,3 +277,27 @@ def markdown_strip(col) -> Column:
     s = F.regexp_replace(s, "\\*{1,3}([^*\\n]*)\\*{1,3}", "$1")
     s = F.regexp_replace(s, "<[^>]+>", " ")
     return F.trim(F.regexp_replace(s, "[ \\t\\r\\n]+", " "))
+
+
+_MOJIBAKE_RX = "Ã[©¨¤¶¼ £±³]|â€[™œ“”–¦]|Â[ °«»]"
+
+
+def mojibake_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_mojibake, suspicious): census of UTF-8-decoded-as-
+    Latin-1 artifacts ('Ã©' for é, 'â€™' for ', 'Â ' for NBSP) — the
+    double-encoding disease of crawled corpora; a document scoring
+    here needs a re-decode pass, not a quality filter.  One regex
+    alternation over the classic artifact bigrams, zero-hit documents
+    report zero (the audit wants proof of absence).
+
+    Pure per-row regexp count — codegen, no shuffle."""
+    n = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(_MOJIBAKE_RX), 0)
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_mojibake"),
+        (n > 0).alias("suspicious"),
+    )

@@ -1491,3 +1491,47 @@ def system_leak_check(messages: DataFrame, n: int = 5) -> DataFrame:
             ).alias("leak_frac_e6"),
         )
     )
+
+
+def ht_estimate(
+    documents: DataFrame,
+    n_per_shard: int = 10,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_sampled, n_picks, est_docs_e6): Horvitz–Thompson
+    estimate of the DOCUMENT COUNT from the systematic-PPS token-axis
+    sample (pps_sample): each sampled document contributes
+    picks·T/len(doc) — long documents, over-represented by design in
+    the sample, are exactly down-weighted back.  The closing half of
+    the PPS loop: pps_sample draws, ht_estimate de-biases, and the
+    pair lets every corpus statistic be read off a small sample with
+    a known design.
+
+    All integer micro-units (picks·T·1e6 div n_tokens summed); one
+    shard-keyed pass over the pps output."""
+    picked = pps_sample(
+        documents,
+        n_per_shard=n_per_shard,
+        n_shards=n_shards,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    shard_t = picked.groupBy("shard").agg(
+        F.greatest(
+            F.expr(f"sum(n_tokens) div {int(n_per_shard)}"), F.lit(1)
+        )
+        .cast("long")
+        .alias("t")
+    )
+    s = picked.filter(F.col("picks") > 0).join(shard_t, "shard")
+    return s.agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("picks").cast("long").alias("n_picks"),
+        F.sum(
+            F.expr("picks * t * 1000000 div n_tokens")
+        )
+        .cast("long")
+        .alias("est_docs_e6"),
+    )

@@ -1,0 +1,34 @@
+"""Hand-traced mojibake census and Horvitz–Thompson estimate."""
+
+from reden_spark.functions.text import mojibake_scan
+from reden_spark.operators.corpus_prep import ht_estimate
+
+
+def test_mojibake_scan_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean text"),
+            (2, "double encoded cafÃ© here"),
+            (3, "smart â€™ quote and â€œ open"),
+            (4, "nbsp artifact hereÂ now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_scan(docs).collect()}
+    assert out[1].n_mojibake == 0 and not out[1].suspicious
+    assert out[2].n_mojibake == 1
+    assert out[3].n_mojibake == 2
+    assert out[4].n_mojibake == 1 and out[4].suspicious
+
+
+def test_ht_estimate_uniform_docs(spark):
+    # 40 docs of 10 tokens each in 8 shards → 5 docs/shard, 50 tokens,
+    # T = 5: every doc gets exactly 2 picks; HT contribution per doc
+    # = 2 * 5 * 1e6 / 10 = 1e6 → estimate = 40 exactly
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = ht_estimate(docs, n_per_shard=10).collect()[0]
+    assert r.n_sampled == 40
+    assert r.est_docs_e6 == 40 * 1000000
