@@ -19585,3 +19585,143 @@ def q_ht_estimate(spark, sf_dir):
     from reden_spark.operators.corpus_prep import ht_estimate
 
     return ht_estimate(_read(spark, sf_dir, "documents"), n_per_shard=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 40: tokenizer remap cost, class-balanced weights,
+# commit-conflict validation.
+
+
+@query(
+    "token_remap_cost",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+             FROM toks GROUP BY 1),
+    va AS (SELECT tok, row_number() OVER (ORDER BY tok) AS id_a
+           FROM (SELECT DISTINCT tok FROM toks WHERE ascii(substr(md5(tok), 1, 1)) % 5 <> 0)),
+    vb AS (SELECT tok,
+                  CASE WHEN ascii(substr(md5(tok), 1, 1)) % 3 = 0
+                       THEN row_number() OVER (ORDER BY tok) + 100000
+                       ELSE row_number() OVER (ORDER BY tok) END AS id_b
+           FROM (SELECT DISTINCT tok FROM toks WHERE ascii(substr(md5(tok), 1, 1)) % 7 <> 0
+                 UNION SELECT 'brandnewtok')),
+    m AS (SELECT f.tok, f.n, va.id_a, vb.id_b
+          FROM freq f LEFT JOIN va ON va.tok = f.tok
+                      LEFT JOIN vb ON vb.tok = f.tok),
+    classed AS (
+      SELECT CASE WHEN id_a IS NOT NULL AND id_a = id_b THEN 'same_id'
+                  WHEN id_a IS NOT NULL AND id_b IS NOT NULL
+                    THEN 'remapped'
+                  WHEN id_a IS NOT NULL THEN 'dropped'
+                  ELSE 'untokenized' END AS status, n
+      FROM m
+      UNION ALL
+      SELECT 'new_only', 0
+      FROM vb WHERE tok NOT IN (SELECT tok FROM va)),
+    t AS (SELECT sum(n) AS tt FROM classed)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           CAST(sum(n) * 1000000 // tt AS BIGINT) AS occ_share_e6
+    FROM classed, t GROUP BY status, tt
+    """,
+)
+def q_token_remap_cost(spark, sf_dir):
+    """Tokenizer migration cost (operators/bpe.token_remap_cost):
+    corpus-frequency-weighted same_id / remapped / dropped /
+    untokenized / new_only classes between two synthesized vocab
+    versions — the embedding-permutation bill before switching."""
+    from reden_spark.operators.bpe import token_remap_cost
+
+    toks = _tokens(spark, sf_dir)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    dist = toks.select("tok").distinct()
+    wa = Window.orderBy("tok")
+    hb = F.ascii(F.substring(F.md5("tok"), 1, 1))
+    va = dist.filter(hb % 5 != 0).select(
+        "tok", F.row_number().over(wa).cast("long").alias("id")
+    )
+    vb_base = dist.filter(hb % 7 != 0).unionByName(
+        spark.createDataFrame([("brandnewtok",)], "tok string")
+    ).distinct()
+    vb = vb_base.select(
+        "tok",
+        F.when(
+            F.ascii(F.substring(F.md5("tok"), 1, 1)) % 3 == 0,
+            F.row_number().over(wa) + 100000,
+        )
+        .otherwise(F.row_number().over(wa))
+        .cast("long")
+        .alias("id"),
+    )
+    return token_remap_cost(freq, va, vb)
+
+
+@query(
+    "class_balanced_weights",
+    """
+    WITH l AS (SELECT lang AS label FROM documents),
+    c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+          FROM l GROUP BY 1)
+    SELECT label, n,
+           CAST(round((1.0 - 0.99) / (1.0 - power(0.99, n)) * 1e9)
+                AS BIGINT) AS weight_e9
+    FROM c
+    """,
+)
+def q_class_balanced_weights(spark, sf_dir):
+    """Effective-number class weights (operators/model_eval.
+    class_balanced_weights, Cui et al. 2019): per-language
+    (1−β)/(1−βⁿ) at β = 0.99 — the long-tail re-weighting, one pow
+    quantized 1e-9."""
+    from reden_spark.operators.model_eval import class_balanced_weights
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label")
+    )
+    return class_balanced_weights(docs, beta_e6=990000)
+
+
+@query(
+    "commit_conflicts",
+    """
+    WITH ch AS (
+      SELECT DISTINCT 'c' || CAST(o_orderkey % 40 AS VARCHAR) AS commit,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'add' END
+               AS op,
+             'part=' || CAST(o_custkey % 25 AS VARCHAR) || '/f_'
+               || CAST(o_orderkey % 30 AS VARCHAR) || '.parquet' AS path
+      FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT a.path, a.commit AS commit_a, a.op AS op_a,
+           b.commit AS commit_b, b.op AS op_b,
+           CASE WHEN a.op = 'add' AND b.op = 'add' THEN 'soft'
+                ELSE 'hard' END AS severity
+    FROM ch a JOIN ch b
+      ON a.path = b.path AND a.commit < b.commit
+    """,
+)
+def q_commit_conflicts(spark, sf_dir):
+    """Concurrent-commit validation (operators/kg_maintain.
+    commit_conflicts): same-path pairs across pending commits,
+    add/add soft vs any-delete hard — the Iceberg optimistic-
+    concurrency check batched over the commit queue."""
+    from reden_spark.operators.kg_maintain import commit_conflicts
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    changes = orders.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 40).cast("string"))
+        .alias("commit"),
+        F.when(F.col("o_orderkey") % 3 == 0, "delete")
+        .otherwise("add")
+        .alias("op"),
+        F.concat(
+            F.lit("part="),
+            (F.col("o_custkey") % 25).cast("string"),
+            F.lit("/f_"),
+            (F.col("o_orderkey") % 30).cast("string"),
+            F.lit(".parquet"),
+        ).alias("path"),
+    )
+    return commit_conflicts(changes)

@@ -194,3 +194,72 @@ def bpe_token_counts(
         .groupBy("tok")
         .agg(F.sum("n").cast("long").alias("freq"))
     )
+
+
+def token_remap_cost(
+    corpus_tokens: DataFrame,
+    vocab_a: DataFrame,
+    vocab_b: DataFrame,
+) -> DataFrame:
+    """(status, n_types, n_occurrences, occ_share_e6): what a
+    tokenizer/vocab migration costs, weighted by the corpus that will
+    actually flow through it — each corpus token type is classified
+    against the two vocab maps (tok, id):
+
+      same_id   — id unchanged (embedding row reusable as-is)
+      remapped  — present in both, id moved (row must be permuted)
+      dropped   — in A only (falls to byte/unk under B)
+      new_only  — in B only (never produced by A-tokenized corpora)
+
+    ``corpus_tokens`` is (tok, n) frequencies; shares are exact
+    integer micro-units of total occurrences (new_only counts 0).
+
+    Two broadcast joins of the frequency table against the (small)
+    vocab maps + one status groupBy."""
+    a = vocab_a.select(F.col("tok"), F.col("id").alias("id_a"))
+    b = vocab_b.select(F.col("tok"), F.col("id").alias("id_b"))
+    m = (
+        corpus_tokens.select("tok", F.col("n").cast("long").alias("n"))
+        .join(F.broadcast(a), "tok", "left")
+        .join(F.broadcast(b), "tok", "left")
+    )
+    vocab_only = (
+        b.join(a, "tok", "left_anti")
+        .select(
+            F.lit("new_only").alias("status"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    )
+    status = (
+        F.when(
+            F.col("id_a").isNotNull()
+            & (F.col("id_a") == F.col("id_b")),
+            "same_id",
+        )
+        .when(
+            F.col("id_a").isNotNull() & F.col("id_b").isNotNull(),
+            "remapped",
+        )
+        .when(F.col("id_a").isNotNull(), "dropped")
+        .otherwise("untokenized")
+    )
+    classed = m.select(status.alias("status"), "n").unionByName(
+        vocab_only
+    )
+    tot = classed.agg(F.sum("n").cast("long").alias("_t"))
+    return (
+        classed.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_types",
+            "n_occurrences",
+            F.expr("n_occurrences * 1000000 div _t")
+            .cast("long")
+            .alias("occ_share_e6"),
+        )
+    )

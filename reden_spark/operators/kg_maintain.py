@@ -761,3 +761,41 @@ def clustering_factor(
         )
         out = runs if out is None else out.unionByName(runs)
     return out
+
+
+def commit_conflicts(changes: DataFrame) -> DataFrame:
+    """(path, commit_a, op_a, commit_b, op_b, severity): optimistic-
+    concurrency validation across CONCURRENT table commits — two
+    commits touching the same file path cannot both apply cleanly;
+    delete/delete and delete/add pairs are 'hard' (one side's file is
+    gone), add/add is 'soft' (duplicate content, compaction decides).
+    Exactly the check an Iceberg-style writer runs at commit time,
+    batched over every pending commit pair.
+
+    One self-join on the path key with commit_a < commit_b dedup —
+    path-local, and a path touched by many commits is itself the
+    contention signal this audit exists to surface."""
+    c = changes.select("commit", "op", "path").distinct()
+    a = c.select(
+        F.col("path"),
+        F.col("commit").alias("commit_a"),
+        F.col("op").alias("op_a"),
+    )
+    b = c.select(
+        F.col("path"),
+        F.col("commit").alias("commit_b"),
+        F.col("op").alias("op_b"),
+    )
+    j = a.join(b, "path").filter(F.col("commit_a") < F.col("commit_b"))
+    return j.select(
+        "path",
+        "commit_a",
+        "op_a",
+        "commit_b",
+        "op_b",
+        F.when(
+            (F.col("op_a") == "add") & (F.col("op_b") == "add"), "soft"
+        )
+        .otherwise("hard")
+        .alias("severity"),
+    )

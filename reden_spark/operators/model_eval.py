@@ -451,3 +451,32 @@ def sprt_decision(
         F.coalesce(F.col("_d"), F.lit("continue")).alias("decision"),
         "decided_at",
     )
+
+
+def class_balanced_weights(
+    labels: DataFrame, beta_e6: int = 990000
+) -> DataFrame:
+    """(label, n, weight_e9): class-balanced loss weights by effective
+    number of samples (Cui et al. 2019): w = (1 − β)/(1 − βⁿ) — as a
+    class grows, marginal samples overlap and its weight saturates
+    instead of collapsing to 1/n.  The re-weighting a long-tailed
+    KG-type or language distribution needs at training time.
+
+    β is an integer micro-unit parameter; βⁿ is one pow() on exact
+    inputs quantized at 1e-9 (the fs_weights determinism contract —
+    sub-quantum libm variation is absorbed by the rounding).
+
+    One label groupBy; the weight math runs on the class-count-sized
+    frame."""
+    beta = beta_e6 / 1e6
+    counts = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return counts.select(
+        "label",
+        "n",
+        F.expr(
+            f"CAST(round((1.0 - {beta}) / (1.0 - power({beta}, n))"
+            " * 1e9) AS BIGINT)"
+        ).alias("weight_e9"),
+    )

@@ -1,0 +1,56 @@
+"""Hand-traced tokenizer remap cost, class weights, commit conflicts."""
+
+from reden_spark.operators.bpe import token_remap_cost
+from reden_spark.operators.kg_maintain import commit_conflicts
+from reden_spark.operators.model_eval import class_balanced_weights
+
+
+def test_token_remap_cost_exact(spark):
+    freq = spark.createDataFrame(
+        [("the", 10), ("cat", 5), ("sat", 3), ("zzz", 2)],
+        "tok string, n long",
+    )
+    va = spark.createDataFrame(
+        [("the", 1), ("cat", 2), ("sat", 3)], "tok string, id long"
+    )
+    vb = spark.createDataFrame(
+        [("the", 1), ("cat", 9), ("new", 4)], "tok string, id long"
+    )
+    out = {r.status: r for r in token_remap_cost(freq, va, vb).collect()}
+    assert out["same_id"].n_occurrences == 10        # the
+    assert out["remapped"].n_occurrences == 5        # cat 2→9
+    assert out["dropped"].n_occurrences == 3         # sat
+    assert out["untokenized"].n_occurrences == 2     # zzz in neither
+    assert out["new_only"].n_types == 1              # new
+    assert out["same_id"].occ_share_e6 == 500000     # 10 of 20
+
+
+def test_class_balanced_weights_monotone(spark):
+    labels = spark.createDataFrame(
+        [("big",)] * 100 + [("small",)] * 2, "label string"
+    )
+    out = {r.label: r for r in class_balanced_weights(labels).collect()}
+    # rarer class gets the larger weight; singleton-free sanity bounds
+    assert out["small"].weight_e9 > out["big"].weight_e9
+    # n=2, beta=.99: w = .01/(1-.9801) = 0.502512...
+    assert out["small"].weight_e9 == 502512563
+    assert out["small"].n == 2
+
+
+def test_commit_conflicts_exact(spark):
+    changes = spark.createDataFrame(
+        [
+            ("c1", "add", "p/a"),
+            ("c2", "add", "p/a"),        # add/add: soft
+            ("c1", "delete", "p/b"),
+            ("c3", "add", "p/b"),        # delete/add: hard
+            ("c2", "add", "p/c"),        # untouched elsewhere: no row
+        ],
+        "commit string, op string, path string",
+    )
+    out = {(r.path, r.commit_a, r.commit_b): r.severity
+           for r in commit_conflicts(changes).collect()}
+    assert out == {
+        ("p/a", "c1", "c2"): "soft",
+        ("p/b", "c1", "c3"): "hard",
+    }
