@@ -19725,3 +19725,81 @@ def q_commit_conflicts(spark, sf_dir):
         ).alias("path"),
     )
     return commit_conflicts(changes)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 41: Borůvka minimum spanning forest.
+
+
+@query(
+    "boruvka_mst",
+    f"""
+    WITH RECURSIVE bvb AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+    be AS MATERIALIZED (
+      SELECT src AS u, dst AS v,
+             CAST(min(1 + (src * dst) % 97) AS BIGINT) AS w
+      FROM bvb GROUP BY 1, 2),
+    c0 AS MATERIALIZED (
+      SELECT node, node AS comp FROM (
+        SELECT DISTINCT u AS node FROM be UNION SELECT v FROM be)),
+    lab1 AS (
+      SELECT be.u, be.v, be.w, a.comp AS cu, b.comp AS cv
+      FROM be JOIN c0 a ON a.node = be.u JOIN c0 b ON b.node = be.v
+      WHERE a.comp <> b.comp),
+    cand1 AS (
+      SELECT cu AS c, w, u, v, cu, cv FROM lab1
+      UNION ALL SELECT cv, w, u, v, cu, cv FROM lab1),
+    sel1 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT c, w, u, v, cu, cv,
+               row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        FROM cand1) WHERE rn = 1),
+    ced1 AS MATERIALIZED (
+      SELECT DISTINCT least(cu, cv) AS a, greatest(cu, cv) AS b
+      FROM sel1),
+    csym1 AS MATERIALIZED (
+      SELECT a, b FROM ced1 UNION SELECT b, a FROM ced1),
+    reach1(a, b) AS (
+      SELECT a, b FROM csym1
+      UNION
+      SELECT r.a, s.b FROM reach1 r JOIN csym1 s ON s.a = r.b
+      WHERE r.a <> s.b),
+    nl1 AS MATERIALIZED (
+      SELECT a AS comp, least(a, min(b)) AS newc
+      FROM reach1 GROUP BY a),
+    c1 AS MATERIALIZED (
+      SELECT c0.node, COALESCE(nl1.newc, c0.comp) AS comp
+      FROM c0 LEFT JOIN nl1 ON nl1.comp = c0.comp),
+    lab2 AS (
+      SELECT be.u, be.v, be.w, a.comp AS cu, b.comp AS cv
+      FROM be JOIN c1 a ON a.node = be.u JOIN c1 b ON b.node = be.v
+      WHERE a.comp <> b.comp),
+    cand2 AS (
+      SELECT cu AS c, w, u, v, cu, cv FROM lab2
+      UNION ALL SELECT cv, w, u, v, cu, cv FROM lab2),
+    sel2 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT c, w, u, v, cu, cv,
+               row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        FROM cand2) WHERE rn = 1),
+    mst AS (
+      SELECT u, v, w, 1 AS round FROM (SELECT DISTINCT u, v, w FROM sel1)
+      UNION ALL
+      SELECT u, v, w, 2 FROM (SELECT DISTINCT u, v, w FROM sel2))
+    SELECT u AS src, v AS dst, w,
+           CAST(min(round) AS BIGINT) AS round
+    FROM mst GROUP BY u, v, w
+    """,
+)
+def q_boruvka_mst(spark, sf_dir):
+    """Borůvka spanning forest (operators/graphstats.boruvka_mst):
+    two rounds of per-component min-edge selection (w = 1 +
+    (src·dst) % 97, deterministic (w, u, v) ties) with CC merge on
+    the selected-edge graph — the distributed MST shape; component
+    count at least halves per round."""
+    from reden_spark.operators.graphstats import boruvka_mst
+
+    edges = _kcore_edges(spark, sf_dir).withColumn(
+        "w", (1 + (F.col("src") * F.col("dst")) % 97).cast("long")
+    )
+    return boruvka_mst(edges, rounds=2)

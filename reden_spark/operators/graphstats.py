@@ -1334,3 +1334,93 @@ def partition_refine(edges: DataFrame, assign: DataFrame) -> DataFrame:
         )
         .withColumn("moved", F.col("new_part") != F.col("old_part"))
     )
+
+
+def boruvka_mst(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(src, dst, w, round): Borůvka's minimum-spanning-forest rounds —
+    every component selects its minimum-weight outgoing edge
+    (deterministic (w, src, dst) tie-break), selected edges merge
+    components, repeat.  THE distributed MST algorithm (each round is
+    one join + one argmin + one small CC — component count at least
+    halves per round, so log₂(n) rounds finish the forest); with
+    ``rounds`` bounded the output is the exact partial forest after
+    that many rounds, already a spanning forest of every component
+    smaller than 2^rounds.
+
+    Scale shape per round: edge⋈label join (edge-keyed), per-comp
+    window argmin, then connected components over the SELECTED edges
+    only — a graph with one edge per component, ≪ the input; the
+    label table is node-sized."""
+    from reden_spark.operators.sameas import connected_components
+
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        lab = (
+            e.join(
+                comp.select(
+                    F.col("node").alias("u"), F.col("comp").alias("cu")
+                ),
+                "u",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("v"), F.col("comp").alias("cv")
+                ),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        cand = lab.select(
+            F.col("cu").alias("c"), "w", "u", "v", "cu", "cv"
+        ).unionByName(
+            lab.select(F.col("cv").alias("c"), "w", "u", "v", "cu", "cv")
+        )
+        wnd = Window.partitionBy("c").orderBy("w", "u", "v")
+        sel = (
+            cand.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .localCheckpoint(eager=True)
+        )
+        picked = sel.select("u", "v", "w").distinct().withColumn(
+            "round", F.lit(r).cast("long")
+        )
+        out = picked if out is None else out.unionByName(picked)
+        cedges = sel.select(
+            F.col("cu").alias("src"), F.col("cv").alias("dst")
+        ).distinct()
+        cc = connected_components(cedges)
+        comp = comp.join(
+            cc.select(
+                F.col("node").alias("comp"),
+                F.col("comp").alias("newc"),
+            ),
+            "comp",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("newc", F.col("comp")).alias("comp"),
+        ).localCheckpoint(eager=True)
+    return (
+        out.groupBy("u", "v", "w")
+        .agg(F.min("round").cast("long").alias("round"))
+        .select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "w", "round"
+        )
+    )

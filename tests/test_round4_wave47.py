@@ -1,0 +1,44 @@
+"""Hand-traced Borůvka minimum spanning forest."""
+
+from reden_spark.operators.graphstats import boruvka_mst
+
+
+def _mst(spark, rows, rounds=3):
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    return boruvka_mst(edges, rounds=rounds).collect()
+
+
+def test_boruvka_classic_square(spark):
+    # square 1-2-3-4 with diagonal: MST = the three cheapest
+    # non-cycle edges {1-2:1, 2-3:2, 3-4:3}; 1-4:10 and 2-4:9 excluded
+    rows = [(1, 2, 1), (2, 3, 2), (3, 4, 3), (1, 4, 10), (2, 4, 9)]
+    got = {(r.src, r.dst): (r.w, r.round) for r in _mst(spark, rows)}
+    assert set(got) == {(1, 2), (2, 3), (3, 4)}
+    # round 1: comp1 picks 1-2, comp2 picks 1-2, comp3 picks 2-3,
+    # comp4 picks 3-4 → all three selected in round 1
+    assert all(rnd == 1 for _, rnd in got.values())
+
+
+def test_boruvka_needs_second_round(spark):
+    # two cheap pairs (1-2:1, 3-4:1) bridged by 2-3:5 — the bridge is
+    # nobody's minimum in round 1, selected in round 2
+    rows = [(1, 2, 1), (3, 4, 1), (2, 3, 5)]
+    got = {(r.src, r.dst): r.round for r in _mst(spark, rows)}
+    assert got == {(1, 2): 1, (3, 4): 1, (2, 3): 2}
+
+
+def test_boruvka_forest_on_disconnected(spark):
+    rows = [(1, 2, 4), (10, 11, 7)]
+    got = {(r.src, r.dst): r.round for r in _mst(spark, rows)}
+    assert got == {(1, 2): 1, (10, 11): 1}
+
+
+def test_boruvka_total_weight_matches_kruskal(spark):
+    # K4 with distinct weights; Kruskal by hand: 1-2:1, 1-3:2, 1-4:3
+    rows = [
+        (1, 2, 1), (1, 3, 2), (1, 4, 3),
+        (2, 3, 8), (2, 4, 9), (3, 4, 11),
+    ]
+    out = _mst(spark, rows)
+    assert sum(r.w for r in out) == 6
+    assert len(out) == 3
