@@ -19803,3 +19803,243 @@ def q_boruvka_mst(spark, sf_dir):
         "w", (1 + (F.col("src") * F.col("dst")) % 97).cast("long")
     )
     return boruvka_mst(edges, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 42: docstring coverage, measurement-unit normalization,
+# date canonicalization.
+
+
+@query(
+    "docstring_coverage",
+    f"""
+    WITH files AS ({_CODE_FILES_SQL}),
+    lines AS (
+      SELECT repo, path,
+             generate_subscripts(string_split(content, chr(10)), 1) - 1
+               AS line_no,
+             unnest(string_split(content, chr(10))) AS line
+      FROM files),
+    marked AS (
+      SELECT repo, path, line_no, line,
+             CASE WHEN regexp_matches(line, '^\\s*def ')
+                  THEN 1 ELSE 0 END AS is_def
+      FROM lines),
+    isl AS (
+      SELECT repo, path, line_no, line, is_def,
+             sum(is_def) OVER (PARTITION BY repo, path
+                               ORDER BY line_no) AS island
+      FROM marked),
+    seg AS (SELECT * FROM isl WHERE island >= 1),
+    per AS (
+      SELECT repo, path, island,
+             row_number() OVER (PARTITION BY repo, path, island
+                                ORDER BY line_no) AS rn,
+             line
+      FROM seg),
+    func AS (
+      SELECT repo, path, island,
+             max(CASE WHEN rn = 2 AND regexp_matches(line,
+                   '^\\s*[rRbBuU]*("|'')') THEN 1 ELSE 0 END)
+               AS documented
+      FROM per GROUP BY 1, 2, 3)
+    SELECT repo, path,
+           CAST(count(*) AS BIGINT) AS n_funcs,
+           CAST(sum(documented) AS BIGINT) AS n_documented,
+           CAST(sum(documented) * 1000000 // count(*) AS BIGINT)
+             AS coverage_e6
+    FROM func GROUP BY repo, path
+    """,
+)
+def q_docstring_coverage(spark, sf_dir):
+    """Docstring coverage (operators/code_surface.docstring_coverage):
+    per-file fraction of def islands whose first body line opens a
+    string — the documentation-hygiene mix feature (the synthetic
+    corpus's functions are undocumented: coverage 0, asserted
+    exactly)."""
+    from reden_spark.operators.code_surface import docstring_coverage
+
+    return docstring_coverage(_code_files(spark, sf_dir))
+
+
+@query(
+    "unit_normalize",
+    """
+    WITH m AS (
+      SELECT o_orderkey AS id,
+             CASE o_orderkey % 5
+               WHEN 0 THEN CAST(o_orderkey % 30 AS VARCHAR) || ' km'
+               WHEN 1 THEN CAST(o_orderkey % 900 AS VARCHAR) || '.5 m'
+               WHEN 2 THEN CAST(o_orderkey % 400 AS VARCHAR) || 'cm'
+               WHEN 3 THEN CAST(o_orderkey % 99 AS VARCHAR) || ' parsec'
+               ELSE 'about ten'
+             END AS raw
+      FROM orders WHERE o_orderkey % 7 = 0),
+    p AS (
+      SELECT id, raw,
+             regexp_extract(raw, '^(\\d+)(?:\\.(\\d{1,3}))?\\s*([a-zA-Z]+)$', 1)
+               AS whole,
+             rpad(regexp_extract(raw,
+               '^(\\d+)(?:\\.(\\d{1,3}))?\\s*([a-zA-Z]+)$', 2), 3, '0')
+               AS frac,
+             lower(regexp_extract(raw,
+               '^(\\d+)(?:\\.(\\d{1,3}))?\\s*([a-zA-Z]+)$', 3)) AS unit
+      FROM m),
+    v AS (
+      SELECT id, raw,
+             CASE WHEN whole <> '' THEN CAST(whole AS BIGINT) * 1000
+                  + CASE WHEN frac <> '' THEN CAST(frac AS BIGINT)
+                         ELSE 0 END END AS value_e3,
+             CASE unit WHEN 'km' THEN 1000000 WHEN 'm' THEN 1000
+                       WHEN 'cm' THEN 10 WHEN 'mm' THEN 1 END AS factor
+      FROM p)
+    SELECT id, raw,
+           CAST(CASE WHEN value_e3 IS NOT NULL AND factor IS NOT NULL
+                     THEN value_e3 * factor END AS BIGINT) AS value_um,
+           (value_e3 IS NOT NULL AND factor IS NOT NULL) AS unit_ok
+    FROM v
+    """,
+)
+def q_unit_normalize(spark, sf_dir):
+    """Measurement canonicalization (functions/normalize.
+    unit_normalize): km/m/cm literals (decimals honored) → exact
+    integer micrometers; 'parsec' and prose rows flagged not-ok —
+    the numeric-literal unifier before cross-source comparisons."""
+    from reden_spark.functions.normalize import unit_normalize
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(k % 5 == 0, F.concat((k % 30).cast("string"), F.lit(" km")))
+        .when(k % 5 == 1, F.concat((k % 900).cast("string"), F.lit(".5 m")))
+        .when(k % 5 == 2, F.concat((k % 400).cast("string"), F.lit("cm")))
+        .when(
+            k % 5 == 3,
+            F.concat((k % 99).cast("string"), F.lit(" parsec")),
+        )
+        .otherwise(F.lit("about ten"))
+    )
+    m = orders.select(k.cast("long").alias("id"), raw.alias("raw"))
+    s = unit_normalize("raw")
+    return m.select(
+        "id", "raw",
+        s.getField("value_um").alias("value_um"),
+        s.getField("unit_ok").alias("unit_ok"),
+    )
+
+
+@query(
+    "date_canonicalize",
+    """
+    WITH d AS (
+      SELECT o_orderkey AS id,
+             CASE o_orderkey % 4
+               WHEN 0 THEN '20' || lpad(CAST(o_orderkey % 25 AS VARCHAR),
+                    2, '0') || '-' || CAST(o_orderkey % 12 + 1 AS VARCHAR)
+                    || '-' || CAST(o_orderkey % 28 + 1 AS VARCHAR)
+               WHEN 1 THEN CAST(o_orderkey % 12 + 1 AS VARCHAR) || '/'
+                    || CAST(o_orderkey % 28 + 1 AS VARCHAR) || '/20'
+                    || lpad(CAST(o_orderkey % 25 AS VARCHAR), 2, '0')
+               WHEN 2 THEN ['Jan','feb','MAR','April','may','Jun','jul',
+                            'aug','Sep','octo','nov','December']
+                           [(o_orderkey % 12) + 1] || ' '
+                    || CAST(o_orderkey % 28 + 1 AS VARCHAR) || ', 20'
+                    || lpad(CAST(o_orderkey % 25 AS VARCHAR), 2, '0')
+               ELSE 'circa ' || CAST(o_orderkey % 99 AS VARCHAR)
+             END AS raw
+      FROM orders WHERE o_orderkey % 9 = 0),
+    months(m, num) AS (VALUES
+      ('jan', 1), ('feb', 2), ('mar', 3), ('apr', 4), ('may', 5),
+      ('jun', 6), ('jul', 7), ('aug', 8), ('sep', 9), ('oct', 10),
+      ('nov', 11), ('dec', 12)),
+    p AS (
+      SELECT id, raw,
+             regexp_extract(raw, '^(\\d{4})-(\\d{1,2})-(\\d{1,2})$', 1)
+               AS iy,
+             regexp_extract(raw, '^(\\d{4})-(\\d{1,2})-(\\d{1,2})$', 2)
+               AS im,
+             regexp_extract(raw, '^(\\d{4})-(\\d{1,2})-(\\d{1,2})$', 3)
+               AS idd,
+             regexp_extract(raw, '^(\\d{1,2})/(\\d{1,2})/(\\d{4})$', 1)
+               AS um,
+             regexp_extract(raw, '^(\\d{1,2})/(\\d{1,2})/(\\d{4})$', 2)
+               AS ud,
+             regexp_extract(raw, '^(\\d{1,2})/(\\d{1,2})/(\\d{4})$', 3)
+               AS uy,
+             lower(substr(regexp_extract(raw,
+               '^([A-Za-z]{3,9}) (\\d{1,2}), (\\d{4})$', 1), 1, 3)) AS nm,
+             regexp_extract(raw, '^([A-Za-z]{3,9}) (\\d{1,2}), (\\d{4})$',
+               2) AS nd,
+             regexp_extract(raw, '^([A-Za-z]{3,9}) (\\d{1,2}), (\\d{4})$',
+               3) AS ny
+      FROM d)
+    SELECT p.id, p.raw,
+           CASE WHEN iy <> '' THEN iy || '-' || lpad(im, 2, '0') || '-'
+                     || lpad(idd, 2, '0')
+                WHEN uy <> '' THEN uy || '-' || lpad(um, 2, '0') || '-'
+                     || lpad(ud, 2, '0')
+                WHEN ny <> '' AND months.num IS NOT NULL
+                     THEN ny || '-' || lpad(CAST(months.num AS VARCHAR),
+                          2, '0') || '-' || lpad(nd, 2, '0')
+           END AS iso
+    FROM p LEFT JOIN months ON months.m = p.nm
+    """,
+)
+def q_date_canonicalize(spark, sf_dir):
+    """Date canonicalization (functions/normalize.date_canonicalize):
+    ISO / US-slash / month-name forms → 'YYYY-MM-DD', explicit regex
+    rules (no engine date parser), unparsable rows NULL — 'octo' only
+    matches through its 3-letter prefix 'oct'."""
+    from reden_spark.functions.normalize import date_canonicalize
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 9 == 0
+    )
+    k = F.col("o_orderkey")
+    mon = F.array(
+        *[
+            F.lit(x)
+            for x in [
+                "Jan", "feb", "MAR", "April", "may", "Jun", "jul",
+                "aug", "Sep", "octo", "nov", "December",
+            ]
+        ]
+    )
+    raw = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("20"),
+                F.lpad((k % 25).cast("string"), 2, "0"),
+                F.lit("-"),
+                (k % 12 + 1).cast("string"),
+                F.lit("-"),
+                (k % 28 + 1).cast("string"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                (k % 12 + 1).cast("string"),
+                F.lit("/"),
+                (k % 28 + 1).cast("string"),
+                F.lit("/20"),
+                F.lpad((k % 25).cast("string"), 2, "0"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.element_at(mon, (k % 12 + 1).cast("int")),
+                F.lit(" "),
+                (k % 28 + 1).cast("string"),
+                F.lit(", 20"),
+                F.lpad((k % 25).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("circa "), (k % 99).cast("string")))
+    )
+    d = orders.select(k.cast("long").alias("id"), raw.alias("raw"))
+    return d.select("id", "raw", date_canonicalize("raw").alias("iso"))

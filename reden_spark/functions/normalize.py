@@ -65,3 +65,96 @@ def first_letter(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     fl = F.lower(F.substring(F.trim(c), 1, 1))
     return F.when(fl.rlike("^[a-z]$"), fl).otherwise(F.lit("other"))
+
+
+_MONTHS = (
+    "jan feb mar apr may jun jul aug sep oct nov dec".split()
+)
+
+
+def date_canonicalize(col: Column | str) -> Column:
+    """ISO 'YYYY-MM-DD' from the three formats a heritage/code corpus
+    actually mixes — '2020-12-31', '12/31/2020', 'Dec 31, 2020'
+    (month names case-insensitive, 3-letter prefix) — NULL when none
+    matches (the unparsed rows ARE the triage list).  Pure regexp
+    extraction + zero-padding; no engine date parser, so the rule set
+    is explicit and both engines agree byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    iso_y = F.regexp_extract(c, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 1)
+    iso_m = F.regexp_extract(c, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 2)
+    iso_d = F.regexp_extract(c, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 3)
+    us_m = F.regexp_extract(c, r"^(\d{1,2})/(\d{1,2})/(\d{4})$", 1)
+    us_d = F.regexp_extract(c, r"^(\d{1,2})/(\d{1,2})/(\d{4})$", 2)
+    us_y = F.regexp_extract(c, r"^(\d{1,2})/(\d{1,2})/(\d{4})$", 3)
+    nm_rx = r"^([A-Za-z]{3,9}) (\d{1,2}), (\d{4})$"
+    nm_mon = F.lower(F.substring(F.regexp_extract(c, nm_rx, 1), 1, 3))
+    nm_d = F.regexp_extract(c, nm_rx, 2)
+    nm_y = F.regexp_extract(c, nm_rx, 3)
+    mon_num = None
+    for i, m in enumerate(_MONTHS, start=1):
+        cur = F.when(nm_mon == m, F.lit(str(i)))
+        mon_num = cur if mon_num is None else mon_num.when(
+            nm_mon == m, F.lit(str(i))
+        )
+
+    def pad2(x):
+        return F.lpad(x, 2, "0")
+
+    return (
+        F.when(
+            iso_y != "",
+            F.concat_ws("-", iso_y, pad2(iso_m), pad2(iso_d)),
+        )
+        .when(
+            us_y != "",
+            F.concat_ws("-", us_y, pad2(us_m), pad2(us_d)),
+        )
+        .when(
+            (nm_y != "") & mon_num.isNotNull(),
+            F.concat_ws("-", nm_y, pad2(mon_num), pad2(nm_d)),
+        )
+    )
+
+
+# micrometers per milli-unit: value_um = value_e3 * factor (pure
+# integer multiply; every factor is um-per-unit / 1000)
+UNIT_FACTORS = {
+    "km": 1_000_000,
+    "m": 1_000,
+    "cm": 10,
+    "mm": 1,
+}
+
+
+def unit_normalize(col: Column | str) -> Column:
+    """Struct (value_um, unit_ok) from measurement literals like
+    '5 km' / '2.5 m' / '120 cm': value in exact integer micrometers
+    (≤ 3 decimal places honored), unit_ok FALSE (value NULL) for
+    unknown units or unparsable numbers — the literal canonicalizer a
+    KG needs before any numeric comparison joins two sources' lengths.
+    Pure regexp + integer arithmetic; the factor table is a plan
+    literal."""
+    c = F.col(col) if isinstance(col, str) else col
+    rx = r"^(\d+)(?:\.(\d{1,3}))?\s*([a-zA-Z]+)$"
+    whole = F.regexp_extract(c, rx, 1)
+    frac = F.rpad(F.regexp_extract(c, rx, 2), 3, "0")
+    unit = F.lower(F.regexp_extract(c, rx, 3))
+    value_e3 = F.when(
+        whole != "",
+        whole.cast("long") * 1000
+        + F.when(frac != "", frac.cast("long")).otherwise(0),
+    )
+    factor = None
+    for u, fc in UNIT_FACTORS.items():
+        cur = F.when(unit == u, F.lit(fc).cast("long"))
+        factor = cur if factor is None else factor.when(
+            unit == u, F.lit(fc).cast("long")
+        )
+    um = F.when(
+        value_e3.isNotNull() & factor.isNotNull(),
+        (value_e3 * factor).cast("long"),
+    )
+    return F.struct(
+        um.alias("value_um"),
+        (um.isNotNull()).alias("unit_ok"),
+    )

@@ -343,3 +343,50 @@ def function_complexity(files: DataFrame) -> DataFrame:
             (F.col("n_decisions") + 1).cast("long").alias("complexity"),
         )
     )
+
+
+def docstring_coverage(files: DataFrame) -> DataFrame:
+    """(repo, path, n_funcs, n_documented, coverage_e6): fraction of
+    functions whose first body line opens a string literal — the
+    documentation-hygiene mix feature, at the same def-island
+    granularity as function_complexity.  A file with no functions
+    emits no row (nothing to document).
+
+    Same single-window line-island shape as function_complexity."""
+    from pyspark.sql import Window
+
+    lines = files.select(
+        "repo",
+        "path",
+        F.posexplode(F.split(F.col("content"), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    is_def = F.col("line").rlike(r"^\s*def ").cast("long")
+    w = Window.partitionBy("repo", "path").orderBy("line_no")
+    segs = lines.withColumn("island", F.sum(is_def).over(w)).filter(
+        F.col("island") >= 1
+    )
+    wseg = Window.partitionBy("repo", "path", "island").orderBy("line_no")
+    per = segs.withColumn("rn", F.row_number().over(wseg)).select(
+        "repo",
+        "path",
+        "island",
+        F.when(
+            (F.col("rn") == 2)
+            & F.col("line").rlike("^\\s*[rRbBuU]*(\"|')"),
+            1,
+        )
+        .otherwise(0)
+        .alias("doc"),
+    )
+    per_func = per.groupBy("repo", "path", "island").agg(
+        F.max("doc").alias("documented")
+    )
+    return per_func.groupBy("repo", "path").agg(
+        F.count("*").cast("long").alias("n_funcs"),
+        F.sum("documented").cast("long").alias("n_documented"),
+        F.expr("sum(documented) * 1000000 div count(*)")
+        .cast("long")
+        .alias("coverage_e6"),
+    )

@@ -1,0 +1,65 @@
+"""Hand-traced docstring coverage, unit and date canonicalization."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.functions.normalize import date_canonicalize, unit_normalize
+from reden_spark.operators.code_surface import docstring_coverage
+
+
+def test_docstring_coverage_exact(spark):
+    content = (
+        "import os\n"
+        "def documented(x):\n"
+        '    """Docs."""\n'
+        "    return x\n"
+        "def raw_doc(y):\n"
+        "    r'''also docs'''\n"
+        "    return y\n"
+        "def bare(z):\n"
+        "    return z\n"
+    )
+    files = spark.createDataFrame(
+        [("r", "a.py", "py", content)],
+        "repo string, path string, lang string, content string",
+    )
+    r = docstring_coverage(files).collect()[0]
+    assert r.n_funcs == 3
+    assert r.n_documented == 2
+    assert r.coverage_e6 == 2 * 1000000 // 3
+
+
+def _vals(spark, raws, fn):
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)],
+                               "id long, raw string")
+    return [r.v for r in df.select(fn.alias("v")).orderBy("id").collect()]
+
+
+def test_unit_normalize_exact(spark):
+    s = unit_normalize("raw")
+    out = _vals(spark, ["5 km", "2.5 m", "120cm", "7 parsec", "x"], s)
+    assert out[0].value_um == 5_000_000_000 and out[0].unit_ok
+    assert out[1].value_um == 2_500_000
+    assert out[2].value_um == 1_200_000
+    assert out[3].value_um is None and not out[3].unit_ok
+    assert out[4].value_um is None
+
+
+def test_date_canonicalize_exact(spark):
+    out = _vals(
+        spark,
+        [
+            "2020-1-5",
+            "12/31/1999",
+            "Dec 3, 2021",
+            "december 3, 2021",
+            "Frobuary 1, 2020",
+            "circa 1850",
+        ],
+        date_canonicalize("raw"),
+    )
+    assert out[0] == "2020-01-05"
+    assert out[1] == "1999-12-31"
+    assert out[2] == "2021-12-03"
+    assert out[3] == "2021-12-03"     # case + long name via 3-letter prefix
+    assert out[4] is None             # unknown month
+    assert out[5] is None
