@@ -20043,3 +20043,107 @@ def q_date_canonicalize(spark, sf_dir):
     )
     d = orders.select(k.cast("long").alias("id"), raw.alias("raw"))
     return d.select("id", "raw", date_canonicalize("raw").alias("iso"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 43: phonetic blocking, equi-depth histograms.
+
+
+@query(
+    "phonetic_blocking",
+    """
+    WITH names AS (
+      SELECT c_custkey AS id,
+             regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g')
+               || CASE WHEN c_custkey % 4 = 0 THEN 'sen'
+                       WHEN c_custkey % 4 = 1 THEN 'son'
+                       WHEN c_custkey % 4 = 2 THEN 'sohn'
+                       ELSE '' END AS name
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    st AS (SELECT id, name,
+                  upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS s
+           FROM names),
+    dig AS (SELECT id, name, s,
+                   translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             '01230120022455012623010202') AS d
+            FROM st),
+    col7 AS (SELECT id, name, s,
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(d,
+                      '00+', '0', 'g'), '11+', '1', 'g'),
+                      '22+', '2', 'g'), '33+', '3', 'g'),
+                      '44+', '4', 'g'), '55+', '5', 'g'),
+                      '66+', '6', 'g') AS cd
+             FROM dig),
+    fin AS (SELECT id, name,
+                   CASE WHEN s <> '' THEN substr(s, 1, 1)
+                        || rpad(substr(replace(substr(cd, 2, 1000),
+                                '0', ''), 1, 3), 3, '0') END AS code
+            FROM col7),
+    sz AS (SELECT code, CAST(count(*) AS BIGINT) AS block_n
+           FROM fin GROUP BY 1)
+    SELECT f.id, f.name, f.code, sz.block_n
+    FROM fin f JOIN sz ON sz.code = f.code
+    """,
+)
+def q_phonetic_blocking(spark, sf_dir):
+    """Soundex ER blocking (functions/normalize.soundex_key): nation
+    names with -sen/-son/-sohn suffix variants land in one phonetic
+    block — the classic surname blocking key, built from translate +
+    backref-free run collapses so the oracle ports verbatim."""
+    from reden_spark.functions.normalize import soundex_key
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    j = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+    base = F.regexp_replace(F.col("n_name"), "[^A-Za-z0-9]", "")
+    name = F.concat(
+        base,
+        F.when(F.col("c_custkey") % 4 == 0, "sen")
+        .when(F.col("c_custkey") % 4 == 1, "son")
+        .when(F.col("c_custkey") % 4 == 2, "sohn")
+        .otherwise(""),
+    )
+    names = j.select(
+        F.col("c_custkey").cast("long").alias("id"), name.alias("name")
+    )
+    coded = names.withColumn("code", soundex_key("name"))
+    sz = coded.groupBy("code").agg(
+        F.count("*").cast("long").alias("block_n")
+    )
+    return coded.join(sz, "code").select("id", "name", "code", "block_n")
+
+
+@query(
+    "equidepth_histogram",
+    """
+    WITH v AS (
+      SELECT o_orderkey AS id,
+             (o_orderkey * o_custkey) % 100000 AS v
+      FROM orders),
+    b AS (SELECT v,
+                 ntile(10) OVER (ORDER BY v, id) AS bucket
+          FROM v)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram (operators/analytics.equidepth_histogram):
+    10 equal-row buckets over the scrambled order value — the
+    selectivity statistic; ntile over a fully tie-broken order is
+    deterministic in both engines."""
+    from reden_spark.operators.analytics import equidepth_histogram
+
+    orders = _read(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        ((F.col("o_orderkey") * F.col("o_custkey")) % 100000)
+        .cast("long")
+        .alias("v"),
+    )
+    return equidepth_histogram(v, "v", "id", n_buckets=10)

@@ -158,3 +158,28 @@ def unit_normalize(col: Column | str) -> Column:
         um.alias("value_um"),
         (um.isNotNull()).alias("unit_ok"),
     )
+
+
+_SOUNDEX_MAP = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+
+
+def soundex_key(col: Column | str) -> Column:
+    """American Soundex code (simplified: the H/W-between-equal-digits
+    nuance is skipped — deterministic, documented): first letter +
+    three digits from the classic consonant classes, zero-padded —
+    the phonetic blocking key that puts 'Robert' and 'Rupert' in one
+    ER block.  Built ENTIRELY from translate + per-digit run-collapse
+    regexp_replace calls: RE2 has no backreferences, so the collapse
+    is seven explicit '(dd+ → d)' rules and the whole chain ports to
+    the oracle verbatim.  Non-alphabetic input yields NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(s, 1, 1)
+    digits = F.translate(s, _SOUNDEX_MAP[0], _SOUNDEX_MAP[1])
+    collapsed = digits
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, f"{d}{d}+", d)
+    # drop the first char's own digit, remove the vowel class, pad
+    tail = F.regexp_replace(F.substring(collapsed, 2, 1000), "0", "")
+    code = F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    return F.when(first != "", code)

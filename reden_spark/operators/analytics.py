@@ -959,3 +959,33 @@ def chi2_drift(
             f" / (CAST((n_base + 1) AS DOUBLE) * tc / (tb + {k})), 6)"
         ).alias("chi2_term"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(bucket, lo, hi, n): equi-depth histogram of a column — the
+    selectivity-estimation statistic behind join_size_estimate and
+    every range-predicate cost guess; equal ROW counts per bucket
+    means each bucket answers "what fraction of rows does x < v
+    keep?" with the same resolution everywhere, where an equi-width
+    histogram wastes buckets on empty ranges.  ntile over the
+    (value, id) total order — fully deterministic under ties.
+
+    Scale note: the ntile window is a global sort — run this on the
+    per-partition SAMPLE a fleet audit works from (sample_quantile_
+    sketch is the streaming-scale sibling); the audit's value is the
+    boundary table, which is tiny."""
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    b = df.select(
+        F.col(value_col).alias("v"),
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )

