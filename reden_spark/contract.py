@@ -20147,3 +20147,116 @@ def q_equidepth_histogram(spark, sf_dir):
         .alias("v"),
     )
     return equidepth_histogram(v, "v", "id", n_buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 44: ACL sweep cut, MinHash banding planner.
+
+
+def _sweep_oracle_sql() -> str:
+    bfs = _bfs_oracle_sql(_BFS_HOPS)
+    return f"""
+    WITH bfsq AS MATERIALIZED ({bfs}),
+    sc AS (SELECT node, CAST(-dist AS BIGINT) AS score FROM bfsq),
+    rk AS (SELECT node, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, node ASC)
+                       AS BIGINT) AS rank
+           FROM sc),
+    eb AS ({_KCORE_EDGES_SQL}),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM eb WHERE src <> dst),
+    er AS (SELECT least(a.rank, b.rank) AS rmin,
+                  greatest(a.rank, b.rank) AS rmax
+           FROM e JOIN rk a ON a.node = e.u JOIN rk b ON b.node = e.v),
+    ne AS (SELECT count(*) AS n_edges FROM er),
+    ev AS (SELECT k, CAST(sum(d) AS BIGINT) AS delta FROM (
+             SELECT rmin AS k, 1 AS d FROM er
+             UNION ALL SELECT rmax, -1 FROM er) GROUP BY 1),
+    dg AS (SELECT r, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT rmin AS r FROM er UNION ALL SELECT rmax FROM er)
+           GROUP BY 1),
+    curve AS (
+      SELECT rk.rank, rk.node,
+             CAST(sum(COALESCE(ev.delta, 0))
+                  OVER (ORDER BY rk.rank) AS BIGINT) AS cut,
+             CAST(sum(COALESCE(dg.deg, 0))
+                  OVER (ORDER BY rk.rank) AS BIGINT) AS vol
+      FROM rk LEFT JOIN ev ON ev.k = rk.rank
+              LEFT JOIN dg ON dg.r = rk.rank),
+    cc AS (
+      SELECT rank, node, cut, vol,
+             CASE WHEN least(vol, 2 * ne.n_edges - vol) > 0
+                  THEN CAST(cut * 1000000
+                       // least(vol, 2 * ne.n_edges - vol) AS BIGINT)
+             END AS conductance_e6
+      FROM curve, ne),
+    best AS (
+      SELECT conductance_e6 AS bc, rank AS br FROM cc
+      WHERE conductance_e6 IS NOT NULL
+      ORDER BY conductance_e6 ASC, rank ASC LIMIT 1)
+    SELECT cc.rank, cc.node, cc.cut, cc.vol, cc.conductance_e6,
+           (cc.rank = best.br AND cc.conductance_e6 IS NOT NULL)
+             AS is_best
+    FROM cc, best
+    """
+
+
+@query("ppr_sweep_cut", _sweep_oracle_sql())
+def q_ppr_sweep_cut(spark, sf_dir):
+    """Andersen–Chung–Lang sweep (operators/graphstats.sweep_cut):
+    nodes ranked by BFS seed-proximity (integer −dist, deterministic
+    ties), the whole cut curve from ONE difference-array pass, prefix
+    conductance, and the minimum-conductance local community flagged —
+    O(E), no per-prefix work."""
+    from reden_spark.operators.graphstats import sweep_cut
+    from reden_spark.operators.paths import bfs_distances
+
+    edges = _kcore_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    scores = bfs_distances(edges, seeds, max_hops=_BFS_HOPS).select(
+        "node", (-F.col("dist")).cast("long").alias("score")
+    )
+    return sweep_cut(edges, scores)
+
+
+@query(
+    "minhash_param_plan",
+    """
+    SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+           CAST(s_half_e6 AS BIGINT) AS s_half_e6,
+           CAST(p_e6_at_500000 AS BIGINT) AS p_e6_at_500000,
+           CAST(p_e6_at_700000 AS BIGINT) AS p_e6_at_700000,
+           CAST(p_e6_at_800000 AS BIGINT) AS p_e6_at_800000
+    FROM (VALUES
+      (1, 120, 1000000, 0, 0, 0),
+      (2, 60, 988514, 0, 0, 3),
+      (3, 40, 972908, 0, 2, 399),
+      (4, 30, 954842, 0, 90, 4943),
+      (5, 24, 935139, 0, 958, 23390),
+      (6, 20, 914308, 6, 4778, 67212),
+      (8, 15, 870551, 244, 37355, 249147),
+      (10, 12, 825404, 2439, 130102, 509312),
+      (12, 10, 779977, 11656, 290965, 744122),
+      (15, 8, 712834, 57018, 589610, 936374),
+      (20, 6, 606962, 270187, 918186, 997712),
+      (24, 5, 529612, 533253, 987920, 999927),
+      (30, 4, 427287, 855743, 999735, 1000000),
+      (40, 3, 292402, 995210, 1000000, 1000000),
+      (60, 2, 129099, 1000000, 1000000, 1000000),
+      (120, 1, 8333, 1000000, 1000000, 1000000)) t(bands, rows, s_half_e6, p_e6_at_500000, p_e6_at_700000, p_e6_at_800000)
+    """,
+)
+def q_minhash_param_plan(spark, sf_dir):
+    """LSH banding planner (operators/dedup.plan_minhash_bands, LRU
+    ch. 3): every (b, r) factorization of 120 hashes with the S-curve
+    half-collision threshold and collision probabilities at .5/.7/.8
+    similarity — the table that picks bands before touching data
+    (dedup_minhash_lsh consumes the choice)."""
+    from reden_spark.operators.dedup import plan_minhash_bands
+
+    return plan_minhash_bands(spark, n_hashes=120)

@@ -559,3 +559,38 @@ def dup_evidence(
         )
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def plan_minhash_bands(
+    spark,
+    n_hashes: int = 120,
+    thresholds_e6: tuple = (500000, 700000, 800000),
+) -> DataFrame:
+    """(bands, rows, s_threshold_e6, p_at_e6...): the LSH banding
+    planner — for every (b, r) factorization of ``n_hashes``, the
+    S-curve threshold s* = (1/b)^(1/r) where collision probability
+    crosses ½, plus the collision probability 1 − (1 − sʳ)ᵇ at each
+    requested similarity — the table every MinHash deployment reads
+    to pick bands before touching data (Leskovec-Rajaraman-Ullman
+    ch. 3).  Pure math on plan literals, computed driver-side once
+    (bounded by the divisor count of n_hashes) and returned as a
+    DataFrame so it joins/oracles like everything else; probabilities
+    quantized to micro-units.
+
+    Columns: (bands, rows, s_half_e6, p_e6_at_<t> for each requested
+    threshold)."""
+    rows_out = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        s_half = round((1.0 / b) ** (1.0 / r) * 1e6)
+        rec = [b, r, s_half]
+        for t in thresholds_e6:
+            s = t / 1e6
+            rec.append(round((1.0 - (1.0 - s ** r) ** b) * 1e6))
+        rows_out.append(tuple(rec))
+    cols = "bands long, rows long, s_half_e6 long, " + ", ".join(
+        f"p_e6_at_{t} long" for t in thresholds_e6
+    )
+    return spark.createDataFrame(rows_out, cols)

@@ -1424,3 +1424,103 @@ def boruvka_mst(edges: DataFrame, rounds: int = 2) -> DataFrame:
             F.col("u").alias("src"), F.col("v").alias("dst"), "w", "round"
         )
     )
+
+
+def sweep_cut(edges: DataFrame, scores: DataFrame) -> DataFrame:
+    """(rank, node, cut, vol, conductance_e6, is_best): the
+    Andersen–Chung–Lang sweep — order nodes by a proximity score
+    (PPR, BFS closeness, any higher-is-closer ranking), and for every
+    prefix report its cut, volume, and conductance; the minimum-
+    conductance prefix IS the local community around the seeds.  The
+    universe is the scored node set (edges with an unscored endpoint
+    are outside the candidate subgraph by construction).
+
+    The scale trick: cut(k) for ALL prefixes at once via a DIFFERENCE
+    ARRAY — each edge contributes +1 at rank min(ru, rv) and −1 at
+    rank max(ru, rv), so one cumulative window over ranks yields the
+    whole cut curve; volume is a second cumulative sum of degrees.
+    O(E) total, no per-prefix work, every step a window or join on
+    the rank/node key (per-seed-community graphs keep the windows
+    small)."""
+    w = Window.orderBy(F.desc("score"), F.asc("node"))
+    ranked = (
+        scores.select("node", F.col("score").cast("long").alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    er = (
+        e.join(
+            ranked.select(F.col("node").alias("u"), F.col("rank").alias("ru")),
+            "u",
+        )
+        .join(
+            ranked.select(F.col("node").alias("v"), F.col("rank").alias("rv")),
+            "v",
+        )
+        .select(
+            F.least("ru", "rv").alias("rmin"),
+            F.greatest("ru", "rv").alias("rmax"),
+        )
+    )
+    events = (
+        er.select(F.col("rmin").alias("k"), F.lit(1).alias("d"))
+        .unionByName(er.select(F.col("rmax").alias("k"), F.lit(-1).alias("d")))
+        .groupBy("k")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    deg = (
+        er.select(F.col("rmin").alias("r"))
+        .unionByName(er.select(F.col("rmax").alias("r")))
+        .groupBy("r")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    n_edges = er.count()
+    wk = Window.orderBy("rank")
+    curve = (
+        ranked.join(events, ranked["rank"] == events["k"], "left")
+        .join(deg, ranked["rank"] == deg["r"], "left")
+        .select(
+            "rank",
+            "node",
+            F.coalesce("delta", F.lit(0)).alias("delta"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .withColumn("cut", F.sum("delta").over(wk).cast("long"))
+        .withColumn("vol", F.sum("deg").over(wk).cast("long"))
+        .withColumn(
+            "conductance_e6",
+            F.when(
+                F.least(F.col("vol"), F.lit(2 * n_edges) - F.col("vol"))
+                > 0,
+                F.expr(
+                    f"cut * 1000000 div least(vol, {2 * n_edges} - vol)"
+                ),
+            ).cast("long"),
+        )
+        .drop("delta", "deg")
+    )
+    best = curve.filter(F.col("conductance_e6").isNotNull()).agg(
+        F.min(F.struct("conductance_e6", "rank")).alias("b")
+    ).select(
+        F.col("b.conductance_e6").alias("_bc"),
+        F.col("b.rank").alias("_br"),
+    )
+    return curve.crossJoin(F.broadcast(best)).select(
+        "rank",
+        "node",
+        "cut",
+        "vol",
+        "conductance_e6",
+        (
+            (F.col("rank") == F.col("_br"))
+            & F.col("conductance_e6").isNotNull()
+        ).alias("is_best"),
+    )

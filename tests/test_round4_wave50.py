@@ -1,0 +1,45 @@
+"""Hand-traced ACL sweep cut and MinHash banding planner."""
+
+from reden_spark.operators.dedup import plan_minhash_bands
+from reden_spark.operators.graphstats import sweep_cut
+
+
+def test_sweep_cut_two_cliques_bridge(spark):
+    # two triangles joined by one bridge; scores put clique A first →
+    # best sweep = exactly clique A (cut 1, vol 7, conductance 1/7)
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # clique A
+            (4, 5), (5, 6), (4, 6),          # clique B
+            (3, 4),                          # bridge
+        ],
+        "src long, dst long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 9), (3, 8), (4, 3), (5, 2), (6, 1)],
+        "node long, score long",
+    )
+    out = {r.rank: r for r in sweep_cut(edges, scores).collect()}
+    assert out[1].node == 1 and out[1].cut == 2 and out[1].vol == 2
+    # prefix {1,2}: edges 1-3, 2-3 cross, 1-2 inside → cut 2, vol 4
+    assert out[2].cut == 2 and out[2].vol == 4
+    # prefix {1,2,3}: only the bridge crosses → cut 1, vol 7
+    assert out[3].cut == 1 and out[3].vol == 7
+    assert out[3].conductance_e6 == 1000000 // 7
+    assert out[3].is_best
+    assert not out[2].is_best
+    # full set: complement empty → conductance NULL, never best
+    assert out[6].conductance_e6 is None and not out[6].is_best
+
+
+def test_minhash_param_plan_shape(spark):
+    out = {(r.bands, r.rows): r
+           for r in plan_minhash_bands(spark, n_hashes=120).collect()}
+    assert len(out) == 16                      # divisors of 120
+    # b=20, r=6: s* = (1/20)^(1/6) ≈ 0.607
+    r = out[(20, 6)]
+    assert abs(r.s_half_e6 - 606962) < 2
+    # collision prob increases with similarity
+    assert r.p_e6_at_500000 < r.p_e6_at_700000 < r.p_e6_at_800000
+    # more bands (shorter rows) → catches lower similarity more easily
+    assert out[(40, 3)].p_e6_at_500000 > out[(10, 12)].p_e6_at_500000
