@@ -20260,3 +20260,112 @@ def q_minhash_param_plan(spark, sf_dir):
     from reden_spark.operators.dedup import plan_minhash_bands
 
     return plan_minhash_bands(spark, n_hashes=120)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 45: span de-confliction, markdown table mining.
+
+
+_SPANS_SQL = """
+    SELECT o_orderkey % 200 AS doc_id,
+           o_orderkey % 50 AS start_pos,
+           (o_orderkey % 50) + (o_orderkey % 5) + 1 AS end_pos,
+           'dict' AS source
+    FROM orders WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT o_orderkey % 200,
+           (o_orderkey % 50) + (o_orderkey % 3),
+           (o_orderkey % 50) + (o_orderkey % 3) + (o_orderkey % 7) + 1,
+           'ner'
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@query(
+    "span_deconflict",
+    f"""
+    WITH s AS (SELECT DISTINCT * FROM ({_SPANS_SQL})),
+    a AS (SELECT doc_id, start_pos, end_pos, source,
+                 end_pos - start_pos AS len FROM s),
+    dom AS (
+      SELECT DISTINCT x.doc_id, x.start_pos, x.end_pos, x.source
+      FROM a x JOIN a y
+        ON y.doc_id = x.doc_id
+       AND x.start_pos <= y.end_pos AND y.start_pos <= x.end_pos
+       AND (y.len > x.len
+            OR (y.len = x.len AND y.start_pos < x.start_pos)
+            OR (y.len = x.len AND y.start_pos = x.start_pos
+                AND y.source < x.source)))
+    SELECT a.doc_id, CAST(a.start_pos AS BIGINT) AS start_pos,
+           CAST(a.end_pos AS BIGINT) AS end_pos, a.source,
+           dom.doc_id IS NULL AS kept
+    FROM a LEFT JOIN dom
+      ON dom.doc_id = a.doc_id AND dom.start_pos = a.start_pos
+     AND dom.end_pos = a.end_pos AND dom.source = a.source
+    """,
+)
+def q_span_deconflict(spark, sf_dir):
+    """Span dominance filter (operators/iextract.
+    span_dominance_filter): dictionary and NER span proposals
+    de-conflicted — survive iff no longer/leftmost/lower-source
+    overlapping span exists; join-parallel, deterministic."""
+    from reden_spark.operators.iextract import span_dominance_filter
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0
+    )
+    k = F.col("o_orderkey")
+    spans = orders.select(
+        (k % 200).cast("long").alias("doc_id"),
+        (k % 50).cast("long").alias("start_pos"),
+        ((k % 50) + (k % 5) + 1).cast("long").alias("end_pos"),
+        F.lit("dict").alias("source"),
+    ).unionByName(
+        orders.select(
+            (k % 200).cast("long").alias("doc_id"),
+            ((k % 50) + (k % 3)).cast("long").alias("start_pos"),
+            ((k % 50) + (k % 3) + (k % 7) + 1).cast("long").alias(
+                "end_pos"
+            ),
+            F.lit("ner").alias("source"),
+        )
+    )
+    return span_dominance_filter(spans)
+
+
+@query(
+    "markdown_tables",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    rows_ AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS table_row,
+             CAST(0 AS BIGINT) AS col_idx, 'name' AS cell FROM d
+      UNION ALL SELECT doc_id, 0, 1, 'age' FROM d
+      UNION ALL SELECT doc_id, 1, 0, 'a' || CAST(doc_id AS VARCHAR)
+      FROM d
+      UNION ALL SELECT doc_id, 1, 1, CAST(doc_id % 90 AS VARCHAR)
+      FROM d
+      UNION ALL SELECT doc_id, 2, 0, 'b' FROM d
+      UNION ALL SELECT doc_id, 2, 1, '7' FROM d)
+    SELECT doc_id, table_row, col_idx, cell FROM rows_
+    """,
+)
+def q_markdown_tables(spark, sf_dir):
+    """Markdown pipe-table mining (operators/iextract.
+    markdown_tables): header + data cells extracted, separator rows
+    dropped, prose ignored — the oracle regenerates the planted
+    table, pinning the parser end-to-end."""
+    from reden_spark.operators.iextract import markdown_tables
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("# doc\n| name | age |\n|---|---|\n| a"),
+            d.cast("string"),
+            F.lit(" | "),
+            (d % 90).cast("string"),
+            F.lit(" |\n| b | 7 |\nprose tail without pipes"),
+        ).alias("text"),
+    )
+    return markdown_tables(docs)

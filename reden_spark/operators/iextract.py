@@ -133,3 +133,104 @@ def hearst_hyponyms(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("hyponym") != "")
         .distinct()
     )
+
+
+def span_dominance_filter(spans: DataFrame) -> DataFrame:
+    """(doc_id, start_pos, end_pos, source, kept): overlapping-span
+    de-confliction across extractors (dictionary matcher, NER runs,
+    acronym spans all propose over the same text) — a span survives
+    iff NO strictly higher-priority span overlaps it, priority =
+    (longer first, then leftmost, then source name).  Dominance
+    filtering is deterministic and join-parallel, unlike the greedy
+    sequential sweep it approximates (the only spans it treats
+    differently are chains where a dominated span dominates a third —
+    rare, and dropping those too is the conservative choice for
+    training annotations).
+
+    One doc-keyed interval self-join; spans per document are few, so
+    the group-local product is bounded."""
+    s = spans.select("doc_id", "start_pos", "end_pos", "source").distinct()
+    length = F.col("end_pos") - F.col("start_pos")
+    a = s.select(
+        "doc_id", "start_pos", "end_pos", "source",
+        length.alias("len"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("start_pos").alias("sb"),
+        F.col("end_pos").alias("eb"),
+        F.col("source").alias("source_b"),
+        length.alias("len_b"),
+    )
+    dominated = (
+        a.join(b, (F.col("doc_id") == F.col("doc_id_b")))
+        .filter(
+            (F.col("start_pos") <= F.col("eb"))
+            & (F.col("sb") <= F.col("end_pos"))
+            & (
+                (F.col("len_b") > F.col("len"))
+                | (
+                    (F.col("len_b") == F.col("len"))
+                    & (F.col("sb") < F.col("start_pos"))
+                )
+                | (
+                    (F.col("len_b") == F.col("len"))
+                    & (F.col("sb") == F.col("start_pos"))
+                    & (F.col("source_b") < F.col("source"))
+                )
+            )
+        )
+        .select("doc_id", "start_pos", "end_pos", "source")
+        .distinct()
+        .withColumn("_dom", F.lit(True))
+    )
+    return a.join(
+        dominated, ["doc_id", "start_pos", "end_pos", "source"], "left"
+    ).select(
+        "doc_id",
+        "start_pos",
+        "end_pos",
+        "source",
+        F.col("_dom").isNull().alias("kept"),
+    )
+
+
+def markdown_tables(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, table_row, col_idx, cell): markdown pipe-table cells —
+    the fact mines of README/wiki corpora, flattened to one row per
+    cell so downstream mapping (relmap-style column→predicate) can
+    run.  A table line starts and ends with '|'; separator lines
+    (---) are dropped; cells are trimmed.  table_row counts table
+    lines per document in order (0-based, separators excluded).
+
+    Lines explode first; one doc-keyed window numbers the rows; the
+    cell explode is per-line — content never shuffles whole."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).filter(
+        F.col("line").rlike(r"^\s*\|.*\|\s*$")
+        & ~F.col("line").rlike(r"^\s*\|[\s|:-]+\|\s*$")
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    numbered = lines.withColumn(
+        "table_row", (F.row_number().over(w) - 1).cast("long")
+    )
+    cells = numbered.select(
+        "doc_id",
+        "table_row",
+        F.posexplode(
+            F.expr(
+                "slice(split(line, '\\\\|'), 2,"
+                " size(split(line, '\\\\|')) - 2)"
+            )
+        ).alias("col_idx", "cell"),
+    )
+    return cells.select(
+        "doc_id",
+        "table_row",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.trim(F.col("cell")).alias("cell"),
+    )

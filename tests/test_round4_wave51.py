@@ -1,0 +1,41 @@
+"""Hand-traced span de-confliction and markdown table mining."""
+
+from reden_spark.operators.iextract import (
+    markdown_tables,
+    span_dominance_filter,
+)
+
+
+def test_span_dominance_exact(spark):
+    spans = spark.createDataFrame(
+        [
+            (1, 0, 5, "dict"),    # longest: kept
+            (1, 2, 4, "ner"),     # inside the longer span: dominated
+            (1, 10, 12, "ner"),   # disjoint: kept
+            (1, 10, 12, "dict"),  # exact tie: 'dict' < 'ner' wins
+        ],
+        "doc_id long, start_pos long, end_pos long, source string",
+    )
+    out = {(r.start_pos, r.end_pos, r.source): r.kept
+           for r in span_dominance_filter(spans).collect()}
+    assert out[(0, 5, "dict")] is True
+    assert out[(2, 4, "ner")] is False
+    assert out[(10, 12, "dict")] is True
+    assert out[(10, 12, "ner")] is False     # loses the source tie
+
+
+def test_markdown_tables_exact(spark):
+    text = (
+        "intro prose\n"
+        "| name | age |\n"
+        "| --- | :-: |\n"
+        "| ada | 36 |\n"
+        "trailing | not a table row\n"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {(r.table_row, r.col_idx): r.cell
+           for r in markdown_tables(docs).collect()}
+    assert out == {
+        (0, 0): "name", (0, 1): "age",
+        (1, 0): "ada", (1, 1): "36",
+    }
