@@ -20369,3 +20369,136 @@ def q_markdown_tables(spark, sf_dir):
         ).alias("text"),
     )
     return markdown_tables(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 46: text→KG triple extraction composite, dependency
+# pinning audit.
+
+
+@query(
+    "text_kg_triples",
+    f"""
+    WITH d AS ({_IEX_DOCS_SQL}),
+    hm AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '([A-Z][A-Za-z0-9]*) (?:such as|including|especially) ((?:[A-Z][A-Za-z0-9]*(?:, | and )?)+)',
+               1)) AS hypernym,
+             unnest(regexp_extract_all(text,
+               '([A-Z][A-Za-z0-9]*) (?:such as|including|especially) ((?:[A-Z][A-Za-z0-9]*(?:, | and )?)+)',
+               2)) AS hypo_list
+      FROM d),
+    he AS (
+      SELECT doc_id, hypernym,
+             unnest(string_split_regex(hypo_list, ', | and ')) AS hyponym
+      FROM hm),
+    hy AS (SELECT DISTINCT hyponym AS subj, 'skos:broader' AS pred,
+                  hypernym AS obj, doc_id
+           FROM he WHERE hyponym <> ''),
+    acand AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '((?:[A-Za-z][A-Za-z0-9]* ){{1,8}})\\(([A-Z]{{2,8}})\\)', 1))
+               AS lf,
+             unnest(regexp_extract_all(text,
+               '((?:[A-Za-z][A-Za-z0-9]* ){{1,8}})\\(([A-Z]{{2,8}})\\)', 2))
+               AS acronym
+      FROM d),
+    ap AS (SELECT doc_id, acronym,
+                  string_split(trim(lf), ' ') AS words,
+                  length(acronym) AS n
+           FROM acand),
+    aok AS (SELECT doc_id, acronym,
+                   words[len(words) - n + 1:] AS sel
+            FROM ap WHERE len(words) >= n),
+    av AS (SELECT doc_id, acronym,
+                  array_to_string(sel, ' ') AS long_form,
+                  array_to_string(list_transform(sel, w -> upper(w[1])),
+                    '') AS initials
+           FROM aok),
+    ac AS (SELECT DISTINCT acronym AS subj, 'skos:altLabel' AS pred,
+                  long_form AS obj, doc_id
+           FROM av WHERE initials = acronym),
+    toks0 AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM d),
+    ncap AS (SELECT doc_id, pos, tok FROM toks0
+             WHERE regexp_matches(tok, '^[A-Z][A-Za-z0-9]*$')),
+    nisl AS (SELECT doc_id, pos, tok,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS island
+             FROM ncap),
+    ng AS (SELECT doc_id, island,
+                  string_agg(tok, ' ' ORDER BY pos) AS span,
+                  count(*) AS n_toks
+           FROM nisl GROUP BY 1, 2),
+    ner AS (SELECT DISTINCT span AS subj, 'rdf:type' AS pred,
+                   'NamedEntity' AS obj, doc_id
+            FROM ng WHERE n_toks >= 2)
+    SELECT DISTINCT subj, pred, obj, doc_id FROM (
+      SELECT * FROM hy UNION ALL SELECT * FROM ac
+      UNION ALL SELECT * FROM ner)
+    """,
+)
+def q_text_kg_triples(spark, sf_dir):
+    """Raw text → KG triples (operators/iextract.text_to_triples):
+    Hearst hyponyms as skos:broader, validated acronyms as
+    skos:altLabel, capitalized-run spans as rdf:type NamedEntity —
+    the zero-markup construction step the TEI-driven reference never
+    needed, composed from the three oracled extractors."""
+    from reden_spark.operators.iextract import text_to_triples
+
+    return text_to_triples(_iex_docs(spark, sf_dir))
+
+
+@query(
+    "dep_pinning_audit",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    rows_ AS (
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR) AS repo,
+             'r_' || CAST(doc_id AS VARCHAR) || '/requirements.txt'
+               AS path,
+             'pkg' || CAST(doc_id AS VARCHAR) AS package,
+             '==' AS op, '1.' || CAST(doc_id % 9 AS VARCHAR) AS version,
+             'pinned' AS pin_class
+      FROM d
+      UNION ALL
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+             'r_' || CAST(doc_id AS VARCHAR) || '/requirements.txt',
+             'flask', '>=', '2.0', 'ranged' FROM d
+      UNION ALL
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+             'r_' || CAST(doc_id AS VARCHAR) || '/requirements.txt',
+             'requests', '', '', 'unpinned' FROM d
+      UNION ALL
+      SELECT 'repo-' || CAST(doc_id % 17 AS VARCHAR),
+             'r_' || CAST(doc_id AS VARCHAR) || '/requirements.txt',
+             'numpy', '~=', '1.24', 'ranged' FROM d)
+    SELECT repo, path, package, op, version, pin_class FROM rows_
+    """,
+)
+def q_dep_pinning_audit(spark, sf_dir):
+    """Dependency pinning audit (operators/code_filters.
+    dep_pinning_audit): pinned / ranged / unpinned requirement
+    specifiers from synthesized manifests (comment lines excluded) —
+    the supply-chain hygiene table; oracle regenerates the planted
+    manifest."""
+    from reden_spark.operators.code_filters import dep_pinning_audit
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo-"), s(d % 17)).alias("repo"),
+        F.concat(F.lit("r_"), s(d), F.lit("/requirements.txt")).alias(
+            "path"
+        ),
+        F.concat(
+            F.lit("pkg"), s(d), F.lit("==1."), s(d % 9),
+            F.lit("\nflask>=2.0\nrequests\n# comment line\nnumpy~=1.24"),
+        ).alias("content"),
+    )
+    return dep_pinning_audit(files)

@@ -354,3 +354,57 @@ def crossrepo_dup_files(files: DataFrame, text_col: str = "content") -> DataFram
         )
         .filter(F.col("n_repos") >= 2)
     )
+
+
+_REQ_RX = (
+    r"(^|\n)\s*([A-Za-z0-9][A-Za-z0-9._-]*)\s*"
+    r"(==|>=|<=|~=|!=|>|<)?\s*([0-9][0-9A-Za-z.*+!-]*)?"
+)
+
+
+def dep_pinning_audit(files: DataFrame) -> DataFrame:
+    """(repo, path, package, op, version, pin_class): dependency
+    specifier audit over requirements-style manifests — every
+    requirement line classified as
+
+      pinned    — '==' with a version (reproducible build)
+      ranged    — any other comparator ('>=', '~=', …)
+      unpinned  — bare package name (resolver roulette)
+
+    the supply-chain hygiene feature of a code corpus (an unpinned
+    manifest is a different training signal than a lockfile, and a
+    poisoned-name audit starts from this table).  One
+    regexp_extract_all pass per file, comment lines excluded."""
+    z = files.select(
+        "repo",
+        "path",
+        F.arrays_zip(
+            F.regexp_extract_all(F.col("content"), F.lit(_REQ_RX), 2),
+            F.regexp_extract_all(F.col("content"), F.lit(_REQ_RX), 3),
+            F.regexp_extract_all(F.col("content"), F.lit(_REQ_RX), 4),
+        ).alias("reqs"),
+    )
+    e = z.select(
+        "repo",
+        "path",
+        F.explode(F.col("reqs")).alias("r"),
+    ).select(
+        "repo",
+        "path",
+        F.col("r.0").alias("package"),
+        F.col("r.1").alias("op"),
+        F.col("r.2").alias("version"),
+    ).filter(F.col("package") != "")
+    return e.select(
+        "repo",
+        "path",
+        "package",
+        "op",
+        "version",
+        F.when(
+            (F.col("op") == "==") & (F.col("version") != ""), "pinned"
+        )
+        .when((F.col("op") != "") & (F.col("version") != ""), "ranged")
+        .otherwise("unpinned")
+        .alias("pin_class"),
+    )

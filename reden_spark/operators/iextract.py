@@ -234,3 +234,42 @@ def markdown_tables(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("col_idx").cast("long").alias("col_idx"),
         F.trim(F.col("cell")).alias("cell"),
     )
+
+
+def text_to_triples(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(subj, pred, obj, doc_id): raw unannotated text → KG triples in
+    one call — the extraction bundle composed end-to-end:
+
+      hearst_hyponyms →  (hyponym,  skos:broader,       hypernym)
+      acronym_pairs   →  (acronym,  skos:altLabel,      long_form)
+      ner spans (≥2)  →  (span,     rdf:type,           NamedEntity)
+
+    exactly the corpus-side triple proposer the construction pipeline
+    feeds into canonicalization (sameas CC) and fusion — where the
+    reference starts from TEI markup, this starts from nothing.
+
+    Each extractor is one regexp/window pass (their own docstrings);
+    the union is projection-only.  Distinct per (doc, triple)."""
+    hy = hearst_hyponyms(docs, text_col=text_col).select(
+        F.col("hyponym").alias("subj"),
+        F.lit("skos:broader").alias("pred"),
+        F.col("hypernym").alias("obj"),
+        "doc_id",
+    )
+    ac = acronym_pairs(docs, text_col=text_col).select(
+        F.col("acronym").alias("subj"),
+        F.lit("skos:altLabel").alias("pred"),
+        F.col("long_form").alias("obj"),
+        "doc_id",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    ner = ner_capitalized_spans(toks).select(
+        F.col("span").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("NamedEntity").alias("obj"),
+        "doc_id",
+    )
+    return hy.unionByName(ac).unionByName(ner).distinct()

@@ -1,0 +1,43 @@
+"""Hand-traced text→KG composite and dependency pinning audit."""
+
+from reden_spark.operators.code_filters import dep_pinning_audit
+from reden_spark.operators.iextract import text_to_triples
+
+
+def test_text_to_triples_all_three_extractors(spark):
+    docs = spark.createDataFrame(
+        [
+            (1,
+             "The United Nations Organization (UNO) met. "
+             "Cities such as Paris and Berlin grew fast.")
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.subj, r.pred, r.obj)
+            for r in text_to_triples(docs).collect()}
+    assert ("Paris", "skos:broader", "Cities") in rows
+    assert ("Berlin", "skos:broader", "Cities") in rows
+    assert ("UNO", "skos:altLabel", "United Nations Organization") in rows
+    assert ("The United Nations Organization", "rdf:type",
+            "NamedEntity") in rows
+
+
+def test_dep_pinning_audit_exact(spark):
+    content = (
+        "torch==2.1.0\n"
+        "numpy>=1.24\n"
+        "requests\n"
+        "# comment==ignored\n"
+        "pandas~=2.0\n"
+    )
+    files = spark.createDataFrame(
+        [("r", "requirements.txt", content)],
+        "repo string, path string, content string",
+    )
+    out = {r.package: r for r in dep_pinning_audit(files).collect()}
+    assert out["torch"].pin_class == "pinned"
+    assert out["torch"].version == "2.1.0"
+    assert out["numpy"].pin_class == "ranged"
+    assert out["requests"].pin_class == "unpinned"
+    assert out["pandas"].pin_class == "ranged"
+    assert "comment" not in out
