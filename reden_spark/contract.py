@@ -20502,3 +20502,65 @@ def q_dep_pinning_audit(spark, sf_dir):
         ).alias("content"),
     )
     return dep_pinning_audit(files)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 47: closed-shape validation.
+
+
+@query(
+    "shacl_closed",
+    """
+    WITH t AS (
+      SELECT 'e' || CAST(o_custkey % 120 AS VARCHAR) AS subj,
+             'p' || CAST(o_orderkey % 6 AS VARCHAR) AS pred,
+             'v' || CAST(o_orderkey % 10 AS VARCHAR) AS obj
+      FROM orders WHERE o_orderkey % 4 = 0),
+    et AS (SELECT DISTINCT 'e' || CAST(o_custkey % 120 AS VARCHAR)
+             AS entity,
+             'T' || CAST(o_custkey % 3 AS VARCHAR) AS type
+           FROM orders),
+    al(type, pred) AS (VALUES
+      ('T0', 'p0'), ('T0', 'p1'), ('T0', 'p2'),
+      ('T1', 'p0'), ('T1', 'p3'), ('T1', 'p4'),
+      ('T2', 'p5')),
+    typed AS (SELECT t.subj, et.type, t.pred
+              FROM t JOIN et ON et.entity = t.subj),
+    bad AS (SELECT ty.subj, ty.type, ty.pred FROM typed ty
+            LEFT JOIN al ON al.type = ty.type AND al.pred = ty.pred
+            WHERE al.type IS NULL)
+    SELECT subj, type, pred, CAST(count(*) AS BIGINT) AS n
+    FROM bad GROUP BY 1, 2, 3
+    """,
+)
+def q_shacl_closed(spark, sf_dir):
+    """Closed-shape validation (operators/kg_quality.shacl_closed):
+    predicates undeclared for the subject's type (sh:closed) — the
+    mapping-drift detector; per-slot counts."""
+    from reden_spark.operators.kg_quality import shacl_closed
+
+    orders = _read(spark, sf_dir, "orders")
+    f4 = orders.filter(F.col("o_orderkey") % 4 == 0)
+    triples = f4.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 120).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 6).cast("string"))
+        .alias("pred"),
+        F.concat(F.lit("v"), (F.col("o_orderkey") % 10).cast("string"))
+        .alias("obj"),
+    )
+    et = orders.select(
+        F.concat(F.lit("e"), (F.col("o_custkey") % 120).cast("string"))
+        .alias("entity"),
+        F.concat(F.lit("T"), (F.col("o_custkey") % 3).cast("string"))
+        .alias("type"),
+    ).distinct()
+    allowed = spark.createDataFrame(
+        [
+            ("T0", "p0"), ("T0", "p1"), ("T0", "p2"),
+            ("T1", "p0"), ("T1", "p3"), ("T1", "p4"),
+            ("T2", "p5"),
+        ],
+        "type string, pred string",
+    )
+    return shacl_closed(triples, et, allowed)

@@ -934,3 +934,34 @@ def truthy_facts(statements: DataFrame) -> DataFrame:
         .select("subj", "pred", "obj", "rank")
         .distinct()
     )
+
+
+def shacl_closed(
+    triples: DataFrame,
+    entity_types: DataFrame,
+    allowed: DataFrame,
+) -> DataFrame:
+    """(subj, type, pred, n): CLOSED-shape violations — triples whose
+    predicate is not declared for the subject's type (sh:closed true;
+    the complement of shacl_cardinality's counting checks).  An
+    undeclared predicate after fusion usually means a mapping bug or
+    a source schema drifting under the pipeline; per-(subj, pred)
+    counts keep the triage list small.
+
+    ``entity_types``: (entity, type); ``allowed``: (type, pred), tiny
+    and broadcast.  One join on the subject key + one broadcast
+    anti-join on (type, pred)."""
+    typed = triples.join(
+        entity_types.select(
+            F.col("entity").alias("subj"), F.col("type")
+        ),
+        "subj",
+    )
+    bad = typed.join(
+        F.broadcast(allowed.select("type", "pred").distinct()),
+        ["type", "pred"],
+        "left_anti",
+    )
+    return bad.groupBy("subj", "type", "pred").agg(
+        F.count("*").cast("long").alias("n")
+    )

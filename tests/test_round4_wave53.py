@@ -1,0 +1,27 @@
+"""Hand-traced closed-shape validation."""
+
+from reden_spark.operators.kg_quality import shacl_closed
+
+
+def test_shacl_closed_exact(spark):
+    triples = spark.createDataFrame(
+        [
+            ("e1", "name", "x"),
+            ("e1", "age", "5"),
+            ("e1", "shoe_size", "44"),   # undeclared for Person
+            ("e1", "shoe_size", "45"),   # counted in the same slot
+            ("e2", "capital", "paris"),  # declared for Country
+        ],
+        "subj string, pred string, obj string",
+    )
+    et = spark.createDataFrame(
+        [("e1", "Person"), ("e2", "Country")], "entity string, type string"
+    )
+    allowed = spark.createDataFrame(
+        [("Person", "name"), ("Person", "age"), ("Country", "capital")],
+        "type string, pred string",
+    )
+    rows = shacl_closed(triples, et, allowed).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.subj, r.type, r.pred, r.n) == ("e1", "Person", "shoe_size", 2)
