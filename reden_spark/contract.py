@@ -20564,3 +20564,49 @@ def q_shacl_closed(spark, sf_dir):
         "type string, pred string",
     )
     return shacl_closed(triples, et, allowed)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 48: shuffle-partition sizing advisor.
+
+
+@query(
+    "shuffle_partition_plan",
+    """
+    WITH s(tbl, n_rows, avg_row_bytes) AS (VALUES
+      ('lineitem_sf100', 600000000000, 144),
+      ('orders_sf100', 150000000000, 110),
+      ('documents_web', 10000000000, 2048),
+      ('tiny_dim', 25, 64)),
+    need AS (
+      SELECT tbl AS "table", n_rows,
+             CAST(n_rows * avg_row_bytes AS BIGINT) AS est_bytes,
+             greatest(1, (n_rows * avg_row_bytes + 128 * 1048576 - 1)
+                         // (128 * 1048576)) AS nd
+      FROM s)
+    SELECT "table", CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+           CAST(((nd + 255) // 256) * 256 AS BIGINT) AS partitions,
+           CAST(est_bytes // (((nd + 255) // 256) * 256) AS BIGINT)
+             AS bytes_per_part,
+           CAST((nd + 255) // 256 AS BIGINT) AS rounds
+    FROM need
+    """,
+)
+def q_shuffle_partition_plan(spark, sf_dir):
+    """Shuffle sizing advisor (operators/kg_maintain.
+    shuffle_partition_plan): partitions = ceil(bytes / 128 MB)
+    rounded up to full 256-core waves, with per-partition bytes and
+    wave count — the pre-run version of AQE coalescing over
+    100 TB-shaped table stats."""
+    from reden_spark.operators.kg_maintain import shuffle_partition_plan
+
+    stats = spark.createDataFrame(
+        [
+            ("lineitem_sf100", 600000000000, 144),
+            ("orders_sf100", 150000000000, 110),
+            ("documents_web", 10000000000, 2048),
+            ("tiny_dim", 25, 64),
+        ],
+        "table string, n_rows long, avg_row_bytes long",
+    )
+    return shuffle_partition_plan(stats, cluster_cores=256, target_mb=128)

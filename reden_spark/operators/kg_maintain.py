@@ -799,3 +799,55 @@ def commit_conflicts(changes: DataFrame) -> DataFrame:
         .otherwise("hard")
         .alias("severity"),
     )
+
+
+def shuffle_partition_plan(
+    table_stats: DataFrame,
+    cluster_cores: int = 256,
+    target_mb: int = 128,
+) -> DataFrame:
+    """(table, n_rows, est_bytes, partitions, bytes_per_part,
+    rounds): the spark.sql.shuffle.partitions sizing table — for each
+    table's estimated shuffle payload (n_rows × avg_row_bytes), the
+    partition count that (a) keeps every post-shuffle partition under
+    ``target_mb`` and (b) rounds UP to a multiple of the cluster's
+    cores so no scheduling wave runs ragged; ``rounds`` is how many
+    task waves the shuffle takes.  The explicit version of what AQE
+    coalescing converges to, computable BEFORE the job runs — the
+    knob this repo's own session sizing derives from
+    sc.defaultParallelism (session.py).
+
+    Pure integer arithmetic on a stats table (one row per table)."""
+    need = F.expr(
+        f"greatest(1, (n_rows * avg_row_bytes"
+        f" + {target_mb} * 1048576 - 1) div ({target_mb} * 1048576))"
+    )
+    out = table_stats.select(
+        "table",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") * F.col("avg_row_bytes"))
+        .cast("long")
+        .alias("est_bytes"),
+        need.cast("long").alias("_need"),
+    )
+    rounded = F.expr(
+        f"((_need + {cluster_cores} - 1) div {cluster_cores})"
+        f" * {cluster_cores}"
+    )
+    return out.select(
+        "table",
+        "n_rows",
+        "est_bytes",
+        rounded.cast("long").alias("partitions"),
+        F.expr(
+            f"est_bytes div (((_need + {cluster_cores} - 1)"
+            f" div {cluster_cores}) * {cluster_cores})"
+        )
+        .cast("long")
+        .alias("bytes_per_part"),
+        F.expr(
+            f"((_need + {cluster_cores} - 1) div {cluster_cores})"
+        )
+        .cast("long")
+        .alias("rounds"),
+    )

@@ -1,0 +1,36 @@
+"""Hand-traced shuffle-partition sizing advisor."""
+
+from reden_spark.operators.kg_maintain import shuffle_partition_plan
+
+
+def test_shuffle_partition_plan_exact(spark):
+    stats = spark.createDataFrame(
+        [
+            # 1 GiB at 128 MiB target → 8 needed → rounds to 16 cores
+            ("mid", 8 * 1024 * 1024, 128),
+            # tiny table: 1 needed → one full wave of 16
+            ("tiny", 10, 64),
+        ],
+        "table string, n_rows long, avg_row_bytes long",
+    )
+    out = {r.table: r for r in shuffle_partition_plan(
+        stats, cluster_cores=16, target_mb=128
+    ).collect()}
+    assert out["mid"].est_bytes == 8 * 1024 * 1024 * 128
+    assert out["mid"].partitions == 16      # ceil(8/16)*16
+    assert out["mid"].rounds == 1
+    assert out["tiny"].partitions == 16
+    assert out["tiny"].bytes_per_part == (10 * 64) // 16
+
+
+def test_shuffle_partition_plan_multiwave(spark):
+    stats = spark.createDataFrame(
+        # 100 GiB → 800 partitions of 128 MiB → 50 waves of 16
+        [("big", 100 * 8 * 1024 * 1024, 128)],
+        "table string, n_rows long, avg_row_bytes long",
+    )
+    r = shuffle_partition_plan(stats, cluster_cores=16,
+                               target_mb=128).collect()[0]
+    assert r.partitions == 800
+    assert r.rounds == 50
+    assert r.bytes_per_part == 128 * 1024 * 1024
