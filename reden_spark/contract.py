@@ -20610,3 +20610,70 @@ def q_shuffle_partition_plan(spark, sf_dir):
         "table string, n_rows long, avg_row_bytes long",
     )
     return shuffle_partition_plan(stats, cluster_cores=256, target_mb=128)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 49: Bloom sizing table, degree Gini.
+
+
+@query(
+    "bloom_size_plan",
+    """
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(target_fpr_e6 AS BIGINT) AS target_fpr_e6,
+           CAST(m_bits AS BIGINT) AS m_bits,
+           CAST(k_hashes AS BIGINT) AS k_hashes,
+           CAST(mb AS BIGINT) AS mb,
+           CAST(actual_fpr_e6 AS BIGINT) AS actual_fpr_e6
+    FROM (VALUES
+      (1000000, 10000, 9585059, 7, 1, 10039),
+      (1000000, 1000, 14377588, 10, 1, 1000),
+      (1000000, 100, 19170117, 13, 2, 100),
+      (1000000000, 10000, 9585058378, 7, 1142, 10039),
+      (1000000000, 1000, 14377587567, 10, 1713, 1000),
+      (1000000000, 100, 19170116755, 13, 2285, 100),
+      (1000000000000, 10000, 9585058377368, 7, 1142627, 10039),
+      (1000000000000, 1000, 14377587566052, 10, 1713941, 1000),
+      (1000000000000, 100, 19170116754735, 13, 2285255, 100))
+      t(n_items, target_fpr_e6, m_bits, k_hashes, mb, actual_fpr_e6)
+    """,
+)
+def q_bloom_size_plan(spark, sf_dir):
+    """Bloom sizing table (operators/bloomjoin.bloom_size_plan):
+    optimal m and k with achieved FPR for 1e6/1e9/1e12 keys at three
+    targets — the build-or-don't planning read before
+    bloom_prefilter."""
+    from reden_spark.operators.bloomjoin import bloom_size_plan
+
+    return bloom_size_plan(spark)
+
+
+@query(
+    "degree_gini",
+    f"""
+    WITH dgb AS ({_KCORE_EDGES_SQL}),
+    dsym AS (SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM dgb UNION ALL SELECT dst, src
+               FROM dgb) WHERE src <> dst),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+            FROM dsym GROUP BY 1),
+    rk AS (SELECT d, CAST(row_number() OVER (ORDER BY d, src) AS BIGINT)
+             AS i
+           FROM deg),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d) AS BIGINT) AS sum_deg,
+                   CAST(sum(i * d) AS BIGINT) AS sid
+            FROM rk)
+    SELECT n_nodes, sum_deg,
+           CAST((2 * sid - (n_nodes + 1) * sum_deg) * 1000000
+                // (n_nodes * sum_deg) AS BIGINT) AS gini_e6
+    FROM agg
+    """,
+)
+def q_degree_gini(spark, sf_dir):
+    """Degree-distribution Gini (operators/graphstats.degree_gini):
+    exact integer rank-weighted inequality of the kcore graph's
+    degrees — the one-number skew early-warning."""
+    from reden_spark.operators.graphstats import degree_gini
+
+    return degree_gini(_kcore_edges(spark, sf_dir))

@@ -78,3 +78,33 @@ def bloom_prefilter(
             "left_semi",
         )
     return out
+
+
+def bloom_size_plan(spark, n_items=(10**6, 10**9, 10**12),
+                    fpr_e6=(10000, 1000, 100)):
+    """(n_items, target_fpr_e6, m_bits, k_hashes, mb, actual_fpr_e6):
+    Bloom-filter sizing table — m = ceil(n·ln(1/p)/ln²2), k =
+    round((m/n)·ln 2), and the achieved p = (1 − e^(−kn/m))^k for
+    every (n, target) pair — the planning table read before building
+    a bloom_prefilter at fleet scale (a 10^12-key filter at 1e-4 FPR
+    is ~2.2 TB: the table says so BEFORE the job).  Driver-side math
+    on plan literals (divisor-table pattern of plan_minhash_bands),
+    probabilities quantized to micro-units."""
+    import math
+
+    rows = []
+    for n in n_items:
+        for p_e6 in fpr_e6:
+            p = p_e6 / 1e6
+            m = math.ceil(-n * math.log(p) / (math.log(2) ** 2))
+            k = max(1, round(m / n * math.log(2)))
+            actual = (1.0 - math.exp(-k * n / m)) ** k
+            rows.append(
+                (n, p_e6, m, k, m // (8 * 1024 * 1024),
+                 round(actual * 1e6))
+            )
+    return spark.createDataFrame(
+        rows,
+        "n_items long, target_fpr_e6 long, m_bits long, k_hashes long,"
+        " mb long, actual_fpr_e6 long",
+    )

@@ -1524,3 +1524,39 @@ def sweep_cut(edges: DataFrame, scores: DataFrame) -> DataFrame:
             & F.col("conductance_e6").isNotNull()
         ).alias("is_best"),
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, sum_deg, gini_e6): Gini coefficient of the
+    undirected degree distribution — 0 = perfectly egalitarian
+    (regular graph), → 1 = one hub owns everything; the single-number
+    inequality reading of degree_histogram, and the early-warning for
+    skew-salting (a high-Gini join key WILL straggle).  Exact integer
+    rational: with degrees sorted ascending and 1-based rank i,
+    G = (2·Σ i·dᵢ − (n+1)·Σ dᵢ) / (n·Σ dᵢ), quantized e6 (floor —
+    value is non-negative).
+
+    One degree groupBy + one rank window over the (node-sized) degree
+    table + a 1-row reduce."""
+    sym = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    ).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    w = Window.orderBy("d", "src")
+    ranked = deg.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("sum_deg"),
+        F.sum(F.col("i") * F.col("d")).cast("long").alias("_sid"),
+    ).select(
+        "n_nodes",
+        "sum_deg",
+        F.expr(
+            "(2 * _sid - (n_nodes + 1) * sum_deg) * 1000000"
+            " div (n_nodes * sum_deg)"
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )

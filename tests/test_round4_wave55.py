@@ -1,0 +1,39 @@
+"""Hand-traced Bloom sizing and degree Gini."""
+
+import math
+
+from reden_spark.operators.bloomjoin import bloom_size_plan
+from reden_spark.operators.graphstats import degree_gini
+
+
+def test_bloom_size_plan_textbook(spark):
+    out = {(r.n_items, r.target_fpr_e6): r
+           for r in bloom_size_plan(spark).collect()}
+    r = out[(10**9, 1000)]                  # 1e9 keys at 0.1% FPR
+    # textbook: ~14.38 bits per key, k = 10
+    assert abs(r.m_bits / 10**9 - 14.38) < 0.01
+    assert r.k_hashes == 10
+    # achieved FPR lands at-or-near target
+    assert abs(r.actual_fpr_e6 - 1000) <= 20
+    # 1e12 keys at 1e-4: terabyte-scale — the table says so
+    big = out[(10**12, 100)]
+    assert big.mb > 2_000_000               # > ~2 TB in MB
+
+
+def test_degree_gini_regular_graph_zero(spark):
+    # 4-cycle: every degree 2 → perfectly equal → Gini 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r = degree_gini(edges).collect()[0]
+    assert r.gini_e6 == 0 and r.n_nodes == 4
+
+
+def test_degree_gini_star_graph(spark):
+    # star on 5 nodes: degrees [1,1,1,1,4], sorted ranks 1..5
+    # G = (2*(1+2+3+4+20) - 6*8) / (5*8) = (60-48)/40 = 0.3
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_gini(edges).collect()[0]
+    assert r.gini_e6 == 300000
