@@ -20677,3 +20677,70 @@ def q_degree_gini(spark, sf_dir):
     from reden_spark.operators.graphstats import degree_gini
 
     return degree_gini(_kcore_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 50: Bradley-Terry pairwise-strength fitting.
+
+
+def _bt_oracle_sql(rounds: int = 3) -> str:
+    parts = [
+        """WITH m AS (
+      SELECT 'm' || CAST(o_orderkey % 8 AS VARCHAR) AS a,
+             'm' || CAST(o_custkey % 8 AS VARCHAR) AS b,
+             o_orderkey % 4 AS wins_a, o_custkey % 4 AS wins_b
+      FROM orders
+      WHERE o_orderkey % 6 = 0
+        AND 'm' || CAST(o_orderkey % 8 AS VARCHAR)
+            < 'm' || CAST(o_custkey % 8 AS VARCHAR)),
+    sym AS (
+      SELECT i, j, CAST(sum(w) + 1 AS BIGINT) AS w_ij,
+             CAST(sum(n) + 2 AS BIGINT) AS n_ij
+      FROM (SELECT a AS i, b AS j, wins_a AS w,
+                   wins_a + wins_b AS n FROM m
+            UNION ALL
+            SELECT b, a, wins_b, wins_a + wins_b FROM m)
+      GROUP BY 1, 2),
+    tot AS (SELECT i, CAST(sum(w_ij) AS BIGINT) AS wins,
+                   CAST(sum(n_ij) AS BIGINT) AS n_matches
+            FROM sym GROUP BY 1),
+    s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM tot)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS (
+      SELECT sym.i,
+             CAST(sum(n_ij * 1000000000000 // (x.s + y.s)) AS BIGINT)
+               AS d
+      FROM sym JOIN s{r - 1} x ON x.i = sym.i
+               JOIN s{r - 1} y ON y.i = sym.j
+      GROUP BY 1),
+    s{r} AS (
+      SELECT tot.i, CAST(wins * 1000000000000 // d AS BIGINT) AS s
+      FROM tot JOIN d{r} ON d{r}.i = tot.i)""")
+    parts.append(f"""
+    SELECT tot.i AS item, tot.wins, tot.n_matches,
+           s{rounds}.s AS strength_e6
+    FROM tot JOIN s{rounds} ON s{rounds}.i = tot.i""")
+    return "".join(parts)
+
+
+@query("bradley_terry", _bt_oracle_sql(3))
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths (operators/ranking.bradley_terry):
+    three quantized MM rounds over the 8-model pairwise-win fixture —
+    the LLM-arena leaderboard fit, integer-deterministic between
+    rounds."""
+    from reden_spark.operators.ranking import bradley_terry
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 == 0
+    )
+    a = F.concat(F.lit("m"), (F.col("o_orderkey") % 8).cast("string"))
+    b = F.concat(F.lit("m"), (F.col("o_custkey") % 8).cast("string"))
+    matches = orders.filter(a < b).select(
+        a.alias("a"), b.alias("b"),
+        (F.col("o_orderkey") % 4).cast("long").alias("wins_a"),
+        (F.col("o_custkey") % 4).cast("long").alias("wins_b"),
+    )
+    return bradley_terry(matches, rounds=3)

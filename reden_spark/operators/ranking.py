@@ -358,3 +358,76 @@ def kendall_tau_topk(ranks_a: DataFrame, ranks_b: DataFrame) -> DataFrame:
         .cast("long")
         .alias("tau01_e6"),
     )
+
+
+def bradley_terry(matches: DataFrame, rounds: int = 3) -> DataFrame:
+    """(item, wins, n_matches, strength_e6): Bradley–Terry strengths
+    from pairwise outcomes (``matches``: (a, b, wins_a, wins_b)) by
+    ``rounds`` minorization–maximization updates
+
+        wᵢ ← Wᵢ / Σⱼ nᵢⱼ / (wᵢ + wⱼ)
+
+    from a uniform start — the model-arena ranking (Elo's batch
+    cousin; what LLM-eval leaderboards fit to human pairwise votes).
+    Each observed pair is regularized with one pseudo-win per side
+    (the standard draw prior), which keeps zero-win items off the
+    w = 0 degeneracy the unpenalized MLE falls into.
+    Strengths are quantized to micro-units BETWEEN rounds, so the
+    whole trajectory is integer-deterministic across engines (the
+    fs_weights contract); strengths are relative — this fixes the
+    scale by the uniform start, no renormalization.
+
+    Per round: one join of the (deduped, symmetrized) pair list
+    against the strength table + one item-keyed sum — edge-list
+    shaped, ``rounds`` is a small constant."""
+    sym = matches.select(
+        F.col("a").alias("i"), F.col("b").alias("j"),
+        F.col("wins_a").cast("long").alias("w_ij"),
+        (F.col("wins_a") + F.col("wins_b")).cast("long").alias("n_ij"),
+    ).unionByName(
+        matches.select(
+            F.col("b").alias("i"), F.col("a").alias("j"),
+            F.col("wins_b").cast("long").alias("w_ij"),
+            (F.col("wins_a") + F.col("wins_b")).cast("long").alias(
+                "n_ij"
+            ),
+        )
+    ).groupBy("i", "j").agg(
+        (F.sum("w_ij") + 1).cast("long").alias("w_ij"),
+        (F.sum("n_ij") + 2).cast("long").alias("n_ij"),
+    ).localCheckpoint(eager=True)
+    totals = sym.groupBy("i").agg(
+        F.sum("w_ij").cast("long").alias("wins"),
+        F.sum("n_ij").cast("long").alias("n_matches"),
+    ).localCheckpoint(eager=True)
+    s = totals.select(
+        "i", F.lit(1000000).cast("long").alias("s_e6")
+    )
+    for _ in range(rounds):
+        sj = s.select(F.col("i").alias("j"), F.col("s_e6").alias("sj_e6"))
+        denom = (
+            sym.join(s, "i")
+            .join(sj, "j")
+            .select(
+                "i",
+                F.expr(
+                    "n_ij * 1000000000000 div (s_e6 + sj_e6)"
+                ).alias("term_e6"),
+            )
+            .groupBy("i")
+            .agg(F.sum("term_e6").cast("long").alias("d_e6"))
+        )
+        s = (
+            totals.join(denom, "i")
+            .select(
+                "i",
+                F.expr("wins * 1000000000000 div d_e6")
+                .cast("long")
+                .alias("s_e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return totals.join(s, "i").select(
+        F.col("i").alias("item"), "wins", "n_matches",
+        F.col("s_e6").alias("strength_e6"),
+    )

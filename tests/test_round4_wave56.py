@@ -1,0 +1,30 @@
+"""Hand-traced Bradley–Terry MM fitting."""
+
+from reden_spark.operators.ranking import bradley_terry
+
+
+def _fit(spark, rows, rounds=3):
+    m = spark.createDataFrame(
+        rows, "a string, b string, wins_a long, wins_b long"
+    )
+    return {r.item: r for r in bradley_terry(m, rounds=rounds).collect()}
+
+
+def test_bradley_terry_orders_by_dominance(spark):
+    # x beats y 9:1, y beats z 9:1, x beats z 9:1 → x > y > z
+    out = _fit(spark, [("x", "y", 9, 1), ("y", "z", 9, 1), ("x", "z", 9, 1)])
+    assert out["x"].strength_e6 > out["y"].strength_e6
+    assert out["y"].strength_e6 > out["z"].strength_e6
+    assert out["x"].wins == 18 and out["x"].n_matches == 20
+
+
+def test_bradley_terry_symmetric_is_equal(spark):
+    out = _fit(spark, [("a", "b", 5, 5)])
+    assert out["a"].strength_e6 == out["b"].strength_e6
+
+
+def test_bradley_terry_zero_win_item_survives(spark):
+    # the regularizer keeps the all-losses item at a positive strength
+    out = _fit(spark, [("good", "bad", 10, 0)])
+    assert out["bad"].strength_e6 > 0
+    assert out["good"].strength_e6 > out["bad"].strength_e6
