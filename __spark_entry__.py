@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship NEL/KG pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the implemented operators from
-SURVEY.md §2 (reden_spark/contract.py): 424 queries, all 424 with
+SURVEY.md §2 (reden_spark/contract.py): 425 queries, all 425 with
 DuckDB oracles (the iterative centralities/HITS/walks/k-truss/SSSP use
 unrolled/recursive SQL with rounded scores; exact-value numpy/BFS/
 python-replay oracles additionally live in the pytest suite).
