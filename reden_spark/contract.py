@@ -20744,3 +20744,106 @@ def q_bradley_terry(spark, sf_dir):
         (F.col("o_custkey") % 4).cast("long").alias("wins_b"),
     )
     return bradley_terry(matches, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 51: Jaro-Winkler name scoring (the record-linkage band).
+
+
+@query(
+    "jaro_winkler_pairs",
+    """
+    WITH pairs AS (
+      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1),
+    s AS (
+      SELECT p1, p2, name_a, name_b,
+             CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
+                  AS BIGINT) AS jw_e6
+      FROM pairs)
+    SELECT p1, p2, name_a, name_b, jw_e6,
+           CASE WHEN jw_e6 >= 900000 THEN 'match'
+                WHEN jw_e6 >= 700000 THEN 'review'
+                ELSE 'nonmatch' END AS band
+    FROM s
+    """,
+)
+def q_jaro_winkler_pairs(spark, sf_dir):
+    """Jaro-Winkler ER scoring (operators/matching.er_jw_scores): the
+    Winkler-default prefix-boosted similarity as an Arrow kernel over
+    adjacent-key part-name pairs, banded match/review/nonmatch on exact
+    micro-units — the name-agreement feature Fellegi-Sunter weights
+    consume.  Oracle: DuckDB's jaro_winkler_similarity (same standard
+    parameterization), quantized identically."""
+    from reden_spark.operators.matching import er_jw_scores
+
+    part = _read(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("p1"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("p1"),
+        F.col("p_partkey").alias("p2"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "p1").select("p1", "p2", "name_a", "name_b")
+    return er_jw_scores(pairs)
+
+
+@query(
+    "rake_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(lower(text), ' '), 1) - 1
+               AS pos,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    t2 AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to')
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks WHERE tok <> ''),
+    g AS (
+      SELECT doc_id, pos, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM t2),
+    w AS (SELECT doc_id, pos, tok, grp FROM g WHERE is_stop = 0),
+    ph AS (SELECT doc_id, grp, count(*) AS ph_len
+           FROM w GROUP BY 1, 2),
+    cand AS (
+      SELECT w.doc_id, w.pos, w.tok, w.grp, ph.ph_len
+      FROM w JOIN ph USING (doc_id, grp) WHERE ph.ph_len <= 4),
+    ws AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(ph_len) AS BIGINT) AS deg
+      FROM cand GROUP BY 1, 2),
+    sc AS (
+      SELECT c.doc_id, c.grp, c.pos, c.tok,
+             ws.deg * 1000000 // ws.freq AS wscore
+      FROM cand c JOIN ws ON ws.doc_id = c.doc_id AND ws.tok = c.tok),
+    phs AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wscore) AS BIGINT) AS score_e6
+      FROM sc GROUP BY 1, 2),
+    rk AS (
+      SELECT doc_id, phrase, n_words, score_e6,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_e6 DESC, grp ASC) AS BIGINT) AS rnk
+      FROM phs)
+    SELECT doc_id, phrase, n_words, score_e6, rnk
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrases (operators/ranking.rake_keywords): stopword-split
+    candidate phrases, deg-div-freq word scores in micro-units, top-3
+    phrases per document — the per-doc multi-word complement of
+    textrank_keywords, feeding candidate surface forms to the mention
+    scanner."""
+    from reden_spark.operators.ranking import rake_keywords
+
+    return rake_keywords(_read(spark, sf_dir, "documents"))

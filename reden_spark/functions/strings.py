@@ -1,0 +1,100 @@
+"""Jaro-Winkler string similarity as a vectorized Arrow kernel.
+
+The reference's fuzzy dictionary lookup stops at edit distance
+(FastSS 1-deletion blocking + Levenshtein in
+operators/candidates.fuzzy_candidates, mirroring the exact-key joins of
+DicoProcessingNEL.java); record-linkage practice for person/place names
+(Winkler 1990, building on Jaro 1989) weights agreement at the START of
+the string — "Dwayne"/"Duane" are the same person far more often than
+an equal-edit-distance pair differing in the first letter.  Census-style
+ER (Fellegi-Sunter, operators/blocking.fs_weights) conventionally feeds
+Jaro-Winkler bands, not raw edit distance, into the agreement weights.
+
+Spark has no Jaro-Winkler builtin (only ``levenshtein``), so this is a
+sanctioned Python kernel: an Arrow-batched pandas UDF over the already
+BLOCKED candidate pairs (never the cross product).  Scores are returned
+as exact micro-units (``round(jw * 1e6)`` → BIGINT) per the house rule —
+downstream banding and cross-engine hashes compare integers, never
+doubles.  DuckDB's ``jaro_winkler_similarity`` implements the same
+standard parameterization (p = 0.1, boost threshold 0.7, prefix cap 4);
+parity is pinned test-side on textbook pairs and oracle-side on the
+part-name fixture.
+
+Scale shape: a pure map over pair rows — zero shuffles; only the two
+name columns ride the Arrow transfer.  At 10^12 candidate pairs the
+cost is the blocking join that PRODUCES the pairs (operators/blocking),
+not this kernel.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    j = _jaro(s1, s2)
+    if j <= 0.7:  # standard boost threshold: no prefix bonus below it
+        return j
+    ell = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        ell += 1
+    return j + ell * 0.1 * (1.0 - j)
+
+
+@F.pandas_udf(T.LongType())
+def _jw_e6_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = [
+        0 if (x is None or y is None) else round(_jaro_winkler(x, y) * 1e6)
+        for x, y in zip(a, b)
+    ]
+    return pd.Series(out, dtype="int64")
+
+
+def jaro_winkler_e6(a, b) -> Column:
+    """Jaro-Winkler similarity in exact micro-units (0..1000000).
+
+    Standard parameters: prefix scale p = 0.1, boost threshold 0.7,
+    prefix length capped at 4 — the Winkler 1990 defaults, matching
+    DuckDB's ``jaro_winkler_similarity``.  NULL on either side → 0.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _jw_e6_kernel(ca, cb)

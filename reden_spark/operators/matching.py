@@ -96,3 +96,35 @@ def greedy_matching_oracle_sql(pairs_sql: str, rounds: int = 6) -> str:
         f" AS round_matched FROM ({union})"
     )
     return "".join(parts)
+
+
+def er_jw_scores(
+    pairs: DataFrame,
+    a_col: str = "name_a",
+    b_col: str = "name_b",
+    high_e6: int = 900000,
+    low_e6: int = 700000,
+) -> DataFrame:
+    """Blocked candidate pairs → Jaro-Winkler micro-unit scores plus the
+    Fellegi-Sunter-style review band.
+
+    The classic clerical-review triage (Winkler 1990): ``match`` at or
+    above ``high_e6``, ``review`` in the gray band, ``nonmatch`` below
+    ``low_e6``.  Banding compares exact integers (the kernel's e6
+    output), so engine and oracle can never disagree on a boundary.
+
+    Scale shape: pure map over the pair table — the Arrow kernel is the
+    only Python boundary and no exchange is added; band filtering
+    happens BEFORE any downstream join, so the gray band (the expensive
+    human/LLM adjudication queue) is the only data that leaves the
+    stage.
+    """
+    from reden_spark.functions.strings import jaro_winkler_e6
+
+    jw = jaro_winkler_e6(a_col, b_col)
+    return pairs.withColumn("jw_e6", jw).withColumn(
+        "band",
+        F.when(F.col("jw_e6") >= high_e6, F.lit("match"))
+        .when(F.col("jw_e6") >= low_e6, F.lit("review"))
+        .otherwise(F.lit("nonmatch")),
+    )

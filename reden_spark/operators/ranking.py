@@ -431,3 +431,78 @@ def bradley_terry(matches: DataFrame, rounds: int = 3) -> DataFrame:
         F.col("i").alias("item"), "wins", "n_matches",
         F.col("s_e6").alias("strength_e6"),
     )
+
+
+RAKE_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def rake_keywords(
+    documents: DataFrame,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 3,
+    max_phrase_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): stopwords split
+    each document's token stream into candidate phrases; word score =
+    deg(w) div freq(w) over candidate phrases (deg counts the full
+    length of every phrase an occurrence sits in, self included);
+    phrase score = sum of member-word scores; top-k phrases per doc —
+    (doc_id, phrase, n_words, score_e6, rnk).
+
+    The document-local complement of textrank_keywords: TextRank ranks
+    single words by corpus-graph centrality, RAKE ranks multi-word
+    PHRASES per document — the candidate surface forms a KG mention
+    scanner feeds into the dictionary join.  Phrases longer than
+    ``max_phrase_len`` are dropped as candidates (the classic cap);
+    word scores are exact integer micro-units (deg * 1e6 div freq), so
+    phrase sums and the (score desc, phrase-position asc) top-k total
+    order are engine-portable.
+
+    Scale shape (10^12 docs): every exchange is keyed by doc_id — the
+    prefix-sum window, the phrase rollup, the per-doc word stats, and
+    the top-k window all reuse the same hash partitioning; nothing is
+    corpus-global, so the operator scales embarrassingly across docs."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn(
+        "is_stop", F.col("tok").isin(*stopwords).cast("int")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    words = toks.withColumn("grp", F.sum("is_stop").over(seq)).filter(
+        F.col("is_stop") == 0
+    )
+    ph_len = Window.partitionBy("doc_id", "grp")
+    cand = words.withColumn("ph_len", F.count("*").over(ph_len)).filter(
+        F.col("ph_len") <= max_phrase_len
+    )
+    wstats = cand.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("ph_len").cast("long").alias("deg"),
+    )
+    scored = cand.join(wstats, ["doc_id", "tok"]).withColumn(
+        "wscore", F.expr("deg * CAST(1000000 AS BIGINT) div freq")
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("wscore").cast("long").alias("score_e6"),
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("grp").asc()
+    )
+    return (
+        phrases.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "phrase", "n_words", "score_e6", "rnk")
+    )

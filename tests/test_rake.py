@@ -1,0 +1,54 @@
+"""Round-5 wave 51: RAKE keyphrase extraction (hand-traced)."""
+
+from __future__ import annotations
+
+
+def test_rake_hand_traced(spark):
+    """'deep learning of the neural network the network':
+    deg/freq by hand -> deep learning 4.0, neural network 3.5,
+    network 1.5 (micro-units)."""
+    from reden_spark.operators.ranking import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of the neural network the network")],
+        "doc_id long, text string",
+    )
+    got = rake_keywords(docs).orderBy("rnk").collect()
+    assert [(r.phrase, r.score_e6, r.rnk) for r in got] == [
+        ("deep learning", 4000000, 1),
+        ("neural network", 3500000, 2),
+        ("network", 1500000, 3),
+    ]
+    assert got[0].n_words == 2
+
+
+def test_rake_phrase_cap_and_topk(spark):
+    from reden_spark.operators.ranking import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            # one 5-word run, no stopword splits -> over the cap, dropped
+            (1, "alpha beta gamma delta epsilon"),
+            # four singleton phrases -> top_k=3 keeps the first three
+            # (equal scores 1e6; tiebreak = phrase position)
+            (2, "w x the y the z the q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = rake_keywords(docs).collect()
+    assert not [r for r in got if r.doc_id == 1]
+    d2 = sorted([r for r in got if r.doc_id == 2], key=lambda r: r.rnk)
+    assert [r.phrase for r in d2] == ["w x", "y", "z"]
+    # "w x": both words freq 1 deg 2 -> 4.0; singletons 1.0
+    assert [r.score_e6 for r in d2] == [4000000, 1000000, 1000000]
+
+
+def test_rake_case_fold(spark):
+    """Tokens are lower-cased before stopword matching and scoring."""
+    from reden_spark.operators.ranking import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "The Neural Network")], "doc_id long, text string"
+    )
+    got = rake_keywords(docs).collect()
+    assert len(got) == 1 and got[0].phrase == "neural network"

@@ -1,0 +1,78 @@
+"""Round-5 wave 51: Jaro-Winkler Arrow kernel + ER banding."""
+
+from __future__ import annotations
+
+
+def test_jw_textbook_values():
+    """Pin the classic Winkler 1990 worked examples (pure-Python path)."""
+    from reden_spark.functions.strings import _jaro, _jaro_winkler
+
+    # MARTHA/MARHTA: m=6, t=1 -> jaro 0.944..., prefix 3 -> 0.961111
+    assert round(_jaro("martha", "marhta") * 1e6) == 944444
+    assert round(_jaro_winkler("martha", "marhta") * 1e6) == 961111
+    # DWAYNE/DUANE: jaro 0.822..., prefix 1 -> 0.84
+    assert round(_jaro_winkler("dwayne", "duane") * 1e6) == 840000
+    # DIXON/DICKSONX: jaro 0.766..., prefix 2 -> 0.813333
+    assert round(_jaro_winkler("dixon", "dicksonx") * 1e6) == 813333
+
+
+def test_jw_edge_cases():
+    from reden_spark.functions.strings import _jaro, _jaro_winkler
+
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("", "abc") == 0.0
+    assert _jaro_winkler("abc", "") == 0.0
+    # no matching chars at all
+    assert _jaro_winkler("abc", "xyz") == 0.0
+    # below the 0.7 boost threshold the shared prefix must NOT boost:
+    # jaro("abcdef", "abdcfx")? pick a pair with jaro <= 0.7 and a
+    # common prefix -> score equals raw jaro
+    j = _jaro("ab", "ba")  # m=0 within window -> 0.0
+    assert j == 0.0 and _jaro_winkler("ab", "ba") == 0.0
+    # transposition-free match: jaro == jw when prefix is 0
+    assert _jaro_winkler("xabcd", "yabcd") == _jaro("xabcd", "yabcd")
+
+
+def test_er_jw_scores_bands(spark):
+    """Kernel + banding on Spark: exact integer band boundaries."""
+    from reden_spark.operators.matching import er_jw_scores
+
+    pairs = spark.createDataFrame(
+        [
+            ("p1", "martha", "marhta"),   # 961111 -> match
+            ("p2", "dixon", "dicksonx"),  # 813333 -> review
+            ("p3", "abc", "xyz"),         # 0      -> nonmatch
+            ("p4", "same", "same"),       # 1000000 -> match
+            ("p5", None, "x"),            # NULL -> 0 -> nonmatch
+        ],
+        "pid string, name_a string, name_b string",
+    )
+    got = {r.pid: r for r in er_jw_scores(pairs).collect()}
+    assert got["p1"].jw_e6 == 961111 and got["p1"].band == "match"
+    assert got["p2"].jw_e6 == 813333 and got["p2"].band == "review"
+    assert got["p3"].jw_e6 == 0 and got["p3"].band == "nonmatch"
+    assert got["p4"].jw_e6 == 1000000 and got["p4"].band == "match"
+    assert got["p5"].jw_e6 == 0 and got["p5"].band == "nonmatch"
+
+
+def test_jw_matches_duckdb_builtin(spark):
+    """Cross-engine parity of the kernel vs DuckDB's builtin on a
+    diverse sample (the oracle relation, in miniature)."""
+    import duckdb
+
+    from reden_spark.functions.strings import _jaro_winkler
+
+    samples = [
+        ("jellyfish", "smellyfish"),
+        ("prefix", "prefixation"),
+        ("honey wheat", "wheat honey"),
+        ("a", "a"),
+        ("ab", "abcdefghij"),
+        ("goldenrod lavender", "goldenrod lace"),
+    ]
+    con = duckdb.connect()
+    for a, b in samples:
+        d = con.sql(
+            "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert round(d * 1e6) == round(_jaro_winkler(a, b) * 1e6), (a, b)
