@@ -20847,3 +20847,162 @@ def q_rake_keywords(spark, sf_dir):
     from reden_spark.operators.ranking import rake_keywords
 
     return rake_keywords(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 52: multiple-testing + nonparametric + association stats.
+
+
+@query(
+    "bh_fdr",
+    """
+    WITH h AS (
+      SELECT 't' || CAST(o_orderkey AS VARCHAR) AS test_id,
+             CAST(CASE WHEN o_orderkey % 1000 = 0
+                       THEN 1 + o_orderkey % 50
+                       ELSE 1 + (o_orderkey * 2654435761) % 999999
+                  END AS BIGINT) AS p_e6
+      FROM orders WHERE o_orderkey % 7 = 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM h),
+    r AS (
+      SELECT test_id, p_e6,
+             CAST(row_number() OVER (ORDER BY p_e6 ASC, test_id ASC)
+                  AS BIGINT) AS rank
+      FROM h),
+    adj AS (
+      SELECT r.test_id, r.p_e6, r.rank,
+             least(CAST(1000000 AS BIGINT),
+                   min(r.p_e6 * m.m // r.rank)
+                     OVER (ORDER BY r.rank DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS adj_p_e6,
+             max(CASE WHEN r.p_e6 * m.m <= r.rank * 50000
+                      THEN r.rank ELSE 0 END) OVER () AS k_max
+      FROM r, m)
+    SELECT test_id, p_e6, rank, CAST(adj_p_e6 AS BIGINT) AS adj_p_e6,
+           rank <= k_max AS rejected
+    FROM adj
+    """,
+)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR (operators/analytics.bh_fdr) over a
+    deterministic hypothesis panel: multiplicative-hash pseudo
+    p-values with planted signals at o_orderkey%1000==0 — step-up
+    rejection and floor-div adjusted p-values, all-integer."""
+    from reden_spark.operators.analytics import bh_fdr
+
+    h = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias(
+            "test_id"
+        ),
+        F.when(
+            F.col("o_orderkey") % 1000 == 0,
+            1 + F.col("o_orderkey") % 50,
+        )
+        .otherwise(
+            1 + (F.col("o_orderkey") * F.lit(2654435761)) % 999999
+        )
+        .cast("long")
+        .alias("p_e6"),
+    )
+    return bh_fdr(h, alpha_e6=50000)
+
+
+@query(
+    "mann_whitney_u",
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'a' ELSE 'b' END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    r AS (
+      SELECT grp,
+             CAST(2 * rank() OVER (ORDER BY v ASC)
+                  + count(*) OVER (PARTITION BY v) - 1
+                  AS BIGINT) AS arx2
+      FROM o),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(arx2) AS BIGINT) AS r_x2
+          FROM r GROUP BY 1)
+    SELECT a.n AS n_a, b.n AS n_b, a.r_x2 AS r_a_x2,
+           a.r_x2 - a.n * (a.n + 1) AS u_a_x2,
+           2 * a.n * b.n - (a.r_x2 - a.n * (a.n + 1)) AS u_b_x2,
+           CAST(round(((a.r_x2 - a.n * (a.n + 1)) - a.n * b.n)
+                / (2 * sqrt(a.n * b.n * (a.n + b.n + 1) / 12.0))
+                * 1e6) AS BIGINT) AS z_e6
+    FROM (SELECT * FROM g WHERE grp = 'a') a,
+         (SELECT * FROM g WHERE grp = 'b') b
+    """,
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (operators/analytics.mann_whitney_u): urgent
+    orders (priority 1-2) vs the rest on integer-cent totals —
+    doubled-unit average ranks for exact tie handling, micro-quantized
+    normal-approximation z."""
+    from reden_spark.operators.analytics import mann_whitney_u
+
+    obs = _read(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("a")
+        )
+        .otherwise(F.lit("b"))
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    return mann_whitney_u(obs)
+
+
+@query(
+    "cramers_v",
+    """
+    WITH p AS (
+      SELECT c_mktsegment AS r_cat,
+             'n' || CAST(c_nationkey % 5 AS VARCHAR) AS c_cat
+      FROM customer),
+    cells AS (SELECT r_cat, c_cat, CAST(count(*) AS BIGINT) AS o
+              FROM p GROUP BY 1, 2),
+    rm AS (SELECT r_cat, CAST(sum(o) AS BIGINT) AS row_tot
+           FROM cells GROUP BY 1),
+    cm AS (SELECT c_cat, CAST(sum(o) AS BIGINT) AS col_tot
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT r_cat) AS BIGINT) AS n_r,
+                   CAST(count(DISTINCT c_cat) AS BIGINT) AS n_c
+            FROM cells),
+    grid AS (
+      SELECT rm.r_cat, cm.c_cat, rm.row_tot, cm.col_tot,
+             coalesce(cells.o, 0) AS o
+      FROM rm CROSS JOIN cm
+      LEFT JOIN cells ON cells.r_cat = rm.r_cat
+                     AND cells.c_cat = cm.c_cat),
+    terms AS (
+      SELECT n, n_r, n_c,
+             CAST(round((o * 1.0 * n - row_tot * 1.0 * col_tot)
+                  * (o * 1.0 * n - row_tot * 1.0 * col_tot)
+                  / (n * 1.0 * row_tot * col_tot) * 1e6)
+                  AS BIGINT) AS term_e6
+      FROM grid, tot)
+    SELECT n, n_r, n_c,
+           CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+           CAST(round(sqrt((sum(term_e6) / 1e6)
+                / (n * least(n_r - 1, n_c - 1))) * 1e6)
+                AS BIGINT) AS v_e6
+    FROM terms GROUP BY n, n_r, n_c
+    """,
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V (operators/analytics.cramers_v) between market
+    segment and a 5-bucket nation fold — full-grid chi-square with
+    per-cell micro-quantization, V normalized by min(r-1, c-1)."""
+    from reden_spark.operators.analytics import cramers_v
+
+    pairs = _read(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("r_cat"),
+        F.concat(
+            F.lit("n"), (F.col("c_nationkey") % 5).cast("string")
+        ).alias("c_cat"),
+    )
+    return cramers_v(pairs)

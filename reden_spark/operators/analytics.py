@@ -989,3 +989,172 @@ def equidepth_histogram(
         F.max("v").cast("long").alias("hi"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+def bh_fdr(pvals: DataFrame, alpha_e6: int = 50000) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over (test_id, p_e6)
+    hypothesis rows → (test_id, p_e6, rank, adj_p_e6, rejected).
+
+    The multiple-testing gate every fleet-wide audit needs: drift
+    monitors (psi_drift / chi2_drift / ks_drift) emit one p-value PER
+    FEATURE PER DAY; at 10^4 simultaneous tests, alpha-per-test floods
+    the on-call channel with false alarms.  BH-1995 rejects the
+    largest prefix of the p-ascending order with p_(i) <= i/m * alpha
+    — step-up: every rank at or below the crossing point is rejected
+    even where its own inequality fails.
+
+    All-integer: the inequality is evaluated as p_e6 * m <= rank *
+    alpha_e6 (exact BIGINT), and the monotone adjusted p-value is the
+    suffix-running-min of p_e6 * m div rank, capped at 1e6 — identical
+    in both engines, no doubles anywhere.
+
+    Scale note: the rank window is a global sort over the HYPOTHESIS
+    table (one row per test, not per observation) — tiny by
+    construction; the heavy per-observation aggregation happened in
+    the upstream monitors."""
+    m = pvals.count()
+    w = Window.orderBy(F.col("p_e6").asc(), F.col("test_id").asc())
+    ranked = pvals.select(
+        "test_id",
+        F.col("p_e6").cast("long").alias("p_e6"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    suffix = (
+        Window.orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ranked.withColumn(
+        "adj_p_e6",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.min(
+                F.expr(f"p_e6 * CAST({m} AS BIGINT) div rank")
+            ).over(suffix),
+        ),
+    ).withColumn(
+        "k_max",
+        F.max(
+            F.when(
+                F.col("p_e6") * F.lit(m) <= F.col("rank") * F.lit(alpha_e6),
+                F.col("rank"),
+            ).otherwise(F.lit(0))
+        ).over(everything),
+    )
+    return ranked.select(
+        "test_id", "p_e6", "rank", "adj_p_e6",
+        (F.col("rank") <= F.col("k_max")).alias("rejected"),
+    )
+
+
+def mann_whitney_u(obs: DataFrame) -> DataFrame:
+    """Mann-Whitney U rank-sum test over (grp in {'a','b'}, v BIGINT)
+    observations → one row (n_a, n_b, r_a_x2, u_a_x2, u_b_x2, z_e6).
+
+    The nonparametric two-sample location test — the right tool when
+    ab_ztest's binomial model does not apply (heavy-tailed latencies,
+    prices, token counts).  Tied values take average ranks; to stay
+    integer-exact the rank sums are carried in DOUBLED units
+    (avg_rank_x2 = 2*rank + ties - 1, an exact BIGINT), so
+    U_a_x2 = R_a_x2 - n_a(n_a+1) and the normal-approximation
+    z = (U_a_x2 - n_a n_b) / (2 sqrt(n_a n_b (n+1)/12)) quantizes to
+    micro-units bit-identically in both engines (integer inputs, one
+    sqrt, one divide).
+
+    Scale note: ranking uses rank-by-value with per-value tie counts —
+    at fleet scale replace the global-order window with the
+    cumulative-count-over-distinct-values join (values are far fewer
+    than observations); the statistic itself is a 2-row aggregate."""
+    vw = Window.orderBy(F.col("v").asc())
+    ties = Window.partitionBy("v")
+    r = obs.select(
+        "grp",
+        "v",
+        (
+            2 * F.rank().over(vw) + F.count("*").over(ties) - 1
+        ).cast("long").alias("avg_rank_x2"),
+    )
+    g = r.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("avg_rank_x2").cast("long").alias("r_x2"),
+    )
+    a = g.filter(F.col("grp") == "a").select(
+        F.col("n").alias("n_a"), F.col("r_x2").alias("r_a_x2")
+    )
+    b = g.filter(F.col("grp") == "b").select(
+        F.col("n").alias("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "r_a_x2",
+        F.expr("r_a_x2 - n_a * (n_a + 1)").alias("u_a_x2"),
+        F.expr("2 * n_a * n_b - (r_a_x2 - n_a * (n_a + 1))").alias(
+            "u_b_x2"
+        ),
+        F.expr(
+            "CAST(round(((r_a_x2 - n_a * (n_a + 1)) - n_a * n_b)"
+            " / (2 * sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0))"
+            " * 1e6) AS BIGINT)"
+        ).alias("z_e6"),
+    )
+
+
+def cramers_v(pairs: DataFrame) -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (r_cat, c_cat) → one row (n, n_r, n_c, chi2_e6, v_e6).
+
+    The schema-profiling question "are these two columns related?"
+    (cross-schema matching, leakage screens, stratification design)
+    needs a [0,1]-normalized chi-square — V = sqrt(chi2 / (n *
+    min(r-1, c-1))).  Each cell term (O-E)^2/E is evaluated as ONE
+    double expression over exact integer inputs ((O*n - R*C)^2 /
+    (n*R*C), all products in double so nothing overflows at any n)
+    and quantized to micro-units PER CELL before the integer sum —
+    the per-term-quantization house idiom, bit-identical across
+    engines regardless of summation order.
+
+    Scale note: one groupBy over the pair table plus two marginal
+    rollups of the CELL table (cells ≪ rows); the cell/marginal join
+    is broadcast-sized by construction."""
+    cells = pairs.groupBy("r_cat", "c_cat").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rm = cells.groupBy("r_cat").agg(F.sum("o").alias("row_tot"))
+    cm = cells.groupBy("c_cat").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("r_cat").cast("long").alias("n_r"),
+        F.countDistinct("c_cat").cast("long").alias("n_c"),
+    )
+    # full r x c grid: UNOBSERVED cells still owe their (0-E)^2/E term
+    grid = (
+        rm.crossJoin(cm)
+        .join(cells, ["r_cat", "c_cat"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    terms = j.select(
+        "n",
+        "n_r",
+        "n_c",
+        F.expr(
+            "CAST(round((o * 1.0 * n - row_tot * 1.0 * col_tot)"
+            " * (o * 1.0 * n - row_tot * 1.0 * col_tot)"
+            " / (n * 1.0 * row_tot * col_tot) * 1e6) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    return terms.groupBy("n", "n_r", "n_c").agg(
+        F.sum("term_e6").cast("long").alias("chi2_e6")
+    ).select(
+        "n",
+        "n_r",
+        "n_c",
+        "chi2_e6",
+        F.expr(
+            "CAST(round(sqrt((chi2_e6 / 1e6)"
+            " / (n * least(n_r - 1, n_c - 1))) * 1e6) AS BIGINT)"
+        ).alias("v_e6"),
+    )

@@ -1,0 +1,95 @@
+"""Round-5 wave 52: BH-FDR, Mann-Whitney U, Cramér's V (hand-traced)."""
+
+from __future__ import annotations
+
+
+def test_bh_fdr_hand_traced(spark):
+    from reden_spark.operators.analytics import bh_fdr
+
+    h = spark.createDataFrame(
+        [("t1", 10000), ("t2", 20000), ("t3", 30000),
+         ("t4", 500000), ("t5", 900000)],
+        "test_id string, p_e6 long",
+    )
+    got = {r.test_id: r for r in bh_fdr(h, alpha_e6=50000).collect()}
+    assert [got[f"t{i}"].rank for i in range(1, 6)] == [1, 2, 3, 4, 5]
+    # p*m//rank = [50000,50000,50000,625000,900000]; suffix-min keeps them
+    assert [got[f"t{i}"].adj_p_e6 for i in range(1, 6)] == [
+        50000, 50000, 50000, 625000, 900000,
+    ]
+    assert [got[f"t{i}"].rejected for i in range(1, 6)] == [
+        True, True, True, False, False,
+    ]
+
+
+def test_bh_fdr_step_up_rejects_below_crossing(spark):
+    """Ranks 1-2 fail their own inequality but rank 3 passes ->
+    step-up rejects ALL three."""
+    from reden_spark.operators.analytics import bh_fdr
+
+    h = spark.createDataFrame(
+        [("a", 20000), ("b", 40000), ("c", 45000)],
+        "test_id string, p_e6 long",
+    )
+    got = bh_fdr(h, alpha_e6=50000).collect()
+    assert all(r.rejected for r in got)
+
+
+def test_bh_fdr_adj_p_caps_at_one(spark):
+    from reden_spark.operators.analytics import bh_fdr
+
+    h = spark.createDataFrame(
+        [("a", 900000), ("b", 990000)], "test_id string, p_e6 long"
+    )
+    got = {r.test_id: r for r in bh_fdr(h).collect()}
+    # a: 900000*2//1 = 1.8e6 -> capped via suffix min(cap later) ->
+    # min(1800000, 990000) = 990000; b: 990000*2//2 = 990000
+    assert got["a"].adj_p_e6 == 990000 and got["b"].adj_p_e6 == 990000
+    assert not got["a"].rejected and not got["b"].rejected
+
+
+def test_mann_whitney_hand_traced(spark):
+    """a=[1,3,3], b=[2,3,5]: tied 3s take avg rank 4; U_a=3, z=-0.6547."""
+    from reden_spark.operators.analytics import mann_whitney_u
+
+    obs = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 3), ("b", 2), ("b", 3), ("b", 5)],
+        "grp string, v long",
+    )
+    r = mann_whitney_u(obs).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.r_a_x2 == 18
+    assert r.u_a_x2 == 6 and r.u_b_x2 == 12  # doubled units; U sums to n_a*n_b
+    assert r.z_e6 == -654654
+
+
+def test_mann_whitney_no_ties_symmetry(spark):
+    """a takes the extremes, b the middle -> U_a == U_b, z == 0."""
+    from reden_spark.operators.analytics import mann_whitney_u
+
+    obs = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3), ("a", 4)], "grp string, v long"
+    )
+    r = mann_whitney_u(obs).collect()[0]
+    assert r.u_a_x2 == r.u_b_x2 == 4 and r.z_e6 == 0
+
+
+def test_cramers_v_perfect_association(spark):
+    from reden_spark.operators.analytics import cramers_v
+
+    rows = [("x", "1")] * 5 + [("y", "2")] * 5
+    pairs = spark.createDataFrame(rows, "r_cat string, c_cat string")
+    r = cramers_v(pairs).collect()[0]
+    assert (r.n, r.n_r, r.n_c) == (10, 2, 2)
+    assert r.chi2_e6 == 10000000  # chi2 == n for a perfect 2x2
+    assert r.v_e6 == 1000000
+
+
+def test_cramers_v_independence(spark):
+    """Uniform 2x2 -> chi2 == 0 -> V == 0."""
+    from reden_spark.operators.analytics import cramers_v
+
+    rows = [("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")] * 3
+    pairs = spark.createDataFrame(rows, "r_cat string, c_cat string")
+    r = cramers_v(pairs).collect()[0]
+    assert r.chi2_e6 == 0 and r.v_e6 == 0
