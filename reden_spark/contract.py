@@ -21006,3 +21006,133 @@ def q_cramers_v(spark, sf_dir):
         ).alias("c_cat"),
     )
     return cramers_v(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 53: maintainability index + stupid-backoff trigram LM.
+
+
+@query(
+    "maintainability_index",
+    f"""
+    WITH files AS ({_CODE_FILES_SQL}),
+    w AS (SELECT repo, path,
+                 unnest(regexp_extract_all(content, '{_H_WORD}', 0)) AS tok
+          FROM files),
+    wk AS (SELECT repo, path, tok, tok IN ({_H_KW_SQL}) AS is_op FROM w),
+    s AS (SELECT repo, path,
+                 unnest(regexp_extract_all(content, '{_H_SYM}', 0)) AS tok,
+                 TRUE AS is_op
+          FROM files),
+    t AS (SELECT * FROM wk UNION ALL SELECT * FROM s),
+    p AS (SELECT repo, path,
+            CAST(count(DISTINCT CASE WHEN is_op THEN tok END)
+                 + count(DISTINCT CASE WHEN NOT is_op THEN tok END)
+                 AS BIGINT) AS vocabulary,
+            CAST(count(*) AS BIGINT) AS length
+          FROM t GROUP BY 1, 2),
+    lines AS (
+      SELECT repo, path,
+             unnest(string_split(content, chr(10))) AS line
+      FROM files),
+    pf AS (
+      SELECT repo, path,
+             CAST(sum(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS loc,
+             CAST(sum(len(regexp_extract_all(line,
+               '^\\s*(if|elif|for|while|except|case)\\b|\\band\\b|\\bor\\b')))
+               + 1 AS BIGINT) AS cc
+      FROM lines GROUP BY 1, 2)
+    SELECT p.repo, p.path, pf.loc, pf.cc,
+           CAST(round(length * ln(vocabulary) / ln(2) * 1000)
+                AS BIGINT) AS volume_e3,
+           CAST(round((171.0 - 5.2 * ln(length * ln(vocabulary) / ln(2))
+                - 0.23 * cc - 16.2 * ln(loc)) * 1000) AS BIGINT) AS mi_e3
+    FROM p JOIN pf USING (repo, path)
+    WHERE vocabulary >= 2 AND loc >= 1
+    """,
+)
+def q_maintainability_index(spark, sf_dir):
+    """Maintainability index (operators/code_surface.
+    maintainability_index): the 171-point Oman-Hagemeister composite
+    from Halstead volume, file McCabe count, and non-blank LOC —
+    milli-quantized, the repo-triage number for code-corpus mixing."""
+    from reden_spark.operators.code_surface import maintainability_index
+
+    return maintainability_index(_code_files(spark, sf_dir))
+
+
+@query(
+    "stupid_backoff_nll",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    tt AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    st AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    stri AS (
+      SELECT doc_id, lag(tok, 2) OVER w AS w1,
+             lag(tok, 1) OVER w AS w2, tok AS w3
+      FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    tri AS (SELECT doc_id, w1, w2, w3 FROM stri WHERE w1 IS NOT NULL),
+    ttri0 AS (
+      SELECT lag(tok, 2) OVER w AS w1, lag(tok, 1) OVER w AS w2,
+             tok AS w3
+      FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+             FROM ttri0 WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+    tbi0 AS (
+      SELECT lag(tok, 1) OVER w AS w1, tok AS w2
+      FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM tbi0 WHERE w1 IS NOT NULL GROUP BY 1, 2),
+    c23 AS (SELECT w1 AS w2, w2 AS w3, CAST(count(*) AS BIGINT) AS c23
+            FROM tbi0 WHERE w1 IS NOT NULL GROUP BY 1, 2),
+    c2 AS (SELECT tok AS w2, CAST(count(*) AS BIGINT) AS c2
+           FROM tt GROUP BY 1),
+    c3 AS (SELECT tok AS w3, CAST(count(*) AS BIGINT) AS c3
+           FROM tt GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt),
+    j AS (
+      SELECT tri.doc_id, c123.c123, c12.c12, c23.c23, c2.c2, c3.c3, nn.n
+      FROM tri
+      LEFT JOIN c123 USING (w1, w2, w3)
+      LEFT JOIN c12 USING (w1, w2)
+      LEFT JOIN c23 USING (w2, w3)
+      LEFT JOIN c2 USING (w2)
+      LEFT JOIN c3 USING (w3), nn),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN c123 IS NOT NULL
+                  THEN CAST(round(ln(CAST(c12 AS DOUBLE) / c123) * 1e6)
+                            AS BIGINT)
+                  WHEN c23 IS NOT NULL
+                  THEN CAST(round(ln(2.5 * c2 / c23) * 1e6) AS BIGINT)
+                  ELSE CAST(round(ln(6.25 * n
+                         / greatest(coalesce(c3, 1), 1)) * 1e6)
+                         AS BIGINT)
+             END AS nll_e6,
+             CASE WHEN c123 IS NOT NULL THEN 3
+                  WHEN c23 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+      FROM j)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(nll_e6) AS BIGINT) AS nll_sum_e6,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff2,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff1
+    FROM sc GROUP BY 1
+    """,
+)
+def q_stupid_backoff_nll(spark, sf_dir):
+    """Stupid-backoff trigram NLL (operators/importance.
+    stupid_backoff_nll): LM fit on even doc_ids, scored on odd —
+    per-transition micro-quantized ln of one exact ratio per backoff
+    level, with the exact/backoff coverage split per document."""
+    from reden_spark.operators.importance import stupid_backoff_nll
+
+    docs = _read(spark, sf_dir, "documents")
+    return stupid_backoff_nll(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

@@ -356,3 +356,111 @@ def bigram_lm_nll(
             .alias("n_bigrams"),
         )
     )
+
+
+def stupid_backoff_nll(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_trigrams, nll_sum_e6, n_exact, n_backoff2,
+    n_backoff1): per-document NLL under a TRIGRAM stupid-backoff LM
+    (Brants et al. 2007) fit on ``train_docs`` and scored on
+    ``score_docs`` — the web-scale LM-quality gate one order above
+    bigram_lm_nll, with the backoff chain the giant-corpus setting
+    actually uses (no discounting to tune, multiply by 0.4 per level):
+
+      S(w3|w1w2) = c123/c12            if the trigram was seen
+                 = 0.4 * c23/c2        else if the bigram was seen
+                 = 0.16 * c3/N         else (unseen unigrams count 1)
+
+    Each transition contributes ONE quantized term — round(ln(r)*1e6)
+    where r is c12/c123, 2.5*c2/c23, or 6.25*N/max(c3,1), a single
+    double ratio of exact integers — so per-document sums are exact
+    BIGINT in both engines (the bigram_lm_nll determinism contract).
+    Fitting and scoring on disjoint splits is the point: the backoff
+    branches only fire on n-grams unseen in training, and the
+    n_exact/n_backoff2/n_backoff1 split is the coverage diagnostic.
+
+    Scale shape: count tables shuffle once each on their n-gram key
+    (map-side combinable); scoring left-joins the scored transitions
+    against them on the same keys; the scalar N rides in broadcast.
+    At 10^12 tokens the trigram table dominates — it is exactly the
+    CommonCrawl-scale artifact stupid backoff was invented for."""
+    ttoks = _doc_tokens(train_docs, text_col, id_col)
+    stoks = _doc_tokens(score_docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        stoks.withColumn("w2", F.lag("tok", 1).over(w))
+        .withColumn("w1", F.lag("tok", 2).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w1", "w2", F.col("tok").alias("w3"))
+    )
+    ttri = (
+        ttoks.withColumn("w2", F.lag("tok", 1).over(w))
+        .withColumn("w1", F.lag("tok", 2).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("w1", "w2", F.col("tok").alias("w3"))
+    )
+    tbi = (
+        ttoks.withColumn("w1", F.lag("tok", 1).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("w1", F.col("tok").alias("w2"))
+    )
+    c123 = ttri.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("c123")
+    )
+    c12 = tbi.groupBy(
+        F.col("w1"), F.col("w2")
+    ).agg(F.count("*").cast("long").alias("c12"))
+    c23 = tbi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3")
+    ).groupBy("w2", "w3").agg(F.count("*").cast("long").alias("c23"))
+    c2 = ttoks.groupBy(F.col("tok").alias("w2")).agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    c3 = ttoks.groupBy(F.col("tok").alias("w3")).agg(
+        F.count("*").cast("long").alias("c3")
+    )
+    n = ttoks.agg(F.count("*").cast("long").alias("n"))
+    j = (
+        tri.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.expr(
+                "CAST(round(ln(CAST(c12 AS DOUBLE) / c123) * 1e6)"
+                " AS BIGINT)"
+            ),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.expr("CAST(round(ln(2.5 * c2 / c23) * 1e6) AS BIGINT)"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(round(ln(6.25 * n / greatest(coalesce(c3, 1), 1))"
+                " * 1e6) AS BIGINT)"
+            )
+        )
+    )
+    level = (
+        F.when(F.col("c123").isNotNull(), F.lit(3))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    scored = j.select("doc_id", term.alias("nll_e6"), level.alias("lvl"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("nll_e6").cast("long").alias("nll_sum_e6"),
+        F.sum((F.col("lvl") == 3).cast("long")).alias("n_exact"),
+        F.sum((F.col("lvl") == 2).cast("long")).alias("n_backoff2"),
+        F.sum((F.col("lvl") == 1).cast("long")).alias("n_backoff1"),
+    )

@@ -1,0 +1,84 @@
+"""Round-5 wave 53: maintainability index + stupid-backoff trigram LM."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_stupid_backoff_hand_traced(spark):
+    """Train 'a b c a b d', score 'a b c x b c': one exact trigram, one
+    bigram backoff, two unigram backoffs (x unseen -> count 1)."""
+    from reden_spark.operators.importance import stupid_backoff_nll
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b c x b c")], "doc_id long, text string"
+    )
+    r = stupid_backoff_nll(train, score).collect()[0]
+    assert r.n_trigrams == 4
+    assert (r.n_exact, r.n_backoff2, r.n_backoff1) == (1, 1, 2)
+    expect = (
+        round(math.log(2 / 1) * 1e6)        # (a,b,c): c12=2, c123=1
+        + round(math.log(6.25 * 6 / 1) * 1e6)   # (b,c,x): x unseen
+        + round(math.log(6.25 * 6 / 2) * 1e6)   # (c,x,b): c3(b)=2
+        + round(math.log(2.5 * 2 / 1) * 1e6)    # (x,b,c): c23(b,c)=1, c2(b)=2
+    )
+    assert r.nll_sum_e6 == expect == 8858120
+
+
+def test_stupid_backoff_self_scoring_is_all_exact(spark):
+    """Scoring the training corpus itself can never back off."""
+    from reden_spark.operators.importance import stupid_backoff_nll
+
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r"), (2, "q r p q")], "doc_id long, text string"
+    )
+    got = stupid_backoff_nll(docs, docs).collect()
+    assert all(r.n_backoff2 == 0 and r.n_backoff1 == 0 for r in got)
+
+
+def test_stupid_backoff_short_docs_absent(spark):
+    from reden_spark.operators.importance import stupid_backoff_nll
+
+    train = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a")], "doc_id long, text string"
+    )
+    assert stupid_backoff_nll(train, score).count() == 0
+
+
+def test_maintainability_index_formula(spark):
+    """MI recomposes from the operator's own census columns, and more
+    decisions strictly lower it at equal volume/LOC."""
+    from reden_spark.operators.code_surface import maintainability_index
+
+    files = spark.createDataFrame(
+        [
+            ("r", "a.py", "def f(x):\n    return x + 1\n"),
+            ("r", "b.py", "def f(x):\n    if x:\n        return 1\n    return 2\n"),
+        ],
+        "repo string, path string, content string",
+    )
+    got = {r.path: r for r in maintainability_index(files).collect()}
+    for r in got.values():
+        vol = r.volume_e3 / 1000
+        mi = 171 - 5.2 * math.log(vol) - 0.23 * r.cc - 16.2 * math.log(r.loc)
+        assert abs(r.mi_e3 - round(mi * 1000)) <= 1
+    # b.py has a leading-keyword 'if' branch -> higher file McCabe count
+    assert got["b.py"].cc > got["a.py"].cc
+
+
+def test_maintainability_degenerate_files_dropped(spark):
+    from reden_spark.operators.code_surface import maintainability_index
+
+    files = spark.createDataFrame(
+        [("r", "empty.py", ""), ("r", "one.py", "x")],
+        "repo string, path string, content string",
+    )
+    paths = {r.path for r in maintainability_index(files).collect()}
+    assert "empty.py" not in paths  # vocabulary 0
+    assert "one.py" not in paths    # vocabulary 1
