@@ -21136,3 +21136,108 @@ def q_stupid_backoff_nll(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 54: RDF reification + SHACL datatype/pattern validation.
+
+
+@query(
+    "rdf_reify",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})),
+    st AS (
+      SELECT subj, pred, obj,
+             'http://kb.example.org/.well-known/st/'
+               || substring(sha256(subj || chr(1) || pred || chr(1) || obj),
+                            1, 32) AS st
+      FROM t)
+    SELECT st AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM st
+    UNION ALL
+    SELECT st, 'rdf:subject', subj FROM st
+    UNION ALL
+    SELECT st, 'rdf:predicate', pred FROM st
+    UNION ALL
+    SELECT st, 'rdf:object', obj FROM st
+    """,
+)
+def q_rdf_reify(spark, sf_dir):
+    """RDF reification (operators/ontology.reify_triples): four
+    rdf:Statement triples per distinct statement under a
+    content-addressed sha256 IRI (0x01-joined components, genid-style
+    like skolemize_bnodes) — the pre-RDF-star provenance anchor."""
+    from reden_spark.operators.ontology import reify_triples
+
+    return reify_triples(_kg_triples(spark, sf_dir))
+
+
+_SHACL_DT_TRIPLES_SQL = f"""
+    {_KG_TRIPLES_SQL}
+    UNION ALL
+    SELECT 'c' || CAST(o_custkey AS VARCHAR), 'age',
+           CASE WHEN o_orderkey % 13 = 0
+                THEN CAST(o_custkey % 100 AS VARCHAR) || 'y'
+                ELSE CAST(o_custkey % 100 AS VARCHAR) END
+    FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@query(
+    "shacl_datatype",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj
+               FROM ({_SHACL_DT_TRIPLES_SQL})),
+    sh AS (
+      SELECT * FROM (VALUES
+        ('homepage', 'iri', '^http://ex\\.org/c/[0-9]+$'),
+        ('prio', 'string', '^[0-9]-[A-Z ]+$'),
+        ('age', 'integer', NULL))
+        s(pred, datatype, pattern)),
+    j AS (SELECT t.subj, t.pred, t.obj, sh.datatype, sh.pattern
+          FROM t JOIN sh USING (pred)),
+    chk AS (
+      SELECT subj, pred, obj, datatype, pattern,
+             CASE WHEN datatype = 'iri'
+                  THEN regexp_matches(obj, '^https?://')
+                  WHEN datatype = 'integer'
+                  THEN regexp_matches(obj, '^-?[0-9]+$')
+                  WHEN datatype = 'decimal'
+                  THEN regexp_matches(obj, '^-?[0-9]+(\\.[0-9]+)?$')
+                  ELSE TRUE END AS dt_ok,
+             (pattern IS NULL OR regexp_matches(obj, pattern)) AS pat_ok
+      FROM j)
+    SELECT subj, pred, obj, datatype,
+           CASE WHEN NOT dt_ok THEN 'datatype' ELSE 'pattern' END AS reason
+    FROM chk WHERE NOT dt_ok OR NOT pat_ok
+    """,
+)
+def q_shacl_datatype(spark, sf_dir):
+    """SHACL sh:datatype / sh:pattern (operators/kg_quality.
+    shacl_datatype): value-space + regex validation per shaped triple —
+    lowercased prio rows fail the pattern, 'NNy' age rows fail the
+    integer lexical space; homepage IRIs conform."""
+    from reden_spark.operators.kg_quality import shacl_datatype
+
+    orders = _read(spark, sf_dir, "orders")
+    age = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("age").alias("pred"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat((F.col("o_custkey") % 100).cast("string"), F.lit("y")),
+        )
+        .otherwise((F.col("o_custkey") % 100).cast("string"))
+        .alias("obj"),
+    )
+    triples = _kg_triples(spark, sf_dir).unionByName(age)
+    shapes = spark.createDataFrame(
+        [
+            ("homepage", "iri", "^http://ex\\.org/c/[0-9]+$"),
+            ("prio", "string", "^[0-9]-[A-Z ]+$"),
+            ("age", "integer", None),
+        ],
+        "pred string, datatype string, pattern string",
+    )
+    return shacl_datatype(triples, shapes)

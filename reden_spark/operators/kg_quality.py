@@ -965,3 +965,56 @@ def shacl_closed(
     return bad.groupBy("subj", "type", "pred").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def shacl_datatype(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """SHACL sh:datatype / sh:pattern over a triple table: for every
+    DISTINCT triple whose predicate is shaped, check the object's
+    lexical form against the declared datatype and optional regex —
+    one row per violation (subj, pred, obj, datatype, reason) with
+    reason 'datatype' (lexical form not in the type's value space) or
+    'pattern' (type ok, sh:pattern regex missed).  ``shapes`` is
+    (pred, datatype, pattern) with datatype in 'iri' / 'integer' /
+    'decimal' / 'string' and pattern nullable.
+
+    Completes the SHACL-lite family: shacl_cardinality bands counts,
+    shacl_closed polices the predicate universe, this one polices
+    VALUES — the literal-hygiene gate (literal_profile finds the mess,
+    this names each offending triple).  Regexes are RE2-safe and come
+    from the shape table, evaluated per-row in both engines.
+
+    Scale shape (10^12 triples): shapes ride in broadcast; the shaped
+    pre-filter prunes the scan before the one DISTINCT exchange; the
+    checks themselves are pure projections."""
+    sh = shapes.select("pred", "datatype", "pattern")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .join(F.broadcast(sh), "pred")
+    )
+    dtype_ok = (
+        F.when(F.col("datatype") == "iri", F.col("obj").rlike("^https?://"))
+        .when(
+            F.col("datatype") == "integer", F.col("obj").rlike("^-?[0-9]+$")
+        )
+        .when(
+            F.col("datatype") == "decimal",
+            F.col("obj").rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+        )
+        .otherwise(F.lit(True))
+    )
+    pattern_ok = F.col("pattern").isNull() | F.expr("rlike(obj, pattern)")
+    return (
+        t.withColumn("dt_ok", dtype_ok)
+        .withColumn("pat_ok", pattern_ok)
+        .filter(~F.col("dt_ok") | ~F.col("pat_ok"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "datatype",
+            F.when(~F.col("dt_ok"), F.lit("datatype"))
+            .otherwise(F.lit("pattern"))
+            .alias("reason"),
+        )
+    )

@@ -381,3 +381,51 @@ def property_chain_infer(
         "subj", "pred", "obj",
         F.coalesce(F.col("_n"), F.lit(False)).alias("novel"),
     )
+
+
+def reify_triples(
+    triples: DataFrame, base: str = "http://kb.example.org/.well-known/st/"
+) -> DataFrame:
+    """Standard RDF reification (RDF 1.1 Semantics, the
+    rdf:Statement vocabulary): each DISTINCT (subj, pred, obj)
+    statement becomes four triples under a deterministic statement
+    IRI —
+
+      <st> rdf:type rdf:Statement ; rdf:subject S ;
+           rdf:predicate P ; rdf:object O .
+
+    the pre-RDF-star way to hang provenance/confidence edges
+    (kg_provenance's per-triple metadata) off statements themselves.
+    The statement IRI is sha256 over the 0x01-joined components
+    truncated to 32 hex chars — content-addressed like
+    skolemize_bnodes' genid scheme (sources/ntriples.py:100-131), so
+    re-ingests and partitions agree with no counters and no driver
+    state; the 0x01 separator keeps the fold injective on components.
+
+    Scale shape: one DISTINCT exchange (RDF set semantics), then a
+    pure 4-way explode projection — output is exactly 4x the distinct
+    statement count, partitioning inherited."""
+    st = triples.select("subj", "pred", "obj").distinct().withColumn(
+        "st",
+        F.concat(
+            F.lit(base),
+            F.substring(
+                F.sha2(F.concat_ws("\u0001", "subj", "pred", "obj"), 256),
+                1,
+                32,
+            ),
+        ),
+    )
+    quad = F.array(
+        F.struct(
+            F.lit("rdf:type").alias("p"), F.lit("rdf:Statement").alias("o")
+        ),
+        F.struct(F.lit("rdf:subject").alias("p"), F.col("subj").alias("o")),
+        F.struct(F.lit("rdf:predicate").alias("p"), F.col("pred").alias("o")),
+        F.struct(F.lit("rdf:object").alias("p"), F.col("obj").alias("o")),
+    )
+    return st.select(
+        F.col("st").alias("subj"), F.explode(quad).alias("po")
+    ).select(
+        "subj", F.col("po.p").alias("pred"), F.col("po.o").alias("obj")
+    )

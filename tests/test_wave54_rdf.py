@@ -1,0 +1,88 @@
+"""Round-5 wave 54: RDF reification + SHACL datatype/pattern."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def test_reify_four_triples_per_statement(spark):
+    from reden_spark.operators.ontology import reify_triples
+
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s1", "p", "o1"), ("s2", "p", "o2")],
+        "subj string, pred string, obj string",
+    )
+    got = reify_triples(t).collect()
+    assert len(got) == 8  # 2 distinct statements x 4
+    by_st = {}
+    for r in got:
+        by_st.setdefault(r.subj, {})[r.pred] = r.obj
+    for st, po in by_st.items():
+        assert po["rdf:type"] == "rdf:Statement"
+        assert set(po) == {
+            "rdf:type", "rdf:subject", "rdf:predicate", "rdf:object",
+        }
+    # content-addressed id matches a hand sha256 of the 0x01-join
+    expect = (
+        "http://kb.example.org/.well-known/st/"
+        + hashlib.sha256(b"s1\x01p\x01o1").hexdigest()[:32]
+    )
+    assert expect in by_st and by_st[expect]["rdf:subject"] == "s1"
+
+
+def test_reify_separator_is_injective(spark):
+    """('ab','c','d') and ('a','bc','d') must get DIFFERENT statement
+    ids — the 0x01 separator at work."""
+    from reden_spark.operators.ontology import reify_triples
+
+    t = spark.createDataFrame(
+        [("ab", "c", "d"), ("a", "bc", "d")],
+        "subj string, pred string, obj string",
+    )
+    sts = {r.subj for r in reify_triples(t).collect()}
+    assert len(sts) == 2
+
+
+def test_shacl_datatype_reasons(spark):
+    from reden_spark.operators.kg_quality import shacl_datatype
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "homepage", "http://ex.org/x"),   # ok
+            ("e2", "homepage", "ftp://ex.org/x"),    # datatype (not http)
+            ("e3", "age", "42"),                     # ok
+            ("e4", "age", "42y"),                    # datatype
+            ("e5", "age", "-7"),                     # ok (signed)
+            ("e6", "code", "AB-1"),                  # ok (pattern)
+            ("e7", "code", "ab-1"),                  # pattern
+            ("e8", "unshaped", "whatever"),          # pred not shaped
+        ],
+        "subj string, pred string, obj string",
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("homepage", "iri", None),
+            ("age", "integer", None),
+            ("code", "string", "^[A-Z]+-[0-9]$"),
+        ],
+        "pred string, datatype string, pattern string",
+    )
+    got = {r.subj: r for r in shacl_datatype(triples, shapes).collect()}
+    assert set(got) == {"e2", "e4", "e7"}
+    assert got["e2"].reason == "datatype"
+    assert got["e4"].reason == "datatype"
+    assert got["e7"].reason == "pattern"
+
+
+def test_shacl_datatype_distinct_triples(spark):
+    """Duplicate assertions of the same bad triple emit ONE violation."""
+    from reden_spark.operators.kg_quality import shacl_datatype
+
+    triples = spark.createDataFrame(
+        [("e", "age", "x")] * 3, "subj string, pred string, obj string"
+    )
+    shapes = spark.createDataFrame(
+        [("age", "integer", None)],
+        "pred string, datatype string, pattern string",
+    )
+    assert shacl_datatype(triples, shapes).count() == 1
