@@ -21241,3 +21241,125 @@ def q_shacl_datatype(spark, sf_dir):
         "pred string, datatype string, pattern string",
     )
     return shacl_datatype(triples, shapes)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 55: exact eccentricity + densest-subgraph peeling.
+
+_ECC_HOPS = 10
+
+
+def _ecc_oracle_sql(hops: int) -> str:
+    """Unrolled all-source BFS over the kcore fixture graph: state is
+    (source, node, dist) pairs; rounds past the diameter are no-ops."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_KCORE_EDGES_SQL}),",
+        """
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM base WHERE src <> dst
+      UNION ALL SELECT dst, src FROM base WHERE src <> dst),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT src AS s, src AS node, CAST(0 AS BIGINT) AS dist
+      FROM sym)""",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(f""",
+    f{h} AS (
+      SELECT DISTINCT p.s, e.dst AS node
+      FROM sym e JOIN v{h - 1} p ON e.src = p.node
+      WHERE p.dist = {h - 1}),
+    n{h} AS (
+      SELECT f.s, f.node, CAST({h} AS BIGINT) AS dist FROM f{h} f
+      LEFT JOIN v{h - 1} v ON f.s = v.s AND f.node = v.node
+      WHERE v.s IS NULL),
+    v{h} AS MATERIALIZED (
+      SELECT s, node, dist FROM v{h - 1}
+      UNION ALL SELECT s, node, dist FROM n{h})""")
+    parts.append(f"""
+    SELECT s AS node, CAST(max(dist) AS BIGINT) AS ecc
+    FROM v{hops} GROUP BY 1""")
+    return "".join(parts)
+
+
+@query("exact_eccentricity", _ecc_oracle_sql(_ECC_HOPS))
+def q_exact_eccentricity(spark, sf_dir):
+    """Exact per-node eccentricity (operators/paths.
+    exact_eccentricity): all-source synchronous BFS over the kcore
+    fixture graph, hop-capped identically on both sides — the exact
+    end of the effective_diameter / landmark_index family."""
+    from reden_spark.operators.paths import exact_eccentricity
+
+    return exact_eccentricity(
+        _kcore_edges(spark, sf_dir), max_hops=_ECC_HOPS
+    )
+
+
+_DSG_ROUNDS = 6
+
+
+def _dsg_oracle_sql(rounds: int) -> str:
+    """Unrolled Bahmani et al. peel: each round drops nodes with
+    deg*10*V <= 22*E of the surviving subgraph (eps = 0.1)."""
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+      FROM ({_KCORE_EDGES_SQL}) WHERE src <> dst),
+    n0 AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM base UNION ALL SELECT d FROM base)),
+    e0 AS MATERIALIZED (SELECT s, d FROM base),
+    st0 AS (SELECT 0 AS round,
+                   (SELECT count(*) FROM n0) AS n_nodes,
+                   (SELECT count(*) FROM e0) AS n_edges,
+                   0 AS n_removed, 1 AS prev_nodes)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    dg{r} AS (
+      SELECT n.node, CAST(coalesce(t.c, 0) AS BIGINT) AS deg
+      FROM n{p} n LEFT JOIN (
+        SELECT node, count(*) AS c FROM (
+          SELECT s AS node FROM e{p} UNION ALL SELECT d FROM e{p})
+        GROUP BY 1) t USING (node)),
+    k{r} AS MATERIALIZED (
+      SELECT node FROM dg{r}
+      WHERE deg * 10 * (SELECT count(*) FROM n{p})
+            > 22 * (SELECT count(*) FROM e{p})),
+    n{r} AS MATERIALIZED (SELECT node FROM k{r}),
+    e{r} AS MATERIALIZED (
+      SELECT s, d FROM e{p}
+      WHERE s IN (SELECT node FROM k{r})
+        AND d IN (SELECT node FROM k{r})),
+    st{r} AS (SELECT {r} AS round,
+                     (SELECT count(*) FROM n{r}) AS n_nodes,
+                     (SELECT count(*) FROM e{r}) AS n_edges,
+                     (SELECT count(*) FROM n{p})
+                       - (SELECT count(*) FROM n{r}) AS n_removed,
+                     (SELECT count(*) FROM n{p}) AS prev_nodes)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(CASE WHEN n_nodes > 0
+                     THEN n_edges * 1000000 // n_nodes
+                     ELSE 0 END AS BIGINT) AS density_e6
+    FROM ({union}) WHERE prev_nodes > 0""")
+    return "".join(parts)
+
+
+@query("densest_subgraph", _dsg_oracle_sql(_DSG_ROUNDS))
+def q_densest_subgraph(spark, sf_dir):
+    """Densest-subgraph peel rounds (operators/communities.
+    densest_subgraph_rounds): eps=0.1 Bahmani peeling with the
+    all-integer deg*10*V <= 22*E threshold — per-round survivor stats,
+    argmax density is the 1/2.2-approximate densest core."""
+    from reden_spark.operators.communities import densest_subgraph_rounds
+
+    return densest_subgraph_rounds(
+        _kcore_edges(spark, sf_dir), rounds=_DSG_ROUNDS
+    )

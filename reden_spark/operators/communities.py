@@ -486,3 +486,90 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .cast("long")
         .alias("internal_frac_e6"),
     )
+
+
+def densest_subgraph_rounds(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar 2000 via the
+    distributed formulation of Bahmani-Kumar-Vassilvitskii 2012,
+    eps = 0.1): each round removes EVERY node whose degree is at most
+    2(1+eps)·(E/V) of the current subgraph, then reports the
+    survivors — (round, n_nodes, n_edges, n_removed, density_e6), one
+    row per round including round 0 (the input graph).  The densest
+    round (argmax density_e6) is a (1/(2(1+eps)))-approximation of the
+    densest subgraph once the peel drains; bounded ``rounds`` is the
+    contract fixture setting, production drains to empty in
+    O(log_{1+eps} V) rounds.
+
+    Dense-block detection for KG health: a sameAs component whose
+    densest core has density ≫ the component average is a hub-merge
+    error (the fuse_dedup mega-component smell, localized).
+
+    All-integer thresholding: deg·10·V <= 22·E — no rational density
+    ever materializes, so engine and oracle agree exactly.  Because
+    min_deg <= avg_deg = 2E/V < 2.2·E/V·... every round with V > 0
+    removes at least one node: the peel strictly shrinks and needs no
+    stability check.
+
+    Scale shape: each round is one degree aggregate + two semi-joins
+    (the kcore exchange pattern) with localCheckpoint lineage cuts;
+    the per-round stats are single scalars (count()), never row
+    collects."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("s"),
+            F.greatest("src", "dst").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("s").alias("node"))
+        .unionByName(und.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    v, e = nodes.count(), und.count()
+    stats = [(0, v, e, 0)]
+    cur_e, cur_n = und, nodes
+    for r in range(1, rounds + 1):
+        if v == 0:
+            break
+        sym = cur_e.select("s", "d").unionByName(
+            cur_e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        degtab = sym.groupBy(F.col("s").alias("node")).agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        dg = cur_n.join(degtab, "node", "left").select(
+            "node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+        )
+        keep = dg.filter(
+            F.col("deg") * 10 * F.lit(v) > 22 * F.lit(e)
+        ).select("node").localCheckpoint(eager=True)
+        cur_e = (
+            cur_e.join(keep.withColumnRenamed("node", "s"), "s")
+            .join(keep.withColumnRenamed("node", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        v2, e2 = keep.count(), cur_e.count()
+        stats.append((r, v2, e2, v - v2))
+        cur_n, v, e = keep, v2, e2
+    out = spark.createDataFrame(
+        stats, "round long, n_nodes long, n_edges long, n_removed long"
+    )
+    return out.select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        "n_removed",
+        F.when(
+            F.col("n_nodes") > 0,
+            F.expr("n_edges * CAST(1000000 AS BIGINT) div n_nodes"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("density_e6"),
+    )

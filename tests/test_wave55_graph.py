@@ -1,0 +1,68 @@
+"""Round-5 wave 55: exact eccentricity + densest-subgraph peel."""
+
+from __future__ import annotations
+
+
+def test_eccentricity_path_graph(spark):
+    from reden_spark.operators.paths import exact_eccentricity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.ecc for r in exact_eccentricity(edges).collect()}
+    assert got == {1: 4, 2: 3, 3: 2, 4: 3, 5: 4}
+
+
+def test_eccentricity_disconnected_components(spark):
+    """Eccentricity is per-component: the pair and the path don't see
+    each other."""
+    from reden_spark.operators.paths import exact_eccentricity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.ecc for r in exact_eccentricity(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+
+
+def test_eccentricity_hop_cap(spark):
+    from reden_spark.operators.paths import exact_eccentricity
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
+    )
+    got = {
+        r.node: r.ecc
+        for r in exact_eccentricity(edges, max_hops=2).collect()
+    }
+    assert max(got.values()) == 2  # capped, both ends would be 6
+
+
+def test_densest_subgraph_peels_to_clique(spark):
+    """K4 with a pendant path: round 1 strips the path, round 2 drains
+    the clique; the density argmax is the clique round."""
+    from reden_spark.operators.communities import densest_subgraph_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.round: r for r in densest_subgraph_rounds(edges).collect()}
+    assert (got[0].n_nodes, got[0].n_edges) == (6, 8)
+    assert got[0].density_e6 == 1333333
+    assert (got[1].n_nodes, got[1].n_edges, got[1].n_removed) == (4, 6, 2)
+    assert got[1].density_e6 == 1500000  # the K4 core
+    assert (got[2].n_nodes, got[2].n_removed) == (0, 4)
+    assert 3 not in got  # peel drained; no further rounds emitted
+    best = max(got.values(), key=lambda r: r.density_e6)
+    assert best.round == 1
+
+
+def test_densest_subgraph_dedups_and_drops_self_loops(spark):
+    from reden_spark.operators.communities import densest_subgraph_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 2)], "src long, dst long"
+    )
+    r0 = densest_subgraph_rounds(edges, rounds=1).collect()[0]
+    assert (r0.n_nodes, r0.n_edges) == (2, 1)
