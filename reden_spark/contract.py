@@ -21363,3 +21363,106 @@ def q_densest_subgraph(spark, sf_dir):
     return densest_subgraph_rounds(
         _kcore_edges(spark, sf_dir), rounds=_DSG_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 56: Holt linear smoothing + Gonzalez k-center heads.
+
+
+@query(
+    "holt_linear",
+    """
+    WITH RECURSIVE series AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    rs AS (SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+           FROM series),
+    cu AS (
+      SELECT key, rn, t, x, CAST(x AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS resid
+      FROM rs WHERE rn = 1
+      UNION ALL
+      SELECT n.key, n.rn, n.t, n.x,
+             (CAST(n.x AS DOUBLE) + (c.level + c.trend)) / 2.0,
+             (((CAST(n.x AS DOUBLE) + (c.level + c.trend)) / 2.0
+               - c.level) + c.trend) / 2.0,
+             CAST(n.x AS DOUBLE) - (c.level + c.trend)
+      FROM cu c JOIN rs n ON n.key = c.key AND n.rn = c.rn + 1)
+    SELECT key, t, x, level, trend, resid FROM cu
+    """,
+)
+def q_holt_linear(spark, sf_dir):
+    """Holt level+trend smoothing (operators/eventstats.holt_linear)
+    over per-(event_type, epoch-day) counts; alpha = beta = 1/2 so the
+    fold and the recursive-CTE replay execute identical halving
+    sequences — trend-absorbing forecast residuals for volume
+    monitoring."""
+    from reden_spark.operators.eventstats import holt_linear
+
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    series = ev.groupBy(
+        F.col("event_type").alias("key"), day.alias("t")
+    ).agg(F.count("*").cast("long").alias("x"))
+    return holt_linear(series)
+
+
+def _kcenter_oracle_sql(k: int = 4) -> str:
+    """Unrolled Gonzalez greedy: head r = argmax of the running min
+    squared distance to heads 1..r-1 (tiebreak min vec_id)."""
+    parts = [
+        """WITH q AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 64)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    h1 AS (SELECT min(vec_id) AS hid FROM q),
+    m1 AS MATERIALIZED (
+      SELECT p.vec_id,
+             CAST(sum((p.q - h.q) * (p.q - h.q)) AS BIGINT) AS mind2
+      FROM q p JOIN q h ON h.idx = p.idx
+                       AND h.vec_id = (SELECT hid FROM h1)
+      GROUP BY 1)""",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(f""",
+    h{r} AS (SELECT vec_id AS hid, mind2 FROM m{p}
+             ORDER BY mind2 DESC, vec_id ASC LIMIT 1)""")
+        if r < k:
+            parts.append(f""",
+    d{r} AS (
+      SELECT p.vec_id,
+             CAST(sum((p.q - h.q) * (p.q - h.q)) AS BIGINT) AS d2
+      FROM q p JOIN q h ON h.idx = p.idx
+                       AND h.vec_id = (SELECT hid FROM h{r})
+      GROUP BY 1),
+    m{r} AS MATERIALIZED (
+      SELECT m{p}.vec_id, least(m{p}.mind2, d{r}.d2) AS mind2
+      FROM m{p} JOIN d{r} USING (vec_id))""")
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank,"
+        " CAST((SELECT hid FROM h1) AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS d2"
+    ]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT), CAST(hid AS BIGINT),"
+            f" CAST(mind2 AS BIGINT) FROM h{r}"
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@query("kcenter_heads", _kcenter_oracle_sql(4))
+def q_kcenter_heads(spark, sf_dir):
+    """Gonzalez greedy k-center (operators/similarity.kcenter_heads):
+    4 maximally-spread exemplars over power-of-two-quantized
+    embeddings — exact integer distances, total-order argmax; the
+    diversity/coreset selector with the 2-approximation guarantee."""
+    from reden_spark.operators.similarity import kcenter_heads
+
+    return kcenter_heads(_read(spark, sf_dir, "embeddings"), k=4)

@@ -969,3 +969,83 @@ def process_variants(events: DataFrame, top_k: int = 50) -> DataFrame:
         .filter(F.col("_rn") <= top_k)
         .select("variant", "n_users", "pct_e6")
     )
+
+
+def holt_linear(series: DataFrame) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) with
+    alpha = beta = 1/2 over integer series (key, t, x):
+
+      l_1 = x_1, b_1 = 0
+      l_t = (x_t + (l_{t-1} + b_{t-1})) / 2
+      b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+      resid_t = x_t - (l_{t-1} + b_{t-1})   (NULL on the first row)
+
+    → (key, t, x, level, trend, resid).  The trend-following step up
+    from ewma_residuals: a level-only EWMA lags a steadily growing
+    series forever (every residual positive), Holt's trend term
+    absorbs linear growth so residuals flag genuine breaks — the
+    volume-forecast monitor for crawl/ingest rates.
+
+    Determinism: halving coefficients mean both engines execute the
+    IDENTICAL +, /2 operation sequence (the ewma_residuals contract);
+    the recursive-CTE oracle replays the same recurrence term for
+    term, so traces are hash-identical.
+
+    Scale shape: one key exchange, one higher-order fold over each
+    key's bounded series — no window, no driver loop."""
+    seq = series.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("t").cast("long").alias("t"),
+                    F.col("x").cast("long").alias("x"),
+                )
+            )
+        ).alias("seq")
+    )
+    out_t = (
+        "array<struct<t:bigint,x:bigint,level:double,trend:double,"
+        "resid:double>>"
+    )
+    lvl = (
+        "CASE WHEN acc.l IS NULL THEN CAST(e.x AS DOUBLE)"
+        " ELSE (CAST(e.x AS DOUBLE) + (acc.l + acc.b)) / 2.0 END"
+    )
+    trd = (
+        "CASE WHEN acc.l IS NULL THEN CAST(0.0 AS DOUBLE)"
+        " ELSE (((CAST(e.x AS DOUBLE) + (acc.l + acc.b)) / 2.0 - acc.l)"
+        " + acc.b) / 2.0 END"
+    )
+    rsd = (
+        "CASE WHEN acc.l IS NULL THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(e.x AS DOUBLE) - (acc.l + acc.b) END"
+    )
+    folded = seq.withColumn(
+        "trace",
+        F.expr(
+            f"""
+            aggregate(
+              seq,
+              named_struct('l', CAST(NULL AS DOUBLE),
+                           'b', CAST(0.0 AS DOUBLE),
+                           'out', CAST(array() AS {out_t})),
+              (acc, e) -> named_struct(
+                'l', {lvl},
+                'b', {trd},
+                'out', array_append(
+                  acc.out,
+                  named_struct('t', e.t, 'x', e.x,
+                               'level', {lvl}, 'trend', {trd},
+                               'resid', {rsd}))),
+              acc -> acc.out)
+            """
+        ),
+    )
+    return folded.select("key", F.explode("trace").alias("r")).select(
+        "key",
+        F.col("r.t").alias("t"),
+        F.col("r.x").alias("x"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+        F.col("r.resid").alias("resid"),
+    )

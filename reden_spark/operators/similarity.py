@@ -1286,3 +1286,85 @@ def truncated_topk(
     )
     en = with_norms(tr, id_col=id_col, vec_col=vec_col)
     return cosine_topk(en, en, k=k)
+
+
+def kcenter_heads(
+    embeddings: DataFrame,
+    k: int = 4,
+    scale: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Gonzalez greedy k-center over an embedding table:
+    (sel_rank, vec_id, d2) — the k coverage heads, each the point
+    FARTHEST (squared Euclidean) from all previously chosen heads,
+    seeded at the minimum id; ``d2`` is the covering radius the point
+    closed when selected (0 for the seed).  A 2-approximation of the
+    optimal k-center radius (Gonzalez 1985) — the coreset/diversity
+    selector for training-data mixing: the heads are maximally spread
+    exemplars, and the final radius bounds how well k exemplars cover
+    the corpus.
+
+    Determinism: vectors are quantized per dimension to round(v·64)
+    BIGINT (×64 is a power of two — exact in doubles, identical
+    everywhere), so distances are exact integers and the
+    (d2 desc, vec_id asc) argmax is a total order.
+
+    Scale shape: one explode + persist of the quantized table; each of
+    the k-1 rounds joins the corpus against ONE broadcast head vector
+    and folds with least() into the running min-distance column — k
+    broadcast joins total, no pairwise blowup (brute-force top-k over
+    pairs is ann_cosine_topk's job; this is linear in corpus size)."""
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("idx", "v"),
+    ).select(
+        "vec_id",
+        "idx",
+        F.round(F.col("v").cast("double") * scale).cast("long").alias("q"),
+    ).persist()
+    spark = embeddings.sparkSession
+
+    def d2_to(head_id: int) -> DataFrame:
+        h = q.filter(F.col("vec_id") == head_id).select(
+            "idx", F.col("q").alias("hq")
+        )
+        return (
+            q.join(F.broadcast(h), "idx")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("hq")) * (F.col("q") - F.col("hq"))
+                ).cast("long").alias("d2")
+            )
+        )
+
+    head1 = q.agg(F.min("vec_id")).collect()[0][0]
+    heads = [(1, head1, 0)]
+    mind = d2_to(head1).withColumnRenamed("d2", "mind2").localCheckpoint(
+        eager=True
+    )
+    for r in range(2, k + 1):
+        top = mind.agg(
+            F.max(
+                F.struct(
+                    F.col("mind2").alias("d"),
+                    (-F.col("vec_id")).alias("nv"),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        vid, d2 = -top["nv"], top["d"]
+        heads.append((r, vid, d2))
+        if r < k:
+            mind = (
+                mind.join(d2_to(vid), "vec_id")
+                .select(
+                    "vec_id",
+                    F.least("mind2", "d2").alias("mind2"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    q.unpersist()
+    return spark.createDataFrame(
+        heads, "sel_rank long, vec_id long, d2 long"
+    )

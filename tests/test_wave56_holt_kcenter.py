@@ -1,0 +1,72 @@
+"""Round-5 wave 56: Holt linear smoothing + Gonzalez k-center."""
+
+from __future__ import annotations
+
+
+def test_holt_hand_traced(spark):
+    """x = [4, 8, 12]: level/trend halving recurrence by hand."""
+    from reden_spark.operators.eventstats import holt_linear
+
+    s = spark.createDataFrame(
+        [("k", 1, 4), ("k", 2, 8), ("k", 3, 12)],
+        "key string, t long, x long",
+    )
+    got = sorted(holt_linear(s).collect(), key=lambda r: r.t)
+    assert (got[0].level, got[0].trend, got[0].resid) == (4.0, 0.0, None)
+    assert (got[1].level, got[1].trend, got[1].resid) == (6.0, 1.0, 4.0)
+    assert (got[2].level, got[2].trend, got[2].resid) == (9.5, 2.25, 5.0)
+
+
+def test_holt_absorbs_linear_trend_better_than_ewma(spark):
+    """On a steadily growing series the EWMA residual stays at the full
+    step size; Holt's trend term pulls the forecast error below it."""
+    from reden_spark.operators.eventstats import ewma_residuals, holt_linear
+
+    rows = [("k", t, 10 * t) for t in range(1, 21)]
+    s = spark.createDataFrame(rows, "key string, t long, x long")
+    h = {r.t: r.resid for r in holt_linear(s).collect()}
+    e = {r.t: r.resid for r in ewma_residuals(s).collect()}
+    assert h[20] < e[20]  # trend absorbed vs level-only lag
+
+
+def test_holt_independent_keys(spark):
+    from reden_spark.operators.eventstats import holt_linear
+
+    s = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 100), ("a", 2, 4)],
+        "key string, t long, x long",
+    )
+    got = {(r.key, r.t): r for r in holt_linear(s).collect()}
+    assert got[("a", 1)].level == 2.0 and got[("b", 1)].level == 100.0
+    assert got[("a", 2)].level == 3.0
+
+
+def test_kcenter_line_fixture(spark):
+    """1-d points 0, 1, 0.5, -1 (ids 1-4): seed id1, then the tie at
+    d2=4096 breaks to the smaller id."""
+    from reden_spark.operators.similarity import kcenter_heads
+
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [0.5]), (4, [-1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r.sel_rank, r.vec_id, r.d2)
+        for r in sorted(kcenter_heads(emb, k=4).collect(),
+                        key=lambda r: r.sel_rank)
+    ]
+    assert got == [(1, 1, 0), (2, 2, 4096), (3, 4, 4096), (4, 3, 1024)]
+
+
+def test_kcenter_radius_decreases(spark):
+    """Each added head closes a radius no larger than the previous
+    one (greedy farthest-point property)."""
+    from reden_spark.operators.similarity import kcenter_heads
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(kcenter_heads(emb, k=4).collect(), key=lambda r: r.sel_rank)
+    d2s = [r.d2 for r in got[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
