@@ -21466,3 +21466,82 @@ def q_kcenter_heads(spark, sf_dir):
     from reden_spark.operators.similarity import kcenter_heads
 
     return kcenter_heads(_read(spark, sf_dir, "embeddings"), k=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 57: node2vec second-order biased walks.
+
+
+def _n2v_hash_sql(expr: str) -> str:
+    return _TOK_HASH_SQL.format(t=expr)
+
+
+def _n2v_oracle_sql(walk_len: int = 4) -> str:
+    """Unrolled SQL replay of operators/walks.node2vec_walks over the
+    symmetrized e{id%23} ↔ e{id%19} graph: same (1, 2, 4) return/near/
+    far weights, same dst-ordered cumulative intervals, same
+    char_hash(seed‖walker‖step) mod total draw."""
+    h = _n2v_hash_sql("('nv' || z.walker || ':{i}')")
+    parts = [
+        """
+    WITH e0 AS (SELECT DISTINCT 'e' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                                'e' || CAST(doc_id % 19 AS VARCHAR) AS dst
+                FROM documents),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+      WHERE src <> dst),
+    c0 AS (SELECT DISTINCT src AS walker, CAST(NULL AS VARCHAR) AS prev,
+                  src AS cur
+           FROM sym)"""
+    ]
+    for i in range(1, walk_len + 1):
+        prev_cte = f"s{i - 1}" if i > 1 else "c0"
+        hi = h.replace("{i}", str(i))
+        parts.append(f""",
+    x{i} AS (
+      SELECT c.walker, c.cur, e.dst,
+             CASE WHEN e.dst = c.prev THEN 1
+                  WHEN pa.src IS NOT NULL THEN 2
+                  ELSE 4 END AS w
+      FROM {prev_cte} c
+      JOIN sym e ON e.src = c.cur
+      LEFT JOIN sym pa ON pa.src = c.prev AND pa.dst = e.dst),
+    y{i} AS (
+      SELECT walker, cur, dst, w,
+             coalesce(sum(w) OVER (PARTITION BY walker ORDER BY dst
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cw,
+             sum(w) OVER (PARTITION BY walker) AS tw
+      FROM x{i}),
+    s{i} AS MATERIALIZED (
+      SELECT z.walker, z.cur AS prev, z.dst AS cur
+      FROM y{i} z
+      WHERE ({hi}) % z.tw >= z.cw
+        AND ({hi}) % z.tw < z.cw + z.w)""")
+    selects = [
+        "SELECT walker, CAST(0 AS BIGINT) AS step, cur AS vertex FROM c0"
+    ]
+    selects += [
+        f"SELECT walker, CAST({i} AS BIGINT), cur FROM s{i}"
+        for i in range(1, walk_len + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@query("node2vec_walks", _n2v_oracle_sql(4))
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec biased walks (operators/walks.node2vec_walks): 4-step
+    second-order walks with (return, near, far) = (1, 2, 4) integer
+    weights (p = 2, q = 1/2) and the portable polynomial-hash interval
+    draw — the DeepWalk upgrade whose skip-gram pairs feed KG node
+    embeddings."""
+    from reden_spark.operators.walks import node2vec_walks
+
+    d = F.col("doc_id")
+    edges = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (d % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
+    )
+    return node2vec_walks(edges, walk_len=4)

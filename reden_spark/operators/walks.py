@@ -314,3 +314,118 @@ def khop_sample(
             )
         )
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    w_return: int = 1,
+    w_near: int = 2,
+    w_far: int = 4,
+    seed: str = "nv",
+) -> DataFrame:
+    """(walker, step, vertex): second-order biased walks (node2vec,
+    Grover & Leskovec 2016) over the SYMMETRIZED edge set — one walk
+    per start vertex, walker = the start vertex id.
+
+    At each step the candidate next-hops x of cur are weighted by
+    their relation to the PREVIOUS vertex: ``w_return`` for x = prev
+    (the 1/p return term), ``w_near`` for x adjacent to prev (the
+    alpha = 1 ring), ``w_far`` otherwise (the 1/q outward term) — the
+    integer defaults (1, 2, 4) encode p = 2, q = 1/2: a DFS-flavored
+    outward drift.  Step 1 has no prev, so every candidate takes
+    ``w_far`` — a uniform first hop, as in the paper.
+
+    Determinism (the random_walks contract, upgraded to WEIGHTED
+    choice): candidates are laid out on integer cumulative-weight
+    intervals in dst order, and the draw is
+    char_hash(seed‖walker‖':'‖step) mod total_weight — the portable
+    polynomial fold (functions/text.char_hash), no RNG state, so both
+    engines land in the same interval bit-for-bit and walks are
+    resume/retry-stable.
+
+    Scale shape: per step one src-keyed join to the neighbor list, one
+    LEFT join probing prev-adjacency (same sym table, dst key), and
+    one walker-partitioned window pair for the cumulative layout —
+    per-walker fan-in is the degree, never materialized beyond one
+    step; persist per step caps replans (random_walks lesson)."""
+    from reden_spark.functions.text import char_hash
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    starts = sym.select(F.col("src").alias("vertex")).distinct()
+    cur = starts.select(
+        F.col("vertex").alias("walker"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("vertex").alias("cur"),
+    )
+    out = cur.select(
+        "walker", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("vertex"),
+    )
+    for step in range(1, walk_len + 1):
+        cand = cur.join(
+            sym.withColumnRenamed("src", "cur"), "cur"
+        ).join(
+            sym.select(
+                F.col("src").alias("prev"), F.col("dst").alias("dst"),
+            ).withColumn("is_adj", F.lit(1)),
+            ["prev", "dst"],
+            "left",
+        ).withColumn(
+            "w",
+            F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+            .when(F.col("is_adj").isNotNull(), F.lit(w_near))
+            .otherwise(F.lit(w_far))
+            .cast("long"),
+        )
+        wp = Window.partitionBy("walker")
+        wo = wp.orderBy("dst")
+        cand = cand.withColumn(
+            "cw",
+            F.coalesce(
+                F.sum("w").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        ).withColumn(
+            "tw",
+            F.sum("w").over(
+                wp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long"),
+        ).withColumn(
+            "r",
+            char_hash(
+                F.concat(
+                    F.lit(seed), F.col("walker"), F.lit(f":{step}")
+                )
+            ) % F.col("tw"),
+        )
+        cur = (
+            cand.filter(
+                (F.col("r") >= F.col("cw"))
+                & (F.col("r") < F.col("cw") + F.col("w"))
+            )
+            .select(
+                "walker", F.col("cur").alias("prev"),
+                F.col("dst").alias("cur"),
+            )
+            .persist()
+        )
+        out = out.unionByName(
+            cur.select(
+                "walker", F.lit(step).cast("long").alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out

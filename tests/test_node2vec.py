@@ -1,0 +1,86 @@
+"""Round-5 wave 57: node2vec biased walks (python-replayed)."""
+
+from __future__ import annotations
+
+P = 1_000_000_007
+
+
+def _char_hash(s: str) -> int:
+    acc = 7
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def _replay(edges, walk_len=4, weights=(1, 2, 4), seed="nv"):
+    """Pure-python node2vec replay with the same interval draw."""
+    sym = {}
+    for s, d in edges:
+        if s != d:
+            sym.setdefault(s, set()).add(d)
+            sym.setdefault(d, set()).add(s)
+    w_ret, w_near, w_far = weights
+    out = {}
+    for start in sorted(sym):
+        prev, cur = None, start
+        seq = [cur]
+        for step in range(1, walk_len + 1):
+            cand = sorted(sym[cur])
+            ws = []
+            for x in cand:
+                if prev is not None and x == prev:
+                    ws.append(w_ret)
+                elif prev is not None and x in sym.get(prev, ()):
+                    ws.append(w_near)
+                else:
+                    ws.append(w_far)
+            tw = sum(ws)
+            r = _char_hash(f"{seed}{start}:{step}") % tw
+            acc = 0
+            for x, w in zip(cand, ws):
+                if acc <= r < acc + w:
+                    prev, cur = cur, x
+                    break
+                acc += w
+            seq.append(cur)
+        out[start] = seq
+    return out
+
+
+def test_node2vec_matches_python_replay(spark):
+    from reden_spark.operators.walks import node2vec_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {}
+    for r in node2vec_walks(df, walk_len=4).collect():
+        got.setdefault(r.walker, {})[r.step] = r.vertex
+    want = _replay(edges)
+    assert set(got) == set(want)
+    for w, seq in want.items():
+        assert [got[w][i] for i in range(5)] == seq
+
+
+def test_node2vec_forced_return_on_pendant(spark):
+    """Path a-b: every step is forced, so the walk alternates."""
+    from reden_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {}
+    for r in node2vec_walks(df, walk_len=4).collect():
+        got.setdefault(r.walker, {})[r.step] = r.vertex
+    assert [got["a"][i] for i in range(5)] == ["a", "b", "a", "b", "a"]
+    assert [got["b"][i] for i in range(5)] == ["b", "a", "b", "a", "b"]
+
+
+def test_node2vec_full_length_walks(spark):
+    """Symmetrized connected graph -> no walk dies early."""
+    from reden_spark.operators.walks import node2vec_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = node2vec_walks(df, walk_len=3).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.walker, set()).add(r.step)
+    assert all(steps == {0, 1, 2, 3} for steps in per.values())
