@@ -20931,8 +20931,8 @@ def q_bh_fdr(spark, sf_dir):
            a.r_x2 - a.n * (a.n + 1) AS u_a_x2,
            2 * a.n * b.n - (a.r_x2 - a.n * (a.n + 1)) AS u_b_x2,
            CAST(round(((a.r_x2 - a.n * (a.n + 1)) - a.n * b.n)
-                / (2 * sqrt(a.n * b.n * (a.n + b.n + 1) / 12.0))
-                * 1e6) AS BIGINT) AS z_e6
+                / (2 * sqrt(CAST(a.n AS DOUBLE) * b.n * (a.n + b.n + 1)
+                / 12)) * 1e6) AS BIGINT) AS z_e6
     FROM (SELECT * FROM g WHERE grp = 'a') a,
          (SELECT * FROM g WHERE grp = 'b') b
     """,
@@ -20980,9 +20980,11 @@ def q_mann_whitney_u(spark, sf_dir):
                      AND cells.c_cat = cm.c_cat),
     terms AS (
       SELECT n, n_r, n_c,
-             CAST(round((o * 1.0 * n - row_tot * 1.0 * col_tot)
-                  * (o * 1.0 * n - row_tot * 1.0 * col_tot)
-                  / (n * 1.0 * row_tot * col_tot) * 1e6)
+             CAST(round((CAST(o AS DOUBLE) * n
+                    - CAST(row_tot AS DOUBLE) * col_tot)
+                  * (CAST(o AS DOUBLE) * n
+                    - CAST(row_tot AS DOUBLE) * col_tot)
+                  / (CAST(n AS DOUBLE) * row_tot * col_tot) * 1e6)
                   AS BIGINT) AS term_e6
       FROM grid, tot)
     SELECT n, n_r, n_c,
@@ -21545,3 +21547,91 @@ def q_node2vec_walks(spark, sf_dir):
         F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
     )
     return node2vec_walks(edges, walk_len=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 58: Theil inequality + Kaplan-Meier survival.
+
+
+@query(
+    "theil_index",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders),
+    tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS total
+            FROM v WHERE x > 0 GROUP BY 1),
+    terms AS (
+      SELECT v.grp, tot.n, tot.total,
+             CAST(round((CAST(x AS DOUBLE) * n / total)
+                  * ln(CAST(x AS DOUBLE) * n / total) * 1e9)
+                  AS BIGINT) AS term_e9
+      FROM v JOIN tot USING (grp) WHERE v.x > 0)
+    SELECT grp, n, total,
+           CAST(greatest(sum(term_e9), 0) // n AS BIGINT) AS theil_e9
+    FROM terms GROUP BY grp, n, total
+    """,
+)
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality (operators/analytics.theil_index) of
+    integer-cent order totals per priority — nano-quantized per-term
+    (x/mu)ln(x/mu), the decomposable concentration score beside
+    degree_gini."""
+    from reden_spark.operators.analytics import theil_index
+
+    v = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    return theil_index(v)
+
+
+@query(
+    "kaplan_meier",
+    """
+    WITH RECURSIVE obs AS (
+      SELECT CAST(o_orderkey % 300 + 1 AS BIGINT) AS t,
+             CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS ev
+      FROM orders),
+    pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+                  CAST(sum(ev) AS BIGINT) AS d
+           FROM obs GROUP BY 1),
+    rk AS (SELECT t, n_at, d,
+                  CAST(sum(n_at) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+           FROM pt),
+    cv AS (SELECT t, n_risk, d AS n_events,
+                  CAST(n_at - d AS BIGINT) AS n_censored,
+                  row_number() OVER (ORDER BY t ASC) AS rn
+           FROM rk WHERE d >= 1),
+    cu AS (
+      SELECT t, n_risk, n_events, n_censored, rn,
+             CAST(1.0 AS DOUBLE)
+               * (1.0 - CAST(n_events AS DOUBLE) / n_risk) AS s
+      FROM cv WHERE rn = 1
+      UNION ALL
+      SELECT n.t, n.n_risk, n.n_events, n.n_censored, n.rn,
+             c.s * (1.0 - CAST(n.n_events AS DOUBLE) / n.n_risk)
+      FROM cu c JOIN cv n ON n.rn = c.rn + 1)
+    SELECT t, n_risk, n_events, n_censored,
+           CAST(round(s * 1e6) AS BIGINT) AS surv_e6
+    FROM cu
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit curve (operators/analytics.
+    kaplan_meier): durations o_orderkey%300+1 with %4 censoring —
+    ascending-t product of exact (1 - d/n) factors, fold vs recursive
+    CTE, micro-quantized at emission."""
+    from reden_spark.operators.analytics import kaplan_meier
+
+    obs = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 300 + 1).cast("long").alias("t"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    )
+    return kaplan_meier(obs)

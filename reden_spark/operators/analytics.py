@@ -1094,10 +1094,14 @@ def mann_whitney_u(obs: DataFrame) -> DataFrame:
         F.expr("2 * n_a * n_b - (r_a_x2 - n_a * (n_a + 1))").alias(
             "u_b_x2"
         ),
+        # CAST AS DOUBLE: an all-integer numerator over the DECIMAL
+        # literal 12.0 keeps Spark in decimal arithmetic (scale-6
+        # truncation); a double operand forces the IEEE path both
+        # engines share
         F.expr(
             "CAST(round(((r_a_x2 - n_a * (n_a + 1)) - n_a * n_b)"
-            " / (2 * sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0))"
-            " * 1e6) AS BIGINT)"
+            " / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1)"
+            " / 12)) * 1e6) AS BIGINT)"
         ).alias("z_e6"),
     )
 
@@ -1140,10 +1144,15 @@ def cramers_v(pairs: DataFrame) -> DataFrame:
         "n",
         "n_r",
         "n_c",
+        # CAST AS DOUBLE, not `* 1.0`: Spark promotes 1.0-products to
+        # DECIMAL and truncates once precision overflows 38 digits
         F.expr(
-            "CAST(round((o * 1.0 * n - row_tot * 1.0 * col_tot)"
-            " * (o * 1.0 * n - row_tot * 1.0 * col_tot)"
-            " / (n * 1.0 * row_tot * col_tot) * 1e6) AS BIGINT)"
+            "CAST(round((CAST(o AS DOUBLE) * n"
+            " - CAST(row_tot AS DOUBLE) * col_tot)"
+            " * (CAST(o AS DOUBLE) * n"
+            " - CAST(row_tot AS DOUBLE) * col_tot)"
+            " / (CAST(n AS DOUBLE) * row_tot * col_tot) * 1e6)"
+            " AS BIGINT)"
         ).alias("term_e6"),
     )
     return terms.groupBy("n", "n_r", "n_c").agg(
@@ -1157,4 +1166,138 @@ def cramers_v(pairs: DataFrame) -> DataFrame:
             "CAST(round(sqrt((chi2_e6 / 1e6)"
             " / (n * least(n_r - 1, n_c - 1))) * 1e6) AS BIGINT)"
         ).alias("v_e6"),
+    )
+
+
+def theil_index(values: DataFrame) -> DataFrame:
+    """Theil T inequality per group over (grp, x) positive integer
+    values → (grp, n, total, theil_e9):
+
+      T = (1/n) Σ (x_i/μ) ln(x_i/μ),  μ = total/n
+
+    0 for perfect equality, ln(n) at maximal concentration.  The
+    decomposable complement of degree_gini: Theil is additive across
+    subgroups (between + within), which is what a corpus-concentration
+    audit wants when it asks "is the skew BETWEEN sources or WITHIN
+    them?" (source_concentration gives the shares; this scores them).
+
+    Per-term quantization: each (x·n/S)·ln(x·n/S) is one double
+    expression over exact integers, rounded to nano-units BEFORE the
+    integer sum — order-free, engine-exact; the final div by n stays
+    integer.  Zero/negative x rows are dropped (ln undefined),
+    documented.
+
+    Scale shape: one groupBy for (n, S), one broadcast join back, one
+    map-side-combinable term sum — the degree_gini exchange pattern
+    without the global sort."""
+    tot = values.filter(F.col("x") > 0).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    terms = (
+        values.filter(F.col("x") > 0)
+        .join(F.broadcast(tot), "grp")
+        .select(
+            "grp",
+            "n",
+            "total",
+            # explicit DOUBLE casts: Spark's `* 1.0` promotes to DECIMAL,
+            # which overflows 38-digit precision on big operands and
+            # silently truncates the quotient to ~11 digits — DuckDB
+            # promotes to DOUBLE, so the two engines would diverge
+            F.expr(
+                "CAST(round((CAST(x AS DOUBLE) * n / total)"
+                " * ln(CAST(x AS DOUBLE) * n / total) * 1e9) AS BIGINT)"
+            ).alias("term_e9"),
+        )
+    )
+    return terms.groupBy("grp", "n", "total").agg(
+        # greatest(...,0): per-term rounding can push a perfectly equal
+        # group's sum a few nano-units negative, where DuckDB's // floors
+        # and Spark's div truncates — clamp before dividing (T >= 0 anyway)
+        F.expr(
+            "CAST(greatest(sum(term_e9), CAST(0 AS BIGINT)) div n"
+            " AS BIGINT)"
+        ).alias("theil_e9")
+    )
+
+
+def kaplan_meier(obs: DataFrame) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over (t, ev)
+    observations (t = integer duration, ev = 1 event / 0 censored) →
+    (t, n_risk, n_events, n_censored, surv_e6), one row per distinct
+    time with at least one EVENT:
+
+      S(t) = Π_{t' <= t, event} (1 − d_{t'} / n_{t'})
+
+    Censoring handled the standard way: censored subjects leave the
+    risk set after their time but contribute no factor.  The retention
+    curve for any lifetime question a pipeline asks — document
+    survival across recrawls, label persistence across snapshots,
+    membership half-life (retention_cohorts gives the grid; this gives
+    the estimator).
+
+    Determinism: factors (1 − d/n) are doubles of exact integers
+    multiplied in ascending-t order by BOTH engines (fold vs recursive
+    CTE — the ewma_residuals contract), quantized to micro-units at
+    emission only.
+
+    Scale shape: the observation table aggregates to one row per
+    DISTINCT time (bounded — durations are banded in practice) before
+    any ordered work; the fold runs over that tiny curve table, never
+    the observations."""
+    per_t = obs.groupBy(F.col("t").cast("long").alias("t")).agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum(F.col("ev").cast("long")).alias("d"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.withColumn(
+        "n_risk", F.sum("n_at").over(w).cast("long")
+    )
+    curve = risk.filter(F.col("d") >= 1).select(
+        "t", "n_risk", F.col("d").alias("n_events"),
+        (F.col("n_at") - F.col("d")).cast("long").alias("n_censored"),
+    )
+    seq = curve.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("t", "n_risk", "n_events", "n_censored")
+            )
+        ).alias("seq")
+    )
+    out_t = (
+        "array<struct<t:bigint,n_risk:bigint,n_events:bigint,"
+        "n_censored:bigint,surv_e6:bigint>>"
+    )
+    folded = seq.select(
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                  seq,
+                  named_struct('s', CAST(1.0 AS DOUBLE),
+                               'out', CAST(array() AS {out_t})),
+                  (acc, e) -> named_struct(
+                    's', acc.s * (1.0 - CAST(e.n_events AS DOUBLE)
+                                  / e.n_risk),
+                    'out', array_append(acc.out, named_struct(
+                      't', e.t, 'n_risk', e.n_risk,
+                      'n_events', e.n_events,
+                      'n_censored', e.n_censored,
+                      'surv_e6', CAST(round(acc.s
+                        * (1.0 - CAST(e.n_events AS DOUBLE) / e.n_risk)
+                        * 1e6) AS BIGINT)))),
+                  acc -> acc.out)
+                """
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.n_censored").alias("n_censored"),
+        F.col("r.surv_e6").alias("surv_e6"),
     )

@@ -1,0 +1,70 @@
+"""Round-5 wave 58: Theil index + Kaplan-Meier (hand-traced)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_theil_zero_for_equality(spark):
+    from reden_spark.operators.analytics import theil_index
+
+    v = spark.createDataFrame(
+        [("g", 5)] * 4, "grp string, x long"
+    )
+    r = theil_index(v).collect()[0]
+    assert (r.n, r.total, r.theil_e9) == (4, 20, 0)
+
+
+def test_theil_concentration(spark):
+    """x = [1,1,1,97]: replicate the per-term nano-quantization."""
+    from reden_spark.operators.analytics import theil_index
+
+    xs = [1, 1, 1, 97]
+    v = spark.createDataFrame(
+        [("g", x) for x in xs], "grp string, x long"
+    )
+    n, s = len(xs), sum(xs)
+    terms = [round((x * n / s) * math.log(x * n / s) * 1e9) for x in xs]
+    want = max(sum(terms), 0) // n
+    r = theil_index(v).collect()[0]
+    assert r.theil_e9 == want
+    assert r.theil_e9 > 0
+
+
+def test_theil_drops_nonpositive(spark):
+    from reden_spark.operators.analytics import theil_index
+
+    v = spark.createDataFrame(
+        [("g", 5), ("g", 5), ("g", 0), ("g", -3)], "grp string, x long"
+    )
+    r = theil_index(v).collect()[0]
+    assert (r.n, r.total, r.theil_e9) == (2, 10, 0)
+
+
+def test_kaplan_meier_hand_traced(spark):
+    """Durations [1e,1e,2c,3e,3c]: S(1)=0.6, S(3)=0.3; censored time 2
+    emits no row but shrinks the risk set."""
+    from reden_spark.operators.analytics import kaplan_meier
+
+    obs = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0)], "t long, ev long"
+    )
+    got = {r.t: r for r in kaplan_meier(obs).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_risk, got[1].n_events, got[1].n_censored) == (5, 2, 0)
+    assert got[1].surv_e6 == 600000
+    assert (got[3].n_risk, got[3].n_events, got[3].n_censored) == (2, 1, 1)
+    assert got[3].surv_e6 == 300000
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    from reden_spark.operators.analytics import kaplan_meier
+
+    obs = spark.createDataFrame(
+        [(t % 17 + 1, 1 if t % 3 else 0) for t in range(200)],
+        "t long, ev long",
+    )
+    curve = sorted(kaplan_meier(obs).collect(), key=lambda r: r.t)
+    survs = [r.surv_e6 for r in curve]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert survs[0] <= 1000000
