@@ -21635,3 +21635,155 @@ def q_kaplan_meier(spark, sf_dir):
         .alias("ev"),
     )
     return kaplan_meier(obs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 59: grid-blocked DBSCAN over the embedding projection.
+
+
+@query(
+    "dbscan_clusters",
+    """
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 512) AS BIGINT)
+               + 1024 AS x,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 512) AS BIGINT)
+               + 1024 AS y
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+        AND (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= 144),
+    cnt AS (SELECT a, CAST(count(*) + 1 AS BIGINT) AS n_nb
+            FROM pairs GROUP BY 1),
+    pts AS (SELECT q.vec_id, coalesce(cnt.n_nb, 1) AS n_nb
+            FROM q LEFT JOIN cnt ON cnt.a = q.vec_id),
+    cores AS (SELECT vec_id AS c FROM pts WHERE n_nb >= 4),
+    ce AS (SELECT printf('v%013d', p.a) AS src,
+                  printf('v%013d', p.b) AS dst
+           FROM pairs p
+           JOIN cores x ON x.c = p.a
+           JOIN cores y ON y.c = p.b),
+    und AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    cc AS (SELECT src AS node, least(src, min(dst)) AS comp
+           FROM reach GROUP BY src),
+    corec AS (SELECT c AS vec_id,
+                     coalesce(cc.comp, printf('v%013d', c)) AS cluster
+              FROM cores LEFT JOIN cc ON cc.node = printf('v%013d', c)),
+    border AS (SELECT p.a AS vec_id, min(k.cluster) AS cluster
+               FROM pairs p JOIN corec k ON k.vec_id = p.b
+               WHERE p.a NOT IN (SELECT c FROM cores)
+               GROUP BY 1)
+    SELECT pts.vec_id,
+           CASE WHEN corec.vec_id IS NOT NULL THEN 'core'
+                WHEN border.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(corec.cluster, border.cluster) AS cluster
+    FROM pts
+    LEFT JOIN corec USING (vec_id)
+    LEFT JOIN border USING (vec_id)
+    """,
+)
+def q_dbscan_clusters(spark, sf_dir):
+    """Grid-blocked DBSCAN (operators/similarity.dbscan_clusters):
+    eps=12 / minPts=4 over the x512-quantized first two embedding
+    dims — exact integer d², 3x3 cell blocking vs the oracle's theta
+    join, min-label CC clusters, deterministic border assignment,
+    named noise."""
+    from reden_spark.operators.similarity import dbscan_clusters
+
+    return dbscan_clusters(_read(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "mmr_rerank",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 64)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    rel AS (
+      SELECT p.vec_id AS id, CAST(sum(p.q * h.q) AS BIGINT) AS rel
+      FROM q p JOIN q h ON h.idx = p.idx AND h.vec_id = 0
+      WHERE p.vec_id <> 0 GROUP BY 1),
+    top AS MATERIALIZED (
+      SELECT id, rel FROM rel ORDER BY rel DESC, id ASC LIMIT 10),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(a.q * b.q) AS BIGINT) AS sim
+      FROM q a JOIN q b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT id FROM top)
+        AND b.vec_id IN (SELECT id FROM top)
+      GROUP BY 1, 2),
+    s1 AS (SELECT id, rel FROM top ORDER BY rel DESC, id ASC LIMIT 1),
+    m2 AS (
+      SELECT t.id, t.rel, t.rel - max(s.sim) AS mmr
+      FROM top t JOIN sims s ON s.a = t.id
+                            AND s.b IN (SELECT id FROM s1)
+      WHERE t.id NOT IN (SELECT id FROM s1)
+      GROUP BY t.id, t.rel),
+    s2 AS (SELECT id, rel, mmr FROM m2
+           ORDER BY mmr DESC, id ASC LIMIT 1),
+    m3 AS (
+      SELECT t.id, t.rel, t.rel - max(s.sim) AS mmr
+      FROM top t JOIN sims s ON s.a = t.id
+           AND s.b IN (SELECT id FROM s1 UNION SELECT id FROM s2)
+      WHERE t.id NOT IN (SELECT id FROM s1 UNION SELECT id FROM s2)
+      GROUP BY t.id, t.rel),
+    s3 AS (SELECT id, rel, mmr FROM m3
+           ORDER BY mmr DESC, id ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(id AS BIGINT) AS id,
+           CAST(rel AS BIGINT) AS rel, CAST(rel AS BIGINT) AS mmr2x
+    FROM s1
+    UNION ALL
+    SELECT 2, id, rel, CAST(mmr AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, id, rel, CAST(mmr AS BIGINT) FROM s3
+    """,
+)
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (operators/ranking.mmr_rerank):
+    top-10 candidates of query vec 0 by exact quantized dot product,
+    then 3 greedy picks trading relevance against max similarity to
+    the already-selected — the RAG context-packing gate."""
+    from reden_spark.operators.ranking import mmr_rerank
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "v")
+    ).select(
+        "vec_id", "idx",
+        F.round(F.col("v").cast("double") * 64).cast("long").alias("q"),
+    ).persist()
+    h = q.filter(F.col("vec_id") == 0).select(
+        "idx", F.col("q").alias("hq")
+    )
+    rel = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(h), "idx")
+        .groupBy(F.col("vec_id").alias("id"))
+        .agg(F.sum(F.col("q") * F.col("hq")).cast("long").alias("rel"))
+    )
+    top = rel.orderBy(F.col("rel").desc(), F.col("id").asc()).limit(10)
+    ids = top.select(F.col("id").alias("vec_id"))
+    qt = q.join(ids, "vec_id")
+    sims = (
+        qt.alias("a")
+        .join(
+            qt.alias("b"),
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("sim"))
+    )
+    return mmr_rerank(top, sims, k=3)

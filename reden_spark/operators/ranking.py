@@ -506,3 +506,81 @@ def rake_keywords(
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "phrase", "n_words", "score_e6", "rnk")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame, sims: DataFrame, k: int = 3
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) with lambda = 1/2, carried in DOUBLED integer units:
+    (sel_rank, id, rel, mmr2x) — the first pick is the pure-relevance
+    argmax (mmr2x = rel by convention), every later pick maximizes
+
+      mmr2x = rel − max_{s in selected} sim(id, s)
+
+    over the unselected pool (ties break to the smaller id).
+    ``candidates`` is (id, rel BIGINT); ``sims`` is symmetric
+    (a, b, sim BIGINT) covering every candidate pair.
+
+    The diversity gate between retrieval and a context window: top-k
+    by relevance alone feeds an LLM near-duplicates (hybrid_rerank
+    fuses scores but never looks at PAIRWISE redundancy); MMR trades
+    relevance against similarity-to-already-chosen, which is what
+    RAG context packing and few-shot exemplar selection actually
+    need.  All-integer scores (quantized dot products upstream) keep
+    the greedy argmax a total order in both engines.
+
+    Scale shape: the candidate pool is top-N of a retrieval stage
+    (bounded, broadcast-sized); each of the k rounds is one join
+    against the newly selected id's similarity column folded with
+    greatest() — the kcenter_heads update pattern."""
+    spark = candidates.sparkSession
+    cand = candidates.select("id", F.col("rel").cast("long")).persist()
+    top = cand.agg(
+        F.max(
+            F.struct(F.col("rel").alias("r"), (-F.col("id")).alias("ni"))
+        ).alias("m")
+    ).collect()[0]["m"]
+    first, frel = -top["ni"], top["r"]
+    out = [(1, first, frel, frel)]
+    cur = (
+        cand.filter(F.col("id") != first)
+        .join(
+            sims.filter(F.col("b") == first).select(
+                F.col("a").alias("id"), F.col("sim").alias("maxsim")
+            ),
+            "id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        pick = cur.agg(
+            F.max(
+                F.struct(
+                    (F.col("rel") - F.col("maxsim")).alias("mmr"),
+                    (-F.col("id")).alias("ni"),
+                    F.col("rel").alias("r"),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        vid = -pick["ni"]
+        out.append((r, vid, pick["r"], pick["mmr"]))
+        if r < k:
+            cur = (
+                cur.filter(F.col("id") != vid)
+                .join(
+                    sims.filter(F.col("b") == vid).select(
+                        F.col("a").alias("id"), F.col("sim").alias("s2")
+                    ),
+                    "id",
+                )
+                .select(
+                    "id", "rel",
+                    F.greatest("maxsim", "s2").alias("maxsim"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    cand.unpersist()
+    return spark.createDataFrame(
+        out, "sel_rank long, id long, rel long, mmr2x long"
+    )

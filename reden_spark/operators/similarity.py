@@ -1368,3 +1368,135 @@ def kcenter_heads(
     return spark.createDataFrame(
         heads, "sel_rank long, vec_id long, d2 long"
     )
+
+
+def dbscan_clusters(
+    embeddings: DataFrame,
+    eps: int = 12,
+    min_pts: int = 4,
+    scale: int = 512,
+    shift: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Grid-blocked DBSCAN (Ester et al. 1996) over the first two
+    embedding dimensions → (vec_id, role, cluster) with role in
+    'core' / 'border' / 'noise' and cluster the padded-min-id
+    component label (NULL for noise).
+
+    Density clustering for corpus cartography: unlike
+    embedding_clusters' k-means round, DBSCAN needs no k, finds
+    arbitrary-shape dense regions, and NAMES the outliers — the
+    noise column is itself the deliverable (off-manifold documents).
+
+    Engine-portable geometry: coordinates quantize to
+    round(v·scale)+shift BIGINT (scale a power of two — exact; shift
+    keeps them positive so integer div IS floor in both engines), all
+    distances are exact integer d², and the neighbor search joins each
+    point against its 3x3 grid cells (cell width = eps) instead of the
+    V² cross product — the standard spatial-blocking plan.  Core =
+    (1 + neighbors within eps) >= min_pts, self included; clusters =
+    connected components over core-core edges (operators/sameas
+    min-label CC on zero-padded ids, so lexicographic min IS numeric
+    min); borders take the lexicographic-min cluster among their core
+    neighbors (the deterministic resolution of DBSCAN's border
+    ambiguity).
+
+    Scale shape (10^9 points): the 9-way cell join is the only
+    superlinear risk and is bounded by grid occupancy (cell width =
+    eps keeps candidate lists local); counts and component labels are
+    key-partitioned aggregates; CC runs over the core graph only."""
+    v = F.col(vec_col)
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (F.round(v.getItem(0).cast("double") * scale).cast("long")
+         + shift).alias("x"),
+        (F.round(v.getItem(1).cast("double") * scale).cast("long")
+         + shift).alias("y"),
+    ).persist()
+    a = q.select(
+        F.col("vec_id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    ).withColumn("dx", F.expr("explode(array(-1, 0, 1))")).withColumn(
+        "dy", F.expr("explode(array(-1, 0, 1))")
+    ).select(
+        "a", "ax", "ay",
+        (F.expr(f"ax div {eps}") + F.col("dx")).alias("cx"),
+        (F.expr(f"ay div {eps}") + F.col("dy")).alias("cy"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x div {eps}").alias("cx"),
+        F.expr(f"y div {eps}").alias("cy"),
+    )
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("a") != F.col("b"))
+        .filter(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= eps * eps
+        )
+        .select("a", "b")
+        .persist()
+    )
+    counts = pairs.groupBy("a").agg(
+        (F.count("*") + 1).cast("long").alias("n_nb")
+    )
+    pts = q.join(counts, q["vec_id"] == counts["a"], "left").select(
+        "vec_id",
+        F.coalesce("n_nb", F.lit(1)).cast("long").alias("n_nb"),
+    )
+    cores = pts.filter(F.col("n_nb") >= min_pts).select(
+        F.col("vec_id").alias("c")
+    ).persist()
+    pad = lambda c: F.format_string("v%013d", c)  # noqa: E731
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("c", "a"), "a")
+        .join(cores.withColumnRenamed("c", "b"), "b")
+        .select(pad(F.col("a")).alias("src"), pad(F.col("b")).alias("dst"))
+    )
+    from reden_spark.operators.sameas import connected_components
+
+    cc = connected_components(core_edges)
+    core_clusters = cores.join(
+        cc, pad(F.col("c")) == cc["node"], "left"
+    ).select(
+        F.col("c").alias("vec_id"),
+        F.coalesce(cc["comp"], pad(F.col("c"))).alias("cluster"),
+    ).persist()
+    border = (
+        pairs.join(
+            core_clusters.select(
+                F.col("vec_id").alias("b"), F.col("cluster")
+            ),
+            "b",
+        )
+        .join(cores.withColumnRenamed("c", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        pts.join(
+            core_clusters.withColumnRenamed("cluster", "core_cluster"),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.withColumnRenamed("cluster", "border_cluster"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cluster", "border_cluster").alias("cluster"),
+        )
+    )
+    return out

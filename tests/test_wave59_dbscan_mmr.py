@@ -1,0 +1,81 @@
+"""Round-5 wave 59: DBSCAN + MMR re-ranking (hand-traced)."""
+
+from __future__ import annotations
+
+
+def _emb(spark, pts):
+    return spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, x, y in pts],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_dbscan_core_border_noise(spark):
+    from reden_spark.operators.similarity import dbscan_clusters
+
+    pts = [
+        (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1), (5, 2, 0),  # cluster
+        (6, 4, 0),    # within eps of core 5 but only 1 neighbor -> border
+        (7, 50, 50),  # noise
+    ]
+    got = {
+        r.vec_id: r
+        for r in dbscan_clusters(
+            _emb(spark, pts), eps=2, min_pts=4, scale=1, shift=0
+        ).collect()
+    }
+    assert {i: got[i].role for i in range(1, 8)} == {
+        1: "core", 2: "core", 3: "core", 4: "core", 5: "core",
+        6: "border", 7: "noise",
+    }
+    lbl = "v" + "1".rjust(13, "0")
+    assert all(got[i].cluster == lbl for i in range(1, 7))
+    assert got[7].cluster is None
+
+
+def test_dbscan_two_clusters(spark):
+    from reden_spark.operators.similarity import dbscan_clusters
+
+    a = [(i, i % 2, i // 2) for i in range(1, 6)]          # blob at origin
+    b = [(i + 10, 20 + i % 2, 20 + i // 2) for i in range(1, 6)]
+    got = dbscan_clusters(
+        _emb(spark, a + b), eps=3, min_pts=4, scale=1, shift=0
+    ).collect()
+    clusters = {r.cluster for r in got if r.cluster is not None}
+    assert len(clusters) == 2
+    by_id = {r.vec_id: r.cluster for r in got}
+    assert by_id[1] == by_id[5] and by_id[11] == by_id[15]
+    assert by_id[1] != by_id[11]
+
+
+def test_mmr_hand_traced(spark):
+    """rel (100, 90, 85); sim(1,2)=50, sim(1,3)=10, sim(2,3)=40:
+    the diverse 85-scorer beats the redundant 90-scorer at rank 2."""
+    from reden_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 100), (2, 90), (3, 85)], "id long, rel long"
+    )
+    s = [(1, 2, 50), (1, 3, 10), (2, 3, 40)]
+    sims = spark.createDataFrame(
+        s + [(b, a, v) for a, b, v in s], "a long, b long, sim long"
+    )
+    got = [
+        (r.sel_rank, r.id, r.rel, r.mmr2x)
+        for r in sorted(mmr_rerank(cand, sims, k=3).collect(),
+                        key=lambda r: r.sel_rank)
+    ]
+    assert got == [(1, 1, 100, 100), (2, 3, 85, 75), (3, 2, 90, 40)]
+
+
+def test_mmr_tiebreak_min_id(spark):
+    from reden_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(5, 10), (2, 10), (9, 10)], "id long, rel long"
+    )
+    pairs = [(a, b, 0) for a in (2, 5, 9) for b in (2, 5, 9) if a != b]
+    sims = spark.createDataFrame(pairs, "a long, b long, sim long")
+    got = [r.id for r in sorted(mmr_rerank(cand, sims, k=3).collect(),
+                                key=lambda r: r.sel_rank)]
+    assert got == [2, 5, 9]
