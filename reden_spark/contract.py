@@ -21787,3 +21787,93 @@ def q_mmr_rerank(spark, sf_dir):
         .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("sim"))
     )
     return mmr_rerank(top, sims, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 60: SimRank + mergeable minhash state.
+
+
+def _simrank_oracle_sql(iters: int = 2) -> str:
+    parts = [
+        """WITH e0 AS (
+      SELECT DISTINCT 'e' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                      'e' || CAST(doc_id % 19 AS VARCHAR) AS dst
+      FROM documents),
+    e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    inn AS (SELECT dst AS node, src AS i FROM e),
+    cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n
+            FROM inn GROUP BY 1),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    s0 AS (SELECT node AS a, node AS b,
+                  CAST(1000000000 AS BIGINT) AS s FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+    c{k} AS (
+      SELECT ea.node AS na, eb.node AS nb, CAST(sum(s.s) AS BIGINT) AS ss
+      FROM inn ea
+      JOIN s{p} s ON s.a = ea.i
+      JOIN inn eb ON eb.i = s.b
+      GROUP BY 1, 2),
+    s{k} AS MATERIALIZED (
+      SELECT a, b, s FROM (SELECT node AS a, node AS b,
+               CAST(1000000000 AS BIGINT) AS s FROM nodes)
+      UNION ALL
+      SELECT na, nb, CAST((4 * ss) // (5 * ca.n * cb.n) AS BIGINT)
+      FROM c{k}
+      JOIN cnt ca ON ca.node = c{k}.na
+      JOIN cnt cb ON cb.node = c{k}.nb
+      WHERE na <> nb AND (4 * ss) // (5 * ca.n * cb.n) > 0)""")
+    parts.append(f"""
+    SELECT a, b, s AS s_e9 FROM s{iters} WHERE a < b AND s > 0""")
+    return "".join(parts)
+
+
+@query("simrank", _simrank_oracle_sql(2))
+def q_simrank(spark, sf_dir):
+    """SimRank (operators/linkpred.simrank): two quantized iterations
+    over the e{id%23} → e{id%19} in-neighbor graph, C = 4/5 as exact
+    integer floor division per pair per round — the recursive
+    structural-equivalence score for ER candidate blocks."""
+    from reden_spark.operators.linkpred import simrank
+
+    d = F.col("doc_id")
+    edges = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (d % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
+    )
+    return simrank(edges, iters=2)
+
+
+@query(
+    "minhash_merge",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id AS id, tok
+                  FROM ({_TOKENS_SQL}) WHERE tok <> ''),
+    h AS (SELECT id, {_TOK_HASH_SQL.format(t='tok')} AS th FROM toks),
+    hs AS (SELECT id, th, CAST(th % 2 AS BIGINT) AS shard FROM h),
+    shard_sig AS (
+      SELECT id, shard,
+             {', '.join(f'min((th * {a} + {b}) % 1000000007) AS mh{i}' for i, (a, b) in enumerate([(37 + 101 * i, 17 + 29 * i) for i in range(8)]))}
+      FROM hs GROUP BY id, shard)
+    SELECT id,
+           {', '.join(f'CAST(min(mh{i}) AS BIGINT) AS mh{i}' for i in range(8))}
+    FROM shard_sig GROUP BY id
+    """,
+)
+def q_minhash_merge(spark, sf_dir):
+    """Mergeable minhash state (operators/dedup.sharded_minhash_
+    signatures + minhash_merge): per-shard sketches over a content-
+    determined token partition, merged by element-wise min — equals
+    the whole-set signature by the disjoint-union property (pinned in
+    tests), the streaming/distributed dedup aggregation state."""
+    from reden_spark.operators.dedup import (
+        minhash_merge,
+        sharded_minhash_signatures,
+        token_set,
+    )
+
+    toks = token_set(_read(spark, sf_dir, "documents"))
+    return minhash_merge(sharded_minhash_signatures(toks, n_shards=2))

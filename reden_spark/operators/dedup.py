@@ -594,3 +594,36 @@ def plan_minhash_bands(
         f"p_e6_at_{t} long" for t in thresholds_e6
     )
     return spark.createDataFrame(rows_out, cols)
+
+
+def sharded_minhash_signatures(
+    toks: DataFrame, n_shards: int = 2, n_hashes: int = 8
+) -> DataFrame:
+    """(id, shard, mh0..mhk): per-shard minhash over a partition of the
+    token set (shard = token-hash mod n_shards — content-determined, so
+    any physical repartition yields the same shards).  The mergeable
+    half of the streaming-dedup story: each ingest shard sketches its
+    own tokens and ships k BIGINTs, never the token set."""
+    h = toks.select("id", char_hash_inner(F.col("tok")).alias("th"))
+    h = h.withColumn("shard", (F.col("th") % n_shards).cast("long"))
+    aggs = [
+        F.min((F.col("th") * a + b) % MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+    return h.groupBy("id", "shard").agg(*aggs)
+
+
+def minhash_merge(shard_sigs: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(id, mh0..mhk): merge per-shard minhash signatures by
+    element-wise min.  Because min over a DISJOINT UNION of sets is
+    the min of per-part mins, merge(shard signatures) == the signature
+    of the whole token set — the commutative-monoid property that
+    makes minhash a distributed-aggregation state (the agg_state /
+    merge_agg_state pattern, applied to sketches): shards sketch
+    locally, a k-integer state merges associatively at any tree depth,
+    re-sharding and retries cannot change the answer.
+
+    Scale shape: one map-side-combinable groupBy on the id — the
+    whole point; the token exchange happened per-shard upstream."""
+    aggs = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    return shard_sigs.groupBy("id").agg(*aggs)

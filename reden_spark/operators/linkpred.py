@@ -195,3 +195,89 @@ def adamic_adar_candidates(
         )
         .filter(F.col("common") >= min_common)
     )
+
+
+def simrank(
+    edges: DataFrame, iters: int = 2, c_num: int = 4, c_den: int = 5
+) -> DataFrame:
+    """SimRank (Jeh & Widom 2002) over a directed edge set, quantized
+    per iteration: (a, b, s_e9) for a < b with s > 0 —
+
+      s_0 = 1e9·I;  s_k(a,b) = C · Σ_{i∈I(a), j∈I(b)} s_{k-1}(i,j)
+                                   / (|I(a)|·|I(b)|)
+
+    with C = c_num/c_den (default 4/5) applied as one exact integer
+    floor-division per pair per iteration, so both engines carry
+    identical integers through all rounds (the markov_stationary
+    discipline).  "Two entities are similar when their in-neighbors
+    are similar" — the recursive strengthening of adamic_adar's one-hop
+    overlap, the structural-equivalence signal for KG entity matching
+    when labels disagree.
+
+    Scale shape: the pair space is SimRank's notorious cost — this
+    implementation stays SPARSE (pairs with s > 0 only, which
+    in-neighbor locality bounds) and is meant for a bounded entity
+    universe (a candidate block, a fused component's neighborhood),
+    exactly where ER needs it; each iteration is two in-edge joins +
+    one pair-key aggregate, localCheckpoint per round."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    inn = e.select(
+        F.col("dst").alias("node"), F.col("src").alias("i")
+    ).persist()
+    cnt = inn.groupBy("node").agg(F.count("*").cast("long").alias("n"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = nodes.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(1000000000).cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            inn.select(F.col("node").alias("na"), F.col("i").alias("ia"))
+            .join(s, F.col("ia") == F.col("a"))
+            .join(
+                inn.select(
+                    F.col("node").alias("nb"), F.col("i").alias("jb")
+                ),
+                F.col("b") == F.col("jb"),
+            )
+            .groupBy("na", "nb")
+            .agg(F.sum("s").cast("long").alias("ss"))
+        )
+        off = (
+            contrib.filter(F.col("na") != F.col("nb"))
+            .join(cnt.select(F.col("node").alias("na"),
+                             F.col("n").alias("ca")), "na")
+            .join(cnt.select(F.col("node").alias("nb"),
+                             F.col("n").alias("cb")), "nb")
+            .select(
+                F.col("na").alias("a"),
+                F.col("nb").alias("b"),
+                F.expr(
+                    f"CAST(({c_num} * ss) div ({c_den} * ca * cb)"
+                    " AS BIGINT)"
+                ).alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+        s = (
+            nodes.select(
+                F.col("node").alias("a"),
+                F.col("node").alias("b"),
+                F.lit(1000000000).cast("long").alias("s"),
+            )
+            .unionByName(off)
+            .localCheckpoint(eager=True)
+        )
+    inn.unpersist()
+    return s.filter((F.col("a") < F.col("b")) & (F.col("s") > 0)).select(
+        "a", "b", F.col("s").alias("s_e9")
+    )

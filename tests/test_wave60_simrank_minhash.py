@@ -1,0 +1,78 @@
+"""Round-5 wave 60: SimRank + mergeable minhash (hand-traced)."""
+
+from __future__ import annotations
+
+
+def test_simrank_univ_prof_student(spark):
+    """The Jeh-Widom worked example: profs similar via the shared
+    university at iter 1 (0.8), students inherit it at iter 2 (0.64)."""
+    from reden_spark.operators.linkpred import simrank
+
+    edges = spark.createDataFrame(
+        [("univ", "profA"), ("univ", "profB"),
+         ("profA", "stuA"), ("profB", "stuB")],
+        "src string, dst string",
+    )
+    got = {(r.a, r.b): r.s_e9 for r in simrank(edges, iters=2).collect()}
+    assert got == {
+        ("profA", "profB"): 800000000,
+        ("stuA", "stuB"): 640000000,
+    }
+
+
+def test_simrank_one_iter_has_no_student_pair(spark):
+    from reden_spark.operators.linkpred import simrank
+
+    edges = spark.createDataFrame(
+        [("univ", "profA"), ("univ", "profB"),
+         ("profA", "stuA"), ("profB", "stuB")],
+        "src string, dst string",
+    )
+    got = {(r.a, r.b): r.s_e9 for r in simrank(edges, iters=1).collect()}
+    assert got == {("profA", "profB"): 800000000}
+
+
+def test_simrank_no_shared_inneighbors(spark):
+    from reden_spark.operators.linkpred import simrank
+
+    edges = spark.createDataFrame(
+        [("x", "a"), ("y", "b")], "src string, dst string"
+    )
+    assert simrank(edges, iters=2).count() == 0
+
+
+def test_minhash_merge_equals_whole_signature(spark):
+    """The disjoint-union property: merging per-shard sketches equals
+    sketching the whole token set."""
+    from reden_spark.operators.dedup import (
+        minhash_merge,
+        minhash_signatures,
+        sharded_minhash_signatures,
+        token_set,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge window sort batch stream"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "one token"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = token_set(docs)
+    whole = {r.id: tuple(r)[1:] for r in minhash_signatures(toks).collect()}
+    merged = {
+        r.id: tuple(r)[1:]
+        for r in minhash_merge(
+            sharded_minhash_signatures(toks, n_shards=2)
+        ).collect()
+    }
+    assert merged == whole
+    # also invariant to the shard count
+    merged3 = {
+        r.id: tuple(r)[1:]
+        for r in minhash_merge(
+            sharded_minhash_signatures(toks, n_shards=3)
+        ).collect()
+    }
+    assert merged3 == whole
