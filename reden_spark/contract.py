@@ -21877,3 +21877,113 @@ def q_minhash_merge(spark, sf_dir):
 
     toks = token_set(_read(spark, sf_dir, "documents"))
     return minhash_merge(sharded_minhash_signatures(toks, n_shards=2))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 61: multilevel coarsening + greedy max-coverage planning.
+
+
+@query(
+    "coarsen_graph",
+    f"""
+    WITH base AS ({_KCORE_EDGES_SQL}),
+    we AS (SELECT src, dst, CAST(1 + (src + dst) % 7 AS BIGINT) AS w
+           FROM base),
+    e AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM we WHERE src <> dst GROUP BY 1, 2),
+    sym AS (SELECT a, b, w FROM e
+            UNION ALL SELECT b, a, w FROM e),
+    best AS MATERIALIZED (
+      SELECT a AS node, b AS pick FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY w DESC, b ASC) AS rn
+        FROM sym) z WHERE rn = 1),
+    matched AS (
+      SELECT DISTINCT least(x.node, x.pick) AS u,
+             greatest(x.node, x.pick) AS v
+      FROM best x JOIN best y ON x.pick = y.node AND y.pick = x.node),
+    cmap AS (SELECT v AS node, u AS super FROM matched),
+    con AS (
+      SELECT least(coalesce(ma.super, e.a), coalesce(mb.super, e.b))
+               AS csrc,
+             greatest(coalesce(ma.super, e.a), coalesce(mb.super, e.b))
+               AS cdst,
+             e.w
+      FROM e
+      LEFT JOIN cmap ma ON ma.node = e.a
+      LEFT JOIN cmap mb ON mb.node = e.b)
+    SELECT CAST(csrc AS BIGINT) AS csrc, CAST(cdst AS BIGINT) AS cdst,
+           CAST(sum(w) AS BIGINT) AS w_sum,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM con WHERE csrc <> cdst GROUP BY 1, 2
+    """,
+)
+def q_coarsen_graph(spark, sf_dir):
+    """Multilevel coarsening round (operators/communities.
+    coarsen_graph): heavy-edge locally-dominant matching + contraction
+    over the weighted kcore fixture graph — parallel edges merged with
+    summed weights, the METIS pyramid step."""
+    from reden_spark.operators.communities import coarsen_graph
+
+    we = _kcore_edges(spark, sf_dir).select(
+        "src", "dst",
+        (1 + (F.col("src") + F.col("dst")) % 7).cast("long").alias("w"),
+    )
+    return coarsen_graph(we)
+
+
+@query(
+    "max_coverage_sources",
+    """
+    WITH m AS (
+      SELECT DISTINCT 's' || CAST(doc_id % 7 AS VARCHAR) AS source,
+             'd' || CAST(doc_id % 400 AS VARCHAR) AS doc_id
+      FROM documents),
+    g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM m GROUP BY 1),
+    s1 AS (SELECT source, n FROM g1 ORDER BY n DESC, source ASC LIMIT 1),
+    c1 AS (SELECT DISTINCT doc_id FROM m
+           WHERE source = (SELECT source FROM s1)),
+    g2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM m
+           WHERE source <> (SELECT source FROM s1)
+             AND doc_id NOT IN (SELECT doc_id FROM c1)
+           GROUP BY 1),
+    s2 AS (SELECT source, n FROM g2 ORDER BY n DESC, source ASC LIMIT 1),
+    c2 AS (SELECT doc_id FROM c1
+           UNION
+           SELECT doc_id FROM m WHERE source = (SELECT source FROM s2)),
+    g3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM m
+           WHERE source NOT IN (SELECT source FROM s1
+                                UNION SELECT source FROM s2)
+             AND doc_id NOT IN (SELECT doc_id FROM c2)
+           GROUP BY 1),
+    s3 AS (SELECT source, n FROM g3 ORDER BY n DESC, source ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS sel_rank, source,
+           CAST(n AS BIGINT) AS n_new,
+           CAST(n AS BIGINT) AS n_covered
+    FROM s1
+    UNION ALL
+    SELECT 2, source, CAST(n AS BIGINT),
+           CAST((SELECT n FROM s1) + n AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, source, CAST(n AS BIGINT),
+           CAST((SELECT n FROM s1) + (SELECT n FROM s2) + n AS BIGINT)
+    FROM s3
+    """,
+)
+def q_max_coverage_sources(spark, sf_dir):
+    """Greedy max coverage (operators/corpus_prep.
+    max_coverage_sources): which 3 of the 7 synthetic sources buy the
+    most distinct documents — marginal-gain selection with the 1-1/e
+    guarantee, the data-acquisition plan."""
+    from reden_spark.operators.corpus_prep import max_coverage_sources
+
+    d = F.col("doc_id")
+    m = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("s"), (d % 7).cast("string")).alias("source"),
+        F.concat(F.lit("d"), (d % 400).cast("string")).alias("doc_id"),
+    )
+    return max_coverage_sources(m, k=3)

@@ -573,3 +573,89 @@ def densest_subgraph_rounds(edges: DataFrame, rounds: int = 6) -> DataFrame:
         .cast("long")
         .alias("density_e6"),
     )
+
+
+def coarsen_graph(edges: DataFrame) -> DataFrame:
+    """One multilevel coarsening round (the METIS phase-1 step) over a
+    weighted undirected edge list (src, dst, w): heavy-edge matching
+    by the locally-dominant rule, then contraction —
+    (csrc, cdst, w_sum, n_edges) with csrc < cdst, self-loops dropped.
+
+    Matching: each node nominates its heaviest incident edge
+    ((w desc, neighbor asc) — a total order); an edge contracts iff
+    BOTH endpoints nominate it (Preis/Manne-Bisseling locally-dominant
+    rule, the same distributed-safe device as operators/matching.
+    greedy_matching, here on ONE shared node space).  Contracted pairs
+    collapse to their least id; survivors map to themselves; parallel
+    edges merge with summed weights.  Iterating the operator halves
+    the graph geometrically — the multilevel pyramid partitioners and
+    visual summarizers descend.
+
+    Scale shape: two per-endpoint window argmaxes on the sym exchange,
+    one reciprocal self-join, one contraction groupBy — all keyed, no
+    driver state."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    sym = e.select("a", "b", "w").unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    wbest = Window.partitionBy("a").orderBy(
+        F.col("w").desc(), F.col("b").asc()
+    )
+    best = (
+        sym.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a").alias("node"), F.col("b").alias("pick"))
+    )
+    matched = (
+        best.alias("x")
+        .join(
+            best.alias("y"),
+            (F.col("x.pick") == F.col("y.node"))
+            & (F.col("y.pick") == F.col("x.node")),
+        )
+        .select(
+            F.least(F.col("x.node"), F.col("x.pick")).alias("u"),
+            F.greatest(F.col("x.node"), F.col("x.pick")).alias("v"),
+        )
+        .distinct()
+    )
+    cmap = matched.select(
+        F.col("v").alias("node"), F.col("u").alias("super")
+    )
+    remap = lambda c: F.coalesce(F.col(f"{c}_super"), F.col(c))  # noqa: E731
+    contracted = (
+        e.join(
+            cmap.select(F.col("node").alias("a"),
+                        F.col("super").alias("a_super")),
+            "a",
+            "left",
+        )
+        .join(
+            cmap.select(F.col("node").alias("b"),
+                        F.col("super").alias("b_super")),
+            "b",
+            "left",
+        )
+        .select(
+            F.least(remap("a"), remap("b")).alias("csrc"),
+            F.greatest(remap("a"), remap("b")).alias("cdst"),
+            "w",
+        )
+        .filter(F.col("csrc") != F.col("cdst"))
+        .groupBy("csrc", "cdst")
+        .agg(
+            F.sum("w").cast("long").alias("w_sum"),
+            F.count("*").cast("long").alias("n_edges"),
+        )
+    )
+    return contracted

@@ -1535,3 +1535,59 @@ def ht_estimate(
         .cast("long")
         .alias("est_docs_e6"),
     )
+
+
+def max_coverage_sources(membership: DataFrame, k: int = 3) -> DataFrame:
+    """Greedy maximum coverage (the 1-1/e-approximate source-selection
+    plan) over (source, doc_id) membership rows →
+    (sel_rank, source, n_new, n_covered): k rounds, each picking the
+    source covering the most NOT-yet-covered documents (ties to the
+    lexicographically smaller source), with the running distinct-doc
+    total.
+
+    The data-acquisition question in its planning form: which k crawls
+    / feeds / dumps buy the most distinct documents?  Marginal gain —
+    not raw size — is the number that matters once sources overlap
+    (dup_inflation measures the overlap after the fact; this plans
+    around it before ingest).
+
+    Scale shape: each round is one anti-join against the covered set
+    (id-keyed) + one map-side-combinable per-source count; the covered
+    set persists and grows monotonically; only per-round scalars hit
+    the driver."""
+    m = membership.select("source", "doc_id").distinct().persist()
+    spark = membership.sparkSession
+    covered = None
+    picked: list = []
+    out = []
+    total = 0
+    for r in range(1, k + 1):
+        rem = m if covered is None else m.join(covered, "doc_id", "left_anti")
+        if picked:
+            rem = rem.filter(~F.col("source").isin(picked))
+        gains = rem.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_new")
+        )
+        # total-order argmax: (n_new desc, source asc) via min over
+        # the struct of (-n_new, source)
+        pick = gains.agg(
+            F.min(
+                F.struct((-F.col("n_new")).alias("nn"),
+                         F.col("source").alias("s"))
+            ).alias("m")
+        ).collect()[0]["m"]
+        if pick is None:
+            break
+        src, n_new = pick["s"], -pick["nn"]
+        total += n_new
+        out.append((r, src, n_new, total))
+        picked.append(src)
+        newdocs = m.filter(F.col("source") == src).select("doc_id")
+        covered = (
+            newdocs if covered is None
+            else covered.unionByName(newdocs).distinct()
+        ).localCheckpoint(eager=True)
+    m.unpersist()
+    return spark.createDataFrame(
+        out, "sel_rank long, source string, n_new long, n_covered long"
+    )

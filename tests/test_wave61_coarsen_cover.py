@@ -1,0 +1,80 @@
+"""Round-5 wave 61: graph coarsening + greedy max coverage."""
+
+from __future__ import annotations
+
+
+def test_coarsen_contracts_heavy_edges(spark):
+    """Path 1-2-3-4 with weights 10, 1, 10: the two heavy edges are
+    locally dominant and contract; the light middle edge survives as
+    the single coarse edge between the two super-nodes."""
+    from reden_spark.operators.communities import coarsen_graph
+
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 1), (3, 4, 10)], "src long, dst long, w long"
+    )
+    got = coarsen_graph(e).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.csrc, r.cdst, r.w_sum, r.n_edges) == (1, 3, 1, 1)
+
+
+def test_coarsen_merges_parallel_edges(spark):
+    """Square 1-2, 3-4 matched; the two cross edges become parallel
+    and merge with summed weight."""
+    from reden_spark.operators.communities import coarsen_graph
+
+    e = spark.createDataFrame(
+        [(1, 2, 10), (3, 4, 10), (1, 3, 2), (2, 4, 3)],
+        "src long, dst long, w long",
+    )
+    got = coarsen_graph(e).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.csrc, r.cdst, r.w_sum, r.n_edges) == (1, 3, 5, 2)
+
+
+def test_coarsen_triangle_leaves_survivor(spark):
+    """Equal-weight triangle: nodes 1,2 nominate each other (smallest
+    neighbor wins ties); 3 nominates 1 unreciprocated and survives."""
+    from reden_spark.operators.communities import coarsen_graph
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5)], "src long, dst long, w long"
+    )
+    got = coarsen_graph(e).collect()
+    assert len(got) == 1
+    r = got[0]
+    # edges (1,3) and (2,3) both remap to (1,3): weight 10
+    assert (r.csrc, r.cdst, r.w_sum, r.n_edges) == (1, 3, 10, 2)
+
+
+def test_max_coverage_prefers_marginal_gain(spark):
+    """s1 has 4 docs; s2 has 3 docs but only 1 outside s1; s3 has 2
+    fresh docs -> greedy picks s1 then s3 then s2."""
+    from reden_spark.operators.corpus_prep import max_coverage_sources
+
+    rows = (
+        [("s1", f"d{i}") for i in range(4)]
+        + [("s2", "d0"), ("s2", "d1"), ("s2", "d9")]
+        + [("s3", "d7"), ("s3", "d8")]
+    )
+    m = spark.createDataFrame(rows, "source string, doc_id string")
+    got = [
+        (r.sel_rank, r.source, r.n_new, r.n_covered)
+        for r in sorted(max_coverage_sources(m, k=3).collect(),
+                        key=lambda r: r.sel_rank)
+    ]
+    assert got == [(1, "s1", 4, 4), (2, "s3", 2, 6), (3, "s2", 1, 7)]
+
+
+def test_max_coverage_stops_when_exhausted(spark):
+    from reden_spark.operators.corpus_prep import max_coverage_sources
+
+    m = spark.createDataFrame(
+        [("a", "d1"), ("b", "d1")], "source string, doc_id string"
+    )
+    got = max_coverage_sources(m, k=3).collect()
+    # round 1 covers everything; round 2 has no source with gain > 0
+    # but 'b' still exists with 0 remaining rows -> exhausted pool
+    assert [r.sel_rank for r in sorted(got, key=lambda r: r.sel_rank)][0] == 1
+    assert max(r.n_covered for r in got) == 1
