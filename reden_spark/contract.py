@@ -21987,3 +21987,96 @@ def q_max_coverage_sources(spark, sf_dir):
         F.concat(F.lit("d"), (d % 400).cast("string")).alias("doc_id"),
     )
     return max_coverage_sources(m, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 62: spectral bisection + Count-Min sizing table.
+
+
+def _fiedler_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled integer power iteration on (cI - L) with per-round
+    mean deflation and max-abs rescale; all divisions positive-shifted
+    so truncation is floor in both engines."""
+    parts = [
+        f"""WITH base AS ({_KCORE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM base WHERE src <> dst
+        UNION ALL SELECT dst, src FROM base WHERE src <> dst)),
+    deg AS MATERIALIZED (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM sym GROUP BY 1),
+    st AS (SELECT CAST(max(deg) + 1 AS BIGINT) AS c,
+                  CAST(count(*) AS BIGINT) AS n FROM deg),
+    x0 AS MATERIALIZED (
+      SELECT node, deg,
+             CAST((node * 2654435761) % 2000001 - 1000000 AS BIGINT) AS v
+      FROM deg)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    y{r} AS MATERIALIZED (
+      SELECT x.node, x.deg,
+             CAST(((SELECT c FROM st) - x.deg) * x.v + ct.s
+                  AS BIGINT) AS y
+      FROM x{p} x JOIN (
+        SELECT e.src AS node, CAST(sum(xx.v) AS BIGINT) AS s
+        FROM sym e JOIN x{p} xx ON xx.node = e.dst
+        GROUP BY 1) ct USING (node)),
+    m{r} AS (
+      SELECT (sum(y) + (SELECT n FROM st) * (SELECT c FROM st)
+              * 1000000) // (SELECT n FROM st)
+             - (SELECT c FROM st) * 1000000 AS m
+      FROM y{r}),
+    yp{r} AS MATERIALIZED (
+      SELECT node, deg, y - (SELECT m FROM m{r}) AS yp FROM y{r}),
+    a{r} AS (SELECT max(abs(yp)) AS amax FROM yp{r}),
+    x{r} AS MATERIALIZED (
+      SELECT node, deg,
+             CAST(((yp + (SELECT amax FROM a{r})) * 1000000)
+                  // (SELECT amax FROM a{r}) - 1000000 AS BIGINT) AS v
+      FROM yp{r})""")
+    parts.append(f"""
+    SELECT node, v AS x_e6, v >= 0 AS side FROM x{rounds}""")
+    return "".join(parts)
+
+
+@query("fiedler_bisect", _fiedler_oracle_sql(12))
+def q_fiedler_bisect(spark, sf_dir):
+    """Spectral bisection (operators/communities.fiedler_bisect):
+    integer-quantized deflated power iteration on (cI - L) over the
+    kcore fixture graph — Fiedler signs as the two-way cut seed,
+    positive-shifted floor divisions for cross-engine exactness."""
+    from reden_spark.operators.communities import fiedler_bisect
+
+    return fiedler_bisect(_kcore_edges(spark, sf_dir), rounds=12)
+
+
+@query(
+    "cms_size_plan",
+    """
+    SELECT CAST(eps_e6 AS BIGINT) AS eps_e6,
+           CAST(delta_e9 AS BIGINT) AS delta_e9,
+           CAST(width AS BIGINT) AS width,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(cells AS BIGINT) AS cells,
+           CAST(bytes AS BIGINT) AS bytes,
+           CAST(kb AS BIGINT) AS kb
+    FROM (VALUES
+      (1000, 1000000, 2719, 7, 19033, 152264, 148),
+      (1000, 1000, 2719, 14, 38066, 304528, 297),
+      (100, 1000000, 27183, 7, 190281, 1522248, 1486),
+      (100, 1000, 27183, 14, 380562, 3044496, 2973),
+      (10, 1000000, 271829, 7, 1902803, 15222424, 14865),
+      (10, 1000, 271829, 14, 3805606, 30444848, 29731))
+      t(eps_e6, delta_e9, width, depth, cells, bytes, kb)
+    """,
+)
+def q_cms_size_plan(spark, sf_dir):
+    """Count-Min sizing table (operators/sketches.cms_size_plan):
+    width/depth/memory over the standard (eps, delta) grid — the
+    stream-sketch budget read before cms_heavy_hitters."""
+    from reden_spark.operators.sketches import cms_size_plan
+
+    return cms_size_plan(spark)

@@ -659,3 +659,96 @@ def coarsen_graph(edges: DataFrame) -> DataFrame:
         )
     )
     return contracted
+
+
+def fiedler_bisect(edges: DataFrame, rounds: int = 12) -> DataFrame:
+    """Spectral bisection (node, x_e6, side): the Fiedler vector of the
+    combinatorial Laplacian L = D − A by deflated power iteration on
+    (cI − L), c = max_degree + 1, re-quantized to integer micro-units
+    every round — signs split the graph into the two spectral halves
+    (the classic minimum-ish cut; the seed partition a Louvain/KL
+    refinement polishes).
+
+    All-integer determinism (the markov_stationary discipline, plus a
+    trick for negatives): each round computes
+    y = (c − deg)·x + Σ_neighbors x exactly, deflates the constant
+    eigenvector by subtracting the mean, and rescales to max|x| = 1e6.
+    Mean and rescale are FLOOR divisions; Spark's div truncates toward
+    zero, so both are evaluated with a positive shift —
+    (a + n·B) div n − B with B a bound making the numerator
+    nonnegative — under which truncation IS floor in both engines.
+    Exact for max_degree up to ~4.6e6 (BIGINT headroom), far beyond
+    any graph this should see un-coarsened.
+
+    Node ids must be nonnegative integers (the deterministic start
+    vector is a multiplicative hash of the id).
+
+    Scale shape: each round is one dst-keyed join + one src-keyed
+    aggregate + two scalar aggregates — the eigenvector_scores
+    exchange pattern with integer state; localCheckpoint every third
+    round."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).persist()
+    stats = deg.agg(
+        F.max("deg").alias("maxd"), F.count("*").alias("n")
+    ).collect()[0]
+    c, n = int(stats["maxd"]) + 1, int(stats["n"])
+    big = c * 1000000
+    x = deg.select(
+        "node",
+        "deg",
+        (
+            (F.col("node") * F.lit(2654435761)) % 2000001 - 1000000
+        ).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    for r in range(rounds):
+        contrib = (
+            und.join(
+                x.select(F.col("node").alias("dst"), F.col("v").alias("nv")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("nv").cast("long").alias("s"))
+        )
+        y = x.join(contrib, "node").select(
+            "node",
+            "deg",
+            ((F.lit(c) - F.col("deg")) * F.col("v") + F.col("s")).alias("y"),
+        )
+        agg = y.agg(
+            F.sum("y").alias("sy"), F.count("*").alias("cnt")
+        ).collect()[0]
+        m = (int(agg["sy"]) + n * big) // n - big
+        yp = y.select(
+            "node", "deg", (F.col("y") - F.lit(m)).alias("yp")
+        )
+        amax = yp.agg(F.max(F.abs(F.col("yp")))).collect()[0][0]
+        if not amax:
+            x = yp.select("node", "deg", F.lit(0).cast("long").alias("v"))
+            break
+        x = yp.select(
+            "node",
+            "deg",
+            F.expr(
+                f"CAST(((yp + {int(amax)}) * CAST(1000000 AS BIGINT))"
+                f" div {int(amax)} - 1000000 AS BIGINT)"
+            ).alias("v"),
+        )
+        if (r + 1) % 3 == 0 or r == rounds - 1:
+            x = x.localCheckpoint(eager=True)
+    und.unpersist()
+    return x.select(
+        "node",
+        F.col("v").cast("long").alias("x_e6"),
+        (F.col("v") >= 0).alias("side"),
+    )

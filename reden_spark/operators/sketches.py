@@ -285,3 +285,31 @@ def hll_overlap(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
             ).cast("long"),
         ).alias("est_overlap_e6"),
     )
+
+
+def cms_size_plan(spark) -> "DataFrame":
+    """(eps_e6, delta_e9, width, depth, cells, bytes, kb): Count-Min
+    sizing over the standard (eps, delta) grid — width = ceil(e/eps),
+    depth = ceil(ln(1/delta)), 8-byte counters (Cormode-Muthukrishnan
+    2005).  The build-or-don't read before cms_heavy_hitters at fleet
+    scale: a 1e-4/1e-6 sketch is ~3 MB per key-space per executor,
+    independent of stream length — which is exactly why it beats exact
+    counting at 10^12 events.  Same planning-table family as
+    bloom_size_plan / minhash_param_plan; constants are evaluated
+    driver-side (one pass of math.ceil/log), the table is literal."""
+    import math
+
+    rows = []
+    for eps_e6 in (1000, 100, 10):
+        for delta_e9 in (1000000, 1000):
+            eps, delta = eps_e6 / 1e6, delta_e9 / 1e9
+            w = math.ceil(math.e / eps)
+            d = math.ceil(math.log(1 / delta))
+            cells = w * d
+            b = cells * 8
+            rows.append((eps_e6, delta_e9, w, d, cells, b, b // 1024))
+    return spark.createDataFrame(
+        rows,
+        "eps_e6 long, delta_e9 long, width long, depth long,"
+        " cells long, bytes long, kb long",
+    )

@@ -1,0 +1,53 @@
+"""Round-5 wave 62: spectral bisection + CMS sizing."""
+
+from __future__ import annotations
+
+
+def test_fiedler_splits_two_triangles(spark):
+    """Two triangles joined by one bridge: the spectral halves are the
+    triangles."""
+    from reden_spark.operators.communities import fiedler_bisect
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    got = {r.node: r.side for r in fiedler_bisect(edges, rounds=16).collect()}
+    left = {n for n, s in got.items() if s}
+    assert left in ({0, 1, 2}, {3, 4, 5})
+
+
+def test_fiedler_splits_path(spark):
+    """Path 0-1-2-3: the Fiedler cut is the middle edge."""
+    from reden_spark.operators.communities import fiedler_bisect
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {r.node: r.side for r in fiedler_bisect(edges, rounds=20).collect()}
+    left = {n for n, s in got.items() if s}
+    assert left in ({0, 1}, {2, 3})
+
+
+def test_fiedler_scores_bounded_and_integer(spark):
+    from reden_spark.operators.communities import fiedler_bisect
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+    )
+    got = fiedler_bisect(edges, rounds=12).collect()
+    assert all(-1000000 <= r.x_e6 <= 1000000 for r in got)
+    assert max(abs(r.x_e6) for r in got) == 1000000  # rescaled each round
+
+
+def test_cms_size_plan_formulas(spark):
+    import math
+
+    from reden_spark.operators.sketches import cms_size_plan
+
+    got = {(r.eps_e6, r.delta_e9): r for r in cms_size_plan(spark).collect()}
+    assert len(got) == 6
+    r = got[(100, 1000)]
+    assert r.width == math.ceil(math.e / 1e-4) == 27183
+    assert r.depth == math.ceil(math.log(1e6)) == 14
+    assert r.bytes == r.width * r.depth * 8
