@@ -22080,3 +22080,115 @@ def q_cms_size_plan(spark, sf_dir):
     from reden_spark.operators.sketches import cms_size_plan
 
     return cms_size_plan(spark)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 63: label alignment + exact source Shapley valuation.
+
+
+@query(
+    "label_align",
+    """
+    WITH lt AS (
+      SELECT 'L' || CAST(p_partkey AS VARCHAR) AS id_a,
+             p_name AS label_l,
+             substring(lower(p_name), 1, 2) AS blk
+      FROM part),
+    rt AS (
+      SELECT 'R' || CAST(p_partkey + 100000 AS VARCHAR) AS id_b,
+             substring(p_name, 1, length(p_name) - 2) AS label_r,
+             substring(lower(p_name), 1, 2) AS blk
+      FROM part WHERE p_partkey % 2 = 0),
+    scored AS MATERIALIZED (
+      SELECT lt.id_a, rt.id_b, lt.label_l, rt.label_r,
+             CAST(round(jaro_winkler_similarity(lt.label_l, rt.label_r)
+                  * 1e6) AS BIGINT) AS sim_e6
+      FROM lt JOIN rt USING (blk)
+      WHERE CAST(round(jaro_winkler_similarity(lt.label_l, rt.label_r)
+                 * 1e6) AS BIGINT) >= 850000),
+    sym AS (SELECT id_a, id_b, sim_e6 FROM scored
+            UNION ALL
+            SELECT id_b, id_a, sim_e6 FROM scored),
+    best AS (
+      SELECT id_a, id_b, sim_e6 FROM (
+        SELECT id_a, id_b, sim_e6,
+               row_number() OVER (PARTITION BY id_a
+                 ORDER BY sim_e6 DESC, id_b ASC) AS rn
+        FROM sym) z WHERE rn = 1),
+    fwd AS (SELECT * FROM best WHERE id_a < id_b),
+    rev AS (SELECT id_b AS id_a, id_a AS id_b FROM best
+            WHERE id_a > id_b),
+    rb AS (SELECT fwd.id_a, fwd.id_b, fwd.sim_e6
+           FROM fwd JOIN rev USING (id_a, id_b))
+    SELECT substring(rb.id_a, 2) AS lid, substring(rb.id_b, 2) AS rid,
+           s.label_l, s.label_r, rb.sim_e6 AS jw_e6
+    FROM rb JOIN scored s
+      ON s.id_a = rb.id_a AND s.id_b = rb.id_b AND s.sim_e6 = rb.sim_e6
+    """,
+)
+def q_label_align(spark, sf_dir):
+    """Cross-namespace label alignment (operators/blocking.
+    label_align): part names vs their 2-char-truncated variants —
+    prefix blocking, Arrow JW kernel, reciprocal-best-hit at 0.85;
+    the ontology/authority reconciliation primitive."""
+    from reden_spark.operators.blocking import label_align
+
+    part = _read(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("label")
+    )
+    right = part.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") + 100000).alias("rid"),
+        F.expr("substring(p_name, 1, length(p_name) - 2)").alias("label"),
+    )
+    return label_align(left, right)
+
+
+@query(
+    "source_shapley",
+    """
+    WITH mm AS (
+      SELECT 'd' || CAST(doc_id % 250 AS VARCHAR) AS doc,
+             max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS fa,
+             max(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS fb,
+             max(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS fc
+      FROM documents GROUP BY 1),
+    v AS (
+      SELECT
+        CAST(sum(CASE WHEN fa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+        CAST(sum(CASE WHEN fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+        CAST(sum(CASE WHEN fc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vc,
+        CAST(sum(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS vab,
+        CAST(sum(CASE WHEN fa = 1 OR fc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS vac,
+        CAST(sum(CASE WHEN fb = 1 OR fc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS vbc,
+        CAST(sum(CASE WHEN fa = 1 OR fb = 1 OR fc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS vabc
+      FROM mm)
+    SELECT 's0' AS source, va AS v_solo, vabc AS v_all,
+           CAST(2 * va + (vab - vb) + (vac - vc) + 2 * (vabc - vbc)
+                AS BIGINT) AS shapley_x6 FROM v
+    UNION ALL
+    SELECT 's1', vb, vabc,
+           CAST(2 * vb + (vab - va) + (vbc - vc) + 2 * (vabc - vac)
+                AS BIGINT) FROM v
+    UNION ALL
+    SELECT 's2', vc, vabc,
+           CAST(2 * vc + (vac - va) + (vbc - vb) + 2 * (vabc - vab)
+                AS BIGINT) FROM v
+    """,
+)
+def q_source_shapley(spark, sf_dir):
+    """Exact 3-source Shapley valuation (operators/corpus_prep.
+    source_shapley) under the doc-coverage game — each source's fair
+    credit with overlaps priced in, six-ordering exact integers."""
+    from reden_spark.operators.corpus_prep import source_shapley
+
+    d = F.col("doc_id")
+    m = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("s"), (d % 3).cast("string")).alias("source"),
+        F.concat(F.lit("d"), (d % 250).cast("string")).alias("doc_id"),
+    )
+    return source_shapley(m)

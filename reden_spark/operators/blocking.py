@@ -544,3 +544,59 @@ def rare_token_blocking(
         F.count("*").cast("long").alias("block_n")
     )
     return best.join(sizes, "canopy").select("id", "canopy", "df", "block_n")
+
+
+def label_align(
+    left: DataFrame,
+    right: DataFrame,
+    block_prefix: int = 2,
+    min_jw_e6: int = 850000,
+) -> DataFrame:
+    """Cross-namespace label alignment: (lid, rid, label_l, label_r,
+    jw_e6) — reciprocal-best Jaro-Winkler matches between two label
+    tables (lid, label) / (rid, label), blocked on the lowercased
+    label prefix.
+
+    The ontology-alignment / authority-reconciliation primitive: two
+    vocabularies name the same things with near-identical surface
+    forms (BnF vs IdRef author labels, two product catalogs); prefix
+    blocking bounds the pair space, the Arrow JW kernel
+    (functions/strings) scores what survives, and the
+    reciprocal-best-hit rule (reciprocal_best_pairs, on L/R-prefixed
+    ids so the two namespaces cannot collide) keeps only pairs where
+    each side is the other's best candidate at or above the
+    threshold — precision-first, no 1:N fan-out.
+
+    Scale shape: one blocked join (prefix key), a pure-map kernel, two
+    endpoint windows — the er_scores exchange pattern with a
+    string-similarity kernel swapped in."""
+    from reden_spark.functions.strings import jaro_winkler_e6
+
+    lb = left.select(
+        F.concat(F.lit("L"), F.col("lid").cast("string")).alias("id_a"),
+        F.col("label").alias("label_l"),
+        F.substring(F.lower("label"), 1, block_prefix).alias("blk"),
+    )
+    rb = right.select(
+        F.concat(F.lit("R"), F.col("rid").cast("string")).alias("id_b"),
+        F.col("label").alias("label_r"),
+        F.substring(F.lower("label"), 1, block_prefix).alias("blk"),
+    )
+    scored = (
+        lb.join(rb, "blk")
+        .withColumn("sim_e6", jaro_winkler_e6("label_l", "label_r"))
+        .filter(F.col("sim_e6") >= min_jw_e6)
+        .select("id_a", "id_b", "sim_e6", "label_l", "label_r")
+        .persist()
+    )
+    best = reciprocal_best_pairs(scored.select("id_a", "id_b", "sim_e6"))
+    return (
+        best.join(scored, ["id_a", "id_b", "sim_e6"])
+        .select(
+            F.expr("substring(id_a, 2)").alias("lid"),
+            F.expr("substring(id_b, 2)").alias("rid"),
+            "label_l",
+            "label_r",
+            F.col("sim_e6").alias("jw_e6"),
+        )
+    )

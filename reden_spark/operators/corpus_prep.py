@@ -1591,3 +1591,58 @@ def max_coverage_sources(membership: DataFrame, k: int = 3) -> DataFrame:
     return spark.createDataFrame(
         out, "sel_rank long, source string, n_new long, n_covered long"
     )
+
+
+def source_shapley(membership: DataFrame) -> DataFrame:
+    """Exact Shapley data valuation of THREE sources under the
+    coverage game v(S) = |distinct docs covered by S| →
+    (source, v_solo, v_all, shapley_x6), with shapley_x6 six times
+    the Shapley value (all six orderings' marginal contributions,
+    exact integers — no sampling at k = 3).
+
+    The fair-division answer to max_coverage_sources' greedy plan:
+    greedy says WHICH sources to buy, Shapley says what each one is
+    WORTH once overlaps are priced in — the principled per-source
+    credit for licensing/retention decisions (Ghorbani & Zou 2019's
+    data-Shapley, at source granularity where it is exactly
+    computable).
+
+    Scale shape: one doc-keyed flag rollup + one 8-row combo count;
+    only the 8 combo scalars reach the driver, where the 2^3 subset
+    algebra runs."""
+    srcs = sorted(
+        r[0] for r in membership.select("source").distinct().collect()
+    )
+    if len(srcs) != 3:
+        raise ValueError(f"source_shapley needs exactly 3 sources, got {srcs}")
+    a, b, c = srcs
+    flags = membership.groupBy("doc_id").agg(
+        F.max((F.col("source") == a).cast("int")).alias("fa"),
+        F.max((F.col("source") == b).cast("int")).alias("fb"),
+        F.max((F.col("source") == c).cast("int")).alias("fc"),
+    )
+    combos = {
+        (r.fa, r.fb, r.fc): r.n
+        for r in flags.groupBy("fa", "fb", "fc")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    def v(*members):
+        sel = [(a, 0), (b, 1), (c, 2)]
+        idx = [i for s, i in sel if s in members]
+        return sum(
+            n for combo, n in combos.items() if any(combo[i] for i in idx)
+        )
+
+    va, vb, vc = v(a), v(b), v(c)
+    vab, vac, vbc = v(a, b), v(a, c), v(b, c)
+    vabc = v(a, b, c)
+    rows = [
+        (a, va, vabc, 2 * va + (vab - vb) + (vac - vc) + 2 * (vabc - vbc)),
+        (b, vb, vabc, 2 * vb + (vab - va) + (vbc - vc) + 2 * (vabc - vac)),
+        (c, vc, vabc, 2 * vc + (vac - va) + (vbc - vb) + 2 * (vabc - vab)),
+    ]
+    return membership.sparkSession.createDataFrame(
+        rows, "source string, v_solo long, v_all long, shapley_x6 long"
+    )

@@ -1,0 +1,54 @@
+"""Round-5 wave 63: label alignment + source Shapley."""
+
+from __future__ import annotations
+
+
+def test_label_align_reciprocal_best(spark):
+    from reden_spark.operators.blocking import label_align
+
+    left = spark.createDataFrame(
+        [(1, "johnson controls"), (2, "johnson brakes"), (3, "zzz unrelated")],
+        "lid long, label string",
+    )
+    right = spark.createDataFrame(
+        [(10, "johnson contro"), (11, "johnson plumbing")],
+        "rid long, label string",
+    )
+    got = {(r.lid, r.rid): r for r in label_align(left, right).collect()}
+    # 1<->10 is reciprocal best; 2's best (10) is taken by a better
+    # suitor, and 11 pairs with nothing reciprocally above threshold
+    assert (("1", "10") in got) and len(got) <= 2
+    assert got[("1", "10")].jw_e6 >= 950000
+
+
+def test_label_align_threshold_gates(spark):
+    from reden_spark.operators.blocking import label_align
+
+    left = spark.createDataFrame([(1, "abcdef")], "lid long, label string")
+    right = spark.createDataFrame([(9, "abzzzz")], "rid long, label string")
+    assert label_align(left, right, min_jw_e6=900000).count() == 0
+
+
+def test_source_shapley_hand_traced(spark):
+    """A={d1,d2}, B={d2,d3}, C={d3} -> shapley_x6 = (9, 6, 3); the
+    three values sum to 6 * v(all) (efficiency axiom)."""
+    from reden_spark.operators.corpus_prep import source_shapley
+
+    rows = [("A", "d1"), ("A", "d2"), ("B", "d2"), ("B", "d3"), ("C", "d3")]
+    m = spark.createDataFrame(rows, "source string, doc_id string")
+    got = {r.source: r for r in source_shapley(m).collect()}
+    assert {s: got[s].shapley_x6 for s in "ABC"} == {"A": 9, "B": 6, "C": 3}
+    assert sum(r.shapley_x6 for r in got.values()) == 6 * got["A"].v_all
+    assert got["A"].v_solo == 2 and got["C"].v_solo == 1
+
+
+def test_source_shapley_requires_three(spark):
+    import pytest
+
+    from reden_spark.operators.corpus_prep import source_shapley
+
+    m = spark.createDataFrame(
+        [("A", "d1"), ("B", "d2")], "source string, doc_id string"
+    )
+    with pytest.raises(ValueError):
+        source_shapley(m)
