@@ -22192,3 +22192,128 @@ def q_source_shapley(spark, sf_dir):
         F.concat(F.lit("d"), (d % 250).cast("string")).alias("doc_id"),
     )
     return source_shapley(m)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 64: TextTiling segmentation + Burrows' Delta stylometry.
+
+
+@query(
+    "text_tiling",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(lower(text), ' '), 1) - 1
+               AS pos,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tk AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+    bc AS (SELECT doc_id, CAST(pos // 10 AS BIGINT) AS blk, tok,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2, 3),
+    nb AS (SELECT doc_id, max(blk) + 1 AS nb FROM bc GROUP BY 1),
+    lft AS (SELECT doc_id, blk + 1 AS gap, tok, c AS ca FROM bc),
+    rgt AS (SELECT doc_id, blk AS gap, tok, c AS cb FROM bc),
+    merged AS (
+      SELECT m.doc_id, m.gap,
+             coalesce(m.ca, 0) AS ca, coalesce(m.cb, 0) AS cb
+      FROM (SELECT coalesce(lft.doc_id, rgt.doc_id) AS doc_id,
+                   coalesce(lft.gap, rgt.gap) AS gap,
+                   lft.ca, rgt.cb
+            FROM lft FULL OUTER JOIN rgt
+              ON lft.doc_id = rgt.doc_id AND lft.gap = rgt.gap
+             AND lft.tok = rgt.tok) m
+      JOIN nb ON nb.doc_id = m.doc_id
+      WHERE m.gap >= 1 AND m.gap <= nb.nb - 1),
+    sims AS (
+      SELECT doc_id, gap,
+             CAST(sum(least(ca, cb)) * 1000000
+                  // sum(greatest(ca, cb)) AS BIGINT) AS sim_e6
+      FROM merged GROUP BY 1, 2),
+    wv AS (
+      SELECT doc_id, gap, sim_e6,
+             lag(sim_e6) OVER (PARTITION BY doc_id ORDER BY gap) AS prev,
+             lead(sim_e6) OVER (PARTITION BY doc_id ORDER BY gap) AS nxt,
+             count(*) OVER (PARTITION BY doc_id) AS n_gaps,
+             sum(sim_e6) OVER (PARTITION BY doc_id) AS sum_sims
+      FROM sims)
+    SELECT doc_id, gap, sim_e6,
+           (prev IS NOT NULL AND nxt IS NOT NULL
+            AND sim_e6 < prev AND sim_e6 < nxt
+            AND sim_e6 * n_gaps < sum_sims) AS is_boundary
+    FROM wv
+    """,
+)
+def q_text_tiling(spark, sf_dir):
+    """Simplified TextTiling (operators/quality.text_tiling): exact
+    multiset-overlap cohesion between adjacent 10-token blocks,
+    strict-local-min + below-mean boundaries — topic-aware cut hints
+    for chunk_plan."""
+    from reden_spark.operators.quality import text_tiling
+
+    return text_tiling(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "burrows_delta",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    top AS MATERIALIZED (
+      SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1)
+      ORDER BY n DESC, tok ASC LIMIT 20),
+    lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+             FROM tk GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM lens),
+    cnts AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk JOIN top USING (tok) GROUP BY 1, 2),
+    f AS MATERIALIZED (
+      SELECT lens.doc_id, top.tok,
+             CAST(coalesce(cnts.c, 0) * 1000000 // lens.len
+                  AS BIGINT) AS f_e6
+      FROM lens CROSS JOIN top
+      LEFT JOIN cnts ON cnts.doc_id = lens.doc_id
+                    AND cnts.tok = top.tok),
+    stats AS (
+      SELECT tok, CAST(sum(f_e6) // (SELECT nd FROM nd) AS BIGINT)
+               AS mean_e6
+      FROM f GROUP BY 1),
+    sdv AS (
+      SELECT f.tok,
+             CAST(sum((f.f_e6 - stats.mean_e6)
+                      * (f.f_e6 - stats.mean_e6)) AS BIGINT) AS ssq
+      FROM f JOIN stats USING (tok) GROUP BY 1),
+    sd AS (SELECT tok,
+                  sqrt(CAST(ssq AS DOUBLE) / ((SELECT nd FROM nd) - 1))
+                    AS sd
+           FROM sdv WHERE ssq > 0),
+    pairs AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id % 50 = 0),
+    terms AS (
+      SELECT p.a, p.b,
+             CAST(round(abs(fa.f_e6 - fb.f_e6) / sd.sd * 1e6)
+                  AS BIGINT) AS term_e6
+      FROM pairs p
+      JOIN f fa ON fa.doc_id = p.a
+      JOIN f fb ON fb.doc_id = p.b AND fb.tok = fa.tok
+      JOIN sd ON sd.tok = fa.tok)
+    SELECT a, b, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(term_e6) // count(*) AS BIGINT) AS delta_e6
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometry (operators/quality.burrows_delta):
+    mean |z| difference of the 20 most frequent words over adjacent
+    doc pairs — integer frequencies, one sqrt per word, per-term
+    micro-quantization; the same-hand provenance signal."""
+    from reden_spark.operators.quality import burrows_delta
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    return burrows_delta(docs, pairs)

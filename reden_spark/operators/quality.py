@@ -1018,3 +1018,201 @@ def homoglyph_idents(files: DataFrame, text_col: str = "content") -> DataFrame:
             "mixed_script", F.col("ident").rlike("[A-Za-z]")
         )
     )
+
+
+def text_tiling(
+    docs: DataFrame,
+    block: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Simplified TextTiling (Hearst 1997) topic segmentation:
+    (doc_id, gap, sim_e6, is_boundary) — one row per gap between
+    consecutive ``block``-token blocks.
+
+    Gap cohesion is the exact multiset overlap of the two adjacent
+    blocks' token counts, Σ min(cA,cB) · 1e6 div Σ max(cA,cB) — the
+    integer-exact stand-in for Hearst's block cosine (identical
+    ranking behavior on count vectors, no sqrt anywhere).  A gap is a
+    boundary when it is a STRICT local minimum of the cohesion curve
+    (both neighbors higher; document edges never qualify) AND sits
+    below the document's mean cohesion (sim_e6 · n_gaps < Σ sims,
+    all-integer).  Documented simplification: Hearst's
+    nearest-local-maxima depth scoring is replaced by the local-min +
+    below-mean rule — same boundaries on clean topic shifts, one
+    window pass instead of a bidirectional scan.
+
+    Why a pipeline wants it: chunking for RAG/packing
+    (operators/corpus_prep.chunk_plan) cuts at fixed token counts;
+    topic boundaries cut where the TEXT changes subject — feeding
+    chunk_plan boundary hints instead of arbitrary offsets.
+
+    Scale shape: everything keys on doc_id (token explode, block
+    rollup, the adjacent-block full-outer join on (doc, gap, tok),
+    the lag/lead window) — one partitioning reused end to end."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    bc = toks.groupBy(
+        "doc_id",
+        F.expr(f"pos div {block}").cast("long").alias("blk"),
+        "tok",
+    ).agg(F.count("*").cast("long").alias("c"))
+    n_blocks = bc.groupBy("doc_id").agg(
+        (F.max("blk") + 1).alias("nb")
+    )
+    left = bc.select(
+        "doc_id", (F.col("blk") + 1).alias("gap"), "tok",
+        F.col("c").alias("ca"),
+    )
+    right = bc.select(
+        "doc_id", F.col("blk").alias("gap"), "tok", F.col("c").alias("cb")
+    )
+    merged = (
+        left.join(right, ["doc_id", "gap", "tok"], "full_outer")
+        .join(n_blocks, "doc_id")
+        .filter((F.col("gap") >= 1) & (F.col("gap") <= F.col("nb") - 1))
+        .select(
+            "doc_id",
+            "gap",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    sims = merged.groupBy("doc_id", "gap").agg(
+        F.expr(
+            "CAST(sum(least(ca, cb)) * CAST(1000000 AS BIGINT)"
+            " div sum(greatest(ca, cb)) AS BIGINT)"
+        ).alias("sim_e6")
+    )
+    w = Window.partitionBy("doc_id").orderBy("gap")
+    tot = Window.partitionBy("doc_id")
+    out = (
+        sims.withColumn("prev", F.lag("sim_e6").over(w))
+        .withColumn("nxt", F.lead("sim_e6").over(w))
+        .withColumn("n_gaps", F.count("*").over(tot))
+        .withColumn("sum_sims", F.sum("sim_e6").over(tot))
+    )
+    return out.select(
+        "doc_id",
+        "gap",
+        "sim_e6",
+        (
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("sim_e6") < F.col("prev"))
+            & (F.col("sim_e6") < F.col("nxt"))
+            & (F.col("sim_e6") * F.col("n_gaps") < F.col("sum_sims"))
+        ).alias("is_boundary"),
+    )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    pairs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) authorship distance over document
+    pairs: (a, b, n_words, delta_e6) — the mean absolute z-score
+    difference of the corpus's ``top_k`` most frequent words.
+
+    The stylometry signal a provenance pipeline wants: near-dup
+    detection catches COPIED text, Delta catches the same HAND —
+    ghostwritten spam farms, sockpuppet sources, license-laundered
+    rewrites — from function-word habits that survive paraphrase.
+
+    Determinism: per-doc relative frequencies are exact integers
+    (c · 1e6 div doc_len); per-word means are integer divisions and
+    squared deviations exact BIGINTs, so the per-word sd is one sqrt
+    of one exact ratio; each pair's per-word term
+    round(|fa − fb| / sd · 1e6) quantizes before the final integer
+    mean.  Words with zero variance are excluded (their z is
+    undefined), counted out of n_words.
+
+    Scale shape: one vocabulary rollup (top-k broadcast), one
+    (doc, word) count exchange, stats per word broadcast back, pair
+    scoring joins on the pair's two doc keys — |pairs|·k rows max."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(top_k)
+        .select("tok")
+    )
+    lens = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    n_docs = lens.count()
+    cnts = (
+        toks.join(F.broadcast(top), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    f = (
+        lens.crossJoin(F.broadcast(top))
+        .join(cnts, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                "CAST(coalesce(c, 0) * CAST(1000000 AS BIGINT) div len"
+                " AS BIGINT)"
+            ).alias("f_e6"),
+        )
+    )
+    stats = f.groupBy("tok").agg(
+        F.expr(
+            f"CAST(sum(f_e6) div {n_docs} AS BIGINT)"
+        ).alias("mean_e6"),
+        F.sum("f_e6").alias("sum_f"),
+        F.count("*").alias("nd"),
+    )
+    dev = f.join(stats, "tok").select(
+        "doc_id",
+        "tok",
+        "mean_e6",
+        ((F.col("f_e6") - F.col("mean_e6"))
+         * (F.col("f_e6") - F.col("mean_e6"))).alias("dev2"),
+        "f_e6",
+    )
+    sd = dev.groupBy("tok").agg(
+        F.sum("dev2").cast("long").alias("ssq")
+    ).filter(F.col("ssq") > 0).select(
+        "tok",
+        F.expr(
+            f"sqrt(CAST(ssq AS DOUBLE) / ({n_docs} - 1))"
+        ).alias("sd"),
+    )
+    fa = f.select(
+        F.col("doc_id").alias("a"), "tok", F.col("f_e6").alias("fa")
+    )
+    fb = f.select(
+        F.col("doc_id").alias("b"), "tok", F.col("f_e6").alias("fb")
+    )
+    terms = (
+        pairs.join(fa, "a")
+        .join(fb, ["b", "tok"])
+        .join(F.broadcast(sd), "tok")
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(round(abs(fa - fb) / sd * 1e6) AS BIGINT)"
+            ).alias("term_e6"),
+        )
+    )
+    return terms.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.expr(
+            "CAST(sum(term_e6) div count(*) AS BIGINT)"
+        ).alias("delta_e6"),
+    )

@@ -1,0 +1,73 @@
+"""Round-5 wave 64: TextTiling + Burrows' Delta."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_text_tiling_boundary_at_topic_shift(spark):
+    """Blocks [x10][x9 y1][y10][y10]: cohesion dips hard at gap 2 —
+    the only strict-local-min below the mean."""
+    from reden_spark.operators.quality import text_tiling
+
+    text = " ".join(["x"] * 19 + ["y"] * 21)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.gap: r for r in text_tiling(docs).collect()}
+    assert got[1].sim_e6 == 818181   # min 9 / max 11
+    assert got[2].sim_e6 == 52631    # min 1 / max 19
+    assert got[3].sim_e6 == 1000000  # identical blocks
+    assert [got[g].is_boundary for g in (1, 2, 3)] == [False, True, False]
+
+
+def test_text_tiling_short_doc_no_gaps(spark):
+    from reden_spark.operators.quality import text_tiling
+
+    docs = spark.createDataFrame(
+        [(1, "just a few tokens here")], "doc_id long, text string"
+    )
+    assert text_tiling(docs).count() == 0
+
+
+def test_burrows_delta_replicates_formula(spark):
+    """3 docs, 2 scored pairs: replicate the integer/sqrt pipeline in
+    python and compare; similar-habit docs score lower."""
+    from reden_spark.operators.quality import burrows_delta
+
+    texts = {
+        1: "the cat sat on the mat the end",
+        2: "the dog sat by the door the end",
+        3: "cat cat cat cat dog dog dog dog",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got = {(r.a, r.b): r for r in burrows_delta(docs, pairs, top_k=3).collect()}
+
+    # python replica
+    toks = {d: t.split() for d, t in texts.items()}
+    vocab: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            vocab[t] = vocab.get(t, 0) + 1
+    top = [t for t, _ in sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    f = {
+        (d, w): (ts.count(w) * 10**6) // len(ts)
+        for d, ts in toks.items()
+        for w in top
+    }
+    exp = {}
+    for a, b in [(1, 2), (1, 3)]:
+        terms = []
+        for w in top:
+            mean = sum(f[(d, w)] for d in toks) // 3
+            ssq = sum((f[(d, w)] - mean) ** 2 for d in toks)
+            if ssq == 0:
+                continue
+            sd = math.sqrt(ssq / 2)
+            terms.append(round(abs(f[(a, w)] - f[(b, w)]) / sd * 1e6))
+        exp[(a, b)] = (len(terms), sum(terms) // len(terms))
+    for k, (nw, d6) in exp.items():
+        assert (got[k].n_words, got[k].delta_e6) == (nw, d6)
+    # docs 1 and 2 share function-word habits; doc 3 does not
+    assert got[(1, 2)].delta_e6 < got[(1, 3)].delta_e6
