@@ -22317,3 +22317,140 @@ def q_burrows_delta(spark, sf_dir):
         F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
     )
     return burrows_delta(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 65: SPC main-path analysis + posting-list sizing.
+
+
+def _spc_oracle_sql(n_nodes: int = 9) -> str:
+    """Unrolled DP over node ids: the fixture DAG's edges always go
+    low id → high id, so ascending (resp. descending) id order IS a
+    topological order and each node's count closes in one CTE."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_orderkey % 9 AS BIGINT) AS src,
+             CAST(o_custkey % 9 AS BIGINT) AS dst
+      FROM orders
+      WHERE o_orderkey % 9 < o_custkey % 9),
+    vs AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+    ]
+    # forward counts, ascending ids
+    prev = None
+    for k in range(n_nodes):
+        cur = f"f{k}"
+        base = f"""
+    SELECT CAST({k} AS BIGINT) AS node,
+           CASE WHEN NOT EXISTS (SELECT 1 FROM e WHERE dst = {k})
+                THEN CAST(1 AS BIGINT)
+                ELSE (SELECT CAST(sum(p.np) AS BIGINT)
+                      FROM {prev} p JOIN e ON e.src = p.node
+                      WHERE e.dst = {k}) END AS np
+    FROM (VALUES (1)) t(x)
+    WHERE {k} IN (SELECT node FROM vs)"""
+        if prev is None:
+            base = f"""
+    SELECT CAST(0 AS BIGINT) AS node, CAST(1 AS BIGINT) AS np
+    FROM (VALUES (1)) t(x)
+    WHERE 0 IN (SELECT node FROM vs)
+      AND NOT EXISTS (SELECT 1 FROM e WHERE dst = 0)"""
+            parts.append(f",\n    {cur} AS MATERIALIZED ({base})")
+        else:
+            parts.append(
+                f",\n    {cur} AS MATERIALIZED ("
+                f"SELECT node, np FROM {prev} UNION ALL {base})"
+            )
+        prev = cur
+    fwd = prev
+    # backward counts, descending ids over reversed edges
+    prev = None
+    for j, k in enumerate(range(n_nodes - 1, -1, -1)):
+        cur = f"b{j}"
+        base = f"""
+    SELECT CAST({k} AS BIGINT) AS node,
+           CASE WHEN NOT EXISTS (SELECT 1 FROM e WHERE src = {k})
+                THEN CAST(1 AS BIGINT)
+                ELSE (SELECT CAST(sum(p.np) AS BIGINT)
+                      FROM {prev} p JOIN e ON e.dst = p.node
+                      WHERE e.src = {k}) END AS np
+    FROM (VALUES (1)) t(x)
+    WHERE {k} IN (SELECT node FROM vs)"""
+        if prev is None:
+            base = f"""
+    SELECT CAST({k} AS BIGINT) AS node, CAST(1 AS BIGINT) AS np
+    FROM (VALUES (1)) t(x)
+    WHERE {k} IN (SELECT node FROM vs)
+      AND NOT EXISTS (SELECT 1 FROM e WHERE src = {k})"""
+            parts.append(f",\n    {cur} AS MATERIALIZED ({base})")
+        else:
+            parts.append(
+                f",\n    {cur} AS MATERIALIZED ("
+                f"SELECT node, np FROM {prev} UNION ALL {base})"
+            )
+        prev = cur
+    bwd = prev
+    parts.append(f""",
+    spc AS (
+      SELECT e.src, e.dst, f.np AS np_src, b.np AS np_to_dst,
+             CAST(f.np * b.np AS BIGINT) AS spc
+      FROM e JOIN {fwd} f ON f.node = e.src
+             JOIN {bwd} b ON b.node = e.dst)
+    SELECT src, dst, np_src, np_to_dst, spc,
+           spc = (SELECT max(spc) FROM spc) AS is_max
+    FROM spc""")
+    return "".join(parts)
+
+
+@query("spc_main_path", _spc_oracle_sql(9))
+def q_spc_main_path(spark, sf_dir):
+    """SPC main-path analysis (operators/graphstats.spc_edge_weights):
+    exact source→sink traversal counts per edge of the 9-node order
+    DAG — forward x backward path-count DP by topological layer, the
+    busiest-backbone complement of critical_path."""
+    from reden_spark.operators.graphstats import spc_edge_weights
+
+    o = _read(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 9).cast("long").alias("src"),
+        (F.col("o_custkey") % 9).cast("long").alias("dst"),
+    ).filter(F.col("src") < F.col("dst"))
+    return spc_edge_weights(edges)
+
+
+@query(
+    "posting_list_plan",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id AS id, tok
+                  FROM ({_TOKENS_SQL}) WHERE tok <> ''),
+    gaps AS (
+      SELECT tok,
+             CASE WHEN lag(id) OVER (PARTITION BY tok ORDER BY id)
+                       IS NULL
+                  THEN id
+                  ELSE id - lag(id) OVER (PARTITION BY tok ORDER BY id)
+             END AS gap
+      FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           CAST(sum(CASE WHEN gap < 128 THEN 1
+                         WHEN gap < 16384 THEN 2
+                         WHEN gap < 2097152 THEN 3
+                         WHEN gap < 268435456 THEN 4
+                         WHEN gap < 34359738368 THEN 5
+                         ELSE 6 END) AS BIGINT) AS varint_bytes
+    FROM gaps GROUP BY 1
+    """,
+)
+def q_posting_list_plan(spark, sf_dir):
+    """Inverted-index sizing (operators/graphstats.posting_list_plan):
+    per-term document frequency, max doc-id gap, and exact
+    delta+varint posting-list bytes — the text-index budget read, the
+    adjacency_gap_stats twin."""
+    from reden_spark.operators.graphstats import posting_list_plan
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return posting_list_plan(toks)

@@ -1560,3 +1560,120 @@ def degree_gini(edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+def spc_edge_weights(edges: DataFrame, max_layers: int = 12) -> DataFrame:
+    """Search Path Count main-path analysis (Hummon & Doreian 1989)
+    over a DAG: (src, dst, np_src, np_to_dst, spc, is_max) — each
+    edge's SPC is (source-to-u path count) × (v-to-sink path count),
+    the number of source→sink traversals through the edge; the
+    max-SPC edge anchors the main path (the backbone a
+    citation/lineage network flows through).
+
+    The knowledge-flow question for a provenance KG: of all
+    derivation chains from raw crawls (sources) to shipped datasets
+    (sinks), which edges carry the traffic?  critical_path scores the
+    longest chain; SPC scores the BUSIEST one.
+
+    Exact integer DP by topological layer (topo_layers): forward
+    counts np_from(v) = 1 at sources else Σ incoming np_from(u);
+    backward symmetric on reversed edges.  Path counts are exact
+    BIGINTs — the operator is meant for DAGs of bounded depth
+    (``max_layers``); counts overflow around depth ~60 on dense DAGs,
+    at which point SPC's interpretation is gone anyway (use
+    critical_path).
+
+    Scale shape: one layering pass, then one (join + groupBy) per
+    layer keyed on the node column — depth-bounded rounds, no pair
+    blowup."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+
+    def _dp(ed: DataFrame) -> DataFrame:
+        """(node, np): source-to-node path counts over ``ed``."""
+        layers = topo_layers(ed, max_iter=max_layers)
+        max_l = layers.agg(F.max("layer")).collect()[0][0] or 0
+        np_df = layers.filter(F.col("layer") == 0).select(
+            "node", F.lit(1).cast("long").alias("np")
+        ).localCheckpoint(eager=True)
+        for lyr in range(1, int(max_l) + 1):
+            nxt = (
+                ed.join(
+                    np_df.select(F.col("node").alias("src"), "np"), "src"
+                )
+                .join(
+                    layers.filter(F.col("layer") == lyr).select(
+                        F.col("node").alias("dst")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("np").cast("long").alias("np"))
+            )
+            np_df = np_df.unionByName(nxt).localCheckpoint(eager=True)
+        return np_df
+
+    fwd = _dp(e)
+    bwd = _dp(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    spc = (
+        e.join(fwd.select(F.col("node").alias("src"),
+                          F.col("np").alias("np_src")), "src")
+        .join(bwd.select(F.col("node").alias("dst"),
+                         F.col("np").alias("np_to_dst")), "dst")
+        .select(
+            "src", "dst", "np_src", "np_to_dst",
+            (F.col("np_src") * F.col("np_to_dst")).cast("long").alias("spc"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return spc.withColumn(
+        "is_max", F.col("spc") == F.max("spc").over(w)
+    )
+
+
+def posting_list_plan(toks: DataFrame) -> DataFrame:
+    """(tok, df, max_gap, varint_bytes): inverted-index sizing per
+    term — document frequency, the largest doc-id gap, and the exact
+    byte cost of the delta+varint-encoded posting list (the universal
+    inverted-index layout; 7 payload bits per byte, first posting
+    stores the raw id).  The text-index twin of adjacency_gap_stats:
+    run it before building a search tier to know whether postings fit
+    the memory budget and which terms dominate (stopword-like terms
+    with df ≈ N and gap ≈ 1 compress to ~1 byte/posting; rare terms
+    pay the full id width).
+
+    ``toks`` is (id BIGINT, tok) memberships (duplicates collapsed).
+    Byte cost per gap g: 1 + how many 7-bit groups beyond the first g
+    needs — a CASE ladder over powers of 128, exact in both engines.
+
+    Scale shape: one distinct + one tok-keyed window for gaps + one
+    tok rollup — the exchange the index build itself would do."""
+    d = toks.select("id", "tok").distinct()
+    w = Window.partitionBy("tok").orderBy("id")
+    gaps = d.withColumn("prev", F.lag("id").over(w)).select(
+        "tok",
+        F.when(
+            F.col("prev").isNull(), F.col("id")
+        ).otherwise(F.col("id") - F.col("prev")).alias("gap"),
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .when(F.col("gap") < 34359738368, 5)
+        .otherwise(6)
+    )
+    return gaps.withColumn("vb", vb.cast("long")).groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.max("gap").cast("long").alias("max_gap"),
+        F.sum("vb").cast("long").alias("varint_bytes"),
+    )

@@ -1,0 +1,53 @@
+"""Round-5 wave 65: SPC main path + posting-list sizing."""
+
+from __future__ import annotations
+
+
+def test_spc_diamond_plus_tail(spark):
+    """Diamond 1-(2|3)-4 with tail 4-5: both source-sink routes cross
+    (4,5), so it carries SPC 2 and anchors the main path."""
+    from reden_spark.operators.graphstats import spc_edge_weights
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): r for r in spc_edge_weights(e).collect()}
+    assert {k: v.spc for k, v in got.items()} == {
+        (1, 2): 1, (1, 3): 1, (2, 4): 1, (3, 4): 1, (4, 5): 2,
+    }
+    assert got[(4, 5)].is_max and not got[(1, 2)].is_max
+    assert got[(4, 5)].np_src == 2 and got[(4, 5)].np_to_dst == 1
+
+
+def test_spc_parallel_chains(spark):
+    """Two disjoint chains: every edge carries exactly one path."""
+    from reden_spark.operators.graphstats import spc_edge_weights
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = spc_edge_weights(e).collect()
+    assert all(r.spc == 1 for r in got) and all(r.is_max for r in got)
+
+
+def test_posting_list_hand_traced(spark):
+    from reden_spark.operators.graphstats import posting_list_plan
+
+    toks = spark.createDataFrame(
+        [(1, "t"), (3, "t"), (200, "t"), (3, "t"), (7, "u")],
+        "id long, tok string",
+    )
+    got = {r.tok: r for r in posting_list_plan(toks).collect()}
+    # t: ids [1,3,200] -> gaps [1,2,197] -> varint 1+1+2 = 4 bytes
+    assert (got["t"].df, got["t"].max_gap, got["t"].varint_bytes) == (3, 197, 4)
+    assert (got["u"].df, got["u"].max_gap, got["u"].varint_bytes) == (1, 7, 1)
+
+
+def test_posting_list_varint_ladder(spark):
+    from reden_spark.operators.graphstats import posting_list_plan
+
+    toks = spark.createDataFrame(
+        [(127, "a"), (128, "b"), (16384, "c")], "id long, tok string"
+    )
+    got = {r.tok: r.varint_bytes for r in posting_list_plan(toks).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
