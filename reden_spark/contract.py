@@ -22454,3 +22454,148 @@ def q_posting_list_plan(spark, sf_dir):
         F.explode(F.split(F.col("text"), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     return posting_list_plan(toks)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 66: unsupervised Fellegi-Sunter EM + R-MAT generator.
+
+
+def _fs_em_oracle_sql(rounds: int = 2) -> str:
+    """Unrolled EM over the 2^3 agreement-pattern histogram, mirroring
+    operators/blocking.fs_em's arithmetic term for term (left-assoc
+    double products, e6 rounding before each M-step, clamped integer
+    floor divisions)."""
+    fields = ["a1", "a2", "a3"]
+
+    def t(side_vals, f):
+        # side_vals: dict field -> (agree_val_expr, disagree_val_expr)
+        agree, dis = side_vals[f]
+        return f"(CASE WHEN {f} = 1 THEN {agree} ELSE {dis} END)"
+
+    parts = [
+        """WITH pr AS (
+      SELECT CASE WHEN o_orderkey % 2 = o_custkey % 2
+                  THEN 1 ELSE 0 END AS a1,
+             CASE WHEN o_orderkey % 3 = o_custkey % 3
+                  THEN 1 ELSE 0 END AS a2,
+             CASE WHEN o_orderkey % 5 = o_custkey % 5
+                  THEN 1 ELSE 0 END AS a3
+      FROM orders),
+    pat AS MATERIALIZED (
+      SELECT a1, a2, a3, CAST(count(*) AS BIGINT) AS n
+      FROM pr GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pat)""",
+    ]
+    # round-1 constants
+    p_expr = "100000"
+    m_exprs = {f: ("900000", "100000") for f in fields}
+    u_exprs = {f: ("100000", "900000") for f in fields}
+    for r in range(1, rounds + 1):
+        num = f"CAST({p_expr} AS DOUBLE)"
+        alt = f"CAST(1000000 - ({p_expr}) AS DOUBLE)"
+        for f in fields:
+            num += f" * {t(m_exprs, f)}"
+            alt += f" * {t(u_exprs, f)}"
+        parts.append(f""",
+    e{r} AS MATERIALIZED (
+      SELECT pat.a1, pat.a2, pat.a3, pat.n,
+             CAST(round(({num}) / (({num}) + ({alt})) * 1e6)
+                  AS BIGINT) AS resp
+      FROM pat{"" if r == 1 else ", s" + str(r - 1)})""")
+        # M-step scalars
+        cols = []
+        for f in fields:
+            cols.append(
+                f"least(999000, greatest(1000,"
+                f" (SELECT sum(n * resp) FROM e{r} WHERE {f} = 1)"
+                f" * 1000000 // (SELECT sum(n * resp) FROM e{r})))"
+                f" AS m_{f}"
+            )
+            cols.append(
+                f"least(999000, greatest(1000,"
+                f" (SELECT sum(n * (1000000 - resp)) FROM e{r}"
+                f" WHERE {f} = 1) * 1000000"
+                f" // (SELECT sum(n * (1000000 - resp)) FROM e{r})))"
+                f" AS u_{f}"
+            )
+        cols.append(
+            f"(SELECT sum(n * resp) FROM e{r}) // (SELECT t FROM tot)"
+            f" AS p"
+        )
+        parts.append(f""",
+    s{r} AS MATERIALIZED (SELECT {', '.join(cols)})""")
+        # next-round parameter references
+        p_expr = f"(SELECT p FROM s{r})"
+        m_exprs = {
+            f: (f"(SELECT m_{f} FROM s{r})",
+                f"1000000 - (SELECT m_{f} FROM s{r})")
+            for f in fields
+        }
+        u_exprs = {
+            f: (f"(SELECT u_{f} FROM s{r})",
+                f"1000000 - (SELECT u_{f} FROM s{r})")
+            for f in fields
+        }
+    sel = []
+    for f in fields:
+        sel.append(f"""
+    SELECT '{f}' AS field, CAST(m_{f} AS BIGINT) AS m_e6,
+           CAST(u_{f} AS BIGINT) AS u_e6,
+           CAST(round(ln(CAST(m_{f} AS DOUBLE) / u_{f}) * 1e6)
+                AS BIGINT) AS w_agree_e6,
+           CAST(round(ln(CAST(1000000 - m_{f} AS DOUBLE)
+                / (1000000 - u_{f})) * 1e6) AS BIGINT)
+             AS w_disagree_e6,
+           CAST(p AS BIGINT) AS p_e6
+    FROM s{rounds}""")
+    parts.append("\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@query("fs_em", _fs_em_oracle_sql(2))
+def q_fs_em(spark, sf_dir):
+    """Unsupervised Fellegi-Sunter EM (operators/blocking.fs_em): two
+    quantized EM rounds over the 2^3 agreement-pattern histogram of
+    modular key agreements — m/u reliabilities and log-ratio weights
+    with no labels, the real-world linkage bootstrap."""
+    from reden_spark.operators.blocking import fs_em
+
+    pr = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2 == F.col("o_custkey") % 2)
+        .cast("int").alias("a1"),
+        (F.col("o_orderkey") % 3 == F.col("o_custkey") % 3)
+        .cast("int").alias("a2"),
+        (F.col("o_orderkey") % 5 == F.col("o_custkey") % 5)
+        .cast("int").alias("a3"),
+    )
+    return fs_em(pr, ["a1", "a2", "a3"], rounds=2)
+
+
+def _rmat_oracle_sql(scale: int = 6, n_edges: int = 4096) -> str:
+    src_terms, dst_terms = [], []
+    for lvl in range(scale):
+        r = f"(((id + 1) * 2654435761 + {(lvl + 1) * 97003}) % 100)"
+        src_terms.append(
+            f"(CASE WHEN {r} >= 67 THEN 1 ELSE 0 END) * {1 << lvl}"
+        )
+        dst_terms.append(
+            f"(CASE WHEN ({r} >= 45 AND {r} < 67) OR {r} >= 89"
+            f" THEN 1 ELSE 0 END) * {1 << lvl}"
+        )
+    return f"""
+    SELECT CAST(id AS BIGINT) AS edge_id,
+           CAST({' + '.join(src_terms)} AS BIGINT) AS src,
+           CAST({' + '.join(dst_terms)} AS BIGINT) AS dst
+    FROM range({n_edges}) t(id)
+    """
+
+
+@query("rmat_edges", _rmat_oracle_sql(6, 4096))
+def q_rmat_edges(spark, sf_dir):
+    """R-MAT benchmark-graph generator (operators/graphstats.
+    rmat_edges): 4096 edges over 2^6 nodes with Graph500 quadrant
+    probabilities via multiplicative-hash residues — the deterministic
+    power-law input for skew/scale testing, zero exchanges."""
+    from reden_spark.operators.graphstats import rmat_edges
+
+    return rmat_edges(spark, scale=6, n_edges=4096)

@@ -600,3 +600,93 @@ def label_align(
             F.col("sim_e6").alias("jw_e6"),
         )
     )
+
+
+FS_EM_INIT = (100000, 900000, 100000)  # p0, m0, u0 in micro-units
+FS_EM_CLAMP = (1000, 999000)
+
+
+def fs_em(
+    pairs: DataFrame, agree_cols: list[str], rounds: int = 2
+) -> DataFrame:
+    """Unsupervised Fellegi-Sunter parameter fitting (Winkler 1988 EM)
+    from UNLABELED comparison pairs: (field, m_e6, u_e6, w_agree_e6,
+    w_disagree_e6, p_e6) — the m/u probabilities and log-ratio weights
+    fellegi_sunter_weights learns from labels, estimated here with
+    nothing but the agreement-pattern counts.
+
+    The linkage-without-training-data workhorse: real reconciliation
+    jobs rarely have labeled pairs; EM over the 2^F pattern histogram
+    recovers match/non-match field reliabilities because matches
+    concentrate on mostly-agree patterns.
+
+    Determinism: the E-step responsibility per pattern is ONE double
+    expression over exact micro-unit integers (left-associated
+    products, identical in the SQL oracle), rounded to e6 BEFORE the
+    M-step; M-step updates are integer floor divisions of exact sums,
+    clamped to [0.001, 0.999] so no probability saturates.  The
+    pattern histogram is at most 2^F rows, so EM runs on those scalars
+    (driver-side, like source_shapley's subset algebra) while the one
+    heavy aggregation — pattern counting over all candidate pairs —
+    stays distributed and map-side combinable."""
+    import math
+
+    def _r(x: float) -> int:
+        """Half-away-from-zero rounding (python round() is banker's;
+        SQL round() in both engines is half-away)."""
+        return (
+            int(math.floor(x + 0.5)) if x >= 0
+            else -int(math.floor(-x + 0.5))
+        )
+
+    n_f = len(agree_cols)
+    rows = pairs.groupBy(*agree_cols).agg(
+        F.count("*").cast("long").alias("n")
+    ).collect()
+    pats = [
+        (tuple(int(r[c]) for c in agree_cols), int(r["n"])) for r in rows
+    ]
+    total = sum(n for _, n in pats)
+    p0, m0, u0 = FS_EM_INIT
+    lo, hi = FS_EM_CLAMP
+    p = p0
+    m = [m0] * n_f
+    u = [u0] * n_f
+    for _ in range(rounds):
+        resp = {}
+        for pat, _ in pats:
+            num = float(p)
+            alt = float(1000000 - p)
+            for f in range(n_f):
+                num = num * (m[f] if pat[f] else 1000000 - m[f])
+                alt = alt * (u[f] if pat[f] else 1000000 - u[f])
+            resp[pat] = _r(num / (num + alt) * 1e6)
+        den_m = sum(n * resp[pat] for pat, n in pats)
+        den_u = sum(n * (1000000 - resp[pat]) for pat, n in pats)
+        for f in range(n_f):
+            num_m = sum(n * resp[pat] for pat, n in pats if pat[f])
+            num_u = sum(
+                n * (1000000 - resp[pat]) for pat, n in pats if pat[f]
+            )
+            m[f] = min(hi, max(lo, (num_m * 1000000) // den_m))
+            u[f] = min(hi, max(lo, (num_u * 1000000) // den_u))
+        p = den_m // total
+    out = []
+    for f, col in enumerate(agree_cols):
+        out.append(
+            (
+                col,
+                m[f],
+                u[f],
+                _r(math.log(m[f] / u[f]) * 1e6),
+                _r(
+                    math.log((1000000 - m[f]) / (1000000 - u[f])) * 1e6
+                ),
+                p,
+            )
+        )
+    return pairs.sparkSession.createDataFrame(
+        out,
+        "field string, m_e6 long, u_e6 long, w_agree_e6 long,"
+        " w_disagree_e6 long, p_e6 long",
+    )

@@ -1677,3 +1677,48 @@ def posting_list_plan(toks: DataFrame) -> DataFrame:
         F.max("gap").cast("long").alias("max_gap"),
         F.sum("vb").cast("long").alias("varint_bytes"),
     )
+
+
+def rmat_edges(
+    spark,
+    scale: int = 6,
+    n_edges: int = 4096,
+    probs: tuple[int, int, int, int] = (45, 22, 22, 11),
+) -> DataFrame:
+    """Deterministic R-MAT graph generator (Chakrabarti-Zhan-Faloutsos
+    2004): (edge_id, src, dst) — ``n_edges`` edges over 2^scale nodes
+    by recursive-quadrant descent, with the (a, b, c, d) quadrant
+    probabilities in percent.
+
+    The benchmark-input half of the scale story: every graph operator
+    here is tested on TPC-H-derived fixtures whose degree skew is
+    mild; R-MAT with the Graph500 defaults (45/22/22/11) produces the
+    power-law hubs that stress salting, AQE skew handling, and the
+    kcore/CC paths — a generator the engine can run at any scale,
+    cluster-side, with zero data movement.
+
+    Determinism: the quadrant draw at level L of edge i is a
+    multiplicative-hash residue ((i+1)·2654435761 + (L+1)·97003) mod
+    100 mapped through the cumulative (a, a+b, a+b+c) ladder — pure
+    integer expressions, identical in any engine; no RNG state, so
+    any subrange of edge ids regenerates identically (partition-
+    parallel by construction).
+
+    Scale shape: one range() scan, ``scale`` pure column expressions —
+    embarrassingly parallel, no exchange at all."""
+    a, b, c, _ = probs
+    df = spark.range(n_edges).select(F.col("id").alias("edge_id"))
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        r = (
+            (F.col("edge_id") + 1) * F.lit(2654435761)
+            + F.lit((lvl + 1) * 97003)
+        ) % 100
+        src_bit = (r >= a + b).cast("long")
+        dst_bit = (
+            ((r >= a) & (r < a + b)) | (r >= a + b + c)
+        ).cast("long")
+        src = src + src_bit * (1 << lvl)
+        dst = dst + dst_bit * (1 << lvl)
+    return df.select("edge_id", src.alias("src"), dst.alias("dst"))

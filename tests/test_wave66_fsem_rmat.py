@@ -1,0 +1,71 @@
+"""Round-5 wave 66: Fellegi-Sunter EM + R-MAT generator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _bimodal_pairs(spark):
+    rows = (
+        [(1, 1, 1)] * 100      # match-like: agree everywhere
+        + [(0, 0, 0)] * 900    # nonmatch-like
+        + [(1, 0, 0)] * 30 + [(0, 1, 0)] * 30 + [(0, 0, 1)] * 30
+    )
+    return spark.createDataFrame(rows, "a1 int, a2 int, a3 int")
+
+
+def test_fs_em_separates_m_and_u(spark):
+    from reden_spark.operators.blocking import fs_em
+
+    got = {r.field: r for r in
+           fs_em(_bimodal_pairs(spark), ["a1", "a2", "a3"]).collect()}
+    for f in ("a1", "a2", "a3"):
+        r = got[f]
+        assert r.m_e6 > 500000 > r.u_e6, (f, r.m_e6, r.u_e6)
+        assert r.w_agree_e6 > 0 > r.w_disagree_e6
+    # prior lands near the true 100/1090 match share (loose band)
+    assert 20000 < got["a1"].p_e6 < 400000
+
+
+def test_fs_em_deterministic(spark):
+    from reden_spark.operators.blocking import fs_em
+
+    p = _bimodal_pairs(spark)
+    a = sorted(map(tuple, fs_em(p, ["a1", "a2", "a3"]).collect()))
+    b = sorted(map(tuple, fs_em(p, ["a1", "a2", "a3"]).collect()))
+    assert a == b
+
+
+def test_fs_em_clamps_probabilities(spark):
+    """All-agree input would drive u to 0; the clamp keeps it at the
+    documented floor."""
+    from reden_spark.operators.blocking import fs_em
+
+    p = spark.createDataFrame([(1,)] * 50, "a1 int")
+    r = fs_em(p, ["a1"]).collect()[0]
+    assert 1000 <= r.u_e6 <= 999000 and 1000 <= r.m_e6 <= 999000
+
+
+def test_rmat_shape_and_skew(spark):
+    from reden_spark.operators.graphstats import rmat_edges
+
+    df = rmat_edges(spark, scale=6, n_edges=4096)
+    rows = df.collect()
+    assert len(rows) == 4096
+    assert all(0 <= r.src < 64 and 0 <= r.dst < 64 for r in rows)
+    deg = df.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    # Graph500 probabilities concentrate ~9% of sources on node 0 vs a
+    # uniform expectation of 64 per node
+    assert deg > 200
+
+
+def test_rmat_deterministic_and_prefix_stable(spark):
+    """Any id subrange regenerates identically — the partition-parallel
+    property."""
+    from reden_spark.operators.graphstats import rmat_edges
+
+    full = {r.edge_id: (r.src, r.dst)
+            for r in rmat_edges(spark, scale=6, n_edges=512).collect()}
+    half = {r.edge_id: (r.src, r.dst)
+            for r in rmat_edges(spark, scale=6, n_edges=256).collect()}
+    assert all(full[i] == half[i] for i in half)
