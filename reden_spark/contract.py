@@ -22599,3 +22599,100 @@ def q_rmat_edges(spark, sf_dir):
     from reden_spark.operators.graphstats import rmat_edges
 
     return rmat_edges(spark, scale=6, n_edges=4096)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 67: exact isotonic regression + calibration bins.
+
+
+@query(
+    "isotonic_fit",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority AS key,
+             CAST(o_orderkey % 40 AS BIGINT) AS x,
+             CAST(sum(o_custkey % 97) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    idx AS (
+      SELECT key, x, y,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY x)
+                  AS BIGINT) AS i,
+             CAST(sum(y) OVER (PARTITION BY key ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS p
+      FROM pts),
+    lo AS (SELECT key, i AS j, p - y AS p_lo FROM idx),
+    hi AS (SELECT key, i AS k, p AS p_hi FROM idx),
+    ivals AS (
+      SELECT lo.key, lo.j, hi.k,
+             CAST(hi.p_hi - lo.p_lo AS DOUBLE) / (hi.k - lo.j + 1)
+               AS avg
+      FROM lo JOIN hi ON hi.key = lo.key AND hi.k >= lo.j),
+    m AS (
+      SELECT key, j, k AS i,
+             min(avg) OVER (PARTITION BY key, j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM ivals),
+    fit AS (
+      SELECT key, i, mx FROM (
+        SELECT key, j, i,
+               max(mn) OVER (PARTITION BY key, i ORDER BY j ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS mx
+        FROM m WHERE j <= i) z
+      WHERE j = i)
+    SELECT idx.key, idx.x, idx.y,
+           CAST(round(fit.mx * 1e6) AS BIGINT) AS yhat_e6
+    FROM idx JOIN fit ON fit.key = idx.key AND fit.i = idx.i
+    """,
+)
+def q_isotonic_fit(spark, sf_dir):
+    """Exact isotonic regression (operators/model_eval.isotonic_fit):
+    minmax interval-average formulation as two key-partitioned window
+    passes over per-(priority, bucket) rollups — the
+    PAVA-equivalent, distributed-safe calibration/monotone-trend
+    fit."""
+    from reden_spark.operators.model_eval import isotonic_fit
+
+    pts = _read(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("key"),
+        (F.col("o_orderkey") % 40).cast("long").alias("x"),
+    ).agg(F.sum(F.col("o_custkey") % 97).cast("long").alias("y"))
+    return isotonic_fit(pts)
+
+
+@query(
+    "calibration_bins",
+    """
+    WITH sc AS (
+      SELECT (o_orderkey * 2654435761) % 1000001 AS score_e6,
+             CASE WHEN (o_orderkey * 48271) % 1000001
+                       + (o_orderkey * 2654435761) % 1000001 > 1000001
+                  THEN 1 ELSE 0 END AS label
+      FROM orders)
+    SELECT CAST(score_e6 * 10 // 1000001 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(score_e6) // count(*) AS BIGINT) AS avg_score_e6,
+           CAST(sum(label) * 1000000 // count(*) AS BIGINT)
+             AS pos_rate_e6,
+           CAST(abs(sum(score_e6) // count(*)
+                - sum(label) * 1000000 // count(*)) AS BIGINT) AS gap_e6
+    FROM sc GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram (operators/model_eval.calibration_bins):
+    hash-scored pseudo-predictions with correlated labels, 10
+    equal-width bins — per-bin mean score vs positive rate and the
+    calibration gap isotonic_fit would close."""
+    from reden_spark.operators.model_eval import calibration_bins
+
+    k = F.col("o_orderkey")
+    scored = _read(spark, sf_dir, "orders").select(
+        ((k * 2654435761) % 1000001).alias("score_e6"),
+        (
+            ((k * 48271) % 1000001 + (k * 2654435761) % 1000001)
+            > 1000001
+        ).cast("int").alias("label"),
+    )
+    return calibration_bins(scored)

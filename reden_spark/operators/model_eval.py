@@ -480,3 +480,113 @@ def class_balanced_weights(
             " * 1e9) AS BIGINT)"
         ).alias("weight_e9"),
     )
+
+
+def isotonic_fit(points: DataFrame) -> DataFrame:
+    """Exact isotonic regression per key over (key, x, y) points with
+    distinct integer x: (key, x, y, yhat_e6) — the nondecreasing fit
+    minimizing squared error, via the minmax characterization
+
+      yhat_i = max_{j <= i} min_{k >= i} mean(y_j..y_k)
+
+    (equivalent to pool-adjacent-violators, but expressed as two
+    window passes over the interval-average table instead of a
+    sequential stack — the distributed-safe formulation).
+
+    The calibration workhorse: isotonic maps raw model scores to
+    honest probabilities with no shape assumption (Zadrozny-Elkan
+    2002), and the same fit extracts monotone trends from noisy
+    series.  Interval means are exact integer ratios evaluated once
+    in double ((S_k − S_{j−1}) / (k − j + 1), prefix sums exact), so
+    the running min/max see identical doubles in both engines;
+    quantization to e6 happens only at emission.
+
+    Scale shape: per key, the interval table is O(n²) rows (run it on
+    AGGREGATED points — score deciles, daily rollups — where n is
+    bounded); both the k-descending running min and the j-ascending
+    running max are key-partitioned windows, nothing global."""
+    w_idx = Window.partitionBy("key").orderBy("x")
+    idx = points.select(
+        "key", "x", F.col("y").cast("long").alias("y")
+    ).withColumn("i", F.row_number().over(w_idx)).withColumn(
+        "p", F.sum("y").over(
+            w_idx.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    lo = idx.select(
+        "key", F.col("i").alias("j"), (F.col("p") - F.col("y")).alias("p_lo")
+    )
+    hi = idx.select("key", F.col("i").alias("k"), F.col("p").alias("p_hi"))
+    ivals = lo.join(hi, "key").filter(F.col("k") >= F.col("j")).select(
+        "key",
+        "j",
+        "k",
+        F.expr(
+            "CAST(p_hi - p_lo AS DOUBLE) / (k - j + 1)"
+        ).alias("avg"),
+    )
+    w_k = (
+        Window.partitionBy("key", "j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = ivals.withColumn("mn", F.min("avg").over(w_k)).select(
+        "key", "j", F.col("k").alias("i"), "mn"
+    )
+    w_j = (
+        Window.partitionBy("key", "i")
+        .orderBy(F.col("j").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fit = (
+        m.filter(F.col("j") <= F.col("i"))
+        .withColumn("mx", F.max("mn").over(w_j))
+        .filter(F.col("j") == F.col("i"))
+        .select("key", "i", F.expr(
+            "CAST(round(mx * 1e6) AS BIGINT)"
+        ).alias("yhat_e6"))
+    )
+    return idx.join(fit, ["key", "i"]).select(
+        "key", "x", "y", "yhat_e6"
+    )
+
+
+def calibration_bins(scored: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram table over (score_e6, label) rows:
+    (bin, n, avg_score_e6, pos_rate_e6, gap_e6) — equal-width score
+    bins, mean predicted probability vs observed positive rate, and
+    the absolute calibration gap per bin.  The per-bin granularity
+    behind brier_decomposition's aggregate reliability term: the
+    bins say WHERE the model lies (usually the overconfident top),
+    which is what an isotonic_fit recalibration then corrects.
+
+    All-integer: bin = score_e6 * n_bins div 1000001; averages and
+    rates are exact floor ratios in micro-units.
+
+    Scale shape: one map-side-combinable groupBy on the bin key."""
+    b = scored.select(
+        F.expr(f"CAST(score_e6 * {n_bins} div 1000001 AS BIGINT)").alias(
+            "bin"
+        ),
+        F.col("score_e6").cast("long").alias("score_e6"),
+        F.col("label").cast("long").alias("label"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(score_e6) div count(*) AS BIGINT)"
+        ).alias("avg_score_e6"),
+        F.expr(
+            "CAST(sum(label) * CAST(1000000 AS BIGINT) div count(*)"
+            " AS BIGINT)"
+        ).alias("pos_rate_e6"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "avg_score_e6",
+        "pos_rate_e6",
+        F.abs(
+            F.col("avg_score_e6") - F.col("pos_rate_e6")
+        ).cast("long").alias("gap_e6"),
+    )

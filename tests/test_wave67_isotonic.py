@@ -1,0 +1,53 @@
+"""Round-5 wave 67: isotonic regression + calibration bins."""
+
+from __future__ import annotations
+
+
+def _fit(spark, ys):
+    from reden_spark.operators.model_eval import isotonic_fit
+
+    pts = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)], "key string, x long, y long"
+    )
+    got = sorted(isotonic_fit(pts).collect(), key=lambda r: r.x)
+    return [r.yhat_e6 for r in got]
+
+
+def test_isotonic_pools_violators(spark):
+    """[1,3,2,4] -> [1, 2.5, 2.5, 4]: the classic adjacent pool."""
+    assert _fit(spark, [1, 3, 2, 4]) == [
+        1000000, 2500000, 2500000, 4000000,
+    ]
+
+
+def test_isotonic_decreasing_collapses_to_mean(spark):
+    assert _fit(spark, [3, 2, 1]) == [2000000, 2000000, 2000000]
+
+
+def test_isotonic_monotone_input_unchanged(spark):
+    assert _fit(spark, [1, 2, 2, 5]) == [
+        1000000, 2000000, 2000000, 5000000,
+    ]
+
+
+def test_isotonic_output_nondecreasing(spark):
+    ys = [5, 1, 4, 2, 8, 3, 9, 0]
+    fit = _fit(spark, ys)
+    assert all(a <= b for a, b in zip(fit, fit[1:]))
+    # mean preservation (within quantization): sum of fit == sum of y
+    assert abs(sum(fit) - sum(ys) * 1000000) <= len(ys)
+
+
+def test_calibration_bins_gap(spark):
+    from reden_spark.operators.model_eval import calibration_bins
+
+    rows = (
+        [(50000, 0)] * 90 + [(50000, 1)] * 10     # bin 0: rate 0.1
+        + [(950000, 1)] * 50 + [(950000, 0)] * 50  # bin 9: rate 0.5
+    )
+    scored = spark.createDataFrame(rows, "score_e6 long, label int")
+    got = {r.bin: r for r in calibration_bins(scored).collect()}
+    assert got[0].pos_rate_e6 == 100000 and got[0].avg_score_e6 == 50000
+    assert got[0].gap_e6 == 50000
+    # the overconfident top bin: predicted 0.95, observed 0.5
+    assert got[9].gap_e6 == 450000
