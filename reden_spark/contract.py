@@ -22696,3 +22696,106 @@ def q_calibration_bins(spark, sf_dir):
         ).cast("int").alias("label"),
     )
     return calibration_bins(scored)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 68: attack tolerance + exact silhouette.
+
+
+def _attack_oracle_sql(ks=(0, 5, 20, 50)) -> str:
+    parts = [
+        f"""WITH RECURSIVE base AS ({_KCORE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM base WHERE src <> dst
+        UNION ALL SELECT dst, src FROM base WHERE src <> dst)),
+    deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+    rk AS MATERIALIZED (
+      SELECT node, row_number() OVER (ORDER BY deg DESC, node ASC)
+               AS rnk
+      FROM deg)""",
+    ]
+    sel = []
+    for k in ks:
+        parts.append(f""",
+    keep{k} AS MATERIALIZED (SELECT node FROM rk WHERE rnk > {k}),
+    e{k} AS MATERIALIZED (
+      SELECT src, dst FROM sym
+      WHERE src < dst AND src IN (SELECT node FROM keep{k})
+        AND dst IN (SELECT node FROM keep{k})),
+    u{k} AS MATERIALIZED (
+      SELECT printf('v%013d', src) AS src, printf('v%013d', dst) AS dst
+      FROM e{k}
+      UNION ALL
+      SELECT printf('v%013d', dst), printf('v%013d', src) FROM e{k}),
+    r{k}(src, dst) AS (
+      SELECT src, dst FROM u{k}
+      UNION
+      SELECT r.src, u.dst FROM r{k} r JOIN u{k} u ON r.dst = u.src),
+    cc{k} AS (SELECT src AS node, least(src, min(dst)) AS comp
+              FROM r{k} GROUP BY src),
+    g{k} AS (SELECT coalesce(max(n), CASE WHEN
+               (SELECT count(*) FROM keep{k}) > 0 THEN 1 ELSE 0 END)
+               AS giant
+             FROM (SELECT comp, count(*) AS n FROM cc{k} GROUP BY 1))""")
+        sel.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k_removed,
+           CAST((SELECT count(*) FROM keep{k}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e{k}) AS BIGINT) AS n_edges,
+           CAST((SELECT giant FROM g{k}) AS BIGINT) AS giant_size,
+           CAST((SELECT giant FROM g{k}) * 1000000
+                // (SELECT count(*) FROM keep{k}) AS BIGINT)
+             AS giant_frac_e6""")
+    parts.append("\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@query("attack_tolerance", _attack_oracle_sql())
+def q_attack_tolerance(spark, sf_dir):
+    """Targeted-attack robustness (operators/graphstats.
+    attack_tolerance): giant-component survival after removing the
+    top 0/5/20/50 degree hubs of the kcore fixture graph — the
+    hub-dependency audit behind prune_degree."""
+    from reden_spark.operators.graphstats import attack_tolerance
+
+    return attack_tolerance(_kcore_edges(spark, sf_dir))
+
+
+@query(
+    "silhouette_exact",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 512) AS BIGINT)
+               AS x,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 512) AS BIGINT)
+               AS y
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS i, a.cluster AS ci, b.cluster AS cj,
+             CAST(round(sqrt(CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS DOUBLE)) * 1000)
+                  AS BIGINT) AS d_e3
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+    means AS (
+      SELECT i, ci, cj, CAST(sum(d_e3) // count(*) AS BIGINT) AS m_e3
+      FROM pairs GROUP BY 1, 2, 3),
+    own AS (SELECT i, m_e3 AS a_e3 FROM means WHERE ci = cj),
+    oth AS (SELECT i, CAST(min(m_e3) AS BIGINT) AS b_e3
+            FROM means WHERE ci <> cj GROUP BY 1)
+    SELECT q.vec_id, q.cluster, own.a_e3, oth.b_e3,
+           CAST(CASE WHEN greatest(a_e3, b_e3) = 0 THEN 0
+                ELSE ((b_e3 - a_e3) + greatest(a_e3, b_e3)) * 1000000
+                     // greatest(a_e3, b_e3) - 1000000
+                END AS BIGINT) AS s_e6
+    FROM q JOIN own ON own.i = q.vec_id JOIN oth ON oth.i = q.vec_id
+    """,
+)
+def q_silhouette_exact(spark, sf_dir):
+    """Exact silhouette (operators/similarity.silhouette_exact) over
+    the quantized 2-d embedding projection with the label column as
+    clusters — milli-quantized per-pair distances, integer means,
+    positive-shifted score division."""
+    from reden_spark.operators.similarity import silhouette_exact
+
+    return silhouette_exact(_read(spark, sf_dir, "embeddings"))

@@ -1722,3 +1722,75 @@ def rmat_edges(
         src = src + src_bit * (1 << lvl)
         dst = dst + dst_bit * (1 << lvl)
     return df.select("edge_id", src.alias("src"), dst.alias("dst"))
+
+
+def attack_tolerance(
+    edges: DataFrame, ks: tuple[int, ...] = (0, 5, 20, 50)
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert-Jeong-Barabási 2000):
+    remove the top-k degree hubs and measure what survives —
+    (k_removed, n_nodes, n_edges, giant_size, giant_frac_e6), one row
+    per k.  Scale-free graphs shrug off random failure but shatter
+    under hub removal; for a KG this is the dependency audit "how much
+    of the graph hangs off the few mega-entities?" — the action item
+    behind prune_degree's hub capping.
+
+    Hubs rank by (degree desc, node asc) on the ORIGINAL graph — a
+    total order, so every k removes a deterministic prefix; components
+    come from the sameas min-label CC on zero-padded ids.
+
+    Scale shape: per k, two hub anti-joins + one CC; the hub list is
+    k rows and broadcasts."""
+    from reden_spark.operators.sameas import connected_components
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    w = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
+    ranked = deg.withColumn("rnk", F.row_number().over(w)).persist()
+    pad = lambda c: F.format_string("v%013d", c)  # noqa: E731
+    spark = edges.sparkSession
+    out = []
+    for k in ks:
+        keep = ranked.filter(F.col("rnk") > k).select("node")
+        e = (
+            sym.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        nodes_left = keep.count()
+        n_edges = e.count()
+        if n_edges:
+            cc = connected_components(
+                e.select(pad(F.col("src")).alias("src"),
+                         pad(F.col("dst")).alias("dst"))
+            )
+            giant = (
+                cc.groupBy("comp").count().agg(F.max("count")).collect()
+            )[0][0]
+        else:
+            giant = 1 if nodes_left else 0
+        out.append(
+            (
+                k,
+                nodes_left,
+                n_edges,
+                int(giant),
+                (int(giant) * 1000000) // nodes_left if nodes_left else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "k_removed long, n_nodes long, n_edges long, giant_size long,"
+        " giant_frac_e6 long",
+    )

@@ -1500,3 +1500,88 @@ def dbscan_clusters(
         )
     )
     return out
+
+
+def silhouette_exact(
+    embeddings: DataFrame,
+    scale: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact silhouette scores over the quantized 2-d embedding
+    projection: (vec_id, cluster, a_e3, b_e3, s_e6) per point —
+    a = mean distance to own cluster, b = the nearest other cluster's
+    mean distance, s = (b − a) / max(a, b) (Rousseeuw 1987).
+
+    The clustering-quality judge for embedding_clusters / dbscan
+    output: ARI needs ground truth, silhouette needs only geometry —
+    points with s < 0 sit in the wrong cluster, cluster-mean s ranks
+    partitions.  Per-pair distances quantize to milli-units
+    (round(sqrt(d²)·1e3) of an exact integer d²) BEFORE any mean, so
+    the per-(point, cluster) means are exact integer divisions and the
+    min/ratio arithmetic never sees a float.
+
+    Scale shape: O(n²) pairs — run it on the SAMPLE or centroid tier
+    at fleet scale (like every exact silhouette); all aggregates key
+    on (point, cluster)."""
+    v = F.col(vec_col)
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("cluster"),
+        F.round(v.getItem(0).cast("double") * scale).cast("long").alias("x"),
+        F.round(v.getItem(1).cast("double") * scale).cast("long").alias("y"),
+    ).persist()
+    a = q.select(
+        F.col("vec_id").alias("i"),
+        F.col("cluster").alias("ci"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("j"),
+        F.col("cluster").alias("cj"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "ci",
+        "cj",
+        F.expr(
+            "CAST(round(sqrt(CAST((xi - xj) * (xi - xj)"
+            " + (yi - yj) * (yi - yj) AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("d_e3"),
+    )
+    means = pairs.groupBy("i", "ci", "cj").agg(
+        F.expr("CAST(sum(d_e3) div count(*) AS BIGINT)").alias("m_e3")
+    )
+    own = means.filter(F.col("ci") == F.col("cj")).select(
+        "i", F.col("m_e3").alias("a_e3")
+    )
+    other = means.filter(F.col("ci") != F.col("cj")).groupBy("i").agg(
+        F.min("m_e3").alias("b_e3")
+    )
+    return (
+        q.select(F.col("vec_id").alias("i"), "cluster")
+        .join(own, "i")
+        .join(other, "i")
+        .select(
+            F.col("i").alias("vec_id"),
+            "cluster",
+            "a_e3",
+            "b_e3",
+            # coincident clusters (a = b = 0) score 0, per convention;
+            # singletons have no own-cluster mean and emit no row.
+            # positive shift before the division: (b - a) is negative
+            # for misplaced points and Spark div truncates where
+            # DuckDB // floors — shifting by greatest() makes the
+            # numerator nonnegative (|b - a| <= max(a, b))
+            F.expr(
+                "CAST(CASE WHEN greatest(a_e3, b_e3) = 0 THEN 0"
+                " ELSE ((b_e3 - a_e3) + greatest(a_e3, b_e3))"
+                " * CAST(1000000 AS BIGINT) div greatest(a_e3, b_e3)"
+                " - 1000000 END AS BIGINT)"
+            ).alias("s_e6"),
+        )
+    )

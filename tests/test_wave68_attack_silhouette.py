@@ -1,0 +1,59 @@
+"""Round-5 wave 68: attack tolerance + exact silhouette."""
+
+from __future__ import annotations
+
+
+def test_attack_tolerance_star_shatters(spark):
+    """A star: removing the hub (k=1) leaves isolated leaves —
+    giant collapses from n to 1."""
+    from reden_spark.operators.graphstats import attack_tolerance
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    got = {r.k_removed: r for r in
+           attack_tolerance(edges, ks=(0, 1)).collect()}
+    assert got[0].giant_size == 9 and got[0].giant_frac_e6 == 1000000
+    assert got[1].n_edges == 0 and got[1].giant_size == 1
+    assert got[1].n_nodes == 8
+
+
+def test_attack_tolerance_ring_is_robust(spark):
+    """A ring loses only its neighbors' edges: removing 1 node leaves
+    a path — still one giant component."""
+    from reden_spark.operators.graphstats import attack_tolerance
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    got = {r.k_removed: r for r in
+           attack_tolerance(edges, ks=(1,)).collect()}
+    assert got[1].giant_size == 9 and got[1].n_nodes == 9
+
+
+def test_silhouette_separated_clusters(spark):
+    """Two tight, far-apart clusters -> s near 1 for every point."""
+    from reden_spark.operators.similarity import silhouette_exact
+
+    pts = [(1, [0.0, 0.0], 0), (2, [0.01, 0.0], 0),
+           (3, [1.0, 1.0], 1), (4, [1.01, 1.0], 1)]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.vec_id: r for r in silhouette_exact(emb).collect()}
+    assert all(r.s_e6 > 900000 for r in got.values())
+
+
+def test_silhouette_flags_misplaced_point(spark):
+    """A point labeled into the FAR cluster gets a negative score."""
+    from reden_spark.operators.similarity import silhouette_exact
+
+    pts = [(1, [0.0, 0.0], 0), (2, [0.02, 0.0], 0),
+           (3, [0.04, 0.0], 1),  # geometrically with cluster 0
+           (4, [1.0, 1.0], 1), (5, [1.02, 1.0], 1)]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.vec_id: r.s_e6 for r in silhouette_exact(emb).collect()}
+    assert got[3] < 0
+    assert got[1] > 0 and got[4] > 0
