@@ -22799,3 +22799,124 @@ def q_silhouette_exact(spark, sf_dir):
     from reden_spark.operators.similarity import silhouette_exact
 
     return silhouette_exact(_read(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 69: BM25F field search + weighted percentiles.
+
+
+@query(
+    "bm25f_search",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    ft AS (SELECT doc_id, tok AS term,
+                  CASE WHEN pos < 5 THEN 1 ELSE 0 END AS in_title
+           FROM toks),
+    tf AS (SELECT doc_id, term,
+                  CAST(sum(in_title) AS BIGINT) AS tf_t,
+                  CAST(sum(1 - in_title) AS BIGINT) AS tf_b
+           FROM ft GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf_t) AS BIGINT) AS dl_t,
+                  CAST(sum(tf_b) AS BIGINT) AS dl_b
+           FROM tf GROUP BY 1),
+    tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT CAST(sum(dl_t) AS DOUBLE) / count(*) FROM dl)
+                    AS avgdl_t,
+                  (SELECT CAST(sum(dl_b) AS DOUBLE) / count(*) FROM dl)
+                    AS avgdl_b),
+    cand AS (
+      SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS rn
+      FROM tdf WHERE df >= 2),
+    q AS (SELECT CAST(rn // 2 AS BIGINT) AS query_id, term
+          FROM cand WHERE rn < 10),
+    s AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(ln(1 + (st.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * ((3.0 * tf.tf_t / (0.25 + 0.75
+                     * CAST(dl.dl_t AS DOUBLE) / st.avgdl_t)
+                   + 1.0 * tf.tf_b / (0.25 + 0.75
+                     * CAST(dl.dl_b AS DOUBLE) / st.avgdl_b))
+                  / (1.2 + (3.0 * tf.tf_t / (0.25 + 0.75
+                     * CAST(dl.dl_t AS DOUBLE) / st.avgdl_t)
+                   + 1.0 * tf.tf_b / (0.25 + 0.75
+                     * CAST(dl.dl_b AS DOUBLE) / st.avgdl_b))))
+               * 1e6) AS BIGINT) AS c_e6
+      FROM q JOIN tf ON q.term = tf.term
+             JOIN dl ON dl.doc_id = tf.doc_id
+             JOIN tdf t ON t.term = tf.term, st),
+    agg AS (SELECT query_id, doc_id,
+                   CAST(sum(c_e6) AS BIGINT) AS score_e6
+            FROM s GROUP BY 1, 2)
+    SELECT query_id, doc_id, score_e6, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_e6 DESC, doc_id) AS rank
+          FROM agg)
+    WHERE rank <= 5
+    """,
+)
+def q_bm25f_search(spark, sf_dir):
+    """BM25F field-weighted search (operators/search.bm25f_search):
+    first-5-tokens title field at weight 3, body at 1, over the same
+    rare-term query panel as bm25_search — per-term e6 quantization
+    before the integer score sum."""
+    from reden_spark.operators.search import bm25f_search
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias(
+            "pos", "term"
+        )
+    ).filter(F.col("term") != "")
+    tdf = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    queries = (
+        tdf.filter(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 10)
+        .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
+    )
+    return bm25f_search(docs, queries, k=5)
+
+
+@query(
+    "weighted_percentiles",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) % 10000 AS v,
+             CAST(1 + o_orderkey % 5 AS BIGINT) AS w
+      FROM orders),
+    per_v AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS wv
+              FROM vals GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, v,
+             sum(wv) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wv) OVER (PARTITION BY grp) AS tw
+      FROM per_v),
+    hits AS (
+      SELECT grp, v, q FROM cum,
+             (SELECT unnest([25, 50, 75, 90]) AS q) qs
+      WHERE cw * 100 >= q * tw)
+    SELECT grp, CAST(q AS BIGINT) AS q, CAST(min(v) AS BIGINT) AS value
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def q_weighted_percentiles(spark, sf_dir):
+    """Exact weighted percentiles (operators/analytics.
+    weighted_percentiles): cents-mod values weighted 1-5 per priority
+    — the cumulative-weight crossing, all-integer."""
+    from reden_spark.operators.analytics import weighted_percentiles
+
+    vals = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 10000).alias(
+            "v"
+        ),
+        (1 + F.col("o_orderkey") % 5).cast("long").alias("w"),
+    )
+    return weighted_percentiles(vals)

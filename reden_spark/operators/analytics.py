@@ -1301,3 +1301,43 @@ def kaplan_meier(obs: DataFrame) -> DataFrame:
         F.col("r.n_censored").alias("n_censored"),
         F.col("r.surv_e6").alias("surv_e6"),
     )
+
+
+def weighted_percentiles(
+    values: DataFrame, qs: tuple[int, ...] = (25, 50, 75, 90)
+) -> DataFrame:
+    """Exact weighted percentiles per group over (grp, v, w) rows:
+    (grp, q, value) — the smallest v whose cumulative weight reaches
+    q% of the group total (the inclusive lower-weighted-quantile, all
+    integer: cum·100 >= q·total).
+
+    The percentile the token economy runs on: "the median DOCUMENT
+    length" (exact_percentiles) and "the length below which half the
+    TOKENS live" are different numbers at web skew — weighting by
+    tokens/bytes/cost answers capacity questions the unweighted
+    quantile cannot.
+
+    Scale shape: one (grp, v) pre-aggregate, one group-partitioned
+    cumulative window over DISTINCT values (≪ rows), a tiny quantile
+    cross join; no global sort."""
+    per_v = values.groupBy("grp", "v").agg(
+        F.sum(F.col("w").cast("long")).alias("wv")
+    )
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("grp")
+    cum = per_v.withColumn("cw", F.sum("wv").over(w)).withColumn(
+        "tw", F.sum("wv").over(tot.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+    )
+    qdf = F.explode(
+        F.array(*[F.lit(int(q)) for q in qs])
+    ).alias("q")
+    hits = cum.select("grp", "v", "cw", "tw", qdf).filter(
+        F.col("cw") * 100 >= F.col("q") * F.col("tw")
+    )
+    return hits.groupBy("grp", F.col("q").cast("long").alias("q")).agg(
+        F.min("v").cast("long").alias("value")
+    )

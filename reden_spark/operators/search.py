@@ -340,3 +340,84 @@ def hybrid_rerank(
         .filter(F.col("rerank") <= k)
         .select("query_id", "doc_id", "bm25_rank", "rerank")
     )
+
+
+def bm25f_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    title_len: int = 5,
+    w_title: float = 3.0,
+    w_body: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F field-weighted search (Robertson-Zaragoza-Taylor 2004):
+    top-k docs per query where the first ``title_len`` tokens form the
+    TITLE field and the rest the BODY —
+
+      tf̃(t,d) = Σ_f w_f · tf_f / (1 − b + b·dl_f/avgdl_f)
+      s(q,d)  = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+
+    (k1 = 1.2, b = 0.75, field weights 3/1).  The structured-document
+    upgrade of bm25_search: a query term in the title outweighs the
+    same term buried in the body — what entity lookup over titled
+    records (authority labels vs descriptions) actually needs.
+
+    Determinism: field tfs pivot into COLUMNS per (doc, term) so tf̃
+    is ONE fixed-order double expression (never a float sum across
+    rows); each term's contribution quantizes to e6 BEFORE the
+    per-(query, doc) integer sum — stricter than bm25_search's
+    end-rounding, same family.  df counts documents containing the
+    term in ANY field.
+
+    Scale shape: identical to bm25_search — map-side-combinable index
+    tables, broadcast query join, one (query, doc) exchange."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    ft = toks.withColumn(
+        "in_title", (F.col("pos") < title_len).cast("long")
+    )
+    tf = ft.groupBy("doc_id", "term").agg(
+        F.sum("in_title").cast("long").alias("tf_t"),
+        F.sum(1 - F.col("in_title")).cast("long").alias("tf_b"),
+    ).persist()
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf_t").cast("long").alias("dl_t"),
+        F.sum("tf_b").cast("long").alias("dl_b"),
+    )
+    tdf = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl_t") / F.count("*")).alias("avgdl_t"),
+            (F.sum("dl_b") / F.count("*")).alias("avgdl_b"),
+        )
+    )
+    p = (
+        F.broadcast(queries)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfw = (
+        f"{w_title} * tf_t / (0.25 + 0.75 * CAST(dl_t AS DOUBLE)"
+        f" / avgdl_t) + {w_body} * tf_b / (0.25 + 0.75"
+        f" * CAST(dl_b AS DOUBLE) / avgdl_b)"
+    )
+    contrib = F.expr(
+        f"CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (({tfw}) / (1.2 + ({tfw}))) * 1e6) AS BIGINT)"
+    )
+    agg = p.select("query_id", "doc_id", contrib.alias("c_e6")).groupBy(
+        "query_id", "doc_id"
+    ).agg(F.sum("c_e6").cast("long").alias("score_e6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,66 @@
+"""Round-5 wave 69: BM25F + weighted percentiles."""
+
+from __future__ import annotations
+
+
+def test_bm25f_title_outranks_body(spark):
+    """Same term frequency, but in the title of doc 1 and the body of
+    doc 2 -> doc 1 ranks first."""
+    from reden_spark.operators.search import bm25f_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle filler filler filler filler pad pad pad"),
+            (2, "filler filler filler filler filler needle pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "needle")], "query_id long, term string"
+    )
+    got = sorted(
+        bm25f_search(docs, queries, k=5).collect(), key=lambda r: r.rank
+    )
+    assert [r.doc_id for r in got] == [1, 2]
+    assert got[0].score_e6 > got[1].score_e6
+
+
+def test_bm25f_deterministic_ranks(spark):
+    from reden_spark.operators.search import bm25f_search
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} alpha beta gamma delta common common")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "tok0"), (1, "common")], "query_id long, term string"
+    )
+    a = sorted(map(tuple, bm25f_search(docs, queries).collect()))
+    b = sorted(map(tuple, bm25f_search(docs, queries).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_weighted_percentiles_hand_traced(spark):
+    """Values 1..4 with weights (1,1,1,7): the heavy tail drags the
+    median to 4 where the unweighted median is 2."""
+    from reden_spark.operators.analytics import weighted_percentiles
+
+    vals = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 7)],
+        "grp string, v long, w long",
+    )
+    got = {r.q: r.value for r in weighted_percentiles(vals).collect()}
+    # cum weights: 1,2,3,10 of 10 -> 25% -> v=3 (cum 3 >= 2.5),
+    # 50% -> v=4 (cum 10 >= 5), 90% -> v=4
+    assert got == {25: 3, 50: 4, 75: 4, 90: 4}
+
+
+def test_weighted_percentiles_uniform_weights_match_unweighted(spark):
+    from reden_spark.operators.analytics import weighted_percentiles
+
+    vals = spark.createDataFrame(
+        [("g", v, 1) for v in range(1, 101)], "grp string, v long, w long"
+    )
+    got = {r.q: r.value for r in weighted_percentiles(vals).collect()}
+    assert got == {25: 25, 50: 50, 75: 75, 90: 90}
