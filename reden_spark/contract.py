@@ -22920,3 +22920,92 @@ def q_weighted_percentiles(spark, sf_dir):
         (1 + F.col("o_orderkey") % 5).cast("long").alias("w"),
     )
     return weighted_percentiles(vals)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 70: CRDT counter merge + k-anonymity generalization.
+
+
+@query(
+    "pn_counter_merge",
+    """
+    WITH st AS (
+      SELECT 'k' || CAST(o_custkey % 40 AS VARCHAR) AS key,
+             'r' || CAST(o_orderkey % 6 AS VARCHAR) AS replica,
+             CAST(o_orderkey % 100 AS BIGINT) AS inc,
+             CAST(o_orderkey % 35 AS BIGINT) AS dec
+      FROM orders),
+    per AS (SELECT key, replica, max(inc) AS inc, max(dec) AS dec
+            FROM st GROUP BY 1, 2)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_replicas,
+           CAST(sum(inc) AS BIGINT) AS inc_total,
+           CAST(sum(dec) AS BIGINT) AS dec_total,
+           CAST(sum(inc) - sum(dec) AS BIGINT) AS value
+    FROM per GROUP BY 1
+    """,
+)
+def q_pn_counter_merge(spark, sf_dir):
+    """PN-counter CRDT merge (operators/kg_maintain.pn_counter_merge):
+    per-replica max-folded inc/dec registers summed per key — the
+    idempotent multi-writer ingest counter."""
+    from reden_spark.operators.kg_maintain import pn_counter_merge
+
+    st = _read(spark, sf_dir, "orders").select(
+        F.concat(F.lit("k"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("key"),
+        F.concat(F.lit("r"), (F.col("o_orderkey") % 6).cast("string"))
+        .alias("replica"),
+        (F.col("o_orderkey") % 100).cast("long").alias("inc"),
+        (F.col("o_orderkey") % 35).cast("long").alias("dec"),
+    )
+    return pn_counter_merge(st)
+
+
+@query(
+    "k_anon_generalize",
+    """
+    WITH rec AS (
+      SELECT lpad(CAST((c_custkey * 37) % 100000 AS VARCHAR), 5, '0')
+               AS zip,
+             CAST(18 + (c_custkey % 60) AS BIGINT) AS age
+      FROM customer),
+    e AS (SELECT zip, age, unnest([0, 1, 2, 3]) AS level FROM rec),
+    cls AS (
+      SELECT level,
+             CASE WHEN level = 0 THEN zip
+                  WHEN level = 1 THEN substring(zip, 1, 3)
+                  WHEN level = 2 THEN substring(zip, 1, 1)
+                  ELSE '*' END AS q1,
+             CASE WHEN level = 0 THEN CAST(age AS VARCHAR)
+                  WHEN level = 1 THEN CAST(age // 10 AS VARCHAR)
+                  WHEN level = 2 THEN CAST(age // 20 AS VARCHAR)
+                  ELSE '*' END AS q2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2, 3),
+    pl AS (
+      SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(n) AS BIGINT) AS min_class,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                  // sum(n) AS BIGINT) AS pct_violating_e6
+      FROM cls GROUP BY 1),
+    ok AS (SELECT min(CASE WHEN min_class >= 5 THEN level END) AS ok
+           FROM pl)
+    SELECT CAST(level AS BIGINT) AS level, n_classes, min_class,
+           pct_violating_e6,
+           coalesce(level = (SELECT ok FROM ok), FALSE) AS chosen
+    FROM pl
+    """,
+)
+def q_k_anon_generalize(spark, sf_dir):
+    """Generalization-ladder k-anonymity (operators/analytics.
+    k_anon_generalize): four coarsening levels over synthetic
+    (zip, age) quasi-identifiers — per-level class stats, suppression
+    cost, and the minimal level that reaches k=5."""
+    from reden_spark.operators.analytics import k_anon_generalize
+
+    rec = _read(spark, sf_dir, "customer").select(
+        F.lpad(((F.col("c_custkey") * 37) % 100000).cast("string"), 5, "0")
+        .alias("zip"),
+        (18 + F.col("c_custkey") % 60).cast("long").alias("age"),
+    )
+    return k_anon_generalize(rec, k=5)

@@ -851,3 +851,31 @@ def shuffle_partition_plan(
         .cast("long")
         .alias("rounds"),
     )
+
+
+def pn_counter_merge(states: DataFrame) -> DataFrame:
+    """PN-counter CRDT merge (Shapiro et al. 2011): per-replica
+    grow-only inc/dec registers fold by MAX, totals by SUM —
+    (key, n_replicas, inc_total, dec_total, value) from state rows
+    (key, replica, inc, dec), where repeated observations of one
+    replica are superseded by their max (registers are monotone).
+
+    The conflict-free counter for multi-writer ingest: shard-local
+    counts (documents admitted, triples upserted, bytes rejected)
+    merge associatively, commutatively, and IDEMPOTENTLY — a replayed
+    batch or a doubly-delivered state row cannot change the answer,
+    the same guarantee family as minhash_merge and the kg_stream
+    batch-id sink.
+
+    Scale shape: one (key, replica) max pre-combine, one key rollup —
+    both map-side combinable."""
+    per_rep = states.groupBy("key", "replica").agg(
+        F.max(F.col("inc").cast("long")).alias("inc"),
+        F.max(F.col("dec").cast("long")).alias("dec"),
+    )
+    return per_rep.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_replicas"),
+        F.sum("inc").cast("long").alias("inc_total"),
+        F.sum("dec").cast("long").alias("dec_total"),
+        (F.sum("inc") - F.sum("dec")).cast("long").alias("value"),
+    )

@@ -1,0 +1,61 @@
+"""Round-5 wave 70: PN-counter CRDT + k-anonymity generalization."""
+
+from __future__ import annotations
+
+
+def test_pn_counter_hand_traced(spark):
+    from reden_spark.operators.kg_maintain import pn_counter_merge
+
+    st = spark.createDataFrame(
+        [
+            ("k", "r1", 10, 2), ("k", "r1", 7, 1),   # superseded by max
+            ("k", "r2", 5, 0),
+        ],
+        "key string, replica string, inc long, dec long",
+    )
+    r = pn_counter_merge(st).collect()[0]
+    assert (r.n_replicas, r.inc_total, r.dec_total, r.value) == (2, 15, 2, 13)
+
+
+def test_pn_counter_idempotent_remerge(spark):
+    """Feeding the merged per-replica registers back in changes
+    nothing — the CRDT property."""
+    from reden_spark.operators.kg_maintain import pn_counter_merge
+
+    st = spark.createDataFrame(
+        [("k", "r1", 10, 2), ("k", "r2", 5, 0), ("k", "r1", 10, 2)],
+        "key string, replica string, inc long, dec long",
+    )
+    once = pn_counter_merge(st).collect()[0]
+    doubled = pn_counter_merge(st.unionByName(st)).collect()[0]
+    assert tuple(once) == tuple(doubled)
+
+
+def test_k_anon_ladder_chooses_minimal_level(spark):
+    """Unique zips at L0, heavy pooling by L2: chosen is the first
+    level whose min class reaches k."""
+    from reden_spark.operators.analytics import k_anon_generalize
+
+    rec = spark.createDataFrame(
+        [(f"{10000 + i:05d}", 20 + i % 3) for i in range(40)],
+        "zip string, age long",
+    )
+    got = {r.level: r for r in k_anon_generalize(rec, k=5).collect()}
+    assert got[0].min_class == 1 and not got[0].chosen
+    assert got[3].min_class == 40  # ('*','*') pools everything
+    chosen = [lvl for lvl, r in got.items() if r.chosen]
+    assert len(chosen) == 1
+    lvl = chosen[0]
+    assert got[lvl].min_class >= 5
+    assert all(got[m].min_class < 5 for m in range(lvl))
+
+
+def test_k_anon_no_level_satisfies(spark):
+    """k larger than the population: every chosen flag is false."""
+    from reden_spark.operators.analytics import k_anon_generalize
+
+    rec = spark.createDataFrame(
+        [("11111", 30), ("22222", 40)], "zip string, age long"
+    )
+    got = k_anon_generalize(rec, k=10).collect()
+    assert all(not r.chosen for r in got)
