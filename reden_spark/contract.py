@@ -23009,3 +23009,105 @@ def q_k_anon_generalize(spark, sf_dir):
         (18 + F.col("c_custkey") % 60).cast("long").alias("age"),
     )
     return k_anon_generalize(rec, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 71: vector-clock causality + Merkle bucket diff.
+
+
+@query(
+    "vector_clock_order",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS id,
+             CAST(o_orderkey % 5 AS BIGINT) AS c1,
+             CAST(o_custkey % 7 AS BIGINT) AS c2,
+             CAST((o_orderkey + o_custkey) % 4 AS BIGINT) AS c3
+      FROM orders),
+    p AS (
+      SELECT a.id AS a, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+             b.id AS b, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+      FROM ev a JOIN ev b ON b.id = a.id + 1)
+    SELECT a, b,
+           CASE WHEN a1 <= b1 AND a2 <= b2 AND a3 <= b3
+                 AND b1 <= a1 AND b2 <= a2 AND b3 <= a3 THEN 'equal'
+                WHEN a1 <= b1 AND a2 <= b2 AND a3 <= b3 THEN 'before'
+                WHEN b1 <= a1 AND b2 <= a2 AND b3 <= a3 THEN 'after'
+                ELSE 'concurrent' END AS relation
+    FROM p
+    """,
+)
+def q_vector_clock_order(spark, sf_dir):
+    """Vector-clock causality (operators/provenance.
+    vector_clock_order): happens-before / concurrent classification of
+    adjacent-id event pairs under synthetic 3-replica clocks — the
+    conflict census feeding resolve_conflicts."""
+    from reden_spark.operators.provenance import vector_clock_order
+
+    ev = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 5).cast("long").alias("c1"),
+        (F.col("o_custkey") % 7).cast("long").alias("c2"),
+        ((F.col("o_orderkey") + F.col("o_custkey")) % 4)
+        .cast("long").alias("c3"),
+    )
+    a = ev.select(
+        F.col("id").alias("a"), F.col("c1").alias("a1"),
+        F.col("c2").alias("a2"), F.col("c3").alias("a3"),
+    )
+    b = ev.select(
+        (F.col("id") - 1).alias("a"), F.col("id").alias("b"),
+        F.col("c1").alias("b1"), F.col("c2").alias("b2"),
+        F.col("c3").alias("b3"),
+    )
+    pairs = a.join(b, "a").select(
+        "a", "b", "a1", "a2", "a3", "b1", "b2", "b3"
+    )
+    return vector_clock_order(pairs)
+
+
+@query(
+    "merkle_bucket_diff",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % 17 <> 0),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents),
+    lo AS (SELECT CAST(doc_id % 64 AS BIGINT) AS bucket, doc_id AS id,
+                  sha256(text) AS h
+           FROM old),
+    ln AS (SELECT CAST(doc_id % 64 AS BIGINT) AS bucket, doc_id AS id,
+                  sha256(text) AS h
+           FROM new),
+    do_ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old,
+                   sha256(string_agg(h, '' ORDER BY id)) AS h_old
+            FROM lo GROUP BY 1),
+    dn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new,
+                   sha256(string_agg(h, '' ORDER BY id)) AS h_new
+           FROM ln GROUP BY 1)
+    SELECT coalesce(do_.bucket, dn.bucket) AS bucket,
+           coalesce(n_old, 0) AS n_old,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(h_old, '') <> coalesce(h_new, '') AS differs
+    FROM do_ FULL OUTER JOIN dn ON dn.bucket = do_.bucket
+    """,
+)
+def q_merkle_bucket_diff(spark, sf_dir):
+    """Merkle bucket diff (operators/kg_maintain.merkle_bucket_diff):
+    64 id-sorted sha256 bucket digests of an edited/%17-dropped
+    snapshot pair — the constant-cost anti-entropy sync plan."""
+    from reden_spark.operators.kg_maintain import merkle_bucket_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    new = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return merkle_bucket_diff(old, new)

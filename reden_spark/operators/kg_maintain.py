@@ -879,3 +879,61 @@ def pn_counter_merge(states: DataFrame) -> DataFrame:
         F.sum("dec").cast("long").alias("dec_total"),
         (F.sum("inc") - F.sum("dec")).cast("long").alias("value"),
     )
+
+
+def merkle_bucket_diff(
+    old: DataFrame,
+    new: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Anti-entropy sync plan via Merkle-style bucket digests:
+    (bucket, n_old, n_new, differs) — both snapshots hash each id's
+    content (sha256), roll the id-sorted leaf hashes of bucket
+    ``id mod n_buckets`` into one bucket digest, and compare.  A
+    replica pair exchanges n_buckets digests (constant!) and syncs
+    ONLY the differing buckets — the Dynamo/Cassandra repair pattern,
+    here for KG/corpus snapshot reconciliation (recrawl_diff tells you
+    WHAT changed row by row; this tells two stores WHETHER a range
+    diverged at digest cost).
+
+    Determinism: leaf order inside a digest is the id sort (array_sort
+    over (id, hash) structs), so partitioning cannot reorder the
+    concatenation; absent buckets hash as the empty string.
+
+    Scale shape: one content-hash map + one bucket-keyed rollup per
+    snapshot, a 64-row outer join."""
+    def digest(df: DataFrame, n_name: str, h_name: str) -> DataFrame:
+        leaves = df.select(
+            (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
+            F.col(id_col).alias("id"),
+            F.sha2(F.col(text_col), 256).alias("h"),
+        )
+        return leaves.groupBy("bucket").agg(
+            F.count("*").cast("long").alias(n_name),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("id", "h"))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias(h_name),
+        )
+    o = digest(old, "n_old", "h_old")
+    n = digest(new, "n_new", "h_new")
+    j = o.join(n, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        (
+            F.coalesce("h_old", F.lit(""))
+            != F.coalesce("h_new", F.lit(""))
+        ).alias("differs"),
+    )

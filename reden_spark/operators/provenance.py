@@ -163,3 +163,38 @@ def code_churn(history: DataFrame) -> DataFrame:
         F.sum("removed").cast("long").alias("total_removed"),
         (F.sum("added") + F.sum("removed")).cast("long").alias("churn"),
     )
+
+
+def vector_clock_order(pairs: DataFrame) -> DataFrame:
+    """Happens-before classification of event pairs under 3-replica
+    vector clocks: (a, b, relation) with relation in 'before' (a < b
+    componentwise-<=, not equal), 'after', 'equal', 'concurrent'
+    (neither dominates) — Lamport/Mattern causality from the clocks
+    alone.  ``pairs`` carries (a, a1, a2, a3, b, b1, b2, b3).
+
+    The causal-audit primitive for multi-writer provenance: two
+    updates to the same KG entity from different ingest replicas are
+    safe to LWW-merge only if ordered; 'concurrent' rows are the
+    conflicts resolve_conflicts must adjudicate (and the PN-counter /
+    minhash merges sidestep by design).
+
+    Pure projection — four comparisons per row, no exchange."""
+    le_ab = (
+        (F.col("a1") <= F.col("b1"))
+        & (F.col("a2") <= F.col("b2"))
+        & (F.col("a3") <= F.col("b3"))
+    )
+    le_ba = (
+        (F.col("b1") <= F.col("a1"))
+        & (F.col("b2") <= F.col("a2"))
+        & (F.col("b3") <= F.col("a3"))
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.when(le_ab & le_ba, F.lit("equal"))
+        .when(le_ab, F.lit("before"))
+        .when(le_ba, F.lit("after"))
+        .otherwise(F.lit("concurrent"))
+        .alias("relation"),
+    )

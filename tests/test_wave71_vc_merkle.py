@@ -1,0 +1,64 @@
+"""Round-5 wave 71: vector clocks + Merkle bucket diff."""
+
+from __future__ import annotations
+
+
+def test_vector_clock_relations(spark):
+    from reden_spark.operators.provenance import vector_clock_order
+
+    pairs = spark.createDataFrame(
+        [
+            ("e1", 1, 2, 3, "f1", 2, 2, 3),  # before
+            ("e2", 2, 2, 3, "f2", 1, 2, 3),  # after
+            ("e3", 1, 2, 3, "f3", 1, 2, 3),  # equal
+            ("e4", 2, 1, 0, "f4", 1, 2, 0),  # concurrent
+        ],
+        "a string, a1 long, a2 long, a3 long,"
+        " b string, b1 long, b2 long, b3 long",
+    )
+    got = {r.a: r.relation for r in vector_clock_order(pairs).collect()}
+    assert got == {
+        "e1": "before", "e2": "after", "e3": "equal", "e4": "concurrent",
+    }
+
+
+def test_merkle_identical_snapshots_quiet(spark):
+    from reden_spark.operators.kg_maintain import merkle_bucket_diff
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    got = merkle_bucket_diff(docs, docs, n_buckets=8).collect()
+    assert len(got) == 8 and all(not r.differs for r in got)
+
+
+def test_merkle_localizes_the_edit(spark):
+    """Editing one doc dirties exactly its bucket."""
+    from reden_spark.operators.kg_maintain import merkle_bucket_diff
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    new = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 11, F.lit("EDITED"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    got = {r.bucket: r.differs for r in
+           merkle_bucket_diff(docs, new, n_buckets=8).collect()}
+    assert got[11 % 8] and sum(got.values()) == 1
+
+
+def test_merkle_detects_deletion(spark):
+    from reden_spark.operators.kg_maintain import merkle_bucket_diff
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(16)], "doc_id long, text string"
+    )
+    new = docs.filter(F.col("doc_id") != 5)
+    got = {r.bucket: r for r in
+           merkle_bucket_diff(docs, new, n_buckets=4).collect()}
+    assert got[1].differs and got[1].n_old == 4 and got[1].n_new == 3
+    assert sum(r.differs for r in got.values()) == 1
