@@ -23111,3 +23111,83 @@ def q_merkle_bucket_diff(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     return merkle_bucket_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 72: content-defined chunking + chunk-store dedup ratio.
+
+
+def _cdc_chunks_sql() -> str:
+    terms = ["CAST(ascii(substr(text, i, 1)) AS BIGINT)"]
+    mult = 1
+    for j in range(1, 8):
+        mult *= 31
+        terms.append(
+            f"CAST(CASE WHEN i - {j} >= 1"
+            f" THEN ascii(substr(text, i - {j}, 1)) ELSE 0 END"
+            f" AS BIGINT) * {mult}"
+        )
+    h = " + ".join(terms)
+    return f"""
+    chars AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+      FROM documents),
+    mh AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             substr(text, i, 1) AS c,
+             CASE WHEN i - 1 >= 7 AND ({h}) % 64 = 0
+                  THEN 1 ELSE 0 END AS is_b
+      FROM chars),
+    idx AS (
+      SELECT doc_id, pos, c,
+             CAST(coalesce(sum(is_b) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+      FROM mh),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(min(pos) AS BIGINT) AS start_pos,
+             CAST(count(*) AS BIGINT) AS len,
+             sha256(string_agg(c, '' ORDER BY pos)) AS chunk_hash
+      FROM idx GROUP BY 1, 2)"""
+
+
+@query(
+    "cdc_chunks",
+    f"""
+    WITH {_cdc_chunks_sql()}
+    SELECT doc_id, chunk_idx, start_pos, len, chunk_hash FROM chunks
+    """,
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/dedup.cdc_chunks): 8-char
+    windowed polynomial boundaries (mod 64) over document text —
+    edit-resynchronizing chunk table with sha256 content addresses."""
+    from reden_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "cdc_dedup_ratio",
+    f"""
+    WITH {_cdc_chunks_sql()},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(len) AS BIGINT) AS bytes_total FROM chunks),
+    dis AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(len) AS BIGINT) AS bytes_distinct
+            FROM (SELECT chunk_hash, min(len) AS len
+                  FROM chunks GROUP BY 1))
+    SELECT n_chunks, n_distinct, bytes_total, bytes_distinct,
+           CAST(bytes_distinct * 1000000 // bytes_total AS BIGINT)
+             AS dedup_ratio_e6
+    FROM tot, dis
+    """,
+)
+def q_cdc_dedup_ratio(spark, sf_dir):
+    """Chunk-store dedup ratio (operators/dedup.cdc_dedup_ratio): how
+    many bytes a content-addressed store holds for the corpus's CDC
+    chunk table — the storage-level sharing number."""
+    from reden_spark.operators.dedup import cdc_chunks, cdc_dedup_ratio
+
+    return cdc_dedup_ratio(cdc_chunks(_read(spark, sf_dir, "documents")))

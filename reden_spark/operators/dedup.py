@@ -627,3 +627,104 @@ def minhash_merge(shard_sigs: DataFrame, n_hashes: int = 8) -> DataFrame:
     whole point; the token exchange happened per-shard upstream."""
     aggs = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
     return shard_sigs.groupBy("id").agg(*aggs)
+
+
+CDC_WINDOW = 8
+CDC_MASK_MOD = 64
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: (doc_id, chunk_idx, start_pos, len,
+    chunk_hash) — chunk boundaries fall where the 8-char polynomial
+    window hash h(i) = Σ_j ascii(c[i−j])·31^j satisfies h mod 64 = 0
+    (expected chunk ≈ 64 chars), the FastCDC/LBFS idea with a
+    windowed hash both engines can evaluate by column expressions
+    (7 lags, no rolling state).
+
+    Why content-defined: an insertion near the front of a document
+    shifts every FIXED-size block and defeats block dedup; CDC
+    boundaries re-synchronize after the edit, so unchanged spans keep
+    their hashes — the storage-level complement of shingle dedup
+    (which finds near-dup DOCUMENTS; this finds shared BYTES).
+
+    Scale shape: everything keys on doc_id — the char explode, the
+    lag window, the boundary prefix-count, and the chunk rollup; the
+    chunk table is ~len/64 rows per doc."""
+    chars = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c"),
+    ).filter(F.col("c") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.ascii("c").cast("long")
+    mult = 1
+    for j in range(1, CDC_WINDOW):
+        mult *= 31
+        h = h + F.coalesce(
+            F.ascii(F.lag("c", j).over(w)).cast("long"), F.lit(0)
+        ) * F.lit(mult)
+    marked = chars.withColumn(
+        "is_b",
+        (
+            (F.col("pos") >= CDC_WINDOW - 1)
+            & (h % CDC_MASK_MOD == 0)
+        ).cast("long"),
+    )
+    idx = marked.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum("is_b").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return idx.groupBy("doc_id", "chunk_idx").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count("*").cast("long").alias("len"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ),
+                "",
+            ),
+            256,
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_ratio(chunks: DataFrame) -> DataFrame:
+    """One row (n_chunks, n_distinct, bytes_total, bytes_distinct,
+    dedup_ratio_e6) over a cdc_chunks table: how many bytes a
+    content-addressed chunk store would actually hold.  distinct
+    bytes count each chunk_hash once at its length; ratio =
+    bytes_distinct/bytes_total in micro-units (1e6 = no sharing).
+
+    Scale shape: one hash-keyed dedup + two scalar aggregates."""
+    tot = chunks.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("len").cast("long").alias("bytes_total"),
+    )
+    dis = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min("len").alias("len"))
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("len").cast("long").alias("bytes_distinct"),
+        )
+    )
+    return tot.crossJoin(dis).select(
+        "n_chunks",
+        "n_distinct",
+        "bytes_total",
+        "bytes_distinct",
+        F.expr(
+            "CAST(bytes_distinct * CAST(1000000 AS BIGINT)"
+            " div bytes_total AS BIGINT)"
+        ).alias("dedup_ratio_e6"),
+    )
