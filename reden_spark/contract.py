@@ -23191,3 +23191,136 @@ def q_cdc_dedup_ratio(spark, sf_dir):
     from reden_spark.operators.dedup import cdc_chunks, cdc_dedup_ratio
 
     return cdc_dedup_ratio(cdc_chunks(_read(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 73: Krippendorff's alpha + NDCG@k.
+
+
+@query(
+    "krippendorff_alpha",
+    """
+    WITH rt AS (
+      SELECT doc_id AS unit, r AS rater,
+             CASE WHEN (doc_id + r) % 7 = 0
+                  THEN CAST((doc_id + r) % 4 AS VARCHAR)
+                  ELSE CAST(doc_id % 4 AS VARCHAR) END AS c
+      FROM documents, (SELECT unnest([0, 1, 2]) AS r) rs),
+    m AS (SELECT unit, CAST(count(*) AS BIGINT) AS m
+          FROM rt GROUP BY 1),
+    ok AS (SELECT unit, m FROM m WHERE m >= 2),
+    rr AS (SELECT rt.unit, rt.rater, rt.c, ok.m
+           FROM rt JOIN ok USING (unit)),
+    pairs AS (
+      SELECT x.unit, x.m, x.c, y.c AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM rr x JOIN rr y ON x.unit = y.unit AND x.rater <> y.rater
+      GROUP BY 1, 2, 3, 4),
+    o AS (
+      SELECT c, k,
+             CAST(sum(CAST(round(CAST(cnt * 1000000 AS DOUBLE)
+                  / (m - 1)) AS BIGINT)) AS BIGINT) AS o_e6
+      FROM pairs GROUP BY 1, 2),
+    nc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c
+           FROM rr GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_categories,
+                   CAST(sum(n_c * n_c) AS BIGINT) AS sq
+            FROM nc),
+    do_ AS (SELECT CAST(sum(o_e6) AS BIGINT) AS do_e6
+            FROM o WHERE c <> k)
+    SELECT tot.n AS n_pairable, tot.n_categories,
+           coalesce(do_.do_e6, 0) AS do_e6,
+           CAST(round((1.0 - CAST(coalesce(do_.do_e6, 0) AS DOUBLE)
+                * (tot.n - 1) / (1e6 * (tot.n * tot.n - tot.sq)))
+                * 1e6) AS BIGINT) AS alpha_e6
+    FROM tot, do_
+    """,
+)
+def q_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (operators/model_eval.krippendorff_alpha):
+    three synthetic raters per document with %7 deviations — the
+    multi-rater chance-corrected agreement for judge ensembles,
+    per-unit e6-quantized coincidences."""
+    from reden_spark.operators.model_eval import krippendorff_alpha
+
+    d = F.col("doc_id")
+    ratings = _read(spark, sf_dir, "documents").select(
+        d.alias("unit"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("rater"),
+    ).select(
+        "unit",
+        "rater",
+        F.when(
+            (F.col("unit") + F.col("rater")) % 7 == 0,
+            ((F.col("unit") + F.col("rater")) % 4).cast("string"),
+        )
+        .otherwise((F.col("unit") % 4).cast("string"))
+        .alias("category"),
+    )
+    return krippendorff_alpha(ratings)
+
+
+@query(
+    "ndcg_at_k",
+    """
+    WITH run AS (
+      SELECT doc_id % 5 AS query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id % 5
+               ORDER BY (doc_id * 2654435761) % 999983, doc_id)
+               AS BIGINT) AS rank
+      FROM documents),
+    gold AS (
+      SELECT doc_id % 5 AS query_id, doc_id,
+             CAST((doc_id + doc_id % 5) % 4 AS BIGINT) AS rel
+      FROM documents WHERE doc_id % 3 <> 0),
+    sc AS (
+      SELECT r.query_id, coalesce(g.rel, 0) AS rel, r.rank AS i
+      FROM run r LEFT JOIN gold g
+        ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+      WHERE r.rank <= 10),
+    dcg AS (
+      SELECT query_id,
+             CAST(sum(CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                  / (ln(i + 1) / ln(2)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS dcg_e6
+      FROM sc GROUP BY 1),
+    ideal AS (
+      SELECT query_id,
+             CAST(sum(CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                  / (ln(i + 1) / ln(2)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS idcg_e6
+      FROM (SELECT query_id, rel,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS i
+            FROM gold) z
+      WHERE i <= 10 AND rel > 0
+      GROUP BY 1)
+    SELECT dcg.query_id, dcg.dcg_e6,
+           coalesce(ideal.idcg_e6, 0) AS idcg_e6,
+           CAST(CASE WHEN coalesce(ideal.idcg_e6, 0) = 0 THEN 0
+                ELSE dcg.dcg_e6 * 1000000 // ideal.idcg_e6 END
+                AS BIGINT) AS ndcg_e6
+    FROM dcg LEFT JOIN ideal ON ideal.query_id = dcg.query_id
+    """,
+)
+def q_ndcg_at_k(spark, sf_dir):
+    """NDCG@10 (operators/model_eval.ndcg_at_k): hash-ranked runs vs
+    graded (+missing) gold per 5 query buckets — per-position e6
+    gains, ideal order from the gold sort; the graded ranking metric
+    beside kg_ranking_metrics' binary family."""
+    from reden_spark.operators.model_eval import ndcg_at_k
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = Window.partitionBy(F.col("query_id")).orderBy(
+        ((d * 2654435761) % 999983).asc(), d.asc()
+    )
+    run = docs.select((d % 5).alias("query_id"), "doc_id").withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    gold = docs.filter(d % 3 != 0).select(
+        (d % 5).alias("query_id"),
+        "doc_id",
+        ((d + d % 5) % 4).cast("long").alias("rel"),
+    )
+    return ndcg_at_k(run, gold, k=10)

@@ -590,3 +590,128 @@ def calibration_bins(scored: DataFrame, n_bins: int = 10) -> DataFrame:
             F.col("avg_score_e6") - F.col("pos_rate_e6")
         ).cast("long").alias("gap_e6"),
     )
+
+
+def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over (unit, rater,
+    category) rows → one row (n_pairable, n_categories, do_e6,
+    alpha_e6).  The multi-rater, missing-data-tolerant chance-
+    corrected agreement — what LLM-judge ensembles and annotation
+    fleets need where cohens_kappa stops at two complete raters:
+    units with a single rating drop out, every other unit contributes
+    its within-unit rating pairs at weight 1/(m_u − 1).
+
+      D_o = Σ_{c≠k} o_ck,  o_ck = Σ_u pairs_u(c,k)/(m_u − 1)
+      alpha = 1 − D_o·(n−1) / Σ_{c≠k} n_c·n_k
+
+    Per-unit coincidence contributions quantize to e6 (one exact-
+    integer double division each) before the integer sums; the final
+    alpha is one fixed double expression over those integers.
+
+    Scale shape: a unit-keyed self-join bounded by ratings-per-unit
+    (a constant), two category rollups — nothing global."""
+    r = ratings.select(
+        "unit", "rater", F.col("category").cast("string").alias("c")
+    )
+    m = r.groupBy("unit").agg(F.count("*").cast("long").alias("m"))
+    ok = m.filter(F.col("m") >= 2)
+    rr = r.join(ok, "unit")
+    pairs = (
+        rr.alias("x")
+        .join(
+            rr.alias("y"),
+            (F.col("x.unit") == F.col("y.unit"))
+            & (F.col("x.rater") != F.col("y.rater")),
+        )
+        .groupBy(
+            F.col("x.unit").alias("unit"),
+            F.col("x.m").alias("m"),
+            F.col("x.c").alias("c"),
+            F.col("y.c").alias("k"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    o = pairs.groupBy("c", "k").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(cnt * 1000000 AS DOUBLE) / (m - 1))"
+                " AS BIGINT)"
+            )
+        ).cast("long").alias("o_e6")
+    )
+    nc = rr.groupBy("c").agg(F.count("*").cast("long").alias("n_c"))
+    tot = nc.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_categories"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sq"),
+    )
+    do = o.filter(F.col("c") != F.col("k")).agg(
+        F.sum("o_e6").cast("long").alias("do_e6")
+    )
+    return tot.crossJoin(do).select(
+        F.col("n").alias("n_pairable"),
+        "n_categories",
+        F.coalesce("do_e6", F.lit(0)).alias("do_e6"),
+        F.expr(
+            "CAST(round((1.0 - CAST(coalesce(do_e6, 0) AS DOUBLE)"
+            " * (n - 1) / (1e6 * (n * n - sq))) * 1e6) AS BIGINT)"
+        ).alias("alpha_e6"),
+    )
+
+
+def ndcg_at_k(run: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k per query over a ranked ``run`` (query_id, doc_id,
+    rank) and graded ``gold`` (query_id, doc_id, rel 0..3) →
+    (query_id, dcg_e6, idcg_e6, ndcg_e6) — the graded-relevance
+    ranking metric the binary family (hits/mrr/auc in
+    kg_ranking_metrics, pr_curve) cannot express: a 'perfect' doc at
+    rank 1 is worth more than three 'fair' ones below it.
+
+      DCG@k  = Σ_{i<=k} (2^rel − 1) / log2(i + 1)
+      IDCG@k = the same over gold sorted (rel desc, doc_id asc)
+
+    Each position's gain quantizes to e6 (exact integer numerator,
+    one ln-ratio denominator) before the integer sums; absent docs
+    score rel 0.  ndcg = dcg·1e6 div idcg (integers; 0 when the query
+    has no relevant docs).
+
+    Scale shape: one rank-bounded join + per-query window for the
+    ideal order — both keyed on query_id."""
+    g = gold.select(
+        "query_id", "doc_id", F.col("rel").cast("long").alias("rel")
+    )
+    scored = (
+        run.filter(F.col("rank") <= k)
+        .join(g, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+            F.col("rank").cast("long").alias("i"),
+        )
+    )
+    gain = F.expr(
+        "CAST(round((CAST(shiftleft(CAST(1 AS BIGINT), rel) - 1"
+        " AS DOUBLE)) / (ln(i + 1) / ln(2)) * 1e6) AS BIGINT)"
+    )
+    dcg = scored.groupBy("query_id").agg(
+        F.sum(gain).cast("long").alias("dcg_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        g.withColumn("i", F.row_number().over(w).cast("long"))
+        .filter((F.col("i") <= k) & (F.col("rel") > 0))
+        .groupBy("query_id")
+        .agg(F.sum(gain).cast("long").alias("idcg_e6"))
+    )
+    return dcg.join(ideal, "query_id", "left").select(
+        "query_id",
+        "dcg_e6",
+        F.coalesce("idcg_e6", F.lit(0)).alias("idcg_e6"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(idcg_e6, 0) = 0 THEN 0"
+            " ELSE dcg_e6 * CAST(1000000 AS BIGINT) div idcg_e6 END"
+            " AS BIGINT)"
+        ).alias("ndcg_e6"),
+    )

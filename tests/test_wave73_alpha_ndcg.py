@@ -1,0 +1,76 @@
+"""Round-5 wave 73: Krippendorff's alpha + NDCG@k."""
+
+from __future__ import annotations
+
+
+def test_krippendorff_perfect_agreement(spark):
+    from reden_spark.operators.model_eval import krippendorff_alpha
+
+    rows = [(u, r, str(u % 3)) for u in range(30) for r in (0, 1)]
+    rt = spark.createDataFrame(rows, "unit long, rater long, category string")
+    r = krippendorff_alpha(rt).collect()[0]
+    assert r.alpha_e6 == 1000000 and r.do_e6 == 0
+    assert r.n_pairable == 60
+
+
+def test_krippendorff_disagreement_lowers_alpha(spark):
+    from reden_spark.operators.model_eval import krippendorff_alpha
+
+    agree = [(u, r, str(u % 2)) for u in range(20) for r in (0, 1)]
+    disagree = [(100 + u, 0, "0") for u in range(10)] + [
+        (100 + u, 1, "1") for u in range(10)
+    ]
+    a = krippendorff_alpha(
+        spark.createDataFrame(agree, "unit long, rater long, category string")
+    ).collect()[0].alpha_e6
+    b = krippendorff_alpha(
+        spark.createDataFrame(
+            agree + disagree, "unit long, rater long, category string"
+        )
+    ).collect()[0].alpha_e6
+    assert a == 1000000 and b < a
+
+
+def test_krippendorff_drops_single_rating_units(spark):
+    from reden_spark.operators.model_eval import krippendorff_alpha
+
+    rows = [(1, 0, "a"), (1, 1, "a"), (2, 0, "b")]  # unit 2 unpairable
+    rt = spark.createDataFrame(rows, "unit long, rater long, category string")
+    r = krippendorff_alpha(rt).collect()[0]
+    assert r.n_pairable == 2
+
+
+def test_ndcg_perfect_and_reversed(spark):
+    from reden_spark.operators.model_eval import ndcg_at_k
+
+    gold = spark.createDataFrame(
+        [(0, 10, 3), (0, 11, 2), (0, 12, 1)],
+        "query_id long, doc_id long, rel long",
+    )
+    perfect = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    reverse = spark.createDataFrame(
+        [(0, 12, 1), (0, 11, 2), (0, 10, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    p = ndcg_at_k(perfect, gold).collect()[0]
+    r = ndcg_at_k(reverse, gold).collect()[0]
+    assert p.ndcg_e6 == 1000000 and p.dcg_e6 == p.idcg_e6
+    assert r.ndcg_e6 < 1000000 and r.idcg_e6 == p.idcg_e6
+
+
+def test_ndcg_unjudged_docs_score_zero(spark):
+    from reden_spark.operators.model_eval import ndcg_at_k
+
+    gold = spark.createDataFrame(
+        [(0, 10, 2)], "query_id long, doc_id long, rel long"
+    )
+    run = spark.createDataFrame(
+        [(0, 99, 1), (0, 10, 2)], "query_id long, doc_id long, rank long"
+    )
+    r = ndcg_at_k(run, gold).collect()[0]
+    # unjudged doc at rank 1 contributes nothing; rel-2 doc pays the
+    # rank-2 discount -> ndcg strictly below 1
+    assert 0 < r.ndcg_e6 < 1000000
