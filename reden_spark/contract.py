@@ -23230,9 +23230,10 @@ def q_cdc_dedup_ratio(spark, sf_dir):
             FROM o WHERE c <> k)
     SELECT tot.n AS n_pairable, tot.n_categories,
            coalesce(do_.do_e6, 0) AS do_e6,
-           CAST(round((1.0 - CAST(coalesce(do_.do_e6, 0) AS DOUBLE)
+           CAST(CASE WHEN tot.n * tot.n = tot.sq THEN 1000000
+                ELSE round((1.0 - CAST(coalesce(do_.do_e6, 0) AS DOUBLE)
                 * (tot.n - 1) / (1e6 * (tot.n * tot.n - tot.sq)))
-                * 1e6) AS BIGINT) AS alpha_e6
+                * 1e6) END AS BIGINT) AS alpha_e6
     FROM tot, do_
     """,
 )

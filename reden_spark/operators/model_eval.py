@@ -652,9 +652,12 @@ def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
         F.col("n").alias("n_pairable"),
         "n_categories",
         F.coalesce("do_e6", F.lit(0)).alias("do_e6"),
+        # one observed category => expected disagreement 0 and the
+        # ratio is 0/0; report perfect agreement by convention
         F.expr(
-            "CAST(round((1.0 - CAST(coalesce(do_e6, 0) AS DOUBLE)"
-            " * (n - 1) / (1e6 * (n * n - sq))) * 1e6) AS BIGINT)"
+            "CAST(CASE WHEN n * n = sq THEN 1000000"
+            " ELSE round((1.0 - CAST(coalesce(do_e6, 0) AS DOUBLE)"
+            " * (n - 1) / (1e6 * (n * n - sq))) * 1e6) END AS BIGINT)"
         ).alias("alpha_e6"),
     )
 
