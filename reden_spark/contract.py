@@ -23325,3 +23325,100 @@ def q_ndcg_at_k(spark, sf_dir):
         ((d + d % 5) % 4).cast("long").alias("rel"),
     )
     return ndcg_at_k(run, gold, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 74: SSSP parent trees + bitemporal point query.
+
+
+def _sssp_parents_oracle_sql(rounds: int = 10) -> str:
+    parts = [
+        """WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_orderkey % 9 AS BIGINT) AS src,
+             CAST(o_custkey % 9 AS BIGINT) AS dst,
+             CAST(1 + ((o_orderkey % 9) * 7 + o_custkey % 9) % 5
+                  AS BIGINT) AS w
+      FROM orders WHERE o_orderkey % 9 < o_custkey % 9),
+    s0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+                  CAST(-1 AS BIGINT) AS parent)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+    u{k} AS MATERIALIZED (
+      SELECT node, dist, parent FROM s{p}
+      UNION ALL
+      SELECT e.dst, s.dist + e.w, e.src
+      FROM e JOIN s{p} s ON s.node = e.src),
+    m{k} AS (SELECT node, min(dist) AS dist FROM u{k} GROUP BY 1),
+    s{k} AS MATERIALIZED (
+      SELECT u.node, m.dist, CAST(min(u.parent) AS BIGINT) AS parent
+      FROM u{k} u JOIN m{k} m ON m.node = u.node AND u.dist = m.dist
+      GROUP BY u.node, m.dist)""")
+    parts.append(f"""
+    SELECT node, dist, parent FROM s{rounds}""")
+    return "".join(parts)
+
+
+@query("sssp_parents", _sssp_parents_oracle_sql(10))
+def q_sssp_parents(spark, sf_dir):
+    """Shortest-path parent trees (operators/paths.sssp_parents):
+    Bellman-Ford with lexicographic (dist, parent) relaxation from
+    node 0 of the weighted 9-node order DAG — deterministic tree, not
+    just distances."""
+    from reden_spark.operators.paths import sssp_parents
+
+    o = _read(spark, sf_dir, "orders")
+    s, d = F.col("o_orderkey") % 9, F.col("o_custkey") % 9
+    edges = o.filter(s < d).select(
+        s.cast("long").alias("src"),
+        d.cast("long").alias("dst"),
+        (1 + ((s * 7) + d) % 5).cast("long").alias("w"),
+    ).dropDuplicates(["src", "dst", "w"])
+    sources = spark.createDataFrame([(0,)], "node long")
+    return sssp_parents(edges, sources, rounds=10)
+
+
+@query(
+    "bitemporal_asof",
+    """
+    WITH rec AS (
+      SELECT CAST(o_custkey % 50 AS BIGINT) AS key,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS value,
+             CAST(o_orderkey % 100 AS BIGINT) AS valid_from,
+             CAST(o_orderkey % 100 + 10 + o_orderkey % 20 AS BIGINT)
+               AS valid_to,
+             CAST(o_custkey % 80 AS BIGINT) AS tx_from,
+             CAST(o_custkey % 80 + 15 + o_orderkey % 10 AS BIGINT)
+               AS tx_to
+      FROM orders),
+    cov AS (
+      SELECT * FROM rec
+      WHERE valid_from <= 50 AND 50 < valid_to
+        AND tx_from <= 40 AND 40 < tx_to)
+    SELECT key, value, valid_from, tx_from FROM (
+      SELECT key, value, valid_from, tx_from,
+             row_number() OVER (PARTITION BY key
+               ORDER BY tx_from DESC, valid_from DESC, value ASC) AS rn
+      FROM cov) z
+    WHERE rn = 1
+    """,
+)
+def q_bitemporal_asof(spark, sf_dir):
+    """Bitemporal point query (operators/temporal.bitemporal_asof):
+    what was KNOWN at tx 40 about the state TRUE at valid 50 — the
+    two-axis audit/backtest lookup past scd2_history."""
+    from reden_spark.operators.temporal import bitemporal_asof
+
+    o = _read(spark, sf_dir, "orders")
+    rec = o.select(
+        (F.col("o_custkey") % 50).cast("long").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("value"),
+        (F.col("o_orderkey") % 100).cast("long").alias("valid_from"),
+        (F.col("o_orderkey") % 100 + 10 + F.col("o_orderkey") % 20)
+        .cast("long").alias("valid_to"),
+        (F.col("o_custkey") % 80).cast("long").alias("tx_from"),
+        (F.col("o_custkey") % 80 + 15 + F.col("o_orderkey") % 10)
+        .cast("long").alias("tx_to"),
+    )
+    return bitemporal_asof(rec, valid_at=50, tx_at=40)

@@ -293,3 +293,61 @@ def exact_eccentricity(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     return visited.groupBy(F.col("s").alias("node")).agg(
         F.max("dist").cast("long").alias("ecc")
     )
+
+
+def sssp_parents(
+    edges: DataFrame, sources: DataFrame, rounds: int = 10
+) -> DataFrame:
+    """Single-source shortest paths WITH parent pointers:
+    (node, dist, parent) — Bellman-Ford relaxation where each round's
+    state is the lexicographic min of (dist, parent), so equal-cost
+    ties break to the smallest parent id and the shortest-path TREE is
+    deterministic, not just the distances (sssp_weighted stops at
+    distances; the parent column is what lineage tracing and routing
+    actually consume — following parents reconstructs the path with
+    no further search).
+
+    ``edges`` is (src, dst, w) with positive integer weights;
+    ``sources`` is (node) at dist 0 with parent = -1.  ``rounds``
+    must cover the longest shortest path's hop count (fixed rounds
+    past the fixpoint are no-ops, the kcore contract).
+
+    Scale shape: each round is one dst-keyed join + one
+    (dist, parent)-struct min aggregate, localCheckpoint lineage
+    cuts; state is one row per reached node."""
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).persist()
+    state = sources.select(
+        F.col("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(-1).cast("long").alias("parent"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            e.join(
+                state.select(F.col("node").alias("src"),
+                             F.col("dist").alias("sd")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("sd") + F.col("w")).alias("dist"),
+                F.col("src").alias("parent"),
+            )
+        )
+        merged = (
+            state.unionByName(relaxed)
+            .groupBy("node")
+            .agg(
+                F.min(F.struct("dist", "parent")).alias("m")
+            )
+            .select(
+                "node",
+                F.col("m.dist").alias("dist"),
+                F.col("m.parent").alias("parent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+    return state

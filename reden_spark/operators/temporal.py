@@ -307,3 +307,39 @@ def temporal_conflicts(triples: DataFrame) -> DataFrame:
         F.greatest("sa", "sb").cast("long").alias("overlap_start"),
         F.least("ea", "eb").cast("long").alias("overlap_end"),
     ).distinct()
+
+
+def bitemporal_asof(
+    records: DataFrame, valid_at: int, tx_at: int
+) -> DataFrame:
+    """Bitemporal point query: of (key, value, valid_from, valid_to,
+    tx_from, tx_to) records, the one version per key that was TRUE at
+    ``valid_at`` AND KNOWN at ``tx_at`` (half-open intervals) —
+    (key, value, valid_from, tx_from).
+
+    The two-axis time travel scd2_history cannot answer alone:
+    "what did we believe on tx_at about the state of the world at
+    valid_at" — the audit/backtest question (reproduce a training
+    snapshot as it was known then, corrections excluded).  Among
+    multiple covering versions (late corrections recorded within the
+    tx window) the winner is deterministic: latest tx_from, then
+    latest valid_from, then min value.
+
+    One filter + one key-partitioned argmax window — the asof_lookup
+    exchange shape with a second predicate."""
+    cov = records.filter(
+        (F.col("valid_from") <= valid_at)
+        & (valid_at < F.col("valid_to"))
+        & (F.col("tx_from") <= tx_at)
+        & (tx_at < F.col("tx_to"))
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("tx_from").desc(),
+        F.col("valid_from").desc(),
+        F.col("value").asc(),
+    )
+    return (
+        cov.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "value", "valid_from", "tx_from")
+    )

@@ -1,0 +1,75 @@
+"""Round-5 wave 74: SSSP parent trees + bitemporal point query."""
+
+from __future__ import annotations
+
+
+def test_sssp_parents_hand_traced(spark):
+    """0-1 (w1), 0-2 (w4), 1-2 (w1), 2-3 (w2): dist 0,1,2,4 and the
+    parent chain 3<-2<-1<-0."""
+    from reden_spark.operators.paths import sssp_parents
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 4), (1, 2, 1), (2, 3, 2)],
+        "src long, dst long, w long",
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: (r.dist, r.parent)
+           for r in sssp_parents(e, s, rounds=5).collect()}
+    assert got == {0: (0, -1), 1: (1, 0), 2: (2, 1), 3: (4, 2)}
+
+
+def test_sssp_equal_cost_tie_breaks_to_min_parent(spark):
+    """Two equal-cost routes into node 3 -> parent is the smaller id."""
+    from reden_spark.operators.paths import sssp_parents
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (1, 3, 1), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: (r.dist, r.parent)
+           for r in sssp_parents(e, s, rounds=5).collect()}
+    assert got[3] == (2, 1)
+
+
+def test_sssp_unreachable_absent(spark):
+    from reden_spark.operators.paths import sssp_parents
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (5, 6, 1)], "src long, dst long, w long"
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    nodes = {r.node for r in sssp_parents(e, s, rounds=3).collect()}
+    assert nodes == {0, 1}
+
+
+def test_bitemporal_excludes_late_corrections(spark):
+    """A correction recorded AFTER tx_at must not be visible."""
+    from reden_spark.operators.temporal import bitemporal_asof
+
+    rec = spark.createDataFrame(
+        [
+            # key, value, valid_from, valid_to, tx_from, tx_to
+            ("k", 100, 0, 100, 0, 999),    # original belief
+            ("k", 200, 0, 100, 60, 999),   # correction known at tx 60
+        ],
+        "key string, value long, valid_from long, valid_to long,"
+        " tx_from long, tx_to long",
+    )
+    early = bitemporal_asof(rec, valid_at=50, tx_at=40).collect()[0]
+    late = bitemporal_asof(rec, valid_at=50, tx_at=70).collect()[0]
+    assert early.value == 100   # correction not yet known
+    assert late.value == 200    # latest-known version wins
+
+
+def test_bitemporal_valid_interval_filters(spark):
+    from reden_spark.operators.temporal import bitemporal_asof
+
+    rec = spark.createDataFrame(
+        [("k", 1, 0, 10, 0, 99), ("k", 2, 10, 20, 0, 99)],
+        "key string, value long, valid_from long, valid_to long,"
+        " tx_from long, tx_to long",
+    )
+    assert bitemporal_asof(rec, 5, 50).collect()[0].value == 1
+    assert bitemporal_asof(rec, 10, 50).collect()[0].value == 2  # half-open
+    assert bitemporal_asof(rec, 25, 50).count() == 0
