@@ -23422,3 +23422,113 @@ def q_bitemporal_asof(spark, sf_dir):
         .cast("long").alias("tx_to"),
     )
     return bitemporal_asof(rec, valid_at=50, tx_at=40)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 75: Shannon code plan + DP noise budget.
+
+
+@query(
+    "token_code_plan",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+          FROM toks GROUP BY 1),
+    n AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM f)
+    SELECT tok, freq,
+           CAST(CASE
+             WHEN freq * 2 >= n THEN 1
+             WHEN freq * 4 >= n THEN 2
+             WHEN freq * 8 >= n THEN 3
+             WHEN freq * 16 >= n THEN 4
+             WHEN freq * 32 >= n THEN 5
+             WHEN freq * 64 >= n THEN 6
+             WHEN freq * 128 >= n THEN 7
+             WHEN freq * 256 >= n THEN 8
+             WHEN freq * 512 >= n THEN 9
+             WHEN freq * 1024 >= n THEN 10
+             WHEN freq * 2048 >= n THEN 11
+             WHEN freq * 4096 >= n THEN 12
+             WHEN freq * 8192 >= n THEN 13
+             WHEN freq * 16384 >= n THEN 14
+             WHEN freq * 32768 >= n THEN 15
+             WHEN freq * 65536 >= n THEN 16
+             WHEN freq * 131072 >= n THEN 17
+             WHEN freq * 262144 >= n THEN 18
+             WHEN freq * 524288 >= n THEN 19
+             WHEN freq * 1048576 >= n THEN 20
+             WHEN freq * 2097152 >= n THEN 21
+             WHEN freq * 4194304 >= n THEN 22
+             WHEN freq * 8388608 >= n THEN 23
+             WHEN freq * 16777216 >= n THEN 24
+             ELSE 24 END AS BIGINT) AS code_len,
+           CAST(freq * (CASE
+             WHEN freq * 2 >= n THEN 1
+             WHEN freq * 4 >= n THEN 2
+             WHEN freq * 8 >= n THEN 3
+             WHEN freq * 16 >= n THEN 4
+             WHEN freq * 32 >= n THEN 5
+             WHEN freq * 64 >= n THEN 6
+             WHEN freq * 128 >= n THEN 7
+             WHEN freq * 256 >= n THEN 8
+             WHEN freq * 512 >= n THEN 9
+             WHEN freq * 1024 >= n THEN 10
+             WHEN freq * 2048 >= n THEN 11
+             WHEN freq * 4096 >= n THEN 12
+             WHEN freq * 8192 >= n THEN 13
+             WHEN freq * 16384 >= n THEN 14
+             WHEN freq * 32768 >= n THEN 15
+             WHEN freq * 65536 >= n THEN 16
+             WHEN freq * 131072 >= n THEN 17
+             WHEN freq * 262144 >= n THEN 18
+             WHEN freq * 524288 >= n THEN 19
+             WHEN freq * 1048576 >= n THEN 20
+             WHEN freq * 2097152 >= n THEN 21
+             WHEN freq * 4194304 >= n THEN 22
+             WHEN freq * 8388608 >= n THEN 23
+             WHEN freq * 16777216 >= n THEN 24
+             ELSE 24 END) AS BIGINT) AS bits
+    FROM f, n
+    """,
+)
+def q_token_code_plan(spark, sf_dir):
+    """Shannon code lengths (operators/sketches.token_code_plan):
+    ceil(-log2 p) as a pure integer ladder over the corpus token
+    frequencies - the dictionary-coding budget, no logarithms."""
+    from reden_spark.operators.sketches import token_code_plan
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return token_code_plan(toks)
+
+
+@query(
+    "dp_noise_plan",
+    """
+    SELECT CAST(eps_e3 AS BIGINT) AS eps_e3, CAST(q AS BIGINT) AS q,
+           CAST(b_e6 AS BIGINT) AS b_e6,
+           CAST(noise_q_e6 AS BIGINT) AS noise_q_e6
+    FROM (VALUES
+      (100, 50, 10000000, 6931472),
+      (100, 90, 10000000, 23025851),
+      (100, 99, 10000000, 46051702),
+      (500, 50, 2000000, 1386294),
+      (500, 90, 2000000, 4605170),
+      (500, 99, 2000000, 9210340),
+      (1000, 50, 1000000, 693147),
+      (1000, 90, 1000000, 2302585),
+      (1000, 99, 1000000, 4605170),
+      (2000, 50, 500000, 346574),
+      (2000, 90, 500000, 1151293),
+      (2000, 99, 500000, 2302585))
+      t(eps_e3, q, b_e6, noise_q_e6)
+    """,
+)
+def q_dp_noise_plan(spark, sf_dir):
+    """Laplace noise budget (operators/sketches.dp_noise_plan):
+    scale and |noise| quantiles per epsilon for sensitivity-1 count
+    release - the privacy-budget planning table."""
+    from reden_spark.operators.sketches import dp_noise_plan
+
+    return dp_noise_plan(spark)

@@ -313,3 +313,67 @@ def cms_size_plan(spark) -> "DataFrame":
         "eps_e6 long, delta_e9 long, width long, depth long,"
         " cells long, bytes long, kb long",
     )
+
+
+CODE_LEN_MAX = 24
+
+
+def token_code_plan(toks: DataFrame) -> DataFrame:
+    """Shannon code-length plan per token over (tok) occurrence rows:
+    (tok, freq, code_len, bits) — code_len = ceil(−log2 p) evaluated
+    as the smallest L with freq·2^L >= N (a pure integer CASE ladder,
+    no logarithms), bits = freq·code_len, the per-token storage bill
+    under an entropy-shaped prefix code.
+
+    The compression-budget read before building a token dictionary
+    tier: Shannon lengths are within one bit of Huffman-optimal and
+    satisfy Kraft by construction, so Σ bits upper-bounds the encoded
+    corpus within |vocab| bits of optimal — enough to decide whether
+    dictionary-coding a column pays, without materializing a Huffman
+    tree driver-side.
+
+    Scale shape: one tok-keyed count + a broadcast scalar N; the
+    ladder is constant-depth column logic."""
+    f = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    n = f.agg(F.sum("freq").cast("long").alias("n"))
+    j = f.crossJoin(F.broadcast(n))
+    code = F.lit(CODE_LEN_MAX).cast("long")
+    for lvl in range(CODE_LEN_MAX, 0, -1):
+        code = F.when(
+            F.col("freq") * F.lit(1 << lvl) >= F.col("n"), F.lit(lvl)
+        ).otherwise(code)
+    return j.select(
+        "tok",
+        "freq",
+        code.cast("long").alias("code_len"),
+        (F.col("freq") * code).cast("long").alias("bits"),
+    )
+
+
+def dp_noise_plan(spark) -> "DataFrame":
+    """(eps_e3, q, b_e6, noise_q_e6): Laplace-mechanism noise budget
+    for sensitivity-1 counts over the standard epsilon grid — scale
+    b = 1/eps and the |noise| quantile −b·ln(1−q) at q ∈
+    {50, 90, 99}.  The privacy-engineering planning table beside
+    k_anonymity / k_anon_generalize / graph_reid_risk: before
+    releasing per-group counts from a corpus, this is the "how wrong
+    will the released numbers be at eps" read that picks the budget.
+    Constants evaluate driver-side (math.log), the table is literal —
+    the cms_size_plan family."""
+    import math
+
+    rows = []
+    for eps_e3 in (100, 500, 1000, 2000):
+        b = 1000.0 / eps_e3
+        for q in (50, 90, 99):
+            rows.append(
+                (
+                    eps_e3,
+                    q,
+                    round(b * 1e6),
+                    round(-b * math.log(1 - q / 100) * 1e6),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "eps_e3 long, q long, b_e6 long, noise_q_e6 long"
+    )

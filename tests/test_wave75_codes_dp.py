@@ -1,0 +1,44 @@
+"""Round-5 wave 75: Shannon code plan + DP noise budget."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_token_code_lengths_match_ceil_log2(spark):
+    from reden_spark.operators.sketches import token_code_plan
+
+    rows = [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + [("d",)] * 2
+    toks = spark.createDataFrame(rows, "tok string")
+    got = {r.tok: r for r in token_code_plan(toks).collect()}
+    n = 16
+    for tok, freq in (("a", 8), ("b", 4), ("c", 2), ("d", 2)):
+        want = math.ceil(-math.log2(freq / n))
+        assert got[tok].code_len == want, tok
+        assert got[tok].bits == freq * want
+    # dyadic distribution: Shannon = entropy-optimal lengths 1,2,3,3
+    assert [got[t].code_len for t in "abcd"] == [1, 2, 3, 3]
+
+
+def test_token_code_kraft_inequality(spark):
+    """Shannon lengths always satisfy Kraft: sum 2^-len <= 1."""
+    from reden_spark.operators.sketches import token_code_plan
+
+    rows = [(f"t{i}",) for i in range(10) for _ in range(i + 1)]
+    toks = spark.createDataFrame(rows, "tok string")
+    got = token_code_plan(toks).collect()
+    assert sum(2.0 ** -r.code_len for r in got) <= 1.0 + 1e-12
+
+
+def test_dp_noise_plan_shape(spark):
+    import math
+
+    from reden_spark.operators.sketches import dp_noise_plan
+
+    got = {(r.eps_e3, r.q): r for r in dp_noise_plan(spark).collect()}
+    assert len(got) == 12
+    r = got[(1000, 90)]
+    assert r.b_e6 == 1000000
+    assert r.noise_q_e6 == round(-math.log(0.1) * 1e6)
+    # half the budget -> double the noise
+    assert got[(500, 90)].noise_q_e6 == 2 * got[(1000, 90)].noise_q_e6
