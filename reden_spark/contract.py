@@ -23532,3 +23532,102 @@ def q_dp_noise_plan(spark, sf_dir):
     from reden_spark.operators.sketches import dp_noise_plan
 
     return dp_noise_plan(spark)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 76: Misra-Gries mergeable heavy hitters + truncated Katz.
+
+
+@query(
+    "mg_heavy_hitters",
+    f"""
+    WITH it AS (SELECT tok AS item FROM ({_QTOKS_SQL})),
+    h AS (SELECT item,
+                 ({_TOK_HASH_SQL.format(t='item')}) % 4 AS shard
+          FROM it),
+    cnt AS (SELECT shard, item, CAST(count(*) AS BIGINT) AS c
+            FROM h GROUP BY 1, 2),
+    rk AS (SELECT shard, item, c,
+                  row_number() OVER (PARTITION BY shard
+                    ORDER BY c DESC, item ASC) AS rn
+           FROM cnt),
+    t AS (SELECT shard, c AS t FROM rk WHERE rn = 9),
+    summ AS (
+      SELECT rk.item,
+             greatest(rk.c - coalesce(t.t, 0), 0) AS res
+      FROM rk LEFT JOIN t USING (shard)
+      WHERE rk.rn <= 8 AND greatest(rk.c - coalesce(t.t, 0), 0) > 0),
+    err AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS err_bound
+            FROM t)
+    SELECT item, CAST(sum(res) AS BIGINT) AS est,
+           (SELECT err_bound FROM err) AS err_bound
+    FROM summ GROUP BY 1
+    """,
+)
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries mergeable heavy hitters (operators/sketches.
+    mg_heavy_hitters): per-shard top-8 residual summaries merged by
+    sum, with the exact undercount bound published — the
+    deterministic counter complement of cms_heavy_hitters."""
+    from reden_spark.operators.sketches import mg_heavy_hitters
+
+    items = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    ).filter(F.col("item") != "")
+    return mg_heavy_hitters(items, k=8, n_shards=4)
+
+
+@query(
+    "katz_link_scores",
+    """
+    WITH e0 AS (SELECT DISTINCT 'e' || CAST(doc_id % 23 AS VARCHAR)
+                  AS src,
+                'e' || CAST(doc_id % 19 AS VARCHAR) AS dst
+                FROM documents),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+      WHERE src <> dst),
+    p2 AS (
+      SELECT e1.src AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS n2
+      FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+      WHERE e1.src <> e2.dst GROUP BY 1, 2),
+    p3 AS (
+      SELECT e1.src AS a, e3.dst AS b, CAST(count(*) AS BIGINT) AS n3
+      FROM sym e1
+      JOIN sym e2 ON e1.dst = e2.src
+      JOIN sym e3 ON e2.dst = e3.src
+      WHERE e1.src <> e3.dst GROUP BY 1, 2),
+    pairs AS (
+      SELECT coalesce(p2.a, p3.a) AS a, coalesce(p2.b, p3.b) AS b,
+             CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+             CAST(coalesce(n3, 0) AS BIGINT) AS n3
+      FROM p2 FULL OUTER JOIN p3
+        ON p3.a = p2.a AND p3.b = p2.b),
+    cand AS (
+      SELECT pairs.a, pairs.b, n2, n3,
+             CAST(16 * n2 + n3 AS BIGINT) AS score_x64
+      FROM pairs
+      WHERE pairs.a < pairs.b
+        AND NOT EXISTS (SELECT 1 FROM sym
+                        WHERE sym.src = pairs.a AND sym.dst = pairs.b))
+    SELECT a, b, n2, n3, score_x64, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score_x64 DESC,
+                      a ASC, b ASC) AS rank
+          FROM cand)
+    WHERE rank <= 50
+    """,
+)
+def q_katz_link_scores(spark, sf_dir):
+    """Truncated Katz link prediction (operators/linkpred.
+    katz_link_scores): 64x-scaled beta=1/4 path sums up to length 3
+    over the e{id%23} graph, direct edges excluded — multi-hop
+    evidence beyond adamic_adar's common neighbors."""
+    from reden_spark.operators.linkpred import katz_link_scores
+
+    d = F.col("doc_id")
+    edges = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (d % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
+    )
+    return katz_link_scores(edges, top_k=50)

@@ -377,3 +377,63 @@ def dp_noise_plan(spark) -> "DataFrame":
     return spark.createDataFrame(
         rows, "eps_e3 long, q long, b_e6 long, noise_q_e6 long"
     )
+
+
+def mg_heavy_hitters(
+    items: DataFrame, k: int = 8, n_shards: int = 4
+) -> DataFrame:
+    """Misra-Gries heavy hitters as MERGEABLE per-shard summaries:
+    (item, est, err_bound) — each content-determined shard keeps only
+    its top-k residuals (count minus the shard's (k+1)-th largest
+    count, the batch-equivalent of MG's decrement rule), summaries
+    merge by summing residuals, and the published error bound is the
+    sum of per-shard truncation thresholds:
+
+      est <= true_count <= est + err_bound
+
+    (Agarwal et al. 2013's mergeable-summaries result: merged MG keeps
+    the N/(k+1) guarantee.)  The deterministic counter-based
+    complement of cms_heavy_hitters: CMS can overcount via collisions,
+    MG only undercounts and says by at most how much — and ships k
+    rows per shard instead of a register matrix.
+
+    Scale shape: one (shard, item) count (map-side combinable), one
+    per-shard top-(k+1) window over at most distinct-items rows, one
+    item-keyed merge."""
+    from reden_spark.functions.text import char_hash_inner
+
+    h = items.select(
+        F.col("item"),
+        (char_hash_inner(F.col("item").cast("string")) % n_shards).alias(
+            "shard"
+        ),
+    )
+    cnt = h.groupBy("shard", "item").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("c").desc(), F.col("item").asc()
+    )
+    ranked = cnt.withColumn("rn", F.row_number().over(w))
+    t = ranked.filter(F.col("rn") == k + 1).select(
+        "shard", F.col("c").alias("t")
+    )
+    summ = (
+        ranked.filter(F.col("rn") <= k)
+        .join(t, "shard", "left")
+        .select(
+            "item",
+            F.greatest(
+                F.col("c") - F.coalesce("t", F.lit(0)), F.lit(0)
+            ).cast("long").alias("res"),
+        )
+        .filter(F.col("res") > 0)
+    )
+    err = t.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("err_bound")
+    )
+    return (
+        summ.groupBy("item")
+        .agg(F.sum("res").cast("long").alias("est"))
+        .crossJoin(F.broadcast(err))
+    )

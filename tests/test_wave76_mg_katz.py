@@ -1,0 +1,61 @@
+"""Round-5 wave 76: Misra-Gries summaries + truncated Katz."""
+
+from __future__ import annotations
+
+
+def test_mg_single_shard_hand_traced(spark):
+    """k=2, one shard: t = 3rd-largest count; residuals a:7, b:3."""
+    from reden_spark.operators.sketches import mg_heavy_hitters
+
+    rows = [("a",)] * 10 + [("b",)] * 6 + [("c",)] * 3 + [("d",)] * 2
+    items = spark.createDataFrame(rows, "item string")
+    got = {r.item: r for r in
+           mg_heavy_hitters(items, k=2, n_shards=1).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"].est == 7 and got["b"].est == 3
+    assert got["a"].err_bound == 3
+
+
+def test_mg_bound_holds_after_merge(spark):
+    """est <= true <= est + err_bound for every reported item, across
+    shards."""
+    from reden_spark.operators.sketches import mg_heavy_hitters
+
+    rows = [(f"t{i % 9}",) for i in range(500)] + [("big",)] * 200
+    items = spark.createDataFrame(rows, "item string")
+    true = {}
+    for (t,) in rows:
+        true[t] = true.get(t, 0) + 1
+    got = mg_heavy_hitters(items, k=4, n_shards=4).collect()
+    assert any(r.item == "big" for r in got)
+    for r in got:
+        assert r.est <= true[r.item] <= r.est + r.err_bound, r
+
+
+def test_katz_path_graph(spark):
+    """Path a-b-c-d: (a,c) and (b,d) score 16 (one 2-path); (a,d)
+    scores 1 (one 3-path); direct edges excluded."""
+    from reden_spark.operators.linkpred import katz_link_scores
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = [
+        (r.a, r.b, r.n2, r.n3, r.score_x64, r.rank)
+        for r in sorted(katz_link_scores(e).collect(), key=lambda r: r.rank)
+    ]
+    assert got == [
+        ("a", "c", 1, 0, 16, 1),
+        ("b", "d", 1, 0, 16, 2),
+        ("a", "d", 0, 1, 1, 3),
+    ]
+
+
+def test_katz_excludes_existing_edges(spark):
+    from reden_spark.operators.linkpred import katz_link_scores
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    pairs = {(r.a, r.b) for r in katz_link_scores(e).collect()}
+    assert not pairs & {("a", "b"), ("b", "c"), ("a", "c")}
