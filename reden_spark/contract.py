@@ -23631,3 +23631,116 @@ def q_katz_link_scores(spark, sf_dir):
         F.concat(F.lit("e"), (d % 19).cast("string")).alias("dst"),
     )
     return katz_link_scores(edges, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 77: recsys bias baseline + successive halving.
+
+
+@query(
+    "bias_model_rmse",
+    """
+    WITH rt AS (
+      SELECT CAST(o_custkey % 200 AS BIGINT) AS u,
+             CAST(o_orderkey % 100 AS BIGINT) AS i,
+             CAST((1 + (o_orderkey + o_custkey) % 5) * 1000000
+                  AS BIGINT) AS r6
+      FROM orders),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(r6) AS BIGINT) AS s FROM rt),
+    mu AS (SELECT n, s // n AS mu FROM tot),
+    bu AS (
+      SELECT u,
+             CAST((sum(r6 - (SELECT mu FROM mu))
+                   + (count(*) + 10) * 10000000)
+                  // (count(*) + 10) - 10000000 AS BIGINT) AS bu
+      FROM rt GROUP BY 1),
+    j1 AS (SELECT rt.u, rt.i, rt.r6, bu.bu FROM rt JOIN bu USING (u)),
+    bi AS (
+      SELECT i,
+             CAST((sum(r6 - (SELECT mu FROM mu) - bu)
+                   + (count(*) + 10) * 10000000)
+                  // (count(*) + 10) - 10000000 AS BIGINT) AS bi
+      FROM j1 GROUP BY 1),
+    sc AS (
+      SELECT (r6 - ((SELECT mu FROM mu) + j1.bu + bi.bi)) AS e_bias,
+             (r6 - (SELECT mu FROM mu)) AS e_mu
+      FROM j1 JOIN bi USING (i)),
+    agg AS (SELECT CAST(sum(e_bias * e_bias) AS BIGINT) AS ssb,
+                   CAST(sum(e_mu * e_mu) AS BIGINT) AS ssm
+            FROM sc)
+    SELECT (SELECT n FROM mu) AS n, (SELECT mu FROM mu) AS mu_e6,
+           CAST(round(sqrt(CAST(ssm AS DOUBLE) / (SELECT n FROM mu)))
+                AS BIGINT) AS rmse_mu_e6,
+           CAST(round(sqrt(CAST(ssb AS DOUBLE) / (SELECT n FROM mu)))
+                AS BIGINT) AS rmse_bias_e6
+    FROM agg
+    """,
+)
+def q_bias_model_rmse(spark, sf_dir):
+    """Koren bias baseline (operators/model_eval.bias_model_rmse):
+    damped user/item means over synthetic integer ratings — the RMSE
+    floor a factorization must beat, with the global-mean gap as the
+    effect size."""
+    from reden_spark.operators.model_eval import bias_model_rmse
+
+    rt = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).cast("long").alias("u"),
+        (F.col("o_orderkey") % 100).cast("long").alias("i"),
+        (1 + (F.col("o_orderkey") + F.col("o_custkey")) % 5)
+        .cast("long").alias("r"),
+    )
+    return bias_model_rmse(rt, lam=10)
+
+
+def _sh_oracle_sql(n_arms: int = 16, rounds: int = 4) -> str:
+    parts = [
+        f"""WITH rw AS (
+      SELECT a, t,
+             CAST(((a * 31 + t * 17) * 2654435761) % 1000 AS BIGINT)
+               AS v
+      FROM range({n_arms}) t1(a), range(1, {1 << (rounds - 1)} + 1)
+           t2(t)),
+    cm AS MATERIALIZED (
+      SELECT a, t,
+             CAST(sum(v) OVER (PARTITION BY a ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+      FROM rw)""",
+    ]
+    prev_k = None
+    surv = n_arms
+    sel = []
+    for r in range(1, rounds + 1):
+        b = 1 << (r - 1)
+        keep = max(1, surv // 2)
+        src = (
+            f"cm JOIN k{r - 1} USING (a)" if prev_k else "cm"
+        )
+        parts.append(f""",
+    k{r} AS MATERIALIZED (
+      SELECT a FROM (
+        SELECT cm.a, row_number() OVER (ORDER BY c DESC, cm.a) AS rn
+        FROM {src} WHERE t = {b}) z
+      WHERE rn <= {keep})""")
+        sel.append(
+            f"""
+    SELECT CAST({r} AS BIGINT) AS round, CAST(cm.a AS BIGINT) AS arm,
+           CAST({b} AS BIGINT) AS budget, c AS cum_reward,
+           cm.a IN (SELECT a FROM k{r}) AS kept
+    FROM {src} WHERE t = {b}"""
+        )
+        prev_k = True
+        surv = keep
+    parts.append("\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@query("successive_halving", _sh_oracle_sql(16, 4))
+def q_successive_halving(spark, sf_dir):
+    """Successive-halving tournament (operators/model_eval.
+    successive_halving): 16 hash-reward arms, budgets 1/2/4/8, top
+    half survives each round — the reproducible tuner schedule."""
+    from reden_spark.operators.model_eval import successive_halving
+
+    return successive_halving(spark, n_arms=16, rounds=4)

@@ -718,3 +718,110 @@ def ndcg_at_k(run: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame:
             " AS BIGINT)"
         ).alias("ndcg_e6"),
     )
+
+
+def bias_model_rmse(ratings: DataFrame, lam: int = 10) -> DataFrame:
+    """The Koren baseline predictor mu + b_u + b_i with damped-mean
+    biases over (u, i, r) integer ratings → one row
+    (n, mu_e6, rmse_mu_e6, rmse_bias_e6):
+
+      b_u = Σ_u (r − mu) / (n_u + λ),
+      b_i = Σ_i (r − mu − b_u) / (n_i + λ)
+
+    The sanity floor every recommender/embedding experiment must
+    beat — if matrix factorization cannot outperform two damped
+    means, the interactions carry no signal.  Also reports rmse of
+    the global-mean-only predictor; the gap IS the user/item effect
+    size.
+
+    All-integer: ratings scale to e6, biases are integer floor
+    divisions with the +λ damping, squared errors are exact BIGINTs,
+    one sqrt at the end.  Negative-numerator divisions use the
+    positive-shift trick (b ∈ [−5e6, 5e6] bounds the shift).
+
+    Scale shape: two map-side-combinable groupBys + two broadcast
+    joins — one pass more than a plain mean."""
+    big = 10_000_000
+    r6 = ratings.select(
+        "u", "i", (F.col("r").cast("long") * 1000000).alias("r6")
+    ).persist()
+    tot = r6.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r6").cast("long").alias("s"),
+    ).collect()[0]
+    n, mu = int(tot["n"]), int(tot["s"]) // int(tot["n"])
+    bu = r6.groupBy("u").agg(
+        F.expr(
+            f"CAST((sum(r6 - {mu}) + (count(*) + {lam}) * {big})"
+            f" div (count(*) + {lam}) - {big} AS BIGINT)"
+        ).alias("bu")
+    )
+    j1 = r6.join(bu, "u")
+    bi = j1.groupBy("i").agg(
+        F.expr(
+            f"CAST((sum(r6 - {mu} - bu) + (count(*) + {lam}) * {big})"
+            f" div (count(*) + {lam}) - {big} AS BIGINT)"
+        ).alias("bi")
+    )
+    scored = j1.join(bi, "i").select(
+        (F.col("r6") - (F.lit(mu) + F.col("bu") + F.col("bi"))).alias(
+            "e_bias"
+        ),
+        (F.col("r6") - F.lit(mu)).alias("e_mu"),
+    )
+    agg = scored.agg(
+        F.sum(F.col("e_bias") * F.col("e_bias")).cast("long").alias("ssb"),
+        F.sum(F.col("e_mu") * F.col("e_mu")).cast("long").alias("ssm"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(mu).cast("long").alias("mu_e6"),
+        F.expr(
+            f"CAST(round(sqrt(CAST(ssm AS DOUBLE) / {n})) AS BIGINT)"
+        ).alias("rmse_mu_e6"),
+        F.expr(
+            f"CAST(round(sqrt(CAST(ssb AS DOUBLE) / {n})) AS BIGINT)"
+        ).alias("rmse_bias_e6"),
+    )
+
+
+def successive_halving(
+    spark, n_arms: int = 16, rounds: int = 4
+) -> DataFrame:
+    """Successive-halving tournament plan (Karnin et al. 2013 /
+    Jamieson-Talwalkar) over deterministic pseudo-reward curves:
+    (round, arm, budget, cum_reward, kept) — round r evaluates the
+    surviving arms at budget 2^(r-1) samples and keeps the top half
+    by (cumulative reward desc, arm asc).
+
+    The hyperparameter-tuning scheduling primitive in auditable
+    table form: most of the budget concentrates on promising
+    configurations, eliminations are reproducible (rewards are
+    multiplicative-hash residues, the rmat_edges device), and the
+    emitted plan shows exactly which config died at which budget —
+    what a training-pipeline tuner logs.
+
+    Scale shape: the arm table is tiny by definition; each round is
+    one window rank over survivors."""
+    rows = []
+    cum = {}
+    for a in range(n_arms):
+        c = 0
+        for t in range(1, (1 << (rounds - 1)) + 1):
+            c += ((a * 31 + t * 17) * 2654435761) % 1000
+            cum[(a, t)] = c
+    survivors = list(range(n_arms))
+    for r in range(1, rounds + 1):
+        budget = 1 << (r - 1)
+        scored = sorted(
+            survivors, key=lambda a: (-cum[(a, budget)], a)
+        )
+        keep = set(scored[: max(1, len(scored) // 2)])
+        for a in survivors:
+            rows.append((r, a, budget, cum[(a, budget)], a in keep))
+        survivors = [a for a in scored if a in keep]
+    return spark.createDataFrame(
+        rows,
+        "round long, arm long, budget long, cum_reward long,"
+        " kept boolean",
+    )

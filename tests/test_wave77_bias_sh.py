@@ -1,0 +1,50 @@
+"""Round-5 wave 77: bias-model baseline + successive halving."""
+
+from __future__ import annotations
+
+
+def test_bias_model_beats_global_mean(spark):
+    """Strong user effects: biases must cut RMSE vs mu-only."""
+    from reden_spark.operators.model_eval import bias_model_rmse
+
+    rows = []
+    for u in range(8):
+        for i in range(8):
+            rows.append((u, i, 1 + (u % 2) * 3))  # users rate 1 or 4
+    rt = spark.createDataFrame(rows, "u long, i long, r long")
+    r = bias_model_rmse(rt, lam=1).collect()[0]
+    assert r.rmse_bias_e6 < r.rmse_mu_e6
+    assert r.mu_e6 == 2500000
+
+
+def test_bias_model_constant_ratings_zero_rmse(spark):
+    from reden_spark.operators.model_eval import bias_model_rmse
+
+    rt = spark.createDataFrame(
+        [(u, i, 3) for u in range(4) for i in range(4)],
+        "u long, i long, r long",
+    )
+    r = bias_model_rmse(rt).collect()[0]
+    assert r.rmse_mu_e6 == 0 and r.rmse_bias_e6 == 0
+
+
+def test_successive_halving_schedule(spark):
+    from reden_spark.operators.model_eval import successive_halving
+
+    got = successive_halving(spark, n_arms=16, rounds=4).collect()
+    by_round = {}
+    for r in got:
+        by_round.setdefault(r.round, []).append(r)
+    # 16 -> 8 -> 4 -> 2 evaluated per round; half kept each time
+    assert [len(by_round[r]) for r in (1, 2, 3, 4)] == [16, 8, 4, 2]
+    for r in (1, 2, 3, 4):
+        assert sum(x.kept for x in by_round[r]) == max(1, len(by_round[r]) // 2)
+        assert all(x.budget == 1 << (r - 1) for x in by_round[r])
+    # survivors of round r are exactly the arms evaluated in round r+1
+    for r in (1, 2, 3):
+        kept = {x.arm for x in by_round[r] if x.kept}
+        nxt = {x.arm for x in by_round[r + 1]}
+        assert kept == nxt
+    # eliminations keep the better cumulative reward (with arm-asc ties)
+    r1 = sorted(by_round[1], key=lambda x: (-x.cum_reward, x.arm))
+    assert all(x.kept for x in r1[:8]) and not any(x.kept for x in r1[8:])
