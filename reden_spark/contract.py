@@ -23744,3 +23744,67 @@ def q_successive_halving(spark, sf_dir):
     from reden_spark.operators.model_eval import successive_halving
 
     return successive_halving(spark, n_arms=16, rounds=4)
+
+
+@query(
+    "colbert_maxsim",
+    f"""
+    WITH dtoks AS (SELECT DISTINCT doc_id, tok
+                   FROM ({_TOKENS_SQL}) WHERE tok <> ''),
+    vocab AS (SELECT DISTINCT tok FROM dtoks),
+    vh AS (SELECT tok, {_TOK_HASH_SQL.format(t='tok')} AS h FROM vocab),
+    vec AS MATERIALIZED (
+      SELECT tok, j,
+             CAST((h // CAST(pow(2, j) AS BIGINT)) % 2 * 2 - 1
+                  AS BIGINT) AS v
+      FROM vh, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) js),
+    tdf AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
+            FROM dtoks GROUP BY 1),
+    cand AS (
+      SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS rn
+      FROM tdf WHERE df >= 2),
+    q AS (SELECT CAST(rn // 2 AS BIGINT) AS query_id, term
+          FROM cand WHERE rn < 10),
+    qv AS (SELECT q.query_id, q.term, vec.j, vec.v AS qv
+           FROM q JOIN vec ON vec.tok = q.term),
+    dv AS (SELECT d.doc_id, d.tok, vec.j, vec.v AS dv
+           FROM dtoks d JOIN vec USING (tok)),
+    dots AS (
+      SELECT qv.query_id, qv.term, dv.doc_id, dv.tok,
+             CAST(sum(qv.qv * dv.dv) AS BIGINT) AS dot
+      FROM qv JOIN dv USING (j)
+      GROUP BY 1, 2, 3, 4),
+    ms AS (SELECT query_id, term, doc_id, CAST(max(dot) AS BIGINT) AS ms
+           FROM dots GROUP BY 1, 2, 3),
+    sc AS (SELECT query_id, doc_id, CAST(sum(ms) AS BIGINT) AS score
+           FROM ms GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q_colbert_maxsim(spark, sf_dir):
+    """Late-interaction MaxSim retrieval (operators/search.
+    colbert_maxsim): hash-bit ±1 token vectors, per-query-term best
+    doc-token dot, sum-of-max scores, top-5 per query over the same
+    rare-term panel as bm25_search — token-granular retrieval beside
+    the lexical and pooled-vector tiers."""
+    from reden_spark.operators.search import colbert_maxsim
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tdf = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    queries = (
+        tdf.filter(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 10)
+        .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
+    )
+    return colbert_maxsim(docs, queries, k=5)

@@ -421,3 +421,80 @@ def bm25f_search(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def colbert_maxsim(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia
+    2020) with deterministic hash-bit token vectors: every token maps
+    to a ±1 vector (bit j of its polynomial char hash), and
+
+      score(q, d) = Σ_{query terms} max_{doc tokens} <v_qt, v_dt>
+
+    — each query term finds its best-matching doc token, scores sum,
+    top-k docs per query (score desc, doc_id asc).  The third member
+    of the retrieval family: bm25/bm25f match LEXICALLY, ann_* matches
+    one POOLED vector, MaxSim keeps token-level granularity without
+    giving up the sum-of-max decomposition that makes it an index-able
+    join — exactly the plan shape a real late-interaction engine runs,
+    with the learned embeddings swapped for a deterministic stand-in
+    this sandbox can oracle (the multimodal-stub discipline: plumbing
+    real, model faked).
+
+    Scale shape: the vector table is vocabulary-sized (broadcast); the
+    (query_term, doc_token) interaction join keys on the dimension
+    then aggregates max/sum per (query, doc) — every exchange keyed,
+    no driver state.  Duplicate doc tokens collapse first (max over
+    duplicates is the same token's dot)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "").distinct()
+    from reden_spark.functions.text import char_hash
+
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", char_hash(F.col("tok"))
+    )
+    dims = F.explode(F.array(*[F.lit(j) for j in range(dim)])).alias("j")
+    vec = vocab.select("tok", "h", dims).select(
+        "tok",
+        "j",
+        (
+            F.expr("CAST(h div CAST(pow(2, j) AS BIGINT) AS BIGINT) % 2")
+            * 2
+            - 1
+        ).cast("long").alias("v"),
+    ).persist()
+    qv = queries.join(
+        vec.withColumnRenamed("tok", "term"), "term"
+    ).select(
+        "query_id", "term", "j", F.col("v").alias("qv")
+    )
+    dv = toks.join(vec, "tok").select(
+        "doc_id", "tok", "j", F.col("v").alias("dv")
+    )
+    dots = (
+        F.broadcast(qv)
+        .join(dv, "j")
+        .groupBy("query_id", "term", "doc_id", "tok")
+        .agg(F.sum(F.col("qv") * F.col("dv")).cast("long").alias("dot"))
+    )
+    maxsim = dots.groupBy("query_id", "term", "doc_id").agg(
+        F.max("dot").cast("long").alias("ms")
+    )
+    score = maxsim.groupBy("query_id", "doc_id").agg(
+        F.sum("ms").cast("long").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

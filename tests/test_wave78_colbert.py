@@ -1,0 +1,46 @@
+"""Round-5 wave 78: ColBERT-style MaxSim retrieval."""
+
+from __future__ import annotations
+
+
+def test_maxsim_exact_term_match_scores_dim(spark):
+    """A doc containing the query term itself has a max dot of the
+    full dimension (identical ±1 vectors)."""
+    from reden_spark.operators.search import colbert_maxsim
+
+    docs = spark.createDataFrame(
+        [(1, "needle haystack straw"), (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "needle")], "query_id long, term string")
+    got = sorted(colbert_maxsim(docs, q).collect(), key=lambda r: r.rank)
+    assert got[0].doc_id == 1 and got[0].score == 8
+    assert got[0].score >= got[1].score
+
+
+def test_maxsim_sums_over_query_terms(spark):
+    """Two query terms both present in doc 1 -> score 16."""
+    from reden_spark.operators.search import colbert_maxsim
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta filler"), (2, "alpha only here")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    got = {r.doc_id: r.score for r in colbert_maxsim(docs, q).collect()}
+    assert got[1] == 16
+    assert got[2] < 16  # 8 for alpha + best-effort for beta
+
+
+def test_maxsim_duplicates_do_not_inflate(spark):
+    from reden_spark.operators.search import colbert_maxsim
+
+    docs = spark.createDataFrame(
+        [(1, "needle needle needle"), (2, "needle")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "needle")], "query_id long, term string")
+    got = {r.doc_id: r.score for r in colbert_maxsim(docs, q).collect()}
+    assert got[1] == got[2] == 8  # max, not sum, over doc tokens
