@@ -29,9 +29,12 @@ def test_maxsim_sums_over_query_terms(spark):
     q = spark.createDataFrame(
         [(0, "alpha"), (0, "beta")], "query_id long, term string"
     )
-    got = {r.doc_id: r.score for r in colbert_maxsim(docs, q).collect()}
+    rows = sorted(colbert_maxsim(docs, q).collect(), key=lambda r: r.rank)
+    got = {r.doc_id: r.score for r in rows}
     assert got[1] == 16
-    assert got[2] < 16  # 8 for alpha + best-effort for beta
+    # 8-bit hash signatures collide (256 values), so doc 2 may tie;
+    # it can never exceed, and ties rank doc 1 first (doc_id asc)
+    assert got[2] <= 16 and rows[0].doc_id == 1
 
 
 def test_maxsim_duplicates_do_not_inflate(spark):
