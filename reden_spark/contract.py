@@ -23808,3 +23808,57 @@ def q_colbert_maxsim(spark, sf_dir):
         .select(F.expr("rn div 2").cast("long").alias("query_id"), "term")
     )
     return colbert_maxsim(docs, queries, k=5)
+
+
+@query(
+    "hill_tail_index",
+    f"""
+    WITH base AS ({_KCORE_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM base WHERE src <> dst
+      UNION ALL SELECT dst, src FROM base WHERE src <> dst)),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+    hist AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS c
+             FROM deg GROUP BY 1),
+    rk AS (SELECT v, c,
+                  CAST(sum(c) OVER (ORDER BY v DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hi
+           FROM hist),
+    rk2 AS (SELECT v, c, hi, hi - c + 1 AS lo FROM rk
+            WHERE hi - c + 1 <= 51),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    tail AS (SELECT v AS x_tail FROM rk2
+             WHERE lo <= 51 AND hi >= 51),
+    top AS (SELECT rk2.v, tail.x_tail, least(hi, 50) AS hi_k,
+                   lo AS lo_k
+            FROM rk2, tail WHERE lo <= 50),
+    terms AS (SELECT x_tail, hi_k - lo_k + 1 AS m,
+                     CAST(round(ln(CAST(v AS DOUBLE) / x_tail) * 1e9)
+                          AS BIGINT) AS t
+              FROM top),
+    agg AS (SELECT CAST(sum(m * t) AS BIGINT) AS sum_e9,
+                   CAST(max(x_tail) AS BIGINT) AS x_tail
+            FROM terms)
+    SELECT (SELECT n FROM nn) AS n, CAST(50 AS BIGINT) AS k, x_tail,
+           CAST(sum_e9 // 50 AS BIGINT) AS h_e9,
+           CAST(CASE WHEN sum_e9 // 50 = 0 THEN 0
+                ELSE round(1e15 / (sum_e9 // 50)) END AS BIGINT)
+             AS alpha_e6
+    FROM agg
+    """,
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill tail exponent (operators/graphstats.hill_tail_index):
+    nano-quantized order-statistic lns over the kcore degree
+    distribution, k=50 — the tail-alpha the skew-mitigation math
+    consumes, beside degree_gini and zipf_fit."""
+    from reden_spark.operators.graphstats import hill_tail_index
+
+    sym = _kcore_edges(spark, sf_dir)
+    und = sym.select("src", "dst").unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("v"))
+    return hill_tail_index(deg.select("v"), k=50)

@@ -1794,3 +1794,71 @@ def attack_tolerance(
         "k_removed long, n_nodes long, n_edges long, giant_size long,"
         " giant_frac_e6 long",
     )
+
+
+def hill_tail_index(values: DataFrame, k: int = 50) -> DataFrame:
+    """Hill estimator of the power-law tail exponent over positive
+    integer (v) observations → one row (n, k, x_tail, h_e9,
+    alpha_e6):
+
+      H = (1/k) Σ_{i<=k} ln(x_(i) / x_(k+1)),   alpha = 1/H
+
+    with x_(i) the i-th largest value.  The heavy-tail fit behind
+    every "is this scale-free enough to need salting?" decision:
+    degree_gini says HOW concentrated, zipf_fit regresses the body,
+    Hill estimates the TAIL exponent the skew-mitigation math
+    actually consumes (alpha < 2 means unbounded variance — salt).
+
+    Per-term nano-quantized lns of exact integer ratios; the order
+    statistics are value-deterministic (ties don't matter).  Degenerate
+    case: all top-k equal to x_(k+1) gives H = 0 and alpha_e6 = 0 by
+    convention (no tail to fit).
+
+    Scale shape: one top-(k+1) selection (window over the value
+    histogram, not the raw rows) + one k-term sum."""
+    hist = values.groupBy(F.col("v").cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy(F.col("v").desc())
+    ranked = (
+        hist.withColumn(
+            "hi",
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("lo", F.col("hi") - F.col("c") + 1)
+        .filter(F.col("lo") <= k + 1)
+    )
+    n = values.count()
+    tail = ranked.filter(
+        (F.col("lo") <= k + 1) & (F.col("hi") >= k + 1)
+    ).select(F.col("v").alias("x_tail"))
+    top = ranked.crossJoin(F.broadcast(tail)).select(
+        "v",
+        "x_tail",
+        # occurrences of this value inside ranks 1..k
+        F.least(F.col("hi"), F.lit(k)).alias("hi_k"),
+        F.col("lo").alias("lo_k"),
+    ).filter(F.col("lo_k") <= k).select(
+        "x_tail",
+        (F.col("hi_k") - F.col("lo_k") + 1).alias("m"),
+        F.expr(
+            "CAST(round(ln(CAST(v AS DOUBLE) / x_tail) * 1e9)"
+            " AS BIGINT)"
+        ).alias("t_e9"),
+    )
+    agg = top.agg(
+        F.sum(F.col("m") * F.col("t_e9")).cast("long").alias("sum_e9"),
+        F.max("x_tail").alias("x_tail"),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("x_tail").cast("long").alias("x_tail"),
+        F.expr(f"CAST(sum_e9 div {k} AS BIGINT)").alias("h_e9"),
+        F.expr(
+            f"CAST(CASE WHEN sum_e9 div {k} = 0 THEN 0"
+            f" ELSE round(1e15 / (sum_e9 div {k})) END AS BIGINT)"
+        ).alias("alpha_e6"),
+    )

@@ -1,0 +1,43 @@
+"""Round-5 wave 79: Hill tail-index estimator."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_hill_replicates_formula(spark):
+    from reden_spark.operators.graphstats import hill_tail_index
+
+    vals = [100, 80, 60, 50, 40, 30, 20, 10, 5, 5, 4, 3, 2, 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    k = 5
+    r = hill_tail_index(df, k=k).collect()[0]
+    xs = sorted(vals, reverse=True)
+    x_tail = xs[k]
+    terms = [round(math.log(x / x_tail) * 1e9) for x in xs[:k]]
+    h = sum(terms) // k
+    assert r.x_tail == x_tail and r.h_e9 == h
+    assert r.alpha_e6 == round(1e15 / h)
+    assert r.n == len(vals) and r.k == k
+
+
+def test_hill_ties_within_topk(spark):
+    """Repeated values straddling the top-k boundary are weighted by
+    multiplicity, not double-counted."""
+    from reden_spark.operators.graphstats import hill_tail_index
+
+    vals = [16, 8, 8, 8, 4, 2]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = hill_tail_index(df, k=4).collect()[0]
+    xs = sorted(vals, reverse=True)
+    x_tail = xs[4]  # 4
+    want = sum(round(math.log(x / x_tail) * 1e9) for x in xs[:4]) // 4
+    assert r.h_e9 == want
+
+
+def test_hill_degenerate_flat_tail(spark):
+    from reden_spark.operators.graphstats import hill_tail_index
+
+    df = spark.createDataFrame([(7,)] * 20, "v long")
+    r = hill_tail_index(df, k=5).collect()[0]
+    assert r.h_e9 == 0 and r.alpha_e6 == 0
