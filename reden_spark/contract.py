@@ -23862,3 +23862,134 @@ def q_hill_tail_index(spark, sf_dir):
     ).filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
     deg = und.groupBy("src").agg(F.count("*").cast("long").alias("v"))
     return hill_tail_index(deg.select("v"), k=50)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 80: Gale-Shapley stable matching + EB shrinkage.
+
+
+def _gs_oracle_sql(rounds: int = 24) -> str:
+    parts = [
+        """WITH pp AS (
+      SELECT p, a,
+             CAST(((p * 13 + a * 7) * 2654435761) % 1000 AS BIGINT)
+               AS score
+      FROM range(8) t1(p), range(8) t2(a)),
+    ap AS MATERIALIZED (
+      SELECT a, p,
+             CAST(((a * 11 + p * 5) * 2654435761) % 1000 AS BIGINT)
+               AS s
+      FROM range(8) t1(a), range(8) t2(p)),
+    pr AS MATERIALIZED (
+      SELECT CAST(p AS BIGINT) AS p, CAST(a AS BIGINT) AS a,
+             CAST(row_number() OVER (PARTITION BY p
+               ORDER BY score DESC, a ASC) AS BIGINT) AS rank
+      FROM pp),
+    n0 AS (SELECT DISTINCT p, CAST(1 AS BIGINT) AS nr FROM pr),
+    h0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS p
+           FROM (VALUES (1)) t(x) WHERE 1 = 0)""",
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(f""",
+    f{r} AS (SELECT n{q}.p, n{q}.nr FROM n{q}
+             WHERE n{q}.p NOT IN (SELECT p FROM h{q})),
+    pp{r} AS (SELECT pr.p, pr.a FROM f{r}
+              JOIN pr ON pr.p = f{r}.p AND pr.rank = f{r}.nr),
+    c{r} AS MATERIALIZED (
+      SELECT a, p FROM h{q} UNION ALL SELECT a, p FROM pp{r}),
+    rk{r} AS MATERIALIZED (
+      SELECT c{r}.a, c{r}.p,
+             row_number() OVER (PARTITION BY c{r}.a
+               ORDER BY coalesce(ap.s, -1) DESC, c{r}.p ASC) AS rn
+      FROM c{r} LEFT JOIN ap ON ap.a = c{r}.a AND ap.p = c{r}.p),
+    h{r} AS MATERIALIZED (SELECT a, p FROM rk{r} WHERE rn = 1),
+    n{r} AS MATERIALIZED (
+      SELECT n{q}.p,
+             n{q}.nr + CASE WHEN n{q}.p IN
+               (SELECT p FROM rk{r} WHERE rn > 1)
+               THEN 1 ELSE 0 END AS nr
+      FROM n{q})""")
+    parts.append(f"""
+    SELECT h.p, h.a, pr.rank AS p_rank
+    FROM h{rounds} h JOIN pr ON pr.p = h.p AND pr.a = h.a""")
+    return "".join(parts)
+
+
+@query("stable_matching", _gs_oracle_sql(24))
+def q_stable_matching(spark, sf_dir):
+    """Gale-Shapley stable matching (operators/matching.
+    stable_matching): 8x8 hash-scored two-sided preferences,
+    proposer-optimal, no blocking pair — the stability upgrade of
+    greedy_matching for two-sided allocation."""
+    from reden_spark.operators.matching import stable_matching
+
+    ids = spark.range(8).select(F.col("id").cast("long").alias("i"))
+    grid = ids.select(F.col("i").alias("p")).crossJoin(
+        ids.select(F.col("i").alias("a"))
+    )
+    pp = grid.select(
+        "p", "a",
+        (((F.col("p") * 13 + F.col("a") * 7) * 2654435761) % 1000)
+        .cast("long").alias("score"),
+    )
+    ap = grid.select(
+        "a", "p",
+        (((F.col("a") * 11 + F.col("p") * 5) * 2654435761) % 1000)
+        .cast("long").alias("score"),
+    )
+    return stable_matching(pp, ap)
+
+
+@query(
+    "eb_shrinkage",
+    """
+    WITH rt AS (
+      SELECT 's' || CAST(o_custkey % 20 AS VARCHAR) AS source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    r AS (SELECT source, n, x,
+                 CAST(x * 1000000 // n AS BIGINT) AS raw_e6
+          FROM rt),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(raw_e6) AS BIGINT) AS s FROM r),
+    m AS (SELECT k, s // k AS m FROM st),
+    v AS (SELECT CAST(sum((raw_e6 - (SELECT m FROM m))
+                     * (raw_e6 - (SELECT m FROM m))) AS BIGINT)
+                 // (SELECT k FROM m) AS v
+          FROM r),
+    ab AS (
+      SELECT
+        CAST(round((SELECT m FROM m)
+          * greatest(CAST((SELECT m FROM m)
+              * (1000000 - (SELECT m FROM m)) AS DOUBLE)
+              / (SELECT v FROM v) - 1.0, 0.001)) AS BIGINT) AS alpha,
+        CAST(round((1000000 - (SELECT m FROM m))
+          * greatest(CAST((SELECT m FROM m)
+              * (1000000 - (SELECT m FROM m)) AS DOUBLE)
+              / (SELECT v FROM v) - 1.0, 0.001)) AS BIGINT) AS beta)
+    SELECT source, n, x, raw_e6,
+           CAST(round((x * 1e6 + alpha)
+                / (CAST(n AS DOUBLE) + (alpha + beta) / 1e6))
+                AS BIGINT) AS shrunk_e6
+    FROM r, ab
+    """,
+)
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage (operators/corpus_prep.
+    eb_shrinkage): beta-binomial method-of-moments pull of per-source
+    %3-success rates toward the corpus prior — the small-sample
+    stabilizer for quality league tables."""
+    from reden_spark.operators.corpus_prep import eb_shrinkage
+
+    rt = _read(spark, sf_dir, "orders").groupBy(
+        F.concat(F.lit("s"), (F.col("o_custkey") % 20).cast("string"))
+        .alias("source")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("o_orderkey") % 3 == 0).cast("long"))
+        .cast("long").alias("x"),
+    )
+    return eb_shrinkage(rt)

@@ -1646,3 +1646,72 @@ def source_shapley(membership: DataFrame) -> DataFrame:
     return membership.sparkSession.createDataFrame(
         rows, "source string, v_solo long, v_all long, shapley_x6 long"
     )
+
+
+def eb_shrinkage(rates: DataFrame) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method of moments) shrinkage of
+    per-source success rates over (source, n, x) rows →
+    (source, n, x, raw_e6, shrunk_e6):
+
+      shrunk = (x + alpha) / (n + alpha + beta),
+      alpha = m·c, beta = (1−m)·c, c = m(1−m)/v − 1
+
+    with m/v the cross-source mean/variance of the raw rates.  The
+    small-sample stabilizer every per-source quality league table
+    needs: a source with 1/2 documents flagged must not outrank one
+    with 480/1000 — shrinkage pulls low-n rates toward the corpus
+    prior by exactly the amount the observed dispersion justifies.
+
+    Determinism: raw rates, m, and v are exact integers (e6 / e12
+    units); c is ONE double expression clamped below at 0.001 (over-
+    dispersion beyond the beta family would make it negative —
+    documented clamp, minimal shrinkage); alpha/beta quantize to e6
+    scalars before the per-source shrink expression.  v = 0 (all
+    rates equal) short-circuits to shrunk = m.
+
+    Scale shape: one rate projection, one tiny cross-source
+    aggregate broadcast back."""
+    r = rates.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.expr(
+            "CAST(x * CAST(1000000 AS BIGINT) div n AS BIGINT)"
+        ).alias("raw_e6"),
+    ).persist()
+    st = r.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("raw_e6").cast("long").alias("s"),
+    ).collect()[0]
+    k, m = int(st["k"]), int(st["s"]) // int(st["k"])
+    v = int(
+        r.agg(
+            F.sum(
+                (F.col("raw_e6") - F.lit(m))
+                * (F.col("raw_e6") - F.lit(m))
+            ).cast("long")
+        ).collect()[0][0]
+    ) // k
+    if v == 0:
+        return r.select(
+            "source", "n", "x", "raw_e6",
+            F.lit(m).cast("long").alias("shrunk_e6"),
+        )
+    # c, alpha, beta as e6 scalars via one fixed double expression
+    import math
+
+    c = max(float(m) * (1000000 - m) / v - 1.0, 0.001)
+    # half-away rounding (python round() is banker's, SQL's is not)
+    alpha_e6 = int(math.floor(m * c + 0.5))
+    beta_e6 = int(math.floor((1000000 - m) * c + 0.5))
+    return r.select(
+        "source",
+        "n",
+        "x",
+        "raw_e6",
+        F.expr(
+            f"CAST(round((x * 1e6 + {alpha_e6})"
+            f" / (CAST(n AS DOUBLE) + ({alpha_e6} + {beta_e6}) / 1e6)"
+            f") AS BIGINT)"
+        ).alias("shrunk_e6"),
+    )

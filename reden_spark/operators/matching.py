@@ -128,3 +128,88 @@ def er_jw_scores(
         .when(F.col("jw_e6") >= low_e6, F.lit("review"))
         .otherwise(F.lit("nonmatch")),
     )
+
+
+def stable_matching(
+    prop_prefs: DataFrame,
+    acc_prefs: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Gale-Shapley stable matching (proposer-optimal) from scored
+    preferences: ``prop_prefs`` (p, a, score) and ``acc_prefs``
+    (a, p, score) → (p, a, p_rank), where p_rank is how high the
+    proposer ranked the partner it ended with (1 = first choice).
+
+    The assignment upgrade of greedy_matching: locally-dominant
+    matching maximizes weight greedily, GS guarantees NO BLOCKING
+    PAIR — no proposer/acceptor pair both prefer each other to their
+    assigned partners — which is what two-sided allocation (queries
+    to index shards, annotation tasks to raters, mentions to limited
+    KB slots) actually needs for stability under defection.
+
+    Deterministic: both sides rank by (score desc, partner asc) — a
+    total order; each round every FREE proposer proposes to its next
+    un-tried choice, each acceptor keeps the best of (current hold +
+    new proposals), and every rejected proposer advances its pointer.
+    Identical to sequential GS (round-parallel GS yields the same
+    proposer-optimal matching).
+
+    Scale shape: per round one (p, rank)-keyed pick + one a-keyed
+    best-of window + one pointer update — all bounded exchanges,
+    localCheckpoint per round; rounds <= total preference entries."""
+    wp = Window.partitionBy("p").orderBy(
+        F.col("score").desc(), F.col("a").asc()
+    )
+    pr = prop_prefs.withColumn(
+        "rank", F.row_number().over(wp).cast("long")
+    ).select("p", "a", "rank").persist()
+    ac = acc_prefs.select("a", "p", F.col("score").alias("s")).persist()
+    nr = pr.select("p").distinct().withColumn(
+        "nr", F.lit(1).cast("long")
+    ).localCheckpoint(eager=True)
+    holds = None
+    for _ in range(max_rounds):
+        free = (
+            nr if holds is None
+            else nr.join(holds.select("p"), "p", "left_anti")
+        )
+        props = (
+            free.select(F.col("p").alias("fp"), "nr")
+            .join(
+                pr,
+                (F.col("fp") == F.col("p"))
+                & (F.col("nr") == F.col("rank")),
+            )
+            .select("p", "a")
+        )
+        if props.isEmpty():
+            break
+        cands = (
+            props if holds is None
+            else holds.select("a", "p").unionByName(props)
+        )
+        scored = cands.join(ac, ["a", "p"], "left").select(
+            "a", "p", F.coalesce("s", F.lit(-1)).alias("s")
+        )
+        wa = Window.partitionBy("a").orderBy(
+            F.col("s").desc(), F.col("p").asc()
+        )
+        ranked = scored.withColumn("rn", F.row_number().over(wa))
+        new_holds = ranked.filter(F.col("rn") == 1).select("a", "p")
+        rejected = ranked.filter(F.col("rn") > 1).select("p")
+        nr = (
+            nr.join(rejected.withColumn("_r", F.lit(1)), "p", "left")
+            .select(
+                "p",
+                (F.col("nr") + F.coalesce("_r", F.lit(0))).alias("nr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        holds = new_holds.localCheckpoint(eager=True)
+    if holds is None:
+        return pr.sparkSession.createDataFrame(
+            [], "p long, a long, p_rank long"
+        )
+    return holds.join(pr, ["p", "a"]).select(
+        "p", "a", F.col("rank").alias("p_rank")
+    )

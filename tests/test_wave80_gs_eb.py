@@ -1,0 +1,76 @@
+"""Round-5 wave 80: stable matching + EB shrinkage."""
+
+from __future__ import annotations
+
+
+def _prefs(spark, score_fn, left, right, cols):
+    rows = [(l, r, score_fn(l, r)) for l in left for r in right]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_gs_textbook_instance(spark):
+    """Classic 3x3: proposer-optimal result matches sequential GS."""
+    from reden_spark.operators.matching import stable_matching
+
+    # proposer p prefers a = p (score 3), then (p+1)%3, then (p+2)%3
+    pp = _prefs(
+        spark,
+        lambda p, a: 3 - ((a - p) % 3),
+        range(3), range(3), "p long, a long, score long",
+    )
+    # acceptors prefer the same-index proposer
+    ap = _prefs(
+        spark,
+        lambda a, p: 3 - ((p - a) % 3),
+        range(3), range(3), "a long, p long, score long",
+    )
+    got = {r.p: (r.a, r.p_rank) for r in stable_matching(pp, ap).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (2, 1)}
+
+
+def test_gs_no_blocking_pair(spark):
+    """Brute-force check: no (p, a) both preferring each other to
+    their assigned partners."""
+    from reden_spark.operators.matching import stable_matching
+
+    n = 6
+    ps = lambda p, a: ((p * 13 + a * 7) * 2654435761) % 1000  # noqa: E731
+    as_ = lambda a, p: ((a * 11 + p * 5) * 2654435761) % 1000  # noqa: E731
+    pp = _prefs(spark, ps, range(n), range(n), "p long, a long, score long")
+    ap = _prefs(spark, as_, range(n), range(n), "a long, p long, score long")
+    match = {r.p: r.a for r in stable_matching(pp, ap).collect()}
+    assert len(match) == n and len(set(match.values())) == n
+    inv = {a: p for p, a in match.items()}
+    for p in range(n):
+        for a in range(n):
+            if match[p] == a:
+                continue
+            p_prefers = (ps(p, a), -a) > (ps(p, match[p]), -match[p])
+            a_prefers = (as_(a, p), -p) > (as_(a, inv[a]), -inv[a])
+            assert not (p_prefers and a_prefers), (p, a)
+
+
+def test_eb_shrinkage_pulls_small_samples_harder(spark):
+    from reden_spark.operators.corpus_prep import eb_shrinkage
+
+    rates = spark.createDataFrame(
+        [("tiny", 2, 2), ("big", 1000, 500)]
+        + [(f"s{i}", 100, 30 + i) for i in range(10)],
+        "source string, n long, x long",
+    )
+    got = {r.source: r for r in eb_shrinkage(rates).collect()}
+    # tiny's raw 100% collapses toward the prior far more than big's 50%
+    tiny_pull = got["tiny"].raw_e6 - got["tiny"].shrunk_e6
+    big_pull = abs(got["big"].raw_e6 - got["big"].shrunk_e6)
+    assert tiny_pull > 10 * big_pull
+    assert got["tiny"].shrunk_e6 < got["tiny"].raw_e6
+
+
+def test_eb_shrinkage_equal_rates_identity(spark):
+    from reden_spark.operators.corpus_prep import eb_shrinkage
+
+    rates = spark.createDataFrame(
+        [(f"s{i}", 100, 25) for i in range(5)], "source string, n long, x long"
+    )
+    got = eb_shrinkage(rates).collect()
+    assert all(r.shrunk_e6 == 250000 for r in got)
