@@ -23993,3 +23993,141 @@ def q_eb_shrinkage(spark, sf_dir):
         .cast("long").alias("x"),
     )
     return eb_shrinkage(rt)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 81: WL graph fingerprints + LOF outliers.
+
+
+def _wl_hash_block(tag: str, edges_sql: str, rounds: int = 2) -> str:
+    parts = [
+        f"""
+    {tag}base AS MATERIALIZED ({edges_sql}),
+    {tag}sym AS MATERIALIZED (
+      SELECT src, dst FROM {tag}base WHERE src <> dst
+      UNION ALL SELECT dst, src FROM {tag}base WHERE src <> dst),
+    {tag}w0 AS MATERIALIZED (
+      SELECT src AS node, CAST(count(*) AS VARCHAR) AS lbl
+      FROM {tag}sym GROUP BY 1)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    {tag}w{i} AS MATERIALIZED (
+      SELECT e.src AS node,
+             md5(ls.lbl || '|'
+                 || string_agg(ld.lbl, ',' ORDER BY ld.lbl)) AS lbl
+      FROM {tag}sym e
+      JOIN {tag}w{i - 1} ld ON e.dst = ld.node
+      JOIN {tag}w{i - 1} ls ON e.src = ls.node
+      GROUP BY e.src, ls.lbl)""")
+    parts.append(f""",
+    {tag}und AS (SELECT DISTINCT least(src, dst) AS a,
+                        greatest(src, dst) AS b
+                 FROM {tag}base WHERE src <> dst),
+    {tag}res AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM {tag}w0) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM {tag}und) AS n_edges,
+             md5(string_agg(lbl, ',' ORDER BY lbl)) AS wl_hash
+      FROM {tag}w{rounds})""")
+    return "".join(parts)
+
+
+def _wl_hash_oracle_sql() -> str:
+    g1 = _KCORE_EDGES_SQL
+    g2 = f"SELECT (src * 7) % 1200 AS src, (dst * 7) % 1200 AS dst FROM ({_KCORE_EDGES_SQL}) z"
+    g3 = f"SELECT src, dst FROM ({_KCORE_EDGES_SQL}) z WHERE src % 97 <> 0"
+    return (
+        "WITH "
+        + _wl_hash_block("a_", g1).lstrip()
+        + ","
+        + _wl_hash_block("b_", g2)
+        + ","
+        + _wl_hash_block("c_", g3)
+        + """
+    SELECT 'orig' AS graph, n_nodes, n_edges, wl_hash FROM a_res
+    UNION ALL
+    SELECT 'relabeled', n_nodes, n_edges, wl_hash FROM b_res
+    UNION ALL
+    SELECT 'perturbed', n_nodes, n_edges, wl_hash FROM c_res"""
+    )
+
+
+@query("wl_graph_hash", _wl_hash_oracle_sql())
+def q_wl_graph_hash(spark, sf_dir):
+    """WL graph fingerprints (operators/communities.wl_graph_hash):
+    the kcore graph, a x7-relabeled isomorphic copy (SAME hash — the
+    invariance the fingerprint exists for), and an edge-dropped
+    perturbation (different hash) — structural snapshot keys that
+    survive relabeling where content-id Merkle digests break."""
+    from reden_spark.operators.communities import wl_graph_hash
+
+    e = _kcore_edges(spark, sf_dir)
+    relabeled = e.select(
+        ((F.col("src") * 7) % 1200).alias("src"),
+        ((F.col("dst") * 7) % 1200).alias("dst"),
+    )
+    perturbed = e.filter(F.col("src") % 97 != 0)
+    out = None
+    for name, g in (
+        ("orig", e), ("relabeled", relabeled), ("perturbed", perturbed)
+    ):
+        row = wl_graph_hash(g).select(
+            F.lit(name).alias("graph"), "n_nodes", "n_edges", "wl_hash"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "lof_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 512) AS BIGINT)
+               AS x,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 512) AS BIGINT)
+               AS y
+      FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             CAST(round(sqrt(CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS DOUBLE)) * 1000)
+                  AS BIGINT) AS d_e3
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+    kd AS MATERIALIZED (
+      SELECT i, d_e3 AS kdist_e3 FROM (
+        SELECT i, d_e3, row_number() OVER (PARTITION BY i
+          ORDER BY d_e3 ASC, j ASC) AS rn
+        FROM pairs) z WHERE rn = 3),
+    nb AS (SELECT p.i, p.j, p.d_e3 FROM pairs p
+           JOIN kd ON kd.i = p.i WHERE p.d_e3 <= kd.kdist_e3),
+    reach AS (
+      SELECT nb.i, nb.j, greatest(nb.d_e3, kj.kdist_e3) AS r_e3
+      FROM nb JOIN kd kj ON kj.i = nb.j),
+    rm AS (SELECT i, CAST(count(*) AS BIGINT) AS n_nb,
+                  CAST(sum(r_e3) // count(*) AS BIGINT) AS rm_e3
+           FROM reach GROUP BY 1),
+    ratios AS (
+      SELECT reach.i,
+             CAST(CASE WHEN rj.rm_e3 = 0 THEN 1000000
+                  ELSE ri.rm_e3 * 1000000 // rj.rm_e3 END
+                  AS BIGINT) AS ratio_e6
+      FROM reach
+      JOIN rm ri ON ri.i = reach.i
+      JOIN rm rj ON rj.i = reach.j),
+    lof AS (SELECT i, CAST(sum(ratio_e6) // count(*) AS BIGINT)
+              AS lof_e6
+            FROM ratios GROUP BY 1)
+    SELECT kd.i AS vec_id, rm.n_nb, kd.kdist_e3, rm.rm_e3, lof.lof_e6
+    FROM kd JOIN rm ON rm.i = kd.i JOIN lof ON lof.i = kd.i
+    """,
+)
+def q_lof_outliers(spark, sf_dir):
+    """Local Outlier Factor (operators/similarity.lof_outliers): k=3
+    density ratios over the quantized embedding projection —
+    milli-unit distances, tie-inclusive neighborhoods, integer
+    reach-dist means; the graded outlier score beside dbscan's binary
+    noise flag."""
+    from reden_spark.operators.similarity import lof_outliers
+
+    return lof_outliers(_read(spark, sf_dir, "embeddings"), k=3)

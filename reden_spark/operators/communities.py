@@ -752,3 +752,41 @@ def fiedler_bisect(edges: DataFrame, rounds: int = 12) -> DataFrame:
         F.col("v").cast("long").alias("x_e6"),
         (F.col("v") >= 0).alias("side"),
     )
+
+
+def wl_graph_hash(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """One-row Weisfeiler-Lehman graph fingerprint:
+    (n_nodes, n_edges, wl_hash) — md5 over the SORTED multiset of
+    final 1-WL colors (wl_refinement's digests).  Isomorphic graphs
+    hash identically under any node relabeling (the colors are pure
+    structure); differing hashes prove non-isomorphism (the converse
+    fails exactly where 1-WL fails — regular graph pairs).
+
+    The whole-graph dedup/drift key: snapshot fingerprints detect
+    structural change without diffing edges (merkle_bucket_diff keys
+    on CONTENT ids and breaks under relabeling; this survives it),
+    and repeated subgraph extraction dedups on it.
+
+    Scale shape: wl_refinement's per-round exchanges plus one sorted
+    global fold over the node-color list — the only global step, one
+    row out."""
+    lab = wl_refinement(edges, rounds=rounds)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    n_edges = und.count()
+    return lab.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("wl_label")))
+        ).alias("wl_hash"),
+    ).select(
+        "n_nodes",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "wl_hash",
+    )

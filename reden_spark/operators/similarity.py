@@ -1585,3 +1585,106 @@ def silhouette_exact(
             ).alias("s_e6"),
         )
     )
+
+
+def lof_outliers(
+    embeddings: DataFrame,
+    k: int = 3,
+    scale: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over the quantized
+    2-d embedding projection: (vec_id, n_nb, kdist_e3, rm_e3, lof_e6)
+    — LOF ≈ 1 for in-density points, ≫ 1 for outliers whose local
+    density is far below their neighbors'.
+
+    The density-RATIO outlier score DBSCAN's binary noise flag can't
+    give: a point at the edge of a sparse-but-real cluster is noise
+    to a global eps but LOF ≈ 1; a point just outside a dense blob
+    scores high even when globally unremarkable.
+
+    Integer pipeline: pair distances quantize to milli-units (the
+    silhouette_exact kernel); kdist is the k-th (d, id)-ordered
+    distance; the neighborhood is every point within kdist (ties
+    included, the paper's definition); reach-dist(p←o) =
+    max(kdist(o), d(p,o)); rm = mean reach-dist (integer floor);
+    lof_e6 = mean over neighbors of rm_p·1e6 div rm_o (coincident-
+    point zeros score 1e6 by convention).
+
+    Scale shape: O(n²) pairs — the exact tier for samples/centroids,
+    like silhouette_exact; all aggregates key on the point id."""
+    v = F.col(vec_col)
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(v.getItem(0).cast("double") * scale).cast("long").alias("x"),
+        F.round(v.getItem(1).cast("double") * scale).cast("long").alias("y"),
+    ).persist()
+    a = q.select(
+        F.col("vec_id").alias("i"), F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("j"), F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(round(sqrt(CAST((xi - xj) * (xi - xj)"
+            " + (yi - yj) * (yi - yj) AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("d_e3"),
+    ).persist()
+    w = Window.partitionBy("i").orderBy(
+        F.col("d_e3").asc(), F.col("j").asc()
+    )
+    kd = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("i", F.col("d_e3").alias("kdist_e3"))
+    )
+    nb = pairs.join(kd, "i").filter(
+        F.col("d_e3") <= F.col("kdist_e3")
+    ).select("i", "j", "d_e3")
+    reach = nb.join(
+        kd.select(F.col("i").alias("j"), F.col("kdist_e3").alias("kd_j")),
+        "j",
+    ).select(
+        "i", "j", F.greatest("d_e3", "kd_j").alias("r_e3")
+    )
+    rm = reach.groupBy("i").agg(
+        F.count("*").cast("long").alias("n_nb"),
+        F.expr("CAST(sum(r_e3) div count(*) AS BIGINT)").alias("rm_e3"),
+    )
+    ratios = (
+        reach.select("i", "j")
+        .join(rm.select(F.col("i").alias("i"), "rm_e3"), "i")
+        .join(
+            rm.select(
+                F.col("i").alias("j"), F.col("rm_e3").alias("rm_j")
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            F.expr(
+                "CAST(CASE WHEN rm_j = 0 THEN 1000000"
+                " ELSE rm_e3 * CAST(1000000 AS BIGINT) div rm_j END"
+                " AS BIGINT)"
+            ).alias("ratio_e6"),
+        )
+    )
+    lof = ratios.groupBy("i").agg(
+        F.expr("CAST(sum(ratio_e6) div count(*) AS BIGINT)").alias(
+            "lof_e6"
+        )
+    )
+    return (
+        kd.join(rm, "i")
+        .join(lof, "i")
+        .select(
+            F.col("i").alias("vec_id"), "n_nb", "kdist_e3", "rm_e3",
+            "lof_e6",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Round-5 wave 81: WL graph hash + LOF."""
+
+from __future__ import annotations
+
+
+def _g(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_wl_hash_isomorphism_invariant(spark):
+    from reden_spark.operators.communities import wl_graph_hash
+
+    g1 = _g(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    # relabel via x -> x + 10
+    g2 = _g(spark, [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12)])
+    h1 = wl_graph_hash(g1).collect()[0]
+    h2 = wl_graph_hash(g2).collect()[0]
+    assert h1.wl_hash == h2.wl_hash
+    assert (h1.n_nodes, h1.n_edges) == (4, 5)
+
+
+def test_wl_hash_distinguishes_structures(spark):
+    """Path vs star on 4 nodes: same node/edge counts, different
+    degree structure -> different hashes."""
+    from reden_spark.operators.communities import wl_graph_hash
+
+    path = _g(spark, [(0, 1), (1, 2), (2, 3)])
+    star = _g(spark, [(0, 1), (0, 2), (0, 3)])
+    assert (
+        wl_graph_hash(path).collect()[0].wl_hash
+        != wl_graph_hash(star).collect()[0].wl_hash
+    )
+
+
+def test_lof_flags_the_isolated_point(spark):
+    from reden_spark.operators.similarity import lof_outliers
+
+    pts = [(i, [float(i % 3) / 100, float(i // 3) / 100]) for i in range(9)]
+    pts.append((99, [1.0, 1.0]))  # far outlier
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.lof_e6 for r in lof_outliers(emb, k=3).collect()}
+    assert got[99] > 2000000          # far point: LOF >> 1
+    inliers = [v for k, v in got.items() if k != 99]
+    assert max(inliers) < got[99]
+    assert min(inliers) >= 500000     # in-cluster points hover near 1
+
+
+def test_lof_uniform_grid_near_one(spark):
+    from reden_spark.operators.similarity import lof_outliers
+
+    pts = [(i, [float(i % 4) / 10, float(i // 4) / 10]) for i in range(16)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = [r.lof_e6 for r in lof_outliers(emb, k=3).collect()]
+    assert all(700000 <= v <= 1500000 for v in got)
