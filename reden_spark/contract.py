@@ -24131,3 +24131,81 @@ def q_lof_outliers(spark, sf_dir):
     from reden_spark.operators.similarity import lof_outliers
 
     return lof_outliers(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 82: Apriori triples + approximate-FD discovery.
+
+
+@query(
+    "frequent_triples",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk,
+                      CAST(l_partkey % 200 AS BIGINT) AS it
+               FROM lineitem)
+    SELECT a.it AS i1, b2.it AS i2, c2.it AS i3,
+           CAST(count(*) AS BIGINT) AS support
+    FROM b a
+    JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+    JOIN b c2 ON a.bk = c2.bk AND b2.it < c2.it
+    GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def q_frequent_triples(spark, sf_dir):
+    """Apriori 3-itemsets (operators/cooccur.frequent_triples) over
+    lineitem baskets (parts mod 200, minsup 3) — L1/L2-pruned plan,
+    identical result to the naive 3-way by downward closure; the
+    bundle signal beyond rule_mining's pairs."""
+    from reden_spark.operators.cooccur import frequent_triples
+
+    b = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"),
+        (F.col("l_partkey") % 200).cast("long").alias("it"),
+    )
+    return frequent_triples(b, minsup=3)
+
+
+def _afd_oracle_sql() -> str:
+    cols = {
+        "a": "o_custkey % 50",
+        "b": "o_custkey % 10",
+        "c": "o_orderpriority",
+        "d": "o_orderstatus",
+    }
+    blocks = []
+    for lhs in cols:
+        for rhs in cols:
+            if lhs == rhs:
+                continue
+            blocks.append(f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+           CAST(sum(m) AS BIGINT) AS kept
+    FROM (SELECT l, max(c) AS m FROM (
+            SELECT {cols[lhs]} AS l, {cols[rhs]} AS r, count(*) AS c
+            FROM orders GROUP BY 1, 2) z
+          GROUP BY l) zz""")
+    return f"""
+    SELECT lhs, rhs, n, kept,
+           CAST((n - kept) * 1000000 // n AS BIGINT) AS err_e6,
+           (n - kept) * 1000000 // n <= 10000 AS is_afd
+    FROM ({" UNION ALL ".join(blocks)}) u
+    """
+
+
+@query("afd_discovery", _afd_oracle_sql())
+def q_afd_discovery(spark, sf_dir):
+    """Approximate-FD discovery (operators/analytics.afd_discovery):
+    g3 deletion error over the 4-column grid — the planted
+    custkey%50 → custkey%10 dependency surfaces at error 0, the rest
+    rank by how badly they fail; schema induction feeding
+    fd_profile."""
+    from reden_spark.operators.analytics import afd_discovery
+
+    rec = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("a"),
+        (F.col("o_custkey") % 10).alias("b"),
+        F.col("o_orderpriority").alias("c"),
+        F.col("o_orderstatus").alias("d"),
+    )
+    return afd_discovery(rec, ["a", "b", "c", "d"])

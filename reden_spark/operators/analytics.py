@@ -1413,3 +1413,60 @@ def k_anon_generalize(
             "chosen"
         ),
     )
+
+
+def afd_discovery(
+    records: DataFrame,
+    cols: list[str],
+    max_err_e6: int = 10000,
+) -> DataFrame:
+    """Approximate functional dependency discovery over every ordered
+    column pair: (lhs, rhs, n, kept, err_e6, is_afd) — the g3 error
+    (Kivinen-Mannila): the fraction of rows that must be DELETED for
+    lhs → rhs to hold exactly, computed as 1 − (Σ per-lhs max rhs
+    count)/n, all-integer.
+
+    The discovery sweep fd_profile's fixed-list audit feeds on: scan
+    the column grid, keep pairs under ``max_err_e6``, and hand the
+    survivors to fd_profile for per-group detail — schema induction
+    for tables nobody documented.
+
+    Scale shape: one (lhs, rhs) count + one lhs max-rollup per pair —
+    each map-side combinable; the pair grid is |cols|² plans unioned,
+    scan-shared by Spark's common-subexpression reuse of the source
+    relation."""
+    out = None
+    n = records.count()
+    for lhs in cols:
+        for rhs in cols:
+            if lhs == rhs:
+                continue
+            kept = (
+                records.groupBy(F.col(lhs).alias("l"),
+                                F.col(rhs).alias("r"))
+                .agg(F.count("*").alias("c"))
+                .groupBy("l")
+                .agg(F.max("c").alias("m"))
+                .agg(F.sum("m").cast("long").alias("kept"))
+                .select(
+                    F.lit(lhs).alias("lhs"),
+                    F.lit(rhs).alias("rhs"),
+                    F.lit(n).cast("long").alias("n"),
+                    "kept",
+                )
+            )
+            out = kept if out is None else out.unionByName(kept)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n",
+        "kept",
+        F.expr(
+            "CAST((n - kept) * CAST(1000000 AS BIGINT) div n AS BIGINT)"
+        ).alias("err_e6"),
+    ).withColumn(
+        "is_afd",
+        F.expr(
+            f"(n - kept) * CAST(1000000 AS BIGINT) div n <= {max_err_e6}"
+        ),
+    )

@@ -239,3 +239,78 @@ def collocation_dice(
             ),
         )
     )
+
+
+def frequent_triples(
+    baskets: DataFrame, minsup: int = 3
+) -> DataFrame:
+    """Apriori level-3 frequent itemsets over (bk, it) basket
+    memberships: (i1, i2, i3, support) with i1 < i2 < i3 and support
+    = number of baskets containing all three, at least ``minsup``.
+
+    The 3-way lift rule_mining's pair rules can't see: bundles and
+    co-required dependencies (licenses that co-occur only as a trio,
+    import triples that indicate a framework).  Implemented with the
+    Apriori prunes that make it feasible at scale: baskets drop
+    infrequent ITEMS first (L1 semi-join), candidate triples keep
+    only those whose three sub-pairs are frequent (L2 semi-joins) —
+    identical output to the naive 3-way + HAVING (downward closure),
+    with the join fan-in cut before the expensive level.
+
+    Scale shape: distinct memberships, one item rollup, one pruned
+    basket self-join per level — the exchange pattern of
+    cooccur_pmi, one level deeper."""
+    b = baskets.select("bk", "it").distinct().persist()
+    l1 = b.groupBy("it").agg(F.count("*").alias("s")).filter(
+        F.col("s") >= minsup
+    ).select("it")
+    b1 = b.join(F.broadcast(l1), "it").persist()
+    pairs = (
+        b1.alias("x")
+        .join(
+            b1.alias("y"),
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.it") < F.col("y.it")),
+        )
+        .groupBy(F.col("x.it").alias("i1"), F.col("y.it").alias("i2"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= minsup)
+        .select("i1", "i2")
+        .persist()
+    )
+    tri = (
+        b1.alias("x")
+        .join(
+            b1.alias("y"),
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.it") < F.col("y.it")),
+        )
+        .join(
+            b1.alias("z"),
+            (F.col("x.bk") == F.col("z.bk"))
+            & (F.col("y.it") < F.col("z.it")),
+        )
+        .select(
+            F.col("x.bk").alias("bk"),
+            F.col("x.it").alias("i1"),
+            F.col("y.it").alias("i2"),
+            F.col("z.it").alias("i3"),
+        )
+        .join(pairs, ["i1", "i2"])
+        .join(
+            pairs.select(
+                F.col("i1").alias("i2"), F.col("i2").alias("i3")
+            ),
+            ["i2", "i3"],
+        )
+        .join(
+            pairs.select(
+                F.col("i1").alias("i1"), F.col("i2").alias("i3")
+            ),
+            ["i1", "i3"],
+        )
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    return tri

@@ -1,0 +1,54 @@
+"""Round-5 wave 82: Apriori triples + approximate FDs."""
+
+from __future__ import annotations
+
+
+def test_frequent_triples_hand_traced(spark):
+    """{1,2,3} appears in 3 baskets, {1,2,4} in only 2."""
+    from reden_spark.operators.cooccur import frequent_triples
+
+    rows = []
+    for bk in (1, 2, 3):
+        rows += [(bk, 1), (bk, 2), (bk, 3)]
+    rows += [(4, 1), (4, 2), (4, 4), (5, 1), (5, 2), (5, 4)]
+    b = spark.createDataFrame(rows, "bk long, it long")
+    got = {(r.i1, r.i2, r.i3): r.support
+           for r in frequent_triples(b, minsup=3).collect()}
+    assert got == {(1, 2, 3): 3}
+
+
+def test_frequent_triples_duplicates_collapse(spark):
+    """Repeated (basket, item) rows count once."""
+    from reden_spark.operators.cooccur import frequent_triples
+
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3)] * 3  # one basket only
+    b = spark.createDataFrame(rows, "bk long, it long")
+    assert frequent_triples(b, minsup=2).count() == 0
+
+
+def test_afd_finds_planted_dependency(spark):
+    from reden_spark.operators.analytics import afd_discovery
+
+    rec = spark.createDataFrame(
+        [(i % 50, i % 10, i % 7) for i in range(500)],
+        "a long, b long, c long",
+    )
+    got = {(r.lhs, r.rhs): r for r in
+           afd_discovery(rec, ["a", "b", "c"]).collect()}
+    # 10 | 50 -> a determines b exactly
+    assert got[("a", "b")].err_e6 == 0 and got[("a", "b")].is_afd
+    # b cannot determine a (5 candidates per b value)
+    assert got[("b", "a")].err_e6 > 100000 and not got[("b", "a")].is_afd
+    assert len(got) == 6
+
+
+def test_afd_g3_error_formula(spark):
+    """3 rows where lhs=1 maps to two rhs values -> delete 1 of 3."""
+    from reden_spark.operators.analytics import afd_discovery
+
+    rec = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y")], "l long, r string"
+    )
+    got = {(r.lhs, r.rhs): r for r in afd_discovery(rec, ["l", "r"]).collect()}
+    assert got[("l", "r")].kept == 2
+    assert got[("l", "r")].err_e6 == 333333
