@@ -24209,3 +24209,82 @@ def q_afd_discovery(spark, sf_dir):
         F.col("o_orderstatus").alias("d"),
     )
     return afd_discovery(rec, ["a", "b", "c", "d"])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 83: negative-sampling weights + LPT key balancing.
+
+
+@query(
+    "neg_sampling_plan",
+    f"""
+    WITH toks AS (SELECT tok FROM ({_QTOKS_SQL})),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+          FROM toks GROUP BY 1),
+    w AS (SELECT tok, freq,
+                 CAST(round(sqrt(sqrt(CAST(freq * freq * freq
+                      AS DOUBLE))) * 1000) AS BIGINT) AS w_e3
+          FROM f),
+    tw AS (SELECT CAST(sum(w_e3) AS BIGINT) AS tw FROM w)
+    SELECT tok, freq, w_e3,
+           CAST(w_e3 * 1000000 // (SELECT tw FROM tw) AS BIGINT)
+             AS share_e6
+    FROM w
+    """,
+)
+def q_neg_sampling_plan(spark, sf_dir):
+    """word2vec negative-sampling weights (operators/importance.
+    neg_sampling_plan): f^0.75 as sqrt(sqrt(f³)) — exact cube, two
+    correctly-rounded sqrts, no libm pow; milli-unit weights and
+    integer shares."""
+    from reden_spark.operators.importance import neg_sampling_plan
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return neg_sampling_plan(toks)
+
+
+@query(
+    "lpt_assign",
+    """
+    WITH RECURSIVE kw AS (
+      SELECT 'k' || CAST(o_custkey % 40 AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1),
+    ks AS (SELECT key, w,
+                  CAST(row_number() OVER (ORDER BY w DESC, key ASC)
+                       AS BIGINT) AS rn
+           FROM kw),
+    st AS (
+      SELECT CAST(0 AS BIGINT) AS rn,
+             CAST([0, 0, 0, 0] AS BIGINT[]) AS loads,
+             CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS w,
+             CAST(NULL AS BIGINT) AS worker,
+             CAST(NULL AS BIGINT) AS load_after
+      UNION ALL
+      SELECT k.rn,
+             [CASE WHEN i = list_position(s.loads,
+                     list_aggregate(s.loads, 'min'))
+                   THEN s.loads[i] + k.w ELSE s.loads[i] END
+              FOR i IN range(1, 5)],
+             k.key, k.w,
+             CAST(list_position(s.loads,
+                  list_aggregate(s.loads, 'min')) - 1 AS BIGINT),
+             CAST(list_aggregate(s.loads, 'min') + k.w AS BIGINT)
+      FROM st s JOIN ks k ON k.rn = s.rn + 1)
+    SELECT key, w, worker, load_after FROM st WHERE rn >= 1
+    """,
+)
+def q_lpt_assign(spark, sf_dir):
+    """LPT key→worker balancing (operators/skew.lpt_assign): 40
+    custkey-bucket weights onto 4 workers by the Graham greedy — one
+    higher-order fold vs a list-accumulator recursive CTE; the
+    explicit partitioner for hot keys that cannot be salted."""
+    from reden_spark.operators.skew import lpt_assign
+
+    kw = _read(spark, sf_dir, "orders").groupBy(
+        F.concat(F.lit("k"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("key")
+    ).agg(F.count("*").cast("long").alias("w"))
+    return lpt_assign(kw, n_workers=4)

@@ -464,3 +464,35 @@ def stupid_backoff_nll(
         F.sum((F.col("lvl") == 2).cast("long")).alias("n_backoff2"),
         F.sum((F.col("lvl") == 1).cast("long")).alias("n_backoff1"),
     )
+
+
+def neg_sampling_plan(toks: DataFrame) -> DataFrame:
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    (tok, freq, w_e3, share_e6) with w = freq^0.75 — the unigram
+    smoothing that keeps frequent tokens from swamping the negatives
+    while still drawing them more than rare ones.
+
+    Portability: f^0.75 is evaluated as sqrt(sqrt(f³)) — the cube is
+    an exact BIGINT and sqrt is correctly rounded IEEE in both
+    engines, where pow(f, 0.75) is libm-dependent.  Weights quantize
+    to milli-units per token BEFORE the share normalization
+    (w_e3 · 1e6 div Σw_e3, all-integer).
+
+    Scale shape: one token count + one broadcast total."""
+    f = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    w = f.withColumn(
+        "w_e3",
+        F.expr(
+            "CAST(round(sqrt(sqrt(CAST(freq * freq * freq AS DOUBLE)))"
+            " * 1000) AS BIGINT)"
+        ),
+    )
+    tot = w.agg(F.sum("w_e3").cast("long").alias("tw"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "freq",
+        "w_e3",
+        F.expr(
+            "CAST(w_e3 * CAST(1000000 AS BIGINT) div tw AS BIGINT)"
+        ).alias("share_e6"),
+    )

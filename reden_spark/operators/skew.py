@@ -354,3 +354,65 @@ def salt_plan(
         )
         .filter(F.col("salt") > 1)
     )
+
+
+def lpt_assign(keys: DataFrame, n_workers: int = 4) -> DataFrame:
+    """Longest-Processing-Time key→worker assignment over (key, w)
+    weights: (key, w, worker, load_after) — keys sorted (w desc,
+    key asc), each assigned to the currently least-loaded worker
+    (lowest index on ties), the classic 4/3-approximate makespan
+    balancer (Graham 1969).
+
+    The post-diagnosis step of the skew family: key_skew_profile and
+    salt_plan say WHICH keys are hot; when hot keys must stay intact
+    (orderful aggregation, per-key state), LPT is the assignment that
+    keeps the worst reducer closest to the mean — the explicit
+    partitioner a custom `partitionBy` ships.
+
+    Determinism: the whole greedy runs as ONE higher-order fold over
+    the sorted key array (no driver loop); the load vector rides the
+    fold state; argmin ties resolve to the first (lowest) worker.
+    The oracle replays the identical recurrence as a recursive CTE
+    with a list-typed accumulator.
+
+    Scale shape: the key HISTOGRAM is the input (≪ rows); one sort,
+    one fold, one explode back out."""
+    seq = keys.select(
+        "key", F.col("w").cast("long").alias("w")
+    ).groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("w")).alias("nw"), "key", "w"))
+        ).alias("seq")
+    )
+    out_t = "array<struct<key:string,w:bigint,worker:bigint,load_after:bigint>>"
+    loads0 = ", ".join(["CAST(0 AS BIGINT)"] * n_workers)
+    folded = seq.select(
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                  seq,
+                  named_struct('loads', array({loads0}),
+                               'out', CAST(array() AS {out_t})),
+                  (acc, e) -> named_struct(
+                    'loads', transform(acc.loads, (l, i) ->
+                      CASE WHEN i = array_position(acc.loads,
+                                     array_min(acc.loads)) - 1
+                           THEN l + e.w ELSE l END),
+                    'out', array_append(acc.out, named_struct(
+                      'key', e.key, 'w', e.w,
+                      'worker', CAST(array_position(acc.loads,
+                                  array_min(acc.loads)) - 1 AS BIGINT),
+                      'load_after',
+                        array_min(acc.loads) + e.w))),
+                  acc -> acc.out)
+                """
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.key").alias("key"),
+        F.col("r.w").alias("w"),
+        F.col("r.worker").alias("worker"),
+        F.col("r.load_after").alias("load_after"),
+    )

@@ -1,0 +1,64 @@
+"""Round-5 wave 83: negative-sampling weights + LPT balancing."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_neg_sampling_power_and_shares(spark):
+    from reden_spark.operators.importance import neg_sampling_plan
+
+    rows = [("a",)] * 16 + [("b",)] * 81 + [("c",)] * 1
+    toks = spark.createDataFrame(rows, "tok string")
+    got = {r.tok: r for r in neg_sampling_plan(toks).collect()}
+    assert got["a"].w_e3 == round(16 ** 0.75 * 1000) == 8000
+    assert got["b"].w_e3 == round(81 ** 0.75 * 1000) == 27000
+    assert got["c"].w_e3 == 1000
+    tot = 8000 + 27000 + 1000
+    for t in "abc":
+        assert got[t].share_e6 == got[t].w_e3 * 10**6 // tot
+    # smoothing: b is 81x more frequent than c but only 27x the weight
+    assert got["b"].w_e3 // got["c"].w_e3 == 27
+
+
+def test_lpt_hand_traced(spark):
+    """Weights 7,5,4,3 on 2 workers: 7|5, then 4 joins 5... no —
+    4 joins the lighter (5) side? loads after 7,5: [7,5] -> 4 to
+    worker 1 (load 9), 3 to worker 0 (load 10)."""
+    from reden_spark.operators.skew import lpt_assign
+
+    kw = spark.createDataFrame(
+        [("a", 7), ("b", 5), ("c", 4), ("d", 3)], "key string, w long"
+    )
+    got = {r.key: (r.worker, r.load_after)
+           for r in lpt_assign(kw, n_workers=2).collect()}
+    assert got == {
+        "a": (0, 7), "b": (1, 5), "c": (1, 9), "d": (0, 10),
+    }
+
+
+def test_lpt_balances_within_bound(spark):
+    """Graham bound: makespan <= 4/3 OPT; vs the trivial lower bound
+    max(total/W, max_w)."""
+    from reden_spark.operators.skew import lpt_assign
+
+    ws = [(f"k{i}", (i * 37) % 50 + 1) for i in range(30)]
+    kw = spark.createDataFrame(ws, "key string, w long")
+    got = lpt_assign(kw, n_workers=4).collect()
+    loads = {}
+    for r in got:
+        loads[r.worker] = loads.get(r.worker, 0) + r.w
+    total = sum(w for _, w in ws)
+    lower = max(math.ceil(total / 4), max(w for _, w in ws))
+    assert max(loads.values()) <= math.ceil(4 / 3 * lower)
+    assert len(loads) == 4 and sum(loads.values()) == total
+
+
+def test_lpt_tie_prefers_lowest_worker(spark):
+    from reden_spark.operators.skew import lpt_assign
+
+    kw = spark.createDataFrame(
+        [("a", 5), ("b", 5)], "key string, w long"
+    )
+    got = {r.key: r.worker for r in lpt_assign(kw, n_workers=3).collect()}
+    assert got["a"] == 0 and got["b"] == 1
