@@ -1657,12 +1657,16 @@ def lof_outliers(
         F.count("*").cast("long").alias("n_nb"),
         F.expr("CAST(sum(r_e3) div count(*) AS BIGINT)").alias("rm_e3"),
     )
+    # rm is one row per point (sample-sized by contract) — broadcast
+    # both probes so the ratio join never sort-merges the pair table
     ratios = (
         reach.select("i", "j")
-        .join(rm.select(F.col("i").alias("i"), "rm_e3"), "i")
+        .join(F.broadcast(rm.select(F.col("i").alias("i"), "rm_e3")), "i")
         .join(
-            rm.select(
-                F.col("i").alias("j"), F.col("rm_e3").alias("rm_j")
+            F.broadcast(
+                rm.select(
+                    F.col("i").alias("j"), F.col("rm_e3").alias("rm_j")
+                )
             ),
             "j",
         )
