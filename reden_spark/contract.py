@@ -24288,3 +24288,111 @@ def q_lpt_assign(spark, sf_dir):
         .alias("key")
     ).agg(F.count("*").cast("long").alias("w"))
     return lpt_assign(kw, n_workers=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 84: Erlang-C staffing + FK orphan audit.
+
+
+@query(
+    "erlang_c_plan",
+    """
+    SELECT CAST(a_e3 AS BIGINT) AS a_e3, CAST(c AS BIGINT) AS c,
+           CAST(rho_e6 AS BIGINT) AS rho_e6,
+           CAST(p_wait_e6 AS BIGINT) AS p_wait_e6
+    FROM (VALUES
+      (2000, 3, 666667, 444444),
+      (2000, 4, 500000, 173913),
+      (8000, 10, 800000, 409180),
+      (8000, 12, 666667, 139842),
+      (24000, 30, 800000, 172862),
+      (24000, 28, 857143, 333139))
+      t(a_e3, c, rho_e6, p_wait_e6)
+    """,
+)
+def q_erlang_c_plan(spark, sf_dir):
+    """Erlang-C staffing table (operators/sketches.erlang_c_plan):
+    delay probability per (offered load, workers) — the queueing
+    capacity read for rate-limited fleet stages."""
+    from reden_spark.operators.sketches import erlang_c_plan
+
+    return erlang_c_plan(spark)
+
+
+@query(
+    "fk_orphan_audit",
+    """
+    SELECT 'orders.custkey' AS fk,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) * 1000000
+                // (SELECT count(*) FROM orders) AS BIGINT)
+             AS orphan_e6
+    UNION ALL
+    SELECT 'lineitem.orderkey',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) * 1000000
+                // (SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey NOT IN
+                   (SELECT p_partkey FROM part)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey NOT IN
+                   (SELECT p_partkey FROM part)) * 1000000
+                // (SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.nationkey',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE c.c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE c.c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) * 1000000
+                // (SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.regionkey',
+           CAST((SELECT count(*) FROM nation) AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE n.n_regionkey NOT IN
+                   (SELECT r_regionkey FROM region)) AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE n.n_regionkey NOT IN
+                   (SELECT r_regionkey FROM region)) * 1000000
+                // (SELECT count(*) FROM nation) AS BIGINT)
+    """,
+)
+def q_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity sweep (operators/analytics.
+    fk_orphan_audit): orphan counts across five declared TPC-H foreign
+    keys — the relational twin of dangling_refs, one anti-join per
+    declaration."""
+    from reden_spark.operators.analytics import fk_orphan_audit
+
+    t = lambda name: _read(spark, sf_dir, name)  # noqa: E731
+    pairs = [
+        ("orders.custkey", t("orders"), "o_custkey",
+         t("customer"), "c_custkey"),
+        ("lineitem.orderkey", t("lineitem"), "l_orderkey",
+         t("orders"), "o_orderkey"),
+        ("lineitem.partkey", t("lineitem"), "l_partkey",
+         t("part"), "p_partkey"),
+        ("customer.nationkey", t("customer"), "c_nationkey",
+         t("nation"), "n_nationkey"),
+        ("nation.regionkey", t("nation"), "n_regionkey",
+         t("region"), "r_regionkey"),
+    ]
+    return fk_orphan_audit(pairs)

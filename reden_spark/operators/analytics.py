@@ -1470,3 +1470,35 @@ def afd_discovery(
             f"(n - kept) * CAST(1000000 AS BIGINT) div n <= {max_err_e6}"
         ),
     )
+
+
+def fk_orphan_audit(
+    pairs: list[tuple[str, "DataFrame", str, "DataFrame", str]]
+) -> DataFrame:
+    """Referential-integrity sweep over declared foreign keys:
+    (fk, n_child, n_orphans, orphan_e6) — one row per (name, child
+    df, child col, parent df, parent col) declaration, counting child
+    rows whose key has no parent (NULLs count as orphans: a null FK
+    is a missing reference for lineage purposes).
+
+    The relational twin of dangling_refs: KGs dangle on IRIs, star
+    schemas dangle on surrogate keys; run it after every load and
+    alert on orphan_e6 > 0 for keys the contract declares total.
+
+    Scale shape: one left-anti join per declared FK against the
+    DISTINCT parent key (broadcast-sized for dimensions) — the
+    cheapest join shape that answers the question."""
+    out = None
+    for name, child, ckey, parent, pkey in pairs:
+        pk = parent.select(F.col(pkey).alias("_k")).distinct()
+        n_child = child.count()
+        orphans = child.select(
+            F.col(ckey).alias("_k")
+        ).join(pk, "_k", "left_anti").count()
+        row = child.sparkSession.createDataFrame(
+            [(name, n_child, orphans,
+              (orphans * 1000000) // n_child if n_child else 0)],
+            "fk string, n_child long, n_orphans long, orphan_e6 long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -437,3 +437,36 @@ def mg_heavy_hitters(
         .agg(F.sum("res").cast("long").alias("est"))
         .crossJoin(F.broadcast(err))
     )
+
+
+def erlang_c_plan(spark) -> "DataFrame":
+    """(a_e3, c, rho_e6, p_wait_e6): Erlang-C delay probability over a
+    worker-count grid for offered loads a = lambda/mu of 2, 8, and 24
+    Erlangs — the staffing table for any rate-limited fleet stage
+    (crawler slots per politeness domain, annotator pools, GPU queue
+    admission): P(wait) = (a^c/c!)/((1−rho)·Σ_{k<c} a^k/k! +
+    a^c/c!), rho = a/c.
+
+    The queueing complement of the capacity planners
+    (shuffle_partition_plan sizes batch work; this sizes SERVERS under
+    stochastic arrivals — the +2-workers row shows how steeply the
+    wait probability collapses just past rho ≈ 0.8).  Factorial sums
+    evaluate exactly driver-side; the table is literal (cms_size_plan
+    family)."""
+    import math
+
+    rows = []
+    for a_e3, c in [
+        (2000, 3), (2000, 4), (8000, 10),
+        (8000, 12), (24000, 30), (24000, 28),
+    ]:
+        a = a_e3 / 1000
+        rho = a / c
+        s = sum(a ** k / math.factorial(k) for k in range(c))
+        top = a ** c / math.factorial(c) / (1 - rho)
+        rows.append(
+            (a_e3, c, round(rho * 1e6), round(top / (s + top) * 1e6))
+        )
+    return spark.createDataFrame(
+        rows, "a_e3 long, c long, rho_e6 long, p_wait_e6 long"
+    )

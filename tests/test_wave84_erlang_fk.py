@@ -1,0 +1,52 @@
+"""Round-5 wave 84: Erlang-C staffing + FK orphan audit."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_erlang_c_formula(spark):
+    from reden_spark.operators.sketches import erlang_c_plan
+
+    got = {(r.a_e3, r.c): r for r in erlang_c_plan(spark).collect()}
+    a, c = 8.0, 10
+    s = sum(a**k / math.factorial(k) for k in range(c))
+    top = a**c / math.factorial(c) / (1 - a / c)
+    assert got[(8000, 10)].p_wait_e6 == round(top / (s + top) * 1e6)
+    # two more workers at the same load collapse the wait probability
+    assert got[(8000, 12)].p_wait_e6 < got[(8000, 10)].p_wait_e6 // 2
+
+
+def test_fk_orphan_audit_finds_planted_orphans(spark):
+    from reden_spark.operators.analytics import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (99,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = fk_orphan_audit(
+        [("c.k", child, "k", parent, "k")]
+    ).collect()[0]
+    assert (got.n_child, got.n_orphans, got.orphan_e6) == (4, 1, 250000)
+
+
+def test_fk_orphan_audit_null_counts_as_orphan(spark):
+    from reden_spark.operators.analytics import fk_orphan_audit
+
+    child = spark.createDataFrame([(1,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,)], "k long")
+    got = fk_orphan_audit(
+        [("c.k", child, "k", parent, "k")]
+    ).collect()[0]
+    assert got.n_orphans == 1
+
+
+def test_fk_orphan_audit_clean_schema(spark):
+    from reden_spark.operators.analytics import fk_orphan_audit
+
+    child = spark.createDataFrame([(i % 3,) for i in range(9)], "k long")
+    parent = spark.createDataFrame([(0,), (1,), (2,)], "k long")
+    got = fk_orphan_audit(
+        [("c.k", child, "k", parent, "k")]
+    ).collect()[0]
+    assert got.n_orphans == 0 and got.orphan_e6 == 0
