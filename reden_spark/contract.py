@@ -24396,3 +24396,71 @@ def q_fk_orphan_audit(spark, sf_dir):
          t("region"), "r_regionkey"),
     ]
     return fk_orphan_audit(pairs)
+
+
+@query(
+    "sgns_training_pairs",
+    f"""
+    WITH toks AS ({_QTOKS_SQL}),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+          FROM toks GROUP BY 1),
+    wt AS (SELECT tok,
+                  CAST(round(sqrt(sqrt(CAST(freq * freq * freq
+                       AS DOUBLE))) * 1000) AS BIGINT) AS w_e3
+           FROM f),
+    cum AS (
+      SELECT tok, w_e3,
+             CAST(coalesce(sum(w_e3) OVER (ORDER BY tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lo,
+             CAST(coalesce(sum(w_e3) OVER (ORDER BY tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + w_e3 AS BIGINT) AS hi
+      FROM wt),
+    tt AS (SELECT CAST(max(hi) AS BIGINT) AS t FROM cum),
+    bi AS (
+      SELECT doc_id, pos, tok AS center,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS context
+      FROM toks),
+    pos AS (SELECT DISTINCT center, context FROM bi
+            WHERE context IS NOT NULL),
+    p AS (SELECT center, context, CAST(0 AS BIGINT) AS slot,
+                 CAST(1 AS BIGINT) AS label
+          FROM pos),
+    sl AS (SELECT center, context, slot FROM pos,
+                  (SELECT unnest([1, 2]) AS slot) s),
+    dr AS (
+      SELECT center, context, slot,
+             ({_TOK_HASH_SQL.format(t="('sg' || center || '|' || context || '#' || CAST(slot AS VARCHAR))")})
+               % (SELECT t FROM tt) AS r
+      FROM sl),
+    n AS (
+      SELECT dr.center, cum.tok AS context,
+             CAST(dr.slot AS BIGINT) AS slot, CAST(0 AS BIGINT) AS label
+      FROM dr JOIN cum ON dr.r >= cum.lo AND dr.r < cum.hi)
+    SELECT center, context, slot, label FROM p
+    UNION ALL
+    SELECT center, context, slot, label FROM n
+    """,
+)
+def q_sgns_training_pairs(spark, sf_dir):
+    """SGNS training table (operators/importance.sgns_training_pairs):
+    distinct document bigrams as positives, two deterministic
+    hash-interval negatives each from the f^0.75 distribution — the
+    resumable embedding-training data feed, no RNG state."""
+    from reden_spark.operators.importance import sgns_training_pairs
+    from reden_spark.operators.quality import _doc_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    positives = (
+        toks.withColumn("context", F.lead("tok").over(w))
+        .filter(F.col("context").isNotNull())
+        .select(F.col("tok").alias("center"), "context")
+        .distinct()
+    )
+    return sgns_training_pairs(
+        positives, toks.select("tok"), k_neg=2
+    )

@@ -496,3 +496,76 @@ def neg_sampling_plan(toks: DataFrame) -> DataFrame:
             "CAST(w_e3 * CAST(1000000 AS BIGINT) div tw AS BIGINT)"
         ).alias("share_e6"),
     )
+
+
+def sgns_training_pairs(
+    positives: DataFrame,
+    toks: DataFrame,
+    k_neg: int = 2,
+    seed: str = "sg",
+) -> DataFrame:
+    """Skip-gram-with-negative-sampling training table: every
+    positive (center, context) pair plus ``k_neg`` deterministic
+    negatives drawn from the f^0.75 unigram distribution
+    (neg_sampling_plan) → (center, context, slot, label) with slot 0
+    / label 1 for positives and slot 1..k / label 0 for negatives.
+
+    The end of the embedding data pipeline: walks or co-occurrence
+    windows make positives, this operator attaches the negatives the
+    SGNS loss needs — deterministically, so a resumed or re-sharded
+    run emits the identical table (no RNG state, the node2vec
+    interval-draw device): the draw for (center, context, slot) is
+    char_hash(seed‖center‖'|'‖context‖'#'‖slot) mod Σw landing in a
+    token's cumulative-weight interval.  Accidental negatives equal
+    to the true context are kept, per the original formulation.
+
+    Scale shape: the vocabulary weight table is broadcast with its
+    cumulative intervals (one tiny window); negatives come from one
+    range-condition broadcast join per slot batch — the positives
+    table is the only corpus-sized operand."""
+    from reden_spark.functions.text import char_hash
+
+    plan = neg_sampling_plan(toks)
+    w = Window.orderBy(F.col("tok").asc())
+    cum = plan.select(
+        "tok",
+        "w_e3",
+        F.coalesce(
+            F.sum("w_e3").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("lo"),
+    ).withColumn("hi", F.col("lo") + F.col("w_e3"))
+    total = cum.agg(F.max("hi")).collect()[0][0]
+    pos = positives.select(
+        "center", "context",
+        F.lit(0).cast("long").alias("slot"),
+        F.lit(1).cast("long").alias("label"),
+    )
+    slots = positives.select(
+        "center",
+        "context",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(1, k_neg + 1)])
+        ).alias("slot"),
+    ).withColumn(
+        "r",
+        char_hash(
+            F.concat(
+                F.lit(seed), F.col("center"), F.lit("|"),
+                F.col("context"), F.lit("#"),
+                F.col("slot").cast("string"),
+            )
+        ) % F.lit(int(total)),
+    )
+    negs = slots.join(
+        F.broadcast(cum),
+        (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")),
+    ).select(
+        "center",
+        F.col("tok").alias("context"),
+        F.col("slot").cast("long").alias("slot"),
+        F.lit(0).cast("long").alias("label"),
+    )
+    return pos.unionByName(negs)

@@ -1,0 +1,41 @@
+"""Round-5 wave 85: SGNS training-pair generation."""
+
+from __future__ import annotations
+
+
+def _run(spark, positives, tokens, k_neg=2):
+    from reden_spark.operators.importance import sgns_training_pairs
+
+    p = spark.createDataFrame(positives, "center string, context string")
+    t = spark.createDataFrame([(x,) for x in tokens], "tok string")
+    return sgns_training_pairs(p, t, k_neg=k_neg).collect()
+
+
+def test_sgns_shape_and_labels(spark):
+    rows = _run(
+        spark,
+        [("a", "b"), ("b", "c")],
+        ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+    )
+    pos = [r for r in rows if r.label == 1]
+    neg = [r for r in rows if r.label == 0]
+    assert len(pos) == 2 and len(neg) == 4  # k_neg per positive
+    assert all(r.slot == 0 for r in pos)
+    assert sorted({r.slot for r in neg}) == [1, 2]
+    vocab = {"a", "b", "c"}
+    assert all(r.context in vocab for r in neg)
+
+
+def test_sgns_deterministic(spark):
+    a = sorted(map(tuple, _run(spark, [("x", "y")], ["x", "y", "z"] * 4)))
+    b = sorted(map(tuple, _run(spark, [("x", "y")], ["x", "y", "z"] * 4)))
+    assert a == b
+
+
+def test_sgns_negatives_follow_weighting(spark):
+    """A token with overwhelming f^0.75 mass dominates the draws."""
+    positives = [(f"c{i}", f"d{i}") for i in range(200)]
+    tokens = ["big"] * 10000 + ["small"]
+    rows = _run(spark, positives, tokens, k_neg=2)
+    neg = [r.context for r in rows if r.label == 0]
+    assert neg.count("big") > 0.9 * len(neg)
