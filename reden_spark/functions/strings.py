@@ -28,6 +28,8 @@ not this kernel.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -81,8 +83,13 @@ def _jaro_winkler(s1: str, s2: str) -> float:
 
 @F.pandas_udf(T.LongType())
 def _jw_e6_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    # half-away rounding, NOT python round() (banker's): the DuckDB oracle
+    # and the house _r helpers (blocking.py, corpus_prep.py) round .5 away
+    # from zero, and similarities are non-negative here.
     out = [
-        0 if (x is None or y is None) else round(_jaro_winkler(x, y) * 1e6)
+        0
+        if (x is None or y is None)
+        else int(math.floor(_jaro_winkler(x, y) * 1e6 + 0.5))
         for x, y in zip(a, b)
     ]
     return pd.Series(out, dtype="int64")

@@ -663,6 +663,12 @@ def fs_em(
             resp[pat] = _r(num / (num + alt) * 1e6)
         den_m = sum(n * resp[pat] for pat, n in pats)
         den_u = sum(n * (1000000 - resp[pat]) for pat, n in pats)
+        if den_m == 0 or den_u == 0:
+            # degenerate E-step (every responsibility rounded to 0 or 1e6
+            # once m/u sit at the clamps): the M-step is undefined, so
+            # keep the current parameters — EM has converged to the clamp
+            # boundary and further rounds cannot move it.
+            break
         for f in range(n_f):
             num_m = sum(n * resp[pat] for pat, n in pats if pat[f])
             num_u = sum(
@@ -670,7 +676,7 @@ def fs_em(
             )
             m[f] = min(hi, max(lo, (num_m * 1000000) // den_m))
             u[f] = min(hi, max(lo, (num_u * 1000000) // den_u))
-        p = den_m // total
+        p = min(hi, max(lo, den_m // total))
     out = []
     for f, col in enumerate(agree_cols):
         out.append(

@@ -1849,8 +1849,12 @@ def hill_tail_index(values: DataFrame, k: int = 50) -> DataFrame:
         ).alias("t_e9"),
     )
     agg = top.agg(
-        F.sum(F.col("m") * F.col("t_e9")).cast("long").alias("sum_e9"),
-        F.max("x_tail").alias("x_tail"),
+        # coalesce to the documented zero convention when the input has
+        # fewer than k+1 ranked values (empty tail -> NULL aggregates)
+        F.coalesce(
+            F.sum(F.col("m") * F.col("t_e9")).cast("long"), F.lit(0)
+        ).alias("sum_e9"),
+        F.coalesce(F.max("x_tail"), F.lit(0)).alias("x_tail"),
     )
     return agg.select(
         F.lit(n).cast("long").alias("n"),

@@ -133,7 +133,7 @@ def er_jw_scores(
 def stable_matching(
     prop_prefs: DataFrame,
     acc_prefs: DataFrame,
-    max_rounds: int = 64,
+    max_rounds: int | None = 64,
 ) -> DataFrame:
     """Gale-Shapley stable matching (proposer-optimal) from scored
     preferences: ``prop_prefs`` (p, a, score) and ``acc_prefs``
@@ -156,7 +156,11 @@ def stable_matching(
 
     Scale shape: per round one (p, rank)-keyed pick + one a-keyed
     best-of window + one pointer update — all bounded exchanges,
-    localCheckpoint per round; rounds <= total preference entries."""
+    localCheckpoint per round; rounds <= total preference entries
+    (that bound is ENFORCED: ``max_rounds=None`` derives the cap from
+    the preference-list size, and a loop that exhausts its cap while
+    free proposers with untried preferences remain raises rather than
+    silently returning a partial — possibly unstable — matching)."""
     wp = Window.partitionBy("p").orderBy(
         F.col("score").desc(), F.col("a").asc()
     )
@@ -167,7 +171,12 @@ def stable_matching(
     nr = pr.select("p").distinct().withColumn(
         "nr", F.lit(1).cast("long")
     ).localCheckpoint(eager=True)
+    if max_rounds is None:
+        # GS terminates within |preference entries| rounds: every round
+        # with any free proposer advances at least one pointer.
+        max_rounds = int(pr.count()) + 1
     holds = None
+    converged = False
     for _ in range(max_rounds):
         free = (
             nr if holds is None
@@ -183,6 +192,7 @@ def stable_matching(
             .select("p", "a")
         )
         if props.isEmpty():
+            converged = True
             break
         cands = (
             props if holds is None
@@ -206,6 +216,23 @@ def stable_matching(
             .localCheckpoint(eager=True)
         )
         holds = new_holds.localCheckpoint(eager=True)
+    if not converged:
+        # the cap expired mid-algorithm: free proposers with untried
+        # preferences remain, so the partial matching may be unstable.
+        free_end = (
+            nr if holds is None
+            else nr.join(holds.select("p"), "p", "left_anti")
+        )
+        remaining = free_end.join(pr, "p").filter(
+            F.col("nr") <= F.col("rank")
+        )
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"stable_matching did not converge within {max_rounds} "
+                "rounds; free proposers with untried preferences remain. "
+                "Raise max_rounds or pass max_rounds=None to derive the "
+                "cap from the preference-list size."
+            )
     if holds is None:
         return pr.sparkSession.createDataFrame(
             [], "p long, a long, p_rank long"

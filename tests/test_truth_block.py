@@ -1,0 +1,40 @@
+"""Guard against doc drift (VERDICT r4 'What's wrong' #1): the entry
+module's truth block must match the live registry, and the rotated
+driver window must be exactly the first 50 keys of queries()."""
+
+import re
+
+import __spark_entry__ as entry
+from reden_spark.contract import ORACLES, QUERIES
+
+
+def test_truth_block_matches_registry():
+    assert entry.REGISTRY_QUERIES == len(QUERIES)
+    assert entry.REGISTRY_ORACLES == len(ORACLES)
+    # the rendered docstring quotes the same numbers
+    doc = entry.__doc__
+    assert f"registry_queries = {len(QUERIES)}" in doc
+    assert f"registry_oracles = {len(ORACLES)}" in doc
+    assert f"driver_round = {entry.DRIVER_ROUND}" in doc
+
+
+def test_driver_window_is_first_50():
+    assert len(entry.DRIVER_WINDOW) == 50
+    assert len(set(entry.DRIVER_WINDOW)) == 50
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert list(q)[:50] == entry.DRIVER_WINDOW
+    assert list(o)[:50] == entry.DRIVER_WINDOW
+    # rotation loses nothing: same total surface either way
+    assert set(q) == set(QUERIES)
+    assert set(o) == set(ORACLES)
+    # every window key has an oracle (full hash-checked driver row)
+    assert all(k in ORACLES for k in entry.DRIVER_WINDOW)
+
+
+def test_docstring_has_no_stale_counts():
+    """No other count-like claim in the docstring contradicts the registry
+    (the r3/r4 drift was a hardcoded '425 queries')."""
+    doc = entry.__doc__
+    for m in re.finditer(r"(\d+)\s+quer", doc):
+        assert int(m.group(1)) in (len(QUERIES), 50), m.group(0)
