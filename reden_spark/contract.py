@@ -20573,11 +20573,27 @@ def q_shacl_closed(spark, sf_dir):
 @query(
     "shuffle_partition_plan",
     """
-    WITH s(tbl, n_rows, avg_row_bytes) AS (VALUES
-      ('lineitem_sf100', 600000000000, 144),
-      ('orders_sf100', 150000000000, 110),
-      ('documents_web', 10000000000, 2048),
-      ('tiny_dim', 25, 64)),
+    WITH s AS (
+      SELECT 'lineitem_x1e6' AS tbl,
+             CAST(count(*) * 1000000 AS BIGINT) AS n_rows,
+             CAST(68 + (sum(strlen(l_returnflag)
+                            + strlen(l_linestatus))
+                        // count(*)) AS BIGINT) AS avg_row_bytes
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_x1e6',
+             CAST(count(*) * 1000000 AS BIGINT),
+             CAST(32 + (sum(strlen(o_orderstatus)
+                            + strlen(o_orderpriority))
+                        // count(*)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'documents_x1e6',
+             CAST(count(*) * 1000000 AS BIGINT),
+             CAST(16 + (sum(strlen(text) + strlen(lang)
+                            + strlen(source))
+                        // count(*)) AS BIGINT)
+      FROM documents),
     need AS (
       SELECT tbl AS "table", n_rows,
              CAST(n_rows * avg_row_bytes AS BIGINT) AS est_bytes,
@@ -20593,21 +20609,53 @@ def q_shacl_closed(spark, sf_dir):
     """,
 )
 def q_shuffle_partition_plan(spark, sf_dir):
-    """Shuffle sizing advisor (operators/kg_maintain.
-    shuffle_partition_plan): partitions = ceil(bytes / 128 MB)
-    rounded up to full 256-core waves, with per-partition bytes and
-    wave count — the pre-run version of AQE coalescing over
-    100 TB-shaped table stats."""
+    """Shuffle sizing advisor vs MEASURED table stats
+    (operators/kg_maintain.shuffle_partition_plan): row counts and
+    average row bytes aggregated from the actual tables (string
+    payload via octet_length + fixed numeric width), scaled ×1e6 to
+    the 100 TB fleet shape; partitions = ceil(bytes / 128 MB) rounded
+    up to full 256-core waves — the pre-run version of what AQE
+    coalescing converges to, with the stats scans as the distributed
+    half."""
     from reden_spark.operators.kg_maintain import shuffle_partition_plan
 
-    stats = spark.createDataFrame(
-        [
-            ("lineitem_sf100", 600000000000, 144),
-            ("orders_sf100", 150000000000, 110),
-            ("documents_web", 10000000000, 2048),
-            ("tiny_dim", 25, 64),
-        ],
-        "table string, n_rows long, avg_row_bytes long",
+    def stats_one(table, name, fixed, strcols):
+        payload = None
+        for c in strcols:
+            term = F.octet_length(F.col(c))
+            payload = term if payload is None else payload + term
+        return (
+            _read(spark, sf_dir, table)
+            .agg(
+                F.count("*").cast("long").alias("_n"),
+                F.sum(payload).cast("long").alias("_pb"),
+            )
+            .select(
+                F.lit(name).alias("table"),
+                (F.col("_n") * 1000000).cast("long").alias("n_rows"),
+                F.expr(f"CAST({fixed} + _pb div _n AS BIGINT)").alias(
+                    "avg_row_bytes"
+                ),
+            )
+        )
+
+    stats = (
+        stats_one(
+            "lineitem", "lineitem_x1e6", 68,
+            ["l_returnflag", "l_linestatus"],
+        )
+        .unionByName(
+            stats_one(
+                "orders", "orders_x1e6", 32,
+                ["o_orderstatus", "o_orderpriority"],
+            )
+        )
+        .unionByName(
+            stats_one(
+                "documents", "documents_x1e6", 16,
+                ["text", "lang", "source"],
+            )
+        )
     )
     return shuffle_partition_plan(stats, cluster_cores=256, target_mb=128)
 
@@ -20619,33 +20667,68 @@ def q_shuffle_partition_plan(spark, sf_dir):
 @query(
     "bloom_size_plan",
     """
-    SELECT CAST(n_items AS BIGINT) AS n_items,
-           CAST(target_fpr_e6 AS BIGINT) AS target_fpr_e6,
-           CAST(m_bits AS BIGINT) AS m_bits,
-           CAST(k_hashes AS BIGINT) AS k_hashes,
-           CAST(mb AS BIGINT) AS mb,
-           CAST(actual_fpr_e6 AS BIGINT) AS actual_fpr_e6
-    FROM (VALUES
-      (1000000, 10000, 9585059, 7, 1, 10039),
-      (1000000, 1000, 14377588, 10, 1, 1000),
-      (1000000, 100, 19170117, 13, 2, 100),
-      (1000000000, 10000, 9585058378, 7, 1142, 10039),
-      (1000000000, 1000, 14377587567, 10, 1713, 1000),
-      (1000000000, 100, 19170116755, 13, 2285, 100),
-      (1000000000000, 10000, 9585058377368, 7, 1142627, 10039),
-      (1000000000000, 1000, 14377587566052, 10, 1713941, 1000),
-      (1000000000000, 100, 19170116754735, 13, 2285255, 100))
-      t(n_items, target_fpr_e6, m_bits, k_hashes, mb, actual_fpr_e6)
+    WITH counts(name, n_items) AS (
+      SELECT 'lineitem_orderkeys_x1e6',
+             CAST(count(DISTINCT l_orderkey) * 1000000 AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_custkeys_x1e6',
+             CAST(count(DISTINCT o_custkey) * 1000000 AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'documents_docids_x1e6',
+             CAST(count(DISTINCT doc_id) * 1000000 AS BIGINT)
+      FROM documents),
+    grid(target_fpr_e6) AS (VALUES (10000), (1000), (100)),
+    j1 AS (
+      SELECT name, n_items,
+             CAST(target_fpr_e6 AS BIGINT) AS target_fpr_e6,
+             CAST(ceil(-n_items * ln(target_fpr_e6 / 1e6)
+                       / (ln(2) * ln(2))) AS BIGINT) AS m_bits
+      FROM counts, grid),
+    j2 AS (
+      SELECT *,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(round((CAST(m_bits AS DOUBLE) / n_items)
+                                 * ln(2)) AS BIGINT)) AS k_hashes
+      FROM j1)
+    SELECT name, n_items, target_fpr_e6, m_bits, k_hashes,
+           m_bits // (8 * 1024 * 1024) AS mb,
+           CAST(round(power(1.0 - exp(-(CAST(k_hashes AS DOUBLE)
+                                        * n_items) / m_bits),
+                            k_hashes) * 1e6) AS BIGINT)
+             AS actual_fpr_e6
+    FROM j2
     """,
 )
 def q_bloom_size_plan(spark, sf_dir):
-    """Bloom sizing table (operators/bloomjoin.bloom_size_plan):
-    optimal m and k with achieved FPR for 1e6/1e9/1e12 keys at three
+    """Bloom sizing vs MEASURED distinct-key counts
+    (operators/bloomjoin.bloom_size_plan): optimal m and k with
+    achieved FPR for each keyed table's cardinality scaled to fleet
+    shape (×1e6 — the 10^12-file wording of the north rule) at three
     targets — the build-or-don't planning read before
-    bloom_prefilter."""
+    bloom_prefilter, with the distinct-count scans as the
+    distributed half."""
     from reden_spark.operators.bloomjoin import bloom_size_plan
 
-    return bloom_size_plan(spark)
+    def one(table, keycol, name):
+        return (
+            _read(spark, sf_dir, table)
+            .agg(F.countDistinct(F.col(keycol)).alias("_d"))
+            .select(
+                F.lit(name).alias("name"),
+                (F.col("_d") * 1000000).cast("long").alias("n_items"),
+            )
+        )
+
+    counts = (
+        one("lineitem", "l_orderkey", "lineitem_orderkeys_x1e6")
+        .unionByName(one("orders", "o_custkey", "orders_custkeys_x1e6"))
+        .unionByName(
+            one("documents", "doc_id", "documents_docids_x1e6")
+        )
+    )
+    return bloom_size_plan(counts)
 
 
 @query(
@@ -22056,30 +22139,43 @@ def q_fiedler_bisect(spark, sf_dir):
 @query(
     "cms_size_plan",
     """
-    SELECT CAST(eps_e6 AS BIGINT) AS eps_e6,
-           CAST(delta_e9 AS BIGINT) AS delta_e9,
-           CAST(width AS BIGINT) AS width,
-           CAST(depth AS BIGINT) AS depth,
-           CAST(cells AS BIGINT) AS cells,
-           CAST(bytes AS BIGINT) AS bytes,
-           CAST(kb AS BIGINT) AS kb
-    FROM (VALUES
-      (1000, 1000000, 2719, 7, 19033, 152264, 148),
-      (1000, 1000, 2719, 14, 38066, 304528, 297),
-      (100, 1000000, 27183, 7, 190281, 1522248, 1486),
-      (100, 1000, 27183, 14, 380562, 3044496, 2973),
-      (10, 1000000, 271829, 7, 1902803, 15222424, 14865),
-      (10, 1000, 271829, 14, 3805606, 30444848, 29731))
-      t(eps_e6, delta_e9, width, depth, cells, bytes, kb)
+    WITH meas AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM events),
+    grid(eps_e6, delta_e9) AS (VALUES
+      (1000, 1000000), (1000, 1000), (100, 1000000),
+      (100, 1000), (10, 1000000), (10, 1000)),
+    j AS (
+      SELECT CAST(eps_e6 AS BIGINT) AS eps_e6,
+             CAST(delta_e9 AS BIGINT) AS delta_e9,
+             n_events, n_distinct,
+             CAST(ceil(exp(1.0) * 1e6 / eps_e6) AS BIGINT) AS width,
+             CAST(ceil(ln(1e9 / delta_e9)) AS BIGINT) AS depth
+      FROM grid, meas)
+    SELECT eps_e6, delta_e9, width, depth,
+           width * depth AS cells,
+           width * depth * 8 AS bytes,
+           (width * depth * 8) // 1024 AS kb,
+           n_events, n_distinct,
+           n_distinct * 16 AS exact_bytes,
+           (width * depth * 8 < n_distinct * 16) AS sketch_wins
+    FROM j
     """,
 )
 def q_cms_size_plan(spark, sf_dir):
-    """Count-Min sizing table (operators/sketches.cms_size_plan):
-    width/depth/memory over the standard (eps, delta) grid — the
-    stream-sketch budget read before cms_heavy_hitters."""
+    """Count-Min sizing vs the MEASURED events stream
+    (operators/sketches.cms_size_plan): width/depth/memory over the
+    standard (eps, delta) grid compared against exact counting of the
+    stream's actual distinct keys — the stream-sketch budget read
+    before cms_heavy_hitters, with the stream scan (count +
+    distinct-count) as the distributed half."""
     from reden_spark.operators.sketches import cms_size_plan
 
-    return cms_size_plan(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    return cms_size_plan(ev, key="key")
 
 
 # ---------------------------------------------------------------------------
@@ -23506,32 +23602,41 @@ def q_token_code_plan(spark, sf_dir):
 @query(
     "dp_noise_plan",
     """
-    SELECT CAST(eps_e3 AS BIGINT) AS eps_e3, CAST(q AS BIGINT) AS q,
-           CAST(b_e6 AS BIGINT) AS b_e6,
-           CAST(noise_q_e6 AS BIGINT) AS noise_q_e6
-    FROM (VALUES
-      (100, 50, 10000000, 6931472),
-      (100, 90, 10000000, 23025851),
-      (100, 99, 10000000, 46051702),
-      (500, 50, 2000000, 1386294),
-      (500, 90, 2000000, 4605170),
-      (500, 99, 2000000, 9210340),
-      (1000, 50, 1000000, 693147),
-      (1000, 90, 1000000, 2302585),
-      (1000, 99, 1000000, 4605170),
-      (2000, 50, 500000, 346574),
-      (2000, 90, 500000, 1151293),
-      (2000, 99, 500000, 2302585))
-      t(eps_e3, q, b_e6, noise_q_e6)
+    WITH g AS (
+      SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    grid(eps_e3, q) AS (VALUES
+      (100, 50), (100, 90), (100, 99),
+      (500, 50), (500, 90), (500, 99),
+      (1000, 50), (1000, 90), (1000, 99),
+      (2000, 50), (2000, 90), (2000, 99)),
+    j AS (
+      SELECT grp, n,
+             CAST(eps_e3 AS BIGINT) AS eps_e3, CAST(q AS BIGINT) AS q,
+             CAST(1000000000 // eps_e3 AS BIGINT) AS b_e6,
+             CAST(round(-(1000.0 / eps_e3)
+                        * ln(1.0 - q / 100.0) * 1e6) AS BIGINT)
+               AS noise_q_e6
+      FROM g, grid)
+    SELECT grp, n, eps_e3, q, b_e6, noise_q_e6,
+           CAST(noise_q_e6 // greatest(n, 1) AS BIGINT) AS rel_err_ppm
+    FROM j
     """,
 )
 def q_dp_noise_plan(spark, sf_dir):
-    """Laplace noise budget (operators/sketches.dp_noise_plan):
-    scale and |noise| quantiles per epsilon for sensitivity-1 count
-    release - the privacy-budget planning table."""
+    """Laplace noise budget vs the MEASURED per-language counts to be
+    released (operators/sketches.dp_noise_plan): scale, |noise|
+    quantiles, and the induced relative error of each actual released
+    count per epsilon — the privacy-budget planning table, with the
+    group-count aggregation as the distributed half."""
     from reden_spark.operators.sketches import dp_noise_plan
 
-    return dp_noise_plan(spark)
+    groups = (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return dp_noise_plan(groups)
 
 
 # ---------------------------------------------------------------------------
@@ -24297,26 +24402,71 @@ def q_lpt_assign(spark, sf_dir):
 @query(
     "erlang_c_plan",
     """
-    SELECT CAST(a_e3 AS BIGINT) AS a_e3, CAST(c AS BIGINT) AS c,
-           CAST(rho_e6 AS BIGINT) AS rho_e6,
-           CAST(p_wait_e6 AS BIGINT) AS p_wait_e6
-    FROM (VALUES
-      (2000, 3, 666667, 444444),
-      (2000, 4, 500000, 173913),
-      (8000, 10, 800000, 409180),
-      (8000, 12, 666667, 139842),
-      (24000, 30, 800000, 172862),
-      (24000, 28, 857143, 333139))
-      t(a_e3, c, rho_e6, p_wait_e6)
+    WITH loads AS (
+      SELECT event_type AS grp,
+             CAST(greatest(1, (count(*) * 1000) // 500) AS BIGINT)
+               AS a_e3
+      FROM events GROUP BY event_type),
+    m(margin) AS (VALUES (1), (2)),
+    base AS (
+      SELECT grp, a_e3,
+             CAST((a_e3 + 999) // 1000 + margin AS BIGINT) AS c
+      FROM loads, m),
+    ks AS (
+      SELECT grp, a_e3, c, unnest(generate_series(0, c)) AS k
+      FROM base),
+    t1 AS (
+      SELECT grp, a_e3, c, k,
+             CASE WHEN k = 0 THEN 0.0
+                  ELSE ln(CAST(k AS DOUBLE)) END AS lnj
+      FROM ks),
+    t2 AS (
+      SELECT *, sum(lnj) OVER (
+               PARTITION BY grp, a_e3, c ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnfact
+      FROM t1),
+    t3 AS (
+      SELECT *, exp(k * ln(a_e3 / 1000.0) - lnfact) AS t FROM t2),
+    t4 AS (
+      SELECT *, sum(t) OVER (
+               PARTITION BY grp, a_e3, c ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_t
+      FROM t3),
+    lastk AS (
+      SELECT grp, a_e3, c, cum_t - t AS s, t AS t_c
+      FROM t4 WHERE k = c)
+    SELECT grp, a_e3, c,
+           CAST((a_e3 * 1000000 + (c * 1000) // 2) // (c * 1000)
+                AS BIGINT) AS rho_e6,
+           CAST(round((t_c / (1.0 - a_e3 / (c * 1000.0)))
+                      / (s + t_c / (1.0 - a_e3 / (c * 1000.0)))
+                      * 1e6) AS BIGINT) AS p_wait_e6
+    FROM lastk
     """,
 )
 def q_erlang_c_plan(spark, sf_dir):
-    """Erlang-C staffing table (operators/sketches.erlang_c_plan):
-    delay probability per (offered load, workers) — the queueing
-    capacity read for rate-limited fleet stages."""
+    """Erlang-C staffing vs MEASURED offered loads
+    (operators/sketches.erlang_c_plan): delay probability per
+    (event-type arrival load / service rate 500, ceil(a)+margin
+    workers) — the queueing capacity read for rate-limited fleet
+    stages, with the arrival-count aggregation as the distributed
+    half and the factorial series evaluated engine-side through
+    ordered windows."""
     from reden_spark.operators.sketches import erlang_c_plan
 
-    return erlang_c_plan(spark)
+    loads = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.expr(
+                "CAST(greatest(1, (count(*) * 1000) div 500)"
+                " AS BIGINT)"
+            ).alias("a_e3")
+        )
+    )
+    return erlang_c_plan(loads)
 
 
 @query(

@@ -7,8 +7,12 @@ from reden_spark.operators.graphstats import degree_gini
 
 
 def test_bloom_size_plan_textbook(spark):
+    counts = spark.createDataFrame(
+        [("m", 10**6), ("g", 10**9), ("t", 10**12)],
+        "name string, n_items long",
+    )
     out = {(r.n_items, r.target_fpr_e6): r
-           for r in bloom_size_plan(spark).collect()}
+           for r in bloom_size_plan(counts).collect()}
     r = out[(10**9, 1000)]                  # 1e9 keys at 0.1% FPR
     # textbook: ~14.38 bits per key, k = 10
     assert abs(r.m_bits / 10**9 - 14.38) < 0.01

@@ -45,9 +45,21 @@ def test_cms_size_plan_formulas(spark):
 
     from reden_spark.operators.sketches import cms_size_plan
 
-    got = {(r.eps_e6, r.delta_e9): r for r in cms_size_plan(spark).collect()}
+    # 10 events over 4 distinct keys: the sketch never wins here
+    stream = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 2, 2, 3, 3, 3, 3, 4]], "key long"
+    )
+    got = {
+        (r.eps_e6, r.delta_e9): r
+        for r in cms_size_plan(stream).collect()
+    }
     assert len(got) == 6
     r = got[(100, 1000)]
     assert r.width == math.ceil(math.e / 1e-4) == 27183
     assert r.depth == math.ceil(math.log(1e6)) == 14
     assert r.bytes == r.width * r.depth * 8
+    assert r.n_events == 10 and r.n_distinct == 4
+    assert r.exact_bytes == 64 and not r.sketch_wins
+    # a hypothetical fleet stream: same sketch sizes, wins as soon as
+    # distinct keys beat bytes/16 (sketch size independent of stream)
+    assert all(not v.sketch_wins for v in got.values())

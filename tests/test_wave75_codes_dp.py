@@ -35,10 +35,22 @@ def test_dp_noise_plan_shape(spark):
 
     from reden_spark.operators.sketches import dp_noise_plan
 
-    got = {(r.eps_e3, r.q): r for r in dp_noise_plan(spark).collect()}
-    assert len(got) == 12
-    r = got[(1000, 90)]
+    groups = spark.createDataFrame(
+        [("en", 200), ("fr", 4)], "grp string, n long"
+    )
+    got = {
+        (r.grp, r.eps_e3, r.q): r
+        for r in dp_noise_plan(groups).collect()
+    }
+    assert len(got) == 24
+    r = got[("en", 1000, 90)]
     assert r.b_e6 == 1000000
     assert r.noise_q_e6 == round(-math.log(0.1) * 1e6)
     # half the budget -> double the noise
-    assert got[(500, 90)].noise_q_e6 == 2 * got[(1000, 90)].noise_q_e6
+    assert (got[("en", 500, 90)].noise_q_e6
+            == 2 * got[("en", 1000, 90)].noise_q_e6)
+    # small groups drown first: noise_q div n, exact integer floor
+    assert got[("fr", 1000, 90)].rel_err_ppm == r.noise_q_e6 // 4
+    assert got[("en", 1000, 90)].rel_err_ppm == r.noise_q_e6 // 200
+    assert (got[("fr", 1000, 90)].rel_err_ppm
+            > 40 * got[("en", 1000, 90)].rel_err_ppm)

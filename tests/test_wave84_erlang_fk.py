@@ -8,11 +8,22 @@ import math
 def test_erlang_c_formula(spark):
     from reden_spark.operators.sketches import erlang_c_plan
 
-    got = {(r.a_e3, r.c): r for r in erlang_c_plan(spark).collect()}
+    loads = spark.createDataFrame(
+        [("q", 8000)], "grp string, a_e3 long"
+    )
+    got = {
+        (r.a_e3, r.c): r
+        for r in erlang_c_plan(loads, margins=(2, 4)).collect()
+    }
     a, c = 8.0, 10
     s = sum(a**k / math.factorial(k) for k in range(c))
     top = a**c / math.factorial(c) / (1 - a / c)
-    assert got[(8000, 10)].p_wait_e6 == round(top / (s + top) * 1e6)
+    # engine-side log-gamma series vs exact driver factorials: the
+    # quantized micro-unit values agree to the last unit (±1 for
+    # accumulated double noise in the ordered window sum)
+    assert abs(got[(8000, 10)].p_wait_e6
+               - round(top / (s + top) * 1e6)) <= 1
+    assert got[(8000, 10)].rho_e6 == 800000
     # two more workers at the same load collapse the wait probability
     assert got[(8000, 12)].p_wait_e6 < got[(8000, 10)].p_wait_e6 // 2
 
