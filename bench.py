@@ -32,6 +32,12 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "pricing_summary",
+    # VERDICT r4 #6: the slowest registry queries ride in the headline
+    # so regressions there are caught round-over-round (sf0.1 walls at
+    # adoption: bpe 7.8 s, diameter 25.1 s, rules 2.8 s)
+    "bpe_merges",
+    "effective_diameter",
+    "rule_mining",
 ]
 
 
@@ -43,7 +49,12 @@ def run_bench(
     from reden_spark.flagship import flagship_kg_triples
     from reden_spark.session import get_spark
 
-    spark = get_spark("reden_bench", master=f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the master entirely — used by
+    # tools/scaling_bench.py's local-cluster mode (real separate
+    # executor JVMs on one box, the closest sandbox analog of the
+    # north rule's N-vs-4N *executor* wording)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = get_spark("reden_bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM (JIT, codegen, parquet reader, shuffle paths) before

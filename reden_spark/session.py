@@ -76,6 +76,25 @@ def get_spark(
             # total executor cores for the same reason); AQE coalesces the
             # tail.  Override with SPARK_GRAFT_SHUFFLE_PARTITIONS.
             conf["spark.sql.shuffle.partitions"] = str(max(2 * int(inner), 4))
+    elif master.startswith("local-cluster["):
+        # local-cluster[nExec, coresPerExec, memPerExecMB]: real separate
+        # executor JVMs on one box — the scaling-rule topology analog.
+        # Same 2x-slots sizing keyed to TOTAL executor cores; executors
+        # need the repo on their Python path (pandas-UDF kernels
+        # deserialize by module reference) and an explicit heap matching
+        # the bracket's MB figure.
+        n_exec, cores, mem_mb = (
+            int(x) for x in master[len("local-cluster[") : -1].split(",")
+        )
+        conf["spark.sql.shuffle.partitions"] = str(
+            max(2 * n_exec * cores, 4)
+        )
+        conf.setdefault("spark.executor.memory", f"{mem_mb}m")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        conf.setdefault(
+            "spark.executorEnv.PYTHONPATH",
+            os.environ.get("PYTHONPATH", "") + os.pathsep + repo_root,
+        )
     env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env_parts:
         conf["spark.sql.shuffle.partitions"] = env_parts
