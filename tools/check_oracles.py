@@ -55,8 +55,13 @@ def main():
     spark = get_spark("check_oracles", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "8"})
     con = duckdb.connect()
+    import os as _os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files
+        src = f"{p}/*.parquet" if _os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
