@@ -1,0 +1,76 @@
+"""Round-5: invariants of the sf1.0 tiling generator (tools/gen_sf.py).
+
+The scaling-decade evidence (BASELINE.md round-5) rests on the tiled
+data preserving the reference join fan-outs; these tests pin the
+tiling contract on a tiny 2-copy run so the generator can't silently
+drift.  The full testdata_sf1 artifact is exercised separately by the
+sf1.0 bench + correctness sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiled(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_tiled"))
+    subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "tools", "gen_sf.py"),
+            "--src", "/root/testdata/sf0.001", "--dst", dst,
+            "--copies", "2",
+        ],
+        check=True, capture_output=True, text=True, cwd=ROOT,
+    )
+    return dst
+
+
+def test_counts_scale_by_copies(spark, tiled):
+    for t, factor in [
+        ("lineitem", 2), ("orders", 2), ("documents", 2),
+        ("events", 2), ("embeddings", 2),
+        ("region", 1), ("nation", 1),   # fixed dims
+    ]:
+        src = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        out = spark.read.parquet(f"{tiled}/{t}.parquet")
+        assert out.count() == factor * src.count(), t
+
+
+def test_join_fanout_preserved(spark, tiled):
+    """Disjoint key ranges per copy: the orders⋈lineitem join yields
+    exactly 2x the base join's rows — no cross-copy matches."""
+    from pyspark.sql import functions as F
+
+    o0 = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l0 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    base = o0.join(
+        l0, o0.o_orderkey == l0.l_orderkey
+    ).count()
+    o2 = spark.read.parquet(f"{tiled}/orders.parquet")
+    l2 = spark.read.parquet(f"{tiled}/lineitem.parquet")
+    assert o2.join(o2.limit(0), how="cross").count() == 0  # sanity
+    got = o2.join(l2, o2.o_orderkey == l2.l_orderkey).count()
+    assert got == 2 * base
+    # keys stay unique where they were unique
+    assert (
+        o2.select("o_orderkey").distinct().count() == o2.count()
+    )
+    # nation FKs still resolve (dims fixed)
+    c2 = spark.read.parquet(f"{tiled}/customer.parquet")
+    n2 = spark.read.parquet(f"{tiled}/nation.parquet")
+    orphans = c2.join(
+        n2, c2.c_nationkey == n2.n_nationkey, "left_anti"
+    ).count()
+    assert orphans == 0
+    # document copies are near-dups, not clones: all texts distinct
+    d2 = spark.read.parquet(f"{tiled}/documents.parquet")
+    assert (
+        d2.select(F.sha2("text", 256)).distinct().count() == d2.count()
+    )
