@@ -1093,14 +1093,22 @@ def effective_diameter(
     (anf_growth) is validated against; at fleet scale the sketch IS
     the operator — this one materializes reach pairs and is O(n·ball).
 
-    One doubling-free frontier expansion per round (reach ⋈ edges),
-    each round's count folded in WITHOUT collect — per-round 1-row
-    aggregates union into the output frame."""
+    Frontier expansion per round: round h joins the edge table against
+    the PREVIOUS ROUND'S HOPS (deduped) rather than the full reach
+    set.  Correct by induction — every pair at exact distance h
+    extends some pair at exact distance h-1, and that pair is in
+    round h-1's hops — with join input ≤ the accumulated closure
+    (never worse; a real win on sparse graphs where the frontier
+    shrinks, roughly neutral on this corpus' dense components where
+    hops ≈ reach: measured 24.2 s vs 22.9 s at sf0.1, 42.0 s vs
+    45.4 s at sf1.0).  Each round's count folds in WITHOUT collect —
+    per-round 1-row aggregates union into the output frame."""
     e = edges.filter(F.col("src") != F.col("dst"))
     sym = e.select("src", "dst").unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
     reach = sym
+    frontier = sym
     levels = [
         reach.agg(F.count("*").cast("long").alias("n_pairs")).select(
             F.lit(1).cast("long").alias("h"), "n_pairs"
@@ -1108,18 +1116,25 @@ def effective_diameter(
     ]
     for h in range(2, rounds + 1):
         hops = (
-            reach.alias("r")
+            frontier.alias("r")
             .join(sym.alias("s"), F.col("r.dst") == F.col("s.src"))
             .select(
                 F.col("r.src").alias("src"), F.col("s.dst").alias("dst")
             )
             .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
         )
+        # checkpoint order matters: the union must see the DERIVED hops
+        # plan (unioning two checkpointed LogicalRDDs whose constraints
+        # still reference pre-checkpoint attributes trips Spark's union
+        # constraint rewrite with "key not found"); the frontier is then
+        # checkpointed separately as next round's join input
         reach = (
             reach.unionByName(hops)
             .dropDuplicates(["src", "dst"])
             .localCheckpoint(eager=True)
         )
+        frontier = hops.localCheckpoint(eager=True)
         levels.append(
             reach.agg(F.count("*").cast("long").alias("n_pairs")).select(
                 F.lit(h).cast("long").alias("h"), "n_pairs"
