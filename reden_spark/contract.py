@@ -22185,16 +22185,26 @@ def q_cms_size_plan(spark, sf_dir):
 @query(
     "label_align",
     """
-    WITH lt AS (
+    WITH lt0 AS (
       SELECT 'L' || CAST(p_partkey AS VARCHAR) AS id_a,
              p_name AS label_l,
              substring(lower(p_name), 1, 2) AS blk
       FROM part),
-    rt AS (
+    lt AS (
+      SELECT id_a, label_l, blk FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY id_a)
+               AS rn
+        FROM lt0) z WHERE rn <= 500),
+    rt0 AS (
       SELECT 'R' || CAST(p_partkey + 100000 AS VARCHAR) AS id_b,
              substring(p_name, 1, length(p_name) - 2) AS label_r,
              substring(lower(p_name), 1, 2) AS blk
       FROM part WHERE p_partkey % 2 = 0),
+    rt AS (
+      SELECT id_b, label_r, blk FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY id_b)
+               AS rn
+        FROM rt0) z WHERE rn <= 500),
     scored AS MATERIALIZED (
       SELECT lt.id_a, rt.id_b, lt.label_l, rt.label_r,
              CAST(round(jaro_winkler_similarity(lt.label_l, rt.label_r)

@@ -551,6 +551,7 @@ def label_align(
     right: DataFrame,
     block_prefix: int = 2,
     min_jw_e6: int = 850000,
+    block_cap: int | None = 500,
 ) -> DataFrame:
     """Cross-namespace label alignment: (lid, rid, label_l, label_r,
     jw_e6) — reciprocal-best Jaro-Winkler matches between two label
@@ -569,7 +570,13 @@ def label_align(
 
     Scale shape: one blocked join (prefix key), a pure-map kernel, two
     endpoint windows — the er_scores exchange pattern with a
-    string-similarity kernel swapped in."""
+    string-similarity kernel swapped in.  ``block_cap`` bounds
+    pathological blocks (hot prefixes, cloned catalogs) to the first
+    ``block_cap`` ids per SIDE per block, deterministically — the
+    bucket_cap guardrail from the LSH family (dedup.lsh_candidate_
+    pairs); without it a dense prefix block is a quadratic pair bomb
+    (found the hard way: the sf1.0 tiled catalog, whose part names
+    repeat 10×, OOMed the uncapped join — round-5 breadth sweep)."""
     from reden_spark.functions.strings import jaro_winkler_e6
 
     lb = left.select(
@@ -582,6 +589,19 @@ def label_align(
         F.col("label").alias("label_r"),
         F.substring(F.lower("label"), 1, block_prefix).alias("blk"),
     )
+    if block_cap is not None:
+        wl = Window.partitionBy("blk").orderBy("id_a")
+        lb = (
+            lb.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
+        wr = Window.partitionBy("blk").orderBy("id_b")
+        rb = (
+            rb.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
     scored = (
         lb.join(rb, "blk")
         .withColumn("sim_e6", jaro_winkler_e6("label_l", "label_r"))
